@@ -13,12 +13,59 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B: relational / OLAP core
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
+    "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
+    "q5_local_supplier" -> (Relational.q5LocalSupplier _),
+    "q_broadcast_dim" -> (Relational.qBroadcastDim _),
+    "q_semi_join" -> (Relational.qSemiJoin _),
+    "q_anti_join" -> (Relational.qAntiJoin _),
+    "q_window_rank" -> (Relational.qWindowRank _),
+    "q_rollup" -> (Relational.qRollup _),
+    "q_percentiles" -> (Relational.qPercentiles _),
+    "q_distinct_agg" -> (Relational.qDistinctAgg _),
+    "q_conditional_agg" -> (Relational.qConditionalAgg _),
+    "q_union_except" -> (Relational.qUnionExcept _),
+    "q_approx_distinct" -> (Relational.qApproxDistinct _),
+    // A: telemetry / monitoring (the reference's surface)
+    "mon_registry_lookup" -> (Monitoring.registryLookup _),
+    "mon_latest_status" -> (Monitoring.latestStatus _),
+    "mon_window_sum" -> (Monitoring.windowSum _),
+    "mon_window_stats" -> (Monitoring.windowStats _),
+    "mon_consecutive_failures" -> (Monitoring.consecutiveFailures _),
+    "mon_sessionize" -> (Monitoring.sessionize _),
+    "mon_uptime_ratio" -> (Monitoring.uptimeRatio _),
+    "mon_alert_windows" -> (Monitoring.alertWindows _),
+    "mon_escalation_batch" -> (Monitoring.escalationBatch _),
+    "mon_top_error_devices" -> (Monitoring.topErrorDevices _),
+    "mon_json_props" -> (Monitoring.jsonProps _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> Relational.q1PricingSummarySql,
+    "q3_shipping_priority" -> Relational.q3ShippingPrioritySql,
+    "q5_local_supplier" -> Relational.q5LocalSupplierSql,
+    "q_broadcast_dim" -> Relational.qBroadcastDimSql,
+    "q_semi_join" -> Relational.qSemiJoinSql,
+    "q_anti_join" -> Relational.qAntiJoinSql,
+    "q_window_rank" -> Relational.qWindowRankSql,
+    "q_rollup" -> Relational.qRollupSql,
+    "q_percentiles" -> Relational.qPercentilesSql,
+    "q_distinct_agg" -> Relational.qDistinctAggSql,
+    "q_conditional_agg" -> Relational.qConditionalAggSql,
+    "q_union_except" -> Relational.qUnionExceptSql,
+    "mon_registry_lookup" -> Monitoring.registryLookupSql,
+    "mon_latest_status" -> Monitoring.latestStatusSql,
+    "mon_window_sum" -> Monitoring.windowSumSql,
+    "mon_window_stats" -> Monitoring.windowStatsSql,
+    "mon_consecutive_failures" -> Monitoring.consecutiveFailuresSql,
+    "mon_sessionize" -> Monitoring.sessionizeSql,
+    "mon_uptime_ratio" -> Monitoring.uptimeRatioSql,
+    "mon_alert_windows" -> Monitoring.alertWindowsSql,
+    "mon_escalation_batch" -> Monitoring.escalationBatchSql,
+    "mon_top_error_devices" -> Monitoring.topErrorDevicesSql,
+    "mon_json_props" -> Monitoring.jsonPropsSql,
   )
 }

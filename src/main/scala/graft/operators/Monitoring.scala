@@ -1,0 +1,332 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Telemetry / monitoring operators (SURVEY.md §2.A) — the Spark-native
+  * re-expression of the reference's analytics surface:
+  *
+  *  - device→stream lookup        (check_connect.sh:3 list-streams + jq)
+  *  - latest stream status        (check_connect.sh:9 describe-stream)
+  *  - windowed metric statistics  (putmedia_check.sh:10-37
+  *                                 get-metric-statistics Sum, 60s period)
+  *  - consecutive-failure runs +
+  *    escalating remediation      (restart.sh:27-159 max_failed_cnt=3,
+  *                                 service restart → network → USB → reboot)
+  *
+  * The `events` table plays the telemetry feed: user_id ↔ device,
+  * event_type='error' ↔ failed probe, value ↔ metric sample.
+  *
+  * Scale notes: every operator is a single pass over events with at most
+  * one shuffle keyed by device (window functions) plus one aggregation
+  * shuffle. No driver-side loops; per-device state is bounded by run/
+  * session counts, not event counts.
+  */
+object Monitoring {
+
+  /** Timestamps are emitted as epoch microseconds (BIGINT) — engine-
+    * neutral, per SURVEY.md §4. */
+  private val tsUs = "unix_micros(ts)"
+
+  // ---------------------------------------------------------------- A1
+  /** Device→stream registry lookup: the first event per device is its
+    * "stream registration" (list-streams | jq 'select(.DeviceName==d)' |
+    * head -1). Filter to a device subset like the reference's
+    * single-device lookup. */
+  def registryLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .filter($"user_id" < 5)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id".as("stream_id"),
+        expr(tsUs).as("registered_us"))
+      .orderBy($"user_id")
+  }
+
+  val registryLookupSql: String =
+    """SELECT user_id, event_id AS stream_id, epoch_us(ts) AS registered_us
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) AS rn
+      |      FROM events WHERE user_id < 5) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- A2
+  /** Latest status per device (describe-stream .Status): the most recent
+    * event's type, deterministic tie-break on event_id. */
+  def latestStatus(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type".as("status"), expr(tsUs).as("status_us"))
+      .orderBy($"user_id")
+  }
+
+  val latestStatusSql: String =
+    """SELECT user_id, event_type AS status, epoch_us(ts) AS status_us
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- A3
+  /** CloudWatch get-metric-statistics analog: per-device 60-second
+    * tumbling window Sum of the metric (putmedia_check.sh PERIOD=60,
+    * --statistics Sum, success events only). Map-side partial agg +
+    * one shuffle on (device, window). */
+  def windowSum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id", date_trunc("minute", $"ts").as("w"))
+      .agg(sum($"value".cast("decimal(18,4)")).cast("double").as("metric_sum"),
+        count(lit(1)).as("sample_count"))
+      .select($"user_id", expr("unix_micros(w)").as("window_us"),
+        $"metric_sum", $"sample_count")
+      .orderBy($"user_id", $"window_us")
+  }
+
+  val windowSumSql: String =
+    """SELECT user_id, epoch_us(date_trunc('minute', ts)) AS window_us,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS metric_sum,
+      |  COUNT(*) AS sample_count
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY user_id, date_trunc('minute', ts)
+      |ORDER BY user_id, window_us""".stripMargin
+
+  // ---------------------------------------------------------------- A4
+  /** Full CloudWatch statistic set per hourly window:
+    * Sum/Average/Minimum/Maximum/SampleCount. */
+  def windowStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"user_id", date_trunc("hour", $"ts").as("w"))
+      .agg(
+        sum($"value".cast("decimal(18,4)")).cast("double").as("stat_sum"),
+        (sum($"value".cast("decimal(18,4)")).cast("double") / count(lit(1))).as("stat_avg"),
+        min($"value").as("stat_min"),
+        max($"value").as("stat_max"),
+        count(lit(1)).as("sample_count"))
+      .select($"user_id", expr("unix_micros(w)").as("window_us"),
+        $"stat_sum", $"stat_avg", $"stat_min", $"stat_max", $"sample_count")
+      .orderBy($"user_id", $"window_us")
+  }
+
+  val windowStatsSql: String =
+    """SELECT user_id, epoch_us(date_trunc('hour', ts)) AS window_us,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS stat_sum,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS stat_avg,
+      |  MIN(value) AS stat_min, MAX(value) AS stat_max,
+      |  COUNT(*) AS sample_count
+      |FROM events
+      |GROUP BY user_id, date_trunc('hour', ts)
+      |ORDER BY user_id, window_us""".stripMargin
+
+  // ---------------------------------------------------------------- A5
+  /** Consecutive-failure runs (gaps-and-islands): maximal runs of
+    * event_type='error' per device with length >= 3 — the reference's
+    * max_failed_cnt=3 trigger (restart.sh:16,121). Two window passes +
+    * one agg, all keyed by device. */
+  def consecutiveFailures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wAll = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wTyp = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(wAll))
+      .withColumn("rn_t", row_number().over(wTyp))
+      .filter($"event_type" === "error")
+      .groupBy($"user_id", ($"rn" - $"rn_t").as("grp"))
+      .agg(count(lit(1)).as("run_len"),
+        min(expr(tsUs)).as("start_us"), max(expr(tsUs)).as("end_us"))
+      .filter($"run_len" >= 3)
+      .select($"user_id", $"run_len", $"start_us", $"end_us")
+      .orderBy($"user_id", $"start_us")
+  }
+
+  val consecutiveFailuresSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts, event_id) AS rn_t
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS run_len,
+      |  MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+      |FROM seq WHERE event_type = 'error'
+      |GROUP BY user_id, rn - rn_t
+      |HAVING COUNT(*) >= 3
+      |ORDER BY user_id, start_us""".stripMargin
+
+  // ---------------------------------------------------------------- A6
+  /** Sessionization with a 30-minute inactivity gap (uptime bookkeeping
+    * between the reference's loop_time windows). All arithmetic in
+    * epoch micros so both engines compare identical integers. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(spark, sfDir)
+      .withColumn("us", expr(tsUs))
+      .withColumn("prev_us", lag($"us", 1).over(w))
+      .withColumn("new_s",
+        when($"prev_us".isNull || $"us" - $"prev_us" > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum($"new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"us").as("start_us"), max($"us").as("end_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val sessionizeSql: String =
+    """WITH x AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+      |              OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |y AS (
+      |  SELECT user_id, us,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM x)
+      |SELECT user_id, session_id, MIN(us) AS start_us, MAX(us) AS end_us,
+      |  COUNT(*) AS n_events
+      |FROM y GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // ---------------------------------------------------------------- A7
+  /** Uptime ratio: fraction of a device's active minutes that saw at
+    * least one healthy (non-error) event. */
+  def uptimeRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"user_id", date_trunc("minute", $"ts").as("w"))
+      .agg(max(when($"event_type" =!= "error", 1L).otherwise(0L)).as("healthy"))
+      .groupBy($"user_id")
+      .agg(sum($"healthy").as("healthy_windows"), count(lit(1)).as("total_windows"),
+        (sum($"healthy").cast("double") / count(lit(1))).as("uptime_ratio"))
+      .orderBy($"user_id")
+  }
+
+  val uptimeRatioSql: String =
+    """WITH w AS (
+      |  SELECT user_id, date_trunc('minute', ts) AS m,
+      |    MAX(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS healthy
+      |  FROM events GROUP BY user_id, date_trunc('minute', ts))
+      |SELECT user_id, SUM(healthy) AS healthy_windows,
+      |  COUNT(*) AS total_windows,
+      |  CAST(SUM(healthy) AS DOUBLE) / COUNT(*) AS uptime_ratio
+      |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- A8
+  /** Alert windows: hourly windows that saw failures and zero healthy
+    * events — the is_connected()==false branch that triggers
+    * remediation (restart.sh:54-66). */
+  def alertWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"user_id", date_trunc("hour", $"ts").as("w"))
+      .agg(
+        sum(when($"event_type" === "error", 1L).otherwise(0L)).as("failures"),
+        sum(when($"event_type" =!= "error", 1L).otherwise(0L)).as("successes"))
+      .filter($"failures" >= 1 && $"successes" === 0)
+      .select($"user_id", expr("unix_micros(w)").as("window_us"), $"failures")
+      .orderBy($"user_id", $"window_us")
+  }
+
+  val alertWindowsSql: String =
+    """SELECT user_id, epoch_us(date_trunc('hour', ts)) AS window_us,
+      |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS failures
+      |FROM events
+      |GROUP BY user_id, date_trunc('hour', ts)
+      |HAVING SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) >= 1
+      |   AND SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) = 0
+      |ORDER BY user_id, window_us""".stripMargin
+
+  // ---------------------------------------------------------------- A9
+  /** Batch replay of the restart.sh escalation ladder: a device's worst
+    * consecutive-failure run decides the remediation level
+    * (3 → service restart, 6 → USB power-cycle, 9 → reboot;
+    * restart.sh:27-45, check_network.sh:37-44). */
+  def escalationBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wAll = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wTyp = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(wAll))
+      .withColumn("rn_t", row_number().over(wTyp))
+      .filter($"event_type" === "error")
+      .groupBy($"user_id", ($"rn" - $"rn_t").as("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy($"user_id")
+      .agg(max($"len").as("max_consecutive_failures"))
+      .withColumn("action",
+        when($"max_consecutive_failures" >= 9, "REBOOT")
+          .when($"max_consecutive_failures" >= 6, "USB_POWER_CYCLE")
+          .when($"max_consecutive_failures" >= 3, "SERVICE_RESTART")
+          .otherwise("OK"))
+      .orderBy($"user_id")
+  }
+
+  val escalationBatchSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts, event_id) AS rn_t
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id, COUNT(*) AS len FROM seq
+      |  WHERE event_type = 'error' GROUP BY user_id, rn - rn_t)
+      |SELECT user_id, MAX(len) AS max_consecutive_failures,
+      |  CASE WHEN MAX(len) >= 9 THEN 'REBOOT'
+      |       WHEN MAX(len) >= 6 THEN 'USB_POWER_CYCLE'
+      |       WHEN MAX(len) >= 3 THEN 'SERVICE_RESTART'
+      |       ELSE 'OK' END AS action
+      |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- A10
+  /** Top-k devices by error count, fully tie-broken. */
+  def topErrorDevices(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .filter($"event_type" === "error")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_errors"))
+      .orderBy($"n_errors".desc, $"user_id")
+      .limit(5)
+  }
+
+  val topErrorDevicesSql: String =
+    """SELECT user_id, COUNT(*) AS n_errors
+      |FROM events WHERE event_type = 'error'
+      |GROUP BY user_id ORDER BY n_errors DESC, user_id LIMIT 5""".stripMargin
+
+  // ---------------------------------------------------------------- A11
+  /** JSON payload extraction (the reference's jq over list-streams
+    * JSON): pull $.k out of the props JSON blob and aggregate. Pure
+    * codegen'd path extraction — no shuffle until the final agg. */
+  def jsonProps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"user_id")
+      .agg(sum($"k").as("sum_k"), max($"k").as("max_k"),
+        count($"k").as("n_props"))
+      .orderBy($"user_id")
+  }
+
+  val jsonPropsSql: String =
+    """SELECT user_id,
+      |  SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+      |  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+      |  COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_props
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+}

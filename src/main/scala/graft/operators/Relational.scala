@@ -55,4 +55,303 @@ object Relational {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- B2
+  /** TPC-H Q3-style shipping priority: two shuffled joins on the order
+    * key + one agg + deterministic top-10. At scale: customer filter
+    * prunes before the join; AQE picks broadcast if the filtered side
+    * shrinks enough. */
+  def q3ShippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cut = lit("1998-06-01").cast("timestamp")
+    val c = Tables.customer(spark, sfDir).filter($"c_mktsegment" === "BUILDING")
+    val o = Tables.orders(spark, sfDir).filter($"o_orderdate" < cut)
+    val l = Tables.lineitem(spark, sfDir).filter($"l_shipdate" > cut)
+    c.join(o, $"c_custkey" === $"o_custkey")
+      .join(l, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey", $"o_orderdate")
+      .agg(sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec($"l_discount")))
+        .cast("double").as("revenue"))
+      .select($"o_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("o_odate"), $"revenue")
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  val q3ShippingPrioritySql: String =
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_odate,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND o_orderkey = l_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- B3
+  /** TPC-H Q5-style local-supplier volume: 6-way star join. The dim
+    * chain (region→nation) broadcasts; fact joins shuffle on their
+    * keys; c_nationkey = s_nationkey enforces locality. */
+  def q5LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val r = Tables.region(spark, sfDir).filter($"r_name" === "ASIA")
+    val n = Tables.nation(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1999-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    c.join(o, $"c_custkey" === $"o_custkey")
+      .join(l, $"o_orderkey" === $"l_orderkey")
+      .join(s, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec($"l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  val q5LocalSupplierSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- B4
+  /** Small-dim join with an explicit broadcast hint: no shuffle of the
+    * fact side at all — the only exchange is the final aggregation. */
+  def qBroadcastDim(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_customers"), dsum($"c_acctbal").as("sum_acctbal"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  val qBroadcastDimSql: String =
+    """SELECT r_name, n_name, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+      |FROM customer, nation, region
+      |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- B5
+  /** Left-semi join (EXISTS): orders with at least one heavy line item.
+    * Semi-join never materializes the right side's columns — at scale
+    * the build side carries only the join key. */
+  def qSemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    val heavy = Tables.lineitem(spark, sfDir).filter($"l_quantity" > 45)
+      .select($"l_orderkey")
+    o.join(heavy, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val qSemiJoinSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- B6
+  /** Left-anti join (NOT EXISTS): customers with no recent orders. The
+    * date filter prunes the build side before the join. */
+  def qAntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"), dsum($"c_acctbal").as("sum_acctbal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val qAntiJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |                  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- B7
+  /** Ranking window: top-2 orders per customer by price. One shuffle on
+    * the partition key; fully tie-broken so the result set is unique. */
+  def qWindowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2)
+      .select($"o_custkey", $"rn", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  val qWindowRankSql: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 2
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // ---------------------------------------------------------------- B8
+  /** ROLLUP grouping sets; group keys coalesced to 'ALL' so both engines
+    * emit identical, deterministically sortable rows. */
+  def qRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n_orders", $"sum_price")
+      .orderBy($"status", $"priority")
+  }
+
+  val qRollupSql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  // ---------------------------------------------------------------- B9
+  /** Exact interpolated percentiles per group (both engines use the
+    * (n-1)*q positional definition); quantized to 4 decimals to absorb
+    * last-ulp formula differences. */
+  def qPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_price"),
+        round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95_price"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val qPercentilesSql: String =
+    """SELECT o_orderstatus,
+      |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_price,
+      |  ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95_price,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- B10
+  /** Multi-column COUNT(DISTINCT): Catalyst expands to a single
+    * partial-agg + expand plan — no per-distinct extra shuffle. */
+  def qDistinctAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        countDistinct($"l_orderkey").as("n_orders"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qDistinctAggSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- B11
+  /** Conditional (pivot-style) aggregation: status counts as columns.
+    * Pure map-side CASE arithmetic, one shuffle. */
+  def qConditionalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def cnt(status: String): Column =
+      sum(when($"o_orderstatus" === status, 1L).otherwise(0L))
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        cnt("F").as("n_f"), cnt("O").as("n_o"), cnt("P").as("n_p"),
+        dsum(when($"o_orderstatus" === "F", $"o_totalprice").otherwise(lit(0.0)))
+          .as("f_price"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val qConditionalAggSql: String =
+    """SELECT o_orderpriority,
+      |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+      |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+      |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+      |  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS f_price
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- B12
+  /** Set operations: high-balance customers UNION low-balance suppliers'
+    * nations, EXCEPT nations in AMERICA. Spark EXCEPT == EXCEPT
+    * DISTINCT == DuckDB EXCEPT. */
+  def qUnionExcept(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cn = Tables.customer(spark, sfDir).filter($"c_acctbal" > 5000)
+      .select($"c_nationkey".cast("int").as("nationkey"))
+    val sn = Tables.supplier(spark, sfDir).filter($"s_acctbal" > 5000)
+      .select($"s_nationkey".cast("int").as("nationkey"))
+    val america = Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir).filter($"r_name" === "AMERICA"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey".cast("int").as("nationkey"))
+    cn.union(sn).except(america).orderBy($"nationkey")
+  }
+
+  val qUnionExceptSql: String =
+    """(SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer WHERE c_acctbal > 5000
+      | UNION ALL
+      | SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier WHERE s_acctbal > 5000)
+      |EXCEPT
+      |SELECT CAST(n_nationkey AS INT) AS nationkey FROM nation, region
+      |WHERE n_regionkey = r_regionkey AND r_name = 'AMERICA'
+      |ORDER BY nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- B13
+  /** HLL approximate distinct count — the 100-TB-scale path of B10
+    * (fixed-size sketch, no exact distinct shuffle). No SQL oracle
+    * (sketch internals are engine-specific); spec asserts <5% error
+    * vs the exact count. */
+  def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+        countDistinct($"l_partkey").as("exact_parts"))
+      .orderBy($"l_returnflag")
+  }
 }

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Monitoring
+
+class MonitoringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registry lookup: one stream per looked-up device, first by time") {
+    val rows = Monitoring.registryLookup(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    assert(rows.forall(_.getLong(0) < 5))
+    // registered_us is that device's min event time
+    val minTs = Tables.events(spark, sf).filter($"user_id" < 5)
+      .groupBy($"user_id").agg(min(expr("unix_micros(ts)")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(2) === minTs(r.getLong(0))))
+  }
+
+  test("latest status: one row per device, ts is device max") {
+    val rows = Monitoring.latestStatus(spark, sf).collect()
+    val nDevices = Tables.events(spark, sf).select($"user_id").distinct().count()
+    assert(rows.length === nDevices)
+    val maxTs = Tables.events(spark, sf)
+      .groupBy($"user_id").agg(max(expr("unix_micros(ts)")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(2) === maxTs(r.getLong(0))))
+  }
+
+  test("window sum: per-minute sums add up to the global purchase total") {
+    val winTotal = Monitoring.windowSum(spark, sf)
+      .agg(sum($"metric_sum")).as[Double].head()
+    val direct = Tables.events(spark, sf).filter($"event_type" === "purchase")
+      .agg(sum($"value".cast("decimal(18,4)")).cast("double")).as[Double].head()
+    assert(math.abs(winTotal - direct) < 1e-6)
+  }
+
+  test("window stats: min <= avg <= max in every window") {
+    Monitoring.windowStats(spark, sf).collect().foreach { r =>
+      val (avg, mn, mx) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(mn <= avg + 1e-9 && avg <= mx + 1e-9)
+      assert(r.getLong(6) >= 1)
+    }
+  }
+
+  test("consecutive failures: runs are >= 3 and within device timeline") {
+    Monitoring.consecutiveFailures(spark, sf).collect().foreach { r =>
+      assert(r.getLong(1) >= 3)
+      assert(r.getLong(2) <= r.getLong(3))
+    }
+  }
+
+  test("sessionize: sessions partition all events, gaps respected") {
+    val sess = Monitoring.sessionize(spark, sf)
+    val total = sess.agg(sum($"n_events")).as[Long].head()
+    assert(total === Tables.events(spark, sf).count())
+    // session ids are 1..k per device
+    sess.groupBy($"user_id").agg(max($"session_id").as("mx"), count(lit(1)).as("n"))
+      .collect().foreach(r => assert(r.getLong(1) === r.getLong(2)))
+  }
+
+  test("uptime ratio in [0,1] and consistent with window counts") {
+    Monitoring.uptimeRatio(spark, sf).collect().foreach { r =>
+      val (h, t, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(h <= t)
+      assert(math.abs(ratio - h.toDouble / t) < 1e-12)
+    }
+  }
+
+  test("alert windows contain only failures") {
+    val alerts = Monitoring.alertWindows(spark, sf)
+    assert(alerts.filter($"failures" < 1).count() === 0)
+  }
+
+  test("escalation ladder: action matches the run-length thresholds") {
+    Monitoring.escalationBatch(spark, sf).collect().foreach { r =>
+      val (len, action) = (r.getLong(1), r.getString(2))
+      val expected =
+        if (len >= 9) "REBOOT"
+        else if (len >= 6) "USB_POWER_CYCLE"
+        else if (len >= 3) "SERVICE_RESTART"
+        else "OK"
+      assert(action === expected)
+    }
+  }
+
+  test("top error devices: descending, at most 5") {
+    val rows = Monitoring.topErrorDevices(spark, sf).collect()
+    assert(rows.length <= 5 && rows.nonEmpty)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.sameElements(counts.sortBy(-_)))
+  }
+
+  test("json props: every event has a parseable k") {
+    val n = Monitoring.jsonProps(spark, sf).agg(sum($"n_props")).as[Long].head()
+    assert(n === Tables.events(spark, sf).count())
+  }
+}

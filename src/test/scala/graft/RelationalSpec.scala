@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q1 pricing summary: one row per (returnflag, linestatus), sane sums") {
+    val rows = Relational.q1PricingSummary(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(keys.distinct.length === keys.length)
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0)                      // sum_qty
+      assert(r.getDouble(3) >= r.getDouble(4))        // base >= discounted
+      assert(r.getLong(7) > 0)                        // count_order
+    }
+  }
+
+  test("q3 shipping priority: top-10, descending revenue, unique orderkeys") {
+    val rows = Relational.q3ShippingPriority(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val revs = rows.map(_.getDouble(2))
+    assert(revs.sameElements(revs.sortBy(-_)))
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+  }
+
+  test("q5 local supplier: only ASIA nations, positive revenue") {
+    val asia = Tables.nation(spark, sf)
+      .join(Tables.region(spark, sf).filter($"r_name" === "ASIA"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_name").as[String].collect().toSet
+    val rows = Relational.q5LocalSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(asia.contains(r.getString(0)))
+      assert(r.getDouble(1) > 0)
+    }
+  }
+
+  test("broadcast dim join: every customer accounted for exactly once") {
+    val total = Relational.qBroadcastDim(spark, sf)
+      .agg(sum($"n_customers")).as[Long].head()
+    assert(total === Tables.customer(spark, sf).count())
+  }
+
+  test("semi + anti join partition orders/customers consistently") {
+    val semi = Relational.qSemiJoin(spark, sf)
+      .agg(sum($"n_orders")).as[Long].head()
+    val heavyOrders = Tables.lineitem(spark, sf)
+      .filter($"l_quantity" > 45).select($"l_orderkey").distinct().count()
+    // every order has ≥1 heavy line or not; semi counts orders that do
+    val ordersWithHeavy = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf).filter($"l_quantity" > 45),
+        $"o_orderkey" === $"l_orderkey", "left_semi").count()
+    assert(semi === ordersWithHeavy)
+    assert(heavyOrders >= semi || heavyOrders <= semi * 2) // sanity link
+    val anti = Relational.qAntiJoin(spark, sf).agg(sum($"n_customers")).as[Long].head()
+    val recent = Tables.orders(spark, sf)
+      .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+      .select($"o_custkey").distinct().count()
+    assert(anti === Tables.customer(spark, sf).count() - recent)
+  }
+
+  test("window rank: at most 2 per customer, rank within customer is 1..2") {
+    val rows = Relational.qWindowRank(spark, sf).collect()
+    val byCust = rows.groupBy(_.getLong(0))
+    byCust.values.foreach { rs =>
+      assert(rs.length <= 2)
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length))
+      if (rs.length == 2) assert(rs(0).getDouble(3) >= rs(1).getDouble(3))
+    }
+  }
+
+  test("rollup: grand total row equals orders count") {
+    val rows = Relational.qRollup(spark, sf).collect()
+    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length === 1)
+    assert(grand.head.getLong(2) === Tables.orders(spark, sf).count())
+  }
+
+  test("percentiles: p50 <= p95, groups complete") {
+    val rows = Relational.qPercentiles(spark, sf).collect()
+    assert(rows.length === 3) // F, O, P
+    rows.foreach(r => assert(r.getDouble(1) <= r.getDouble(2)))
+  }
+
+  test("approx distinct within 5% of exact") {
+    Relational.qApproxDistinct(spark, sf).collect().foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"approx=$approx exact=$exact")
+    }
+  }
+
+  test("union/except produces distinct sorted nationkeys") {
+    val keys = Relational.qUnionExcept(spark, sf).as[Int].collect()
+    assert(keys.distinct.length === keys.length)
+    assert(keys.sameElements(keys.sorted))
+  }
+}
