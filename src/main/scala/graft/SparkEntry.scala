@@ -39,6 +39,23 @@ object SparkEntry {
     "mon_escalation_batch" -> (Monitoring.escalationBatch _),
     "mon_top_error_devices" -> (Monitoring.topErrorDevices _),
     "mon_json_props" -> (Monitoring.jsonProps _),
+    // C: dedup
+    "dedup_exact" -> (Dedup.dedupExact _),
+    "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
+    "dedup_simhash" -> (Dedup.dedupSimhash _),
+    "ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dedup_embedding" -> (Dedup.dedupEmbedding _),
+    // D: similarity search
+    "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.annBruteTopK(s, d)),
+    "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
+    "knn_join" -> ((s: SparkSession, d: String) => Similarity.knnJoin(s, d)),
+    "vec_norms" -> (Similarity.vecNorms _),
+    // E: text analysis
+    "text_tokens" -> (TextAnalysis.textTokens _),
+    "text_quality" -> (TextAnalysis.textQuality _),
+    "text_langid" -> (TextAnalysis.textLangId _),
+    "text_fingerprint" -> (TextAnalysis.textFingerprint _),
+    "word_freq_topk" -> (TextAnalysis.wordFreqTopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -67,5 +84,13 @@ object SparkEntry {
     "mon_escalation_batch" -> Monitoring.escalationBatchSql,
     "mon_top_error_devices" -> Monitoring.topErrorDevicesSql,
     "mon_json_props" -> Monitoring.jsonPropsSql,
+    "dedup_exact" -> Dedup.dedupExactSql,
+    "dedup_embedding" -> Dedup.dedupEmbeddingSql,
+    "ann_brute_topk" -> Similarity.annBruteTopKSql,
+    "knn_join" -> Similarity.knnJoinSql,
+    "vec_norms" -> Similarity.vecNormsSql,
+    "text_tokens" -> TextAnalysis.textTokensSql,
+    "text_quality" -> TextAnalysis.textQualitySql,
+    "word_freq_topk" -> TextAnalysis.wordFreqTopKSql,
   )
 }

@@ -1,0 +1,178 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftColumn
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for document fingerprinting/dedup
+  * primitives over token arrays (`array<string>`).
+  *
+  * These are per-row scalar kernels whose cost is dominated by xxhash64
+  * over the tokens; they use `CodegenFallback` (one virtual call per
+  * row) because the inner loops are already tight JVM code on unsafe
+  * UTF8String bytes — the things worth codegen'ing (the loops) live
+  * inside `eval`. The dedup pipelines built on top stay fully
+  * declarative, so Catalyst still prunes/pushes around them.
+  */
+object TextFunctions {
+
+  private def isStringArray(t: DataType): Boolean = t match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  /** 64-bit SimHash over a token array: per-token xxhash64; each of the
+    * 64 bit positions accumulates +1/-1; the sign vector packs into a
+    * long. Near-duplicate docs land within a small Hamming distance. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isStringArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("simhash64 needs array<string>")
+
+    override def nullSafeEval(a: Any): Any = {
+      val toks = a.asInstanceOf[ArrayData]
+      val counts = new Array[Int](64)
+      var i = 0
+      while (i < toks.numElements()) {
+        val h = XXH64.hashUTF8String(toks.getUTF8String(i), 0L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+      sig
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** MinHash signature: `numHashes` permutations h_i(t) = xxhash64(t,
+    * seed=i); signature(i) = min over tokens. Emits array<long>. */
+  case class MinHashSignature(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isStringArray(child.dataType) && numHashes >= 1)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("minhash needs array<string>, numHashes>=1")
+
+    override def nullSafeEval(a: Any): Any = {
+      val toks = a.asInstanceOf[ArrayData]
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < toks.numElements()) {
+        val t = toks.getUTF8String(i)
+        var p = 0
+        while (p < numHashes) {
+          val h = XXH64.hashUTF8String(t, p.toLong)
+          if (h < sig(p)) sig(p) = h
+          p += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Winnowing-style rolling-hash fingerprint: xxhash64 of every
+    * `window`-token shingle (chained via hashLong so the whole shingle
+    * contributes), min over windows. Stable under content shifts —
+    * two docs sharing any `window`-gram can collide, and near-dups
+    * collide with high probability. */
+  case class RollingHashMin(child: Expression, window: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isStringArray(child.dataType) && window >= 1)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("rolling_hash needs array<string>, window>=1")
+
+    override def nullSafeEval(a: Any): Any = {
+      val toks = a.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      if (n == 0) return 0L
+      val tokHash = new Array[Long](n)
+      var i = 0
+      while (i < n) { tokHash(i) = XXH64.hashUTF8String(toks.getUTF8String(i), 7L); i += 1 }
+      val w = math.min(window, n)
+      var minH = Long.MaxValue
+      var s = 0
+      while (s + w <= n) {
+        var h = 0L
+        var j = 0
+        while (j < w) { h = XXH64.hashLong(tokHash(s + j), h); j += 1 }
+        if (h < minH) minH = h
+        s += 1
+      }
+      minH
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Character n-gram language profile score against a fixed profile of
+    * distinctive character sequences per language. Returns the argmax
+    * language code. A heuristic n-gram language identifier: real
+    * deployments would learn profiles from labeled corpora; this uses
+    * hand-rolled profiles for {en, de, es, fr, zh}. */
+  case class LangIdGuess(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("langid needs string")
+
+    override def nullSafeEval(a: Any): Any = {
+      val s = a.asInstanceOf[UTF8String].toString.toLowerCase
+      // CJK short-circuit: any Han codepoint → zh.
+      if (s.exists(c => Character.UnicodeScript.of(c) == Character.UnicodeScript.HAN))
+        return UTF8String.fromString("zh")
+      val grams: Map[String, Seq[String]] = Map(
+        "en" -> Seq(" the ", " and ", " of ", " is ", "ing ", " to "),
+        "de" -> Seq(" der ", " die ", " und ", " ist ", "sch", " das "),
+        "es" -> Seq(" el ", " que ", " los ", " una ", "ción", " por "),
+        "fr" -> Seq(" les ", " des ", " est ", " une ", " avec ", " pour "))
+      val padded = " " + s + " "
+      var best = "en"
+      var bestScore = -1
+      for ((lang, gs) <- grams.toSeq.sortBy(_._1)) {
+        var score = 0
+        for (g <- gs) {
+          var idx = padded.indexOf(g)
+          while (idx >= 0) { score += 1; idx = padded.indexOf(g, idx + 1) }
+        }
+        if (score > bestScore) { bestScore = score; best = lang }
+      }
+      UTF8String.fromString(best)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  // Column-API wrappers.
+  def simhash64(tokens: Column): Column =
+    GraftColumn.apply(SimHash64(GraftColumn.expression(tokens)))
+
+  def minhash(tokens: Column, numHashes: Int): Column =
+    GraftColumn.apply(MinHashSignature(GraftColumn.expression(tokens), numHashes))
+
+  def rollingHashMin(tokens: Column, window: Int): Column =
+    GraftColumn.apply(RollingHashMin(GraftColumn.expression(tokens), window))
+
+  def langId(text: Column): Column =
+    GraftColumn.apply(LangIdGuess(GraftColumn.expression(text)))
+}

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Deduplication suite for training-data pipelines (SURVEY.md §2.C):
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+  *
+  * Scale design: nothing here is O(n²) on the full corpus. Candidate
+  * generation always goes through a bucketing shuffle (LSH bands,
+  * SimHash chunks, source/length blocks, labels) and pairwise
+  * verification happens only within buckets. The generic APIs take any
+  * DataFrame so specs can plant near-duplicates.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- C1
+  /** Exact dedup via sha256(text) hash-groupBy, reported per source:
+    * at 100 TB this is the standard first pass (hash once, group on the
+    * 32-byte digest, never shuffle the payload). */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(sha2($"text", 256)).as("n_distinct"))
+      .withColumn("n_dups", $"n_docs" - $"n_distinct")
+      .orderBy($"source")
+  }
+
+  val dedupExactSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT sha256(text)) AS n_distinct,
+      |  COUNT(*) - COUNT(DISTINCT sha256(text)) AS n_dups
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- C2
+  /** MinHash + LSH near-dup pairs over any (id, text) frame:
+    * tokens → `shingleSize`-token shingles → `numHashes`-perm MinHash →
+    * `bands` bands → bucket join → exact shingle-Jaccard verification.
+    * One explode + one shuffle on (band, bucket); verification join
+    * only touches colliding candidates. Default 16 bands × 4 rows puts
+    * the S-curve threshold at (1/16)^(1/4) ≈ 0.5, matching the default
+    * Jaccard cut. */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val shingled = docs
+      .select(col(idCol).as("id"),
+        expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)").as("toks"))
+      .withColumn("shingles", expr(
+        s"""CASE WHEN size(toks) < $shingleSize THEN array(concat_ws(' ', toks))
+           |ELSE array_distinct(transform(sequence(0, size(toks) - $shingleSize),
+           |       i -> concat_ws(' ', slice(toks, i + 1, $shingleSize)))) END""".stripMargin))
+      .select(col("id"), col("shingles"),
+        TextFunctions.minhash(col("shingles"), numHashes).as("sig"))
+    val banded = shingled.select(col("id"), col("shingles"),
+      posexplode(expr(
+        s"""transform(sequence(0, ${bands - 1}),
+           |  b -> aggregate(slice(sig, b * $rows + 1, $rows),
+           |                 cast(17 as bigint), (acc, x) -> xxhash64(acc, x)))""".stripMargin))
+        .as(Seq("band", "bucket")))
+    val left = banded.select(col("band"), col("bucket"),
+      col("id").as("id1"), col("shingles").as("s1"))
+    val right = banded.select(col("band"), col("bucket"),
+      col("id").as("id2"), col("shingles").as("s2"))
+    left.join(right, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("s1"), col("s2")).distinct()
+      .withColumn("jaccard", round(
+        size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairs(Tables.documents(spark, sfDir), "doc_id", "text")
+
+  // ---------------------------------------------------------------- C3
+  /** SimHash near-dup pairs: 64-bit signature, banded into 4 16-bit
+    * chunks (pigeonhole: Hamming ≤ 3 ⇒ at least one identical chunk),
+    * bucket join on (chunk, value), verify with bit_count(xor) ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"),
+      TextFunctions.simhash64(
+        expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).as("sig"))
+    val chunked = sigs.select(col("id"), col("sig"),
+      posexplode(expr(
+        "transform(sequence(0, 3), c -> (sig >> (c * 16)) & 65535)"))
+        .as(Seq("chunk", "cval")))
+    val l = chunked.select(col("chunk"), col("cval"), col("id").as("id1"), col("sig").as("sig1"))
+    val r = chunked.select(col("chunk"), col("cval"), col("id").as("id2"), col("sig").as("sig2"))
+    l.join(r, Seq("chunk", "cval"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("sig1"), col("sig2")).distinct()
+      .withColumn("hamming", expr("bit_count(sig1 ^ sig2)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashPairs(Tables.documents(spark, sfDir), "doc_id", "text")
+
+  // ---------------------------------------------------------------- C4
+  /** Word-3-gram Jaccard, blocked by (source, length bucket) — the
+    * exact-verification flavor of near-dup detection. Emits the top-20
+    * most similar pairs (deterministic tie-break) rather than a
+    * threshold cut so behavior is observable on dup-free corpora too. */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val g = Tables.documents(spark, sfDir)
+      .withColumn("toks", TextAnalysis.tokens())
+      .withColumn("grams", expr(
+        """CASE WHEN size(toks) < 3 THEN array(concat_ws(' ', toks))
+          |ELSE array_distinct(transform(sequence(0, size(toks) - 3),
+          |       i -> concat_ws(' ', slice(toks, i + 1, 3)))) END""".stripMargin))
+      .select($"doc_id", $"source", expr("n_chars div 100").as("lenb"), $"grams")
+    val l = g.select($"source", $"lenb", $"doc_id".as("id1"), $"grams".as("g1"))
+    val r = g.select($"source", $"lenb", $"doc_id".as("id2"), $"grams".as("g2"))
+    l.join(r, Seq("source", "lenb"))
+      .filter($"id1" < $"id2")
+      .withColumn("jaccard", round(
+        size(array_intersect($"g1", $"g2")).cast("double") /
+          size(array_union($"g1", $"g2")), 6))
+      .select($"id1", $"id2", $"jaccard")
+      .orderBy($"jaccard".desc, $"id1", $"id2")
+      .limit(20)
+  }
+
+  // ---------------------------------------------------------------- C5
+  /** Embedding-cosine near-dup pairs, blocked by label (IVF-style
+    * coarse partition): top-20 most similar within-label pairs by the
+    * codegen'd cosine kernel. */
+  def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val l = e.select($"label", $"vec_id".as("id1"), $"embedding".as("e1"))
+    val r = e.select($"label", $"vec_id".as("id2"), $"embedding".as("e2"))
+    l.join(r, Seq("label"))
+      .filter($"id1" < $"id2")
+      .withColumn("cos", round(VectorFunctions.cosineSim($"e1", $"e2"), 6))
+      .select($"id1", $"id2", $"cos")
+      .orderBy($"cos".desc, $"id1", $"id2")
+      .limit(20)
+  }
+
+  val dedupEmbeddingSql: String =
+    """SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |  ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+      |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
+      |FROM embeddings a, embeddings b
+      |WHERE a.label = b.label AND a.vec_id < b.vec_id
+      |ORDER BY cos DESC, id1, id2 LIMIT 20""".stripMargin
+}

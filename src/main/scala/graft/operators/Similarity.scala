@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Similarity search over embedding columns (SURVEY.md §2.D).
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set
+  * against the (huge) corpus — a map-only pass plus one top-k shuffle.
+  * The LSH path buckets both sides so each query only scans its bucket;
+  * at 100 TB the corpus would also be written bucketed-by-signature so
+  * the probe join is shuffle-free on the corpus side.
+  */
+object Similarity {
+
+  // ---------------------------------------------------------------- D1
+  /** Brute-force cosine top-k per query vector: exact baseline. Query
+    * set (vec_id < 10) is broadcast; corpus side never shuffles until
+    * the per-query top-k. */
+  def annBruteTopK(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    e.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos", round(VectorFunctions.cosineSim($"qe", $"embedding"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** DuckDB cosine over DOUBLE[] casts, rounded to 6 — textually mirrors
+    * the codegen kernel's math (sequential double accumulation). */
+  private def cosSql(a: String, b: String): String =
+    s"ROUND(list_dot_product($a.embedding::DOUBLE[], $b.embedding::DOUBLE[]) / " +
+      s"(sqrt(list_dot_product($a.embedding::DOUBLE[], $a.embedding::DOUBLE[])) * " +
+      s"sqrt(list_dot_product($b.embedding::DOUBLE[], $b.embedding::DOUBLE[]))), 6)"
+
+  val annBruteTopKSql: String =
+    s"""SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${cosSql("q", "c")} AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosSql("q", "c")} DESC, c.vec_id) AS rank
+       |  FROM embeddings q, embeddings c
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) t
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- D2
+  /** LSH-bucketed ANN: random-hyperplane signatures put query and
+    * corpus into 2^bits buckets; each query scans only its bucket.
+    * Rows-only (bucket assignment is engine-specific); the spec checks
+    * bucket containment + planted-duplicate recall. */
+  def annLsh(spark: SparkSession, sfDir: String, bits: Int = 6, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("bucket", VectorFunctions.hyperplaneLsh($"embedding", bits))
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"bucket")
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    e.join(broadcast(q), Seq("bucket"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos", round(VectorFunctions.cosineSim($"qe", $"embedding"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cos", $"bucket")
+      .orderBy($"query_id", $"rank")
+  }
+
+  // ---------------------------------------------------------------- D3
+  /** k-NN join: 3 nearest neighbors for EVERY vector, blocked by label
+    * (IVF-style coarse quantization — each vector only scans its cell). */
+  def knnJoin(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val l = e.select($"label", $"vec_id".as("query_id"), $"embedding".as("qe"))
+    val r = e.select($"label", $"vec_id".as("neighbor_id"), $"embedding".as("ne"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    l.join(r, Seq("label"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("cos", round(VectorFunctions.cosineSim($"qe", $"ne"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val knnJoinSql: String =
+    s"""SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ${cosSql("a", "b")} AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${cosSql("a", "b")} DESC, b.vec_id) AS rank
+       |  FROM embeddings a, embeddings b
+       |  WHERE a.label = b.label AND a.vec_id <> b.vec_id) t
+       |WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- D4
+  /** Vector primitives: L2 norm + self-dot via the codegen'd kernels
+    * (sanity surface for the expression layer). */
+  def vecNorms(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir)
+      .filter($"vec_id" < 100)
+      .select($"vec_id", $"label".cast("int").as("label"),
+        size($"embedding").cast("long").as("dim"),
+        round(VectorFunctions.l2Norm($"embedding"), 6).as("norm"),
+        round(VectorFunctions.dotProduct($"embedding", $"embedding"), 6).as("self_dot"))
+      .orderBy($"vec_id")
+  }
+
+  val vecNormsSql: String =
+    """SELECT vec_id, CAST(label AS INT) AS label,
+      |  len(embedding) AS dim,
+      |  ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm,
+      |  ROUND(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6) AS self_dot
+      |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Text analysis for training-data pipelines (SURVEY.md §2.E): token
+  * counting, quality scoring, language ID, fingerprinting, word
+  * frequencies. All per-row ops are codegen'd `functions._`/SQL
+  * expressions (zero shuffle); only the corpus-level aggregations
+  * shuffle. At 100 TB these scan-transform-write with full pushdown.
+  */
+object TextAnalysis {
+
+  /** Word tokens, lowercased alphanumeric runs — the shared tokenizer
+    * (identical regex on the DuckDB side). */
+  def tokens(c: String = "text"): org.apache.spark.sql.Column =
+    expr(s"regexp_extract_all(lower($c), '[a-z0-9]+', 0)")
+
+  // ---------------------------------------------------------------- E1
+  /** Token counting: whitespace tokens + BPE-ish regex tokens (word
+    * pieces and single punctuation marks, GPT-2-flavored). */
+  def textTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(
+      $"doc_id",
+      size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\\\s]', 0)"))
+        .cast("long").as("re_tokens"),
+      size(tokens()).cast("long").as("word_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val textTokensSql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS re_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- E2
+  /** Quality scoring: length, punctuation ratio, stopword ratio, unique
+    * token ratio, composite score. The stopword list is tiny and inline
+    * (broadcast-free). */
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
+
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val stopArr = stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", tokens())
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("punct_cnt",
+        size(expr("regexp_extract_all(text, '[^A-Za-z0-9\\\\s]', 0)")).cast("long"))
+      .withColumn("stop_cnt",
+        size(expr(s"filter(toks, t -> array_contains($stopArr, t))")).cast("long"))
+      .withColumn("punct_ratio", $"punct_cnt".cast("double") / length($"text"))
+      .withColumn("stop_ratio", $"stop_cnt".cast("double") / $"n_tokens")
+      .withColumn("uniq_ratio", size(array_distinct($"toks")).cast("double") / $"n_tokens")
+      .withColumn("quality_score", round(
+        lit(0.25) * $"stop_ratio" + lit(0.25) * $"uniq_ratio" +
+          lit(0.25) * (lit(1.0) - $"punct_ratio") +
+          lit(0.25) * least(lit(1.0), $"n_tokens".cast("double") / 100.0), 6))
+      .select($"doc_id", $"n_tokens", $"punct_cnt", $"stop_cnt",
+        round($"punct_ratio", 6).as("punct_ratio"),
+        round($"stop_ratio", 6).as("stop_ratio"),
+        round($"uniq_ratio", 6).as("uniq_ratio"),
+        $"quality_score")
+      .orderBy($"doc_id")
+  }
+
+  val textQualitySql: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH x AS (
+       |  SELECT doc_id, text,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+       |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+       |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct_cnt
+       |  FROM documents),
+       |y AS (
+       |  SELECT doc_id, n_tokens, punct_cnt,
+       |    len(list_filter(toks, t -> list_contains($stopList, t))) AS stop_cnt,
+       |    CAST(punct_cnt AS DOUBLE) / length(text) AS punct_ratio,
+       |    CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS DOUBLE) / n_tokens AS stop_ratio,
+       |    CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens AS uniq_ratio
+       |  FROM x)
+       |SELECT doc_id, n_tokens, punct_cnt, stop_cnt,
+       |  ROUND(punct_ratio, 6) AS punct_ratio,
+       |  ROUND(stop_ratio, 6) AS stop_ratio,
+       |  ROUND(uniq_ratio, 6) AS uniq_ratio,
+       |  ROUND(0.25 * stop_ratio + 0.25 * uniq_ratio + 0.25 * (1.0 - punct_ratio)
+       |        + 0.25 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0), 6) AS quality_score
+       |FROM y ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- E3
+  /** Language ID via the n-gram-profile heuristic expression (rows-only:
+    * the scoring profile is engine-specific). Emits the guess alongside
+    * the table's own label for eyeballing/accuracy specs. */
+  def textLangId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", TextFunctions.langId($"text").as("lang_guess"), $"lang")
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- E4
+  /** Document fingerprints: winnowing rolling-hash (8-token windows) +
+    * 64-bit SimHash (rows-only; xxhash-based, engine-specific). */
+  def textFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", tokens())
+      .select($"doc_id",
+        TextFunctions.rollingHashMin($"toks", 8).as("fingerprint"),
+        TextFunctions.simhash64($"toks").as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- E5
+  /** Corpus top-k word frequencies: explode + two-phase agg (partial
+    * map-side count, one shuffle on word). */
+  def wordFreqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(explode(tokens()).as("word"))
+      .groupBy($"word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"word")
+      .limit(20)
+  }
+
+  val wordFreqTopKSql: String =
+    """SELECT word, COUNT(*) AS n FROM (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      |  FROM documents) t
+      |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A corpus with planted near-duplicates: docs 100/101 differ by one
+    * word; 200/201 are identical; the rest are unrelated. */
+  private val base = "the quick brown fox jumps over the lazy dog while the " +
+    "morning sun rises slowly over the quiet green valley and birds sing in " +
+    "the tall old trees near the winding river that flows gently toward the sea"
+
+  private lazy val planted = Seq(
+    (100L, base),
+    (101L, base.replace("lazy dog", "lazy cat")),
+    (200L, "spark catalyst optimizer pushes filters below joins for scan pruning at scale"),
+    (201L, "spark catalyst optimizer pushes filters below joins for scan pruning at scale"),
+    (300L, "completely unrelated text about cooking pasta with tomatoes and basil leaves"),
+    (301L, "quarterly financial report revenue increased by twelve percent year over year"),
+  ).toDF("doc_id", "text")
+
+  test("minhash LSH finds planted near-dups, skips unrelated") {
+    val pairs = Dedup.minhashPairs(planted, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((200L, 201L)), s"identical pair missed: $pairs")
+    assert(pairs.contains((100L, 101L)), s"near-dup pair missed: $pairs")
+    assert(!pairs.exists(p => p._1 >= 300L), s"false positive: $pairs")
+  }
+
+  test("simhash finds planted near-dups within hamming 3") {
+    val pairs = Dedup.simhashPairs(planted, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((200L, 201L)))
+    assert(pairs.contains((100L, 101L)))
+    assert(!pairs.exists(p => p._1 == 300L && p._2 == 301L))
+  }
+
+  test("exact dedup on real corpus: n_dups = n_docs - n_distinct, all >= 0") {
+    Dedup.dedupExact(spark, sf).collect().foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2))
+      assert(r.getLong(3) === r.getLong(1) - r.getLong(2))
+    }
+  }
+
+  test("minhash jaccard estimates exact jaccard on identical docs as 1.0") {
+    val dupOnly = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val rows = Dedup.minhashPairs(dupOnly, "doc_id", "text").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getDouble(2) === 1.0)
+  }
+
+  test("ngram jaccard: top pairs are symmetric-free, scores in [0,1] descending") {
+    val rows = Dedup.ngramJaccard(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.sameElements(scores.sortBy(-(_: Double))))
+  }
+
+  test("embedding dedup: cosine in [-1,1], pairs within same label") {
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    Dedup.dedupEmbedding(spark, sf).collect().foreach { r =>
+      assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0)
+      assert(e(r.getLong(0)) === e(r.getLong(1)))
+    }
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine kernel: self-similarity is 1, anti-parallel is -1") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(-1.0f, 0.0f, 0.0f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+    ).toDF("a", "b")
+    val got = df.select(VectorFunctions.cosineSim($"a", $"b")).as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1) + 1.0) < 1e-12)
+    assert(math.abs(got(2)) < 1e-12)
+  }
+
+  test("cosine kernel: interpreted eval and codegen agree") {
+    val e = Tables.embeddings(spark, sf).limit(50)
+    val pairs = e.select($"vec_id".as("i"), $"embedding".as("a"))
+      .crossJoin(e.select($"vec_id".as("j"), $"embedding".as("b")))
+      .filter($"i" < $"j")
+    val viaKernel = pairs
+      .select(VectorFunctions.cosineSim($"a", $"b").as("c")).as[Double].collect()
+    // reference: SQL aggregate-lambda formulation (non-codegen path)
+    val viaSql = pairs.select(expr(
+      """aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (s, v) -> s + v) /
+        |(sqrt(aggregate(a, 0D, (s, v) -> s + cast(v as double) * cast(v as double))) *
+        | sqrt(aggregate(b, 0D, (s, v) -> s + cast(v as double) * cast(v as double))))""".stripMargin)
+      .as("c")).as[Double].collect()
+    viaKernel.zip(viaSql).foreach { case (k, s) => assert(math.abs(k - s) < 1e-12) }
+  }
+
+  test("brute-force topk: ranks 1..k per query, cosine non-increasing") {
+    val rows = Similarity.annBruteTopK(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).sameElements(1 to sorted.length))
+      val cs = sorted.map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("LSH: planted duplicate vector is always found (same bucket by construction)") {
+    val e = Tables.embeddings(spark, sf)
+    // duplicate vec 0 as vec 9999 → identical embedding → identical bucket
+    val dup = e.filter($"vec_id" === 0)
+      .select(lit(9999L).as("vec_id"), $"embedding", $"label")
+    val aug = e.unionByName(dup)
+    val bucketed = aug.withColumn("bucket",
+      VectorFunctions.hyperplaneLsh($"embedding", 6))
+    val b0 = bucketed.filter($"vec_id" === 0).select($"bucket").as[Long].head()
+    val b9 = bucketed.filter($"vec_id" === 9999).select($"bucket").as[Long].head()
+    assert(b0 === b9)
+  }
+
+  test("LSH ANN: every neighbor shares the query's bucket and beats random recall") {
+    val lsh = Similarity.annLsh(spark, sf).collect()
+    assert(lsh.nonEmpty)
+    val brute = Similarity.annBruteTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lshPairs = lsh.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (lshPairs & brute).size.toDouble / brute.size
+    // random 5-of-500 recall ≈ 1%; bucketed search must do much better than 0
+    assert(recall > 0.0, s"LSH recall was zero")
+  }
+
+  test("knn join: neighbors stay within the query's label block") {
+    val labels = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    Similarity.knnJoin(spark, sf).collect().foreach { r =>
+      assert(labels(r.getLong(0)) === labels(r.getLong(2)))
+    }
+  }
+
+  test("vec norms: positive, self_dot = norm^2") {
+    Similarity.vecNorms(spark, sf).collect().foreach { r =>
+      val (norm, selfDot) = (r.getDouble(3), r.getDouble(4))
+      assert(norm > 0)
+      assert(math.abs(selfDot - norm * norm) < 1e-3) // both rounded to 6dp
+    }
+  }
+}
