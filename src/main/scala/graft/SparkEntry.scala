@@ -50,6 +50,13 @@ object SparkEntry {
     "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "knn_join" -> ((s: SparkSession, d: String) => Similarity.knnJoin(s, d)),
     "vec_norms" -> (Similarity.vecNorms _),
+    // F: multimodal
+    "mm_manifest" -> (Multimodal.mmManifest _),
+    "mm_frame_sample" -> (Multimodal.mmFrameSample _),
+    // A12 batch replay of the streaming state machine (same kernel)
+    "mon_escalation_replay" -> ((s: SparkSession, d: String) =>
+      graft.streaming.HealthMonitor.replayBatch(s, d)
+        .orderBy("user_id", "ts").toDF()),
     // E: text analysis
     "text_tokens" -> (TextAnalysis.textTokens _),
     "text_quality" -> (TextAnalysis.textQuality _),
@@ -84,6 +91,7 @@ object SparkEntry {
     "mon_escalation_batch" -> Monitoring.escalationBatchSql,
     "mon_top_error_devices" -> Monitoring.topErrorDevicesSql,
     "mon_json_props" -> Monitoring.jsonPropsSql,
+    "mm_manifest" -> Multimodal.mmManifestSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "ann_brute_topk" -> Similarity.annBruteTopKSql,

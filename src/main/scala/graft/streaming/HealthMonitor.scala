@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A device telemetry event (the streaming twin of the `events` table). */
+case class DeviceEvent(
+    event_id: Long,
+    ts: Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double,
+    props: String)
+
+/** Per-device monitor state carried across micro-batches. */
+case class MonitorState(consecFails: Int, level: Int)
+
+/** An emitted remediation/recovery transition. */
+case class HealthAlert(
+    user_id: Long,
+    ts: Timestamp,
+    action: String,
+    consec_fails: Int)
+
+/** Streaming re-expression of the reference's watchdog loop
+  * (restart.sh:27-159): per-device consecutive-failure counting with an
+  * escalation ladder, as a `flatMapGroupsWithState` state machine.
+  *
+  *  - probe fails (event_type='error') → consecutive counter ++
+  *  - counter hits 3/6/9 → emit SERVICE_RESTART / USB_POWER_CYCLE /
+  *    REBOOT, once per level (restart.sh max_failed_cnt=3, escalation
+  *    chain restart→network→USB→reboot)
+  *  - healthy probe after failures → emit RECOVERED, reset state
+  *    (restart.sh resets kvs_failed_cnt after a good loop)
+  *
+  * Scale: state is O(1) per device (two ints); Spark shuffles events to
+  * their key's state partition once; watermark-less ProcessingTime
+  * semantics match the reference's wall-clock loop. Event-time ordering
+  * inside a micro-batch is restored by sorting the group's batch — the
+  * only buffering is per-device per-trigger.
+  */
+object HealthMonitor {
+
+  val SERVICE_RESTART = "SERVICE_RESTART"
+  val USB_POWER_CYCLE = "USB_POWER_CYCLE"
+  val REBOOT = "REBOOT"
+  val RECOVERED = "RECOVERED"
+
+  private def levelFor(consec: Int): Int =
+    if (consec >= 9) 3 else if (consec >= 6) 2 else if (consec >= 3) 1 else 0
+
+  private def actionFor(level: Int): String = level match {
+    case 1 => SERVICE_RESTART
+    case 2 => USB_POWER_CYCLE
+    case _ => REBOOT
+  }
+
+  /** The state-transition kernel: pure, so batch replays and specs can
+    * call it directly. Returns (alerts, newState). */
+  def step(events: Seq[DeviceEvent], state: MonitorState): (Seq[HealthAlert], MonitorState) = {
+    var s = state
+    val out = Seq.newBuilder[HealthAlert]
+    events.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      if (e.event_type == "error") {
+        val consec = s.consecFails + 1
+        val newLevel = levelFor(consec)
+        if (newLevel > s.level) {
+          out += HealthAlert(e.user_id, e.ts, actionFor(newLevel), consec)
+        }
+        s = MonitorState(consec, math.max(newLevel, s.level))
+      } else {
+        if (s.consecFails >= 3) {
+          out += HealthAlert(e.user_id, e.ts, RECOVERED, s.consecFails)
+        }
+        s = MonitorState(0, 0)
+      }
+    }
+    (out.result(), s)
+  }
+
+  /** Attach the monitor to any (streaming or batch) Dataset[DeviceEvent]. */
+  def monitor(events: Dataset[DeviceEvent]): Dataset[HealthAlert] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[MonitorState, HealthAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[DeviceEvent], state: GroupState[MonitorState]) =>
+          val current = state.getOption.getOrElse(MonitorState(0, 0))
+          val (alerts, next) = step(it.toSeq, current)
+          state.update(next)
+          alerts.iterator
+      }
+  }
+
+  /** Batch convenience: replay the state machine over the events table
+    * (same kernel, batch Dataset). */
+  def replayBatch(spark: SparkSession, sfDir: String): Dataset[HealthAlert] = {
+    import spark.implicits._
+    monitor(graft.Tables.events(spark, sfDir).as[DeviceEvent])
+  }
+}

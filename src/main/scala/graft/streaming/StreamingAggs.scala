@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming window aggregations (SURVEY.md §2.A13/A14) — the
+  * Structured Streaming twins of Monitoring.windowSum/sessionize.
+  *
+  * All take an (event-schema) streaming DataFrame so any source — file,
+  * Kinesis-like, MemoryStream — plugs in. Watermarks bound state:
+  * windows older than the watermark are finalized and dropped, so state
+  * stays O(open windows × devices) no matter how much history flows
+  * through — the property that matters at 100 TB/day.
+  */
+object StreamingAggs {
+
+  /** Per-device sliding-window failure counts (5-minute windows sliding
+    * every minute, 10-minute watermark) — the streaming form of the
+    * reference's "failures in the last measurement window" check. */
+  def failureCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes", "1 minute"), col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("failures"),
+        count(lit(1)).as("n_events"))
+
+  /** CloudWatch-style tumbling 60-second metric Sum per device
+    * (putmedia_check.sh PERIOD=60), streaming form of A3. */
+  def metricSums(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") === "purchase")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "60 seconds"), col("user_id"))
+      .agg(sum(col("value")).as("metric_sum"), count(lit(1)).as("sample_count"))
+
+  /** Session windows with a 30-minute inactivity gap — streaming
+    * sessionization via the native session_window (state merges
+    * adjacent windows; watermark finalizes closed sessions). */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+}

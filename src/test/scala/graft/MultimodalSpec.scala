@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("manifest: size matches utf-8 payload bytes, codec cycles deterministically") {
+    val rows = Multimodal.mmManifest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, size, codec) = (r.getLong(0), r.getLong(1), r.getString(2))
+      assert(size > 0)
+      assert(codec === Seq("h264", "vp9", "av1")((id % 3).toInt))
+      assert(r.getInt(3) >= 320 && r.getInt(4) >= 240)
+    }
+  }
+
+  test("frame sampling: chunk math exact on a known payload") {
+    val payload = Array.fill[Byte](300)(7) // 300 bytes, frameSize 64 → 5 frames
+    val media = Seq((42L, payload)).toDS()
+    val frames = Multimodal.frameSample(media, frameSize = 64, stride = 2).collect()
+    // frames 0,1,2,3,4 → sampled idx 0,2,4
+    assert(frames.map(_.frame_idx).sorted.sameElements(Array(0, 2, 4)))
+    assert(frames.forall(_.media_id == 42L))
+    val last = frames.maxBy(_.frame_idx)
+    assert(last.frame_bytes === 300 - 4 * 64) // tail frame is short
+    assert(frames.map(_.byte_offset).sorted.sameElements(Array(0L, 128L, 256L)))
+  }
+
+  test("frame sampling: deterministic hashes, identical payloads collide") {
+    val p = "same payload bytes for both media items".getBytes("UTF-8")
+    val media = Seq((1L, p), (2L, p.clone())).toDS()
+    val frames = Multimodal.frameSample(media, frameSize = 16, stride = 1)
+      .collect().groupBy(_.media_id)
+    val h1 = frames(1L).sortBy(_.frame_idx).map(_.frame_hash).toSeq
+    val h2 = frames(2L).sortBy(_.frame_idx).map(_.frame_hash).toSeq
+    assert(h1 === h2)
+  }
+
+  test("driver query runs: every media item contributes frames") {
+    val df = Multimodal.mmFrameSample(spark, sf)
+    val nMedia = df.select($"media_id").distinct().count()
+    assert(nMedia === Tables.documents(spark, sf).count())
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.EventSource
+import graft.streaming.{DeviceEvent, HealthMonitor, MonitorState, StreamingAggs}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, minute: Int, dev: Long, typ: String): DeviceEvent =
+    DeviceEvent(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), dev, typ, 1.0, "{}")
+
+  test("state kernel: escalation ladder fires at 3/6/9 then recovers") {
+    val events = (1 to 9).map(i => ev(i, i, 7L, "error")) :+ ev(10, 10, 7L, "click")
+    val (alerts, state) = HealthMonitor.step(events, MonitorState(0, 0))
+    assert(alerts.map(_.action) === Seq(
+      HealthMonitor.SERVICE_RESTART, HealthMonitor.USB_POWER_CYCLE,
+      HealthMonitor.REBOOT, HealthMonitor.RECOVERED))
+    assert(alerts.map(_.consec_fails) === Seq(3, 6, 9, 9))
+    assert(state === MonitorState(0, 0))
+  }
+
+  test("state kernel: short failure bursts below threshold stay silent") {
+    val events = Seq(ev(1, 1, 7L, "error"), ev(2, 2, 7L, "error"),
+      ev(3, 3, 7L, "click"), ev(4, 4, 7L, "error"))
+    val (alerts, state) = HealthMonitor.step(events, MonitorState(0, 0))
+    assert(alerts.isEmpty)
+    assert(state === MonitorState(1, 0))
+  }
+
+  test("streaming monitor over MemoryStream: state carries across micro-batches") {
+    val input = MemoryStream[DeviceEvent](1, spark, None)
+    val q = HealthMonitor.monitor(input.toDS())
+      .writeStream.format("memory").queryName("alerts")
+      .outputMode("append").start()
+    try {
+      // batch 1: two failures — below threshold, no alert
+      input.addData(ev(1, 1, 5L, "error"), ev(2, 2, 5L, "error"))
+      q.processAllAvailable()
+      assert(spark.table("alerts").count() === 0)
+      // batch 2: third consecutive failure → SERVICE_RESTART
+      input.addData(ev(3, 3, 5L, "error"))
+      q.processAllAvailable()
+      val a = spark.table("alerts").as[HealthAlertRow].collect()
+      assert(a.length === 1)
+      assert(a.head.action === HealthMonitor.SERVICE_RESTART)
+      assert(a.head.consec_fails === 3)
+      // batch 3: recovery
+      input.addData(ev(4, 4, 5L, "purchase"))
+      q.processAllAvailable()
+      val b = spark.table("alerts").orderBy($"ts").as[HealthAlertRow].collect()
+      assert(b.map(_.action).toSeq === Seq(
+        HealthMonitor.SERVICE_RESTART, HealthMonitor.RECOVERED))
+    } finally q.stop()
+  }
+
+  test("streaming monitor isolates devices") {
+    val input = MemoryStream[DeviceEvent](2, spark, None)
+    val q = HealthMonitor.monitor(input.toDS())
+      .writeStream.format("memory").queryName("alerts2")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ev(1, 1, 1L, "error"), ev(2, 2, 1L, "error"),
+        ev(3, 1, 2L, "error"), ev(4, 3, 2L, "error"), ev(5, 4, 2L, "error"))
+      q.processAllAvailable()
+      val a = spark.table("alerts2").as[HealthAlertRow].collect()
+      assert(a.length === 1 && a.head.user_id === 2L)
+    } finally q.stop()
+  }
+
+  test("windowed failure counts over a replayed file stream match the batch answer") {
+    val staging = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val stream = EventSource.replayTable(spark, sf, staging, parts = 4)
+    val q = StreamingAggs.metricSums(stream)
+      .writeStream.format("memory").queryName("msums")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // append mode only emits windows the watermark has passed; the final
+    // window(s) may be withheld, so compare as subset + spot total
+    val streamed = spark.table("msums")
+      .select($"user_id", $"window.start".as("w"), $"metric_sum", $"sample_count")
+    val batch = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .groupBy(window($"ts", "60 seconds"), $"user_id")
+      .agg(sum($"value").as("metric_sum"), count(lit(1)).as("sample_count"))
+      .select($"user_id", $"window.start".as("w"), $"metric_sum", $"sample_count")
+    val extra = streamed.exceptAll(batch).count()
+    assert(extra === 0, "streamed windows must be a subset of batch windows")
+    assert(streamed.count() > 0)
+  }
+
+  test("session windows stream: sessions have positive counts") {
+    val staging = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    val stream = EventSource.replayTable(spark, sf, staging, parts = 2)
+    val q = StreamingAggs.sessions(stream)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("sess")
+    assert(rows.count() > 0)
+    assert(rows.filter($"n_events" < 1).count() === 0)
+  }
+}
+
+case class HealthAlertRow(user_id: Long, ts: Timestamp, action: String, consec_fails: Int)
