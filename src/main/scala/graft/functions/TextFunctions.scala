@@ -59,26 +59,47 @@ object TextFunctions {
   }
 
   /** MinHash signature: `numHashes` permutations h_i(t) = xxhash64(t,
-    * seed=i); signature(i) = min over tokens. Emits array<long>. */
+    * seed=i); signature(i) = min over elements. Emits array<long>.
+    * Accepts `array<string>` tokens or pre-hashed `array<long>`
+    * features (the scale path: hash features once, minhash the longs —
+    * re-hashing a long is ~10× cheaper than re-hashing UTF-8 bytes per
+    * permutation). */
   case class MinHashSignature(child: Expression, numHashes: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private def isLongArray(t: DataType): Boolean = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
     override def checkInputDataTypes(): TypeCheckResult =
-      if (isStringArray(child.dataType) && numHashes >= 1)
+      if ((isStringArray(child.dataType) || isLongArray(child.dataType)) && numHashes >= 1)
         TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure("minhash needs array<string>, numHashes>=1")
+      else TypeCheckResult.TypeCheckFailure(
+        "minhash needs array<string> or array<long>, numHashes>=1")
+
+    private lazy val fromLongs = isLongArray(child.dataType)
 
     override def nullSafeEval(a: Any): Any = {
       val toks = a.asInstanceOf[ArrayData]
       val sig = Array.fill(numHashes)(Long.MaxValue)
       var i = 0
       while (i < toks.numElements()) {
-        val t = toks.getUTF8String(i)
-        var p = 0
-        while (p < numHashes) {
-          val h = XXH64.hashUTF8String(t, p.toLong)
-          if (h < sig(p)) sig(p) = h
-          p += 1
+        if (fromLongs) {
+          val t = toks.getLong(i)
+          var p = 0
+          while (p < numHashes) {
+            val h = XXH64.hashLong(t, p.toLong)
+            if (h < sig(p)) sig(p) = h
+            p += 1
+          }
+        } else {
+          val t = toks.getUTF8String(i)
+          var p = 0
+          while (p < numHashes) {
+            val h = XXH64.hashUTF8String(t, p.toLong)
+            if (h < sig(p)) sig(p) = h
+            p += 1
+          }
         }
         i += 1
       }
@@ -119,6 +140,50 @@ object TextFunctions {
         s += 1
       }
       minH
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Hashed `n`-token shingles: token-wise xxhash64 once, then each
+    * n-window chained via hashLong — the 64-bit identity of the word
+    * n-gram. Returns the DISTINCT window hashes (a set, ready for
+    * MinHash / Jaccard). One tight loop per row; the SQL-lambda
+    * equivalent (transform + slice + concat_ws) runs interpreted and
+    * is ~50× slower per gram. Docs shorter than `n` yield the single
+    * hash of the whole token sequence. */
+  case class ShingleHashes(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isStringArray(child.dataType) && n >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("shingle_hashes needs array<string>, n>=1")
+
+    override def nullSafeEval(a: Any): Any = {
+      val toks = a.asInstanceOf[ArrayData]
+      val len = toks.numElements()
+      val tokHash = new Array[Long](len)
+      var i = 0
+      while (i < len) { tokHash(i) = XXH64.hashUTF8String(toks.getUTF8String(i), 11L); i += 1 }
+      val w = math.min(n, math.max(len, 1))
+      val out = new java.util.HashSet[java.lang.Long]()
+      if (len == 0) out.add(0L)
+      else {
+        var s = 0
+        while (s + w <= len) {
+          var h = 0L
+          var j = 0
+          while (j < w) { h = XXH64.hashLong(tokHash(s + j), h); j += 1 }
+          out.add(h)
+          s += 1
+        }
+      }
+      val arr = new Array[Long](out.size)
+      val it = out.iterator()
+      var k = 0
+      while (it.hasNext) { arr(k) = it.next(); k += 1 }
+      java.util.Arrays.sort(arr)
+      new GenericArrayData(arr)
     }
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -175,4 +240,7 @@ object TextFunctions {
 
   def langId(text: Column): Column =
     GraftColumn.apply(LangIdGuess(GraftColumn.expression(text)))
+
+  def shingleHashes(tokens: Column, n: Int): Column =
+    GraftColumn.apply(ShingleHashes(GraftColumn.expression(tokens), n))
 }

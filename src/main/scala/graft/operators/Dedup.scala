@@ -50,28 +50,35 @@ object Dedup {
       shingleSize: Int = 5, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
+    // Shingles are hashed to longs immediately: every downstream stage
+    // (minhash perms, band hashes, verification intersects) works on
+    // 8-byte values instead of re-hashing/shipping UTF-8 strings.
     val shingled = docs
       .select(col(idCol).as("id"),
         expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)").as("toks"))
-      .withColumn("shingles", expr(
-        s"""CASE WHEN size(toks) < $shingleSize THEN array(concat_ws(' ', toks))
-           |ELSE array_distinct(transform(sequence(0, size(toks) - $shingleSize),
-           |       i -> concat_ws(' ', slice(toks, i + 1, $shingleSize)))) END""".stripMargin))
-      .select(col("id"), col("shingles"),
-        TextFunctions.minhash(col("shingles"), numHashes).as("sig"))
-    val banded = shingled.select(col("id"), col("shingles"),
-      posexplode(expr(
-        s"""transform(sequence(0, ${bands - 1}),
-           |  b -> aggregate(slice(sig, b * $rows + 1, $rows),
-           |                 cast(17 as bigint), (acc, x) -> xxhash64(acc, x)))""".stripMargin))
-        .as(Seq("band", "bucket")))
-    val left = banded.select(col("band"), col("bucket"),
-      col("id").as("id1"), col("shingles").as("s1"))
-    val right = banded.select(col("band"), col("bucket"),
-      col("id").as("id2"), col("shingles").as("s2"))
-    left.join(right, Seq("band", "bucket"))
+      .select(col("id"),
+        TextFunctions.shingleHashes(col("toks"), shingleSize).as("sh"))
+    val banded = shingled
+      .withColumn("sig", TextFunctions.minhash(col("sh"), numHashes))
+      .select(col("id"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${bands - 1}),
+             |  b -> aggregate(slice(sig, b * $rows + 1, $rows),
+             |                 cast(17 as bigint), (acc, x) -> xxhash64(acc, x)))""".stripMargin))
+          .as(Seq("band", "bucket")))
+      // shared exchange for the self-join (ReusedExchange: the minhash
+      // signature + banding subtree is evaluated once, not twice)
+      .repartition(col("band"), col("bucket"))
+    // Candidate pairs carry ids only — the big shingle arrays rejoin
+    // once per surviving pair, not once per band collision.
+    val candidates = banded.select(col("band"), col("bucket"), col("id").as("id1"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id2")),
+        Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("s1"), col("s2")).distinct()
+      .select("id1", "id2").distinct()
+    candidates
+      .join(shingled.select(col("id").as("id1"), col("sh").as("s1")), Seq("id1"))
+      .join(shingled.select(col("id").as("id2"), col("sh").as("s2")), Seq("id2"))
       .withColumn("jaccard", round(
         size(array_intersect(col("s1"), col("s2"))).cast("double") /
           size(array_union(col("s1"), col("s2"))), 6))
@@ -111,26 +118,39 @@ object Dedup {
     simhashPairs(Tables.documents(spark, sfDir), "doc_id", "text")
 
   // ---------------------------------------------------------------- C4
-  /** Word-3-gram Jaccard, blocked by (source, length bucket) — the
-    * exact-verification flavor of near-dup detection. Emits the top-20
-    * most similar pairs (deterministic tie-break) rather than a
-    * threshold cut so behavior is observable on dup-free corpora too. */
+  /** Word-3-gram Jaccard via an inverted-index join, blocked by
+    * (source, length bucket). Grams hash to longs; the co-occurrence
+    * count |A∩B| comes from exploding the (gram → doc) index and
+    * aggregating matches per pair — pairs never carry gram arrays, so
+    * the shuffle volume is O(postings²·within-bucket), not
+    * O(pairs·doc-size). |A∪B| = |A|+|B|−|A∩B| from a tiny size table.
+    * Emits the top-20 most similar pairs (deterministic tie-break)
+    * rather than a threshold cut so behavior is observable on dup-free
+    * corpora too. */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val g = Tables.documents(spark, sfDir)
       .withColumn("toks", TextAnalysis.tokens())
-      .withColumn("grams", expr(
-        """CASE WHEN size(toks) < 3 THEN array(concat_ws(' ', toks))
-          |ELSE array_distinct(transform(sequence(0, size(toks) - 3),
-          |       i -> concat_ws(' ', slice(toks, i + 1, 3)))) END""".stripMargin))
+      .withColumn("grams", TextFunctions.shingleHashes($"toks", 3))
       .select($"doc_id", $"source", expr("n_chars div 100").as("lenb"), $"grams")
-    val l = g.select($"source", $"lenb", $"doc_id".as("id1"), $"grams".as("g1"))
-    val r = g.select($"source", $"lenb", $"doc_id".as("id2"), $"grams".as("g2"))
-    l.join(r, Seq("source", "lenb"))
+    // Repartition on the join keys: both sides of the self-join then
+    // share ONE exchange (ReusedExchange), so the tokenize+shingle+
+    // explode subtree is computed once, and the join itself needs no
+    // further shuffle. Set sizes |A| come from the same exchange
+    // (grams are already distinct per doc) instead of re-tokenizing.
+    val index = g.select($"source", $"lenb", $"doc_id", explode($"grams").as("gram"))
+      .repartition($"source", $"lenb", $"gram")
+    val sizes = index.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    index.select($"source", $"lenb", $"gram", $"doc_id".as("id1"))
+      .join(index.select($"source", $"lenb", $"gram", $"doc_id".as("id2")),
+        Seq("source", "lenb", "gram"))
       .filter($"id1" < $"id2")
+      .groupBy($"id1", $"id2")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("id1"), $"sz".as("sz1")), Seq("id1"))
+      .join(sizes.select($"doc_id".as("id2"), $"sz".as("sz2")), Seq("id2"))
       .withColumn("jaccard", round(
-        size(array_intersect($"g1", $"g2")).cast("double") /
-          size(array_union($"g1", $"g2")), 6))
+        $"inter".cast("double") / ($"sz1" + $"sz2" - $"inter"), 6))
       .select($"id1", $"id2", $"jaccard")
       .orderBy($"jaccard".desc, $"id1", $"id2")
       .limit(20)
