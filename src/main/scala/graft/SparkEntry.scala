@@ -39,6 +39,7 @@ object SparkEntry {
     "mon_escalation_batch" -> (Monitoring.escalationBatch _),
     "mon_top_error_devices" -> (Monitoring.topErrorDevices _),
     "mon_json_props" -> (Monitoring.jsonProps _),
+    "mon_asof_last_success" -> (Monitoring.asofLastSuccess _),
     // C: dedup
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
@@ -91,6 +92,7 @@ object SparkEntry {
     "mon_escalation_batch" -> Monitoring.escalationBatchSql,
     "mon_top_error_devices" -> Monitoring.topErrorDevicesSql,
     "mon_json_props" -> Monitoring.jsonPropsSql,
+    "mon_asof_last_success" -> Monitoring.asofLastSuccessSql,
     "mm_manifest" -> Multimodal.mmManifestSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,

@@ -329,4 +329,47 @@ object Monitoring {
       |  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
       |  COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_props
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- A15
+  /** As-of join: for every failure, the most recent strictly-earlier
+    * successful operation on the same device (time-to-failure /
+    * last-known-good analysis — the fragment-gap question behind
+    * restart.sh's get_fragment_list probe).
+    *
+    * Spark lacks ASOF JOIN; rather than an O(n·m) range join, this is
+    * the composition idiom: tag + union both sides, one sort per device
+    * (single shuffle), carry the last success forward with
+    * last(ignoreNulls) over an unbounded-preceding window. At equal
+    * timestamps the failure sorts first, giving the strict `>` ASOF
+    * semantics. Scales as one shuffle+sort keyed by device — the same
+    * cost as any per-device window, independent of match distance. */
+  def asofLastSuccess(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir).withColumn("us", expr(tsUs))
+    val fails = ev.filter($"event_type" === "error")
+      .select($"user_id", $"us", $"event_id", lit(0).as("tag"),
+        lit(null).cast("long").as("p_us"), lit(null).cast("double").as("p_value"))
+    val succ = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"us", $"event_id", lit(1).as("tag"),
+        $"us".as("p_us"), $"value".as("p_value"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"us", $"tag", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fails.unionByName(succ)
+      .withColumn("last_p_us", last($"p_us", ignoreNulls = true).over(w))
+      .withColumn("last_p_value", last($"p_value", ignoreNulls = true).over(w))
+      .filter($"tag" === 0 && $"last_p_us".isNotNull)
+      .select($"user_id", $"us".as("fail_us"), $"last_p_us".as("success_us"),
+        ($"us" - $"last_p_us").as("gap_us"), $"last_p_value".as("success_value"))
+      .orderBy($"user_id", $"fail_us")
+  }
+
+  val asofLastSuccessSql: String =
+    """SELECT e.user_id, epoch_us(e.ts) AS fail_us, epoch_us(p.ts) AS success_us,
+      |  epoch_us(e.ts) - epoch_us(p.ts) AS gap_us,
+      |  p.value AS success_value
+      |FROM (SELECT * FROM events WHERE event_type = 'error') e
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON e.user_id = p.user_id AND e.ts > p.ts
+      |ORDER BY e.user_id, fail_us""".stripMargin
 }

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.operators._
+
+/** Physical-plan audits: assert the optimizations that matter at 100 TB
+  * actually materialize — filters and projections reach the parquet
+  * scan, small dims broadcast, self-joins reuse exchanges, and shuffle
+  * counts stay at the theoretical minimum. A regression here is a
+  * silent 10–100× cost at scale even though results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def executedPlan(df: DataFrame): String = {
+    df.collect() // let AQE finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1: filter + projection push into the parquet scan") {
+    val p = plan(Relational.q1PricingSummary(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed:\n$p")
+    // 7 needed columns, not all 11
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_partkey") && !read.contains("l_suppkey"),
+      s"scan reads pruned columns: $read")
+  }
+
+  test("q1: single shuffle (partial agg before exchange)") {
+    val p = plan(Relational.q1PricingSummary(spark, sf))
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    // one for groupBy + one for the final orderBy (range partitioning)
+    assert(exchanges <= 2, s"too many exchanges ($exchanges):\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("broadcast dim join: both dims broadcast, fact side never shuffles pre-agg") {
+    val p = executedPlan(Relational.qBroadcastDim(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected sort-merge join:\n$p")
+  }
+
+  test("q5: dim chain broadcasts even in the 6-way star join") {
+    val p = executedPlan(Relational.q5LocalSupplier(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast joins in star:\n$p")
+  }
+
+  test("semi join planned as broadcast or shuffled hash semi, not cartesian") {
+    val p = executedPlan(Relational.qSemiJoin(spark, sf))
+    assert(p.contains("LeftSemi"), s"semi join not preserved:\n$p")
+    assert(!p.contains("Cartesian"), s"cartesian product:\n$p")
+  }
+
+  test("ngram jaccard: self-join reuses one exchange (subtree computed once)") {
+    val p = executedPlan(Dedup.ngramJaccard(spark, sf))
+    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage"),
+      s"self-join recomputes the index subtree:\n$p")
+  }
+
+  test("minhash LSH: banded self-join reuses one exchange") {
+    val p = executedPlan(Dedup.dedupMinhashLsh(spark, sf))
+    assert(p.contains("ReusedExchange"),
+      s"banded self-join recomputes the signature subtree:\n$p")
+  }
+
+  test("ann brute force: query side broadcast, corpus side map-only until top-k") {
+    val p = executedPlan(Similarity.annBruteTopK(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set not broadcast:\n$p")
+  }
+
+  test("monitoring windows: tumbling agg is partial + single exchange") {
+    val p = plan(Monitoring.windowSum(spark, sf))
+    assert(p.contains("partial_"), s"no partial agg:\n$p")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"too many exchanges ($exchanges):\n$p") // agg + sort
+  }
+
+  test("events scan prunes to needed columns for window sum") {
+    val p = plan(Monitoring.windowSum(spark, sf))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("props") && !read.contains("event_id"),
+      s"events scan reads pruned columns: $read")
+  }
+
+  test("asof join: one shuffle per side + window, no range explosion") {
+    val p = plan(Monitoring.asofLastSuccess(spark, sf))
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"asof join fell back to product:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"missing window carry-forward:\n$p")
+  }
+
+  test("whole-stage codegen covers the q1 agg pipeline") {
+    val p = executedPlan(Relational.q1PricingSummary(spark, sf))
+    // executed-plan toString marks WholeStageCodegen stages as "*(n)"
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"),
+      s"no codegen spans:\n$p")
+  }
+}
