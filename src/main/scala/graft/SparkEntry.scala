@@ -27,6 +27,7 @@ object SparkEntry {
     "q_conditional_agg" -> (Relational.qConditionalAgg _),
     "q_union_except" -> (Relational.qUnionExcept _),
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
+    "q_topk_custom" -> (Relational.qTopKCustom _),
     // A: telemetry / monitoring (the reference's surface)
     "mon_registry_lookup" -> (Monitoring.registryLookup _),
     "mon_latest_status" -> (Monitoring.latestStatus _),
@@ -81,6 +82,7 @@ object SparkEntry {
     "q_distinct_agg" -> Relational.qDistinctAggSql,
     "q_conditional_agg" -> Relational.qConditionalAggSql,
     "q_union_except" -> Relational.qUnionExceptSql,
+    "q_topk_custom" -> Relational.qTopKCustomSql,
     "mon_registry_lookup" -> Monitoring.registryLookupSql,
     "mon_latest_status" -> Monitoring.latestStatusSql,
     "mon_window_sum" -> Monitoring.windowSumSql,

@@ -341,6 +341,31 @@ object Relational {
       |WHERE n_regionkey = r_regionkey AND r_name = 'AMERICA'
       |ORDER BY nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- B14
+  /** B7's semantics through the custom TopKPerKey operator
+    * (graft.plans): top-2 orders per customer without a window sort —
+    * map-side bounded heaps prune to ≤k rows per key BEFORE the
+    * shuffle. Same oracle as the window formulation, minus the rank
+    * column. */
+  def qTopKCustom(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.TopK.perKey(
+      Tables.orders(spark, sfDir).select($"o_custkey", $"o_orderkey", $"o_totalprice"),
+      Seq("o_custkey"),
+      Seq($"o_totalprice".desc, $"o_orderkey".asc),
+      k = 2)
+      .orderBy($"o_custkey", $"o_totalprice".desc, $"o_orderkey")
+  }
+
+  val qTopKCustomSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 2
+      |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- B13
   /** HLL approximate distinct count — the 100-TB-scale path of B10
     * (fixed-size sketch, no exact distinct shuffle). No SQL oracle
