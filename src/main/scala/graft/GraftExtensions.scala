@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.plans.TopKStrategy
+
+/** SparkSessionExtensions entry point: makes the graft engine a
+  * first-class Spark extension —
+  *
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)            // programmatic
+  *   // or spark.sql.extensions=graft.GraftExtensions  // config-driven
+  *
+  * Injects:
+  *  - the TopKPerKey planning strategy (custom operator, graft.plans);
+  *  - SQL-callable registrations of the native expressions, so a pure
+  *    SQL user can write
+  *    `SELECT cosine_sim(a.embedding, b.embedding) FROM ...`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  private def fn(name: String, builder: Seq[Expression] => Expression):
+      (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) =
+    (FunctionIdentifier(name), info(name), builder)
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => TopKStrategy)
+    e.injectFunction(fn("cosine_sim",
+      args => VectorFunctions.CosineSimilarity(args(0), args(1))))
+    e.injectFunction(fn("dot_product",
+      args => VectorFunctions.DotProduct(args(0), args(1))))
+    e.injectFunction(fn("l2_norm",
+      args => VectorFunctions.L2Norm(args(0))))
+    e.injectFunction(fn("hyperplane_lsh",
+      args => VectorFunctions.HyperplaneLsh(args(0),
+        args(1).eval().asInstanceOf[Int])))
+    e.injectFunction(fn("simhash64",
+      args => TextFunctions.SimHash64(args(0))))
+    e.injectFunction(fn("minhash_sig",
+      args => TextFunctions.MinHashSignature(args(0),
+        args(1).eval().asInstanceOf[Int])))
+    e.injectFunction(fn("shingle_hashes",
+      args => TextFunctions.ShingleHashes(args(0),
+        args(1).eval().asInstanceOf[Int])))
+    e.injectFunction(fn("rolling_hash_min",
+      args => TextFunctions.RollingHashMin(args(0),
+        args(1).eval().asInstanceOf[Int])))
+    e.injectFunction(fn("lang_id",
+      args => TextFunctions.LangIdGuess(args(0))))
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Scale
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join result identical to plain join") {
+    val o = Tables.orders(spark, sf)
+    val l = Tables.lineitem(spark, sf).withColumnRenamed("l_orderkey", "o_orderkey")
+    val plain = o.join(l, Seq("o_orderkey"))
+    val salted = Scale.saltedJoin(o, l, Seq("o_orderkey"), salts = 4)
+    assert(salted.count() === plain.count())
+    assert(Scale.contentFingerprint(salted.select(plain.columns.map(col): _*))
+      === Scale.contentFingerprint(plain))
+  }
+
+  test("salted join with skewed data: one hot key, still exact") {
+    val left = spark.range(10000)
+      .select((when($"id" % 10 === 0, 0L).otherwise($"id")).as("k"), $"id".as("v"))
+    val right = Seq((0L, "hot"), (1L, "one"), (7L, "seven")).toDF("k", "name")
+    val plain = left.join(right, Seq("k"))
+    val salted = Scale.saltedJoin(left, right, Seq("k"), salts = 8)
+    assert(salted.count() === plain.count())
+    assert(Scale.contentFingerprint(salted.select("k", "v", "name"))
+      === Scale.contentFingerprint(plain.select("k", "v", "name")))
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Scale.writeBucketed(Tables.orders(spark, sf), "orders_b", 4, Seq("o_orderkey"))
+      Scale.writeBucketed(
+        Tables.lineitem(spark, sf).withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b", 4, Seq("o_orderkey"))
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"), Seq("o_orderkey"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$p")
+      assert(joined.count() === Tables.lineitem(spark, sf).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("extensions: SQL users can call the native functions") {
+    // SparkSpec.session is built withExtensions(new GraftExtensions)
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb")
+    val self = spark.sql(
+      "SELECT cosine_sim(embedding, embedding) c, l2_norm(embedding) n FROM emb LIMIT 5")
+      .collect()
+    assert(self.length === 5)
+    self.foreach { r =>
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+      assert(r.getDouble(1) > 0)
+    }
+    Tables.documents(spark, sf).createOrReplaceTempView("docs")
+    val sh = spark.sql(
+      "SELECT simhash64(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) h FROM docs LIMIT 3")
+      .collect()
+    assert(sh.length === 3)
+  }
+}
