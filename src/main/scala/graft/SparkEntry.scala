@@ -41,6 +41,7 @@ object SparkEntry {
     "mon_top_error_devices" -> (Monitoring.topErrorDevices _),
     "mon_json_props" -> (Monitoring.jsonProps _),
     "mon_asof_last_success" -> (Monitoring.asofLastSuccess _),
+    "mon_value_histogram" -> (Monitoring.valueHistogram _),
     // C: dedup
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
@@ -95,6 +96,7 @@ object SparkEntry {
     "mon_top_error_devices" -> Monitoring.topErrorDevicesSql,
     "mon_json_props" -> Monitoring.jsonPropsSql,
     "mon_asof_last_success" -> Monitoring.asofLastSuccessSql,
+    "mon_value_histogram" -> Monitoring.valueHistogramSql,
     "mm_manifest" -> Multimodal.mmManifestSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,

@@ -330,6 +330,33 @@ object Monitoring {
       |  COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_props
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- A16
+  /** Metric value distribution per event type: 10-bucket histogram on
+    * [0, 600) via the custom TypedImperativeAggregate
+    * ([[graft.functions.AggFunctions.HistogramAgg]]) — 80 bytes of
+    * state per group regardless of row count. */
+  def valueHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(graft.functions.AggFunctions
+        .valueHistogram($"value", 10, 0.0, 600.0).as("hist"))
+      .orderBy($"event_type")
+  }
+
+  val valueHistogramSql: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    LEAST(GREATEST(CAST(FLOOR(value / 60.0) AS INT), 0), 9) AS bk
+      |  FROM events),
+      |c AS (SELECT event_type, bk, COUNT(*) AS cnt FROM b GROUP BY event_type, bk),
+      |g AS (SELECT DISTINCT b.event_type, gs.bk
+      |      FROM b, (SELECT unnest(generate_series(0, 9)) AS bk) gs),
+      |f AS (SELECT g.event_type, g.bk, COALESCE(c.cnt, 0) AS cnt
+      |      FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.bk = c.bk)
+      |SELECT event_type, list(cnt ORDER BY bk) AS hist
+      |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- A15
   /** As-of join: for every failure, the most recent strictly-earlier
     * successful operation on the same device (time-to-failure /

@@ -92,6 +92,31 @@ class MonitoringSpec extends SparkSpec {
     assert(counts.sameElements(counts.sortBy(-_)))
   }
 
+  test("value histogram: counts sum to group sizes, clamping works") {
+    val rows = Monitoring.valueHistogram(spark, sf).collect()
+    val sizes = Tables.events(spark, sf).groupBy($"event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val hist = r.getSeq[Long](1)
+      assert(hist.length === 10)
+      assert(hist.sum === sizes(r.getString(0)))
+      assert(hist.forall(_ >= 0))
+    }
+    // clamping: synthetic frame with out-of-range values
+    val df = Seq(("x", -5.0), ("x", 1000.0), ("x", 30.0)).toDF("g", "value")
+    val h = df.groupBy($"g")
+      .agg(graft.functions.AggFunctions.valueHistogram($"value", 10, 0.0, 600.0).as("h"))
+      .collect()(0).getSeq[Long](1)
+    assert(h(0) === 2 && h(9) === 1) // -5 and 30 clamp/fall into bucket 0; 1000 clamps to 9
+  }
+
+  test("asof last success: every gap positive, success precedes failure") {
+    Monitoring.asofLastSuccess(spark, sf).collect().foreach { r =>
+      assert(r.getLong(3) > 0)
+      assert(r.getLong(2) < r.getLong(1))
+    }
+  }
+
   test("json props: every event has a parseable k") {
     val n = Monitoring.jsonProps(spark, sf).agg(sum($"n_props")).as[Long].head()
     assert(n === Tables.events(spark, sf).count())
