@@ -28,6 +28,7 @@ object SparkEntry {
     "q_union_except" -> (Relational.qUnionExcept _),
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
     "q_topk_custom" -> (Relational.qTopKCustom _),
+    "q_intersect" -> (Relational.qIntersect _),
     // A: telemetry / monitoring (the reference's surface)
     "mon_registry_lookup" -> (Monitoring.registryLookup _),
     "mon_latest_status" -> (Monitoring.latestStatus _),
@@ -84,6 +85,7 @@ object SparkEntry {
     "q_conditional_agg" -> Relational.qConditionalAggSql,
     "q_union_except" -> Relational.qUnionExceptSql,
     "q_topk_custom" -> Relational.qTopKCustomSql,
+    "q_intersect" -> Relational.qIntersectSql,
     "mon_registry_lookup" -> Monitoring.registryLookupSql,
     "mon_latest_status" -> Monitoring.latestStatusSql,
     "mon_window_sum" -> Monitoring.windowSumSql,

@@ -38,13 +38,15 @@ object Monitoring {
     * single-device lookup. */
   def registryLookup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    // arg-min as a map-side partial aggregation (min over a struct is
+    // lexicographic on (ts, event_id)) — no per-device window sort, no
+    // full shuffle of the event stream.
     Tables.events(spark, sfDir)
       .filter($"user_id" < 5)
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"user_id", $"event_id".as("stream_id"),
-        expr(tsUs).as("registered_us"))
+      .groupBy($"user_id")
+      .agg(min(struct($"ts", $"event_id")).as("first"))
+      .select($"user_id", $"first.event_id".as("stream_id"),
+        expr("unix_micros(first.ts)").as("registered_us"))
       .orderBy($"user_id")
   }
 
@@ -60,11 +62,14 @@ object Monitoring {
     * event's type, deterministic tie-break on event_id. */
   def latestStatus(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    // arg-max via max(struct(ts, event_id, ...)): map-side partial agg
+    // replaces the per-device window sort — at 100 TB this shuffles one
+    // row per device per map task instead of every event.
     Tables.events(spark, sfDir)
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"user_id", $"event_type".as("status"), expr(tsUs).as("status_us"))
+      .groupBy($"user_id")
+      .agg(max(struct($"ts", $"event_id", $"event_type")).as("last"))
+      .select($"user_id", $"last.event_type".as("status"),
+        expr("unix_micros(last.ts)").as("status_us"))
       .orderBy($"user_id")
   }
 

@@ -341,6 +341,25 @@ object Relational {
       |WHERE n_regionkey = r_regionkey AND r_name = 'AMERICA'
       |ORDER BY nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- B15
+  /** INTERSECT (distinct): BUILDING-segment customers who also have an
+    * open order. Planned as a left-semi join under distinct — no
+    * materialized intermediate. */
+  def qIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val building = Tables.customer(spark, sfDir)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val open = Tables.orders(spark, sfDir)
+      .filter($"o_orderstatus" === "O").select($"o_custkey".as("c_custkey"))
+    building.intersect(open).orderBy($"c_custkey")
+  }
+
+  val qIntersectSql: String =
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |INTERSECT
+      |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY c_custkey""".stripMargin
+
   // ---------------------------------------------------------------- B14
   /** B7's semantics through the custom TopKPerKey operator
     * (graft.plans): top-2 orders per customer without a window sort —

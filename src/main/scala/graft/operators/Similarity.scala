@@ -26,12 +26,18 @@ object Similarity {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"))
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-    e.crossJoin(broadcast(q))
+    val scored = e.crossJoin(broadcast(q))
       .filter($"vec_id" =!= $"query_id")
-      .withColumn("cos", round(VectorFunctions.cosineSim($"qe", $"embedding"), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= k)
+      .select($"query_id", $"vec_id",
+        round(VectorFunctions.cosineSim($"qe", $"embedding"), 6).as("cos"))
+    // top-k through the custom operator: per-partition bounded heaps
+    // prune to k·queries rows BEFORE the shuffle — the window
+    // formulation would shuffle every scored candidate pair. The rank
+    // column is then a trivial window over k·queries rows.
+    val top = graft.plans.TopK.perKey(
+      scored, Seq("query_id"), Seq($"cos".desc, $"vec_id".asc), k)
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    top.withColumn("rank", row_number().over(w))
       .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cos")
       .orderBy($"query_id", $"rank")
   }
@@ -65,12 +71,14 @@ object Similarity {
       .withColumn("bucket", VectorFunctions.hyperplaneLsh($"embedding", bits))
     val q = e.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"bucket")
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-    e.join(broadcast(q), Seq("bucket"))
+    val scored = e.join(broadcast(q), Seq("bucket"))
       .filter($"vec_id" =!= $"query_id")
-      .withColumn("cos", round(VectorFunctions.cosineSim($"qe", $"embedding"), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= k)
+      .select($"query_id", $"vec_id", $"bucket",
+        round(VectorFunctions.cosineSim($"qe", $"embedding"), 6).as("cos"))
+    val top = graft.plans.TopK.perKey(
+      scored, Seq("query_id"), Seq($"cos".desc, $"vec_id".asc), k)
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    top.withColumn("rank", row_number().over(w))
       .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cos", $"bucket")
       .orderBy($"query_id", $"rank")
   }
@@ -83,12 +91,14 @@ object Similarity {
     val e = Tables.embeddings(spark, sfDir)
     val l = e.select($"label", $"vec_id".as("query_id"), $"embedding".as("qe"))
     val r = e.select($"label", $"vec_id".as("neighbor_id"), $"embedding".as("ne"))
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
-    l.join(r, Seq("label"))
+    val scored = l.join(r, Seq("label"))
       .filter($"query_id" =!= $"neighbor_id")
-      .withColumn("cos", round(VectorFunctions.cosineSim($"qe", $"ne"), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= k)
+      .select($"query_id", $"neighbor_id",
+        round(VectorFunctions.cosineSim($"qe", $"ne"), 6).as("cos"))
+    val top = graft.plans.TopK.perKey(
+      scored, Seq("query_id"), Seq($"cos".desc, $"neighbor_id".asc), k)
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    top.withColumn("rank", row_number().over(w))
       .select($"query_id", $"rank", $"neighbor_id", $"cos")
       .orderBy($"query_id", $"rank")
   }
