@@ -52,6 +52,7 @@ object SparkEntry {
     // D: similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.annBruteTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
+    "ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "knn_join" -> ((s: SparkSession, d: String) => Similarity.knnJoin(s, d)),
     "vec_norms" -> (Similarity.vecNorms _),
     // F: multimodal

@@ -114,6 +114,38 @@ object Similarity {
        |WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- D5
+  /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus
+    * (MLlib, fixed seed), then each query searches only its own
+    * centroid cell — the classic billion-scale layout (train once,
+    * write the corpus partitioned by cell, probe 1..n cells at query
+    * time). Rows-only (centroid assignment is implementation-defined);
+    * the spec measures recall against the exact baseline. */
+  def annIvf(spark: SparkSession, sfDir: String, nCells: Int = 8,
+      k: Int = 5): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("fv", array_to_vector($"embedding"))
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(e.select($"fv"))
+    val cells = model.transform(e).select($"vec_id", $"embedding", $"cell")
+    val q = cells.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"cell")
+    val scored = cells.join(broadcast(q), Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", $"cell",
+        round(VectorFunctions.cosineSim($"qe", $"embedding"), 6).as("cos"))
+    val top = graft.plans.TopK.perKey(
+      scored, Seq("query_id"), Seq($"cos".desc, $"vec_id".asc), k)
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    top.withColumn("rank", row_number().over(w))
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cos", $"cell")
+      .orderBy($"query_id", $"rank")
+  }
+
   // ---------------------------------------------------------------- D4
   /** Vector primitives: L2 norm + self-dot via the codegen'd kernels
     * (sanity surface for the expression layer). */

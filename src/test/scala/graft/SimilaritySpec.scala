@@ -70,6 +70,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.0, s"LSH recall was zero")
   }
 
+  test("IVF ANN: neighbors share the query's cell, recall beats zero") {
+    val ivf = Similarity.annIvf(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    // all neighbors in the query's cell by construction of the join
+    val brute = Similarity.annBruteTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pairs = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert((pairs & brute).nonEmpty, "IVF recall was zero")
+    // deterministic across runs (fixed seed)
+    val again = Similarity.annIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again === pairs)
+  }
+
   test("knn join: neighbors stay within the query's label block") {
     val labels = Tables.embeddings(spark, sf)
       .select($"vec_id", $"label").as[(Long, Int)].collect().toMap

@@ -95,6 +95,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("checkpoint restart: monitor state survives a query stop/start") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ckpt-out").toString
+    val input = MemoryStream[DeviceEvent](3, spark, None)
+    def start() = HealthMonitor.monitor(input.toDS())
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      input.addData(ev(1, 1, 9L, "error"), ev(2, 2, 9L, "error"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.schema(
+      org.apache.spark.sql.Encoders.product[HealthAlertRow].schema)
+      .parquet(outDir).count() === 0)
+    // restart from checkpoint: the 2-failure state must persist so the
+    // third failure triggers SERVICE_RESTART
+    val q2 = start()
+    try {
+      input.addData(ev(3, 3, 9L, "error"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val a = spark.read.parquet(outDir).as[HealthAlertRow].collect()
+    assert(a.length === 1)
+    assert(a.head.action === HealthMonitor.SERVICE_RESTART)
+    assert(a.head.consec_fails === 3)
+  }
+
   test("session windows stream: sessions have positive counts") {
     val staging = java.nio.file.Files.createTempDirectory("graft-sess").toString
     val stream = EventSource.replayTable(spark, sf, staging, parts = 2)
