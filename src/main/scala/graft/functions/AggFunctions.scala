@@ -19,7 +19,8 @@ object AggFunctions {
 
   /** Fixed-bucket histogram over a double column: `nBuckets` equal
     * buckets on [lo, hi); out-of-range values clamp into the edge
-    * buckets. Emits array<long> of counts. The CloudWatch
+    * buckets; NULL and NaN values are excluded. Emits array<long> of
+    * counts. The CloudWatch
     * metric-distribution analog (percentile charts without a full
     * sort), and the TypedImperativeAggregate reference implementation
     * for this engine: a 10-bucket histogram over 100 TB costs 80 bytes
@@ -49,7 +50,7 @@ object AggFunctions {
 
     override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
       val v = child.eval(input)
-      if (v != null) {
+      if (v != null && !v.asInstanceOf[Double].isNaN) {
         val d = v.asInstanceOf[Double]
         var b = math.floor((d - lo) / width).toInt
         if (b < 0) b = 0

@@ -212,8 +212,8 @@ object TextFunctions {
         "es" -> Seq(" el ", " que ", " los ", " una ", "ción", " por "),
         "fr" -> Seq(" les ", " des ", " est ", " une ", " avec ", " pour "))
       val padded = " " + s + " "
-      var best = "en"
-      var bestScore = -1
+      var best = "en" // zero-signal default; only a positive score replaces it
+      var bestScore = 0
       for ((lang, gs) <- grams.toSeq.sortBy(_._1)) {
         var score = 0
         for (g <- gs) {

@@ -25,10 +25,14 @@ object VectorFunctions {
     case _ => false
   }
 
-  /** cosine(a, b) = dot / (||a|| * ||b||); 0.0 when either norm is 0. */
+  /** cosine(a, b) = dot / (||a|| * ||b||); 0.0 when either norm is 0;
+    * NULL on dimension mismatch — a truncated score would silently
+    * corrupt dedup/ANN results when a mixed-model embedding sneaks into
+    * the corpus, while NULL is visible and filterable. */
   case class CosineSimilarity(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true // dimension mismatch → null
     override def checkInputDataTypes(): TypeCheckResult =
       if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
         TypeCheckResult.TypeCheckSuccess
@@ -39,7 +43,8 @@ object VectorFunctions {
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements()) return null
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
@@ -62,15 +67,19 @@ object VectorFunctions {
         val xi = ctx.freshName("xi")
         val yi = ctx.freshName("yi")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  double $xi = (double) $a.getFloat($i);
-           |  double $yi = (double) $b.getFloat($i);
-           |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    double $xi = (double) $a.getFloat($i);
+           |    double $yi = (double) $b.getFloat($i);
+           |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+           |  }
+           |  ${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
+           |    : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
            |}
-           |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
-           |  : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
            |""".stripMargin
       })
 
@@ -79,10 +88,12 @@ object VectorFunctions {
       copy(left = newLeft, right = newRight)
   }
 
-  /** dot(a, b) with sequential double accumulation. */
+  /** dot(a, b) with sequential double accumulation; NULL on dimension
+    * mismatch (see CosineSimilarity). */
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true // dimension mismatch → null
     override def checkInputDataTypes(): TypeCheckResult =
       if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
         TypeCheckResult.TypeCheckSuccess
@@ -91,7 +102,8 @@ object VectorFunctions {
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements()) return null
       var dot = 0.0
       var i = 0
       while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
@@ -104,12 +116,16 @@ object VectorFunctions {
         val n = ctx.freshName("n")
         val dot = ctx.freshName("dot")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $dot = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $dot = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |  }
+           |  ${ev.value} = $dot;
            |}
-           |${ev.value} = $dot;
            |""".stripMargin
       })
 

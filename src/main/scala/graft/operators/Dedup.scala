@@ -49,6 +49,9 @@ object Dedup {
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes); bands > numHashes " +
+        "would make every band hash a constant and cross-join the corpus")
     val rows = numHashes / bands
     // Shingles are hashed to longs immediately: every downstream stage
     // (minhash perms, band hashes, verification intersects) works on

@@ -21,7 +21,12 @@ object Similarity {
   /** Brute-force cosine top-k per query vector: exact baseline. Query
     * set (vec_id < 10) is broadcast; corpus side never shuffles until
     * the per-query top-k. */
-  def annBruteTopK(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+  /** Default k values — shared with the SQL oracles so a changed
+    * default can't silently diverge from the oracle contract. */
+  val AnnK = 5
+  val KnnK = 3
+
+  def annBruteTopK(spark: SparkSession, sfDir: String, k: Int = AnnK): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter($"vec_id" < 10)
@@ -57,7 +62,7 @@ object Similarity {
        |      ORDER BY ${cosSql("q", "c")} DESC, c.vec_id) AS rank
        |  FROM embeddings q, embeddings c
        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) t
-       |WHERE rank <= 5
+       |WHERE rank <= $AnnK
        |ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- D2
@@ -65,7 +70,7 @@ object Similarity {
     * corpus into 2^bits buckets; each query scans only its bucket.
     * Rows-only (bucket assignment is engine-specific); the spec checks
     * bucket containment + planted-duplicate recall. */
-  def annLsh(spark: SparkSession, sfDir: String, bits: Int = 6, k: Int = 5): DataFrame = {
+  def annLsh(spark: SparkSession, sfDir: String, bits: Int = 6, k: Int = AnnK): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("bucket", VectorFunctions.hyperplaneLsh($"embedding", bits))
@@ -86,7 +91,7 @@ object Similarity {
   // ---------------------------------------------------------------- D3
   /** k-NN join: 3 nearest neighbors for EVERY vector, blocked by label
     * (IVF-style coarse quantization — each vector only scans its cell). */
-  def knnJoin(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+  def knnJoin(spark: SparkSession, sfDir: String, k: Int = KnnK): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
     val l = e.select($"label", $"vec_id".as("query_id"), $"embedding".as("qe"))
@@ -111,7 +116,7 @@ object Similarity {
        |      ORDER BY ${cosSql("a", "b")} DESC, b.vec_id) AS rank
        |  FROM embeddings a, embeddings b
        |  WHERE a.label = b.label AND a.vec_id <> b.vec_id) t
-       |WHERE rank <= 3
+       |WHERE rank <= $KnnK
        |ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- D5
@@ -122,7 +127,7 @@ object Similarity {
     * time). Rows-only (centroid assignment is implementation-defined);
     * the spec measures recall against the exact baseline. */
   def annIvf(spark: SparkSession, sfDir: String, nCells: Int = 8,
-      k: Int = 5): DataFrame = {
+      k: Int = AnnK): DataFrame = {
     import spark.implicits._
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector

@@ -60,16 +60,19 @@ case class TopKPerKeyExec(
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // "row a sorts before row b" — top-k keeps the first k in this order
       val lt = GenerateOrdering.generate(sortOrder, childOutput)
-      // max-heap on sort position: head = worst kept row, evicted first
-      val heapOrd: Ordering[UnsafeRow] =
-        (a: UnsafeRow, b: UnsafeRow) => lt.compare(a, b)
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      // max-heap on sort position: head = worst kept row, evicted first.
+      // Rows stay InternalRow — a non-Unsafe child (DSv2 readers emit
+      // GenericInternalRow) must not crash; only the projected key
+      // needs Unsafe equality/hashing for the map.
+      val heapOrd: Ordering[InternalRow] =
+        (a: InternalRow, b: InternalRow) => lt.compare(a, b)
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
       while (it.hasNext) {
-        val row = it.next().asInstanceOf[UnsafeRow]
+        val row = it.next()
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](limit + 1, heapOrd.reverse)
+          heap = new java.util.PriorityQueue[InternalRow](limit + 1, heapOrd.reverse)
           heaps.put(key.copy(), heap)
         }
         if (heap.size < limit) {

@@ -57,12 +57,18 @@ object HealthMonitor {
     case _ => REBOOT
   }
 
+  /** Full-microsecond epoch of a Timestamp — `getTime` alone truncates
+    * to milliseconds, which would break ties differently from the
+    * (ts, event_id) microsecond ordering every batch operator uses. */
+  private def tsMicros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   /** The state-transition kernel: pure, so batch replays and specs can
     * call it directly. Returns (alerts, newState). */
   def step(events: Seq[DeviceEvent], state: MonitorState): (Seq[HealthAlert], MonitorState) = {
     var s = state
     val out = Seq.newBuilder[HealthAlert]
-    events.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+    events.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
       if (e.event_type == "error") {
         val consec = s.consecFails + 1
         val newLevel = levelFor(consec)

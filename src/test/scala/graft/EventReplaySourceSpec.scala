@@ -39,19 +39,32 @@ class EventReplaySourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("per-shard ordering is preserved (ts non-decreasing within device)") {
-    val q = stream().writeStream
-      .format("memory").queryName("replay_order").outputMode("append").start()
-    try {
-      q.processAllAvailable()
-      // within each device the replayed ts sequence must be sorted
-      val bad = spark.table("replay_order")
-        .withColumn("prev", lag($"ts", 1).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy($"user_id").orderBy($"ts", $"event_id")))
-        .filter($"prev" > $"ts")
-      assert(bad.count() === 0)
-    } finally q.stop()
+  test("per-shard ordering is preserved across micro-batches") {
+    // capture the ACTUAL delivery order batch by batch — re-sorting the
+    // final table would make the assertion tautological
+    val perBatch = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)] // (batchId, user_id, minUs, maxUs)
+    val q = stream(eventsPerTrigger = 50).writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        df.groupBy($"user_id")
+          .agg(min(expr("unix_micros(ts)")).as("mn"),
+            max(expr("unix_micros(ts)")).as("mx"))
+          .collect()
+          .foreach(r => perBatch.synchronized {
+            perBatch += ((batchId, r.getLong(0), r.getLong(1), r.getLong(2)))
+          })
+        ()
+      }
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(perBatch.map(_._1).distinct.size > 1, "need multiple batches")
+    // per device: every batch's max ts <= the next batch's min ts
+    perBatch.groupBy(_._2).values.foreach { rows =>
+      val ordered = rows.sortBy(_._1)
+      ordered.zip(ordered.tail).foreach { case ((b1, d, _, mx), (b2, _, mn, _)) =>
+        assert(mx <= mn, s"device $d: batch $b1 max $mx > batch $b2 min $mn")
+      }
+    }
   }
 
   test("health monitor runs end-to-end on the custom source") {

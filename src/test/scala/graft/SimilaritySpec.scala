@@ -20,6 +20,17 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(2)) < 1e-12)
   }
 
+  test("cosine kernel: dimension mismatch yields null, not a truncated score") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)),
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f)),
+    ).toDF("a", "b")
+    val got = df.select(VectorFunctions.cosineSim($"a", $"b").as("c"),
+      VectorFunctions.dotProduct($"a", $"b").as("d")).collect()
+    assert(got(0).isNullAt(0) && got(0).isNullAt(1))
+    assert(!got(1).isNullAt(0) && math.abs(got(1).getDouble(0) - 1.0) < 1e-12)
+  }
+
   test("cosine kernel: interpreted eval and codegen agree") {
     val e = Tables.embeddings(spark, sf).limit(50)
     val pairs = e.select($"vec_id".as("i"), $"embedding".as("a"))
