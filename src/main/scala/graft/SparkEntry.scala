@@ -29,6 +29,7 @@ object SparkEntry {
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
     "q_topk_custom" -> (Relational.qTopKCustom _),
     "q_intersect" -> (Relational.qIntersect _),
+    "q_datetime" -> (Relational.qDatetime _),
     // A: telemetry / monitoring (the reference's surface)
     "mon_registry_lookup" -> (Monitoring.registryLookup _),
     "mon_latest_status" -> (Monitoring.latestStatus _),
@@ -87,6 +88,7 @@ object SparkEntry {
     "q_union_except" -> Relational.qUnionExceptSql,
     "q_topk_custom" -> Relational.qTopKCustomSql,
     "q_intersect" -> Relational.qIntersectSql,
+    "q_datetime" -> Relational.qDatetimeSql,
     "mon_registry_lookup" -> Monitoring.registryLookupSql,
     "mon_latest_status" -> Monitoring.latestStatusSql,
     "mon_window_sum" -> Monitoring.windowSumSql,

@@ -341,6 +341,31 @@ object Relational {
       |WHERE n_regionkey = r_regionkey AND r_name = 'AMERICA'
       |ORDER BY nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- B16
+  /** Datetime function coverage: calendar breakdown of the event feed.
+    * Engine parity notes: Spark dayofweek is 1=Sunday while DuckDB's is
+    * 0=Sunday (oracle adds 1); both hour/day/month/year agree. */
+  def qDatetime(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.events(spark, sfDir)
+      .groupBy(
+        year($"ts").as("y"), month($"ts").as("m"),
+        dayofmonth($"ts").as("d"), dayofweek($"ts").as("dow"),
+        hour($"ts").as("h"))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"y", $"m", $"d", $"h")
+  }
+
+  val qDatetimeSql: String =
+    """SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+      |  CAST(day(ts) AS INT) AS d, CAST(dayofweek(ts) + 1 AS INT) AS dow,
+      |  CAST(hour(ts) AS INT) AS h,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY year(ts), month(ts), day(ts), dayofweek(ts), hour(ts)
+      |ORDER BY y, m, d, h""".stripMargin
+
   // ---------------------------------------------------------------- B15
   /** INTERSECT (distinct): BUILDING-segment customers who also have an
     * open order. Planned as a left-semi join under distinct — no

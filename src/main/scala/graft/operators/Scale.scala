@@ -47,6 +47,15 @@ object Scale {
       .saveAsTable(table)
   }
 
+  /** Write a time-series DataFrame partitioned by day (`dt=yyyy-MM-dd`
+    * directories). At 100 TB this is the layout decision that matters
+    * most: a date-filtered query then prunes whole partitions at
+    * planning time (`PartitionFilters` in the scan, zero I/O for
+    * excluded days) instead of scanning everything. */
+  def writePartitionedByDay(df: DataFrame, path: String, tsCol: String): Unit =
+    df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("dt").parquet(path)
+
   /** Deterministic fingerprint of a DataFrame's content (order-free,
     * multiplicity-sensitive): decimal sum of per-row xxhash64 over all
     * columns. The cheap way to assert two hundred-terabyte pipelines

@@ -43,4 +43,28 @@ object StreamingAggs {
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+
+  /** Stream-stream interval join: every failure paired with the same
+    * device's successes from the preceding `windowMinutes` — the
+    * streaming twin of the batch ASOF analysis (which operation was in
+    * flight when the probe failed). Both sides carry watermarks and the
+    * join condition bounds event-time distance, so Spark can expire
+    * state: each side holds at most `windowMinutes` + watermark of
+    * per-device history, regardless of stream length. */
+  def failureContext(events: DataFrame, windowMinutes: Int = 10): DataFrame = {
+    val fails = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("f_user"), col("ts").as("fail_ts"),
+        col("event_id").as("fail_id"))
+      .withWatermark("fail_ts", "10 minutes")
+    val oks = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("s_user"), col("ts").as("ok_ts"),
+        col("value").as("ok_value"))
+      .withWatermark("ok_ts", "10 minutes")
+    fails.join(oks, expr(
+      s"""f_user = s_user AND
+         |ok_ts >= fail_ts - INTERVAL $windowMinutes MINUTES AND
+         |ok_ts < fail_ts""".stripMargin))
+      .select(col("f_user").as("user_id"), col("fail_ts"), col("fail_id"),
+        col("ok_ts"), col("ok_value"))
+  }
 }

@@ -51,6 +51,24 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("date-partitioned layout prunes partitions at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Scale.writePartitionedByDay(Tables.events(spark, sf), dir, "ts")
+    val read = spark.read.parquet(dir).filter($"dt" === "2024-01-05")
+    read.collect()
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("dt"),
+      s"no partition pruning:\n$p")
+    // pruned read matches the unpartitioned filter
+    val direct = Tables.events(spark, sf)
+      .filter(date_format($"ts", "yyyy-MM-dd") === "2024-01-05").count()
+    assert(read.count() === direct)
+    // and scans only that day's files
+    val files = read.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.toString.linesIterator.filter(_.contains("file:"))).mkString
+    assert(!files.contains("dt=2024-01-06"), "scan touched pruned partition")
+  }
+
   test("extensions: SQL users can call the native functions") {
     // SparkSpec.session is built withExtensions(new GraftExtensions)
     Tables.embeddings(spark, sf).createOrReplaceTempView("emb")

@@ -125,6 +125,33 @@ class StreamingSpec extends SparkSpec {
     assert(a.head.consec_fails === 3)
   }
 
+  test("stream-stream interval join pairs failures with recent successes only") {
+    val input = MemoryStream[DeviceEvent](4, spark, None)
+    val q = StreamingAggs.failureContext(input.toDF(), windowMinutes = 10)
+      .writeStream.format("memory").queryName("failctx")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ev(1, 1, 3L, "purchase"),  // 10:01 — within 10 min of the 10:05 failure
+        ev(2, 5, 3L, "error"),     // 10:05 — should join with event 1
+        ev(3, 30, 3L, "error"),    // 10:30 — no purchase in (10:20, 10:30): alone
+        ev(4, 2, 4L, "purchase"),  // other device — must not cross-join
+        ev(5, 40, 3L, "purchase"), // 10:40 — AFTER the failures: must not join
+        // advance both watermarks far enough to emit results
+        ev(6, 59, 3L, "error"), ev(7, 59, 3L, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("failctx").collect()
+      val joined = rows.map(r => (r.getLong(2), r.getTimestamp(3))).toSet
+      assert(joined.exists(_._1 == 2L), s"10:05 failure not joined: ${rows.toSeq}")
+      assert(!rows.exists(_.getLong(2) == 3L), "10:30 failure had no in-window success")
+      assert(rows.forall(_.getLong(0) == 3L), "cross-device join leak")
+      // the 10:05 failure joined the 10:01 purchase, not the 10:40 one
+      rows.filter(_.getLong(2) == 2L).foreach { r =>
+        assert(r.getTimestamp(3).before(r.getTimestamp(1)))
+      }
+    } finally q.stop()
+  }
+
   test("session windows stream: sessions have positive counts") {
     val staging = java.nio.file.Files.createTempDirectory("graft-sess").toString
     val stream = EventSource.replayTable(spark, sf, staging, parts = 2)
