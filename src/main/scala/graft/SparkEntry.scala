@@ -30,6 +30,7 @@ object SparkEntry {
     "q_topk_custom" -> (Relational.qTopKCustom _),
     "q_intersect" -> (Relational.qIntersect _),
     "q_datetime" -> (Relational.qDatetime _),
+    "q_pivot" -> (Relational.qPivot _),
     // A: telemetry / monitoring (the reference's surface)
     "mon_registry_lookup" -> (Monitoring.registryLookup _),
     "mon_latest_status" -> (Monitoring.latestStatus _),
@@ -89,6 +90,7 @@ object SparkEntry {
     "q_topk_custom" -> Relational.qTopKCustomSql,
     "q_intersect" -> Relational.qIntersectSql,
     "q_datetime" -> Relational.qDatetimeSql,
+    "q_pivot" -> Relational.qPivotSql,
     "mon_registry_lookup" -> Monitoring.registryLookupSql,
     "mon_latest_status" -> Monitoring.latestStatusSql,
     "mon_window_sum" -> Monitoring.windowSumSql,

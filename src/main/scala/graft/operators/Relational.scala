@@ -341,6 +341,28 @@ object Relational {
       |WHERE n_regionkey = r_regionkey AND r_name = 'AMERICA'
       |ORDER BY nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- B17
+  /** Native pivot: order counts per priority with one column per
+    * status. Explicit pivot values keep the plan single-pass (no
+    * distinct-values pre-query) — the form that scales. */
+  def qPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val qPivotSql: String =
+    """SELECT o_orderpriority,
+      |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS "F",
+      |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS "O",
+      |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS "P"
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   // ---------------------------------------------------------------- B16
   /** Datetime function coverage: calendar breakdown of the event feed.
     * Engine parity notes: Spark dayofweek is 1=Sunday while DuckDB's is
