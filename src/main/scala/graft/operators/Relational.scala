@@ -23,6 +23,14 @@ object Relational {
     * correctly-rounded conversion, identical in DuckDB). */
   private def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
+  /** Sum of a scale-8 decimal product, rescaled to 4 decimals BEFORE
+    * the double cast. DuckDB's int128-decimal→double conversion is not
+    * correctly rounded once the significand exceeds 2^53 (observed
+    * 1-ulp drift at sf0.1); at scale 4 the significand fits in 53 bits
+    * and both engines convert exactly. */
+  private def productSum(c: Column): Column =
+    sum(c).cast("decimal(38,4)").cast("double")
+
   // ---------------------------------------------------------------- B1
   /** TPC-H Q1-style pricing summary: single scan, map-side partial agg,
     * one shuffle on the (tiny-cardinality) group key. Filter + 7-column
@@ -35,8 +43,8 @@ object Relational {
       .agg(
         dsum($"l_quantity").as("sum_qty"),
         dsum($"l_extendedprice").as("sum_base_price"),
-        sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec($"l_discount")))
-          .cast("double").as("sum_disc_price"),
+        productSum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec($"l_discount")))
+          .as("sum_disc_price"),
         (sum(dec($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
         (sum(dec($"l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
         count(lit(1)).as("count_order"))
@@ -47,7 +55,7 @@ object Relational {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
       |  COUNT(*) AS count_order
@@ -70,8 +78,8 @@ object Relational {
     c.join(o, $"c_custkey" === $"o_custkey")
       .join(l, $"o_orderkey" === $"l_orderkey")
       .groupBy($"o_orderkey", $"o_orderdate")
-      .agg(sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec($"l_discount")))
-        .cast("double").as("revenue"))
+      .agg(productSum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec($"l_discount")))
+        .as("revenue"))
       .select($"o_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("o_odate"), $"revenue")
       .orderBy($"revenue".desc, $"o_orderkey")
       .limit(10)
@@ -79,7 +87,7 @@ object Relational {
 
   val q3ShippingPrioritySql: String =
     """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_odate,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
       |FROM customer, orders, lineitem
       |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
       |  AND o_orderkey = l_orderkey
@@ -108,14 +116,14 @@ object Relational {
       .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
       .groupBy($"n_name")
-      .agg(sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec($"l_discount")))
-        .cast("double").as("revenue"))
+      .agg(productSum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec($"l_discount")))
+        .as("revenue"))
       .orderBy($"revenue".desc, $"n_name")
   }
 
   val q5LocalSupplierSql: String =
     """SELECT n_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey

@@ -59,15 +59,17 @@ object TextAnalysis {
       .withColumn("punct_ratio", $"punct_cnt".cast("double") / length($"text"))
       .withColumn("stop_ratio", $"stop_cnt".cast("double") / $"n_tokens")
       .withColumn("uniq_ratio", size(array_distinct($"toks")).cast("double") / $"n_tokens")
-      .withColumn("quality_score", round(
+      // NO rounding anywhere: every term is identical plain double
+      // arithmetic in both engines (0.25 is a power of two, divisions
+      // are single ops), so raw doubles are bit-exact — while round()
+      // itself diverges between engines on half-boundary values
+      // (Spark BigDecimal HALF_UP vs DuckDB float rounding).
+      .withColumn("quality_score",
         lit(0.25) * $"stop_ratio" + lit(0.25) * $"uniq_ratio" +
           lit(0.25) * (lit(1.0) - $"punct_ratio") +
-          lit(0.25) * least(lit(1.0), $"n_tokens".cast("double") / 100.0), 6))
+          lit(0.25) * least(lit(1.0), $"n_tokens".cast("double") / 100.0))
       .select($"doc_id", $"n_tokens", $"punct_cnt", $"stop_cnt",
-        round($"punct_ratio", 6).as("punct_ratio"),
-        round($"stop_ratio", 6).as("stop_ratio"),
-        round($"uniq_ratio", 6).as("uniq_ratio"),
-        $"quality_score")
+        $"punct_ratio", $"stop_ratio", $"uniq_ratio", $"quality_score")
       .orderBy($"doc_id")
   }
 
@@ -87,11 +89,9 @@ object TextAnalysis {
        |    CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens AS uniq_ratio
        |  FROM x)
        |SELECT doc_id, n_tokens, punct_cnt, stop_cnt,
-       |  ROUND(punct_ratio, 6) AS punct_ratio,
-       |  ROUND(stop_ratio, 6) AS stop_ratio,
-       |  ROUND(uniq_ratio, 6) AS uniq_ratio,
-       |  ROUND(0.25 * stop_ratio + 0.25 * uniq_ratio + 0.25 * (1.0 - punct_ratio)
-       |        + 0.25 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0), 6) AS quality_score
+       |  punct_ratio, stop_ratio, uniq_ratio,
+       |  0.25 * stop_ratio + 0.25 * uniq_ratio + 0.25 * (1.0 - punct_ratio)
+       |    + 0.25 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) AS quality_score
        |FROM y ORDER BY doc_id""".stripMargin
   }
 
