@@ -44,6 +44,16 @@ object StreamingAggs {
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
 
+  /** Streaming exact dedup — the streaming twin of Dedup.dedupExact:
+    * drop events whose id was already seen, with state bounded by the
+    * watermark (an id older than the watermark can no longer collide,
+    * so its state entry is dropped). At-least-once transports (Kinesis
+    * consumer retries) become exactly-once downstream. */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-stream interval join: every failure paired with the same
     * device's successes from the preceding `windowMinutes` — the
     * streaming twin of the batch ASOF analysis (which operation was in

@@ -125,6 +125,43 @@ class StreamingSpec extends SparkSpec {
     assert(a.head.consec_fails === 3)
   }
 
+  test("streaming dedup drops replayed event ids across micro-batches") {
+    val input = MemoryStream[DeviceEvent](5, spark, None)
+    val q = StreamingAggs.dedupEvents(input.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 1, 1L, "click"), ev(2, 2, 1L, "view"),
+        ev(1, 1, 1L, "click")) // duplicate within the batch
+      q.processAllAvailable()
+      input.addData(ev(2, 2, 1L, "view"), ev(3, 3, 1L, "purchase")) // replay + new
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream")
+        .select($"event_id").as[Long].collect().sorted
+      assert(ids.sameElements(Array(1L, 2L, 3L)))
+    } finally q.stop()
+  }
+
+  test("Welford aggregator matches var_samp/stddev on grouped data") {
+    val vals = Tables.events(spark, sf).select($"user_id", $"value")
+    val welford = vals.as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.WelfordAgg.toColumn.name("w"))
+      .collect().toMap
+    val expected = vals.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), avg($"value").as("m"),
+        var_samp($"value").as("v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    expected.foreach { case (k, (n, m, v)) =>
+      val w = welford(k)
+      assert(w.n === n)
+      assert(math.abs(w.mean - m) < 1e-9 * math.max(1, math.abs(m)))
+      assert(math.abs(w.var_samp - v) < 1e-6 * math.max(1, math.abs(v)))
+    }
+  }
+
   test("stream-stream interval join pairs failures with recent successes only") {
     val input = MemoryStream[DeviceEvent](4, spark, None)
     val q = StreamingAggs.failureContext(input.toDF(), windowMinutes = 10)
