@@ -1,0 +1,64 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{DeviceEvent, HealthMonitor, StreamingAggs}
+
+/** End-to-end replacement for the reference gateway's monitoring loop
+  * (check_wf.sh + putmedia_check.sh + restart.sh), as one streaming
+  * pipeline:
+  *
+  *   device event stream (Kinesis-shaped graft-replay source)
+  *     → exact dedup within watermark        (transport retries)
+  *     → per-device escalation state machine (consecutive failures →
+  *       SERVICE_RESTART / USB_POWER_CYCLE / REBOOT / RECOVERED)
+  *     → 60-second metric sums               (PutMedia.Success analog)
+  *
+  * Run: sbt "runMain graft.examples.GatewayMonitorDemo [sfDir]"
+  */
+object GatewayMonitorDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("gateway-monitor-demo")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val events = spark.readStream
+      .format("graft-replay")
+      .option("path", s"$sfDir/events.parquet")
+      .option("eventsPerTrigger", "250")
+      .load()
+
+    val deduped = StreamingAggs.dedupEvents(events)
+
+    val alerts = HealthMonitor.monitor(deduped.as[DeviceEvent])
+      .writeStream.format("memory").queryName("alerts")
+      .outputMode("append").start()
+
+    val metrics = StreamingAggs.metricSums(deduped)
+      .writeStream.format("memory").queryName("metrics")
+      .outputMode("append").start()
+
+    alerts.processAllAvailable()
+    metrics.processAllAvailable()
+    alerts.stop(); metrics.stop()
+
+    println("=== remediation actions (reference: restart.sh ladder) ===")
+    spark.table("alerts")
+      .groupBy($"action").agg(count(lit(1)).as("n"))
+      .orderBy($"action").show(false)
+    println("=== sample per-minute metric sums (reference: putmedia_check.sh) ===")
+    spark.table("metrics").orderBy($"user_id", $"window.start").show(5, false)
+    val nAlerts = spark.table("alerts").count()
+    println(s"pipeline complete: ${spark.table("metrics").count()} metric windows, " +
+      s"$nAlerts remediation transitions")
+    spark.stop()
+  }
+}

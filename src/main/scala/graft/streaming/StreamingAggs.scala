@@ -14,12 +14,22 @@ import org.apache.spark.sql.functions._
   */
 object StreamingAggs {
 
+  /** Apply a watermark unless the stream already carries one —
+    * redefining a watermark is an analysis error, and chained stateful
+    * stages (dedup → windowed agg) share the upstream one. */
+  private def withWatermarkIfAbsent(df: DataFrame, col: String, delay: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
+    val already = df.queryExecution.logical.collectFirst {
+      case e: EventTimeWatermark => e
+    }.isDefined
+    if (already || !df.isStreaming) df else df.withWatermark(col, delay)
+  }
+
   /** Per-device sliding-window failure counts (5-minute windows sliding
     * every minute, 10-minute watermark) — the streaming form of the
     * reference's "failures in the last measurement window" check. */
   def failureCounts(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "10 minutes")
+    withWatermarkIfAbsent(events, "ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes", "1 minute"), col("user_id"))
       .agg(
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("failures"),
@@ -28,9 +38,8 @@ object StreamingAggs {
   /** CloudWatch-style tumbling 60-second metric Sum per device
     * (putmedia_check.sh PERIOD=60), streaming form of A3. */
   def metricSums(events: DataFrame): DataFrame =
-    events
-      .filter(col("event_type") === "purchase")
-      .withWatermark("ts", "10 minutes")
+    withWatermarkIfAbsent(events.filter(col("event_type") === "purchase"),
+      "ts", "10 minutes")
       .groupBy(window(col("ts"), "60 seconds"), col("user_id"))
       .agg(sum(col("value")).as("metric_sum"), count(lit(1)).as("sample_count"))
 
@@ -38,8 +47,7 @@ object StreamingAggs {
     * sessionization via the native session_window (state merges
     * adjacent windows; watermark finalizes closed sessions). */
   def sessions(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "30 minutes")
+    withWatermarkIfAbsent(events, "ts", "30 minutes")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
@@ -50,8 +58,7 @@ object StreamingAggs {
     * so its state entry is dropped). At-least-once transports (Kinesis
     * consumer retries) become exactly-once downstream. */
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
+    withWatermarkIfAbsent(events, "ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-stream interval join: every failure paired with the same
