@@ -45,6 +45,9 @@ object SparkEntry {
     "mon_json_props" -> (Monitoring.jsonProps _),
     "mon_asof_last_success" -> (Monitoring.asofLastSuccess _),
     "mon_value_histogram" -> (Monitoring.valueHistogram _),
+    "mon_moving_avg" -> (Monitoring.movingAvg _),
+    "q_grouping_sets" -> (Relational.qGroupingSets _),
+    "q_scalar_subquery" -> (Relational.qScalarSubquery _),
     // C: dedup
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
@@ -104,6 +107,9 @@ object SparkEntry {
     "mon_json_props" -> Monitoring.jsonPropsSql,
     "mon_asof_last_success" -> Monitoring.asofLastSuccessSql,
     "mon_value_histogram" -> Monitoring.valueHistogramSql,
+    "mon_moving_avg" -> Monitoring.movingAvgSql,
+    "q_grouping_sets" -> Relational.qGroupingSetsSql,
+    "q_scalar_subquery" -> Relational.qScalarSubquerySql,
     "mm_manifest" -> Multimodal.mmManifestSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,

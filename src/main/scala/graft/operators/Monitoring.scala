@@ -335,6 +335,42 @@ object Monitoring {
       |  COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_props
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- A21
+  /** Moving average over per-minute metric sums (5-window trailing
+    * frame) — the smoothed CloudWatch chart. All window arithmetic in
+    * exact decimal: DuckDB's segment-tree window aggregation sums
+    * frames in a different order than Spark's running frames, so
+    * double accumulation would drift; decimal is order-free. */
+  def movingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perMinute = Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id", date_trunc("minute", $"ts").as("w"))
+      .agg(sum($"value".cast("decimal(18,4)")).as("m"))
+    val frame = Window.partitionBy($"user_id").orderBy($"w")
+      .rowsBetween(-4, Window.currentRow)
+    perMinute
+      .withColumn("ma5",
+        (sum($"m").over(frame).cast("double") / count(lit(1)).over(frame)))
+      .select($"user_id", expr("unix_micros(w)").as("window_us"),
+        $"m".cast("double").as("metric_sum"), $"ma5")
+      .orderBy($"user_id", $"window_us")
+  }
+
+  val movingAvgSql: String =
+    """WITH pm AS (
+      |  SELECT user_id, date_trunc('minute', ts) AS w,
+      |    SUM(CAST(value AS DECIMAL(18,4))) AS m
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id, date_trunc('minute', ts))
+      |SELECT user_id, epoch_us(w) AS window_us,
+      |  CAST(m AS DOUBLE) AS metric_sum,
+      |  CAST(SUM(m) OVER f AS DOUBLE) / COUNT(*) OVER f AS ma5
+      |FROM pm
+      |WINDOW f AS (PARTITION BY user_id ORDER BY w
+      |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, window_us""".stripMargin
+
   // ---------------------------------------------------------------- A16
   /** Metric value distribution per event type: 10-bucket histogram on
     * [0, 600) via the custom TypedImperativeAggregate

@@ -349,6 +349,52 @@ object Relational {
       |WHERE n_regionkey = r_regionkey AND r_name = 'AMERICA'
       |ORDER BY nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- B18
+  /** Explicit GROUPING SETS (finer than rollup/cube): status-only,
+    * priority-only, and grand-total aggregates in one pass (Catalyst
+    * Expand → single shuffle). */
+  def qGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin
+
+  // ---------------------------------------------------------------- B19
+  /** Correlated scalar subquery: each customer's max order price.
+    * Catalyst decorrelates into an aggregate + left outer join. */
+  def qScalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer_ss")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_ss")
+    spark.sql(
+      """SELECT c_custkey,
+        |  COALESCE((SELECT MAX(o.o_totalprice) FROM orders_ss o
+        |            WHERE o.o_custkey = c.c_custkey), -1.0) AS max_price
+        |FROM customer_ss c
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val qScalarSubquerySql: String =
+    """SELECT c_custkey,
+      |  COALESCE((SELECT MAX(o.o_totalprice) FROM orders o
+      |            WHERE o.o_custkey = c.c_custkey), -1.0) AS max_price
+      |FROM customer c
+      |ORDER BY c_custkey""".stripMargin
+
   // ---------------------------------------------------------------- B17
   /** Native pivot: order counts per priority with one column per
     * status. Explicit pivot values keep the plan single-pass (no
