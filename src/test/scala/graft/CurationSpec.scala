@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curation keeps a subset, dedups planted exact copies, drops low-quality docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the old riverbank today", "en", "s1", 70L),
+      (2L, "the quick brown fox jumps over the lazy dog near the old riverbank today", "en", "s2", 70L), // exact dup of 1
+      (3L, "spam spam spam spam spam spam spam spam spam spam spam spam", "en", "s1", 60L), // low uniq ratio
+      (4L, "short text", "en", "s1", 10L), // too few tokens
+      (5L, "ein ganz anderer text mit vielen verschiedenen deutschen wortarten und inhalten hier", "de", "s3", 80L),
+      (6L, "some totally fine english document with enough distinct tokens to pass quality gates", "xx", "s1", 80L), // unknown lang
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = Curation.curateExact(docs).select($"doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 5L)),
+      s"expected exact-dup survivor + german doc, got ${kept.toSeq}")
+  }
+
+  test("full pipeline also drops planted near-duplicates") {
+    val base = "the quick brown fox jumps over the lazy dog while the morning " +
+      "sun rises slowly over the quiet green valley and birds sing in the tall trees"
+    val docs = Seq(
+      (1L, base, "en", "s1", 140L),
+      (2L, base.replace("lazy dog", "lazy cat"), "en", "s2", 140L), // near dup of 1
+      (3L, "completely unrelated document about cooking pasta with fresh tomatoes basil and olive oil for dinner tonight", "en", "s3", 100L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.createOrReplaceTempView("curation_docs")
+    // curate() reads from Tables; test the stages directly instead
+    val kept = Curation.curateExact(docs)
+    val victims = graft.operators.Dedup
+      .minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select($"id2".as("doc_id")).distinct()
+    val finalKept = kept.join(victims, Seq("doc_id"), "left_anti")
+      .select($"doc_id").as[Long].collect().sorted
+    assert(finalKept.sameElements(Array(1L, 3L)), s"got ${finalKept.toSeq}")
+  }
+
+  test("driver pipeline runs on the real corpus and never grows the input") {
+    val in = Tables.documents(spark, sf).count()
+    val exact = Curation.pipelineCurate(spark, sf).count()
+    val full = Curation.curate(spark, sf).count()
+    assert(exact <= in && full <= exact)
+    assert(full > 0)
+  }
+}
