@@ -56,6 +56,25 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic stratified sample: keep `fraction` of each stratum
+    * (e.g. per language) using a hash-based Bernoulli draw on a key
+    * column — reproducible across runs AND across cluster sizes
+    * (unlike `sample()`, whose draw depends on partitioning). The
+    * standard way to downsample dominant languages/sources when
+    * balancing a training mix. */
+  def sampleStratified(docs: DataFrame, stratumCol: String,
+      fractions: Map[String, Double], keyCol: String = "doc_id",
+      seed: Long = 42L): DataFrame = {
+    val whenExpr = fractions.foldLeft(lit(0.0)) { case (acc, (stratum, f)) =>
+      when(col(stratumCol) === stratum, lit(f)).otherwise(acc)
+    }
+    docs
+      .withColumn("__draw",
+        (pmod(xxhash64(col(keyCol), lit(seed)), lit(1000000L))).cast("double") / 1000000.0)
+      .filter(col("__draw") < whenExpr)
+      .drop("__draw")
+  }
+
   /** Driver query (stages 1–3, oracle-checked; stage 4 is rows-only via
     * [[curate]] — exposed separately as pipeline_curate_full). */
   def pipelineCurate(spark: SparkSession, sfDir: String): DataFrame =

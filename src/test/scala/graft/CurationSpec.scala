@@ -40,6 +40,26 @@ class CurationSpec extends SparkSpec {
     assert(finalKept.sameElements(Array(1L, 3L)), s"got ${finalKept.toSeq}")
   }
 
+  test("stratified sample: per-stratum fractions honored, deterministic, partition-invariant") {
+    val docs = Tables.documents(spark, sf)
+    val fractions = Map("en" -> 0.5, "de" -> 1.0, "es" -> 0.0)
+    val sampled = Curation.sampleStratified(docs, "lang", fractions)
+    val counts = sampled.groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse("es", 0L) === 0L)
+    assert(counts("de") === totals("de"))
+    val enFrac = counts("en").toDouble / totals("en")
+    assert(enFrac > 0.3 && enFrac < 0.7, s"en fraction $enFrac")
+    assert(!counts.contains("fr") && !counts.contains("zh")) // default 0
+    // deterministic and invariant under repartitioning
+    val again = Curation.sampleStratified(docs.repartition(13), "lang", fractions)
+      .select($"doc_id").as[Long].collect().sorted
+    val first = sampled.select($"doc_id").as[Long].collect().sorted
+    assert(again.sameElements(first))
+  }
+
   test("driver pipeline runs on the real corpus and never grows the input") {
     val in = Tables.documents(spark, sf).count()
     val exact = Curation.pipelineCurate(spark, sf).count()
