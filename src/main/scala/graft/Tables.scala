@@ -30,9 +30,14 @@ object Tables {
     * truncate to microseconds — exactly what DuckDB does when it loads
     * the same file, so oracle comparisons stay bit-identical.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+    eventsAt(s, s"$d/events.parquet")
+
+  /** Same ns→µs handling for an arbitrary events-parquet path (used by
+    * the streaming replay source as well as [[events]]). */
+  def eventsAt(s: SparkSession, path: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
+    s.read.parquet(path)
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -20,14 +20,7 @@ import graft.streaming.{DeviceEvent, HealthMonitor, StreamingAggs}
 object GatewayMonitorDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .appName("gateway-monitor-demo")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.local("gateway-monitor-demo")
     import spark.implicits._
 
     val events = spark.readStream

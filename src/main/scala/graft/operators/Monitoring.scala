@@ -137,7 +137,9 @@ object Monitoring {
     * event_type='error' per device with length >= 3 — the reference's
     * max_failed_cnt=3 trigger (restart.sh:16,121). Two window passes +
     * one agg, all keyed by device. */
-  def consecutiveFailures(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Gaps-and-islands: maximal consecutive-error runs per device (two
+    * window passes + one agg, all keyed by device). Shared by A5/A9. */
+  private def errorRuns(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val wAll = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val wTyp = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
@@ -148,6 +150,11 @@ object Monitoring {
       .groupBy($"user_id", ($"rn" - $"rn_t").as("grp"))
       .agg(count(lit(1)).as("run_len"),
         min(expr(tsUs)).as("start_us"), max(expr(tsUs)).as("end_us"))
+  }
+
+  def consecutiveFailures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    errorRuns(spark, sfDir)
       .filter($"run_len" >= 3)
       .select($"user_id", $"run_len", $"start_us", $"end_us")
       .orderBy($"user_id", $"start_us")
@@ -262,16 +269,9 @@ object Monitoring {
     * restart.sh:27-45, check_network.sh:37-44). */
   def escalationBatch(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val wAll = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val wTyp = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
-    Tables.events(spark, sfDir)
-      .withColumn("rn", row_number().over(wAll))
-      .withColumn("rn_t", row_number().over(wTyp))
-      .filter($"event_type" === "error")
-      .groupBy($"user_id", ($"rn" - $"rn_t").as("grp"))
-      .agg(count(lit(1)).as("len"))
+    errorRuns(spark, sfDir)
       .groupBy($"user_id")
-      .agg(max($"len").as("max_consecutive_failures"))
+      .agg(max($"run_len").as("max_consecutive_failures"))
       .withColumn("action",
         when($"max_consecutive_failures" >= 9, "REBOOT")
           .when($"max_consecutive_failures" >= 6, "USB_POWER_CYCLE")

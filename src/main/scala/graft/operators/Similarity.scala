@@ -26,25 +26,33 @@ object Similarity {
   val AnnK = 5
   val KnnK = 3
 
+  /** Shared tail of every ANN query: exact top-k per query through the
+    * custom TopKPerKey operator (per-partition bounded heaps prune to
+    * k·queries rows BEFORE the shuffle — a window formulation would
+    * shuffle every scored candidate pair), then a trivial rank window
+    * over the k·queries survivors. `scored` must have columns
+    * (query_id, vec_id, cos [, extras…]). */
+  private def rankTopK(scored: DataFrame, k: Int, extras: Seq[String] = Nil): DataFrame = {
+    import scored.sparkSession.implicits._
+    val top = graft.plans.TopK.perKey(
+      scored, Seq("query_id"), Seq($"cos".desc, $"vec_id".asc), k)
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    val cols = Seq($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cos") ++
+      extras.map(col)
+    top.withColumn("rank", row_number().over(w))
+      .select(cols: _*)
+      .orderBy($"query_id", $"rank")
+  }
+
   def annBruteTopK(spark: SparkSession, sfDir: String, k: Int = AnnK): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"))
-    val scored = e.crossJoin(broadcast(q))
+    rankTopK(e.crossJoin(broadcast(q))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
-        round(VectorFunctions.cosineSim($"qe", $"embedding"), 6).as("cos"))
-    // top-k through the custom operator: per-partition bounded heaps
-    // prune to k·queries rows BEFORE the shuffle — the window
-    // formulation would shuffle every scored candidate pair. The rank
-    // column is then a trivial window over k·queries rows.
-    val top = graft.plans.TopK.perKey(
-      scored, Seq("query_id"), Seq($"cos".desc, $"vec_id".asc), k)
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-    top.withColumn("rank", row_number().over(w))
-      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cos")
-      .orderBy($"query_id", $"rank")
+        round(VectorFunctions.cosineSim($"qe", $"embedding"), 6).as("cos")), k)
   }
 
   /** DuckDB cosine over DOUBLE[] casts, rounded to 6 — textually mirrors
@@ -76,16 +84,11 @@ object Similarity {
       .withColumn("bucket", VectorFunctions.hyperplaneLsh($"embedding", bits))
     val q = e.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"bucket")
-    val scored = e.join(broadcast(q), Seq("bucket"))
+    rankTopK(e.join(broadcast(q), Seq("bucket"))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id", $"bucket",
-        round(VectorFunctions.cosineSim($"qe", $"embedding"), 6).as("cos"))
-    val top = graft.plans.TopK.perKey(
-      scored, Seq("query_id"), Seq($"cos".desc, $"vec_id".asc), k)
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-    top.withColumn("rank", row_number().over(w))
-      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cos", $"bucket")
-      .orderBy($"query_id", $"rank")
+        round(VectorFunctions.cosineSim($"qe", $"embedding"), 6).as("cos")),
+      k, extras = Seq("bucket"))
   }
 
   // ---------------------------------------------------------------- D3
@@ -95,17 +98,11 @@ object Similarity {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
     val l = e.select($"label", $"vec_id".as("query_id"), $"embedding".as("qe"))
-    val r = e.select($"label", $"vec_id".as("neighbor_id"), $"embedding".as("ne"))
-    val scored = l.join(r, Seq("label"))
-      .filter($"query_id" =!= $"neighbor_id")
-      .select($"query_id", $"neighbor_id",
-        round(VectorFunctions.cosineSim($"qe", $"ne"), 6).as("cos"))
-    val top = graft.plans.TopK.perKey(
-      scored, Seq("query_id"), Seq($"cos".desc, $"neighbor_id".asc), k)
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
-    top.withColumn("rank", row_number().over(w))
-      .select($"query_id", $"rank", $"neighbor_id", $"cos")
-      .orderBy($"query_id", $"rank")
+    val r = e.select($"label", $"vec_id", $"embedding".as("ne"))
+    rankTopK(l.join(r, Seq("label"))
+      .filter($"query_id" =!= $"vec_id")
+      .select($"query_id", $"vec_id",
+        round(VectorFunctions.cosineSim($"qe", $"ne"), 6).as("cos")), k)
   }
 
   val knnJoinSql: String =
@@ -139,16 +136,11 @@ object Similarity {
     val cells = model.transform(e).select($"vec_id", $"embedding", $"cell")
     val q = cells.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"cell")
-    val scored = cells.join(broadcast(q), Seq("cell"))
+    rankTopK(cells.join(broadcast(q), Seq("cell"))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id", $"cell",
-        round(VectorFunctions.cosineSim($"qe", $"embedding"), 6).as("cos"))
-    val top = graft.plans.TopK.perKey(
-      scored, Seq("query_id"), Seq($"cos".desc, $"vec_id".asc), k)
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-    top.withColumn("rank", row_number().over(w))
-      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cos", $"cell")
-      .orderBy($"query_id", $"rank")
+        round(VectorFunctions.cosineSim($"qe", $"embedding"), 6).as("cos")),
+      k, extras = Seq("cell"))
   }
 
   // ---------------------------------------------------------------- D4

@@ -128,15 +128,17 @@ object TextAnalysis {
     * transcendental and engines' libm may differ in the last ulp. */
   def tfIdfTop(spark: SparkSession, sfDir: String, topK: Int = 3): DataFrame = {
     import spark.implicits._
-    val postings = Tables.documents(spark, sfDir)
-      .select($"doc_id", explode(tokens()).as("term"))
-    val n = Tables.documents(spark, sfDir).count()
+    val docs = Tables.documents(spark, sfDir)
+    val postings = docs.select($"doc_id", explode(tokens()).as("term"))
+    // corpus size joins in as a 1-row broadcast instead of an eager
+    // count() action, keeping the whole query one lazy plan
+    val nDf = docs.agg(count(lit(1)).as("n_docs"))
     val df_ = postings.select($"doc_id", $"term").distinct()
       .groupBy($"term").agg(count(lit(1)).as("df"))
     val tf = postings.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val scored = tf.join(df_, Seq("term"))
+    val scored = tf.join(df_, Seq("term")).crossJoin(broadcast(nDf))
       .withColumn("tfidf",
-        $"tf" * (log((lit(n) + 1.0) / ($"df" + 1.0)) + 1.0))
+        $"tf" * (log(($"n_docs" + 1.0) / ($"df" + 1.0)) + 1.0))
     graft.plans.TopK.perKey(scored, Seq("doc_id"),
       Seq($"tfidf".desc, $"term".asc), topK)
       .select($"doc_id", $"term", $"tf", $"df", round($"tfidf", 6).as("tfidf"))

@@ -98,9 +98,8 @@ class EventReplayStream(options: Map[String, String])
     loadRaw(SparkSession.active)
 
   private def loadRaw(spark: SparkSession): Map[String, Array[WireEvent]] = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path)
-      .selectExpr("event_id", "ts div 1000 AS ts_us", "user_id",
+    graft.Tables.eventsAt(spark, path)
+      .selectExpr("event_id", "unix_micros(ts) AS ts_us", "user_id",
         "event_type", "value", "props")
       .collect()
       .map(r => WireEvent(r.getLong(0), r.getLong(1), r.getLong(2),

@@ -29,7 +29,6 @@ class CurationSpec extends SparkSpec {
       (2L, base.replace("lazy dog", "lazy cat"), "en", "s2", 140L), // near dup of 1
       (3L, "completely unrelated document about cooking pasta with fresh tomatoes basil and olive oil for dinner tonight", "en", "s3", 100L),
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
-    docs.createOrReplaceTempView("curation_docs")
     // curate() reads from Tables; test the stages directly instead
     val kept = Curation.curateExact(docs)
     val victims = graft.operators.Dedup

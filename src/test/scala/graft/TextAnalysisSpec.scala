@@ -71,9 +71,7 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 40L),
       (3L, "alpha beta gamma delta epsilon zeta eta iota", "en", "s", 40L),
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
-    docs.createOrReplaceTempView("documents_tfidf")
-    // drive through the generic shape by pointing the op at a temp dir?
-    // simpler: replicate the op inline on the planted frame
+    // replicate the op inline on the planted frame
     val postings = docs.select($"doc_id",
       explode(TextAnalysis.tokens()).as("term"))
     val df_ = postings.distinct().groupBy($"term").agg(count(lit(1)).as("df"))
