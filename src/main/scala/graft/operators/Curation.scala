@@ -47,7 +47,10 @@ object Curation {
   def curate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
-    val kept = curateExact(docs)
+    // repartition boundary → the three consumers of `kept` (semi-join,
+    // anti-join, output) share one exchange (ReusedExchange) instead of
+    // re-running the quality gates + sha256 dedup per consumer
+    val kept = curateExact(docs).repartition($"doc_id")
     val keptDocs = docs.join(kept.select($"doc_id"), Seq("doc_id"), "left_semi")
     val nearDupVictims = Dedup
       .minhashPairs(keptDocs, "doc_id", "text", threshold = 0.8)
