@@ -27,6 +27,7 @@ object SparkEntry {
     "q_conditional_agg" -> (Relational.qConditionalAgg _),
     "q_union_except" -> (Relational.qUnionExcept _),
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
+    "q_approx_percentiles" -> (Relational.qApproxPercentiles _),
     "q_topk_custom" -> (Relational.qTopKCustom _),
     "q_intersect" -> (Relational.qIntersect _),
     "q_datetime" -> (Relational.qDatetime _),

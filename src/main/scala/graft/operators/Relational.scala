@@ -349,6 +349,26 @@ object Relational {
       |WHERE n_regionkey = r_regionkey AND r_name = 'AMERICA'
       |ORDER BY nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- B20
+  /** Approximate percentiles via the KLL-style quantile sketch
+    * (approx_percentile) — the 100-TB path of B9: fixed-size sketch
+    * state, single pass, mergeable partials. Rows-only (sketch
+    * internals are engine-specific); the spec bounds error vs B9's
+    * exact answer. */
+  def qApproxPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderstatus")
+      .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.95), 10000)").as("approx"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("exact_p50"),
+        round(expr("percentile(o_totalprice, 0.95)"), 4).as("exact_p95"))
+      .select($"o_orderstatus",
+        element_at($"approx", 1).as("approx_p50"),
+        element_at($"approx", 2).as("approx_p95"),
+        $"exact_p50", $"exact_p95")
+      .orderBy($"o_orderstatus")
+  }
+
   // ---------------------------------------------------------------- B18
   /** Explicit GROUPING SETS (finer than rollup/cube): status-only,
     * priority-only, and grand-total aggregates in one pass (Catalyst

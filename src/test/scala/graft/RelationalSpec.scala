@@ -87,6 +87,14 @@ class RelationalSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(1) <= r.getDouble(2)))
   }
 
+  test("approx percentiles within 2% of exact") {
+    Relational.qApproxPercentiles(spark, sf).collect().foreach { r =>
+      val (a50, a95, e50, e95) = (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(math.abs(a50 - e50) / e50 < 0.02, s"p50 approx=$a50 exact=$e50")
+      assert(math.abs(a95 - e95) / e95 < 0.02, s"p95 approx=$a95 exact=$e95")
+    }
+  }
+
   test("approx distinct within 5% of exact") {
     Relational.qApproxDistinct(spark, sf).collect().foreach { r =>
       val approx = r.getLong(1).toDouble
