@@ -18,17 +18,22 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   def builder(appName: String = "graft",
-      shufflePartitions: Int = Runtime.getRuntime.availableProcessors): SparkSession.Builder =
-    SparkSession.builder()
+      shufflePartitions: Option[Int] = None): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .appName(appName)
       .withExtensions(new GraftExtensions)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
+    // On a cluster the right shuffle-partition count depends on total
+    // executor cores, which the driver-side builder cannot know — leave
+    // Spark's default + AQE coalescing unless the caller sizes it.
+    // local() passes the core count explicitly.
+    shufflePartitions.fold(b)(n => b.config("spark.sql.shuffle.partitions", n.toString))
+  }
 
   /** Local session for tools/examples. */
   def local(appName: String = "graft", cores: Int = 8): SparkSession = {
-    val s = builder(appName, cores)
+    val s = builder(appName, Some(cores))
       .master(s"local[$cores]")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -26,14 +26,13 @@ object Curation {
   def curateExact(docs: DataFrame, minTokens: Int = 10,
       langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame = {
     val toks = TextAnalysis.tokens("text")
-    val langList = langs.map(l => s"'$l'").mkString("array(", ", ", ")")
     val gated = docs
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("uniq_ratio",
         size(array_distinct(toks)).cast("double") / size(toks))
       .filter(col("n_tokens") >= minTokens)
       .filter(col("uniq_ratio") >= 0.3)
-      .filter(expr(s"array_contains($langList, lang)"))
+      .filter(col("lang").isin(langs: _*))
     // exact dedup: arg-min doc per hash — map-side partial agg
     gated
       .withColumn("h", sha2(col("text"), 256))
@@ -43,21 +42,24 @@ object Curation {
         col("keep.n_tokens").as("n_tokens"))
   }
 
-  /** Full pipeline including MinHash-LSH near-dedup. */
-  def curate(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val docs = Tables.documents(spark, sfDir)
+  /** Full pipeline (stages 1–4) over any documents frame — testable on
+    * planted corpora at the production threshold. */
+  def curateFull(docs: DataFrame, nearDupThreshold: Double = 0.8): DataFrame = {
     // repartition boundary → the three consumers of `kept` (semi-join,
     // anti-join, output) share one exchange (ReusedExchange) instead of
     // re-running the quality gates + sha256 dedup per consumer
-    val kept = curateExact(docs).repartition($"doc_id")
-    val keptDocs = docs.join(kept.select($"doc_id"), Seq("doc_id"), "left_semi")
+    val kept = curateExact(docs).repartition(col("doc_id"))
+    val keptDocs = docs.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val nearDupVictims = Dedup
-      .minhashPairs(keptDocs, "doc_id", "text", threshold = 0.8)
-      .select($"id2".as("doc_id")).distinct()
+      .minhashPairs(keptDocs, "doc_id", "text", threshold = nearDupThreshold)
+      .select(col("id2").as("doc_id")).distinct()
     kept.join(nearDupVictims, Seq("doc_id"), "left_anti")
-      .orderBy($"doc_id")
+      .orderBy(col("doc_id"))
   }
+
+  /** Full pipeline including MinHash-LSH near-dedup. */
+  def curate(spark: SparkSession, sfDir: String): DataFrame =
+    curateFull(Tables.documents(spark, sfDir))
 
   /** Deterministic stratified sample: keep `fraction` of each stratum
     * (e.g. per language) using a hash-based Bernoulli draw on a key

@@ -133,12 +133,9 @@ object Monitoring {
       |ORDER BY user_id, window_us""".stripMargin
 
   // ---------------------------------------------------------------- A5
-  /** Consecutive-failure runs (gaps-and-islands): maximal runs of
-    * event_type='error' per device with length >= 3 — the reference's
-    * max_failed_cnt=3 trigger (restart.sh:16,121). Two window passes +
-    * one agg, all keyed by device. */
-  /** Gaps-and-islands: maximal consecutive-error runs per device (two
-    * window passes + one agg, all keyed by device). Shared by A5/A9. */
+  /** Gaps-and-islands: ALL maximal consecutive-error runs per device,
+    * regardless of length (two window passes + one agg, all keyed by
+    * device). Shared by A5 (filters to >= 3) and A9 (max over all). */
   private def errorRuns(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val wAll = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
@@ -152,6 +149,8 @@ object Monitoring {
         min(expr(tsUs)).as("start_us"), max(expr(tsUs)).as("end_us"))
   }
 
+  /** Runs of >= 3 consecutive failures — the reference's
+    * max_failed_cnt=3 trigger (restart.sh:16,121). */
   def consecutiveFailures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     errorRuns(spark, sfDir)

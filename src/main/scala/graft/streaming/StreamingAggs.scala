@@ -14,13 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object StreamingAggs {
 
-  /** Apply a watermark unless the stream already carries one —
-    * redefining a watermark is an analysis error, and chained stateful
-    * stages (dedup → windowed agg) share the upstream one. */
+  /** Apply a watermark unless the stream already carries one ON THE
+    * SAME COLUMN — redefining a watermark is an analysis error, and
+    * chained stateful stages (dedup → windowed agg) share the upstream
+    * one; a watermark on a different timestamp column does NOT satisfy
+    * this stage and must still fail loudly downstream rather than be
+    * silently absorbed here. */
   private def withWatermarkIfAbsent(df: DataFrame, col: String, delay: String): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
     val already = df.queryExecution.logical.collectFirst {
-      case e: EventTimeWatermark => e
+      case e: EventTimeWatermark if e.eventTime.name == col => e
     }.isDefined
     if (already || !df.isStreaming) df else df.withWatermark(col, delay)
   }

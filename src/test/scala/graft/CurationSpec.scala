@@ -21,20 +21,20 @@ class CurationSpec extends SparkSpec {
       s"expected exact-dup survivor + german doc, got ${kept.toSeq}")
   }
 
-  test("full pipeline also drops planted near-duplicates") {
+  test("full pipeline drops planted near-duplicates at the production 0.8 threshold") {
+    // long doc, one word changed: 66 tokens → 62 5-shingles, 5 affected
+    // → Jaccard ≈ 57/67 ≈ 0.85 > 0.8, so stage 4 must drop doc 2
     val base = "the quick brown fox jumps over the lazy dog while the morning " +
-      "sun rises slowly over the quiet green valley and birds sing in the tall trees"
+      "sun rises slowly over the quiet green valley and birds sing in the tall " +
+      "old trees near the winding river that flows gently toward the distant sea " +
+      "as fishermen cast their long lines into the cold clear water waiting " +
+      "patiently for the first catch of the early day"
     val docs = Seq(
-      (1L, base, "en", "s1", 140L),
-      (2L, base.replace("lazy dog", "lazy cat"), "en", "s2", 140L), // near dup of 1
+      (1L, base, "en", "s1", 300L),
+      (2L, base.replace("lazy dog", "lazy cat"), "en", "s2", 300L), // near dup of 1
       (3L, "completely unrelated document about cooking pasta with fresh tomatoes basil and olive oil for dinner tonight", "en", "s3", 100L),
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
-    // curate() reads from Tables; test the stages directly instead
-    val kept = Curation.curateExact(docs)
-    val victims = graft.operators.Dedup
-      .minhashPairs(docs, "doc_id", "text", threshold = 0.5)
-      .select($"id2".as("doc_id")).distinct()
-    val finalKept = kept.join(victims, Seq("doc_id"), "left_anti")
+    val finalKept = Curation.curateFull(docs)
       .select($"doc_id").as[Long].collect().sorted
     assert(finalKept.sameElements(Array(1L, 3L)), s"got ${finalKept.toSeq}")
   }

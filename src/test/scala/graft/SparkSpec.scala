@@ -13,7 +13,7 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = GraftSession.builder("graft-test", shufflePartitions = 8)
+    val s = GraftSession.builder("graft-test", shufflePartitions = Some(8))
       .master("local[8]")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)

@@ -66,8 +66,10 @@ class TextAnalysisSpec extends SparkSpec {
   }
 
   test("tf-idf: rare planted term dominates its document") {
+    // zzyzxunique: tf=2, df=1 → 2·(ln(4/2)+1) ≈ 3.39; every common
+    // term: tf≤2, df=3 → ≤ 2·(ln(4/4)+1) = 2.0 — the rare term MUST win
     val docs = Seq(
-      (1L, "alpha beta gamma delta zzyzxunique alpha beta gamma", "en", "s", 40L),
+      (1L, "alpha beta gamma delta zzyzxunique alpha beta zzyzxunique", "en", "s", 40L),
       (2L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 40L),
       (3L, "alpha beta gamma delta epsilon zeta eta iota", "en", "s", 40L),
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -80,9 +82,7 @@ class TextAnalysisSpec extends SparkSpec {
       .withColumn("tfidf", $"tf" * (log((lit(3) + 1.0) / ($"df" + 1.0)) + 1.0))
     val top1 = scored.filter($"doc_id" === 1L)
       .orderBy($"tfidf".desc).select($"term").as[String].head()
-    // the unique term appears once but in only 1 of 3 docs → top score
-    // is either it or the tf=2 common terms; df=1 idf beats tf=2 here
-    assert(top1 === "zzyzxunique" || Set("alpha", "beta", "gamma")(top1))
+    assert(top1 === "zzyzxunique")
     // and on the real corpus the driver query returns topK rows per doc
     val real = TextAnalysis.tfIdfTop(spark, sf)
     val counts = real.groupBy($"doc_id").count().select($"count").as[Long].collect()
