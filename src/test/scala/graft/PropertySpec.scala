@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.plans.TopK
+
+/** Property-based checks: the custom operator and sketch kernels hold
+  * their contracts on arbitrary generated data, not just fixtures.
+  * Cases come from ScalaCheck generators driven by FIXED seeds so runs
+  * are deterministic (no scalatestplus bridge in the offline deps).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val rowsGen: Gen[List[(Long, Long, Double)]] = for {
+    n <- Gen.choose(1, 60)
+    rows <- Gen.listOfN(n, for {
+      key <- Gen.choose(0L, 4L)
+      id <- Gen.choose(0L, 1000L)
+      score <- Gen.choose(-100, 100).map(_ / 7.0)
+    } yield (key, id, score))
+  } yield rows
+
+  test("property: TopKPerKey equals sort-based top-k on arbitrary data") {
+    for (seed <- 1L to 6L) {
+      val data = sample(rowsGen, seed).distinctBy(r => (r._1, r._2))
+      val k = (seed % 5 + 1).toInt
+      val df = data.toDF("key", "id", "score")
+      val got = TopK.perKey(df, Seq("key"), Seq($"score".desc, $"id".asc), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = data.groupBy(_._1).flatMap { case (_, rs) =>
+        rs.sortBy(r => (-r._3, r._2)).take(k)
+      }.map(r => (r._1, r._2)).toSet
+      assert(got === want, s"seed=$seed k=$k")
+    }
+  }
+
+  private val vocab = Vector("red", "blue", "green", "fast", "slow", "data",
+    "spark", "query", "join", "scan", "merge", "sort", "hash", "table", "row")
+  private val docGen: Gen[String] = Gen.choose(30, 80).flatMap(n =>
+    Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+
+  test("property: verified minhash jaccard equals exact shingle-set jaccard") {
+    for (seed <- 1L to 5L) {
+      val (a, b) = (sample(docGen, seed), sample(docGen, seed + 100))
+      val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      val est = graft.operators.Dedup
+        .minhashPairs(docs, "doc_id", "text", threshold = 0.0)
+        .collect().headOption.map(_.getDouble(2))
+      val sh = docs
+        .withColumn("toks", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .select(graft.functions.TextFunctions.shingleHashes($"toks", 5).as("sh"))
+        .as[Seq[Long]].collect()
+      val exact = sh(0).toSet.intersect(sh(1).toSet).size.toDouble /
+        sh(0).toSet.union(sh(1).toSet).size
+      est match {
+        // minhashPairs verifies candidates with EXACT jaccard on the
+        // same shingle sets, so any surfaced pair must match exactly
+        case Some(j) => assert(math.abs(j - math.rint(exact * 1e6) / 1e6) < 1e-9,
+          s"seed=$seed est=$j exact=$exact")
+        case None => // LSH may legitimately miss low-jaccard pairs
+          assert(exact < 0.9, s"seed=$seed high-jaccard pair ($exact) missed by LSH")
+      }
+    }
+  }
+}
