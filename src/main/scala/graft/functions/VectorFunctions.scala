@@ -224,6 +224,74 @@ object VectorFunctions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** IVF cell assignment: index of the nearest centroid by squared
+    * Euclidean distance (first wins on ties, matching k-means argmin).
+    * The centroid table rides along as a plan reference object — a few
+    * KB task-serialized once per executor, so assignment is a map-only
+    * codegen'd pass with zero shuffle and no ML model object on the
+    * hot path. NULL on dimension mismatch (see CosineSimilarity). */
+  case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true // dimension mismatch → null
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isFloatArray(child.dataType) && centroids.nonEmpty &&
+          centroids.forall(_.length == centroids.head.length))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        "nearest_centroid needs array<float> and >=1 equal-length centroids")
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (n != centroids.head.length) return null
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val cc = centroids(c)
+        var d = 0.0
+        var i = 0
+        while (i < n) {
+          val diff = x.getFloat(i).toDouble - cc(i); d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+        val i = ctx.freshName("i")
+        val c = ctx.freshName("c")
+        val d = ctx.freshName("d")
+        val diff = ctx.freshName("diff")
+        val best = ctx.freshName("best")
+        val bestD = ctx.freshName("bestD")
+        val cc = ctx.freshName("cc")
+        s"""
+           |if ($a.numElements() != $cRef[0].length) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $best = 0; double $bestD = Double.MAX_VALUE;
+           |  for (int $c = 0; $c < $cRef.length; $c++) {
+           |    double[] $cc = $cRef[$c];
+           |    double $d = 0.0;
+           |    for (int $i = 0; $i < $cc.length; $i++) {
+           |      double $diff = (double) $a.getFloat($i) - $cc[$i]; $d += $diff * $diff;
+           |    }
+           |    if ($d < $bestD) { $bestD = $d; $best = $c; }
+           |  }
+           |  ${ev.value} = $best;
+           |}
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // Column-API wrappers.
   def cosineSim(a: Column, b: Column): Column =
     GraftColumn.apply(CosineSimilarity(
@@ -238,4 +306,7 @@ object VectorFunctions {
 
   def hyperplaneLsh(a: Column, bits: Int): Column =
     GraftColumn.apply(HyperplaneLsh(GraftColumn.expression(a), bits))
+
+  def nearestCentroid(a: Column, centroids: Array[Array[Double]]): Column =
+    GraftColumn.apply(NearestCentroid(GraftColumn.expression(a), centroids))
 }

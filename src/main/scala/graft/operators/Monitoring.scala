@@ -204,8 +204,8 @@ object Monitoring {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |y AS (
       |  SELECT user_id, us,
-      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
-      |                     ROWS UNBOUNDED PRECEDING) AS session_id
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       |  FROM x)
       |SELECT user_id, session_id, MIN(us) AS start_us, MAX(us) AS end_us,
       |  COUNT(*) AS n_events
@@ -231,7 +231,7 @@ object Monitoring {
       |  SELECT user_id, date_trunc('minute', ts) AS m,
       |    MAX(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS healthy
       |  FROM events GROUP BY user_id, date_trunc('minute', ts))
-      |SELECT user_id, SUM(healthy) AS healthy_windows,
+      |SELECT user_id, CAST(SUM(healthy) AS BIGINT) AS healthy_windows,
       |  COUNT(*) AS total_windows,
       |  CAST(SUM(healthy) AS DOUBLE) / COUNT(*) AS uptime_ratio
       |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
@@ -254,7 +254,7 @@ object Monitoring {
 
   val alertWindowsSql: String =
     """SELECT user_id, epoch_us(date_trunc('hour', ts)) AS window_us,
-      |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS failures
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS failures
       |FROM events
       |GROUP BY user_id, date_trunc('hour', ts)
       |HAVING SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) >= 1
@@ -329,7 +329,7 @@ object Monitoring {
 
   val jsonPropsSql: String =
     """SELECT user_id,
-      |  SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
       |  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
       |  COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_props
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
@@ -374,13 +374,15 @@ object Monitoring {
   /** Metric value distribution per event type: 10-bucket histogram on
     * [0, 600) via the custom TypedImperativeAggregate
     * ([[graft.functions.AggFunctions.HistogramAgg]]) — 80 bytes of
-    * state per group regardless of row count. */
+    * state per group regardless of row count. The bucket counts are
+    * emitted as a JSON string (`"[c0,...,c9]"`) so the result is a flat
+    * scalar column both engines hash identically. */
   def valueHistogram(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, sfDir)
       .groupBy($"event_type")
-      .agg(graft.functions.AggFunctions
-        .valueHistogram($"value", 10, 0.0, 600.0).as("hist"))
+      .agg(to_json(graft.functions.AggFunctions
+        .valueHistogram($"value", 10, 0.0, 600.0)).as("hist"))
       .orderBy($"event_type")
   }
 
@@ -394,7 +396,8 @@ object Monitoring {
       |      FROM b, (SELECT unnest(generate_series(0, 9)) AS bk) gs),
       |f AS (SELECT g.event_type, g.bk, COALESCE(c.cnt, 0) AS cnt
       |      FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.bk = c.bk)
-      |SELECT event_type, list(cnt ORDER BY bk) AS hist
+      |SELECT event_type,
+      |  '[' || string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY bk) || ']' AS hist
       |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------- A15

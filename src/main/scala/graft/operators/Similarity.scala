@@ -44,11 +44,23 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Hard ceiling on query×corpus pairs for the brute-force path — the
+    * "explicit guard" of SURVEY.md §5: past this, refuse and point at
+    * the bucketed paths instead of silently running an O(n·m) scan. */
+  val BruteForceMaxPairs: Long = 100L * 1000 * 1000
+
   def annBruteTopK(spark: SparkSession, sfDir: String, k: Int = AnnK): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    // Both counts are metadata-cheap parquet count(*) scans; the guard
+    // costs two tiny jobs and buys refusal instead of a runaway
+    // crossJoin when someone points this at a real corpus.
+    val pairs = e.count() * q.count()
+    require(pairs <= BruteForceMaxPairs,
+      s"brute-force ANN would score $pairs pairs (> $BruteForceMaxPairs); " +
+        "use annLsh or annIvf — the bucketed scale paths")
     rankTopK(e.crossJoin(broadcast(q))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
@@ -117,23 +129,38 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- D5
-  /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus
-    * (MLlib, fixed seed), then each query searches only its own
-    * centroid cell — the classic billion-scale layout (train once,
+  /** IVF (inverted-file) ANN: k-means coarse quantizer trained on a
+    * BOUNDED deterministic sample (hash-Bernoulli on vec_id, capped at
+    * `maxTrain` rows), then each query searches only its own centroid
+    * cell — the classic billion-scale layout (train once on a sample,
     * write the corpus partitioned by cell, probe 1..n cells at query
-    * time). Rows-only (centroid assignment is implementation-defined);
-    * the spec measures recall against the exact baseline. */
+    * time). The full corpus never feeds the iterative k-means job: at
+    * 100 TB the fit input stays ~`maxTrain` vectors regardless of
+    * corpus size, and cell assignment is a map-only codegen'd
+    * [[VectorFunctions.NearestCentroid]] pass (centroids ride along as
+    * a few KB of task state — no MLlib model, no extra shuffle).
+    * Rows-only (centroid assignment is implementation-defined); the
+    * spec measures recall against the exact baseline and determinism
+    * across runs. */
   def annIvf(spark: SparkSession, sfDir: String, nCells: Int = 8,
-      k: Int = AnnK): DataFrame = {
+      k: Int = AnnK, maxTrain: Int = 100000): DataFrame = {
     import spark.implicits._
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = Tables.embeddings(spark, sfDir)
-      .withColumn("fv", array_to_vector($"embedding"))
+    // Deterministic ~25% sample (partition-invariant: keyed on vec_id,
+    // not row position), hard-capped so the driver-coordinated fit is
+    // O(maxTrain) whatever the corpus size.
+    val train = e
+      .filter(pmod(xxhash64($"vec_id"), lit(4)) === 0)
+      .limit(maxTrain)
+      .select(array_to_vector($"embedding").as("fv"))
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(e.select($"fv"))
-    val cells = model.transform(e).select($"vec_id", $"embedding", $"cell")
+      .fit(train)
+    val centroids = model.clusterCenters.map(_.toArray)
+    val cells = e.select($"vec_id", $"embedding",
+      VectorFunctions.nearestCentroid($"embedding", centroids).as("cell"))
     val q = cells.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"cell")
     rankTopK(cells.join(broadcast(q), Seq("cell"))

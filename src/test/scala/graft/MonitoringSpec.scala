@@ -97,7 +97,9 @@ class MonitoringSpec extends SparkSpec {
     val sizes = Tables.events(spark, sf).groupBy($"event_type").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     rows.foreach { r =>
-      val hist = r.getSeq[Long](1)
+      val json = r.getString(1)
+      assert(json.startsWith("[") && json.endsWith("]"))
+      val hist = json.stripPrefix("[").stripSuffix("]").split(",").map(_.toLong)
       assert(hist.length === 10)
       assert(hist.sum === sizes(r.getString(0)))
       assert(hist.forall(_ >= 0))

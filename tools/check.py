@@ -51,6 +51,17 @@ def main(sf_dir: str, out_dir: str) -> int:
         if len(want) != len(got):
             print(f"FAIL {name}: rows want={len(want)} got={len(got)}")
             continue
+        # The driver hashes raw values, so an int64 Spark column vs a
+        # float64 oracle column (e.g. DuckDB SUM(int) → HUGEINT →
+        # float64) hash-mismatches even when values are equal. Replicate
+        # that strictness: dtype *kind* must agree per column.
+        kind_bad = [c for c in want.columns
+                    if want[c].dtype.kind != got[c].dtype.kind]
+        if kind_bad:
+            print(f"FAIL {name}: dtype-kind mismatch on {kind_bad}: " +
+                  ", ".join(f"want {want[c].dtype} got {got[c].dtype}"
+                            for c in kind_bad))
+            continue
         try:
             pd.testing.assert_frame_equal(
                 want, got, check_dtype=False, check_exact=True)
