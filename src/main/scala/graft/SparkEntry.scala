@@ -45,6 +45,9 @@ object SparkEntry {
     "mon_top_error_devices" -> (Monitoring.topErrorDevices _),
     "mon_json_props" -> (Monitoring.jsonProps _),
     "mon_asof_last_success" -> (Monitoring.asofLastSuccess _),
+    "mon_escalation_windowed" -> (Monitoring.escalationWindowed _),
+    "mon_incident_retries" -> ((s: SparkSession, d: String) =>
+      Monitoring.incidentRetries(s, d)),
     "mon_value_histogram" -> (Monitoring.valueHistogram _),
     "mon_moving_avg" -> (Monitoring.movingAvg _),
     "q_grouping_sets" -> (Relational.qGroupingSets _),
@@ -111,6 +114,8 @@ object SparkEntry {
     "mon_top_error_devices" -> Monitoring.topErrorDevicesSql,
     "mon_json_props" -> Monitoring.jsonPropsSql,
     "mon_asof_last_success" -> Monitoring.asofLastSuccessSql,
+    "mon_escalation_windowed" -> Monitoring.escalationWindowedSql,
+    "mon_incident_retries" -> Monitoring.incidentRetriesSql,
     "mon_value_histogram" -> Monitoring.valueHistogramSql,
     "mon_moving_avg" -> Monitoring.movingAvgSql,
     "q_grouping_sets" -> Relational.qGroupingSetsSql,

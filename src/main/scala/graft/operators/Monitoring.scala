@@ -296,6 +296,118 @@ object Monitoring {
       |       ELSE 'OK' END AS action
       |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- A22
+  /** Windowed escalation — the reference's *actual* reset semantics:
+    * restart.sh:27-35 re-zeroes `kvs_failed_cnt`/`exec_cnt` every
+    * `exec_max_cnt=3` probes / `loop_time=300`s, so failures are
+    * counted within a measurement window, never globally. Here the
+    * measurement window is a 300-second tumbling window (loop_time);
+    * consecutive-failure runs are computed WITHIN each (device,
+    * window) — a run cannot span a window boundary, exactly like the
+    * counter reset. Same shuffle profile as A5/A9: two window passes +
+    * two aggs, all keyed by (device, window). */
+  def escalationWindowed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val winUs = 300L * 1000000 // restart.sh loop_time=300s
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("w", expr(s"($tsUs div $winUs) * $winUs"))
+    val wAll = Window.partitionBy($"user_id", $"w").orderBy($"ts", $"event_id")
+    val wTyp = Window.partitionBy($"user_id", $"w", $"event_type")
+      .orderBy($"ts", $"event_id")
+    ev.withColumn("rn", row_number().over(wAll))
+      .withColumn("rn_t", row_number().over(wTyp))
+      .filter($"event_type" === "error")
+      .groupBy($"user_id", $"w", ($"rn" - $"rn_t").as("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy($"user_id", $"w")
+      .agg(max($"run_len").as("max_consecutive_failures"))
+      .withColumn("action",
+        when($"max_consecutive_failures" >= 9, "REBOOT")
+          .when($"max_consecutive_failures" >= 6, "USB_POWER_CYCLE")
+          .when($"max_consecutive_failures" >= 3, "SERVICE_RESTART")
+          .otherwise("OK"))
+      .select($"user_id", $"w".as("window_us"),
+        $"max_consecutive_failures", $"action")
+      .orderBy($"user_id", $"window_us")
+  }
+
+  val escalationWindowedSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    (epoch_us(ts) // 300000000) * 300000000 AS w,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) // 300000000
+      |                       ORDER BY ts, event_id) AS rn,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) // 300000000,
+      |                       event_type ORDER BY ts, event_id) AS rn_t
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id, w, COUNT(*) AS len FROM seq
+      |  WHERE event_type = 'error' GROUP BY user_id, w, rn - rn_t)
+      |SELECT user_id, w AS window_us, MAX(len) AS max_consecutive_failures,
+      |  CASE WHEN MAX(len) >= 9 THEN 'REBOOT'
+      |       WHEN MAX(len) >= 6 THEN 'USB_POWER_CYCLE'
+      |       WHEN MAX(len) >= 3 THEN 'SERVICE_RESTART'
+      |       ELSE 'OK' END AS action
+      |FROM runs GROUP BY user_id, w
+      |ORDER BY user_id, window_us""".stripMargin
+
+  // ---------------------------------------------------------------- A23
+  /** Incident retry accounting — check_network.sh:10-11's
+    * `max_retries=10` budget: each maximal consecutive-failure run is
+    * one incident; `attempts` is how many probes it burned; an incident
+    * whose run ends before the device's last event recovered (the next
+    * event is non-error by run maximality), otherwise it is still
+    * ONGOING at end of history; blowing the 10-attempt budget is the
+    * reference's reboot branch. Companion to A15's time-to-failure.
+    * Cost: the A5 runs pipeline + one broadcast join against the tiny
+    * per-device event-count aggregate. */
+  def incidentRetries(spark: SparkSession, sfDir: String,
+      maxRetries: Int = 10): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val wAll = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wTyp = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+    val totals = ev.groupBy($"user_id").agg(count(lit(1)).as("n_events"))
+    ev.withColumn("rn", row_number().over(wAll))
+      .withColumn("rn_t", row_number().over(wTyp))
+      .filter($"event_type" === "error")
+      .groupBy($"user_id", ($"rn" - $"rn_t").as("grp"))
+      .agg(count(lit(1)).as("attempts"),
+        min(expr(tsUs)).as("start_us"), max(expr(tsUs)).as("end_us"),
+        max($"rn").as("end_rn"))
+      .join(broadcast(totals), Seq("user_id"))
+      .withColumn("recovered", $"end_rn" < $"n_events")
+      .withColumn("outcome",
+        when($"attempts" >= maxRetries, "REBOOT")
+          .when($"recovered", "RECOVERED")
+          .otherwise("ONGOING"))
+      .select($"user_id", $"start_us", $"end_us", $"attempts",
+        $"recovered", $"outcome")
+      .orderBy($"user_id", $"start_us")
+  }
+
+  val incidentRetriesSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts, event_id) AS rn_t
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id, COUNT(*) AS attempts,
+      |    MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
+      |    MAX(rn) AS end_rn
+      |  FROM seq WHERE event_type = 'error'
+      |  GROUP BY user_id, rn - rn_t),
+      |tot AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
+      |SELECT r.user_id, start_us, end_us, attempts,
+      |  end_rn < n_events AS recovered,
+      |  CASE WHEN attempts >= 10 THEN 'REBOOT'
+      |       WHEN end_rn < n_events THEN 'RECOVERED'
+      |       ELSE 'ONGOING' END AS outcome
+      |FROM runs r JOIN tot USING (user_id)
+      |ORDER BY user_id, start_us""".stripMargin
+
   // ---------------------------------------------------------------- A10
   /** Top-k devices by error count, fully tie-broken. */
   def topErrorDevices(spark: SparkSession, sfDir: String): DataFrame = {

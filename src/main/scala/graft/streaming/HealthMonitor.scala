@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** A device telemetry event (the streaming twin of the `events` table). */
@@ -86,7 +87,12 @@ object HealthMonitor {
     (out.result(), s)
   }
 
-  /** Attach the monitor to any (streaming or batch) Dataset[DeviceEvent]. */
+  /** Attach the monitor to a streaming Dataset[DeviceEvent].
+    *
+    * Buffering note: `it.toSeq` holds one device's events *for one
+    * micro-batch* — bounded by trigger size, which is the right
+    * trade-off for streams. For batch replay over unbounded history use
+    * [[replaySorted]], which never buffers. */
   def monitor(events: Dataset[DeviceEvent]): Dataset[HealthAlert] = {
     import events.sparkSession.implicits._
     events
@@ -101,10 +107,33 @@ object HealthMonitor {
       }
   }
 
+  /** Batch-scale replay: one shuffle keyed by device, sort within
+    * partitions by (user_id, ts, event_id), then a single forward pass
+    * feeding the same [[step]] kernel one event at a time. Memory is
+    * O(1) per partition however hot a device is — unlike
+    * flatMapGroupsWithState, which would buffer a device's entire
+    * history when the "micro-batch" is 100 TB of history. */
+  def replaySorted(events: Dataset[DeviceEvent]): Dataset[HealthAlert] = {
+    import events.sparkSession.implicits._
+    events
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+      .mapPartitions { it =>
+        var dev = Long.MinValue
+        var st = MonitorState(0, 0)
+        it.flatMap { e =>
+          if (e.user_id != dev) { dev = e.user_id; st = MonitorState(0, 0) }
+          val (alerts, next) = step(e :: Nil, st)
+          st = next
+          alerts
+        }
+      }
+  }
+
   /** Batch convenience: replay the state machine over the events table
-    * (same kernel, batch Dataset). */
+    * (same kernel, batch Dataset, streaming-pass execution). */
   def replayBatch(spark: SparkSession, sfDir: String): Dataset[HealthAlert] = {
     import spark.implicits._
-    monitor(graft.Tables.events(spark, sfDir).as[DeviceEvent])
+    replaySorted(graft.Tables.events(spark, sfDir).as[DeviceEvent])
   }
 }

@@ -112,6 +112,58 @@ class MonitoringSpec extends SparkSpec {
     assert(h(0) === 2 && h(9) === 1) // -5 and 30 clamp/fall into bucket 0; 1000 clamps to 9
   }
 
+  test("windowed escalation: runs never exceed the global run for the device," +
+      " window bounds hold") {
+    val winUs = 300L * 1000000
+    val rows = Monitoring.escalationWindowed(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // a window-bounded run can never beat the device's global max run
+    val globalMax = Monitoring.escalationBatch(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) % winUs === 0, "window not aligned to loop_time")
+      assert(r.getLong(2) <= globalMax(r.getLong(0)))
+      val expected =
+        if (r.getLong(2) >= 9) "REBOOT"
+        else if (r.getLong(2) >= 6) "USB_POWER_CYCLE"
+        else if (r.getLong(2) >= 3) "SERVICE_RESTART"
+        else "OK"
+      assert(r.getString(3) === expected)
+    }
+    // reset semantics: summing window-bounded runs >= the global run
+    // (splitting at boundaries can only break runs apart, never merge)
+    val winSum = rows.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    globalMax.foreach { case (dev, g) =>
+      assert(winSum.getOrElse(dev, 0L) >= g || g < 2,
+        s"device $dev: windowed runs sum ${winSum.getOrElse(dev, 0L)} < global $g")
+    }
+  }
+
+  test("incident retries: attempts match consecutive-failure runs, outcomes consistent") {
+    val incidents = Monitoring.incidentRetries(spark, sf).collect()
+    assert(incidents.nonEmpty)
+    incidents.foreach { r =>
+      val (attempts, recovered, outcome) =
+        (r.getLong(3), r.getBoolean(4), r.getString(5))
+      assert(attempts >= 1)
+      assert(r.getLong(1) <= r.getLong(2)) // start <= end
+      if (attempts >= 10) assert(outcome === "REBOOT")
+      else if (recovered) assert(outcome === "RECOVERED")
+      else assert(outcome === "ONGOING")
+    }
+    // at most one ONGOING incident per device (only the last run can be open)
+    incidents.filter(_.getString(5) == "ONGOING").groupBy(_.getLong(0))
+      .foreach { case (_, rs) => assert(rs.length === 1) }
+    // incidents partition the errors: per-device attempts sum == error count
+    val nErrors = Tables.events(spark, sf).filter($"event_type" === "error")
+      .groupBy($"user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    incidents.groupBy(_.getLong(0)).foreach { case (dev, rs) =>
+      assert(rs.map(_.getLong(3)).sum === nErrors(dev))
+    }
+  }
+
   test("asof last success: every gap positive, success precedes failure") {
     Monitoring.asofLastSuccess(spark, sf).collect().foreach { r =>
       assert(r.getLong(3) > 0)
