@@ -130,9 +130,22 @@ object Dedup {
     * Emits the top-20 most similar pairs (deterministic tie-break)
     * rather than a threshold cut so behavior is observable on dup-free
     * corpora too. */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardFrame(Tables.documents(spark, sfDir))
+
+  /** Default document-frequency cap for [[ngramJaccardFrame]]: a gram
+    * shared by more than this many documents within a block is a
+    * stop-gram — it carries ~zero similarity signal (it fails to
+    * discriminate) but contributes df² join rows on one bucket. At
+    * 100 TB one corpus-common trigram ("the quick brown"-class) would
+    * otherwise make a single posting quadratic. */
+  val NgramMaxDf = 1000
+
+  def ngramJaccardFrame(docs: DataFrame, maxDf: Int = NgramMaxDf,
+      topN: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val g = Tables.documents(spark, sfDir)
+    val g = docs
       .withColumn("toks", TextAnalysis.tokens())
       .withColumn("grams", TextFunctions.shingleHashes($"toks", 3))
       .select($"doc_id", $"source", expr("n_chars div 100").as("lenb"), $"grams")
@@ -141,8 +154,16 @@ object Dedup {
     // explode subtree is computed once, and the join itself needs no
     // further shuffle. Set sizes |A| come from the same exchange
     // (grams are already distinct per doc) instead of re-tokenizing.
+    // The df window runs on exactly the exchange's partitioning keys,
+    // so stop-gram pruning costs a sort but no extra shuffle; Jaccard
+    // is then defined over the RETAINED grams on both the intersection
+    // and the size side, keeping the measure internally consistent.
+    val wdf = Window.partitionBy($"source", $"lenb", $"gram")
     val index = g.select($"source", $"lenb", $"doc_id", explode($"grams").as("gram"))
       .repartition($"source", $"lenb", $"gram")
+      .withColumn("df", count(lit(1)).over(wdf))
+      .filter($"df" <= maxDf)
+      .drop("df")
     val sizes = index.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
     index.select($"source", $"lenb", $"gram", $"doc_id".as("id1"))
       .join(index.select($"source", $"lenb", $"gram", $"doc_id".as("id2")),
@@ -156,21 +177,23 @@ object Dedup {
         $"inter".cast("double") / ($"sz1" + $"sz2" - $"inter"), 6))
       .select($"id1", $"id2", $"jaccard")
       .orderBy($"jaccard".desc, $"id1", $"id2")
-      .limit(20)
+      .limit(topN)
   }
 
   // ---------------------------------------------------------------- C5
   /** Embedding-cosine near-dup pairs, blocked by label (IVF-style
     * coarse partition): top-20 most similar within-label pairs by the
-    * codegen'd cosine kernel. */
+    * codegen'd cosine kernel. The within-label all-pairs goes through
+    * [[Scale.boundedSelfPairs]], so a hot label is split into hashed
+    * sub-buckets and no single task ever scores more than
+    * ~targetSubRows² pairs — same exact result, bounded skew. */
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
-    val l = e.select($"label", $"vec_id".as("id1"), $"embedding".as("e1"))
-    val r = e.select($"label", $"vec_id".as("id2"), $"embedding".as("e2"))
-    l.join(r, Seq("label"))
-      .filter($"id1" < $"id2")
-      .withColumn("cos", round(VectorFunctions.cosineSim($"e1", $"e2"), 6))
+      .select($"label", $"vec_id", $"embedding")
+    Scale.boundedSelfPairs(e, Seq("label"), "vec_id", Seq("embedding"))
+      .withColumn("cos",
+        round(VectorFunctions.cosineSim($"embedding_1", $"embedding_2"), 6))
       .select($"id1", $"id2", $"cos")
       .orderBy($"cos".desc, $"id1", $"id2")
       .limit(20)

@@ -56,6 +56,74 @@ object Scale {
     df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
       .write.mode("overwrite").partitionBy("dt").parquet(path)
 
+  /** Sub-bucket count for a block of `blockRows` rows when each
+    * sub-bucket should hold ~`targetSubRows` rows. Exposed so specs can
+    * assert the decomposition a given block size produces. */
+  def subBuckets(blockRows: Long, targetSubRows: Int): Int =
+    math.max(1L, (blockRows + targetSubRows - 1) / targetSubRows)
+      .min(Int.MaxValue).toInt
+
+  /** Exact all-pairs self-join within blocks with BOUNDED per-task
+    * work — the scale-safe replacement for `df.join(df, blockCols)`
+    * when one block may be hot (a skewed label, a dominant IVF cell).
+    *
+    * A plain self-join on the block key puts a block of m rows into one
+    * reducer that scores m² pairs; AQE cannot split it because all rows
+    * of one key must colocate. This operator splits each block into
+    * g = ceil(m / targetSubRows) sub-buckets by id hash and gives every
+    * unordered sub-bucket pair {u, v} its OWN shuffle key (the triangle
+    * decomposition of a self-join): the left row of a pair shuffles to
+    * keys (sub, v≥sub), the right row to keys (u≤sub, sub), so each
+    * unordered row pair meets on exactly one key and the hottest task
+    * scores ~targetSubRows² pairs however large the block is. g is
+    * computed per block inside the plan (tiny count-by-key aggregate,
+    * broadcast back), so cold blocks keep g = 1 and pay zero
+    * replication; a block of m rows replicates rows (g+1)/2 times on
+    * average — O(m·√(m/target)) shuffled rows in exchange for a hard
+    * per-task bound.
+    *
+    * Returns one row per unordered within-block pair (`id1` < `id2`),
+    * with each payload column `p` carried as `p_1` / `p_2`.
+    * `keepKeys = true` retains the `__u`/`__v` sub-bucket key columns
+    * so tests can observe the decomposition. */
+  def boundedSelfPairs(df: DataFrame, blockCols: Seq[String], idCol: String,
+      payload: Seq[String], targetSubRows: Int = 4096,
+      keepKeys: Boolean = false): DataFrame = {
+    require(targetSubRows >= 1)
+    val kb = blockCols.map(col)
+    val sizes = df.groupBy(kb: _*).agg(count(lit(1)).as("__bn"))
+      .withColumn("__g",
+        ceil(col("__bn").cast("double") / targetSubRows).cast("int"))
+      .drop("__bn")
+    val withG = df.join(broadcast(sizes), blockCols)
+      .withColumn("__sub", pmod(xxhash64(col(idCol)), col("__g")).cast("int"))
+    val left = withG.select(
+      kb ++ Seq(col("__sub").as("__u"),
+        explode(expr("sequence(__sub, __g - 1)")).as("__v"),
+        col(idCol).as("id1")) ++
+        payload.map(p => col(p).as(s"${p}_1")): _*)
+    val right = withG.select(
+      kb ++ Seq(explode(expr("sequence(0, __sub)")).as("__u"),
+        col("__sub").as("__v"),
+        col(idCol).as("id2")) ++
+        payload.map(p => col(p).as(s"${p}_2")): _*)
+    // Keys always satisfy u <= v. On the diagonal (u = v) both sides
+    // hold the same sub-bucket, so id1 < id2 picks each pair once; off
+    // the diagonal the sides hold disjoint sub-buckets, so every cross
+    // pair is new — normalize so id1 < id2 in the output.
+    val joined = left.join(right, blockCols ++ Seq("__u", "__v"))
+      .filter(col("__u") =!= col("__v") || col("id1") < col("id2"))
+    val swap = col("id1") > col("id2")
+    val outCols = Seq(
+      when(swap, col("id2")).otherwise(col("id1")).as("id1"),
+      when(swap, col("id1")).otherwise(col("id2")).as("id2")) ++
+      payload.flatMap(p => Seq(
+        when(swap, col(s"${p}_2")).otherwise(col(s"${p}_1")).as(s"${p}_1"),
+        when(swap, col(s"${p}_1")).otherwise(col(s"${p}_2")).as(s"${p}_2"))) ++
+      (if (keepKeys) Seq(col("__u"), col("__v")) else Nil)
+    joined.select(outCols: _*)
+  }
+
   /** Deterministic fingerprint of a DataFrame's content (order-free,
     * multiplicity-sensitive): decimal sum of per-row xxhash64 over all
     * columns. The cheap way to assert two hundred-terabyte pipelines

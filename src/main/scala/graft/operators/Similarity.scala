@@ -54,10 +54,10 @@ object Similarity {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"))
-    // Both counts are metadata-cheap parquet count(*) scans; the guard
-    // costs two tiny jobs and buys refusal instead of a runaway
-    // crossJoin when someone points this at a real corpus.
-    val pairs = e.count() * q.count()
+    // Guard from the cached parquet row count (one metadata-only job
+    // per JVM, then a free map lookup): the query side is `vec_id < 10`
+    // on a unique id, so ≤ 10 rows by construction — no job needed.
+    val pairs = Tables.cachedCount(spark, s"$sfDir/embeddings.parquet") * 10
     require(pairs <= BruteForceMaxPairs,
       s"brute-force ANN would score $pairs pairs (> $BruteForceMaxPairs); " +
         "use annLsh or annIvf — the bucketed scale paths")
@@ -105,16 +105,30 @@ object Similarity {
 
   // ---------------------------------------------------------------- D3
   /** k-NN join: 3 nearest neighbors for EVERY vector, blocked by label
-    * (IVF-style coarse quantization — each vector only scans its cell). */
+    * (IVF-style coarse quantization — each vector only scans its cell).
+    * The within-cell all-pairs runs through [[graft.operators.Scale
+    * .boundedSelfPairs]]: a hot cell is split into hashed sub-buckets so
+    * no task scores more than ~targetSubRows² pairs, cosine is computed
+    * once per unordered pair, and the pair set is symmetrized map-side
+    * (no extra shuffle) before the TopKPerKey prune. Same exact result
+    * as the naive label self-join. */
   def knnJoin(spark: SparkSession, sfDir: String, k: Int = KnnK): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
-    val l = e.select($"label", $"vec_id".as("query_id"), $"embedding".as("qe"))
-    val r = e.select($"label", $"vec_id", $"embedding".as("ne"))
-    rankTopK(l.join(r, Seq("label"))
-      .filter($"query_id" =!= $"vec_id")
-      .select($"query_id", $"vec_id",
-        round(VectorFunctions.cosineSim($"qe", $"ne"), 6).as("cos")), k)
+      .select($"label", $"vec_id", $"embedding")
+    val pairs = graft.operators.Scale
+      .boundedSelfPairs(e, Seq("label"), "vec_id", Seq("embedding"))
+      .withColumn("cos",
+        round(VectorFunctions.cosineSim($"embedding_1", $"embedding_2"), 6))
+      .select($"id1", $"id2", $"cos")
+    // One-pass symmetrization: explode each unordered pair into both
+    // orientations (a union of two projections would re-execute the
+    // whole join subtree once per branch).
+    val sym = pairs.select(explode(array(
+        struct($"id1".as("query_id"), $"id2".as("vec_id"), $"cos"),
+        struct($"id2".as("query_id"), $"id1".as("vec_id"), $"cos"))).as("p"))
+      .select($"p.query_id", $"p.vec_id", $"p.cos")
+    rankTopK(sym, k)
   }
 
   val knnJoinSql: String =
@@ -142,12 +156,23 @@ object Similarity {
     * Rows-only (centroid assignment is implementation-defined); the
     * spec measures recall against the exact baseline and determinism
     * across runs. */
-  def annIvf(spark: SparkSession, sfDir: String, nCells: Int = 8,
-      k: Int = AnnK, maxTrain: Int = 100000): DataFrame = {
+  /** nCells = 0 means auto: the classic IVF sizing nlist ≈ √n from the
+    * cached corpus row count (clamped to [8, 4096]), so cell population
+    * stays ~√n as the corpus grows instead of n/8. `nProbe` nearest
+    * cells are searched per query (multi-probe) to keep recall up as
+    * cells shrink; the probe ranking runs on the tiny query set only. */
+  def annIvf(spark: SparkSession, sfDir: String, nCells: Int = 0,
+      k: Int = AnnK, maxTrain: Int = 100000, nProbe: Int = 2): DataFrame = {
     import spark.implicits._
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = Tables.embeddings(spark, sfDir)
+    val cellCount =
+      if (nCells > 0) nCells
+      else {
+        val n = Tables.cachedCount(spark, s"$sfDir/embeddings.parquet")
+        math.max(8, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+      }
     // Deterministic ~25% sample (partition-invariant: keyed on vec_id,
     // not row position), hard-capped so the driver-coordinated fit is
     // O(maxTrain) whatever the corpus size.
@@ -155,15 +180,33 @@ object Similarity {
       .filter(pmod(xxhash64($"vec_id"), lit(4)) === 0)
       .limit(maxTrain)
       .select(array_to_vector($"embedding").as("fv"))
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
+    val model = new KMeans().setK(cellCount).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(train)
     val centroids = model.clusterCenters.map(_.toArray)
     val cells = e.select($"vec_id", $"embedding",
       VectorFunctions.nearestCentroid($"embedding", centroids).as("cell"))
-    val q = cells.filter($"vec_id" < 10)
-      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"cell")
-    rankTopK(cells.join(broadcast(q), Seq("cell"))
+    // Multi-probe: rank ALL centroids per query by L2 distance and keep
+    // the nProbe nearest. The cross join is (queries × centroids) — a
+    // few hundred rows — so the non-codegen lambda math is irrelevant;
+    // the corpus-side cell assignment stays the codegen'd
+    // NearestCentroid map pass.
+    val centroidDf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "cvec")
+    val wq = Window.partitionBy($"query_id").orderBy($"dist", $"cell")
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      .crossJoin(broadcast(centroidDf))
+      .withColumn("dist", expr(
+        """aggregate(zip_with(qe, cvec,
+          |  (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),
+          |  0D, (s, v) -> s + v)""".stripMargin))
+      .withColumn("pr", row_number().over(wq))
+      .filter($"pr" <= nProbe)
+      .select($"query_id", $"qe", $"cell")
+    // A corpus vector lives in exactly one cell and a query probes
+    // distinct cells, so each (query, vector) pair appears at most once.
+    rankTopK(cells.join(broadcast(probes), Seq("cell"))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id", $"cell",
         round(VectorFunctions.cosineSim($"qe", $"embedding"), 6).as("cos")),

@@ -64,6 +64,29 @@ class DedupSpec extends SparkSpec {
     assert(scores.sameElements(scores.sortBy(-(_: Double))))
   }
 
+  test("ngram df-cap: corpus-common gram pruned, true dups still found") {
+    // 30 docs share one boilerplate prefix (its grams hit df=30); each
+    // doc otherwise has unique words. Docs 1/2 are genuine near-dups.
+    val boiler = "standard corpus header line"
+    val docs = ((1L to 2L).map(i => i ->
+      s"$boiler identical payload words repeated across the duplicate pair") ++
+      (3L to 30L).map(i => i ->
+        s"$boiler unique${i}a unique${i}b unique${i}c unique${i}d unique${i}e unique${i}f"))
+      .map { case (id, text) =>
+        (id, text, "s", text.length.toLong)
+      }.toDF("doc_id", "text", "source", "n_chars")
+    // Uncapped: every boilerplate-only pair becomes a candidate — the
+    // quadratic hot-posting blowup (C(30,2) = 435 pairs from one gram).
+    val uncapped = Dedup.ngramJaccardFrame(docs, maxDf = 1000, topN = 10000).count()
+    assert(uncapped > 400L, s"expected the hot gram to inflate pairs, got $uncapped")
+    // Capped: the df=30 grams are dropped before the self-join, so only
+    // the true near-dup pair (which shares plenty of rare grams) remains.
+    val capped = Dedup.ngramJaccardFrame(docs, maxDf = 5, topN = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSet === Set((1L, 2L)),
+      s"df-cap should leave only the true dup pair, got ${capped.toSeq}")
+  }
+
   test("embedding dedup: cosine in [-1,1], pairs within same label") {
     val e = Tables.embeddings(spark, sf)
       .select($"vec_id", $"label").as[(Long, Int)].collect().toMap

@@ -69,6 +69,38 @@ class ScaleSpec extends SparkSpec {
     assert(!files.contains("dt=2024-01-06"), "scan touched pruned partition")
   }
 
+  test("bounded self-pairs: hot block splits into sub-bucket keys, result exact") {
+    val n = 200L
+    val target = 16
+    val df = spark.range(n)
+      .select(lit(1).as("blk"), $"id", ($"id" * 3 % 17).as("v"))
+    val naive = df.select($"blk", $"id".as("id1"), $"v".as("v_1"))
+      .join(df.select($"blk", $"id".as("id2"), $"v".as("v_2")), Seq("blk"))
+      .filter($"id1" < $"id2")
+      .select($"id1", $"id2", $"v_1", $"v_2")
+    val bounded = Scale.boundedSelfPairs(
+      df, Seq("blk"), "id", Seq("v"), targetSubRows = target, keepKeys = true)
+    // exact: every unordered pair exactly once, payloads intact
+    assert(bounded.count() === n * (n - 1) / 2)
+    assert(Scale.contentFingerprint(bounded.select("id1", "id2", "v_1", "v_2"))
+      === Scale.contentFingerprint(naive))
+    // and the hot block actually decomposed: g sub-buckets → up to
+    // g(g+1)/2 distinct shuffle keys instead of one, with per-key pair
+    // counts bounded by ~target² (slack for hash imbalance) — the
+    // property that keeps one hot label from melting a single reducer
+    val g = Scale.subBuckets(n, target)
+    assert(g > 1, s"expected a multi-bucket decomposition, got g=$g")
+    val keys = bounded.select($"__u", $"__v").distinct().count()
+    assert(keys > 1 && keys <= g.toLong * (g + 1) / 2,
+      s"unexpected key count $keys for g=$g")
+    val maxPerKey = bounded.groupBy($"__u", $"__v").count()
+      .agg(max($"count")).head.getLong(0)
+    assert(maxPerKey <= 4L * target * target,
+      s"hot sub-bucket pair still quadratic: $maxPerKey pairs on one key")
+    // cold blocks keep g = 1: zero replication overhead
+    assert(Scale.subBuckets(10, 4096) === 1)
+  }
+
   test("extensions: SQL users can call the native functions") {
     // SparkSpec.session is built withExtensions(new GraftExtensions)
     Tables.embeddings(spark, sf).createOrReplaceTempView("emb")
