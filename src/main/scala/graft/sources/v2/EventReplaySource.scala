@@ -4,6 +4,11 @@ import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.FilterApi
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -11,6 +16,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, row_number}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -29,14 +36,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * This is the full V2 connector contract (TableProvider → Table →
   * ScanBuilder → Scan → MicroBatchStream → PartitionReaderFactory);
   * a production Kinesis integration replaces [[EventReplayStream]]'s
-  * in-memory shard map with shard-iterator polling and keeps
-  * everything else — offsets, partition planning, row decoding —
-  * unchanged.
+  * staged shard log with shard-iterator polling and keeps everything
+  * else — offsets, partition planning, row decoding — unchanged.
   *
-  * Scale notes: one InputPartition per shard per batch → parallelism
-  * tracks shard count exactly as with a real Kinesis stream; offsets
-  * are per-shard sequence numbers so checkpoint/restart resumes each
-  * shard independently.
+  * Scale design — the driver never materializes event data:
+  *
+  *  1. On first use the stream STAGES the input once as a per-shard
+  *     sorted log: a cluster-side job writes the events partitioned by
+  *     device (`user_id=<shard>/` directories, one sorted file each)
+  *     with an explicit 1-based `seq` position column — the stand-in
+  *     for Kinesis's per-shard sequence-numbered log. The driver keeps
+  *     only the per-shard row COUNT and file list (a few bytes per
+  *     shard), exactly like a Kinesis consumer tracking ListShards +
+  *     end sequence numbers.
+  *  2. Each micro-batch plans one [[ShardSlicePartition]] per advancing
+  *     shard carrying (files, shard id, seq range). EXECUTORS read
+  *     their slice straight from the staged parquet with a seq-range
+  *     predicate (row-group stats prune non-overlapping groups), so a
+  *     100 TB replay streams through the cluster while the driver
+  *     holds O(shards) state.
+  *
+  * Offsets are per-shard sequence numbers, so checkpoint/restart
+  * resumes each shard independently; parallelism tracks shard count
+  * exactly as with a real Kinesis stream.
   */
 class EventReplaySource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-replay"
@@ -62,12 +84,6 @@ class EventReplayTable(options: Map[String, String]) extends Table with Supports
     }
 }
 
-/** One event in wire form (all JVM-serializable primitives; ts in
-  * epoch micros). */
-private[v2] case class WireEvent(
-    eventId: Long, tsUs: Long, userId: Long,
-    eventType: String, value: Double, props: String)
-
 /** Kinesis-shaped offset: shard (device) → next sequence number. */
 private[v2] case class ShardOffsets(seq: Map[String, Long]) extends Offset {
   override def json(): String =
@@ -83,6 +99,11 @@ private[v2] object ShardOffsets {
     }.toMap)
 }
 
+/** Driver-side view of the staged shard log: per shard, the staged
+  * parquet files and the total event count — O(shards) memory, no
+  * event payloads. */
+private[v2] case class StagedShard(files: Array[String], count: Long)
+
 class EventReplayStream(options: Map[String, String])
     extends MicroBatchStream with SupportsAdmissionControl {
   private val path = options.getOrElse("path",
@@ -90,41 +111,55 @@ class EventReplayStream(options: Map[String, String])
   private val eventsPerTrigger =
     options.getOrElse("eventsPerTrigger", "1000").toLong
 
-  /** Shard map loaded once on the driver at stream construction (the
-    * stand-in for Kinesis ListShards + iterators). Replay order within
-    * a shard is (ts, event_id) — the per-shard ordering a partitioned
-    * log guarantees. */
-  private lazy val shards: Map[String, Array[WireEvent]] =
-    loadRaw(SparkSession.active)
-
-  private def loadRaw(spark: SparkSession): Map[String, Array[WireEvent]] = {
+  /** Stage the input as a per-shard sequence-numbered sorted log (one
+    * distributed job, once per stream). Replay order within a shard is
+    * (ts, event_id) — the per-shard ordering a partitioned log
+    * guarantees — frozen into the explicit `seq` column so every later
+    * micro-batch is a pure positional range read. */
+  private lazy val staged: Map[String, StagedShard] = {
+    val spark = SparkSession.active
+    val dir = options.getOrElse("stagingDir",
+      java.nio.file.Files.createTempDirectory("graft-replay-staged").toString)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     graft.Tables.eventsAt(spark, path)
+      .withColumn("seq", row_number().over(w).cast("long"))
       .selectExpr("event_id", "unix_micros(ts) AS ts_us", "user_id",
-        "event_type", "value", "props")
-      .collect()
-      .map(r => WireEvent(r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getString(3), r.getDouble(4), r.getString(5)))
-      .groupBy(_.userId.toString)
-      .map { case (k, evs) => k -> evs.sortBy(e => (e.tsUs, e.eventId)) }
+        "event_type", "value", "props", "seq")
+      // one spark partition per shard → exactly one sorted file per
+      // user_id=<shard>/ directory
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "seq")
+      .write.mode("overwrite").partitionBy("user_id").parquet(dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("user_id="))
+      .map { s =>
+        val shard = s.getPath.getName.stripPrefix("user_id=")
+        val files = fs.listStatus(s.getPath)
+          .filter(f => f.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString).sorted
+        val count = files.map(ParquetSlice.rowCount).sum
+        shard -> StagedShard(files, count)
+      }.toMap
   }
 
   override def initialOffset(): Offset =
-    ShardOffsets(shards.keys.map(_ -> 0L).toMap)
+    ShardOffsets(staged.keys.map(_ -> 0L).toMap)
 
   /** Admission control (the rate-limited path the engine actually
     * uses): advance each shard by at most eventsPerTrigger past the
     * engine-provided start — the Kinesis GetRecords `Limit` analog. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[ShardOffsets]
-    ShardOffsets(shards.map { case (k, evs) =>
-      k -> math.min(evs.length.toLong, s.seq.getOrElse(k, 0L) + eventsPerTrigger)
+    ShardOffsets(staged.map { case (k, sh) =>
+      k -> math.min(sh.count, s.seq.getOrElse(k, 0L) + eventsPerTrigger)
     })
   }
 
   /** True end of the stream — lets processAllAvailable()/AvailableNow
     * keep scheduling batches until every shard is drained. */
   override def reportLatestOffset(): Offset =
-    ShardOffsets(shards.map { case (k, evs) => k -> evs.length.toLong })
+    ShardOffsets(staged.map { case (k, sh) => k -> sh.count })
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -137,34 +172,82 @@ class EventReplayStream(options: Map[String, String])
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ShardOffsets]
     val e = end.asInstanceOf[ShardOffsets]
-    shards.toArray.flatMap { case (shard, evs) =>
-      val from = s.seq.getOrElse(shard, 0L).toInt
-      val to = e.seq.getOrElse(shard, 0L).toInt
-      if (to > from) Some(EventReplayPartition(evs.slice(from, to)))
+    staged.toArray.flatMap { case (shard, sh) =>
+      val from = s.seq.getOrElse(shard, 0L)
+      val to = e.seq.getOrElse(shard, 0L)
+      if (to > from) Some(ShardSlicePartition(shard.toLong, sh.files, from, to))
       else None
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-        val rows = p.asInstanceOf[EventReplayPartition].events
-        new PartitionReader[InternalRow] {
-          private var i = -1
-          override def next(): Boolean = { i += 1; i < rows.length }
-          override def get(): InternalRow = {
-            val ev = rows(i)
-            new GenericInternalRow(Array[Any](
-              ev.eventId, ev.tsUs, ev.userId,
-              UTF8String.fromString(ev.eventType), ev.value,
-              UTF8String.fromString(ev.props)))
-          }
-          override def close(): Unit = ()
-        }
-      }
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new ShardSliceReader(p.asInstanceOf[ShardSlicePartition])
     }
 
   override def stop(): Unit = ()
 }
 
-case class EventReplayPartition(events: Array[WireEvent]) extends InputPartition
+/** One shard's seq range (from, to] for one micro-batch; executors read
+  * the slice from the staged parquet themselves. */
+case class ShardSlicePartition(
+    userId: Long, files: Array[String], from: Long, to: Long)
+    extends InputPartition
+
+/** Executor-side reader: parquet-mr record reader with a seq-range
+  * filter (row-group statistics prune non-overlapping groups, then
+  * record-level filtering trims the rest), emitting rows in seq order.
+  * Memory is one parquet row at a time — a slice never buffers. */
+private[v2] class ShardSliceReader(p: ShardSlicePartition)
+    extends PartitionReader[InternalRow] {
+  private val filter = FilterCompat.get(FilterApi.and(
+    FilterApi.gt(FilterApi.longColumn("seq"), java.lang.Long.valueOf(p.from)),
+    FilterApi.ltEq(FilterApi.longColumn("seq"), java.lang.Long.valueOf(p.to))))
+  private var fileIdx = 0
+  private var reader: ParquetReader[org.apache.parquet.example.data.Group] = _
+  private var current: org.apache.parquet.example.data.Group = _
+
+  private def nextReader(): Boolean = {
+    if (reader != null) { reader.close(); reader = null }
+    if (fileIdx >= p.files.length) return false
+    reader = ParquetReader
+      .builder(new GroupReadSupport(), new Path(p.files(fileIdx)))
+      .withFilter(filter)
+      .build()
+    fileIdx += 1
+    true
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (reader == null && !nextReader()) return false
+      current = reader.read()
+      if (current != null) return true
+      reader.close(); reader = null
+    }
+    false
+  }
+
+  override def get(): InternalRow = {
+    val g = current
+    def str(field: String): UTF8String =
+      if (g.getFieldRepetitionCount(field) == 0) null
+      else UTF8String.fromString(g.getString(field, 0))
+    new GenericInternalRow(Array[Any](
+      g.getLong("event_id", 0), g.getLong("ts_us", 0), p.userId,
+      str("event_type"), g.getDouble("value", 0), str("props")))
+  }
+
+  override def close(): Unit = if (reader != null) { reader.close(); reader = null }
+}
+
+private[v2] object ParquetSlice {
+  /** Footer-only row count of one parquet file (no column data read). */
+  def rowCount(file: String): Long = {
+    val input = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new Path(file), new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(input)
+    try r.getRecordCount finally r.close()
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Alert delivery — the Spark twin of the reference's notify step: the
+  * watchdog configures a recipient and mails a notification before it
+  * reboots the gateway (restart.sh:4-7 `To=` config, restart.sh:~104
+  * mail-then-reboot). The repo's monitors compute `Dataset[HealthAlert]`;
+  * this sink completes the loop by DELIVERING them.
+  *
+  * Two channels per micro-batch, both scale-safe:
+  *
+  *  1. A partitioned parquet audit log (`epoch=<id>/` per micro-batch,
+  *     written cluster-side). The write is idempotent: a replayed epoch
+  *     after a failure OVERWRITES its own directory instead of
+  *     appending duplicates, which upgrades foreachBatch's at-least-once
+  *     contract to exactly-once for the log.
+  *  2. A pluggable [[AlertSink.Notifier]] invoked per alert ON THE
+  *     EXECUTORS (foreachPartition) — the seam where a production
+  *     deployment hangs SMTP/SNS/webhook delivery. Alert volume is
+  *     tiny relative to event volume (only state-machine transitions),
+  *     so per-alert side calls are not a throughput concern.
+  *
+  * The batch is pinned with `persist()` so the two consumers don't
+  * recompute the upstream stateful query, then released.
+  */
+object AlertSink {
+
+  /** Side-channel delivery seam (SMTP/SNS/webhook in production).
+    * Implementations must be serializable — they run on executors. */
+  trait Notifier extends Serializable {
+    def notify(alert: HealthAlert): Unit
+  }
+
+  /** Default notifier: structured log line per alert (the sandbox
+    * stand-in for the reference's `mail` call). */
+  object LogNotifier extends Notifier with Logging {
+    override def notify(a: HealthAlert): Unit =
+      logInfo(s"ALERT device=${a.user_id} action=${a.action} " +
+        s"consec_fails=${a.consec_fails} ts=${a.ts}")
+  }
+
+  /** Attach delivery to an alert stream. Returns the started query;
+    * callers own its lifecycle. */
+  def start(alerts: Dataset[HealthAlert], outDir: String,
+      checkpointDir: String, notifier: Notifier = LogNotifier): StreamingQuery =
+    alerts.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[HealthAlert], epochId: Long) =>
+        batch.persist()
+        try {
+          batch.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+          batch.foreachPartition { it: Iterator[HealthAlert] =>
+            it.foreach(notifier.notify)
+          }
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+
+  /** The delivered audit log as a DataFrame (partition column `epoch`
+    * identifies the micro-batch that delivered each alert). */
+  def deliveredLog(spark: org.apache.spark.sql.SparkSession, outDir: String) =
+    spark.read.parquet(outDir)
+}

@@ -1,0 +1,52 @@
+package graft
+
+import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.{AlertSink, DeviceEvent, HealthAlert, HealthMonitor}
+
+/** End-to-end alert DELIVERY: MemoryStream → HealthMonitor state
+  * machine → AlertSink (parquet audit log + notifier side channel) —
+  * the reference's probe→escalate→mail loop as one streaming pipeline. */
+class AlertSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, minute: Int, dev: Long, typ: String): DeviceEvent =
+    DeviceEvent(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), dev, typ, 1.0, "{}")
+
+  test("alerts are delivered to the parquet log and the notifier, exactly once") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft-alerts").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-alerts-ck").toString
+    val input = MemoryStream[DeviceEvent](100, spark, None)
+    val q = AlertSink.start(
+      HealthMonitor.monitor(input.toDS()), outDir, ckDir, CountingNotifier)
+    try {
+      CountingNotifier.seen.set(0)
+      // batch 1: device 7 fails 3× → SERVICE_RESTART
+      input.addData((1 to 3).map(i => ev(i, i, 7L, "error")))
+      q.processAllAvailable()
+      // batch 2: three more failures → USB_POWER_CYCLE, then recovery
+      input.addData((4 to 6).map(i => ev(i, i, 7L, "error")) :+ ev(7, 7, 7L, "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val log = AlertSink.deliveredLog(spark, outDir)
+    val actions = log.select($"action").as[String].collect().sorted
+    assert(actions === Array(
+      HealthMonitor.RECOVERED, HealthMonitor.SERVICE_RESTART,
+      HealthMonitor.USB_POWER_CYCLE))
+    // the epoch partition column records which micro-batch delivered
+    assert(log.select($"epoch").distinct().count() >= 2)
+    // notifier saw every alert exactly once (no dupes from replays)
+    assert(CountingNotifier.seen.get() === 3)
+  }
+}
+
+/** Serializable counting notifier; local-mode executors share the JVM,
+  * so the static counter observes executor-side delivery. */
+object CountingNotifier extends AlertSink.Notifier {
+  val seen = new AtomicInteger(0)
+  override def notify(a: HealthAlert): Unit = { seen.incrementAndGet(); () }
+}
