@@ -50,6 +50,8 @@ object SparkEntry {
       Monitoring.incidentRetries(s, d)),
     "mon_value_histogram" -> (Monitoring.valueHistogram _),
     "mon_moving_avg" -> (Monitoring.movingAvg _),
+    "mon_rate_of_change" -> (Monitoring.rateOfChange _),
+    "q_string_agg" -> (Relational.qStringAgg _),
     "q_grouping_sets" -> (Relational.qGroupingSets _),
     "q_scalar_subquery" -> (Relational.qScalarSubquery _),
     // C: dedup
@@ -81,6 +83,8 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "word_freq_topk" -> (TextAnalysis.wordFreqTopK _),
     "tfidf_top" -> ((s: SparkSession, d: String) => TextAnalysis.tfIdfTop(s, d)),
+    "text_repetition" -> (TextAnalysis.textRepetition _),
+    "text_pii_scrub" -> (TextAnalysis.textPiiScrub _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -118,6 +122,8 @@ object SparkEntry {
     "mon_incident_retries" -> Monitoring.incidentRetriesSql,
     "mon_value_histogram" -> Monitoring.valueHistogramSql,
     "mon_moving_avg" -> Monitoring.movingAvgSql,
+    "mon_rate_of_change" -> Monitoring.rateOfChangeSql,
+    "q_string_agg" -> Relational.qStringAggSql,
     "q_grouping_sets" -> Relational.qGroupingSetsSql,
     "q_scalar_subquery" -> Relational.qScalarSubquerySql,
     "mm_manifest" -> Multimodal.mmManifestSql,
@@ -130,5 +136,7 @@ object SparkEntry {
     "text_tokens" -> TextAnalysis.textTokensSql,
     "text_quality" -> TextAnalysis.textQualitySql,
     "word_freq_topk" -> TextAnalysis.wordFreqTopKSql,
+    "text_repetition" -> TextAnalysis.textRepetitionSql,
+    "text_pii_scrub" -> TextAnalysis.textPiiScrubSql,
   )
 }

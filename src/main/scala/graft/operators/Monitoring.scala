@@ -482,6 +482,45 @@ object Monitoring {
       |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, window_us""".stripMargin
 
+  // ---------------------------------------------------------------- A26
+  /** Rate of change of per-minute metric sums per device: minute-over-
+    * minute delta and percent change (the "did throughput fall off a
+    * cliff" question behind the PutMedia.Success probe). Decimal
+    * per-minute sums (order-free), one shuffle on device, LAG over the
+    * per-device timeline; deltas surface as COALESCEd doubles so the
+    * first minute is 0, not NULL (cross-engine hash stability). */
+  def rateOfChange(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perMinute = Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id", date_trunc("minute", $"ts").as("w"))
+      .agg(sum($"value".cast("decimal(18,4)")).as("m"))
+    val timeline = Window.partitionBy($"user_id").orderBy($"w")
+    perMinute
+      .withColumn("prev", lag($"m", 1).over(timeline))
+      .select($"user_id", expr("unix_micros(w)").as("window_us"),
+        $"m".cast("double").as("metric_sum"),
+        coalesce(($"m" - $"prev").cast("double"), lit(0.0)).as("delta"),
+        coalesce(($"m" - $"prev").cast("double") / $"prev".cast("double"),
+          lit(0.0)).as("pct_change"))
+      .orderBy($"user_id", $"window_us")
+  }
+
+  val rateOfChangeSql: String =
+    """WITH pm AS (
+      |  SELECT user_id, date_trunc('minute', ts) AS w,
+      |    SUM(CAST(value AS DECIMAL(18,4))) AS m
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id, date_trunc('minute', ts)),
+      |d AS (
+      |  SELECT user_id, w, m, LAG(m, 1) OVER tl AS prev
+      |  FROM pm WINDOW tl AS (PARTITION BY user_id ORDER BY w))
+      |SELECT user_id, epoch_us(w) AS window_us,
+      |  CAST(m AS DOUBLE) AS metric_sum,
+      |  COALESCE(CAST(m - prev AS DOUBLE), 0.0) AS delta,
+      |  COALESCE(CAST(m - prev AS DOUBLE) / CAST(prev AS DOUBLE), 0.0) AS pct_change
+      |FROM d ORDER BY user_id, window_us""".stripMargin
+
   // ---------------------------------------------------------------- A16
   /** Metric value distribution per event type: 10-bucket histogram on
     * [0, 600) via the custom TypedImperativeAggregate

@@ -506,6 +506,44 @@ object Relational {
       |WHERE rn <= 2
       |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- B21
+  /** Ordered string aggregation (LISTAGG): per return flag, the sorted
+    * distinct order priorities of the orders it appears in. collect_set gathers the
+    * (tiny per-group) distinct set map-side, array_sort fixes the
+    * nondeterministic collection order, array_join emits one flat
+    * string — deterministic and hash-stable despite parallel
+    * accumulation. The DISTINCT keeps per-group state bounded by
+    * cardinality, not row count, so the agg is 100 TB-safe where a raw
+    * collect_list would not be. */
+  def qStringAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(
+        array_join(array_sort(collect_set($"o_orderpriority")), ",").as("priorities"),
+        countDistinct($"o_orderpriority").as("n_prios"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qStringAggSql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT l_returnflag, o_orderpriority
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |c AS (
+      |  SELECT l_returnflag, COUNT(*) AS n_items
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY l_returnflag)
+      |SELECT d.l_returnflag,
+      |  string_agg(d.o_orderpriority, ',' ORDER BY d.o_orderpriority) AS priorities,
+      |  COUNT(*) AS n_prios,
+      |  MAX(c.n_items) AS n_items
+      |FROM d JOIN c ON d.l_returnflag = c.l_returnflag
+      |GROUP BY d.l_returnflag
+      |ORDER BY d.l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- B13
   /** HLL approximate distinct count — the 100-TB-scale path of B10
     * (fixed-size sketch, no exact distinct shuffle). No SQL oracle

@@ -145,6 +145,99 @@ object TextAnalysis {
       .orderBy($"doc_id", $"tfidf".desc, $"term")
   }
 
+  // ---------------------------------------------------------------- E7
+  /** Repetition metrics (Gopher-style quality rules): duplicate token
+    * fraction and duplicate bigram fraction per document. Pure per-row
+    * array expressions — zero shuffle, linear in document length. All
+    * ratios are single double divisions (bit-exact cross-engine,
+    * SURVEY.md §4: no rounding, no transcendentals). */
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", tokens())
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      // element_at is 1-based; sequence(1, 0) would generate DESCENDING
+      // [1, 0] in Spark, so the < 2 guard is semantic, not cosmetic
+      .withColumn("bigrams", expr(
+        """IF(size(toks) < 2, array(),
+          |   transform(sequence(1, size(toks) - 1),
+          |     i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))""".stripMargin))
+      .withColumn("n_bigrams", size($"bigrams").cast("long"))
+      .withColumn("dup_token_ratio",
+        when($"n_tokens" === 0, lit(0.0)).otherwise(
+          lit(1.0) - size(array_distinct($"toks")).cast("double") / $"n_tokens"))
+      .withColumn("dup_bigram_ratio",
+        when($"n_bigrams" === 0, lit(0.0)).otherwise(
+          lit(1.0) - size(array_distinct($"bigrams")).cast("double") / $"n_bigrams"))
+      .select($"doc_id", $"n_tokens", $"dup_token_ratio",
+        $"n_bigrams", $"dup_bigram_ratio")
+      .orderBy($"doc_id")
+  }
+
+  val textRepetitionSql: String =
+    """WITH x AS (
+      |  SELECT doc_id,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |y AS (
+      |  SELECT doc_id, toks,
+      |    CASE WHEN len(toks) < 2 THEN []
+      |         ELSE list_transform(generate_series(1, len(toks) - 1),
+      |                i -> toks[i] || ' ' || toks[i + 1]) END AS bigrams
+      |  FROM x)
+      |SELECT doc_id,
+      |  len(toks) AS n_tokens,
+      |  CASE WHEN len(toks) = 0 THEN 0.0
+      |       ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+      |  END AS dup_token_ratio,
+      |  len(bigrams) AS n_bigrams,
+      |  CASE WHEN len(bigrams) = 0 THEN 0.0
+      |       ELSE 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+      |  END AS dup_bigram_ratio
+      |FROM y ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- E8
+  /** PII scrubbing — the redaction stage every training-data pipeline
+    * runs before anything else sees the text. Regexes avoid backslash
+    * classes entirely ([.] instead of \.) so the same pattern string is
+    * valid and identical in Java regex (Spark) and RE2 (DuckDB).
+    * Per-row, zero shuffle; emits match counts + the scrubbed text.
+    * Email is replaced first so its dotted domain can't be half-eaten
+    * by the IP rule. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val PhoneRe = "[+]?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+  val IpRe = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+
+  /** Generic frame version so specs can plant PII. */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(t, lit(IpRe), lit(0))).cast("long").as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]"),
+        IpRe, "[IP]").as("scrubbed"))
+      .orderBy(col(idCol))
+  }
+
+  def textPiiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    piiScrub(Tables.documents(spark, sfDir), "doc_id", "text")
+
+  val textPiiScrubSql: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+       |  len(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
+       |  len(regexp_extract_all(text, '$IpRe')) AS n_ips,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailRe', '[EMAIL]', 'g'),
+       |    '$PhoneRe', '[PHONE]', 'g'),
+       |    '$IpRe', '[IP]', 'g') AS scrubbed
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- E5
   /** Corpus top-k word frequencies: explode + two-phase agg (partial
     * map-side count, one shuffle on word). */

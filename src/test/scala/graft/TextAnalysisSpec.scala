@@ -96,4 +96,47 @@ class TextAnalysisSpec extends SparkSpec {
     val counts = rows.map(_.getLong(1))
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
+
+  test("repetition: ratios in [0,1); planted loop maxes them, unique text zeros them") {
+    TextAnalysis.textRepetition(spark, sf).collect().foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 1.0)
+    }
+    // same expressions on planted extremes: a 2-word loop is nearly all
+    // duplicate; all-unique and single-token docs are 0 (incl. the
+    // empty-bigram guard)
+    val planted = Seq(
+      (1L, ("ping pong " * 20).trim),
+      (2L, "each word appears exactly once in this sentence"),
+      (3L, "solo"),
+    ).toDF("doc_id", "text")
+      .withColumn("toks", TextAnalysis.tokens())
+    val out = planted.selectExpr("doc_id",
+      "1.0 - cast(size(array_distinct(toks)) as double) / size(toks) AS dtr",
+      """IF(size(toks) < 2, array(),
+        |   transform(sequence(1, size(toks) - 1),
+        |     i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))) AS bg""".stripMargin)
+      .selectExpr("doc_id", "dtr",
+        "IF(size(bg) = 0, 0.0, 1.0 - cast(size(array_distinct(bg)) as double) / size(bg)) AS dbr")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 > 0.9 && out(1L)._2 > 0.9) // 40 tokens / 2 distinct, 39 bigrams / 2 distinct
+    assert(out(2L)._1 === 0.0 && out(2L)._2 === 0.0)
+    assert(out(3L)._1 === 0.0 && out(3L)._2 === 0.0)
+  }
+
+  test("pii scrub: planted emails/phones/ips are counted and redacted") {
+    val planted = Seq(
+      (1L, "contact alice.smith+spam@example.co.uk or call 555-123-4567 now"),
+      (2L, "server at 192.168.10.1 is fine; mail root@host.org"),
+      (3L, "nothing sensitive here at all"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(planted, "doc_id", "text").collect()
+    val byId = got.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(byId(1L)._1 === 1L && byId(1L)._2 === 1L && byId(1L)._3 === 0L)
+    assert(byId(1L)._4 === "contact [EMAIL] or call [PHONE] now")
+    assert(byId(2L)._1 === 1L && byId(2L)._3 === 1L)
+    assert(byId(2L)._4 === "server at [IP] is fine; mail [EMAIL]")
+    assert(byId(3L) === ((0L, 0L, 0L, "nothing sensitive here at all")))
+  }
 }
