@@ -51,6 +51,8 @@ object SparkEntry {
     "mon_value_histogram" -> (Monitoring.valueHistogram _),
     "mon_moving_avg" -> (Monitoring.movingAvg _),
     "mon_rate_of_change" -> (Monitoring.rateOfChange _),
+    "mon_incident_context" -> (Monitoring.incidentContext _),
+    "mon_mttr" -> (Monitoring.mttr _),
     "q_string_agg" -> (Relational.qStringAgg _),
     "q_grouping_sets" -> (Relational.qGroupingSets _),
     "q_scalar_subquery" -> (Relational.qScalarSubquery _),
@@ -123,6 +125,8 @@ object SparkEntry {
     "mon_value_histogram" -> Monitoring.valueHistogramSql,
     "mon_moving_avg" -> Monitoring.movingAvgSql,
     "mon_rate_of_change" -> Monitoring.rateOfChangeSql,
+    "mon_incident_context" -> Monitoring.incidentContextSql,
+    "mon_mttr" -> Monitoring.mttrSql,
     "q_string_agg" -> Relational.qStringAggSql,
     "q_grouping_sets" -> Relational.qGroupingSetsSql,
     "q_scalar_subquery" -> Relational.qScalarSubquerySql,

@@ -3,7 +3,7 @@ package graft.examples
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{DeviceEvent, HealthMonitor, StreamingAggs}
+import graft.streaming.{AlertSink, DeviceEvent, HealthMonitor, StreamingAggs}
 
 /** End-to-end replacement for the reference gateway's monitoring loop
   * (check_wf.sh + putmedia_check.sh + restart.sh), as one streaming
@@ -13,6 +13,7 @@ import graft.streaming.{DeviceEvent, HealthMonitor, StreamingAggs}
   *     → exact dedup within watermark        (transport retries)
   *     → per-device escalation state machine (consecutive failures →
   *       SERVICE_RESTART / USB_POWER_CYCLE / REBOOT / RECOVERED)
+  *     → alert DELIVERY (parquet audit log + notifier — the mail step)
   *     → 60-second metric sums               (PutMedia.Success analog)
   *
   * Run: sbt "runMain graft.examples.GatewayMonitorDemo [sfDir]"
@@ -31,9 +32,11 @@ object GatewayMonitorDemo {
 
     val deduped = StreamingAggs.dedupEvents(events)
 
-    val alerts = HealthMonitor.monitor(deduped.as[DeviceEvent])
-      .writeStream.format("memory").queryName("alerts")
-      .outputMode("append").start()
+    val alertDir = java.nio.file.Files.createTempDirectory("demo-alerts").toString
+    val alerts = AlertSink.start(
+      HealthMonitor.monitor(deduped.as[DeviceEvent]),
+      alertDir,
+      java.nio.file.Files.createTempDirectory("demo-alerts-ck").toString)
 
     val metrics = StreamingAggs.metricSums(deduped)
       .writeStream.format("memory").queryName("metrics")
@@ -43,15 +46,15 @@ object GatewayMonitorDemo {
     metrics.processAllAvailable()
     alerts.stop(); metrics.stop()
 
-    println("=== remediation actions (reference: restart.sh ladder) ===")
-    spark.table("alerts")
+    val delivered = AlertSink.deliveredLog(spark, alertDir)
+    println("=== delivered remediation actions (reference: restart.sh ladder + mail) ===")
+    delivered
       .groupBy($"action").agg(count(lit(1)).as("n"))
       .orderBy($"action").show(false)
     println("=== sample per-minute metric sums (reference: putmedia_check.sh) ===")
     spark.table("metrics").orderBy($"user_id", $"window.start").show(5, false)
-    val nAlerts = spark.table("alerts").count()
     println(s"pipeline complete: ${spark.table("metrics").count()} metric windows, " +
-      s"$nAlerts remediation transitions")
+      s"${delivered.count()} remediation transitions delivered to $alertDir")
     spark.stop()
   }
 }

@@ -149,6 +149,104 @@ object Monitoring {
         min(expr(tsUs)).as("start_us"), max(expr(tsUs)).as("end_us"))
   }
 
+  /** The oracle-side twin of [[errorRuns]] filtered to incidents
+    * (runs of ≥ 3 errors) — shared by the A27/A28 oracle SQL. */
+  private val incidentsCte: String =
+    """seq AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts, event_id) AS rn_t
+      |  FROM events),
+      |inc AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+      |  FROM seq WHERE event_type = 'error'
+      |  GROUP BY user_id, rn - rn_t
+      |  HAVING COUNT(*) >= 3)""".stripMargin
+
+  // ---------------------------------------------------------------- A27
+  /** Bucketed RANGE JOIN: every healthy event within ±5 minutes of a
+    * failure incident (run of ≥ 3 errors) on the same device — "what
+    * else was the gateway doing around the outage".
+    *
+    * Spark has no native range join; the naive formulation
+    * (`e.join(inc, cond = between)`) plans a per-device cartesian. This
+    * is the scale-safe bucketing idiom instead: the timeline is cut
+    * into fixed 10-minute buckets, each incident EXPLODES to the
+    * buckets its padded window covers (intervals are short, so a
+    * handful of rows each), each event maps to exactly one bucket, and
+    * the join is a plain equi-join on (device, bucket) + an exact range
+    * filter. One shuffle, join fan-out bounded by events-per-bucket;
+    * because an event has exactly one bucket, no dedup pass is needed.
+    * 100 TB: identical shape, pick the bucket ≈ median interval width. */
+  def incidentContext(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bucketUs = 600000000L // 10 min
+    val padUs = 300000000L // ±5 min
+    val inc = errorRuns(spark, sfDir).filter($"run_len" >= 3)
+      .select($"user_id", $"start_us", $"end_us",
+        ($"start_us" - padUs).as("lo"), ($"end_us" + padUs).as("hi"))
+      .withColumn("bucket", explode(expr(s"sequence(lo div $bucketUs, hi div $bucketUs)")))
+    val ev = Tables.events(spark, sfDir)
+      .filter($"event_type" =!= "error")
+      .select($"user_id", $"event_id", $"event_type", expr(tsUs).as("us"))
+      .withColumn("bucket", expr(s"us div $bucketUs"))
+    ev.join(inc, Seq("user_id", "bucket"))
+      .filter($"us" >= $"lo" && $"us" <= $"hi")
+      .select($"user_id", $"start_us", $"event_id",
+        $"us".as("event_us"), $"event_type")
+      .orderBy($"user_id", $"start_us", $"event_us", $"event_id")
+  }
+
+  val incidentContextSql: String =
+    s"""WITH $incidentsCte
+       |SELECT e.user_id, i.start_us, e.event_id,
+       |  epoch_us(e.ts) AS event_us, e.event_type
+       |FROM events e JOIN inc i ON e.user_id = i.user_id
+       |  AND epoch_us(e.ts) BETWEEN i.start_us - 300000000 AND i.end_us + 300000000
+       |WHERE e.event_type <> 'error'
+       |ORDER BY e.user_id, i.start_us, event_us, e.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- A28
+  /** MTTR (mean time to recovery): for each failure incident, the gap
+    * from the last error to the device's next healthy event. The
+    * lookup is the asof-join composition idiom (A15, mirrored forward):
+    * tag + union probes (incident ends) with healthy events, sort once
+    * per device, and take the first non-null healthy timestamp in the
+    * strictly-following frame — one shuffle, no per-incident scans.
+    * Ties at the same microsecond sort healthy-first, which the
+    * following-rows frame then EXCLUDES — exactly the oracle's strict
+    * `>`. Incidents with no later healthy event report -1 (device never
+    * recovered), keeping the column non-null for hash stability. */
+  def mttr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val probes = errorRuns(spark, sfDir).filter($"run_len" >= 3)
+      .select($"user_id", $"end_us".as("us"), lit(null).cast("long").as("healthy_us"),
+        $"start_us", $"end_us", lit(1).as("is_probe"), lit(Long.MaxValue).as("tie"))
+    val healthy = Tables.events(spark, sfDir)
+      .filter($"event_type" =!= "error")
+      .select($"user_id", expr(tsUs).as("us"), expr(tsUs).as("healthy_us"),
+        lit(null).cast("long").as("start_us"), lit(null).cast("long").as("end_us"),
+        lit(0).as("is_probe"), $"event_id".as("tie"))
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"is_probe", $"tie")
+    probes.unionByName(healthy)
+      .withColumn("recovery_us", first($"healthy_us", ignoreNulls = true)
+        .over(w.rowsBetween(1, Window.unboundedFollowing)))
+      .filter($"is_probe" === 1)
+      .select($"user_id", $"start_us", $"end_us",
+        coalesce($"recovery_us" - $"end_us", lit(-1L)).as("mttr_us"))
+      .orderBy($"user_id", $"start_us")
+  }
+
+  val mttrSql: String =
+    s"""WITH $incidentsCte
+       |SELECT i.user_id, i.start_us, i.end_us,
+       |  CAST(COALESCE(
+       |    (SELECT MIN(epoch_us(h.ts)) FROM events h
+       |     WHERE h.user_id = i.user_id AND h.event_type <> 'error'
+       |       AND epoch_us(h.ts) > i.end_us) - i.end_us, -1) AS BIGINT) AS mttr_us
+       |FROM inc i ORDER BY i.user_id, i.start_us""".stripMargin
+
   /** Runs of >= 3 consecutive failures — the reference's
     * max_failed_cnt=3 trigger (restart.sh:16,121). */
   def consecutiveFailures(spark: SparkSession, sfDir: String): DataFrame = {
@@ -501,8 +599,11 @@ object Monitoring {
       .select($"user_id", expr("unix_micros(w)").as("window_us"),
         $"m".cast("double").as("metric_sum"),
         coalesce(($"m" - $"prev").cast("double"), lit(0.0)).as("delta"),
-        coalesce(($"m" - $"prev").cast("double") / $"prev".cast("double"),
-          lit(0.0)).as("pct_change"))
+        // zero/NULL prev → 0.0 (a metric can legitimately sum to 0 in a
+        // minute; ANSI mode would otherwise raise DIVIDE_BY_ZERO)
+        when($"prev".isNull || $"prev" === 0, lit(0.0))
+          .otherwise(($"m" - $"prev").cast("double") / $"prev".cast("double"))
+          .as("pct_change"))
       .orderBy($"user_id", $"window_us")
   }
 
@@ -518,7 +619,9 @@ object Monitoring {
       |SELECT user_id, epoch_us(w) AS window_us,
       |  CAST(m AS DOUBLE) AS metric_sum,
       |  COALESCE(CAST(m - prev AS DOUBLE), 0.0) AS delta,
-      |  COALESCE(CAST(m - prev AS DOUBLE) / CAST(prev AS DOUBLE), 0.0) AS pct_change
+      |  CASE WHEN prev IS NULL OR prev = 0 THEN 0.0
+      |       ELSE CAST(m - prev AS DOUBLE) / CAST(prev AS DOUBLE)
+      |  END AS pct_change
       |FROM d ORDER BY user_id, window_us""".stripMargin
 
   // ---------------------------------------------------------------- A16

@@ -164,6 +164,41 @@ class MonitoringSpec extends SparkSpec {
     }
   }
 
+  test("incident context: bucketed range join equals the naive range join") {
+    val got = Monitoring.incidentContext(spark, sf)
+    // naive formulation (cartesian-within-device + filter) as ground truth
+    val inc = Monitoring.consecutiveFailures(spark, sf)
+      .select($"user_id".as("iu"), $"start_us", $"end_us")
+    val naive = Tables.events(spark, sf)
+      .filter($"event_type" =!= "error")
+      .select($"user_id", $"event_id", $"event_type", expr("unix_micros(ts)").as("event_us"))
+      .join(inc, $"user_id" === $"iu" &&
+        $"event_us" >= $"start_us" - 300000000L &&
+        $"event_us" <= $"end_us" + 300000000L)
+      .select($"user_id", $"start_us", $"event_id", $"event_us", $"event_type")
+    assert(got.count() === naive.count())
+    assert(graft.operators.Scale.contentFingerprint(
+      got.select($"user_id", $"start_us", $"event_id"))
+      === graft.operators.Scale.contentFingerprint(
+        naive.select($"user_id", $"start_us", $"event_id")))
+  }
+
+  test("mttr: recovery strictly after incident end, -1 only when nothing follows") {
+    val lastHealthy = Tables.events(spark, sf)
+      .filter($"event_type" =!= "error")
+      .groupBy($"user_id").agg(max(expr("unix_micros(ts)")).as("last_h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Monitoring.mttr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dev, endUs, mttrUs) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      if (mttrUs === -1L)
+        assert(lastHealthy.getOrElse(dev, Long.MinValue) <= endUs,
+          s"device $dev has healthy events after $endUs but mttr is -1")
+      else assert(mttrUs > 0L)
+    }
+  }
+
   test("asof last success: every gap positive, success precedes failure") {
     Monitoring.asofLastSuccess(spark, sf).collect().foreach { r =>
       assert(r.getLong(3) > 0)
