@@ -46,9 +46,17 @@ object Dedup {
     * only touches colliding candidates. Default 16 bands × 4 rows puts
     * the S-curve threshold at (1/16)^(1/4) ≈ 0.5, matching the default
     * Jaccard cut. */
+  /** Buckets larger than this emit hub pairs (everyone ↔ bucket-min)
+    * instead of all pairs. A bucket of m docs sharing a band signature
+    * is, in practice, a mass-duplicate cluster (boilerplate pages, SEO
+    * spam) — its m²/2 candidate pairs add no information over the m-1
+    * hub pairs that already connect the cluster for dedup, but they DO
+    * melt one reducer at crawl scale. Below the cap, exact all-pairs. */
+  val MaxBucketAllPairs = 256
+
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = MaxBucketAllPairs): DataFrame = {
     require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes); bands > numHashes " +
         "would make every band hash a constant and cross-join the corpus")
@@ -61,6 +69,10 @@ object Dedup {
         expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)").as("toks"))
       .select(col("id"),
         TextFunctions.shingleHashes(col("toks"), shingleSize).as("sh"))
+    // Bucket size + min id ride along via windows over the exchange's
+    // own partitioning keys (a sort, no extra shuffle) so the hot-bucket
+    // split is visible to both join sides from the same pass.
+    val wb = Window.partitionBy(col("band"), col("bucket"))
     val banded = shingled
       .withColumn("sig", TextFunctions.minhash(col("sh"), numHashes))
       .select(col("id"),
@@ -72,13 +84,21 @@ object Dedup {
       // shared exchange for the self-join (ReusedExchange: the minhash
       // signature + banding subtree is evaluated once, not twice)
       .repartition(col("band"), col("bucket"))
+      .withColumn("bsz", count(lit(1)).over(wb))
+      .withColumn("bmin", min(col("id")).over(wb))
     // Candidate pairs carry ids only — the big shingle arrays rejoin
     // once per surviving pair, not once per band collision.
-    val candidates = banded.select(col("band"), col("bucket"), col("id").as("id1"))
-      .join(banded.select(col("band"), col("bucket"), col("id").as("id2")),
+    val small = banded.filter(col("bsz") <= maxBucket)
+    val allPairs = small.select(col("band"), col("bucket"), col("id").as("id1"))
+      .join(small.select(col("band"), col("bucket"), col("id").as("id2")),
         Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+      .select("id1", "id2")
+    // Hot buckets: star/hub pairs only — O(m) rows, same connected
+    // component for the downstream keep-min dedup.
+    val hubPairs = banded.filter(col("bsz") > maxBucket && col("id") =!= col("bmin"))
+      .select(col("bmin").as("id1"), col("id").as("id2"))
+    val candidates = allPairs.unionByName(hubPairs).distinct()
     candidates
       .join(shingled.select(col("id").as("id1"), col("sh").as("s1")), Seq("id1"))
       .join(shingled.select(col("id").as("id2"), col("sh").as("s2")), Seq("id2"))
@@ -98,19 +118,34 @@ object Dedup {
     * chunks (pigeonhole: Hamming ≤ 3 ⇒ at least one identical chunk),
     * bucket join on (chunk, value), verify with bit_count(xor) ≤ maxHamming. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = MaxBucketAllPairs): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"),
       TextFunctions.simhash64(
         expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).as("sig"))
+    // One exchange on the bucket key shared by both join sides
+    // (ReusedExchange — the signature subtree runs once); bucket size
+    // and min-(id, sig) ride along as windows over the same keys.
+    val wb = Window.partitionBy(col("chunk"), col("cval"))
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(expr(
         "transform(sequence(0, 3), c -> (sig >> (c * 16)) & 65535)"))
         .as(Seq("chunk", "cval")))
-    val l = chunked.select(col("chunk"), col("cval"), col("id").as("id1"), col("sig").as("sig1"))
-    val r = chunked.select(col("chunk"), col("cval"), col("id").as("id2"), col("sig").as("sig2"))
-    l.join(r, Seq("chunk", "cval"))
+      .repartition(col("chunk"), col("cval"))
+      .withColumn("bsz", count(lit(1)).over(wb))
+      .withColumn("m", min(struct(col("id"), col("sig"))).over(wb))
+    val small = chunked.filter(col("bsz") <= maxBucket)
+    val l = small.select(col("chunk"), col("cval"), col("id").as("id1"), col("sig").as("sig1"))
+    val r = small.select(col("chunk"), col("cval"), col("id").as("id2"), col("sig").as("sig2"))
+    val allPairs = l.join(r, Seq("chunk", "cval"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("sig1"), col("sig2")).distinct()
+      .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
+    // Hot buckets (mass-dup chunk collision): hub pairs to the bucket
+    // min — O(m), still Hamming-verified below, so no false positives;
+    // see MaxBucketAllPairs for the trade.
+    val hubPairs = chunked.filter(col("bsz") > maxBucket && col("id") =!= col("m.id"))
+      .select(col("m.id").as("id1"), col("id").as("id2"),
+        col("m.sig").as("sig1"), col("sig").as("sig2"))
+    allPairs.unionByName(hubPairs).distinct()
       .withColumn("hamming", expr("bit_count(sig1 ^ sig2)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming"))

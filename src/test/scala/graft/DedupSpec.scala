@@ -64,6 +64,25 @@ class DedupSpec extends SparkSpec {
     assert(scores.sameElements(scores.sortBy(-(_: Double))))
   }
 
+  test("hot LSH bucket: star-capping keeps the dup cluster connected in O(m)") {
+    // 30 identical docs land in one bucket per band; with maxBucket=8
+    // the all-pairs C(30,2)=435 candidates collapse to 29 hub pairs
+    // that still connect every dup to the cluster min (what keep-min
+    // dedup needs), each verified at jaccard 1.0.
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val cluster = (1L to 30L).map(i => (i, text)).toDF("doc_id", "text")
+    val capped = Dedup.minhashPairs(cluster, "doc_id", "text", maxBucket = 8).collect()
+    assert(capped.length === 29, s"expected 29 hub pairs, got ${capped.length}")
+    assert(capped.forall(_.getLong(0) === 1L), "hub must be the cluster min id")
+    assert(capped.forall(_.getDouble(2) === 1.0))
+    // simhash: same cluster, same star shape, hamming 0
+    val sh = Dedup.simhashPairs(cluster, "doc_id", "text", maxBucket = 8).collect()
+    assert(sh.length === 29 && sh.forall(r => r.getLong(0) === 1L && r.getInt(2) === 0))
+    // below the cap nothing changes: exact all-pairs
+    val small = (1L to 5L).map(i => (i, text)).toDF("doc_id", "text")
+    assert(Dedup.minhashPairs(small, "doc_id", "text").count() === 10L)
+  }
+
   test("ngram df-cap: corpus-common gram pruned, true dups still found") {
     // 30 docs share one boilerplate prefix (its grams hit df=30); each
     // doc otherwise has unique words. Docs 1/2 are genuine near-dups.
