@@ -87,6 +87,8 @@ object SparkEntry {
     "tfidf_top" -> ((s: SparkSession, d: String) => TextAnalysis.tfIdfTop(s, d)),
     "text_repetition" -> (TextAnalysis.textRepetition _),
     "text_pii_scrub" -> (TextAnalysis.textPiiScrub _),
+    "word_freq_topk_approx" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.wordFreqTopKApprox(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

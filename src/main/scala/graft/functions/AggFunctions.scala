@@ -92,4 +92,136 @@ object AggFunctions {
     GraftColumn.apply(
       HistogramAgg(GraftColumn.expression(c), nBuckets, lo, hi)
         .toAggregateExpression())
+
+  /** Misra-Gries heavy hitters over a string column: approximate top-k
+    * with a HARD state bound of `capacity = slack·k` counters per
+    * group, fully mergeable — the 100 TB answer to "top words/devices/
+    * URLs" when an exact groupBy would shuffle every distinct key.
+    *
+    * Guarantees (classic MG): every estimate is an UNDERCOUNT by at
+    * most n/capacity (n = rows seen by the group), and any key with
+    * true count > n/capacity is guaranteed to be present in the
+    * sketch. Merge subtracts the (capacity+1)-th largest counter from
+    * all (Agarwal et al.'s mergeable-summaries rule), preserving both
+    * bounds. Estimates may vary ±n/capacity with partition merge
+    * order; rank-1 on a skewed corpus does not (spec-pinned).
+    *
+    * Emits the top-k as array<struct<word, est>> sorted by
+    * (est DESC, word) for a deterministic surface. */
+  case class HeavyHittersAgg(
+      child: Expression,
+      k: Int,
+      slack: Int = 8,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[scala.collection.mutable.HashMap[org.apache.spark.unsafe.types.UTF8String, Long]] {
+
+    private type Sketch =
+      scala.collection.mutable.HashMap[org.apache.spark.unsafe.types.UTF8String, Long]
+    private val capacity = k * slack
+
+    override def children: Seq[Expression] = child :: Nil
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("word", StringType, nullable = false),
+        StructField("est", LongType, nullable = false))),
+      containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType && k >= 1 && slack >= 2)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        "approx_top_k needs (string, k>=1, slack>=2)")
+
+    override def createAggregationBuffer(): Sketch =
+      scala.collection.mutable.HashMap.empty
+
+    /** Drop every counter to `keep` at most `capacity` survivors: the
+      * shared compaction of update (decrement-by-1 when full) and
+      * merge (subtract the (capacity+1)-th largest). */
+    private def compact(buf: Sketch): Unit = {
+      if (buf.size <= capacity) return
+      // update path: exactly one over — the (capacity+1)-th largest is
+      // the min, no sort needed (O(capacity) per saturated insert)
+      val cut =
+        if (buf.size == capacity + 1) buf.values.min
+        else {
+          val counts = buf.values.toArray
+          java.util.Arrays.sort(counts)
+          counts(counts.length - capacity - 1) // (capacity+1)-th largest
+        }
+      buf.filterInPlace { case (_, c) => c > cut }
+      buf.mapValuesInPlace { case (_, c) => c - cut }
+    }
+
+    override def update(buf: Sketch, input: InternalRow): Sketch = {
+      val v = child.eval(input)
+      if (v != null) {
+        val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        val cur = buf.getOrElse(s, -1L)
+        if (cur >= 0L) buf.put(s, cur + 1L) // hot path: zero allocation
+        else {
+          // new key: COPY before retaining — the UTF8String from eval
+          // points into a row buffer the scan reuses
+          buf.put(s.clone(), 1L)
+          compact(buf)
+        }
+      }
+      buf
+    }
+
+    override def merge(a: Sketch, b: Sketch): Sketch = {
+      b.foreach { case (w, c) =>
+        a.put(w, a.getOrElse(w, 0L) + c)
+      }
+      compact(a)
+      a
+    }
+
+    override def eval(buf: Sketch): Any = {
+      val top = buf.toArray
+        .sortBy { case (w, c) => (-c, w.toString) }.take(k)
+      new GenericArrayData(top.map { case (w, c) => InternalRow(w, c) })
+    }
+
+    override def serialize(buf: Sketch): Array[Byte] = {
+      val entries = buf.toArray
+      val byteLens = entries.map(_._1.getBytes)
+      val bb = ByteBuffer.allocate(4 + byteLens.map(_.length + 12).sum)
+      bb.putInt(entries.length)
+      entries.zip(byteLens).foreach { case ((_, c), wb) =>
+        bb.putInt(wb.length); bb.put(wb); bb.putLong(c)
+      }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Sketch = {
+      val bb = ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val buf: Sketch = scala.collection.mutable.HashMap.empty
+      var i = 0
+      while (i < n) {
+        val len = bb.getInt
+        val wb = new Array[Byte](len)
+        bb.get(wb)
+        buf.put(org.apache.spark.unsafe.types.UTF8String.fromBytes(wb), bb.getLong)
+        i += 1
+      }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): HeavyHittersAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): HeavyHittersAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): Expression = copy(child = c.head)
+    override def prettyName: String = "approx_top_k"
+  }
+
+  def approxTopK(c: Column, k: Int, slack: Int = 8): Column =
+    GraftColumn.apply(
+      HeavyHittersAgg(GraftColumn.expression(c), k, slack)
+        .toAggregateExpression())
 }

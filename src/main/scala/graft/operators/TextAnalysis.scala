@@ -256,4 +256,21 @@ object TextAnalysis {
       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
       |  FROM documents) t
       |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- E9
+  /** E5's scale path: the same corpus top-20 through the Misra-Gries
+    * heavy-hitters sketch ([[graft.functions.AggFunctions
+    * .HeavyHittersAgg]]) — per-partition state is a HARD 8k-counter
+    * bound instead of one counter per distinct word, so the exchange
+    * moves O(k·partitions) rows however large the vocabulary. Rows-only
+    * (estimates are sketch-internal); the spec pins the MG error bound
+    * and exactness when the vocabulary fits the sketch. */
+  def wordFreqTopKApprox(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(explode(tokens()).as("word"))
+      .agg(graft.functions.AggFunctions.approxTopK($"word", k).as("top"))
+      .select(posexplode($"top").as(Seq("rank", "t")))
+      .select(($"rank" + 1).as("rank"), $"t.word", $"t.est")
+  }
 }

@@ -62,6 +62,12 @@ class PlanSpec extends SparkSpec {
       s"self-join recomputes the index subtree:\n$p")
   }
 
+  test("incident context: bucketed range join is an equi-join, never cartesian") {
+    val p = executedPlan(Monitoring.incidentContext(spark, sf))
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"range join degenerated to a cross product:\n$p")
+  }
+
   test("minhash LSH: banded self-join reuses one exchange") {
     val p = executedPlan(Dedup.dedupMinhashLsh(spark, sf))
     assert(p.contains("ReusedExchange"),

@@ -97,6 +97,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("approx top-k: exact when vocab fits the sketch; MG bound under compaction") {
+    // The corpus vocabulary is far under 8·20 counters, so no counter
+    // is ever evicted and the sketch must equal the exact top-20.
+    val exact = TextAnalysis.wordFreqTopK(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val approx = TextAnalysis.wordFreqTopKApprox(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(approx.toSeq === exact.toSeq)
+    // planted skew + tiny sketch (k=2, slack=2 → 4 counters) forces
+    // compaction: the heavy hitter must survive at rank 1 with an
+    // undercount of at most n/capacity
+    val n = 400
+    val words = (Seq.fill(300)("hot") ++ (1 to 100).map(i => s"rare${i % 50}"))
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("i", "word")
+    val top = df.agg(graft.functions.AggFunctions.approxTopK($"word", 2, slack = 2).as("t"))
+      .selectExpr("inline(t)").collect()
+    assert(top.head.getString(0) === "hot")
+    val est = top.head.getLong(1)
+    assert(est <= 300L && est >= 300L - n / 4,
+      s"MG bound violated: est=$est, true=300, n/capacity=${n / 4}")
+  }
+
   test("repetition: ratios in [0,1); planted loop maxes them, unique text zeros them") {
     TextAnalysis.textRepetition(spark, sf).collect().foreach { r =>
       assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
