@@ -71,6 +71,7 @@ object SparkEntry {
     // F: multimodal
     "mm_manifest" -> (Multimodal.mmManifest _),
     "mm_frame_sample" -> (Multimodal.mmFrameSample _),
+    "mm_codec_stats" -> (Multimodal.mmCodecStats _),
     // A12 batch replay of the streaming state machine (same kernel)
     "mon_escalation_replay" -> ((s: SparkSession, d: String) =>
       graft.streaming.HealthMonitor.replayBatch(s, d)
@@ -133,6 +134,7 @@ object SparkEntry {
     "q_grouping_sets" -> Relational.qGroupingSetsSql,
     "q_scalar_subquery" -> Relational.qScalarSubquerySql,
     "mm_manifest" -> Multimodal.mmManifestSql,
+    "mm_codec_stats" -> Multimodal.mmCodecStatsSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "ann_brute_topk" -> Similarity.annBruteTopKSql,

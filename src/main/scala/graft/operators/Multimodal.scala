@@ -61,6 +61,31 @@ object Multimodal {
       |  source
       |FROM documents ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- F3
+  /** Fleet-level media stats per (codec, source): the metadata-only
+    * rollup a curation pipeline runs before deciding what to decode.
+    * Composes on the F1 manifest; one map-side-partial agg shuffle on
+    * the tiny (codec, source) key space. */
+  def mmCodecStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mmManifest(spark, sfDir)
+      .groupBy($"codec", $"source")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum($"size_bytes").as("total_bytes"),
+        (sum($"duration_s".cast("decimal(18,4)")).cast("double") / count(lit(1)))
+          .as("avg_duration_s"))
+      .orderBy($"codec", $"source")
+  }
+
+  val mmCodecStatsSql: String =
+    s"""WITH manifest AS (${mmManifestSql.replace("ORDER BY media_id", "")})
+       |SELECT codec, source, COUNT(*) AS n_media,
+       |  CAST(SUM(size_bytes) AS BIGINT) AS total_bytes,
+       |  CAST(SUM(CAST(duration_s AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_duration_s
+       |FROM manifest GROUP BY codec, source
+       |ORDER BY codec, source""".stripMargin
+
   // ---------------------------------------------------------------- F2
   /** Decoder contract: payload bytes → iterator of frames. Real codec
     * integrations implement this; it runs inside mapPartitions so one

@@ -124,6 +124,25 @@ object Scale {
     joined.select(outCols: _*)
   }
 
+  /** Bloom-prefiltered inner equi-join on a bigint key: build a Bloom
+    * filter over the small side's keys (a fixed-size sketch, built
+    * distributed and merged on the driver), then drop big-side rows
+    * whose key is definitely absent BEFORE the join's shuffle. No false
+    * negatives ⇒ bit-identical to `big.join(small, key)`; false
+    * positives just ride through and are removed by the join itself.
+    *
+    * This is the planned-case analog of what AQE/DPP do adaptively —
+    * the tool to reach for when runtime filtering doesn't apply
+    * (streaming joins, non-partition keys) and the big side is
+    * mostly non-matching: at 1% selectivity the shuffle moves ~1% of
+    * the rows plus fpp noise. */
+  def bloomPrefilterJoin(big: DataFrame, small: DataFrame, key: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bf = small.stat.bloomFilter(key, expectedItems, fpp)
+    big.filter(graft.functions.BloomFunctions.mightContain(col(key), bf))
+      .join(small, Seq(key))
+  }
+
   /** Deterministic fingerprint of a DataFrame's content (order-free,
     * multiplicity-sensitive): decimal sum of per-row xxhash64 over all
     * columns. The cheap way to assert two hundred-terabyte pipelines

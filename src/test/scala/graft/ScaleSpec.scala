@@ -101,6 +101,27 @@ class ScaleSpec extends SparkSpec {
     assert(Scale.subBuckets(10, 4096) === 1)
   }
 
+  test("bloom prefilter join: identical to plain join, prunes pre-shuffle") {
+    val o = Tables.orders(spark, sf)
+    // selective small side: ~2% of orders
+    val small = o.filter($"o_orderkey" % 50 === 0)
+      .select($"o_orderkey", $"o_totalprice".as("sp"))
+    val big = Tables.lineitem(spark, sf).withColumnRenamed("l_orderkey", "o_orderkey")
+    val plain = big.join(small, Seq("o_orderkey"))
+    val bloomed = Scale.bloomPrefilterJoin(big, small, "o_orderkey",
+      expectedItems = 1000L)
+    assert(bloomed.count() === plain.count())
+    assert(Scale.contentFingerprint(bloomed.select(plain.columns.map(col): _*))
+      === Scale.contentFingerprint(plain))
+    // the prefilter must actually discard most of the big side (fpp 1%
+    // on a ~2%-selective key set ⇒ well under half survives)
+    val bf = small.stat.bloomFilter("o_orderkey", 1000L, 0.01)
+    val survivors = big.filter(
+      graft.functions.BloomFunctions.mightContain($"o_orderkey", bf)).count()
+    assert(survivors < big.count() / 2,
+      s"prefilter kept $survivors of ${big.count()} rows")
+  }
+
   test("extensions: SQL users can call the native functions") {
     // SparkSpec.session is built withExtensions(new GraftExtensions)
     Tables.embeddings(spark, sf).createOrReplaceTempView("emb")
