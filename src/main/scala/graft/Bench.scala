@@ -39,7 +39,8 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0 // a failing query reports -1, never a fake timing
         }
-      val (a, b) = (timed(), timed())
+      val a = timed()
+      val b = if (a < 0) a else timed() // don't re-run a known failure
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

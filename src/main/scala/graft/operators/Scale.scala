@@ -91,9 +91,11 @@ object Scale {
       keepKeys: Boolean = false): DataFrame = {
     require(targetSubRows >= 1)
     val kb = blockCols.map(col)
+    // same integer arithmetic as subBuckets() so specs predict the
+    // plan's exact decomposition (a double-based ceil could drift)
     val sizes = df.groupBy(kb: _*).agg(count(lit(1)).as("__bn"))
       .withColumn("__g",
-        ceil(col("__bn").cast("double") / targetSubRows).cast("int"))
+        expr(s"cast((__bn + ${targetSubRows - 1}) div $targetSubRows as int)"))
       .drop("__bn")
     val withG = df.join(broadcast(sizes), blockCols)
       .withColumn("__sub", pmod(xxhash64(col(idCol)), col("__g")).cast("int"))

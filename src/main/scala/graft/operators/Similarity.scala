@@ -49,15 +49,21 @@ object Similarity {
     * the bucketed paths instead of silently running an O(n·m) scan. */
   val BruteForceMaxPairs: Long = 100L * 1000 * 1000
 
+  /** Query set = vectors with vec_id below this bound. ONE constant
+    * feeds both the filter and the pair-count guard so they cannot
+    * drift apart (a widened filter with a stale guard would let a
+    * runaway cross join through). */
+  val QueryIdBound = 10L
+
   def annBruteTopK(spark: SparkSession, sfDir: String, k: Int = AnnK): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
-    val q = e.filter($"vec_id" < 10)
+    val q = e.filter($"vec_id" < QueryIdBound)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"))
     // Guard from the cached parquet row count (one metadata-only job
-    // per JVM, then a free map lookup): the query side is `vec_id < 10`
-    // on a unique id, so ≤ 10 rows by construction — no job needed.
-    val pairs = Tables.cachedCount(spark, s"$sfDir/embeddings.parquet") * 10
+    // per JVM, then a free map lookup): the query side filters a unique
+    // id below QueryIdBound, so its size is bounded without a job.
+    val pairs = Tables.cachedCount(spark, s"$sfDir/embeddings.parquet") * QueryIdBound
     require(pairs <= BruteForceMaxPairs,
       s"brute-force ANN would score $pairs pairs (> $BruteForceMaxPairs); " +
         "use annLsh or annIvf — the bucketed scale paths")
@@ -81,7 +87,7 @@ object Similarity {
        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
        |      ORDER BY ${cosSql("q", "c")} DESC, c.vec_id) AS rank
        |  FROM embeddings q, embeddings c
-       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) t
+       |  WHERE q.vec_id < $QueryIdBound AND c.vec_id <> q.vec_id) t
        |WHERE rank <= $AnnK
        |ORDER BY query_id, rank""".stripMargin
 
@@ -94,7 +100,7 @@ object Similarity {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("bucket", VectorFunctions.hyperplaneLsh($"embedding", bits))
-    val q = e.filter($"vec_id" < 10)
+    val q = e.filter($"vec_id" < QueryIdBound)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"bucket")
     rankTopK(e.join(broadcast(q), Seq("bucket"))
       .filter($"vec_id" =!= $"query_id")
@@ -194,7 +200,7 @@ object Similarity {
     val centroidDf = centroids.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "cvec")
     val wq = Window.partitionBy($"query_id").orderBy($"dist", $"cell")
-    val probes = e.filter($"vec_id" < 10)
+    val probes = e.filter($"vec_id" < QueryIdBound)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"))
       .crossJoin(broadcast(centroidDf))
       .withColumn("dist", expr(

@@ -111,6 +111,20 @@ class EventReplayStream(options: Map[String, String])
   private val eventsPerTrigger =
     options.getOrElse("eventsPerTrigger", "1000").toLong
 
+  /** Caller-provided staging dir survives stop(); a self-created temp
+    * dir is owned by this stream and deleted on stop(). */
+  private val explicitStagingDir = options.get("stagingDir")
+  private lazy val stagingDir: String = explicitStagingDir.getOrElse(
+    java.nio.file.Files.createTempDirectory("graft-replay-staged").toString)
+
+  /** Hadoop conf entries captured on the driver and shipped to the
+    * executor-side readers, so a staging dir on s3a/hdfs/... works with
+    * the session's spark.hadoop.* settings instead of defaults. */
+  private lazy val hadoopConfEntries: Array[(String, String)] = {
+    val c = SparkSession.active.sparkContext.hadoopConfiguration
+    c.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+  }
+
   /** Stage the input as a per-shard sequence-numbered sorted log (one
     * distributed job, once per stream). Replay order within a shard is
     * (ts, event_id) — the per-shard ordering a partitioned log
@@ -118,8 +132,7 @@ class EventReplayStream(options: Map[String, String])
     * micro-batch is a pure positional range read. */
   private lazy val staged: Map[String, StagedShard] = {
     val spark = SparkSession.active
-    val dir = options.getOrElse("stagingDir",
-      java.nio.file.Files.createTempDirectory("graft-replay-staged").toString)
+    val dir = stagingDir
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     graft.Tables.eventsAt(spark, path)
       .withColumn("seq", row_number().over(w).cast("long"))
@@ -130,7 +143,8 @@ class EventReplayStream(options: Map[String, String])
       .repartition(col("user_id"))
       .sortWithinPartitions("user_id", "seq")
       .write.mode("overwrite").partitionBy("user_id").parquet(dir)
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
     fs.listStatus(new Path(dir)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("user_id="))
       .map { s =>
@@ -138,7 +152,7 @@ class EventReplayStream(options: Map[String, String])
         val files = fs.listStatus(s.getPath)
           .filter(f => f.getPath.getName.endsWith(".parquet"))
           .map(_.getPath.toString).sorted
-        val count = files.map(ParquetSlice.rowCount).sum
+        val count = files.map(ParquetSlice.rowCount(_, conf)).sum
         shard -> StagedShard(files, count)
       }.toMap
   }
@@ -181,12 +195,19 @@ class EventReplayStream(options: Map[String, String])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new ShardSliceReader(p.asInstanceOf[ShardSlicePartition])
-    }
+    ShardSliceReaderFactory(hadoopConfEntries)
 
-  override def stop(): Unit = ()
+  /** Self-created staging is torn down with the stream; an explicit
+    * stagingDir is the caller's to manage (it may be a shared,
+    * pre-staged log). */
+  override def stop(): Unit = if (explicitStagingDir.isEmpty) {
+    try {
+      val p = new Path(stagingDir)
+      p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    } catch { case _: Exception => () } // best-effort cleanup
+    ()
+  }
 }
 
 /** One shard's seq range (from, to] for one micro-batch; executors read
@@ -195,12 +216,27 @@ case class ShardSlicePartition(
     userId: Long, files: Array[String], from: Long, to: Long)
     extends InputPartition
 
+/** Carries the driver's Hadoop conf entries (once per task, not per
+  * partition) so a staging dir on s3a/hdfs/... resolves with the
+  * session's spark.hadoop.* settings instead of defaults. */
+case class ShardSliceReaderFactory(hadoopConf: Array[(String, String)])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new ShardSliceReader(p.asInstanceOf[ShardSlicePartition], hadoopConf)
+}
+
 /** Executor-side reader: parquet-mr record reader with a seq-range
   * filter (row-group statistics prune non-overlapping groups, then
   * record-level filtering trims the rest), emitting rows in seq order.
   * Memory is one parquet row at a time — a slice never buffers. */
-private[v2] class ShardSliceReader(p: ShardSlicePartition)
+private[v2] class ShardSliceReader(p: ShardSlicePartition,
+    hadoopConf: Array[(String, String)])
     extends PartitionReader[InternalRow] {
+  private val conf = {
+    val c = new org.apache.hadoop.conf.Configuration()
+    hadoopConf.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
   private val filter = FilterCompat.get(FilterApi.and(
     FilterApi.gt(FilterApi.longColumn("seq"), java.lang.Long.valueOf(p.from)),
     FilterApi.ltEq(FilterApi.longColumn("seq"), java.lang.Long.valueOf(p.to))))
@@ -213,6 +249,7 @@ private[v2] class ShardSliceReader(p: ShardSlicePartition)
     if (fileIdx >= p.files.length) return false
     reader = ParquetReader
       .builder(new GroupReadSupport(), new Path(p.files(fileIdx)))
+      .withConf(conf)
       .withFilter(filter)
       .build()
     fileIdx += 1
@@ -244,9 +281,9 @@ private[v2] class ShardSliceReader(p: ShardSlicePartition)
 
 private[v2] object ParquetSlice {
   /** Footer-only row count of one parquet file (no column data read). */
-  def rowCount(file: String): Long = {
+  def rowCount(file: String, conf: org.apache.hadoop.conf.Configuration): Long = {
     val input = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(new Path(file), new org.apache.hadoop.conf.Configuration())
+      .fromPath(new Path(file), conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(input)
     try r.getRecordCount finally r.close()
   }

@@ -62,7 +62,20 @@ object AlertSink {
       .start()
 
   /** The delivered audit log as a DataFrame (partition column `epoch`
-    * identifies the micro-batch that delivered each alert). */
-  def deliveredLog(spark: org.apache.spark.sql.SparkSession, outDir: String) =
-    spark.read.parquet(outDir)
+    * identifies the micro-batch that delivered each alert). A healthy
+    * fleet may deliver ZERO alerts — an empty/partless log directory
+    * yields an empty frame with the alert schema, not an
+    * unable-to-infer-schema error. */
+  def deliveredLog(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    try spark.read.parquet(outDir)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+            e.getMessage.contains("PATH_NOT_FOUND") =>
+        spark.emptyDataset[HealthAlert].toDF()
+          .withColumn("epoch", org.apache.spark.sql.functions.lit(0L))
+    }
+  }
 }

@@ -42,6 +42,13 @@ class AlertSinkSpec extends SparkSpec {
     // notifier saw every alert exactly once (no dupes from replays)
     assert(CountingNotifier.seen.get() === 3)
   }
+
+  test("deliveredLog on a healthy fleet (zero alerts) is empty, not an error") {
+    val empty = java.nio.file.Files.createTempDirectory("graft-alerts-none").toString
+    val log = AlertSink.deliveredLog(spark, empty)
+    assert(log.count() === 0L)
+    assert(log.columns.contains("action") && log.columns.contains("epoch"))
+  }
 }
 
 /** Serializable counting notifier; local-mode executors share the JVM,
