@@ -47,6 +47,38 @@ object Scale {
       .saveAsTable(table)
   }
 
+  /** Write a DataFrame Z-ORDER clustered on two numeric columns: each
+    * column is min/max-scaled to a 16-bit grid, the grid coordinates
+    * are Morton-interleaved ([[graft.functions.LayoutFunctions
+    * .InterleaveBits]]), and the data is range-partitioned + sorted by
+    * the interleaved value. Every output file then covers a narrow
+    * range of BOTH columns, so parquet min/max stats let a filter on
+    * EITHER column skip most files — the layout decision that makes
+    * two-dimensional point/range lookups cheap at 100 TB, where a
+    * single-column sort only helps one predicate.
+    *
+    * Min/max scaling is one cheap agg job; it assumes roughly
+    * uniform-ish key spreads (heavily skewed keys want rank-based
+    * normalization, at the cost of a full sort). */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      files: Int = 16): Unit = {
+    val r = df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    val (loA, hiA, loB, hiB) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    def grid(c: String, lo: Double, hi: Double): Column =
+      if (hi > lo)
+        least(lit(65535L),
+          ((col(c).cast("double") - lo) / (hi - lo) * 65535.0).cast("long"))
+      else lit(0L)
+    df.withColumn("__z", graft.functions.LayoutFunctions.interleaveBits(
+        grid(colA, loA, hiA), grid(colB, loB, hiB)))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Write a time-series DataFrame partitioned by day (`dt=yyyy-MM-dd`
     * directories). At 100 TB this is the layout decision that matters
     * most: a date-filtered query then prunes whole partitions at

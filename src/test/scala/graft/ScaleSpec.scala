@@ -101,6 +101,38 @@ class ScaleSpec extends SparkSpec {
     assert(Scale.subBuckets(10, 4096) === 1)
   }
 
+  test("z-order layout: every file covers a narrow range of BOTH dimensions") {
+    import graft.functions.LayoutFunctions
+    // kernel sanity: interleaving is monotone in each dim and exact
+    val z = Seq((3L, 5L)).toDF("a", "b")
+      .select(LayoutFunctions.interleaveBits($"a", $"b")).as[Long].head()
+    assert(z === (1L | 4L | 2L | 32L)) // a=3→even bits 0,2 (=5); b=5→odd bits 1,5 (=34)
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // two independent-ish dimensions over events
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", ($"value" * 1000).cast("long").as("v"))
+    Scale.writeZOrdered(ev, dir, "user_id", "v", files = 8)
+    val stats = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).toSeq
+      .map { f =>
+        val d = spark.read.parquet(f.getPath)
+        val r = d.agg(min($"user_id"), max($"user_id"), min($"v"), max($"v")).head()
+        (r.getLong(1) - r.getLong(0), r.getLong(3) - r.getLong(2))
+      }
+    assert(stats.size > 1)
+    val g = ev.agg(max($"user_id") - min($"user_id"),
+      max($"v") - min($"v")).head()
+    val (gu, gv) = (g.getLong(0), g.getLong(1))
+    val avgU = stats.map(_._1).sum.toDouble / stats.size
+    val avgV = stats.map(_._2).sum.toDouble / stats.size
+    // a single-column sort would leave ONE dimension at ~full range;
+    // z-order must narrow both simultaneously
+    assert(avgU < 0.7 * gu, s"user_id not clustered: avg range $avgU of $gu")
+    assert(avgV < 0.7 * gv, s"v not clustered: avg range $avgV of $gv")
+    // and the layout loses no rows
+    assert(spark.read.parquet(dir).count() === ev.count())
+  }
+
   test("bloom prefilter join: identical to plain join, prunes pre-shuffle") {
     val o = Tables.orders(spark, sf)
     // selective small side: ~2% of orders
