@@ -79,6 +79,7 @@ object SparkEntry {
     // C+E composition: training-data curation pipeline
     "pipeline_curate" -> (Curation.pipelineCurate _),
     "pipeline_curate_full" -> (Curation.curate _),
+    "pipeline_curate_v2" -> (Curation.pipelineCurateV2 _),
     // E: text analysis
     "text_tokens" -> (TextAnalysis.textTokens _),
     "text_quality" -> (TextAnalysis.textQuality _),
@@ -141,6 +142,7 @@ object SparkEntry {
     "knn_join" -> Similarity.knnJoinSql,
     "vec_norms" -> Similarity.vecNormsSql,
     "pipeline_curate" -> Curation.pipelineCurateSql,
+    "pipeline_curate_v2" -> Curation.pipelineCurateV2Sql,
     "text_tokens" -> TextAnalysis.textTokensSql,
     "text_quality" -> TextAnalysis.textQualitySql,
     "word_freq_topk" -> TextAnalysis.wordFreqTopKSql,

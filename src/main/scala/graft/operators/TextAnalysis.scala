@@ -156,12 +156,15 @@ object TextAnalysis {
     Tables.documents(spark, sfDir)
       .withColumn("toks", tokens())
       .withColumn("n_tokens", size($"toks").cast("long"))
-      // element_at is 1-based; sequence(1, 0) would generate DESCENDING
-      // [1, 0] in Spark, so the < 2 guard is semantic, not cosmetic
+      // zip_with over two slices rather than element_at(toks, i) in the
+      // lambda: if the projection is ever inlined (pushdown/collapse),
+      // a lambda-body `toks` re-tokenizes per element — O(tokens²)
+      // regex work. The < 2 guard keeps slice lengths non-negative.
       .withColumn("bigrams", expr(
         """IF(size(toks) < 2, array(),
-          |   transform(sequence(1, size(toks) - 1),
-          |     i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))""".stripMargin))
+          |   zip_with(slice(toks, 1, size(toks) - 1),
+          |            slice(toks, 2, size(toks) - 1),
+          |            (a, b) -> concat(a, ' ', b)))""".stripMargin))
       .withColumn("n_bigrams", size($"bigrams").cast("long"))
       .withColumn("dup_token_ratio",
         when($"n_tokens" === 0, lit(0.0)).otherwise(

@@ -66,4 +66,23 @@ class CurationSpec extends SparkSpec {
     assert(exact <= in && full <= exact)
     assert(full > 0)
   }
+
+  test("curate v2: repetition gate rejects loops, survivors leave scrubbed") {
+    val good = "the quick brown fox jumps over one lazy dog while birds sing " +
+      "in tall trees near rivers flowing gently toward distant blue seas today"
+    val docs = Seq(
+      (1L, good, "en", "s"),
+      // looping spam: same bigram over and over → dup_bigram_ratio ≈ 1
+      (2L, ("buy now " * 30).trim, "en", "s"),
+      // survivor carrying PII → must come out redacted and counted
+      (3L, good + " contact sales@example.com or 555-867-5309 now please", "en", "s"),
+      (4L, good, "en", "s"), // exact dup of 1 → dropped by keep-min
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Curation.curateV2(docs).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    val d3 = out.find(_.getLong(0) == 3L).get
+    assert(d3.getLong(3) === 2L, s"expected 2 PII hits, got ${d3.getLong(3)}")
+    assert(d3.getString(4).contains("[EMAIL]") && d3.getString(4).contains("[PHONE]"))
+    assert(!d3.getString(4).contains("example.com"))
+  }
 }

@@ -40,6 +40,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: boundedSelfPairs equals naive block self-join on arbitrary data") {
+    import graft.operators.Scale
+    for (seed <- 1L to 5L) {
+      val data = sample(rowsGen, seed).distinctBy(_._2) // unique ids
+      val target = (seed % 4 + 1).toInt * 4
+      val df = data.toDF("key", "id", "score")
+      val got = Scale
+        .boundedSelfPairs(df, Seq("key"), "id", Seq("score"), targetSubRows = target)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toSet
+      val want = (for {
+        a <- data; b <- data
+        if a._1 == b._1 && a._2 < b._2
+      } yield (a._2, b._2, a._3, b._3)).toSet
+      assert(got === want, s"seed=$seed target=$target")
+    }
+  }
+
   private val vocab = Vector("red", "blue", "green", "fast", "slow", "data",
     "spark", "query", "join", "scan", "merge", "sort", "hash", "table", "row")
   private val docGen: Gen[String] = Gen.choose(30, 80).flatMap(n =>
