@@ -170,8 +170,6 @@ object Similarity {
   def annIvf(spark: SparkSession, sfDir: String, nCells: Int = 0,
       k: Int = AnnK, maxTrain: Int = 100000, nProbe: Int = 2): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val e = Tables.embeddings(spark, sfDir)
     val cellCount =
       if (nCells > 0) nCells
@@ -182,14 +180,7 @@ object Similarity {
     // Deterministic ~25% sample (partition-invariant: keyed on vec_id,
     // not row position), hard-capped so the driver-coordinated fit is
     // O(maxTrain) whatever the corpus size.
-    val train = e
-      .filter(pmod(xxhash64($"vec_id"), lit(4)) === 0)
-      .limit(maxTrain)
-      .select(array_to_vector($"embedding").as("fv"))
-    val model = new KMeans().setK(cellCount).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(train)
-    val centroids = model.clusterCenters.map(_.toArray)
+    val centroids = trainCentroids(e, cellCount, maxTrain)
     val cells = e.select($"vec_id", $"embedding",
       VectorFunctions.nearestCentroid($"embedding", centroids).as("cell"))
     // Multi-probe: rank ALL centroids per query by L2 distance and keep
@@ -213,6 +204,79 @@ object Similarity {
     // A corpus vector lives in exactly one cell and a query probes
     // distinct cells, so each (query, vector) pair appears at most once.
     rankTopK(cells.join(broadcast(probes), Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", $"cell",
+        round(VectorFunctions.cosineSim($"qe", $"embedding"), 6).as("cos")),
+      k, extras = Seq("cell"))
+  }
+
+  /** Shared IVF trainer: k-means on the bounded deterministic sample
+    * (see [[annIvf]]), returning the centroid table. */
+  private def trainCentroids(e: DataFrame, nCells: Int,
+      maxTrain: Int): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = e
+      .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+      .limit(maxTrain)
+      .select(array_to_vector(col("embedding")).as("fv"))
+    new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(train).clusterCenters.map(_.toArray)
+  }
+
+  /** Build a PERSISTED IVF index: the corpus is written partitioned by
+    * coarse-quantizer cell (`cell=<c>/` directories) with the centroid
+    * table alongside. This is the billion-scale layout: train once,
+    * write once, and every later query reads ONLY its probed cells via
+    * partition pruning — planning-time directory pruning, zero I/O for
+    * unprobed cells, instead of re-scanning and re-assigning the corpus
+    * per query as [[annIvf]] does. */
+  def writeIvfIndex(spark: SparkSession, sfDir: String, indexDir: String,
+      nCells: Int = 0, maxTrain: Int = 100000): Unit = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val cellCount =
+      if (nCells > 0) nCells
+      else {
+        val n = Tables.cachedCount(spark, s"$sfDir/embeddings.parquet")
+        math.max(8, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+      }
+    val centroids = trainCentroids(e, cellCount, maxTrain)
+    e.select($"vec_id", $"embedding",
+        VectorFunctions.nearestCentroid($"embedding", centroids).as("cell"))
+      .repartition($"cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors")
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** Query a persisted IVF index: rank centroids per query (tiny), then
+    * scan ONLY the probed `cell=` partitions. The probed cell set is
+    * collected to the driver (≤ nProbe · queries ints — that is what
+    * partition pruning is) so the `isin` filter prunes directories at
+    * planning time; everything else matches [[annIvf]]'s search. */
+  def annIvfIndexed(spark: SparkSession, indexDir: String, k: Int = AnnK,
+      nProbe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val vectors = spark.read.parquet(s"$indexDir/vectors")
+    val centroidDf = spark.read.parquet(s"$indexDir/centroids")
+    val wq = Window.partitionBy($"query_id").orderBy($"dist", $"cell")
+    val probes = vectors.filter($"vec_id" < QueryIdBound)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      .crossJoin(broadcast(centroidDf))
+      .withColumn("dist", expr(
+        """aggregate(zip_with(qe, cvec,
+          |  (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),
+          |  0D, (s, v) -> s + v)""".stripMargin))
+      .withColumn("pr", row_number().over(wq))
+      .filter($"pr" <= nProbe)
+      .select($"query_id", $"qe", $"cell")
+    val probedCells = probes.select($"cell").distinct()
+      .as[Int].collect().toSeq
+    rankTopK(vectors.filter($"cell".isin(probedCells: _*))
+      .join(broadcast(probes), Seq("cell"))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id", $"cell",
         round(VectorFunctions.cosineSim($"qe", $"embedding"), 6).as("cos")),

@@ -95,6 +95,25 @@ class SimilaritySpec extends SparkSpec {
     assert(again === pairs)
   }
 
+  test("persisted IVF index: partition-pruned probe matches in-memory IVF") {
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.writeIvfIndex(spark, sf, idxDir)
+    val indexed = Similarity.annIvfIndexed(spark, idxDir)
+    // same trainer, same seed → identical search results
+    val want = Similarity.annIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val got = indexed.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === want)
+    // and the probe scan actually prunes cell= partitions at planning time
+    val vectors = spark.read.parquet(s"$idxDir/vectors")
+    val probed = vectors.filter($"cell".isin(0, 1))
+    probed.collect()
+    val p = probed.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("cell"),
+      s"no partition pruning on cell:\n$p")
+  }
+
   test("knn join: neighbors stay within the query's label block") {
     val labels = Tables.embeddings(spark, sf)
       .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
