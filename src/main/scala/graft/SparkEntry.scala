@@ -54,6 +54,8 @@ object SparkEntry {
     "mon_incident_context" -> (Monitoring.incidentContext _),
     "mon_mttr" -> (Monitoring.mttr _),
     "q_string_agg" -> (Relational.qStringAgg _),
+    "q_salted_join" -> (Relational.qSaltedJoin _),
+    "q_bloom_join" -> (Relational.qBloomJoin _),
     "q_grouping_sets" -> (Relational.qGroupingSets _),
     "q_scalar_subquery" -> (Relational.qScalarSubquery _),
     // C: dedup
@@ -132,6 +134,8 @@ object SparkEntry {
     "mon_incident_context" -> Monitoring.incidentContextSql,
     "mon_mttr" -> Monitoring.mttrSql,
     "q_string_agg" -> Relational.qStringAggSql,
+    "q_salted_join" -> Relational.qSaltedJoinSql,
+    "q_bloom_join" -> Relational.qBloomJoinSql,
     "q_grouping_sets" -> Relational.qGroupingSetsSql,
     "q_scalar_subquery" -> Relational.qScalarSubquerySql,
     "mm_manifest" -> Multimodal.mmManifestSql,

@@ -544,6 +544,60 @@ object Relational {
       |GROUP BY d.l_returnflag
       |ORDER BY d.l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- B22
+  /** The skew-salted join as an oracle-verified query: lineitem ⋈
+    * orders through [[Scale.saltedJoin]] (8 salts), aggregated per
+    * order priority. The salt assignment is invisible to the result —
+    * every (left row, matching right row) pair meets exactly once — so
+    * the query hash-matches the plain-join SQL while the physical join
+    * key space is 8× wider (the planned-case skew defense AQE can't
+    * provide for streaming/planned joins). */
+  def qSaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey".as("o_orderkey"), $"l_quantity")
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderpriority")
+    Scale.saltedJoin(l, o, Seq("o_orderkey"), salts = 8)
+      .groupBy($"o_orderpriority")
+      .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n_items"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val qSaltedJoinSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- B23
+  /** The Bloom-prefiltered join as an oracle-verified query: expensive
+    * orders (the selective side) build the filter, lineitem rows whose
+    * key is definitely absent are dropped BEFORE the join shuffle
+    * ([[Scale.bloomPrefilterJoin]]); no false negatives ⇒ the result
+    * hash-matches the plain-join SQL. */
+  def qBloomJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey".as("o_orderkey"), $"l_quantity")
+    val small = Tables.orders(spark, sfDir)
+      .filter($"o_totalprice" > 400000.0)
+      .select($"o_orderkey", $"o_orderpriority")
+    Scale.bloomPrefilterJoin(big, small, "o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n_items"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val qBloomJoinSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_totalprice > 400000.0
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ---------------------------------------------------------------- B13
   /** HLL approximate distinct count — the 100-TB-scale path of B10
     * (fixed-size sketch, no exact distinct shuffle). No SQL oracle

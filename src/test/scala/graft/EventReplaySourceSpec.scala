@@ -67,6 +67,41 @@ class EventReplaySourceSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint restart: shards resume, nothing lost, bounded redelivery") {
+    val ck = java.nio.file.Files.createTempDirectory("graft-replay-ck").toString
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    def run() = spark.readStream
+      .format("graft-replay")
+      .option("path", s"$sf/events.parquet")
+      .option("eventsPerTrigger", "20")
+      .load()
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val arr = df.select($"event_id").as[Long].collect()
+        batches.synchronized { batches += arr }
+        ()
+      }
+      .start()
+    // run 1: let at least one micro-batch commit, then kill mid-stream
+    val q1 = run()
+    val deadline = System.currentTimeMillis + 60000
+    while (System.currentTimeMillis < deadline && batches.synchronized(batches.size) < 2)
+      Thread.sleep(100)
+    q1.stop()
+    assert(batches.synchronized(batches.nonEmpty), "run 1 processed no batch")
+    // run 2: fresh stream instance (re-stages), same checkpoint → resume
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    val all = batches.synchronized(batches.toArray).flatten
+    val want = Tables.events(spark, sf).select($"event_id").as[Long].collect()
+    // exactly-once modulo foreachBatch's at-least-once on the epoch in
+    // flight at stop: nothing lost, redelivery bounded by ~2 epochs
+    // (15 shards × 20/trigger), NOT a from-scratch replay
+    assert(all.toSet === want.toSet, "events lost across restart")
+    assert(all.length - want.length <= 2 * 15 * 20,
+      s"unbounded redelivery: ${all.length} delivered for ${want.length} events")
+  }
+
   test("health monitor runs end-to-end on the custom source") {
     val events = stream().as[DeviceEvent]
     val q = HealthMonitor.monitor(events).writeStream
