@@ -166,8 +166,10 @@ object Monitoring {
 
   // ---------------------------------------------------------------- A27
   /** Bucketed RANGE JOIN: every healthy event within ±5 minutes of a
-    * failure incident (run of ≥ 3 errors) on the same device — "what
-    * else was the gateway doing around the outage".
+    * failure incident (run of ≥ 3 errors, restart.sh:16 max_failed_cnt)
+    * on the same device — "what else was the gateway doing around the
+    * outage", the postmortem twin of the reference's get_fragment_list
+    * probing around a stall (putmedia_check2.sh:22-52).
     *
     * Spark has no native range join; the naive formulation
     * (`e.join(inc, cond = between)`) plans a per-device cartesian. This
@@ -209,7 +211,10 @@ object Monitoring {
 
   // ---------------------------------------------------------------- A28
   /** MTTR (mean time to recovery): for each failure incident, the gap
-    * from the last error to the device's next healthy event. The
+    * from the last error to the device's next healthy event — the
+    * effectiveness measure of restart.sh's remediation ladder
+    * (restart.sh:27-159: how long after the last failed probe did the
+    * stream actually come back). The
     * lookup is the asof-join composition idiom (A15, mirrored forward):
     * tag + union probes (incident ends) with healthy events, sort once
     * per device, and take the first non-null healthy timestamp in the
@@ -583,7 +588,10 @@ object Monitoring {
   // ---------------------------------------------------------------- A26
   /** Rate of change of per-minute metric sums per device: minute-over-
     * minute delta and percent change (the "did throughput fall off a
-    * cliff" question behind the PutMedia.Success probe). Decimal
+    * cliff" question behind the PutMedia.Success Sum probe,
+    * putmedia_check.sh:10-37 — the reference alerts on the absolute
+    * level; the delta/pct view is what its operator reads off the
+    * CloudWatch chart). Decimal
     * per-minute sums (order-free), one shuffle on device, LAG over the
     * per-device timeline; deltas surface as COALESCEd doubles so the
     * first minute is 0, not NULL (cross-engine hash stability). */
