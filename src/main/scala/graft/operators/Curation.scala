@@ -154,6 +154,46 @@ object Curation {
        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
   }
 
+  /** STREAMING curation — the ingest-time twin of [[curateV2]]: the
+    * quality / repetition / language gates are stateless per-row
+    * predicates (they apply to a stream unchanged), exact dedup becomes
+    * `dropDuplicatesWithinWatermark` on the content hash (state bounded
+    * by the watermark horizon instead of corpus size — the right
+    * trade at ingest: a duplicate arriving a day later is caught by the
+    * nightly batch sweep, not the hot path), and survivors leave
+    * PII-scrubbed. Input must carry an event-time column `ts`. */
+  def curateStream(docs: DataFrame, minTokens: Int = 10,
+      maxDupBigram: Double = 0.1, watermark: String = "10 minutes",
+      langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame = {
+    import TextAnalysis.{EmailRe, IpRe, PhoneRe}
+    docs
+      .withColumn("toks", TextAnalysis.tokens("text"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("uniq_ratio",
+        size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+      .withColumn("bg", expr(
+        """IF(size(toks) < 2, array(),
+          |   zip_with(slice(toks, 1, size(toks) - 1),
+          |            slice(toks, 2, size(toks) - 1),
+          |            (a, b) -> concat(a, ' ', b)))""".stripMargin))
+      .withColumn("dup_bigram_ratio",
+        when(size(col("bg")) === 0, lit(0.0)).otherwise(
+          lit(1.0) - size(array_distinct(col("bg"))).cast("double") / size(col("bg"))))
+      .filter(col("n_tokens") >= minTokens)
+      .filter(col("uniq_ratio") >= 0.3)
+      .filter(col("dup_bigram_ratio") <= maxDupBigram)
+      .filter(col("lang").isin(langs: _*))
+      .withColumn("h", sha2(col("text"), 256))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("h")
+      .select(col("doc_id"), col("ts"), col("source"), col("n_tokens"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+            PhoneRe, "[PHONE]"),
+          IpRe, "[IP]").as("clean_text"))
+  }
+
   /** Deterministic stratified sample: keep `fraction` of each stratum
     * (e.g. per language) using a hash-based Bernoulli draw on a key
     * column — reproducible across runs AND across cluster sizes

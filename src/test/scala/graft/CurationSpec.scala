@@ -67,6 +67,33 @@ class CurationSpec extends SparkSpec {
     assert(full > 0)
   }
 
+  test("streaming curation: gates + watermark dedup + scrub on a live stream") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.StreamDoc
+    val good = "the quick brown fox jumps over one lazy dog while birds sing " +
+      "in tall trees near rivers flowing gently toward distant blue seas today"
+    def at(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val input = MemoryStream[StreamDoc](200, spark, None)
+    val q = Curation.curateStream(input.toDF())
+      .writeStream.format("memory").queryName("curated_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        StreamDoc(1L, at(1), good, "en", "s"),
+        StreamDoc(2L, at(2), ("buy now " * 30).trim, "en", "s"), // loop spam
+        StreamDoc(3L, at(3), good, "en", "s"), // dup of 1 within watermark
+        StreamDoc(4L, at(4), good + " mail root@host.org today", "en", "s"),
+      ))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("curated_stream").collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out.keySet === Set(1L, 4L),
+      s"expected loop spam + in-watermark dup dropped, got ${out.keySet}")
+    assert(out(4L).contains("[EMAIL]") && !out(4L).contains("host.org"))
+  }
+
   test("curate v2: repetition gate rejects loops, survivors leave scrubbed") {
     val good = "the quick brown fox jumps over one lazy dog while birds sing " +
       "in tall trees near rivers flowing gently toward distant blue seas today"
@@ -86,3 +113,7 @@ class CurationSpec extends SparkSpec {
     assert(!d3.getString(4).contains("example.com"))
   }
 }
+
+/** Top-level so spark.implicits can derive its Encoder. */
+case class StreamDoc(doc_id: Long, ts: java.sql.Timestamp,
+    text: String, lang: String, source: String)

@@ -62,6 +62,15 @@ class PlanSpec extends SparkSpec {
       s"self-join recomputes the index subtree:\n$p")
   }
 
+  test("curate v2: all gates run under the scan, dedup agg is the only wide op") {
+    val p = executedPlan(Curation.pipelineCurateV2(spark, sf))
+    // exchanges: one for the dedup aggregation, one range exchange for
+    // the final orderBy — any more means a gate leaked above a shuffle
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"expected <= 2 exchanges, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"curate v2 should not join:\n$p")
+  }
+
   test("incident context: bucketed range join is an equi-join, never cartesian") {
     val p = executedPlan(Monitoring.incidentContext(spark, sf))
     assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
