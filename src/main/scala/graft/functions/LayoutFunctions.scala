@@ -43,27 +43,28 @@ object LayoutFunctions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
-        val cls = classOf[InterleaveBits].getName.stripSuffix("$")
-        s"${ev.value} = $cls.spreadBits($a) | ($cls.spreadBits($b) << 1);"
+        // the spreading ladder is inlined — a nested companion object has
+        // no static forwarder, so a method call here would fail Janino
+        // compilation and silently fall back to interpreted eval
+        def ladder(in: String, v: String): String =
+          s"""long $v = $in & 0xFFFFFFFFL;
+             |$v = ($v | ($v << 16)) & 0x0000FFFF0000FFFFL;
+             |$v = ($v | ($v << 8)) & 0x00FF00FF00FF00FFL;
+             |$v = ($v | ($v << 4)) & 0x0F0F0F0F0F0F0F0FL;
+             |$v = ($v | ($v << 2)) & 0x3333333333333333L;
+             |$v = ($v | ($v << 1)) & 0x5555555555555555L;""".stripMargin
+        val (va, vb) = (ctx.freshName("za"), ctx.freshName("zb"))
+        s"""
+           |${ladder(a, va)}
+           |${ladder(b, vb)}
+           |${ev.value} = $va | ($vb << 1);
+           |""".stripMargin
       })
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
     override def prettyName: String = "interleave_bits"
-  }
-
-  object InterleaveBits {
-    /** Static entry point for generated code (mirror of `spread`). */
-    def spreadBits(x: Long): Long = {
-      var v = x & 0xFFFFFFFFL
-      v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
-      v = (v | (v << 8)) & 0x00FF00FF00FF00FFL
-      v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL
-      v = (v | (v << 2)) & 0x3333333333333333L
-      v = (v | (v << 1)) & 0x5555555555555555L
-      v
-    }
   }
 
   def interleaveBits(a: Column, b: Column): Column =

@@ -61,24 +61,18 @@ object Curation {
   def curate(spark: SparkSession, sfDir: String): DataFrame =
     curateFull(Tables.documents(spark, sfDir))
 
-  /** V2 pipeline (stages 1–3 plus the round-3 gates): quality +
-    * language + REPETITION gate (duplicate-bigram fraction, the Gopher
-    * rule — loops and boilerplate spam fail it) before the exact dedup,
-    * then PII SCRUB on the surviving text (redaction is the last
-    * stage, so dedup hashes see the original bytes and scrub cost is
-    * paid only for kept docs). Still one declarative plan: all four
-    * gates are per-row predicates that run under the scan, the dedup
-    * groupBy is the only exchange. */
-  def curateV2(docs: DataFrame, minTokens: Int = 10,
-      maxDupBigram: Double = 0.1,
-      langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame = {
-    // Bigrams via zip_with over two slices, NOT element_at(toks, i)
-    // inside the lambda: predicate pushdown inlines these projections
-    // into the gate filters, and an inlined `toks` inside a lambda body
-    // re-runs the regex tokenizer PER ELEMENT (O(tokens²) regex work
-    // per document — observed 15 s vs 0.4 s at sf0.1). With zip_with,
-    // the tokenizer runs once per row per site even after inlining.
-    val gated = docs
+  /** The shared stateless gate chain of [[curateV2]] and
+    * [[curateStream]] — ONE definition so the batch pipeline and its
+    * streaming twin cannot drift. Bigrams via zip_with over two slices,
+    * NOT element_at(toks, i) inside the lambda: predicate pushdown
+    * inlines these projections into the gate filters, and an inlined
+    * `toks` inside a lambda body re-runs the regex tokenizer PER
+    * ELEMENT (O(tokens²) regex work per document — observed 15 s vs
+    * 0.4 s at sf0.1). With zip_with, the tokenizer runs once per row
+    * per site even after inlining. */
+  private def qualityGates(docs: DataFrame, minTokens: Int,
+      maxDupBigram: Double, langs: Seq[String]): DataFrame =
+    docs
       .withColumn("toks", TextAnalysis.tokens("text"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("uniq_ratio",
@@ -95,23 +89,28 @@ object Curation {
       .filter(col("uniq_ratio") >= 0.3)
       .filter(col("dup_bigram_ratio") <= maxDupBigram)
       .filter(col("lang").isin(langs: _*))
-    val kept = gated
+
+  /** V2 pipeline (stages 1–3 plus the round-3 gates): quality +
+    * language + REPETITION gate (duplicate-bigram fraction, the Gopher
+    * rule — loops and boilerplate spam fail it) before the exact dedup,
+    * then PII SCRUB on the surviving text (redaction is the last
+    * stage, so dedup hashes see the original bytes and scrub cost is
+    * paid only for kept docs). Still one declarative plan: all four
+    * gates are per-row predicates that run under the scan, the dedup
+    * groupBy is the only exchange. */
+  def curateV2(docs: DataFrame, minTokens: Int = 10,
+      maxDupBigram: Double = 0.1,
+      langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame = {
+    val kept = qualityGates(docs, minTokens, maxDupBigram, langs)
       .withColumn("h", sha2(col("text"), 256))
       .groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("source"), col("n_tokens"), col("text"))).as("keep"))
       .select(col("keep.doc_id").as("doc_id"), col("keep.source").as("source"),
         col("keep.n_tokens").as("n_tokens"), col("keep.text").as("text"))
     // scrub inline on the dedup survivors — a map pass, not a re-join
-    import TextAnalysis.{EmailRe, IpRe, PhoneRe}
     kept.select(col("doc_id"), col("source"), col("n_tokens"),
-      (size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))) +
-        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))) +
-        size(regexp_extract_all(col("text"), lit(IpRe), lit(0)))).cast("long").as("n_pii"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"), EmailRe, "[EMAIL]"),
-          PhoneRe, "[PHONE]"),
-        IpRe, "[IP]").as("clean_text"))
+      TextAnalysis.piiCount(col("text")).as("n_pii"),
+      TextAnalysis.scrubPii(col("text")).as("clean_text"))
       .orderBy(col("doc_id"))
   }
 
@@ -165,33 +164,12 @@ object Curation {
   def curateStream(docs: DataFrame, minTokens: Int = 10,
       maxDupBigram: Double = 0.1, watermark: String = "10 minutes",
       langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame = {
-    import TextAnalysis.{EmailRe, IpRe, PhoneRe}
-    docs
-      .withColumn("toks", TextAnalysis.tokens("text"))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .withColumn("uniq_ratio",
-        size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
-      .withColumn("bg", expr(
-        """IF(size(toks) < 2, array(),
-          |   zip_with(slice(toks, 1, size(toks) - 1),
-          |            slice(toks, 2, size(toks) - 1),
-          |            (a, b) -> concat(a, ' ', b)))""".stripMargin))
-      .withColumn("dup_bigram_ratio",
-        when(size(col("bg")) === 0, lit(0.0)).otherwise(
-          lit(1.0) - size(array_distinct(col("bg"))).cast("double") / size(col("bg"))))
-      .filter(col("n_tokens") >= minTokens)
-      .filter(col("uniq_ratio") >= 0.3)
-      .filter(col("dup_bigram_ratio") <= maxDupBigram)
-      .filter(col("lang").isin(langs: _*))
+    qualityGates(docs, minTokens, maxDupBigram, langs)
       .withColumn("h", sha2(col("text"), 256))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("h")
       .select(col("doc_id"), col("ts"), col("source"), col("n_tokens"),
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("text"), EmailRe, "[EMAIL]"),
-            PhoneRe, "[PHONE]"),
-          IpRe, "[IP]").as("clean_text"))
+        TextAnalysis.scrubPii(col("text")).as("clean_text"))
   }
 
   /** Deterministic stratified sample: keep `fraction` of each stratum

@@ -64,8 +64,10 @@ object Scale {
       files: Int = 16): Unit = {
     val r = df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
-    val (loA, hiA, loB, hiB) =
-      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    // empty input / all-NULL column → NULL aggregates; degrade to the
+    // constant grid (hi <= lo branch below) instead of an NPE mid-write
+    def get(i: Int): Double = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
+    val (loA, hiA, loB, hiB) = (get(0), get(1), get(2), get(3))
     def grid(c: String, lo: Double, hi: Double): Column =
       if (hi > lo)
         least(lit(65535L),

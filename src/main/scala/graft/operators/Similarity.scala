@@ -273,10 +273,17 @@ object Similarity {
       .withColumn("pr", row_number().over(wq))
       .filter($"pr" <= nProbe)
       .select($"query_id", $"qe", $"cell")
-    val probedCells = probes.select($"cell").distinct()
-      .as[Int].collect().toSeq
+    // ONE execution of the probe subtree: the result is ≤ nProbe·queries
+    // rows, so collect it, derive the pruning cell set locally, and
+    // re-broadcast the tiny local frame (re-referencing the lazy
+    // `probes` plan would re-run the centroid ranking from scratch)
+    val probeRows = probes.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+      .toSeq
+    val probedCells = probeRows.map(_._3).distinct
+    val probesLocal = probeRows.toDF("query_id", "qe", "cell")
     rankTopK(vectors.filter($"cell".isin(probedCells: _*))
-      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(probesLocal), Seq("cell"))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id", $"cell",
         round(VectorFunctions.cosineSim($"qe", $"embedding"), 6).as("cos")),

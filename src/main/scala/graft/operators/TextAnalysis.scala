@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -211,6 +211,21 @@ object TextAnalysis {
   val PhoneRe = "[+]?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
   val IpRe = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
 
+  /** Shared PII kernels — the ONE definition of what counts as PII and
+    * how it is redacted, used by E8, the v2 curation pipeline, and the
+    * streaming curation twin (a regex fix here fixes all three). */
+  def piiCount(c: Column): Column =
+    (size(regexp_extract_all(c, lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(c, lit(PhoneRe), lit(0))) +
+      size(regexp_extract_all(c, lit(IpRe), lit(0)))).cast("long")
+
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      IpRe, "[IP]")
+
   /** Generic frame version so specs can plant PII. */
   def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
@@ -219,11 +234,7 @@ object TextAnalysis {
       size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
       size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
       size(regexp_extract_all(t, lit(IpRe), lit(0))).cast("long").as("n_ips"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(t, EmailRe, "[EMAIL]"),
-          PhoneRe, "[PHONE]"),
-        IpRe, "[IP]").as("scrubbed"))
+      scrubPii(t).as("scrubbed"))
       .orderBy(col(idCol))
   }
 

@@ -117,13 +117,7 @@ class EventReplayStream(options: Map[String, String])
   private lazy val stagingDir: String = explicitStagingDir.getOrElse(
     java.nio.file.Files.createTempDirectory("graft-replay-staged").toString)
 
-  /** Hadoop conf entries captured on the driver and shipped to the
-    * executor-side readers, so a staging dir on s3a/hdfs/... works with
-    * the session's spark.hadoop.* settings instead of defaults. */
-  private lazy val hadoopConfEntries: Array[(String, String)] = {
-    val c = SparkSession.active.sparkContext.hadoopConfiguration
-    c.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
-  }
+
 
   /** Stage the input as a per-shard sequence-numbered sorted log (one
     * distributed job, once per stream). Replay order within a shard is
@@ -195,7 +189,8 @@ class EventReplayStream(options: Map[String, String])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    ShardSliceReaderFactory(hadoopConfEntries)
+    ShardSliceReaderFactory(new org.apache.spark.util.SerializableConfiguration(
+      SparkSession.active.sparkContext.hadoopConfiguration))
 
   /** Self-created staging is torn down with the stream; an explicit
     * stagingDir is the caller's to manage (it may be a shared,
@@ -216,13 +211,15 @@ case class ShardSlicePartition(
     userId: Long, files: Array[String], from: Long, to: Long)
     extends InputPartition
 
-/** Carries the driver's Hadoop conf entries (once per task, not per
-  * partition) so a staging dir on s3a/hdfs/... resolves with the
-  * session's spark.hadoop.* settings instead of defaults. */
-case class ShardSliceReaderFactory(hadoopConf: Array[(String, String)])
+/** Carries the driver's Hadoop conf (Spark's SerializableConfiguration,
+  * serialized once with the factory) so a staging dir on s3a/hdfs/...
+  * resolves with the session's spark.hadoop.* settings instead of
+  * executor-side defaults. */
+case class ShardSliceReaderFactory(
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new ShardSliceReader(p.asInstanceOf[ShardSlicePartition], hadoopConf)
+    new ShardSliceReader(p.asInstanceOf[ShardSlicePartition], hadoopConf.value)
 }
 
 /** Executor-side reader: parquet-mr record reader with a seq-range
@@ -230,13 +227,8 @@ case class ShardSliceReaderFactory(hadoopConf: Array[(String, String)])
   * record-level filtering trims the rest), emitting rows in seq order.
   * Memory is one parquet row at a time — a slice never buffers. */
 private[v2] class ShardSliceReader(p: ShardSlicePartition,
-    hadoopConf: Array[(String, String)])
+    conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
-  private val conf = {
-    val c = new org.apache.hadoop.conf.Configuration()
-    hadoopConf.foreach { case (k, v) => c.set(k, v) }
-    c
-  }
   private val filter = FilterCompat.get(FilterApi.and(
     FilterApi.gt(FilterApi.longColumn("seq"), java.lang.Long.valueOf(p.from)),
     FilterApi.ltEq(FilterApi.longColumn("seq"), java.lang.Long.valueOf(p.to))))

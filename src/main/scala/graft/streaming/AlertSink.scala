@@ -74,8 +74,12 @@ object AlertSink {
       case e: org.apache.spark.sql.AnalysisException
           if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
             e.getMessage.contains("PATH_NOT_FOUND") =>
+        // epoch matches the type partition discovery infers on the
+        // populated path (IntegerType), so both fleet states union/cast
+        // identically
         spark.emptyDataset[HealthAlert].toDF()
-          .withColumn("epoch", org.apache.spark.sql.functions.lit(0L))
+          .withColumn("epoch",
+            org.apache.spark.sql.functions.lit(0).cast("int"))
     }
   }
 }
