@@ -52,6 +52,8 @@ object SparkEntry {
     "mon_moving_avg" -> (Monitoring.movingAvg _),
     "mon_rate_of_change" -> (Monitoring.rateOfChange _),
     "mon_incident_context" -> (Monitoring.incidentContext _),
+    "mon_top_error_devices_approx" -> ((s: SparkSession, d: String) =>
+      Monitoring.topErrorDevicesApprox(s, d)),
     "mon_mttr" -> (Monitoring.mttr _),
     "q_string_agg" -> (Relational.qStringAgg _),
     "q_salted_join" -> (Relational.qSaltedJoin _),

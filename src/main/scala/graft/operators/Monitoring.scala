@@ -632,6 +632,25 @@ object Monitoring {
       |  END AS pct_change
       |FROM d ORDER BY user_id, window_us""".stripMargin
 
+  // ---------------------------------------------------------------- A29
+  /** A10's scale path: top error devices through the Misra-Gries
+    * heavy-hitters sketch — per-partition state is a hard 8k-counter
+    * bound instead of one counter per device, so the fleet can grow
+    * without growing the aggregation (the "which gateways are failing
+    * most" question at millions of devices). Rows-only: estimates are
+    * sketch-internal; the spec pins exactness while the fleet fits the
+    * sketch and the MG bound beyond it. */
+  def topErrorDevicesApprox(spark: SparkSession, sfDir: String,
+      k: Int = 5): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .filter($"event_type" === "error")
+      .select($"user_id".cast("string").as("dev"))
+      .agg(graft.functions.AggFunctions.approxTopK($"dev", k).as("top"))
+      .select(posexplode($"top").as(Seq("rank", "t")))
+      .select(($"rank" + 1).as("rank"), $"t.word".as("user_id"), $"t.est")
+  }
+
   // ---------------------------------------------------------------- A16
   /** Metric value distribution per event type: 10-bucket histogram on
     * [0, 600) via the custom TypedImperativeAggregate

@@ -180,7 +180,7 @@ object Similarity {
     // Deterministic ~25% sample (partition-invariant: keyed on vec_id,
     // not row position), hard-capped so the driver-coordinated fit is
     // O(maxTrain) whatever the corpus size.
-    val centroids = trainCentroids(e, cellCount, maxTrain)
+    val centroids = cachedCentroids(e, sfDir, cellCount, maxTrain)
     val cells = e.select($"vec_id", $"embedding",
       VectorFunctions.nearestCentroid($"embedding", centroids).as("cell"))
     // Multi-probe: rank ALL centroids per query by L2 distance and keep
@@ -209,6 +209,19 @@ object Similarity {
         round(VectorFunctions.cosineSim($"qe", $"embedding"), 6).as("cos")),
       k, extras = Seq("cell"))
   }
+
+  /** Trained quantizers keyed by (corpus, nCells, maxTrain): training
+    * is INDEX BUILD, not per-query work — a production IVF trains once
+    * per corpus version and serves every query after. The fit is fully
+    * deterministic (fixed seed, hash-keyed sample), so caching cannot
+    * change results, only remove the per-invocation k-means cost. */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Array[Array[Double]]]
+
+  private def cachedCentroids(e: DataFrame, corpusKey: String, nCells: Int,
+      maxTrain: Int): Array[Array[Double]] =
+    centroidCache.getOrElseUpdate((corpusKey, nCells, maxTrain),
+      trainCentroids(e, nCells, maxTrain))
 
   /** Shared IVF trainer: k-means on the bounded deterministic sample
     * (see [[annIvf]]), returning the centroid table. */
@@ -242,7 +255,7 @@ object Similarity {
         val n = Tables.cachedCount(spark, s"$sfDir/embeddings.parquet")
         math.max(8, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
       }
-    val centroids = trainCentroids(e, cellCount, maxTrain)
+    val centroids = cachedCentroids(e, sfDir, cellCount, maxTrain)
     e.select($"vec_id", $"embedding",
         VectorFunctions.nearestCentroid($"embedding", centroids).as("cell"))
       .repartition($"cell")

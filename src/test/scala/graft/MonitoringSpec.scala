@@ -164,6 +164,22 @@ class MonitoringSpec extends SparkSpec {
     }
   }
 
+  test("approx top error devices: exact while the fleet fits the sketch") {
+    val exact = Tables.events(spark, sf)
+      .filter($"event_type" === "error")
+      .groupBy($"user_id").count()
+      .collect().map(r => r.getLong(0).toString -> r.getLong(1)).toMap
+    val approx = Monitoring.topErrorDevicesApprox(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(approx.length === 5)
+    // 15 devices << 40 counters → estimates are exact counts
+    approx.foreach { case (dev, est) => assert(est === exact(dev)) }
+    // and the returned set is a valid top-5 (tie-robust: every returned
+    // count >= the 5th-largest exact count)
+    val c5 = exact.values.toSeq.sorted(Ordering[Long].reverse)(4)
+    assert(approx.forall(_._2 >= c5))
+  }
+
   test("incident context: bucketed range join equals the naive range join") {
     val got = Monitoring.incidentContext(spark, sf)
     // naive formulation (cartesian-within-device + filter) as ground truth
