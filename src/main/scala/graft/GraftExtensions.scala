@@ -54,5 +54,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         args(1).eval().asInstanceOf[Int])))
     e.injectFunction(fn("lang_id",
       args => TextFunctions.LangIdGuess(args(0))))
+    e.injectFunction(fn("interleave_bits",
+      args => graft.functions.LayoutFunctions.InterleaveBits(args(0), args(1))))
+    // aggregate: approx_top_k(col, k[, slack]) — literal ints
+    e.injectFunction(fn("approx_top_k",
+      args => graft.functions.AggFunctions.HeavyHittersAgg(
+        args(0),
+        args(1).eval().asInstanceOf[Int],
+        if (args.length > 2) args(2).eval().asInstanceOf[Int] else 8)
+        .toAggregateExpression()))
   }
 }

@@ -170,5 +170,13 @@ class ScaleSpec extends SparkSpec {
       "SELECT simhash64(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) h FROM docs LIMIT 3")
       .collect()
     assert(sh.length === 3)
+    // round-3 registrations: layout kernel + heavy-hitters aggregate
+    val z = spark.sql("SELECT interleave_bits(3L, 5L)").head().getLong(0)
+    assert(z === 39L)
+    val hh = spark.sql(
+      """SELECT t.word, t.est FROM (
+        |  SELECT inline(approx_top_k(lang, 3)) AS (word, est)
+        |  FROM docs) t ORDER BY est DESC, word""".stripMargin)
+    assert(hh.count() === 3)
   }
 }
