@@ -95,6 +95,8 @@ object SparkEntry {
     "text_pii_scrub" -> (TextAnalysis.textPiiScrub _),
     "word_freq_topk_approx" -> ((s: SparkSession, d: String) =>
       TextAnalysis.wordFreqTopKApprox(s, d)),
+    "corpus_stats" -> (TextAnalysis.corpusStats _),
+    "text_lm_score" -> (TextAnalysis.textLmScore _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -154,5 +156,6 @@ object SparkEntry {
     "word_freq_topk" -> TextAnalysis.wordFreqTopKSql,
     "text_repetition" -> TextAnalysis.textRepetitionSql,
     "text_pii_scrub" -> TextAnalysis.textPiiScrubSql,
+    "corpus_stats" -> TextAnalysis.corpusStatsSql,
   )
 }

@@ -252,6 +252,66 @@ object TextAnalysis {
        |    '$IpRe', '[IP]', 'g') AS scrubbed
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- E10
+  /** One-row corpus dashboard: the summary a pipeline operator checks
+    * before/after every curation sweep — doc and token volume, length
+    * distribution (exact percentiles), exact-duplicate rate. One scan,
+    * one aggregation. */
+  def corpusStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", size(tokens()).cast("long"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(sha2($"text", 256)).as("n_distinct"),
+        sum($"n_tokens").as("total_tokens"),
+        (sum($"n_tokens").cast("double") / count(lit(1))).as("avg_tokens"),
+        round(expr("percentile(n_tokens, 0.5)"), 4).as("p50_tokens"),
+        round(expr("percentile(n_tokens, 0.95)"), 4).as("p95_tokens"),
+        (lit(1.0) - countDistinct(sha2($"text", 256)).cast("double") / count(lit(1)))
+          .as("dup_rate"))
+  }
+
+  val corpusStatsSql: String =
+    """WITH x AS (
+      |  SELECT text, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+      |  FROM documents)
+      |SELECT COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT sha256(text)) AS n_distinct,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+      |  ROUND(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+      |  ROUND(quantile_cont(n_tokens, 0.95), 4) AS p95_tokens,
+      |  1.0 - CAST(COUNT(DISTINCT sha256(text)) AS DOUBLE) / COUNT(*) AS dup_rate
+      |FROM x""".stripMargin
+
+  // --------------------------------------------------------------- E11
+  /** Unigram language-model score per document (the CCNet-style quality
+    * signal): train token log-probabilities from the corpus itself
+    * (one agg over the postings), then score each doc by its mean token
+    * log-prob with add-one smoothing. Gibberish / rare-token documents
+    * score low; fluent in-distribution text scores high. Two
+    * aggregations over the exploded postings (corpus LM + per-doc
+    * mean) and one join on token — the same inverted-index shape as
+    * TF-IDF, shuffle bounded by postings. Rows-only: ln() is
+    * transcendental (engines differ in the last ulp). */
+  def textLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val postings = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(tokens()).as("term"))
+    val totals = postings.agg(
+      count(lit(1)).as("n_tokens"), countDistinct($"term").as("vocab"))
+    val lm = postings.groupBy($"term").agg(count(lit(1)).as("tf"))
+      .crossJoin(broadcast(totals))
+      .select($"term",
+        log(($"tf" + 1.0) / ($"n_tokens" + $"vocab")).as("logp"))
+    postings.join(lm, Seq("term"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum($"logp") / count(lit(1)), 6).as("lm_score"))
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- E5
   /** Corpus top-k word frequencies: explode + two-phase agg (partial
     * map-side count, one shuffle on word). */

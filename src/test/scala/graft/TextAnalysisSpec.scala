@@ -97,6 +97,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("lm score: in-distribution text outscores rare-token gibberish") {
+    val rows = TextAnalysis.textLmScore(spark, sf).collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    rows.foreach(r => assert(r.getDouble(2) < 0.0)) // log-probs are negative
+    // planted: a doc of corpus-common words vs a doc of hapaxes —
+    // replicate the op's LM inline on a corpus where we control df
+    val docs = (1L to 20L).map(i => (i, "data spark query join table scan row value")) ++
+      Seq((99L, "zzyzx qwfp vexing jumbled xylophone quartz")) // all-rare tokens
+    val df = docs.toDF("doc_id", "text")
+    val postings = df.select($"doc_id", explode(TextAnalysis.tokens()).as("term"))
+    val totals = postings.agg(count(lit(1)).as("n"), countDistinct($"term").as("v")).head()
+    val (n, v) = (totals.getLong(0), totals.getLong(1))
+    val lm = postings.groupBy($"term").agg(count(lit(1)).as("tf"))
+      .select($"term", log(($"tf" + 1.0) / (n + v).toDouble).as("logp"))
+    val scores = postings.join(lm, Seq("term"))
+      .groupBy($"doc_id").agg((sum($"logp") / count(lit(1))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > scores(99L),
+      s"common-word doc should outscore gibberish: ${scores(1L)} vs ${scores(99L)}")
+  }
+
   test("approx top-k: exact when vocab fits the sketch; MG bound under compaction") {
     // The corpus vocabulary is far under 8·20 counters, so no counter
     // is ever evicted and the sketch must equal the exact top-20.
