@@ -43,16 +43,23 @@ object Curation {
   }
 
   /** Full pipeline (stages 1–4) over any documents frame — testable on
-    * planted corpora at the production threshold. */
+    * planted corpora at the production threshold. Stage 4 resolves the
+    * near-dup pair graph into CONNECTED COMPONENTS
+    * ([[Scale.connectedComponents]]) and keeps one survivor (the min
+    * doc_id) per cluster: pairwise id2-deletion under-deletes on
+    * transitive clusters (pairs (B,C),(A,C) would leave both A and B
+    * of the {A,B,C} cluster alive). */
   def curateFull(docs: DataFrame, nearDupThreshold: Double = 0.8): DataFrame = {
     // repartition boundary → the three consumers of `kept` (semi-join,
     // anti-join, output) share one exchange (ReusedExchange) instead of
     // re-running the quality gates + sha256 dedup per consumer
     val kept = curateExact(docs).repartition(col("doc_id"))
     val keptDocs = docs.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
-    val nearDupVictims = Dedup
+    val pairs = Dedup
       .minhashPairs(keptDocs, "doc_id", "text", threshold = nearDupThreshold)
-      .select(col("id2").as("doc_id")).distinct()
+    val nearDupVictims = Scale.connectedComponents(pairs.select(col("id1"), col("id2")))
+      .filter(col("id") =!= col("comp")) // everyone but the cluster min
+      .select(col("id").as("doc_id"))
     kept.join(nearDupVictims, Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))
   }

@@ -160,6 +160,57 @@ object Scale {
     joined.select(outCols: _*)
   }
 
+  /** Connected components over an undirected edge list (`id1`, `id2`
+    * bigint) by iterative min-label propagation: every node starts
+    * labeled with itself; each round, every node takes the minimum
+    * label in its neighborhood (including its own); fixpoint after
+    * O(component diameter) rounds. Returns (id, component) with
+    * component = the minimum node id of the component.
+    *
+    * This is what near-duplicate DEDUP actually needs: pairwise
+    * keep-min deletes `id2` of every pair, which under-deletes on
+    * transitive clusters (edges (B,C),(A,C) leave both A and B alive in
+    * the {A,B,C} cluster). Components pick exactly one survivor — the
+    * standard practice for LSH dedup at scale.
+    *
+    * Scale shape: each round is one shuffle join (labels × edges) plus
+    * a min-aggregate; lineage is truncated every round with an eager
+    * localCheckpoint so plans stay flat however many rounds run.
+    * Near-dup graphs are sparse with tiny components, so rounds ≈ 2-4
+    * in practice; `maxIter` hard-bounds adversarial chains. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(edges.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint(true) // edge derivation (e.g. an LSH join) runs ONCE
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist()
+    var cached = labels // the handle actually holding storage
+    var round = 0
+    var changed = true
+    while (changed && round < maxIter) {
+      // propagation AND convergence in one aggregation: each node's own
+      // row is tagged, so the group carries both the neighborhood min
+      // (new label) and the node's previous label — no second join
+      val step = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"), lit(0).as("own"))
+        .unionByName(labels.select(col("id"), col("comp"), lit(1).as("own")))
+        .groupBy(col("id"))
+        .agg(min(col("comp")).as("comp"),
+          max(when(col("own") === 1, col("comp"))).as("prev"))
+      // lazy persist per round (the convergence probe materializes it);
+      // eager checkpoint only every 3rd round — enough to keep lineage
+      // flat without paying a full materialization barrier per round
+      val next = if (round % 3 == 2) step.localCheckpoint(true) else step.persist()
+      changed = next.filter(col("comp") < col("prev")).limit(1).count() > 0
+      cached.unpersist(false)
+      cached = next
+      labels = next.select(col("id"), col("comp"))
+      round += 1
+    }
+    labels
+  }
+
   /** Bloom-prefiltered inner equi-join on a bigint key: build a Bloom
     * filter over the small side's keys (a fixed-size sketch, built
     * distributed and merged on the driver), then drop big-side rows

@@ -133,6 +133,23 @@ class ScaleSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === ev.count())
   }
 
+  test("connected components: chains, stars, and singletons resolve to min labels") {
+    // components: {1,2,3,4} (chain), {10,11,12} (star via 12), {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 12L), (11L, 12L), (20L, 21L)).toDF("id1", "id2")
+    val comp = Scale.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) === 1L))
+    assert(Seq(10L, 11L, 12L).forall(comp(_) === 10L))
+    assert(Seq(20L, 21L).forall(comp(_) === 20L))
+    // the case pairwise keep-min gets wrong: edges (B,C),(A,C) —
+    // components must put A, B, C in ONE cluster labeled A
+    val tri = Seq((2L, 3L), (1L, 3L)).toDF("id1", "id2")
+    val t = Scale.connectedComponents(tri).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("bloom prefilter join: identical to plain join, prunes pre-shuffle") {
     val o = Tables.orders(spark, sf)
     // selective small side: ~2% of orders
