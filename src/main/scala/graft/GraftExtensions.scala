@@ -58,10 +58,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => graft.functions.LayoutFunctions.InterleaveBits(args(0), args(1))))
     // aggregate: approx_top_k(col, k[, slack]) — literal ints
     e.injectFunction(fn("approx_top_k",
-      args => graft.functions.AggFunctions.HeavyHittersAgg(
-        args(0),
-        args(1).eval().asInstanceOf[Int],
-        if (args.length > 2) args(2).eval().asInstanceOf[Int] else 8)
+      args => (if (args.length > 2)
+        graft.functions.AggFunctions.HeavyHittersAgg(args(0),
+          args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])
+      else // 2-arg form: the case class default owns the slack value
+        graft.functions.AggFunctions.HeavyHittersAgg(args(0),
+          args(1).eval().asInstanceOf[Int]))
         .toAggregateExpression()))
   }
 }

@@ -208,7 +208,15 @@ object Scale {
       labels = next.select(col("id"), col("comp"))
       round += 1
     }
-    labels
+    if (changed) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "component diameter exceeds maxIter; raise it (labels would be " +
+        "silently partial, re-introducing under-deletion in dedup)")
+    // pin the result, then drop iteration storage (checkpoint blocks
+    // from intermediate rounds are GC-released once unreferenced)
+    val out = labels.localCheckpoint(true)
+    cached.unpersist(false)
+    out
   }
 
   /** Bloom-prefiltered inner equi-join on a bigint key: build a Bloom

@@ -216,12 +216,18 @@ object Similarity {
     * deterministic (fixed seed, hash-keyed sample), so caching cannot
     * change results, only remove the per-invocation k-means cost. */
   private val centroidCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Array[Array[Double]]]
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Int, Int), Array[Array[Double]]]
 
-  private def cachedCentroids(e: DataFrame, corpusKey: String, nCells: Int,
-      maxTrain: Int): Array[Array[Double]] =
-    centroidCache.getOrElseUpdate((corpusKey, nCells, maxTrain),
+  /** Key includes the corpus path's mtime, so a regenerated corpus in
+    * the same JVM retrains instead of serving stale centroids. Entries
+    * are bounded by distinct corpora per JVM; a rare concurrent
+    * double-train is harmless (deterministic fit → identical result). */
+  private def cachedCentroids(e: DataFrame, corpusDir: String, nCells: Int,
+      maxTrain: Int): Array[Array[Double]] = {
+    val stamp = new java.io.File(s"$corpusDir/embeddings.parquet").lastModified()
+    centroidCache.getOrElseUpdate((corpusDir, stamp, nCells, maxTrain),
       trainCentroids(e, nCells, maxTrain))
+  }
 
   /** Shared IVF trainer: k-means on the bounded deterministic sample
     * (see [[annIvf]]), returning the centroid table. */

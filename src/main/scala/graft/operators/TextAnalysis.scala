@@ -267,9 +267,9 @@ object TextAnalysis {
         sum($"n_tokens").as("total_tokens"),
         (sum($"n_tokens").cast("double") / count(lit(1))).as("avg_tokens"),
         round(expr("percentile(n_tokens, 0.5)"), 4).as("p50_tokens"),
-        round(expr("percentile(n_tokens, 0.95)"), 4).as("p95_tokens"),
-        (lit(1.0) - countDistinct(sha2($"text", 256)).cast("double") / count(lit(1)))
-          .as("dup_rate"))
+        round(expr("percentile(n_tokens, 0.95)"), 4).as("p95_tokens"))
+      .withColumn("dup_rate",
+        lit(1.0) - $"n_distinct".cast("double") / $"n_docs")
   }
 
   val corpusStatsSql: String =
@@ -297,18 +297,27 @@ object TextAnalysis {
     * transcendental (engines differ in the last ulp). */
   def textLmScore(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val postings = Tables.documents(spark, sfDir)
-      .select($"doc_id", explode(tokens()).as("term"))
-    val totals = postings.agg(
-      count(lit(1)).as("n_tokens"), countDistinct($"term").as("vocab"))
-    val lm = postings.groupBy($"term").agg(count(lit(1)).as("tf"))
-      .crossJoin(broadcast(totals))
+    val docs = Tables.documents(spark, sfDir)
+    val postings = docs.select($"doc_id", explode(tokens()).as("term"))
+    val tf = postings.groupBy($"term").agg(count(lit(1)).as("tf"))
+    // corpus totals derive from the tiny term-count frame — no second
+    // pass over the postings (the tokenizer runs once per corpus scan)
+    val totals = tf.agg(sum($"tf").as("corpus_tokens"), count(lit(1)).as("vocab"))
+    val lm = tf.crossJoin(broadcast(totals))
       .select($"term",
-        log(($"tf" + 1.0) / ($"n_tokens" + $"vocab")).as("logp"))
-    postings.join(lm, Seq("term"))
+        log(($"tf" + 1.0) / ($"corpus_tokens" + $"vocab")).as("logp"))
+    val scored = postings.join(lm, Seq("term"))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        round(sum($"logp") / count(lit(1)), 6).as("lm_score"))
+      .agg(count(lit(1)).as("n_tokens"), (sum($"logp") / count(lit(1))).as("s"))
+    // LEFT join from the corpus: a token-free document (punctuation/
+    // emoji/CJK-only) must surface with the smoothed floor score, not
+    // silently vanish from the quality sweep
+    docs.select($"doc_id").join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(totals))
+      .select($"doc_id",
+        coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+        round(coalesce($"s", log(lit(1.0) / ($"corpus_tokens" + $"vocab"))), 6)
+          .as("lm_score"))
       .orderBy($"doc_id")
   }
 
