@@ -15,15 +15,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Row count of a parquet path, computed once per path per JVM and
-    * cached. A filterless parquet `count()` is answered from row-group
-    * metadata (no column data is decoded), so the first call is a tiny
-    * job and subsequent guard checks — e.g. the brute-force ANN pair
-    * ceiling, IVF cell scaling — are free driver-side lookups instead
-    * of repeated jobs on every query invocation. */
-  private val countCache = scala.collection.concurrent.TrieMap.empty[String, Long]
-  def cachedCount(s: SparkSession, path: String): Long =
-    countCache.getOrElseUpdate(path, s.read.parquet(path).count())
+  /** Row count of a parquet path, computed once per (path, mtime) per
+    * JVM and cached. A filterless parquet `count()` is answered from
+    * row-group metadata (no column data is decoded), so the first call
+    * is a tiny job and subsequent guard checks — e.g. the brute-force
+    * ANN pair ceiling, IVF cell scaling — are free driver-side lookups
+    * instead of repeated jobs on every query invocation. Keyed on the
+    * path's mtime (like the IVF quantizer cache) so a corpus
+    * regenerated inside one JVM re-counts instead of serving a stale
+    * size to the guards. */
+  private val countCache = scala.collection.concurrent.TrieMap.empty[(String, Long), Long]
+  def cachedCount(s: SparkSession, path: String): Long = {
+    val stamp = new java.io.File(path).lastModified()
+    countCache.getOrElseUpdate((path, stamp), s.read.parquet(path).count())
+  }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")

@@ -107,7 +107,14 @@ object AggFunctions {
     * order; rank-1 on a skewed corpus does not (spec-pinned).
     *
     * Emits the top-k as array<struct<word, est>> sorted by
-    * (est DESC, word) for a deterministic surface. */
+    * (est DESC, word) for a deterministic surface. Deterministic
+    * GIVEN a merge order, though: once distinct keys exceed capacity,
+    * shuffle-fetch order changes the exact est values and can flip
+    * membership at the k-th rank boundary run-to-run. That is WHY the
+    * consumers (word_freq_topk_approx, mon_top_error_devices_approx)
+    * are declared rows-only in SURVEY §2 and must never be promoted to
+    * the hash gate — the sketch's contract is the error bound, not a
+    * stable byte-for-byte output. */
   case class HeavyHittersAgg(
       child: Expression,
       k: Int,

@@ -48,8 +48,13 @@ object Curation {
     * ([[Scale.connectedComponents]]) and keeps one survivor (the min
     * doc_id) per cluster: pairwise id2-deletion under-deletes on
     * transitive clusters (pairs (B,C),(A,C) would leave both A and B
-    * of the {A,B,C} cluster alive). */
-  def curateFull(docs: DataFrame, nearDupThreshold: Double = 0.8): DataFrame = {
+    * of the {A,B,C} cluster alive).
+    *
+    * `checkpointDir`: pass a reliable (HDFS/S3) dir on shared clusters
+    * so the iterative resolution survives executor loss — see
+    * [[Scale.connectedComponents]]'s durability note. */
+  def curateFull(docs: DataFrame, nearDupThreshold: Double = 0.8,
+      checkpointDir: Option[String] = None): DataFrame = {
     // repartition boundary → the three consumers of `kept` (semi-join,
     // anti-join, output) share one exchange (ReusedExchange) instead of
     // re-running the quality gates + sha256 dedup per consumer
@@ -57,7 +62,9 @@ object Curation {
     val keptDocs = docs.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val pairs = Dedup
       .minhashPairs(keptDocs, "doc_id", "text", threshold = nearDupThreshold)
-    val nearDupVictims = Scale.connectedComponents(pairs.select(col("id1"), col("id2")))
+    val nearDupVictims = Scale
+      .connectedComponents(pairs.select(col("id1"), col("id2")),
+        checkpointDir = checkpointDir)
       .filter(col("id") =!= col("comp")) // everyone but the cluster min
       .select(col("id").as("doc_id"))
     kept.join(nearDupVictims, Seq("doc_id"), "left_anti")

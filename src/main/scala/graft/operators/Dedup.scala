@@ -46,12 +46,22 @@ object Dedup {
     * only touches colliding candidates. Default 16 bands × 4 rows puts
     * the S-curve threshold at (1/16)^(1/4) ≈ 0.5, matching the default
     * Jaccard cut. */
-  /** Buckets larger than this emit hub pairs (everyone ↔ bucket-min)
-    * instead of all pairs. A bucket of m docs sharing a band signature
-    * is, in practice, a mass-duplicate cluster (boilerplate pages, SEO
-    * spam) — its m²/2 candidate pairs add no information over the m-1
-    * hub pairs that already connect the cluster for dedup, but they DO
-    * melt one reducer at crawl scale. Below the cap, exact all-pairs. */
+  /** Buckets larger than this emit CHAIN pairs (each member ↔ its
+    * id-successor within the bucket) instead of all pairs. A bucket of
+    * m docs sharing a band signature is, in practice, a mass-duplicate
+    * cluster (boilerplate pages, SEO spam) — its m²/2 candidate pairs
+    * add no information over the m-1 chain pairs that already connect
+    * the cluster for dedup, but they DO melt one reducer at crawl
+    * scale. A chain is preferred over a star (everyone ↔ bucket-min):
+    * candidates still pass downstream Jaccard/Hamming verification, and
+    * under a star one hub doc failing verification severs EVERY other
+    * member's only edge, fragmenting the cluster — under a chain a
+    * failed edge splits the bucket only at that point, so each
+    * contiguous run of genuinely-similar members stays one component.
+    * (Recall in mixed hot buckets is still heuristic: members similar
+    * to each other but not to their chain neighbors can land in
+    * separate components; the cap trades that tail for the hard O(m)
+    * bound.) Below the cap, exact all-pairs. */
   val MaxBucketAllPairs = 256
 
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
@@ -69,10 +79,11 @@ object Dedup {
         expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)").as("toks"))
       .select(col("id"),
         TextFunctions.shingleHashes(col("toks"), shingleSize).as("sh"))
-    // Bucket size + min id ride along via windows over the exchange's
-    // own partitioning keys (a sort, no extra shuffle) so the hot-bucket
-    // split is visible to both join sides from the same pass.
+    // Bucket size + chain predecessor ride along via windows over the
+    // exchange's own partitioning keys (a sort, no extra shuffle) so the
+    // hot-bucket split is visible to both join sides from the same pass.
     val wb = Window.partitionBy(col("band"), col("bucket"))
+    val wo = wb.orderBy(col("id"))
     val banded = shingled
       .withColumn("sig", TextFunctions.minhash(col("sh"), numHashes))
       .select(col("id"),
@@ -85,7 +96,7 @@ object Dedup {
       // signature + banding subtree is evaluated once, not twice)
       .repartition(col("band"), col("bucket"))
       .withColumn("bsz", count(lit(1)).over(wb))
-      .withColumn("bmin", min(col("id")).over(wb))
+      .withColumn("prev", lag(col("id"), 1).over(wo))
     // Candidate pairs carry ids only — the big shingle arrays rejoin
     // once per surviving pair, not once per band collision.
     val small = banded.filter(col("bsz") <= maxBucket)
@@ -94,11 +105,12 @@ object Dedup {
         Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2")
-    // Hot buckets: star/hub pairs only — O(m) rows, same connected
-    // component for the downstream keep-min dedup.
-    val hubPairs = banded.filter(col("bsz") > maxBucket && col("id") =!= col("bmin"))
-      .select(col("bmin").as("id1"), col("id").as("id2"))
-    val candidates = allPairs.unionByName(hubPairs).distinct()
+    // Hot buckets: chain pairs only (id-consecutive members) — O(m)
+    // rows, connectivity robust to individual pairs failing the Jaccard
+    // verify (see MaxBucketAllPairs). Ordered by id, so id1 < id2.
+    val chainPairs = banded.filter(col("bsz") > maxBucket && col("prev").isNotNull)
+      .select(col("prev").as("id1"), col("id").as("id2"))
+    val candidates = allPairs.unionByName(chainPairs).distinct()
     candidates
       .join(shingled.select(col("id").as("id1"), col("sh").as("s1")), Seq("id1"))
       .join(shingled.select(col("id").as("id2"), col("sh").as("s2")), Seq("id2"))
@@ -124,28 +136,30 @@ object Dedup {
         expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).as("sig"))
     // One exchange on the bucket key shared by both join sides
     // (ReusedExchange — the signature subtree runs once); bucket size
-    // and min-(id, sig) ride along as windows over the same keys.
+    // and the chain predecessor's (id, sig) ride along as windows over
+    // the same keys.
     val wb = Window.partitionBy(col("chunk"), col("cval"))
+    val wo = wb.orderBy(col("id"))
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(expr(
         "transform(sequence(0, 3), c -> (sig >> (c * 16)) & 65535)"))
         .as(Seq("chunk", "cval")))
       .repartition(col("chunk"), col("cval"))
       .withColumn("bsz", count(lit(1)).over(wb))
-      .withColumn("m", min(struct(col("id"), col("sig"))).over(wb))
+      .withColumn("p", lag(struct(col("id"), col("sig")), 1).over(wo))
     val small = chunked.filter(col("bsz") <= maxBucket)
     val l = small.select(col("chunk"), col("cval"), col("id").as("id1"), col("sig").as("sig1"))
     val r = small.select(col("chunk"), col("cval"), col("id").as("id2"), col("sig").as("sig2"))
     val allPairs = l.join(r, Seq("chunk", "cval"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
-    // Hot buckets (mass-dup chunk collision): hub pairs to the bucket
-    // min — O(m), still Hamming-verified below, so no false positives;
-    // see MaxBucketAllPairs for the trade.
-    val hubPairs = chunked.filter(col("bsz") > maxBucket && col("id") =!= col("m.id"))
-      .select(col("m.id").as("id1"), col("id").as("id2"),
-        col("m.sig").as("sig1"), col("sig").as("sig2"))
-    allPairs.unionByName(hubPairs).distinct()
+    // Hot buckets (mass-dup chunk collision): chain pairs between
+    // id-consecutive members — O(m), still Hamming-verified below, so
+    // no false positives; see MaxBucketAllPairs for the trade.
+    val chainPairs = chunked.filter(col("bsz") > maxBucket && col("p").isNotNull)
+      .select(col("p.id").as("id1"), col("id").as("id2"),
+        col("p.sig").as("sig1"), col("sig").as("sig2"))
+    allPairs.unionByName(chainPairs).distinct()
       .withColumn("hamming", expr("bit_count(sig1 ^ sig2)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming"))

@@ -97,6 +97,15 @@ object Scale {
     math.max(1L, (blockRows + targetSubRows - 1) / targetSubRows)
       .min(Int.MaxValue).toInt
 
+  /** Above this many distinct blocks, [[boundedSelfPairs]] stops
+    * broadcasting the per-block size frame (one int per block — but at
+    * 100 TB a block key like a fine-grained IVF cell id can reach many
+    * millions of distinct values, and an unconditional broadcast would
+    * then blow the driver) and joins it by shuffle instead; the size
+    * frame shuffles on the same keys as the main exchange, so the
+    * fallback adds no extra exchange on the data side. */
+  val MaxBroadcastBlocks: Long = 1000000L
+
   /** Exact all-pairs self-join within blocks with BOUNDED per-task
     * work — the scale-safe replacement for `df.join(df, blockCols)`
     * when one block may be hot (a skewed label, a dominant IVF cell).
@@ -111,10 +120,14 @@ object Scale {
     * unordered row pair meets on exactly one key and the hottest task
     * scores ~targetSubRows² pairs however large the block is. g is
     * computed per block inside the plan (tiny count-by-key aggregate,
-    * broadcast back), so cold blocks keep g = 1 and pay zero
+    * broadcast back — or shuffle-joined past [[MaxBroadcastBlocks]]
+    * distinct blocks), so cold blocks keep g = 1 and pay zero
     * replication; a block of m rows replicates rows (g+1)/2 times on
     * average — O(m·√(m/target)) shuffled rows in exchange for a hard
-    * per-task bound.
+    * per-task bound. When NO block is hot (max g = 1, detected by one
+    * O(1)-result job on the size frame), the whole decomposition is
+    * skipped and the plain single-exchange block self-join runs
+    * instead — the bound costs nothing until skew actually appears.
     *
     * Returns one row per unordered within-block pair (`id1` < `id2`),
     * with each payload column `p` carried as `p_1` / `p_2`.
@@ -131,7 +144,28 @@ object Scale {
       .withColumn("__g",
         expr(s"cast((__bn + ${targetSubRows - 1}) div $targetSubRows as int)"))
       .drop("__bn")
-    val withG = df.join(broadcast(sizes), blockCols)
+    // One O(1)-result job over the size frame picks the path. Cold case
+    // (no block exceeds targetSubRows — the common case outside skew):
+    // the decomposition machinery (size join + explode + u/v keys) is
+    // pure overhead, so emit the plain block self-join — one shared
+    // exchange, every block fits one task by construction. The stats
+    // also gate the size-frame broadcast (see MaxBroadcastBlocks).
+    val stats = sizes.agg(max(col("__g")), count(lit(1))).head()
+    val maxG = if (stats.isNullAt(0)) 1 else stats.getInt(0)
+    val nBlocks = stats.getLong(1)
+    if (maxG <= 1) {
+      val l = df.select(kb ++ (col(idCol).as("id1") +:
+        payload.map(p => col(p).as(s"${p}_1"))): _*)
+      val r = df.select(kb ++ (col(idCol).as("id2") +:
+        payload.map(p => col(p).as(s"${p}_2"))): _*)
+      val outCols = Seq(col("id1"), col("id2")) ++
+        payload.flatMap(p => Seq(col(s"${p}_1"), col(s"${p}_2"))) ++
+        (if (keepKeys) Seq(lit(0).as("__u"), lit(0).as("__v")) else Nil)
+      return l.join(r, blockCols).filter(col("id1") < col("id2"))
+        .select(outCols: _*)
+    }
+    val sizesSide = if (nBlocks <= MaxBroadcastBlocks) broadcast(sizes) else sizes
+    val withG = df.join(sizesSide, blockCols)
       .withColumn("__sub", pmod(xxhash64(col(idCol)), col("__g")).cast("int"))
     val left = withG.select(
       kb ++ Seq(col("__sub").as("__u"),
@@ -175,13 +209,29 @@ object Scale {
     *
     * Scale shape: each round is one shuffle join (labels × edges) plus
     * a min-aggregate; lineage is truncated every round with an eager
-    * localCheckpoint so plans stay flat however many rounds run.
+    * checkpoint so plans stay flat however many rounds run.
     * Near-dup graphs are sparse with tiny components, so rounds ≈ 2-4
-    * in practice; `maxIter` hard-bounds adversarial chains. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col("id1").as("src"), col("id2").as("dst"))
-      .unionByName(edges.select(col("id2").as("src"), col("id1").as("dst")))
-      .localCheckpoint(true) // edge derivation (e.g. an LSH join) runs ONCE
+    * in practice; `maxIter` hard-bounds adversarial chains.
+    *
+    * Durability: with `checkpointDir = None`, lineage pins use
+    * `localCheckpoint` — blocks live in EXECUTOR storage, so losing one
+    * executor mid-iteration kills the job (truncated lineage cannot be
+    * recomputed). Fine on a single machine; on a shared cluster with
+    * spot/preemptible executors, pass a reliable `checkpointDir`
+    * (HDFS/S3): pins then survive executor loss at the cost of a
+    * distributed-FS write per pin. This is the standard durability
+    * trade of every iterative Spark job (GraphX does the same). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    // reliable checkpoint() survives executor loss; localCheckpoint
+    // trades that durability for speed (no distributed-FS round trip)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    val sym = pin( // edge derivation (e.g. an LSH join) runs ONCE
+      edges.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionByName(edges.select(col("id2").as("src"), col("id1").as("dst"))))
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .persist()
@@ -198,12 +248,17 @@ object Scale {
         .groupBy(col("id"))
         .agg(min(col("comp")).as("comp"),
           max(when(col("own") === 1, col("comp"))).as("prev"))
-      // lazy persist per round (the convergence probe materializes it);
-      // eager checkpoint only every 3rd round — enough to keep lineage
-      // flat without paying a full materialization barrier per round
-      val next = if (round % 3 == 2) step.localCheckpoint(true) else step.persist()
-      changed = next.filter(col("comp") < col("prev")).limit(1).count() > 0
-      cached.unpersist(false)
+      // lazy persist per round; eager checkpoint only every 3rd round —
+      // enough to keep lineage ≤ 3 plans deep without paying a pin
+      // barrier per round
+      val next = if (round % 3 == 2) pin(step) else step.persist()
+      // convergence probe as a full aggregate, NOT limit(1): a limit
+      // stops after the first matching partition, leaving the round's
+      // persist partially populated — later rounds would then recompute
+      // the missing partitions from lineage. The count scans (and so
+      // caches) every partition before the previous round is released.
+      changed = next.filter(col("comp") < col("prev")).count() > 0
+      cached.unpersist(false) // no-op on pinned rounds (by design)
       cached = next
       labels = next.select(col("id"), col("comp"))
       round += 1
@@ -214,7 +269,7 @@ object Scale {
         "silently partial, re-introducing under-deletion in dedup)")
     // pin the result, then drop iteration storage (checkpoint blocks
     // from intermediate rounds are GC-released once unreferenced)
-    val out = labels.localCheckpoint(true)
+    val out = pin(labels)
     cached.unpersist(false)
     out
   }

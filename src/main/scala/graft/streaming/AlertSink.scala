@@ -71,9 +71,12 @@ object AlertSink {
     import spark.implicits._
     try spark.read.parquet(outDir)
     catch {
+      // match the structured error condition, not the message text —
+      // messages get reworded across Spark versions, conditions don't
       case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
-            e.getMessage.contains("PATH_NOT_FOUND") =>
+          if Option(e.getCondition).exists(c =>
+            c.startsWith("UNABLE_TO_INFER_SCHEMA") ||
+              c.startsWith("PATH_NOT_FOUND")) =>
         // epoch matches the type partition discovery infers on the
         // populated path (IntegerType), so both fleet states union/cast
         // identically

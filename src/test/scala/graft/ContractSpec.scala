@@ -69,4 +69,16 @@ class ContractSpec extends AnyFunSuite {
     val orphan = SparkEntry.oracleSql.keySet.filterNot(SparkEntry.queries.keySet.contains)
     assert(orphan.isEmpty, s"oracleSql without queries entry: ${orphan.toSeq.sorted}")
   }
+
+  test("Misra-Gries sketch queries stay excluded from the hash gate") {
+    // HeavyHittersAgg estimates are merge-order dependent once distinct
+    // keys exceed capacity: shuffle-fetch order changes est values and
+    // can flip k-th-rank membership run-to-run. The sketch's contract
+    // is its error bound (spec-pinned), not byte-stable output — these
+    // queries must stay rows-only forever, never gain an oracleSql.
+    Seq("word_freq_topk_approx", "mon_top_error_devices_approx").foreach { q =>
+      assert(!SparkEntry.oracleSql.contains(q),
+        s"$q is merge-order nondeterministic and must not be hash-gated")
+    }
+  }
 }

@@ -37,6 +37,12 @@ class CurationSpec extends SparkSpec {
     val finalKept = Curation.curateFull(docs)
       .select($"doc_id").as[Long].collect().sorted
     assert(finalKept.sameElements(Array(1L, 3L)), s"got ${finalKept.toSeq}")
+    // durable variant (reliable checkpoints for the CC resolution) is
+    // result-identical — the option changes fault tolerance, not labels
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-curate-ckpt").toString
+    val durable = Curation.curateFull(docs, checkpointDir = Some(ckpt))
+      .select($"doc_id").as[Long].collect().sorted
+    assert(durable.sameElements(finalKept))
   }
 
   test("stratified sample: per-stratum fractions honored, deterministic, partition-invariant") {

@@ -64,20 +64,23 @@ class DedupSpec extends SparkSpec {
     assert(scores.sameElements(scores.sortBy(-(_: Double))))
   }
 
-  test("hot LSH bucket: star-capping keeps the dup cluster connected in O(m)") {
+  test("hot LSH bucket: chain-capping keeps the dup cluster connected in O(m)") {
     // 30 identical docs land in one bucket per band; with maxBucket=8
-    // the all-pairs C(30,2)=435 candidates collapse to 29 hub pairs
-    // that still connect every dup to the cluster min (what keep-min
-    // dedup needs), each verified at jaccard 1.0.
+    // the all-pairs C(30,2)=435 candidates collapse to the 29 chain
+    // pairs (i, i+1) that still connect the whole cluster for keep-min
+    // dedup, each verified at jaccard 1.0. A chain, not a star: under a
+    // star one hub failing verification would fragment the cluster.
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val chain = (1L to 29L).map(i => (i, i + 1)).toSet
     val cluster = (1L to 30L).map(i => (i, text)).toDF("doc_id", "text")
     val capped = Dedup.minhashPairs(cluster, "doc_id", "text", maxBucket = 8).collect()
-    assert(capped.length === 29, s"expected 29 hub pairs, got ${capped.length}")
-    assert(capped.forall(_.getLong(0) === 1L), "hub must be the cluster min id")
+    assert(capped.length === 29, s"expected 29 chain pairs, got ${capped.length}")
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet === chain)
     assert(capped.forall(_.getDouble(2) === 1.0))
-    // simhash: same cluster, same star shape, hamming 0
+    // simhash: same cluster, same chain shape, hamming 0
     val sh = Dedup.simhashPairs(cluster, "doc_id", "text", maxBucket = 8).collect()
-    assert(sh.length === 29 && sh.forall(r => r.getLong(0) === 1L && r.getInt(2) === 0))
+    assert(sh.map(r => (r.getLong(0), r.getLong(1))).toSet === chain)
+    assert(sh.forall(_.getInt(2) === 0))
     // below the cap nothing changes: exact all-pairs
     val small = (1L to 5L).map(i => (i, text)).toDF("doc_id", "text")
     assert(Dedup.minhashPairs(small, "doc_id", "text").count() === 10L)

@@ -101,6 +101,27 @@ class ScaleSpec extends SparkSpec {
     assert(Scale.subBuckets(10, 4096) === 1)
   }
 
+  test("bounded self-pairs cold path: no hot block → plain self-join, exact") {
+    // every block under targetSubRows → the decomposition must be
+    // skipped entirely (all pairs on the single (0,0) key) and the
+    // result must still be the exact pair set
+    val df = spark.range(60)
+      .select(($"id" % 4).as("blk"), $"id", ($"id" * 7 % 13).as("v"))
+    val naive = df.select($"blk", $"id".as("id1"), $"v".as("v_1"))
+      .join(df.select($"blk", $"id".as("id2"), $"v".as("v_2")), Seq("blk"))
+      .filter($"id1" < $"id2")
+      .select($"id1", $"id2", $"v_1", $"v_2")
+    val cold = Scale.boundedSelfPairs(
+      df, Seq("blk"), "id", Seq("v"), targetSubRows = 4096, keepKeys = true)
+    assert(Scale.contentFingerprint(cold.select("id1", "id2", "v_1", "v_2"))
+      === Scale.contentFingerprint(naive))
+    // the shortcut really ran: one degenerate sub-bucket key, no explode
+    assert(cold.select($"__u", $"__v").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq === Seq((0, 0)))
+    assert(!cold.queryExecution.executedPlan.toString.contains("Generate"),
+      "cold path still pays the explode/decomposition machinery")
+  }
+
   test("z-order layout: every file covers a narrow range of BOTH dimensions") {
     import graft.functions.LayoutFunctions
     // kernel sanity: interleaving is monotone in each dim and exact
@@ -148,6 +169,27 @@ class ScaleSpec extends SparkSpec {
     val t = Scale.connectedComponents(tri).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(t === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("connected components with a reliable checkpoint dir: identical labels") {
+    // the durability option for shared clusters (executor loss must not
+    // kill the iteration): same fixpoint, pins via reliable checkpoint()
+    // instead of executor-local blocks
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    // a 7-node chain forces > 3 rounds, so BOTH the every-3rd-round pin
+    // and the final pin run through the reliable path
+    val edges = ((1L to 6L).map(i => (i, i + 1)) ++ Seq((10L, 11L)))
+      .toDF("id1", "id2")
+    val local = Scale.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = Scale.connectedComponents(edges, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable === local)
+    assert((1L to 7L).forall(reliable(_) === 1L))
+    // the reliable path actually wrote checkpoint data to the dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "no reliable checkpoint files written")
   }
 
   test("bloom prefilter join: identical to plain join, prunes pre-shuffle") {
