@@ -63,6 +63,7 @@ object SparkEntry {
     // C: dedup
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
+    "dedup_minhash_indexed" -> (Dedup.dedupMinhashIndexed _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),

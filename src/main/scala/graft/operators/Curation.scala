@@ -186,6 +186,63 @@ object Curation {
         TextAnalysis.scrubPii(col("text")).as("clean_text"))
   }
 
+  /** Ingest-time NEAR-dedup — [[curateStream]] plus the SimHash stage:
+    * the same stateless gates, then every doc's 64-bit SimHash is split
+    * into four 16-bit chunk buckets and checked against per-bucket
+    * signature state within the watermark horizon
+    * ([[graft.streaming.NearDupProcessor]] via transformWithState —
+    * pigeonhole guarantees a Hamming-≤ `maxHamming` near-dup shares at
+    * least one bucket). Exact duplicates are Hamming-0 near-dups, so no
+    * separate dropDuplicates stage is needed. The four per-chunk
+    * verdicts consolidate to one row per doc through a small windowed
+    * aggregation (any-bucket-dup wins); rows emit once the watermark
+    * passes their minute window. This catches boilerplate near-dups AT
+    * INGEST instead of waiting for the nightly batch sweep; the batch
+    * sweep (`curateFull`) remains the completeness pass — streaming
+    * recall is bounded by the horizon and the per-bucket `maxSigs` cap.
+    *
+    * Requires the RocksDB state store provider (transformWithState).
+    * Input must carry an event-time column `ts`. */
+  def nearDedupStream(docs: DataFrame, minTokens: Int = 10,
+      maxDupBigram: Double = 0.1,
+      horizon: java.time.Duration = java.time.Duration.ofMinutes(10),
+      maxHamming: Int = 3, maxSigs: Int = 256,
+      langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val gated = qualityGates(docs, minTokens, maxDupBigram, langs)
+      .withColumn("sig", graft.functions.TextFunctions.simhash64(col("toks")))
+      .withWatermark("ts", s"${horizon.toSeconds} seconds")
+    // 4-way chunk explode; bucket = chunk*2^16 + value keeps the four
+    // chunk keyspaces disjoint in one long key
+    val chunks = gated.select(
+        explode(expr(
+          """transform(sequence(0, 3),
+            |  c -> cast(c as bigint) * 65536 + ((sig >> (c * 16)) & 65535))""".stripMargin))
+          .as("bucket"),
+        col("doc_id"), col("ts"), col("sig"),
+        TextAnalysis.scrubPii(col("text")).as("clean_text"),
+        col("source"), col("n_tokens"))
+      .as[graft.streaming.ChunkDoc]
+    val verdicts = chunks
+      .groupByKey(_.bucket)
+      .transformWithState(
+        new graft.streaming.NearDupProcessor(maxHamming, horizon.toMillis, maxSigs),
+        "ts", OutputMode.Append())
+    // consolidate the four chunk verdicts: a doc is a near-dup iff ANY
+    // bucket said so; all four rows carry identical payload, so min()
+    // is just a deterministic pick
+    verdicts.toDF()
+      .groupBy(window(col("ts"), "60 seconds"), col("doc_id"))
+      .agg(max(col("dup")).as("dup"), min(col("ts")).as("ts"),
+        min(col("source")).as("source"), min(col("n_tokens")).as("n_tokens"),
+        min(col("clean_text")).as("clean_text"))
+      .filter(!col("dup"))
+      .select(col("doc_id"), col("ts"), col("source"), col("n_tokens"),
+        col("clean_text"))
+  }
+
   /** Deterministic stratified sample: keep `fraction` of each stratum
     * (e.g. per language) using a hash-based Bernoulli draw on a key
     * column — reproducible across runs AND across cluster sizes

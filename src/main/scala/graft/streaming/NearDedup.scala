@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+
+/** Ingest-time NEAR-dedup state — the streaming twin of the batch
+  * SimHash sweep (`Dedup.simhashPairs`): a doc's 64-bit SimHash is
+  * split into four 16-bit chunks (pigeonhole: Hamming ≤ 3 ⇒ at least
+  * one identical chunk), each chunk value is a state bucket, and a doc
+  * is a near-duplicate iff ANY of its four buckets holds a
+  * Hamming-≤ 3 signature from the watermark horizon. Same shape as the
+  * batch bucket join, with the bucket turned into keyed state
+  * (the [[HealthMonitorV2]] transformWithState pattern).
+  *
+  * Scale/state bounds: state is per (chunk, value) bucket — 4 rows of
+  * ~16 bytes per doc in the horizon, NOT per corpus; eviction is by
+  * event time against the horizon, plus a hard `maxSigs` cap per
+  * bucket so a boilerplate flood (one hot bucket) cannot grow state
+  * without bound — past the cap the OLDEST signatures age out first,
+  * which only weakens recall against docs already `maxSigs` deep in a
+  * mass-dup cluster (the batch sweep still catches those).
+  */
+class NearDupProcessor(maxHamming: Int, horizonMs: Long, maxSigs: Int)
+    extends StatefulProcessor[Long, ChunkDoc, ChunkVerdict] {
+
+  @transient private var sigs: ListState[BucketSig] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    sigs = getHandle.getListState[BucketSig](
+      "sigs", Encoders.product[BucketSig], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[ChunkDoc],
+      timerValues: TimerValues): Iterator[ChunkVerdict] = {
+    // deterministic within-batch order (iterator order is not): the
+    // earliest (ts, doc_id) wins in EVERY bucket, so the four chunk
+    // streams of one doc can never disagree about who came first
+    val batch = rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))
+    var stored = sigs.get().toList
+    val out = batch.map { d =>
+      val t = d.ts.getTime
+      stored = stored.filter(_.tsMs >= t - horizonMs)
+      val dup = stored.exists(s =>
+        java.lang.Long.bitCount(s.sig ^ d.sig) <= maxHamming)
+      // dup sigs are stored too: a cluster's later members should match
+      // whichever member is still in the horizon, not only the survivor
+      stored = (stored :+ BucketSig(d.sig, t)).takeRight(maxSigs)
+      ChunkVerdict(d.doc_id, d.ts, dup, d.clean_text, d.source, d.n_tokens)
+    }
+    sigs.put(stored.toArray)
+    out.iterator
+  }
+}
+
+/** One (bucket, doc) row of the 4-way chunk explode. */
+case class ChunkDoc(bucket: Long, doc_id: Long, ts: java.sql.Timestamp,
+    sig: Long, clean_text: String, source: String, n_tokens: Long)
+
+/** Per-bucket verdict for one doc (4 per doc; consolidated by max). */
+case class ChunkVerdict(doc_id: Long, ts: java.sql.Timestamp, dup: Boolean,
+    clean_text: String, source: String, n_tokens: Long)
+
+/** A signature held in bucket state. */
+case class BucketSig(sig: Long, tsMs: Long)

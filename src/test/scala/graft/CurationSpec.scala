@@ -100,6 +100,58 @@ class CurationSpec extends SparkSpec {
     assert(out(4L).contains("[EMAIL]") && !out(4L).contains("host.org"))
   }
 
+  test("streaming near-dedup: paraphrased near-dup inside the watermark, one survivor") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.StreamDoc
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // same planted pair the batch SimHash spec pins at Hamming ≤ 3
+      val base = "the quick brown fox jumps over the lazy dog while the " +
+        "morning sun rises slowly over the quiet green valley and birds sing in " +
+        "the tall old trees near the winding river that flows gently toward the sea"
+      def at(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      val input = MemoryStream[StreamDoc](201, spark, None)
+      val q = Curation.nearDedupStream(input.toDF())
+        .writeStream.format("memory").queryName("near_dedup")
+        .outputMode("append").start()
+      try {
+        input.addData(Seq(
+          StreamDoc(1L, at(10, 1), base, "en", "s"),
+          // paraphrase arriving 2 min later — inside the 10-min horizon,
+          // so ingest state must catch it (the batch sweep never sees it)
+          StreamDoc(2L, at(10, 3), base.replace("lazy dog", "lazy cat"), "en", "s"),
+          StreamDoc(3L, at(10, 5),
+            "completely unrelated text about cooking pasta with tomatoes and basil leaves",
+            "en", "s"),
+        ))
+        q.processAllAvailable()
+        // push the watermark past the 10:0x minute windows so the
+        // append-mode consolidation emits them (these late docs' own
+        // windows stay open — they never reach the sink)
+        input.addData(Seq(StreamDoc(90L, at(11, 0),
+          "quarterly financial report revenue increased by twelve percent year over year",
+          "en", "s")))
+        q.processAllAvailable()
+        input.addData(Seq(StreamDoc(91L, at(11, 30),
+          "a second watermark pusher document with plenty of distinct ordinary words inside",
+          "en", "s")))
+        q.processAllAvailable()
+      } finally q.stop()
+      // doc 91 pushed the watermark past doc 90's window too, so 90
+      // emits as well; 91's own window stays open (never reaches the
+      // sink). The paraphrase (doc 2) must be the ONLY drop.
+      val out = spark.table("near_dedup").collect().map(_.getLong(0)).toSet
+      assert(out === Set(1L, 3L, 90L),
+        s"expected the paraphrase dropped and both originals kept, got $out")
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("curate v2: repetition gate rejects loops, survivors leave scrubbed") {
     val good = "the quick brown fox jumps over one lazy dog while birds sing " +
       "in tall trees near rivers flowing gently toward distant blue seas today"

@@ -109,6 +109,40 @@ class DedupSpec extends SparkSpec {
       s"df-cap should leave only the true dup pair, got ${capped.toSeq}")
   }
 
+  test("persisted LSH index: incremental sweep matches the in-memory pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString
+    val corpus = Seq(
+      (100L, base),
+      (200L, "spark catalyst optimizer pushes filters below joins for scan pruning at scale"),
+      (300L, "completely unrelated text about cooking pasta with tomatoes and basil leaves"),
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (101L, base.replace("lazy dog", "lazy cat")), // near-dup of corpus 100
+      (201L, "spark catalyst optimizer pushes filters below joins for scan pruning at scale"), // exact dup of corpus 200
+      (400L, "quarterly financial report revenue increased by twelve percent year over year"), // unique
+      (500L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
+      (501L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"), // fresh×fresh dup
+    ).toDF("doc_id", "text")
+    Dedup.writeLshIndex(corpus, "doc_id", "text", dir)
+    val indexed = Dedup.minhashPairsIndexed(spark, dir, fresh, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val full = Dedup.minhashPairs(corpus.unionByName(fresh), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every near-dup pair here involves a fresh doc, so the incremental
+    // sweep must reproduce the full re-sweep bit-for-bit — without
+    // re-shingling the corpus
+    assert(indexed.toSet === full.toSet)
+    assert(indexed.map(p => (p._1, p._2)).toSet
+      === Set((100L, 101L), (200L, 201L), (500L, 501L)))
+  }
+
+  test("dedup_minhash_indexed driver query: every pair touches the fresh batch") {
+    Dedup.dedupMinhashIndexed(spark, sf).collect().foreach { r =>
+      assert(r.getLong(0) % 10 === 0 || r.getLong(1) % 10 === 0,
+        s"corpus-only pair leaked into the incremental sweep: $r")
+    }
+  }
+
   test("embedding dedup: cosine in [-1,1], pairs within same label") {
     val e = Tables.embeddings(spark, sf)
       .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
