@@ -215,15 +215,22 @@ object Curation {
       .withColumn("sig", graft.functions.TextFunctions.simhash64(col("toks")))
       .withWatermark("ts", s"${horizon.toSeconds} seconds")
     // 4-way chunk explode; bucket = chunk*2^16 + value keeps the four
-    // chunk keyspaces disjoint in one long key
+    // chunk keyspaces disjoint in one long key. The payload text rides
+    // ONLY on the chunk-0 row (and the PII scrub regexes run only
+    // there): shipping it on all four rows would 4× the shuffle and
+    // window-state bytes of the fattest column for no information.
     val chunks = gated.select(
-        explode(expr(
-          """transform(sequence(0, 3),
-            |  c -> cast(c as bigint) * 65536 + ((sig >> (c * 16)) & 65535))""".stripMargin))
-          .as("bucket"),
-        col("doc_id"), col("ts"), col("sig"),
-        TextAnalysis.scrubPii(col("text")).as("clean_text"),
+        posexplode(expr("transform(sequence(0, 3), c -> (sig >> (c * 16)) & 65535)"))
+          .as(Seq("chunk", "cval")),
+        col("doc_id"), col("ts"), col("sig"), col("text"),
         col("source"), col("n_tokens"))
+      .select(
+        (col("chunk").cast("bigint") * 65536 + col("cval")).as("bucket"),
+        col("doc_id"), col("ts"), col("sig"),
+        when(col("chunk") === 0, TextAnalysis.scrubPii(col("text")))
+          .as("clean_text"),
+        when(col("chunk") === 0, col("source")).as("source"),
+        col("n_tokens"))
       .as[graft.streaming.ChunkDoc]
     val verdicts = chunks
       .groupByKey(_.bucket)
@@ -231,13 +238,13 @@ object Curation {
         new graft.streaming.NearDupProcessor(maxHamming, horizon.toMillis, maxSigs),
         "ts", OutputMode.Append())
     // consolidate the four chunk verdicts: a doc is a near-dup iff ANY
-    // bucket said so; all four rows carry identical payload, so min()
-    // is just a deterministic pick
+    // bucket said so; max() skips the three null payload copies and
+    // picks the single chunk-0 one
     verdicts.toDF()
       .groupBy(window(col("ts"), "60 seconds"), col("doc_id"))
       .agg(max(col("dup")).as("dup"), min(col("ts")).as("ts"),
-        min(col("source")).as("source"), min(col("n_tokens")).as("n_tokens"),
-        min(col("clean_text")).as("clean_text"))
+        max(col("source")).as("source"), min(col("n_tokens")).as("n_tokens"),
+        max(col("clean_text")).as("clean_text"))
       .filter(!col("dup"))
       .select(col("doc_id"), col("ts"), col("source"), col("n_tokens"),
         col("clean_text"))

@@ -168,12 +168,21 @@ object Dedup {
       bands: Int = 16): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val shingled = shingleFrame(docs, idCol, textCol, shingleSize)
-    // one pass: bands derive from the shingles being written anyway
-    val banded = bandFrame(shingled, numHashes, bands)
-    banded.repartition(col("band"))
-      .write.mode("overwrite").partitionBy("band").parquet(s"$indexDir/bands")
-    shingled.write.mode("overwrite").parquet(s"$indexDir/shingles")
+    // persisted across the two writes: tokenize+shingle the corpus ONCE
+    // (the whole premise of the index is that this pass dominates), not
+    // once per output. MEMORY_AND_DISK by default, so a corpus larger
+    // than cluster memory spills instead of recomputing.
+    val shingled = shingleFrame(docs, idCol, textCol, shingleSize).persist()
+    try {
+      bandFrame(shingled, numHashes, bands)
+        .withColumn("batch", lit("base"))
+        .repartition(col("band"))
+        .write.mode("overwrite").partitionBy("batch", "band")
+        .parquet(s"$indexDir/bands")
+      shingled.withColumn("batch", lit("base"))
+        .write.mode("overwrite").partitionBy("batch")
+        .parquet(s"$indexDir/shingles")
+    } finally shingled.unpersist(false)
     Seq((shingleSize, numHashes, bands))
       .toDF("shingle_size", "num_hashes", "bands")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
@@ -199,11 +208,48 @@ object Dedup {
     val idxBanded = spark.read.parquet(s"$indexDir/bands")
       .select(col("id"), col("band"), col("bucket"), lit(false).as("is_new"))
     val idxShingled = spark.read.parquet(s"$indexDir/shingles")
+      .select(col("id"), col("sh")) // drop the batch partition column
     val newShingled = shingleFrame(newDocs, idCol, textCol, shingleSize)
     val newBanded = bandFrame(newShingled, numHashes, bands)
       .withColumn("is_new", lit(true))
     verifiedPairs(idxBanded.unionByName(newBanded),
       idxShingled.unionByName(newShingled), threshold, maxBucket)
+  }
+
+  /** Fold a swept batch INTO the staged index: after
+    * [[minhashPairsIndexed]] clears a weekly batch, appending it makes
+    * NEXT week's batch probe corpus + this batch without any rebuild —
+    * the full index lifecycle is build once, then probe + append per
+    * sweep. Build parameters come from the index meta, so an appended
+    * batch can never be signed with a different shingle/hash/band
+    * shape.
+    *
+    * IDEMPOTENT per `batchId`: every batch lands in its own `batch=`
+    * partition and the write is a dynamic partition overwrite, so a
+    * retried append (driver died mid-write, sweep re-run) REPLACES its
+    * own partitions instead of duplicating rows — duplicate postings
+    * would silently double bucket sizes and fan verified pairs out
+    * into duplicate output rows. */
+  def appendToLshIndex(newDocs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, batchId: String): Unit = {
+    require(batchId.nonEmpty && batchId != "base",
+      "batchId must be a unique non-'base' label (e.g. the sweep date)")
+    val spark = newDocs.sparkSession
+    val meta = spark.read.parquet(s"$indexDir/meta").head()
+    val (shingleSize, numHashes, bands) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    // one tokenization pass for both outputs, as in writeLshIndex
+    val shingled = shingleFrame(newDocs, idCol, textCol, shingleSize).persist()
+    try {
+      bandFrame(shingled, numHashes, bands)
+        .withColumn("batch", lit(batchId))
+        .repartition(col("band"))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch", "band").parquet(s"$indexDir/bands")
+      shingled.withColumn("batch", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(s"$indexDir/shingles")
+    } finally shingled.unpersist(false)
   }
 
   /** LSH index dirs keyed by (corpus dir, mtime) — like the IVF
@@ -222,6 +268,21 @@ object Dedup {
     val indexDir = lshIndexCache.getOrElseUpdate((sfDir, stamp), {
       val dir = java.nio.file.Files.createTempDirectory("graft-lsh-index").toString
       writeLshIndex(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text", dir)
+      // evict indexes of superseded corpus versions (same dir, older
+      // mtime) so a corpus-regenerating JVM doesn't leak a full index
+      // copy under the temp root per regeneration
+      lshIndexCache.filterInPlace { case ((d, s), old) =>
+        val stale = d == sfDir && s != stamp
+        if (stale) {
+          import java.nio.file.{Files, Paths}
+          import scala.jdk.CollectionConverters._
+          val root = Paths.get(old)
+          if (Files.exists(root))
+            Files.walk(root).iterator().asScala.toSeq.reverseIterator
+              .foreach(p => Files.deleteIfExists(p))
+        }
+        !stale
+      }
       dir
     })
     minhashPairsIndexed(spark, indexDir,

@@ -144,16 +144,25 @@ object Scale {
       .withColumn("__g",
         expr(s"cast((__bn + ${targetSubRows - 1}) div $targetSubRows as int)"))
       .drop("__bn")
-    // One O(1)-result job over the size frame picks the path. Cold case
-    // (no block exceeds targetSubRows — the common case outside skew):
-    // the decomposition machinery (size join + explode + u/v keys) is
-    // pure overhead, so emit the plain block self-join — one shared
-    // exchange, every block fits one task by construction. The stats
-    // also gate the size-frame broadcast (see MaxBroadcastBlocks).
+    // One O(1)-result job over the size frame picks the path (this
+    // makes the operator EAGER at plan-construction time, like
+    // bloomPrefilterJoin's filter build — the probe job is a count-by-
+    // key over df, map-side partial). The size frame is persisted so
+    // the probe materializes the same tiny frame the hot path's
+    // join/broadcast then reads from cache — df's lineage is not
+    // re-run for it (CacheManager dedupes by canonical plan, so
+    // repeated calls share one entry). Cold case (no block exceeds
+    // targetSubRows — the common case outside skew): the decomposition
+    // machinery (size join + explode + u/v keys) is pure overhead, so
+    // emit the plain block self-join — one shared exchange, every
+    // block fits one task by construction. The stats also gate the
+    // size-frame broadcast (see MaxBroadcastBlocks).
+    sizes.persist()
     val stats = sizes.agg(max(col("__g")), count(lit(1))).head()
     val maxG = if (stats.isNullAt(0)) 1 else stats.getInt(0)
     val nBlocks = stats.getLong(1)
     if (maxG <= 1) {
+      sizes.unpersist(false) // cold path never joins the size frame
       val l = df.select(kb ++ (col(idCol).as("id1") +:
         payload.map(p => col(p).as(s"${p}_1"))): _*)
       val r = df.select(kb ++ (col(idCol).as("id2") +:
@@ -220,15 +229,28 @@ object Scale {
     * spot/preemptible executors, pass a reliable `checkpointDir`
     * (HDFS/S3): pins then survive executor loss at the cost of a
     * distributed-FS write per pin. This is the standard durability
-    * trade of every iterative Spark job (GraphX does the same). */
+    * trade of every iterative Spark job (GraphX does the same).
+    * NOTE: the checkpoint dir is SparkContext-global; it is set on
+    * entry and restored before returning (all pins here are eager), but
+    * a concurrent job checkpointing in the same session would race on
+    * it — give concurrent pipelines the same dir. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
     val sc = edges.sparkSession.sparkContext
+    val prevCkptDir = sc.getCheckpointDir
     checkpointDir.foreach(sc.setCheckpointDir)
     // reliable checkpoint() survives executor loss; localCheckpoint
-    // trades that durability for speed (no distributed-FS round trip)
+    // trades that durability for speed (no distributed-FS round trip).
+    // The reliable path persists around the checkpoint: without it the
+    // checkpoint WRITE job recomputes the frame's whole lineage a
+    // second time (for the edge pin that would re-run the LSH join —
+    // the dominant cost of the caller's pipeline).
     def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+      if (checkpointDir.isDefined) {
+        df.persist()
+        try df.checkpoint(true) finally df.unpersist(false)
+      } else df.localCheckpoint(true)
+    try {
     val sym = pin( // edge derivation (e.g. an LSH join) runs ONCE
       edges.select(col("id1").as("src"), col("id2").as("dst"))
         .unionByName(edges.select(col("id2").as("src"), col("id1").as("dst"))))
@@ -272,6 +294,10 @@ object Scale {
     val out = pin(labels)
     cached.unpersist(false)
     out
+    } finally prevCkptDir match {
+      case Some(d) if checkpointDir.isDefined => sc.setCheckpointDir(d)
+      case _ => () // no prior dir to restore (cannot unset one)
+    }
   }
 
   /** Bloom-prefiltered inner equi-join on a bigint key: build a Bloom

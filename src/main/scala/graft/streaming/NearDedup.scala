@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
 
 /** Ingest-time NEAR-dedup state — the streaming twin of the batch
   * SimHash sweep (`Dedup.simhashPairs`): a doc's 64-bit SimHash is
@@ -12,13 +12,17 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * batch bucket join, with the bucket turned into keyed state
   * (the [[HealthMonitorV2]] transformWithState pattern).
   *
-  * Scale/state bounds: state is per (chunk, value) bucket — 4 rows of
-  * ~16 bytes per doc in the horizon, NOT per corpus; eviction is by
-  * event time against the horizon, plus a hard `maxSigs` cap per
-  * bucket so a boilerplate flood (one hot bucket) cannot grow state
-  * without bound — past the cap the OLDEST signatures age out first,
-  * which only weakens recall against docs already `maxSigs` deep in a
-  * mass-dup cluster (the batch sweep still catches those).
+  * Scale/state bounds: state is per (chunk, value) bucket — 4 sig rows
+  * of ~16 bytes per doc in the horizon, NOT per corpus. Eviction is
+  * twofold: lazily by event time whenever a bucket receives a row, and
+  * via an EVENT-TIME TIMER per bucket so buckets that go quiet are
+  * also cleaned once the watermark passes their horizon (without the
+  * timer, a burst that touches much of the 4×65536 keyspace would
+  * leave its signatures in the store forever). A hard `maxSigs` cap
+  * per bucket bounds a boilerplate flood (one hot bucket): past the
+  * cap the OLDEST signatures age out first, which only weakens recall
+  * against docs already `maxSigs` deep in a mass-dup cluster (the
+  * batch sweep still catches those).
   */
 class NearDupProcessor(maxHamming: Int, horizonMs: Long, maxSigs: Int)
     extends StatefulProcessor[Long, ChunkDoc, ChunkVerdict] {
@@ -47,17 +51,36 @@ class NearDupProcessor(maxHamming: Int, horizonMs: Long, maxSigs: Int)
       ChunkVerdict(d.doc_id, d.ts, dup, d.clean_text, d.source, d.n_tokens)
     }
     sigs.put(stored.toArray)
+    // clean this bucket up if it then goes quiet: fire once the horizon
+    // after the newest signature (duplicate timers from later batches
+    // just re-run the same idempotent eviction)
+    getHandle.registerTimer(batch.last.ts.getTime + horizonMs)
     out.iterator
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[ChunkVerdict] = {
+    // a sig older than (expiry - horizon) can no longer match anything
+    // the watermark still admits — drop it; clear the bucket entirely
+    // when nothing survives
+    val cutoff = expiredTimerInfo.getExpiryTimeInMs - horizonMs
+    val kept = sigs.get().toList.filter(_.tsMs >= cutoff)
+    if (kept.isEmpty) sigs.clear() else sigs.put(kept.toArray)
+    Iterator.empty
   }
 }
 
-/** One (bucket, doc) row of the 4-way chunk explode. */
+/** One (bucket, doc) row of the 4-way chunk explode. The payload
+  * (`clean_text`/`source`) rides ONLY on the chunk-0 row — shipping it
+  * on all four would quadruple shuffle and window-state volume for the
+  * fattest column; the consolidation picks the single non-null copy. */
 case class ChunkDoc(bucket: Long, doc_id: Long, ts: java.sql.Timestamp,
-    sig: Long, clean_text: String, source: String, n_tokens: Long)
+    sig: Long, clean_text: Option[String], source: Option[String],
+    n_tokens: Long)
 
 /** Per-bucket verdict for one doc (4 per doc; consolidated by max). */
 case class ChunkVerdict(doc_id: Long, ts: java.sql.Timestamp, dup: Boolean,
-    clean_text: String, source: String, n_tokens: Long)
+    clean_text: Option[String], source: Option[String], n_tokens: Long)
 
 /** A signature held in bucket state. */
 case class BucketSig(sig: Long, tsMs: Long)

@@ -134,6 +134,22 @@ class DedupSpec extends SparkSpec {
     assert(indexed.toSet === full.toSet)
     assert(indexed.map(p => (p._1, p._2)).toSet
       === Set((100L, 101L), (200L, 201L), (500L, 501L)))
+    // index lifecycle: fold the swept batch in, next week's batch then
+    // probes corpus + batch — a dup of LAST week's doc is still caught.
+    // Appended TWICE with the same batch id: the dynamic partition
+    // overwrite must make the retry a no-op (a plain append would
+    // double bucket sizes and emit duplicate pairs).
+    Dedup.appendToLshIndex(fresh, "doc_id", "text", dir, batchId = "week1")
+    Dedup.appendToLshIndex(fresh, "doc_id", "text", dir, batchId = "week1")
+    val nextWeek = Seq(
+      (600L, base.replace("lazy dog", "lazy cat")), // dup of appended 101
+      (601L, "entirely new topic discussing mountain weather patterns and seasonal snowfall"),
+    ).toDF("doc_id", "text")
+    val swept = Dedup.minhashPairsIndexed(spark, dir, nextWeek, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(swept.toSet === Set((100L, 600L), (101L, 600L)),
+      s"append-then-probe missed last week's near-dup or duplicated rows: ${swept.toSeq}")
+    assert(swept.length === 2, s"retried append duplicated pairs: ${swept.toSeq}")
   }
 
   test("dedup_minhash_indexed driver query: every pair touches the fresh batch") {

@@ -83,6 +83,18 @@ class PlanSpec extends SparkSpec {
       s"banded self-join recomputes the signature subtree:\n$p")
   }
 
+  test("indexed LSH sweep: postings exchange reused, corpus read from the staged index") {
+    val p = executedPlan(Dedup.dedupMinhashIndexed(spark, sf))
+    // the banded (index ∪ fresh) self-join must share one exchange like
+    // the in-memory sweep does
+    assert(p.contains("ReusedExchange"),
+      s"indexed banded self-join recomputes its subtree:\n$p")
+    // the corpus side must come from the staged parquet index — the
+    // whole point is never re-tokenizing the unchanged corpus
+    assert(p.contains("graft-lsh-index"),
+      s"indexed sweep does not scan the staged index:\n$p")
+  }
+
   test("ann brute force: query side broadcast, corpus side map-only until top-k") {
     val p = executedPlan(Similarity.annBruteTopK(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
