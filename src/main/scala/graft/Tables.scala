@@ -23,11 +23,32 @@ object Tables {
     * instead of repeated jobs on every query invocation. Keyed on the
     * path's mtime (like the IVF quantizer cache) so a corpus
     * regenerated inside one JVM re-counts instead of serving a stale
-    * size to the guards. */
+    * size to the guards; superseded entries are evicted. */
   private val countCache = scala.collection.concurrent.TrieMap.empty[(String, Long), Long]
   def cachedCount(s: SparkSession, path: String): Long = {
-    val stamp = new java.io.File(path).lastModified()
+    val stamp = pathStamp(s, path)
+    countCache.filterInPlace { case ((p, st), _) => p != path || st == stamp }
     countCache.getOrElseUpdate((path, stamp), s.read.parquet(path).count())
+  }
+
+  /** Modification stamp of a data path through the Hadoop FileSystem
+    * API — java.io.File.lastModified() is silently 0 for every
+    * non-local scheme (hdfs://, s3a://), which would collapse all
+    * versions of a remote path onto one cache key. For a directory the
+    * stamp folds in the direct children's mtimes: object stores report
+    * synthetic (often zero) directory mtimes, and HDFS directory mtime
+    * doesn't change on file REwrite — the children are where truth
+    * lives. One `listStatus` per driver-side guard call is noise. */
+  def pathStamp(s: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    try {
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).foldLeft(st.getModificationTime)(
+          (acc, c) => math.max(acc, c.getModificationTime))
+      else st.getModificationTime
+    } catch { case _: java.io.FileNotFoundException => 0L }
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =

@@ -208,24 +208,30 @@ object Curation {
       horizon: java.time.Duration = java.time.Duration.ofMinutes(10),
       maxHamming: Int = 3, maxSigs: Int = 256,
       langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame = {
+    require(maxHamming < Dedup.SimhashChunks,
+      s"the ${Dedup.SimhashChunks}-chunk pigeonhole only generates " +
+        s"candidates for Hamming <= ${Dedup.SimhashChunks - 1}; " +
+        s"maxHamming=$maxHamming would silently lose recall")
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.OutputMode
     val gated = qualityGates(docs, minTokens, maxDupBigram, langs)
       .withColumn("sig", graft.functions.TextFunctions.simhash64(col("toks")))
       .withWatermark("ts", s"${horizon.toSeconds} seconds")
-    // 4-way chunk explode; bucket = chunk*2^16 + value keeps the four
-    // chunk keyspaces disjoint in one long key. The payload text rides
-    // ONLY on the chunk-0 row (and the PII scrub regexes run only
-    // there): shipping it on all four rows would 4× the shuffle and
-    // window-state bytes of the fattest column for no information.
+    // chunk explode SHARED with the batch sweep (Dedup.simhashChunkCols
+    // — batch/stream candidate generation cannot drift); bucket =
+    // chunk*2^16 + value keeps the chunk keyspaces disjoint in one long
+    // key. The payload text rides ONLY on the chunk-0 row (and the PII
+    // scrub regexes run only there): shipping it on all four rows would
+    // 4× the shuffle and window-state bytes of the fattest column for
+    // no information.
     val chunks = gated.select(
-        posexplode(expr("transform(sequence(0, 3), c -> (sig >> (c * 16)) & 65535)"))
-          .as(Seq("chunk", "cval")),
+        Dedup.simhashChunkCols.as(Seq("chunk", "cval")),
         col("doc_id"), col("ts"), col("sig"), col("text"),
         col("source"), col("n_tokens"))
       .select(
-        (col("chunk").cast("bigint") * 65536 + col("cval")).as("bucket"),
+        (col("chunk").cast("bigint") * Dedup.SimhashChunkSpan + col("cval"))
+          .as("bucket"),
         col("doc_id"), col("ts"), col("sig"),
         when(col("chunk") === 0, TextAnalysis.scrubPii(col("text")))
           .as("clean_text"),

@@ -64,6 +64,28 @@ object Dedup {
     * bound.) Below the cap, exact all-pairs. */
   val MaxBucketAllPairs = 256
 
+  /** SimHash pigeonhole chunk count, shared by the batch sweep
+    * ([[simhashPairs]]) and its streaming twin
+    * (`Curation.nearDedupStream`): a 64-bit signature splits into 4
+    * disjoint 16-bit chunks, so Hamming ≤ 3 guarantees at least one
+    * identical chunk. Changing the split (e.g. 8×8-bit for a Hamming-7
+    * budget) MUST go through here so batch and stream candidate
+    * generation cannot drift apart. */
+  val SimhashChunks = 4
+
+  /** The chunk-explode column over an in-scope 64-bit `sig` column:
+    * `posexplode` of the [[SimhashChunks]] chunk values — alias with
+    * `.as(Seq("chunk", "cval"))` at the call site. */
+  def simhashChunkCols: org.apache.spark.sql.Column = {
+    val bits = 64 / SimhashChunks
+    posexplode(expr(s"transform(sequence(0, ${SimhashChunks - 1}), " +
+      s"c -> (sig >> (c * $bits)) & ${(1L << bits) - 1})"))
+  }
+
+  /** Keyspace span of one chunk's values — `chunk * span + value`
+    * packs (chunk, value) into one disjoint long key. */
+  val SimhashChunkSpan: Long = 1L << (64 / SimhashChunks)
+
   /** Stage 1 of the MinHash pipeline — (id, sh): tokens hashed into
     * `shingleSize`-token shingle longs. Shingles are hashed to longs
     * immediately: every downstream stage (minhash perms, band hashes,
@@ -186,7 +208,21 @@ object Dedup {
     Seq((shingleSize, numHashes, bands))
       .toDF("shingle_size", "num_hashes", "bands")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    // a rebuild may change the params — refresh the per-JVM meta cache
+    metaCache.put(indexDir, (shingleSize, numHashes, bands))
   }
+
+  /** Build parameters of a staged index, read once per (JVM, dir) —
+    * the meta parquet is written once by [[writeLshIndex]] and never
+    * rewritten ([[appendToLshIndex]] only adds batch partitions), so
+    * caching it turns a per-sweep eager driver job into a lookup. */
+  private val metaCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Int, Int, Int)]
+  private def indexMeta(spark: SparkSession, indexDir: String): (Int, Int, Int) =
+    metaCache.getOrElseUpdate(indexDir, {
+      val meta = spark.read.parquet(s"$indexDir/meta").head()
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    })
 
   /** Incremental near-dup sweep against a staged [[writeLshIndex]]
     * index: only the FRESH batch is tokenized/hashed; the corpus side
@@ -202,9 +238,7 @@ object Dedup {
   def minhashPairsIndexed(spark: SparkSession, indexDir: String,
       newDocs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, maxBucket: Int = MaxBucketAllPairs): DataFrame = {
-    val meta = spark.read.parquet(s"$indexDir/meta").head()
-    val (shingleSize, numHashes, bands) =
-      (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val (shingleSize, numHashes, bands) = indexMeta(spark, indexDir)
     val idxBanded = spark.read.parquet(s"$indexDir/bands")
       .select(col("id"), col("band"), col("bucket"), lit(false).as("is_new"))
     val idxShingled = spark.read.parquet(s"$indexDir/shingles")
@@ -235,9 +269,7 @@ object Dedup {
     require(batchId.nonEmpty && batchId != "base",
       "batchId must be a unique non-'base' label (e.g. the sweep date)")
     val spark = newDocs.sparkSession
-    val meta = spark.read.parquet(s"$indexDir/meta").head()
-    val (shingleSize, numHashes, bands) =
-      (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val (shingleSize, numHashes, bands) = indexMeta(spark, indexDir)
     // one tokenization pass for both outputs, as in writeLshIndex
     val shingled = shingleFrame(newDocs, idCol, textCol, shingleSize).persist()
     try {
@@ -252,6 +284,30 @@ object Dedup {
     } finally shingled.unpersist(false)
   }
 
+  /** Temp dirs of superseded index versions, reaped at JVM exit (live
+    * lazy plans may still reference them until then). */
+  private val staleIndexDirs =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+  private lazy val staleReaper: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      staleIndexDirs.forEach { old =>
+        import java.nio.file.{Files, Paths}
+        val root = Paths.get(old)
+        if (Files.exists(root)) {
+          val walk = Files.walk(root)
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.toSeq.reverseIterator
+              .foreach(p => Files.deleteIfExists(p))
+          } finally walk.close()
+        }
+      }))
+  }
+  private def deleteAtExit(dir: String): Unit = {
+    staleReaper // register the hook once, on first use
+    staleIndexDirs.add(dir)
+  }
+
   /** LSH index dirs keyed by (corpus dir, mtime) — like the IVF
     * quantizer cache: the index build is INDEX BUILD work (once per
     * corpus version), not per-sweep work. */
@@ -264,23 +320,19 @@ object Dedup {
     * fresh doc — the incremental contract. */
   def dedupMinhashIndexed(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val stamp = new java.io.File(s"$sfDir/documents.parquet").lastModified()
+    val stamp = Tables.pathStamp(spark, s"$sfDir/documents.parquet")
     val indexDir = lshIndexCache.getOrElseUpdate((sfDir, stamp), {
       val dir = java.nio.file.Files.createTempDirectory("graft-lsh-index").toString
       writeLshIndex(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text", dir)
-      // evict indexes of superseded corpus versions (same dir, older
-      // mtime) so a corpus-regenerating JVM doesn't leak a full index
-      // copy under the temp root per regeneration
+      // evict cache entries of superseded corpus versions (same dir,
+      // older mtime). Their files are deleted at JVM EXIT, not here: a
+      // DataFrame returned before the corpus regeneration may still
+      // lazily scan the old index — immediate deletion would fail that
+      // plan mid-scan with FileNotFoundException. Disk growth is
+      // bounded by regenerations within one JVM (a test/bench handful).
       lshIndexCache.filterInPlace { case ((d, s), old) =>
         val stale = d == sfDir && s != stamp
-        if (stale) {
-          import java.nio.file.{Files, Paths}
-          import scala.jdk.CollectionConverters._
-          val root = Paths.get(old)
-          if (Files.exists(root))
-            Files.walk(root).iterator().asScala.toSeq.reverseIterator
-              .foreach(p => Files.deleteIfExists(p))
-        }
+        if (stale) deleteAtExit(old)
         !stale
       }
       dir
@@ -295,6 +347,9 @@ object Dedup {
     * bucket join on (chunk, value), verify with bit_count(xor) ≤ maxHamming. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = MaxBucketAllPairs): DataFrame = {
+    require(maxHamming < SimhashChunks, s"the $SimhashChunks-chunk " +
+      s"pigeonhole only generates candidates for Hamming <= ${SimhashChunks - 1}; " +
+      s"maxHamming=$maxHamming would silently lose recall")
     val sigs = docs.select(col(idCol).as("id"),
       TextFunctions.simhash64(
         expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).as("sig"))
@@ -305,9 +360,7 @@ object Dedup {
     val wb = Window.partitionBy(col("chunk"), col("cval"))
     val wo = wb.orderBy(col("id"))
     val chunked = sigs.select(col("id"), col("sig"),
-      posexplode(expr(
-        "transform(sequence(0, 3), c -> (sig >> (c * 16)) & 65535)"))
-        .as(Seq("chunk", "cval")))
+      simhashChunkCols.as(Seq("chunk", "cval")))
       .repartition(col("chunk"), col("cval"))
       .withColumn("bsz", count(lit(1)).over(wb))
       .withColumn("p", lag(struct(col("id"), col("sig")), 1).over(wo))

@@ -147,22 +147,23 @@ object Scale {
     // One O(1)-result job over the size frame picks the path (this
     // makes the operator EAGER at plan-construction time, like
     // bloomPrefilterJoin's filter build — the probe job is a count-by-
-    // key over df, map-side partial). The size frame is persisted so
-    // the probe materializes the same tiny frame the hot path's
-    // join/broadcast then reads from cache — df's lineage is not
-    // re-run for it (CacheManager dedupes by canonical plan, so
-    // repeated calls share one entry). Cold case (no block exceeds
-    // targetSubRows — the common case outside skew): the decomposition
-    // machinery (size join + explode + u/v keys) is pure overhead, so
-    // emit the plain block self-join — one shared exchange, every
-    // block fits one task by construction. The stats also gate the
-    // size-frame broadcast (see MaxBroadcastBlocks).
-    sizes.persist()
+    // key over df, map-side partial). Deliberately NOT persisted: a
+    // cache entry would have no safe release point (the hot path's
+    // returned plan reads it lazily, so unpersisting here would defeat
+    // it and never unpersisting leaks an entry per distinct input in a
+    // long-lived session). The price is one lazy recompute of the
+    // count-by-key on the HOT path only — negligible next to the
+    // decomposition join it gates; callers with an expensive df
+    // lineage should persist df themselves. Cold case (no block
+    // exceeds targetSubRows — the common case outside skew): the
+    // decomposition machinery (size join + explode + u/v keys) is pure
+    // overhead, so emit the plain block self-join — one shared
+    // exchange, every block fits one task by construction. The stats
+    // also gate the size-frame broadcast (see MaxBroadcastBlocks).
     val stats = sizes.agg(max(col("__g")), count(lit(1))).head()
     val maxG = if (stats.isNullAt(0)) 1 else stats.getInt(0)
     val nBlocks = stats.getLong(1)
     if (maxG <= 1) {
-      sizes.unpersist(false) // cold path never joins the size frame
       val l = df.select(kb ++ (col(idCol).as("id1") +:
         payload.map(p => col(p).as(s"${p}_1"))): _*)
       val r = df.select(kb ++ (col(idCol).as("id2") +:
@@ -227,37 +228,48 @@ object Scale {
     * executor mid-iteration kills the job (truncated lineage cannot be
     * recomputed). Fine on a single machine; on a shared cluster with
     * spot/preemptible executors, pass a reliable `checkpointDir`
-    * (HDFS/S3): pins then survive executor loss at the cost of a
-    * distributed-FS write per pin. This is the standard durability
-    * trade of every iterative Spark job (GraphX does the same).
-    * NOTE: the checkpoint dir is SparkContext-global; it is set on
-    * entry and restored before returning (all pins here are eager), but
-    * a concurrent job checkpointing in the same session would race on
-    * it — give concurrent pipelines the same dir. */
+    * (HDFS/S3): every pin is then a plain parquet round-trip under a
+    * fresh per-run subdirectory, which survives executor loss at the
+    * cost of a distributed-FS write. Parquet pins are used instead of
+    * `df.checkpoint` deliberately: `checkpoint` mutates the
+    * SparkContext-GLOBAL checkpoint dir (racing concurrent pipelines)
+    * and its files are only auto-deleted when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is on (default
+    * OFF), so repeated sweeps would grow the dir without bound. Here
+    * each superseded pin is deleted as soon as the next pin lands; on
+    * success only the FINAL pin (the returned frame's backing files)
+    * remains, and the caller owns deleting `checkpointDir` after
+    * consuming the result; on failure the whole run directory is
+    * removed. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
-    val sc = edges.sparkSession.sparkContext
-    val prevCkptDir = sc.getCheckpointDir
-    checkpointDir.foreach(sc.setCheckpointDir)
-    // reliable checkpoint() survives executor loss; localCheckpoint
-    // trades that durability for speed (no distributed-FS round trip).
-    // The reliable path persists around the checkpoint: without it the
-    // checkpoint WRITE job recomputes the frame's whole lineage a
-    // second time (for the edge pin that would re-run the LSH join —
-    // the dominant cost of the caller's pipeline).
-    def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) {
-        df.persist()
-        try df.checkpoint(true) finally df.unpersist(false)
-      } else df.localCheckpoint(true)
+    val spark = edges.sparkSession
+    val runDir = checkpointDir.map(d =>
+      s"${d.stripSuffix("/")}/cc-${java.util.UUID.randomUUID()}")
+    def rm(dir: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    var pinSeq = 0
+    // returns the pinned frame plus its backing dir (None on the
+    // localCheckpoint path, whose blocks ARE released on unpersist/GC)
+    def pin(df: DataFrame): (DataFrame, Option[String]) = runDir match {
+      case Some(root) =>
+        val dir = s"$root/pin-$pinSeq"
+        pinSeq += 1
+        df.write.parquet(dir) // one eager pass; read-back is the new root
+        (spark.read.parquet(dir), Some(dir))
+      case None => (df.localCheckpoint(true), None)
+    }
     try {
-    val sym = pin( // edge derivation (e.g. an LSH join) runs ONCE
+    val (sym, symDir) = pin( // edge derivation (e.g. an LSH join) runs ONCE
       edges.select(col("id1").as("src"), col("id2").as("dst"))
         .unionByName(edges.select(col("id2").as("src"), col("id1").as("dst"))))
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .persist()
     var cached = labels // the handle actually holding storage
+    var roundPin: Option[String] = None // newest durable round pin
     var round = 0
     var changed = true
     while (changed && round < maxIter) {
@@ -270,10 +282,10 @@ object Scale {
         .groupBy(col("id"))
         .agg(min(col("comp")).as("comp"),
           max(when(col("own") === 1, col("comp"))).as("prev"))
-      // lazy persist per round; eager checkpoint only every 3rd round —
+      // lazy persist per round; durable pin only every 3rd round —
       // enough to keep lineage ≤ 3 plans deep without paying a pin
       // barrier per round
-      val next = if (round % 3 == 2) pin(step) else step.persist()
+      val (next, nextDir) = if (round % 3 == 2) pin(step) else (step.persist(), None)
       // convergence probe as a full aggregate, NOT limit(1): a limit
       // stops after the first matching partition, leaving the round's
       // persist partially populated — later rounds would then recompute
@@ -282,6 +294,9 @@ object Scale {
       changed = next.filter(col("comp") < col("prev")).count() > 0
       cached.unpersist(false) // no-op on pinned rounds (by design)
       cached = next
+      nextDir.foreach { d => // new pin landed → the old one is dead weight
+        roundPin.foreach(rm); roundPin = Some(d)
+      }
       labels = next.select(col("id"), col("comp"))
       round += 1
     }
@@ -289,14 +304,16 @@ object Scale {
       s"connectedComponents did not converge in $maxIter rounds — " +
         "component diameter exceeds maxIter; raise it (labels would be " +
         "silently partial, re-introducing under-deletion in dedup)")
-    // pin the result, then drop iteration storage (checkpoint blocks
-    // from intermediate rounds are GC-released once unreferenced)
-    val out = pin(labels)
+    // pin the result, then drop iteration storage; the final pin
+    // supersedes the edge pin and the last round pin
+    val (out, _) = pin(labels)
     cached.unpersist(false)
+    roundPin.foreach(rm)
+    symDir.foreach(rm)
     out
-    } finally prevCkptDir match {
-      case Some(d) if checkpointDir.isDefined => sc.setCheckpointDir(d)
-      case _ => () // no prior dir to restore (cannot unset one)
+    } catch { case t: Throwable =>
+      runDir.foreach(rm) // failed run leaves nothing behind
+      throw t
     }
   }
 

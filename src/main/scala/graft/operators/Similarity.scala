@@ -224,7 +224,8 @@ object Similarity {
     * double-train is harmless (deterministic fit → identical result). */
   private def cachedCentroids(e: DataFrame, corpusDir: String, nCells: Int,
       maxTrain: Int): Array[Array[Double]] = {
-    val stamp = new java.io.File(s"$corpusDir/embeddings.parquet").lastModified()
+    val stamp = graft.Tables.pathStamp(e.sparkSession,
+      s"$corpusDir/embeddings.parquet")
     centroidCache.getOrElseUpdate((corpusDir, stamp, nCells, maxTrain),
       trainCentroids(e, nCells, maxTrain))
   }

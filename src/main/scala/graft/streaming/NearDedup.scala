@@ -51,18 +51,24 @@ class NearDupProcessor(maxHamming: Int, horizonMs: Long, maxSigs: Int)
       ChunkVerdict(d.doc_id, d.ts, dup, d.clean_text, d.source, d.n_tokens)
     }
     sigs.put(stored.toArray)
-    // clean this bucket up if it then goes quiet: fire once the horizon
-    // after the newest signature (duplicate timers from later batches
-    // just re-run the same idempotent eviction)
-    getHandle.registerTimer(batch.last.ts.getTime + horizonMs)
+    // clean this bucket up if it then goes quiet: fire ONE ms past the
+    // horizon after the newest signature (batch is ts-sorted, so .last
+    // is the batch max). The +1 makes the fire-time cutoff strictly
+    // exceed this batch's newest sig — a sig that survives a firing was
+    // therefore added by a LATER batch, which registered its own later
+    // timer. That invariant is what guarantees every bucket eventually
+    // empties: without it the newest sig would survive its own timer
+    // forever (tsMs == cutoff) with no follow-up timer pending.
+    getHandle.registerTimer(batch.last.ts.getTime + horizonMs + 1)
     out.iterator
   }
 
   override def handleExpiredTimer(key: Long, timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[ChunkVerdict] = {
-    // a sig older than (expiry - horizon) can no longer match anything
-    // the watermark still admits — drop it; clear the bucket entirely
-    // when nothing survives
+    // a sig at or older than (expiry - horizon - 1) can no longer match
+    // anything the watermark still admits — drop it; clear the bucket
+    // entirely when nothing survives (clearing deletes the RocksDB key
+    // itself, so a quiet bucket costs zero state, not one stale row)
     val cutoff = expiredTimerInfo.getExpiryTimeInMs - horizonMs
     val kept = sigs.get().toList.filter(_.tsMs >= cutoff)
     if (kept.isEmpty) sigs.clear() else sigs.put(kept.toArray)

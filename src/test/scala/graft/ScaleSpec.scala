@@ -173,8 +173,8 @@ class ScaleSpec extends SparkSpec {
 
   test("connected components with a reliable checkpoint dir: identical labels") {
     // the durability option for shared clusters (executor loss must not
-    // kill the iteration): same fixpoint, pins via reliable checkpoint()
-    // instead of executor-local blocks
+    // kill the iteration): same fixpoint, pins via durable parquet
+    // round-trips instead of executor-local blocks
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
     // a 7-node chain forces > 3 rounds, so BOTH the every-3rd-round pin
     // and the final pin run through the reliable path
@@ -186,10 +186,25 @@ class ScaleSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(reliable === local)
     assert((1L to 7L).forall(reliable(_) === 1L))
-    // the reliable path actually wrote checkpoint data to the dir
-    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      .filter(java.nio.file.Files.isRegularFile(_)).count()
-    assert(wrote > 0, "no reliable checkpoint files written")
+    // the reliable path actually wrote pin data to the dir…
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    val paths = try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.toVector
+    } finally walk.close()
+    assert(paths.exists(java.nio.file.Files.isRegularFile(_)),
+      "no durable pin files written")
+    // …and superseded pins were deleted as iteration advanced: only the
+    // FINAL pin (the returned frame's backing files) may remain, so a
+    // weekly sweep cannot grow the checkpoint dir without bound
+    val pinDirs = paths.filter(p =>
+      java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("pin-"))
+    assert(pinDirs.size === 1,
+      s"superseded pins not cleaned up: ${pinDirs.map(_.getFileName)}")
+    // the surviving pin still backs the returned frame (re-collect works)
+    assert(Scale.connectedComponents(edges, checkpointDir = Some(dir))
+      .count() === 9)
   }
 
   test("bloom prefilter join: identical to plain join, prunes pre-shuffle") {
