@@ -85,6 +85,8 @@ object SparkEntry {
     "pipeline_curate" -> (Curation.pipelineCurate _),
     "pipeline_curate_full" -> (Curation.curate _),
     "pipeline_curate_v2" -> (Curation.pipelineCurateV2 _),
+    "decontaminate" -> (Curation.decontamQuery _),
+    "pack_sequences" -> (Curation.packSequencesQuery _),
     // E: text analysis
     "text_tokens" -> (TextAnalysis.textTokens _),
     "text_quality" -> (TextAnalysis.textQuality _),
@@ -151,6 +153,8 @@ object SparkEntry {
     "knn_join" -> Similarity.knnJoinSql,
     "vec_norms" -> Similarity.vecNormsSql,
     "pipeline_curate" -> Curation.pipelineCurateSql,
+    "decontaminate" -> Curation.decontamSql,
+    "pack_sequences" -> Curation.packSequencesSql,
     "pipeline_curate_v2" -> Curation.pipelineCurateV2Sql,
     "text_tokens" -> TextAnalysis.textTokensSql,
     "text_quality" -> TextAnalysis.textQualitySql,

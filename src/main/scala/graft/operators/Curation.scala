@@ -280,6 +280,145 @@ object Curation {
   def pipelineCurate(spark: SparkSession, sfDir: String): DataFrame =
     curateExact(Tables.documents(spark, sfDir)).orderBy(col("doc_id"))
 
+  // ------------------------------------------------------------- C12
+  /** Benchmark DECONTAMINATION — drop every training doc that shares an
+    * `n`-token gram with the benchmark/eval set (the published-pipeline
+    * rule for keeping test data out of the training mix: GPT-3 and
+    * PaLM both scrub on 13-gram overlap). Grams are the same
+    * xxhash64-chained shingles as the dedup family
+    * ([[graft.functions.TextFunctions.shingleHashes]]) — an 8-byte
+    * value per gram instead of the joined string; a hash collision can
+    * only over-drop one extra doc (2⁻⁶⁴ per cross pair), the standard
+    * trade every at-scale decontamination makes.
+    *
+    * Docs shorter than `n` tokens generate NO grams on either side (a
+    * doc with no 13-gram cannot leak a 13-gram) — both sides filter
+    * before shingling, since ShingleHashes would otherwise hash the
+    * whole short doc as one window.
+    *
+    * Scale shape: the benchmark side is a test set (thousands of docs,
+    * not terabytes) — its distinct gram set BROADCASTS, so the training
+    * side streams map-only through a broadcast semi-join: no shuffle of
+    * the 100 TB side at all. The anti-join back to `docs` shuffles only
+    * ids. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 13): DataFrame = {
+    require(n >= 1)
+    def grams(d: DataFrame): DataFrame = d
+      .select(col(idCol).as("id"),
+        expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("id"),
+        explode(graft.functions.TextFunctions.shingleHashes(col("toks"), n))
+          .as("g"))
+    val benchGrams = grams(benchmark).select(col("g")).distinct()
+    val contaminated = grams(docs)
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .select(col("id").as(idCol)).distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Driver query: docs with doc_id ≡ 0 (mod 10) play the benchmark
+    * set; the rest are the training corpus to scrub. */
+  def decontamQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    decontaminate(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontamSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, array_to_string(t[i:i+12], ' ') AS gram
+      |  FROM toks, UNNEST(generate_series(1, len(t) - 12)) AS u(i)
+      |  WHERE len(t) >= 13),
+      |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+      |cont AS (
+      |  SELECT DISTINCT doc_id FROM g
+      |  WHERE doc_id % 10 <> 0 AND gram IN (SELECT gram FROM bench))
+      |SELECT d.doc_id, d.lang, d.source FROM documents d
+      |WHERE d.doc_id % 10 <> 0
+      |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------------------- C13
+  /** SEQUENCE PACKING — assign every doc its (sequence, offset) slot in
+    * the concatenate-and-cut-every-`seqLen`-tokens layout LM training
+    * uses: docs ordered by id form one virtual token stream; doc d
+    * starts at global token position cum_before(d) = Σ n_tokens of all
+    * earlier docs, so it lands in sequence cum_before div seqLen at
+    * offset cum_before mod seqLen (straddling a boundary = split
+    * across two training sequences, exactly like the real packer).
+    *
+    * The interesting part at 100 TB is the GLOBAL running sum: the
+    * naive window (`sum over (order by doc_id)`) has no PARTITION BY,
+    * so Spark plans a single-partition sort — one task swallows the
+    * corpus. This implementation is the standard two-pass prefix sum
+    * instead: ids are range-bucketed (one O(1) min/max job), bucket
+    * subtotals aggregate in one tiny shuffle, the driver prefix-sums
+    * the ≤`buckets` subtotals (O(buckets) driver work, the same
+    * legitimate pattern as [[Scale.writeZOrdered]]'s min/max), and the
+    * broadcast bucket bases turn the in-bucket window into
+    * embarrassingly parallel per-bucket cumsums. Result is identical
+    * to the naive window at any bucket count and any partitioning. */
+  def packSequences(docs: DataFrame, seqLen: Int = 2048,
+      buckets: Int = 1024): DataFrame = {
+    require(seqLen >= 1 && buckets >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col("doc_id"),
+      size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .cast("long").as("n_tokens"))
+    val r = toks.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    if (r.isNullAt(0)) // empty corpus: empty result, right schema
+      return toks.select(col("doc_id"), col("n_tokens"),
+        lit(0L).as("seq_id"), lit(0L).as("seq_offset")).limit(0)
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val span = math.max(1L, (hi - lo) / buckets + 1)
+    val bucketed = toks.withColumn("__b", expr(s"(doc_id - $lo) div $span"))
+    val subtotals = bucketed.groupBy(col("__b"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val bases = subtotals.map { case (b, t) =>
+      val base = acc; acc += t; (b, base)
+    }.toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("doc_id"))
+    bucketed
+      .join(broadcast(bases.toDF("__b", "__base")), Seq("__b"))
+      .withColumn("__cb",
+        col("__base") + sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"__cb div $seqLen").as("seq_id"),
+        expr(s"__cb % $seqLen").as("seq_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  def packSequencesQuery(spark: SparkSession, sfDir: String): DataFrame =
+    packSequences(Tables.documents(spark, sfDir))
+
+  val packSequencesSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cb
+      |  FROM t)
+      |SELECT doc_id, n_tokens, CAST(cb // 2048 AS BIGINT) AS seq_id,
+      |  CAST(cb % 2048 AS BIGINT) AS seq_offset
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val pipelineCurateSql: String =
     """WITH gated AS (
       |  SELECT doc_id, source, text,

@@ -170,6 +170,47 @@ class CurationSpec extends SparkSpec {
     assert(d3.getString(4).contains("[EMAIL]") && d3.getString(4).contains("[PHONE]"))
     assert(!d3.getString(4).contains("example.com"))
   }
+
+  test("decontaminate: 13-gram overlap with the benchmark drops the doc; short docs exempt") {
+    val leak = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike" // exactly 13 tokens
+    val docs = Seq(
+      // contains the benchmark's 13-gram verbatim inside a longer doc
+      (1L, s"some leading words then $leak and some trailing words here", "en", "s1"),
+      // clean doc, no overlap
+      (2L, "a completely different document about gardening with roses " +
+        "tulips daisies and ferns growing quietly", "en", "s1"),
+      // 12 tokens identical to a benchmark PREFIX — no 13-gram exists in
+      // this doc, so it must SURVIVE (the short-doc exemption)
+      (3L, "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima", "en", "s1"),
+    ).toDF("doc_id", "text", "lang", "source")
+    val bench = Seq((100L, s"$leak november oscar papa quebec", "en", "b"))
+      .toDF("doc_id", "text", "lang", "source")
+    val kept = Curation.decontaminate(docs, bench)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(2L, 3L)), s"got ${kept.toSeq}")
+  }
+
+  test("pack_sequences: bucketed prefix sum == naive global window, invariants hold") {
+    val docs = Tables.documents(spark, sf)
+    // tiny buckets force many driver-side bases; result must not depend
+    // on bucket count or input partitioning
+    val packed = Curation.packSequences(docs, seqLen = 64, buckets = 7).collect()
+    val repacked = Curation
+      .packSequences(docs.repartition(13), seqLen = 64, buckets = 3).collect()
+    assert(packed.toSeq === repacked.toSeq,
+      "packing depends on partitioning or bucket count")
+    // invariants: offsets in range; global positions strictly contiguous
+    // (each doc starts exactly where the previous one ended)
+    var cum = 0L
+    packed.foreach { r =>
+      val (n, seq, off) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(off >= 0 && off < 64)
+      assert(seq * 64 + off === cum,
+        s"doc ${r.getLong(0)} starts at ${seq * 64 + off}, expected $cum")
+      cum += n
+    }
+  }
 }
 
 /** Top-level so spark.implicits can derive its Encoder. */

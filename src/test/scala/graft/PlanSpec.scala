@@ -95,6 +95,21 @@ class PlanSpec extends SparkSpec {
       s"indexed sweep does not scan the staged index:\n$p")
   }
 
+  test("decontaminate: benchmark gram set broadcasts, training side never shuffles grams") {
+    val p = executedPlan(Curation.decontamQuery(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"contamination check is not a broadcast semi-join:\n$p")
+  }
+
+  test("pack sequences: two-pass prefix sum avoids the single-partition global window") {
+    val p = executedPlan(Curation.packSequencesQuery(spark, sf))
+    // the naive global cumsum plans Exchange SinglePartition under the
+    // Window — the one-task bottleneck the bucketed design exists to kill
+    assert(!p.contains("SinglePartition"),
+      s"global window collapsed the corpus into one task:\n$p")
+    assert(p.contains("Window"), s"expected per-bucket window cumsum:\n$p")
+  }
+
   test("ann brute force: query side broadcast, corpus side map-only until top-k") {
     val p = executedPlan(Similarity.annBruteTopK(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
