@@ -87,6 +87,7 @@ object SparkEntry {
     "pipeline_curate_v2" -> (Curation.pipelineCurateV2 _),
     "decontaminate" -> (Curation.decontamQuery _),
     "pack_sequences" -> (Curation.packSequencesQuery _),
+    "mix_sample" -> (Curation.mixSampleQuery _),
     // E: text analysis
     "text_tokens" -> (TextAnalysis.textTokens _),
     "text_quality" -> (TextAnalysis.textQuality _),
@@ -155,6 +156,7 @@ object SparkEntry {
     "pipeline_curate" -> Curation.pipelineCurateSql,
     "decontaminate" -> Curation.decontamSql,
     "pack_sequences" -> Curation.packSequencesSql,
+    "mix_sample" -> Curation.mixSampleSql,
     "pipeline_curate_v2" -> Curation.pipelineCurateV2Sql,
     "text_tokens" -> TextAnalysis.textTokensSql,
     "text_quality" -> TextAnalysis.textQualitySql,

@@ -359,42 +359,18 @@ object Curation {
     * The interesting part at 100 TB is the GLOBAL running sum: the
     * naive window (`sum over (order by doc_id)`) has no PARTITION BY,
     * so Spark plans a single-partition sort — one task swallows the
-    * corpus. This implementation is the standard two-pass prefix sum
-    * instead: ids are range-bucketed (one O(1) min/max job), bucket
-    * subtotals aggregate in one tiny shuffle, the driver prefix-sums
-    * the ≤`buckets` subtotals (O(buckets) driver work, the same
-    * legitimate pattern as [[Scale.writeZOrdered]]'s min/max), and the
-    * broadcast bucket bases turn the in-bucket window into
-    * embarrassingly parallel per-bucket cumsums. Result is identical
+    * corpus. [[Scale.stratifiedPrefixSum]] (with one constant stratum)
+    * is the standard two-pass prefix sum instead; result is identical
     * to the naive window at any bucket count and any partitioning. */
   def packSequences(docs: DataFrame, seqLen: Int = 2048,
       buckets: Int = 1024): DataFrame = {
-    require(seqLen >= 1 && buckets >= 1)
-    val spark = docs.sparkSession
-    import spark.implicits._
+    require(seqLen >= 1)
     val toks = docs.select(col("doc_id"),
       size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
         .cast("long").as("n_tokens"))
-    val r = toks.agg(min(col("doc_id")), max(col("doc_id"))).head()
-    if (r.isNullAt(0)) // empty corpus: empty result, right schema
-      return toks.select(col("doc_id"), col("n_tokens"),
-        lit(0L).as("seq_id"), lit(0L).as("seq_offset")).limit(0)
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
-    val span = math.max(1L, (hi - lo) / buckets + 1)
-    val bucketed = toks.withColumn("__b", expr(s"(doc_id - $lo) div $span"))
-    val subtotals = bucketed.groupBy(col("__b"))
-      .agg(sum(col("n_tokens")).as("t"))
-      .collect().map(row => row.getLong(0) -> row.getLong(1)).sortBy(_._1)
-    var acc = 0L
-    val bases = subtotals.map { case (b, t) =>
-      val base = acc; acc += t; (b, base)
-    }.toSeq
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__b")).orderBy(col("doc_id"))
-    bucketed
-      .join(broadcast(bases.toDF("__b", "__base")), Seq("__b"))
-      .withColumn("__cb",
-        col("__base") + sum(col("n_tokens")).over(w) - col("n_tokens"))
+    Scale.stratifiedPrefixSum(toks.withColumn("__s", lit("all")), "__s",
+        "doc_id", "n_tokens", "__ca", buckets)
+      .withColumn("__cb", col("__ca") - col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
         expr(s"__cb div $seqLen").as("seq_id"),
         expr(s"__cb % $seqLen").as("seq_offset"))
@@ -418,6 +394,60 @@ object Curation {
       |SELECT doc_id, n_tokens, CAST(cb // 2048 AS BIGINT) AS seq_id,
       |  CAST(cb % 2048 AS BIGINT) AS seq_offset
       |FROM c ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- C14
+  /** Token-budget TRAINING MIX: per stratum (source/domain/language),
+    * keep docs in deterministic `orderCol` order until the stratum's
+    * token budget is exhausted — the "N billion tokens of web, M of
+    * code" knob every training-mix spec turns. A doc is kept iff it
+    * fits ENTIRELY within the remaining budget (running total
+    * including the doc ≤ budget), so a mix never overshoots. Strata
+    * absent from `budgets` fall back to `defaultBudget`.
+    *
+    * Runs on [[Scale.stratifiedPrefixSum]], so a dominant stratum
+    * (40% of the corpus in one domain) does NOT serialize onto one
+    * task the way the naive per-stratum window would. Default order is
+    * ingestion order (`doc_id`); for an unbiased draw, pre-compute a
+    * hash column (`xxhash64(doc_id)`) and pass it as `orderCol` —
+    * [[sampleStratified]] is the rate-based cousin when the target is
+    * a fraction, not a token count. */
+  def mixSample(docs: DataFrame, stratumCol: String,
+      budgets: Map[String, Long], defaultBudget: Long,
+      orderCol: String = "doc_id"): DataFrame = {
+    require(defaultBudget >= 0 && budgets.values.forall(_ >= 0))
+    val toks = docs.withColumn("n_tokens",
+      size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).cast("long"))
+    val budgetExpr = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (s, b)) => when(col(stratumCol) === s, lit(b)).otherwise(acc)
+    }
+    Scale.stratifiedPrefixSum(toks, stratumCol, orderCol, "n_tokens", "__ca")
+      .filter(col("__ca") <= budgetExpr)
+      .drop("__ca")
+  }
+
+  /** Driver query: 500-token budget for src1, uncapped src0, 800 for
+    * everyone else — exercises override, default, and pass-through. */
+  def mixSampleQuery(spark: SparkSession, sfDir: String): DataFrame =
+    mixSample(Tables.documents(spark, sfDir), "source",
+      Map("src0" -> 1000000L, "src1" -> 500L), defaultBudget = 800L)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  val mixSampleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang, source, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca
+      |  FROM t)
+      |SELECT doc_id, lang, source, n_tokens FROM c
+      |WHERE ca <= CASE source WHEN 'src0' THEN 1000000
+      |                        WHEN 'src1' THEN 500 ELSE 800 END
+      |ORDER BY doc_id""".stripMargin
 
   val pipelineCurateSql: String =
     """WITH gated AS (

@@ -204,6 +204,59 @@ object Scale {
     joined.select(outCols: _*)
   }
 
+  /** Per-stratum GLOBAL running sum without per-stratum single tasks —
+    * the scale-safe form of
+    * `sum(value) over (partition by stratum order by key)`: that naive
+    * window gives every stratum ONE task, so a dominant stratum (40%
+    * of a 100 TB corpus in one domain) serializes onto one core. Here
+    * the order key is range-bucketed (one O(1) min/max job), per
+    * (stratum, bucket) subtotals aggregate in one tiny shuffle, the
+    * driver prefix-sums them (O(strata × buckets) rows — the same
+    * legitimate driver-size class as [[writeZOrdered]]'s min/max), and
+    * broadcast bucket bases make the remaining window per (stratum,
+    * bucket) — parallel within every stratum.
+    *
+    * Adds `cumCol` = the RUNNING TOTAL INCLUDING the current row
+    * (subtract `valueCol` for the exclusive prefix). `orderCol` must be
+    * a numeric (long-castable) key, unique per row within its stratum
+    * for a deterministic result; `stratumCol` must be non-null.
+    * Result is identical to the naive window at any bucket count and
+    * any input partitioning. */
+  def stratifiedPrefixSum(df: DataFrame, stratumCol: String,
+      orderCol: String, valueCol: String, cumCol: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val r = df.agg(min(col(orderCol)).cast("long"),
+      max(col(orderCol)).cast("long")).head()
+    if (r.isNullAt(0)) // empty input: empty output, schema + cumCol
+      return df.withColumn(cumCol, lit(0L)).limit(0)
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val span = math.max(1L, (hi - lo) / buckets + 1)
+    val b = df.withColumn("__psb", expr(s"(cast($orderCol as bigint) - $lo) div $span"))
+    val subtotals = b
+      .groupBy(col(stratumCol).cast("string").as("__pss"), col("__psb"))
+      .agg(sum(col(valueCol)).cast("long").as("__pst"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    // driver prefix per stratum over bucket order
+    val bases = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    var cur: String = null
+    var acc = 0L
+    subtotals.foreach { case (s, bk, t) =>
+      if (s != cur) { cur = s; acc = 0L }
+      bases += ((s, bk, acc)); acc += t
+    }
+    val baseDf = broadcast(bases.toSeq.toDF("__pss", "__psb2", "__psbase"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol), col("__psb")).orderBy(col(orderCol))
+    b.join(baseDf, col(stratumCol).cast("string") === col("__pss")
+        && col("__psb") === col("__psb2"))
+      .withColumn(cumCol, col("__psbase") + sum(col(valueCol)).over(w))
+      .drop("__psb", "__pss", "__psb2", "__psbase")
+  }
+
   /** Connected components over an undirected edge list (`id1`, `id2`
     * bigint) by iterative min-label propagation: every node starts
     * labeled with itself; each round, every node takes the minimum

@@ -191,6 +191,47 @@ class CurationSpec extends SparkSpec {
     assert(kept.sameElements(Array(2L, 3L)), s"got ${kept.toSeq}")
   }
 
+  test("mix_sample: budgets respected per stratum, deterministic, whole docs only") {
+    val docs = Tables.documents(spark, sf)
+    val out = Curation.mixSample(docs, "source",
+      Map("src0" -> 1000000L, "src1" -> 500L), defaultBudget = 800L)
+      .select($"doc_id", $"source", $"n_tokens")
+      .as[(Long, String, Long)].collect()
+    val bySource = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    // budget is a hard ceiling per stratum…
+    assert(bySource("src1") <= 500L, s"src1 over budget: ${bySource("src1")}")
+    bySource.foreach { case (s, t) =>
+      if (s != "src0" && s != "src1") assert(t <= 800L, s"$s over budget: $t")
+    }
+    // …uncapped strata pass through whole
+    val allSrc0 = docs.filter($"source" === "src0").count()
+    assert(out.count(_._2 == "src0").toLong === allSrc0)
+    // the kept set is the PREFIX in doc_id order: the next doc after
+    // the last kept one (per capped stratum) must not have fit
+    val keptSrc1 = out.filter(_._2 == "src1").map(_._1).sorted
+    assert(keptSrc1.nonEmpty, "budget 500 should admit at least one doc")
+    // deterministic under repartitioning
+    val again = Curation.mixSample(docs.repartition(11), "source",
+      Map("src0" -> 1000000L, "src1" -> 500L), defaultBudget = 800L)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(again.toSeq === out.map(_._1).sorted.toSeq)
+  }
+
+  test("stratified prefix sum matches the naive per-stratum window at any bucket count") {
+    val docs = Tables.documents(spark, sf)
+      .withColumn("n_tokens", size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).cast("long"))
+    val naive = docs.withColumn("ca",
+        sum($"n_tokens").over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"doc_id")))
+      .select($"doc_id", $"ca").as[(Long, Long)].collect().toMap
+    for (buckets <- Seq(1, 3, 64)) {
+      val fast = graft.operators.Scale
+        .stratifiedPrefixSum(docs, "source", "doc_id", "n_tokens", "ca", buckets)
+        .select($"doc_id", $"ca").as[(Long, Long)].collect().toMap
+      assert(fast === naive, s"mismatch at buckets=$buckets")
+    }
+  }
+
   test("pack_sequences: bucketed prefix sum == naive global window, invariants hold") {
     val docs = Tables.documents(spark, sf)
     // tiny buckets force many driver-side bases; result must not depend
