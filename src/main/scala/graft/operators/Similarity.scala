@@ -263,13 +263,48 @@ object Similarity {
         math.max(8, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
       }
     val centroids = cachedCentroids(e, sfDir, cellCount, maxTrain)
+    // batch=base/cell=<c> layout: later [[appendToIvfIndex]] batches land
+    // beside the base in their own batch= partitions; cell pruning works
+    // identically at the second partition level
     e.select($"vec_id", $"embedding",
         VectorFunctions.nearestCentroid($"embedding", centroids).as("cell"))
+      .withColumn("batch", lit("base"))
       .repartition($"cell")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors")
+      .write.mode("overwrite").partitionBy("batch", "cell")
+      .parquet(s"$indexDir/vectors")
     centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("cell", "cvec")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** Fold a new vector batch INTO a staged IVF index — the index
+    * lifecycle twin of `Dedup.appendToLshIndex`: build once, probe +
+    * append per ingest batch. Vectors are assigned with the index's OWN
+    * staged centroids, never retrained — retraining would move cell
+    * boundaries under partitions already written, silently corrupting
+    * every earlier assignment. The quantizer therefore degrades
+    * gracefully as the corpus drifts from the trained distribution (the
+    * standard IVF trade); rebuild when cell populations skew.
+    *
+    * IDEMPOTENT per `batchId`: dynamic partition overwrite makes a
+    * retried append replace its own `batch=` partitions — duplicated
+    * corpus vectors would otherwise surface as duplicate candidates in
+    * every later probe. `vec_id`s must be unique across base and
+    * batches. */
+  def appendToIvfIndex(spark: SparkSession, newVecs: DataFrame,
+      indexDir: String, batchId: String): Unit = {
+    import spark.implicits._
+    require(batchId.nonEmpty && batchId != "base",
+      "batchId must be a unique non-'base' label (e.g. the ingest date)")
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy($"cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+    newVecs.select($"vec_id", $"embedding",
+        VectorFunctions.nearestCentroid($"embedding", centroids).as("cell"))
+      .withColumn("batch", lit(batchId))
+      .repartition($"cell")
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "cell").parquet(s"$indexDir/vectors")
   }
 
   /** Query a persisted IVF index: rank centroids per query (tiny), then

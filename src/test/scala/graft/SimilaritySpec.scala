@@ -112,6 +112,28 @@ class SimilaritySpec extends SparkSpec {
     val p = probed.queryExecution.executedPlan.toString
     assert(p.contains("PartitionFilters: [") && p.contains("cell"),
       s"no partition pruning on cell:\n$p")
+
+    // index lifecycle: append a batch (twice — the dynamic partition
+    // overwrite must make the retry a no-op), then probe again
+    val baseCount = vectors.count()
+    // the appended vector clones query 0's embedding under a fresh id:
+    // it lands in that query's own (first-probed) cell with cos = 1.0,
+    // so it must surface as the query's new top-1 neighbor
+    val q0 = Tables.embeddings(spark, sf).filter($"vec_id" === 0L)
+      .select($"embedding").head().getSeq[Float](0)
+    val batch = Seq((9999991L, q0)).toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(spark, batch, idxDir, "w1")
+    Similarity.appendToIvfIndex(spark, batch, idxDir, "w1")
+    val after = spark.read.parquet(s"$idxDir/vectors")
+    assert(after.count() === baseCount + 1,
+      "retried append duplicated vectors")
+    val res = Similarity.annIvfIndexed(spark, idxDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(res.map(t => (t._1, t._3)).distinct.length === res.length,
+      "duplicate (query, neighbor) candidates after append")
+    val top0 = res.filter(_._1 == 0L).minBy(_._2)
+    assert(top0._3 === 9999991L && top0._4 === 1.0,
+      s"appended twin not query 0's top-1: $top0")
   }
 
   test("knn join: neighbors stay within the query's label block") {
