@@ -306,8 +306,7 @@ object Curation {
       n: Int = 13): DataFrame = {
     require(n >= 1)
     def grams(d: DataFrame): DataFrame = d
-      .select(col(idCol).as("id"),
-        expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)").as("toks"))
+      .select(col(idCol).as("id"), TextAnalysis.tokens(textCol).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("id"),
         explode(graft.functions.TextFunctions.shingleHashes(col("toks"), n))
@@ -366,8 +365,7 @@ object Curation {
       buckets: Int = 1024): DataFrame = {
     require(seqLen >= 1)
     val toks = docs.select(col("doc_id"),
-      size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
-        .cast("long").as("n_tokens"))
+      size(TextAnalysis.tokens()).cast("long").as("n_tokens"))
     Scale.stratifiedPrefixSum(toks.withColumn("__s", lit("all")), "__s",
         "doc_id", "n_tokens", "__ca", buckets)
       .withColumn("__cb", col("__ca") - col("n_tokens"))
@@ -416,7 +414,7 @@ object Curation {
       orderCol: String = "doc_id"): DataFrame = {
     require(defaultBudget >= 0 && budgets.values.forall(_ >= 0))
     val toks = docs.withColumn("n_tokens",
-      size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).cast("long"))
+      size(TextAnalysis.tokens()).cast("long"))
     val budgetExpr = budgets.foldLeft(lit(defaultBudget)) {
       case (acc, (s, b)) => when(col(stratumCol) === s, lit(b)).otherwise(acc)
     }

@@ -218,10 +218,21 @@ object Scale {
     *
     * Adds `cumCol` = the RUNNING TOTAL INCLUDING the current row
     * (subtract `valueCol` for the exclusive prefix). `orderCol` must be
-    * a numeric (long-castable) key, unique per row within its stratum
-    * for a deterministic result; `stratumCol` must be non-null.
-    * Result is identical to the naive window at any bucket count and
-    * any input partitioning. */
+    * a NON-NULL numeric (long-castable) key, unique per row within its
+    * stratum for a deterministic result (null order keys cannot be
+    * placed in the stream — the probe job rejects them); `stratumCol`
+    * must be non-null; null `valueCol` counts as 0. Result is identical
+    * to the naive window at any bucket count and any input
+    * partitioning.
+    *
+    * Cost trade vs the naive window: TWO full passes over `df` (the
+    * subtotal aggregate is eager, the output plan re-reads) instead of
+    * one serial pass — the classic parallel-prefix 2×-work-for-
+    * parallel-span trade. Callers with an expensive `df` lineage
+    * should persist the projected (stratum, order, value) frame
+    * first. Driver footprint is O(distinct strata × buckets), hard-
+    * capped by [[MaxPrefixGroups]] — lower `buckets` for very high
+    * stratum cardinality. */
   def stratifiedPrefixSum(df: DataFrame, stratumCol: String,
       orderCol: String, valueCol: String, cumCol: String,
       buckets: Int = 1024): DataFrame = {
@@ -229,16 +240,34 @@ object Scale {
     val spark = df.sparkSession
     import spark.implicits._
     val r = df.agg(min(col(orderCol)).cast("long"),
-      max(col(orderCol)).cast("long")).head()
+      max(col(orderCol)).cast("long"),
+      count(when(col(orderCol).isNull, lit(1)))).head()
+    require(r.getLong(2) == 0L,
+      s"stratifiedPrefixSum: $orderCol has ${r.getLong(2)} null keys — " +
+        "null rows cannot be placed in the running order")
     if (r.isNullAt(0)) // empty input: empty output, schema + cumCol
       return df.withColumn(cumCol, lit(0L)).limit(0)
     val (lo, hi) = (r.getLong(0), r.getLong(1))
-    val span = math.max(1L, (hi - lo) / buckets + 1)
-    val b = df.withColumn("__psb", expr(s"(cast($orderCol as bigint) - $lo) div $span"))
-    val subtotals = b
+    // span sized in BigInt: hi - lo overflows Long when the key is a
+    // full-range hash (the documented unbiased-order case). The bucket
+    // id is then just `orderCol div span` — NO lo subtraction, which
+    // would overflow per-row; truncating division is monotonic in the
+    // key, which is all the driver prefix needs (ids may be negative
+    // and the count may exceed `buckets` by a couple — harmless).
+    val span = ((BigInt(hi) - BigInt(lo)) / buckets + 1)
+      .min(BigInt(Long.MaxValue)).toLong
+    val b = df.withColumn("__psb", expr(s"cast($orderCol as bigint) div $span"))
+    val vals = coalesce(col(valueCol).cast("long"), lit(0L))
+    val subtotalRows = b
       .groupBy(col(stratumCol).cast("string").as("__pss"), col("__psb"))
-      .agg(sum(col(valueCol)).cast("long").as("__pst"))
-      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+      .agg(sum(vals).as("__pst"))
+      .limit(MaxPrefixGroups + 1).collect()
+    require(subtotalRows.length <= MaxPrefixGroups,
+      s"stratifiedPrefixSum: more than $MaxPrefixGroups (stratum, bucket) " +
+        "groups — driver prefix would not fit; lower `buckets` or reduce " +
+        "stratum cardinality")
+    val subtotals = subtotalRows
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
       .sortBy(t => (t._1, t._2))
     // driver prefix per stratum over bucket order
     val bases = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
@@ -253,9 +282,13 @@ object Scale {
       .partitionBy(col(stratumCol), col("__psb")).orderBy(col(orderCol))
     b.join(baseDf, col(stratumCol).cast("string") === col("__pss")
         && col("__psb") === col("__psb2"))
-      .withColumn(cumCol, col("__psbase") + sum(col(valueCol)).over(w))
+      .withColumn(cumCol, col("__psbase") + sum(vals).over(w))
       .drop("__psb", "__pss", "__psb2", "__psbase")
   }
+
+  /** Hard cap on stratifiedPrefixSum's driver-side subtotal count —
+    * the same driver-footprint discipline as [[MaxBroadcastBlocks]]. */
+  val MaxPrefixGroups: Int = 1000000
 
   /** Connected components over an undirected edge list (`id1`, `id2`
     * bigint) by iterative min-label propagation: every node starts

@@ -296,6 +296,16 @@ object Similarity {
     import spark.implicits._
     require(batchId.nonEmpty && batchId != "base",
       "batchId must be a unique non-'base' label (e.g. the ingest date)")
+    // fail fast on a pre-batch-layout index (top-level cell=): writing
+    // batch=<id>/cell= beside it would leave mixed partition depths and
+    // break partition discovery for EVERY later read of the index
+    val vecPath = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
+    val fs = vecPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(vecPath) && fs.listStatus(vecPath)
+        .exists(_.getPath.getName.startsWith("cell=")))
+      throw new IllegalStateException(s"$indexDir/vectors uses the " +
+        "pre-batch cell= layout — rebuild it with writeIvfIndex before " +
+        "appending")
     val centroids = spark.read.parquet(s"$indexDir/centroids")
       .orderBy($"cell").collect()
       .map(_.getSeq[Double](1).toArray)

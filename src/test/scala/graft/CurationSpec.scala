@@ -206,10 +206,20 @@ class CurationSpec extends SparkSpec {
     // …uncapped strata pass through whole
     val allSrc0 = docs.filter($"source" === "src0").count()
     assert(out.count(_._2 == "src0").toLong === allSrc0)
-    // the kept set is the PREFIX in doc_id order: the next doc after
-    // the last kept one (per capped stratum) must not have fit
+    // the kept set is EXACTLY the maximal prefix in doc_id order whose
+    // running total fits the budget — not just any under-budget subset
+    val allSrc1 = docs.filter($"source" === "src1")
+      .select($"doc_id", size(expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).cast("long"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    var run = 0L
+    val expectedSrc1 = allSrc1.takeWhile { case (_, n) =>
+      run += n; run <= 500L
+    }.map(_._1)
     val keptSrc1 = out.filter(_._2 == "src1").map(_._1).sorted
     assert(keptSrc1.nonEmpty, "budget 500 should admit at least one doc")
+    assert(keptSrc1.toSeq === expectedSrc1.toSeq,
+      s"kept set is not the maximal fitting prefix: $keptSrc1 vs $expectedSrc1")
     // deterministic under repartitioning
     val again = Curation.mixSample(docs.repartition(11), "source",
       Map("src0" -> 1000000L, "src1" -> 500L), defaultBudget = 800L)
@@ -230,6 +240,18 @@ class CurationSpec extends SparkSpec {
         .select($"doc_id", $"ca").as[(Long, Long)].collect().toMap
       assert(fast === naive, s"mismatch at buckets=$buckets")
     }
+    // full-range hash order key (the documented unbiased-draw case):
+    // hi - lo spans ~2^64, so the span/bucket arithmetic must not
+    // overflow — buckets derive from `key div span`, never `key - lo`
+    val hashed = docs.withColumn("hk", xxhash64($"doc_id"))
+    val naiveH = hashed.withColumn("ca",
+        sum($"n_tokens").over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"hk")))
+      .select($"doc_id", $"ca").as[(Long, Long)].collect().toMap
+    val fastH = graft.operators.Scale
+      .stratifiedPrefixSum(hashed, "source", "hk", "n_tokens", "ca", 64)
+      .select($"doc_id", $"ca").as[(Long, Long)].collect().toMap
+    assert(fastH === naiveH, "hash-order prefix sum diverged from naive window")
   }
 
   test("pack_sequences: bucketed prefix sum == naive global window, invariants hold") {
