@@ -88,6 +88,8 @@ object SparkEntry {
     "decontaminate" -> (Curation.decontamQuery _),
     "pack_sequences" -> (Curation.packSequencesQuery _),
     "mix_sample" -> (Curation.mixSampleQuery _),
+    "pipeline_train_mix" -> ((s: SparkSession, d: String) =>
+      Curation.pipelineTrainMix(s, d)),
     // E: text analysis
     "text_tokens" -> (TextAnalysis.textTokens _),
     "text_quality" -> (TextAnalysis.textQuality _),
@@ -157,6 +159,7 @@ object SparkEntry {
     "decontaminate" -> Curation.decontamSql,
     "pack_sequences" -> Curation.packSequencesSql,
     "mix_sample" -> Curation.mixSampleSql,
+    "pipeline_train_mix" -> Curation.pipelineTrainMixSql,
     "pipeline_curate_v2" -> Curation.pipelineCurateV2Sql,
     "text_tokens" -> TextAnalysis.textTokensSql,
     "text_quality" -> TextAnalysis.textQualitySql,

@@ -447,6 +447,92 @@ object Curation {
       |                        WHEN 'src1' THEN 500 ELSE 800 END
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- C15
+  /** The END-TO-END training-data flow, composed from the verified
+    * stages: quality + language gates and exact dedup (C6a) →
+    * benchmark decontamination (C12) → per-source token budgets (C14)
+    * → sequence packing (C13). One declarative plan: Catalyst fuses
+    * the gate predicates under the scan, the dedup groupBy and the
+    * mix/pack prefix sums are the only wide operations, and the
+    * decontamination stage stays a broadcast semi-join — this is the
+    * plan shape a real "web dump → training shards" job runs at
+    * 100 TB. Docs with doc_id ≡ 0 (mod 10) play the held-out
+    * benchmark; packing reuses the token counts the mix stage already
+    * carries instead of re-tokenizing. */
+  def pipelineTrainMix(spark: SparkSession, sfDir: String,
+      seqLen: Int = 2048): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val curatedDocs = train.join(
+      curateExact(train).select(col("doc_id")), Seq("doc_id"), "left_semi")
+    // pin the two stage boundaries: the mix and pack prefix sums each
+    // probe eagerly AND re-read lazily, so without pins the gate +
+    // dedup + decontamination lineage would execute ~4×. Eager
+    // localCheckpoint runs each stage once and serves the rest from
+    // blocks (released on GC); at cluster scale with preemptible
+    // executors, write the stage to parquet instead — the
+    // connectedComponents durability note applies verbatim.
+    val clean = decontaminate(curatedDocs, bench).localCheckpoint(true)
+    val mixed = mixSample(clean, "source", Map("src1" -> 500L),
+      defaultBudget = 800L).localCheckpoint(true)
+    Scale.stratifiedPrefixSum(mixed.withColumn("__s", lit("all")), "__s",
+        "doc_id", "n_tokens", "__ca")
+      .withColumn("__cb", col("__ca") - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"__cb div $seqLen").as("seq_id"),
+        expr(s"__cb % $seqLen").as("seq_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  val pipelineTrainMixSql: String =
+    """WITH train AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+      |gated AS (
+      |  SELECT doc_id, source, text,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+      |      AS n_tokens,
+      |    CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS DOUBLE)
+      |      / len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS uniq_ratio
+      |  FROM train
+      |  WHERE list_contains(['en', 'de', 'es', 'fr', 'zh'], lang)),
+      |ranked AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      |  FROM gated WHERE n_tokens >= 10 AND uniq_ratio >= 0.3),
+      |curated AS (
+      |  SELECT doc_id, source, n_tokens FROM ranked WHERE rn = 1),
+      |toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, array_to_string(t[i:i+12], ' ') AS gram
+      |  FROM toks, UNNEST(generate_series(1, len(t) - 12)) AS u(i)
+      |  WHERE len(t) >= 13),
+      |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+      |cont AS (
+      |  SELECT DISTINCT doc_id FROM g
+      |  WHERE doc_id % 10 <> 0 AND gram IN (SELECT gram FROM bench)),
+      |clean AS (
+      |  SELECT * FROM curated
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+      |mixed AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca
+      |  FROM clean),
+      |kept AS (
+      |  SELECT doc_id, source, n_tokens FROM mixed
+      |  WHERE ca <= CASE source WHEN 'src1' THEN 500 ELSE 800 END),
+      |packed AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cb
+      |  FROM kept)
+      |SELECT doc_id, source, n_tokens,
+      |  CAST(cb // 2048 AS BIGINT) AS seq_id,
+      |  CAST(cb % 2048 AS BIGINT) AS seq_offset
+      |FROM packed ORDER BY doc_id""".stripMargin
+
   val pipelineCurateSql: String =
     """WITH gated AS (
       |  SELECT doc_id, source, text,

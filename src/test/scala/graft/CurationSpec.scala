@@ -227,6 +227,28 @@ class CurationSpec extends SparkSpec {
     assert(again.toSeq === out.map(_._1).sorted.toSeq)
   }
 
+  test("pipeline_train_mix: composed stages agree with running them separately") {
+    val docs = Tables.documents(spark, sf)
+    val out = Curation.pipelineTrainMix(spark, sf).collect()
+    assert(out.nonEmpty)
+    // stage agreement: the composed survivors = decontaminate ∘ curate,
+    // budget-capped per source
+    val bench = docs.filter($"doc_id" % 10 === 0)
+    val train = docs.filter($"doc_id" % 10 =!= 0)
+    val curated = train.join(Curation.curateExact(train).select($"doc_id"),
+      Seq("doc_id"), "left_semi")
+    val expected = Curation.mixSample(Curation.decontaminate(curated, bench),
+      "source", Map("src1" -> 500L), 800L)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(out.map(_.getLong(0)).sorted.toSeq === expected.toSeq)
+    // packing stays contiguous over the final survivors
+    var cum = 0L
+    out.sortBy(_.getLong(0)).foreach { r =>
+      assert(r.getLong(3) * 2048 + r.getLong(4) === cum)
+      cum += r.getLong(2)
+    }
+  }
+
   test("stratified prefix sum matches the naive per-stratum window at any bucket count") {
     val docs = Tables.documents(spark, sf)
       .withColumn("n_tokens", size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).cast("long"))
