@@ -103,6 +103,8 @@ object SparkEntry {
       TextAnalysis.wordFreqTopKApprox(s, d)),
     "corpus_stats" -> (TextAnalysis.corpusStats _),
     "text_lm_score" -> (TextAnalysis.textLmScore _),
+    "boilerplate_frac" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.boilerplateFrac(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -160,6 +162,7 @@ object SparkEntry {
     "pack_sequences" -> Curation.packSequencesSql,
     "mix_sample" -> Curation.mixSampleSql,
     "pipeline_train_mix" -> Curation.pipelineTrainMixSql,
+    "boilerplate_frac" -> TextAnalysis.boilerplateFracSql,
     "pipeline_curate_v2" -> Curation.pipelineCurateV2Sql,
     "text_tokens" -> TextAnalysis.textTokensSql,
     "text_quality" -> TextAnalysis.textQualitySql,

@@ -305,12 +305,7 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 13): DataFrame = {
     require(n >= 1)
-    def grams(d: DataFrame): DataFrame = d
-      .select(col(idCol).as("id"), TextAnalysis.tokens(textCol).as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("id"),
-        explode(graft.functions.TextFunctions.shingleHashes(col("toks"), n))
-          .as("g"))
+    def grams(d: DataFrame): DataFrame = Dedup.gramSet(d, idCol, textCol, n)
     val benchGrams = grams(benchmark).select(col("g")).distinct()
     val contaminated = grams(docs)
       .join(broadcast(benchGrams), Seq("g"), "left_semi")

@@ -100,6 +100,20 @@ object Dedup {
       .select(col("id"),
         TextFunctions.shingleHashes(col("toks"), shingleSize).as("sh"))
 
+  /** DISTINCT hashed `n`-token grams per doc — (id, g) rows, one per
+    * distinct shingle. Docs shorter than `n` tokens emit NOTHING (they
+    * have no n-gram; [[graft.functions.TextFunctions.shingleHashes]]
+    * would otherwise hash the whole short doc as one window, which is
+    * a different semantic). Shared by `Curation.decontaminate` and
+    * `TextAnalysis.boilerplateFrac` so corpus-gram semantics cannot
+    * drift between them. */
+  private[operators] def gramSet(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = docs
+    .select(col(idCol).as("id"), TextAnalysis.tokens(textCol).as("toks"))
+    .filter(size(col("toks")) >= n)
+    .select(col("id"),
+      explode(TextFunctions.shingleHashes(col("toks"), n)).as("g"))
+
   /** Stage 2 — (id, band, bucket): `numHashes`-perm MinHash signature
     * folded into one xxhash bucket value per band. */
   private[operators] def bandFrame(shingled: DataFrame, numHashes: Int,

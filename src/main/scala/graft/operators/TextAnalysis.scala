@@ -356,4 +356,52 @@ object TextAnalysis {
       .select(posexplode($"top").as(Seq("rank", "t")))
       .select(($"rank" + 1).as("rank"), $"t.word", $"t.est")
   }
+
+  // --------------------------------------------------------------- E12
+  /** BOILERPLATE fraction per doc: the share of a doc's distinct
+    * `n`-token grams that are corpus-common (gram appears in > `maxDf`
+    * docs) — the RefinedWeb/C4-style signal for template/navigation
+    * text that per-doc repetition gates (E7) cannot see, because the
+    * repetition lives ACROSS documents, not within one. Grams are the
+    * dedup family's hashed shingles ([[Dedup.gramSet]] — shared with
+    * decontamination, so "gram" means the same thing corpus-wide).
+    *
+    * Scale shape: the inverted-index pattern again — one exchange on
+    * the gram hash for document frequencies (map-side partial count),
+    * one join back (AQE broadcasts the common-gram set when small —
+    * by construction it holds only grams with df > maxDf), one doc-id
+    * aggregate. Docs shorter than `n` tokens have no grams and are
+    * absent from the output. */
+  def boilerplateFracOf(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, maxDf: Int = 2): DataFrame = {
+    val grams = Dedup.gramSet(docs, idCol, textCol, n)
+    val common = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("g"), lit(1).as("hit"))
+    grams.join(common, Seq("g"), "left_outer")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        round(avg(when(col("hit").isNotNull, 1.0).otherwise(0.0)), 6)
+          .as("boilerplate_frac"))
+      .select(col("id").as("doc_id"), col("n_grams"), col("boilerplate_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  def boilerplateFrac(spark: SparkSession, sfDir: String, n: Int = 5,
+      maxDf: Int = 2): DataFrame =
+    boilerplateFracOf(Tables.documents(spark, sfDir), "doc_id", "text", n, maxDf)
+
+  val boilerplateFracSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+      |  FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+      |  WHERE len(t) >= 5),
+      |df AS (SELECT gram, count(*) AS c FROM g GROUP BY gram)
+      |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |  ROUND(AVG(CASE WHEN df.c > 2 THEN 1.0 ELSE 0.0 END), 6)
+      |    AS boilerplate_frac
+      |FROM g JOIN df USING (gram)
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 }

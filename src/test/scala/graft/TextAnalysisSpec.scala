@@ -182,4 +182,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byId(2L)._4 === "server at [IP] is fine; mail [EMAIL]")
     assert(byId(3L) === ((0L, 0L, 0L, "nothing sensitive here at all")))
   }
+
+  test("boilerplate frac: cross-doc template grams flagged, unique text scores 0") {
+    val template = "click here to subscribe now" // 5-token boilerplate
+    val docs = Seq(
+      (1L, s"$template and read about mountain hiking trails today"),
+      (2L, s"$template and learn piano scales with daily practice"),
+      (3L, s"$template plus entirely different cooking recipe content"),
+      (4L, "a fully original document about deep sea creatures and biology"),
+      (5L, "too few words"), // < 5 tokens → no grams → absent from output
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplateFracOf(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!got.contains(5L), "sub-n doc must have no gram rows")
+    assert(got(4L) === 0.0, "unique doc must score 0")
+    // the template 5-gram appears in 3 docs (> maxDf 2) → positive frac
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(got(id) > 0.0 && got(id) < 1.0, s"doc $id: ${got(id)}")
+    }
+  }
 }
