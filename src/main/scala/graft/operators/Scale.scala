@@ -326,9 +326,20 @@ object Scale {
     * success only the FINAL pin (the returned frame's backing files)
     * remains, and the caller owns deleting `checkpointDir` after
     * consuming the result; on failure the whole run directory is
-    * removed. */
+    * removed.
+    *
+    * Small-graph fast path: when the edge list fits `maxDriverEdges`
+    * (known from one count over the pinned edges), the components are
+    * resolved with a driver-side union-find instead of iterative jobs —
+    * near-dup graphs are usually tiny relative to their corpus (dup
+    * PAIRS are rare even when docs are many), and each distributed
+    * round costs 2-3 jobs of fixed overhead. The driver materialization
+    * is O(maxDriverEdges) longs — the same bounded-footprint class as a
+    * broadcast join side. Results are identical (min-id labels); set
+    * `maxDriverEdges = 0` to force the iterative path. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      maxDriverEdges: Long = 1000000L): DataFrame = {
     val spark = edges.sparkSession
     val runDir = checkpointDir.map(d =>
       s"${d.stripSuffix("/")}/cc-${java.util.UUID.randomUUID()}")
@@ -351,6 +362,32 @@ object Scale {
     val (sym, symDir) = pin( // edge derivation (e.g. an LSH join) runs ONCE
       edges.select(col("id1").as("src"), col("id2").as("dst"))
         .unionByName(edges.select(col("id2").as("src"), col("id1").as("dst"))))
+    // small-graph fast path: union-find on the driver (sym is pinned, so
+    // the count and collect read blocks/files, not the edge lineage)
+    if (maxDriverEdges > 0 && sym.count() / 2 <= maxDriverEdges) {
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      sym.collect().foreach { e =>
+        val (a, b) = (e.getLong(0), e.getLong(1))
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN id: the surviving root is the component minimum,
+        // matching the iterative path's min-label fixpoint exactly
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val out = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+        .toDF("id", "comp")
+      runDir.foreach(rm) // driver result needs no pins
+      return out
+    }
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .persist()

@@ -163,6 +163,11 @@ class ScaleSpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) === 1L))
     assert(Seq(10L, 11L, 12L).forall(comp(_) === 10L))
     assert(Seq(20L, 21L).forall(comp(_) === 20L))
+    // the driver union-find fast path (default) and the iterative
+    // distributed path (forced via maxDriverEdges = 0) must agree
+    val dist = Scale.connectedComponents(edges, maxDriverEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === comp, "driver fast path diverged from iterative CC")
     // the case pairwise keep-min gets wrong: edges (B,C),(A,C) —
     // components must put A, B, C in ONE cluster labeled A
     val tri = Seq((2L, 3L), (1L, 3L)).toDF("id1", "id2")
@@ -180,9 +185,13 @@ class ScaleSpec extends SparkSpec {
     // and the final pin run through the reliable path
     val edges = ((1L to 6L).map(i => (i, i + 1)) ++ Seq((10L, 11L)))
       .toDF("id1", "id2")
-    val local = Scale.connectedComponents(edges).collect()
+    // maxDriverEdges = 0 forces the iterative path — the durability
+    // machinery under test only runs there (the driver fast path holds
+    // everything in one process and needs no pins)
+    val local = Scale.connectedComponents(edges, maxDriverEdges = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val reliable = Scale.connectedComponents(edges, checkpointDir = Some(dir))
+    val reliable = Scale.connectedComponents(edges,
+        checkpointDir = Some(dir), maxDriverEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(reliable === local)
     assert((1L to 7L).forall(reliable(_) === 1L))
@@ -203,8 +212,8 @@ class ScaleSpec extends SparkSpec {
     assert(pinDirs.size === 1,
       s"superseded pins not cleaned up: ${pinDirs.map(_.getFileName)}")
     // the surviving pin still backs the returned frame (re-collect works)
-    assert(Scale.connectedComponents(edges, checkpointDir = Some(dir))
-      .count() === 9)
+    assert(Scale.connectedComponents(edges, checkpointDir = Some(dir),
+      maxDriverEdges = 0L).count() === 9)
   }
 
   test("bloom prefilter join: identical to plain join, prunes pre-shuffle") {
