@@ -357,16 +357,23 @@ object Curation {
     * is the standard two-pass prefix sum instead; result is identical
     * to the naive window at any bucket count and any partitioning. */
   def packSequences(docs: DataFrame, seqLen: Int = 2048,
-      buckets: Int = 1024): DataFrame = {
+      buckets: Int = 1024): DataFrame =
+    packFromCounts(docs.select(col("doc_id"),
+      size(TextAnalysis.tokens()).cast("long").as("n_tokens")),
+      seqLen, keep = Nil, buckets = buckets)
+
+  /** The packing kernel over a precomputed (doc_id, n_tokens[, keep…])
+    * frame — ONE definition shared by [[packSequences]] and
+    * [[pipelineTrainMix]] so the two packers cannot drift. */
+  private def packFromCounts(counts: DataFrame, seqLen: Int,
+      keep: Seq[String], buckets: Int = 1024): DataFrame = {
     require(seqLen >= 1)
-    val toks = docs.select(col("doc_id"),
-      size(TextAnalysis.tokens()).cast("long").as("n_tokens"))
-    Scale.stratifiedPrefixSum(toks.withColumn("__s", lit("all")), "__s",
+    Scale.stratifiedPrefixSum(counts.withColumn("__s", lit("all")), "__s",
         "doc_id", "n_tokens", "__ca", buckets)
       .withColumn("__cb", col("__ca") - col("n_tokens"))
-      .select(col("doc_id"), col("n_tokens"),
+      .select(Seq(col("doc_id")) ++ keep.map(col) ++ Seq(col("n_tokens"),
         expr(s"__cb div $seqLen").as("seq_id"),
-        expr(s"__cb % $seqLen").as("seq_offset"))
+        expr(s"__cb % $seqLen").as("seq_offset")): _*)
       .orderBy(col("doc_id"))
   }
 
@@ -446,14 +453,17 @@ object Curation {
   /** The END-TO-END training-data flow, composed from the verified
     * stages: quality + language gates and exact dedup (C6a) →
     * benchmark decontamination (C12) → per-source token budgets (C14)
-    * → sequence packing (C13). One declarative plan: Catalyst fuses
-    * the gate predicates under the scan, the dedup groupBy and the
-    * mix/pack prefix sums are the only wide operations, and the
-    * decontamination stage stays a broadcast semi-join — this is the
-    * plan shape a real "web dump → training shards" job runs at
-    * 100 TB. Docs with doc_id ≡ 0 (mod 10) play the held-out
-    * benchmark; packing reuses the token counts the mix stage already
-    * carries instead of re-tokenizing. */
+    * → sequence packing (C13). Executes as THREE pinned stage plans,
+    * not one: within each stage Catalyst fuses the gates under the
+    * scan, keeps the dedup groupBy / prefix sums as the only wide
+    * operations, and plans the decontamination as a broadcast
+    * semi-join — but the stage boundaries are eager localCheckpoints,
+    * because the mix and pack stages each probe eagerly AND re-read
+    * lazily (without pins the curation lineage would execute ~4×;
+    * construction therefore runs the first stages eagerly). Docs with
+    * doc_id ≡ 0 (mod 10) play the held-out benchmark; packing reuses
+    * the token counts the mix stage already carries instead of
+    * re-tokenizing. */
   def pipelineTrainMix(spark: SparkSession, sfDir: String,
       seqLen: Int = 2048): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
@@ -471,13 +481,7 @@ object Curation {
     val clean = decontaminate(curatedDocs, bench).localCheckpoint(true)
     val mixed = mixSample(clean, "source", Map("src1" -> 500L),
       defaultBudget = 800L).localCheckpoint(true)
-    Scale.stratifiedPrefixSum(mixed.withColumn("__s", lit("all")), "__s",
-        "doc_id", "n_tokens", "__ca")
-      .withColumn("__cb", col("__ca") - col("n_tokens"))
-      .select(col("doc_id"), col("source"), col("n_tokens"),
-        expr(s"__cb div $seqLen").as("seq_id"),
-        expr(s"__cb % $seqLen").as("seq_offset"))
-      .orderBy(col("doc_id"))
+    packFromCounts(mixed, seqLen, keep = Seq("source"))
   }
 
   val pipelineTrainMixSql: String =

@@ -333,13 +333,16 @@ object Scale {
     * resolved with a driver-side union-find instead of iterative jobs —
     * near-dup graphs are usually tiny relative to their corpus (dup
     * PAIRS are rare even when docs are many), and each distributed
-    * round costs 2-3 jobs of fixed overhead. The driver materialization
-    * is O(maxDriverEdges) longs — the same bounded-footprint class as a
-    * broadcast join side. Results are identical (min-id labels); set
-    * `maxDriverEdges = 0` to force the iterative path. */
+    * round costs 2-3 jobs of fixed overhead. Only ONE direction of the
+    * symmetric frame is collected, and the result rides as a ≤2·edges-
+    * row local relation in downstream plans — the default threshold is
+    * sized so both stay comfortably inside a default 1g driver (row
+    * objects are boxed: budget ~100 B per collected edge, not 16).
+    * Results are identical (min-id labels); set `maxDriverEdges = 0`
+    * to force the iterative path. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
       checkpointDir: Option[String] = None,
-      maxDriverEdges: Long = 1000000L): DataFrame = {
+      maxDriverEdges: Long = 250000L): DataFrame = {
     val spark = edges.sparkSession
     val runDir = checkpointDir.map(d =>
       s"${d.stripSuffix("/")}/cc-${java.util.UUID.randomUUID()}")
@@ -374,7 +377,9 @@ object Scale {
         while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      sym.collect().foreach { e =>
+      // one direction suffices for union-find — halve the collect
+      // (<=, not <: a self-loop-only node must still get a label)
+      sym.filter(col("src") <= col("dst")).collect().foreach { e =>
         val (a, b) = (e.getLong(0), e.getLong(1))
         parent.getOrElseUpdate(a, a)
         parent.getOrElseUpdate(b, b)

@@ -366,15 +366,20 @@ object TextAnalysis {
     * dedup family's hashed shingles ([[Dedup.gramSet]] — shared with
     * decontamination, so "gram" means the same thing corpus-wide).
     *
-    * Scale shape: the inverted-index pattern again — one exchange on
-    * the gram hash for document frequencies (map-side partial count),
-    * one join back (AQE broadcasts the common-gram set when small —
-    * by construction it holds only grams with df > maxDf), one doc-id
+    * Scale shape: the inverted-index pattern — the gram stage is
+    * pinned with an eager localCheckpoint because BOTH the df
+    * aggregate (build side) and the probe side of the join read it,
+    * and the subtrees differ so Catalyst cannot share an exchange:
+    * without the pin the corpus would be scanned, tokenized, and
+    * shingled twice (the dominant cost at 100 TB). From the pin: one
+    * exchange on the gram hash for document frequencies (map-side
+    * partial count), one join back (AQE broadcasts the common-gram
+    * set — by construction only grams with df > maxDf), one id
     * aggregate. Docs shorter than `n` tokens have no grams and are
     * absent from the output. */
   def boilerplateFracOf(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5, maxDf: Int = 2): DataFrame = {
-    val grams = Dedup.gramSet(docs, idCol, textCol, n)
+    val grams = Dedup.gramSet(docs, idCol, textCol, n).localCheckpoint(true)
     val common = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("g"), lit(1).as("hit"))
     grams.join(common, Seq("g"), "left_outer")
@@ -382,8 +387,8 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("long").as("n_grams"),
         round(avg(when(col("hit").isNotNull, 1.0).otherwise(0.0)), 6)
           .as("boilerplate_frac"))
-      .select(col("id").as("doc_id"), col("n_grams"), col("boilerplate_frac"))
-      .orderBy(col("doc_id"))
+      .select(col("id").as(idCol), col("n_grams"), col("boilerplate_frac"))
+      .orderBy(col(idCol))
   }
 
   def boilerplateFrac(spark: SparkSession, sfDir: String, n: Int = 5,

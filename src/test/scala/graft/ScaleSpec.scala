@@ -214,6 +214,16 @@ class ScaleSpec extends SparkSpec {
     // the surviving pin still backs the returned frame (re-collect works)
     assert(Scale.connectedComponents(edges, checkpointDir = Some(dir),
       maxDriverEdges = 0L).count() === 9)
+    // default config real callers hit: FAST path + checkpointDir — the
+    // edge pin is written, read back for the collect, and the whole run
+    // dir is removed again (driver result needs no pins)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-cc-fast").toString
+    val fast = Scale.connectedComponents(edges, checkpointDir = Some(dir2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === local, "fast path with checkpointDir diverged")
+    val leftover = java.nio.file.Files.list(java.nio.file.Paths.get(dir2))
+    try assert(!leftover.iterator().hasNext,
+      "fast path left pin data behind") finally leftover.close()
   }
 
   test("bloom prefilter join: identical to plain join, prunes pre-shuffle") {
