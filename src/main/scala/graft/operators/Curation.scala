@@ -341,6 +341,44 @@ object Curation {
       |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)
       |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------------------------------- C16
+  /** Ingest-time DECONTAMINATION — the streaming twin of
+    * [[decontaminate]], built on a stream-STATIC join: the benchmark
+    * gram set is a static frame (eval sets change rarely; restart the
+    * query with a new static side to rotate benchmarks), so each
+    * micro-batch's grams probe it as a broadcast map-side lookup with
+    * ZERO join state — the only streaming state is the windowed
+    * per-doc consolidation, bounded by the watermark. Grams are the
+    * shared [[Dedup.gramSet]] hash shingles (batch and stream cannot
+    * disagree about what "contaminated" means); the payload rides only
+    * gram row 0 (the [[nearDedupStream]] thinning trick) so the
+    * explode never multiplies the text bytes through the shuffle. Docs
+    * shorter than `n` tokens emit one null-gram row — null never
+    * equals, so they survive, carrying their payload. */
+  def decontaminateStream(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 13,
+      horizon: java.time.Duration = java.time.Duration.ofMinutes(10)): DataFrame = {
+    require(n >= 1)
+    val benchGrams = Dedup.gramSet(benchmark, "doc_id", "text", n)
+      .select(col("g")).distinct().withColumn("hit", lit(1))
+    val exploded = docs
+      .withWatermark("ts", s"${horizon.toSeconds} seconds")
+      .withColumn("toks", TextAnalysis.tokens("text"))
+      .select(col("doc_id"), col("ts"), col("text"), col("source"),
+        posexplode(when(size(col("toks")) >= n,
+            graft.functions.TextFunctions.shingleHashes(col("toks"), n))
+          .otherwise(array(lit(null).cast("long")))).as(Seq("i", "g")))
+      .select(col("doc_id"), col("ts"), col("g"),
+        when(col("i") === 0, col("text")).as("text"),
+        when(col("i") === 0, col("source")).as("source"))
+    exploded.join(broadcast(benchGrams), Seq("g"), "left_outer")
+      .groupBy(window(col("ts"), "60 seconds"), col("doc_id"))
+      .agg(max(col("hit")).as("hit"), min(col("ts")).as("ts"),
+        max(col("text")).as("text"), max(col("source")).as("source"))
+      .filter(col("hit").isNull)
+      .select(col("doc_id"), col("ts"), col("source"), col("text"))
+  }
+
   // ------------------------------------------------------------- C13
   /** SEQUENCE PACKING — assign every doc its (sequence, offset) slot in
     * the concatenate-and-cut-every-`seqLen`-tokens layout LM training

@@ -152,6 +152,46 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("streaming decontamination: stream-static gram probe drops the leaked doc") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.StreamDoc
+    val leak = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike" // 13 tokens, verbatim in the benchmark
+    val bench = Seq((100L, s"$leak november oscar papa quebec"))
+      .toDF("doc_id", "text")
+    def at(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val input = MemoryStream[StreamDoc](202, spark, None)
+    val q = Curation.decontaminateStream(input.toDF(), bench)
+      .writeStream.format("memory").queryName("decontam_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        StreamDoc(1L, at(10, 1),
+          s"some leading words then $leak and some trailing words here", "en", "s"),
+        StreamDoc(2L, at(10, 2), "a completely different clean document " +
+          "about gardening with roses tulips daisies and ferns", "en", "s"),
+        // 12-token prefix of the benchmark: no 13-gram exists → survives
+        StreamDoc(3L, at(10, 3),
+          "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima",
+          "en", "s"),
+      ))
+      q.processAllAvailable()
+      // watermark pushers so the 10:0x windows emit
+      input.addData(Seq(StreamDoc(90L, at(11, 0),
+        "harmless watermark pusher text with many plain words", "en", "s")))
+      q.processAllAvailable()
+      input.addData(Seq(StreamDoc(91L, at(11, 30),
+        "second watermark pusher with more ordinary words", "en", "s")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("decontam_stream").collect()
+    assert(rows.map(_.getLong(0)).toSet === Set(2L, 3L, 90L),
+      s"expected only the leaked doc dropped, got ${rows.map(_.getLong(0)).toSet}")
+    // payload consolidation kept the single non-null text copy
+    assert(rows.forall(r => r.getString(3) != null && r.getString(2) == "s"))
+  }
+
   test("curate v2: repetition gate rejects loops, survivors leave scrubbed") {
     val good = "the quick brown fox jumps over one lazy dog while birds sing " +
       "in tall trees near rivers flowing gently toward distant blue seas today"
