@@ -69,6 +69,7 @@ object SparkEntry {
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
     // D: similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.annBruteTopK(s, d)),
+    "ann_brute_int8" -> ((s: SparkSession, d: String) => Similarity.annBruteInt8(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "knn_join" -> ((s: SparkSession, d: String) => Similarity.knnJoin(s, d)),

@@ -136,6 +136,40 @@ class SimilaritySpec extends SparkSpec {
       s"appended twin not query 0's top-1: $top0")
   }
 
+  test("int8 ANN: self-similarity ~1, small per-pair error, high recall vs exact") {
+    import graft.functions.VectorFunctions
+    val e = Tables.embeddings(spark, sf).limit(50)
+    // per-pair error bound: quantized cosine within 5% of exact, and a
+    // vector against itself scores ~1 (dequantized norms make the
+    // numerator and denominator consistent)
+    val scored = e.select($"vec_id", $"embedding",
+        VectorFunctions.quantize8($"embedding").as("q8"))
+      .crossJoin(e.select($"vec_id".as("id2"), $"embedding".as("e2"),
+        VectorFunctions.quantize8($"embedding").as("p8")).limit(10))
+      .select($"vec_id", $"id2",
+        VectorFunctions.cosineSim($"embedding", $"e2").as("exact"),
+        VectorFunctions.int8CosineSim($"q8", $"p8").as("approx"))
+      .collect()
+    scored.foreach { r =>
+      val (ex, ap) = (r.getDouble(2), r.getDouble(3))
+      assert(math.abs(ex - ap) < 0.05,
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}): exact $ex vs int8 $ap")
+      if (r.getLong(0) == r.getLong(1))
+        assert(math.abs(ap - 1.0) < 0.01, s"self-sim drifted: $ap")
+    }
+    // recall@k of the full quantized search vs the exact baseline
+    val exact = Similarity.annBruteTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val int8 = Similarity.annBruteInt8(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (int8 & exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"int8 recall only $recall")
+    // deterministic across runs
+    val again = Similarity.annBruteInt8(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again === int8)
+  }
+
   test("knn join: neighbors stay within the query's label block") {
     val labels = Tables.embeddings(spark, sf)
       .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
