@@ -67,6 +67,7 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
+    "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.dedupSemantic(s, d)),
     // D: similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.annBruteTopK(s, d)),
     "ann_brute_int8" -> ((s: SparkSession, d: String) => Similarity.annBruteInt8(s, d)),
@@ -89,6 +90,7 @@ object SparkEntry {
     "decontaminate" -> (Curation.decontamQuery _),
     "pack_sequences" -> (Curation.packSequencesQuery _),
     "mix_sample" -> (Curation.mixSampleQuery _),
+    "quality_rank_cut" -> (Curation.qualityRankCutQuery _),
     "pipeline_train_mix" -> ((s: SparkSession, d: String) =>
       Curation.pipelineTrainMix(s, d)),
     // E: text analysis
@@ -162,6 +164,7 @@ object SparkEntry {
     "decontaminate" -> Curation.decontamSql,
     "pack_sequences" -> Curation.packSequencesSql,
     "mix_sample" -> Curation.mixSampleSql,
+    "quality_rank_cut" -> Curation.qualityRankCutSql,
     "pipeline_train_mix" -> Curation.pipelineTrainMixSql,
     "boilerplate_frac" -> TextAnalysis.boilerplateFracSql,
     "pipeline_curate_v2" -> Curation.pipelineCurateV2Sql,

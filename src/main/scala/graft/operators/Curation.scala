@@ -570,6 +570,76 @@ object Curation {
       |  CAST(cb % 2048 AS BIGINT) AS seq_offset
       |FROM packed ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- C18
+  /** PER-SOURCE QUALITY RANK CUT — keep each source's top `num/den`
+    * fraction of docs by score (floor(num·n/den) ranks, ordered score
+    * DESC then doc_id for determinism). This is the relative-threshold
+    * curation gate: absolute score gates (C6a's `n_tokens >= 10`)
+    * over-prune low-resource sources and under-prune spammy ones; the
+    * rank cut keeps the best X% of EVERY source. Score here is the
+    * shared word tokenizer's count — a pure integer, so the keep
+    * predicate (`rank·den <= n·num`) is integer-exact on both engines;
+    * `CEIL(0.8·n)` would hash-diverge (0.8 has no exact binary form —
+    * DuckDB and the JVM can round the product differently at tie
+    * points).
+    *
+    * Scale shape: ranks come from [[Scale.stratifiedPrefixSum]] over a
+    * composite order key, NOT `row_number() over (partition by source
+    * order by …)` — the naive window gives every source ONE task, so a
+    * dominant source serializes exactly like C13/C14's motivating
+    * case. The key packs (score DESC, doc_id ASC) into one long:
+    * (maxScore − score)·2⁴⁰ + doc_id, with the packing's headroom
+    * (score span < 2²², doc_id < 2⁴⁰ ≈ 10¹² docs, non-negative)
+    * checked eagerly against the corpus' own min/max — refuse loudly,
+    * never wrap silently (ANSI mode would throw mid-job anyway). The
+    * per-source totals are a tiny count-by-source broadcast. */
+  def qualityRankCut(docs: DataFrame, num: Int = 4, den: Int = 5,
+      buckets: Int = 1024): DataFrame = {
+    require(num >= 0 && den >= 1 && num <= den,
+      s"keep fraction $num/$den must be within [0, 1]")
+    val scored = docs.select(col("doc_id"), col("source"),
+      size(TextAnalysis.tokens()).cast("long").as("score"))
+    val r = scored.agg(max(col("score")), min(col("score")),
+      min(col("doc_id")), max(col("doc_id"))).head()
+    if (r.isNullAt(0)) return scored.limit(0)
+    val (maxScore, minScore) = (r.getLong(0), r.getLong(1))
+    val (minId, maxId) = (r.getLong(2), r.getLong(3))
+    // the doc_id bound is a COLLISION guard, not just overflow: an id
+    // ≥ 2^40 would alias into the next score's key range and rank
+    // silently wrong, so refuse it even though ANSI wouldn't throw
+    require(maxScore - minScore < (1L << 22) && minId >= 0 && maxId < (1L << 40),
+      s"qualityRankCut key packing needs score span < 2^22 and doc_id in " +
+        s"[0, 2^40); got span ${maxScore - minScore}, ids [$minId, $maxId]")
+    val keyed = scored.withColumn("__ord",
+      (lit(maxScore) - col("score")) * lit(1L << 40) + col("doc_id"))
+    val totals = scored.groupBy("source").agg(count(lit(1)).as("__n"))
+    Scale.stratifiedPrefixSum(keyed.withColumn("__one", lit(1L)),
+        "source", "__ord", "__one", "__rnk", buckets)
+      .join(broadcast(totals), "source")
+      .filter(col("__rnk") * den <= col("__n") * num)
+      .select(col("doc_id"), col("source"), col("score"))
+      .orderBy(col("source"), col("score").desc, col("doc_id"))
+  }
+
+  def qualityRankCutQuery(spark: SparkSession, sfDir: String): DataFrame =
+    qualityRankCut(Tables.documents(spark, sfDir))
+
+  val qualityRankCutSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+      |      AS score
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, score,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY score DESC, doc_id) AS rnk,
+      |    COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM t)
+      |SELECT doc_id, source, score FROM r
+      |WHERE rnk * 5 <= n * 4
+      |ORDER BY source, score DESC, doc_id""".stripMargin
+
   val pipelineCurateSql: String =
     """WITH gated AS (
       |  SELECT doc_id, source, text,

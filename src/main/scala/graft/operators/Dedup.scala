@@ -487,4 +487,51 @@ object Dedup {
       |FROM embeddings a, embeddings b
       |WHERE a.label = b.label AND a.vec_id < b.vec_id
       |ORDER BY cos DESC, id1, id2 LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- C17
+  /** SEMANTIC dedup (SemDeDup-style, Abbas et al. 2023): cluster the
+    * embedding corpus with the SAME coarse k-means quantizer IVF search
+    * uses ([[Similarity.corpusCentroids]] — train on a bounded sample,
+    * assign via one codegen'd map pass), generate candidate pairs ONLY
+    * within a cluster, keep pairs with cosine ≥ `threshold`, and
+    * resolve transitive duplicate groups to one representative via
+    * [[Scale.connectedComponents]] (min vec_id — pairwise keep-min
+    * under-deletes on chains, see C6b).
+    *
+    * Scale shape: the quadratic step is bounded twice — pairs never
+    * cross cells (the published algorithm's recall trade: √n cells keep
+    * cell population ~√n as the corpus grows), and within a cell
+    * [[Scale.boundedSelfPairs]] caps every task at ~targetSubRows²
+    * scores. The component graph holds only above-threshold pairs
+    * (rare by construction), so resolution is the small-graph
+    * union-find or 2-4 flat-lineage rounds. Pass `checkpointDir` on
+    * preemptible clusters (see connectedComponents' durability note).
+    *
+    * Output: every corpus vector with its cell, its semantic-cluster
+    * representative (`rep_id` = min vec_id of its component, itself
+    * when unique), and the drop verdict a curation sweep would act on.
+    * Rows-only: cell geometry is implementation-defined (k-means), so
+    * there is no SQL oracle; the spec pins transitive-cluster
+    * resolution on a planted corpus and determinism on the real one.
+    * The default threshold is tuned DOWN to the synthetic corpus (max
+    * pairwise cosine ≈ 0.5 — see the cross-SF sweep note in SURVEY §8);
+    * production SemDeDup on real embeddings runs at ~0.95+. */
+  def dedupSemantic(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.4, nCells: Int = 0,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val centroids = Similarity.corpusCentroids(spark, sfDir, nCells)
+    val cells = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding",
+      VectorFunctions.nearestCentroid($"embedding", centroids).as("cell"))
+    val edges = Scale.boundedSelfPairs(cells, Seq("cell"), "vec_id", Seq("embedding"))
+      .filter(round(VectorFunctions.cosineSim($"embedding_1", $"embedding_2"), 6)
+        >= threshold)
+      .select($"id1", $"id2")
+    val comps = Scale.connectedComponents(edges, checkpointDir = checkpointDir)
+    cells.select($"vec_id", $"cell")
+      .join(comps.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select($"vec_id", $"cell", coalesce($"comp", $"vec_id").as("rep_id"))
+      .withColumn("is_dup", $"rep_id" =!= $"vec_id")
+      .orderBy($"vec_id")
+  }
 }

@@ -207,16 +207,10 @@ object Similarity {
       k: Int = AnnK, maxTrain: Int = 100000, nProbe: Int = 2): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
-    val cellCount =
-      if (nCells > 0) nCells
-      else {
-        val n = Tables.cachedCount(spark, s"$sfDir/embeddings.parquet")
-        math.max(8, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
-      }
     // Deterministic ~25% sample (partition-invariant: keyed on vec_id,
     // not row position), hard-capped so the driver-coordinated fit is
     // O(maxTrain) whatever the corpus size.
-    val centroids = cachedCentroids(e, sfDir, cellCount, maxTrain)
+    val centroids = corpusCentroids(spark, sfDir, nCells, maxTrain)
     val cells = e.select($"vec_id", $"embedding",
       VectorFunctions.nearestCentroid($"embedding", centroids).as("cell"))
     // Multi-probe: rank ALL centroids per query by L2 distance and keep
@@ -253,6 +247,24 @@ object Similarity {
     * change results, only remove the per-invocation k-means cost. */
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long, Int, Int), Array[Array[Double]]]
+
+  /** The corpus's coarse quantizer: auto-sized (√n, clamped [8, 4096])
+    * when `nCells` = 0, trained-or-cached via [[cachedCentroids]]. ONE
+    * definition of the sizing rule shared by [[annIvf]],
+    * [[writeIvfIndex]] and [[graft.operators.Dedup.dedupSemantic]] so
+    * the in-memory search, the persisted index, and semantic dedup
+    * cannot disagree on cell geometry for the same corpus. */
+  private[operators] def corpusCentroids(spark: SparkSession, sfDir: String,
+      nCells: Int = 0, maxTrain: Int = 100000): Array[Array[Double]] = {
+    val e = Tables.embeddings(spark, sfDir)
+    val cellCount =
+      if (nCells > 0) nCells
+      else {
+        val n = Tables.cachedCount(spark, s"$sfDir/embeddings.parquet")
+        math.max(8, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+      }
+    cachedCentroids(e, sfDir, cellCount, maxTrain)
+  }
 
   /** Key includes the corpus path's mtime, so a regenerated corpus in
     * the same JVM retrains instead of serving stale centroids. Entries
@@ -292,13 +304,7 @@ object Similarity {
       nCells: Int = 0, maxTrain: Int = 100000): Unit = {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
-    val cellCount =
-      if (nCells > 0) nCells
-      else {
-        val n = Tables.cachedCount(spark, s"$sfDir/embeddings.parquet")
-        math.max(8, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
-      }
-    val centroids = cachedCentroids(e, sfDir, cellCount, maxTrain)
+    val centroids = corpusCentroids(spark, sfDir, nCells, maxTrain)
     // batch=base/cell=<c> layout: later [[appendToIvfIndex]] batches land
     // beside the base in their own batch= partitions; cell pruning works
     // identically at the second partition level

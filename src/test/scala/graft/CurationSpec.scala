@@ -336,6 +336,33 @@ class CurationSpec extends SparkSpec {
       cum += n
     }
   }
+
+  test("quality_rank_cut: keeps exactly the top floor(num*n/den) per source") {
+    // token counts: a → 5,4,3,2,1; b → ties at the 4/7 boundary so the
+    // doc_id tiebreak is what decides who survives
+    def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(5), "a"), (2L, words(4), "a"), (3L, words(3), "a"),
+      (4L, words(2), "a"), (5L, words(1), "a"),
+      (10L, words(9), "b"), (11L, words(3), "b"), (12L, words(3), "b"),
+      (13L, words(3), "b"), (14L, words(3), "b"), (15L, words(3), "b"),
+      (16L, words(2), "b"),
+    ).toDF("doc_id", "text", "source")
+    val kept = Curation.qualityRankCut(docs, num = 4, den = 5, buckets = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // a: n=5 → keep 4 (drop the 1-token doc). b: n=7 → keep 5: doc 10
+    // (score 9) then the four LOWEST doc_ids among the five tied at 3.
+    assert(kept.map(_._1).toSet === Set(1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L, 14L),
+      s"wrong survivor set: ${kept.toSeq}")
+    // matches the naive per-source window rank on the same data, and is
+    // invariant to input partitioning (the prefix-sum contract)
+    val reran = Curation.qualityRankCut(docs.repartition(7), num = 4, den = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(reran.toSeq === kept.toSeq, "partitioning changed the cut")
+    // degenerate fractions: keep-nothing and keep-everything
+    assert(Curation.qualityRankCut(docs, num = 0, den = 1).count() === 0L)
+    assert(Curation.qualityRankCut(docs, num = 1, den = 1).count() === 12L)
+  }
 }
 
 /** Top-level so spark.implicits can derive its Encoder. */

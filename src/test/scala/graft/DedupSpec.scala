@@ -167,4 +167,55 @@ class DedupSpec extends SparkSpec {
       assert(e(r.getLong(0)) === e(r.getLong(1)))
     }
   }
+
+  test("semantic dedup: transitive cluster collapses to one rep, distinct stay") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdedup").toString
+    def onArc(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat) ++ Array.fill(6)(0f)
+    }
+    // Trio 0-1-2 is a CHAIN: cos(0°,18°) = cos(18°,36°) ≈ 0.951 ≥ 0.95
+    // but cos(0°,36°) ≈ 0.809 < 0.95 — only connected components (not
+    // pairwise keep-min) resolve all three to rep 0. Vectors 3/4 sit on
+    // the same arc but past the threshold from everyone; ids 10-39 are
+    // an opposite-facing 3°-spaced fan forming one long chain. nCells=1
+    // runs the full quantizer machinery while keeping cell assignment
+    // out of the assertions — where cells land is k-means' recall
+    // trade, pinned on the real corpus by the driver-query test below,
+    // not something a 35-vector fixture should depend on.
+    val arc = Seq(0L -> 0.0, 1L -> 18.0, 2L -> 36.0, 3L -> 60.0, 4L -> 85.0)
+      .map { case (id, deg) => (id, onArc(deg), 0) }
+    val blob2 = (10L to 39L).map { id =>
+      (id, onArc(180.0 + 3.0 * (id - 10)), 1)
+    }
+    (arc ++ blob2).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Dedup.dedupSemantic(spark, dir, threshold = 0.95, nCells = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(out.length === 35, s"one row per corpus vector, got ${out.length}")
+    val rep = out.map(t => (t._1, t._2)).toMap
+    assert(rep(0L) === 0L && rep(1L) === 0L && rep(2L) === 0L,
+      s"chain 0-1-2 should collapse to rep 0: ${out.filter(_._1 < 3).toSeq}")
+    assert(out.filter(t => t._1 < 3 && t._1 > 0).forall(_._3),
+      "chain members 1,2 must be flagged is_dup")
+    assert(rep(3L) === 3L && rep(4L) === 4L,
+      s"below-threshold arc vectors must survive: ${out.filter(_._1 < 5).toSeq}")
+    // opposite blob: 3°-spaced fan, adjacent cos ≈ 0.9986 ≥ 0.95 — one
+    // transitive component labeled by its minimum id
+    assert((10L to 39L).forall(rep(_) === 10L),
+      "blob2 fan should form one transitive component with rep 10")
+    // deterministic end to end (fixed-seed quantizer, exact kernels)
+    val again = Dedup.dedupSemantic(spark, dir, threshold = 0.95, nCells = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(again.toSeq === out.toSeq)
+  }
+
+  test("dedup_semantic driver query: full corpus labeled, deterministic") {
+    val out = Dedup.dedupSemantic(spark, sf).collect()
+    assert(out.length.toLong === Tables.embeddings(spark, sf).count())
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(0), "rep must be the component minimum")
+      assert(r.getBoolean(3) === (r.getLong(2) != r.getLong(0)))
+    }
+  }
 }
