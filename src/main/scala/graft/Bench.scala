@@ -26,6 +26,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Slot hygiene: a previous query's construction can leave orphaned
+      // localCheckpoint blocks pinned until their RDDs are GC-collected
+      // (ContextCleaner releases them on reference collection). A GC +
+      // short settle between slots releases that storage so its
+      // block-manager pressure and GC pauses don't land in THIS query's
+      // timed passes — observed: q1 timed 2.7× slower when it ran right
+      // after the pipeline_* block's pins.
+      System.gc()
+      Thread.sleep(300)
       def once(): Unit = fn(spark, sfDir).count()
       try once() catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")

@@ -51,6 +51,17 @@ object Tables {
     } catch { case _: java.io.FileNotFoundException => 0L }
   }
 
+  /** Release the storage blocks behind an eagerly `localCheckpoint`'ed
+    * DataFrame. Checkpoint blocks otherwise live until the RDD is
+    * garbage-collected — a cache that replaces a pinned frame (corpus
+    * regenerated in-JVM, superseded pipeline stage) must free the old
+    * blocks explicitly or executor storage grows by one corpus copy per
+    * version. The checkpointed RDD sits in the plan's LogicalRDD leaf. */
+  def unpinCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 

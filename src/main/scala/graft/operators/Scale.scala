@@ -241,10 +241,18 @@ object Scale {
     import spark.implicits._
     val r = df.agg(min(col(orderCol)).cast("long"),
       max(col(orderCol)).cast("long"),
-      count(when(col(orderCol).isNull, lit(1)))).head()
+      count(when(col(orderCol).isNull, lit(1))),
+      count(when(col(stratumCol).isNull, lit(1)))).head()
     require(r.getLong(2) == 0L,
       s"stratifiedPrefixSum: $orderCol has ${r.getLong(2)} null keys — " +
         "null rows cannot be placed in the running order")
+    // same treatment for the stratum: the base join matches on the cast
+    // stratum value, and null never equals — a null-stratum row would
+    // VANISH from the output without this, silently shrinking
+    // mixSample/qualityRankCut/pipelineTrainMix results
+    require(r.getLong(3) == 0L,
+      s"stratifiedPrefixSum: $stratumCol has ${r.getLong(3)} null strata — " +
+        "null strata cannot join their bucket base; fill or filter them first")
     if (r.isNullAt(0)) // empty input: empty output, schema + cumCol
       return df.withColumn(cumCol, lit(0L)).limit(0)
     val (lo, hi) = (r.getLong(0), r.getLong(1))

@@ -92,17 +92,26 @@ object Similarity {
 
   def annBruteInt8(spark: SparkSession, sfDir: String, k: Int = AnnK): DataFrame = {
     import spark.implicits._
+    // Guard BEFORE quantizing: an oversized corpus must be rejected
+    // without paying (and caching) the full quantization pass.
+    val pairs = Tables.cachedCount(spark, s"$sfDir/embeddings.parquet") * QueryIdBound
+    require(pairs <= BruteForceMaxPairs,
+      s"brute-force ANN would score $pairs pairs (> $BruteForceMaxPairs); " +
+        "use annLsh or annIvf — the bucketed scale paths")
     val stamp = Tables.pathStamp(spark, s"$sfDir/embeddings.parquet")
+    // Evict quantized frames of superseded corpus versions (same dir,
+    // older stamp) and free their checkpoint blocks — a regenerated
+    // corpus inside one JVM must not leak a full pinned copy per
+    // version. Mirrors Tables.cachedCount's filterInPlace pattern.
+    quantizedCache.filterInPlace { case ((d, st), df) =>
+      d != sfDir || st == stamp || { Tables.unpinCheckpoint(df); false }
+    }
     val e = quantizedCache.getOrElseUpdate((sfDir, stamp),
       Tables.embeddings(spark, sfDir)
         .select($"vec_id", VectorFunctions.quantize8($"embedding").as("q8"))
         .localCheckpoint(true))
     val q = e.filter($"vec_id" < QueryIdBound)
       .select($"vec_id".as("query_id"), $"q8".as("qq8"))
-    val pairs = Tables.cachedCount(spark, s"$sfDir/embeddings.parquet") * QueryIdBound
-    require(pairs <= BruteForceMaxPairs,
-      s"brute-force ANN would score $pairs pairs (> $BruteForceMaxPairs); " +
-        "use annLsh or annIvf — the bucketed scale paths")
     rankTopK(e.crossJoin(broadcast(q))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
@@ -282,15 +291,25 @@ object Similarity {
     * (see [[annIvf]]), returning the centroid table. */
   private def trainCentroids(e: DataFrame, nCells: Int,
       maxTrain: Int): Array[Array[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val train = e
-      .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
-      .limit(maxTrain)
-      .select(array_to_vector(col("embedding")).as("fv"))
-    new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(train).clusterCenters.map(_.toArray)
+    // Single-cell fast path: one cell needs no training — NearestCentroid
+    // with a single candidate maps every vector to cell 0 regardless of
+    // the centroid value (and Spark ML's KMeans rejects k = 1). Lets
+    // tests exercise the full quantizer machinery while keeping cell
+    // geometry out of their assertions.
+    if (nCells == 1) {
+      val dim = e.select(size(col("embedding"))).head.getInt(0)
+      Array(Array.fill(dim)(0.0))
+    } else {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val train = e
+        .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+        .limit(maxTrain)
+        .select(array_to_vector(col("embedding")).as("fv"))
+      new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
+        .setFeaturesCol("fv").setPredictionCol("cell")
+        .fit(train).clusterCenters.map(_.toArray)
+    }
   }
 
   /** Build a PERSISTED IVF index: the corpus is written partitioned by

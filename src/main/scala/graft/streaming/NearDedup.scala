@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Ingest-time NEAR-dedup state — the streaming twin of the batch
   * SimHash sweep (`Dedup.simhashPairs`): a doc's 64-bit SimHash is
@@ -28,10 +28,14 @@ class NearDupProcessor(maxHamming: Int, horizonMs: Long, maxSigs: Int)
     extends StatefulProcessor[Long, ChunkDoc, ChunkVerdict] {
 
   @transient private var sigs: ListState[BucketSig] = _
+  @transient private var lastTimer: ValueState[Long] = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     sigs = getHandle.getListState[BucketSig](
       "sigs", Encoders.product[BucketSig], TTLConfig.NONE)
+    lastTimer = getHandle.getValueState[Long](
+      "lastTimer", Encoders.scalaLong, TTLConfig.NONE)
+  }
 
   override def handleInputRows(key: Long, rows: Iterator[ChunkDoc],
       timerValues: TimerValues): Iterator[ChunkVerdict] = {
@@ -59,7 +63,18 @@ class NearDupProcessor(maxHamming: Int, horizonMs: Long, maxSigs: Int)
     // timer. That invariant is what guarantees every bucket eventually
     // empties: without it the newest sig would survive its own timer
     // forever (tsMs == cutoff) with no follow-up timer pending.
-    getHandle.registerTimer(batch.last.ts.getTime + horizonMs + 1)
+    // ONE pending timer per bucket, tracked in state: re-registering
+    // every micro-batch would pile up a pending timer per batch across
+    // the horizon (extra timer-state rows + redundant firings on a hot
+    // bucket). Advance the single timer only when this batch pushes the
+    // bucket's newest signature forward — a batch of only-older events
+    // keeps the existing (later) timer, which already evicts its sigs.
+    val expiry = batch.last.ts.getTime + horizonMs + 1
+    if (!lastTimer.exists() || lastTimer.get() < expiry) {
+      if (lastTimer.exists()) getHandle.deleteTimer(lastTimer.get())
+      getHandle.registerTimer(expiry)
+      lastTimer.update(expiry)
+    }
     out.iterator
   }
 
@@ -71,7 +86,11 @@ class NearDupProcessor(maxHamming: Int, horizonMs: Long, maxSigs: Int)
     // itself, so a quiet bucket costs zero state, not one stale row)
     val cutoff = expiredTimerInfo.getExpiryTimeInMs - horizonMs
     val kept = sigs.get().toList.filter(_.tsMs >= cutoff)
-    if (kept.isEmpty) sigs.clear() else sigs.put(kept.toArray)
+    // the single-timer invariant (expiry = newest sig + horizon + 1)
+    // makes `kept` empty whenever the tracked timer fires; the non-empty
+    // branch is defensive only
+    if (kept.isEmpty) { sigs.clear(); lastTimer.clear() }
+    else sigs.put(kept.toArray)
     Iterator.empty
   }
 }

@@ -316,6 +316,23 @@ class CurationSpec extends SparkSpec {
     assert(fastH === naiveH, "hash-order prefix sum diverged from naive window")
   }
 
+  test("stratified prefix sum refuses null order keys AND null strata") {
+    val df = Seq((Option("a"), Option(1L), 10L), (Option("a"), Option(2L), 20L),
+      (Option.empty[String], Option(3L), 30L)).toDF("s", "k", "v")
+    // a null stratum would silently vanish from the output (the bucket-
+    // base join never matches null) — it must refuse loudly instead
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Scale.stratifiedPrefixSum(df, "s", "k", "v", "c").collect()
+    }
+    assert(e.getMessage.contains("null strata"), e.getMessage)
+    val df2 = Seq((Option("a"), Option(1L), 10L),
+      (Option("a"), Option.empty[Long], 20L)).toDF("s", "k", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Scale.stratifiedPrefixSum(df2, "s", "k", "v", "c").collect()
+    }
+    assert(e2.getMessage.contains("null keys"), e2.getMessage)
+  }
+
   test("pack_sequences: bucketed prefix sum == naive global window, invariants hold") {
     val docs = Tables.documents(spark, sf)
     // tiny buckets force many driver-side bases; result must not depend
