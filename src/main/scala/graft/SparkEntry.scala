@@ -68,6 +68,9 @@ object SparkEntry {
     "ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
     "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.dedupSemantic(s, d)),
+    "dedup_semantic_fixed" -> ((s: SparkSession, d: String) =>
+      Dedup.dedupSemanticFixed(s, d)),
+    "dedup_substring" -> (Dedup.dedupSubstring _),
     // D: similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.annBruteTopK(s, d)),
     "ann_brute_int8" -> ((s: SparkSession, d: String) => Similarity.annBruteInt8(s, d)),
@@ -157,6 +160,8 @@ object SparkEntry {
     "mm_codec_stats" -> Multimodal.mmCodecStatsSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
+    "dedup_semantic_fixed" -> Dedup.dedupSemanticFixedSql,
+    "dedup_substring" -> Dedup.dedupSubstringSql,
     "ann_brute_topk" -> Similarity.annBruteTopKSql,
     "knn_join" -> Similarity.knnJoinSql,
     "vec_norms" -> Similarity.vecNormsSql,

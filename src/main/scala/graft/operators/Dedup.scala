@@ -222,21 +222,30 @@ object Dedup {
     Seq((shingleSize, numHashes, bands))
       .toDF("shingle_size", "num_hashes", "bands")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
-    // a rebuild may change the params — refresh the per-JVM meta cache
-    metaCache.put(indexDir, (shingleSize, numHashes, bands))
+    // a rebuild may change the params — seed the per-JVM meta cache
+    // under the just-written meta's stamp (saves the first probe's read)
+    metaCache.put((indexDir, Tables.pathStamp(spark, s"$indexDir/meta")),
+      (shingleSize, numHashes, bands))
   }
 
-  /** Build parameters of a staged index, read once per (JVM, dir) —
-    * the meta parquet is written once by [[writeLshIndex]] and never
-    * rewritten ([[appendToLshIndex]] only adds batch partitions), so
-    * caching it turns a per-sweep eager driver job into a lookup. */
+  /** Build parameters of a staged index, read once per (JVM, dir,
+    * meta-mtime) — the meta parquet is written once by [[writeLshIndex]]
+    * and never rewritten ([[appendToLshIndex]] only adds batch
+    * partitions), so caching it turns a per-sweep eager driver job into
+    * a lookup. Keyed by the meta file's mtime (the cachedCount /
+    * centroidCache pattern): an index REBUILT at the same path — by
+    * this JVM or any other — gets a fresh stamp and a re-read instead
+    * of stale params silently mis-shaping every later probe. */
   private val metaCache =
-    scala.collection.concurrent.TrieMap.empty[String, (Int, Int, Int)]
-  private def indexMeta(spark: SparkSession, indexDir: String): (Int, Int, Int) =
-    metaCache.getOrElseUpdate(indexDir, {
+    scala.collection.concurrent.TrieMap.empty[(String, Long), (Int, Int, Int)]
+  private def indexMeta(spark: SparkSession, indexDir: String): (Int, Int, Int) = {
+    val stamp = Tables.pathStamp(spark, s"$indexDir/meta")
+    metaCache.filterInPlace { case ((d, st), _) => d != indexDir || st == stamp }
+    metaCache.getOrElseUpdate((indexDir, stamp), {
       val meta = spark.read.parquet(s"$indexDir/meta").head()
       (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     })
+  }
 
   /** Incremental near-dup sweep against a staged [[writeLshIndex]]
     * index: only the FRESH batch is tokenized/hashed; the corpus side
@@ -523,15 +532,188 @@ object Dedup {
     val centroids = Similarity.corpusCentroids(spark, sfDir, nCells)
     val cells = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding",
       VectorFunctions.nearestCentroid($"embedding", centroids).as("cell"))
-    val edges = Scale.boundedSelfPairs(cells, Seq("cell"), "vec_id", Seq("embedding"))
-      .filter(round(VectorFunctions.cosineSim($"embedding_1", $"embedding_2"), 6)
-        >= threshold)
-      .select($"id1", $"id2")
-    val comps = Scale.connectedComponents(edges, checkpointDir = checkpointDir)
-    cells.select($"vec_id", $"cell")
-      .join(comps.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
-      .select($"vec_id", $"cell", coalesce($"comp", $"vec_id").as("rep_id"))
-      .withColumn("is_dup", $"rep_id" =!= $"vec_id")
-      .orderBy($"vec_id")
+    semanticFromCells(cells, threshold, checkpointDir)
   }
+
+  /** The shared tail of both semantic-dedup variants: within-cell
+    * bounded pair generation → cosine threshold → connected components
+    * → one representative (min vec_id) per transitive cluster. */
+  private def semanticFromCells(cells: DataFrame, threshold: Double,
+      checkpointDir: Option[String]): DataFrame = {
+    val edges = Scale.boundedSelfPairs(cells, Seq("cell"), "vec_id", Seq("embedding"))
+      .filter(round(VectorFunctions.cosineSim(col("embedding_1"), col("embedding_2")), 6)
+        >= threshold)
+      .select(col("id1"), col("id2"))
+    val comps = Scale.connectedComponents(edges, checkpointDir = checkpointDir)
+    cells.select(col("vec_id"), col("cell"))
+      .join(comps.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("comp"), col("vec_id")).as("rep_id"))
+      .withColumn("is_dup", col("rep_id") =!= col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  // ------------------------------------------------------------ C17b
+  /** Semantic dedup over a PINNED centroid table — the ORACLE-CHECKABLE
+    * twin of [[dedupSemantic]]: instead of a k-means-trained quantizer
+    * (whose cell geometry is implementation-defined, forcing C17 to a
+    * rows-only check), the centroids are the first `nCentroids` corpus
+    * vectors by `vec_id`. Cell assignment is then deterministic
+    * arithmetic (argmin squared-L2, first-wins tie-break — exactly
+    * [[VectorFunctions.NearestCentroid]]'s loop, mirrored in SQL by
+    * `ORDER BY list_distance, cell`), so the ENTIRE pipeline — cells,
+    * within-cell cosine edges, transitive closure, representatives —
+    * hash-checks against DuckDB. This is also a real deployment mode:
+    * SemDeDup-style sweeps on a stable corpus often pin the quantizer
+    * from a previous build (Similarity.appendToIvfIndex's "never
+    * retrain" invariant) rather than refit per sweep.
+    *
+    * Same scale shape as C17: pairs never cross cells and
+    * [[Scale.boundedSelfPairs]] caps per-task work; the pinned-centroid
+    * collect is `nCentroids` rows — driver-bounded by construction. */
+  def dedupSemanticFixed(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.4, nCentroids: Int = 64,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    require(nCentroids >= 1)
+    val e = Tables.embeddings(spark, sfDir)
+    val centroids = e.filter($"vec_id" < nCentroids).orderBy($"vec_id")
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(centroids.nonEmpty, s"no vectors with vec_id < $nCentroids")
+    val cells = e.select($"vec_id", $"embedding",
+      VectorFunctions.nearestCentroid($"embedding", centroids).as("cell"))
+    semanticFromCells(cells, threshold, None)
+  }
+
+  /** DuckDB twin of [[dedupSemanticFixed]]: pinned centroids → argmin
+    * cell (list_distance is sqrt of the same sequential squared-sum —
+    * monotonic, so the argmin matches the kernel), within-cell cosine
+    * edges at the same rounded threshold, and transitive closure via a
+    * recursive CTE (min reachable id = the component representative,
+    * exactly connectedComponents' min-label fixpoint). */
+  val dedupSemanticFixedSql: String = {
+    val cos =
+      """ROUND(list_dot_product(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(e1.embedding::DOUBLE[], e1.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(e2.embedding::DOUBLE[], e2.embedding::DOUBLE[]))), 6)""".stripMargin
+    s"""WITH RECURSIVE cen AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+       |    embedding::DOUBLE[] AS ce
+       |  FROM embeddings WHERE vec_id < 64),
+       |a AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, cen.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(e.embedding::DOUBLE[], cen.ce), cen.cell) AS rn
+       |    FROM embeddings e, cen) t WHERE rn = 1),
+       |edges AS (
+       |  SELECT a1.vec_id AS id1, a2.vec_id AS id2
+       |  FROM a a1 JOIN a a2 ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id
+       |  JOIN embeddings e1 ON e1.vec_id = a1.vec_id
+       |  JOIN embeddings e2 ON e2.vec_id = a2.vec_id
+       |  WHERE $cos >= 0.4),
+       |sym AS (SELECT id1 AS s, id2 AS d FROM edges
+       |        UNION SELECT id2, id1 FROM edges),
+       |reach AS (
+       |  SELECT s AS id, d AS r FROM sym
+       |  UNION
+       |  SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s),
+       |rep AS (SELECT id, MIN(r) AS m FROM reach GROUP BY id)
+       |SELECT e.vec_id, a.cell,
+       |  COALESCE(LEAST(rep.m, e.vec_id), e.vec_id) AS rep_id,
+       |  (COALESCE(LEAST(rep.m, e.vec_id), e.vec_id) <> e.vec_id) AS is_dup
+       |FROM embeddings e
+       |JOIN a ON a.vec_id = e.vec_id
+       |LEFT JOIN rep ON rep.id = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------- C19
+  /** EXACT-SUBSTRING dedup (the ExactSubstr pass of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * find every run of ≥ `l` tokens that occurs MORE THAN ONCE in the
+    * corpus — across documents or repeated within one — and report the
+    * covered token ranges per document. C1 catches identical documents
+    * and C2/C3 near-identical ones; this is the pass that removes a
+    * 50-token boilerplate footer repeated across thousands of
+    * otherwise-distinct docs, which no whole-document family sees.
+    *
+    * Re-expression: the paper builds a corpus-wide suffix array — a
+    * global sorted structure Spark has no business materializing.
+    * Observation: a duplicated run of length m ≥ l is exactly a run of
+    * m − l + 1 consecutive positions whose l-token shingles each occur
+    * > 1 time corpus-wide. So: hash every l-token window IN TEXT ORDER
+    * (the family's [[graft.functions.TextFunctions.shingleHashes]] is
+    * deliberately a distinct SET — the wrong primitive here, since runs
+    * need positions and within-doc multiplicity; instead tokens are
+    * pre-hashed once and each window chains them through the builtin
+    * xxhash64, O(len·l) cheap long mixes per doc), count occurrences
+    * per gram, keep positions whose gram repeats, and merge consecutive
+    * positions per doc (gaps-and-islands) into maximal ranges
+    * [start_tok, end_tok).
+    *
+    * Scale shape: ONE exchange on the gram hash (the occurrence count
+    * is a window over the exchange's own key — no second shuffle, the
+    * ngramJaccard df pattern), then one per-doc window for the island
+    * merge (per-doc data, bounded by doc length). No driver state, no
+    * self-join: shuffle volume is O(corpus grams), each row 8+16
+    * bytes. The hash-for-string trade is decontaminate's: a collision
+    * can only over-flag one range (2⁻⁶⁴ per gram pair). */
+  def substrDupRanges(docs: DataFrame, idCol: String, textCol: String,
+      l: Int = 50): DataFrame = {
+    require(l >= 1)
+    val grams = docs
+      .select(col(idCol).as("id"), TextAnalysis.tokens(textCol).as("toks"))
+      .filter(size(col("toks")) >= l)
+      .withColumn("th", expr("transform(toks, t -> xxhash64(t))"))
+      .select(col("id"),
+        posexplode(expr(
+          s"""transform(sequence(0, size(th) - $l),
+             |  s -> aggregate(slice(th, s + 1, $l),
+             |       cast(17 as bigint), (acc, x) -> xxhash64(acc, x)))""".stripMargin))
+          .as(Seq("pos", "g")))
+    val wg = Window.partitionBy(col("g"))
+    val flagged = grams
+      .repartition(col("g"))
+      .withColumn("cnt", count(lit(1)).over(wg))
+      .filter(col("cnt") > 1)
+      .select(col("id"), col("pos"))
+    val wd = Window.partitionBy(col("id")).orderBy(col("pos"))
+    flagged
+      .withColumn("grp", col("pos") - row_number().over(wd))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("start_tok"),
+        (max(col("pos")) + l).cast("long").as("end_tok"))
+      .select(col("id").as(idCol), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok")).as("n_tokens"))
+      .orderBy(col(idCol), col("start_tok"))
+  }
+
+  /** Driver query: duplicated runs of ≥ 13 tokens over the documents
+    * corpus (13 matches the decontamination gram size — the synthetic
+    * docs are short, and a production L=50 pass is the same plan with
+    * a wider window). */
+  def dedupSubstring(spark: SparkSession, sfDir: String): DataFrame =
+    substrDupRanges(Tables.documents(spark, sfDir), "doc_id", "text", l = 13)
+
+  val dedupSubstringSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+12], ' ') AS gram
+      |  FROM toks, UNNEST(generate_series(1, len(t) - 12)) AS u(i)
+      |  WHERE len(t) >= 13),
+      |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+      |f AS (SELECT doc_id, pos FROM g
+      |      WHERE gram IN (SELECT gram FROM dup)),
+      |r AS (
+      |  SELECT doc_id, pos,
+      |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM f)
+      |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
+      |  CAST(MAX(pos) + 13 AS BIGINT) AS end_tok,
+      |  CAST(MAX(pos) + 13 - MIN(pos) AS BIGINT) AS n_tokens
+      |FROM r GROUP BY doc_id, grp ORDER BY doc_id, start_tok""".stripMargin
 }

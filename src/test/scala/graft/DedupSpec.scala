@@ -152,6 +152,36 @@ class DedupSpec extends SparkSpec {
     assert(swept.length === 2, s"retried append duplicated pairs: ${swept.toSeq}")
   }
 
+  test("index rebuilt at the same path: meta re-read, never served stale") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft-lsh-rebuild").toString
+    val corpus = Seq((100L, base)).toDF("doc_id", "text")
+    val fresh = Seq((101L, base.replace("lazy dog", "lazy cat"))).toDF("doc_id", "text")
+    Dedup.writeLshIndex(corpus, "doc_id", "text", dir) // params (5, 64, 16)
+    assert(Dedup.minhashPairsIndexed(spark, dir, fresh, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((100L, 101L)))
+    // Simulate ANOTHER JVM rebuilding the index at the same path with
+    // different params: build elsewhere and move the files in — an
+    // external rebuild never touches this JVM's meta cache, so only the
+    // (path, mtime) keying makes the next probe see the new params.
+    // With stale (5, 64, 16) params the batch would be shingled and
+    // banded incompatibly with the 3-shingle 8-band index — no pairs.
+    val dir2 = Files.createTempDirectory("graft-lsh-rebuild2").toString
+    Dedup.writeLshIndex(corpus, "doc_id", "text", dir2,
+      shingleSize = 3, numHashes = 32, bands = 8)
+    def rmrf(root: java.nio.file.Path): Unit = {
+      val w = Files.walk(root)
+      try w.iterator().asScala.toSeq.reverseIterator.foreach(Files.deleteIfExists(_))
+      finally w.close()
+    }
+    rmrf(Paths.get(dir))
+    Files.move(Paths.get(dir2), Paths.get(dir))
+    assert(Dedup.minhashPairsIndexed(spark, dir, fresh, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((100L, 101L)),
+      "rebuilt index probed with stale cached params")
+  }
+
   test("dedup_minhash_indexed driver query: every pair touches the fresh batch") {
     Dedup.dedupMinhashIndexed(spark, sf).collect().foreach { r =>
       assert(r.getLong(0) % 10 === 0 || r.getLong(1) % 10 === 0,
@@ -208,6 +238,68 @@ class DedupSpec extends SparkSpec {
     val again = Dedup.dedupSemantic(spark, dir, threshold = 0.95, nCells = 1)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
     assert(again.toSeq === out.toSeq)
+  }
+
+  test("substring dedup: planted 60-token shared run flagged in both docs") {
+    val shared = (1 to 60).map(i => s"tok$i").mkString(" ")
+    // doc 1: 4 unique tokens, the shared run at positions 4..63, 3 more
+    // doc 2: 5 unique tokens, the shared run at positions 5..64, 2 more
+    // doc 3: no overlap — must not appear at all
+    val docs = Seq(
+      (1L, s"unique alpha opening words $shared closing alpha end"),
+      (2L, s"different beta preamble text here $shared final words"),
+      (3L, "entirely separate document about garden soil and seasonal vegetables growing"),
+    ).toDF("doc_id", "text")
+    val runs = Dedup.substrDupRanges(docs, "doc_id", "text", l = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(runs.toSet === Set((1L, 4L, 64L, 60L), (2L, 5L, 65L, 60L)),
+      s"expected exactly the planted run as one maximal range per doc: ${runs.toSeq}")
+  }
+
+  test("substring dedup: within-doc repeat and sub-l runs handled") {
+    val run = (1 to 30).map(i => s"w$i").mkString(" ")
+    // doc 1 repeats a 30-token run twice within itself (separated by a
+    // spacer) — both occurrences must be flagged; doc 2 shares only a
+    // 20-token (< l) fragment — nothing dup at l = 25
+    val docs = Seq(
+      (1L, s"$run spacer0 spacer1 spacer2 $run"),
+      (2L, (1 to 20).map(i => s"w$i").mkString(" ") + " tail0 tail1 tail2 tail3 tail4 tail5"),
+    ).toDF("doc_id", "text")
+    val runs = Dedup.substrDupRanges(docs, "doc_id", "text", l = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1 tokens: w1..w30 (0..29), spacers (30..32), w1..w30 (33..62)
+    // flagged windows: 0..5 (inside first run) and 33..38 (second run)
+    assert(runs.toSet === Set((1L, 0L, 30L), (1L, 33L, 63L)),
+      s"within-doc repeat should yield both maximal ranges: ${runs.toSeq}")
+  }
+
+  test("semantic dedup (fixed centroids): planted chain collapses to one rep") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-semfixed").toString
+    def onArc(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat) ++ Array.fill(6)(0f)
+    }
+    val arc = Seq(0L -> 0.0, 1L -> 18.0, 2L -> 36.0, 3L -> 60.0, 4L -> 85.0)
+      .map { case (id, deg) => (id, onArc(deg), 0) }
+    (arc).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    // ONE pinned centroid (vector 0) → a single cell: the chain 0-1-2
+    // collapses transitively to rep 0; 3 and 4 are below threshold
+    val out = Dedup.dedupSemanticFixed(spark, dir, threshold = 0.95, nCentroids = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    val rep = out.map(t => (t._1, t._2)).toMap
+    assert(rep === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L),
+      s"fixed-centroid chain resolution wrong: ${out.toSeq}")
+    assert(out.filter(t => t._1 == 1L || t._1 == 2L).forall(_._3))
+  }
+
+  test("dedup_semantic_fixed driver query: full corpus labeled, rep is min") {
+    val out = Dedup.dedupSemanticFixed(spark, sf).collect()
+    assert(out.length.toLong === Tables.embeddings(spark, sf).count())
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(0), "rep must be the component minimum")
+      assert(r.getBoolean(3) === (r.getLong(2) != r.getLong(0)))
+    }
   }
 
   test("dedup_semantic driver query: full corpus labeled, deterministic") {
