@@ -110,6 +110,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected per-bucket window cumsum:\n$p")
   }
 
+  test("substring dedup: occurrence count rides the one gram exchange") {
+    val p = executedPlan(Dedup.dedupSubstring(spark, sf))
+    // the count-per-gram window must run on the repartition(g)
+    // exchange's own partitioning (a sort, not a second shuffle of the
+    // gram rows) — so the whole plan holds exactly two exchanges over
+    // gram rows: by g (count+flag) and by doc (island merge), plus the
+    // final orderBy's range exchange
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 3, s"expected <=3 exchanges (g, doc, sort), got $exchanges:\n$p")
+    assert(p.contains("Window"), s"expected windowed occurrence count:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"substring dedup collapsed onto one task:\n$p")
+  }
+
   test("ann brute force: query side broadcast, corpus side map-only until top-k") {
     val p = executedPlan(Similarity.annBruteTopK(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
