@@ -65,12 +65,14 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
     "dedup_minhash_indexed" -> (Dedup.dedupMinhashIndexed _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
+    "dedup_simhash_indexed" -> (Dedup.dedupSimhashIndexed _),
     "ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
     "dedup_semantic" -> ((s: SparkSession, d: String) => Dedup.dedupSemantic(s, d)),
     "dedup_semantic_fixed" -> ((s: SparkSession, d: String) =>
       Dedup.dedupSemanticFixed(s, d)),
     "dedup_substring" -> (Dedup.dedupSubstring _),
+    "dedup_substring_scrub" -> (Dedup.dedupSubstringScrub _),
     // D: similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.annBruteTopK(s, d)),
     "ann_brute_int8" -> ((s: SparkSession, d: String) => Similarity.annBruteInt8(s, d)),
@@ -162,6 +164,7 @@ object SparkEntry {
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "dedup_semantic_fixed" -> Dedup.dedupSemanticFixedSql,
     "dedup_substring" -> Dedup.dedupSubstringSql,
+    "dedup_substring_scrub" -> Dedup.dedupSubstringScrubSql,
     "ann_brute_topk" -> Similarity.annBruteTopKSql,
     "knn_join" -> Similarity.knnJoinSql,
     "vec_norms" -> Similarity.vecNormsSql,

@@ -365,38 +365,52 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- C3
-  /** SimHash near-dup pairs: 64-bit signature, banded into 4 16-bit
-    * chunks (pigeonhole: Hamming ≤ 3 ⇒ at least one identical chunk),
-    * bucket join on (chunk, value), verify with bit_count(xor) ≤ maxHamming. */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = MaxBucketAllPairs): DataFrame = {
+  /** (id, sig) signatures of a documents frame — the ONE definition of
+    * how text becomes a 64-bit SimHash, shared by the in-memory sweep,
+    * the persisted index build, and the index probe so they cannot
+    * drift. */
+  private def simhashSigs(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      TextFunctions.simhash64(
+        expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).as("sig"))
+
+  /** The shared candidate-generation + verification stage over an
+    * (id, sig, is_new) frame — the SimHash analog of [[verifiedPairs]]:
+    * chunk-pigeonhole bucket join, hot-bucket chain capping, Hamming
+    * verify; pairs where NEITHER side is new are skipped (the in-memory
+    * sweep marks everything new; the indexed sweep marks only the fresh
+    * batch, so corpus×corpus pairs are never re-derived). */
+  private def verifiedSimhashPairs(sigs: DataFrame, maxHamming: Int,
+      maxBucket: Int): DataFrame = {
     require(maxHamming < SimhashChunks, s"the $SimhashChunks-chunk " +
       s"pigeonhole only generates candidates for Hamming <= ${SimhashChunks - 1}; " +
       s"maxHamming=$maxHamming would silently lose recall")
-    val sigs = docs.select(col(idCol).as("id"),
-      TextFunctions.simhash64(
-        expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).as("sig"))
     // One exchange on the bucket key shared by both join sides
     // (ReusedExchange — the signature subtree runs once); bucket size
     // and the chain predecessor's (id, sig) ride along as windows over
     // the same keys.
     val wb = Window.partitionBy(col("chunk"), col("cval"))
     val wo = wb.orderBy(col("id"))
-    val chunked = sigs.select(col("id"), col("sig"),
+    val chunked = sigs.select(col("id"), col("sig"), col("is_new"),
       simhashChunkCols.as(Seq("chunk", "cval")))
       .repartition(col("chunk"), col("cval"))
       .withColumn("bsz", count(lit(1)).over(wb))
-      .withColumn("p", lag(struct(col("id"), col("sig")), 1).over(wo))
+      .withColumn("p", lag(struct(col("id"), col("sig"), col("is_new")), 1).over(wo))
     val small = chunked.filter(col("bsz") <= maxBucket)
-    val l = small.select(col("chunk"), col("cval"), col("id").as("id1"), col("sig").as("sig1"))
-    val r = small.select(col("chunk"), col("cval"), col("id").as("id2"), col("sig").as("sig2"))
+    val l = small.select(col("chunk"), col("cval"), col("id").as("id1"),
+      col("sig").as("sig1"), col("is_new").as("n1"))
+    val r = small.select(col("chunk"), col("cval"), col("id").as("id2"),
+      col("sig").as("sig2"), col("is_new").as("n2"))
     val allPairs = l.join(r, Seq("chunk", "cval"))
       .filter(col("id1") < col("id2"))
+      .filter(col("n1") || col("n2"))
       .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
     // Hot buckets (mass-dup chunk collision): chain pairs between
     // id-consecutive members — O(m), still Hamming-verified below, so
     // no false positives; see MaxBucketAllPairs for the trade.
     val chainPairs = chunked.filter(col("bsz") > maxBucket && col("p").isNotNull)
+      .filter(col("is_new") || col("p.is_new"))
       .select(col("p.id").as("id1"), col("id").as("id2"),
         col("p.sig").as("sig1"), col("sig").as("sig2"))
     allPairs.unionByName(chainPairs).distinct()
@@ -406,8 +420,103 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** SimHash near-dup pairs: 64-bit signature, banded into 4 16-bit
+    * chunks (pigeonhole: Hamming ≤ 3 ⇒ at least one identical chunk),
+    * bucket join on (chunk, value), verify with bit_count(xor) ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = MaxBucketAllPairs): DataFrame =
+    verifiedSimhashPairs(
+      simhashSigs(docs, idCol, textCol).withColumn("is_new", lit(true)),
+      maxHamming, maxBucket)
+
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     simhashPairs(Tables.documents(spark, sfDir), "doc_id", "text")
+
+  // ------------------------------------------------------------- C20
+  /** Persist a SimHash index of a corpus — the C10 lifecycle for the
+    * SimHash sweep (the round-4 verdict's last missing index): the
+    * expensive step is tokenizing + signing the corpus, the signatures
+    * themselves are 8 bytes/doc, so the index is just the (id, sig)
+    * table staged in `batch=` partitions plus a 1-row meta pinning the
+    * chunk layout. Chunk buckets are NOT staged: they derive from the
+    * sig by two shifts ([[simhashChunkCols]]) — map-side arithmetic at
+    * probe time, not worth the 4× storage. Build once per corpus
+    * version; each weekly sweep then signs ONLY the fresh batch. */
+  def writeSimhashIndex(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    simhashSigs(docs, idCol, textCol)
+      .withColumn("batch", lit("base"))
+      .write.mode("overwrite").partitionBy("batch")
+      .parquet(s"$indexDir/sigs")
+    // meta pins the chunk layout the sigs were built under: probing a
+    // staged index with a DIFFERENT pigeonhole split would silently
+    // change the Hamming budget the buckets guarantee
+    Seq(SimhashChunks).toDF("chunks")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
+
+  /** Incremental SimHash sweep against a staged [[writeSimhashIndex]]
+    * index: only the fresh batch is tokenized and signed; the corpus
+    * side joins straight from its staged 8-byte signatures. Emits
+    * Hamming-verified pairs involving at least one fresh doc. Fails
+    * loudly if the index was built under a different chunk layout. */
+  def simhashPairsIndexed(spark: SparkSession, indexDir: String,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = MaxBucketAllPairs): DataFrame = {
+    val chunks = spark.read.parquet(s"$indexDir/meta").head().getInt(0)
+    require(chunks == SimhashChunks,
+      s"index at $indexDir was built with $chunks chunks; this build uses " +
+        s"$SimhashChunks — rebuild the index (bucket guarantees differ)")
+    val idx = spark.read.parquet(s"$indexDir/sigs")
+      .select(col("id"), col("sig"), lit(false).as("is_new"))
+    val fresh = simhashSigs(newDocs, idCol, textCol)
+      .withColumn("is_new", lit(true))
+    verifiedSimhashPairs(idx.unionByName(fresh), maxHamming, maxBucket)
+  }
+
+  /** Fold a swept batch INTO the staged SimHash index — idempotent per
+    * `batchId` via dynamic partition overwrite, exactly like
+    * [[appendToLshIndex]] (a retried append replaces its own `batch=`
+    * partition instead of duplicating signatures). */
+  def appendToSimhashIndex(newDocs: DataFrame, idCol: String,
+      textCol: String, indexDir: String, batchId: String): Unit = {
+    require(batchId.nonEmpty && batchId != "base",
+      "batchId must be a unique non-'base' label (e.g. the sweep date)")
+    simhashSigs(newDocs, idCol, textCol)
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$indexDir/sigs")
+  }
+
+  /** SimHash index dirs keyed by (corpus dir, mtime), mirroring
+    * [[lshIndexCache]]. */
+  private val simhashIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), String]
+
+  /** Driver query (rows-only): the weekly-sweep shape over the staged
+    * SimHash index — 90% of the corpus staged, the 10% batch signed and
+    * probed; every pair involves a fresh doc. */
+  def dedupSimhashIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val stamp = Tables.pathStamp(spark, s"$sfDir/documents.parquet")
+    val indexDir = simhashIndexCache.getOrElseUpdate((sfDir, stamp), {
+      val dir = java.nio.file.Files.createTempDirectory("graft-simhash-index").toString
+      writeSimhashIndex(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", dir)
+      // superseded-version eviction + exit-time reaping as in
+      // dedupMinhashIndexed (see that cache's rationale)
+      simhashIndexCache.filterInPlace { case ((d, s), old) =>
+        val stale = d == sfDir && s != stamp
+        if (stale) deleteAtExit(old)
+        !stale
+      }
+      dir
+    })
+    simhashPairsIndexed(spark, indexDir,
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text")
+  }
 
   // ---------------------------------------------------------------- C4
   /** Word-3-gram Jaccard via an inverted-index join, blocked by
@@ -696,6 +805,72 @@ object Dedup {
     * a wider window). */
   def dedupSubstring(spark: SparkSession, sfDir: String): DataFrame =
     substrDupRanges(Tables.documents(spark, sfDir), "doc_id", "text", l = 13)
+
+  /** The ACTIONABLE form of [[substrDupRanges]]: cut every flagged
+    * range out of every document (the Lee et al. ExactSubstr removal
+    * rule — all occurrences of a duplicated run are dropped) and return
+    * the surviving tokens as the cleaned text. The ranges frame joins
+    * back by id (an equi-join on the doc key — ranges are sparse
+    * relative to the corpus) and the cut itself is a map-side array
+    * filter; docs with no flagged range pass through with all tokens.
+    * Output is tokenized text (lowercased, space-joined) — the scrub
+    * operates on the same token stream the detector flagged, so range
+    * indices can never drift against a raw-text splice. */
+  def substrScrub(docs: DataFrame, idCol: String, textCol: String,
+      l: Int = 50): DataFrame = {
+    val ranges = substrDupRanges(docs, idCol, textCol, l)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("rs"))
+    docs.select(col(idCol), TextAnalysis.tokens(textCol).as("toks"))
+      .join(ranges, Seq(idCol), "left")
+      // null rs (doc has no flagged range) → exists is null → keep
+      .select(col(idCol),
+        expr("""filter(toks, (t, i) ->
+               |  coalesce(NOT exists(rs,
+               |    r -> i >= r.start_tok AND i < r.end_tok), true))""".stripMargin)
+          .as("kept"))
+      .select(col(idCol), size(col("kept")).cast("long").as("n_tokens_kept"),
+        array_join(col("kept"), " ").as("clean_text"))
+      .orderBy(col(idCol))
+  }
+
+  /** Driver query: scrub at the same l = 13 the range query flags. */
+  def dedupSubstringScrub(spark: SparkSession, sfDir: String): DataFrame =
+    substrScrub(Tables.documents(spark, sfDir), "doc_id", "text", l = 13)
+
+  val dedupSubstringScrubSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+12], ' ') AS gram
+      |  FROM toks, UNNEST(generate_series(1, len(t) - 12)) AS u(i)
+      |  WHERE len(t) >= 13),
+      |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+      |f AS (SELECT doc_id, pos FROM g
+      |      WHERE gram IN (SELECT gram FROM dup)),
+      |r AS (
+      |  SELECT doc_id, pos,
+      |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM f),
+      |rng AS (
+      |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 13 AS e
+      |  FROM r GROUP BY doc_id, grp),
+      |pos AS (
+      |  SELECT doc_id, i - 1 AS p, t[i] AS tok
+      |  FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)),
+      |keep AS (
+      |  SELECT p.doc_id, p.p, p.tok FROM pos p
+      |  WHERE NOT EXISTS (SELECT 1 FROM rng
+      |    WHERE rng.doc_id = p.doc_id AND p.p >= rng.s AND p.p < rng.e)),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n,
+      |    string_agg(tok, ' ' ORDER BY p) AS ct
+      |  FROM keep GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_tokens_kept,
+      |  COALESCE(agg.ct, '') AS clean_text
+      |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   val dedupSubstringSql: String =
     """WITH toks AS (

@@ -152,6 +152,50 @@ class DedupSpec extends SparkSpec {
     assert(swept.length === 2, s"retried append duplicated pairs: ${swept.toSeq}")
   }
 
+  test("persisted SimHash index: incremental sweep matches the in-memory pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sim-idx").toString
+    val corpus = Seq(
+      (100L, base),
+      (200L, "spark catalyst optimizer pushes filters below joins for scan pruning at scale"),
+      (300L, "completely unrelated text about cooking pasta with tomatoes and basil leaves"),
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (101L, base.replace("lazy dog", "lazy cat")), // near-dup of corpus 100
+      (201L, "spark catalyst optimizer pushes filters below joins for scan pruning at scale"), // exact dup of 200
+      (400L, "quarterly financial report revenue increased by twelve percent year over year"),
+    ).toDF("doc_id", "text")
+    Dedup.writeSimhashIndex(corpus, "doc_id", "text", dir)
+    val indexed = Dedup.simhashPairsIndexed(spark, dir, fresh, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val full = Dedup.simhashPairs(corpus.unionByName(fresh), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every near-dup pair here involves a fresh doc, so the incremental
+    // sweep must reproduce the full re-sweep — without re-signing the
+    // corpus side
+    assert(indexed.toSet === full.toSet)
+    assert(indexed.map(p => (p._1, p._2)).toSet.contains((200L, 201L)))
+    // lifecycle: double-append with the same batch id must be a no-op
+    // (dynamic partition overwrite), and next week's dup of an appended
+    // doc must still surface
+    Dedup.appendToSimhashIndex(fresh, "doc_id", "text", dir, batchId = "week1")
+    Dedup.appendToSimhashIndex(fresh, "doc_id", "text", dir, batchId = "week1")
+    val nextWeek = Seq(
+      (600L, base.replace("lazy dog", "lazy cat")), // dup of appended 101 (and of 100)
+      (601L, "entirely new topic discussing mountain weather patterns and seasonal snowfall"),
+    ).toDF("doc_id", "text")
+    val swept = Dedup.simhashPairsIndexed(spark, dir, nextWeek, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(swept.toSet === Set((100L, 600L), (101L, 600L)),
+      s"append-then-probe missed last week's near-dup or duplicated rows: ${swept.toSeq}")
+  }
+
+  test("dedup_simhash_indexed driver query: every pair touches the fresh batch") {
+    Dedup.dedupSimhashIndexed(spark, sf).collect().foreach { r =>
+      assert(r.getLong(0) % 10 === 0 || r.getLong(1) % 10 === 0,
+        s"corpus-only pair leaked into the incremental SimHash sweep: $r")
+    }
+  }
+
   test("index rebuilt at the same path: meta re-read, never served stale") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
@@ -271,6 +315,23 @@ class DedupSpec extends SparkSpec {
     // flagged windows: 0..5 (inside first run) and 33..38 (second run)
     assert(runs.toSet === Set((1L, 0L, 30L), (1L, 33L, 63L)),
       s"within-doc repeat should yield both maximal ranges: ${runs.toSeq}")
+  }
+
+  test("substring scrub: flagged run cut from every doc, clean docs intact") {
+    val shared = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"unique alpha opening words $shared closing alpha end"),
+      (2L, s"different beta preamble text here $shared final words"),
+      (3L, "entirely separate document about garden soil and seasonal vegetables growing"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.substrScrub(docs, "doc_id", "text", l = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(out.map(t => (t._1, t._2)) === Seq((1L, 7L), (2L, 7L), (3L, 10L)))
+    // the run is cut from BOTH docs (all occurrences — the ExactSubstr
+    // rule), the surrounding tokens survive in order
+    assert(out(0)._3 === "unique alpha opening words closing alpha end")
+    assert(out(1)._3 === "different beta preamble text here final words")
+    assert(out(2)._3.startsWith("entirely separate document"))
   }
 
   test("semantic dedup (fixed centroids): planted chain collapses to one rep") {
