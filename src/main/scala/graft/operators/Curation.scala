@@ -433,6 +433,27 @@ object Curation {
       |  CAST(cb % 2048 AS BIGINT) AS seq_offset
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Write the packed corpus as TRAINING SHARDS — the last mile of the
+    * C13→C15 flow: the (doc, seq_id, seq_offset) assignment becomes
+    * `shards` parquet files where every training sequence lives WHOLE
+    * in exactly one file (a data loader then streams one shard per
+    * worker with no cross-file assembly). Range-partitioning on
+    * `seq_id` ALONE is the load-bearing choice: equal keys land in one
+    * range bucket, so a sequence straddling a doc boundary cannot be
+    * split across shards — partitioning on (seq_id, doc_id) would let
+    * a range boundary fall inside a sequence. Rows are sorted within
+    * each shard in training order. The range exchange samples key
+    * distribution, so shards are ~equal-sized even when doc lengths
+    * skew. */
+  def writePackedShards(docs: DataFrame, outDir: String,
+      seqLen: Int = 2048, shards: Int = 16): Unit = {
+    require(shards >= 1)
+    packSequences(docs, seqLen)
+      .repartitionByRange(shards, col("seq_id"))
+      .sortWithinPartitions(col("seq_id"), col("seq_offset"))
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   // ------------------------------------------------------------- C14
   /** Token-budget TRAINING MIX: per stratum (source/domain/language),
     * keep docs in deterministic `orderCol` order until the stratum's

@@ -316,6 +316,36 @@ class CurationSpec extends SparkSpec {
     assert(fastH === naiveH, "hash-order prefix sum diverged from naive window")
   }
 
+  test("packed shards: every sequence whole in one file, training order within") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val docs = Tables.documents(spark, sf)
+    Curation.writePackedShards(docs, s"$dir/out", seqLen = 256, shards = 5)
+    val files = new java.io.File(s"$dir/out").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).toSeq
+    assert(files.size > 1, s"expected multiple shards, got ${files.size}")
+    // each seq_id must live in exactly ONE shard file (a sequence that
+    // straddles a doc boundary must not straddle a shard boundary)
+    val perFile = files.map { f =>
+      spark.read.parquet(f).select($"seq_id", $"doc_id", $"seq_offset")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    val seqSets = perFile.map(_.map(_._1).toSet)
+    seqSets.combinations(2).foreach { case Seq(a, b) =>
+      assert((a intersect b).isEmpty, "a sequence straddles two shard files")
+    }
+    // within a shard, rows are in training order (seq_id, then offset)
+    perFile.foreach { rows =>
+      val key = rows.map(r => (r._1, r._3))
+      assert(key === key.sorted, "shard rows not in training order")
+    }
+    // nothing lost or duplicated vs the packing itself
+    val all = perFile.flatten.map(_._2).sorted
+    val expected = Curation.packSequences(docs, seqLen = 256)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(all === expected)
+  }
+
   test("stratified prefix sum refuses null order keys AND null strata") {
     val df = Seq((Option("a"), Option(1L), 10L), (Option("a"), Option(2L), 20L),
       (Option.empty[String], Option(3L), 30L)).toDF("s", "k", "v")
