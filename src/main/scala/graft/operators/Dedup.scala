@@ -181,7 +181,15 @@ object Dedup {
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, maxBucket: Int = MaxBucketAllPairs): DataFrame = {
+    // Repartition the shingled frame by id so it becomes ONE exchange
+    // that the banding subtree and BOTH verification joins reuse
+    // (ReusedExchange). Without it each consumer re-runs tokenize +
+    // shingle from the scan — four regex passes over the corpus per
+    // sweep at 100 TB; with it the corpus is tokenized once and the
+    // shingle arrays ride one extra shuffle instead (8-byte hashes,
+    // cheaper than three regex tokenizations of the raw text).
     val shingled = shingleFrame(docs, idCol, textCol, shingleSize)
+      .repartition(col("id"))
     verifiedPairs(bandFrame(shingled, numHashes, bands).withColumn("is_new", lit(true)),
       shingled, threshold, maxBucket)
   }
@@ -266,7 +274,10 @@ object Dedup {
       .select(col("id"), col("band"), col("bucket"), lit(false).as("is_new"))
     val idxShingled = spark.read.parquet(s"$indexDir/shingles")
       .select(col("id"), col("sh")) // drop the batch partition column
+    // same one-exchange reuse as minhashPairs: the fresh batch is
+    // tokenized once, not once per consumer (banding + two verify joins)
     val newShingled = shingleFrame(newDocs, idCol, textCol, shingleSize)
+      .repartition(col("id"))
     val newBanded = bandFrame(newShingled, numHashes, bands)
       .withColumn("is_new", lit(true))
     verifiedPairs(idxBanded.unionByName(newBanded),
