@@ -84,6 +84,8 @@ object SparkEntry {
     "mm_manifest" -> (Multimodal.mmManifest _),
     "mm_frame_sample" -> (Multimodal.mmFrameSample _),
     "mm_codec_stats" -> (Multimodal.mmCodecStats _),
+    "mm_frame_features" -> (Multimodal.mmFrameFeatures _),
+    "mm_resize" -> (Multimodal.mmResize _),
     // A12 batch replay of the streaming state machine (same kernel)
     "mon_escalation_replay" -> ((s: SparkSession, d: String) =>
       graft.streaming.HealthMonitor.replayBatch(s, d)
@@ -160,6 +162,7 @@ object SparkEntry {
     "q_scalar_subquery" -> Relational.qScalarSubquerySql,
     "mm_manifest" -> Multimodal.mmManifestSql,
     "mm_codec_stats" -> Multimodal.mmCodecStatsSql,
+    "mm_resize" -> Multimodal.mmResizeSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "dedup_semantic_fixed" -> Dedup.dedupSemanticFixedSql,

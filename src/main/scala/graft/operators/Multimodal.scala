@@ -13,6 +13,12 @@ case class SampledFrame(
     frame_bytes: Int,
     frame_hash: Long)
 
+/** One per-frame feature vector from the feature-extraction pipeline. */
+case class FrameFeature(
+    media_id: Long,
+    frame_idx: Int,
+    feature: Array[Float])
+
 /** Multimodal column handling (SURVEY.md §2.F): media payloads travel
   * as opaque `binary` columns beside typed metadata; decode/
   * feature-extraction runs per-partition against a pluggable decoder.
@@ -135,4 +141,140 @@ object Multimodal {
       .orderBy($"media_id", $"frame_idx")
       .toDF()
   }
+
+  // ---------------------------------------------------------------- F4
+  /** Feature-extractor contract: frame bytes → embedding. Runs inside
+    * mapPartitions so one instance serves a whole partition — the batch
+    * shape a real vision model (ONNX runtime, JNI torch) needs for
+    * amortized weight loading and batched inference. */
+  trait FeatureExtractor extends Serializable {
+    def extract(frame: Array[Byte]): Array[Float]
+  }
+
+  /** STUB extractor — deterministic fake standing in for a real vision
+    * encoder: `dim` floats from a splitmix64 chain seeded by the FNV
+    * hash of the frame bytes, L2-normalized so the output plugs
+    * straight into the cosine ANN family (Similarity.*) like a real
+    * CLIP-style embedding would. */
+  final class StubExtractor(dim: Int) extends FeatureExtractor {
+    override def extract(frame: Array[Byte]): Array[Float] = {
+      var h = 1469598103934665603L
+      var i = 0
+      while (i < frame.length) {
+        h = (h ^ (frame(i) & 0xff)) * 1099511628211L; i += 1
+      }
+      val out = new Array[Float](dim)
+      var s = h
+      var norm = 0.0
+      i = 0
+      while (i < dim) {
+        s += -7046029254386353131L // splitmix64 increment
+        var z = s
+        z = (z ^ (z >>> 30)) * -4658895280553007687L
+        z = (z ^ (z >>> 27)) * -7723592293110705685L
+        z = z ^ (z >>> 31)
+        // map to [-1, 1); keep the arithmetic integer-exact up to here
+        out(i) = (z >>> 11).toFloat / (1L << 52).toFloat * 2f - 1f
+        norm += out(i).toDouble * out(i)
+        i += 1
+      }
+      val inv = (1.0 / math.sqrt(norm)).toFloat
+      i = 0
+      while (i < dim) { out(i) *= inv; i += 1 }
+      out
+    }
+  }
+
+  /** Frame FEATURE EXTRACTION: decode → sample → embed, one fused
+    * map-only pass (payloads never shuffle; decoder and extractor are
+    * instantiated once per partition). The output (media_id, frame_idx,
+    * feature) is the bridge from the multimodal family to the
+    * similarity family: write it as an `embeddings`-shaped table and
+    * every D-operator (brute/LSH/IVF ANN, semantic dedup) runs on it
+    * unchanged. */
+  def frameFeatures(media: Dataset[(Long, Array[Byte])],
+      frameSize: Int = 64, stride: Int = 4, dim: Int = 8): Dataset[FrameFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val decoder = new StubDecoder(frameSize)
+      val extractor = new StubExtractor(dim)
+      rows.flatMap { case (id, payload) =>
+        decoder.decode(payload).zipWithIndex.collect {
+          case (frame, idx) if idx % stride == 0 =>
+            FrameFeature(id, idx, extractor.extract(frame))
+        }
+      }
+    }
+  }
+
+  /** Driver-facing query (rows-only; stub features are
+    * engine-specific): per-frame embeddings over the documents-as-media
+    * payloads, rounded for a stable dump. */
+  def mmFrameFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text".cast("binary"))
+      .as[(Long, Array[Byte])]
+    frameFeatures(media)
+      .select($"media_id", $"frame_idx",
+        expr("transform(feature, x -> round(cast(x as double), 6))").as("feature"))
+      .orderBy($"media_id", $"frame_idx")
+  }
+
+  // ---------------------------------------------------------------- F5
+  /** Media transform contract: payload bytes → payload bytes (resize,
+    * transcode, crop). Same per-partition amortization seam as
+    * [[FrameDecoder]]. */
+  trait MediaTransform extends Serializable {
+    def apply(payload: Array[Byte]): Array[Byte]
+  }
+
+  /** STUB resize — keep every `factor`-th byte: the deterministic fake
+    * for a real scaler (libvips/ffmpeg drops in via [[MediaTransform]]).
+    * Output length is ceil(len / factor) by construction — the metadata
+    * contract the oracle cross-checks against the REAL byte loop. */
+  final class StubResize(factor: Int) extends MediaTransform {
+    override def apply(p: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte]((p.length + factor - 1) / factor)
+      var i = 0
+      while (i < out.length) { out(i) = p(i * factor); i += 1 }
+      out
+    }
+  }
+
+  /** RESIZE pass: map-only transform of every payload (never shuffles),
+    * emitting the old/new geometry a curation manifest tracks. The
+    * `dst_bytes` column is the REAL resized array's length — the oracle
+    * recomputes it as ceil(src/4) arithmetic, so a stub (or future real
+    * scaler) whose byte work drifts from its claimed geometry fails the
+    * hash compare. Area scales by factor (4) → each dimension halves. */
+  def mmResize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val factor = 4
+    val media = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text".cast("binary"))
+      .as[(Long, Array[Byte])]
+    val resized = media.mapPartitions { rows =>
+      val t = new StubResize(factor)
+      rows.map { case (id, payload) => (id, payload.length, t(payload).length) }
+    }.toDF("media_id", "src_bytes", "dst_bytes")
+    mmManifest(spark, sfDir).select($"media_id", $"width", $"height")
+      .join(resized, Seq("media_id"))
+      .select($"media_id", $"width", $"height",
+        ($"width" / 2).cast("int").as("dst_width"),
+        ($"height" / 2).cast("int").as("dst_height"),
+        $"src_bytes".cast("long").as("src_bytes"),
+        $"dst_bytes".cast("long").as("dst_bytes"))
+      .orderBy($"media_id")
+  }
+
+  val mmResizeSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(320 + (doc_id % 4) * 160 AS INT) AS width,
+      |  CAST(240 + (doc_id % 4) * 120 AS INT) AS height,
+      |  CAST((320 + (doc_id % 4) * 160) // 2 AS INT) AS dst_width,
+      |  CAST((240 + (doc_id % 4) * 120) // 2 AS INT) AS dst_height,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS src_bytes,
+      |  CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS dst_bytes
+      |FROM documents ORDER BY media_id""".stripMargin
 }

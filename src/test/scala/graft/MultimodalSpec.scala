@@ -45,4 +45,38 @@ class MultimodalSpec extends SparkSpec {
     val nMedia = df.select($"media_id").distinct().count()
     assert(nMedia === Tables.documents(spark, sf).count())
   }
+
+  test("frame features: unit-norm, deterministic, identical frames collide") {
+    val p = "same payload bytes for both media items again".getBytes("UTF-8")
+    val media = Seq((1L, p), (2L, p.clone())).toDS()
+    val feats = Multimodal.frameFeatures(media, frameSize = 16, stride = 1, dim = 8)
+      .collect().groupBy(_.media_id)
+    // real-embedding contract: fixed dim, L2-normalized (plugs straight
+    // into the cosine ANN family)
+    feats.values.flatten.foreach { f =>
+      assert(f.feature.length === 8)
+      val n = math.sqrt(f.feature.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-5, s"feature not unit-norm: $n")
+    }
+    // identical payloads → identical features, frame by frame
+    val f1 = feats(1L).sortBy(_.frame_idx).map(_.feature.toSeq).toSeq
+    val f2 = feats(2L).sortBy(_.frame_idx).map(_.feature.toSeq).toSeq
+    assert(f1 === f2)
+    // and across independent runs (partition-invariant)
+    val again = Multimodal.frameFeatures(media.repartition(3),
+        frameSize = 16, stride = 1, dim = 8)
+      .collect().filter(_.media_id == 1L).sortBy(_.frame_idx)
+      .map(_.feature.toSeq).toSeq
+    assert(again === f1)
+  }
+
+  test("resize: real byte loop matches the claimed ceil(n/4) geometry") {
+    val rows = Multimodal.mmResize(spark, sf).collect()
+    assert(rows.length.toLong === Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (src, dst) = (r.getLong(5), r.getLong(6))
+      assert(dst === (src + 3) / 4, s"resized length drifted: $src -> $dst")
+      assert(r.getInt(3) === r.getInt(1) / 2 && r.getInt(4) === r.getInt(2) / 2)
+    }
+  }
 }
