@@ -118,6 +118,31 @@ object Similarity {
         round(VectorFunctions.int8CosineSim($"qq8", $"q8"), 6).as("cos")), k)
   }
 
+  /** Generic exact brute-force cosine top-k over ARBITRARY frames —
+    * the engine entry for embeddings that don't live in the corpus
+    * table (e.g. [[graft.operators.Multimodal.frameFeatures]] output):
+    * `corpus` needs (vec_id, embedding), `queries` (query_id,
+    * embedding). Same shape as [[annBruteTopK]] — queries broadcast,
+    * corpus map-only until the bounded top-k — with the pair ceiling
+    * enforced from two count jobs (metadata-only on parquet-backed
+    * frames; callers with a hot loop should pre-count and guard
+    * themselves). `excludeSelf` drops vec_id == query_id pairs — turn
+    * it off when the id spaces are unrelated (frame ids vs corpus
+    * ids), where equal ids are a coincidence, not identity. */
+  def bruteTopKFrames(corpus: DataFrame, queries: DataFrame,
+      k: Int = AnnK, excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col("query_id"), col("embedding").as("qe"))
+    val pairs = corpus.count() * q.count()
+    require(pairs <= BruteForceMaxPairs,
+      s"brute-force ANN would score $pairs pairs (> $BruteForceMaxPairs); " +
+        "bucket the corpus (annLsh / annIvf shapes) instead")
+    val scored = corpus.crossJoin(broadcast(q))
+    val kept = if (excludeSelf) scored.filter(col("vec_id") =!= col("query_id"))
+      else scored
+    rankTopK(kept.select(col("query_id"), col("vec_id"),
+      round(VectorFunctions.cosineSim(col("qe"), col("embedding")), 6).as("cos")), k)
+  }
+
   /** DuckDB cosine over DOUBLE[] casts, rounded to 6 — textually mirrors
     * the codegen kernel's math (sequential double accumulation). */
   private def cosSql(a: String, b: String): String =

@@ -185,4 +185,27 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(selfDot - norm * norm) < 1e-3) // both rounded to 6dp
     }
   }
+
+  test("multimodal frame features feed the generic ANN end to end") {
+    import graft.operators.Multimodal
+    // media 1 and 3 share a payload; every query frame from media 1
+    // must retrieve its byte-identical twin frame in media 3 at cos 1.0
+    // — the decode → embed → search composition the F4 bridge exists for
+    val p = "the same long payload used by two distinct media items".getBytes("UTF-8")
+    val other = "completely different bytes for the third media entry!!".getBytes("UTF-8")
+    val media = Seq((1L, p), (2L, other), (3L, p.clone())).toDS()
+    val feats = Multimodal.frameFeatures(media, frameSize = 16, stride = 1, dim = 8).toDF()
+    def keyed(df: org.apache.spark.sql.DataFrame, as: String) =
+      df.select(($"media_id" * 1000 + $"frame_idx").as(as), $"feature".as("embedding"))
+    val corpus = keyed(feats.filter($"media_id" =!= 1L), "vec_id")
+    val queries = keyed(feats.filter($"media_id" === 1L), "query_id")
+    val top1 = Similarity.bruteTopKFrames(corpus, queries, k = 1, excludeSelf = false)
+      .collect()
+    assert(top1.nonEmpty)
+    top1.foreach { r =>
+      assert(r.getLong(2) === 3000 + (r.getLong(0) - 1000),
+        s"twin frame is not the top hit: $r")
+      assert(r.getDouble(3) === 1.0)
+    }
+  }
 }
