@@ -133,9 +133,12 @@ object TextAnalysis {
     // corpus size joins in as a 1-row broadcast instead of an eager
     // count() action, keeping the whole query one lazy plan
     val nDf = docs.agg(count(lit(1)).as("n_docs"))
-    val df_ = postings.select($"doc_id", $"term").distinct()
-      .groupBy($"term").agg(count(lit(1)).as("df"))
     val tf = postings.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    // document frequency DERIVES from tf (one row per (doc, term), so
+    // rows-per-term == distinct docs per term): the corpus is scanned
+    // and tokenized ONCE and the raw postings shuffle once — a separate
+    // distinct-then-count subtree would re-run both on a second copy
+    val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df_, Seq("term")).crossJoin(broadcast(nDf))
       .withColumn("tfidf",
         $"tf" * (log(($"n_docs" + 1.0) / ($"df" + 1.0)) + 1.0))
