@@ -56,7 +56,14 @@ object Tables {
     * garbage-collected — a cache that replaces a pinned frame (corpus
     * regenerated in-JVM, superseded pipeline stage) must free the old
     * blocks explicitly or executor storage grows by one corpus copy per
-    * version. The checkpointed RDD sits in the plan's LogicalRDD leaf. */
+    * version. The checkpointed RDD sits in the plan's LogicalRDD leaf.
+    *
+    * Deliberate trade: a DataFrame handed out BEFORE the eviction that
+    * still references the unpinned blocks will fail on its next action
+    * (truncated lineage cannot recompute). Eviction only fires when the
+    * underlying corpus was REPLACED on disk, so such a stale handle was
+    * already doomed to read inconsistent data — failing loudly beats
+    * both silent staleness and unbounded storage growth. */
   def unpinCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd

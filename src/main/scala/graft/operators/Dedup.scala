@@ -473,10 +473,22 @@ object Dedup {
     * side joins straight from its staged 8-byte signatures. Emits
     * Hamming-verified pairs involving at least one fresh doc. Fails
     * loudly if the index was built under a different chunk layout. */
+  /** Chunk layout of a staged SimHash index, (dir, meta-mtime)-keyed
+    * like [[metaCache]] — the same per-sweep-eager-job-to-lookup trade,
+    * and the same stale-rebuild protection. */
+  private val simhashMetaCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Int]
+  private def simhashIndexChunks(spark: SparkSession, indexDir: String): Int = {
+    val stamp = Tables.pathStamp(spark, s"$indexDir/meta")
+    simhashMetaCache.filterInPlace { case ((d, st), _) => d != indexDir || st == stamp }
+    simhashMetaCache.getOrElseUpdate((indexDir, stamp),
+      spark.read.parquet(s"$indexDir/meta").head().getInt(0))
+  }
+
   def simhashPairsIndexed(spark: SparkSession, indexDir: String,
       newDocs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = MaxBucketAllPairs): DataFrame = {
-    val chunks = spark.read.parquet(s"$indexDir/meta").head().getInt(0)
+    val chunks = simhashIndexChunks(spark, indexDir)
     require(chunks == SimhashChunks,
       s"index at $indexDir was built with $chunks chunks; this build uses " +
         s"$SimhashChunks — rebuild the index (bucket guarantees differ)")
@@ -703,7 +715,7 @@ object Dedup {
     require(centroids.nonEmpty, s"no vectors with vec_id < $nCentroids")
     val cells = e.select($"vec_id", $"embedding",
       VectorFunctions.nearestCentroid($"embedding", centroids).as("cell"))
-    semanticFromCells(cells, threshold, None)
+    semanticFromCells(cells, threshold, checkpointDir)
   }
 
   /** DuckDB twin of [[dedupSemanticFixed]]: pinned centroids → argmin
@@ -800,11 +812,27 @@ object Dedup {
       .filter(col("cnt") > 1)
       .select(col("id"), col("pos"))
     val wd = Window.partitionBy(col("id")).orderBy(col("pos"))
-    flagged
+    val islands = flagged
       .withColumn("grp", col("pos") - row_number().over(wd))
       .groupBy(col("id"), col("grp"))
-      .agg(min(col("pos")).cast("long").as("start_tok"),
-        (max(col("pos")) + l).cast("long").as("end_tok"))
+      .agg(min(col("pos")).cast("long").as("s"),
+        (max(col("pos")) + l).cast("long").as("e"))
+    // Second merge pass over TOKEN intervals: two flagged-POSITION
+    // islands separated by a gap of fewer than l positions cover
+    // overlapping token ranges (each position's window spans l tokens),
+    // and abutting ranges describe one contiguous covered region — so
+    // coalesce any interval that starts at or before the running max
+    // end. Output ranges are maximal disjoint covered intervals;
+    // without this, n_tokens would double-count the overlap and range
+    // consumers could not assume disjointness.
+    val ws = Window.partitionBy(col("id")).orderBy(col("s"))
+    val wprev = ws.rowsBetween(Window.unboundedPreceding, -1)
+    islands
+      .withColumn("brk",
+        when(col("s") > max(col("e")).over(wprev), 1).otherwise(0))
+      .withColumn("mgrp", sum(col("brk")).over(ws))
+      .groupBy(col("id"), col("mgrp"))
+      .agg(min(col("s")).as("start_tok"), max(col("e")).as("end_tok"))
       .select(col("id").as(idCol), col("start_tok"), col("end_tok"),
         (col("end_tok") - col("start_tok")).as("n_tokens"))
       .orderBy(col(idCol), col("start_tok"))
@@ -897,9 +925,23 @@ object Dedup {
       |r AS (
       |  SELECT doc_id, pos,
       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-      |  FROM f)
-      |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
-      |  CAST(MAX(pos) + 13 AS BIGINT) AS end_tok,
-      |  CAST(MAX(pos) + 13 - MIN(pos) AS BIGINT) AS n_tokens
-      |FROM r GROUP BY doc_id, grp ORDER BY doc_id, start_tok""".stripMargin
+      |  FROM f),
+      |rng AS (
+      |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 13 AS e
+      |  FROM r GROUP BY doc_id, grp),
+      |m AS (
+      |  SELECT doc_id, s, e,
+      |    CASE WHEN s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |    THEN 1 ELSE 0 END AS brk
+      |  FROM rng),
+      |g2 AS (
+      |  SELECT doc_id, s, e,
+      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mgrp
+      |  FROM m)
+      |SELECT doc_id, CAST(MIN(s) AS BIGINT) AS start_tok,
+      |  CAST(MAX(e) AS BIGINT) AS end_tok,
+      |  CAST(MAX(e) - MIN(s) AS BIGINT) AS n_tokens
+      |FROM g2 GROUP BY doc_id, mgrp ORDER BY doc_id, start_tok""".stripMargin
 }

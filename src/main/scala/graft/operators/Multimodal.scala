@@ -108,6 +108,19 @@ object Multimodal {
       payload.grouped(frameSize)
   }
 
+  /** FNV-1a over raw bytes — the ONE frame-content hash shared by the
+    * sampling and feature pipelines, so "identical frames collide"
+    * holds across both (a drifted copy of the constants would silently
+    * break that property). */
+  private[operators] def fnv1a(bytes: Array[Byte]): Long = {
+    var h = 1469598103934665603L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xff)) * 1099511628211L; i += 1
+    }
+    h
+  }
+
   /** Frame sampling: decode each payload, keep every `stride`-th frame,
     * emit (media_id, frame_idx, byte_offset, frame_bytes, frame_hash).
     * Map-only (no shuffle); decoder instantiated once per partition. */
@@ -119,12 +132,8 @@ object Multimodal {
       rows.flatMap { case (id, payload) =>
         decoder.decode(payload).zipWithIndex.collect {
           case (frame, idx) if idx % stride == 0 =>
-            var h = 1469598103934665603L // FNV-1a over frame bytes
-            var i = 0
-            while (i < frame.length) {
-              h = (h ^ (frame(i) & 0xff)) * 1099511628211L; i += 1
-            }
-            SampledFrame(id, idx, idx.toLong * frameSize, frame.length, h)
+            SampledFrame(id, idx, idx.toLong * frameSize, frame.length,
+              fnv1a(frame))
         }
       }
     }
@@ -158,23 +167,22 @@ object Multimodal {
     * CLIP-style embedding would. */
   final class StubExtractor(dim: Int) extends FeatureExtractor {
     override def extract(frame: Array[Byte]): Array[Float] = {
-      var h = 1469598103934665603L
-      var i = 0
-      while (i < frame.length) {
-        h = (h ^ (frame(i) & 0xff)) * 1099511628211L; i += 1
-      }
+      val h = fnv1a(frame)
       val out = new Array[Float](dim)
       var s = h
       var norm = 0.0
-      i = 0
+      var i = 0
       while (i < dim) {
         s += -7046029254386353131L // splitmix64 increment
         var z = s
         z = (z ^ (z >>> 30)) * -4658895280553007687L
         z = (z ^ (z >>> 27)) * -7723592293110705685L
         z = z ^ (z >>> 31)
-        // map to [-1, 1); keep the arithmetic integer-exact up to here
-        out(i) = (z >>> 11).toFloat / (1L << 52).toFloat * 2f - 1f
+        // map the 53-bit value to [-1, 1); keep the arithmetic
+        // integer-exact up to here — components must center on 0 or
+        // every normalized vector lands in the positive orthant and
+        // unrelated frames stop being discriminable by cosine
+        out(i) = (z >>> 11).toFloat / (1L << 53).toFloat * 2f - 1f
         norm += out(i).toDouble * out(i)
         i += 1
       }

@@ -125,14 +125,17 @@ object Similarity {
     * embedding). Same shape as [[annBruteTopK]] — queries broadcast,
     * corpus map-only until the bounded top-k — with the pair ceiling
     * enforced from two count jobs (metadata-only on parquet-backed
-    * frames; callers with a hot loop should pre-count and guard
-    * themselves). `excludeSelf` drops vec_id == query_id pairs — turn
+    * frames; pass `knownPairs` to skip them — for inputs with an
+    * expensive lineage, e.g. a decode+embed pipeline, the two count
+    * jobs would re-execute it, so pre-count once or persist the inputs
+    * first). `excludeSelf` drops vec_id == query_id pairs — turn
     * it off when the id spaces are unrelated (frame ids vs corpus
     * ids), where equal ids are a coincidence, not identity. */
   def bruteTopKFrames(corpus: DataFrame, queries: DataFrame,
-      k: Int = AnnK, excludeSelf: Boolean = true): DataFrame = {
+      k: Int = AnnK, excludeSelf: Boolean = true,
+      knownPairs: Option[Long] = None): DataFrame = {
     val q = queries.select(col("query_id"), col("embedding").as("qe"))
-    val pairs = corpus.count() * q.count()
+    val pairs = knownPairs.getOrElse(corpus.count() * q.count())
     require(pairs <= BruteForceMaxPairs,
       s"brute-force ANN would score $pairs pairs (> $BruteForceMaxPairs); " +
         "bucket the corpus (annLsh / annIvf shapes) instead")
@@ -322,7 +325,10 @@ object Similarity {
     // tests exercise the full quantizer machinery while keeping cell
     // geometry out of their assertions.
     if (nCells == 1) {
-      val dim = e.select(size(col("embedding"))).head.getInt(0)
+      val dim = e.select(size(col("embedding"))).limit(1).collect()
+        .headOption.map(_.getInt(0))
+        .getOrElse(throw new IllegalArgumentException(
+          "cannot derive a centroid dimension from an empty corpus"))
       Array(Array.fill(dim)(0.0))
     } else {
       import org.apache.spark.ml.clustering.KMeans

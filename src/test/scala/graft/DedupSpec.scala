@@ -317,6 +317,23 @@ class DedupSpec extends SparkSpec {
       s"within-doc repeat should yield both maximal ranges: ${runs.toSeq}")
   }
 
+  test("substring dedup: overlapping islands merge into one covered range") {
+    // A shares w1..w30 with B and w16..w40 with C: A's flagged position
+    // islands {0..5} and {15} cover token ranges [0,30) and [15,40),
+    // which OVERLAP on [15,30) — they must coalesce to one [0,40) range
+    // (n_tokens 40, not a double-counted 30+25)
+    def w(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, w(1 to 40, "w")),
+      (2L, w(1 to 30, "w") + " " + w(1 to 10, "b")),
+      (3L, w(1 to 5, "c") + " " + w(16 to 40, "w")),
+    ).toDF("doc_id", "text")
+    val runs = Dedup.substrDupRanges(docs, "doc_id", "text", l = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(runs.toSet === Set((1L, 0L, 40L, 40L), (2L, 0L, 30L, 30L), (3L, 5L, 30L, 25L)),
+      s"overlapping covered ranges must merge: ${runs.toSeq}")
+  }
+
   test("substring scrub: flagged run cut from every doc, clean docs intact") {
     val shared = (1 to 60).map(i => s"tok$i").mkString(" ")
     val docs = Seq(

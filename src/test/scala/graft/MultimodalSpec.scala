@@ -68,6 +68,12 @@ class MultimodalSpec extends SparkSpec {
       .collect().filter(_.media_id == 1L).sortBy(_.frame_idx)
       .map(_.feature.toSeq).toSeq
     assert(again === f1)
+    // components must center on ~0: a biased map (e.g. [-1, 3)) puts
+    // every normalized vector in the positive orthant and unrelated
+    // frames stop being cosine-discriminable
+    val comps = feats.values.flatten.flatMap(_.feature).toSeq
+    val mean = comps.map(_.toDouble).sum / comps.size
+    assert(math.abs(mean) < 0.25, s"feature components biased: mean=$mean")
   }
 
   test("resize: real byte loop matches the claimed ceil(n/4) geometry") {
