@@ -26,6 +26,49 @@ class PropertySpec extends SparkSpec {
     } yield (key, id, score))
   } yield rows
 
+  private val docsGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(2, 12)
+    // small vocabulary + short docs force duplicated runs to appear
+    docs <- Gen.listOfN(n, for {
+      len <- Gen.choose(0, 60)
+      toks <- Gen.listOfN(len, Gen.oneOf("aa", "bb", "cc", "dd"))
+    } yield toks.mkString(" "))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("property: substring ranges disjoint+ordered, scrub accounts every token") {
+    for (seed <- 1L to 6L) {
+      val docs = sample(docsGen, seed).toDF("doc_id", "text")
+      val l = 5
+      val nTokens = docs
+        .select($"doc_id", size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).cast("long"))
+        .as[(Long, Long)].collect().toMap
+      val ranges = graft.operators.Dedup.substrDupRanges(docs, "doc_id", "text", l)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      ranges.groupBy(_._1).foreach { case (id, rs) =>
+        val sorted = rs.sortBy(_._2)
+        // maximal disjoint covered intervals: ordered, length >= l,
+        // inside the doc, with a real gap between consecutive ranges
+        sorted.foreach { case (_, s, e) =>
+          assert(s >= 0 && e <= nTokens(id) && e - s >= l, s"bad range ($s,$e) seed=$seed")
+        }
+        sorted.sliding(2).foreach {
+          case Array((_, _, e1), (_, s2, _)) =>
+            assert(s2 > e1, s"ranges overlap or abut: $sorted seed=$seed")
+          case _ =>
+        }
+      }
+      // C19 <-> C19b accounting: kept tokens == total minus covered
+      val covered = ranges.groupBy(_._1).view
+        .mapValues(_.map(r => r._3 - r._2).sum).toMap
+      graft.operators.Dedup.substrScrub(docs, "doc_id", "text", l)
+        .collect().foreach { r =>
+          val id = r.getLong(0)
+          assert(r.getLong(1) === nTokens(id) - covered.getOrElse(id, 0L),
+            s"scrub kept-count drifted from ranges for doc $id seed=$seed")
+        }
+    }
+  }
+
   test("property: TopKPerKey equals sort-based top-k on arbitrary data") {
     for (seed <- 1L to 6L) {
       val data = sample(rowsGen, seed).distinctBy(r => (r._1, r._2))
