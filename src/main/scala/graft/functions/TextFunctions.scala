@@ -189,6 +189,46 @@ object TextFunctions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** POSITIONAL `n`-token window hashes: same token-prehash + chained
+    * hashLong kernel as [[ShingleHashes]], but IN TEXT ORDER with
+    * duplicates kept — element i is the hash of the window starting at
+    * token i, so `posexplode` yields true text positions. This is the
+    * primitive exact-substring dedup needs (runs are position ranges;
+    * the distinct SET the MinHash family uses destroys both position
+    * and multiplicity). Docs shorter than `n` yield an EMPTY array — a
+    * doc with no n-window has no positional grams (unlike the set
+    * variant's whole-doc fallback, which answers a different question).
+    * One tight primitive loop per row; the SQL-lambda equivalent
+    * (transform + aggregate + slice) runs interpreted with boxed longs. */
+  case class PositionalShingleHashes(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isStringArray(child.dataType) && n >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("positional_shingle_hashes needs array<string>, n>=1")
+
+    override def nullSafeEval(a: Any): Any = {
+      val toks = a.asInstanceOf[ArrayData]
+      val len = toks.numElements()
+      if (len < n) return new GenericArrayData(Array.emptyLongArray)
+      val tokHash = new Array[Long](len)
+      var i = 0
+      while (i < len) { tokHash(i) = XXH64.hashUTF8String(toks.getUTF8String(i), 11L); i += 1 }
+      val out = new Array[Long](len - n + 1)
+      var s = 0
+      while (s + n <= len) {
+        var h = 0L
+        var j = 0
+        while (j < n) { h = XXH64.hashLong(tokHash(s + j), h); j += 1 }
+        out(s) = h
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Character n-gram language profile score against a fixed profile of
     * distinctive character sequences per language. Returns the argmax
     * language code. A heuristic n-gram language identifier: real
@@ -243,4 +283,7 @@ object TextFunctions {
 
   def shingleHashes(tokens: Column, n: Int): Column =
     GraftColumn.apply(ShingleHashes(GraftColumn.expression(tokens), n))
+
+  def positionalShingleHashes(tokens: Column, n: Int): Column =
+    GraftColumn.apply(PositionalShingleHashes(GraftColumn.expression(tokens), n))
 }

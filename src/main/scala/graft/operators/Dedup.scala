@@ -778,10 +778,10 @@ object Dedup {
     * > 1 time corpus-wide. So: hash every l-token window IN TEXT ORDER
     * (the family's [[graft.functions.TextFunctions.shingleHashes]] is
     * deliberately a distinct SET — the wrong primitive here, since runs
-    * need positions and within-doc multiplicity; instead tokens are
-    * pre-hashed once and each window chains them through the builtin
-    * xxhash64, O(len·l) cheap long mixes per doc), count occurrences
-    * per gram, keep positions whose gram repeats, and merge consecutive
+    * need positions and within-doc multiplicity; the positional twin
+    * [[graft.functions.TextFunctions.PositionalShingleHashes]] keeps
+    * both — one primitive loop per doc), count occurrences per gram,
+    * keep positions whose gram repeats, and merge consecutive
     * positions per doc (gaps-and-islands) into maximal ranges
     * [start_tok, end_tok).
     *
@@ -797,13 +797,8 @@ object Dedup {
     require(l >= 1)
     val grams = docs
       .select(col(idCol).as("id"), TextAnalysis.tokens(textCol).as("toks"))
-      .filter(size(col("toks")) >= l)
-      .withColumn("th", expr("transform(toks, t -> xxhash64(t))"))
       .select(col("id"),
-        posexplode(expr(
-          s"""transform(sequence(0, size(th) - $l),
-             |  s -> aggregate(slice(th, s + 1, $l),
-             |       cast(17 as bigint), (acc, x) -> xxhash64(acc, x)))""".stripMargin))
+        posexplode(TextFunctions.positionalShingleHashes(col("toks"), l))
           .as(Seq("pos", "g")))
     val wg = Window.partitionBy(col("g"))
     val flagged = grams

@@ -284,6 +284,26 @@ class DedupSpec extends SparkSpec {
     assert(again.toSeq === out.toSeq)
   }
 
+  test("positional shingle kernel: text order, duplicates kept, short docs empty") {
+    import graft.functions.TextFunctions
+    val df = Seq(
+      (1L, Seq("a", "b", "a", "b", "a")), // windows: ab ba ab ba — dups kept
+      (2L, Seq("a")),                     // shorter than n → EMPTY
+    ).toDF("id", "toks")
+    val out = df.select($"id",
+        TextFunctions.positionalShingleHashes($"toks", 2).as("ph"),
+        TextFunctions.shingleHashes($"toks", 2).as("sh"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getSeq[Long](2)))).toMap
+    val (ph, sh) = out(1L)
+    assert(ph.length === 4, "one hash per window, in order, duplicates kept")
+    assert(ph(0) === ph(2) && ph(1) === ph(3), "equal windows must hash equal")
+    assert(ph(0) !== ph(1))
+    // positional values are exactly the set variant's members
+    assert(ph.toSet === sh.toSet, "positional and set kernels disagree")
+    assert(out(2L)._1.isEmpty, "doc shorter than n has no positional grams")
+  }
+
   test("substring dedup: planted 60-token shared run flagged in both docs") {
     val shared = (1 to 60).map(i => s"tok$i").mkString(" ")
     // doc 1: 4 unique tokens, the shared run at positions 4..63, 3 more
