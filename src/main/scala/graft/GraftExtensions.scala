@@ -49,6 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("shingle_hashes",
       args => TextFunctions.ShingleHashes(args(0),
         args(1).eval().asInstanceOf[Int])))
+    e.injectFunction(fn("positional_shingle_hashes",
+      args => TextFunctions.PositionalShingleHashes(args(0),
+        args(1).eval().asInstanceOf[Int])))
     e.injectFunction(fn("rolling_hash_min",
       args => TextFunctions.RollingHashMin(args(0),
         args(1).eval().asInstanceOf[Int])))

@@ -263,6 +263,12 @@ class ScaleSpec extends SparkSpec {
       "SELECT simhash64(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) h FROM docs LIMIT 3")
       .collect()
     assert(sh.length === 3)
+    // round-5 registration: the positional shingle kernel — one hash
+    // per window in text order, so size = tokens - n + 1
+    val ps = spark.sql(
+      "SELECT size(positional_shingle_hashes(array('a','b','c','d'), 2))")
+      .head().getInt(0)
+    assert(ps === 3)
     // round-3 registrations: layout kernel + heavy-hitters aggregate
     val z = spark.sql("SELECT interleave_bits(3L, 5L)").head().getLong(0)
     assert(z === 39L)
