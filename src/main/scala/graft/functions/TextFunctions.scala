@@ -162,19 +162,14 @@ object TextFunctions {
     override def nullSafeEval(a: Any): Any = {
       val toks = a.asInstanceOf[ArrayData]
       val len = toks.numElements()
-      val tokHash = new Array[Long](len)
-      var i = 0
-      while (i < len) { tokHash(i) = XXH64.hashUTF8String(toks.getUTF8String(i), 11L); i += 1 }
+      val tokHash = prehashTokens(toks)
       val w = math.min(n, math.max(len, 1))
       val out = new java.util.HashSet[java.lang.Long]()
       if (len == 0) out.add(0L)
       else {
         var s = 0
         while (s + w <= len) {
-          var h = 0L
-          var j = 0
-          while (j < w) { h = XXH64.hashLong(tokHash(s + j), h); j += 1 }
-          out.add(h)
+          out.add(windowHash(tokHash, s, w))
           s += 1
         }
       }
@@ -187,6 +182,32 @@ object TextFunctions {
     }
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** The ONE shingle-kernel prehash: token-wise xxhash64 with seed 11.
+    * Shared by the set and positional variants — their values MUST stay
+    * bit-identical (specs assert set(positional) == set variant). Null
+    * elements (legal in SQL array literals; the tokenizer never emits
+    * them) hash to the bare seed, mirroring builtin xxhash64(NULL),
+    * instead of an executor NPE. */
+  private def prehashTokens(toks: ArrayData): Array[Long] = {
+    val len = toks.numElements()
+    val out = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      out(i) = if (toks.isNullAt(i)) 11L
+        else XXH64.hashUTF8String(toks.getUTF8String(i), 11L)
+      i += 1
+    }
+    out
+  }
+
+  /** Chained window hash over prehashed tokens [s, s+w). */
+  private def windowHash(tokHash: Array[Long], s: Int, w: Int): Long = {
+    var h = 0L
+    var j = 0
+    while (j < w) { h = XXH64.hashLong(tokHash(s + j), h); j += 1 }
+    h
   }
 
   /** POSITIONAL `n`-token window hashes: same token-prehash + chained
@@ -211,16 +232,11 @@ object TextFunctions {
       val toks = a.asInstanceOf[ArrayData]
       val len = toks.numElements()
       if (len < n) return new GenericArrayData(Array.emptyLongArray)
-      val tokHash = new Array[Long](len)
-      var i = 0
-      while (i < len) { tokHash(i) = XXH64.hashUTF8String(toks.getUTF8String(i), 11L); i += 1 }
+      val tokHash = prehashTokens(toks)
       val out = new Array[Long](len - n + 1)
       var s = 0
       while (s + n <= len) {
-        var h = 0L
-        var j = 0
-        while (j < n) { h = XXH64.hashLong(tokHash(s + j), h); j += 1 }
-        out(s) = h
+        out(s) = windowHash(tokHash, s, n)
         s += 1
       }
       new GenericArrayData(out)

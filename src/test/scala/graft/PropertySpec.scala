@@ -39,8 +39,11 @@ class PropertySpec extends SparkSpec {
     for (seed <- 1L to 6L) {
       val docs = sample(docsGen, seed).toDF("doc_id", "text")
       val l = 5
+      // the SAME tokenizer the operators use — an inlined regex copy
+      // would drift if the shared definition ever changes
       val nTokens = docs
-        .select($"doc_id", size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).cast("long"))
+        .select($"doc_id",
+          size(graft.operators.TextAnalysis.tokens("text")).cast("long"))
         .as[(Long, Long)].collect().toMap
       val ranges = graft.operators.Dedup.substrDupRanges(docs, "doc_id", "text", l)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -269,6 +269,12 @@ class ScaleSpec extends SparkSpec {
       "SELECT size(positional_shingle_hashes(array('a','b','c','d'), 2))")
       .head().getInt(0)
     assert(ps === 3)
+    // SQL arrays admit null elements (the tokenizer never emits them):
+    // the kernel must hash them to the seed, not NPE in the executor
+    val psNull = spark.sql(
+      "SELECT size(positional_shingle_hashes(array('a', CAST(NULL AS STRING), 'b'), 2))")
+      .head().getInt(0)
+    assert(psNull === 2)
     // round-3 registrations: layout kernel + heavy-hitters aggregate
     val z = spark.sql("SELECT interleave_bits(3L, 5L)").head().getLong(0)
     assert(z === 39L)
