@@ -318,6 +318,39 @@ object Dedup {
     } finally shingled.unpersist(false)
   }
 
+  /** COMPACT a staged LSH index into a fresh directory: many appended
+    * `batch=` partitions fold back into one `base` set. Weekly appends
+    * each add a partition of small files — after a year the probe pays
+    * ~50 partition listings and the file count of 52 small writes;
+    * compaction restores the single-partition layout (and large files)
+    * without re-tokenizing anything. FUNCTIONAL: writes to `dstDir`,
+    * never mutates `srcDir` — a crash mid-compact leaves the live index
+    * untouched (swap = point the next sweep at dst, then delete src);
+    * an in-place rewrite would corrupt the index it failed over.
+    * Params ride over via the meta copy, so probes of dst cannot
+    * drift from what built src. */
+  def compactLshIndex(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+    import spark.implicits._
+    require(srcDir != dstDir, "compaction is functional: dst must differ from src")
+    val (shingleSize, numHashes, bands) = indexMeta(spark, srcDir)
+    spark.read.parquet(s"$srcDir/bands")
+      .select(col("id"), col("band"), col("bucket"))
+      .withColumn("batch", lit("base"))
+      .repartition(col("band"))
+      .write.mode("overwrite").partitionBy("batch", "band")
+      .parquet(s"$dstDir/bands")
+    spark.read.parquet(s"$srcDir/shingles")
+      .select(col("id"), col("sh"))
+      .withColumn("batch", lit("base"))
+      .write.mode("overwrite").partitionBy("batch")
+      .parquet(s"$dstDir/shingles")
+    Seq((shingleSize, numHashes, bands))
+      .toDF("shingle_size", "num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dstDir/meta")
+    metaCache.put((dstDir, Tables.pathStamp(spark, s"$dstDir/meta")),
+      (shingleSize, numHashes, bands))
+  }
+
   /** Temp dirs of superseded index versions, reaped at JVM exit (live
     * lazy plans may still reference them until then). */
   private val staleIndexDirs =
@@ -511,6 +544,24 @@ object Dedup {
       .withColumn("batch", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch").parquet(s"$indexDir/sigs")
+  }
+
+  /** Compact a staged SimHash index — [[compactLshIndex]]'s twin for
+    * the signature table (same functional crash-safety, same meta
+    * carry-over). */
+  def compactSimhashIndex(spark: SparkSession, srcDir: String,
+      dstDir: String): Unit = {
+    import spark.implicits._
+    require(srcDir != dstDir, "compaction is functional: dst must differ from src")
+    val chunks = simhashIndexChunks(spark, srcDir)
+    spark.read.parquet(s"$srcDir/sigs")
+      .select(col("id"), col("sig"))
+      .withColumn("batch", lit("base"))
+      .write.mode("overwrite").partitionBy("batch")
+      .parquet(s"$dstDir/sigs")
+    Seq(chunks).toDF("chunks")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dstDir/meta")
+    simhashMetaCache.put((dstDir, Tables.pathStamp(spark, s"$dstDir/meta")), chunks)
   }
 
   /** SimHash index dirs keyed by (corpus dir, mtime), mirroring

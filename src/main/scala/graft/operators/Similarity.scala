@@ -409,6 +409,26 @@ object Similarity {
       .partitionBy("batch", "cell").parquet(s"$indexDir/vectors")
   }
 
+  /** Compact a staged IVF index — the `Dedup.compactLshIndex` pattern
+    * for the vector table: appended `batch=` partitions fold into one
+    * `base` set per cell (restoring large files and single-listing
+    * probes), the centroid table copies over UNCHANGED (cell
+    * assignments were made with it — recomputing anything here would
+    * be wrong). Functional: writes only to `dstDir`, so a crash leaves
+    * the live index untouched; swap and delete src afterwards. */
+  def compactIvfIndex(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+    import spark.implicits._
+    require(srcDir != dstDir, "compaction is functional: dst must differ from src")
+    spark.read.parquet(s"$srcDir/vectors")
+      .select($"vec_id", $"embedding", $"cell")
+      .withColumn("batch", lit("base"))
+      .repartition($"cell")
+      .write.mode("overwrite").partitionBy("batch", "cell")
+      .parquet(s"$dstDir/vectors")
+    spark.read.parquet(s"$srcDir/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dstDir/centroids")
+  }
+
   /** Query a persisted IVF index: rank centroids per query (tiny), then
     * scan ONLY the probed `cell=` partitions. The probed cell set is
     * collected to the driver (≤ nProbe · queries ints — that is what

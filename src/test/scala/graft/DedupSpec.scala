@@ -150,6 +150,18 @@ class DedupSpec extends SparkSpec {
     assert(swept.toSet === Set((100L, 600L), (101L, 600L)),
       s"append-then-probe missed last week's near-dup or duplicated rows: ${swept.toSeq}")
     assert(swept.length === 2, s"retried append duplicated pairs: ${swept.toSeq}")
+    // compaction folds the appended batches into one base partition set
+    // in a FRESH dir; probes of the compacted index are identical
+    val cdir = java.nio.file.Files.createTempDirectory("graft-lsh-compact")
+      .toString + "/idx"
+    Dedup.compactLshIndex(spark, dir, cdir)
+    val sweptC = Dedup.minhashPairsIndexed(spark, cdir, nextWeek, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sweptC.toSet === swept.toSet, "compacted index probe diverged")
+    val batchDirs = new java.io.File(s"$cdir/bands").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(batchDirs === Set("batch=base"),
+      s"compaction left multiple batch partitions: $batchDirs")
   }
 
   test("persisted SimHash index: incremental sweep matches the in-memory pairs") {
@@ -187,6 +199,12 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(swept.toSet === Set((100L, 600L), (101L, 600L)),
       s"append-then-probe missed last week's near-dup or duplicated rows: ${swept.toSeq}")
+    val cdir = java.nio.file.Files.createTempDirectory("graft-sim-compact")
+      .toString + "/idx"
+    Dedup.compactSimhashIndex(spark, dir, cdir)
+    val sweptC = Dedup.simhashPairsIndexed(spark, cdir, nextWeek, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sweptC.toSet === swept.toSet, "compacted SimHash index probe diverged")
   }
 
   test("dedup_simhash_indexed driver query: every pair touches the fresh batch") {

@@ -134,6 +134,18 @@ class SimilaritySpec extends SparkSpec {
     val top0 = res.filter(_._1 == 0L).minBy(_._2)
     assert(top0._3 === 9999991L && top0._4 === 1.0,
       s"appended twin not query 0's top-1: $top0")
+    // compaction: batches fold into batch=base in a fresh dir with the
+    // SAME centroids; search results are identical
+    val cdir = java.nio.file.Files.createTempDirectory("graft-ivf-compact")
+      .toString + "/idx"
+    Similarity.compactIvfIndex(spark, idxDir, cdir)
+    val resC = Similarity.annIvfIndexed(spark, cdir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(resC.toSeq === res.toSeq, "compacted IVF index search diverged")
+    val batchDirs = new java.io.File(s"$cdir/vectors").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(batchDirs === Set("batch=base"),
+      s"IVF compaction left multiple batch partitions: $batchDirs")
   }
 
   test("int8 ANN: self-similarity ~1, small per-pair error, high recall vs exact") {
