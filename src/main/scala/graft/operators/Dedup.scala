@@ -270,16 +270,35 @@ object Dedup {
       newDocs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, maxBucket: Int = MaxBucketAllPairs): DataFrame = {
     val (shingleSize, numHashes, bands) = indexMeta(spark, indexDir)
-    val idxBanded = spark.read.parquet(s"$indexDir/bands")
-      .select(col("id"), col("band"), col("bucket"), lit(false).as("is_new"))
-    val idxShingled = spark.read.parquet(s"$indexDir/shingles")
-      .select(col("id"), col("sh")) // drop the batch partition column
     // same one-exchange reuse as minhashPairs: the fresh batch is
-    // tokenized once, not once per consumer (banding + two verify joins)
+    // tokenized once, not once per consumer (banding + two verify joins
+    // + the prefilter build below)
     val newShingled = shingleFrame(newDocs, idCol, textCol, shingleSize)
       .repartition(col("id"))
     val newBanded = bandFrame(newShingled, numHashes, bands)
       .withColumn("is_new", lit(true))
+    // Prune the staged band scan to buckets the FRESH batch probes,
+    // map-side, before the candidate exchange: a staged bucket with no
+    // fresh member cannot emit a pair (every pair needs is_new on one
+    // side) and its bsz only governs pairs it would emit — so dropping
+    // those rows is EXACT, and Bloom false positives just ride through
+    // as pair-less bucket members. Without this the bsz/chain windows
+    // force the ENTIRE staged corpus band table through the exchange
+    // every sweep; with it the shuffle carries ~|batch|·bands buckets'
+    // worth of corpus rows plus fpp noise — the difference between
+    // re-shuffling 100 TB of index weekly and touching only probed
+    // buckets. Building the filter runs the batch banding eagerly once
+    // (the batch is the small side by construction; the filter itself
+    // is a fixed-size sketch, broadcast as task state).
+    val newKeys = newBanded.select(xxhash64(col("band"), col("bucket")).as("k"))
+    val nKeys = math.max(1L, newKeys.count())
+    val bf = newKeys.stat.bloomFilter("k", nKeys, 0.01)
+    val idxBanded = spark.read.parquet(s"$indexDir/bands")
+      .filter(graft.functions.BloomFunctions.mightContain(
+        xxhash64(col("band"), col("bucket")), bf))
+      .select(col("id"), col("band"), col("bucket"), lit(false).as("is_new"))
+    val idxShingled = spark.read.parquet(s"$indexDir/shingles")
+      .select(col("id"), col("sh")) // drop the batch partition column
     verifiedPairs(idxBanded.unionByName(newBanded),
       idxShingled.unionByName(newShingled), threshold, maxBucket)
   }
