@@ -544,10 +544,28 @@ object Dedup {
     require(chunks == SimhashChunks,
       s"index at $indexDir was built with $chunks chunks; this build uses " +
         s"$SimhashChunks — rebuild the index (bucket guarantees differ)")
-    val idx = spark.read.parquet(s"$indexDir/sigs")
-      .select(col("id"), col("sig"), lit(false).as("is_new"))
     val fresh = simhashSigs(newDocs, idCol, textCol)
       .withColumn("is_new", lit(true))
+    // Bloom-prune the staged sig scan to rows sharing at least one
+    // chunk bucket with the fresh batch — the minhashPairsIndexed
+    // prefilter adapted to the 4-key pigeonhole: a corpus row in a
+    // probed bucket ALWAYS passes (its key is the probed key — no
+    // false negatives, so probed buckets keep every member and bucket
+    // sizes stay true), a row whose four buckets are all fresh-free
+    // could only emit corpus×corpus pairs (filtered anyway), and fp
+    // survivors are inert. The per-sweep exchange then carries probed
+    // buckets, not the whole staged corpus.
+    val bits = 64 / SimhashChunks
+    val freshKeys = fresh.select(simhashChunkCols.as(Seq("chunk", "cval")))
+      .select(xxhash64(col("chunk"), col("cval")).as("k"))
+    val bf = freshKeys.stat.bloomFilter("k", math.max(1L, freshKeys.count()), 0.01)
+    val keep = (0 until SimhashChunks).map { c =>
+      graft.functions.BloomFunctions.mightContain(
+        xxhash64(lit(c), expr(s"(sig >> ${c * bits}) & ${(1L << bits) - 1}")), bf)
+    }.reduce(_ || _)
+    val idx = spark.read.parquet(s"$indexDir/sigs")
+      .filter(keep)
+      .select(col("id"), col("sig"), lit(false).as("is_new"))
     verifiedSimhashPairs(idx.unionByName(fresh), maxHamming, maxBucket)
   }
 
