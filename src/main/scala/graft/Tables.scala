@@ -69,6 +69,22 @@ object Tables {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
 
+  /** Canonical identity of a data path: qualified through the Hadoop
+    * FileSystem (scheme + authority + working-dir resolution), and for
+    * the local scheme additionally java.io-canonicalized (symlinks,
+    * `..` segments). Guards that compare paths for identity — e.g.
+    * "compaction must not write over its own source" — need this;
+    * a raw string compare waves through two spellings of one
+    * directory. */
+  def canonicalPath(s: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val q = fs.makeQualified(p)
+    if (q.toUri.getScheme == "file")
+      new java.io.File(q.toUri.getPath).getCanonicalPath
+    else q.toString
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 

@@ -270,11 +270,19 @@ object Dedup {
       newDocs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, maxBucket: Int = MaxBucketAllPairs): DataFrame = {
     val (shingleSize, numHashes, bands) = indexMeta(spark, indexDir)
-    // same one-exchange reuse as minhashPairs: the fresh batch is
-    // tokenized once, not once per consumer (banding + two verify joins
-    // + the prefilter build below)
+    // The fresh batch is tokenized + shingled ONCE and PINNED (eager
+    // localCheckpoint): the prefilter build below, the banding, and
+    // both verify joins all read the pinned blocks. The pin is also a
+    // CORRECTNESS anchor, not just dedup of work — the prefilter runs
+    // as its own jobs before the sweep executes, so a nondeterministic
+    // `newDocs` source (unseeded sample, directory gaining files)
+    // would otherwise probe with one batch and sweep with another,
+    // silently losing pairs whose buckets the earlier evaluation never
+    // saw. Blocks are batch-sized (the small side by construction) and
+    // released when the returned plan is collected.
     val newShingled = shingleFrame(newDocs, idCol, textCol, shingleSize)
       .repartition(col("id"))
+      .localCheckpoint(true)
     val newBanded = bandFrame(newShingled, numHashes, bands)
       .withColumn("is_new", lit(true))
     // Prune the staged band scan to buckets the FRESH batch probes,
@@ -287,9 +295,8 @@ object Dedup {
     // every sweep; with it the shuffle carries ~|batch|·bands buckets'
     // worth of corpus rows plus fpp noise — the difference between
     // re-shuffling 100 TB of index weekly and touching only probed
-    // buckets. Building the filter runs the batch banding eagerly once
-    // (the batch is the small side by construction; the filter itself
-    // is a fixed-size sketch, broadcast as task state).
+    // buckets. The filter itself is a fixed-size sketch riding along
+    // as task state.
     val newKeys = newBanded.select(xxhash64(col("band"), col("bucket")).as("k"))
     val nKeys = math.max(1L, newKeys.count())
     val bf = newKeys.stat.bloomFilter("k", nKeys, 0.01)
@@ -297,8 +304,19 @@ object Dedup {
       .filter(graft.functions.BloomFunctions.mightContain(
         xxhash64(col("band"), col("bucket")), bf))
       .select(col("id"), col("band"), col("bucket"), lit(false).as("is_new"))
+    // Prune the FAT side too: the shingle table only serves candidate
+    // verification, and every corpus id a candidate can reference
+    // appears in the PRUNED band scan — a LAZY left-semi on those ids
+    // cuts the full-corpus shingle scan to probed-bucket members with
+    // zero extra driver jobs (an eager Bloom here would re-scan the
+    // staged bands twice per sweep just to build it). AQE broadcasts
+    // the probed-id side when it is small — the weekly-batch regime —
+    // making the pruning a map-side hash probe; past broadcast size it
+    // degrades to a shuffle semi, never worse than the unpruned join.
+    val probedIds = idxBanded.select(col("id")).distinct()
     val idxShingled = spark.read.parquet(s"$indexDir/shingles")
       .select(col("id"), col("sh")) // drop the batch partition column
+      .join(probedIds, Seq("id"), "left_semi")
     verifiedPairs(idxBanded.unionByName(newBanded),
       idxShingled.unionByName(newShingled), threshold, maxBucket)
   }
@@ -350,7 +368,11 @@ object Dedup {
     * drift from what built src. */
   def compactLshIndex(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
     import spark.implicits._
-    require(srcDir != dstDir, "compaction is functional: dst must differ from src")
+    // canonical compare: a raw string check would let two spellings of
+    // one directory (relative vs absolute, symlink) overwrite the live
+    // index mid-read — the exact corruption this guard exists to stop
+    require(Tables.canonicalPath(spark, srcDir) != Tables.canonicalPath(spark, dstDir),
+      "compaction is functional: dst must differ from src")
     val (shingleSize, numHashes, bands) = indexMeta(spark, srcDir)
     spark.read.parquet(s"$srcDir/bands")
       .select(col("id"), col("band"), col("bucket"))
@@ -544,8 +566,12 @@ object Dedup {
     require(chunks == SimhashChunks,
       s"index at $indexDir was built with $chunks chunks; this build uses " +
         s"$SimhashChunks — rebuild the index (bucket guarantees differ)")
+    // pinned for the same two reasons as minhashPairsIndexed's batch:
+    // one signing pass instead of three, and prefilter/sweep consistency
+    // under a nondeterministic newDocs source
     val fresh = simhashSigs(newDocs, idCol, textCol)
       .withColumn("is_new", lit(true))
+      .localCheckpoint(true)
     // Bloom-prune the staged sig scan to rows sharing at least one
     // chunk bucket with the fresh batch — the minhashPairsIndexed
     // prefilter adapted to the 4-key pigeonhole: a corpus row in a
@@ -589,7 +615,8 @@ object Dedup {
   def compactSimhashIndex(spark: SparkSession, srcDir: String,
       dstDir: String): Unit = {
     import spark.implicits._
-    require(srcDir != dstDir, "compaction is functional: dst must differ from src")
+    require(Tables.canonicalPath(spark, srcDir) != Tables.canonicalPath(spark, dstDir),
+      "compaction is functional: dst must differ from src")
     val chunks = simhashIndexChunks(spark, srcDir)
     spark.read.parquet(s"$srcDir/sigs")
       .select(col("id"), col("sig"))

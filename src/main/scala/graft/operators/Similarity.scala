@@ -418,7 +418,8 @@ object Similarity {
     * the live index untouched; swap and delete src afterwards. */
   def compactIvfIndex(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
     import spark.implicits._
-    require(srcDir != dstDir, "compaction is functional: dst must differ from src")
+    require(Tables.canonicalPath(spark, srcDir) != Tables.canonicalPath(spark, dstDir),
+      "compaction is functional: dst must differ from src")
     spark.read.parquet(s"$srcDir/vectors")
       .select($"vec_id", $"embedding", $"cell")
       .withColumn("batch", lit("base"))

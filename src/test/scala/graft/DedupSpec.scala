@@ -214,6 +214,15 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("compaction refuses equivalent spellings of the same directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-same").toString
+    val alias = dir + "/../" + new java.io.File(dir).getName
+    val e = intercept[IllegalArgumentException] {
+      Dedup.compactLshIndex(spark, dir, alias)
+    }
+    assert(e.getMessage.contains("dst must differ"), e.getMessage)
+  }
+
   test("index rebuilt at the same path: meta re-read, never served stale") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
