@@ -86,10 +86,17 @@ object SparkEntry {
     "mm_codec_stats" -> (Multimodal.mmCodecStats _),
     "mm_frame_features" -> (Multimodal.mmFrameFeatures _),
     "mm_resize" -> (Multimodal.mmResize _),
-    // A12 batch replay of the streaming state machine (same kernel)
+    // A12 batch replay of the streaming state machine (same kernel).
+    // ts → epoch micros + consec_fails → BIGINT for the oracle hash
+    // (SURVEY §4: never emit raw timestamps; match DuckDB count types).
     "mon_escalation_replay" -> ((s: SparkSession, d: String) =>
-      graft.streaming.HealthMonitor.replayBatch(s, d)
-        .orderBy("user_id", "ts").toDF()),
+      graft.streaming.HealthMonitor.replayBatch(s, d).toDF()
+        .select(org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.expr("unix_micros(ts)").as("ts_us"),
+          org.apache.spark.sql.functions.col("action"),
+          org.apache.spark.sql.functions.col("consec_fails").cast("long")
+            .as("consec_fails"))
+        .orderBy("user_id", "ts_us", "action")),
     // C+E composition: training-data curation pipeline
     "pipeline_curate" -> (Curation.pipelineCurate _),
     "pipeline_curate_full" -> (Curation.curate _),
@@ -185,5 +192,8 @@ object SparkEntry {
     "text_repetition" -> TextAnalysis.textRepetitionSql,
     "text_pii_scrub" -> TextAnalysis.textPiiScrubSql,
     "corpus_stats" -> TextAnalysis.corpusStatsSql,
+    "tfidf_top" -> TextAnalysis.tfIdfTopSql,
+    "text_lm_score" -> TextAnalysis.textLmScoreSql,
+    "mon_escalation_replay" -> graft.streaming.HealthMonitor.replaySql,
   )
 }

@@ -217,7 +217,11 @@ object Multimodal {
 
   /** Driver-facing query (rows-only; stub features are
     * engine-specific): per-frame embeddings over the documents-as-media
-    * payloads, rounded for a stable dump. */
+    * payloads. The feature vector is projected to a SORTABLE SCALAR
+    * (csv of the rounded components) because the driver's correctness
+    * harness sorts the dumped frame with pandas, which cannot hash raw
+    * array cells — [[frameFeatures]] itself keeps returning real
+    * vectors for ANN consumers. */
   def mmFrameFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val media = Tables.documents(spark, sfDir)
@@ -225,7 +229,8 @@ object Multimodal {
       .as[(Long, Array[Byte])]
     frameFeatures(media)
       .select($"media_id", $"frame_idx",
-        expr("transform(feature, x -> round(cast(x as double), 6))").as("feature"))
+        expr("array_join(transform(feature, x -> cast(round(cast(x as double), 6) as string)), ',')")
+          .as("feature_csv"))
       .orderBy($"media_id", $"frame_idx")
   }
 

@@ -124,8 +124,13 @@ object TextAnalysis {
     * doc. Emits each document's top-3 terms by tf-idf (deterministic
     * tie-break). Two aggregations over the exploded postings list —
     * the same inverted-index shape as the dedup suite, so the shuffle
-    * is bounded by corpus postings, not pairs. Rows-only: ln() is
-    * transcendental and engines' libm may differ in the last ulp. */
+    * is bounded by corpus postings, not pairs. Oracle-checked: every
+    * tfidf value is per-row arithmetic over integer (tf, df, N) — no
+    * double SUM anywhere — and Java's Math.log is bit-identical to
+    * DuckDB's ln (both correctly-rounded; probed over the full
+    * (N+1)/(df+1) input range in round 6), so the scores, the top-k
+    * selection, and the rounded output are all deterministic and
+    * engine-identical. */
   def tfIdfTop(spark: SparkSession, sfDir: String, topK: Int = 3): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
@@ -147,6 +152,25 @@ object TextAnalysis {
       .select($"doc_id", $"term", $"tf", $"df", round($"tfidf", 6).as("tfidf"))
       .orderBy($"doc_id", $"tfidf".desc, $"term")
   }
+
+  val tfIdfTopSql: String =
+    """WITH postings AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM postings GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+      |  FROM scored)
+      |SELECT doc_id, term, tf, df, ROUND(tfidf, 6) AS tfidf
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY doc_id, tfidf DESC, term""".stripMargin
 
   // ---------------------------------------------------------------- E7
   /** Repetition metrics (Gopher-style quality rules): duplicate token
@@ -296,8 +320,16 @@ object TextAnalysis {
     * score low; fluent in-distribution text scores high. Two
     * aggregations over the exploded postings (corpus LM + per-doc
     * mean) and one join on token — the same inverted-index shape as
-    * TF-IDF, shuffle bounded by postings. Rows-only: ln() is
-    * transcendental (engines differ in the last ulp). */
+    * TF-IDF, shuffle bounded by postings.
+    *
+    * Oracle-checked: the one order-sensitive double op — summing a
+    * doc's token log-probs after the term-partitioned join scrambles
+    * row order — is made order-INDEPENDENT by quantizing each term's
+    * logp to DECIMAL(28,12) before the sum (decimal addition is exact,
+    * so any arrival order yields the same sum; 1e-12 quantization is
+    * noise against the 1e-6 output rounding). ln() itself is
+    * bit-identical Java vs DuckDB (both correctly-rounded — probed
+    * over the (tf+1)/(corpus+vocab) input range in round 6). */
   def textLmScore(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
@@ -308,10 +340,11 @@ object TextAnalysis {
     val totals = tf.agg(sum($"tf").as("corpus_tokens"), count(lit(1)).as("vocab"))
     val lm = tf.crossJoin(broadcast(totals))
       .select($"term",
-        log(($"tf" + 1.0) / ($"corpus_tokens" + $"vocab")).as("logp"))
+        log(($"tf" + 1.0) / ($"corpus_tokens" + $"vocab"))
+          .cast("decimal(28,12)").as("logp"))
     val scored = postings.join(lm, Seq("term"))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tokens"), (sum($"logp") / count(lit(1))).as("s"))
+      .agg(count(lit(1)).as("n_tokens"), sum($"logp").as("slp"))
     // LEFT join from the corpus: a token-free document (punctuation/
     // emoji/CJK-only) must surface with the smoothed floor score, not
     // silently vanish from the quality sweep
@@ -319,10 +352,35 @@ object TextAnalysis {
       .crossJoin(broadcast(totals))
       .select($"doc_id",
         coalesce($"n_tokens", lit(0L)).as("n_tokens"),
-        round(coalesce($"s", log(lit(1.0) / ($"corpus_tokens" + $"vocab"))), 6)
+        round(coalesce($"slp".cast("double") / $"n_tokens",
+          log(lit(1.0) / ($"corpus_tokens" + $"vocab"))
+            .cast("decimal(28,12)").cast("double")), 6)
           .as("lm_score"))
       .orderBy($"doc_id")
   }
+
+  val textLmScoreSql: String =
+    """WITH postings AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT term, count(*) AS tf FROM postings GROUP BY term),
+      |totals AS (
+      |  SELECT CAST(sum(tf) AS BIGINT) AS corpus_tokens, count(*) AS vocab
+      |  FROM tf),
+      |lm AS (
+      |  SELECT term,
+      |    CAST(ln((tf + 1.0) / (corpus_tokens + vocab)) AS DECIMAL(28,12)) AS logp
+      |  FROM tf CROSS JOIN totals),
+      |scored AS (
+      |  SELECT doc_id, count(*) AS n_tokens, sum(logp) AS slp
+      |  FROM postings JOIN lm USING (term) GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(s.n_tokens, 0) AS n_tokens,
+      |  ROUND(COALESCE(CAST(s.slp AS DOUBLE) / s.n_tokens,
+      |    (SELECT CAST(CAST(ln(1.0 / (corpus_tokens + vocab)) AS DECIMAL(28,12))
+      |       AS DOUBLE) FROM totals)), 6) AS lm_score
+      |FROM documents d LEFT JOIN scored s USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- E5
   /** Corpus top-k word frequencies: explode + two-phase agg (partial

@@ -136,4 +136,44 @@ object HealthMonitor {
     import spark.implicits._
     replaySorted(graft.Tables.events(spark, sfDir).as[DeviceEvent])
   }
+
+  /** DuckDB twin of [[replayBatch]] — the closed form of the [[step]]
+    * kernel: within a maximal per-device error run (gaps-and-islands),
+    * escalations fire exactly at run positions 3/6/9 (levelFor is
+    * monotone in the strictly-incrementing counter, so "newLevel >
+    * level" reduces to position ∈ {3,6,9}); RECOVERED fires at the
+    * first event AFTER a run of length ≥ 3 (by run maximality that
+    * event is non-error) with the full run length — a run still open at
+    * end-of-history emits nothing, exactly like the kernel's pending
+    * state. Timestamps emitted as epoch micros per SURVEY §4. */
+  val replaySql: String =
+    """WITH seq AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts, event_id) AS rn_t
+      |  FROM events),
+      |err AS (
+      |  SELECT user_id, ts, rn, rn - rn_t AS grp,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, rn - rn_t ORDER BY rn) AS k
+      |  FROM seq WHERE event_type = 'error'),
+      |escal AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us,
+      |    CASE k WHEN 3 THEN 'SERVICE_RESTART'
+      |           WHEN 6 THEN 'USB_POWER_CYCLE'
+      |           ELSE 'REBOOT' END AS action,
+      |    k AS consec_fails
+      |  FROM err WHERE k IN (3, 6, 9)),
+      |runs AS (
+      |  SELECT user_id, grp, COUNT(*) AS run_len, MAX(rn) AS last_rn
+      |  FROM err GROUP BY user_id, grp HAVING COUNT(*) >= 3),
+      |recov AS (
+      |  SELECT r.user_id, epoch_us(s.ts) AS ts_us,
+      |    'RECOVERED' AS action, r.run_len AS consec_fails
+      |  FROM runs r
+      |  JOIN seq s ON s.user_id = r.user_id AND s.rn = r.last_rn + 1)
+      |SELECT user_id, ts_us, action, consec_fails FROM escal
+      |UNION ALL
+      |SELECT user_id, ts_us, action, consec_fails FROM recov
+      |ORDER BY user_id, ts_us, action""".stripMargin
 }
