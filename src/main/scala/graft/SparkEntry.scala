@@ -73,6 +73,7 @@ object SparkEntry {
       Dedup.dedupSemanticFixed(s, d)),
     "dedup_substring" -> (Dedup.dedupSubstring _),
     "dedup_substring_scrub" -> (Dedup.dedupSubstringScrub _),
+    "dedup_substring_drop" -> (Dedup.dedupSubstringDrop _),
     // D: similarity search
     "ann_brute_topk" -> ((s: SparkSession, d: String) => Similarity.annBruteTopK(s, d)),
     "ann_brute_int8" -> ((s: SparkSession, d: String) => Similarity.annBruteInt8(s, d)),
@@ -80,6 +81,7 @@ object SparkEntry {
     "ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "knn_join" -> ((s: SparkSession, d: String) => Similarity.knnJoin(s, d)),
     "vec_norms" -> (Similarity.vecNorms _),
+    "ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     // F: multimodal
     "mm_manifest" -> (Multimodal.mmManifest _),
     "mm_frame_sample" -> (Multimodal.mmFrameSample _),
@@ -175,6 +177,7 @@ object SparkEntry {
     "dedup_semantic_fixed" -> Dedup.dedupSemanticFixedSql,
     "dedup_substring" -> Dedup.dedupSubstringSql,
     "dedup_substring_scrub" -> Dedup.dedupSubstringScrubSql,
+    "dedup_substring_drop" -> Dedup.dedupSubstringDropSql,
     "ann_brute_topk" -> Similarity.annBruteTopKSql,
     "knn_join" -> Similarity.knnJoinSql,
     "vec_norms" -> Similarity.vecNormsSql,

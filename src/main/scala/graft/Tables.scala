@@ -38,16 +38,26 @@ object Tables {
     * stamp folds in the direct children's mtimes: object stores report
     * synthetic (often zero) directory mtimes, and HDFS directory mtime
     * doesn't change on file REwrite — the children are where truth
-    * lives. One `listStatus` per driver-side guard call is noise. */
+    * lives. Child COUNT and total LENGTH are folded in too: mtime
+    * granularity is one second on many filesystems, so a rebuild
+    * landing in the same tick at the same path would otherwise yield
+    * an identical stamp and serve stale cached params/pins (a
+    * same-tick rewrite with identical file count AND bytes remains an
+    * accepted residual risk). The mix is order-independent — the three
+    * summaries don't depend on listStatus order. One `listStatus` per
+    * driver-side guard call is noise. */
   def pathStamp(s: SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
     try {
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       val st = fs.getFileStatus(p)
-      if (st.isDirectory)
-        fs.listStatus(p).foldLeft(st.getModificationTime)(
+      if (st.isDirectory) {
+        val cs = fs.listStatus(p)
+        val maxM = cs.foldLeft(st.getModificationTime)(
           (acc, c) => math.max(acc, c.getModificationTime))
-      else st.getModificationTime
+        val bytes = cs.foldLeft(0L)((acc, c) => acc + c.getLen)
+        maxM * 1000003L + cs.length.toLong * 31L + bytes
+      } else st.getModificationTime * 1000003L + st.getLen
     } catch { case _: java.io.FileNotFoundException => 0L }
   }
 

@@ -255,6 +255,25 @@ object Dedup {
     })
   }
 
+  /** Fresh-batch frames pinned (eager localCheckpoint) by the indexed
+    * sweeps, tracked so a long-lived driver can free their blocks
+    * between sweeps: ContextCleaner only releases checkpoint storage
+    * when the RDD is GC-collected, so many sweeps in one JVM otherwise
+    * accumulate pinned batch copies between GCs. */
+  private val sweepPins =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
+  private def trackSweepPin(df: DataFrame): DataFrame = { sweepPins.add(df); df }
+
+  /** Release the checkpoint blocks of every tracked sweep pin. Call
+    * AFTER materializing a sweep's pairs — the pins back the returned
+    * plan, so releasing earlier would truncate the lineage a pending
+    * sweep still needs (its next action would fail loudly — the
+    * [[graft.Tables.unpinCheckpoint]] trade). */
+  def releaseSweepPins(): Unit = {
+    sweepPins.forEach(df => graft.Tables.unpinCheckpoint(df))
+    sweepPins.clear()
+  }
+
   /** Incremental near-dup sweep against a staged [[writeLshIndex]]
     * index: only the FRESH batch is tokenized/hashed; the corpus side
     * joins straight from its staged band buckets and shingle arrays.
@@ -278,11 +297,15 @@ object Dedup {
     // `newDocs` source (unseeded sample, directory gaining files)
     // would otherwise probe with one batch and sweep with another,
     // silently losing pairs whose buckets the earlier evaluation never
-    // saw. Blocks are batch-sized (the small side by construction) and
-    // released when the returned plan is collected.
-    val newShingled = shingleFrame(newDocs, idCol, textCol, shingleSize)
-      .repartition(col("id"))
-      .localCheckpoint(true)
+    // saw. Blocks are batch-sized (the small side by construction);
+    // they are freed when the RDD is GC-collected (ContextCleaner),
+    // NOT when the returned plan is collected — a long-lived sweep
+    // driver should call [[releaseSweepPins]] after materializing each
+    // sweep's pairs so batch copies don't accumulate between GCs.
+    val newShingled = trackSweepPin(
+      shingleFrame(newDocs, idCol, textCol, shingleSize)
+        .repartition(col("id"))
+        .localCheckpoint(true))
     val newBanded = bandFrame(newShingled, numHashes, bands)
       .withColumn("is_new", lit(true))
     // Prune the staged band scan to buckets the FRESH batch probes,
@@ -300,9 +323,17 @@ object Dedup {
     val newKeys = newBanded.select(xxhash64(col("band"), col("bucket")).as("k"))
     val nKeys = math.max(1L, newKeys.count())
     val bf = newKeys.stat.bloomFilter("k", nKeys, 0.01)
-    val idxBanded = spark.read.parquet(s"$indexDir/bands")
-      .filter(graft.functions.BloomFunctions.mightContain(
-        xxhash64(col("band"), col("bucket")), bf))
+    // Tombstoned ids are subtracted from the staged band scan (anti-
+    // join AFTER the Bloom prune — cheaper input). That one filter is
+    // sufficient: candidate pairs need both members in a band bucket,
+    // and the shingle side below is semi-joined on ids drawn from this
+    // already-filtered scan, so a deleted doc can neither pair nor be
+    // verified against.
+    val idxBanded = Tombstones.applyTo(
+      spark.read.parquet(s"$indexDir/bands")
+        .filter(graft.functions.BloomFunctions.mightContain(
+          xxhash64(col("band"), col("bucket")), bf)),
+      spark, indexDir)
       .select(col("id"), col("band"), col("bucket"), lit(false).as("is_new"))
     // Prune the FAT side too: the shingle table only serves candidate
     // verification, and every corpus id a candidate can reference
@@ -335,6 +366,22 @@ object Dedup {
     * own partitions instead of duplicating rows — duplicate postings
     * would silently double bucket sizes and fan verified pairs out
     * into duplicate output rows. */
+  /** Record DELETIONS against a staged LSH index (takedowns,
+    * licensing retractions, right-to-be-forgotten): the ids' staged
+    * postings stop emitting pairs at the very next probe — no rebuild,
+    * no mutation of the staged tables (the tombstone set is its own
+    * `batch=`-partitioned write, idempotent per `batchId`).
+    * [[compactLshIndex]] later folds tombstones in physically; appends
+    * never disturb them, so the deletion survives the whole lifecycle
+    * (including appended rows that re-use a tombstoned id — the
+    * anti-join is by id across every batch). Probe batches are never
+    * filtered: a fresh doc still sweeps cleanly even if its id was
+    * deleted; to truly re-ingest a deleted id, compact first (folding
+    * the tombstone in), then append. */
+  def deleteFromLshIndex(ids: DataFrame, idCol: String, indexDir: String,
+      batchId: String): Unit =
+    Tombstones.write(ids, idCol, indexDir, batchId)
+
   def appendToLshIndex(newDocs: DataFrame, idCol: String, textCol: String,
       indexDir: String, batchId: String): Unit = {
     require(batchId.nonEmpty && batchId != "base",
@@ -374,13 +421,16 @@ object Dedup {
     require(Tables.canonicalPath(spark, srcDir) != Tables.canonicalPath(spark, dstDir),
       "compaction is functional: dst must differ from src")
     val (shingleSize, numHashes, bands) = indexMeta(spark, srcDir)
-    spark.read.parquet(s"$srcDir/bands")
+    // tombstoned rows are dropped by the rewrite and NO tombstone
+    // table is written to dst: compaction is where deletions become
+    // physical (see [[Tombstones]])
+    Tombstones.applyTo(spark.read.parquet(s"$srcDir/bands"), spark, srcDir)
       .select(col("id"), col("band"), col("bucket"))
       .withColumn("batch", lit("base"))
       .repartition(col("band"))
       .write.mode("overwrite").partitionBy("batch", "band")
       .parquet(s"$dstDir/bands")
-    spark.read.parquet(s"$srcDir/shingles")
+    Tombstones.applyTo(spark.read.parquet(s"$srcDir/shingles"), spark, srcDir)
       .select(col("id"), col("sh"))
       .withColumn("batch", lit("base"))
       .write.mode("overwrite").partitionBy("batch")
@@ -568,10 +618,12 @@ object Dedup {
         s"$SimhashChunks — rebuild the index (bucket guarantees differ)")
     // pinned for the same two reasons as minhashPairsIndexed's batch:
     // one signing pass instead of three, and prefilter/sweep consistency
-    // under a nondeterministic newDocs source
-    val fresh = simhashSigs(newDocs, idCol, textCol)
-      .withColumn("is_new", lit(true))
-      .localCheckpoint(true)
+    // under a nondeterministic newDocs source (and the same release
+    // contract — see releaseSweepPins)
+    val fresh = trackSweepPin(
+      simhashSigs(newDocs, idCol, textCol)
+        .withColumn("is_new", lit(true))
+        .localCheckpoint(true))
     // Bloom-prune the staged sig scan to rows sharing at least one
     // chunk bucket with the fresh batch — the minhashPairsIndexed
     // prefilter adapted to the 4-key pigeonhole: a corpus row in a
@@ -589,11 +641,20 @@ object Dedup {
       graft.functions.BloomFunctions.mightContain(
         xxhash64(lit(c), expr(s"(sig >> ${c * bits}) & ${(1L << bits) - 1}")), bf)
     }.reduce(_ || _)
-    val idx = spark.read.parquet(s"$indexDir/sigs")
-      .filter(keep)
+    // tombstone anti-join after the Bloom prune, as in
+    // minhashPairsIndexed — a deleted signature must not pair
+    val idx = Tombstones.applyTo(
+      spark.read.parquet(s"$indexDir/sigs").filter(keep), spark, indexDir)
       .select(col("id"), col("sig"), lit(false).as("is_new"))
     verifiedSimhashPairs(idx.unionByName(fresh), maxHamming, maxBucket)
   }
+
+  /** [[deleteFromLshIndex]] for the SimHash index — same tombstone
+    * semantics (probe-time anti-join, folded in physically by
+    * [[compactSimhashIndex]], idempotent per batchId). */
+  def deleteFromSimhashIndex(ids: DataFrame, idCol: String,
+      indexDir: String, batchId: String): Unit =
+    Tombstones.write(ids, idCol, indexDir, batchId)
 
   /** Fold a swept batch INTO the staged SimHash index — idempotent per
     * `batchId` via dynamic partition overwrite, exactly like
@@ -618,7 +679,8 @@ object Dedup {
     require(Tables.canonicalPath(spark, srcDir) != Tables.canonicalPath(spark, dstDir),
       "compaction is functional: dst must differ from src")
     val chunks = simhashIndexChunks(spark, srcDir)
-    spark.read.parquet(s"$srcDir/sigs")
+    // deletions become physical here; dst gets no tombstone table
+    Tombstones.applyTo(spark.read.parquet(s"$srcDir/sigs"), spark, srcDir)
       .select(col("id"), col("sig"))
       .withColumn("batch", lit("base"))
       .write.mode("overwrite").partitionBy("batch")
@@ -986,6 +1048,87 @@ object Dedup {
   /** Driver query: scrub at the same l = 13 the range query flags. */
   def dedupSubstringScrub(spark: SparkSession, sfDir: String): DataFrame =
     substrScrub(Tables.documents(spark, sfDir), "doc_id", "text", l = 13)
+
+  /** Lee et al. 2022's DROP-DOC policy variant over [[substrDupRanges]]
+    * (the paper's alternative to cutting: when most of a document is
+    * duplicated boilerplate, splicing the survivors yields disfluent
+    * text — drop the whole doc instead). Emits per-doc accounting:
+    * total tokens, tokens covered by flagged ranges (the ranges are
+    * maximal and DISJOINT by [[substrDupRanges]]'s second merge pass,
+    * so their lengths sum without double-counting), the covered
+    * fraction, and the keep verdict (`covered_frac <= maxCoveredFrac`).
+    * Same plan as the range pass plus one per-doc agg and a join back
+    * to the corpus token counts — nothing new shuffles at scale.
+    * Fractions are single double divisions (bit-exact cross-engine,
+    * SURVEY §4). */
+  def substrDropDocs(docs: DataFrame, idCol: String, textCol: String,
+      l: Int = 50, maxCoveredFrac: Double = 0.5): DataFrame = {
+    val covered = substrDupRanges(docs, idCol, textCol, l)
+      .groupBy(col(idCol))
+      .agg(sum(col("n_tokens")).as("covered_tokens"))
+    docs.select(col(idCol),
+        size(TextAnalysis.tokens(textCol)).cast("long").as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .withColumn("covered_frac",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("covered_tokens").cast("double") / col("n_tokens")))
+      .withColumn("keep", col("covered_frac") <= maxCoveredFrac)
+      .orderBy(col(idCol))
+  }
+
+  /** Driver query: the drop policy at the corpus's l = 13 with the
+    * paper-ish 50% coverage cut. */
+  def dedupSubstringDrop(spark: SparkSession, sfDir: String): DataFrame =
+    substrDropDocs(Tables.documents(spark, sfDir), "doc_id", "text",
+      l = 13, maxCoveredFrac = 0.5)
+
+  val dedupSubstringDropSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+12], ' ') AS gram
+      |  FROM toks, UNNEST(generate_series(1, len(t) - 12)) AS u(i)
+      |  WHERE len(t) >= 13),
+      |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+      |f AS (SELECT doc_id, pos FROM g
+      |      WHERE gram IN (SELECT gram FROM dup)),
+      |r AS (
+      |  SELECT doc_id, pos,
+      |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM f),
+      |rng AS (
+      |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 13 AS e
+      |  FROM r GROUP BY doc_id, grp),
+      |m AS (
+      |  SELECT doc_id, s, e,
+      |    CASE WHEN s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |    THEN 1 ELSE 0 END AS brk
+      |  FROM rng),
+      |g2 AS (
+      |  SELECT doc_id, s, e,
+      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mgrp
+      |  FROM m),
+      |rng2 AS (
+      |  SELECT doc_id, MIN(s) AS s2, MAX(e) AS e2
+      |  FROM g2 GROUP BY doc_id, mgrp),
+      |cov AS (
+      |  SELECT doc_id, SUM(e2 - s2) AS covered FROM rng2 GROUP BY doc_id),
+      |tot AS (SELECT doc_id, len(t) AS n FROM toks)
+      |SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
+      |  CASE WHEN t.n = 0 THEN 0.0
+      |       ELSE CAST(COALESCE(c.covered, 0) AS DOUBLE) / t.n
+      |  END AS covered_frac,
+      |  (CASE WHEN t.n = 0 THEN 0.0
+      |        ELSE CAST(COALESCE(c.covered, 0) AS DOUBLE) / t.n
+      |   END) <= 0.5 AS keep
+      |FROM tot t LEFT JOIN cov c USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
 
   val dedupSubstringScrubSql: String =
     """WITH toks AS (

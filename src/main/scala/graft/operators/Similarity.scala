@@ -416,11 +416,22 @@ object Similarity {
     * assignments were made with it — recomputing anything here would
     * be wrong). Functional: writes only to `dstDir`, so a crash leaves
     * the live index untouched; swap and delete src afterwards. */
+  /** [[graft.operators.Dedup.deleteFromLshIndex]] for the IVF index —
+    * same tombstone semantics: the ids vanish from every later
+    * [[annIvfIndexed]] result at the next probe (anti-join on vec_id),
+    * and [[compactIvfIndex]] folds the deletion in physically.
+    * Idempotent per batchId. */
+  def deleteFromIvfIndex(ids: DataFrame, idCol: String, indexDir: String,
+      batchId: String): Unit =
+    Tombstones.write(ids, idCol, indexDir, batchId)
+
   def compactIvfIndex(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
     import spark.implicits._
     require(Tables.canonicalPath(spark, srcDir) != Tables.canonicalPath(spark, dstDir),
       "compaction is functional: dst must differ from src")
-    spark.read.parquet(s"$srcDir/vectors")
+    // deletions become physical here; dst gets no tombstone table
+    Tombstones.applyTo(spark.read.parquet(s"$srcDir/vectors"),
+        spark, srcDir, "vec_id")
       .select($"vec_id", $"embedding", $"cell")
       .withColumn("batch", lit("base"))
       .repartition($"cell")
@@ -438,7 +449,12 @@ object Similarity {
   def annIvfIndexed(spark: SparkSession, indexDir: String, k: Int = AnnK,
       nProbe: Int = 2): DataFrame = {
     import spark.implicits._
-    val vectors = spark.read.parquet(s"$indexDir/vectors")
+    // tombstoned vectors are subtracted up front, so they neither rank
+    // as candidates nor act as (self-)queries; the cell isin filter
+    // below still pushes past the anti-join to the scan (left-side
+    // predicate), so partition pruning is unaffected
+    val vectors = Tombstones.applyTo(
+      spark.read.parquet(s"$indexDir/vectors"), spark, indexDir, "vec_id")
     val centroidDf = spark.read.parquet(s"$indexDir/centroids")
     val wq = Window.partitionBy($"query_id").orderBy($"dist", $"cell")
     val probes = vectors.filter($"vec_id" < QueryIdBound)
@@ -466,6 +482,48 @@ object Similarity {
       .select($"query_id", $"vec_id", $"cell",
         round(VectorFunctions.cosineSim($"qe", $"embedding"), 6).as("cos")),
       k, extras = Seq("cell"))
+  }
+
+  // ---------------------------------------------------------------- D8
+  /** ANN quality REPORT: recall@k of each approximate search method
+    * (LSH / IVF / int8) against the exact brute-force baseline, as a
+    * driver-visible number — retrieval quality becomes a per-round
+    * artifact instead of living only in spec thresholds. One row per
+    * method: hits (approximate ∩ exact neighbor pairs), expected
+    * (exact pairs — per-query shortfalls count against recall), and
+    * the ratio. Rows-only: LSH buckets / IVF cells / int8 grids are
+    * engine-specific (all deterministic — seeded quantizer, arithmetic
+    * hyperplanes — so the number is stable run-to-run).
+    *
+    * Scale shape: the exact baseline is pinned (its lineage is the
+    * guarded brute-force pass) and the three method frames union into
+    * ONE semi-join + one tiny agg; at corpus scale this is a sampled
+    * audit query (run over a query panel, not the corpus), so the
+    * brute-force guard stays the binding constraint. */
+  def annRecall(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val exact = annBruteTopK(spark, sfDir, k)
+      .select($"query_id", $"neighbor_id").localCheckpoint(true)
+    val expected = exact.count() // pinned 10·k rows — a driver-cheap count
+    val tagged = Seq(
+      "lsh" -> annLsh(spark, sfDir, k = k),
+      "ivf" -> annIvf(spark, sfDir, k = k),
+      "int8" -> annBruteInt8(spark, sfDir, k = k))
+      .map { case (n, df) =>
+        df.select(lit(n).as("method"), $"query_id", $"neighbor_id") }
+      .reduce(_ unionByName _)
+    val hits = tagged.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy($"method").agg(count(lit(1)).as("hits"))
+    // left join from the static method list: a method with zero hits
+    // must surface as recall 0.0, not vanish from the report
+    Seq("int8", "ivf", "lsh").toDF("method")
+      .join(hits, Seq("method"), "left")
+      .select($"method",
+        coalesce($"hits", lit(0L)).as("hits"),
+        lit(expected).as("expected"),
+        round(coalesce($"hits", lit(0L)).cast("double") / expected, 6)
+          .as("recall"))
+      .orderBy($"method")
   }
 
   // ---------------------------------------------------------------- D4

@@ -207,6 +207,80 @@ class DedupSpec extends SparkSpec {
     assert(sweptC.toSet === swept.toSet, "compacted SimHash index probe diverged")
   }
 
+  test("LSH index deletion: tombstoned doc stops pairing; append + compact preserve it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-del").toString
+    val corpus = Seq(
+      (100L, base),
+      (200L, "spark catalyst optimizer pushes filters below joins for scan pruning at scale"),
+      (300L, "completely unrelated text about cooking pasta with tomatoes and basil leaves"),
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (101L, base.replace("lazy dog", "lazy cat")), // near-dup of corpus 100
+      (201L, "spark catalyst optimizer pushes filters below joins for scan pruning at scale"), // dup of 200
+    ).toDF("doc_id", "text")
+    Dedup.writeLshIndex(corpus, "doc_id", "text", dir)
+    def probe(batch: org.apache.spark.sql.DataFrame, in: String = dir) =
+      Dedup.minhashPairsIndexed(spark, in, batch, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe(fresh) === Set((100L, 101L), (200L, 201L)))
+    // takedown of 100: its staged postings stop pairing at the next probe
+    Dedup.deleteFromLshIndex(Seq(100L).toDF("doc_id"), "doc_id", dir, "t1")
+    assert(probe(fresh) === Set((200L, 201L)),
+      "tombstoned doc still emits pairs")
+    // retried takedown with the same batch id is a no-op
+    Dedup.deleteFromLshIndex(Seq(100L).toDF("doc_id"), "doc_id", dir, "t1")
+    assert(probe(fresh) === Set((200L, 201L)))
+    // append-after-delete: folding a swept batch in must not resurrect
+    // the deletion — next week's dup of 100/101 pairs only with 101
+    Dedup.appendToLshIndex(fresh, "doc_id", "text", dir, "week1")
+    val nextWeek = Seq((600L, base.replace("lazy dog", "lazy cat")))
+      .toDF("doc_id", "text")
+    assert(probe(nextWeek) === Set((101L, 600L)),
+      "deleted doc resurfaced after an append")
+    // compact-after-delete: the deletion becomes PHYSICAL — dst carries
+    // no tombstone table, holds no rows for the id, probes identically
+    val cdir = java.nio.file.Files.createTempDirectory("graft-lsh-del-c")
+      .toString + "/idx"
+    Dedup.compactLshIndex(spark, dir, cdir)
+    assert(probe(nextWeek, cdir) === Set((101L, 600L)))
+    assert(!new java.io.File(s"$cdir/tombstones").exists,
+      "compaction copied the tombstone table instead of folding it in")
+    assert(spark.read.parquet(s"$cdir/shingles")
+      .filter(col("id") === 100L).count() === 0L,
+      "tombstoned shingles survived compaction")
+    assert(spark.read.parquet(s"$cdir/bands")
+      .filter(col("id") === 100L).count() === 0L,
+      "tombstoned band postings survived compaction")
+  }
+
+  test("SimHash index deletion: tombstoned doc stops pairing; compaction folds it in") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sim-del").toString
+    val corpus = Seq(
+      (100L, base),
+      (200L, "spark catalyst optimizer pushes filters below joins for scan pruning at scale"),
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (101L, base.replace("lazy dog", "lazy cat")),
+      (201L, "spark catalyst optimizer pushes filters below joins for scan pruning at scale"),
+    ).toDF("doc_id", "text")
+    Dedup.writeSimhashIndex(corpus, "doc_id", "text", dir)
+    def probe(in: String) =
+      Dedup.simhashPairsIndexed(spark, in, fresh, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe(dir) === Set((100L, 101L), (200L, 201L)))
+    Dedup.deleteFromSimhashIndex(Seq(200L).toDF("doc_id"), "doc_id", dir, "t1")
+    assert(probe(dir) === Set((100L, 101L)),
+      "tombstoned signature still pairs")
+    val cdir = java.nio.file.Files.createTempDirectory("graft-sim-del-c")
+      .toString + "/idx"
+    Dedup.compactSimhashIndex(spark, dir, cdir)
+    assert(probe(cdir) === Set((100L, 101L)))
+    assert(!new java.io.File(s"$cdir/tombstones").exists)
+    assert(spark.read.parquet(s"$cdir/sigs")
+      .filter(col("id") === 200L).count() === 0L,
+      "tombstoned signature survived compaction")
+  }
+
   test("dedup_simhash_indexed driver query: every pair touches the fresh batch") {
     Dedup.dedupSimhashIndexed(spark, sf).collect().foreach { r =>
       assert(r.getLong(0) % 10 === 0 || r.getLong(1) % 10 === 0,
@@ -396,6 +470,57 @@ class DedupSpec extends SparkSpec {
     assert(out(0)._3 === "unique alpha opening words closing alpha end")
     assert(out(1)._3 === "different beta preamble text here final words")
     assert(out(2)._3.startsWith("entirely separate document"))
+  }
+
+  test("ExactSubstr at production l=50: planted boilerplate found at sf0.1, drop policy fires") {
+    // Production parameters over real-corpus volume: Lee et al.'s
+    // l=50 window on the 5000-doc sf0.1 corpus, with a 60-token
+    // boilerplate footer planted on every 20th doc (the shared-footer
+    // shape the pass exists to catch) and ten boilerplate-DOMINATED
+    // short docs for the drop policy.
+    val footer = (1 to 60).map(i => s"bplate$i").mkString(" ")
+    val real = graft.Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(20)) === 0,
+          concat(col("text"), lit(" " + footer)))
+          .otherwise(col("text")).as("text"))
+    val shorties = (0 until 10).map(i =>
+      (90000000L + i, s"$footer unique${i}a unique${i}b unique${i}c"))
+      .toDF("doc_id", "text")
+    val docs = real.unionByName(shorties)
+    val ranges = Dedup.substrDupRanges(docs, "doc_id", "text", l = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byDoc = ranges.groupBy(_._1)
+    val nToks = docs.select(col("doc_id"), size(
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every planted doc carries a flagged range reaching its final
+    // token (the footer sits at the end) of at least the footer's 60
+    val planted = nToks.keys.filter(id => id % 20 == 0 && id < 90000000L)
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      val rs = byDoc.getOrElse(id, Array.empty)
+      assert(rs.exists(r => r._3 == nToks(id) && r._4 >= 60L),
+        s"planted footer not flagged to the end of doc $id: ${rs.toSeq}")
+    }
+    // drop policy at the 50% coverage cut: the boilerplate-dominated
+    // docs (60 of 63 tokens covered) are dropped
+    val drop = Dedup.substrDropDocs(docs, "doc_id", "text",
+        l = 50, maxCoveredFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    val verdicts = drop.map(t => t._1 -> t).toMap
+    (0 until 10).foreach { i =>
+      val v = verdicts(90000000L + i)
+      assert(!v._5 && v._3 >= 60L, s"boilerplate-dominated doc kept: $v")
+    }
+    // accounting: covered_tokens is exactly the sum of the doc's
+    // maximal disjoint ranges, and the verdict matches the fraction
+    drop.foreach { case (id, _, cov, frac, keep) =>
+      val sumR = byDoc.getOrElse(id, Array.empty).map(_._4).sum
+      assert(cov === sumR, s"coverage accounting drifted for doc $id: $cov vs $sumR")
+      assert(keep === (frac <= 0.5), s"keep verdict inconsistent for doc $id")
+    }
   }
 
   test("semantic dedup (fixed centroids): planted chain collapses to one rep") {

@@ -148,6 +148,62 @@ class SimilaritySpec extends SparkSpec {
       s"IVF compaction left multiple batch partitions: $batchDirs")
   }
 
+  test("ann_recall report: one row per method, recall at or above the family's spec bounds") {
+    val rows = Similarity.annRecall(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows.keySet === Set("int8", "ivf", "lsh"))
+    val expected = rows.values.head._2
+    assert(expected > 0L)
+    rows.foreach { case (m, (hits, exp, recall)) =>
+      assert(exp === expected, s"per-method denominators diverged: $rows")
+      assert(recall >= 0.0 && recall <= 1.0 && hits <= exp, s"$m out of range: $rows")
+    }
+    // the bounds the family's own specs pin — the report must agree
+    assert(rows("lsh")._3 > 0.0, s"lsh recall zero: $rows")
+    assert(rows("ivf")._3 > 0.0, s"ivf recall zero: $rows")
+    assert(rows("int8")._3 >= 0.6, s"int8 recall below spec bound: $rows")
+  }
+
+  test("IVF index deletion: tombstoned vector vanishes; compaction folds it in") {
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivf-del").toString
+    Similarity.writeIvfIndex(spark, sf, idxDir)
+    // plant a deletion target: clone query 0's embedding under a fresh
+    // id — it becomes the query's top-1 (cos = 1.0), the clearest
+    // possible signal if deletion leaks
+    val q0 = Tables.embeddings(spark, sf).filter($"vec_id" === 0L)
+      .select($"embedding").head().getSeq[Float](0)
+    Similarity.appendToIvfIndex(spark,
+      Seq((9999991L, q0)).toDF("vec_id", "embedding"), idxDir, "w1")
+    val top0 = Similarity.annIvfIndexed(spark, idxDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .filter(_._1 == 0L).minBy(_._2)
+    assert(top0._3 === 9999991L, s"appended twin not top-1: $top0")
+    // takedown: the vector must vanish from every later probe
+    Similarity.deleteFromIvfIndex(Seq(9999991L).toDF("vec_id"), "vec_id",
+      idxDir, "t1")
+    val got = Similarity.annIvfIndexed(spark, idxDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(!got.exists(_._3 == 9999991L), "tombstoned vector still a candidate")
+    // delete exactly undoes the append: results match the plain corpus
+    val want = Similarity.annIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === want, "post-delete probe diverged from the corpus search")
+    // compaction makes it physical: no tombstone table, no rows, same
+    // results from the compacted index
+    val cdir = java.nio.file.Files.createTempDirectory("graft-ivf-del-c")
+      .toString + "/idx"
+    Similarity.compactIvfIndex(spark, idxDir, cdir)
+    assert(!new java.io.File(s"$cdir/tombstones").exists,
+      "compaction copied the tombstone table instead of folding it in")
+    assert(spark.read.parquet(s"$cdir/vectors")
+      .filter($"vec_id" === 9999991L).count() === 0L,
+      "tombstoned vector survived compaction")
+    val gotC = Similarity.annIvfIndexed(spark, cdir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(gotC === want)
+  }
+
   test("int8 ANN: self-similarity ~1, small per-pair error, high recall vs exact") {
     import graft.functions.VectorFunctions
     val e = Tables.embeddings(spark, sf).limit(50)
