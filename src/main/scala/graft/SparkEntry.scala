@@ -104,6 +104,7 @@ object SparkEntry {
     "pipeline_curate_full" -> (Curation.curate _),
     "pipeline_curate_v2" -> (Curation.pipelineCurateV2 _),
     "decontaminate" -> (Curation.decontamQuery _),
+    "decontaminate_fuzzy" -> (Curation.decontamFuzzyQuery _),
     "pack_sequences" -> (Curation.packSequencesQuery _),
     "mix_sample" -> (Curation.mixSampleQuery _),
     "quality_rank_cut" -> (Curation.qualityRankCutQuery _),
@@ -183,6 +184,7 @@ object SparkEntry {
     "vec_norms" -> Similarity.vecNormsSql,
     "pipeline_curate" -> Curation.pipelineCurateSql,
     "decontaminate" -> Curation.decontamSql,
+    "decontaminate_fuzzy" -> Curation.decontamFuzzySql,
     "pack_sequences" -> Curation.packSequencesSql,
     "mix_sample" -> Curation.mixSampleSql,
     "quality_rank_cut" -> Curation.qualityRankCutSql,

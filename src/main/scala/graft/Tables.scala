@@ -56,10 +56,17 @@ object Tables {
         val maxM = cs.foldLeft(st.getModificationTime)(
           (acc, c) => math.max(acc, c.getModificationTime))
         val bytes = cs.foldLeft(0L)((acc, c) => acc + c.getLen)
-        maxM * 1000003L + cs.length.toLong * 31L + bytes
-      } else st.getModificationTime * 1000003L + st.getLen
+        mixStamp(mixStamp(maxM, cs.length.toLong), bytes)
+      } else mixStamp(st.getModificationTime, st.getLen)
     } catch { case _: java.io.FileNotFoundException => 0L }
   }
+
+  /** Nonlinear combine (the boost::hash_combine shape): a LINEAR mix
+    * like `m*P + n*31 + bytes` aliases structured rewrites (one file
+    * more, 31 bytes fewer → same stamp) — exactly the same-tick class
+    * the fold exists to separate. */
+  private def mixStamp(a: Long, b: Long): Long =
+    a ^ (b + 0x9e3779b97f4a7c15L + (a << 6) + (a >>> 2))
 
   /** Release the storage blocks behind an eagerly `localCheckpoint`'ed
     * DataFrame. Checkpoint blocks otherwise live until the RDD is

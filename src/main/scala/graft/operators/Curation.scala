@@ -341,6 +341,109 @@ object Curation {
       |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)
       |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------------------------------- C22
+  /** FUZZY decontamination (the Llama-2 refinement of C12's drop-on-
+    * any-overlap rule): instead of discarding a training doc over one
+    * shared 13-gram, measure HOW MUCH of it is contaminated — a token
+    * is contaminated when it sits inside any `n`-token gram that also
+    * appears in the benchmark set, and only documents whose
+    * contaminated fraction exceeds `dirtyFrac` (the paper's high-water
+    * mark) are flagged dirty. Incidental phrase overlap survives;
+    * wholesale eval-set leakage is caught with a number attached.
+    *
+    * Plumbing: positional gram hashes over the training side
+    * (duplicates kept, text order — the C19 kernel), benchmark gram
+    * set broadcast (a test set, not terabytes) probed with a map-side
+    * semi-join, flagged positions merged into maximal disjoint token
+    * ranges by [[Dedup.coveredTokenRanges]] so the coverage sum cannot
+    * double-count overlapping windows. One shuffle of flagged
+    * positions (tiny — contamination is sparse by construction);
+    * the 100 TB side never shuffles its grams. Fractions are single
+    * double divisions (bit-exact cross-engine, SURVEY §4). */
+  def decontaminateFuzzy(docs: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 13, dirtyFrac: Double = 0.8): DataFrame = {
+    require(n >= 1)
+    val benchGrams = Dedup.gramSet(benchmark, idCol, textCol, n)
+      .select(col("g")).distinct()
+    val pos = docs
+      .select(col(idCol).as("id"), TextAnalysis.tokens(textCol).as("toks"))
+      .select(col("id"),
+        posexplode(graft.functions.TextFunctions
+          .positionalShingleHashes(col("toks"), n)).as(Seq("pos", "g")))
+    val flagged = pos.join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .select(col("id"), col("pos"))
+    val covered = Dedup.coveredTokenRanges(flagged, n)
+      .groupBy(col("id"))
+      .agg(sum(col("n_tokens")).as("contaminated_tokens"))
+    docs.select(col(idCol).as("id"),
+        size(TextAnalysis.tokens(textCol)).cast("long").as("n_tokens"))
+      .join(covered, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("contaminated_tokens"), lit(0L))
+          .as("contaminated_tokens"))
+      .withColumn("contaminated_frac",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("contaminated_tokens").cast("double") / col("n_tokens")))
+      .withColumn("dirty", col("contaminated_frac") > dirtyFrac)
+      .orderBy(col(idCol))
+  }
+
+  /** Driver query: same benchmark split as C12 (doc_id ≡ 0 mod 10
+    * plays the eval set), n = 13, dirty above 80% coverage. */
+  def decontamFuzzyQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    decontaminateFuzzy(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0))
+  }
+
+  val decontamFuzzySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+12], ' ') AS gram
+      |  FROM toks, UNNEST(generate_series(1, len(t) - 12)) AS u(i)
+      |  WHERE len(t) >= 13),
+      |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+      |f AS (SELECT doc_id, pos FROM g
+      |      WHERE doc_id % 10 <> 0 AND gram IN (SELECT gram FROM bench)),
+      |r AS (
+      |  SELECT doc_id, pos,
+      |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM f),
+      |rng AS (
+      |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 13 AS e
+      |  FROM r GROUP BY doc_id, grp),
+      |m AS (
+      |  SELECT doc_id, s, e,
+      |    CASE WHEN s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |    THEN 1 ELSE 0 END AS brk
+      |  FROM rng),
+      |g2 AS (
+      |  SELECT doc_id, s, e,
+      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mgrp
+      |  FROM m),
+      |rng2 AS (
+      |  SELECT doc_id, MIN(s) AS s2, MAX(e) AS e2
+      |  FROM g2 GROUP BY doc_id, mgrp),
+      |cov AS (
+      |  SELECT doc_id, SUM(e2 - s2) AS covered FROM rng2 GROUP BY doc_id),
+      |tot AS (SELECT doc_id, len(t) AS n FROM toks WHERE doc_id % 10 <> 0)
+      |SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(c.covered, 0) AS BIGINT) AS contaminated_tokens,
+      |  CASE WHEN t.n = 0 THEN 0.0
+      |       ELSE CAST(COALESCE(c.covered, 0) AS DOUBLE) / t.n
+      |  END AS contaminated_frac,
+      |  (CASE WHEN t.n = 0 THEN 0.0
+      |        ELSE CAST(COALESCE(c.covered, 0) AS DOUBLE) / t.n
+      |   END) > 0.8 AS dirty
+      |FROM tot t LEFT JOIN cov c USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
   // ------------------------------------------------------------- C16
   /** Ingest-time DECONTAMINATION — the streaming twin of
     * [[decontaminate]], built on a stream-STATIC join: the benchmark

@@ -212,6 +212,9 @@ object Dedup {
       bands: Int = 16): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // a rebuild replaces the staged set wholesale — stale tombstones
+    // surviving it would silently filter re-ingested ids forever
+    Tombstones.clear(spark, indexDir)
     // persisted across the two writes: tokenize+shingle the corpus ONCE
     // (the whole premise of the index is that this pass dominates), not
     // once per output. MEMORY_AND_DISK by default, so a corpus larger
@@ -259,18 +262,28 @@ object Dedup {
     * sweeps, tracked so a long-lived driver can free their blocks
     * between sweeps: ContextCleaner only releases checkpoint storage
     * when the RDD is GC-collected, so many sweeps in one JVM otherwise
-    * accumulate pinned batch copies between GCs. */
-  private val sweepPins =
-    java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
-  private def trackSweepPin(df: DataFrame): DataFrame = { sweepPins.add(df); df }
+    * accumulate pinned batch copies between GCs. Tracked through WEAK
+    * references — the tracker must not itself keep a sweep's batch
+    * reachable, or callers that never heard of [[releaseSweepPins]]
+    * (and the pre-existing GC path) would leak what used to be
+    * collectable. */
+  private val sweepPins = java.util.Collections.synchronizedList(
+    new java.util.ArrayList[java.lang.ref.WeakReference[DataFrame]]())
+  private def trackSweepPin(df: DataFrame): DataFrame = {
+    sweepPins.add(new java.lang.ref.WeakReference(df)); df
+  }
 
-  /** Release the checkpoint blocks of every tracked sweep pin. Call
-    * AFTER materializing a sweep's pairs — the pins back the returned
-    * plan, so releasing earlier would truncate the lineage a pending
-    * sweep still needs (its next action would fail loudly — the
-    * [[graft.Tables.unpinCheckpoint]] trade). */
+  /** Release the checkpoint blocks of every tracked sweep pin that is
+    * still reachable (already-collected pins were freed by
+    * ContextCleaner). Call AFTER materializing a sweep's pairs — the
+    * pins back the returned plan, so releasing earlier would truncate
+    * the lineage a pending sweep still needs (its next action would
+    * fail loudly — the [[graft.Tables.unpinCheckpoint]] trade). */
   def releaseSweepPins(): Unit = {
-    sweepPins.forEach(df => graft.Tables.unpinCheckpoint(df))
+    sweepPins.forEach { ref =>
+      val df = ref.get()
+      if (df != null) graft.Tables.unpinCheckpoint(df)
+    }
     sweepPins.clear()
   }
 
@@ -366,22 +379,6 @@ object Dedup {
     * own partitions instead of duplicating rows — duplicate postings
     * would silently double bucket sizes and fan verified pairs out
     * into duplicate output rows. */
-  /** Record DELETIONS against a staged LSH index (takedowns,
-    * licensing retractions, right-to-be-forgotten): the ids' staged
-    * postings stop emitting pairs at the very next probe — no rebuild,
-    * no mutation of the staged tables (the tombstone set is its own
-    * `batch=`-partitioned write, idempotent per `batchId`).
-    * [[compactLshIndex]] later folds tombstones in physically; appends
-    * never disturb them, so the deletion survives the whole lifecycle
-    * (including appended rows that re-use a tombstoned id — the
-    * anti-join is by id across every batch). Probe batches are never
-    * filtered: a fresh doc still sweeps cleanly even if its id was
-    * deleted; to truly re-ingest a deleted id, compact first (folding
-    * the tombstone in), then append. */
-  def deleteFromLshIndex(ids: DataFrame, idCol: String, indexDir: String,
-      batchId: String): Unit =
-    Tombstones.write(ids, idCol, indexDir, batchId)
-
   def appendToLshIndex(newDocs: DataFrame, idCol: String, textCol: String,
       indexDir: String, batchId: String): Unit = {
     require(batchId.nonEmpty && batchId != "base",
@@ -401,6 +398,24 @@ object Dedup {
         .partitionBy("batch").parquet(s"$indexDir/shingles")
     } finally shingled.unpersist(false)
   }
+
+  /** Record DELETIONS against a staged LSH index (takedowns,
+    * licensing retractions, right-to-be-forgotten): the ids' staged
+    * postings stop emitting pairs at the very next probe — no rebuild,
+    * no mutation of the staged tables (the tombstone set is its own
+    * `batch=`-partitioned write, idempotent per `batchId`).
+    * [[compactLshIndex]] later folds tombstones in physically; appends
+    * never disturb them, so the deletion survives the whole lifecycle
+    * (including appended rows that re-use a tombstoned id — the
+    * anti-join is by id across every batch). A full REBUILD
+    * ([[writeLshIndex]]) clears them — the new staged set replaces the
+    * old wholesale. Probe batches are never filtered: a fresh doc
+    * still sweeps cleanly even if its id was deleted; to truly
+    * re-ingest a deleted id, compact first (folding the tombstone in),
+    * then append. */
+  def deleteFromLshIndex(ids: DataFrame, idCol: String, indexDir: String,
+      batchId: String): Unit =
+    Tombstones.write(ids, idCol, indexDir, batchId)
 
   /** COMPACT a staged LSH index into a fresh directory: many appended
     * `batch=` partitions fold back into one `base` set. Weekly appends
@@ -581,6 +596,7 @@ object Dedup {
       indexDir: String): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    Tombstones.clear(spark, indexDir) // rebuild forgets prior deletions
     simhashSigs(docs, idCol, textCol)
       .withColumn("batch", lit("base"))
       .write.mode("overwrite").partitionBy("batch")
@@ -983,20 +999,33 @@ object Dedup {
       .withColumn("cnt", count(lit(1)).over(wg))
       .filter(col("cnt") > 1)
       .select(col("id"), col("pos"))
+    coveredTokenRanges(flagged, l)
+      .select(col("id").as(idCol), col("start_tok"), col("end_tok"),
+        col("n_tokens"))
+      .orderBy(col(idCol), col("start_tok"))
+  }
+
+  /** Merge FLAGGED WINDOW POSITIONS into maximal DISJOINT covered
+    * token ranges — the shared interval kernel of the window-flagging
+    * family: position p flags tokens [p, p+l), so consecutive flagged
+    * positions form one island ([[substrDupRanges]]'s gaps-and-
+    * islands), and a second merge pass coalesces islands whose token
+    * intervals overlap or abut (two position islands separated by a
+    * gap of fewer than l positions cover overlapping token ranges —
+    * each position's window spans l tokens). Output ranges are maximal
+    * and disjoint, so their lengths SUM without double-counting —
+    * coverage accounting (C19c's drop policy, C22's contamination
+    * fraction) depends on exactly that. Flag semantics stay with the
+    * caller: "gram repeats corpus-wide" (ExactSubstr) and "gram hits
+    * the benchmark set" (fuzzy decontamination) share this kernel. */
+  private[operators] def coveredTokenRanges(flagged: DataFrame,
+      l: Int): DataFrame = {
     val wd = Window.partitionBy(col("id")).orderBy(col("pos"))
     val islands = flagged
       .withColumn("grp", col("pos") - row_number().over(wd))
       .groupBy(col("id"), col("grp"))
       .agg(min(col("pos")).cast("long").as("s"),
         (max(col("pos")) + l).cast("long").as("e"))
-    // Second merge pass over TOKEN intervals: two flagged-POSITION
-    // islands separated by a gap of fewer than l positions cover
-    // overlapping token ranges (each position's window spans l tokens),
-    // and abutting ranges describe one contiguous covered region — so
-    // coalesce any interval that starts at or before the running max
-    // end. Output ranges are maximal disjoint covered intervals;
-    // without this, n_tokens would double-count the overlap and range
-    // consumers could not assume disjointness.
     val ws = Window.partitionBy(col("id")).orderBy(col("s"))
     val wprev = ws.rowsBetween(Window.unboundedPreceding, -1)
     islands
@@ -1005,9 +1034,8 @@ object Dedup {
       .withColumn("mgrp", sum(col("brk")).over(ws))
       .groupBy(col("id"), col("mgrp"))
       .agg(min(col("s")).as("start_tok"), max(col("e")).as("end_tok"))
-      .select(col("id").as(idCol), col("start_tok"), col("end_tok"),
+      .select(col("id"), col("start_tok"), col("end_tok"),
         (col("end_tok") - col("start_tok")).as("n_tokens"))
-      .orderBy(col(idCol), col("start_tok"))
   }
 
   /** Driver query: duplicated runs of ≥ 13 tokens over the documents

@@ -353,6 +353,7 @@ object Similarity {
   def writeIvfIndex(spark: SparkSession, sfDir: String, indexDir: String,
       nCells: Int = 0, maxTrain: Int = 100000): Unit = {
     import spark.implicits._
+    Tombstones.clear(spark, indexDir) // rebuild forgets prior deletions
     val e = Tables.embeddings(spark, sfDir)
     val centroids = corpusCentroids(spark, sfDir, nCells, maxTrain)
     // batch=base/cell=<c> layout: later [[appendToIvfIndex]] batches land

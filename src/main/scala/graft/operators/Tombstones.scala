@@ -31,16 +31,35 @@ private[operators] object Tombstones {
   /** Record deleted ids. Ids are longs in every index (doc_id /
     * vec_id); the set is deduplicated and written as one file per
     * batch (takedown lists are small — a huge deletion is a rebuild,
-    * not a tombstone). */
+    * not a tombstone). An EMPTY takedown is a no-op: writing zero rows
+    * would create a data-file-less tombstones directory that every
+    * later probe fails to schema-infer — bricking the index over a
+    * day's takedown feed that filtered to nothing. */
   def write(ids: DataFrame, idCol: String, indexDir: String,
       batchId: String): Unit = {
     require(batchId.nonEmpty,
       "batchId must be a unique label (e.g. the takedown date)")
-    ids.select(col(idCol).cast("long").as("id")).distinct()
+    val dedup = ids.select(col(idCol).cast("long").as("id")).distinct()
       .coalesce(1)
-      .withColumn("batch", lit(batchId))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch").parquet(s"$indexDir/tombstones")
+      .localCheckpoint(true) // one evaluation: the emptiness probe IS the write input
+    try {
+      if (!dedup.isEmpty) {
+        dedup.withColumn("batch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").parquet(s"$indexDir/tombstones")
+      }
+    } finally graft.Tables.unpinCheckpoint(dedup)
+  }
+
+  /** Drop any recorded deletions — called by every full index REBUILD
+    * (write*Index over an existing dir): the staged tables are
+    * replaced wholesale, and a stale tombstone set surviving the
+    * rebuild would silently filter legitimately re-ingested ids out of
+    * the brand-new index forever. */
+  def clear(spark: SparkSession, indexDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
   }
 
   /** The deleted-id set, or None when no deletion was ever recorded —

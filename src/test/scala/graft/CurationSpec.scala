@@ -231,6 +231,28 @@ class CurationSpec extends SparkSpec {
     assert(kept.sameElements(Array(2L, 3L)), s"got ${kept.toSeq}")
   }
 
+  test("fuzzy decontamination: contaminated fraction exact, dirty only above the cut") {
+    val b = (1 to 30).map(i => s"b$i") // the benchmark's 30-token text
+    val docs = Seq(
+      // wholesale leak: the full benchmark text → frac 1.0, dirty
+      (1L, b.mkString(" ")),
+      // partial leak: a 20-token span of the benchmark inside unique
+      // text → exactly those 20 tokens contaminated (8 matching
+      // 13-gram windows merge into one range), 20/26 < 0.8 → clean
+      (2L, ("u1 u2 u3 " + b.slice(4, 24).mkString(" ") + " u4 u5 u6")),
+      // no overlap at all
+      (3L, "entirely separate words about mountain weather and snowfall"),
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, b.mkString(" "))).toDF("doc_id", "text")
+    val out = Curation.decontaminateFuzzy(docs, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(out.toSeq === Seq(
+      (1L, 30L, 30L, 1.0, true),
+      (2L, 26L, 20L, 20.0 / 26.0, false),
+      (3L, 8L, 0L, 0.0, false)))
+  }
+
   test("mix_sample: budgets respected per stratum, deterministic, whole docs only") {
     val docs = Tables.documents(spark, sf)
     val out = Curation.mixSample(docs, "source",

@@ -223,6 +223,11 @@ class DedupSpec extends SparkSpec {
       Dedup.minhashPairsIndexed(spark, in, batch, "doc_id", "text")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(probe(fresh) === Set((100L, 101L), (200L, 201L)))
+    // an EMPTY takedown (a day's feed that filtered to nothing) is a
+    // no-op — a zero-row write would create a data-file-less
+    // tombstones dir that bricks every later probe on schema inference
+    Dedup.deleteFromLshIndex(Seq.empty[Long].toDF("doc_id"), "doc_id", dir, "t0")
+    assert(probe(fresh) === Set((100L, 101L), (200L, 201L)))
     // takedown of 100: its staged postings stop pairing at the next probe
     Dedup.deleteFromLshIndex(Seq(100L).toDF("doc_id"), "doc_id", dir, "t1")
     assert(probe(fresh) === Set((200L, 201L)),
@@ -251,6 +256,12 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(s"$cdir/bands")
       .filter(col("id") === 100L).count() === 0L,
       "tombstoned band postings survived compaction")
+    // a full REBUILD at the same dir replaces the staged set wholesale
+    // and must forget prior deletions — a stale tombstone set would
+    // silently filter the re-licensed doc out of the new index forever
+    Dedup.writeLshIndex(corpus, "doc_id", "text", dir)
+    assert(probe(fresh) === Set((100L, 101L), (200L, 201L)),
+      "stale tombstones filtered the rebuilt index")
   }
 
   test("SimHash index deletion: tombstoned doc stops pairing; compaction folds it in") {

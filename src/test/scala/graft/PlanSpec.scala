@@ -124,6 +124,28 @@ class PlanSpec extends SparkSpec {
       s"substring dedup collapsed onto one task:\n$p")
   }
 
+  test("tombstoned IVF probe: deletion anti-join broadcasts, cell pruning survives it") {
+    // The deletion path's two load-bearing plan properties: the
+    // tombstone subtraction must be a broadcast hash anti-join (a
+    // map-side filter — the staged corpus must NOT shuffle to honor a
+    // takedown), and the probed-cell isin filter must still push past
+    // the anti-join to the scan as a partition filter (left-side
+    // predicate) — otherwise every probe of a deletion-bearing index
+    // reads all cells.
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivf-plan").toString
+    Similarity.writeIvfIndex(spark, sf, idxDir)
+    import spark.implicits._
+    Similarity.deleteFromIvfIndex(Seq(987654321L).toDF("vec_id"), "vec_id",
+      idxDir, "t1")
+    val probe = Similarity.annIvfIndexed(spark, idxDir)
+    val p = executedPlan(probe)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"tombstone subtraction is not a broadcast anti-join:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("cell")),
+      s"cell partition pruning lost behind the tombstone anti-join:\n$p")
+  }
+
   test("ann brute force: query side broadcast, corpus side map-only until top-k") {
     val p = executedPlan(Similarity.annBruteTopK(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
