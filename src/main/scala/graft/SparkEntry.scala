@@ -107,6 +107,8 @@ object SparkEntry {
     "decontaminate_fuzzy" -> (Curation.decontamFuzzyQuery _),
     "pack_sequences" -> (Curation.packSequencesQuery _),
     "mix_sample" -> (Curation.mixSampleQuery _),
+    "mix_epochs" -> (Curation.mixEpochsQuery _),
+    "shuffle_sequences" -> (Curation.shuffleSequencesQuery _),
     "quality_rank_cut" -> (Curation.qualityRankCutQuery _),
     "pipeline_train_mix" -> ((s: SparkSession, d: String) =>
       Curation.pipelineTrainMix(s, d)),
@@ -187,6 +189,8 @@ object SparkEntry {
     "decontaminate_fuzzy" -> Curation.decontamFuzzySql,
     "pack_sequences" -> Curation.packSequencesSql,
     "mix_sample" -> Curation.mixSampleSql,
+    "mix_epochs" -> Curation.mixEpochsSql,
+    "shuffle_sequences" -> Curation.shuffleSequencesSql,
     "quality_rank_cut" -> Curation.qualityRankCutSql,
     "pipeline_train_mix" -> Curation.pipelineTrainMixSql,
     "boilerplate_frac" -> TextAnalysis.boilerplateFracSql,

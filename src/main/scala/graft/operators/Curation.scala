@@ -611,6 +611,156 @@ object Curation {
       |                        WHEN 'src1' THEN 500 ELSE 800 END
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- C23
+  /** Cross-engine DETERMINISTIC shuffle key: one 64-bit LCG step
+    * (Knuth's MMIX constants) over the id + seed, via the native
+    * [[graft.functions.HashFunctions.Lcg64]] expression (ANSI mode
+    * makes the DataFrame `*` throw on the overflow the key NEEDS; the
+    * native kernel wraps like Java — which is exactly `(x*A + C) %
+    * 2^64` computed in DuckDB HUGEINT, probed bit-identical across
+    * engines in round 6). So shuffle order is oracle-checkable,
+    * reproducible across runs AND engines, and needs no global pass:
+    * the key is pure per-row arithmetic. (xxhash/murmur mixes need
+    * C-style wrapping shifts DuckDB rejects, and Spark's rand() is
+    * partition-dependent — both non-starters for a REPRODUCIBLE
+    * training order.) LCG low bits are weak but ordering uses the
+    * full key and sharding uses the top bits. */
+  def shuffleKey(id: Column, seed: Long): Column =
+    graft.functions.HashFunctions.lcg64(id, seed)
+
+  /** Shard = top 4 bits of the unsigned key (16 equal key ranges —
+    * balanced in expectation, assigned map-side with zero coordination;
+    * a range-sampling exchange would add a pass for the same result). */
+  def shuffleShard(key: Column): Column =
+    shiftrightunsigned(key, 60).cast("int")
+
+  /** TRAINING-ORDER SHUFFLE of the packed corpus (C13's sequences):
+    * LM training wants documents decorrelated from ingestion order —
+    * neighboring web-crawl docs share domains, topics, and timestamps,
+    * and a deterministic, SEEDED order is what makes a training run
+    * reproducible and resumable. Emits one row per sequence with its
+    * shuffle key and 16-way shard, in shuffled order. Scale shape:
+    * the key derives map-side from seq_id (no join, no global window,
+    * no rand()); the only wide ops are C13's own prefix sum and the
+    * final order. */
+  def shuffleSequences(docs: DataFrame, seqLen: Int = 2048,
+      seed: Long = 42L): DataFrame =
+    packSequences(docs, seqLen)
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("shuffle_key", shuffleKey(col("seq_id"), seed))
+      .withColumn("shard", shuffleShard(col("shuffle_key")))
+      .orderBy(col("shuffle_key"), col("seq_id"))
+
+  def shuffleSequencesQuery(spark: SparkSession, sfDir: String): DataFrame =
+    shuffleSequences(Tables.documents(spark, sfDir))
+
+  val shuffleSequencesSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cb
+      |  FROM t),
+      |s AS (
+      |  SELECT CAST(cb // 2048 AS BIGINT) AS seq_id, COUNT(*) AS n_docs
+      |  FROM c GROUP BY 1),
+      |k AS (
+      |  SELECT seq_id, n_docs,
+      |    ((seq_id + 42)::HUGEINT * 6364136223846793005
+      |      + 1442695040888963407) % 18446744073709551616 AS u
+      |  FROM s)
+      |SELECT seq_id, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(CASE WHEN u >= 9223372036854775808
+      |       THEN u - 18446744073709551616 ELSE u END AS BIGINT)
+      |    AS shuffle_key,
+      |  CAST(u // 1152921504606846976 AS INT) AS shard
+      |FROM k ORDER BY shuffle_key, seq_id""".stripMargin
+
+  /** The shuffled-shard WRITER — [[writePackedShards]] with training
+    * order replaced by seeded-shuffle order: packed rows carry their
+    * sequence's shuffle key (map-side arithmetic, no join), range-
+    * partition on the KEY alone (equal keys = one sequence — a
+    * sequence cannot split across shards, the C21 argument with the
+    * key standing in for seq_id; the LCG is bijective so distinct
+    * sequences never collide), rows sorted by (key, seq_offset) so a
+    * data loader streams each shard in final training order. */
+  def writeShuffledShards(docs: DataFrame, outDir: String,
+      seqLen: Int = 2048, shards: Int = 16, seed: Long = 42L): Unit = {
+    require(shards >= 1)
+    packSequences(docs, seqLen)
+      .withColumn("shuffle_key", shuffleKey(col("seq_id"), seed))
+      .repartitionByRange(shards, col("shuffle_key"))
+      .sortWithinPartitions(col("shuffle_key"), col("seq_offset"))
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  // ------------------------------------------------------------- C24
+  /** EPOCH-WEIGHTED repetition — the training-mix knob C14's hard
+    * token budget cannot express: production mixes repeat high-quality
+    * sources fractionally (wikipedia 2.4 epochs, web 0.6) rather than
+    * truncating them. Each doc is emitted floor(w) times plus one more
+    * for a deterministic hash-fraction of docs (the top 32 bits of the
+    * doc's [[shuffleKey]] against floor(frac·2³²) — integer-exact in
+    * both engines, so the FRACTIONAL epoch is an unbiased per-doc
+    * lottery that is reproducible run-over-run and engine-over-engine,
+    * not a rand() draw). Emits (doc, epoch_idx 0..r-1) — downstream
+    * packing treats each repetition as a fresh training example.
+    * Pure per-row arithmetic + explode: zero shuffle at any scale. */
+  def mixEpochs(docs: DataFrame, stratumCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      seed: Long = 7L): DataFrame = {
+    require(defaultWeight >= 0 && weights.values.forall(_ >= 0),
+      "epoch weights must be non-negative")
+    val wExpr = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (s, w)) => when(col(stratumCol) === s, lit(w)).otherwise(acc)
+    }
+    val frac32 = shiftrightunsigned(shuffleKey(col("doc_id"), seed), 32)
+    docs
+      .withColumn("__w", wExpr)
+      .withColumn("__r", floor(col("__w")).cast("long") +
+        when(frac32 < floor((col("__w") - floor(col("__w"))) * pow(lit(2.0), 32))
+          .cast("long"), 1L).otherwise(0L))
+      .filter(col("__r") > 0)
+      .select(col("doc_id"), col(stratumCol),
+        explode(sequence(lit(0L), col("__r") - 1)).as("epoch_idx"))
+      .orderBy(col("doc_id"), col("epoch_idx"))
+  }
+
+  /** Driver query: src1 repeated 2.5 epochs, src2 down-sampled to a
+    * half epoch, everyone else single-epoch — exercises whole repeats,
+    * the fractional lottery, and pass-through. */
+  def mixEpochsQuery(spark: SparkSession, sfDir: String): DataFrame =
+    mixEpochs(Tables.documents(spark, sfDir), "source",
+      Map("src1" -> 2.5, "src2" -> 0.5))
+
+  val mixEpochsSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, source,
+      |    -- ::DOUBLE: DuckDB would otherwise keep the literals DECIMAL
+      |    -- and compute the fractional threshold exactly, while Spark
+      |    -- computes it in binary double — same type, same answer
+      |    CAST(CASE source WHEN 'src1' THEN 2.5 WHEN 'src2' THEN 0.5
+      |         ELSE 1.0 END AS DOUBLE) AS wt,
+      |    ((doc_id + 7)::HUGEINT * 6364136223846793005
+      |      + 1442695040888963407) % 18446744073709551616 AS u
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source,
+      |    CAST(FLOOR(wt) AS BIGINT) +
+      |      CASE WHEN u // 4294967296
+      |        < CAST(FLOOR((wt - FLOOR(wt)) * 4294967296) AS BIGINT)
+      |      THEN 1 ELSE 0 END AS reps
+      |  FROM w)
+      |SELECT doc_id, source, CAST(e AS BIGINT) AS epoch_idx
+      |FROM r, UNNEST(generate_series(0, CAST(reps AS BIGINT) - 1)) AS g(e)
+      |WHERE reps > 0
+      |ORDER BY doc_id, epoch_idx""".stripMargin
+
   // ------------------------------------------------------------- C15
   /** The END-TO-END training-data flow, composed from the verified
     * stages: quality + language gates and exact dedup (C6a) →

@@ -253,6 +253,68 @@ class CurationSpec extends SparkSpec {
       (3L, 8L, 0L, 0.0, false)))
   }
 
+  test("shuffle_sequences: seeded permutation, engine-free determinism, whole-sequence shards") {
+    val docs = Tables.documents(spark, sf)
+    val a = Curation.shuffleSequences(docs, seed = 42L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val b = Curation.shuffleSequences(docs, seed = 42L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(a.toSeq === b.toSeq, "same seed must reproduce the same order")
+    // a PERMUTATION of the packed sequences — nothing lost, nothing added
+    val packedSeqs = Curation.packSequences(docs)
+      .select(col("seq_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(a.map(_._1).toSet === packedSeqs)
+    // a different seed produces a different order over the same set
+    val c = Curation.shuffleSequences(docs, seed = 43L).collect().map(_.getLong(0))
+    assert(c.toSet === packedSeqs && !c.sameElements(a.map(_._1)),
+      "different seed should permute differently")
+    // shard is the key's top 4 bits: 16 buckets, consistent with the key
+    a.foreach { case (_, _, key, shard) =>
+      assert(shard === (key >>> 60).toInt && shard >= 0 && shard < 16)
+    }
+    // the shuffled-shard writer: every sequence WHOLE in one file,
+    // rows inside each file in (key, seq_offset) order
+    val dir = java.nio.file.Files.createTempDirectory("graft-shuffle").toString + "/out"
+    Curation.writeShuffledShards(docs, dir, shards = 4)
+    val rows = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), col("seq_id"), col("shuffle_key"),
+        col("seq_offset"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val filesPerSeq = rows.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size)
+    assert(filesPerSeq.values.forall(_ === 1),
+      s"sequence split across shards: ${filesPerSeq.filter(_._2 > 1)}")
+    assert(rows.map(_._5).toSet ===
+      Curation.packSequences(docs).select(col("doc_id")).collect()
+        .map(_.getLong(0)).toSet, "writer lost or invented docs")
+  }
+
+  test("mix_epochs: whole repeats exact, fractional lottery deterministic and unbiased-ish") {
+    val docs = (0L until 300L).map { i =>
+      val src = if (i < 100) "a" else if (i < 200) "b" else "c"
+      (i, src, s"some text for document number $i")
+    }.toDF("doc_id", "source", "text")
+    val out = Curation.mixEpochs(docs, "source",
+      Map("a" -> 2.0, "b" -> 0.5), defaultWeight = 1.0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    // whole weights are exact: every a-doc exactly twice, every c-doc once
+    (0L until 100L).foreach(i => assert(byDoc(i) === Seq(0L, 1L), s"a-doc $i: ${byDoc.get(i)}"))
+    (200L until 300L).foreach(i => assert(byDoc(i) === Seq(0L), s"c-doc $i: ${byDoc.get(i)}"))
+    // the 0.5-epoch source keeps a deterministic hash-subset: each b-doc
+    // appears 0 or 1 times, the kept fraction is hash-uniform (loose
+    // bounds — the subset is FIXED by the seed, not a random draw)
+    val bKept = (100L until 200L).count(byDoc.contains)
+    assert(bKept > 25 && bKept < 75, s"0.5-epoch lottery kept $bKept of 100")
+    (100L until 200L).foreach(i =>
+      byDoc.get(i).foreach(e => assert(e === Seq(0L))))
+    // reproducible: the lottery is arithmetic, not rand()
+    val again = Curation.mixEpochs(docs, "source",
+      Map("a" -> 2.0, "b" -> 0.5), defaultWeight = 1.0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("mix_sample: budgets respected per stratum, deterministic, whole docs only") {
     val docs = Tables.documents(spark, sf)
     val out = Curation.mixSample(docs, "source",
