@@ -109,6 +109,9 @@ object SparkEntry {
     "mix_sample" -> (Curation.mixSampleQuery _),
     "mix_epochs" -> (Curation.mixEpochsQuery _),
     "shuffle_sequences" -> (Curation.shuffleSequencesQuery _),
+    "domain_cap" -> (Curation.domainCapQuery _),
+    "q_asof_join" -> (Joins.asofJoinQuery _),
+    "q_range_join" -> (Joins.rangeJoinQuery _),
     "quality_rank_cut" -> (Curation.qualityRankCutQuery _),
     "pipeline_train_mix" -> ((s: SparkSession, d: String) =>
       Curation.pipelineTrainMix(s, d)),
@@ -191,6 +194,9 @@ object SparkEntry {
     "mix_sample" -> Curation.mixSampleSql,
     "mix_epochs" -> Curation.mixEpochsSql,
     "shuffle_sequences" -> Curation.shuffleSequencesSql,
+    "domain_cap" -> Curation.domainCapSql,
+    "q_asof_join" -> Joins.asofJoinSql,
+    "q_range_join" -> Joins.rangeJoinSql,
     "quality_rank_cut" -> Curation.qualityRankCutSql,
     "pipeline_train_mix" -> Curation.pipelineTrainMixSql,
     "boilerplate_frac" -> TextAnalysis.boilerplateFracSql,

@@ -761,6 +761,52 @@ object Curation {
       |WHERE reps > 0
       |ORDER BY doc_id, epoch_idx""".stripMargin
 
+  // ------------------------------------------------------------- C25
+  /** PER-DOMAIN CAP — the web-crawl curation knob epoch weights and
+    * token budgets don't cover: a handful of giant domains (or
+    * sources) would otherwise dominate the corpus, so keep at most
+    * `k` docs per domain, chosen by the seeded LCG key order — a
+    * deterministic unbiased without-replacement subsample, not
+    * "first k in file order" (file order correlates with crawl time
+    * and quality). Composed from the [[graft.plans.TopK.perKey]]
+    * physical operator: map-side bounded heaps prune each partition
+    * to ≤k rows per domain BEFORE the shuffle, so a 100 TB domain
+    * ships k rows per input partition, not its whole postings — the
+    * window-function formulation would sort every giant domain on
+    * one task. */
+  def domainCap(docs: DataFrame, domainCol: String, k: Int,
+      seed: Long = 11L): DataFrame = {
+    require(k > 0, "domain cap must be positive")
+    graft.plans.TopK.perKey(
+      docs.withColumn("__dk", shuffleKey(col("doc_id"), seed)),
+      Seq(domainCol), Seq(col("__dk"), col("doc_id")), k)
+      .drop("__dk")
+  }
+
+  def domainCapQuery(spark: SparkSession, sfDir: String): DataFrame =
+    domainCap(Tables.documents(spark, sfDir), "source", 10)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("source"), col("doc_id"))
+
+  val domainCapSql: String =
+    """WITH k AS (
+      |  SELECT doc_id, source,
+      |    ((doc_id + 11)::HUGEINT * 6364136223846793005
+      |      + 1442695040888963407) % 18446744073709551616 AS u
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, source,
+      |    -- compare on the SIGNED key: Spark orders the Java long
+      |    CAST(CASE WHEN u >= 9223372036854775808
+      |         THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS sk
+      |  FROM k),
+      |r AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source ORDER BY sk, doc_id) AS rn
+      |  FROM s)
+      |SELECT doc_id, source FROM r WHERE rn <= 10
+      |ORDER BY source, doc_id""".stripMargin
+
   // ------------------------------------------------------------- C15
   /** The END-TO-END training-data flow, composed from the verified
     * stages: quality + language gates and exact dedup (C6a) →

@@ -315,6 +315,33 @@ class CurationSpec extends SparkSpec {
     assert(again.toSeq === out.toSeq)
   }
 
+  test("domain_cap: at most k per domain, deterministic hash subsample, not file order") {
+    val docs = Tables.documents(spark, sf)
+    val out = Curation.domainCap(docs, "source", 3)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perDomain = out.groupBy(_._2).view.mapValues(_.length)
+    assert(perDomain.values.forall(_ <= 3), s"cap exceeded: $perDomain")
+    // every domain with ≥3 docs keeps exactly 3
+    val domainSizes = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    domainSizes.foreach { case (d, n) =>
+      assert(perDomain.getOrElse(d, 0) === math.min(n, 3L).toInt, s"domain $d")
+    }
+    // kept set is the LCG-order head, not the doc_id-order head
+    val idOrderHead = docs.select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1).sorted.take(3).toSet)
+    assert(out.groupBy(_._2).exists { case (d, xs) =>
+      xs.map(_._1).toSet != idOrderHead(d)
+    }, "cap degenerated to first-k-by-id for every domain")
+    // deterministic across runs
+    val again = Curation.domainCap(docs, "source", 3)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(again.sorted.toSeq === out.sorted.toSeq)
+  }
+
   test("mix_sample: budgets respected per stratum, deterministic, whole docs only") {
     val docs = Tables.documents(spark, sf)
     val out = Curation.mixSample(docs, "source",

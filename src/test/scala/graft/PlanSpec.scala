@@ -174,6 +174,28 @@ class PlanSpec extends SparkSpec {
       s"missing window carry-forward:\n$p")
   }
 
+  test("generic asof join: tag-union plan, no range explosion") {
+    val p = plan(Joins.asofJoinQuery(spark, sf))
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"generic asof fell back to product:\n$p")
+    assert(p.contains("Union"), s"missing tag-union:\n$p")
+  }
+
+  test("range join plans as an equi-join on (key, bucket), never a product") {
+    val p = plan(Joins.rangeJoinQuery(spark, sf))
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"range join fell back to product:\n$p")
+    // the containment predicate must ride the hash join as its
+    // non-equi condition, not a post-join Filter of a wider product
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no hash/merge equi-join in range join plan:\n$p")
+  }
+
+  test("domain cap runs through the TopKPerKey physical operator") {
+    val p = executedPlan(graft.operators.Curation.domainCapQuery(spark, sf))
+    assert(p.contains("TopKPerKey"), s"domain cap lost the custom operator:\n$p")
+  }
+
   test("whole-stage codegen covers the q1 agg pipeline") {
     val p = executedPlan(Relational.q1PricingSummary(spark, sf))
     // executed-plan toString marks WholeStageCodegen stages as "*(n)"
