@@ -212,9 +212,6 @@ object Dedup {
       bands: Int = 16): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // a rebuild replaces the staged set wholesale — stale tombstones
-    // surviving it would silently filter re-ingested ids forever
-    Tombstones.clear(spark, indexDir)
     // persisted across the two writes: tokenize+shingle the corpus ONCE
     // (the whole premise of the index is that this pass dominates), not
     // once per output. MEMORY_AND_DISK by default, so a corpus larger
@@ -237,6 +234,14 @@ object Dedup {
     // under the just-written meta's stamp (saves the first probe's read)
     metaCache.put((indexDir, Tables.pathStamp(spark, s"$indexDir/meta")),
       (shingleSize, numHashes, bands))
+    // a rebuild replaces the staged set wholesale — stale tombstones
+    // surviving it would silently filter re-ingested ids forever.
+    // Cleared only AFTER the new staged set is fully written: clearing
+    // up front would let a failed rebuild leave the OLD index live
+    // with its deletions gone (tombstoned ids resurfacing at the next
+    // probe — the exact right-to-be-forgotten breach tombstones exist
+    // to prevent).
+    Tombstones.clear(spark, indexDir)
   }
 
   /** Build parameters of a staged index, read once per (JVM, dir,
@@ -263,14 +268,24 @@ object Dedup {
     * between sweeps: ContextCleaner only releases checkpoint storage
     * when the RDD is GC-collected, so many sweeps in one JVM otherwise
     * accumulate pinned batch copies between GCs. Tracked through WEAK
-    * references — the tracker must not itself keep a sweep's batch
-    * reachable, or callers that never heard of [[releaseSweepPins]]
-    * (and the pre-existing GC path) would leak what used to be
-    * collectable. */
+    * references TO THE CHECKPOINTED RDDs — the tracker must not itself
+    * keep a sweep's batch reachable, or callers that never heard of
+    * [[releaseSweepPins]] (and the pre-existing GC path) would leak
+    * what used to be collectable. The RDD, not the Dataset wrapper, is
+    * the right referent: the returned pairs plan holds the RDD (via
+    * LogicalRDD) but NOT the wrapper, so a weakly-held wrapper dies at
+    * the first GC after the sweep returns and release would silently
+    * no-op while the blocks stay pinned by the live plan. A weak RDD
+    * ref stays exactly as reachable as the blocks it guards. */
   private val sweepPins = java.util.Collections.synchronizedList(
-    new java.util.ArrayList[java.lang.ref.WeakReference[DataFrame]]())
+    new java.util.ArrayList[java.lang.ref.WeakReference[
+      org.apache.spark.rdd.RDD[_]]]())
   private def trackSweepPin(df: DataFrame): DataFrame = {
-    sweepPins.add(new java.lang.ref.WeakReference(df)); df
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(r => sweepPins.add(
+      new java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]](r)))
+    df
   }
 
   /** Release the checkpoint blocks of every tracked sweep pin that is
@@ -281,8 +296,8 @@ object Dedup {
     * fail loudly — the [[graft.Tables.unpinCheckpoint]] trade). */
   def releaseSweepPins(): Unit = {
     sweepPins.forEach { ref =>
-      val df = ref.get()
-      if (df != null) graft.Tables.unpinCheckpoint(df)
+      val rdd = ref.get()
+      if (rdd != null) rdd.unpersist(blocking = false)
     }
     sweepPins.clear()
   }
@@ -596,7 +611,6 @@ object Dedup {
       indexDir: String): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    Tombstones.clear(spark, indexDir) // rebuild forgets prior deletions
     simhashSigs(docs, idCol, textCol)
       .withColumn("batch", lit("base"))
       .write.mode("overwrite").partitionBy("batch")
@@ -606,6 +620,10 @@ object Dedup {
     // change the Hamming budget the buckets guarantee
     Seq(SimhashChunks).toDF("chunks")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    // rebuild forgets prior deletions — cleared AFTER the new staged
+    // set is written, so a failed rebuild cannot strip the live old
+    // index of its tombstones (see writeLshIndex)
+    Tombstones.clear(spark, indexDir)
   }
 
   /** Incremental SimHash sweep against a staged [[writeSimhashIndex]]

@@ -353,7 +353,6 @@ object Similarity {
   def writeIvfIndex(spark: SparkSession, sfDir: String, indexDir: String,
       nCells: Int = 0, maxTrain: Int = 100000): Unit = {
     import spark.implicits._
-    Tombstones.clear(spark, indexDir) // rebuild forgets prior deletions
     val e = Tables.embeddings(spark, sfDir)
     val centroids = corpusCentroids(spark, sfDir, nCells, maxTrain)
     // batch=base/cell=<c> layout: later [[appendToIvfIndex]] batches land
@@ -368,6 +367,10 @@ object Similarity {
     centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("cell", "cvec")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    // rebuild forgets prior deletions — cleared AFTER the new staged
+    // set is written, so a failed rebuild (centroid training, vector
+    // write) cannot strip the live old index of its tombstones
+    Tombstones.clear(spark, indexDir)
   }
 
   /** Fold a new vector batch INTO a staged IVF index — the index
