@@ -628,18 +628,30 @@ object Curation {
   def shuffleKey(id: Column, seed: Long): Column =
     graft.functions.HashFunctions.lcg64(id, seed)
 
-  /** Shard = top 4 bits of the unsigned key (16 equal key ranges —
-    * balanced in expectation, assigned map-side with zero coordination;
-    * a range-sampling exchange would add a pass for the same result). */
-  def shuffleShard(key: Column): Column =
-    shiftrightunsigned(key, 60).cast("int")
+  /** Shard label for a shuffle key: `shards` equal key ranges,
+    * assigned map-side with zero coordination (a range-sampling
+    * exchange would add a pass for the same result) and MONOTONE in
+    * the signed key order the shuffle emits — the sign bit is flipped
+    * before taking range bits, so concatenating shards in label order
+    * 0..shards-1 reproduces the global shuffled order exactly (an
+    * unsigned-top-bits label would put negative-key shards last while
+    * their rows sort first). Works for any shard count ≤ 2³¹: the
+    * flipped key's top 32 bits scale by `shards` — proportional,
+    * monotone, no overflow. */
+  def shuffleShard(key: Column, shards: Int = 16): Column = {
+    require(shards >= 1 && shards <= (1 << 30), "unreasonable shard count")
+    shiftrightunsigned(
+      shiftrightunsigned(key.bitwiseXOR(lit(Long.MinValue)), 32)
+        * lit(shards.toLong), 32).cast("int")
+  }
 
   /** TRAINING-ORDER SHUFFLE of the packed corpus (C13's sequences):
     * LM training wants documents decorrelated from ingestion order —
     * neighboring web-crawl docs share domains, topics, and timestamps,
     * and a deterministic, SEEDED order is what makes a training run
     * reproducible and resumable. Emits one row per sequence with its
-    * shuffle key and 16-way shard, in shuffled order. Scale shape:
+    * shuffle key and 16-way shard label (monotone in the emitted
+    * order — see [[shuffleShard]]), in shuffled order. Scale shape:
     * the key derives map-side from seq_id (no join, no global window,
     * no rand()); the only wide ops are C13's own prefix sum and the
     * final order. */
@@ -678,25 +690,31 @@ object Curation {
       |  CAST(CASE WHEN u >= 9223372036854775808
       |       THEN u - 18446744073709551616 ELSE u END AS BIGINT)
       |    AS shuffle_key,
-      |  CAST(u // 1152921504606846976 AS INT) AS shard
+      |  -- sign-flip before the range bits: label order = signed order
+      |  CAST((u // 1152921504606846976 + 8) % 16 AS INT) AS shard
       |FROM k ORDER BY shuffle_key, seq_id""".stripMargin
 
   /** The shuffled-shard WRITER — [[writePackedShards]] with training
     * order replaced by seeded-shuffle order: packed rows carry their
-    * sequence's shuffle key (map-side arithmetic, no join), range-
-    * partition on the KEY alone (equal keys = one sequence — a
-    * sequence cannot split across shards, the C21 argument with the
-    * key standing in for seq_id; the LCG is bijective so distinct
-    * sequences never collide), rows sorted by (key, seq_offset) so a
-    * data loader streams each shard in final training order. */
+    * sequence's shuffle key (map-side arithmetic, no join) and its
+    * FIXED key-range shard label ([[shuffleShard]] — deterministic
+    * boundaries, no range-sampling job, label order = shuffled
+    * order), written as `shard=` directories with one file each.
+    * Equal keys = one sequence (the LCG is bijective so distinct
+    * sequences never collide), and a sequence's rows share one key →
+    * one shard: a sequence cannot split across shards, the C21
+    * argument with the key standing in for seq_id. Rows sort by
+    * (key, seq_offset) inside each file, so a loader streaming
+    * `shard=0..N-1` in label order reads the exact global training
+    * order [[shuffleSequences]] reports. */
   def writeShuffledShards(docs: DataFrame, outDir: String,
       seqLen: Int = 2048, shards: Int = 16, seed: Long = 42L): Unit = {
-    require(shards >= 1)
     packSequences(docs, seqLen)
       .withColumn("shuffle_key", shuffleKey(col("seq_id"), seed))
-      .repartitionByRange(shards, col("shuffle_key"))
+      .withColumn("shard", shuffleShard(col("shuffle_key"), shards))
+      .repartition(shards, col("shard"))
       .sortWithinPartitions(col("shuffle_key"), col("seq_offset"))
-      .write.mode("overwrite").parquet(outDir)
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
   }
 
   // ------------------------------------------------------------- C24

@@ -268,25 +268,40 @@ class CurationSpec extends SparkSpec {
     val c = Curation.shuffleSequences(docs, seed = 43L).collect().map(_.getLong(0))
     assert(c.toSet === packedSeqs && !c.sameElements(a.map(_._1)),
       "different seed should permute differently")
-    // shard is the key's top 4 bits: 16 buckets, consistent with the key
+    // shard label: 16 fixed key ranges, MONOTONE in the emitted order
+    // (sign bit flipped before the range bits)
     a.foreach { case (_, _, key, shard) =>
-      assert(shard === (key >>> 60).toInt && shard >= 0 && shard < 16)
+      assert(shard === ((key ^ Long.MinValue) >>> 60).toInt &&
+        shard >= 0 && shard < 16)
     }
-    // the shuffled-shard writer: every sequence WHOLE in one file,
-    // rows inside each file in (key, seq_offset) order
+    assert(a.map(_._4).toSeq === a.map(_._4).toSeq.sorted,
+      "shard labels must be non-decreasing along the shuffled order")
+    // the shuffled-shard writer: every sequence WHOLE in one shard,
+    // rows inside each shard in (key, seq_offset) order, and reading
+    // shard=0..N-1 in label order reproduces the global order
     val dir = java.nio.file.Files.createTempDirectory("graft-shuffle").toString + "/out"
     Curation.writeShuffledShards(docs, dir, shards = 4)
     val rows = spark.read.parquet(dir)
-      .select(input_file_name().as("f"), col("seq_id"), col("shuffle_key"),
-        col("seq_offset"), col("doc_id"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4)))
-    val filesPerSeq = rows.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size)
+      .select(input_file_name().as("f"), col("shard"), col("seq_id"),
+        col("shuffle_key"), col("seq_offset"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val filesPerSeq = rows.groupBy(_._3).view.mapValues(_.map(_._1).distinct.size)
     assert(filesPerSeq.values.forall(_ === 1),
       s"sequence split across shards: ${filesPerSeq.filter(_._2 > 1)}")
-    assert(rows.map(_._5).toSet ===
+    assert(rows.map(_._6).toSet ===
       Curation.packSequences(docs).select(col("doc_id")).collect()
         .map(_.getLong(0)).toSet, "writer lost or invented docs")
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(rs.map(_._1).distinct.size === 1, s"shard $shard spans files")
+      // directory label == the fixed key-range formula, recomputed here
+      rs.foreach(r => assert(
+        ((((r._4 ^ Long.MinValue) >>> 32) * 4) >>> 32).toInt === shard))
+    }
+    // label order ++ in-shard (key, offset) order == global signed order
+    val byLabel = rows.sortBy(r => (r._2, r._4, r._5)).map(_._4)
+    assert(byLabel.toSeq === rows.map(_._4).sorted.toSeq,
+      "concatenating shards in label order must give global key order")
   }
 
   test("mix_epochs: whole repeats exact, fractional lottery deterministic and unbiased-ish") {
