@@ -284,6 +284,43 @@ object TextFunctions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** DEFLATE compression ratio of a string's UTF-8 bytes — the
+    * Gopher-family quality signal: highly repetitive machine text
+    * compresses far below natural prose, random noise barely at all,
+    * so the ratio separates boilerplate/spam from language at one
+    * sequential pass per row, no tokenization, no corpus state.
+    * Fixed level 6 + nowrap keeps the output a pure function of the
+    * bytes within a JDK (zlib heuristics can differ ACROSS JDK
+    * implementations — why this is a spec-checked signal, not an
+    * oracle query). Empty input → ratio 1.0 (incompressible by
+    * convention, avoids 0/0). */
+  case class DeflateRatio(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"deflate_ratio needs a string, got ${child.dataType.sql}")
+
+    override def nullSafeEval(a: Any): Any = {
+      val bytes = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+      if (bytes.isEmpty) 1.0
+      else {
+        val d = new java.util.zip.Deflater(6, true)
+        try {
+          d.setInput(bytes); d.finish()
+          val buf = new Array[Byte](8192)
+          var out = 0L
+          while (!d.finished()) out += d.deflate(buf)
+          out.toDouble / bytes.length
+        } finally d.end()
+      }
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "deflate_ratio"
+  }
+
   // Column-API wrappers.
   def simhash64(tokens: Column): Column =
     GraftColumn.apply(SimHash64(GraftColumn.expression(tokens)))
@@ -302,4 +339,7 @@ object TextFunctions {
 
   def positionalShingleHashes(tokens: Column, n: Int): Column =
     GraftColumn.apply(PositionalShingleHashes(GraftColumn.expression(tokens), n))
+
+  def deflateRatio(text: Column): Column =
+    GraftColumn.apply(DeflateRatio(GraftColumn.expression(text)))
 }

@@ -598,6 +598,50 @@ object Relational {
       |WHERE o_totalprice > 400000.0
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- B26
+  /** Grouped Pearson correlation from DECIMAL-EXACT moment sums.
+    * Built-in `corr()` accumulates doubles in partition order —
+    * nondeterministic across partitionings and engines — so the five
+    * moments (Σx, Σy, Σxy, Σx², Σy²) are summed as exact decimals
+    * (order-independent) and the textbook formula runs once per group
+    * in double, as the IDENTICAL expression tree DuckDB evaluates:
+    * every IEEE op is correctly rounded, so same tree + same inputs =
+    * same bits. Columns chosen small (quantity ≤ 50, discount ≤ 0.1)
+    * so every moment's significand stays below 2⁵³ and the
+    * decimal→double conversions are exact in both engines (§4). One
+    * shuffle on the group key, map-side partial sums. */
+  def qCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val x = dec($"l_quantity")
+    val y = dec($"l_discount")
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"))
+      .select($"l_returnflag", $"n",
+        (($"n" * $"sxy" - $"sx" * $"sy") /
+          (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
+            sqrt($"n" * $"syy" - $"sy" * $"sy"))).as("corr_qty_disc"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qCorrSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  (n * sxy - sx * sy) /
+      |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_disc
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- B13
   /** HLL approximate distinct count — the 100-TB-scale path of B10
     * (fixed-size sketch, no exact distinct shuffle). No SQL oracle

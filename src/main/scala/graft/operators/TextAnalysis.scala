@@ -470,4 +470,24 @@ object TextAnalysis {
       |    AS boilerplate_frac
       |FROM g JOIN df USING (gram)
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
+  // --------------------------------------------------------------- E13
+  /** Compression-ratio quality signal (the Gopher-family filter):
+    * DEFLATE ratio per doc via the native
+    * [[graft.functions.TextFunctions.DeflateRatio]] kernel — map-only,
+    * one sequential pass per row, no corpus state, no shuffle beyond
+    * the final presentation sort. Low ratio = repetitive boilerplate,
+    * near-1 = noise; the spec pins that ordering on constructed docs.
+    * Rows-only (zlib output is JDK-implementation-specific — see the
+    * kernel note), ratio rounded to 6dp for a stable dump. */
+  def compressRatioOf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol),
+      length(col(textCol)).as("n_chars_text"),
+      round(graft.functions.TextFunctions.deflateRatio(col(textCol)), 6)
+        .as("deflate_ratio"))
+
+  def compressRatioQuery(spark: SparkSession, sfDir: String): DataFrame =
+    compressRatioOf(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy(col("doc_id"))
 }

@@ -60,6 +60,25 @@ class JoinsSpec extends SparkSpec {
     assert(row.getAs[String]("rname") === "c")
   }
 
+  test("asofJoin: equals the brute-force max-earlier-match join") {
+    val left = (0 until 300).map(i => (i % 5L, i.toLong * 17 % 400, i.toLong))
+      .toDF("k", "lts", "lid")
+    val right = (0 until 200).map(i => (i % 5L, i.toLong * 29 % 400, 100000L + i))
+      .toDF("k", "rts", "rid")
+    val got = Joins.asofJoin(left, right, Seq("k"), "lts", "rts",
+      Seq("rid"), strict = true, tiebreak = Some("rid"))
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+    // brute force: all strictly-earlier matches, keep max (rts, rid)
+    val ls = left.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rs = right.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = ls.map { case (k, lts, lid) =>
+      val m = rs.filter(r => r._1 == k && r._2 < lts)
+      (lid, if (m.isEmpty) None else Some(m.maxBy(r => (r._2, r._3))._3))
+    }
+    assert(got.sortBy(_._1).toSeq === want.sortBy(_._1).toSeq)
+  }
+
   test("rangeJoin: equals the brute-force containment join, pairs exactly once") {
     // deterministic pseudo-random points/intervals spanning negative
     // timestamps (floor-div bucketing must stay sign-correct) and

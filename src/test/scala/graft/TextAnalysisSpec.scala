@@ -201,4 +201,30 @@ class TextAnalysisSpec extends SparkSpec {
       assert(got(id) > 0.0 && got(id) < 1.0, s"doc $id: ${got(id)}")
     }
   }
+
+  test("deflate ratio: repetitive < prose < noise, empty/null handled, deterministic") {
+    val rnd = new scala.util.Random(7)
+    val noise = (0 until 400).map(_ => rnd.nextPrintableChar()).mkString
+    val prose = ("the quick brown fox jumps over the lazy dog while " +
+      "seventy owls watch a distant storm gather beyond the river ") * 4
+    val docs = Seq(
+      (1L, Some("spam " * 200)),           // highly repetitive
+      (2L, Some(prose)),                   // natural-ish prose
+      (3L, Some(noise)),                   // near-incompressible
+      (4L, Some("")),                      // empty → 1.0 by convention
+      (5L, None),                          // null text → null ratio
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.compressRatioOf(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val (rep, pr, nz) = (got(1L).get, got(2L).get, got(3L).get)
+    assert(rep < pr && pr < nz, s"ordering violated: $rep / $pr / $nz")
+    assert(rep < 0.1, s"200x-repeated token should compress hard: $rep")
+    assert(nz > 0.5, s"random printable noise should resist: $nz")
+    assert(got(4L) === Some(1.0) && got(5L) === None)
+    val again = TextAnalysis.compressRatioOf(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(again === got, "ratio must be a pure function of the bytes")
+  }
 }
