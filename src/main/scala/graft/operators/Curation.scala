@@ -731,7 +731,7 @@ object Curation {
     * Pure per-row arithmetic + explode: zero shuffle at any scale. */
   def mixEpochs(docs: DataFrame, stratumCol: String,
       weights: Map[String, Double], defaultWeight: Double = 1.0,
-      seed: Long = 7L): DataFrame = {
+      seed: Long = 7L, keep: Seq[String] = Nil): DataFrame = {
     require(defaultWeight >= 0 && weights.values.forall(_ >= 0),
       "epoch weights must be non-negative")
     val wExpr = weights.foldLeft(lit(defaultWeight)) {
@@ -744,8 +744,8 @@ object Curation {
         when(frac32 < floor((col("__w") - floor(col("__w"))) * pow(lit(2.0), 32))
           .cast("long"), 1L).otherwise(0L))
       .filter(col("__r") > 0)
-      .select(col("doc_id"), col(stratumCol),
-        explode(sequence(lit(0L), col("__r") - 1)).as("epoch_idx"))
+      .select(Seq(col("doc_id"), col(stratumCol)) ++ keep.map(col) :+
+        explode(sequence(lit(0L), col("__r") - 1)).as("epoch_idx"): _*)
       .orderBy(col("doc_id"), col("epoch_idx"))
   }
 
@@ -849,6 +849,41 @@ object Curation {
   private val trainMixStageCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long), DataFrame]
 
+  /** Clean-stage pins (gates + exact dedup + decontamination), keyed
+    * like [[trainMixStageCache]] and SHARED by both training
+    * pipelines (C15 budget mix, C26 epoch mix) — the expensive
+    * curation lineage runs once per corpus version no matter which
+    * pipelines consume it. Kept pinned while current (evicted with
+    * blocks released on a stamp change): a second pipeline arriving
+    * later must not re-run curation because the first one finished. */
+  private val cleanStageCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), DataFrame]
+
+  /** The shared curation front half: language/quality gates + exact
+    * dedup over the train split, benchmark decontamination against
+    * the held-out split — pinned per (corpus, mtime). Emits
+    * (doc_id, source, n_tokens). Pin rationale: the mix and pack
+    * prefix sums each probe eagerly AND re-read lazily, so without a
+    * pin this lineage would execute ~4× per pipeline. Eager
+    * localCheckpoint runs it once and serves the rest from blocks; at
+    * cluster scale with preemptible executors, write the stage to
+    * parquet instead — the connectedComponents durability note
+    * applies verbatim. */
+  private def cleanStage(spark: SparkSession, sfDir: String): DataFrame = {
+    val stamp = Tables.pathStamp(spark, s"$sfDir/documents.parquet")
+    cleanStageCache.filterInPlace { case ((d, st), df) =>
+      d != sfDir || st == stamp || { Tables.unpinCheckpoint(df); false }
+    }
+    cleanStageCache.getOrElseUpdate((sfDir, stamp), {
+      val docs = Tables.documents(spark, sfDir)
+      val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val curatedDocs = train.join(
+        curateExact(train).select(col("doc_id")), Seq("doc_id"), "left_semi")
+      decontaminate(curatedDocs, bench).localCheckpoint(true)
+    })
+  }
+
   def pipelineTrainMix(spark: SparkSession, sfDir: String,
       seqLen: Int = 2048): DataFrame = {
     val stamp = Tables.pathStamp(spark, s"$sfDir/documents.parquet")
@@ -856,26 +891,8 @@ object Curation {
       d != sfDir || st == stamp || { Tables.unpinCheckpoint(df); false }
     }
     val mixed = trainMixStageCache.getOrElseUpdate((sfDir, stamp), {
-      val docs = Tables.documents(spark, sfDir)
-      val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-      val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
-      val curatedDocs = train.join(
-        curateExact(train).select(col("doc_id")), Seq("doc_id"), "left_semi")
-      // pin the two stage boundaries: the mix and pack prefix sums each
-      // probe eagerly AND re-read lazily, so without pins the gate +
-      // dedup + decontamination lineage would execute ~4×. Eager
-      // localCheckpoint runs each stage once and serves the rest from
-      // blocks; at cluster scale with preemptible executors, write the
-      // stage to parquet instead — the connectedComponents durability
-      // note applies verbatim.
-      val clean = decontaminate(curatedDocs, bench).localCheckpoint(true)
-      val m = mixSample(clean, "source", Map("src1" -> 500L),
+      mixSample(cleanStage(spark, sfDir), "source", Map("src1" -> 500L),
         defaultBudget = 800L).localCheckpoint(true)
-      // `m` is fully materialized and its plan is a block-backed leaf —
-      // the clean pin is dead weight from here; free it immediately
-      // instead of waiting for GC to find the orphaned RDD
-      Tables.unpinCheckpoint(clean)
-      m
     })
     packFromCounts(mixed, seqLen, keep = Seq("source"))
   }
@@ -927,6 +944,111 @@ object Curation {
       |  CAST(cb // 2048 AS BIGINT) AS seq_id,
       |  CAST(cb % 2048 AS BIGINT) AS seq_offset
       |FROM packed ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- C26
+  /** The EPOCH-WEIGHTED end-to-end training flow — C15 with the
+    * production back half: shared clean stage (gates + exact dedup +
+    * decontamination, pinned once per corpus version) → epoch-weighted
+    * repetition (C24: whole repeats + deterministic fractional
+    * lottery) → GLOBAL SEEDED SHUFFLE of the (doc, epoch) replicas →
+    * sequence packing in shuffled order (C13's two-pass prefix sum
+    * keyed by the shuffle key instead of doc_id). Shuffle-before-pack
+    * is the production order: packing in doc order would put a doc's
+    * epochs in adjacent sequences and neighboring crawl docs in the
+    * same batch. Every stage is integer/decimal-deterministic, so the
+    * WHOLE composition hash-checks against DuckDB.
+    *
+    * rep_id packs (doc, epoch) into one long (epochs < 8, ids < 2⁶⁰ —
+    * ANSI throws loudly on overflow rather than wrapping); the LCG
+    * over rep_id is bijective, so shuffle keys are unique and the
+    * prefix-sum order is total. */
+  def pipelineTrainEpochs(spark: SparkSession, sfDir: String,
+      seqLen: Int = 2048, packSeed: Long = 5L): DataFrame = {
+    val counted = cleanStage(spark, sfDir).withColumn("n_tokens",
+      size(TextAnalysis.tokens()).cast("long"))
+    val reps = mixEpochs(counted, "source",
+      Map("src1" -> 2.5, "src2" -> 0.5), keep = Seq("n_tokens"))
+    val keyed = reps
+      .withColumn("rep_id", col("doc_id") * 8 + col("epoch_idx"))
+      .withColumn("shuffle_key", shuffleKey(col("rep_id"), packSeed))
+    Scale.stratifiedPrefixSum(keyed.withColumn("__s", lit("all")), "__s",
+        "shuffle_key", "n_tokens", "__ca", 1024)
+      .withColumn("__cb", col("__ca") - col("n_tokens"))
+      .select(col("doc_id"), col("epoch_idx"), col("source"),
+        col("n_tokens"), col("shuffle_key"),
+        expr(s"__cb div $seqLen").as("seq_id"),
+        expr(s"__cb % $seqLen").as("seq_offset"))
+      .orderBy(col("shuffle_key"))
+  }
+
+  val pipelineTrainEpochsSql: String =
+    """WITH train AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+      |gated AS (
+      |  SELECT doc_id, source, text,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+      |      AS n_tokens,
+      |    CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS DOUBLE)
+      |      / len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS uniq_ratio
+      |  FROM train
+      |  WHERE list_contains(['en', 'de', 'es', 'fr', 'zh'], lang)),
+      |ranked AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      |  FROM gated WHERE n_tokens >= 10 AND uniq_ratio >= 0.3),
+      |curated AS (
+      |  SELECT doc_id, source, n_tokens FROM ranked WHERE rn = 1),
+      |toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, array_to_string(t[i:i+12], ' ') AS gram
+      |  FROM toks, UNNEST(generate_series(1, len(t) - 12)) AS u(i)
+      |  WHERE len(t) >= 13),
+      |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+      |cont AS (
+      |  SELECT DISTINCT doc_id FROM g
+      |  WHERE doc_id % 10 <> 0 AND gram IN (SELECT gram FROM bench)),
+      |clean AS (
+      |  SELECT * FROM curated
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+      |w AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    CAST(CASE source WHEN 'src1' THEN 2.5 WHEN 'src2' THEN 0.5
+      |         ELSE 1.0 END AS DOUBLE) AS wt,
+      |    ((doc_id + 7)::HUGEINT * 6364136223846793005
+      |      + 1442695040888963407) % 18446744073709551616 AS u
+      |  FROM clean),
+      |r AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    CAST(FLOOR(wt) AS BIGINT) +
+      |      CASE WHEN u // 4294967296
+      |        < CAST(FLOOR((wt - FLOOR(wt)) * 4294967296) AS BIGINT)
+      |      THEN 1 ELSE 0 END AS nreps
+      |  FROM w),
+      |x AS (
+      |  SELECT doc_id, source, n_tokens, CAST(e AS BIGINT) AS epoch_idx
+      |  FROM r, UNNEST(generate_series(0, CAST(nreps AS BIGINT) - 1)) AS g(e)
+      |  WHERE nreps > 0),
+      |k AS (
+      |  SELECT doc_id, epoch_idx, source, n_tokens,
+      |    ((doc_id * 8 + epoch_idx + 5)::HUGEINT * 6364136223846793005
+      |      + 1442695040888963407) % 18446744073709551616 AS u2
+      |  FROM x),
+      |s AS (
+      |  SELECT doc_id, epoch_idx, source, n_tokens,
+      |    CAST(CASE WHEN u2 >= 9223372036854775808
+      |         THEN u2 - 18446744073709551616 ELSE u2 END AS BIGINT)
+      |      AS shuffle_key
+      |  FROM k),
+      |c AS (
+      |  SELECT *,
+      |    SUM(n_tokens) OVER (ORDER BY shuffle_key
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cb
+      |  FROM s)
+      |SELECT doc_id, epoch_idx, source, n_tokens, shuffle_key,
+      |  CAST(cb // 2048 AS BIGINT) AS seq_id,
+      |  CAST(cb % 2048 AS BIGINT) AS seq_offset
+      |FROM c ORDER BY shuffle_key""".stripMargin
 
   // ------------------------------------------------------------- C18
   /** PER-SOURCE QUALITY RANK CUT — keep each source's top `num/den`

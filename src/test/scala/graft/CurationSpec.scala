@@ -330,6 +330,38 @@ class CurationSpec extends SparkSpec {
     assert(again.toSeq === out.toSeq)
   }
 
+  test("pipeline_train_epochs: unique replicas, gapless packing in shuffled order") {
+    val out = Curation.pipelineTrainEpochs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.nonEmpty)
+    // every (doc, epoch) replica appears exactly once
+    assert(out.map(t => (t._1, t._2)).distinct.length === out.length)
+    // emitted in shuffle-key order, keys unique (bijective rep_id→LCG)
+    val keys = out.map(_._5)
+    assert(keys.toSeq === keys.sorted.toSeq && keys.distinct.length === keys.length)
+    // the packed token stream is gapless: walking in key order, each
+    // replica's (seq_id, seq_offset) is exactly the running total
+    var cum = 0L
+    out.foreach { t =>
+      assert(t._6 === cum / 2048 && t._7 === cum % 2048,
+        s"gap at doc ${t._1} epoch ${t._2}")
+      cum += t._4
+    }
+    // epoch discipline per source: src1 = 2 whole + lottery third,
+    // src2 = lottery-only (absent docs dropped), others exactly once;
+    // epoch indexes are a gapless 0..n-1 per doc
+    out.groupBy(_._1).foreach { case (doc, rows) =>
+      val n = rows.length
+      rows.head._3 match {
+        case "src1" => assert(n == 2 || n == 3, s"doc $doc reps $n")
+        case "src2" => assert(n == 1, s"doc $doc reps $n")
+        case _ => assert(n == 1, s"doc $doc reps $n")
+      }
+      assert(rows.map(_._2).sorted.toSeq === (0L until n).toSeq)
+    }
+  }
+
   test("domain_cap: at most k per domain, deterministic hash subsample, not file order") {
     val docs = Tables.documents(spark, sf)
     val out = Curation.domainCap(docs, "source", 3)
