@@ -723,4 +723,103 @@ object Monitoring {
       |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
       |  ON e.user_id = p.user_id AND e.ts > p.ts
       |ORDER BY e.user_id, fail_us""".stripMargin
+
+  // ---------------------------------------------------------------- A30
+  /** Per-device EWMA of the metric series — the smoothing behind
+    * "is throughput trending down" that a flat window mean (A21)
+    * answers too slowly: recent samples weigh exponentially more.
+    * EWMA is inherently a SEQUENTIAL recurrence (s' = α·x + (1−α)·s),
+    * so it cannot be a commutative aggregate; the scale-correct shape
+    * is: one shuffle groups each device's series, `sort_array` fixes
+    * the order (tiebreak event_id → total order), and a codegen'd
+    * higher-order `aggregate` LEFT-FOLDS the values — state is O(1)
+    * per device, work is one pass over each series, and the fold
+    * order is engine-independent, so DuckDB's `list_reduce` over the
+    * identically-sorted list replays the same double arithmetic
+    * bit-for-bit (the closed-form Σ α(1−α)ⁿ⁻ⁱxᵢ would need
+    * overflowing (1−α)⁻ⁱ weights — a window formulation is
+    * numerically impossible, the fold is the right operator). Seeded
+    * by the FIRST sample (not 0 — a zero init biases short series). */
+  def ewma(spark: SparkSession, sfDir: String,
+      alpha: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    require(alpha > 0 && alpha <= 1, s"alpha $alpha out of (0, 1]")
+    Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
+      .select($"user_id", expr("unix_micros(ts)").as("us"),
+        $"event_id", $"value")
+      .groupBy($"user_id")
+      .agg(expr("sort_array(collect_list(struct(us, event_id, value)))")
+        .as("s"))
+      .select($"user_id", size($"s").as("n_events"),
+        expr(s"""aggregate(
+          slice(transform(s, x -> x.value), 2, size(s) - 1),
+          element_at(transform(s, x -> x.value), 1),
+          (a, v) -> CAST($alpha AS DOUBLE) * v +
+                    CAST(${1.0 - alpha} AS DOUBLE) * a)""").as("ewma"))
+      .orderBy($"user_id")
+  }
+
+  val ewmaSql: String =
+    """WITH v AS (
+      |  SELECT user_id,
+      |    list(value ORDER BY epoch_us(ts), event_id) AS vals
+      |  FROM events
+      |  WHERE event_type = 'purchase' AND value IS NOT NULL
+      |  GROUP BY user_id)
+      |SELECT user_id, CAST(len(vals) AS INT) AS n_events,
+      |  list_reduce(vals,
+      |    (a, v) -> CAST(0.2 AS DOUBLE) * v + CAST(0.8 AS DOUBLE) * a)
+      |    AS ewma
+      |FROM v ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- A31
+  /** Per-device z-score outliers: flag metric samples more than
+    * `k` standard deviations from THEIR device's mean — the
+    * adaptive-threshold alternative to putmedia_check.sh's fixed
+    * alarm level (a chatty device's normal burst is another device's
+    * anomaly). Two passes, both scale-shaped: per-device moments from
+    * order-free DECIMAL sums (one shuffle, map-side partials), then
+    * the tiny stats frame joins back (AQE broadcasts it — a map-side
+    * filter over the events scan, no second events shuffle). μ, σ,
+    * and the verdict are the identical IEEE tree in both engines, so
+    * the strict `>` cut picks the same rows bit-for-bit. */
+  def zscoreOutliers(spark: SparkSession, sfDir: String,
+      k: Double = 2.0): DataFrame = {
+    import spark.implicits._
+    require(k > 0, s"threshold $k must be positive")
+    val ev = Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
+      .select($"user_id", expr("unix_micros(ts)").as("us"),
+        $"event_id", $"value")
+    val stats = ev.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,4)")).cast("double").as("sx"),
+        sum($"value".cast("decimal(18,4)") * $"value".cast("decimal(18,4)"))
+          .cast("double").as("sxx"))
+      .select($"user_id", $"n", ($"sx" / $"n").as("mu"),
+        sqrt(($"sxx" - $"sx" * $"sx" / $"n") / $"n").as("sigma"))
+    ev.join(stats, "user_id")
+      .filter(abs($"value" - $"mu") > lit(k) * $"sigma")
+      .select($"user_id", $"event_id", $"us", $"value", $"mu", $"sigma")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val zscoreOutliersSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, value
+      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+      |m AS (
+      |  SELECT user_id, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+      |  FROM e GROUP BY user_id),
+      |s AS (
+      |  SELECT user_id, sx / n AS mu,
+      |    sqrt((sxx - sx * sx / n) / n) AS sigma
+      |  FROM m)
+      |SELECT e.user_id, e.event_id, e.us, e.value, s.mu, s.sigma
+      |FROM e JOIN s USING (user_id)
+      |WHERE abs(e.value - s.mu) > 2.0 * s.sigma
+      |ORDER BY e.user_id, e.event_id""".stripMargin
 }

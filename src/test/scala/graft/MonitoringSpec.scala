@@ -226,4 +226,50 @@ class MonitoringSpec extends SparkSpec {
     val n = Monitoring.jsonProps(spark, sf).agg(sum($"n_props")).as[Long].head()
     assert(n === Tables.events(spark, sf).count())
   }
+
+  test("ewma: matches the hand-rolled recurrence per device, first-sample seed") {
+    val out = Monitoring.ewma(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    // replay the recurrence from the raw series (same order, same alpha)
+    val series = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
+      .select($"user_id", expr("unix_micros(ts)").as("us"), $"event_id", $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(out.keySet === series.keySet)
+    series.foreach { case (dev, rows) =>
+      val vals = rows.sortBy(t => (t._2, t._3)).map(_._4)
+      val want = vals.tail.foldLeft(vals.head)((a, v) => 0.2 * v + 0.8 * a)
+      assert(out(dev)._1 === vals.length)
+      assert(out(dev)._2 === want, s"device $dev")
+    }
+    intercept[IllegalArgumentException](Monitoring.ewma(spark, sf, alpha = 0.0))
+  }
+
+  test("zscore outliers: exactly the rows beyond k sigma, nothing on a flat series") {
+    val out = Monitoring.zscoreOutliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5)))
+    assert(out.nonEmpty, "sf0.001 purchases should contain some 2-sigma tails")
+    out.foreach { case (_, _, v, mu, sigma) =>
+      assert(math.abs(v - mu) > 2.0 * sigma)
+    }
+    // cross-check one device's flagged set against a driver-side replay
+    val dev = out.head._1
+    val vals = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase" && $"value".isNotNull &&
+        $"user_id" === dev)
+      .select($"event_id", $"value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val n = vals.length
+    val sx = vals.map(v => BigDecimal(v._2).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val mu = sx / n
+    val sxx = vals.map(v => BigDecimal(v._2).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).pow(2)).sum.toDouble
+    val sigma = math.sqrt((sxx - sx * sx / n) / n)
+    val wantIds = vals.filter(v => math.abs(v._2 - mu) > 2.0 * sigma)
+      .map(_._1).toSet
+    assert(out.filter(_._1 == dev).map(_._2).toSet === wantIds)
+  }
 }
