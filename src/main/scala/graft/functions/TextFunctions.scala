@@ -306,19 +306,29 @@ object TextFunctions {
       val bytes = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
       if (bytes.isEmpty) 1.0
       else {
-        val d = new java.util.zip.Deflater(6, true)
-        try {
-          d.setInput(bytes); d.finish()
-          val buf = new Array[Byte](8192)
-          var out = 0L
-          while (!d.finished()) out += d.deflate(buf)
-          out.toDouble / bytes.length
-        } finally d.end()
+        // one native zlib handle per task thread, reset between rows —
+        // per-row Deflater allocation costs a JNI init + finalizer
+        // pressure on every document in the corpus
+        val d = DeflateRatio.local.get()
+        d.reset()
+        d.setInput(bytes); d.finish()
+        val buf = DeflateRatio.buf.get()
+        var out = 0L
+        while (!d.finished()) out += d.deflate(buf)
+        out.toDouble / bytes.length
       }
     }
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
     override def prettyName: String = "deflate_ratio"
+  }
+
+  object DeflateRatio {
+    private[TextFunctions] val local =
+      ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+        new java.util.zip.Deflater(6, true))
+    private[TextFunctions] val buf =
+      ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))
   }
 
   // Column-API wrappers.

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** Streaming window aggregations (SURVEY.md §2.A13/A14) — the
   * Structured Streaming twins of Monitoring.windowSum/sessionize.
@@ -87,4 +88,40 @@ object StreamingAggs {
       .select(col("f_user").as("user_id"), col("fail_ts"), col("fail_id"),
         col("ok_ts"), col("ok_value"))
   }
+
+  /** Per-device running EWMA carried across micro-batches — the
+    * streaming twin of [[graft.operators.Monitoring.ewma]] (A30).
+    * State is the recurrence's own O(1) footprint: (current ewma,
+    * sample count); each trigger folds its group's new samples in
+    * (ts, event_id) order into the carried value and emits the
+    * updated smoothed level per device. Seeding matches the batch
+    * operator: the first sample IS the initial ewma. Within-batch
+    * buffering is one device's per-trigger slice (the HealthMonitor
+    * ordering note applies); across batches nothing is re-read — the
+    * carried double is the whole history's summary, which is the
+    * point of EWMA as a streaming statistic. */
+  def ewmaStream(events: Dataset[DeviceEvent],
+      alpha: Double = 0.2): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha $alpha out of (0, 1]")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.filter(_.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, (Long, Double, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (dev: Long, it: Iterator[DeviceEvent], state: GroupState[EwmaState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var s = state.getOption.getOrElse(EwmaState(0.0, 0L))
+          sorted.foreach { e =>
+            s = if (s.n == 0L) EwmaState(e.value, 1L)
+            else EwmaState(alpha * e.value + (1 - alpha) * s.ewma, s.n + 1L)
+          }
+          state.update(s)
+          (dev, s.ewma, s.n)
+      }
+      .toDF("user_id", "ewma", "n_events")
+  }
 }
+
+/** Running-EWMA state: the recurrence's whole history in two fields. */
+case class EwmaState(ewma: Double, n: Long)

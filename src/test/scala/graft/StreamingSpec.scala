@@ -225,6 +225,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows.count() > 0)
     assert(rows.filter($"n_events" < 1).count() === 0)
   }
+
+  test("streaming ewma: state carries across batches, equals the batch fold") {
+    def pv(id: Long, minute: Int, dev: Long, v: Double): DeviceEvent =
+      DeviceEvent(id, Timestamp.valueOf(f"2024-01-01 11:$minute%02d:00"),
+        dev, "purchase", v, "{}")
+    val input = MemoryStream[DeviceEvent](11, spark, None)
+    val q = StreamingAggs.ewmaStream(input.toDS())
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: device 5 gets three samples (one out of order), device
+      // 6 one; a non-purchase event must be ignored
+      input.addData(pv(1, 2, 5L, 10.0), pv(2, 1, 5L, 4.0), pv(3, 3, 5L, 7.0),
+        pv(4, 1, 6L, 2.0), ev(5, 4, 5L, "error"))
+      q.processAllAvailable()
+      val b1 = spark.table("ewma_out").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      // device 5 in ts order: 4.0, 10.0, 7.0 seeded at 4.0
+      val e5a = 0.2 * 7.0 + 0.8 * (0.2 * 10.0 + 0.8 * 4.0)
+      assert(b1.toSet === Set((5L, e5a, 3L), (6L, 2.0, 1L)))
+      // batch 2: device 5 continues — the carried state, not a restart
+      input.addData(pv(6, 5, 5L, 1.0))
+      q.processAllAvailable()
+      val b2 = spark.table("ewma_out").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      assert(b2.toSet.contains((5L, 0.2 * 1.0 + 0.8 * e5a, 4L)),
+        s"batch 2 output: ${b2.toSet}")
+    } finally q.stop()
+  }
 }
 
 case class HealthAlertRow(user_id: Long, ts: Timestamp, action: String, consec_fails: Int)
