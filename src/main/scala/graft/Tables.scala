@@ -82,9 +82,15 @@ object Tables {
     * already doomed to read inconsistent data — failing loudly beats
     * both silent staleness and unbounded storage growth. */
   def unpinCheckpoint(df: DataFrame): Unit =
+    checkpointRdds(df).foreach(_.unpersist(blocking = false))
+
+  /** The checkpointed RDDs behind a plan — its LogicalRDD leaves.
+    * Shared by [[unpinCheckpoint]] and trackers that must hold the RDD
+    * itself (weakly) rather than the Dataset wrapper. */
+  def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
+    }
 
   /** Canonical identity of a data path: qualified through the Hadoop
     * FileSystem (scheme + authority + working-dir resolution), and for

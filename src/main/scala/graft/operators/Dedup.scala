@@ -281,9 +281,7 @@ object Dedup {
     new java.util.ArrayList[java.lang.ref.WeakReference[
       org.apache.spark.rdd.RDD[_]]]())
   private def trackSweepPin(df: DataFrame): DataFrame = {
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(r => sweepPins.add(
+    graft.Tables.checkpointRdds(df).foreach(r => sweepPins.add(
       new java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]](r)))
     df
   }
@@ -779,6 +777,13 @@ object Dedup {
     import spark.implicits._
     val g = docs
       .withColumn("toks", TextAnalysis.tokens())
+      // docs with fewer than 3 tokens generate NO grams (the
+      // decontaminate rule): ShingleHashes would otherwise hash the
+      // whole short doc as one window — and hash EMPTY docs to a shared
+      // sentinel, pairing all empty docs at jaccard 1.0 — neither of
+      // which a word-3-gram measure means, and neither of which the
+      // string-gram oracle (len >= 3) reproduces
+      .filter(size($"toks") >= 3)
       .withColumn("grams", TextFunctions.shingleHashes($"toks", 3))
       .select($"doc_id", $"source", expr("n_chars div 100").as("lenb"), $"grams")
     // Repartition on the join keys: both sides of the self-join then
@@ -811,6 +816,44 @@ object Dedup {
       .orderBy($"jaccard".desc, $"id1", $"id2")
       .limit(topN)
   }
+
+  /** DuckDB twin of [[ngramJaccard]] over STRING grams. The Spark side
+    * runs on xxhash64 shingle hashes (DuckDB cannot compute them), so
+    * this oracle is bit-exact iff the hash is INJECTIVE on the actual
+    * gram population — verified directly each round: distinct hash
+    * count == distinct string-gram count at sf0.01 (16,245) and sf0.1
+    * (27,213). Everything downstream of gram identity (df cap, block
+    * keys, set sizes, intersection counts, the integer-ratio jaccard,
+    * tie-broken top-20) is identical arithmetic in both engines. */
+  val ngramJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, n_chars // 100 AS lenb,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, source, lenb,
+      |    array_to_string(t[i:i+2], ' ') AS gram
+      |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+      |  WHERE len(t) >= 3),
+      |idx AS (
+      |  SELECT doc_id, source, lenb, gram FROM (
+      |    SELECT doc_id, source, lenb, gram,
+      |      COUNT(*) OVER (PARTITION BY source, lenb, gram) AS df
+      |    FROM g) WHERE df <= 1000),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+      |  FROM idx a JOIN idx b
+      |    ON a.source = b.source AND a.lenb = b.lenb AND a.gram = b.gram
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT p.id1, p.id2,
+      |  ROUND(CAST(p.inter AS DOUBLE) / (s1.sz + s2.sz - p.inter), 6)
+      |    AS jaccard
+      |FROM pairs p JOIN sizes s1 ON p.id1 = s1.doc_id
+      |             JOIN sizes s2 ON p.id2 = s2.doc_id
+      |ORDER BY jaccard DESC, id1, id2
+      |LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------- C5
   /** Embedding-cosine near-dup pairs, blocked by label (IVF-style

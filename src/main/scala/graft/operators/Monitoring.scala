@@ -798,7 +798,14 @@ object Monitoring {
         sum($"value".cast("decimal(18,4)") * $"value".cast("decimal(18,4)"))
           .cast("double").as("sxx"))
       .select($"user_id", $"n", ($"sx" / $"n").as("mu"),
-        sqrt(($"sxx" - $"sx" * $"sx" / $"n") / $"n").as("sigma"))
+        // clamp before the sqrt: double rounding of sx·sx/n can push a
+        // degenerate (single-sample / near-constant) device's variance
+        // a few ulp NEGATIVE — Spark's sqrt would yield NaN (silently
+        // dropping the device from the strict > cut) while DuckDB's
+        // sqrt ERRORS the whole oracle query. greatest(·, 0.0) is the
+        // same IEEE op in both engines, so parity is preserved.
+        sqrt(greatest(($"sxx" - $"sx" * $"sx" / $"n") / $"n", lit(0.0)))
+          .as("sigma"))
     ev.join(stats, "user_id")
       .filter(abs($"value" - $"mu") > lit(k) * $"sigma")
       .select($"user_id", $"event_id", $"us", $"value", $"mu", $"sigma")
@@ -816,7 +823,9 @@ object Monitoring {
       |  FROM e GROUP BY user_id),
       |s AS (
       |  SELECT user_id, sx / n AS mu,
-      |    sqrt((sxx - sx * sx / n) / n) AS sigma
+      |    -- greatest: a few-ulp-negative rounded variance would ERROR
+      |    -- DuckDB's sqrt (Spark NaNs) — same clamp as the Spark side
+      |    sqrt(greatest((sxx - sx * sx / n) / n, 0.0)) AS sigma
       |  FROM m)
       |SELECT e.user_id, e.event_id, e.us, e.value, s.mu, s.sigma
       |FROM e JOIN s USING (user_id)

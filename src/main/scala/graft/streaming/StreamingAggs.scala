@@ -110,7 +110,11 @@ object StreamingAggs {
       .mapGroupsWithState[EwmaState, (Long, Double, Long)](
         GroupStateTimeout.NoTimeout) {
         (dev: Long, it: Iterator[DeviceEvent], state: GroupState[EwmaState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // full-microsecond order (HealthMonitor.tsMicros) — getTime
+          // truncates to millis and would tie-break same-millisecond
+          // samples differently from the batch twin's unix_micros sort
+          val sorted = it.toSeq.sortBy(e =>
+            (HealthMonitor.tsMicros(e.ts), e.event_id))
           var s = state.getOption.getOrElse(EwmaState(0.0, 0L))
           sorted.foreach { e =>
             s = if (s.n == 0L) EwmaState(e.value, 1L)

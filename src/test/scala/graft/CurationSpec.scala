@@ -297,6 +297,13 @@ class CurationSpec extends SparkSpec {
       // directory label == the fixed key-range formula, recomputed here
       rs.foreach(r => assert(
         ((((r._4 ^ Long.MinValue) >>> 32) * 4) >>> 32).toInt === shard))
+      // PHYSICAL in-file order is (key, seq_offset) — collect order
+      // within one file is file order, and a planner-inserted sort on
+      // the partition column alone would silently destroy this (the
+      // reason the writer's sort leads with `shard`)
+      assert(rs.map(r => (r._4, r._5)).toSeq ===
+        rs.map(r => (r._4, r._5)).sortBy(identity).toSeq,
+        s"shard $shard rows not in (key, seq_offset) file order")
     }
     // label order ++ in-shard (key, offset) order == global signed order
     val byLabel = rows.sortBy(r => (r._2, r._4, r._5)).map(_._4)
