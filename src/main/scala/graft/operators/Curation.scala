@@ -575,14 +575,23 @@ object Curation {
     * a fraction, not a token count. */
   def mixSample(docs: DataFrame, stratumCol: String,
       budgets: Map[String, Long], defaultBudget: Long,
+      orderCol: String = "doc_id"): DataFrame =
+    mixSampleFromCounts(
+      docs.withColumn("n_tokens", size(TextAnalysis.tokens()).cast("long")),
+      stratumCol, budgets, defaultBudget, orderCol)
+
+  /** [[mixSample]] over a frame that already carries `n_tokens` — the
+    * composition entry point (the shared clean stage tokenizes once;
+    * re-deriving counts here would run the tokenizer a second time
+    * over the pinned corpus). */
+  def mixSampleFromCounts(counts: DataFrame, stratumCol: String,
+      budgets: Map[String, Long], defaultBudget: Long,
       orderCol: String = "doc_id"): DataFrame = {
     require(defaultBudget >= 0 && budgets.values.forall(_ >= 0))
-    val toks = docs.withColumn("n_tokens",
-      size(TextAnalysis.tokens()).cast("long"))
     val budgetExpr = budgets.foldLeft(lit(defaultBudget)) {
       case (acc, (s, b)) => when(col(stratumCol) === s, lit(b)).otherwise(acc)
     }
-    Scale.stratifiedPrefixSum(toks, stratumCol, orderCol, "n_tokens", "__ca")
+    Scale.stratifiedPrefixSum(counts, stratumCol, orderCol, "n_tokens", "__ca")
       .filter(col("__ca") <= budgetExpr)
       .drop("__ca")
   }
@@ -635,9 +644,9 @@ object Curation {
     * before taking range bits, so concatenating shards in label order
     * 0..shards-1 reproduces the global shuffled order exactly (an
     * unsigned-top-bits label would put negative-key shards last while
-    * their rows sort first). Works for any shard count ≤ 2³¹: the
-    * flipped key's top 32 bits scale by `shards` — proportional,
-    * monotone, no overflow. */
+    * their rows sort first). Works for any shard count ≤ 2³⁰ (the
+    * require's cap): the flipped key's top 32 bits scale by `shards`
+    * — proportional, monotone, no overflow. */
   def shuffleShard(key: Column, shards: Int = 16): Column = {
     require(shards >= 1 && shards <= (1 << 30), "unreasonable shard count")
     shiftrightunsigned(
@@ -713,7 +722,17 @@ object Curation {
       .withColumn("shuffle_key", shuffleKey(col("seq_id"), seed))
       .withColumn("shard", shuffleShard(col("shuffle_key"), shards))
       .repartition(shards, col("shard"))
-      .sortWithinPartitions(col("shuffle_key"), col("seq_offset"))
+      // `shard` MUST lead the sort even though it is redundant with the
+      // key order (the label is monotone in the key): a partitionBy
+      // write requires per-partition ordering on the partition columns,
+      // and when the declared sort does not start with them the planner
+      // inserts its OWN sort on `shard` alone — which ELIMINATES this
+      // one (EliminateSorts strips sorts under sorts) and leaves rows
+      // inside each file in arbitrary order. With the prefix in place
+      // the required ordering is already satisfied, no sort is added,
+      // and the (key, seq_offset) file order the loader contract
+      // depends on survives.
+      .sortWithinPartitions(col("shard"), col("shuffle_key"), col("seq_offset"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
   }
 
@@ -861,8 +880,11 @@ object Curation {
 
   /** The shared curation front half: language/quality gates + exact
     * dedup over the train split, benchmark decontamination against
-    * the held-out split — pinned per (corpus, mtime). Emits
-    * (doc_id, source, n_tokens). Pin rationale: the mix and pack
+    * the held-out split — pinned per (corpus, mtime). Emits the
+    * NARROW counted frame (doc_id, source, n_tokens): the tokenizer
+    * runs exactly once here, and the pin holds three thin columns
+    * instead of a full text-corpus copy. Pin rationale: the mix and
+    * pack
     * prefix sums each probe eagerly AND re-read lazily, so without a
     * pin this lineage would execute ~4× per pipeline. Eager
     * localCheckpoint runs it once and serves the rest from blocks; at
@@ -880,7 +902,14 @@ object Curation {
       val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
       val curatedDocs = train.join(
         curateExact(train).select(col("doc_id")), Seq("doc_id"), "left_semi")
-      decontaminate(curatedDocs, bench).localCheckpoint(true)
+      // tokenize ONCE here and pin only the narrow counted frame: the
+      // text column is dead weight past this point (both pipelines
+      // consume counts), so pinning it would hold a full corpus copy
+      // in block storage and each consumer would re-run the tokenizer
+      decontaminate(curatedDocs, bench)
+        .withColumn("n_tokens", size(TextAnalysis.tokens()).cast("long"))
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+        .localCheckpoint(true)
     })
   }
 
@@ -891,8 +920,8 @@ object Curation {
       d != sfDir || st == stamp || { Tables.unpinCheckpoint(df); false }
     }
     val mixed = trainMixStageCache.getOrElseUpdate((sfDir, stamp), {
-      mixSample(cleanStage(spark, sfDir), "source", Map("src1" -> 500L),
-        defaultBudget = 800L).localCheckpoint(true)
+      mixSampleFromCounts(cleanStage(spark, sfDir), "source",
+        Map("src1" -> 500L), defaultBudget = 800L).localCheckpoint(true)
     })
     packFromCounts(mixed, seqLen, keep = Seq("source"))
   }
@@ -964,9 +993,7 @@ object Curation {
     * prefix-sum order is total. */
   def pipelineTrainEpochs(spark: SparkSession, sfDir: String,
       seqLen: Int = 2048, packSeed: Long = 5L): DataFrame = {
-    val counted = cleanStage(spark, sfDir).withColumn("n_tokens",
-      size(TextAnalysis.tokens()).cast("long"))
-    val reps = mixEpochs(counted, "source",
+    val reps = mixEpochs(cleanStage(spark, sfDir), "source",
       Map("src1" -> 2.5, "src2" -> 0.5), keep = Seq("n_tokens"))
     val keyed = reps
       .withColumn("rep_id", col("doc_id") * 8 + col("epoch_idx"))

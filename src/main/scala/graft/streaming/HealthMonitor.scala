@@ -61,7 +61,7 @@ object HealthMonitor {
   /** Full-microsecond epoch of a Timestamp — `getTime` alone truncates
     * to milliseconds, which would break ties differently from the
     * (ts, event_id) microsecond ordering every batch operator uses. */
-  private def tsMicros(t: Timestamp): Long =
+  private[streaming] def tsMicros(t: Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   /** The state-transition kernel: pure, so batch replays and specs can
