@@ -642,6 +642,39 @@ object Relational {
       |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_disc
       |FROM m ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- B27
+  /** UNPIVOT (wide → long): the B17 pivot's inverse — per-flag decimal
+    * sums of three measures melted to (flag, measure, value) rows via
+    * the native `unpivot` operator (pure projection+generate over the
+    * 3-row agg result, no extra shuffle). The oracle mirrors it as a
+    * portable ordered UNION ALL. */
+  def qUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_price"),
+        dsum($"l_discount").as("sum_disc"))
+      .unpivot(Array($"l_returnflag"),
+        Array($"sum_qty", $"sum_price", $"sum_disc"), "measure", "value")
+      .orderBy($"l_returnflag", $"measure")
+  }
+
+  val qUnpivotSql: String =
+    """WITH a AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, measure, value FROM (
+      |  SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+      |  UNION ALL
+      |  SELECT l_returnflag, 'sum_price', sum_price FROM a
+      |  UNION ALL
+      |  SELECT l_returnflag, 'sum_disc', sum_disc FROM a)
+      |ORDER BY l_returnflag, measure""".stripMargin
+
   // ---------------------------------------------------------------- B13
   /** HLL approximate distinct count — the 100-TB-scale path of B10
     * (fixed-size sketch, no exact distinct shuffle). No SQL oracle

@@ -530,6 +530,25 @@ object Similarity {
       .orderBy($"method")
   }
 
+  // ---------------------------------------------------------------- D9
+  /** STREAMING retrieval: each micro-batch of query vectors searched
+    * against a static corpus frame, results handed to `sink` with the
+    * batch id. foreachBatch is the right operator here — top-k
+    * ranking needs a window over query_id, which Structured Streaming
+    * cannot run incrementally, and retrieval is per-query stateless
+    * anyway (nothing carries across batches, so there is no state to
+    * manage; restart replays at-least-once per the sink's own
+    * idempotence). Each batch pays one broadcast of ITS queries
+    * against the corpus scan — the stream-static shape of
+    * [[bruteTopKFrames]]; swap the corpus frame for a staged-index
+    * probe when the corpus outgrows the brute guard. */
+  def annStream(queries: DataFrame, corpus: DataFrame, k: Int = AnnK)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(bruteTopKFrames(corpus, batch, k, excludeSelf = false), batchId)
+    }
+
   // ---------------------------------------------------------------- D4
   /** Vector primitives: L2 norm + self-dot via the codegen'd kernels
     * (sanity surface for the expression layer). */

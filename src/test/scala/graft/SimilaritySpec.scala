@@ -276,4 +276,37 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getDouble(3) === 1.0)
     }
   }
+
+  test("annStream: per-batch results equal the batch search, stateless across triggers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = Tables.embeddings(spark, sf).limit(80)
+      .select($"vec_id", $"embedding")
+    val queryPool = Tables.embeddings(spark, sf)
+      .filter($"vec_id" >= 80 && $"vec_id" < 86)
+      .select($"vec_id".as("query_id"), $"embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])](300, spark, None)
+    val got = scala.collection.mutable.Map.empty[Long, Array[(Long, Long)]]
+    val q = Similarity.annStream(
+      input.toDF().toDF("query_id", "embedding"), corpus, k = 3) {
+      (res, id) => got(id) = res.collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+    }.start()
+    try {
+      input.addData(queryPool.take(3).toSeq)
+      q.processAllAvailable()
+      input.addData(queryPool.drop(3).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.keySet === Set(0L, 1L))
+    // each batch independently equals the batch-mode search over
+    // exactly its own queries — nothing leaks between triggers
+    def want(qs: Array[(Long, Seq[Float])]): Array[(Long, Long)] = {
+      val qdf = qs.toSeq.toDF("query_id", "embedding")
+      Similarity.bruteTopKFrames(corpus, qdf, k = 3, excludeSelf = false)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+    }
+    assert(got(0L).sorted.toSeq === want(queryPool.take(3)).sorted.toSeq)
+    assert(got(1L).sorted.toSeq === want(queryPool.drop(3)).sorted.toSeq)
+  }
 }
