@@ -369,7 +369,13 @@ object VectorFunctions {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
     override def checkInputDataTypes(): TypeCheckResult =
-      if (left.dataType == Quantize8.schema && right.dataType == Quantize8.schema)
+      // structural compare, nullability ignored: a parquet round-trip
+      // (the int8 serving snapshot) re-reads the struct with nullable
+      // fields, but the VALUES are produced non-null by Quantize8
+      if (DataType.equalsStructurally(left.dataType, Quantize8.schema,
+          ignoreNullability = true) &&
+        DataType.equalsStructurally(right.dataType, Quantize8.schema,
+          ignoreNullability = true))
         TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(
         "int8_cosine_sim needs two quantize8 structs, got " +

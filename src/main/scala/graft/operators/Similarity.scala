@@ -445,6 +445,77 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$dstDir/centroids")
   }
 
+  // ---------------------------------------------------------------- D10
+  /** Compact a staged IVF index INTO an INT8 SERVING SNAPSHOT —
+    * [[compactIvfIndex]] with re-encoding: the rewrite compaction
+    * already pays is where quantization belongs (no extra pass over
+    * the corpus, and the float index stays the writable source of
+    * truth for append/delete while the snapshot is the read-optimized
+    * copy a retrieval tier scans — 4× less I/O per probed cell, which
+    * at 100 TB of vectors is the difference between a cell read being
+    * bandwidth-bound or not). Deletions fold in physically exactly as
+    * in the float compaction; centroids copy UNCHANGED in full
+    * precision (cell geometry must not move under stored
+    * assignments, and centroid ranking stays exact). The snapshot's
+    * vectors table stores [[VectorFunctions.quantize8]] structs —
+    * probing it with the float probe fails loudly on the schema. */
+  def compactIvfIndexInt8(spark: SparkSession, srcDir: String,
+      dstDir: String): Unit = {
+    import spark.implicits._
+    require(Tables.canonicalPath(spark, srcDir) != Tables.canonicalPath(spark, dstDir),
+      "compaction is functional: dst must differ from src")
+    Tombstones.applyTo(spark.read.parquet(s"$srcDir/vectors"),
+        spark, srcDir, "vec_id")
+      .select($"vec_id", VectorFunctions.quantize8($"embedding").as("q8"),
+        $"cell")
+      .withColumn("batch", lit("base"))
+      .repartition($"cell")
+      .write.mode("overwrite").partitionBy("batch", "cell")
+      .parquet(s"$dstDir/vectors")
+    spark.read.parquet(s"$srcDir/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dstDir/centroids")
+  }
+
+  /** Serve EXTERNAL float queries from an [[compactIvfIndexInt8]]
+    * snapshot: centroid ranking runs in full precision (the centroids
+    * table is float — recall is lost at the scoring step only, where
+    * the int8 error bound applies), the query quantizes ONCE into the
+    * tiny collected probe frame, and probed cells score with the
+    * codegen'd int8 kernel. Same partition-pruning shape as
+    * [[annIvfIndexed]]; tombstones staged against the snapshot after
+    * it was cut are still honored. */
+  def annIvfServe(queries: DataFrame, indexDir: String, k: Int = AnnK,
+      nProbe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val vectors = Tombstones.applyTo(
+      spark.read.parquet(s"$indexDir/vectors"), spark, indexDir, "vec_id")
+    val centroidDf = spark.read.parquet(s"$indexDir/centroids")
+    val wq = Window.partitionBy($"query_id").orderBy($"dist", $"cell")
+    val probeRows = queries
+      .select($"query_id", $"embedding".as("qe"))
+      .crossJoin(broadcast(centroidDf))
+      .withColumn("dist", expr(
+        """aggregate(zip_with(qe, cvec,
+          |  (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),
+          |  0D, (s, v) -> s + v)""".stripMargin))
+      .withColumn("pr", row_number().over(wq))
+      .filter($"pr" <= nProbe)
+      .select($"query_id", $"qe", $"cell")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+      .toSeq
+    val probedCells = probeRows.map(_._3).distinct
+    val probesLocal = probeRows.toDF("query_id", "qe", "cell")
+      .withColumn("qq8", VectorFunctions.quantize8($"qe"))
+      .select($"query_id", $"qq8", $"cell")
+    rankTopK(vectors.filter($"cell".isin(probedCells: _*))
+      .join(broadcast(probesLocal), Seq("cell"))
+      .select($"query_id", $"vec_id", $"cell",
+        round(VectorFunctions.int8CosineSim($"qq8", $"q8"), 6).as("cos")),
+      k, extras = Seq("cell"))
+  }
+
   /** Query a persisted IVF index: rank centroids per query (tiny), then
     * scan ONLY the probed `cell=` partitions. The probed cell set is
     * collected to the driver (≤ nProbe · queries ints — that is what

@@ -277,6 +277,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 serving snapshot: quantized schema, recall vs float probe, deletes honored") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-int8").toString
+    val (src, dst) = (s"$tmp/float", s"$tmp/int8")
+    Similarity.writeIvfIndex(spark, sf, src)
+    Similarity.compactIvfIndexInt8(spark, src, dst)
+    // the snapshot really is re-encoded: q8 struct, no float embedding
+    val names = spark.read.parquet(s"$dst/vectors").schema.fieldNames
+    assert(names.contains("q8") && !names.contains("embedding"))
+    // same query panel as the float probe (ids < QueryIdBound)
+    val queries = Tables.embeddings(spark, sf)
+      .filter($"vec_id" < Similarity.QueryIdBound)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val serve = Similarity.annIvfServe(queries, dst, k = 6, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // external-query mode keeps the self pair — it must score ~1.0 at rank 1
+    queries.collect().map(_.getLong(0)).foreach { qid =>
+      val self = serve.filter(t => t._1 == qid && t._2 == qid)
+      assert(self.nonEmpty && self.head._3 > 0.99, s"query $qid self pair: $self")
+    }
+    // int8 scoring agrees with the float index probe on most neighbors
+    // (same centroids → same probed cells; only the scoring is lossy)
+    val floatTop = Similarity.annIvfIndexed(spark, src, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val serveNoSelf = serve.filter(t => t._1 != t._2)
+      .groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+        xs.sortBy(t => (-t._3, t._2)).take(5).map(t => (t._1, t._2)).toSeq
+      }.toSet
+    val recall = (serveNoSelf & floatTop).size.toDouble / floatTop.size
+    assert(recall >= 0.6, s"int8 recall vs float probe: $recall")
+    // a takedown staged against the snapshot is honored at serve time
+    val victim = serveNoSelf.head._2
+    Similarity.deleteFromIvfIndex(Seq(victim).toDF("vec_id"), "vec_id",
+      dst, "takedown-1")
+    val after = Similarity.annIvfServe(queries, dst, k = 6, nProbe = 2)
+      .collect().map(_.getLong(2))
+    assert(!after.contains(victim), s"deleted $victim still served")
+  }
+
   test("annStream: per-batch results equal the batch search, stateless across triggers") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val corpus = Tables.embeddings(spark, sf).limit(80)
