@@ -353,6 +353,20 @@ object VectorFunctions {
       StructField("scale", FloatType, nullable = false),
       StructField("sumq", LongType, nullable = false),
       StructField("norm", DoubleType, nullable = false)))
+
+    /** Nullability-insensitive schema match: a parquet round-trip (the
+      * int8 serving snapshot) re-reads the struct with nullable fields,
+      * but the VALUES are produced non-null by [[Quantize8]]. Field
+      * NAMES still must match — `equalsStructurally` alone ignores
+      * them, so any five-field struct of the same shape (e.g. one with
+      * zero/scale swapped) would pass the check and score garbage
+      * silently instead of failing type-check. */
+    def isQuantize8Struct(t: DataType): Boolean = t match {
+      case s: StructType =>
+        s.fieldNames.sameElements(schema.fieldNames) &&
+          DataType.equalsStructurally(s, schema, ignoreNullability = true)
+      case _ => false
+    }
   }
 
   /** Cosine over two [[Quantize8]] structs — the int8 pair kernel.
@@ -369,13 +383,8 @@ object VectorFunctions {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
     override def checkInputDataTypes(): TypeCheckResult =
-      // structural compare, nullability ignored: a parquet round-trip
-      // (the int8 serving snapshot) re-reads the struct with nullable
-      // fields, but the VALUES are produced non-null by Quantize8
-      if (DataType.equalsStructurally(left.dataType, Quantize8.schema,
-          ignoreNullability = true) &&
-        DataType.equalsStructurally(right.dataType, Quantize8.schema,
-          ignoreNullability = true))
+      if (Quantize8.isQuantize8Struct(left.dataType) &&
+        Quantize8.isQuantize8Struct(right.dataType))
         TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(
         "int8_cosine_sim needs two quantize8 structs, got " +

@@ -431,12 +431,22 @@ object Similarity {
 
   def compactIvfIndex(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
     import spark.implicits._
+    compactIvf(spark, srcDir, dstDir,
+      _.select($"vec_id", $"embedding", $"cell"))
+  }
+
+  /** The shared compaction body: tombstones folded in physically (dst
+    * gets no tombstone table), surviving vectors re-projected through
+    * `encode`, one `base` batch per cell, centroids copied UNCHANGED —
+    * one definition for the float and int8 compactions so the
+    * functional-write/tombstone semantics cannot drift. */
+  private def compactIvf(spark: SparkSession, srcDir: String,
+      dstDir: String, encode: DataFrame => DataFrame): Unit = {
+    import spark.implicits._
     require(Tables.canonicalPath(spark, srcDir) != Tables.canonicalPath(spark, dstDir),
       "compaction is functional: dst must differ from src")
-    // deletions become physical here; dst gets no tombstone table
-    Tombstones.applyTo(spark.read.parquet(s"$srcDir/vectors"),
-        spark, srcDir, "vec_id")
-      .select($"vec_id", $"embedding", $"cell")
+    encode(Tombstones.applyTo(spark.read.parquet(s"$srcDir/vectors"),
+        spark, srcDir, "vec_id"))
       .withColumn("batch", lit("base"))
       .repartition($"cell")
       .write.mode("overwrite").partitionBy("batch", "cell")
@@ -462,18 +472,9 @@ object Similarity {
   def compactIvfIndexInt8(spark: SparkSession, srcDir: String,
       dstDir: String): Unit = {
     import spark.implicits._
-    require(Tables.canonicalPath(spark, srcDir) != Tables.canonicalPath(spark, dstDir),
-      "compaction is functional: dst must differ from src")
-    Tombstones.applyTo(spark.read.parquet(s"$srcDir/vectors"),
-        spark, srcDir, "vec_id")
-      .select($"vec_id", VectorFunctions.quantize8($"embedding").as("q8"),
-        $"cell")
-      .withColumn("batch", lit("base"))
-      .repartition($"cell")
-      .write.mode("overwrite").partitionBy("batch", "cell")
-      .parquet(s"$dstDir/vectors")
-    spark.read.parquet(s"$srcDir/centroids")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dstDir/centroids")
+    compactIvf(spark, srcDir, dstDir,
+      _.select($"vec_id", VectorFunctions.quantize8($"embedding").as("q8"),
+        $"cell"))
   }
 
   /** Serve EXTERNAL float queries from an [[compactIvfIndexInt8]]
@@ -491,9 +492,34 @@ object Similarity {
     val vectors = Tombstones.applyTo(
       spark.read.parquet(s"$indexDir/vectors"), spark, indexDir, "vec_id")
     val centroidDf = spark.read.parquet(s"$indexDir/centroids")
+    val probeRows = collectProbes(
+      queries.select($"query_id", $"embedding".as("qe")), centroidDf, nProbe)
+    val probedCells = probeRows.map(_._3).distinct
+    val probesLocal = probeRows.toDF("query_id", "qe", "cell")
+      .withColumn("qq8", VectorFunctions.quantize8($"qe"))
+      .select($"query_id", $"qq8", $"cell")
+    rankTopK(vectors.filter($"cell".isin(probedCells: _*))
+      .join(broadcast(probesLocal), Seq("cell"))
+      .select($"query_id", $"vec_id", $"cell",
+        round(VectorFunctions.int8CosineSim($"qq8", $"q8"), 6).as("cos")),
+      k, extras = Seq("cell"))
+  }
+
+  /** Rank ALL centroids per query by L2 distance, keep each query's
+    * `nProbe` nearest, and COLLECT the winning (query_id, qe, cell)
+    * rows to the driver — the probe front half shared by
+    * [[annIvfIndexed]] and [[annIvfServe]] (ONE definition of the
+    * distance/tie-break rule, so the float probe and the int8 serving
+    * probe cannot drift). The result is ≤ nProbe·queries rows — that
+    * is what planning-time partition pruning needs on the driver —
+    * and collecting HERE means the probe subtree executes once
+    * (re-referencing the lazy plan would re-run the centroid ranking
+    * from scratch). `queries` must carry (query_id, qe). */
+  private def collectProbes(queries: DataFrame, centroidDf: DataFrame,
+      nProbe: Int): Seq[(Long, Array[Float], Int)] = {
+    import queries.sparkSession.implicits._
     val wq = Window.partitionBy($"query_id").orderBy($"dist", $"cell")
-    val probeRows = queries
-      .select($"query_id", $"embedding".as("qe"))
+    queries
       .crossJoin(broadcast(centroidDf))
       .withColumn("dist", expr(
         """aggregate(zip_with(qe, cvec,
@@ -505,15 +531,6 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
       .toSeq
-    val probedCells = probeRows.map(_._3).distinct
-    val probesLocal = probeRows.toDF("query_id", "qe", "cell")
-      .withColumn("qq8", VectorFunctions.quantize8($"qe"))
-      .select($"query_id", $"qq8", $"cell")
-    rankTopK(vectors.filter($"cell".isin(probedCells: _*))
-      .join(broadcast(probesLocal), Seq("cell"))
-      .select($"query_id", $"vec_id", $"cell",
-        round(VectorFunctions.int8CosineSim($"qq8", $"q8"), 6).as("cos")),
-      k, extras = Seq("cell"))
   }
 
   /** Query a persisted IVF index: rank centroids per query (tiny), then
@@ -531,24 +548,10 @@ object Similarity {
     val vectors = Tombstones.applyTo(
       spark.read.parquet(s"$indexDir/vectors"), spark, indexDir, "vec_id")
     val centroidDf = spark.read.parquet(s"$indexDir/centroids")
-    val wq = Window.partitionBy($"query_id").orderBy($"dist", $"cell")
-    val probes = vectors.filter($"vec_id" < QueryIdBound)
-      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
-      .crossJoin(broadcast(centroidDf))
-      .withColumn("dist", expr(
-        """aggregate(zip_with(qe, cvec,
-          |  (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),
-          |  0D, (s, v) -> s + v)""".stripMargin))
-      .withColumn("pr", row_number().over(wq))
-      .filter($"pr" <= nProbe)
-      .select($"query_id", $"qe", $"cell")
-    // ONE execution of the probe subtree: the result is ≤ nProbe·queries
-    // rows, so collect it, derive the pruning cell set locally, and
-    // re-broadcast the tiny local frame (re-referencing the lazy
-    // `probes` plan would re-run the centroid ranking from scratch)
-    val probeRows = probes.collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
-      .toSeq
+    val probeRows = collectProbes(
+      vectors.filter($"vec_id" < QueryIdBound)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe")),
+      centroidDf, nProbe)
     val probedCells = probeRows.map(_._3).distinct
     val probesLocal = probeRows.toDF("query_id", "qe", "cell")
     rankTopK(vectors.filter($"cell".isin(probedCells: _*))
@@ -615,10 +618,18 @@ object Similarity {
     * probe when the corpus outgrows the brute guard. */
   def annStream(queries: DataFrame, corpus: DataFrame, k: Int = AnnK)(
       sink: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // the corpus is STATIC across triggers, so its side of the pair
+    // guard is loop-invariant: count it once on the first batch (lazy —
+    // building the writer stays job-free) instead of paying a corpus
+    // count job per micro-batch; only the tiny pinned batch is counted
+    // per trigger
+    lazy val corpusRows = corpus.count()
     queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      sink(bruteTopKFrames(corpus, batch, k, excludeSelf = false), batchId)
+      sink(bruteTopKFrames(corpus, batch, k, excludeSelf = false,
+        knownPairs = Some(corpusRows * batch.count())), batchId)
     }
+  }
 
   // ---------------------------------------------------------------- D4
   /** Vector primitives: L2 norm + self-dot via the codegen'd kernels
