@@ -125,7 +125,59 @@ object StreamingAggs {
       }
       .toDF("user_id", "ewma", "n_events")
   }
+  /** STREAMING z-score anomaly flags — the running twin of
+    * [[graft.operators.Monitoring.zscoreOutliers]] (A31) and the
+    * adaptive form of the reference's fixed alarm level: each device
+    * carries Welford (n, mean, M2) state across micro-batches, and an
+    * arriving sample is judged against the statistics of everything
+    * BEFORE it (folding it in first would let the outlier shrink its
+    * own z-score — the batch operator can afford two passes, a stream
+    * cannot, so prior-state judgment is the honest one-pass
+    * semantics). Devices stay silent until `minSamples` history
+    * exists (a two-sample "σ" flags everything). State is O(1) per
+    * device; Welford's update is numerically stable where naive
+    * Σx²−(Σx)²/n cancels catastrophically on long-running streams. */
+  def zscoreStream(events: Dataset[DeviceEvent], k: Double = 2.0,
+      minSamples: Long = 10): DataFrame = {
+    require(k > 0 && minSamples >= 2,
+      s"need k > 0 (got $k) and minSamples >= 2 (got $minSamples)")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events.filter(_.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[WelfordState, ZscoreAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (dev: Long, it: Iterator[DeviceEvent], state: GroupState[WelfordState]) =>
+          val sorted = it.toSeq.sortBy(e =>
+            (HealthMonitor.tsMicros(e.ts), e.event_id))
+          var s = state.getOption.getOrElse(WelfordState(0L, 0.0, 0.0))
+          val alerts = scala.collection.mutable.ArrayBuffer.empty[ZscoreAlert]
+          sorted.foreach { e =>
+            if (s.n >= minSamples) {
+              val sigma = math.sqrt(s.m2 / s.n)
+              if (sigma > 0 && math.abs(e.value - s.mean) > k * sigma)
+                alerts += ZscoreAlert(dev, e.event_id,
+                  HealthMonitor.tsMicros(e.ts), e.value, s.mean, sigma)
+            }
+            val d = e.value - s.mean
+            val mean2 = s.mean + d / (s.n + 1)
+            s = WelfordState(s.n + 1, mean2, s.m2 + d * (e.value - mean2))
+          }
+          state.update(s)
+          alerts.iterator
+      }
+      .toDF()
+  }
 }
 
 /** Running-EWMA state: the recurrence's whole history in two fields. */
 case class EwmaState(ewma: Double, n: Long)
+
+/** Welford running-moment state: count, mean, sum of squared deviations. */
+case class WelfordState(n: Long, mean: Double, m2: Double)
+
+/** An emitted streaming anomaly: the sample and the prior statistics
+  * it was judged against. */
+case class ZscoreAlert(user_id: Long, event_id: Long, us: Long,
+    value: Double, prior_mean: Double, prior_sigma: Double)

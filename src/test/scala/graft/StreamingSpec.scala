@@ -226,6 +226,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows.filter($"n_events" < 1).count() === 0)
   }
 
+  test("streaming zscore: warmup silent, planted spike flagged from prior-batch stats") {
+    def pv(id: Long, minute: Int, dev: Long, v: Double): DeviceEvent =
+      DeviceEvent(id, Timestamp.valueOf(f"2024-01-01 12:$minute%02d:00"),
+        dev, "purchase", v, "{}")
+    val input = MemoryStream[DeviceEvent](12, spark, None)
+    val q = StreamingAggs.zscoreStream(input.toDS(), k = 2.0, minSamples = 10)
+      .writeStream.format("memory").queryName("zscore_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: 12 calm samples around 10±1 — the first 10 are warmup,
+      // the last two are in-band; nothing may fire
+      val calm = (1 to 12).map(i => pv(i, i, 9L, 10.0 + (i % 3) - 1))
+      input.addData(calm)
+      q.processAllAvailable()
+      assert(spark.table("zscore_out").count() === 0,
+        "calm warmup stream must not alert")
+      // batch 2: one spike far outside the carried stats, one calm sample
+      input.addData(pv(100, 20, 9L, 50.0), pv(101, 21, 9L, 10.0))
+      q.processAllAvailable()
+      val alerts = spark.table("zscore_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      assert(alerts.toSeq === Seq((9L, 100L, 50.0)),
+        s"exactly the spike must fire: ${alerts.toSeq}")
+      // the alert was judged against PRIOR stats (mean ≈ 10, not
+      // dragged toward 50 by the spike itself)
+      val priorMean = spark.table("zscore_out").collect().head.getDouble(4)
+      assert(priorMean > 9.0 && priorMean < 11.0, s"prior mean $priorMean")
+    } finally q.stop()
+  }
+
   test("streaming ewma: state carries across batches, equals the batch fold") {
     def pv(id: Long, minute: Int, dev: Long, v: Double): DeviceEvent =
       DeviceEvent(id, Timestamp.valueOf(f"2024-01-01 11:$minute%02d:00"),
