@@ -844,6 +844,42 @@ object Curation {
       |SELECT doc_id, source FROM r WHERE rn <= 10
       |ORDER BY source, doc_id""".stripMargin
 
+  // ------------------------------------------------------------- C27
+  /** STREAMING per-domain cap — C25's ingest-time twin, with the
+    * honest semantic difference stated: an online cap is ADMISSION
+    * (first `k` docs per domain in arrival order are kept, later ones
+    * dropped — at ingest you cannot see the future), while the batch
+    * [[domainCap]] is an unbiased hash-ordered subsample over the
+    * whole corpus. Use this to stop a crawler loop from flooding one
+    * domain into the lake; run the batch cap offline to re-balance.
+    * State is ONE long per domain (the admitted count), carried
+    * across micro-batches; within a batch, a domain's slice is
+    * ordered by doc_id so replayed batches admit identically. */
+  def domainCapStream(docs: DataFrame, domainCol: String,
+      k: Long): DataFrame = {
+    require(k > 0, "domain cap must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    docs.select(col("doc_id").cast("long"),
+        col(domainCol).cast("string").as("domain"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (dom: String, it: Iterator[(Long, String)],
+            state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val admitted = it.toSeq.sortBy(_._1).iterator
+            .takeWhile { _ => n < k }
+            .map { case (id, d) => n += 1; (id, d) }
+            .toVector
+          state.update(n)
+          admitted.iterator
+      }
+      .toDF("doc_id", "domain")
+  }
+
   // ------------------------------------------------------------- C15
   /** The END-TO-END training-data flow, composed from the verified
     * stages: quality + language gates and exact dedup (C6a) →

@@ -369,6 +369,36 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("streaming domain cap: admission carries across batches, per-domain isolation") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.StreamDoc
+    def d(id: Long, src: String) = StreamDoc(id,
+      Timestamp.valueOf("2024-01-01 10:00:00"), s"doc $id", "en", src)
+    val input = MemoryStream[StreamDoc](210, spark, None)
+    val q = Curation.domainCapStream(input.toDF(), "source", k = 3)
+      .writeStream.format("memory").queryName("cap_out")
+      .outputMode("append").start()
+    try {
+      input.addData(d(1, "a"), d(2, "a"), d(10, "b"))
+      q.processAllAvailable()
+      // batch 2: domain a has 1 slot left — only the LOWEST id of the
+      // two new a-docs is admitted; b is unaffected
+      input.addData(d(4, "a"), d(3, "a"), d(11, "b"))
+      q.processAllAvailable()
+      val got = spark.table("cap_out").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === Set((1L, "a"), (2L, "a"), (3L, "a"), (10L, "b"), (11L, "b")),
+        s"got $got")
+      // a is saturated: nothing more admitted, other domains still open
+      input.addData(d(5, "a"), d(12, "b"))
+      q.processAllAvailable()
+      val after = spark.table("cap_out").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(after === got + ((12L, "b")), s"after $after")
+    } finally q.stop()
+  }
+
   test("domain_cap: at most k per domain, deterministic hash subsample, not file order") {
     val docs = Tables.documents(spark, sf)
     val out = Curation.domainCap(docs, "source", 3)
