@@ -773,6 +773,61 @@ object Monitoring {
       |    AS ewma
       |FROM v ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- A34
+  /** Seasonality-aware deviation: each (device, hourly window) metric
+    * sum compared to the device's SAME-HOUR-OF-DAY baseline — traffic
+    * that is normal at 14:00 is an incident at 03:00, which a global
+    * mean (A31) or a fixed level (the reference) cannot express. Two
+    * aggregations (hourly sums, then per-(device, hour-of-day) means
+    * over them — both decimal order-free, both map-side partial) and
+    * one broadcast join back of the tiny baseline frame; the ratio is
+    * the identical IEEE division in both engines. Flags windows
+    * deviating beyond `k`× (or below 1/k×) their slot baseline;
+    * emitted only when the slot has ≥ 2 windows of history (a
+    * single-window baseline is its own window — ratio 1 by
+    * construction, never a signal). */
+  def seasonalDeviation(spark: SparkSession, sfDir: String,
+      k: Double = 1.5): DataFrame = {
+    import spark.implicits._
+    require(k > 1, s"deviation factor $k must exceed 1")
+    val hourly = Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id", date_trunc("hour", $"ts").as("w"))
+      .agg(sum($"value".cast("decimal(18,4)")).as("m"))
+      .select($"user_id", $"w", hour($"w").as("hod"), $"m")
+    val baseline = hourly.groupBy($"user_id", $"hod")
+      .agg((sum($"m").cast("double") / count(lit(1))).as("baseline"),
+        count(lit(1)).as("n_windows"))
+      .filter($"n_windows" >= 2)
+    hourly.join(baseline, Seq("user_id", "hod"))
+      .withColumn("metric_sum", $"m".cast("double"))
+      .withColumn("ratio", $"metric_sum" / $"baseline")
+      .filter($"ratio" > k || $"ratio" * k < 1.0)
+      .select($"user_id", expr("unix_micros(w)").as("window_us"), $"hod",
+        $"metric_sum", $"baseline", round($"ratio", 6).as("ratio"))
+      .orderBy($"user_id", $"window_us")
+  }
+
+  val seasonalDeviationSql: String =
+    """WITH h AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS w,
+      |    SUM(CAST(value AS DECIMAL(18,4))) AS m
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id, date_trunc('hour', ts)),
+      |hh AS (SELECT user_id, w, EXTRACT(hour FROM w) AS hod, m FROM h),
+      |b AS (
+      |  SELECT user_id, hod,
+      |    CAST(SUM(m) AS DOUBLE) / COUNT(*) AS baseline
+      |  FROM hh GROUP BY user_id, hod HAVING COUNT(*) >= 2)
+      |SELECT hh.user_id, epoch_us(hh.w) AS window_us,
+      |  CAST(hh.hod AS INT) AS hod,
+      |  CAST(hh.m AS DOUBLE) AS metric_sum, b.baseline,
+      |  ROUND(CAST(hh.m AS DOUBLE) / b.baseline, 6) AS ratio
+      |FROM hh JOIN b ON hh.user_id = b.user_id AND hh.hod = b.hod
+      |WHERE CAST(hh.m AS DOUBLE) / b.baseline > 1.5
+      |   OR CAST(hh.m AS DOUBLE) / b.baseline * 1.5 < 1.0
+      |ORDER BY hh.user_id, window_us""".stripMargin
+
   // ---------------------------------------------------------------- A31
   /** Per-device z-score outliers: flag metric samples more than
     * `k` standard deviations from THEIR device's mean — the

@@ -246,6 +246,28 @@ class MonitoringSpec extends SparkSpec {
     intercept[IllegalArgumentException](Monitoring.ewma(spark, sf, alpha = 0.0))
   }
 
+  test("seasonal deviation: every flag truly beyond k×, singleton slots never judged") {
+    val out = Monitoring.seasonalDeviation(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.nonEmpty, "sf0.001 should contain seasonal outliers")
+    out.foreach { case (_, _, m, b) =>
+      assert(m / b > 1.5 || m / b * 1.5 < 1.0, s"flag inside band: $m vs $b")
+    }
+    // a slot with one window of history can never be flagged: its
+    // baseline would be itself (ratio 1), so every flagged (dev, hod)
+    // slot must have ≥ 2 hourly windows in the raw data
+    val windowsPerSlot = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", date_trunc("hour", $"ts").as("w"))
+      .distinct()
+      .withColumn("hod", hour($"w"))
+      .groupBy($"user_id", $"hod").count()
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    out.foreach { case (dev, hod, _, _) =>
+      assert(windowsPerSlot((dev, hod)) >= 2, s"singleton slot flagged: $dev/$hod")
+    }
+  }
+
   test("zscore outliers: exactly the rows beyond k sigma, nothing on a flat series") {
     val out = Monitoring.zscoreOutliers(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4),
