@@ -26,7 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Heap pinned with -Xms == -Xmx: a growing heap changes GC behavior
+  // mid-suite, which reads as per-slot drift. 16g on a 128 GiB box
+  // leaves headroom for the 101-slot bench's transient storage pins
+  // (quantized corpora, index checkpoints) without paging pressure.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // Whole-stage codegen emits one compiled class per stage; across a
   // 40-query bench the default 240m code cache fills, the JIT shuts
   // off, and later queries run interpreted at ~10x cost.

@@ -489,7 +489,7 @@ object Dedup {
         }
       }))
   }
-  private def deleteAtExit(dir: String): Unit = {
+  private[operators] def deleteAtExit(dir: String): Unit = {
     staleReaper // register the hook once, on first use
     staleIndexDirs.add(dir)
   }

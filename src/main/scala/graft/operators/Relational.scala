@@ -622,9 +622,15 @@ object Relational {
         sum(x * x).cast("double").as("sxx"),
         sum(y * y).cast("double").as("syy"))
       .select($"l_returnflag", $"n",
+        // greatest(., 0) before each sqrt: double rounding can push a
+        // near-constant group's variance a few ulp negative (n*sxx and
+        // sx*sx exceed 2^53 at larger SF) — Spark would NaN the row
+        // silently while DuckDB's sqrt errors the whole oracle query
+        // (the zscoreOutliers clamp, applied to both engines).
         (($"n" * $"sxy" - $"sx" * $"sy") /
-          (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
-            sqrt($"n" * $"syy" - $"sy" * $"sy"))).as("corr_qty_disc"))
+          (sqrt(greatest($"n" * $"sxx" - $"sx" * $"sx", lit(0.0))) *
+            sqrt(greatest($"n" * $"syy" - $"sy" * $"sy", lit(0.0)))))
+          .as("corr_qty_disc"))
       .orderBy($"l_returnflag")
   }
 
@@ -639,7 +645,8 @@ object Relational {
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l_returnflag, n,
       |  (n * sxy - sx * sy) /
-      |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_disc
+      |    (sqrt(greatest(n * sxx - sx * sx, 0.0))
+      |      * sqrt(greatest(n * syy - sy * sy, 0.0))) AS corr_qty_disc
       |FROM m ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- B27

@@ -156,7 +156,11 @@ object StreamingAggs {
           sorted.foreach { e =>
             if (s.n >= minSamples) {
               val sigma = math.sqrt(s.m2 / s.n)
-              if (sigma > 0 && math.abs(e.value - s.mean) > k * sigma)
+              // no sigma > 0 guard: a perfectly constant warmup series
+              // (sigma == 0) followed by ANY deviation is an anomaly —
+              // |v-mu| > k*0 holds exactly when v != mu, matching the
+              // batch twin; the old guard silently suppressed it
+              if (math.abs(e.value - s.mean) > k * sigma)
                 alerts += ZscoreAlert(dev, e.event_id,
                   HealthMonitor.tsMicros(e.ts), e.value, s.mean, sigma)
             }

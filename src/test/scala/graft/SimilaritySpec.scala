@@ -152,7 +152,7 @@ class SimilaritySpec extends SparkSpec {
     val rows = Similarity.annRecall(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toMap
-    assert(rows.keySet === Set("int8", "ivf", "lsh"))
+    assert(rows.keySet === Set("int8", "ivf", "ivf_int8_serve", "lsh"))
     val expected = rows.values.head._2
     assert(expected > 0L)
     rows.foreach { case (m, (hits, exp, recall)) =>
@@ -163,6 +163,8 @@ class SimilaritySpec extends SparkSpec {
     assert(rows("lsh")._3 > 0.0, s"lsh recall zero: $rows")
     assert(rows("ivf")._3 > 0.0, s"ivf recall zero: $rows")
     assert(rows("int8")._3 >= 0.6, s"int8 recall below spec bound: $rows")
+    assert(rows("ivf_int8_serve")._3 >= 0.6,
+      s"int8 serving snapshot recall below spec bound: $rows")
   }
 
   test("IVF index deletion: tombstoned vector vanishes; compaction folds it in") {
