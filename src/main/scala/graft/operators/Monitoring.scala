@@ -730,33 +730,61 @@ object Monitoring {
     * answers too slowly: recent samples weigh exponentially more.
     * EWMA is inherently a SEQUENTIAL recurrence (s' = α·x + (1−α)·s),
     * so it cannot be a commutative aggregate; the scale-correct shape
-    * is: one shuffle groups each device's series, `sort_array` fixes
-    * the order (tiebreak event_id → total order), and a codegen'd
-    * higher-order `aggregate` LEFT-FOLDS the values — state is O(1)
-    * per device, work is one pass over each series, and the fold
-    * order is engine-independent, so DuckDB's `list_reduce` over the
-    * identically-sorted list replays the same double arithmetic
-    * bit-for-bit (the closed-form Σ α(1−α)ⁿ⁻ⁱxᵢ would need
-    * overflowing (1−α)⁻ⁱ weights — a window formulation is
+    * is the A24 replay kernel ([[graft.streaming.HealthMonitor
+    * .replaySorted]]): one shuffle keyed by device, sortWithinPartitions
+    * fixes the order (tiebreak event_id → total order), and ONE
+    * streaming forward pass folds each device's series with O(1) state
+    * — a device's history NEVER materializes in memory, however hot
+    * (round 6 shipped this as groupBy + collect_list + sort_array,
+    * whose per-key buffer is O(series length): a per-second device
+    * recorded for a year is 3×10⁷ boxed structs in one aggregation
+    * buffer — the skewed-key blowup the rest of the repo avoids).
+    * Fold order and arithmetic are unchanged — sortWithinPartitions
+    * (us, event_id) visits values exactly as sort_array did and each
+    * step is the same two-multiply IEEE tree — so DuckDB's
+    * `list_reduce` over the identically-sorted list still replays the
+    * same doubles bit-for-bit (the closed-form Σ α(1−α)ⁿ⁻ⁱxᵢ would
+    * need overflowing (1−α)⁻ⁱ weights — a window formulation is
     * numerically impossible, the fold is the right operator). Seeded
     * by the FIRST sample (not 0 — a zero init biases short series). */
   def ewma(spark: SparkSession, sfDir: String,
-      alpha: Double = 0.2): DataFrame = {
+      alpha: Double = 0.2): DataFrame =
+    ewmaOf(Tables.events(spark, sfDir), alpha)
+
+  /** The fold over an arbitrary events frame (columns user_id, ts,
+    * event_id, value, event_type) — lets the spec plant one hot device
+    * with a series orders of magnitude longer than its neighbors and
+    * prove the skewed key streams instead of buffering. */
+  def ewmaOf(events: DataFrame, alpha: Double = 0.2): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
     require(alpha > 0 && alpha <= 1, s"alpha $alpha out of (0, 1]")
-    Tables.events(spark, sfDir)
+    events
       .filter($"event_type" === "purchase" && $"value".isNotNull)
       .select($"user_id", expr("unix_micros(ts)").as("us"),
         $"event_id", $"value")
-      .groupBy($"user_id")
-      .agg(expr("sort_array(collect_list(struct(us, event_id, value)))")
-        .as("s"))
-      .select($"user_id", size($"s").as("n_events"),
-        expr(s"""aggregate(
-          slice(transform(s, x -> x.value), 2, size(s) - 1),
-          element_at(transform(s, x -> x.value), 1),
-          (a, v) -> CAST($alpha AS DOUBLE) * v +
-                    CAST(${1.0 - alpha} AS DOUBLE) * a)""").as("ewma"))
+      .as[(Long, Long, Long, Double)]
+      .repartition($"user_id")
+      .sortWithinPartitions($"user_id", $"us", $"event_id")
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(Long, Long, Double)] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (Long, Long, Double) = {
+            val (dev, _, _, v0) = buf.next()
+            var n = 1L
+            var s = v0
+            while (buf.hasNext && buf.head._1 == dev) {
+              val v = buf.next()._4
+              n += 1
+              s = alpha * v + (1 - alpha) * s
+            }
+            (dev, n, s)
+          }
+        }
+      }
+      .toDF("user_id", "n_events", "ewma")
+      .select($"user_id", $"n_events".cast("int").as("n_events"), $"ewma")
       .orderBy($"user_id")
   }
 
@@ -787,19 +815,48 @@ object Monitoring {
     * single-window baseline is its own window — ratio 1 by
     * construction, never a signal). */
   def seasonalDeviation(spark: SparkSession, sfDir: String,
-      k: Double = 1.5): DataFrame = {
+      k: Double = 1.5): DataFrame =
+    seasonalDeviationOf(Tables.events(spark, sfDir), k)
+
+  /** Per-(device, hourly window) metric sums with the window's
+    * hour-of-day tag — the shared first aggregation of the batch
+    * detector and the baseline builder. */
+  def hourlySums(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
-    require(k > 1, s"deviation factor $k must exceed 1")
-    val hourly = Tables.events(spark, sfDir)
+    events
       .filter($"event_type" === "purchase")
       .groupBy($"user_id", date_trunc("hour", $"ts").as("w"))
       .agg(sum($"value".cast("decimal(18,4)")).as("m"))
       .select($"user_id", $"w", hour($"w").as("hod"), $"m")
-    val baseline = hourly.groupBy($"user_id", $"hod")
+  }
+
+  /** The per-(device, hour-of-day) BASELINE table: mean hourly metric
+    * sum per slot, slots with < 2 windows of history withheld (a
+    * single-window baseline is its own window — never a signal). This
+    * is the frame a production deployment persists nightly and serves
+    * to the live stream ([[graft.streaming.StreamingAggs
+    * .seasonalDeviationStream]]) as a stream-static broadcast join —
+    * one definition of "baseline", shared verbatim by the batch
+    * detector, so the two can never disagree about normal. */
+  def seasonalBaseline(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    hourlySums(events).groupBy($"user_id", $"hod")
       .agg((sum($"m").cast("double") / count(lit(1))).as("baseline"),
         count(lit(1)).as("n_windows"))
       .filter($"n_windows" >= 2)
-    hourly.join(baseline, Seq("user_id", "hod"))
+  }
+
+  /** The fold over an arbitrary events frame — lets the streaming
+    * parity spec run the batch detector on exactly the history it
+    * replays. */
+  def seasonalDeviationOf(events: DataFrame, k: Double = 1.5): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(k > 1, s"deviation factor $k must exceed 1")
+    val hourly = hourlySums(events)
+    hourly.join(seasonalBaseline(events), Seq("user_id", "hod"))
       .withColumn("metric_sum", $"m".cast("double"))
       .withColumn("ratio", $"metric_sum" / $"baseline")
       .filter($"ratio" > k || $"ratio" * k < 1.0)

@@ -173,6 +173,50 @@ object StreamingAggs {
       }
       .toDF()
   }
+
+  /** STREAMING seasonality-aware deviation — the ingest-time twin of
+    * [[graft.operators.Monitoring.seasonalDeviationOf]] (A34) and the
+    * one alerting operator that existed only in batch until round 7:
+    * traffic that is normal at 14:00 is an incident at 03:00, which
+    * neither a fixed alarm level (the reference) nor a global running
+    * mean (A33) can express. `baseline` is the persisted
+    * per-(device, hour-of-day) table
+    * ([[graft.operators.Monitoring.seasonalBaseline]] over history —
+    * a deployment refreshes it nightly and restarts the query, the
+    * C16 static-side-rotation pattern). The join runs BEFORE the
+    * windowed aggregation: each event looks up its slot baseline as a
+    * stream-static broadcast (map-side hash probe, zero join state —
+    * a device/slot without 2 windows of history drops out exactly as
+    * the batch inner join drops it), then one watermarked hourly
+    * window-sum per (device, baseline) emits on window close. Join
+    * state zero; agg state O(open windows × devices), bounded by the
+    * watermark; the ratio arithmetic and the `>k` / `<1/k` cut are
+    * the batch operator's expressions verbatim, so a replayed history
+    * flags the identical (device, window) set — the parity spec pins
+    * this. */
+  def seasonalDeviationStream(events: Dataset[DeviceEvent],
+      baseline: DataFrame, k: Double = 1.5,
+      watermark: String = "2 hours"): DataFrame = {
+    require(k > 1, s"deviation factor $k must exceed 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF()
+      .withWatermark("ts", watermark)
+      .filter($"event_type" === "purchase")
+      .withColumn("hod", hour($"ts"))
+      .join(broadcast(baseline.select($"user_id", $"hod", $"baseline")),
+        Seq("user_id", "hod"))
+      .groupBy(window($"ts", "1 hour"), $"user_id", $"baseline")
+      .agg(sum($"value".cast("decimal(18,4)")).as("m"))
+      .withColumn("metric_sum", $"m".cast("double"))
+      .withColumn("ratio", $"metric_sum" / $"baseline")
+      // cut on the UNROUNDED ratio, round only for display — the batch
+      // detector's exact order, so the k-boundary cannot diverge
+      .filter($"ratio" > k || $"ratio" * k < 1.0)
+      .select($"user_id", expr("unix_micros(window.start)").as("window_us"),
+        hour($"window.start").as("hod"),
+        $"metric_sum", $"baseline", round($"ratio", 6).as("ratio"))
+  }
 }
 
 /** Running-EWMA state: the recurrence's whole history in two fields. */

@@ -246,6 +246,32 @@ class MonitoringSpec extends SparkSpec {
     intercept[IllegalArgumentException](Monitoring.ewma(spark, sf, alpha = 0.0))
   }
 
+  test("ewma: one hot device with a series >> its neighbors streams through the fold") {
+    // 200k samples for device 7 vs 10 for everyone else — the shape
+    // that blew up round 6's collect_list buffer per key. The sorted-
+    // partition fold must both survive it and stay bit-exact with a
+    // driver-side sequential replay.
+    val hot = (0 until 200000).map(i =>
+      (7L, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        i.toLong, "purchase", 1.0 + (i % 97) * 0.25))
+    val cold = (0 until 10).flatMap(d => (0 until 10).map(i =>
+      (100L + d, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        1000000L + d * 100 + i, "purchase", 2.0 + i)))
+    val events = (hot ++ cold)
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Monitoring.ewmaOf(events).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(out.size === 11)
+    assert(out(7L)._1 === 200000)
+    val wantHot = hot.map(_._5).reduceLeft((a, v) => 0.2 * v + 0.8 * a)
+    assert(out(7L)._2 === wantHot)
+    (0 until 10).foreach { d =>
+      val vals = cold.filter(_._1 == 100L + d).map(_._5)
+      assert(out(100L + d) === ((10,
+        vals.reduceLeft((a, v) => 0.2 * v + 0.8 * a))))
+    }
+  }
+
   test("seasonal deviation: every flag truly beyond k×, singleton slots never judged") {
     val out = Monitoring.seasonalDeviation(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(2), r.getDouble(3), r.getDouble(4)))

@@ -284,6 +284,82 @@ class StreamingSpec extends SparkSpec {
         s"batch 2 output: ${b2.toSet}")
     } finally q.stop()
   }
+
+  private def seasonalEv(id: Long, day: Int, h: Int, min: Int, dev: Long,
+      v: Double, typ: String = "purchase"): DeviceEvent =
+    DeviceEvent(id, Timestamp.valueOf(f"2024-01-$day%02d $h%02d:$min%02d:00"),
+      dev, typ, v, "{}")
+
+  test("streaming seasonal deviation: planted 03:00 anomaly that a global mean misses") {
+    import graft.operators.Monitoring
+    // history: device 1, three days — quiet at 03:00 (sum 2.0/window),
+    // busy at 14:00 (sum 100.0/window)
+    val history = (1 to 3).flatMap { day =>
+      Seq(seasonalEv(day * 10L, day, 3, 10, 1L, 1.0),
+        seasonalEv(day * 10L + 1, day, 3, 40, 1L, 1.0),
+        seasonalEv(day * 10L + 2, day, 14, 10, 1L, 50.0),
+        seasonalEv(day * 10L + 3, day, 14, 40, 1L, 50.0))
+    }
+    val baseline = Monitoring.seasonalBaseline(history.toDS().toDF())
+    val input = MemoryStream[DeviceEvent](13, spark, None)
+    val q = StreamingAggs.seasonalDeviationStream(input.toDS(), baseline)
+      .writeStream.format("memory").queryName("seasonal_out")
+      .outputMode("append").start()
+    try {
+      // day 4 live: 03:00 sums to 10.0 (5x its slot baseline), 14:00 is
+      // a normal 100.0; a far-future click advances the watermark
+      input.addData((1 to 5).map(i =>
+        seasonalEv(100L + i, 4, 3, i * 5, 1L, 2.0)) ++
+        Seq(seasonalEv(110L, 4, 14, 10, 1L, 50.0),
+          seasonalEv(111L, 4, 14, 40, 1L, 50.0)))
+      q.processAllAvailable()
+      input.addData(seasonalEv(120L, 10, 0, 0, 1L, 0.0, "click"))
+      q.processAllAvailable()
+      val flags = spark.table("seasonal_out").collect()
+        .map(r => (r.getLong(0), r.getInt(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5)))
+      assert(flags.toSeq === Seq((1L, 3, 10.0, 2.0, 5.0)),
+        s"exactly the 03:00 window must flag: ${flags.toSeq}")
+      // the anomalous hour's sum (10.0) is far BELOW the device's
+      // all-hours mean hourly sum ((3*2 + 3*100) / 6 = 51): any
+      // global-mean threshold reads it as low-normal traffic — only
+      // the same-slot baseline exposes it as a 5x spike
+      assert(10.0 < 51.0)
+    } finally q.stop()
+  }
+
+  test("streaming seasonal deviation: replayed history flags the batch detector's exact set") {
+    import graft.operators.Monitoring
+    // three devices x three days x three slots with deterministic
+    // varying sums — several windows land beyond the 1.5x cut in both
+    // directions, several inside it
+    val history = for {
+      dev <- 1 to 3; day <- 1 to 3; h <- Seq(3, 14, 20)
+    } yield seasonalEv((dev * 100 + day * 10 + h).toLong, day, h, 30,
+      dev.toLong, ((day * 7 + dev * 3 + h) % 13).toDouble + 1.0)
+    val histDf = history.toDS().toDF()
+    val baseline = Monitoring.seasonalBaseline(histDf)
+    val want = Monitoring.seasonalDeviationOf(histDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(want.nonEmpty, "parity history must contain deviating windows")
+    assert(want.size < history.size, "some windows must be in-band")
+    val input = MemoryStream[DeviceEvent](14, spark, None)
+    val q = StreamingAggs.seasonalDeviationStream(input.toDS(), baseline)
+      .writeStream.format("memory").queryName("seasonal_parity")
+      .outputMode("append").start()
+    try {
+      input.addData(history)
+      q.processAllAvailable()
+      input.addData(seasonalEv(9999L, 10, 0, 0, 1L, 0.0, "click"))
+      q.processAllAvailable()
+      val got = spark.table("seasonal_parity").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))).toSet
+      assert(got === want,
+        s"stream/batch divergence: stream-only=${got -- want}, batch-only=${want -- got}")
+    } finally q.stop()
+  }
 }
 
 case class HealthAlertRow(user_id: Long, ts: Timestamp, action: String, consec_fails: Int)
