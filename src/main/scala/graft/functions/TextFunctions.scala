@@ -26,9 +26,47 @@ object TextFunctions {
     case _ => false
   }
 
-  /** 64-bit SimHash over a token array: per-token xxhash64; each of the
-    * 64 bit positions accumulates +1/-1; the sign vector packs into a
-    * long. Near-duplicate docs land within a small Hamming distance. */
+  /** CROSS-ENGINE-REPLAYABLE 64-bit token hash (round 7): Java
+    * `String.hashCode` (a 31-polynomial over UTF-16 units with 32-bit
+    * wrap — a per-character BIGINT fold in DuckDB, since 31·h+c never
+    * leaves 2³⁷), sign-extended, then a murmur3-style finalizer
+    * RESTATED for portability: Java `>>` == DuckDB `>>` (both
+    * arithmetic on signed 64-bit), XOR matches, and the two multiplies
+    * wrap mod 2⁶⁴ (free in Java, HUGEINT `% 2^64` in DuckDB). The
+    * non-portable ops — Java `>>>` (DuckDB sign-extends) and DuckDB
+    * `<<` (errors on overflow) — appear NOWHERE, which is the entire
+    * point: it makes [[SimHash64]] and [[RollingHashMin]] exactly
+    * replayable by a DuckDB oracle. Avalanche stays murmur-grade (the
+    * finalizer's xorshift feedback works the same under arithmetic
+    * shift; planted-near-dup recall specs re-validated in round 7).
+    * Parity holds for ASCII tokens (code point == UTF-16 unit), which
+    * the `[a-z0-9]+` tokenizer guarantees. */
+  private[graft] def portableTokenHash(t: UTF8String): Long =
+    mix64(t.toString.hashCode.toLong)
+
+  private[graft] def mix64(x0: Long): Long = {
+    var x = x0
+    x ^= (x >> 33)
+    x *= 0xff51afd7ed558ccdL
+    x ^= (x >> 29)
+    x *= 0xc4ceb9fe1a85ec53L
+    x ^= (x >> 32)
+    x
+  }
+
+  /** Odd multiplier of the rolling window chain (Knuth's MMIX LCG
+    * constant — the same one the seeded-shuffle oracle already probed
+    * bit-identical through DuckDB HUGEINT `% 2^64`). */
+  private[graft] val ChainMult = 6364136223846793005L
+
+  /** 64-bit SimHash over a token array: per-token
+    * [[portableTokenHash]]; each of the 64 bit positions accumulates
+    * +1/-1 (duplicates counted — SimHash weighs by frequency); the
+    * strict-positive sign vector packs into a long. Near-duplicate
+    * docs land within a small Hamming distance. The token hash is the
+    * cross-engine-replayable one, so the whole signature is DuckDB-
+    * oracle-checkable (text_fingerprint's oracle replays it bit-for-
+    * bit); empty input → 0L. */
   case class SimHash64(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
@@ -41,7 +79,7 @@ object TextFunctions {
       val counts = new Array[Int](64)
       var i = 0
       while (i < toks.numElements()) {
-        val h = XXH64.hashUTF8String(toks.getUTF8String(i), 0L)
+        val h = portableTokenHash(toks.getUTF8String(i))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -109,11 +147,15 @@ object TextFunctions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  /** Winnowing-style rolling-hash fingerprint: xxhash64 of every
-    * `window`-token shingle (chained via hashLong so the whole shingle
-    * contributes), min over windows. Stable under content shifts —
-    * two docs sharing any `window`-gram can collide, and near-dups
-    * collide with high probability. */
+  /** Winnowing-style rolling-hash fingerprint: every `window`-token
+    * shingle hashed by the mod-2⁶⁴ polynomial chain h ← h·ChainMult +
+    * tokenHash (a Rabin-Karp in [[ChainMult]] over
+    * [[portableTokenHash]] values), min over windows in SIGNED 64-bit
+    * order — both the chain and the comparison replay exactly in
+    * DuckDB (HUGEINT wrap + signed BIGINT min), which is what upgraded
+    * text_fingerprint from rows-only to hash-green. Stable under
+    * content shifts — two docs sharing any `window`-gram can collide,
+    * and near-dups collide with high probability. Empty input → 0L. */
   case class RollingHashMin(child: Expression, window: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
@@ -128,14 +170,14 @@ object TextFunctions {
       if (n == 0) return 0L
       val tokHash = new Array[Long](n)
       var i = 0
-      while (i < n) { tokHash(i) = XXH64.hashUTF8String(toks.getUTF8String(i), 7L); i += 1 }
+      while (i < n) { tokHash(i) = portableTokenHash(toks.getUTF8String(i)); i += 1 }
       val w = math.min(window, n)
       var minH = Long.MaxValue
       var s = 0
       while (s + w <= n) {
         var h = 0L
         var j = 0
-        while (j < w) { h = XXH64.hashLong(tokHash(s + j), h); j += 1 }
+        while (j < w) { h = h * ChainMult + tokHash(s + j); j += 1 }
         if (h < minH) minH = h
         s += 1
       }

@@ -113,7 +113,13 @@ object Multimodal {
     * holds across both (a drifted copy of the constants would silently
     * break that property). */
   private[operators] def fnv1a(bytes: Array[Byte]): Long = {
-    var h = 1469598103934665603L
+    // 0xcbf29ce484222325 — the FNV-1a offset basis. Round 6 shipped the
+    // decimal constant with its last digit dropped (1469598103934665603,
+    // ≈ basis/10): still deterministic, but not FNV-1a as documented.
+    // Caught by the round-7 oracle replay, which is the point of
+    // oracling hashes: a silently-wrong constant cannot hide behind
+    // "rows-only". Hex literal so the typo class cannot recur.
+    var h = 0xcbf29ce484222325L
     var i = 0
     while (i < bytes.length) {
       h = (h ^ (bytes(i) & 0xff)) * 1099511628211L; i += 1
@@ -140,7 +146,12 @@ object Multimodal {
   }
 
   /** Driver-facing query: sample frames from the documents-as-media
-    * payloads (rows-only; the stub decode is engine-specific). */
+    * payloads. Oracle-checked since round 7: the stub decode's frame
+    * boundaries are pure arithmetic over (doc length, frameSize,
+    * stride), the payload is the text's UTF-8 bytes (pure ASCII in
+    * this corpus, so DuckDB's per-character `ord` IS the byte), and
+    * the FNV-1a frame hash is an xor + mod-2⁶⁴ multiply fold — every
+    * op portable under §4's HUGEINT discipline. */
   def mmFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val media = Tables.documents(spark, sfDir)
@@ -150,6 +161,36 @@ object Multimodal {
       .orderBy($"media_id", $"frame_idx")
       .toDF()
   }
+
+  /** DuckDB replay of the stub decode + sampling + FNV-1a hash: frames
+    * are 64-char chunks (chars == bytes: ASCII corpus), every 4th kept,
+    * the hash folds xor-then-×1099511628211 per byte with the HUGEINT
+    * unsigned↔signed dance around the wrapping multiply. */
+  val mmFrameSampleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS n FROM documents),
+      |f AS (
+      |  SELECT doc_id, text, n,
+      |    unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS idx
+      |  FROM d WHERE n > 0),
+      |s AS (
+      |  SELECT doc_id AS media_id, CAST(idx AS INT) AS frame_idx,
+      |    idx * 64 AS byte_offset,
+      |    CAST(least(64, n - idx * 64) AS INT) AS frame_bytes,
+      |    list_reduce(list_prepend(-3750763034362895579::BIGINT,
+      |      list_transform(string_split(substring(text, CAST(idx * 64 + 1 AS INT), 64), ''), c -> ord(c))),
+      |      (h, c) -> CAST(CASE WHEN
+      |          ((CASE WHEN xor(h, c) < 0 THEN xor(h, c)::HUGEINT + 18446744073709551616
+      |            ELSE xor(h, c)::HUGEINT END) * 1099511628211) % 18446744073709551616
+      |          >= 9223372036854775808
+      |        THEN ((CASE WHEN xor(h, c) < 0 THEN xor(h, c)::HUGEINT + 18446744073709551616
+      |            ELSE xor(h, c)::HUGEINT END) * 1099511628211) % 18446744073709551616
+      |          - 18446744073709551616
+      |        ELSE ((CASE WHEN xor(h, c) < 0 THEN xor(h, c)::HUGEINT + 18446744073709551616
+      |            ELSE xor(h, c)::HUGEINT END) * 1099511628211) % 18446744073709551616
+      |        END AS BIGINT)) AS frame_hash
+      |  FROM f WHERE idx % 4 = 0)
+      |SELECT * FROM s ORDER BY media_id, frame_idx""".stripMargin
 
   // ---------------------------------------------------------------- F4
   /** Feature-extractor contract: frame bytes → embedding. Runs inside

@@ -108,7 +108,15 @@ object TextAnalysis {
 
   // ---------------------------------------------------------------- E4
   /** Document fingerprints: winnowing rolling-hash (8-token windows) +
-    * 64-bit SimHash (rows-only; xxhash-based, engine-specific). */
+    * 64-bit SimHash. Oracle-checked since round 7: both kernels run on
+    * [[TextFunctions.portableTokenHash]] (Java String.hashCode fold +
+    * an arithmetic-shift murmur finalizer) with a mod-2⁶⁴ polynomial
+    * window chain, every op of which DuckDB replays exactly — the
+    * 32-bit fold stays inside BIGINT, the two finalizer multiplies and
+    * the chain wrap via HUGEINT `% 2^64`, `>>`/XOR/`&` agree between
+    * engines, and min/bit-sign comparisons happen on SIGNED 64-bit
+    * values in both (§4's lcg64 discipline, extended from one LCG step
+    * to the full hash pipeline). */
   def textFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
@@ -118,6 +126,59 @@ object TextAnalysis {
         TextFunctions.simhash64($"toks").as("simhash"))
       .orderBy($"doc_id")
   }
+
+  /** DuckDB replay of the whole fingerprint pipeline. Staged as list
+    * pipelines (lambdas cannot hold subqueries): per-token hashCode
+    * fold → five finalizer stages (xorshift 33 / ×A / xorshift 29 /
+    * ×B / xorshift 32, multiplies in HUGEINT with the unsigned↔signed
+    * CASE dance) → per-window polynomial chain + signed min → per-bit
+    * ±1 sums + MSB-first bit fold for the SimHash. */
+  val textFingerprintSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |h0 AS (SELECT doc_id, toks,
+      |  list_transform(list_transform(toks, tok ->
+      |    list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(string_split(tok, ''), c -> ord(c))),
+      |      (h, c) -> (h * 31 + c) % 4294967296)),
+      |    u -> CAST(CASE WHEN u >= 2147483648 THEN u - 4294967296 ELSE u END AS BIGINT)) AS th
+      |  FROM t),
+      |hA AS (SELECT doc_id, toks, list_transform(th, x -> xor(x, x >> 33)) AS th FROM h0),
+      |hB AS (SELECT doc_id, toks, list_transform(list_transform(th, x ->
+      |    ((CASE WHEN x < 0 THEN x::HUGEINT + 18446744073709551616 ELSE x::HUGEINT END)
+      |      * 18397679294719823053) % 18446744073709551616),
+      |  u -> CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT)) AS th FROM hA),
+      |hC AS (SELECT doc_id, toks, list_transform(th, x -> xor(x, x >> 29)) AS th FROM hB),
+      |hD AS (SELECT doc_id, toks, list_transform(list_transform(th, x ->
+      |    ((CASE WHEN x < 0 THEN x::HUGEINT + 18446744073709551616 ELSE x::HUGEINT END)
+      |      * 14181476777654086739) % 18446744073709551616),
+      |  u -> CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT)) AS th FROM hC),
+      |hE AS (SELECT doc_id, toks, list_transform(th, x -> xor(x, x >> 32)) AS th FROM hD),
+      |fp AS (
+      |  SELECT doc_id, th,
+      |    CASE WHEN len(toks) = 0 THEN 0 ELSE list_min(list_transform(
+      |      list_transform(range(1, len(toks) - least(8, len(toks)) + 2), s ->
+      |        list_reduce(list_prepend(0::HUGEINT, list_slice(
+      |            list_transform(th, x -> CASE WHEN x < 0
+      |              THEN x::HUGEINT + 18446744073709551616 ELSE x::HUGEINT END),
+      |            s, s + least(8, len(toks)) - 1)),
+      |          (a, v) -> (a * 6364136223846793005 + v) % 18446744073709551616)),
+      |      u -> CAST(CASE WHEN u >= 9223372036854775808
+      |        THEN u - 18446744073709551616 ELSE u END AS BIGINT))) END AS fingerprint
+      |  FROM hE),
+      |sh AS (
+      |  SELECT doc_id, fingerprint,
+      |    list_reduce(list_prepend(0::HUGEINT, list_reverse(
+      |      list_transform(range(0, 64), b -> CASE WHEN
+      |        list_sum(list_transform(th, h -> ((h >> b) & 1) * 2 - 1)) > 0
+      |        THEN 1::HUGEINT ELSE 0::HUGEINT END))),
+      |      (a, b) -> a * 2 + b) AS su
+      |  FROM fp)
+      |SELECT doc_id, fingerprint,
+      |  CAST(CASE WHEN su >= 9223372036854775808
+      |    THEN su - 18446744073709551616 ELSE su END AS BIGINT) AS simhash
+      |FROM sh ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- E6
   /** TF-IDF: smoothed idf = ln((N+1)/(df+1)) + 1, tf = term count in
