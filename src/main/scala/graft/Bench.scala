@@ -35,6 +35,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 100+ queries x several codegen stages x 6 timed runs blow
+      // through the default 100-entry generated-class cache, so every
+      // run of every slot Janino-recompiles its whole-stage code —
+      // uniform late-suite slot inflation that reads as a regression
+      // (see GraftSession for the full note). Static conf: set here,
+      // before the session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean

@@ -24,6 +24,16 @@ object GraftSession {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Static conf, so it must land before the first session exists.
+      // The default generated-class cache holds 100 entries; a graft
+      // deployment runs a BROAD mix of plans (the driver suite alone
+      // is 100+ queries x several codegen stages each), and once the
+      // working set exceeds the cache every execution Janino-recompiles
+      // its stages (~100ms+ per stage) — which shows up as every slot
+      // slowly inflating as the suite grows, not as any one plan being
+      // wrong. Entries are weak-referenced class objects; thousands are
+      // cheap.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
     // On a cluster the right shuffle-partition count depends on total
     // executor cores, which the driver-side builder cannot know — leave
     // Spark's default + AQE coalescing unless the caller sizes it.

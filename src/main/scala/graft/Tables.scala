@@ -118,20 +118,34 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos and
-    * truncate to microseconds — exactly what DuckDB does when it loads
-    * the same file, so oracle comparisons stay bit-identical.
+  /** `events.ts` normalization: the generated file has carried either
+    * parquet TIMESTAMP(NANOS) — which Spark's vectorized reader
+    * rejects ([PARQUET_TYPE_ILLEGAL]) — or TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false), which Spark reads natively as
+    * TIMESTAMP_NTZ. Both land on session-zone TimestampType
+    * (micros): nanos are read as raw longs and truncated to µs
+    * (exactly what DuckDB does loading the same file), NTZ is cast
+    * (identity on the instant under the UTC session zone SURVEY.md §4
+    * mandates) — so every downstream comparison stays bit-identical
+    * whichever vintage of the file is on disk.
     */
   def events(s: SparkSession, d: String): DataFrame =
     eventsAt(s, s"$d/events.parquet")
 
-  /** Same ns→µs handling for an arbitrary events-parquet path (used by
+  /** Same normalization for an arbitrary events-parquet path (used by
     * the streaming replay source as well as [[events]]). */
   def eventsAt(s: SparkSession, path: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(path)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = s.read.parquet(path)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

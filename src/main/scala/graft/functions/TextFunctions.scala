@@ -373,6 +373,57 @@ object TextFunctions {
       ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))
   }
 
+  /** Per-document term-frequency map: `array<string>` tokens →
+    * `map<string,bigint>` of term → count, in one hash-map pass per
+    * row. This is the SHUFFLE-FREE form of `groupBy(doc_id, term)
+    * .count()`: the grouping key (the document) is the row itself, so
+    * the whole per-doc aggregation is row-local — `explode(map)` then
+    * yields the (term, tf) pairs with ZERO exchange, where the
+    * groupBy form ships every distinct (doc, term) through a hash
+    * partitioning. At 100 TB that exchange is the dominant cost of
+    * every inverted-index query (TF-IDF, LM scoring); this kernel
+    * deletes it. Keys keep first-appearance order (deterministic
+    * plans; consumers that need an order still sort explicitly).
+    * Empty array → empty map (explode then drops the doc, matching
+    * the groupBy shape, which never saw a row). */
+  case class TokenCounts(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      MapType(StringType, LongType, valueContainsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isStringArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("token_counts needs array<string>")
+
+    override def nullSafeEval(a: Any): Any = {
+      val toks = a.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      val counts = new java.util.LinkedHashMap[UTF8String, java.lang.Long](
+        math.max(8, n / 2))
+      var i = 0
+      while (i < n) {
+        // clone: parquet-scan UTF8Strings point into a reused column
+        // batch buffer; the map outlives the row in the explode above
+        val t = toks.getUTF8String(i).clone()
+        val prev = counts.get(t)
+        counts.put(t, if (prev == null) 1L else prev + 1L)
+        i += 1
+      }
+      val keys = new Array[Any](counts.size)
+      val vals = new Array[Any](counts.size)
+      var j = 0
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        keys(j) = e.getKey; vals(j) = e.getValue; j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new GenericArrayData(keys), new GenericArrayData(vals))
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "token_counts"
+  }
+
   // Column-API wrappers.
   def simhash64(tokens: Column): Column =
     GraftColumn.apply(SimHash64(GraftColumn.expression(tokens)))
@@ -394,4 +445,7 @@ object TextFunctions {
 
   def deflateRatio(text: Column): Column =
     GraftColumn.apply(DeflateRatio(GraftColumn.expression(text)))
+
+  def tokenCounts(tokens: Column): Column =
+    GraftColumn.apply(TokenCounts(GraftColumn.expression(tokens)))
 }

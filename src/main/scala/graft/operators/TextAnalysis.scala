@@ -195,24 +195,52 @@ object TextAnalysis {
   def tfIdfTop(spark: SparkSession, sfDir: String, topK: Int = 3): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
-    val postings = docs.select($"doc_id", explode(tokens()).as("term"))
-    // corpus size joins in as a 1-row broadcast instead of an eager
-    // count() action, keeping the whole query one lazy plan
-    val nDf = docs.agg(count(lit(1)).as("n_docs"))
-    val tf = postings.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    // Corpus size as a literal via the metadata-answered cached count
+    // (parquet footers; one tiny job per corpus per JVM) — a count
+    // SUBQUERY would add a SinglePartition aggregate + a broadcast
+    // nested-loop join to every invocation.
+    val nDocs = Tables.cachedCount(spark, s"$sfDir/documents.parquet")
+    // Per-doc term frequencies are computed ROW-LOCALLY by the
+    // TokenCounts kernel (the grouping key is the document — the row
+    // itself), so tf needs NO exchange at all; the groupBy(doc, term)
+    // form ships every distinct (doc, term) through a hash partition.
+    // At 100 TB that exchange dominates every inverted-index query —
+    // this shape deletes it. tf is then PINNED with an eager
+    // localCheckpoint because both the df aggregate and the scoring
+    // join read it, and the two column-pruned subtrees differ, so
+    // ReuseExchange cannot unify them — without the pin the corpus is
+    // scanned + tokenized twice (the boilerplate_frac gram-stage
+    // pattern; the pinned frame is the per-doc distinct-term table,
+    // far smaller than the corpus it replaces re-reading).
+    val tf = docs.withColumn("toks", tokens())
+      .select($"doc_id",
+        explode(TextFunctions.tokenCounts($"toks")).as(Seq("term", "tf")))
+      .localCheckpoint(true)
     // document frequency DERIVES from tf (one row per (doc, term), so
-    // rows-per-term == distinct docs per term): the corpus is scanned
-    // and tokenized ONCE and the raw postings shuffle once — a separate
-    // distinct-then-count subtree would re-run both on a second copy
+    // rows-per-term == distinct docs per term): one map-side-partial
+    // aggregate over the pinned frame, vocab-bounded output
     val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(df_, Seq("term")).crossJoin(broadcast(nDf))
+    val scored = tf.join(df_, Seq("term"))
       .withColumn("tfidf",
-        $"tf" * (log(($"n_docs" + 1.0) / ($"df" + 1.0)) + 1.0))
+        $"tf" * (log((lit(nDocs) + 1.0) / ($"df" + 1.0)) + 1.0))
     graft.plans.TopK.perKey(scored, Seq("doc_id"),
       Seq($"tfidf".desc, $"term".asc), topK)
       .select($"doc_id", $"term", $"tf", $"df", round($"tfidf", 6).as("tfidf"))
       .orderBy($"doc_id", $"tfidf".desc, $"term")
   }
+
+  /** The (doc_id, term) postings list — the shared first stage of every
+    * inverted-index query (TF-IDF, LM score). Tokenizes into a COLUMN
+    * and explodes the resulting attribute rather than putting the
+    * regex expression inside the generator: an expression-rooted
+    * Generate that also carries required child output drops out of
+    * whole-stage codegen (interpreted GenerateExec, JoinedRow per
+    * emitted posting), measured 3x slower on the sf0.1 corpus than the
+    * project-then-explode shape, which keeps the regex evaluated once
+    * per document inside one codegen stage. */
+  def postingsOf(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", tokens())
+      .select(col("doc_id"), explode(col("toks")).as("term"))
 
   val tfIdfTopSql: String =
     """WITH postings AS (
@@ -394,8 +422,21 @@ object TextAnalysis {
   def textLmScore(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
-    val postings = docs.select($"doc_id", explode(tokens()).as("term"))
-    val tf = postings.groupBy($"term").agg(count(lit(1)).as("tf"))
+    // Row-local per-doc term counts (TokenCounts kernel — see
+    // tfIdfTop), PINNED because three subtrees read them: the corpus
+    // LM aggregate, its totals, and the scoring probe. Without the
+    // pin each consumer re-scans and re-tokenizes the corpus — the
+    // dominant cost at 100 TB. Exactness: summing tf·logp over a
+    // doc's distinct terms equals summing logp over its tokens
+    // BIT-exactly, because logp is quantized to DECIMAL(28,12) before
+    // either sum and integer-times-decimal / decimal addition are
+    // exact — so the unchanged DuckDB oracle (per-token sum) still
+    // hash-matches.
+    val tfd = docs.withColumn("toks", tokens())
+      .select($"doc_id",
+        explode(TextFunctions.tokenCounts($"toks")).as(Seq("term", "tfd")))
+      .localCheckpoint(true)
+    val tf = tfd.groupBy($"term").agg(sum($"tfd").as("tf"))
     // corpus totals derive from the tiny term-count frame — no second
     // pass over the postings (the tokenizer runs once per corpus scan)
     val totals = tf.agg(sum($"tf").as("corpus_tokens"), count(lit(1)).as("vocab"))
@@ -403,9 +444,18 @@ object TextAnalysis {
       .select($"term",
         log(($"tf" + 1.0) / ($"corpus_tokens" + $"vocab"))
           .cast("decimal(28,12)").as("logp"))
-    val scored = postings.join(lm, Seq("term"))
+    val scored = tfd.join(lm, Seq("term"))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum($"logp").as("slp"))
+      // tfd enters the product as DECIMAL(8,0): long × DECIMAL(28,12)
+      // would exceed the 38-digit cap and Spark silently RESCALES the
+      // product to 6 fractional digits — breaking the oracle's
+      // 12-digit exactness. 8 integer digits bounds per-doc term
+      // frequency at 10^8 (a 100 MB document of one repeated token
+      // overflows to null — loudly, as a nullability change, not as a
+      // silently rounded score); (8,0)×(28,12) → DECIMAL(37,12), and
+      // every step stays exact.
+      .agg(sum($"tfd").as("n_tokens"),
+        sum($"tfd".cast("decimal(8,0)") * $"logp").as("slp"))
     // LEFT join from the corpus: a token-free document (punctuation/
     // emoji/CJK-only) must surface with the smoothed floor score, not
     // silently vanish from the quality sweep

@@ -202,6 +202,42 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("tokenCounts kernel: counts match groupBy, empty/null safe, buffer-stable") {
+    val docs = Seq(
+      (1L, Seq("a", "b", "a", "c", "a", "b")),
+      (2L, Seq("x")),
+      (3L, Seq.empty[String]),
+    ).toDF("doc_id", "toks")
+    val viaKernel = docs
+      .select($"doc_id", explode(TextFunctions.tokenCounts($"toks")).as(Seq("t", "n")))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val viaGroupBy = docs
+      .select($"doc_id", explode($"toks").as("t"))
+      .groupBy($"doc_id", $"t").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(viaKernel === viaGroupBy)
+    assert(!viaKernel.keys.exists(_._1 == 3L), "empty array must emit no rows")
+    // null array → explode drops the row, like the groupBy shape
+    val withNull = Seq((4L, null.asInstanceOf[Seq[String]])).toDF("doc_id", "toks")
+      .select($"doc_id", explode(TextFunctions.tokenCounts($"toks")))
+    assert(withNull.count() === 0)
+    // through a real parquet scan (reused column-batch buffers): the
+    // kernel must clone keys out of the batch — corrupt keys would
+    // show as wrong counts or duplicate map keys on the sf corpus
+    val fromParquet = Tables.documents(spark, sf)
+      .withColumn("toks", TextAnalysis.tokens())
+      .select($"doc_id", explode(TextFunctions.tokenCounts($"toks")).as(Seq("t", "n")))
+    val viaAgg = Tables.documents(spark, sf)
+      .withColumn("toks", TextAnalysis.tokens())
+      .select($"doc_id", explode($"toks").as("t"))
+      .groupBy($"doc_id", $"t").count()
+    assert(fromParquet.count() === viaAgg.count())
+    assert(fromParquet.join(viaAgg,
+      fromParquet("doc_id") === viaAgg("doc_id") &&
+        fromParquet("t") === viaAgg("t") &&
+        fromParquet("n") === viaAgg("count"), "left_anti").count() === 0)
+  }
+
   test("deflate ratio: repetitive < prose < noise, empty/null handled, deterministic") {
     val rnd = new scala.util.Random(7)
     val noise = (0 until 400).map(_ => rnd.nextPrintableChar()).mkString
