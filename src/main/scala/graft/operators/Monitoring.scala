@@ -801,6 +801,171 @@ object Monitoring {
       |    AS ewma
       |FROM v ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- A36
+  /** One-sided CUSUM change-point detector per device (Page's
+    * cumulative-sum test): S₀ = 0, Sᵢ = max(0, Sᵢ₋₁ + (xᵢ − target −
+    * slack)) — the classical small-persistent-shift detector that a
+    * z-score (A31) misses (many samples each under kσ, all in the
+    * same direction) and EWMA (A30) only answers indirectly. Emits
+    * each device's final and maximum statistic plus the `alarm`
+    * verdict (max exceeded the decision interval `h`). Same
+    * scale shape as A30: one shuffle keyed by device,
+    * sortWithinPartitions fixes the order, ONE streaming forward pass
+    * with O(1) state per device — a hot device's history never
+    * materializes. Oracle-checked: the fold is only +, −, and max
+    * (greatest) — every step bit-identical in DuckDB's list_reduce
+    * replay over the identically-sorted list; no transcendentals
+    * anywhere. */
+  def cusum(spark: SparkSession, sfDir: String, target: Double = 50.0,
+      slack: Double = 2.5, h: Double = 200.0): DataFrame =
+    cusumOf(Tables.events(spark, sfDir), target, slack, h)
+
+  /** The fold over an arbitrary events frame — the spec plants a
+    * mean-shifted segment and a hot device to pin detection and the
+    * bounded-memory shape. */
+  def cusumOf(events: DataFrame, target: Double = 50.0,
+      slack: Double = 2.5, h: Double = 200.0): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(slack >= 0 && h > 0, s"need slack >= 0 (got $slack), h > 0 (got $h)")
+    // the reference level folds once, driver-side: the per-sample step
+    // must be v - REF (one subtraction) in BOTH engines, not
+    // v - target - slack (two), or the IEEE trees diverge
+    val ref = target + slack
+    events
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
+      .select($"user_id", expr("unix_micros(ts)").as("us"),
+        $"event_id", $"value")
+      .as[(Long, Long, Long, Double)]
+      .repartition($"user_id")
+      .sortWithinPartitions($"user_id", $"us", $"event_id")
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(Long, Long, Double, Double)] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (Long, Long, Double, Double) = {
+            val dev = buf.head._1
+            var n = 0L
+            var s = 0.0
+            var m = 0.0
+            while (buf.hasNext && buf.head._1 == dev) {
+              val v = buf.next()._4
+              n += 1
+              s = math.max(0.0, s + (v - ref))
+              m = math.max(m, s)
+            }
+            (dev, n, s, m)
+          }
+        }
+      }
+      .toDF("user_id", "n_events", "cusum_final", "cusum_max")
+      .select($"user_id", $"n_events".cast("int").as("n_events"),
+        $"cusum_final", $"cusum_max", ($"cusum_max" > h).as("alarm"))
+      .orderBy($"user_id")
+  }
+
+  def cusumSql(target: Double = 50.0, slack: Double = 2.5,
+      h: Double = 200.0): String = {
+    val ref = target + slack
+    s"""WITH v AS (
+       |  SELECT user_id, list(value ORDER BY epoch_us(ts), event_id) AS vals
+       |  FROM events
+       |  WHERE event_type = 'purchase' AND value IS NOT NULL
+       |  GROUP BY user_id),
+       |f AS (
+       |  SELECT user_id, CAST(len(vals) AS INT) AS n_events,
+       |    -- (s, max) state rides as a 2-element LIST, not a struct:
+       |    -- a struct-literal lambda in DuckDB 1.0 rebinds acc.<field>
+       |    -- to the just-computed field for later fields (CSE across
+       |    -- the literal), silently corrupting any state whose second
+       |    -- component reads the first's PRE-update value — probed in
+       |    -- round 7; list element expressions see the original acc
+       |    list_reduce(
+       |      list_prepend([CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+       |        list_transform(vals, el -> [CAST(el AS DOUBLE), CAST(el AS DOUBLE)])),
+       |      (acc, x) -> [greatest(CAST(0.0 AS DOUBLE), acc[1] + (x[1] - $ref)),
+       |                   greatest(acc[2],
+       |                     greatest(CAST(0.0 AS DOUBLE), acc[1] + (x[1] - $ref)))]) AS st
+       |  FROM v)
+       |SELECT user_id, n_events, st[1] AS cusum_final, st[2] AS cusum_max,
+       |  st[2] > $h AS alarm
+       |FROM f ORDER BY user_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- A38
+  /** SLO error-budget burn rate, multiwindow (the SRE fast/slow-burn
+    * page rule): per device, each hour's error ratio over the SLO's
+    * error budget (`burn = ratio / (1 − slo)`), paired with the
+    * enclosing 6-hour window's burn — paging only when BOTH run hot
+    * kills the single-spike false page while still catching a slow
+    * leak hours before the budget is gone. The reference's fixed
+    * failure count (restart.sh's escalation) can express neither.
+    * Scale shape: ONE events scan into the hourly aggregate
+    * (map-side partial, exchange bounded by device×hours), PINNED
+    * because the 6-hour rollup and the final join both read it (the
+    * tfidf/boilerplate reuse rule); the 6-hour frame derives from the
+    * pinned hourly frame — 6× smaller again — and joins back
+    * broadcast-or-tiny. Output keeps only hours that consumed budget
+    * faster than earned (`burn_1h > 1`). All arithmetic is counts and
+    * two IEEE divisions, bit-identical cross-engine; cuts compare
+    * UNROUNDED values, rounding is display-only. */
+  def burnRate(spark: SparkSession, sfDir: String, slo: Double = 0.8,
+      fast: Double = 1.5, slow: Double = 1.2): DataFrame =
+    burnRateOf(Tables.events(spark, sfDir), slo, fast, slow)
+
+  def burnRateOf(events: DataFrame, slo: Double = 0.8,
+      fast: Double = 1.5, slow: Double = 1.2): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(slo > 0 && slo < 1, s"slo $slo out of (0, 1)")
+    val budget = 1.0 - slo
+    val b1 = events
+      .groupBy($"user_id", expr("unix_micros(ts) div 3600000000").as("hb"))
+      .agg(count(when($"event_type" === "error", 1)).as("errors"),
+        count(lit(1)).as("total"))
+      .localCheckpoint(true)
+    // b6 derives from the SAME pinned frame b1 joins against — rename
+    // its keys so the self-join is unambiguous
+    val b6 = b1.groupBy($"user_id".as("user_id6"), expr("hb div 6").as("hb6"))
+      .agg(sum($"errors").as("errors6"), sum($"total").as("total6"))
+    b1.join(b6, $"user_id" === $"user_id6" && expr("hb div 6") === $"hb6")
+      .withColumn("burn_1h", ($"errors".cast("double") / $"total") / budget)
+      .withColumn("burn_6h", ($"errors6".cast("double") / $"total6") / budget)
+      .filter($"burn_1h" > 1.0)
+      .select($"user_id", ($"hb" * 3600000000L).as("window_us"),
+        $"errors".as("errors_1h"), $"total".as("total_1h"),
+        round($"burn_1h", 6).as("burn_1h"),
+        round($"burn_6h", 6).as("burn_6h"),
+        ($"burn_1h" > fast && $"burn_6h" > slow).as("paged"))
+      .orderBy($"user_id", $"window_us")
+  }
+
+  def burnRateSql(slo: Double = 0.8, fast: Double = 1.5,
+      slow: Double = 1.2): String = {
+    val budget = 1.0 - slo
+    s"""WITH b1 AS (
+       |  SELECT user_id, epoch_us(ts) // 3600000000 AS hb,
+       |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+       |    COUNT(*) AS total
+       |  FROM events GROUP BY 1, 2),
+       |b6 AS (
+       |  SELECT user_id, hb // 6 AS hb6,
+       |    CAST(SUM(errors) AS BIGINT) AS errors6,
+       |    CAST(SUM(total) AS BIGINT) AS total6
+       |  FROM b1 GROUP BY 1, 2),
+       |j AS (
+       |  SELECT b1.user_id, b1.hb, b1.errors, b1.total,
+       |    (CAST(b1.errors AS DOUBLE) / b1.total) / $budget AS burn_1h,
+       |    (CAST(b6.errors6 AS DOUBLE) / b6.total6) / $budget AS burn_6h
+       |  FROM b1 JOIN b6 ON b1.user_id = b6.user_id AND b1.hb // 6 = b6.hb6)
+       |SELECT user_id, hb * 3600000000 AS window_us,
+       |  errors AS errors_1h, total AS total_1h,
+       |  ROUND(burn_1h, 6) AS burn_1h, ROUND(burn_6h, 6) AS burn_6h,
+       |  burn_1h > $fast AND burn_6h > $slow AS paged
+       |FROM j WHERE burn_1h > 1.0
+       |ORDER BY user_id, window_us""".stripMargin
+  }
+
   // ---------------------------------------------------------------- A34
   /** Seasonality-aware deviation: each (device, hourly window) metric
     * sum compared to the device's SAME-HOUR-OF-DAY baseline — traffic

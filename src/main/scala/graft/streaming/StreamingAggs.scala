@@ -125,6 +125,41 @@ object StreamingAggs {
       }
       .toDF("user_id", "ewma", "n_events")
   }
+  /** STREAMING one-sided CUSUM — the running twin of
+    * [[graft.operators.Monitoring.cusum]] (A35). State is the
+    * recurrence's own O(1) footprint per device: (statistic, running
+    * max, sample count); each trigger folds its group's new samples
+    * in (ts, event_id) order — the batch fold's exact order and
+    * arithmetic (max(0, s + (v − ref)), then max into m), so a
+    * replayed history lands on the identical (final, max, alarm)
+    * triple per device — the parity spec pins this. Emits the updated
+    * triple per device per trigger; `alarm` latches once `m` crosses
+    * the decision interval (m is monotone, so a crossed alarm never
+    * un-crosses). */
+  def cusumStream(events: Dataset[DeviceEvent], target: Double = 50.0,
+      slack: Double = 2.5, h: Double = 200.0): DataFrame = {
+    require(slack >= 0 && h > 0, s"need slack >= 0 (got $slack), h > 0 (got $h)")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ref = target + slack
+    events.filter(e => e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[CusumState, (Long, Long, Double, Double, Boolean)](
+        GroupStateTimeout.NoTimeout) {
+        (dev: Long, it: Iterator[DeviceEvent], state: GroupState[CusumState]) =>
+          val sorted = it.toSeq.sortBy(e =>
+            (HealthMonitor.tsMicros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(CusumState(0.0, 0.0, 0L))
+          sorted.foreach { e =>
+            val s2 = math.max(0.0, st.s + (e.value - ref))
+            st = CusumState(s2, math.max(st.m, s2), st.n + 1L)
+          }
+          state.update(st)
+          (dev, st.n, st.s, st.m, st.m > h)
+      }
+      .toDF("user_id", "n_events", "cusum_final", "cusum_max", "alarm")
+  }
+
   /** STREAMING z-score anomaly flags — the running twin of
     * [[graft.operators.Monitoring.zscoreOutliers]] (A31) and the
     * adaptive form of the reference's fixed alarm level: each device
@@ -221,6 +256,9 @@ object StreamingAggs {
 
 /** Running-EWMA state: the recurrence's whole history in two fields. */
 case class EwmaState(ewma: Double, n: Long)
+
+/** Running-CUSUM state: statistic, running max, sample count. */
+case class CusumState(s: Double, m: Double, n: Long)
 
 /** Welford running-moment state: count, mean, sum of squared deviations. */
 case class WelfordState(n: Long, mean: Double, m2: Double)

@@ -272,6 +272,57 @@ class MonitoringSpec extends SparkSpec {
     }
   }
 
+  test("cusum: planted persistent shift alarms, in-band device stays quiet, hot device streams") {
+    // device 1: persistent small shift — every sample 56.0, only 1.0
+    // above the ref level 55 (target 50 + slack 5): a z-score never
+    // flags any single sample, but the cumulative sum ramps 1.0/step
+    // and crosses h = 50 after 50 samples. device 2: oscillates around
+    // the target (in-band), statistic repeatedly clamps at 0. device
+    // 7: hot — 200k samples, must stream through the fold.
+    val shifted = (0 until 100).map(i =>
+      (1L, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        i.toLong, "purchase", 56.0))
+    val inBand = (0 until 100).map(i =>
+      (2L, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        10000L + i, "purchase", if (i % 2 == 0) 45.0 else 55.0))
+    val hot = (0 until 200000).map(i =>
+      (7L, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        1000000L + i, "purchase", 40.0 + (i % 21)))
+    val events = (shifted ++ inBand ++ hot)
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Monitoring.cusumOf(events, target = 50.0, slack = 5.0, h = 50.0)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out.keySet === Set(1L, 2L, 7L))
+    // planted shift: final = max = 100 × 1.0, alarm latched
+    assert(out(1L) === ((100, 100.0, 100.0, true)))
+    // in-band: every step max(0, s + (v - 55)) with v ≤ 55 → never
+    // accumulates past one step's positive part (here always ≤ 0)
+    assert(out(2L)._3 === 0.0 && !out(2L)._4, s"in-band device: ${out(2L)}")
+    // hot device: bit-exact vs a driver-side sequential replay
+    var s = 0.0; var m = 0.0
+    hot.foreach { t =>
+      s = math.max(0.0, s + (t._5 - 55.0)); m = math.max(m, s)
+    }
+    assert(out(7L) === ((200000, s, m, m > 50.0)))
+  }
+
+  test("burn rate: every row over budget, paged implies both windows hot") {
+    val out = Monitoring.burnRate(spark, sf).collect()
+      .map(r => (r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    assert(out.nonEmpty, "sf data at ~20% errors vs a 20% budget must emit rows")
+    out.foreach { case (b1, b6, paged) =>
+      assert(b1 > 1.0, s"emitted row under budget: $b1")
+      // rounded display values can sit a hair under the cut the
+      // unrounded values passed — allow the rounding epsilon
+      if (paged) assert(b1 > 1.5 - 1e-6 && b6 > 1.2 - 1e-6,
+        s"paged row not hot in both windows: $b1 / $b6")
+      else assert(b1 <= 1.5 + 1e-6 || b6 <= 1.2 + 1e-6,
+        s"both-hot row not paged: $b1 / $b6")
+    }
+  }
+
   test("seasonal deviation: every flag truly beyond k×, singleton slots never judged") {
     val out = Monitoring.seasonalDeviation(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(2), r.getDouble(3), r.getDouble(4)))

@@ -285,6 +285,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cusum: state carries across batches, equals the batch fold, alarm latches") {
+    def pv(id: Long, minute: Int, dev: Long, v: Double): DeviceEvent =
+      DeviceEvent(id, Timestamp.valueOf(f"2024-01-01 11:$minute%02d:00"),
+        dev, "purchase", v, "{}")
+    val input = MemoryStream[DeviceEvent](13, spark, None)
+    // target 50, slack 5 → ref 55; h = 20
+    val q = StreamingAggs.cusumStream(input.toDS(), target = 50.0,
+      slack = 5.0, h = 20.0)
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: device 5 — 70, 60 out of ts order (65 first by id but
+      // later by minute): fold order must be ts order 70, 65
+      input.addData(pv(1, 2, 5L, 65.0), pv(2, 1, 5L, 70.0),
+        pv(3, 1, 6L, 40.0), ev(4, 3, 5L, "error"))
+      q.processAllAvailable()
+      val b1 = spark.table("cusum_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getBoolean(4)))
+      // device 5: s = max(0, 0 + 15) = 15, then max(0, 15 + 10) = 25
+      assert(b1.toSet === Set((5L, 2L, 25.0, 25.0, true),
+        (6L, 1L, 0.0, 0.0, false)))
+      // batch 2: device 5 drops back in band — statistic decays but
+      // the alarm stays latched (max is monotone)
+      input.addData(pv(5, 4, 5L, 35.0))
+      q.processAllAvailable()
+      val b2 = spark.table("cusum_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getBoolean(4)))
+      assert(b2.toSet.contains((5L, 3L, 5.0, 25.0, true)),
+        s"batch 2 output: ${b2.toSet}")
+      // parity with the batch fold over the replayed history
+      val history = Seq(
+        (5L, Timestamp.valueOf("2024-01-01 11:02:00"), 1L, "purchase", 65.0),
+        (5L, Timestamp.valueOf("2024-01-01 11:01:00"), 2L, "purchase", 70.0),
+        (6L, Timestamp.valueOf("2024-01-01 11:01:00"), 3L, "purchase", 40.0),
+        (5L, Timestamp.valueOf("2024-01-01 11:04:00"), 5L, "purchase", 35.0))
+        .toDF("user_id", "ts", "event_id", "event_type", "value")
+      val batch = graft.operators.Monitoring
+        .cusumOf(history, target = 50.0, slack = 5.0, h = 20.0)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1).toLong, r.getDouble(2),
+          r.getDouble(3), r.getBoolean(4))).toSet
+      // memory sink keeps every emitted update — the device's LATEST
+      // row (max n_events) is its current state
+      val streamed = b2.groupBy(_._1).map(_._2.maxBy(_._2)).toSet
+      assert(batch === streamed, s"batch $batch vs streamed $streamed")
+    } finally q.stop()
+  }
+
   private def seasonalEv(id: Long, day: Int, h: Int, min: Int, dev: Long,
       v: Double, typ: String = "purchase"): DeviceEvent =
     DeviceEvent(id, Timestamp.valueOf(f"2024-01-$day%02d $h%02d:$min%02d:00"),
