@@ -682,6 +682,113 @@ object Relational {
       |  SELECT l_returnflag, 'sum_disc', sum_disc FROM a)
       |ORDER BY l_returnflag, measure""".stripMargin
 
+  // ---------------------------------------------------------------- B28
+  /** CUBE: all four grouping combinations of (status, priority) in one
+    * pass — Catalyst's Expand emits each input row once per grouping
+    * set BEFORE the exchange, so partial aggregation still combines
+    * map-side and the single shuffle moves only group subtotals (the
+    * rollup/grouping-sets family completed: B8 ROLLUP, B18 explicit
+    * sets, B28 the full lattice). */
+  def qCube(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n_orders", $"sum_price")
+      .orderBy($"status", $"priority")
+  }
+
+  val qCubeSql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  // ---------------------------------------------------------------- B29
+  /** Correlated EXISTS with a NON-EQUI predicate: lines that have a
+    * LATER-shipping sibling line on the same order. The equi part
+    * (same order, different line) keys the join; the inequality rides
+    * as a residual filter on the matched pair — so Catalyst plans a
+    * plain left-semi hash join on l_orderkey, never a cartesian. The
+    * per-flag counts keep the output tiny while the semi join itself
+    * runs at full scale (self-join shuffles both sides on the order
+    * key — the standard shape; each side is the pruned 4-column
+    * projection, not the whole table). */
+  def qExistsCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_linenumber", $"l_shipdate", $"l_returnflag")
+    l.as("a").join(l.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_linenumber" =!= $"b.l_linenumber" &&
+          $"b.l_shipdate" > $"a.l_shipdate",
+        "left_semi")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_with_later_sibling"))
+      .orderBy($"l_returnflag")
+  }
+
+  // SEMI JOIN spelling, not WHERE EXISTS: DuckDB 1.0 miscompiles the
+  // correlated EXISTS with this equality + <> + > predicate mix
+  // (returns 57 rows where its own SEMI JOIN — and Spark, and a
+  // hand-check of any multi-line order — return 43k; probed round 7).
+  // The two are the same relational operator; Spark's side IS the
+  // EXISTS shape, planned as the identical left-semi hash join.
+  val qExistsCorrSql: String =
+    """SELECT a.l_returnflag, COUNT(*) AS n_with_later_sibling
+      |FROM lineitem a
+      |SEMI JOIN lineitem b
+      |  ON b.l_orderkey = a.l_orderkey
+      |  AND b.l_linenumber <> a.l_linenumber
+      |  AND b.l_shipdate > a.l_shipdate
+      |GROUP BY a.l_returnflag
+      |ORDER BY a.l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- B30
+  /** RANGE-frame window: per-supplier trailing-7-day shipped quantity.
+    * Daily decimal sums FIRST (one shuffle, bounded by supplier×days),
+    * then a RANGE BETWEEN 6 PRECEDING frame over the day number — the
+    * frame is value-based, so gap days (no shipment) still bound the
+    * trailing week correctly where a ROWS frame (A21's shape) would
+    * reach back past them. Suppliers capped to keep the dump small;
+    * the window itself runs per-partition after one exchange. */
+  def qWindowRange(spark: SparkSession, sfDir: String,
+      maxSupp: Long = 20): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.lineitem(spark, sfDir)
+      .filter($"l_suppkey" <= maxSupp)
+      .groupBy($"l_suppkey",
+        // the regenerated files carry TIMESTAMP_NTZ; under the UTC
+        // session zone the cast is the identity on the instant
+        expr("CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000 AS BIGINT)")
+          .as("day"))
+      .agg(sum(dec($"l_quantity")).as("qty"))
+    val w = Window.partitionBy($"l_suppkey").orderBy($"day")
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("qty7", sum($"qty").over(w).cast("double"))
+      .select($"l_suppkey", $"day", $"qty".cast("double").as("qty"), $"qty7")
+      .orderBy($"l_suppkey", $"day")
+  }
+
+  val qWindowRangeSql: String =
+    """WITH d AS (
+      |  SELECT l_suppkey, epoch_us(l_shipdate) // 86400000000 AS day,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+      |  FROM lineitem WHERE l_suppkey <= 20
+      |  GROUP BY 1, 2)
+      |SELECT l_suppkey, day, CAST(qty AS DOUBLE) AS qty,
+      |  CAST(SUM(qty) OVER (
+      |    PARTITION BY l_suppkey ORDER BY day
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty7
+      |FROM d ORDER BY l_suppkey, day""".stripMargin
+
   // ---------------------------------------------------------------- B13
   /** HLL approximate distinct count — the 100-TB-scale path of B10
     * (fixed-size sketch, no exact distinct shuffle). No SQL oracle

@@ -601,4 +601,64 @@ object TextAnalysis {
   def compressRatioQuery(spark: SparkSession, sfDir: String): DataFrame =
     compressRatioOf(Tables.documents(spark, sfDir), "doc_id", "text")
       .orderBy(col("doc_id"))
+
+  // --------------------------------------------------------------- E14
+  /** Character-level Shannon entropy per document (nats) — the cheap
+    * noise/boilerplate separator that needs no corpus state: random
+    * bytes score near ln(alphabet), single-character spam near 0,
+    * prose in between (complements E13's DEFLATE ratio with a pure
+    * closed form). ROW-LOCAL end to end: the TokenCounts kernel
+    * builds the per-doc character histogram in one pass, a
+    * higher-order aggregate folds −p·ln p — zero shuffle beyond the
+    * presentation sort, the 100 TB shape.
+    *
+    * Oracle-checked: each −p·ln p term is the identical IEEE tree in
+    * both engines (one division, one correctly-rounded ln, one
+    * multiply, one negate), quantized to DECIMAL(28,12) BEFORE the
+    * sum so term order — histogram order here, unnest+groupBy order
+    * in DuckDB — cannot move the result (the lm_score discipline).
+    * ASCII corpus: chars == bytes, so `length(text)` is the character
+    * count in both engines; empty text → 0.0 by definition on both
+    * sides (avoids a split-of-empty-string edge the engines disagree
+    * on, and dodges the −0.0 an empty fold would emit). */
+  def textEntropyOf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_chars", length(t).cast("long"))
+      .withColumn("ent", when(col("n_chars") === 0L, lit(0.0)).otherwise(
+        aggregate(
+          map_values(TextFunctions.tokenCounts(split(t, ""))),
+          // (37,12) accumulator: (38,12)+term would promote to (38,11)
+          // and silently drop a fractional digit; the post-add cast
+          // back to (37,12) is value-exact (entropy sums are tiny)
+          lit(0).cast("decimal(37,12)"),
+          (acc, c0) => (acc + (-((c0.cast("double") / col("n_chars")) *
+            log(c0.cast("double") / col("n_chars")))).cast("decimal(28,12)"))
+            .cast("decimal(37,12)"))
+          .cast("double")))
+      .select(col(idCol), col("n_chars"), col("ent").as("entropy_nats"))
+  }
+
+  def textEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    textEntropyOf(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val textEntropySql: String =
+    """WITH c AS (
+      |  SELECT doc_id, ch, COUNT(*) AS k FROM (
+      |    SELECT doc_id, unnest(string_split(text, '')) AS ch
+      |    FROM documents) u
+      |  GROUP BY doc_id, ch),
+      |n AS (SELECT doc_id, length(text) AS n FROM documents),
+      |e AS (
+      |  SELECT c.doc_id,
+      |    SUM(CAST(-((CAST(k AS DOUBLE) / n.n) * ln(CAST(k AS DOUBLE) / n.n))
+      |      AS DECIMAL(28,12))) AS s
+      |  FROM c JOIN n ON c.doc_id = n.doc_id
+      |  GROUP BY c.doc_id)
+      |SELECT d.doc_id, length(d.text) AS n_chars,
+      |  COALESCE(CAST(e.s AS DOUBLE), 0.0) AS entropy_nats
+      |FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 }
