@@ -1183,6 +1183,75 @@ object Curation {
       |WHERE rnk * 5 <= n * 4
       |ORDER BY source, score DESC, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- C28
+  /** Token-BUDGET selection: greedily fill a fixed token budget with
+    * the highest-quality documents — the "we can afford N tokens of
+    * pretraining data" cut, where C18 cuts a per-source FRACTION.
+    * Quality is the E2 composite ([[TextAnalysis.textQualityOf]] — one
+    * definition, shared), quantized to an integer micro-score
+    * (floor(score·1e6)) so the selection ORDER is pure integer
+    * comparison in both engines — no double-ordering parity risk —
+    * and so the (score, doc_id) order packs into the C18 key layout.
+    * The running token total uses the same scale shape as C18:
+    * [[Scale.stratifiedPrefixSum]] over one stratum — bucketed
+    * map-side partials + a broadcast prefix base, NO global-sort
+    * single-partition window. A doc is kept iff the budget was not
+    * exhausted BEFORE it (cum − own < budget): deterministic greedy
+    * prefix, including the one straddling document. */
+  def budgetSelect(docs: DataFrame, budgetTokens: Long = 15000,
+      buckets: Int = 1024): DataFrame = {
+    require(budgetTokens >= 0, s"budget $budgetTokens must be >= 0")
+    val scored = TextAnalysis.textQualityOf(docs)
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("quality_score") * 1e6).cast("long").as("q6"))
+    val r = scored.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    if (r.isNullAt(0)) return scored.withColumn("cum_tokens", lit(0L)).limit(0)
+    require(r.getLong(0) >= 0 && r.getLong(1) < (1L << 40),
+      s"budgetSelect key packing needs doc_id in [0, 2^40); got " +
+        s"[${r.getLong(0)}, ${r.getLong(1)}]")
+    // q6 ∈ [0, 1e6] (the E2 score is a convex combination in [0, 1]),
+    // so (1e6 - q6) spans < 2^22 and the C18 packing holds
+    val keyed = scored.withColumn("__ord",
+      (lit(1000000L) - col("q6")) * lit(1L << 40) + col("doc_id"))
+      .withColumn("__all", lit("all"))
+    Scale.stratifiedPrefixSum(keyed, "__all", "__ord", "n_tokens",
+        "cum_tokens", buckets)
+      .filter(col("cum_tokens") - col("n_tokens") < budgetTokens)
+      .select(col("doc_id"), col("n_tokens"), col("q6"), col("cum_tokens"))
+      .orderBy(col("q6").desc, col("doc_id"))
+  }
+
+  def budgetSelectQuery(spark: SparkSession, sfDir: String): DataFrame =
+    budgetSelect(Tables.documents(spark, sfDir))
+
+  val budgetSelectSql: String =
+    """WITH x AS (
+      |  SELECT doc_id, text,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+      |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS punct_cnt
+      |  FROM documents),
+      |y AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(len(list_filter(toks, t -> list_contains(['the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'on'], t))) AS DOUBLE) / n_tokens AS stop_ratio,
+      |    CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens AS uniq_ratio,
+      |    CAST(punct_cnt AS DOUBLE) / length(text) AS punct_ratio
+      |  FROM x),
+      |q AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(floor((0.25 * stop_ratio + 0.25 * uniq_ratio
+      |      + 0.25 * (1.0 - punct_ratio)
+      |      + 0.25 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)) * 1e6) AS BIGINT) AS q6
+      |  FROM y),
+      |c AS (
+      |  SELECT doc_id, n_tokens, q6,
+      |    SUM(n_tokens) OVER (ORDER BY q6 DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |  FROM q)
+      |SELECT doc_id, n_tokens, q6, CAST(cum_tokens AS BIGINT) AS cum_tokens
+      |FROM c WHERE cum_tokens - n_tokens < 15000
+      |ORDER BY q6 DESC, doc_id""".stripMargin
+
   val pipelineCurateSql: String =
     """WITH gated AS (
       |  SELECT doc_id, source, text,

@@ -46,10 +46,18 @@ object TextAnalysis {
     * (broadcast-free). */
   private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
 
-  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame =
+    textQualityOf(Tables.documents(spark, sfDir))
+
+  /** The E2 quality pipeline over an arbitrary docs frame — the ONE
+    * definition of the composite score, reused by the C28 budget
+    * selector (a formula change here changes both, and their oracles
+    * restate it identically). */
+  def textQualityOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     val stopArr = stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
-    Tables.documents(spark, sfDir)
+    docs
       .withColumn("toks", tokens())
       .withColumn("n_tokens", size($"toks").cast("long"))
       .withColumn("punct_cnt",
@@ -643,6 +651,52 @@ object TextAnalysis {
   def textEntropy(spark: SparkSession, sfDir: String): DataFrame =
     textEntropyOf(Tables.documents(spark, sfDir), "doc_id", "text")
       .orderBy(col("doc_id"))
+
+  // --------------------------------------------------------------- E15
+  /** Flesch-style readability per document: words (the shared
+    * tokenizer), sentences (terminal-punctuation runs, floored at 1 so
+    * headline fragments don't divide by zero), syllables approximated
+    * as vowel-group runs — the standard regex proxy. Pure per-row
+    * regex counting + one fixed arithmetic tree (two divisions, two
+    * multiplies, two subtractions — identical IEEE evaluation order in
+    * both engines), zero shuffle. Token-free docs emit NULL flesch
+    * (nothing to read) rather than a fake score. */
+  def textReadabilityOf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      size(expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)"))
+        .cast("long").as("n_words"),
+      greatest(size(regexp_extract_all(t, lit("[.!?]+"), lit(0))), lit(1))
+        .cast("long").as("n_sentences"),
+      size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
+        .cast("long").as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") === 0L, lit(null).cast("double")).otherwise(
+          lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") / col("n_sentences")) -
+            lit(84.6) * (col("n_syllables").cast("double") / col("n_words"))))
+  }
+
+  def textReadability(spark: SparkSession, sfDir: String): DataFrame =
+    textReadabilityOf(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val textReadabilitySql: String =
+    """WITH x AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_words,
+      |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  CASE WHEN n_words = 0 THEN NULL ELSE
+      |    206.835
+      |      - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+      |      - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)
+      |  END AS flesch
+      |FROM x ORDER BY doc_id""".stripMargin
 
   val textEntropySql: String =
     """WITH c AS (

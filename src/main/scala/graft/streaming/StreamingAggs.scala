@@ -125,6 +125,80 @@ object StreamingAggs {
       }
       .toDF("user_id", "ewma", "n_events")
   }
+  /** STREAMING SLO burn rate — the running twin of
+    * [[graft.operators.Monitoring.burnRate]] (A38). The batch
+    * operator pairs each hour's burn with its CALENDAR-ALIGNED
+    * enclosing 6-hour bucket, so an hour's 6-hour burn is only known
+    * once the whole bucket has passed: the stream therefore carries,
+    * per device, the CURRENT 6-hour bucket's per-hour (errors, total)
+    * counters — O(6) state, watermark-free — and EMITS the bucket's
+    * hourly rows (those that consumed budget faster than earned, the
+    * batch filter) when the first event of a LATER bucket arrives.
+    * Closed buckets replayed from history land on the identical rows
+    * as the batch operator — the parity spec pins this; the
+    * still-open tail bucket is not yet emittable by construction
+    * (its 6-hour denominator is still growing). Events are folded in
+    * (ts, event_id) order per trigger; an event arriving for an
+    * already-closed bucket is DROPPED (logged in the row it would
+    * have joined — late data past a closed SLO window is a report
+    * correction, not a page). */
+  def burnRateStream(events: Dataset[DeviceEvent], slo: Double = 0.8,
+      fast: Double = 1.5, slow: Double = 1.2): DataFrame = {
+    require(slo > 0 && slo < 1, s"slo $slo out of (0, 1)")
+    val budget = 1.0 - slo
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    def rnd6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BurnState, BurnRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (dev: Long, it: Iterator[DeviceEvent], state: GroupState[BurnState]) =>
+          val sorted = it.toSeq.sortBy(e =>
+            (HealthMonitor.tsMicros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(
+            BurnState(-1L, Seq.fill(6)(0L), Seq.fill(6)(0L)))
+          val out = scala.collection.mutable.ArrayBuffer.empty[BurnRow]
+          def close(s: BurnState): Unit = if (s.bucket6 >= 0) {
+            val errors6 = s.errors.sum
+            val total6 = s.totals.sum
+            if (total6 > 0) {
+              val burn6 = (errors6.toDouble / total6) / budget
+              (0 until 6).foreach { i =>
+                val (e, t) = (s.errors(i), s.totals(i))
+                if (t > 0) {
+                  val burn1 = (e.toDouble / t) / budget
+                  if (burn1 > 1.0)
+                    out += BurnRow(dev, (s.bucket6 * 6 + i) * 3600000000L,
+                      e, t, rnd6(burn1), rnd6(burn6),
+                      burn1 > fast && burn6 > slow)
+                }
+              }
+            }
+          }
+          sorted.foreach { e =>
+            val hb = HealthMonitor.tsMicros(e.ts) / 3600000000L
+            val b6 = hb / 6
+            if (b6 > st.bucket6) {
+              close(st)
+              st = BurnState(b6, Seq.fill(6)(0L), Seq.fill(6)(0L))
+            }
+            if (b6 == st.bucket6) {
+              val i = (hb % 6).toInt
+              st = st.copy(
+                errors = st.errors.updated(i,
+                  st.errors(i) + (if (e.event_type == "error") 1L else 0L)),
+                totals = st.totals.updated(i, st.totals(i) + 1L))
+            } // b6 < bucket6: late event for a closed bucket — dropped
+          }
+          state.update(st)
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** STREAMING one-sided CUSUM — the running twin of
     * [[graft.operators.Monitoring.cusum]] (A35). State is the
     * recurrence's own O(1) footprint per device: (statistic, running
@@ -259,6 +333,14 @@ case class EwmaState(ewma: Double, n: Long)
 
 /** Running-CUSUM state: statistic, running max, sample count. */
 case class CusumState(s: Double, m: Double, n: Long)
+
+/** Current 6-hour SLO bucket per device: aligned bucket id + per-hour
+  * error/total counters (index = hour-of-bucket). */
+case class BurnState(bucket6: Long, errors: Seq[Long], totals: Seq[Long])
+
+/** One emitted hourly burn row (a closed 6-hour bucket's hour). */
+case class BurnRow(user_id: Long, window_us: Long, errors_1h: Long,
+    total_1h: Long, burn_1h: Double, burn_6h: Double, paged: Boolean)
 
 /** Welford running-moment state: count, mean, sum of squared deviations. */
 case class WelfordState(n: Long, mean: Double, m2: Double)

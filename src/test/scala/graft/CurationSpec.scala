@@ -605,6 +605,30 @@ class CurationSpec extends SparkSpec {
     assert(Curation.qualityRankCut(docs, num = 0, den = 1).count() === 0L)
     assert(Curation.qualityRankCut(docs, num = 1, den = 1).count() === 12L)
   }
+
+  test("budget_select: greedy fill in quality order, straddling doc kept, zero budget empty") {
+    // identical structure per doc except token count, so the E2 score
+    // is driven by the length term (capped at 100) — longer docs score
+    // higher here; every doc is 40 tokens so the budget boundary falls
+    // mid-doc and the straddling doc must still be admitted
+    def words(n: Int): String = (1 to n).map(i => s"tok$i word").mkString(". ")
+    val docs = Seq(
+      (1L, words(10)), (2L, words(20)), (3L, words(30)),
+      (4L, words(40)), (5L, words(50)),
+    ).toDF("doc_id", "text")
+    val out = Curation.budgetSelect(docs, budgetTokens = 150, buckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // quality order: doc 5 (100 tokens), 4 (80), 3 (60), 2 (40), 1 (20)
+    // cum: 100, 180, 240, 280, 300 — budget 150 exhausts DURING doc 4
+    // (cum_before = 100 < 150 → kept), doc 3 sees cum_before 180 → out
+    assert(out.map(_._1).toSeq === Seq(5L, 4L), s"selection: ${out.toSeq}")
+    assert(out.map(_._3).toSeq === Seq(100L, 180L), s"cums: ${out.toSeq}")
+    // partitioning-invariant (the prefix-sum contract)
+    val reran = Curation.budgetSelect(docs.repartition(5),
+      budgetTokens = 150, buckets = 7).collect().map(_.getLong(0))
+    assert(reran.toSeq === Seq(5L, 4L))
+    assert(Curation.budgetSelect(docs, budgetTokens = 0).count() === 0L)
+  }
 }
 
 /** Top-level so spark.implicits can derive its Encoder. */

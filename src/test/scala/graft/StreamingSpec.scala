@@ -335,6 +335,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming burn rate: closed buckets replay onto the batch rows, state crosses batches") {
+    def bev(id: Long, h: Int, min: Int, typ: String): DeviceEvent =
+      DeviceEvent(id, Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00"),
+        1L, typ, 1.0, "{}")
+    // bucket with hour 01: 3 errors + 1 purchase (burn 3.75), hour 02:
+    // 4 purchases (burn 0), hour 03: 1 error + 3 views (burn 1.25);
+    // bucket ratio 4/12 → burn_6h ≈ 1.6667 → hour 01 pages (both hot),
+    // hour 03 does not (fast window under 1.5)
+    val bucket0 = Seq(
+      bev(1, 1, 10, "error"), bev(2, 1, 12, "error"), bev(3, 1, 14, "error"),
+      bev(4, 1, 20, "purchase"),
+      bev(5, 2, 10, "purchase"), bev(6, 2, 11, "purchase"),
+      bev(7, 2, 12, "purchase"), bev(8, 2, 13, "purchase"),
+      bev(9, 3, 5, "error"), bev(10, 3, 6, "view"),
+      bev(11, 3, 7, "view"), bev(12, 3, 8, "view"))
+    // error-free sentinels: close bucket 0, then close the sentinel's
+    // own bucket — neither adds over-budget hours, so the batch
+    // operator over the same history emits exactly the streamed rows
+    val sentinels = Seq(bev(13, 7, 0, "purchase"), bev(14, 13, 30, "purchase"))
+    val input = MemoryStream[DeviceEvent](17, spark, None)
+    val q = StreamingAggs.burnRateStream(input.toDS())
+      .writeStream.format("memory").queryName("burn_out")
+      .outputMode("append").start()
+    try {
+      input.addData(bucket0.take(8): _*)
+      q.processAllAvailable()
+      assert(spark.table("burn_out").count() === 0, "open bucket must not emit")
+      input.addData((bucket0.drop(8) ++ sentinels): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("burn_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toSet
+      val history = (bucket0 ++ sentinels)
+        .map(e => (e.user_id, e.ts, e.event_id, e.event_type, e.value))
+        .toDF("user_id", "ts", "event_id", "event_type", "value")
+      val batch = graft.operators.Monitoring.burnRateOf(history).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toSet
+      assert(streamed === batch, s"streamed $streamed vs batch $batch")
+      assert(streamed.size === 2)
+      val byErrors = streamed.groupBy(_._3)
+      assert(byErrors(3L).head._7, "3-error hour must page")
+      assert(!byErrors(1L).head._7, "1-error hour must not page")
+    } finally q.stop()
+  }
+
   private def seasonalEv(id: Long, day: Int, h: Int, min: Int, dev: Long,
       v: Double, typ: String = "purchase"): DeviceEvent =
     DeviceEvent(id, Timestamp.valueOf(f"2024-01-$day%02d $h%02d:$min%02d:00"),
