@@ -192,6 +192,56 @@ object Multimodal {
       |  FROM f WHERE idx % 4 = 0)
       |SELECT * FROM s ORDER BY media_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- F6
+  /** Scene-cut detection over the sampled frame stream: per media, a
+    * cut is a consecutive-frame pair whose content hashes differ in
+    * ≥ `threshold` of 64 bits — with a real perceptual hash plugged
+    * into the F2 decoder seam this is the standard shot-boundary
+    * query; with the stub it is the same pipeline over the
+    * deterministic chunk hashes, which is exactly what makes it
+    * ORACLE-checkable (DuckDB replays the FNV frames, then the
+    * identical lag/xor/bit_count tree). Shape: frames are map-only
+    * (F2), then ONE exchange on media_id for the lag window — the
+    * window state is two longs per row, and the per-media partition
+    * is bounded by frames-per-video, not corpus size. */
+  def sceneCuts(frames: DataFrame, threshold: Int = 20): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    require(threshold >= 1 && threshold <= 64,
+      s"threshold $threshold out of [1, 64]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"media_id").orderBy($"frame_idx")
+    frames
+      .withColumn("prev_idx", lag($"frame_idx", 1).over(w))
+      .withColumn("prev_hash", lag($"frame_hash", 1).over(w))
+      .filter($"prev_hash".isNotNull)
+      .withColumn("hamming",
+        expr("CAST(bit_count(frame_hash ^ prev_hash) AS INT)"))
+      .filter($"hamming" >= threshold)
+      .select($"media_id", $"frame_idx", $"prev_idx".cast("int").as("prev_idx"),
+        $"hamming")
+      .orderBy($"media_id", $"frame_idx")
+  }
+
+  def mmSceneCuts(spark: SparkSession, sfDir: String): DataFrame =
+    sceneCuts(mmFrameSample(spark, sfDir))
+
+  /** The frame replay (mmFrameSampleSql) wrapped as a subquery, then
+    * the identical lag / xor / bit_count tree. */
+  val mmSceneCutsSql: String =
+    s"""WITH hh AS (
+       |  SELECT media_id, frame_idx, frame_hash,
+       |    lag(frame_idx) OVER w AS prev_idx,
+       |    lag(frame_hash) OVER w AS prev_hash
+       |  FROM ($mmFrameSampleSql) base
+       |  WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx))
+       |SELECT media_id, frame_idx, CAST(prev_idx AS INT) AS prev_idx,
+       |  CAST(bit_count(xor(frame_hash, prev_hash)) AS INT) AS hamming
+       |FROM hh
+       |WHERE prev_hash IS NOT NULL
+       |  AND bit_count(xor(frame_hash, prev_hash)) >= 20
+       |ORDER BY media_id, frame_idx""".stripMargin
+
   // ---------------------------------------------------------------- F4
   /** Feature-extractor contract: frame bytes → embedding. Runs inside
     * mapPartitions so one instance serves a whole partition — the batch
