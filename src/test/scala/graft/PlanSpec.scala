@@ -202,4 +202,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1)") || p.contains("WholeStageCodegen"),
       s"no codegen spans:\n$p")
   }
+
+  test("row-local term frequencies: the TokenCounts stage has ZERO exchanges") {
+    // the round-7 tfidf/lm reshape: per-doc term counts are computed by
+    // the kernel on the row itself — the frame that replaced the
+    // groupBy(doc_id, term) exchange must plan as scan → project →
+    // generate with no Exchange anywhere
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val tf = Tables.documents(spark, sf)
+      .withColumn("toks", TextAnalysis.tokens())
+      .select($"doc_id",
+        explode(graft.functions.TextFunctions.tokenCounts($"toks"))
+          .as(Seq("term", "tf")))
+    val p = plan(tf)
+    assert(!p.contains("Exchange"), s"tf stage shuffles:\n$p")
+    assert(p.contains("token_counts"), s"kernel missing from plan:\n$p")
+  }
+
+  test("correlated non-equi EXISTS plans as a left-semi hash join, never a product") {
+    val p = plan(Relational.qExistsCorr(spark, sf))
+    assert(p.contains("LeftSemi"), s"no semi join:\n$p")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"exists fell back to product:\n$p")
+  }
+
+  test("range-frame window and scene cuts: partitioned windows, no SinglePartition") {
+    val p1 = plan(Relational.qWindowRange(spark, sf))
+    assert(!p1.contains("SinglePartition"), s"global window in range frame:\n$p1")
+    val p2 = plan(Multimodal.mmSceneCuts(spark, sf))
+    assert(!p2.contains("SinglePartition"), s"global window in scene cuts:\n$p2")
+  }
 }
