@@ -368,9 +368,9 @@ object Curation {
       .select(col("g")).distinct()
     val pos = docs
       .select(col(idCol).as("id"), TextAnalysis.tokens(textCol).as("toks"))
-      .select(col("id"),
-        posexplode(graft.functions.TextFunctions
-          .positionalShingleHashes(col("toks"), n)).as(Seq("pos", "g")))
+      .select(col("id"), graft.functions.TextFunctions
+        .positionalShingleHashes(col("toks"), n).as("gs"))
+      .select(col("id"), posexplode(col("gs")).as(Seq("pos", "g")))
     val flagged = pos.join(broadcast(benchGrams), Seq("g"), "left_semi")
       .select(col("id"), col("pos"))
     val covered = Dedup.coveredTokenRanges(flagged, n)

@@ -111,8 +111,12 @@ object Dedup {
       textCol: String, n: Int): DataFrame = docs
     .select(col(idCol).as("id"), TextAnalysis.tokens(textCol).as("toks"))
     .filter(size(col("toks")) >= n)
-    .select(col("id"),
-      explode(TextFunctions.shingleHashes(col("toks"), n)).as("g"))
+    // project the gram array, explode the ATTRIBUTE: an
+    // expression-rooted Generate that also carries required output
+    // drops out of whole-stage codegen (the round-7 tfidf finding) —
+    // this keeps the kernel in a codegen'd Project, one eval per doc
+    .select(col("id"), TextFunctions.shingleHashes(col("toks"), n).as("gs"))
+    .select(col("id"), explode(col("gs")).as("g"))
 
   /** Stage 2 — (id, band, bucket): `numHashes`-perm MinHash signature
     * folded into one xxhash bucket value per band. */
@@ -124,6 +128,12 @@ object Dedup {
     val rows = numHashes / bands
     shingled
       .withColumn("sig", TextFunctions.minhash(col("sh"), numHashes))
+      // the band transform stays INSIDE the generator deliberately:
+      // projecting it into its own column lets CollapseProject inline
+      // `sig` into the per-band lambda — minhash recomputed once PER
+      // BAND (measured 4× on dedup_minhash_lsh in round 7). As the
+      // generator expression it evaluates once per row with sig as a
+      // materialized attribute below.
       .select(col("id"),
         posexplode(expr(
           s"""transform(sequence(0, ${bands - 1}),
@@ -1052,8 +1062,8 @@ object Dedup {
     val grams = docs
       .select(col(idCol).as("id"), TextAnalysis.tokens(textCol).as("toks"))
       .select(col("id"),
-        posexplode(TextFunctions.positionalShingleHashes(col("toks"), l))
-          .as(Seq("pos", "g")))
+        TextFunctions.positionalShingleHashes(col("toks"), l).as("gs"))
+      .select(col("id"), posexplode(col("gs")).as(Seq("pos", "g")))
     val wg = Window.partitionBy(col("g"))
     val flagged = grams
       .repartition(col("g"))
