@@ -585,6 +585,46 @@ object Monitoring {
       |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, window_us""".stripMargin
 
+  // ---------------------------------------------------------------- A40
+  /** Heartbeat-gap detection: windows where a device posted NOTHING
+    * for more than `maxGapUs` (default 12 h) — the "absence of data is itself an
+    * alert" staple (a stream that stops putting media never trips a
+    * value threshold; the reference's describe-stream poll exists
+    * precisely because of this). One lag window per device (single
+    * exchange on user_id, two longs of window state); emits each
+    * silent interval with its bounding event ids. The final event's
+    * open-ended silence is a STREAMING concern (A12's timeout
+    * handling) — batch reports only closed gaps, by construction. */
+  def heartbeatGaps(spark: SparkSession, sfDir: String,
+      maxGapUs: Long = 43200000000L): DataFrame = {
+    import spark.implicits._
+    require(maxGapUs > 0, s"maxGapUs $maxGapUs must be positive")
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    Tables.events(spark, sfDir)
+      .select($"user_id", expr("unix_micros(ts)").as("us"), $"event_id")
+      .withColumn("prev_us", lag($"us", 1).over(w))
+      .withColumn("prev_id", lag($"event_id", 1).over(w))
+      .filter($"prev_us".isNotNull && $"us" - $"prev_us" > maxGapUs)
+      .select($"user_id", $"prev_us".as("gap_start_us"),
+        $"us".as("gap_end_us"), ($"us" - $"prev_us").as("gap_us"),
+        $"prev_id".as("last_event_id"), $"event_id".as("next_event_id"))
+      .orderBy($"user_id", $"gap_start_us", $"next_event_id")
+  }
+
+  def heartbeatGapsSql(maxGapUs: Long = 43200000000L): String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS us, event_id,
+       |    lag(epoch_us(ts)) OVER w AS prev_us,
+       |    lag(event_id) OVER w AS prev_id
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+       |SELECT user_id, prev_us AS gap_start_us, us AS gap_end_us,
+       |  us - prev_us AS gap_us,
+       |  prev_id AS last_event_id, event_id AS next_event_id
+       |FROM e
+       |WHERE prev_us IS NOT NULL AND us - prev_us > $maxGapUs
+       |ORDER BY user_id, gap_start_us, next_event_id""".stripMargin
+
   // ---------------------------------------------------------------- A26
   /** Rate of change of per-minute metric sums per device: minute-over-
     * minute delta and percent change (the "did throughput fall off a
