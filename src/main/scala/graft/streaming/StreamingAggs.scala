@@ -125,6 +125,56 @@ object StreamingAggs {
       }
       .toDF("user_id", "ewma", "n_events")
   }
+  /** STREAMING heartbeat timeout — the live half of
+    * [[graft.operators.Monitoring.heartbeatGaps]] (A40): the batch
+    * operator reports CLOSED silent intervals; the one alert batch
+    * cannot raise — "this device is silent RIGHT NOW" — is exactly
+    * what event-time timeouts exist for. Each device's state carries
+    * its last-seen event; every update arms a timeout at
+    * last_us + maxGapUs, and when the WATERMARK passes that deadline
+    * with no new event, the group fires with hasTimedOut and emits
+    * one silence alert (then clears state — a device that resumes
+    * re-arms from its next event, so a long outage alerts once, not
+    * per trigger). State is two longs per live device; devices that
+    * time out leave the store entirely, so state tracks the LIVE
+    * fleet, not the historical one. Deadline semantics are the batch
+    * operator's: an alert at deadline d corresponds to a batch gap
+    * row with gap_start_us = d − maxGapUs once the device resumes. */
+  def heartbeatStream(events: Dataset[DeviceEvent],
+      maxGapUs: Long = 43200000000L,
+      watermark: String = "10 minutes"): DataFrame = {
+    require(maxGapUs > 0, s"maxGapUs $maxGapUs must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[HeartbeatState, SilenceAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (dev: Long, it: Iterator[DeviceEvent], state: GroupState[HeartbeatState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SilenceAlert(dev, s.lastEventId, s.lastUs,
+              s.lastUs + maxGapUs))
+          } else {
+            val latest = it.maxBy(e =>
+              (HealthMonitor.tsMicros(e.ts), e.event_id))
+            val us = HealthMonitor.tsMicros(latest.ts)
+            val prev = state.getOption
+            // keep the newest heartbeat across batches (a late slice
+            // must not rewind the deadline)
+            if (prev.forall(_.lastUs <= us)) {
+              state.update(HeartbeatState(us, latest.event_id))
+              state.setTimeoutTimestamp((us + maxGapUs) / 1000L)
+            }
+            Iterator.empty
+          }
+      }
+      .toDF()
+  }
+
   /** STREAMING SLO burn rate — the running twin of
     * [[graft.operators.Monitoring.burnRate]] (A38). The batch
     * operator pairs each hour's burn with its CALENDAR-ALIGNED
@@ -337,6 +387,14 @@ case class CusumState(s: Double, m: Double, n: Long)
 /** Current 6-hour SLO bucket per device: aligned bucket id + per-hour
   * error/total counters (index = hour-of-bucket). */
 case class BurnState(bucket6: Long, errors: Seq[Long], totals: Seq[Long])
+
+/** Last heartbeat per live device (the armed-timeout state). */
+case class HeartbeatState(lastUs: Long, lastEventId: Long)
+
+/** One "device is silent right now" alert: the last thing it said and
+  * the event-time deadline the watermark crossed. */
+case class SilenceAlert(user_id: Long, last_event_id: Long,
+    last_us: Long, deadline_us: Long)
 
 /** One emitted hourly burn row (a closed 6-hour bucket's hour). */
 case class BurnRow(user_id: Long, window_us: Long, errors_1h: Long,

@@ -335,6 +335,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heartbeat: silent device alerts once via event-time timeout, resuming re-arms") {
+    def hb(id: Long, t: String, dev: Long): DeviceEvent =
+      DeviceEvent(id, Timestamp.valueOf(t), dev, "purchase", 1.0, "{}")
+    val input = MemoryStream[DeviceEvent](19, spark, None)
+    // 1-hour silence threshold, 10-minute watermark delay
+    val q = StreamingAggs.heartbeatStream(input.toDS(),
+      maxGapUs = 3600000000L, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("hb_out")
+      .outputMode("append").start()
+    try {
+      input.addData(hb(1, "2024-01-01 10:00:00", 1L), hb(2, "2024-01-01 10:00:00", 2L))
+      q.processAllAvailable()
+      // device 2 keeps talking; its events push the watermark past
+      // device 1's 11:00 deadline
+      input.addData(hb(3, "2024-01-01 12:00:00", 2L))
+      q.processAllAvailable()
+      input.addData(hb(4, "2024-01-01 12:01:00", 2L))
+      q.processAllAvailable()
+      val alerts = spark.table("hb_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val ts0 = Timestamp.valueOf("2024-01-01 10:00:00")
+      val t0 = ts0.getTime / 1000L * 1000000L + ts0.getNanos / 1000L
+      assert(alerts.toSeq === Seq((1L, 1L, t0, t0 + 3600000000L)),
+        s"alerts: ${alerts.toSeq}")
+      // device 1 resumes: no duplicate alert for the old outage, state
+      // re-arms from the new heartbeat; device 2 was never silent
+      input.addData(hb(5, "2024-01-01 12:30:00", 1L), hb(6, "2024-01-01 12:40:00", 2L))
+      q.processAllAvailable()
+      assert(spark.table("hb_out").count() === 1, "resume must not re-alert")
+    } finally q.stop()
+  }
+
   test("streaming burn rate: closed buckets replay onto the batch rows, state crosses batches") {
     def bev(id: Long, h: Int, min: Int, typ: String): DeviceEvent =
       DeviceEvent(id, Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00"),
