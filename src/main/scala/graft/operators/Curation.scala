@@ -880,6 +880,48 @@ object Curation {
       .toDF("doc_id", "domain")
   }
 
+  // ------------------------------------------------------------- C29
+  /** STREAMING token-budget admission — C28's ingest-time twin, with
+    * the semantic difference stated the C27 way: the batch selector
+    * ranks the WHOLE corpus by quality and fills the budget from the
+    * top; at ingest you cannot see the future, so the stream ADMITS
+    * documents (above a quality floor) in arrival order until the
+    * budget is spent, then closes. One long of state (admitted
+    * tokens) across micro-batches; in-batch slices admit in doc_id
+    * order so a replay admits identically; the straddling document is
+    * admitted (budget not exhausted BEFORE it — the batch operator's
+    * boundary rule). Quality is the same shared E2 composite: one
+    * definition, both halves. */
+  def budgetSelectStream(docs: DataFrame, budgetTokens: Long,
+      minQuality: Double = 0.0): DataFrame = {
+    require(budgetTokens >= 0, s"budget $budgetTokens must be >= 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    graft.operators.TextAnalysis.textQualityOf(docs)
+      .filter(col("quality_score") >= minQuality)
+      .select(col("doc_id").cast("long"), col("n_tokens").cast("long"),
+        col("quality_score"))
+      .as[(Long, Long, Double)]
+      // single logical budget → single group; the stream is the
+      // admission CONTROLLER, not a scan — its input is the already-
+      // curated trickle, so one group is the semantics, not a skew bug
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[Long, (Long, Long, Double, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[(Long, Long, Double)],
+            state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          var spent = state.getOption.getOrElse(0L)
+          val admitted = it.toSeq.sortBy(_._1).iterator
+            .takeWhile { _ => spent < budgetTokens }
+            .map { case (id, n, q) => spent += n; (id, n, q, spent) }
+            .toVector
+          state.update(spent)
+          admitted.iterator
+      }
+      .toDF("doc_id", "n_tokens", "quality_score", "cum_tokens")
+  }
+
   // ------------------------------------------------------------- C15
   /** The END-TO-END training-data flow, composed from the verified
     * stages: quality + language gates and exact dedup (C6a) →

@@ -47,12 +47,14 @@ object TextAnalysis {
   private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
 
   def textQuality(spark: SparkSession, sfDir: String): DataFrame =
-    textQualityOf(Tables.documents(spark, sfDir))
+    textQualityOf(Tables.documents(spark, sfDir)).orderBy(col("doc_id"))
 
   /** The E2 quality pipeline over an arbitrary docs frame — the ONE
     * definition of the composite score, reused by the C28 budget
-    * selector (a formula change here changes both, and their oracles
-    * restate it identically). */
+    * selector and its C29 streaming twin (a formula change here
+    * changes all three, and the oracles restate it identically).
+    * UNSORTED so it composes onto streams; the driver query adds the
+    * presentation sort. */
   def textQualityOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -78,7 +80,6 @@ object TextAnalysis {
           lit(0.25) * least(lit(1.0), $"n_tokens".cast("double") / 100.0))
       .select($"doc_id", $"n_tokens", $"punct_cnt", $"stop_cnt",
         $"punct_ratio", $"stop_ratio", $"uniq_ratio", $"quality_score")
-      .orderBy($"doc_id")
   }
 
   val textQualitySql: String = {

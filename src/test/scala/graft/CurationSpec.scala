@@ -629,6 +629,36 @@ class CurationSpec extends SparkSpec {
     assert(reran.toSeq === Seq(5L, 4L))
     assert(Curation.budgetSelect(docs, budgetTokens = 0).count() === 0L)
   }
+
+  test("streaming budget admission: spend carries across batches, straddler admitted, then closed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def doc(id: Long, words: Int): StreamDoc =
+      StreamDoc(id, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+        (1 to words).map(i => s"w$i").mkString(" "), "en", "s")
+    val input = MemoryStream[StreamDoc](23, spark, None)
+    // budget 50 tokens; docs are 30 tokens each → doc A admitted
+    // (spend 30), doc B straddles (spend 60 > 50 but budget wasn't
+    // exhausted before it), doc C rejected
+    val q = Curation.budgetSelectStream(input.toDF(), budgetTokens = 50)
+      .writeStream.format("memory").queryName("budget_out")
+      .outputMode("append").start()
+    try {
+      input.addData(doc(1, 30))
+      q.processAllAvailable()
+      input.addData(doc(2, 30), doc(3, 30))
+      q.processAllAvailable()
+      val rows = spark.table("budget_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      assert(rows.map(_._1).sorted.toSeq === Seq(1L, 2L),
+        s"admitted set wrong: ${rows.toSeq}")
+      assert(rows.map(t => t._1 -> t._2).toMap.apply(2L) === 30L)
+      assert(rows.map(_._3).max === 60L, s"cumulative spend: ${rows.toSeq}")
+      // budget closed: later docs never admitted
+      input.addData(doc(4, 1))
+      q.processAllAvailable()
+      assert(spark.table("budget_out").count() === 2)
+    } finally q.stop()
+  }
 }
 
 /** Top-level so spark.implicits can derive its Encoder. */
