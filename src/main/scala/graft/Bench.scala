@@ -90,26 +90,33 @@ object Bench {
 
     val (p1, wall1) = pass()
     val (p2, wall2) = pass()
+    // self-describing medians (round-7 verdict #7): the two pass
+    // medians are LABELED — pass 1 is the cold (fresh-JVM/JIT) pass,
+    // pass 2 the warm one — so a reader cannot mistake warmup for a
+    // regression (ngram_jaccard's cold median ran 4× its warm median
+    // on an unchanged plan). The headline stays min of the two.
     val results = selected.map { case (name, _) =>
       val (r1, r2) = (p1(name), p2(name))
-      if (r1.exists(_ < 0) || r2.exists(_ < 0)) name -> (-1.0, -1.0)
+      if (r1.exists(_ < 0) || r2.exists(_ < 0)) name -> (-1.0, -1.0, -1.0)
       else {
-        val headline = math.min(median3(r1(0), r1(1), r1(2)),
+        val (mCold, mWarm) = (median3(r1(0), r1(1), r1(2)),
           median3(r2(0), r2(1), r2(2)))
-        val all = (r1 ++ r2).sorted
-        name -> (headline, (all(2) + all(3)) / 2)
+        name -> (math.min(mCold, mWarm), mCold, mWarm)
       }
     }
     val loadEnd = os.getSystemLoadAverage
     val xmxMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
-    val qs = results.map { case (k, (mn, _)) => "\"" + k + "\":" + mn }
-      .mkString("{", ",", "}")
-    val qsMed = results.map { case (k, (_, md)) => "\"" + k + "\":" + md }
-      .mkString("{", ",", "}")
+    def jsonMap(f: ((String, (Double, Double, Double))) => Double): String =
+      results.map { case (k, v) => "\"" + k + "\":" + f((k, v)) }
+        .mkString("{", ",", "}")
+    val qs = jsonMap(_._2._1)
+    val qsCold = jsonMap(_._2._2)
+    val qsWarm = jsonMap(_._2._3)
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""queries_median":$qsMed,"sf":"$sfDir","protocol":"min-of-pass-medians(2x3)",""" +
+        s""""queries_median_cold":$qsCold,"queries_median_warm":$qsWarm,""" +
+        s""""sf":"$sfDir","protocol":"min-of-pass-medians(2x3)",""" +
         s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
         s""""xmx_mb":$xmxMb,"cpus":$cpus,"pass_wall_sec":[$wall1,$wall2]}"""
     println(line)

@@ -1243,9 +1243,16 @@ object Curation {
   def budgetSelect(docs: DataFrame, budgetTokens: Long = 15000,
       buckets: Int = 1024): DataFrame = {
     require(budgetTokens >= 0, s"budget $budgetTokens must be >= 0")
+    // Token-free docs (CJK/emoji/punctuation-only or empty) score NULL
+    // quality (divide-by-zero → NULL): drop them HERE, explicitly — a
+    // NULL __ord key would fail stratifiedPrefixSum's null-key check,
+    // while the oracle and the budgetSelectStream twin (quality floor
+    // filter) both drop such docs. One explicit filter on both sides
+    // keeps the three formulations aligned.
     val scored = TextAnalysis.textQualityOf(docs)
       .select(col("doc_id"), col("n_tokens"),
         floor(col("quality_score") * 1e6).cast("long").as("q6"))
+      .filter(col("q6").isNotNull)
     val r = scored.agg(min(col("doc_id")), max(col("doc_id"))).head()
     if (r.isNullAt(0)) return scored.withColumn("cum_tokens", lit(0L)).limit(0)
     require(r.getLong(0) >= 0 && r.getLong(1) < (1L << 40),
@@ -1275,9 +1282,9 @@ object Curation {
       |  FROM documents),
       |y AS (
       |  SELECT doc_id, n_tokens,
-      |    CAST(len(list_filter(toks, t -> list_contains(['the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'on'], t))) AS DOUBLE) / n_tokens AS stop_ratio,
-      |    CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens AS uniq_ratio,
-      |    CAST(punct_cnt AS DOUBLE) / length(text) AS punct_ratio
+      |    CAST(len(list_filter(toks, t -> list_contains(['the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'on'], t))) AS DOUBLE) / nullif(n_tokens, 0) AS stop_ratio,
+      |    CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(n_tokens, 0) AS uniq_ratio,
+      |    CAST(punct_cnt AS DOUBLE) / nullif(length(text), 0) AS punct_ratio
       |  FROM x),
       |q AS (
       |  SELECT doc_id, n_tokens,
@@ -1289,7 +1296,7 @@ object Curation {
       |  SELECT doc_id, n_tokens, q6,
       |    SUM(n_tokens) OVER (ORDER BY q6 DESC, doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
-      |  FROM q)
+      |  FROM q WHERE q6 IS NOT NULL)
       |SELECT doc_id, n_tokens, q6, CAST(cum_tokens AS BIGINT) AS cum_tokens
       |FROM c WHERE cum_tokens - n_tokens < 15000
       |ORDER BY q6 DESC, doc_id""".stripMargin

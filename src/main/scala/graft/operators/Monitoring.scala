@@ -611,6 +611,68 @@ object Monitoring {
       .orderBy($"user_id", $"gap_start_us", $"next_event_id")
   }
 
+  // ---------------------------------------------------------------- A42
+  /** FLEET-ABSENCE report: registered devices that have NOT reported
+    * within the trailing `recentUs` window (default 24 h) of the
+    * fleet's latest event — the last uncovered reference behavior:
+    * check_connect.sh:3 looks up a KNOWN device's stream and restart.sh
+    * escalates when it is absent, while A40 only sees silence BETWEEN a
+    * device's own events — a stream that died for good (or never came
+    * up after a deploy) produces no closing event and is invisible to
+    * it. Registration (= first event, A1's registry definition) and
+    * last-seen both come from ONE map-side-partial min/max-struct
+    * aggregation over the events scan — semantically the registry
+    * ANTI-JOINED against recent events ("no event in window" ⟺
+    * "last event before cutoff") but with one exchange and no join.
+    * "Now" derives from the tiny per-device frame, never a second
+    * corpus scan. */
+  def neverReported(spark: SparkSession, sfDir: String,
+      recentUs: Long = 86400000000L): DataFrame = {
+    import spark.implicits._
+    require(recentUs > 0, s"recentUs $recentUs must be positive")
+    val perDev = Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(min(struct($"ts", $"event_id")).as("first"),
+        max(struct($"ts", $"event_id", $"event_type")).as("last"))
+      .select($"user_id",
+        expr("unix_micros(first.ts)").as("registered_us"),
+        $"first.event_id".as("stream_id"),
+        expr("unix_micros(last.ts)").as("last_seen_us"),
+        $"last.event_id".as("last_event_id"),
+        $"last.event_type".as("last_status"))
+    val now = perDev.agg(max($"last_seen_us").as("now_us"))
+    perDev.crossJoin(broadcast(now))
+      .filter($"last_seen_us" <= $"now_us" - recentUs)
+      .select($"user_id", $"registered_us", $"stream_id", $"last_seen_us",
+        $"last_event_id", $"last_status",
+        ($"now_us" - $"last_seen_us").as("silent_us"))
+      .orderBy($"user_id")
+  }
+
+  def neverReportedSql(recentUs: Long = 86400000000L): String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+       |  FROM events),
+       |f AS (
+       |  SELECT user_id, us AS registered_us, event_id AS stream_id,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY us, event_id) AS rn
+       |  FROM e),
+       |l AS (
+       |  SELECT user_id, us AS last_seen_us, event_id AS last_event_id,
+       |    event_type AS last_status,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY us DESC, event_id DESC) AS rn
+       |  FROM e),
+       |n AS (SELECT max(us) AS now_us FROM e)
+       |SELECT f.user_id, f.registered_us, f.stream_id, l.last_seen_us,
+       |  l.last_event_id, l.last_status,
+       |  n.now_us - l.last_seen_us AS silent_us
+       |FROM f JOIN l USING (user_id), n
+       |WHERE f.rn = 1 AND l.rn = 1
+       |  AND l.last_seen_us <= n.now_us - $recentUs
+       |ORDER BY f.user_id""".stripMargin
+
   def heartbeatGapsSql(maxGapUs: Long = 43200000000L): String =
     s"""WITH e AS (
        |  SELECT user_id, epoch_us(ts) AS us, event_id,

@@ -691,19 +691,32 @@ object Relational {
     * sets, B28 the full lattice). */
   def qCube(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // Subtotal rows are labeled via grouping(), NOT by coalescing the
+    // key to 'ALL': a genuine NULL key value would be indistinguishable
+    // from its own subtotal row under COALESCE (two rows, identical
+    // displayed keys). grouping() = 1 exactly on the aggregated-away
+    // dimension, so a NULL data value stays NULL and the lattice rows
+    // stay unambiguous. Harmless on TPC-H (no NULLs) but the operator
+    // is generic.
     Tables.orders(spark, sfDir)
       .cube($"o_orderstatus", $"o_orderpriority")
-      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+      // grouping() must be evaluated inside the aggregate (it reads the
+      // grouping-set id, which only exists at the Aggregate node)
+      .agg(grouping($"o_orderstatus").as("g_s"),
+        grouping($"o_orderpriority").as("g_p"),
+        count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
       .select(
-        coalesce($"o_orderstatus", lit("ALL")).as("status"),
-        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        when($"g_s" === 1, lit("ALL")).otherwise($"o_orderstatus").as("status"),
+        when($"g_p" === 1, lit("ALL")).otherwise($"o_orderpriority").as("priority"),
         $"n_orders", $"sum_price")
       .orderBy($"status", $"priority")
   }
 
   val qCubeSql: String =
-    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+    """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+      |    ELSE o_orderstatus END AS status,
+      |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+      |    ELSE o_orderpriority END AS priority,
       |  COUNT(*) AS n_orders,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
       |FROM orders

@@ -66,9 +66,18 @@ object TextAnalysis {
         size(expr("regexp_extract_all(text, '[^A-Za-z0-9\\\\s]', 0)")).cast("long"))
       .withColumn("stop_cnt",
         size(expr(s"filter(toks, t -> array_contains($stopArr, t))")).cast("long"))
-      .withColumn("punct_ratio", $"punct_cnt".cast("double") / length($"text"))
-      .withColumn("stop_ratio", $"stop_cnt".cast("double") / $"n_tokens")
-      .withColumn("uniq_ratio", size(array_distinct($"toks")).cast("double") / $"n_tokens")
+      // nullif on the denominators: a token-free or empty doc yields
+      // NULL ratios (and a NULL composite) on BOTH engines, instead of
+      // an ANSI divide-by-zero crash killing the whole corpus scan —
+      // at 100 TB empty/punctuation-only docs are a certainty, and one
+      // of them must not fail the sweep. Downstream consumers (C28
+      // budget, C29 admission) drop NULL-quality docs explicitly.
+      .withColumn("punct_ratio",
+        $"punct_cnt".cast("double") / nullif(length($"text"), lit(0)))
+      .withColumn("stop_ratio",
+        $"stop_cnt".cast("double") / nullif($"n_tokens", lit(0L)))
+      .withColumn("uniq_ratio",
+        size(array_distinct($"toks")).cast("double") / nullif($"n_tokens", lit(0L)))
       // NO rounding anywhere: every term is identical plain double
       // arithmetic in both engines (0.25 is a power of two, divisions
       // are single ops), so raw doubles are bit-exact — while round()
@@ -93,9 +102,9 @@ object TextAnalysis {
        |y AS (
        |  SELECT doc_id, n_tokens, punct_cnt,
        |    len(list_filter(toks, t -> list_contains($stopList, t))) AS stop_cnt,
-       |    CAST(punct_cnt AS DOUBLE) / length(text) AS punct_ratio,
-       |    CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS DOUBLE) / n_tokens AS stop_ratio,
-       |    CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens AS uniq_ratio
+       |    CAST(punct_cnt AS DOUBLE) / nullif(length(text), 0) AS punct_ratio,
+       |    CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS DOUBLE) / nullif(n_tokens, 0) AS stop_ratio,
+       |    CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(n_tokens, 0) AS uniq_ratio
        |  FROM x)
        |SELECT doc_id, n_tokens, punct_cnt, stop_cnt,
        |  punct_ratio, stop_ratio, uniq_ratio,
@@ -459,10 +468,12 @@ object TextAnalysis {
       // would exceed the 38-digit cap and Spark silently RESCALES the
       // product to 6 fractional digits — breaking the oracle's
       // 12-digit exactness. 8 integer digits bounds per-doc term
-      // frequency at 10^8 (a 100 MB document of one repeated token
-      // overflows to null — loudly, as a nullability change, not as a
-      // silently rounded score); (8,0)×(28,12) → DECIMAL(37,12), and
-      // every step stays exact.
+      // frequency at 10^8 — a 100 MB document of one repeated token
+      // overflows that cast to NULL, and since sum() skips NULLs the
+      // term is silently OMITTED from slp (a quietly-too-high score
+      // for that pathological doc, not an error; acceptable because
+      // such a doc fails every length/repetition gate long before
+      // scoring). (8,0)×(28,12) → DECIMAL(37,12); every step exact.
       .agg(sum($"tfd").as("n_tokens"),
         sum($"tfd".cast("decimal(8,0)") * $"logp").as("slp"))
     // LEFT join from the corpus: a token-free document (punctuation/

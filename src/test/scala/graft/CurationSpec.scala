@@ -612,9 +612,13 @@ class CurationSpec extends SparkSpec {
     // higher here; every doc is 40 tokens so the budget boundary falls
     // mid-doc and the straddling doc must still be admitted
     def words(n: Int): String = (1 to n).map(i => s"tok$i word").mkString(". ")
+    // docs 90/91: token-free (punctuation-only / empty) — quality is
+    // NULL (0/0), and budgetSelect must DROP them instead of crashing
+    // the prefix sum on a NULL order key (round-7 advisor finding)
     val docs = Seq(
       (1L, words(10)), (2L, words(20)), (3L, words(30)),
       (4L, words(40)), (5L, words(50)),
+      (90L, "!!! ... ???"), (91L, ""),
     ).toDF("doc_id", "text")
     val out = Curation.budgetSelect(docs, budgetTokens = 150, buckets = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))

@@ -152,7 +152,8 @@ class SimilaritySpec extends SparkSpec {
     val rows = Similarity.annRecall(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toMap
-    assert(rows.keySet === Set("int8", "ivf", "ivf_int8_serve", "lsh", "pq"))
+    assert(rows.keySet ===
+      Set("int8", "ivf", "ivf_int8_serve", "ivf_pq", "lsh", "pq"))
     val expected = rows.values.head._2
     assert(expected > 0L)
     rows.foreach { case (m, (hits, exp, recall)) =>
@@ -166,6 +167,8 @@ class SimilaritySpec extends SparkSpec {
     assert(rows("ivf_int8_serve")._3 >= 0.6,
       s"int8 serving snapshot recall below spec bound: $rows")
     assert(rows("pq")._3 > 0.0, s"pq recall zero: $rows")
+    assert(rows("ivf_pq")._3 >= 0.1,
+      s"PQ serving snapshot recall below the family bound: $rows")
   }
 
   test("PQ ANN: codebook-exact vectors score cos 1.0, recall beats random, deterministic") {
@@ -197,6 +200,60 @@ class SimilaritySpec extends SparkSpec {
     val pqPairs = out.map(t => (t._1, t._3)).toSet
     val recall = (pqPairs & brute).size.toDouble / brute.size
     assert(recall >= 0.1, s"PQ recall $recall below sanity bound")
+  }
+
+  test("PQ serving snapshot: cell-pruned ADC probe, recall bound, delete-after-snapshot") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pq-serve").toString
+    Similarity.writeIvfIndex(spark, sf, s"$root/float")
+    Similarity.compactIvfIndexPq(spark, s"$root/float", s"$root/pq")
+    // snapshot schema: m codes per vector, NO float embedding column —
+    // probing it brute-force is structurally impossible, which is the
+    // point (the serving path has no pair-ceiling require anywhere)
+    val vecs = spark.read.parquet(s"$root/pq/vectors")
+    assert(vecs.columns.toSet === Set("vec_id", "code", "batch", "cell"),
+      s"snapshot columns: ${vecs.columns.toSeq}")
+    assert(vecs.select(size($"code")).distinct().collect()
+      .map(_.getInt(0)).toSeq === Seq(Similarity.PqM))
+    assert(spark.read.parquet(s"$root/pq/codebooks").count() ===
+      Similarity.PqM.toLong * Similarity.PqK)
+    val queries = Tables.embeddings(spark, sf).filter($"vec_id" < 10L)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val got = Similarity.annPqServe(queries, s"$root/pq", k = 11, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // recall@10 vs the exact baseline, self pairs dropped (external
+    // serving mode keeps them) — must clear the PQ family bound
+    val brute = Similarity.annBruteTopK(spark, sf, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val servePairs = got.filter(t => t._1 != t._2).toSet
+    val recall = (servePairs & brute).size.toDouble / brute.size
+    assert(recall >= 0.1, s"ivf_pq recall $recall below the family bound")
+    // deterministic across invocations (stored codebooks + stored codes)
+    val again = Similarity.annPqServe(queries, s"$root/pq", k = 11, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(again.toSeq === got.toSeq, "PQ serve not deterministic")
+    // post-snapshot tombstones are honored: the clearest signal is a
+    // query's own self pair (ADC scores it near 1.0 — top of its list)
+    Similarity.deleteFromIvfIndex(Seq(0L).toDF("vec_id"), "vec_id",
+      s"$root/pq", "t1")
+    val afterDel = Similarity.annPqServe(queries, s"$root/pq",
+      k = 11, nProbe = 8).collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(!afterDel.exists(_._2 == 0L),
+      "tombstoned vector still served from the PQ snapshot")
+    assert(afterDel.exists(_._1 == 0L),
+      "deleting a corpus vector must not silence it as an external query")
+  }
+
+  test("PQ codebooks and IVF centroids are partition-layout invariant (exact sample cut)") {
+    // maxTrain below the corpus size so the cut is BINDING — the round-7
+    // verdict's nondeterminism window was exactly this regime (limit
+    // without ordering takes arrival order)
+    val e = Tables.embeddings(spark, sf)
+    def flat(b: Array[Array[Array[Double]]]): Seq[Seq[Seq[Double]]] =
+      b.map(_.map(_.toSeq).toSeq).toSeq
+    val b1 = Similarity.trainPqCodebooks(e.repartition(3), 8, 16, 300)
+    val b2 = Similarity.trainPqCodebooks(e.repartition(11), 8, 16, 300)
+    assert(flat(b1) === flat(b2),
+      "PQ codebooks depend on the corpus partition layout")
   }
 
   test("IVF index deletion: tombstoned vector vanishes; compaction folds it in") {

@@ -367,6 +367,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("registry-seeded heartbeat: a registered device that NEVER reports alerts exactly once") {
+    import graft.streaming.{RegistryHeartbeat, RegistrySeed}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def hb(id: Long, t: String, dev: Long): DeviceEvent =
+        DeviceEvent(id, Timestamp.valueOf(t), dev, "purchase", 1.0, "{}")
+      def us(t: String): Long = {
+        val ts = Timestamp.valueOf(t)
+        ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+      }
+      // devices 1 and 2 both REGISTERED at 10:00; device 2 never sends
+      // a single event — the exact case A41 is blind to (no event, no
+      // state, no timer) and the reference's describe-stream poll
+      // exists for (a stream that never came up after a deploy)
+      val registry = Seq(
+        RegistrySeed(1L, us("2024-01-01 10:00:00")),
+        RegistrySeed(2L, us("2024-01-01 10:00:00"))).toDS()
+      val input = MemoryStream[DeviceEvent](21, spark, None)
+      // 1-hour silence threshold, 10-minute watermark delay
+      val q = RegistryHeartbeat.heartbeatStreamSeeded(input.toDS(), registry,
+          maxGapUs = 3600000000L, watermark = "10 minutes")
+        .writeStream.format("memory").queryName("reg_hb_out")
+        .outputMode("append").start()
+      try {
+        // device 1 keeps reporting (each event re-arms it inside the
+        // gap); its events are also what pushes the watermark past
+        // device 2's registration deadline of 11:00
+        input.addData(hb(1, "2024-01-01 10:30:00", 1L))
+        q.processAllAvailable()
+        input.addData(hb(2, "2024-01-01 11:05:00", 1L))
+        q.processAllAvailable()
+        input.addData(hb(3, "2024-01-01 11:20:00", 1L))
+        q.processAllAvailable()
+        input.addData(hb(4, "2024-01-01 11:25:00", 1L))
+        q.processAllAvailable()
+        val alerts = spark.table("reg_hb_out").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        // exactly one alert: device 2, "registered, never heard from"
+        // (last_event_id = -1, last_us = registration, deadline =
+        // registration + gap); device 1 never alerted
+        assert(alerts.toSeq === Seq(
+          (2L, -1L, us("2024-01-01 10:00:00"), us("2024-01-01 11:00:00"))),
+          s"alerts: ${alerts.toSeq}")
+        // device 2 finally comes up: re-seeds from its event, no
+        // duplicate alert for the old outage while inside the new gap
+        input.addData(hb(5, "2024-01-01 11:30:00", 2L))
+        q.processAllAvailable()
+        input.addData(hb(6, "2024-01-01 11:40:00", 1L))
+        q.processAllAvailable()
+        assert(spark.table("reg_hb_out").count() === 1,
+          "resume must not re-alert")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming burn rate: closed buckets replay onto the batch rows, state crosses batches") {
     def bev(id: Long, h: Int, min: Int, typ: String): DeviceEvent =
       DeviceEvent(id, Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00"),

@@ -10,6 +10,7 @@ sort columns by name + rows by all values, and compare cell-by-cell
 SURVEY.md §4). NOT part of the library — dev tooling only.
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -38,10 +39,12 @@ def main(sf_dir: str, out_dir: str) -> int:
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = 0
     for name, sql in sorted(oracle.items()):
-        # partial dumps (SPARK_GRAFT_ONLY dev loop): silently skip
-        # queries that were not dumped instead of drowning the report
-        import os
+        # partial dumps (SPARK_GRAFT_ONLY dev loop): skip queries that
+        # were not dumped, but NAME them — in a full run a missing dump
+        # means the driver died mid-Verify, and a silent skip would hide
+        # which query (the n_ok count still fails the run either way)
         if not os.path.exists(f"{out_dir}/{name}"):
+            print(f"SKIP {name} (no dump)")
             continue
         try:
             want = norm(con.sql(sql).df())
