@@ -19,6 +19,15 @@ case class FrameFeature(
     frame_idx: Int,
     feature: Array[Float])
 
+/** One detected shot boundary (streaming twin's output row — the batch
+  * operator emits the same four columns). */
+case class SceneCut(media_id: Long, frame_idx: Int, prev_idx: Int,
+    hamming: Int)
+
+/** Per-media streaming state: the last seen frame — the batch lag
+  * window's two longs, carried across micro-batches. */
+case class FrameState(lastIdx: Int, lastHash: Long)
+
 /** Multimodal column handling (SURVEY.md §2.F): media payloads travel
   * as opaque `binary` columns beside typed metadata; decode/
   * feature-extraction runs per-partition against a pluggable decoder.
@@ -242,6 +251,54 @@ object Multimodal {
        |  AND bit_count(xor(frame_hash, prev_hash)) >= 20
        |ORDER BY media_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- F7
+  /** STREAMING scene cuts — F6's live twin and the F-family's first
+    * streaming member (the reference IS a live video gateway; shot
+    * detection at ingest is the first thing a video-analysis consumer
+    * asks of the frame stream): per-media state is the last seen
+    * (frame_idx, frame_hash) — two longs, exactly the batch lag
+    * window's state — carried across micro-batches in
+    * flatMapGroupsWithState; each trigger folds its slice in frame_idx
+    * order and emits a cut when consecutive hashes differ in ≥
+    * `threshold` bits, via the same xor + bitCount the batch operator
+    * runs. A frame at or before the state's index (transport replay /
+    * out-of-order past a trigger boundary) is DROPPED: the batch
+    * operator's lag is over the total frame order, and a late frame
+    * would need its neighbor pair re-evaluated — replayed history
+    * therefore lands on the identical cut rows as batch F6 (parity
+    * spec), and in-order live streams lose nothing. No watermark: the
+    * frame stream carries no event time; state is bounded by the LIVE
+    * media count (one row each). */
+  def sceneCutsStream(frames: Dataset[SampledFrame],
+      threshold: Int = 20): Dataset[SceneCut] = {
+    import frames.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(threshold >= 1 && threshold <= 64,
+      s"threshold $threshold out of [1, 64]")
+    frames
+      .groupByKey(_.media_id)
+      .flatMapGroupsWithState[FrameState, SceneCut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id, it, state) =>
+          val sorted = it.toArray.sortBy(_.frame_idx)
+          var last = state.getOption
+          val cuts = Seq.newBuilder[SceneCut]
+          sorted.foreach { f =>
+            last match {
+              case Some(s) if f.frame_idx <= s.lastIdx => // replay: drop
+              case Some(s) =>
+                val h = java.lang.Long.bitCount(f.frame_hash ^ s.lastHash)
+                if (h >= threshold) cuts += SceneCut(id, f.frame_idx, s.lastIdx, h)
+                last = Some(FrameState(f.frame_idx, f.frame_hash))
+              case None =>
+                last = Some(FrameState(f.frame_idx, f.frame_hash))
+            }
+          }
+          last.foreach(state.update)
+          cuts.result().iterator
+      }
+  }
+
   // ---------------------------------------------------------------- F4
   /** Feature-extractor contract: frame bytes → embedding. Runs inside
     * mapPartitions so one instance serves a whole partition — the batch
@@ -306,23 +363,113 @@ object Multimodal {
     }
   }
 
-  /** Driver-facing query (rows-only; stub features are
-    * engine-specific): per-frame embeddings over the documents-as-media
-    * payloads. The feature vector is projected to a SORTABLE SCALAR
-    * (csv of the rounded components) because the driver's correctness
-    * harness sorts the dumped frame with pandas, which cannot hash raw
-    * array cells — [[frameFeatures]] itself keeps returning real
+  /** Driver-facing query — ORACLE-checked since round 8 (the F2
+    * upgrade technique applied to the extractor): the stub embedding is
+    * deterministic integer arithmetic (FNV-1a seed → splitmix64 chain)
+    * followed by a fixed float32 expression tree (component mapping +
+    * L2 normalization), and DuckDB's FLOAT arithmetic is bit-identical
+    * IEEE single precision (probed: conversions, /, *, − all match the
+    * JVM exactly), so the oracle replays decode → sample → hash → mix
+    * → normalize end to end. The vector lands as one DOUBLE column per
+    * component (rounded to 6) because the driver's harness sorts/hashes
+    * scalar cells — [[frameFeatures]] itself keeps returning real
     * vectors for ANN consumers. */
   def mmFrameFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val media = Tables.documents(spark, sfDir)
       .select($"doc_id", $"text".cast("binary"))
       .as[(Long, Array[Byte])]
+    val comps = (0 until 8).map(i =>
+      round(element_at($"feature", i + 1).cast("double"), 6).as(s"f$i"))
     frameFeatures(media)
-      .select($"media_id", $"frame_idx",
-        expr("array_join(transform(feature, x -> cast(round(cast(x as double), 6) as string)), ',')")
-          .as("feature_csv"))
+      .select(($"media_id" +: $"frame_idx" +: comps): _*)
       .orderBy($"media_id", $"frame_idx")
+  }
+
+  /** DuckDB replay of the full extractor pipeline. Integer part in the
+    * HUGEINT unsigned domain: a 64×64-bit wrapping multiply would
+    * overflow INT128, so each splitmix64 constant is split hi/lo 32
+    * bits — a·b mod 2⁶⁴ = (a·lo + ((a·hi) mod 2³²)·2³²) mod 2⁶⁴, every
+    * intermediate ≤ 2⁹⁷. Shifts are unsigned divides; xors hop through
+    * the signed BIGINT bit pattern (the F2 dance). Float part: CASTs to
+    * FLOAT pin each step to single precision exactly as the JVM
+    * computes it; the norm accumulates float·float products in DOUBLE
+    * (exact — 24-bit × 24-bit ≤ 53) in component order. */
+  val mmFrameFeaturesSql: String = {
+    // xor of two unsigned-domain HUGEINT values via signed BIGINT
+    def x64(a: String, b: String): String = {
+      val sa = s"CAST(CASE WHEN $a >= 9223372036854775808 THEN $a - 18446744073709551616 ELSE $a END AS BIGINT)"
+      val sb = s"CAST(CASE WHEN $b >= 9223372036854775808 THEN $b - 18446744073709551616 ELSE $b END AS BIGINT)"
+      val x = s"xor($sa, $sb)"
+      s"(CASE WHEN $x < 0 THEN $x::HUGEINT + 18446744073709551616 ELSE $x::HUGEINT END)"
+    }
+    // a · (hi·2³² + lo) mod 2⁶⁴ without INT128 overflow
+    def mulMod(a: String, hi: Long, lo: Long): String =
+      s"(($a * $lo + (($a * $hi) % 4294967296) * 4294967296) % 18446744073709551616)"
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS n FROM documents),
+       |f AS (
+       |  SELECT doc_id, text, n,
+       |    unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS idx
+       |  FROM d WHERE n > 0),
+       |s AS (
+       |  SELECT doc_id AS media_id, CAST(idx AS INT) AS frame_idx,
+       |    list_reduce(list_prepend(-3750763034362895579::BIGINT,
+       |      list_transform(string_split(substring(text, CAST(idx * 64 + 1 AS INT), 64), ''), c -> ord(c))),
+       |      (h, c) -> CAST(CASE WHEN
+       |          ((CASE WHEN xor(h, c) < 0 THEN xor(h, c)::HUGEINT + 18446744073709551616
+       |            ELSE xor(h, c)::HUGEINT END) * 1099511628211) % 18446744073709551616
+       |          >= 9223372036854775808
+       |        THEN ((CASE WHEN xor(h, c) < 0 THEN xor(h, c)::HUGEINT + 18446744073709551616
+       |            ELSE xor(h, c)::HUGEINT END) * 1099511628211) % 18446744073709551616
+       |          - 18446744073709551616
+       |        ELSE ((CASE WHEN xor(h, c) < 0 THEN xor(h, c)::HUGEINT + 18446744073709551616
+       |            ELSE xor(h, c)::HUGEINT END) * 1099511628211) % 18446744073709551616
+       |        END AS BIGINT)) AS frame_hash
+       |  FROM f WHERE idx % 4 = 0),
+       |hu AS (
+       |  SELECT media_id, frame_idx,
+       |    CASE WHEN frame_hash < 0 THEN frame_hash::HUGEINT + 18446744073709551616
+       |      ELSE frame_hash::HUGEINT END AS h
+       |  FROM s),
+       |c AS (SELECT media_id, frame_idx, h, unnest(range(0, 8)) AS ci FROM hu),
+       |m0 AS (
+       |  SELECT media_id, frame_idx, ci,
+       |    (h + (ci + 1) * 11400714819323198485::HUGEINT)
+       |      % 18446744073709551616 AS s0
+       |  FROM c),
+       |m1 AS (
+       |  SELECT media_id, frame_idx, ci,
+       |    ${mulMod(x64("s0", "(s0 // 1073741824)"), 3210233709L, 484763065L)} AS z1
+       |  FROM m0),
+       |m2 AS (
+       |  SELECT media_id, frame_idx, ci,
+       |    ${mulMod(x64("z1", "(z1 // 134217728)"), 2496678331L, 321982955L)} AS z2
+       |  FROM m1),
+       |m3 AS (
+       |  SELECT media_id, frame_idx, ci,
+       |    ${x64("z2", "(z2 // 2147483648)")} AS z3
+       |  FROM m2),
+       |v AS (
+       |  SELECT media_id, frame_idx, ci,
+       |    (CAST(z3 // 2048 AS FLOAT) / CAST(9007199254740992 AS FLOAT))
+       |      * 2::FLOAT - 1::FLOAT AS comp
+       |  FROM m3),
+       |agg AS (
+       |  SELECT media_id, frame_idx,
+       |    list(comp ORDER BY ci) AS comps,
+       |    sum(CAST(comp AS DOUBLE) * CAST(comp AS DOUBLE)) AS norm
+       |  FROM v GROUP BY media_id, frame_idx)
+       |SELECT media_id, frame_idx,
+       |  round(CAST(comps[1] * CAST(1.0 / sqrt(norm) AS FLOAT) AS DOUBLE), 6) AS f0,
+       |  round(CAST(comps[2] * CAST(1.0 / sqrt(norm) AS FLOAT) AS DOUBLE), 6) AS f1,
+       |  round(CAST(comps[3] * CAST(1.0 / sqrt(norm) AS FLOAT) AS DOUBLE), 6) AS f2,
+       |  round(CAST(comps[4] * CAST(1.0 / sqrt(norm) AS FLOAT) AS DOUBLE), 6) AS f3,
+       |  round(CAST(comps[5] * CAST(1.0 / sqrt(norm) AS FLOAT) AS DOUBLE), 6) AS f4,
+       |  round(CAST(comps[6] * CAST(1.0 / sqrt(norm) AS FLOAT) AS DOUBLE), 6) AS f5,
+       |  round(CAST(comps[7] * CAST(1.0 / sqrt(norm) AS FLOAT) AS DOUBLE), 6) AS f6,
+       |  round(CAST(comps[8] * CAST(1.0 / sqrt(norm) AS FLOAT) AS DOUBLE), 6) AS f7
+       |FROM agg ORDER BY media_id, frame_idx""".stripMargin
   }
 
   // ---------------------------------------------------------------- F5

@@ -844,7 +844,29 @@ object Similarity {
     })
   }
 
+  /** Computed reports keyed by (corpus dir, stamp, k): the report is a
+    * deterministic AUDIT of a corpus version (every method is seeded
+    * arithmetic — the spec pins run-to-run identity), so recomputing
+    * six full search passes per invocation is the same waste the
+    * quantizer/snapshot caches exist to remove. First invocation per
+    * corpus version pays the full build; later ones replay the six
+    * stored rows. */
+  private val recallReportCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Int), Seq[(String, Long, Long, Double)]]
+
   def annRecall(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val stamp = Tables.pathStamp(spark, s"$sfDir/embeddings.parquet")
+    recallReportCache.filterInPlace { case ((d, st, _), _) =>
+      d != sfDir || st == stamp
+    }
+    recallReportCache.getOrElseUpdate((sfDir, stamp, k),
+        buildRecallReport(spark, sfDir, k))
+      .toDF("method", "hits", "expected", "recall")
+  }
+
+  private def buildRecallReport(spark: SparkSession, sfDir: String,
+      k: Int): Seq[(String, Long, Long, Double)] = {
     import spark.implicits._
     val (exact, expected) = cachedExactBaseline(spark, sfDir, k)
     // the int8 SERVING snapshot is the path a retrieval tier actually
@@ -896,7 +918,6 @@ object Similarity {
     methods.sorted
       .map(m => (m, hits.getOrElse(m, 0L), expected,
         math.rint(hits.getOrElse(m, 0L).toDouble / expected * 1e6) / 1e6))
-      .toDF("method", "hits", "expected", "recall")
   }
 
   /** Serving snapshots keyed by (corpus dir, stamp): ONE float index

@@ -76,6 +76,39 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(mean) < 0.25, s"feature components biased: mean=$mean")
   }
 
+  test("streaming scene cuts: replayed history lands on the batch rows, replays drop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{SampledFrame, Multimodal => MM}
+    // the full sampled-frame history of the sf corpus, in total frame
+    // order — split MID-STREAM so per-media lag state must cross the
+    // trigger boundary for parity to hold
+    val all = MM.mmFrameSample(spark, sf).as[SampledFrame].collect()
+    val (sliceA, sliceB) = all.splitAt(all.length / 2)
+    val input = MemoryStream[SampledFrame](31, spark, None)
+    val q = MM.sceneCutsStream(input.toDS())
+      .writeStream.format("memory").queryName("cuts_out")
+      .outputMode("append").start()
+    try {
+      input.addData(sliceA.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(sliceB.toSeq: _*)
+      q.processAllAvailable()
+      def streamed: Set[(Long, Int, Int, Int)] = spark.table("cuts_out")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+        .toSet
+      val batch = MM.mmSceneCuts(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+      assert(batch.nonEmpty, "corpus produced no scene cuts — test is vacuous")
+      val s1 = streamed
+      assert(s1 === batch, "streamed cuts diverged from the batch operator")
+      // at-least-once transport: a replayed slice must not re-emit cuts
+      // (frames at or before the state's index drop)
+      input.addData(sliceB.toSeq: _*)
+      q.processAllAvailable()
+      assert(streamed === s1, "replayed frames re-emitted cuts")
+    } finally q.stop()
+  }
+
   test("resize: real byte loop matches the claimed ceil(n/4) geometry") {
     val rows = Multimodal.mmResize(spark, sf).collect()
     assert(rows.length.toLong === Tables.documents(spark, sf).count())
