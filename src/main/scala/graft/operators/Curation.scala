@@ -1225,6 +1225,67 @@ object Curation {
       |WHERE rnk * 5 <= n * 4
       |ORDER BY source, score DESC, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- C30
+  /** Token-window CHUNKING — the retrieval/embedding prep staple (every
+    * RAG index and long-context embedding pipeline cuts documents into
+    * overlapping windows before embedding): fixed `size`-token chunks
+    * starting every `size − overlap` tokens, the last window keeping
+    * the tail. Pure per-row arithmetic — tokenize once, derive the
+    * chunk count, explode a projected index sequence (attribute, not
+    * expression — the Generate codegen rule), slice per chunk. ZERO
+    * shuffle; output rows are (doc, chunk) with token offsets, so the
+    * chunk table feeds the D-family embed+index flow unchanged.
+    * Token-free docs produce no chunks (nothing to embed). */
+  def chunkDocuments(docs: DataFrame, size: Int = 32,
+      overlap: Int = 8): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap($overlap) < size($size)")
+    val stride = size - overlap
+    docs
+      .withColumn("toks", TextAnalysis.tokens())
+      .withColumn("n_tokens", org.apache.spark.sql.functions.size(col("toks")).cast("long"))
+      .filter(col("n_tokens") > 0)
+      // ceil((n - overlap) / stride) starts, floored at 1: every token
+      // is covered, consecutive chunks share `overlap` tokens, a short
+      // doc is one whole chunk
+      .withColumn("n_chunks", greatest(lit(1L),
+        expr(s"(n_tokens - $overlap + ${stride - 1}) div $stride")))
+      .withColumn("seq", expr("sequence(0, n_chunks - 1)"))
+      .select(col("doc_id"), col("toks"), col("n_tokens"),
+        explode(col("seq")).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * stride)
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        col("start_tok"),
+        least(lit(size.toLong), col("n_tokens") - col("start_tok"))
+          .cast("int").as("chunk_tokens"),
+        array_join(slice(col("toks"), (col("start_tok") + 1).cast("int"),
+          lit(size)), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  def chunkDocumentsQuery(spark: SparkSession, sfDir: String): DataFrame =
+    chunkDocuments(Tables.documents(spark, sfDir))
+
+  val chunkDocumentsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks, n,
+      |    greatest(1, (n - 8 + 23) // 24) AS n_chunks
+      |  FROM t WHERE n > 0),
+      |x AS (
+      |  SELECT doc_id, toks, n,
+      |    unnest(range(0, n_chunks)) AS chunk_idx
+      |  FROM c)
+      |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+      |  chunk_idx * 24 AS start_tok,
+      |  CAST(least(32, n - chunk_idx * 24) AS INT) AS chunk_tokens,
+      |  array_to_string(list_slice(toks, CAST(chunk_idx * 24 + 1 AS INT),
+      |    CAST(least(chunk_idx * 24 + 32, n) AS INT)), ' ') AS chunk_text
+      |FROM x ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ---------------------------------------------------------------- C28
   /** Token-BUDGET selection: greedily fill a fixed token budget with
     * the highest-quality documents — the "we can afford N tokens of

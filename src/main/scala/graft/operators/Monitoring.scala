@@ -673,6 +673,64 @@ object Monitoring {
        |  AND l.last_seen_us <= n.now_us - $recentUs
        |ORDER BY f.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- A44
+  /** FLAP detection: devices whose health TOGGLES repeatedly within a
+    * day — the failure mode the reference's own remediation ladder can
+    * CAUSE (restart.sh power-cycles and reboots on failure; a
+    * marginal device then oscillates up↔down, and neither a
+    * consecutive-failure run (A5) nor a burn rate (A38) flags a series
+    * that never stays down). A transition is err↔ok between
+    * consecutive events per device (one lag window — single exchange
+    * on user_id), attributed to the later event's calendar day;
+    * device-days with ≥ `minFlaps` transitions surface. Map-side
+    * partials combine the per-(device, day) counts before the tiny
+    * second exchange. */
+  def statusFlaps(spark: SparkSession, sfDir: String,
+      minFlaps: Int = 4): DataFrame =
+    statusFlapsOf(Tables.events(spark, sfDir), minFlaps)
+
+  /** A44 over an arbitrary events frame (spec entry — plant a toggling
+    * series): needs (user_id, ts, event_id, event_type). */
+  def statusFlapsOf(events: DataFrame, minFlaps: Int): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(minFlaps >= 1, s"minFlaps $minFlaps must be >= 1")
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    events
+      .select($"user_id", expr(tsUs).as("us"), $"event_id",
+        ($"event_type" === "error").as("err"))
+      .withColumn("perr", lag($"err", 1).over(w))
+      .withColumn("day", expr("us div 86400000000"))
+      .groupBy($"user_id", $"day")
+      .agg(sum(when($"perr".isNotNull && $"perr" =!= $"err", 1L)
+          .otherwise(0L)).as("n_flips"),
+        count(lit(1)).as("n_events"))
+      .filter($"n_flips" >= minFlaps)
+      .select($"user_id", ($"day" * 86400000000L).as("day_us"),
+        $"n_flips", $"n_events")
+      .orderBy($"user_id", $"day_us")
+  }
+
+  def statusFlapsSql(minFlaps: Int = 4): String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS us, event_id,
+       |    (event_type = 'error') AS err
+       |  FROM events),
+       |l AS (
+       |  SELECT user_id, us, err,
+       |    lag(err) OVER (PARTITION BY user_id ORDER BY us, event_id) AS perr,
+       |    us // 86400000000 AS day
+       |  FROM e),
+       |f AS (
+       |  SELECT user_id, day,
+       |    SUM(CASE WHEN perr IS NOT NULL AND perr <> err THEN 1 ELSE 0 END) AS n_flips,
+       |    COUNT(*) AS n_events
+       |  FROM l GROUP BY user_id, day)
+       |SELECT user_id, day * 86400000000 AS day_us,
+       |  CAST(n_flips AS BIGINT) AS n_flips, n_events
+       |FROM f WHERE n_flips >= $minFlaps
+       |ORDER BY user_id, day_us""".stripMargin
+
   def heartbeatGapsSql(maxGapUs: Long = 43200000000L): String =
     s"""WITH e AS (
        |  SELECT user_id, epoch_us(ts) AS us, event_id,

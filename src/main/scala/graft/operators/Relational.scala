@@ -802,6 +802,126 @@ object Relational {
       |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty7
       |FROM d ORDER BY l_suppkey, day""".stripMargin
 
+  // ---------------------------------------------------------------- B31
+  /** Conversion FUNNEL over the event stream: signup → first click
+    * within 12 h → first purchase within 48 h of that click, per user —
+    * the ordered-sequence product-analytics staple. Each stage is a
+    * filtered aggregate on the 3-column pruned events projection joined
+    * to the previous stage's tiny per-user frame (the event scan runs
+    * once per stage; every join and aggregate keys on user_id, so
+    * AQE/exchange reuse co-locates them and the per-user frames shrink
+    * monotonically down the funnel). LEFT joins re-attach the partial
+    * converters so the output carries every signup with its furthest
+    * stage — the drop-off IS the result. */
+  def qFunnel(spark: SparkSession, sfDir: String,
+      step1Us: Long = 43200000000L, step2Us: Long = 172800000000L): DataFrame =
+    qFunnelOf(Tables.events(spark, sfDir), step1Us, step2Us)
+
+  /** B31 over an arbitrary events frame (spec entry — plant conversion
+    * paths): needs (user_id, ts, event_type). */
+  def qFunnelOf(events: DataFrame, step1Us: Long, step2Us: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(step1Us > 0 && step2Us > 0, "funnel step horizons must be positive")
+    val e = events
+      .select($"user_id", expr("unix_micros(ts)").as("us"), $"event_type")
+    val s = e.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"us").as("signup_us"))
+    val c = e.filter($"event_type" === "click").join(s, "user_id")
+      .filter($"us" > $"signup_us" && $"us" <= $"signup_us" + step1Us)
+      .groupBy($"user_id").agg(min($"us").as("click_us"))
+    val p = e.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"us" > $"click_us" && $"us" <= $"click_us" + step2Us)
+      .groupBy($"user_id").agg(min($"us").as("purchase_us"))
+    s.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select($"user_id", $"signup_us", $"click_us", $"purchase_us",
+        when($"purchase_us".isNotNull, lit(3))
+          .when($"click_us".isNotNull, lit(2))
+          .otherwise(lit(1)).as("stage"))
+      .orderBy($"user_id")
+  }
+
+  def qFunnelSql(step1Us: Long = 43200000000L,
+      step2Us: Long = 172800000000L): String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+       |s AS (
+       |  SELECT user_id, min(us) AS signup_us FROM e
+       |  WHERE event_type = 'signup' GROUP BY user_id),
+       |c AS (
+       |  SELECT e.user_id, min(e.us) AS click_us
+       |  FROM e JOIN s ON e.user_id = s.user_id
+       |  WHERE e.event_type = 'click' AND e.us > s.signup_us
+       |    AND e.us <= s.signup_us + $step1Us
+       |  GROUP BY e.user_id),
+       |p AS (
+       |  SELECT e.user_id, min(e.us) AS purchase_us
+       |  FROM e JOIN c ON e.user_id = c.user_id
+       |  WHERE e.event_type = 'purchase' AND e.us > c.click_us
+       |    AND e.us <= c.click_us + $step2Us
+       |  GROUP BY e.user_id)
+       |SELECT s.user_id, s.signup_us, c.click_us, p.purchase_us,
+       |  CAST(CASE WHEN p.purchase_us IS NOT NULL THEN 3
+       |    WHEN c.click_us IS NOT NULL THEN 2 ELSE 1 END AS INT) AS stage
+       |FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+       |ORDER BY s.user_id""".stripMargin
+
+  // ---------------------------------------------------------------- B32
+  /** RETENTION COHORT triangle: users cohorted by their first-purchase
+    * week, activity = distinct purchase weeks — (cohort, week offset,
+    * active users, cohort size, retention ratio). Weeks are integer
+    * epoch-microsecond division (no calendar functions — engine-
+    * neutral by construction, no ISO-week/locale trap). Shapes: one
+    * pruned scan → per-user first week (map-side partial agg) +
+    * distinct (user, week), joined on user_id, then the triangle
+    * aggregate over the tiny (cohort, offset) key space; cohort sizes
+    * come from the triangle's own offset-0 rows (broadcast back — no
+    * second pass). */
+  def qRetentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val weeks = Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", expr("unix_micros(ts) div 604800000000").as("w"))
+    val firstW = weeks.groupBy($"user_id").agg(min($"w").as("cohort_w"))
+    val tri = weeks.distinct()
+      .join(firstW, "user_id")
+      .groupBy($"cohort_w", ($"w" - $"cohort_w").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    // cohort size = the cohort's own offset-0 row, read via a window
+    // over the tiny triangle (every cohort HAS offset 0 — a user's
+    // first week is offset 0 by definition) — one exchange on
+    // cohort_w instead of recomputing the triangle subtree for a
+    // second sizes branch
+    val wS = Window.partitionBy($"cohort_w")
+    tri
+      .withColumn("cohort_size",
+        sum(when($"week_offset" === 0, $"n_active")).over(wS))
+      .select(($"cohort_w" * 604800000000L).as("cohort_week_us"),
+        $"week_offset", $"n_active", $"cohort_size",
+        ($"n_active".cast("double") / $"cohort_size").as("retention"))
+      .orderBy($"cohort_week_us", $"week_offset")
+  }
+
+  val qRetentionCohortsSql: String =
+    """WITH weeks AS (
+      |  SELECT user_id, epoch_us(ts) // 604800000000 AS w
+      |  FROM events WHERE event_type = 'purchase'),
+      |f AS (SELECT user_id, min(w) AS cohort_w FROM weeks GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, w FROM weeks),
+      |tri AS (
+      |  SELECT cohort_w, w - cohort_w AS week_offset, COUNT(*) AS n_active
+      |  FROM a JOIN f USING (user_id)
+      |  GROUP BY cohort_w, w - cohort_w),
+      |sized AS (
+      |  SELECT *, CAST(SUM(CASE WHEN week_offset = 0 THEN n_active END)
+      |    OVER (PARTITION BY cohort_w) AS BIGINT) AS cohort_size
+      |  FROM tri)
+      |SELECT cohort_w * 604800000000 AS cohort_week_us,
+      |  week_offset, n_active, cohort_size,
+      |  CAST(n_active AS DOUBLE) / cohort_size AS retention
+      |FROM sized
+      |ORDER BY cohort_week_us, week_offset""".stripMargin
+
   // ---------------------------------------------------------------- B13
   /** HLL approximate distinct count — the 100-TB-scale path of B10
     * (fixed-size sketch, no exact distinct shuffle). No SQL oracle

@@ -279,6 +279,71 @@ object TextAnalysis {
       |FROM ranked WHERE rk <= 3
       |ORDER BY doc_id, tfidf DESC, term""".stripMargin
 
+  // ---------------------------------------------------------------- E16
+  /** BM25 top terms per document — the full-text relevance staple
+    * (tf-idf's saturating, length-normalized successor; what a search
+    * tier over the corpus actually indexes). Same row-local inverted-
+    * index shape as E6: TokenCounts gives (doc, term, tf) with NO
+    * exchange and the per-doc length dl rides along each posting; df
+    * derives from the pinned postings; corpus totals (avgdl) from the
+    * tiny df-side aggregate. Score = idf · tf·(k1+1) / (tf + k1·(1 −
+    * b + b·dl/avgdl)) with idf = ln(1 + (N − df + 0.5)/(df + 0.5)) —
+    * Lucene's non-negative variant; every factor is per-row arithmetic
+    * over integers plus ONE corpus-constant double (avgdl), ln is
+    * bit-identical Java vs DuckDB (probed, see E6), and both engines
+    * evaluate the textually-identical expression tree, so the query
+    * hash-checks. k1 = 1.2, b = 0.75 (the standard constants). */
+  def textBm25(spark: SparkSession, sfDir: String, topK: Int = 3): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = Tables.cachedCount(spark, s"$sfDir/documents.parquet")
+    // (doc, term, tf, dl) row-locally — dl (doc length in tokens) is a
+    // per-row scalar carried through the explode, so BM25's length
+    // normalization costs no extra aggregate
+    val tf = docs.withColumn("toks", tokens())
+      .select($"doc_id", size($"toks").cast("long").as("dl"),
+        explode(TextFunctions.tokenCounts($"toks")).as(Seq("term", "tf")))
+      .localCheckpoint(true)
+    val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    // avgdl from the pinned postings (sum of tf == corpus tokens) — no
+    // second corpus scan
+    val totals = tf.agg((sum($"tf").cast("double") / nDocs).as("avgdl"))
+    val scored = tf.join(df_, Seq("term")).crossJoin(broadcast(totals))
+      .withColumn("idf",
+        log(lit(1.0) + (lit(nDocs.toDouble) - $"df" + 0.5) / ($"df" + 0.5)))
+      .withColumn("bm25",
+        $"idf" * ($"tf" * 2.2) /
+          ($"tf" + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * ($"dl" / $"avgdl"))))
+    graft.plans.TopK.perKey(scored, Seq("doc_id"),
+      Seq($"bm25".desc, $"term".asc), topK)
+      .select($"doc_id", $"term", $"tf", $"df", $"dl",
+        round($"bm25", 6).as("bm25"))
+      .orderBy($"doc_id", $"bm25".desc, $"term")
+  }
+
+  val textBm25Sql: String =
+    """WITH postings AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM postings GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |t AS (SELECT CAST(sum(tf) AS DOUBLE) / (SELECT n_docs FROM n) AS avgdl FROM tf),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df, dl.dl,
+      |    (ln(1.0 + (CAST((SELECT n_docs FROM n) AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)))
+      |      * (tf.tf * 2.2::DOUBLE)
+      |      / (tf.tf + 1.2::DOUBLE * (1.0 - 0.75 + 0.75::DOUBLE * (dl.dl / t.avgdl))) AS bm25
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN t),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY bm25 DESC, term ASC) AS rk
+      |  FROM scored)
+      |SELECT doc_id, term, tf, df, dl, ROUND(bm25, 6) AS bm25
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY doc_id, bm25 DESC, term""".stripMargin
+
   // ---------------------------------------------------------------- E7
   /** Repetition metrics (Gopher-style quality rules): duplicate token
     * fraction and duplicate bigram fraction per document. Pure per-row

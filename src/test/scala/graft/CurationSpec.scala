@@ -634,6 +634,31 @@ class CurationSpec extends SparkSpec {
     assert(Curation.budgetSelect(docs, budgetTokens = 0).count() === 0L)
   }
 
+  test("chunk_documents: overlap windows, tail kept, short doc whole, empty doc none") {
+    def words(a: Int, b: Int): String = (a until b).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(0, 40)),  // 40 tokens → [0,32) + [24,40)
+      (2L, words(0, 10)),  // short → one whole chunk
+      (3L, ""),            // token-free → no chunks
+      (4L, words(0, 32)),  // exact size → exactly one chunk
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(docs, size = 32, overlap = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getString(4)))
+    assert(out.map(t => (t._1, t._2, t._3, t._4)).toSeq === Seq(
+      (1L, 0, 0L, 32), (1L, 1, 24L, 16),
+      (2L, 0, 0L, 10),
+      (4L, 0, 0L, 32)), s"chunks: ${out.toSeq}")
+    // the overlap property itself: consecutive chunks share the 8
+    // boundary tokens
+    val c0 = out(0)._5.split(" ")
+    val c1 = out(1)._5.split(" ")
+    assert(c0.takeRight(8).toSeq === c1.take(8).toSeq,
+      "consecutive chunks must share the overlap window")
+    // every token of doc 1 is covered exactly by the union of chunks
+    assert((c0 ++ c1.drop(8)).toSeq === (0 until 40).map(i => s"w$i"))
+  }
+
   test("streaming budget admission: spend carries across batches, straddler admitted, then closed") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     def doc(id: Long, words: Int): StreamDoc =

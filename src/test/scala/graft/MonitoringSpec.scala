@@ -308,6 +308,43 @@ class MonitoringSpec extends SparkSpec {
     assert(out(7L) === ((200000, s, m, m > 50.0)))
   }
 
+  test("status flaps: toggling device-days flagged, steady runs silent, midnight flip lands in the later day") {
+    def ev(dev: Long, t: String, id: Long, typ: String) =
+      (dev, java.sql.Timestamp.valueOf(t), id, typ, 1.0)
+    val events = Seq(
+      // device 1, day 0: err,ok,err,ok,err → 4 flips → flagged
+      ev(1L, "2024-01-01 10:00:00", 1L, "error"),
+      ev(1L, "2024-01-01 10:01:00", 2L, "purchase"),
+      ev(1L, "2024-01-01 10:02:00", 3L, "error"),
+      ev(1L, "2024-01-01 10:03:00", 4L, "view"),
+      ev(1L, "2024-01-01 10:04:00", 5L, "error"),
+      // device 2: one long error run then recovery → 1 flip → silent
+      ev(2L, "2024-01-01 10:00:00", 6L, "error"),
+      ev(2L, "2024-01-01 10:01:00", 7L, "error"),
+      ev(2L, "2024-01-01 10:02:00", 8L, "error"),
+      ev(2L, "2024-01-01 10:03:00", 9L, "purchase"),
+      // device 3: ok just before midnight, then err/ok/err/ok after —
+      // the midnight-crossing flip counts in day 1 (the later event's
+      // day), giving day 1 exactly 4 flips
+      ev(3L, "2024-01-01 23:59:00", 10L, "purchase"),
+      ev(3L, "2024-01-02 00:01:00", 11L, "error"),
+      ev(3L, "2024-01-02 00:02:00", 12L, "purchase"),
+      ev(3L, "2024-01-02 00:03:00", 13L, "error"),
+      ev(3L, "2024-01-02 00:04:00", 14L, "purchase"),
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Monitoring.statusFlapsOf(events, minFlaps = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(t => (t._1, t._3)).toSeq === Seq((1L, 4L), (3L, 4L)),
+      s"flagged: ${out.toSeq}")
+    // device 3's flagged day is the AFTER-midnight events' day (the
+    // midnight-crossing flip belongs to the later event), not the ok
+    // event's day before it
+    val d3 = out.find(_._1 == 3L).get
+    val t11 = java.sql.Timestamp.valueOf("2024-01-02 00:01:00")
+    val us11 = t11.getTime / 1000L * 1000000L
+    assert(d3._2 === us11 / 86400000000L * 86400000000L, s"device 3 day: $d3")
+  }
+
   test("burn rate: every row over budget, paged implies both windows hot") {
     val out = Monitoring.burnRate(spark, sf).collect()
       .map(r => (r.getDouble(4), r.getDouble(5), r.getBoolean(6)))

@@ -109,4 +109,34 @@ class RelationalSpec extends SparkSpec {
     assert(keys.distinct.length === keys.length)
     assert(keys.sameElements(keys.sorted))
   }
+
+  test("funnel: step horizons gate each stage, partial converters keep their furthest stage") {
+    def ev(u: Long, t: String, typ: String) =
+      (u, java.sql.Timestamp.valueOf(t), typ)
+    val h = 3600000000L // 1h / 2h step horizons for the test
+    val events = Seq(
+      // user 1: full path inside both horizons → stage 3
+      ev(1L, "2024-01-01 10:00:00", "signup"),
+      ev(1L, "2024-01-01 10:30:00", "click"),
+      ev(1L, "2024-01-01 11:30:00", "purchase"),
+      // user 2: click AFTER the 1h horizon → stage 1, and its purchase
+      // cannot count either (no qualifying click)
+      ev(2L, "2024-01-01 10:00:00", "signup"),
+      ev(2L, "2024-01-01 12:00:00", "click"),
+      ev(2L, "2024-01-01 12:30:00", "purchase"),
+      // user 3: in-horizon click, purchase past the 2h horizon → stage 2
+      ev(3L, "2024-01-01 10:00:00", "signup"),
+      ev(3L, "2024-01-01 10:10:00", "click"),
+      ev(3L, "2024-01-01 20:00:00", "purchase"),
+      // user 4: click BEFORE signup only → stage 1 (order matters)
+      ev(4L, "2024-01-01 09:00:00", "click"),
+      ev(4L, "2024-01-01 10:00:00", "signup"),
+      // user 5: never signed up → absent entirely
+      ev(5L, "2024-01-01 10:00:00", "click"),
+    ).toDF("user_id", "ts", "event_type")
+    val out = Relational.qFunnelOf(events, step1Us = h, step2Us = 2 * h)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(out === Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 1),
+      s"funnel stages: $out")
+  }
 }
