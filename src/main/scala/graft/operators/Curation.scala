@@ -28,8 +28,13 @@ object Curation {
     val toks = TextAnalysis.tokens("text")
     val gated = docs
       .withColumn("n_tokens", size(toks).cast("long"))
+      // nullif: a token-free doc must fail the ratio gate as NULL, not
+      // crash the scan with an ANSI divide-by-zero — today the
+      // n_tokens gate short-circuits first, but that is evaluation
+      // ORDER, not a guarantee (minTokens = 0, or a predicate reorder,
+      // exposes the division)
       .withColumn("uniq_ratio",
-        size(array_distinct(toks)).cast("double") / size(toks))
+        size(array_distinct(toks)).cast("double") / nullif(size(toks), lit(0)))
       .filter(col("n_tokens") >= minTokens)
       .filter(col("uniq_ratio") >= 0.3)
       .filter(col("lang").isin(langs: _*))
@@ -89,8 +94,10 @@ object Curation {
     docs
       .withColumn("toks", TextAnalysis.tokens("text"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
+      // nullif: see curateExact — NULL fails the gate, a raw division
+      // would ANSI-crash the scan on a token-free doc
       .withColumn("uniq_ratio",
-        size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+        size(array_distinct(col("toks"))).cast("double") / nullif(size(col("toks")), lit(0)))
       .withColumn("bg", expr(
         """IF(size(toks) < 2, array(),
           |   zip_with(slice(toks, 1, size(toks) - 1),
