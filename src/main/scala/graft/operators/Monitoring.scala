@@ -1268,4 +1268,100 @@ object Monitoring {
       |FROM e JOIN s USING (user_id)
       |WHERE abs(e.value - s.mu) > 2.0 * s.sigma
       |ORDER BY e.user_id, e.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- A45
+  /** CROSS-DEVICE correlation: which devices' hourly metric series move
+    * together — the fleet-diagnosis query behind "did these cameras
+    * degrade from the same cause?" (a correlated pair shares a switch,
+    * a power rail, a firmware rollout; an uncorrelated failure is
+    * device-local). Pearson over aligned hourly buckets, from the B26
+    * decimal-exact moment kernel: hourly value sums as DECIMAL(18,4)
+    * (order-independent), pair moments as exact decimal sums rescaled
+    * to scale 4 BEFORE the double cast (significand < 2⁵³ → both
+    * engines convert exactly), the textbook formula once per pair in
+    * double — the identical IEEE tree DuckDB runs.
+    *
+    * Scale: all-pairs over a 100 TB fleet is quadratic — the operator
+    * correlates a bounded PANEL (top `panel` devices by event volume,
+    * deterministic tiebreak on device id; the fleet-wide screen at
+    * scale is this same query fed by a candidate generator, e.g. the
+    * A31/A36 anomaly sets). The hourly rollup is the only full-data
+    * shuffle; the panel filter is a broadcast semi-join; the pair join
+    * keys on the hour bucket with ≤ panel rows per side per hour. */
+  def crossCorr(spark: SparkSession, sfDir: String, panel: Int = 24,
+      minBuckets: Long = 24): DataFrame =
+    crossCorrOf(Tables.events(spark, sfDir), panel, minBuckets)
+
+  /** A45 over an arbitrary events frame (spec entry — plant correlated
+    * series): needs (user_id, ts, value). Pearson over aligned 6-hour
+    * buckets; pairs sharing fewer than `minBuckets` are dropped (too
+    * little overlap to call a correlation). */
+  def crossCorrOf(events: DataFrame, panel: Int, minBuckets: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(panel >= 2, s"panel $panel must be >= 2")
+    require(minBuckets >= 2, s"minBuckets $minBuckets must be >= 2")
+    // 6-hour buckets: coarse enough that sparse per-device series still
+    // align on shared buckets, fine enough to carry diurnal structure
+    val hourly = events
+      .filter($"value".isNotNull)
+      .groupBy($"user_id", expr("unix_micros(ts) div 21600000000").as("bucket"))
+      .agg(sum($"value".cast("decimal(18,4)")).cast("decimal(18,4)").as("hv"))
+    val top = events
+      .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"user_id").limit(panel)
+      .select($"user_id")
+    val h = hourly.join(broadcast(top), "user_id")
+    val pairs = h.as("a").join(h.as("b"),
+        $"a.bucket" === $"b.bucket" && $"a.user_id" < $"b.user_id")
+      .groupBy($"a.user_id".as("device_a"), $"b.user_id".as("device_b"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum($"a.hv").cast("decimal(38,4)").cast("double").as("sx"),
+        sum($"b.hv").cast("decimal(38,4)").cast("double").as("sy"),
+        sum($"a.hv" * $"b.hv").cast("decimal(38,4)").cast("double").as("sxy"),
+        sum($"a.hv" * $"a.hv").cast("decimal(38,4)").cast("double").as("sxx"),
+        sum($"b.hv" * $"b.hv").cast("decimal(38,4)").cast("double").as("syy"))
+      .filter($"n_buckets" >= minBuckets)
+    pairs
+      .withColumn("varx", greatest($"n_buckets" * $"sxx" - $"sx" * $"sx", lit(0.0)))
+      .withColumn("vary", greatest($"n_buckets" * $"syy" - $"sy" * $"sy", lit(0.0)))
+      // zero-variance series (constant hourly sums) have no defined
+      // correlation — drop the pair on BOTH engines rather than emit
+      // engine-dependent NaN/inf division results
+      .filter($"varx" > 0.0 && $"vary" > 0.0)
+      .select($"device_a", $"device_b", $"n_buckets",
+        (($"n_buckets" * $"sxy" - $"sx" * $"sy") /
+          (sqrt($"varx") * sqrt($"vary"))).as("corr_hv"))
+      .orderBy($"device_a", $"device_b")
+  }
+
+  def crossCorrSql(panel: Int = 24, minBuckets: Long = 24): String =
+    s"""WITH hourly AS (
+       |  SELECT user_id, epoch_us(ts) // 21600000000 AS bucket,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS hv
+       |  FROM events WHERE value IS NOT NULL
+       |  GROUP BY user_id, epoch_us(ts) // 21600000000),
+       |top AS (
+       |  SELECT user_id FROM events GROUP BY user_id
+       |  ORDER BY COUNT(*) DESC, user_id LIMIT $panel),
+       |h AS (SELECT hourly.* FROM hourly SEMI JOIN top USING (user_id)),
+       |m AS (
+       |  SELECT a.user_id AS device_a, b.user_id AS device_b,
+       |    COUNT(*) AS n_buckets,
+       |    CAST(CAST(SUM(a.hv) AS DECIMAL(38,4)) AS DOUBLE) AS sx,
+       |    CAST(CAST(SUM(b.hv) AS DECIMAL(38,4)) AS DOUBLE) AS sy,
+       |    CAST(CAST(SUM(a.hv * b.hv) AS DECIMAL(38,4)) AS DOUBLE) AS sxy,
+       |    CAST(CAST(SUM(a.hv * a.hv) AS DECIMAL(38,4)) AS DOUBLE) AS sxx,
+       |    CAST(CAST(SUM(b.hv * b.hv) AS DECIMAL(38,4)) AS DOUBLE) AS syy
+       |  FROM h a JOIN h b ON a.bucket = b.bucket AND a.user_id < b.user_id
+       |  GROUP BY a.user_id, b.user_id
+       |  HAVING COUNT(*) >= $minBuckets),
+       |v AS (
+       |  SELECT *, greatest(n_buckets * sxx - sx * sx, 0.0) AS varx,
+       |    greatest(n_buckets * syy - sy * sy, 0.0) AS vary
+       |  FROM m)
+       |SELECT device_a, device_b, n_buckets,
+       |  (n_buckets * sxy - sx * sy) / (sqrt(varx) * sqrt(vary)) AS corr_hv
+       |FROM v WHERE varx > 0.0 AND vary > 0.0
+       |ORDER BY device_a, device_b""".stripMargin
 }

@@ -528,4 +528,83 @@ object Multimodal {
       |  CAST(octet_length(encode(text)) AS BIGINT) AS src_bytes,
       |  CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS dst_bytes
       |FROM documents ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- F8
+  /** NEAR-DUPLICATE MEDIA detection by sampled-frame signature overlap
+    * — the video-dedup staple (re-uploads, re-encodes, clipped copies
+    * share most keyframes): media pairs sharing ≥ `minShared` frame
+    * content hashes, scored by shared / min(|A|, |B|) containment.
+    * With a real perceptual hash in the F2 seam this catches
+    * re-encodes; with the stub it is the same inverted-index pipeline
+    * over the deterministic chunk hashes — which is what makes it
+    * oracle-checkable end to end.
+    *
+    * Shape is the C-family dedup discipline, NOT an all-pairs scan:
+    * distinct per-media signatures → an inverted index on frame_hash →
+    * df-capped postings (a hash appearing in > `dfCap` media is
+    * boilerplate — a title card, a black frame — and generates
+    * quadratic pairs while carrying no discriminative signal; the
+    * MinHash family's stop-gram rule) → per-posting pair counts. Every
+    * stage keys on frame_hash or the pair, nothing driver-side; the
+    * frame decode itself is F2's map-only pass. */
+  def dedupFrames(frames: DataFrame, minShared: Long = 2,
+      dfCap: Long = 8): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    require(minShared >= 1, s"minShared $minShared must be >= 1")
+    require(dfCap >= 2, s"dfCap $dfCap must be >= 2")
+    // a frame repeated WITHIN one media counts once toward its signature
+    val sig = frames.select($"media_id", $"frame_hash").distinct()
+    val sizes = sig.groupBy($"media_id").agg(count(lit(1)).as("n_frames"))
+    val postings = sig
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"frame_hash")))
+      .filter($"df" <= dfCap)
+    val pairs = postings.as("a").join(postings.as("b"),
+        $"a.frame_hash" === $"b.frame_hash" && $"a.media_id" < $"b.media_id")
+      .groupBy($"a.media_id".as("media_a"), $"b.media_id".as("media_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter($"shared_frames" >= minShared)
+    pairs
+      .join(sizes.withColumnRenamed("media_id", "media_a")
+        .withColumnRenamed("n_frames", "n_a"), "media_a")
+      .join(sizes.withColumnRenamed("media_id", "media_b")
+        .withColumnRenamed("n_frames", "n_b"), "media_b")
+      .select($"media_a", $"media_b", $"shared_frames", $"n_a", $"n_b",
+        ($"shared_frames".cast("double") / least($"n_a", $"n_b"))
+          .as("containment"))
+      .orderBy($"media_a", $"media_b")
+  }
+
+  def mmDedupFrames(spark: SparkSession, sfDir: String): DataFrame =
+    dedupFrames(mmFrameSample(spark, sfDir).toDF())
+
+  /** The frame replay (mmFrameSampleSql) wrapped as a subquery, then
+    * the identical signature / df-cap / pair-count tree. */
+  val mmDedupFramesSql: String =
+    s"""WITH sig AS (
+       |  SELECT DISTINCT media_id, frame_hash
+       |  FROM ($mmFrameSampleSql) base),
+       |sizes AS (
+       |  SELECT media_id, COUNT(*) AS n_frames FROM sig GROUP BY media_id),
+       |p AS (
+       |  SELECT media_id, frame_hash,
+       |    COUNT(*) OVER (PARTITION BY frame_hash) AS df
+       |  FROM sig),
+       |post AS (SELECT media_id, frame_hash FROM p WHERE df <= 8),
+       |pairs AS (
+       |  SELECT a.media_id AS media_a, b.media_id AS media_b,
+       |    COUNT(*) AS shared_frames
+       |  FROM post a JOIN post b
+       |    ON a.frame_hash = b.frame_hash AND a.media_id < b.media_id
+       |  GROUP BY a.media_id, b.media_id
+       |  HAVING COUNT(*) >= 2)
+       |SELECT media_a, media_b, shared_frames,
+       |  sa.n_frames AS n_a, sb.n_frames AS n_b,
+       |  CAST(shared_frames AS DOUBLE) / least(sa.n_frames, sb.n_frames)
+       |    AS containment
+       |FROM pairs
+       |JOIN sizes sa ON sa.media_id = media_a
+       |JOIN sizes sb ON sb.media_id = media_b
+       |ORDER BY media_a, media_b""".stripMargin
 }

@@ -935,4 +935,304 @@ object Relational {
         countDistinct($"l_partkey").as("exact_parts"))
       .orderBy($"l_returnflag")
   }
+
+  // ---------------------------------------------------------------- B33
+  /** Rolling 7-day distinct active users per day (DAU + trailing WAU) —
+    * the engagement dashboard staple. COUNT(DISTINCT) over a RANGE
+    * window frame exists in no engine, and the naive per-day
+    * re-aggregation scans the trailing week once PER DAY; the scalable
+    * shape is CONTRIBUTION EXPLODE: dedupe to per-user active DAYS
+    * first (the only full-data shuffle — and the explode runs on this
+    * already-tiny frame, not on raw events), then a user active on day
+    * d is live in windows d..d+6, so each (user, day) row fans out to
+    * its ≤7 window days and the rolling distinct becomes a plain
+    * distinct count per window day. Window days past the corpus
+    * horizon are cut by a 1-row broadcast of max(day) (no partial
+    * trailing windows fabricated from the right edge). At 100 TB the
+    * fan-out is 7× the DEDUPED user-day frame — several orders below
+    * the event count — and every stage keys on (user, day): no
+    * driver-side loop over days, no quadratic re-scan. */
+  def qRollingDau(spark: SparkSession, sfDir: String): DataFrame =
+    qRollingDauOf(Tables.events(spark, sfDir))
+
+  /** B33 over an arbitrary events frame: needs (user_id, ts). */
+  def qRollingDauOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ud = events
+      .select($"user_id", expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val maxDay = ud.agg(max($"day").as("max_day"))
+    // projected sequence + explode of the attribute (the Generate
+    // codegen rule); the +i window-day arithmetic stays per-row
+    val contrib = ud
+      .withColumn("offs", sequence(lit(0L), lit(6L)))
+      .select($"user_id", $"day", explode($"offs").as("i"))
+      .select($"user_id", ($"day" + $"i").as("day7"))
+      .join(broadcast(maxDay), $"day7" <= $"max_day")
+      .select($"user_id", $"day7").distinct()
+    val wau = contrib.groupBy($"day7".as("day")).agg(count(lit(1)).as("wau"))
+    val dau = ud.groupBy($"day").agg(count(lit(1)).as("dau"))
+    wau.join(dau, Seq("day"), "left")
+      .select($"day", coalesce($"dau", lit(0L)).as("dau"), $"wau")
+      .orderBy($"day")
+  }
+
+  val qRollingDauSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |c AS (
+      |  SELECT DISTINCT user_id, day + i AS day
+      |  FROM ud CROSS JOIN range(7) t(i)
+      |  WHERE day + i <= (SELECT max(day) FROM ud)),
+      |wau AS (SELECT day, COUNT(*) AS wau FROM c GROUP BY day),
+      |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day)
+      |SELECT w.day, COALESCE(d.dau, 0) AS dau, w.wau
+      |FROM wau w LEFT JOIN dau d USING (day)
+      |ORDER BY w.day""".stripMargin
+
+  // ---------------------------------------------------------------- B34
+  /** Top session PATHS: sessionize the event stream (A6's 30-min-gap
+    * kernel), take each session's first 8 event types in time order,
+    * and count sessions per path string — the product-analytics "how
+    * do users actually move" query. One exchange on user_id carries
+    * the lag window, the running session-id sum, the per-session
+    * row_number (hash on user_id satisfies the (user, session)
+    * clustering — a subset partitioning co-locates the finer key, so
+    * no second exchange), AND the per-session collect; the rn ≤ cap
+    * filter runs BEFORE the collect, so no state ever exceeds maxLen
+    * structs per session regardless of session length. The path
+    * aggregation shuffles the tiny (path, 1) frame; deterministic
+    * top-20 by (count desc, path). */
+  def qEventPaths(spark: SparkSession, sfDir: String,
+      maxLen: Int = 8, topK: Int = 20): DataFrame =
+    qEventPathsOf(Tables.events(spark, sfDir), maxLen, topK)
+
+  /** B34 over an arbitrary events frame: needs
+    * (user_id, event_id, ts, event_type). */
+  def qEventPathsOf(events: DataFrame, maxLen: Int = 8,
+      topK: Int = 20): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(maxLen > 0 && topK > 0, "path length and top-k must be positive")
+    val gapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val paths = events
+      .select($"user_id", $"event_id", expr("unix_micros(ts)").as("us"),
+        $"event_type")
+      .withColumn("prev_us", lag($"us", 1).over(w))
+      .withColumn("new_s",
+        when($"prev_us".isNull || $"us" - $"prev_us" > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum($"new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"user_id", $"session_id").orderBy($"us", $"event_id")))
+      .filter($"rn" <= maxLen)
+      .groupBy($"user_id", $"session_id")
+      // struct sort order = (us, event_id, event_type) lexicographic —
+      // event_id breaks timestamp ties deterministically on both engines
+      .agg(array_sort(collect_list(struct($"us", $"event_id", $"event_type")))
+        .as("evs"))
+      .select(array_join(
+        transform(slice($"evs", 1, maxLen), e => e("event_type")), ">")
+        .as("path"))
+    paths.groupBy($"path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy($"n_sessions".desc, $"path")
+      .limit(topK)
+  }
+
+  // ---------------------------------------------------------------- B36
+  /** B33's SCALE PATH: rolling 7-day distinct users from MERGEABLE HLL
+    * sketches (Spark's DataSketches aggregates) — one sketch per day
+    * (the only full-data pass), then each window day UNIONS its ≤7
+    * trailing daily sketches. The contribution explode moves from
+    * per-user rows (B33: 7 × the deduped user-day frame) to per-DAY
+    * sketches (7 × #days × a few KB) — at 100 TB the rolling distinct
+    * costs one aggregation pass plus sketch-merge noise, and the same
+    * shape extends to 30/90-day windows where exact explode bloats
+    * linearly. The exact B33 count rides alongside (the B13
+    * convention) so approximation error is a driver-visible number;
+    * rows-only — sketch internals are engine-specific. */
+  def qRollingDauApprox(spark: SparkSession, sfDir: String): DataFrame =
+    qRollingDauApproxOf(Tables.events(spark, sfDir))
+
+  /** B36 over an arbitrary events frame: needs (user_id, ts). */
+  def qRollingDauApproxOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ud = events
+      .select($"user_id", expr("unix_micros(ts) div 86400000000").as("day"))
+    val daily = ud.groupBy($"day")
+      .agg(hll_sketch_agg($"user_id", 12).as("sk"))
+    val maxDay = daily.agg(max($"day").as("max_day"))
+    val contrib = daily
+      .withColumn("offs", sequence(lit(0L), lit(6L)))
+      .select($"day", $"sk", explode($"offs").as("i"))
+      .select(($"day" + $"i").as("day"), $"sk")
+      .join(broadcast(maxDay), $"day" <= $"max_day")
+    val approx = contrib.groupBy($"day")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk", true))
+        .as("wau_approx"))
+    val exact = qRollingDauOf(events).select($"day", $"wau".as("wau_exact"))
+    approx.join(exact, Seq("day"))
+      .select($"day", $"wau_exact", $"wau_approx")
+      .orderBy($"day")
+  }
+
+  // ---------------------------------------------------------------- B37
+  /** CO-PURCHASE affinity (market-basket lift): part pairs appearing
+    * in the same order, with support and lift — the "frequently bought
+    * together" query. Pairs come from a self-join keyed on the ORDER
+    * (both sides the deduped 2-column projection), so the blow-up per
+    * order is C(lines, 2) — bounded by basket size, not corpus size;
+    * per-part order counts join back as two broadcast-size dims. Lift
+    * = N·supp / (df_a·df_b) is pure integer-derived arithmetic (every
+    * product < 2⁵³ → the double division is exact and identical in
+    * both engines). Deterministic top-20 by (support desc, pair). */
+  def qCopurchase(spark: SparkSession, sfDir: String,
+      topK: Int = 20): DataFrame =
+    qCopurchaseOf(Tables.lineitem(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_partkey")), topK)
+
+  /** B37 over an arbitrary (l_orderkey, l_partkey) frame (spec entry —
+    * plant baskets with known support/lift). */
+  def qCopurchaseOf(lines: DataFrame, topK: Int = 20): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    require(topK > 0, "topK must be positive")
+    val op = lines.select($"l_orderkey", $"l_partkey").distinct()
+    val nOrders = op.select($"l_orderkey").distinct().count()
+    val df = op.groupBy($"l_partkey").agg(count(lit(1)).as("df"))
+    val pairs = op.as("a").join(op.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_partkey" < $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("part_a"), $"b.l_partkey".as("part_b"))
+      .agg(count(lit(1)).as("support"))
+    pairs
+      .join(df.select($"l_partkey".as("part_a"), $"df".as("df_a")), "part_a")
+      .join(df.select($"l_partkey".as("part_b"), $"df".as("df_b")), "part_b")
+      .select($"part_a", $"part_b", $"support", $"df_a", $"df_b",
+        ((lit(nOrders) * $"support").cast("double") /
+          ($"df_a" * $"df_b")).as("lift"))
+      .orderBy($"support".desc, $"part_a", $"part_b")
+      .limit(topK)
+  }
+
+  val qCopurchaseSql: String =
+    """WITH op AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+      |df AS (SELECT l_partkey, COUNT(*) AS df FROM op GROUP BY l_partkey),
+      |pairs AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |    COUNT(*) AS support
+      |  FROM op a JOIN op b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY a.l_partkey, b.l_partkey)
+      |SELECT part_a, part_b, support, da.df AS df_a, db.df AS df_b,
+      |  CAST(n.n_orders * support AS DOUBLE) / (da.df * db.df) AS lift
+      |FROM pairs
+      |JOIN df da ON da.l_partkey = part_a
+      |JOIN df db ON db.l_partkey = part_b
+      |CROSS JOIN n
+      |ORDER BY support DESC, part_a, part_b LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- B35
+  /** Table PROFILE (DuckDB's SUMMARIZE, Deequ's column profiler): one
+    * row per column of `orders` with count / null count / exact
+    * distinct / typed min-max — the data-quality snapshot every
+    * pipeline runs before trusting an input. ONE AGGREGATE PER COLUMN,
+    * unioned: packing all six exact distincts into a single Aggregate
+    * plans as an Expand that replicates every row once per distinct
+    * set (measured 4.2 s — the round-8 worst slot); the union shape
+    * gives each column its own partial-distinct aggregation over a
+    * scan pruned to THAT column (parquet is columnar — six one-column
+    * scans read the same bytes one fat scan reads), the branches run
+    * as independent parallel jobs, and no row is ever replicated.
+    * Numeric and string min/max ride separate typed columns (a
+    * string-typed union of heterogeneous min/max would hash on
+    * engine-specific formatting); timestamps profile as epoch micros.
+    * Exact distinct per column is the one scale-expensive stat — at
+    * 100 TB swap in approx_count_distinct per B13; here the gate
+    * wants the exact number. */
+  def qProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+      // regenerated parquet carries TIMESTAMP_NTZ; under the UTC session
+      // zone the cast is the identity on the instant (the B30 note)
+      .withColumn("o_odate_us",
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"))
+    val numeric = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_odate_us")
+    val strings = Seq("o_orderstatus", "o_orderpriority")
+    def branch(c: String, isNum: Boolean): DataFrame = {
+      val mm =
+        if (isNum)
+          Seq(min(col(c)).cast("double").as("min_num"),
+            max(col(c)).cast("double").as("max_num"),
+            lit(null).cast("string").as("min_str"),
+            lit(null).cast("string").as("max_str"))
+        else
+          Seq(lit(null).cast("double").as("min_num"),
+            lit(null).cast("double").as("max_num"),
+            min(col(c)).as("min_str"), max(col(c)).as("max_str"))
+      o.select(col(c)).agg(
+        count(col(c)).as("n"),
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct")) ++ mm: _*)
+        .select(lit(c).as("col_name"), $"n", $"n_nulls", $"n_distinct",
+          $"min_num", $"max_num", $"min_str", $"max_str")
+    }
+    (numeric.map(branch(_, isNum = true)) ++
+      strings.map(branch(_, isNum = false)))
+      .reduce(_ unionByName _)
+      .orderBy($"col_name")
+  }
+
+  val qProfileSql: String = {
+    val numeric = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val strings = Seq("o_orderstatus", "o_orderpriority")
+    def one(c: String, valueExpr: String, isNum: Boolean): String = {
+      val (minn, maxn, mins, maxs) =
+        if (isNum) (s"CAST(MIN($valueExpr) AS DOUBLE)",
+          s"CAST(MAX($valueExpr) AS DOUBLE)", "NULL::VARCHAR", "NULL::VARCHAR")
+        else ("NULL::DOUBLE", "NULL::DOUBLE", s"MIN($valueExpr)", s"MAX($valueExpr)")
+      s"""SELECT '$c' AS col_name, COUNT($valueExpr) AS n,
+         |  CAST(SUM(CASE WHEN $valueExpr IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  COUNT(DISTINCT $valueExpr) AS n_distinct,
+         |  $minn AS min_num, $maxn AS max_num,
+         |  $mins AS min_str, $maxs AS max_str
+         |FROM orders""".stripMargin
+    }
+    (numeric.map(c => one(c, c, isNum = true)) ++
+      Seq(one("o_odate_us", "epoch_us(o_orderdate)", isNum = true)) ++
+      strings.map(c => one(c, c, isNum = false)))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  val qEventPathsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+      |                   OR us - LAG(us) OVER w > 1800000000
+      |            THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM f),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+      |                               ORDER BY us, event_id) AS rn
+      |  FROM s),
+      |p AS (
+      |  SELECT user_id, session_id,
+      |    STRING_AGG(event_type, '>' ORDER BY us, event_id) AS path
+      |  FROM r WHERE rn <= 8 GROUP BY user_id, session_id)
+      |SELECT path, COUNT(*) AS n_sessions
+      |FROM p GROUP BY path
+      |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
 }

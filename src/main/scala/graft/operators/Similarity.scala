@@ -993,4 +993,64 @@ object Similarity {
       |  ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm,
       |  ROUND(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6) AS self_dot
       |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- D13
+  /** Embedding CLUSTERING report — the corpus-cartography pass a
+    * training pipeline runs before mixing (what topic mass is in
+    * here? does cluster structure track the labels?): the IVF coarse
+    * quantizer (seeded k-means, trained ONCE per corpus version on
+    * the exact rank-by-hash sample, cached — index-build work, not
+    * per-query) assigns every vector to its nearest centroid in one
+    * codegen'd map pass; per cluster the report carries size, the
+    * dominant label with its purity, and the mean L2 distance to the
+    * centroid (per-row distances quantized to DECIMAL before the sum,
+    * so the report is bit-deterministic across partition layouts —
+    * the §4 discipline applied to a rows-only query). One shuffle on
+    * (cluster, label) for the purity counts, then tiny frames.
+    * No SQL oracle: k-means geometry is engine-specific (same reason
+    * the IVF family is rows-only); the spec pins assignment-is-nearest,
+    * partition-layout determinism, and exact purity on planted data. */
+  def embedCluster(spark: SparkSession, sfDir: String, nClusters: Int = 16,
+      maxTrain: Int = 100000): DataFrame = {
+    val centroids = corpusCentroids(spark, sfDir, nClusters, maxTrain)
+    embedClusterOf(Tables.embeddings(spark, sfDir), centroids)
+  }
+
+  /** D13 over an arbitrary (vec_id, embedding, label) frame with given
+    * centroids (spec entry — plant separable groups). */
+  def embedClusterOf(e: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    require(centroids.nonEmpty, "need at least one centroid")
+    val centroidDf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cluster_id", "cvec")
+    val assigned = e
+      .select($"vec_id", $"embedding", $"label",
+        VectorFunctions.nearestCentroid($"embedding", centroids)
+          .as("cluster_id"))
+      .join(broadcast(centroidDf), Seq("cluster_id"))
+      // quantize the per-row distance BEFORE summing: double sums are
+      // partition-order-dependent at the ulp; decimal sums are exact
+      .withColumn("dist", expr(
+        """cast(sqrt(aggregate(zip_with(embedding, cvec,
+          |  (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),
+          |  0D, (s, v) -> s + v)) as decimal(18,9))""".stripMargin))
+    val byLabel = assigned.groupBy($"cluster_id", $"label")
+      .agg(count(lit(1)).as("n"),
+        sum($"dist").as("dist_sum"))
+    val wC = Window.partitionBy($"cluster_id")
+      .orderBy($"n".desc, $"label")
+    byLabel
+      .withColumn("rk", row_number().over(wC))
+      .groupBy($"cluster_id")
+      .agg(sum($"n").as("n_vectors"),
+        max(when($"rk" === 1, $"label")).as("top_label"),
+        max(when($"rk" === 1, $"n")).as("top_label_n"),
+        (sum($"dist_sum").cast("double") / sum($"n")).as("mean_dist"))
+      .withColumn("purity",
+        $"top_label_n".cast("double") / $"n_vectors")
+      .select($"cluster_id", $"n_vectors", $"top_label", $"top_label_n",
+        $"purity", round($"mean_dist", 6).as("mean_dist"))
+      .orderBy($"cluster_id")
+  }
 }

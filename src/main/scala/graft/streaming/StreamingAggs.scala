@@ -376,7 +376,78 @@ object StreamingAggs {
         hour($"window.start").as("hod"),
         $"metric_sum", $"baseline", round($"ratio", 6).as("ratio"))
   }
+
+  /** LIVE MTTR — the streaming twin of
+    * [[graft.operators.Monitoring.mttr]] (A28): per device, a run of
+    * ≥ `minRun` consecutive errors is an incident; the first healthy
+    * event STRICTLY after the run's last error closes it, emitting the
+    * recovery delay the moment the device comes back (the batch
+    * operator can only report it at query time). State per device is
+    * O(1): the current error run's (start, end, length), the incidents
+    * awaiting a strictly-later healthy event (more than one only under
+    * same-microsecond tie chains — a healthy event at exactly the
+    * run's end_us breaks the run without recovering it, the batch
+    * kernel's strict `>`), and the last processed (us, event_id) so
+    * at-least-once replays drop instead of double-emitting. Incidents
+    * the device NEVER recovers from stay open in state — that device
+    * is A41's silence-alert territory, not a recovery row; the batch
+    * twin reports them as mttr_us = -1 at query time. */
+  def recoveryStream(events: Dataset[DeviceEvent],
+      minRun: Int = 3): Dataset[RecoveryRow] = {
+    require(minRun >= 1, s"minRun $minRun must be >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RecoveryState, RecoveryRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (dev: Long, it: Iterator[DeviceEvent], state: GroupState[RecoveryState]) =>
+          val sorted = it.toArray.sortBy(e =>
+            (HealthMonitor.tsMicros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(
+            RecoveryState(-1L, -1L, 0, Nil, -1L, -1L))
+          val out = Seq.newBuilder[RecoveryRow]
+          sorted.foreach { e =>
+            val us = HealthMonitor.tsMicros(e.ts)
+            val replay = us < st.lastUs ||
+              (us == st.lastUs && e.event_id <= st.lastId)
+            if (!replay) {
+              st = st.copy(lastUs = us, lastId = e.event_id)
+              if (e.event_type == "error") {
+                st =
+                  if (st.runLen == 0) st.copy(runStart = us, runEnd = us, runLen = 1)
+                  else st.copy(runEnd = us, runLen = st.runLen + 1)
+              } else {
+                // healthy: close the current run (queue it if it
+                // qualifies), then recover every pending incident whose
+                // end is STRICTLY before this event
+                val pending0 =
+                  if (st.runLen >= minRun) st.pending :+ ((st.runStart, st.runEnd))
+                  else st.pending
+                val (done, still) = pending0.partition(_._2 < us)
+                done.foreach { case (s0, e0) =>
+                  out += RecoveryRow(dev, s0, e0, us, us - e0)
+                }
+                st = st.copy(runStart = -1L, runEnd = -1L, runLen = 0,
+                  pending = still)
+              }
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }
+
+/** Per-device live-MTTR state: the current error run, incidents
+  * awaiting a strictly-later healthy event, and the replay fence. */
+case class RecoveryState(runStart: Long, runEnd: Long, runLen: Int,
+    pending: Seq[(Long, Long)], lastUs: Long, lastId: Long)
+
+/** One closed incident: recovery observed live. */
+case class RecoveryRow(user_id: Long, start_us: Long, end_us: Long,
+    recovery_us: Long, mttr_us: Long)
 
 /** Running-EWMA state: the recurrence's whole history in two fields. */
 case class EwmaState(ewma: Double, n: Long)

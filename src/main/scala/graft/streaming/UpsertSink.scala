@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming KEYED UPSERT into a bucketed parquet snapshot — live
+  * corpus maintenance (a document store fed by an ingest stream, a
+  * device-registry materialization fed by telemetry): each micro-batch
+  * folds its rows into the current snapshot with last-writer-wins per
+  * key, and a reader always sees a complete consistent table.
+  *
+  * Exactly-once under foreachBatch's at-least-once contract, twice
+  * over:
+  *
+  *  1. A `_committed/<batchId>` marker short-circuits a REPLAYED batch
+  *     entirely (the AlertSink epoch-overwrite idea, lifted to a
+  *     read-modify-write sink where blind re-execution would at least
+  *     waste a snapshot rewrite).
+  *  2. The apply itself is idempotent anyway — anti-join + union of
+  *     the same rows reproduces the same snapshot — so a crash BETWEEN
+  *     the data commit and the marker write still converges on retry.
+  *
+  * Scale: the snapshot is hash-bucketed on the key into `bucket=<b>/`
+  * partitions, and a batch rewrites ONLY the buckets its keys touch —
+  * read side prunes to touched partitions at planning time, write side
+  * uses dynamic partition overwrite so untouched buckets are never
+  * rewritten (never even read). Cost per batch is
+  * O(touched buckets × bucket size), not O(snapshot); bucket count is
+  * the knob that trades rewrite amplification against file count —
+  * exactly the economics of a table format's compaction, stated in
+  * plain parquet. (A production deployment would reach for a
+  * transactional table format; these are the semantics it provides,
+  * built from the primitives this engine owns.)
+  */
+object UpsertSink {
+
+  /** Fold one batch into the snapshot at `dir`. Within the batch,
+    * the row with the highest `verCol` per key wins (ties broken
+    * arbitrarily among identical versions); across batches, later
+    * batches overwrite earlier keys. Idempotent per (batch, batchId):
+    * a recorded batchId is skipped outright. */
+  def applyBatch(batch: DataFrame, batchId: Long, dir: String,
+      keyCol: String, verCol: String, nBuckets: Int): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    require(nBuckets >= 1, s"nBuckets $nBuckets must be >= 1")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$dir/_committed/$batchId")
+    if (fs.exists(marker)) return // replayed batch: already applied
+    val dataDir = s"$dir/data"
+    // last-writer-wins WITHIN the batch, then bucket by key hash
+    val deduped = batch
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+          .orderBy(col(verCol).desc)))
+      .filter($"__rk" === 1).drop("__rk")
+      .withColumn("bucket", pmod(xxhash64(col(keyCol)), lit(nBuckets)))
+      .persist()
+    try {
+      val touched = deduped.select($"bucket").distinct()
+        .as[Long].collect().toSet // bounded by nBuckets
+      val merged =
+        if (fs.exists(new Path(dataDir))) {
+          // partition filter prunes the scan to touched buckets only
+          val existing = spark.read.parquet(dataDir)
+            .filter($"bucket".isin(touched.toSeq: _*))
+          existing.join(deduped.select(col(keyCol)), Seq(keyCol), "left_anti")
+            .unionByName(deduped)
+            // eager checkpoint MATERIALIZES the merge before the write
+            // and cuts the scan out of the write plan — Spark (rightly)
+            // refuses to overwrite a path its own plan still reads;
+            // size is touched-buckets only, released with the JVM's
+            // reference like the D-family pins
+            .localCheckpoint(true)
+        } else deduped
+      merged.write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic") // replace ONLY
+        .partitionBy("bucket")                       // touched buckets
+        .parquet(dataDir)
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
+    } finally deduped.unpersist()
+    ()
+  }
+
+  /** Attach the upsert sink to an update stream. Returns the started
+    * query; callers own its lifecycle. */
+  def start(updates: DataFrame, dir: String, checkpointDir: String,
+      keyCol: String, verCol: String, nBuckets: Int = 64): StreamingQuery =
+    updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, dir, keyCol, verCol, nBuckets)
+      }
+      .start()
+
+  /** The current snapshot as a DataFrame (bucket column dropped). */
+  def snapshot(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/data").drop("bucket")
+}

@@ -408,4 +408,40 @@ class MonitoringSpec extends SparkSpec {
       .map(_._1).toSet
     assert(out.filter(_._1 == dev).map(_._2).toSet === wantIds)
   }
+
+  test("cross corr: planted linear/anti series hit ±1, constant device dropped") {
+    val bucketUs = 21600000000L
+    def ev(u: Long, b: Long, v: Double) =
+      (u, new java.sql.Timestamp((b * bucketUs) / 1000), v)
+    val events = (0L until 10L).flatMap { b =>
+      Seq(
+        ev(1L, b, (b + 1).toDouble),       // rising series
+        ev(2L, b, 2.0 * (b + 1)),          // exact positive linear map of 1
+        ev(3L, b, (10 - b).toDouble),      // exact negative linear map of 1
+        ev(4L, b, 5.0))                    // constant: zero variance
+    }.toDF("user_id", "ts", "value")
+    val out = Monitoring.crossCorrOf(events, panel = 4, minBuckets = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // device 4 has zero variance — every pair with it must be dropped
+    assert(out.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)), s"pairs: $out")
+    assert(out((1L, 2L)) === ((10L, 1.0)))
+    assert(out((1L, 3L)) === ((10L, -1.0)))
+    assert(out((2L, 3L)) === ((10L, -1.0)))
+  }
+
+  test("cross corr: pairs below the shared-bucket floor are dropped") {
+    val bucketUs = 21600000000L
+    def ev(u: Long, b: Long, v: Double) =
+      (u, new java.sql.Timestamp((b * bucketUs) / 1000), v)
+    // devices 1,2 share 10 buckets; device 5 appears in only 3 of them
+    val events = ((0L until 10L).flatMap { b =>
+      Seq(ev(1L, b, (b + 1).toDouble), ev(2L, b, (2 * b + 3).toDouble))
+    } ++ (0L until 3L).map(b => ev(5L, b, (3 * b + 1).toDouble)))
+      .toDF("user_id", "ts", "value")
+    val out = Monitoring.crossCorrOf(events, panel = 4, minBuckets = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet === Set((1L, 2L)), s"pairs: ${out.toSeq}")
+  }
 }

@@ -118,4 +118,38 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getInt(3) === r.getInt(1) / 2 && r.getInt(4) === r.getInt(2) / 2)
     }
   }
+
+  test("frame dedup: planted shared chunks pair up, boilerplate df-cap suppresses") {
+    import spark.implicits._
+    // 64-byte chunks; stride 4 samples frame 0, 4, ... — give each doc
+    // 64*4 bytes so exactly chunks 0 and 4 are sampled (frame 4 is the
+    // last, possibly short, chunk).
+    val A = "a" * 256
+    val B = "b" * 256
+    def doc(id: Long, text: String) = (id, text.getBytes("UTF-8"))
+    // payload = 5 chunks of 64 bytes → sampled frames at idx 0 and 4
+    def payload(c0: String, c4: String) = c0 * 4 + c4
+    val common = "z" * 64 // boilerplate chunk planted in MANY media
+    val media = Seq(
+      doc(1L, payload("a" * 64, "x" * 64)),
+      doc(2L, payload("a" * 64, "x" * 64)), // exact same two sampled frames as 1
+      doc(3L, payload("a" * 64, "y" * 64)), // shares only frame 0 with 1,2
+      // four media sharing ONLY the boilerplate chunk (df = 5 > dfCap 4)
+      doc(4L, payload(common, "p" * 64)),
+      doc(5L, payload(common, "q" * 64)),
+      doc(6L, payload(common, "r" * 64)),
+      doc(7L, payload(common, "s" * 64)),
+      doc(8L, payload(common, "t" * 64))
+    ).toDF("doc_id", "payload").as[(Long, Array[Byte])]
+    val frames = Multimodal.frameSample(media).toDF()
+    val out = Multimodal.dedupFrames(frames, minShared = 2, dfCap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(5)))
+    // only (1,2) share >= 2 non-boilerplate frames; containment = 2/2
+    assert(out.toSeq === Seq((1L, 2L, 2L, 1.0)), s"pairs: ${out.toSeq}")
+    // with the df-cap lifted the boilerplate chunk floods pairs
+    val flooded = Multimodal.dedupFrames(frames, minShared = 1, dfCap = 64)
+      .collect()
+    assert(flooded.length >= 10, "df-cap test is vacuous: no boilerplate pairs")
+  }
 }

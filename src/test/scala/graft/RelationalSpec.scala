@@ -139,4 +139,103 @@ class RelationalSpec extends SparkSpec {
     assert(out === Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 1),
       s"funnel stages: $out")
   }
+
+  test("rolling dau: contribution-explode window matches hand-rolled 7-day distinct") {
+    val dayUs = 86400000000L
+    val d0 = 19900L // an arbitrary epoch day
+    def ev(u: Long, day: Long) =
+      (u, new java.sql.Timestamp((day * dayUs) / 1000))
+    val events = Seq(
+      ev(1L, d0), ev(2L, d0), ev(1L, d0), // duplicate activity same day
+      ev(1L, d0 + 1),
+      ev(3L, d0 + 8)
+    ).toDF("user_id", "ts")
+    val out = Relational.qRollingDauOf(events)
+      .collect().map(r => (r.getLong(0) - d0, r.getLong(1), r.getLong(2)))
+    // day offset -> (dau, wau): user 1,2 on d0; user 1 on d1; user 3 on d8.
+    // WAU(d) counts users active in [d-6, d]; horizon cut at max day d8,
+    // so no fabricated days past d8 and every day d0..d8 appears.
+    val expect = Seq(
+      (0L, 2L, 2L), (1L, 1L, 2L), (2L, 0L, 2L), (3L, 0L, 2L), (4L, 0L, 2L),
+      (5L, 0L, 2L), (6L, 0L, 2L), (7L, 0L, 1L), (8L, 1L, 1L))
+    assert(out.toSeq === expect, s"rolling dau: ${out.toSeq}")
+  }
+
+  test("event paths: gap splits sessions, cap bounds the path, event_id breaks ts ties") {
+    def ev(id: Long, u: Long, t: String, typ: String) =
+      (id, u, java.sql.Timestamp.valueOf(t), typ)
+    val long = (0 until 12).map(i =>
+      ev(200L + i, 2L, f"2024-01-01 10:${i}%02d:00", if (i % 2 == 0) "view" else "click"))
+    val events = (Seq(
+      // user 1: two sessions split by a 40-min gap
+      ev(1L, 1L, "2024-01-01 10:00:00", "click"),
+      ev(2L, 1L, "2024-01-01 10:05:00", "view"),
+      ev(3L, 1L, "2024-01-01 10:10:00", "purchase"),
+      ev(4L, 1L, "2024-01-01 10:50:00", "click"),
+      ev(5L, 1L, "2024-01-01 10:55:00", "view"),
+      // user 3: identical timestamps — event_id must order the path
+      ev(101L, 3L, "2024-01-01 09:00:00", "signup"),
+      ev(102L, 3L, "2024-01-01 09:00:00", "click")
+    ) ++ long).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Relational.qEventPathsOf(events, maxLen = 8, topK = 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val eight = (0 until 8).map(i => if (i % 2 == 0) "view" else "click")
+      .mkString(">")
+    assert(out === Map(
+      "click>view>purchase" -> 1L, "click>view" -> 1L,
+      "signup>click" -> 1L, eight -> 1L), s"paths: $out")
+  }
+
+  test("profile: one row per column, counts/nulls/distincts consistent") {
+    val n = Tables.orders(spark, sf).count()
+    val rows = Relational.qProfile(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("o_custkey", "o_odate_us", "o_orderkey", "o_orderpriority",
+        "o_orderstatus", "o_totalprice"))
+    val byCol = rows.map(r => r.getString(0) -> r).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) === n)  // n + nulls = total
+      assert(r.getLong(3) <= r.getLong(1))       // distinct <= non-null
+    }
+    val key = byCol("o_orderkey")
+    assert(key.getLong(3) === n)                 // primary key: all distinct
+    assert(key.getDouble(4) <= key.getDouble(5)) // min <= max
+    assert(byCol("o_orderstatus").getLong(3) <= 3L)
+    assert(byCol("o_orderstatus").isNullAt(4) &&
+      !byCol("o_orderstatus").isNullAt(6))
+  }
+
+  test("rolling dau approx: HLL path within 5% of the exact explode, same days") {
+    val approx = Relational.qRollingDauApprox(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Relational.qRollingDau(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (day, (we, wa)) =>
+      assert(we === exact(day))
+      assert(math.abs(wa - we).toDouble <= math.max(1.0, 0.05 * we),
+        s"day $day: approx $wa vs exact $we")
+    }
+  }
+
+  test("copurchase: planted baskets produce exact support and lift") {
+    val lines = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (3L, 20L), // dup line: counts once
+      (4L, 30L), (4L, 40L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Relational.qCopurchaseOf(lines).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // 4 orders; df: 10->3, 20->3, 30->2, 40->1
+    assert(out.keySet === Set((10L, 20L), (10L, 30L), (20L, 30L), (30L, 40L)))
+    assert(out((10L, 20L)) === ((3L, 3L, 3L, 4.0 * 3 / 9)))
+    assert(out((10L, 30L)) === ((1L, 3L, 2L, 4.0 * 1 / 6)))
+    assert(out((20L, 30L)) === ((1L, 3L, 2L, 4.0 * 1 / 6)))
+    assert(out((30L, 40L)) === ((1L, 2L, 1L, 4.0 * 1 / 2)))
+    // ordering: support desc first
+    val sup = Relational.qCopurchaseOf(lines).collect().map(_.getLong(2))
+    assert(sup.sameElements(sup.sortBy(-_)))
+  }
 }

@@ -438,4 +438,41 @@ class SimilaritySpec extends SparkSpec {
     assert(got(0L).sorted.toSeq === want(queryPool.take(3)).sorted.toSeq)
     assert(got(1L).sorted.toSeq === want(queryPool.drop(3)).sorted.toSeq)
   }
+
+  test("embed cluster: planted separable groups land pure, sizes add up") {
+    // three tight groups around axis-aligned centers; labels track the
+    // group except one deliberate impostor in group 0
+    def v(base: Array[Double], jitter: Double) =
+      base.map(x => (x + jitter).toFloat).toSeq
+    val c0 = Array(10.0, 0.0, 0.0); val c1 = Array(0.0, 10.0, 0.0)
+    val c2 = Array(0.0, 0.0, 10.0)
+    val rows = (0 until 5).map(i => (i.toLong, v(c0, i * 0.01), 0L)) ++
+      Seq((5L, v(c0, 0.06), 7L)) ++ // impostor label in cluster 0
+      (6 until 10).map(i => (i.toLong, v(c1, (i - 6) * 0.01), 1L)) ++
+      (10 until 14).map(i => (i.toLong, v(c2, (i - 10) * 0.01), 2L))
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val centroids = Array(c0, c1, c2)
+    val out = Similarity.embedClusterOf(e, centroids).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(out.keySet === Set(0, 1, 2))
+    assert(out(0) === ((6L, 0L, 5L, 5.0 / 6.0)))
+    assert(out(1) === ((4L, 1L, 4L, 1.0)))
+    assert(out(2) === ((4L, 2L, 4L, 1.0)))
+    // partition-layout determinism: identical report bit-for-bit
+    val rep = Similarity.embedClusterOf(e.repartition(7), centroids).collect()
+    assert(rep.map(_.toString).toSeq ===
+      Similarity.embedClusterOf(e, centroids).collect().map(_.toString).toSeq)
+  }
+
+  test("embed cluster: corpus report sizes sum to corpus count, purity bounded") {
+    val out = Similarity.embedCluster(spark, sf, nClusters = 8).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum === n)
+    out.foreach { r =>
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(5) >= 0.0) // mean_dist
+      assert(r.getLong(3) <= r.getLong(1))
+    }
+  }
 }

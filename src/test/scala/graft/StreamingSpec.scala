@@ -548,6 +548,40 @@ class StreamingSpec extends SparkSpec {
         s"stream/batch divergence: stream-only=${got -- want}, batch-only=${want -- got}")
     } finally q.stop()
   }
+
+  test("live MTTR: replayed history emits the batch operator's recovered incidents once") {
+    import graft.operators.Monitoring
+    val want = Monitoring.mttr(spark, sf).collect()
+      .filter(_.getLong(3) >= 0)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(want.nonEmpty, "sf0.001 must contain recovered incidents")
+    val history = Tables.events(spark, sf)
+      .orderBy($"ts", $"event_id").as[DeviceEvent].collect()
+    val (sliceA, sliceB) = history.splitAt(history.length / 2)
+    val input = MemoryStream[DeviceEvent](23, spark, None)
+    val q = StreamingAggs.recoveryStream(input.toDS())
+      .writeStream.format("memory").queryName("recovery_out")
+      .outputMode("append").start()
+    try {
+      input.addData(sliceA.toSeq)
+      q.processAllAvailable()
+      input.addData(sliceB.toSeq)
+      q.processAllAvailable()
+      def got: Set[(Long, Long, Long, Long)] = spark.table("recovery_out")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+        .toSet
+      val g1 = got
+      assert(g1 === want,
+        s"stream/batch divergence: stream-only=${g1 -- want}, batch-only=${want -- g1}")
+      // at-least-once transport: replaying a slice must not double-emit
+      input.addData(sliceB.toSeq)
+      q.processAllAvailable()
+      assert(got === g1, "replayed events re-emitted recovery rows")
+      assert(spark.table("recovery_out").count() === g1.size.toLong,
+        "duplicate recovery rows emitted")
+    } finally q.stop()
+  }
 }
 
 case class HealthAlertRow(user_id: Long, ts: Timestamp, action: String, consec_fails: Int)
