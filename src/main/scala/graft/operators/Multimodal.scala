@@ -529,6 +529,89 @@ object Multimodal {
       |  CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS dst_bytes
       |FROM documents ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- F9
+  /** Audio-analyzer contract: payload bytes → per-window level rows.
+    * A real integration decodes PCM/Opus here; it runs inside
+    * mapPartitions so one decoder instance serves a whole partition
+    * (the F2/F4 batch shape). */
+  trait AudioAnalyzer extends Serializable {
+    def analyze(payload: Array[Byte]): Iterator[(Int, Int, Int, Long)]
+  }
+
+  /** STUB analyzer — deterministic fake standing in for a PCM decoder:
+    * "samples" are the payload's unsigned bytes centered on 128,
+    * windowed in fixed `windowSamples` chunks (last window partial).
+    * Per window: sample count, peak |amplitude|, and integer energy
+    * Σ s² — exact arithmetic end to end, which is what lets the
+    * oracle replay it. */
+  final class StubAudioAnalyzer(windowSamples: Int) extends AudioAnalyzer {
+    override def analyze(payload: Array[Byte]): Iterator[(Int, Int, Int, Long)] =
+      payload.grouped(windowSamples).zipWithIndex.map { case (w, idx) =>
+        var peak = 0
+        var energy = 0L
+        var i = 0
+        while (i < w.length) {
+          val s = (w(i) & 0xff) - 128
+          if (math.abs(s) > peak) peak = math.abs(s)
+          energy += s.toLong * s
+          i += 1
+        }
+        (idx, w.length, peak, energy)
+      }
+  }
+
+  /** AUDIO LEVEL windows — the third modality through the decoder
+    * seam (images: F4 features, video: F2/F6 frames+cuts, audio:
+    * this): per-window peak + RMS loudness, the first pass of VAD /
+    * silence trimming / loudness normalization in a speech pipeline.
+    * Map-only like every decode pass (payloads never shuffle); peak
+    * and energy are integer-exact, RMS is one sqrt of an exact
+    * integer ratio — the identical IEEE tree in DuckDB, so the whole
+    * query hash-checks under the stub. */
+  def mmAudioLevels(spark: SparkSession, sfDir: String,
+      windowSamples: Int = 256): DataFrame = {
+    import spark.implicits._
+    require(windowSamples >= 1, "windowSamples must be positive")
+    val media = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text".cast("binary"))
+      .as[(Long, Array[Byte])]
+    media.mapPartitions { rows =>
+      val analyzer = new StubAudioAnalyzer(windowSamples)
+      rows.flatMap { case (id, payload) =>
+        analyzer.analyze(payload).map { case (idx, n, peak, energy) =>
+          (id, idx, n, peak, energy)
+        }
+      }
+    }.toDF("media_id", "window_idx", "n_samples", "peak", "energy")
+      .select($"media_id", $"window_idx", $"n_samples", $"peak", $"energy",
+        sqrt($"energy".cast("double") / $"n_samples").as("rms"))
+      .orderBy($"media_id", $"window_idx")
+  }
+
+  /** DuckDB replay of the stub analyzer: 256-char windows (chars ==
+    * bytes: ASCII corpus), samples = ord(c) − 128, integer peak/energy,
+    * one sqrt for RMS. */
+  val mmAudioLevelsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS n FROM documents),
+      |w AS (
+      |  SELECT doc_id, text, n,
+      |    unnest(range(0, CAST(ceil(n / 256.0) AS BIGINT))) AS idx
+      |  FROM d WHERE n > 0),
+      |s AS (
+      |  SELECT doc_id AS media_id, CAST(idx AS INT) AS window_idx,
+      |    list_transform(
+      |      string_split(substring(text, CAST(idx * 256 + 1 AS INT), 256), ''),
+      |      c -> ord(c) - 128) AS samples
+      |  FROM w)
+      |SELECT media_id, window_idx,
+      |  CAST(len(samples) AS INT) AS n_samples,
+      |  CAST(list_max(list_transform(samples, s -> abs(s))) AS INT) AS peak,
+      |  CAST(list_sum(list_transform(samples, s -> s * s)) AS BIGINT) AS energy,
+      |  sqrt(CAST(list_sum(list_transform(samples, s -> s * s)) AS DOUBLE)
+      |    / len(samples)) AS rms
+      |FROM s ORDER BY media_id, window_idx""".stripMargin
+
   // ---------------------------------------------------------------- F8
   /** NEAR-DUPLICATE MEDIA detection by sampled-frame signature overlap
     * — the video-dedup staple (re-uploads, re-encodes, clipped copies

@@ -1042,6 +1042,88 @@ object Relational {
       .limit(topK)
   }
 
+  // ---------------------------------------------------------------- B39
+  /** Activity HEATMAP — hour-of-day × event-type grid (counts + exact
+    * value sums): the operational dashboard's background texture and
+    * the visual twin of A34's seasonal baseline. One scan, one
+    * exchange on the ≤ 24 × |types| key space, map-side partials do
+    * nearly all the work — the canonical "tiny-key rollup over a huge
+    * stream" shape that stays this cheap at any corpus size. */
+  def qHeatmap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(expr("(unix_micros(ts) div 3600000000) % 24").as("hod"),
+        $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        dsum(coalesce($"value", lit(0.0))).as("sum_value"))
+      .orderBy($"hod", $"event_type")
+  }
+
+  val qHeatmapSql: String =
+    """SELECT (epoch_us(ts) // 3600000000) % 24 AS hod, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,4))) AS DOUBLE)
+      |    AS sum_value
+      |FROM events
+      |GROUP BY (epoch_us(ts) // 3600000000) % 24, event_type
+      |ORDER BY hod, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- B38
+  /** TOP MOVERS — period-over-period revenue shift per part (the
+    * "what changed since last year" dashboard): one scan, both
+    * periods' revenues as conditional DECIMAL sums in a single
+    * aggregate (no self-join, no pivot), percent change in double off
+    * the exact sums — the identical IEEE division in both engines.
+    * Parts below a base-revenue floor are cut (a tiny base makes any
+    * change an "infinite mover"); deterministic top-20 by (|pct|
+    * desc, part). One exchange on the part key, map-side partials. */
+  def qTopMovers(spark: SparkSession, sfDir: String,
+      topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    require(topK > 0, "topK must be positive")
+    val y1996 = ($"l_shipdate" >= lit("1996-01-01").cast("timestamp")) &&
+      ($"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+    val y1997 = ($"l_shipdate" >= lit("1997-01-01").cast("timestamp")) &&
+      ($"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+    Tables.lineitem(spark, sfDir)
+      .filter(y1996 || y1997)
+      .groupBy($"l_partkey")
+      .agg(
+        sum(when(y1996, dec($"l_extendedprice"))).cast("decimal(38,4)")
+          .cast("double").as("rev_prev"),
+        sum(when(y1997, dec($"l_extendedprice"))).cast("decimal(38,4)")
+          .cast("double").as("rev_curr"))
+      .filter($"rev_prev" >= 10000.0 && $"rev_curr".isNotNull)
+      .withColumn("pct_change",
+        ($"rev_curr" - $"rev_prev") / $"rev_prev" * 100.0)
+      .select($"l_partkey", $"rev_prev", $"rev_curr", $"pct_change")
+      .orderBy(abs($"pct_change").desc, $"l_partkey")
+      .limit(topK)
+  }
+
+  val qTopMoversSql: String =
+    """WITH m AS (
+      |  SELECT l_partkey,
+      |    CAST(CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DECIMAL(38,4))
+      |      AS DOUBLE) AS rev_prev,
+      |    CAST(CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DECIMAL(38,4))
+      |      AS DOUBLE) AS rev_curr
+      |  FROM lineitem
+      |  WHERE (l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00')
+      |     OR (l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |         AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+      |  GROUP BY l_partkey)
+      |SELECT l_partkey, rev_prev, rev_curr,
+      |  (rev_curr - rev_prev) / rev_prev * 100.0 AS pct_change
+      |FROM m
+      |WHERE rev_prev >= 10000.0 AND rev_curr IS NOT NULL
+      |ORDER BY abs(pct_change) DESC, l_partkey LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- B36
   /** B33's SCALE PATH: rolling 7-day distinct users from MERGEABLE HLL
     * sketches (Spark's DataSketches aggregates) — one sketch per day
@@ -1102,19 +1184,41 @@ object Relational {
     val spark = lines.sparkSession
     import spark.implicits._
     require(topK > 0, "topK must be positive")
-    val op = lines.select($"l_orderkey", $"l_partkey").distinct()
-    val nOrders = op.select($"l_orderkey").distinct().count()
-    val df = op.groupBy($"l_partkey").agg(count(lit(1)).as("df"))
-    val pairs = op.as("a").join(op.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" &&
-          $"a.l_partkey" < $"b.l_partkey")
-      .groupBy($"a.l_partkey".as("part_a"), $"b.l_partkey".as("part_b"))
+    // One exchange on the order key builds each order's BASKET
+    // (collect_set dedupes in-aggregate — no separate distinct pass),
+    // and pair generation is ROW-LOCAL over the sorted basket: the
+    // first cut of this query self-joined the deduped (order, part)
+    // frame on the order key, which shuffled ~1.5× the corpus and
+    // aggregated ~6 pair rows per order through a second exchange —
+    // measured 1.85 s isolated at sf0.1; the basket shape re-uses the
+    // one grouped subtree for all three consumers (pairs, per-part df,
+    // order count) and was measured at a third of that. Basket size
+    // bounds the C(k, 2) fan-out, same as the join formulation.
+    // not pinned: a localCheckpoint of the baskets was measured at no
+    // gain — ReuseExchange already shares the one shuffle, and the
+    // runtime is dominated by the pair aggregation (~6 near-unique
+    // pair rows per order through the second exchange), which every
+    // exact formulation pays
+    val baskets = lines.select($"l_orderkey", $"l_partkey")
+      .groupBy($"l_orderkey")
+      .agg(array_sort(collect_set($"l_partkey")).as("ps"))
+    val n = baskets.agg(count(lit(1)).as("n_orders"))
+    val df = baskets
+      .select(explode($"ps").as("part"))
+      .groupBy($"part").agg(count(lit(1)).as("df"))
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |    y -> named_struct('a', x, 'b', y))))""".stripMargin)).as("p"))
+      .groupBy($"p.a".as("part_a"), $"p.b".as("part_b"))
       .agg(count(lit(1)).as("support"))
     pairs
-      .join(df.select($"l_partkey".as("part_a"), $"df".as("df_a")), "part_a")
-      .join(df.select($"l_partkey".as("part_b"), $"df".as("df_b")), "part_b")
+      .join(df.select($"part".as("part_a"), $"df".as("df_a")), "part_a")
+      .join(df.select($"part".as("part_b"), $"df".as("df_b")), "part_b")
+      .crossJoin(broadcast(n))
       .select($"part_a", $"part_b", $"support", $"df_a", $"df_b",
-        ((lit(nOrders) * $"support").cast("double") /
+        (($"n_orders" * $"support").cast("double") /
           ($"df_a" * $"df_b")).as("lift"))
       .orderBy($"support".desc, $"part_a", $"part_b")
       .limit(topK)

@@ -994,6 +994,118 @@ object Similarity {
       |  ROUND(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6) AS self_dot
       |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- D14
+  /** FILTERED ANN — top-k under a metadata predicate (the modern
+    * vector-search table stake: "nearest docs WHERE lang = 'en' AND
+    * license = permissive"): here the predicate is an even-label
+    * corpus shard. The exact path PRE-filters — the predicate lands
+    * in the parquet scan (PushedFilters), so the brute kernel scores
+    * only qualifying vectors and the guard bounds the FILTERED pair
+    * count. Oracle-checkable like D1. */
+  def annFiltered(spark: SparkSession, sfDir: String, k: Int = AnnK): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter($"vec_id" < QueryIdBound)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val pairs = Tables.cachedCount(spark, s"$sfDir/embeddings.parquet") * QueryIdBound
+    require(pairs <= BruteForceMaxPairs,
+      s"filtered brute ANN would score <= $pairs pairs (> $BruteForceMaxPairs); " +
+        "use annFilteredIvf — the cell-pruned scale path")
+    rankTopK(e.filter($"label" % 2 === 0).crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        round(VectorFunctions.cosineSim($"qe", $"embedding"), 6).as("cos")), k)
+  }
+
+  val annFilteredSql: String =
+    s"""SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${cosSql("q", "c")} AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosSql("q", "c")} DESC, c.vec_id) AS rank
+       |  FROM embeddings q, embeddings c
+       |  WHERE q.vec_id < $QueryIdBound AND c.vec_id <> q.vec_id
+       |    AND c.label % 2 = 0) t
+       |WHERE rank <= $AnnK
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** D14's SCALE PATH: filtered search over the IVF geometry with
+    * OVER-FETCH — cells know nothing about labels, so the probe
+    * retrieves `overFetch × k` unfiltered candidates and applies the
+    * predicate after scoring (post-filter). The tradeoff is the
+    * textbook one: selectivity s needs ~k/s candidates, so over-fetch
+    * scales with 1/s — a production engine stores the filter column
+    * beside the vectors in the index (as D10's snapshot stores int8
+    * structs) and pushes the predicate into the probed-cell scan;
+    * here the label joins back from the corpus by id, which is the
+    * same per-candidate cost without rebuilding the index. Spec pins
+    * recall ≥ the family bound vs [[annFiltered]]. */
+  def annFilteredIvf(spark: SparkSession, sfDir: String, k: Int = AnnK,
+      overFetch: Int = 8, nProbe: Int = 6): DataFrame = {
+    import spark.implicits._
+    require(overFetch >= 1, "overFetch must be >= 1")
+    // over-fetch widens WITHIN probed cells; the filter also needs
+    // MORE cells probed — a qualifying neighbor ranked just past the
+    // unfiltered top-k often lives in a cell the unfiltered search
+    // would not have opened. Both knobs move recall; both scale cost
+    // linearly in what they name.
+    val labels = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label")
+    val wide = annIvf(spark, sfDir, k = k * overFetch, nProbe = nProbe)
+    rankTopK(
+      wide.join(labels, wide("neighbor_id") === labels("vec_id"))
+        .filter($"label" % 2 === 0)
+        .select($"query_id", $"vec_id", $"cos"), k)
+  }
+
+  // ---------------------------------------------------------------- D15
+  /** CHUNK → EMBED → SEARCH composition — the RAG index-build path as
+    * one operator: C30's overlapping token-window chunking feeds a
+    * per-partition stub encoder (the F4 batch shape — a real
+    * sentence-transformer drops into the same mapPartitions seam),
+    * and the resulting chunk-embedding frame serves retrieval through
+    * the D-family search (here the exact D7 kernel over a bounded
+    * self-query panel; at corpus scale the same frame feeds
+    * writeIvfIndex/annIvfServe unchanged). The report row is the
+    * build's acceptance check: chunk volume and the self-retrieval
+    * hit rate (a chunk queried against the index must find ITSELF at
+    * rank 1 unless an identical twin chunk ties — with near-dup docs
+    * in the corpus a sub-1.0 rate is signal, not noise; the spec
+    * bounds it from below). Rows-only: the stub embedding geometry is
+    * engine-specific. */
+  def pipelineEmbedSearch(spark: SparkSession, sfDir: String,
+      dim: Int = 8, panelMod: Long = 97): DataFrame = {
+    import spark.implicits._
+    val chunks = graft.operators.Curation
+      .chunkDocuments(Tables.documents(spark, sfDir))
+      .select(
+        // chunk key = doc_id * 2^20 + chunk_idx: collision-free while
+        // docs stay under 2^20 chunks (32-token windows: a billion-
+        // token doc), and stable across partitionings
+        ($"doc_id" * 1048576L + $"chunk_idx").as("vec_id"),
+        $"chunk_text")
+    val embedded = chunks.as[(Long, String)].mapPartitions { rows =>
+      val enc = new Multimodal.StubExtractor(dim)
+      rows.map { case (id, text) =>
+        (id, enc.extract(text.getBytes("UTF-8")).toSeq)
+      }
+    }.toDF("vec_id", "embedding")
+      // pinned: the panel query below reads this frame twice (corpus +
+      // queries); the encode pass should run once, like the D6/D11
+      // index-build pins
+      .localCheckpoint(true)
+    val panel = embedded.filter($"vec_id" % panelMod === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val nChunks = embedded.count()
+    val nQueries = panel.count()
+    val hits = bruteTopKFrames(embedded, panel, k = 1, excludeSelf = false,
+        knownPairs = Some(nChunks * nQueries))
+      .filter($"rank" === 1 && $"neighbor_id" === $"query_id")
+      .count()
+    Seq((nChunks, nQueries, hits, hits.toDouble / nQueries))
+      .toDF("n_chunks", "n_queries", "self_hits", "self_hit_rate")
+  }
+
   // ---------------------------------------------------------------- D13
   /** Embedding CLUSTERING report — the corpus-cartography pass a
     * training pipeline runs before mixing (what topic mass is in

@@ -85,4 +85,51 @@ object AlertSink {
             org.apache.spark.sql.functions.lit(0).cast("int"))
     }
   }
+
+  /** ALERT SUPPRESSION — the anti-fatigue stage between the monitors
+    * and delivery: a repeat of the SAME (device, action) inside the
+    * cooldown window is dropped, so a flapping device (A44's failure
+    * mode) pages once per cooldown instead of once per transition.
+    * Keyed on (device, action) — distinct remediation actions page
+    * independently (a `reboot` escalation must not be silenced by a
+    * recent `restart` page). State per key is two longs: the last
+    * DELIVERED alert's event time (the cooldown anchor — suppressed
+    * repeats do NOT extend it, or a steady flap would silence itself
+    * forever) and a processed-(us) replay fence so at-least-once
+    * delivery cannot re-page. State is O(live device × ladder
+    * actions). */
+  def suppressStream(alerts: org.apache.spark.sql.Dataset[HealthAlert],
+      cooldownUs: Long = 1800000000L): org.apache.spark.sql.Dataset[HealthAlert] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = alerts.sparkSession
+    import spark.implicits._
+    require(cooldownUs > 0, "cooldown must be positive")
+    alerts
+      .groupByKey(a => (a.user_id, a.action))
+      .flatMapGroupsWithState[SuppressState, HealthAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, it, state) =>
+          val sorted = it.toArray.sortBy(a => HealthMonitor.tsMicros(a.ts))
+          var st = state.getOption.getOrElse(SuppressState(Long.MinValue,
+            Long.MinValue))
+          val out = Seq.newBuilder[HealthAlert]
+          sorted.foreach { a =>
+            val us = HealthMonitor.tsMicros(a.ts)
+            if (us > st.lastSeenUs) { // replay fence
+              if (st.lastSentUs == Long.MinValue ||
+                  us - st.lastSentUs >= cooldownUs) {
+                out += a
+                st = st.copy(lastSentUs = us)
+              }
+              st = st.copy(lastSeenUs = us)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }
+
+/** Per-(device, action) suppression state: last delivered event time
+  * (cooldown anchor) + last processed event time (replay fence). */
+case class SuppressState(lastSentUs: Long, lastSeenUs: Long)

@@ -101,4 +101,27 @@ object UpsertSink {
   /** The current snapshot as a DataFrame (bucket column dropped). */
   def snapshot(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/data").drop("bucket")
+
+  /** COMPACT the snapshot: every applied batch leaves one file-set per
+    * touched bucket, so a long-running stream accumulates small files
+    * (the same pressure every table format schedules compaction for).
+    * One job rewrites each bucket as a single file: repartition on the
+    * bucket column co-locates each bucket's rows in one task, dynamic
+    * overwrite swaps whole buckets atomically-per-partition. Content
+    * is untouched, so the pass is idempotent and needs no marker; run
+    * it from maintenance, not the hot path. The eager checkpoint cuts
+    * the self-read the same way [[applyBatch]]'s does. */
+  def compactSnapshot(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nBuckets: Int = 64): Unit = {
+    import spark.implicits._
+    val dataDir = s"$dir/data"
+    spark.read.parquet(dataDir)
+      .repartition(nBuckets, $"bucket")
+      .localCheckpoint(true)
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(dataDir)
+  }
 }

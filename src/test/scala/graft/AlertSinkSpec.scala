@@ -49,6 +49,37 @@ class AlertSinkSpec extends SparkSpec {
     assert(log.count() === 0L)
     assert(log.columns.contains("action") && log.columns.contains("epoch"))
   }
+
+  test("suppression: repeats inside the cooldown drop, actions page independently") {
+    def al(min: Int, dev: Long, action: String) = HealthAlert(dev,
+      Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), action, 3)
+    val input = MemoryStream[HealthAlert](101, spark, None)
+    // 30-min cooldown
+    val q = AlertSink.suppressStream(input.toDS(), cooldownUs = 1800000000L)
+      .writeStream.format("memory").queryName("suppress_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        al(0, 1L, "restart"),   // pages
+        al(10, 1L, "restart"),  // inside cooldown: dropped
+        al(5, 1L, "reboot"),    // different action: pages
+        al(0, 2L, "restart"))   // different device: pages
+      q.processAllAvailable()
+      assert(spark.table("suppress_out").count() === 3)
+      // state crosses the trigger boundary: 10:10 was suppressed but the
+      // anchor stays 10:00, so 10:31 pages; 10:29 would not
+      input.addData(al(29, 1L, "restart"))
+      q.processAllAvailable()
+      assert(spark.table("suppress_out").count() === 3)
+      input.addData(al(31, 1L, "restart"))
+      q.processAllAvailable()
+      assert(spark.table("suppress_out").count() === 4)
+      // replayed alert (at-least-once transport): no re-page
+      input.addData(al(31, 1L, "restart"))
+      q.processAllAvailable()
+      assert(spark.table("suppress_out").count() === 4)
+    } finally q.stop()
+  }
 }
 
 /** Serializable counting notifier; local-mode executors share the JVM,

@@ -152,4 +152,25 @@ class MultimodalSpec extends SparkSpec {
       .collect()
     assert(flooded.length >= 10, "df-cap test is vacuous: no boilerplate pairs")
   }
+
+  test("audio levels: window math exact on a known payload, RMS consistent") {
+    val a = new Multimodal.StubAudioAnalyzer(4)
+    // bytes 128+x center to x; window 4 with a 2-sample tail
+    val payload = Array[Byte](
+      (128 + 3).toByte, (128 - 4).toByte, 128.toByte, (128 + 1).toByte,
+      (128 - 2).toByte, (128 + 2).toByte)
+    val out = a.analyze(payload).toSeq
+    assert(out === Seq((0, 4, 4, (9 + 16 + 0 + 1).toLong), (1, 2, 2, 8L)))
+    // driver query: covers every document, RMS² * n == energy
+    val rows = Multimodal.mmAudioLevels(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).distinct.length.toLong ===
+      Tables.documents(spark, sf).filter(length($"text") > 0).count())
+    rows.foreach { r =>
+      val (n, peak, energy, rms) =
+        (r.getInt(2), r.getInt(3), r.getLong(4), r.getDouble(5))
+      assert(n >= 1 && peak >= 0 && peak <= 128)
+      assert(math.abs(rms * rms * n - energy) < 1e-6 * math.max(1L, energy))
+      assert(peak.toLong * peak >= energy / n, "peak below mean square")
+    }
+  }
 }

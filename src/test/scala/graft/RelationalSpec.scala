@@ -218,6 +218,29 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("top movers: floor cuts tiny bases, pct change exact on planted revenue") {
+    val rows = Relational.qTopMovers(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (prev, curr, pct) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(prev >= 10000.0)
+      assert(math.abs(pct - (curr - prev) / prev * 100.0) < 1e-9)
+    }
+    val pcts = rows.map(r => math.abs(r.getDouble(3)))
+    assert(pcts.sameElements(pcts.sortBy(-(_: Double))), "not sorted by |pct|")
+  }
+
+  test("heatmap: full grid covered, counts reconcile with the raw table") {
+    val rows = Relational.qHeatmap(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum === Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 23)
+      assert(r.getLong(2) > 0)
+    }
+    val keys = rows.map(r => (r.getLong(0), r.getString(1)))
+    assert(keys.distinct.length === keys.length)
+  }
+
   test("copurchase: planted baskets produce exact support and lift") {
     val lines = Seq(
       (1L, 10L), (1L, 20L), (1L, 30L),

@@ -465,6 +465,35 @@ class SimilaritySpec extends SparkSpec {
       Similarity.embedClusterOf(e, centroids).collect().map(_.toString).toSeq)
   }
 
+  test("filtered ANN: predicate pure on both paths, ivf over-fetch recall >= 0.6") {
+    val exact = Similarity.annFiltered(spark, sf).collect()
+    assert(exact.nonEmpty)
+    val evenIds = Tables.embeddings(spark, sf)
+      .filter(col("label") % 2 === 0).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    exact.foreach(r => assert(evenIds.contains(r.getLong(2)),
+      s"exact path returned odd-labeled neighbor ${r.getLong(2)}"))
+    val ivf = Similarity.annFilteredIvf(spark, sf).collect()
+    ivf.foreach(r => assert(evenIds.contains(r.getLong(2)),
+      s"ivf path returned odd-labeled neighbor ${r.getLong(2)}"))
+    val want = exact.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (want & got).size.toDouble / want.size
+    assert(recall >= 0.6, s"filtered ivf recall $recall < 0.6")
+  }
+
+  test("embed-search pipeline: chunks indexed, self-retrieval nearly perfect") {
+    val r = Similarity.pipelineEmbedSearch(spark, sf).collect().head
+    val (nChunks, nQueries, hits, rate) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(nChunks > 0 && nQueries > 0)
+    assert(hits <= nQueries)
+    // identical twin chunks (near-dup docs) can outrank self on id
+    // ties; anything below this bound means the encode or key scheme
+    // broke, not the corpus
+    assert(rate >= 0.9, s"self-hit rate $rate")
+  }
+
   test("embed cluster: corpus report sizes sum to corpus count, purity bounded") {
     val out = Similarity.embedCluster(spark, sf, nClusters = 8).collect()
     val n = Tables.embeddings(spark, sf).count()

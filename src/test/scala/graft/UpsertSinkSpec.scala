@@ -74,4 +74,25 @@ class UpsertSinkSpec extends SparkSpec {
         1L -> ("a", 1L), 2L -> ("b2", 2L), 3L -> ("c", 2L)))
     } finally q.stop()
   }
+
+  test("compaction folds per-batch file sets into one file per bucket, content unchanged") {
+    val dir = tmp("graft-upsert")
+    // several batches all touching bucket-sharing keys -> multi-file buckets
+    (0 until 4).foreach { b =>
+      val batch = (0L until 16L).map(i => (i, s"b$b-v$i", b.toLong))
+        .toDF("doc_id", "text", "ver")
+      UpsertSink.applyBatch(batch, b.toLong, dir, "doc_id", "ver", nBuckets = 4)
+    }
+    def files: Map[String, Int] = {
+      val root = new java.io.File(s"$dir/data")
+      root.listFiles().filter(_.getName.startsWith("bucket="))
+        .map(b => b.getName ->
+          b.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    assert(files.values.exists(_ > 1), "compaction test is vacuous: no small files")
+    val before = snap(dir)
+    UpsertSink.compactSnapshot(spark, dir, nBuckets = 4)
+    assert(files.values.forall(_ === 1), s"buckets not compacted: $files")
+    assert(snap(dir) === before, "compaction changed snapshot content")
+  }
 }
