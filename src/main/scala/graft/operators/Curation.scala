@@ -805,6 +805,54 @@ object Curation {
       |WHERE reps > 0
       |ORDER BY doc_id, epoch_idx""".stripMargin
 
+  // ------------------------------------------------------------- C31
+  /** Deterministic TRAIN/VAL/TEST split — the assignment every
+    * training pipeline makes before anything else, with the one
+    * property that actually matters at corpus scale: a document's
+    * split is a pure function of its id and the seed, so it NEVER
+    * changes when the corpus grows, is re-partitioned, or is re-run
+    * (`rand()` is partition-dependent; a global rank would reassign
+    * the whole corpus on every ingest batch — both non-starters when
+    * yesterday's val doc leaking into today's train set silently
+    * contaminates every benchmark downstream, the C12 failure mode).
+    * The seeded LCG key's top 32 bits are the uniform lottery
+    * (C24's fractional-epoch discipline); cuts are integer-exact in
+    * both engines, so the assignment hash-checks. Zero shuffle —
+    * one map pass, split lands in the scan's projection. Fractions
+    * hold per source in expectation (hash-Bernoulli); the exact
+    * per-source cut, when wanted, is C18's rank shape. */
+  def splitAssign(docs: DataFrame, valFrac: Double = 0.05,
+      testFrac: Double = 0.05, seed: Long = 11L): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1,
+      s"bad split fractions ($valFrac, $testFrac)")
+    val u32 = shiftrightunsigned(shuffleKey(col("doc_id"), seed), 32)
+    val vCut = math.floor(valFrac * 4294967296.0).toLong
+    val tCut = math.floor((valFrac + testFrac) * 4294967296.0).toLong
+    docs.select(col("doc_id"), col("source"), col("n_chars"),
+      when(u32 < vCut, "val").when(u32 < tCut, "test")
+        .otherwise("train").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  def splitAssignQuery(spark: SparkSession, sfDir: String): DataFrame =
+    splitAssign(Tables.documents(spark, sfDir))
+
+  def splitAssignSql(valFrac: Double = 0.05, testFrac: Double = 0.05,
+      seed: Long = 11L): String = {
+    val vCut = math.floor(valFrac * 4294967296.0).toLong
+    val tCut = math.floor((valFrac + testFrac) * 4294967296.0).toLong
+    s"""WITH k AS (
+       |  SELECT doc_id, source, n_chars,
+       |    ((doc_id + $seed)::HUGEINT * 6364136223846793005
+       |      + 1442695040888963407) % 18446744073709551616 AS u
+       |  FROM documents)
+       |SELECT doc_id, source, n_chars,
+       |  CASE WHEN u // 4294967296 < $vCut THEN 'val'
+       |       WHEN u // 4294967296 < $tCut THEN 'test'
+       |       ELSE 'train' END AS split
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------- C25
   /** PER-DOMAIN CAP — the web-crawl curation knob epoch weights and
     * token budgets don't cover: a handful of giant domains (or

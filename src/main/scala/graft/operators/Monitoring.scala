@@ -1364,4 +1364,100 @@ object Monitoring {
        |  (n_buckets * sxy - sx * sy) / (sqrt(varx) * sqrt(vary)) AS corr_hv
        |FROM v WHERE varx > 0.0 AND vary > 0.0
        |ORDER BY device_a, device_b""".stripMargin
+
+  // ---------------------------------------------------------------- A49
+  /** GAP-FILLED hourly series per device over the dashboard's render
+    * window (trailing `horizonHours` of fleet time) — the
+    * `time_bucket_gapfill` / `fill(previous)` staple every telemetry UI
+    * needs before it can draw a line: missing hours inside a gap of at
+    * most `maxFillHours` are synthesized with the last observed hourly
+    * sum carried forward (`filled = true`); LONGER silences stay
+    * unfilled on purpose — a 12-h hole is A40's heartbeat-gap alert,
+    * not a smoothing candidate, and painting it with stale data would
+    * hide exactly the incident the reference polls for.
+    *
+    * Scale shape: hourly DECIMAL sums are one exchange with map-side
+    * partials; "now" derives from that tiny frame (broadcast, never a
+    * second events scan); rows older than `horizon + maxFill` are
+    * dropped BEFORE the per-device lag window (a fill can only
+    * originate within maxFill of the horizon start), so window input is
+    * bounded by devices × window hours — the output's own size — not
+    * corpus history. Fill rows are generated map-side from each gap's
+    * bounding pair (the LOCF value IS the gap's left edge — no second
+    * window pass); Spark's sequence() would count DOWN for an empty
+    * range, so the clip guard below is load-bearing. */
+  def gapFill(spark: SparkSession, sfDir: String,
+      maxFillHours: Int = 12, horizonHours: Int = 168): DataFrame =
+    gapFillOf(Tables.events(spark, sfDir), maxFillHours, horizonHours)
+
+  /** A49 over an arbitrary events frame (spec entry — plant gaps on
+    * both sides of the fill cap): needs (user_id, ts, value). */
+  def gapFillOf(events: DataFrame,
+      maxFillHours: Int, horizonHours: Int): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(maxFillHours >= 2 && horizonHours > maxFillHours,
+      s"need maxFillHours >= 2 and horizonHours > maxFillHours " +
+        s"(got $maxFillHours / $horizonHours)")
+    val hourly = events
+      .filter($"value".isNotNull)
+      .select($"user_id", expr(s"$tsUs div 3600000000").as("h"),
+        $"value".cast("decimal(18,4)").as("v"))
+      .groupBy($"user_id", $"h")
+      .agg(sum($"v").as("m"))
+    val now = hourly.agg(max($"h").as("now_h"))
+    // horizon start; keep maxFill extra hours so boundary gaps still fill
+    val recent = hourly.crossJoin(broadcast(now))
+      .withColumn("cut_h", $"now_h" - (horizonHours - 1))
+      .filter($"h" >= $"cut_h" - maxFillHours)
+    val w = Window.partitionBy($"user_id").orderBy($"h")
+    val lagged = recent
+      .withColumn("prev_h", lag($"h", 1).over(w))
+      .withColumn("prev_m", lag($"m", 1).over(w))
+    val observed = lagged.filter($"h" >= $"cut_h")
+      .select($"user_id", ($"h" * 3600000000L).as("hour_us"),
+        $"m".cast("double").as("metric_sum"), lit(false).as("filled"))
+    val fills = lagged
+      .filter($"prev_h".isNotNull &&
+        $"h" - $"prev_h" >= 2 && $"h" - $"prev_h" <= maxFillHours)
+      .withColumn("fill_from", greatest($"prev_h" + 1, $"cut_h"))
+      .filter($"fill_from" <= $"h" - 1) // sequence() counts DOWN on empty
+      .select($"user_id",
+        explode(sequence($"fill_from", $"h" - 1)).as("fh"),
+        $"prev_m".cast("double").as("metric_sum"), lit(true).as("filled"))
+      .select($"user_id", ($"fh" * 3600000000L).as("hour_us"),
+        $"metric_sum", $"filled")
+    observed.union(fills).orderBy($"user_id", $"hour_us")
+  }
+
+  def gapFillSql(maxFillHours: Int = 12, horizonHours: Int = 168): String =
+    s"""WITH hourly AS (
+       |  SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+       |    SUM(CAST(value AS DECIMAL(18,4))) AS m
+       |  FROM events WHERE value IS NOT NULL
+       |  GROUP BY 1, 2),
+       |now_h AS (SELECT MAX(h) AS now_h FROM hourly),
+       |rec AS (
+       |  SELECT user_id, h, m, now_h - (${horizonHours} - 1) AS cut_h
+       |  FROM hourly, now_h
+       |  WHERE h >= now_h - (${horizonHours} - 1) - ${maxFillHours}),
+       |lagged AS (
+       |  SELECT user_id, h, m, cut_h,
+       |    lag(h) OVER w AS prev_h, lag(m) OVER w AS prev_m
+       |  FROM rec
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY h)),
+       |obs AS (
+       |  SELECT user_id, h * 3600000000 AS hour_us,
+       |    CAST(m AS DOUBLE) AS metric_sum, FALSE AS filled
+       |  FROM lagged WHERE h >= cut_h),
+       |fills AS (
+       |  SELECT user_id,
+       |    UNNEST(generate_series(GREATEST(prev_h + 1, cut_h), h - 1))
+       |      * 3600000000 AS hour_us,
+       |    CAST(prev_m AS DOUBLE) AS metric_sum, TRUE AS filled
+       |  FROM lagged
+       |  WHERE prev_h IS NOT NULL
+       |    AND h - prev_h >= 2 AND h - prev_h <= ${maxFillHours})
+       |SELECT * FROM obs UNION ALL SELECT * FROM fills
+       |ORDER BY user_id, hour_us""".stripMargin
 }

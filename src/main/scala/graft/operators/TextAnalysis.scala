@@ -792,4 +792,91 @@ object TextAnalysis {
       |  COALESCE(CAST(e.s AS DOUBLE), 0.0) AS entropy_nats
       |FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  // --------------------------------------------------------------- E17
+  /** CORPUS-DRIFT report: Jensen-Shannon divergence of each source's
+    * token distribution against the whole corpus — the distribution
+    * monitor a training pipeline runs on every ingest batch ("did this
+    * crawl slice drift from the mix we validated?"), and the
+    * before/after number for every curation sweep that E10's volume
+    * dashboard cannot see (token COUNTS can hold steady while the
+    * distribution walks away). JSD over KL because it is symmetric,
+    * bounded by ln 2, and defined when a source lacks vocab the corpus
+    * has.
+    *
+    * Scale shape: per-(source, token) counts are ONE exchange with
+    * map-side partials; the global distribution and per-source totals
+    * derive from that vocab-sized frame, never a second corpus scan.
+    * The absent-vocab half of the Q-side sum has a CLOSED FORM — for
+    * tokens missing from the source, m = q/2, so the term sum is
+    * ln 2 · (1 − Σ_present q) — which kills the sources × vocab
+    * cross-join a literal JSD would need; Σ_present q comes exact from
+    * the INTEGER global counts. Per-token terms are DECIMAL(28,12)-
+    * quantized before the order-sensitive sum (§4 discipline: the
+    * probabilities are integer ratios, ln is correctly-rounded libm on
+    * both engines, so the whole report hash-checks). */
+  def corpusDriftOf(docs: DataFrame, stratumCol: String): DataFrame = {
+    val counts = docs
+      .select(col(stratumCol).as("s"), explode(tokens()).as("w"))
+      .groupBy(col("s"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val global = counts.groupBy(col("w")).agg(sum(col("tf")).as("gf"))
+    val totals = counts.groupBy(col("s")).agg(sum(col("tf")).as("ns"))
+    val grand = global.agg(sum(col("gf")).as("ng"))
+    val p = col("tf").cast("double") / col("ns").cast("double")
+    val q = col("gf").cast("double") / col("ng").cast("double")
+    val m = (p + q) / lit(2.0)
+    counts
+      .join(global, "w")
+      .join(broadcast(totals), "s")
+      .crossJoin(broadcast(grand))
+      .select(col("s"), col("ns"), col("gf"), col("ng"),
+        (p * log(p / m)).cast("decimal(28,12)").as("tp"),
+        (q * log(q / m)).cast("decimal(28,12)").as("tq"))
+      .groupBy(col("s"))
+      .agg(max(col("ns")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(col("tp")).cast("double").as("sp"),
+        sum(col("tq")).cast("double").as("sq"),
+        sum(col("gf")).cast("double").as("gfp"),
+        max(col("ng")).cast("double").as("ngd"))
+      .select(col("s").as("source"), col("n_tokens"), col("vocab"),
+        (lit(0.5) * col("sp") + lit(0.5) *
+          (col("sq") + log(lit(2.0)) * (lit(1.0) - col("gfp") / col("ngd"))))
+          .as("jsd"))
+      .orderBy(col("source"))
+  }
+
+  def corpusDrift(spark: SparkSession, sfDir: String): DataFrame =
+    corpusDriftOf(Tables.documents(spark, sfDir), "source")
+
+  val corpusDriftSql: String =
+    """WITH tok AS (
+      |  SELECT source AS s,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents),
+      |c AS (SELECT s, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |-- SUM(BIGINT) is HUGEINT in DuckDB: pin back to BIGINT so the
+      |-- emitted n_tokens column types match Spark's long
+      |g AS (SELECT w, CAST(SUM(tf) AS BIGINT) AS gf FROM c GROUP BY 1),
+      |t AS (SELECT s, CAST(SUM(tf) AS BIGINT) AS ns FROM c GROUP BY 1),
+      |ngt AS (SELECT CAST(SUM(gf) AS BIGINT) AS ng FROM g),
+      |j AS (
+      |  SELECT c.s, t.ns, g.gf, ngt.ng,
+      |    CAST(c.tf AS DOUBLE) / CAST(t.ns AS DOUBLE) AS p,
+      |    CAST(g.gf AS DOUBLE) / CAST(ngt.ng AS DOUBLE) AS q
+      |  FROM c JOIN g USING (w) JOIN t USING (s), ngt),
+      |terms AS (
+      |  SELECT s, ns, gf, ng,
+      |    CAST(p * ln(p / ((p + q) / 2.0)) AS DECIMAL(28,12)) AS tp,
+      |    CAST(q * ln(q / ((p + q) / 2.0)) AS DECIMAL(28,12)) AS tq
+      |  FROM j),
+      |agg AS (
+      |  SELECT s, MAX(ns) AS n_tokens, COUNT(*) AS vocab,
+      |    CAST(SUM(tp) AS DOUBLE) AS sp, CAST(SUM(tq) AS DOUBLE) AS sq,
+      |    CAST(SUM(gf) AS DOUBLE) AS gfp, CAST(MAX(ng) AS DOUBLE) AS ngd
+      |  FROM terms GROUP BY s)
+      |SELECT s AS source, n_tokens, vocab,
+      |  0.5 * sp + 0.5 * (sq + ln(2.0) * (1.0 - gfp / ngd)) AS jsd
+      |FROM agg ORDER BY source""".stripMargin
 }

@@ -438,7 +438,72 @@ object StreamingAggs {
           out.result().iterator
       }
   }
+
+  /** STREAMING FLAP detection — the live twin of
+    * [[graft.operators.Monitoring.statusFlaps]] (A44): a device-day
+    * accumulating err↔ok transitions pages the MOMENT its count
+    * reaches `minFlaps` (batch can only report at query time, after
+    * the marginal device has toggled all day). State per device is
+    * O(1): the previous event's error flag (carried ACROSS midnight —
+    * the batch lag window does not reset per day, so a flip whose two
+    * events straddle midnight counts in the LATER event's day), the
+    * current day, its flip count, an alerted latch (one page per
+    * device-day, A48's cooldown discipline built into the operator),
+    * and a replay fence for at-least-once transport. Alert rows carry
+    * the flip count AT THE MOMENT of paging (= minFlaps) — the
+    * parity spec keys on (device, day), which replayed history lands
+    * on exactly the batch operator's flagged set. */
+  def flapStream(events: Dataset[DeviceEvent],
+      minFlaps: Int = 4): Dataset[FlapAlert] = {
+    require(minFlaps >= 1, s"minFlaps $minFlaps must be >= 1")
+    val dayUs = 86400000000L
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FlapState, FlapAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (dev: Long, it: Iterator[DeviceEvent], state: GroupState[FlapState]) =>
+          val sorted = it.toArray.sortBy(e =>
+            (HealthMonitor.tsMicros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(
+            FlapState(prevErr = -1, day = -1L, flips = 0L,
+              alerted = false, lastUs = -1L, lastId = -1L))
+          val out = Seq.newBuilder[FlapAlert]
+          sorted.foreach { e =>
+            val us = HealthMonitor.tsMicros(e.ts)
+            val replay = us < st.lastUs ||
+              (us == st.lastUs && e.event_id <= st.lastId)
+            if (!replay) {
+              val err = if (e.event_type == "error") 1 else 0
+              val day = us / dayUs
+              if (day != st.day)
+                st = st.copy(day = day, flips = 0L, alerted = false)
+              val flipped = st.prevErr >= 0 && st.prevErr != err
+              st = st.copy(prevErr = err,
+                flips = if (flipped) st.flips + 1L else st.flips,
+                lastUs = us, lastId = e.event_id)
+              if (flipped && !st.alerted && st.flips >= minFlaps) {
+                out += FlapAlert(dev, day * dayUs, st.flips, us)
+                st = st.copy(alerted = true)
+              }
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }
+
+/** Per-device flap state: previous error flag (-1 = none yet, carried
+  * across midnight like the batch lag window), current day + flip
+  * count + one-page latch, and the replay fence. */
+case class FlapState(prevErr: Int, day: Long, flips: Long,
+  alerted: Boolean, lastUs: Long, lastId: Long)
+
+/** One page per flapping device-day, at the moment the count crossed. */
+case class FlapAlert(user_id: Long, day_us: Long, n_flips: Long, at_us: Long)
 
 /** Per-device live-MTTR state: the current error run, incidents
   * awaiting a strictly-later healthy event, and the replay fence. */

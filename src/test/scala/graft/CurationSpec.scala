@@ -688,6 +688,27 @@ class CurationSpec extends SparkSpec {
       assert(spark.table("budget_out").count() === 2)
     } finally q.stop()
   }
+
+  test("split_assign: exhaustive, ingest-stable, partition-invariant, fractions sane") {
+    val docs = Tables.documents(spark, sf)
+    val out = Curation.splitAssign(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out.size === docs.count().toInt, "every doc assigned")
+    assert(out.values.toSet.subsetOf(Set("train", "val", "test")))
+    val n = out.size.toDouble
+    val trainFrac = out.values.count(_ == "train") / n
+    assert(trainFrac > 0.8 && trainFrac <= 1.0, s"train frac $trainFrac")
+    // ingest stability: assignments over HALF the corpus are identical
+    // — growing the corpus never reassigns an existing doc
+    val half = Curation.splitAssign(docs.filter(col("doc_id") % 2 === 0))
+      .collect().map(r => r.getLong(0) -> r.getString(3))
+    assert(half.nonEmpty && half.forall { case (id, s) => out(id) == s },
+      "corpus growth reassigned an existing doc's split")
+    // partition-layout invariance
+    val rep = Curation.splitAssign(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(rep === out, "split depends on partition layout")
+  }
 }
 
 /** Top-level so spark.implicits can derive its Encoder. */

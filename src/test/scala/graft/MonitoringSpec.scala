@@ -444,4 +444,33 @@ class MonitoringSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSet === Set((1L, 2L)), s"pairs: ${out.toSeq}")
   }
+
+  test("gap fill: short gaps LOCF-filled, long gaps left open, horizon clips") {
+    val hourUs = 3600000000L
+    def ev(u: Long, h: Long, v: Double) =
+      (u, new java.sql.Timestamp(h * hourUs / 1000), v)
+    val events = Seq(
+      // device 1: 100, 102 (gap 2 → fill 101), 105 (gap 3 → fill
+      // 103+104), 110 (gap 5 > cap → open). now = 110, cut = 101.
+      ev(1L, 100L, 10.0), ev(1L, 102L, 20.0), ev(1L, 105L, 30.0),
+      ev(1L, 110L, 40.0),
+      // device 2: entirely before the horizon → no rows at all
+      ev(2L, 100L, 99.0),
+      // device 3: two events in hour 101 sum; gap 2 → fill 102
+      ev(3L, 101L, 1.0), ev(3L, 101L, 2.0), ev(3L, 103L, 4.0),
+    ).toDF("user_id", "ts", "value")
+    val out = Monitoring.gapFillOf(events, maxFillHours = 3, horizonHours = 10)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1) / hourUs),
+        (r.getDouble(2), r.getBoolean(3)))).toMap
+    val want = Map(
+      // hour 101's fill carries hour 100's value — a LOCF source just
+      // OUTSIDE the horizon still fills the boundary gap
+      (1L, 101L) -> (10.0, true), (1L, 102L) -> (20.0, false),
+      (1L, 103L) -> (20.0, true), (1L, 104L) -> (20.0, true),
+      (1L, 105L) -> (30.0, false), (1L, 110L) -> (40.0, false),
+      (3L, 101L) -> (3.0, false), (3L, 102L) -> (3.0, true),
+      (3L, 103L) -> (4.0, false))
+    assert(out === want, s"got: ${out.toSeq.sortBy(_._1)}")
+  }
 }

@@ -582,6 +582,41 @@ class StreamingSpec extends SparkSpec {
         "duplicate recovery rows emitted")
     } finally q.stop()
   }
+
+  test("streaming flaps: replayed history pages the batch flagged device-days, once each") {
+    import graft.operators.Monitoring
+    val want = Monitoring.statusFlaps(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "sf0.001 must contain flapping device-days")
+    val history = Tables.events(spark, sf)
+      .orderBy($"ts", $"event_id").as[DeviceEvent].collect()
+    // split mid-history so device-day flip counts cross a trigger
+    val (sliceA, sliceB) = history.splitAt(history.length / 2)
+    val input = MemoryStream[DeviceEvent](24, spark, None)
+    val q = StreamingAggs.flapStream(input.toDS())
+      .writeStream.format("memory").queryName("flap_out")
+      .outputMode("append").start()
+    try {
+      input.addData(sliceA.toSeq)
+      q.processAllAvailable()
+      input.addData(sliceB.toSeq)
+      q.processAllAvailable()
+      def got: Seq[(Long, Long, Long)] = spark.table("flap_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val g1 = got
+      assert(g1.map(t => (t._1, t._2)).toSet === want,
+        s"stream/batch divergence: stream-only=" +
+          s"${g1.map(t => (t._1, t._2)).toSet -- want}, " +
+          s"batch-only=${want -- g1.map(t => (t._1, t._2)).toSet}")
+      // pages fire AT the threshold, exactly once per device-day
+      assert(g1.forall(_._3 === 4L), s"page not at threshold: $g1")
+      assert(g1.size === want.size, "device-day paged more than once")
+      // at-least-once transport: replaying a slice must not re-page
+      input.addData(sliceB.toSeq)
+      q.processAllAvailable()
+      assert(got === g1, "replayed events re-paged flap alerts")
+    } finally q.stop()
+  }
 }
 
 case class HealthAlertRow(user_id: Long, ts: Timestamp, action: String, consec_fails: Int)

@@ -263,4 +263,35 @@ class TextAnalysisSpec extends SparkSpec {
         (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
     assert(again === got, "ratio must be a pure function of the bytes")
   }
+
+  test("corpus drift: single source sits at zero, disjoint vocab near ln 2, bounds hold") {
+    // one-source corpus: its distribution IS the corpus → JSD exactly 0
+    val solo = Seq(("a", "x y x z")).toDF("source", "text")
+    val soloOut = TextAnalysis.corpusDriftOf(solo, "source").collect()
+    assert(soloOut.length === 1 && soloOut.head.getDouble(3) === 0.0,
+      s"single-source drift: ${soloOut.toSeq}")
+    // disjoint vocabularies: each source maximally far from the 50/50
+    // corpus mix — JSD per source = ln 2 / 2... no: vs the MIX, each
+    // source's divergence is bounded by ln 2 and here sits well above 0
+    val split = Seq(("a", "x x x x"), ("b", "y y y y")).toDF("source", "text")
+    val out = TextAnalysis.corpusDriftOf(split, "source").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val ln2 = math.log(2.0)
+    assert(out.keySet === Set("a", "b"))
+    out.values.foreach { j =>
+      assert(j >= 0.0 && j <= ln2 + 1e-12, s"JSD out of [0, ln2]: $out")
+    }
+    // disjoint halves: P={x:1}, M={x:.5,y:.5} → 0.5·ln2 + 0.5·(ln2·0.5)
+    // ... compute directly: 0.5·Σp ln(p/m) + 0.5·Σq ln(q/m)
+    //  p-side: 1·ln(1/0.75)… no — m=(p+q)/2 per token: x: p=1,q=.5,m=.75
+    //  q-side x: .5·ln(.5/.75); absent y: ln2·(1−.5)
+    val want = 0.5 * (1.0 * math.log(1.0 / 0.75)) +
+      0.5 * (0.5 * math.log(0.5 / 0.75) + ln2 * 0.5)
+    out.values.foreach(j => assert(math.abs(j - want) < 1e-9,
+      s"disjoint-half JSD: got $out want $want"))
+    // sf corpus sanity: all sources in range, deterministic
+    val sf1 = TextAnalysis.corpusDrift(spark, sf).collect()
+    assert(sf1.nonEmpty)
+    sf1.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= ln2))
+  }
 }
