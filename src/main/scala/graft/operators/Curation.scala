@@ -805,6 +805,75 @@ object Curation {
       |WHERE reps > 0
       |ORDER BY doc_id, epoch_idx""".stripMargin
 
+  // ------------------------------------------------------------- C32
+  /** CCNet-style LM-PERPLEXITY BUCKETS — the head/middle/tail cut the
+    * CCNet pipeline makes before choosing what to train on (head =
+    * most in-distribution third by language-model score, tail = the
+    * noisy third you drop or down-weight): per-language rank thirds
+    * over the E11 unigram LM score (one shared definition — scoring a
+    * corpus twice with two formulas is how pipelines silently drift).
+    * The RELATIVE cut is the point: an absolute perplexity threshold
+    * means different things in different languages; rank thirds
+    * within each language compare like with like.
+    *
+    * Rank machinery is C18's: the rounded score is quantized to an
+    * integer (floor(score·1e5) — identical IEEE product + floor in
+    * both engines, and BOTH engines rank on the quantized key, so a
+    * sub-quantum score difference cannot flip cross-engine order),
+    * packed with doc_id, ranked via stratifiedPrefixSum — no
+    * per-language single-task window; a dominant language ranks in
+    * parallel buckets. Bucket edges are integer-exact
+    * (rank·3 ≤ n, rank·3 ≤ 2n). */
+  def lmBuckets(spark: SparkSession, sfDir: String,
+      buckets: Int = 1024): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val scored = TextAnalysis.textLmScore(spark, sfDir)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        floor(col("lm_score") * 1e5).cast("long").as("q5"))
+    val r = scored.agg(max(col("q5")), min(col("q5")),
+      min(col("doc_id")), max(col("doc_id"))).head()
+    if (r.isNullAt(0)) return scored.withColumn("bucket", lit("")).limit(0)
+    val (maxQ, minQ) = (r.getLong(0), r.getLong(1))
+    require(maxQ - minQ < (1L << 22) &&
+      r.getLong(2) >= 0 && r.getLong(3) < (1L << 40),
+      s"lmBuckets key packing needs q5 span < 2^22 and doc_id in " +
+        s"[0, 2^40); got span ${maxQ - minQ}, ids " +
+        s"[${r.getLong(2)}, ${r.getLong(3)}]")
+    val keyed = scored.withColumn("__ord",
+      (lit(maxQ) - col("q5")) * lit(1L << 40) + col("doc_id"))
+      .withColumn("__one", lit(1L))
+    val totals = scored.groupBy("lang").agg(count(lit(1)).as("__n"))
+    Scale.stratifiedPrefixSum(keyed, "lang", "__ord", "__one", "__rnk",
+        buckets)
+      .join(broadcast(totals), "lang")
+      .select(col("doc_id"), col("lang"), col("q5"),
+        when(col("__rnk") * 3 <= col("__n"), "head")
+          .when(col("__rnk") * 3 <= col("__n") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmBucketsSql: String = {
+    val lm = TextAnalysis.textLmScoreSql
+    s"""WITH lmq AS ($lm),
+       |l AS (
+       |  SELECT b.doc_id, d.lang,
+       |    CAST(FLOOR(b.lm_score * 100000.0) AS BIGINT) AS q5
+       |  FROM lmq b JOIN documents d USING (doc_id)),
+       |r AS (
+       |  SELECT doc_id, lang, q5,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY q5 DESC, doc_id) AS rnk,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n
+       |  FROM l)
+       |SELECT doc_id, lang, q5,
+       |  CASE WHEN rnk * 3 <= n THEN 'head'
+       |       WHEN rnk * 3 <= 2 * n THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------- C31
   /** Deterministic TRAIN/VAL/TEST split — the assignment every
     * training pipeline makes before anything else, with the one

@@ -690,4 +690,139 @@ object Multimodal {
        |JOIN sizes sa ON sa.media_id = media_a
        |JOIN sizes sb ON sb.media_id = media_b
        |ORDER BY media_a, media_b""".stripMargin
+
+  // ---------------------------------------------------------------- F10
+  /** SHOT segmentation — F6's cuts turned into the table a video
+    * consumer actually wants (per-shot clip spans + a representative
+    * keyframe to thumbnail/embed): shot_id is the running count of cut
+    * boundaries at-or-before each frame, so every frame lands in
+    * exactly one shot and shots tile the media with no gaps. The lag
+    * comparison AND the running sum ride the SAME per-media window
+    * partitioning — one exchange on media_id carries the whole
+    * operator; the keyframe is the shot's FIRST frame via a min-struct
+    * (no second window, no join back). The keyframe hash column is
+    * what feeds the F4 → D-family embed/index path one hop later. */
+  def shots(frames: DataFrame, threshold: Int = 20): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    require(threshold >= 1 && threshold <= 64,
+      s"threshold $threshold out of [1, 64]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"media_id").orderBy($"frame_idx")
+    frames
+      .withColumn("prev_hash", lag($"frame_hash", 1).over(w))
+      .withColumn("is_cut",
+        when($"prev_hash".isNotNull &&
+          expr("bit_count(frame_hash ^ prev_hash)") >= threshold, 1L)
+          .otherwise(0L))
+      .withColumn("shot_id", sum($"is_cut").over(
+        w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy($"media_id", $"shot_id")
+      .agg(min($"frame_idx").cast("int").as("start_frame"),
+        max($"frame_idx").cast("int").as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        min(struct($"frame_idx", $"frame_hash"))
+          .getField("frame_hash").as("keyframe_hash"))
+      .orderBy($"media_id", $"shot_id")
+  }
+
+  def mmShots(spark: SparkSession, sfDir: String): DataFrame =
+    shots(mmFrameSample(spark, sfDir))
+
+  val mmShotsSql: String =
+    s"""WITH hh AS (
+       |  SELECT media_id, frame_idx, frame_hash,
+       |    lag(frame_hash) OVER w AS prev_hash
+       |  FROM ($mmFrameSampleSql) base
+       |  WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)),
+       |cuts AS (
+       |  SELECT media_id, frame_idx, frame_hash,
+       |    CASE WHEN prev_hash IS NOT NULL
+       |      AND bit_count(xor(frame_hash, prev_hash)) >= 20
+       |      THEN 1 ELSE 0 END AS is_cut
+       |  FROM hh),
+       |sh AS (
+       |  SELECT media_id, frame_idx, frame_hash,
+       |    SUM(is_cut) OVER (PARTITION BY media_id ORDER BY frame_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot_id
+       |  FROM cuts)
+       |SELECT media_id, CAST(shot_id AS BIGINT) AS shot_id,
+       |  CAST(MIN(frame_idx) AS INT) AS start_frame,
+       |  CAST(MAX(frame_idx) AS INT) AS end_frame,
+       |  COUNT(*) AS n_frames,
+       |  min_by(frame_hash, frame_idx) AS keyframe_hash
+       |FROM sh GROUP BY media_id, shot_id
+       |ORDER BY media_id, shot_id""".stripMargin
+
+  // ---------------------------------------------------------------- F11
+  /** AUDIO SILENCE spans — the VAD/trim first pass over F9's level
+    * windows: maximal runs of consecutive windows whose RMS sits under
+    * `rmsThreshold`, reported as per-media [start_window, end_window]
+    * spans with duration and mean level. Gaps-and-islands on
+    * (window_idx − row_number) per media — the C19 interval kernel on
+    * the audio axis; the level computation itself is F9's map-only
+    * decoder pass (payloads never shuffle), so the one exchange here
+    * is the per-media window for the island ids. The span mean RMS
+    * re-derives from the EXACT integer (energy, samples) sums — not a
+    * mean of per-window doubles — so the report hash-checks. */
+  def audioSilence(levels: DataFrame, rmsThreshold: Double): DataFrame = {
+    val spark = levels.sparkSession
+    import spark.implicits._
+    require(rmsThreshold > 0, s"rmsThreshold $rmsThreshold must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"media_id").orderBy($"window_idx")
+    levels
+      .filter($"rms" < rmsThreshold)
+      .withColumn("grp",
+        $"window_idx" - (row_number().over(w) - lit(1)))
+      .groupBy($"media_id", $"grp")
+      .agg(min($"window_idx").as("start_window"),
+        max($"window_idx").as("end_window"),
+        count(lit(1)).as("n_windows"),
+        sum($"energy").as("e"), sum($"n_samples").cast("long").as("ns"))
+      .select($"media_id", $"start_window", $"end_window", $"n_windows",
+        sqrt($"e".cast("double") / $"ns".cast("double")).as("span_rms"))
+      .orderBy($"media_id", $"start_window")
+  }
+
+  def mmAudioSilence(spark: SparkSession, sfDir: String,
+      windowSamples: Int = 64, rmsThreshold: Double = 44.0): DataFrame =
+    audioSilence(mmAudioLevels(spark, sfDir, windowSamples), rmsThreshold)
+
+  /** F9's replay at 64-sample windows, then the identical island
+    * grouping; span RMS from exact integer sums. */
+  val mmAudioSilenceSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS n FROM documents),
+      |w AS (
+      |  SELECT doc_id, text, n,
+      |    unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS idx
+      |  FROM d WHERE n > 0),
+      |s AS (
+      |  SELECT doc_id AS media_id, CAST(idx AS INT) AS window_idx,
+      |    list_transform(
+      |      string_split(substring(text, CAST(idx * 64 + 1 AS INT), 64), ''),
+      |      c -> ord(c) - 128) AS samples
+      |  FROM w),
+      |r AS (
+      |  SELECT media_id, window_idx,
+      |    CAST(len(samples) AS BIGINT) AS ns,
+      |    CAST(list_sum(list_transform(samples, x -> x * x)) AS BIGINT)
+      |      AS energy,
+      |    sqrt(CAST(list_sum(list_transform(samples, x -> x * x)) AS DOUBLE)
+      |      / len(samples)) AS rms
+      |  FROM s),
+      |sil AS (
+      |  SELECT media_id, window_idx, ns, energy,
+      |    window_idx - (ROW_NUMBER() OVER (
+      |      PARTITION BY media_id ORDER BY window_idx) - 1) AS grp
+      |  FROM r WHERE rms < 44.0)
+      |SELECT media_id, MIN(window_idx) AS start_window,
+      |  MAX(window_idx) AS end_window, COUNT(*) AS n_windows,
+      |  sqrt(CAST(SUM(energy) AS DOUBLE) / CAST(SUM(ns) AS DOUBLE))
+      |    AS span_rms
+      |FROM sil GROUP BY media_id, grp
+      |ORDER BY media_id, start_window""".stripMargin
 }

@@ -709,6 +709,27 @@ class CurationSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(rep === out, "split depends on partition layout")
   }
+
+  test("lm_buckets: per-lang thirds, head outscores tail, exhaustive") {
+    val docs = Tables.documents(spark, sf)
+    val out = Curation.lmBuckets(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(out.length === docs.count().toInt, "every doc bucketed")
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val n = rows.length
+      val byB = rows.groupBy(_._4).view.mapValues(_.length).toMap
+      // rank-third edges: |head| = floor(n/3), |head|+|middle| = floor(2n/3)
+      assert(byB.getOrElse("head", 0) === n / 3,
+        s"$lang head size ${byB.get("head")} of $n")
+      assert(byB.getOrElse("head", 0) + byB.getOrElse("middle", 0) === 2 * n / 3,
+        s"$lang head+middle of $n: $byB")
+      // every head doc's score >= every tail doc's score within the lang
+      val headMin = rows.filter(_._4 == "head").map(_._3)
+      val tailMax = rows.filter(_._4 == "tail").map(_._3)
+      if (headMin.nonEmpty && tailMax.nonEmpty)
+        assert(headMin.min >= tailMax.max, s"$lang head below tail")
+    }
+  }
 }
 
 /** Top-level so spark.implicits can derive its Encoder. */

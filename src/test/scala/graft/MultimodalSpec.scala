@@ -173,4 +173,56 @@ class MultimodalSpec extends SparkSpec {
       assert(peak.toLong * peak >= energy / n, "peak below mean square")
     }
   }
+
+  test("shots: cuts tile media into contiguous spans, keyframe is the first frame") {
+    // 0 → 0 (no cut), 0 → 0xFFFFF (20 bits, cut), 0xFFFFF → 0xFFFFF
+    val frames = Seq(
+      (1L, 0, 0L), (1L, 1, 0L), (1L, 2, 0xFFFFFL), (1L, 3, 0xFFFFFL),
+      (2L, 0, 42L),
+    ).toDF("media_id", "frame_idx", "frame_hash")
+    val out = Multimodal.shots(frames).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 0, 1, 2L, 0L), (1L, 1L, 2, 3, 2L, 0xFFFFFL),
+      (2L, 0L, 0, 0, 1L, 42L)), s"shots: ${out.toSeq}")
+    // shots tile: per media, spans are contiguous and cover every frame
+    out.groupBy(_._1).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 === a._4 + 1, "gap between shots")
+        case _ =>
+      }
+    }
+    // sf pipeline: shot count per media = cuts + 1, frames conserved
+    val sfFrames = Multimodal.mmFrameSample(spark, sf)
+    val nFrames = sfFrames.count()
+    val sfShots = Multimodal.shots(sfFrames)
+    assert(sfShots.agg(sum($"n_frames")).head.getLong(0) === nFrames,
+      "frames lost or duplicated by shot tiling")
+    val cutCount = Multimodal.sceneCuts(sfFrames).count()
+    val mediaCount = sfFrames.select($"media_id").distinct().count()
+    assert(sfShots.count() === cutCount + mediaCount,
+      "shot count != cuts + media")
+  }
+
+  test("audio silence: islands merge, loud windows split, span rms from exact sums") {
+    val levels = Seq(
+      // media 1: silent 0-1, loud 2, silent 3-5
+      (1L, 0, 64, 4, 640L, 3.16), (1L, 1, 64, 4, 1280L, 4.47),
+      (1L, 2, 64, 100, 640000L, 100.0),
+      (1L, 3, 64, 4, 640L, 3.16), (1L, 4, 64, 4, 640L, 3.16),
+      (1L, 5, 32, 4, 320L, 3.16),
+      // media 2: all loud → no spans
+      (2L, 0, 64, 100, 640000L, 100.0),
+    ).toDF("media_id", "window_idx", "n_samples", "peak", "energy", "rms")
+    val out = Multimodal.audioSilence(levels, rmsThreshold = 10.0).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.map(t => (t._1, t._2, t._3, t._4)).toSeq ===
+      Seq((1L, 0, 1, 2L), (1L, 3, 5, 3L)), s"spans: ${out.toSeq}")
+    // span rms from exact integer sums: sqrt((640+1280)/128)
+    assert(math.abs(out.head._5 - math.sqrt(1920.0 / 128.0)) < 1e-12)
+    assert(math.abs(out(1)._5 - math.sqrt(1600.0 / 160.0)) < 1e-12)
+  }
 }
