@@ -164,6 +164,60 @@ object Similarity {
        |WHERE rank <= $AnnK
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- D16
+  /** RADIUS search — the vector-store call top-k cannot express:
+    * "everything within cos ≥ τ of this query", where the RESULT SIZE
+    * is the data's answer, not the caller's parameter (near-dup
+    * candidate pulls, abuse-cluster expansion, dedup-by-exemplar all
+    * want the neighborhood, however big it is). Exact path: the D1
+    * guarded brute kernel with the rank cut replaced by the threshold
+    * cut — scores are the same round-6 cosines, so the operator
+    * hash-checks. The cut compares the ROUNDED score (what both
+    * engines emit): a raw-vs-rounded comparison would disagree on
+    * neighbors within half an ulp of τ. */
+  def annRadius(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.3): DataFrame = {
+    import spark.implicits._
+    require(threshold > 0 && threshold <= 1, s"threshold $threshold")
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter($"vec_id" < QueryIdBound)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val pairs = Tables.cachedCount(spark, s"$sfDir/embeddings.parquet") * QueryIdBound
+    require(pairs <= BruteForceMaxPairs,
+      s"brute-force radius search would score $pairs pairs " +
+        s"(> $BruteForceMaxPairs); use annRadiusIvf — the bucketed scale path")
+    e.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        round(VectorFunctions.cosineSim($"qe", $"embedding"), 6).as("cos"))
+      .filter($"cos" >= threshold)
+      .orderBy($"query_id", $"cos".desc, $"neighbor_id")
+  }
+
+  val annRadiusSql: String =
+    s"""SELECT query_id, neighbor_id, cos FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${cosSql("q", "c")} AS cos
+       |  FROM embeddings q, embeddings c
+       |  WHERE q.vec_id < $QueryIdBound AND c.vec_id <> q.vec_id) t
+       |WHERE cos >= 0.3
+       |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin
+
+  /** D16's scale path: the SAME probe stage as [[annIvf]] (nProbe
+    * nearest cells per query), with the threshold cut in place of the
+    * rank cut. Recall is the family's probe contract — neighbors in
+    * unprobed cells are missed, which the spec measures against the
+    * exact operator; raising `nProbe` buys recall at probe cost. */
+  def annRadiusIvf(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.3, nCells: Int = 0, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    require(threshold > 0 && threshold <= 1, s"threshold $threshold")
+    ivfScoredPairs(spark, sfDir, nCells, 100000, nProbe)
+      .filter($"cos" >= threshold)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"cell", $"cos")
+      .orderBy($"query_id", $"cos".desc, $"neighbor_id")
+  }
+
   // ---------------------------------------------------------------- D2
   /** LSH-bucketed ANN: random-hyperplane signatures put query and
     * corpus into 2^bits buckets; each query scans only its bucket.
@@ -241,7 +295,15 @@ object Similarity {
     * cells are searched per query (multi-probe) to keep recall up as
     * cells shrink; the probe ranking runs on the tiny query set only. */
   def annIvf(spark: SparkSession, sfDir: String, nCells: Int = 0,
-      k: Int = AnnK, maxTrain: Int = 100000, nProbe: Int = 2): DataFrame = {
+      k: Int = AnnK, maxTrain: Int = 100000, nProbe: Int = 2): DataFrame =
+    rankTopK(ivfScoredPairs(spark, sfDir, nCells, maxTrain, nProbe),
+      k, extras = Seq("cell"))
+
+  /** The IVF probe stage shared by top-k ([[annIvf]]) and radius
+    * ([[annRadiusIvf]]) search: every (query, candidate) pair from the
+    * query's `nProbe` nearest cells, cosine-scored. */
+  private def ivfScoredPairs(spark: SparkSession, sfDir: String,
+      nCells: Int, maxTrain: Int, nProbe: Int): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
     // Deterministic ~25% sample (partition-invariant: keyed on vec_id,
@@ -270,11 +332,10 @@ object Similarity {
       .select($"query_id", $"qe", $"cell")
     // A corpus vector lives in exactly one cell and a query probes
     // distinct cells, so each (query, vector) pair appears at most once.
-    rankTopK(cells.join(broadcast(probes), Seq("cell"))
+    cells.join(broadcast(probes), Seq("cell"))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id", $"cell",
-        round(VectorFunctions.cosineSim($"qe", $"embedding"), 6).as("cos")),
-      k, extras = Seq("cell"))
+        round(VectorFunctions.cosineSim($"qe", $"embedding"), 6).as("cos"))
   }
 
   /** Trained quantizers keyed by (corpus, nCells, maxTrain): training

@@ -504,4 +504,21 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getLong(3) <= r.getLong(1))
     }
   }
+
+  test("radius search: threshold honored, IVF path is a subset with usable recall") {
+    val exact = Similarity.annRadius(spark, sf, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(exact.nonEmpty, "sf corpus must contain 0.3-neighborhoods")
+    assert(exact.forall(_._3 >= 0.3), "sub-threshold neighbor emitted")
+    val exactSet = exact.map(t => (t._1, t._2)).toSet
+    val ivf = Similarity.annRadiusIvf(spark, sf, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(ivf.forall(_._3 >= 0.3))
+    val ivfSet = ivf.map(t => (t._1, t._2)).toSet
+    // probe results never invent neighbors the exact scan lacks
+    assert(ivfSet.subsetOf(exactSet),
+      s"IVF radius invented pairs: ${ivfSet -- exactSet}")
+    val recall = ivfSet.size.toDouble / exactSet.size
+    assert(recall >= 0.5, s"radius recall $recall below the family bound")
+  }
 }
