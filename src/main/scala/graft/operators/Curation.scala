@@ -805,6 +805,76 @@ object Curation {
       |WHERE reps > 0
       |ORDER BY doc_id, epoch_idx""".stripMargin
 
+  // ------------------------------------------------------------- C33
+  /** SPLIT-LEAK AUDIT — C31 composed with C12's gram kernel: after a
+    * random split, near-duplicate documents land on BOTH sides of the
+    * train/eval boundary (the corpus has a measured dup rate — E10),
+    * and every such pair silently inflates eval scores. This is the
+    * audit a pipeline runs right after splitting: train docs sharing
+    * any `n`-token gram with the val/test side, with how many grams
+    * and how many eval docs they touch — the evidence table feeding
+    * either C12 (drop from train) or a re-split.
+    *
+    * Scale shape is C12's: the eval side is a FRACTION of the corpus
+    * by construction (the split fractions), its gram set broadcasts,
+    * and the train side streams map-only through the broadcast join —
+    * the 100 TB side never shuffles for the probe; the only exchange
+    * is the per-train-doc count aggregation. Gram identity is the
+    * shared shingle hash (C4's injectivity note applies: probed
+    * distinct-hashes == distinct-grams on this population each
+    * round). */
+  def splitLeakAudit(spark: SparkSession, sfDir: String, n: Int = 13,
+      valFrac: Double = 0.05, testFrac: Double = 0.05,
+      seed: Long = 11L): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val split = splitAssign(docs, valFrac, testFrac, seed)
+      .select(col("doc_id"), col("split"))
+    val trainDocs = docs.join(
+      split.filter(col("split") === "train"), Seq("doc_id"), "left_semi")
+    val evalDocs = docs.join(
+      split.filter(col("split") =!= "train"), Seq("doc_id"), "left_semi")
+    val evalGrams = Dedup.gramSet(evalDocs, "doc_id", "text", n)
+      .select(col("g"), col("id").as("eval_id"))
+    Dedup.gramSet(trainDocs, "doc_id", "text", n)
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("g")).as("n_shared_grams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .select(col("id").as("doc_id"), col("n_shared_grams"),
+        col("n_eval_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  def splitLeakAuditSql(valFrac: Double = 0.05, testFrac: Double = 0.05,
+      seed: Long = 11L): String = {
+    val vCut = math.floor(valFrac * 4294967296.0).toLong
+    val tCut = math.floor((valFrac + testFrac) * 4294967296.0).toLong
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |    CASE WHEN u // 4294967296 < $vCut THEN 'val'
+       |         WHEN u // 4294967296 < $tCut THEN 'test'
+       |         ELSE 'train' END AS split
+       |  FROM (SELECT doc_id,
+       |    ((doc_id + $seed)::HUGEINT * 6364136223846793005
+       |      + 1442695040888963407) % 18446744073709551616 AS u
+       |    FROM documents) t),
+       |toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, array_to_string(t[i:i+12], ' ') AS gram
+       |  FROM toks, UNNEST(generate_series(1, len(t) - 12)) AS u(i)
+       |  WHERE len(t) >= 13),
+       |tr AS (SELECT g.doc_id, gram FROM g JOIN k USING (doc_id)
+       |       WHERE split = 'train'),
+       |ev AS (SELECT g.doc_id AS eval_id, gram FROM g JOIN k USING (doc_id)
+       |       WHERE split <> 'train'),
+       |p AS (SELECT tr.doc_id, tr.gram, ev.eval_id FROM tr JOIN ev USING (gram))
+       |SELECT doc_id, COUNT(DISTINCT gram) AS n_shared_grams,
+       |  COUNT(DISTINCT eval_id) AS n_eval_docs
+       |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------- C32
   /** CCNet-style LM-PERPLEXITY BUCKETS — the head/middle/tail cut the
     * CCNet pipeline makes before choosing what to train on (head =

@@ -710,6 +710,29 @@ class CurationSpec extends SparkSpec {
     assert(rep === out, "split depends on partition layout")
   }
 
+  test("split_leak_audit: reports exactly train docs, catches every exact cross-split dup") {
+    val docs = Tables.documents(spark, sf)
+    val split = Curation.splitAssign(docs).select($"doc_id", $"split")
+    val report = Curation.splitLeakAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val splits = split.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    report.foreach { case (id, nG, nE) =>
+      assert(splits(id) === "train", s"non-train doc $id in the audit")
+      assert(nG >= 1 && nE >= 1)
+    }
+    // completeness floor: an EXACT duplicate pair straddling the
+    // boundary (≥ 13 tokens) shares all its grams — must be reported
+    val withHash = docs.join(split, "doc_id")
+      .filter(size(graft.operators.TextAnalysis.tokens()) >= 13)
+      .select($"doc_id", sha2($"text", 256).as("h"), $"split")
+    val mustLeak = withHash.filter($"split" === "train").as("t")
+      .join(withHash.filter($"split" =!= "train").as("e"), $"t.h" === $"e.h")
+      .select($"t.doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val reported = report.map(_._1).toSet
+    assert(mustLeak.subsetOf(reported),
+      s"missed exact cross-split dups: ${mustLeak -- reported}")
+  }
+
   test("lm_buckets: per-lang thirds, head outscores tail, exhaustive") {
     val docs = Tables.documents(spark, sf)
     val out = Curation.lmBuckets(spark, sf).collect()
