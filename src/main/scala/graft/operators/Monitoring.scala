@@ -1399,12 +1399,19 @@ object Monitoring {
     require(maxFillHours >= 2 && horizonHours > maxFillHours,
       s"need maxFillHours >= 2 and horizonHours > maxFillHours " +
         s"(got $maxFillHours / $horizonHours)")
+    // PINNED (eager localCheckpoint): four consumers read this frame —
+    // the now-agg, the lag window, and both union branches — and Spark
+    // plans each as its own subtree, so without the pin the CORPUS
+    // scan + hourly aggregation run 4× (observed as 8 parquet scans in
+    // the formatted plan; PlanSpec pins the fix). The pinned frame is
+    // devices × active-hours — output-sized, not corpus-sized.
     val hourly = events
       .filter($"value".isNotNull)
       .select($"user_id", expr(s"$tsUs div 3600000000").as("h"),
         $"value".cast("decimal(18,4)").as("v"))
       .groupBy($"user_id", $"h")
       .agg(sum($"v").as("m"))
+      .localCheckpoint(true)
     val now = hourly.agg(max($"h").as("now_h"))
     // horizon start; keep maxFill extra hours so boundary gaps still fill
     val recent = hourly.crossJoin(broadcast(now))

@@ -816,10 +816,15 @@ object TextAnalysis {
     * probabilities are integer ratios, ln is correctly-rounded libm on
     * both engines, so the whole report hash-checks). */
   def corpusDriftOf(docs: DataFrame, stratumCol: String): DataFrame = {
+    // PINNED: the term join, the global rollup, the per-source totals,
+    // and the grand total all read this frame — without the pin each
+    // consumer re-scans and re-tokenizes the corpus (the E11/A49
+    // finding). Pinned size is sources × vocab, not corpus.
     val counts = docs
       .select(col(stratumCol).as("s"), explode(tokens()).as("w"))
       .groupBy(col("s"), col("w"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val global = counts.groupBy(col("w")).agg(sum(col("tf")).as("gf"))
     val totals = counts.groupBy(col("s")).agg(sum(col("tf")).as("ns"))
     val grand = global.agg(sum(col("gf")).as("ng"))

@@ -234,4 +234,47 @@ class PlanSpec extends SparkSpec {
     val p2 = plan(Multimodal.mmSceneCuts(spark, sf))
     assert(!p2.contains("SinglePartition"), s"global window in scene cuts:\n$p2")
   }
+
+  test("gap fill: one corpus pass — the pinned hourly frame feeds all four consumers") {
+    val p = plan(Monitoring.gapFill(spark, sf))
+    // the hourly agg is pinned (localCheckpoint): the now-agg, lag
+    // window, and both union branches must read the pinned blocks, not
+    // re-scan the corpus (8 parquet scans before the pin)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 0, s"gap fill re-scans events ($scans scans):\n$p")
+    assert(p.contains("BroadcastExchange"), s"now-frame not broadcast:\n$p")
+    // at most ONE SinglePartition: the 1-row now-agg over the PINNED
+    // hourly frame (a scalar aggregate — unavoidable, input-bounded);
+    // a second would mean the lag window went global
+    // formatted explain prints each node twice (tree + details), so
+    // the one scalar exchange accounts for 2 occurrences
+    val singles = "SinglePartition".r.findAllIn(p).length
+    assert(singles <= 2, s"window went global ($singles SinglePartition):\n$p")
+    assert(p.contains("Window"), s"lag window missing:\n$p")
+  }
+
+  test("split leak audit: eval grams broadcast, train grams never shuffle pre-agg") {
+    val p = plan(Curation.splitLeakAudit(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"gram probe not broadcast:\n$p")
+    // the only wide op over the train side is the per-doc count agg
+    assert(!p.contains("SortMergeJoin"), s"train grams shuffled for the probe:\n$p")
+  }
+
+  test("shots and audio silence: one partitioned window each, no SinglePartition") {
+    val p1 = plan(Multimodal.mmShots(spark, sf))
+    assert(!p1.contains("SinglePartition"), s"global window in shots:\n$p1")
+    val p2 = plan(Multimodal.mmAudioSilence(spark, sf))
+    assert(!p2.contains("SinglePartition"), s"global window in audio silence:\n$p2")
+  }
+
+  test("split assign: zero exchanges — the split lands in the scan projection") {
+    val p = plan(Curation.splitAssign(Tables.documents(spark, sf)))
+    // the only exchange allowed is the final presentation sort (range
+    // partitioning); a hash exchange would mean the assignment itself
+    // moved data
+    assert(!p.toLowerCase.contains("hashpartitioning"),
+      s"split assignment shuffles data:\n$p")
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      "expected only the presentation sort")
+  }
 }
