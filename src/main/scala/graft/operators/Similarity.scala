@@ -218,6 +218,78 @@ object Similarity {
       .orderBy($"query_id", $"cos".desc, $"neighbor_id")
   }
 
+  // ---------------------------------------------------------------- D17
+  /** EMBEDDING-SPACE drift report — E17's twin on the vector axis:
+    * Jensen-Shannon divergence of each label slice's CELL-MASS
+    * distribution (occupancy of the coarse quantizer's cells) against
+    * the whole corpus. Token drift (E17) sees vocabulary walk; THIS
+    * sees semantic drift a tokenizer can't — the same words embedded
+    * into new regions, an encoder version change, a new topic cluster
+    * swelling — which is what a retrieval/training pipeline actually
+    * monitors between corpus versions. Cells come from the PINNED
+    * first-`nCentroids` quantizer (C17b's "never retrain" deployment
+    * mode), so assignment is deterministic argmin arithmetic and the
+    * whole report hash-checks; the numeric core is the SHARED
+    * [[TextAnalysis.jsdReport]] kernel (closed-form absent mass,
+    * DECIMAL-quantized terms), so the two drift monitors cannot
+    * diverge on formula. One codegen'd map pass assigns cells; the
+    * only full-data exchange is the (label, cell) rollup — everything
+    * after is labels × cells. */
+  def embedDrift(spark: SparkSession, sfDir: String,
+      nCentroids: Int = 64): DataFrame = {
+    import spark.implicits._
+    require(nCentroids >= 1)
+    val e = Tables.embeddings(spark, sfDir)
+    val centroids = e.filter($"vec_id" < nCentroids).orderBy($"vec_id")
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(centroids.nonEmpty, s"no vectors with vec_id < $nCentroids")
+    val counts = e.select($"label".as("s"),
+        VectorFunctions.nearestCentroid($"embedding", centroids)
+          .cast("long").as("w"))
+      .groupBy($"s", $"w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    TextAnalysis.jsdReport(counts)
+      .select($"s".as("label"), $"n_items".as("n_vecs"),
+        $"n_distinct".as("n_cells"), $"jsd")
+      .orderBy($"label")
+  }
+
+  val embedDriftSql: String =
+    """WITH cen AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+      |    embedding::DOUBLE[] AS ce
+      |  FROM embeddings WHERE vec_id < 64),
+      |a AS (
+      |  SELECT vec_id, label, cell FROM (
+      |    SELECT e.vec_id, e.label, cen.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_distance(e.embedding::DOUBLE[], cen.ce), cen.cell)
+      |        AS rn
+      |    FROM embeddings e, cen) t WHERE rn = 1),
+      |c AS (SELECT label AS s, cell AS w, COUNT(*) AS tf FROM a GROUP BY 1, 2),
+      |g AS (SELECT w, CAST(SUM(tf) AS BIGINT) AS gf FROM c GROUP BY 1),
+      |t AS (SELECT s, CAST(SUM(tf) AS BIGINT) AS ns FROM c GROUP BY 1),
+      |ngt AS (SELECT CAST(SUM(gf) AS BIGINT) AS ng FROM g),
+      |j AS (
+      |  SELECT c.s, t.ns, g.gf, ngt.ng,
+      |    CAST(c.tf AS DOUBLE) / CAST(t.ns AS DOUBLE) AS p,
+      |    CAST(g.gf AS DOUBLE) / CAST(ngt.ng AS DOUBLE) AS q
+      |  FROM c JOIN g USING (w) JOIN t USING (s), ngt),
+      |terms AS (
+      |  SELECT s, ns, gf, ng,
+      |    CAST(p * ln(p / ((p + q) / 2.0)) AS DECIMAL(28,12)) AS tp,
+      |    CAST(q * ln(q / ((p + q) / 2.0)) AS DECIMAL(28,12)) AS tq
+      |  FROM j),
+      |agg AS (
+      |  SELECT s, MAX(ns) AS n_vecs, COUNT(*) AS n_cells,
+      |    CAST(SUM(tp) AS DOUBLE) AS sp, CAST(SUM(tq) AS DOUBLE) AS sq,
+      |    CAST(SUM(gf) AS DOUBLE) AS gfp, CAST(MAX(ng) AS DOUBLE) AS ngd
+      |  FROM terms GROUP BY s)
+      |SELECT s AS label, n_vecs, n_cells,
+      |  0.5 * sp + 0.5 * (sq + ln(2.0) * (1.0 - gfp / ngd)) AS jsd
+      |FROM agg ORDER BY label""".stripMargin
+
   // ---------------------------------------------------------------- D2
   /** LSH-bucketed ANN: random-hyperplane signatures put query and
     * corpus into 2^bits buckets; each query scans only its bucket.

@@ -825,6 +825,22 @@ object TextAnalysis {
       .groupBy(col("s"), col("w"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
+    jsdReport(counts)
+      .select(col("s").as("source"), col("n_items").as("n_tokens"),
+        col("n_distinct").as("vocab"), col("jsd"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-stratum Jensen-Shannon divergence vs the pooled distribution,
+    * from a (s, w, tf) count frame — the numeric core shared by E17
+    * (token distributions) and D17 (embedding cell masses), so the two
+    * drift monitors cannot diverge on formula or parity discipline.
+    * The absent-item half of the Q-sum uses its closed form
+    * ln 2 · (1 − Σ_present q); per-item terms are DECIMAL(28,12)-
+    * quantized before the order-sensitive sum (§4). Emits one row per
+    * stratum: (s, n_items, n_distinct, jsd). Input frame should be
+    * PINNED by the caller — four subtrees read it. */
+  private[operators] def jsdReport(counts: DataFrame): DataFrame = {
     val global = counts.groupBy(col("w")).agg(sum(col("tf")).as("gf"))
     val totals = counts.groupBy(col("s")).agg(sum(col("tf")).as("ns"))
     val grand = global.agg(sum(col("gf")).as("ng"))
@@ -839,17 +855,16 @@ object TextAnalysis {
         (p * log(p / m)).cast("decimal(28,12)").as("tp"),
         (q * log(q / m)).cast("decimal(28,12)").as("tq"))
       .groupBy(col("s"))
-      .agg(max(col("ns")).as("n_tokens"),
-        count(lit(1)).as("vocab"),
+      .agg(max(col("ns")).as("n_items"),
+        count(lit(1)).as("n_distinct"),
         sum(col("tp")).cast("double").as("sp"),
         sum(col("tq")).cast("double").as("sq"),
         sum(col("gf")).cast("double").as("gfp"),
         max(col("ng")).cast("double").as("ngd"))
-      .select(col("s").as("source"), col("n_tokens"), col("vocab"),
+      .select(col("s"), col("n_items"), col("n_distinct"),
         (lit(0.5) * col("sp") + lit(0.5) *
           (col("sq") + log(lit(2.0)) * (lit(1.0) - col("gfp") / col("ngd"))))
           .as("jsd"))
-      .orderBy(col("source"))
   }
 
   def corpusDrift(spark: SparkSession, sfDir: String): DataFrame =

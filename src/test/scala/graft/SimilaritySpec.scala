@@ -505,6 +505,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embed drift: bounds hold, masses conserve, deterministic") {
+    val out = Similarity.embedDrift(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.map(_._2).sum === n, "vectors lost in the cell rollup")
+    val ln2 = math.log(2.0)
+    out.foreach { case (_, nv, nc, j) =>
+      assert(nc >= 1 && nc <= 64 && nv >= nc)
+      assert(j >= 0.0 && j <= ln2 + 1e-12, s"JSD out of range: $out")
+    }
+    val again = Similarity.embedDrift(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(3)))
+    assert(again.toSeq === out.map(t => (t._1, t._4)).toSeq, "nondeterministic")
+  }
+
   test("radius search: threshold honored, IVF path is a subset with usable recall") {
     val exact = Similarity.annRadius(spark, sf, threshold = 0.3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
