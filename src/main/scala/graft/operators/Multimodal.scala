@@ -161,14 +161,21 @@ object Multimodal {
     * this corpus, so DuckDB's per-character `ord` IS the byte), and
     * the FNV-1a frame hash is an xor + mod-2⁶⁴ multiply fold — every
     * op portable under §4's HUGEINT discipline. */
-  def mmFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+  def mmFrameSample(spark: SparkSession, sfDir: String): DataFrame =
+    mmFrames(spark, sfDir).orderBy(col("media_id"), col("frame_idx"))
+
+  /** The frame pipeline WITHOUT the presentation sort — what every
+    * downstream consumer (F6/F8/F10) must build on: the dump-facing
+    * orderBy above plans as a rangepartitioning exchange + global
+    * sort, which a consumer's own per-media hash exchange then throws
+    * away — a full wasted corpus shuffle at scale (found as a stray
+    * range exchange in the F10 plan). */
+  def mmFrames(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val media = Tables.documents(spark, sfDir)
       .select($"doc_id", $"text".cast("binary"))
       .as[(Long, Array[Byte])]
-    frameSample(media)
-      .orderBy($"media_id", $"frame_idx")
-      .toDF()
+    frameSample(media).toDF()
   }
 
   /** DuckDB replay of the stub decode + sampling + FNV-1a hash: frames
@@ -233,7 +240,7 @@ object Multimodal {
   }
 
   def mmSceneCuts(spark: SparkSession, sfDir: String): DataFrame =
-    sceneCuts(mmFrameSample(spark, sfDir))
+    sceneCuts(mmFrames(spark, sfDir))
 
   /** The frame replay (mmFrameSampleSql) wrapped as a subquery, then
     * the identical lag / xor / bit_count tree. */
@@ -660,7 +667,7 @@ object Multimodal {
   }
 
   def mmDedupFrames(spark: SparkSession, sfDir: String): DataFrame =
-    dedupFrames(mmFrameSample(spark, sfDir).toDF())
+    dedupFrames(mmFrames(spark, sfDir))
 
   /** The frame replay (mmFrameSampleSql) wrapped as a subquery, then
     * the identical signature / df-cap / pair-count tree. */
@@ -729,7 +736,7 @@ object Multimodal {
   }
 
   def mmShots(spark: SparkSession, sfDir: String): DataFrame =
-    shots(mmFrameSample(spark, sfDir))
+    shots(mmFrames(spark, sfDir))
 
   val mmShotsSql: String =
     s"""WITH hh AS (
