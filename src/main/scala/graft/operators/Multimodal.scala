@@ -576,7 +576,16 @@ object Multimodal {
     * integer ratio — the identical IEEE tree in DuckDB, so the whole
     * query hash-checks under the stub. */
   def mmAudioLevels(spark: SparkSession, sfDir: String,
-      windowSamples: Int = 256): DataFrame = {
+      windowSamples: Int = 256): DataFrame =
+    mmAudioWindows(spark, sfDir, windowSamples)
+      .orderBy(col("media_id"), col("window_idx"))
+
+  /** The level pipeline WITHOUT the presentation sort — F11 builds on
+    * this (the mmFrames lesson: an orderBy consumed by a window stage
+    * is a wasted rangepartitioning exchange the optimizer does NOT
+    * eliminate, unlike sorts under joins/aggregates). */
+  def mmAudioWindows(spark: SparkSession, sfDir: String,
+      windowSamples: Int): DataFrame = {
     import spark.implicits._
     require(windowSamples >= 1, "windowSamples must be positive")
     val media = Tables.documents(spark, sfDir)
@@ -592,7 +601,6 @@ object Multimodal {
     }.toDF("media_id", "window_idx", "n_samples", "peak", "energy")
       .select($"media_id", $"window_idx", $"n_samples", $"peak", $"energy",
         sqrt($"energy".cast("double") / $"n_samples").as("rms"))
-      .orderBy($"media_id", $"window_idx")
   }
 
   /** DuckDB replay of the stub analyzer: 256-char windows (chars ==
@@ -796,7 +804,7 @@ object Multimodal {
 
   def mmAudioSilence(spark: SparkSession, sfDir: String,
       windowSamples: Int = 64, rmsThreshold: Double = 44.0): DataFrame =
-    audioSilence(mmAudioLevels(spark, sfDir, windowSamples), rmsThreshold)
+    audioSilence(mmAudioWindows(spark, sfDir, windowSamples), rmsThreshold)
 
   /** F9's replay at 64-sample windows, then the identical island
     * grouping; span RMS from exact integer sums. */
