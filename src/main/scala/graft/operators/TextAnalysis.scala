@@ -840,20 +840,37 @@ object TextAnalysis {
     * quantized before the order-sensitive sum (§4). Emits one row per
     * stratum: (s, n_items, n_distinct, jsd). Input frame should be
     * PINNED by the caller — four subtrees read it. */
-  private[operators] def jsdReport(counts: DataFrame): DataFrame = {
-    val global = counts.groupBy(col("w")).agg(sum(col("tf")).as("gf"))
+  private[operators] def jsdReport(counts: DataFrame): DataFrame =
+    jsdAgainst(counts,
+      counts.groupBy(col("w")).agg(sum(col("tf")).as("gf")))
+
+  /** JSD of each stratum in `counts` (s, w, tf) against an EXPLICIT
+    * reference distribution `ref` (w, gf) — the general form behind
+    * [[jsdReport]] (ref = the pooled counts) and the streaming drift
+    * monitor (ref = a static corpus baseline). Items present in a
+    * stratum but ABSENT from the reference contribute their exact
+    * closed-form P-side term p·ln 2 (m = p/2, and p/(p/2) is exactly
+    * 2.0 in IEEE — no rounding), with the Q-side term zero; reference
+    * mass unmatched by the stratum uses the ln 2 · (1 − Σ_matched q)
+    * closed form as before. With ref = pooled global the q-null
+    * branches never fire, so jsdReport's results are bit-unchanged. */
+  private[operators] def jsdAgainst(counts: DataFrame,
+      ref: DataFrame): DataFrame = {
     val totals = counts.groupBy(col("s")).agg(sum(col("tf")).as("ns"))
-    val grand = global.agg(sum(col("gf")).as("ng"))
+    val grand = ref.agg(sum(col("gf")).as("ng"))
     val p = col("tf").cast("double") / col("ns").cast("double")
     val q = col("gf").cast("double") / col("ng").cast("double")
     val m = (p + q) / lit(2.0)
     counts
-      .join(global, "w")
+      .join(ref, Seq("w"), "left")
       .join(broadcast(totals), "s")
       .crossJoin(broadcast(grand))
-      .select(col("s"), col("ns"), col("gf"), col("ng"),
-        (p * log(p / m)).cast("decimal(28,12)").as("tp"),
-        (q * log(q / m)).cast("decimal(28,12)").as("tq"))
+      .select(col("s"), col("ns"), col("ng"),
+        coalesce(col("gf"), lit(0L)).as("gf"),
+        when(col("gf").isNull, (p * log(lit(2.0))).cast("decimal(28,12)"))
+          .otherwise((p * log(p / m)).cast("decimal(28,12)")).as("tp"),
+        when(col("gf").isNull, lit(0).cast("decimal(28,12)"))
+          .otherwise((q * log(q / m)).cast("decimal(28,12)")).as("tq"))
       .groupBy(col("s"))
       .agg(max(col("ns")).as("n_items"),
         count(lit(1)).as("n_distinct"),
@@ -869,6 +886,37 @@ object TextAnalysis {
 
   def corpusDrift(spark: SparkSession, sfDir: String): DataFrame =
     corpusDriftOf(Tables.documents(spark, sfDir), "source")
+
+  /** INGEST-TIME drift monitor — E17's streaming half and the E
+    * family's first streaming member: each micro-batch of documents is
+    * scored per source against a STATIC baseline distribution (the
+    * last validated corpus version — the A35 stream-static shape), so
+    * a drifting crawl slice raises its JSD the trigger it arrives, not
+    * at the next batch sweep. Per-batch analytics over the whole
+    * trigger is exactly what foreachBatch is for (the D9 reasoning:
+    * stateless per batch, no watermark semantics to fake); the
+    * baseline token distribution is computed ONCE at query start and
+    * pinned — triggers pay only their own batch's counts. Novel
+    * tokens absent from the baseline get their exact closed-form
+    * P-side term (p·ln 2) instead of the NaN a naive q=0 join would
+    * produce — the case that fires precisely when drift is worst. */
+  def driftStream(docs: DataFrame, baseline: DataFrame)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    lazy val ref = baseline
+      .select(explode(tokens()).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("gf"))
+      .localCheckpoint(true)
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val counts = batch
+        .select(col("source").as("s"), explode(tokens()).as("w"))
+        .groupBy(col("s"), col("w")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      sink(jsdAgainst(counts, ref)
+        .select(col("s").as("source"), col("n_items").as("n_tokens"),
+          col("n_distinct").as("vocab"), col("jsd")), batchId)
+    }
+  }
 
   val corpusDriftSql: String =
     """WITH tok AS (

@@ -294,4 +294,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(sf1.nonEmpty)
     sf1.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= ln2))
   }
+
+  test("drift stream: per-batch JSD vs static baseline, novel vocab exact, identical slice at zero") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ln2 = math.log(2.0)
+    val baseline = Seq(("b", "x x x x")).toDF("source", "text")
+    val input = MemoryStream[(String, String)](31, spark, None)
+    val got = scala.collection.mutable.Map.empty[(Long, String), Double]
+    val q = TextAnalysis.driftStream(
+      input.toDS().toDF("source", "text"), baseline) { (report, id) =>
+      report.collect().foreach(r =>
+        got((id, r.getString(0))) = r.getDouble(3))
+    }.start()
+    try {
+      // batch 0: srcA matches the baseline exactly (JSD 0); srcB is
+      // ENTIRELY novel vocabulary — the worst-drift case must come out
+      // as exactly ln 2, not NaN
+      input.addData(("srcA", "x x"), ("srcB", "y y"))
+      q.processAllAvailable()
+      assert(got((0L, "srcA")) === 0.0, s"identical slice drifted: $got")
+      assert(math.abs(got((0L, "srcB")) - ln2) < 1e-12, s"novel-vocab JSD: $got")
+      // batch 1: half-novel slice — P={x:.5,y:.5} vs Q={x:1}:
+      //  x: p=.5,q=1,m=.75 → .5·ln(.5/.75) + 1·ln(1/.75)
+      //  y: novel → p-side .5·ln2; ref absent mass = 0
+      val want = 0.5 * (0.5 * math.log(0.5 / 0.75) + 0.5 * ln2) +
+        0.5 * (1.0 * math.log(1.0 / 0.75))
+      input.addData(("srcC", "x y"))
+      q.processAllAvailable()
+      assert(math.abs(got((1L, "srcC")) - want) < 1e-12,
+        s"half-novel JSD: got ${got.get((1L, "srcC"))} want $want")
+    } finally q.stop()
+  }
 }
