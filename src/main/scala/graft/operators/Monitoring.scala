@@ -1365,6 +1365,117 @@ object Monitoring {
        |FROM v WHERE varx > 0.0 AND vary > 0.0
        |ORDER BY device_a, device_b""".stripMargin
 
+  // ---------------------------------------------------------------- A51
+  /** ONE-ROW FLEET dashboard — E10's corpus_stats for the telemetry
+    * axis, the summary an operator reads before opening any per-device
+    * view: fleet size, event/error volume, error rate, devices active
+    * in the trailing 24 h of fleet time vs silent (A42's cutoff
+    * definition), and the per-device event-count distribution (mean +
+    * exact p95 — a low p95 against a high mean says a few devices
+    * carry the feed). ONE corpus exchange builds the per-device frame;
+    * the fleet row and "now" derive from that tiny frame (A42's
+    * discipline — never a second corpus scan). */
+  def fleetHealth(spark: SparkSession, sfDir: String,
+      recentUs: Long = 86400000000L): DataFrame = {
+    import spark.implicits._
+    require(recentUs > 0, s"recentUs $recentUs must be positive")
+    val perDev = Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"event_type" === "error", 1L).otherwise(0L)).as("errs"),
+        max(expr(tsUs)).as("last_us"))
+    val now = perDev.agg(max($"last_us").as("now_us"))
+    perDev.crossJoin(broadcast(now))
+      .agg(
+        count(lit(1)).as("n_devices"),
+        sum($"n").as("n_events"),
+        sum($"errs").as("n_errors"),
+        (sum($"errs").cast("double") / sum($"n").cast("double"))
+          .as("error_rate"),
+        sum(when($"last_us" > $"now_us" - recentUs, 1L).otherwise(0L))
+          .as("active_devices"),
+        sum(when($"last_us" <= $"now_us" - recentUs, 1L).otherwise(0L))
+          .as("silent_devices"),
+        (sum($"n").cast("double") / count(lit(1)).cast("double"))
+          .as("avg_events_per_device"),
+        round(expr("percentile(n, 0.95)"), 4).as("p95_events_per_device"))
+  }
+
+  def fleetHealthSql(recentUs: Long = 86400000000L): String =
+    s"""WITH d AS (
+       |  SELECT user_id, COUNT(*) AS n,
+       |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errs,
+       |    MAX(epoch_us(ts)) AS last_us
+       |  FROM events GROUP BY user_id),
+       |now_t AS (SELECT MAX(last_us) AS now_us FROM d)
+       |SELECT COUNT(*) AS n_devices,
+       |  CAST(SUM(n) AS BIGINT) AS n_events,
+       |  CAST(SUM(errs) AS BIGINT) AS n_errors,
+       |  CAST(SUM(errs) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS error_rate,
+       |  CAST(SUM(CASE WHEN last_us > now_us - $recentUs THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS active_devices,
+       |  CAST(SUM(CASE WHEN last_us <= now_us - $recentUs THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS silent_devices,
+       |  CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS avg_events_per_device,
+       |  ROUND(quantile_cont(n, 0.95), 4) AS p95_events_per_device
+       |FROM d, now_t""".stripMargin
+
+  // ---------------------------------------------------------------- A52
+  /** ROBUST outlier detection via MEDIAN/MAD — the detector A31's
+    * z-score cannot be on a skewed or already-contaminated series
+    * (outliers inflate the mean and σ they are judged against,
+    * masking themselves; the median and MAD barely move): flag
+    * samples whose |x − median| exceeds `k` robust standard
+    * deviations (MAD · 1.4826, the normal-consistency constant).
+    * Two grouped EXACT percentile aggregations (B9's parity
+    * discipline — interpolated percentile is the identical
+    * arithmetic in both engines, rounded at each stage), each one
+    * exchange over the per-device frame, stats broadcast back over
+    * the values. Constant series (MAD = 0) are excluded — every
+    * deviation is infinitely many MADs there, and A40/A44 own that
+    * failure mode. */
+  def madOutliers(spark: SparkSession, sfDir: String,
+      k: Double = 3.5): DataFrame = {
+    import spark.implicits._
+    require(k > 0, s"k $k must be positive")
+    val vals = Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
+      .select($"user_id", expr(tsUs).as("us"), $"event_id", $"value")
+    val med = vals.groupBy($"user_id")
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+    val dev = vals.join(broadcast(med), Seq("user_id"))
+      .withColumn("absdev", round(abs($"value" - $"med"), 4))
+    val mad = dev.groupBy($"user_id")
+      .agg(round(expr("percentile(absdev, 0.5)"), 4).as("mad"))
+    dev.join(broadcast(mad), Seq("user_id"))
+      .filter($"mad" > 0.0 &&
+        $"absdev" / ($"mad" * lit(1.4826)) > k)
+      .select($"user_id", $"event_id", $"us", $"value", $"med", $"mad",
+        round($"absdev" / ($"mad" * lit(1.4826)), 6).as("robust_z"))
+      .orderBy($"user_id", $"us", $"event_id")
+  }
+
+  def madOutliersSql(k: Double = 3.5): String =
+    s"""WITH v AS (
+       |  SELECT user_id, epoch_us(ts) AS us, event_id, value
+       |  FROM events
+       |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+       |med AS (
+       |  SELECT user_id, ROUND(quantile_cont(value, 0.5), 4) AS med
+       |  FROM v GROUP BY user_id),
+       |dev AS (
+       |  SELECT v.*, med.med, ROUND(ABS(v.value - med.med), 4) AS absdev
+       |  FROM v JOIN med USING (user_id)),
+       |mad AS (
+       |  SELECT user_id, ROUND(quantile_cont(absdev, 0.5), 4) AS mad
+       |  FROM dev GROUP BY user_id)
+       |SELECT user_id, event_id, us, value, med, mad,
+       |  ROUND(absdev / (mad * 1.4826), 6) AS robust_z
+       |FROM dev JOIN mad USING (user_id)
+       |WHERE mad > 0.0 AND absdev / (mad * 1.4826) > $k
+       |ORDER BY user_id, us, event_id""".stripMargin
+
   // ---------------------------------------------------------------- A49
   /** GAP-FILLED hourly series per device over the dashboard's render
     * window (trailing `horizonHours` of fleet time) — the

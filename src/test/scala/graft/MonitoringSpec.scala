@@ -445,6 +445,50 @@ class MonitoringSpec extends SparkSpec {
     assert(out.toSet === Set((1L, 2L)), s"pairs: ${out.toSeq}")
   }
 
+  test("fleet health: one row, counts consistent, active + silent = fleet") {
+    val r = Monitoring.fleetHealth(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (nDev, nEv, nErr) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nDev === Tables.events(spark, sf).select($"user_id").distinct().count())
+    assert(nEv === Tables.events(spark, sf).count())
+    assert(nErr > 0 && nErr < nEv)
+    assert(math.abs(row.getDouble(3) - nErr.toDouble / nEv) < 1e-15)
+    assert(row.getLong(4) + row.getLong(5) === nDev, "active + silent != fleet")
+    assert(row.getDouble(7) >= 1.0, "p95 events per device")
+  }
+
+  test("MAD outliers: robust to the contamination that masks a z-score") {
+    // device 1: tight series at 10 with two wild spikes — the spikes
+    // inflate mean/σ (z ≈ 1.9, under a 3.5 cut) but median/MAD barely
+    // move, so the robust detector still flags them
+    def ev(dev: Long, i: Int, v: Double) =
+      (dev, new java.sql.Timestamp(1700000000000L + i * 60000L), i.toLong,
+        "purchase", v)
+    val events = (
+      (0 until 20).map(i => ev(1L, i, 10.0 + (i % 3) * 0.1)) ++
+        Seq(ev(1L, 20, 500.0), ev(1L, 21, 500.0)) ++
+        // device 2: constant series — MAD 0, excluded entirely
+        (0 until 5).map(i => ev(2L, i, 7.0))
+      ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    // route the planted frame through the operator's core by writing
+    // it as a one-table dir? no need: replicate via the sf path is
+    // wrong — call the internals instead
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mad").toString
+    events.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Monitoring.madOutliers(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(6)))
+    assert(out.map(t => (t._1, t._2)).toSet === Set((1L, 20L), (1L, 21L)),
+      s"flagged: ${out.toSeq}")
+    out.foreach(t => assert(t._3 > 3.5))
+    // z-score sanity: the spikes sit under 2σ of their own contaminated
+    // series — the masking this operator exists to beat
+    val s = (0 until 20).map(i => 10.0 + (i % 3) * 0.1) ++ Seq(500.0, 500.0)
+    val mean = s.sum / s.size
+    val sigma = math.sqrt(s.map(x => (x - mean) * (x - mean)).sum / s.size)
+    assert((500.0 - mean) / sigma < 3.5, "planted spikes not masking")
+  }
+
   test("gap fill: short gaps LOCF-filled, long gaps left open, horizon clips") {
     val hourUs = 3600000000L
     def ev(u: Long, h: Long, v: Double) =
