@@ -897,10 +897,16 @@ object Curation {
   def lmBuckets(spark: SparkSession, sfDir: String,
       buckets: Int = 1024): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
+    // PINNED: three consumers (the packing-span require, the prefix
+    // sum, the per-lang totals) would each re-run the whole LM-score
+    // tail — 3× the E11 cost, measured as a 2.1 s slot vs E11's 0.3 s
+    // before the pin. Pinned size is (doc_id, lang, q5) — corpus rows,
+    // three narrow columns.
     val scored = TextAnalysis.textLmScore(spark, sfDir)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .select(col("doc_id"), col("lang"),
         floor(col("lm_score") * 1e5).cast("long").as("q5"))
+      .localCheckpoint(true)
     val r = scored.agg(max(col("q5")), min(col("q5")),
       min(col("doc_id")), max(col("doc_id"))).head()
     if (r.isNullAt(0)) return scored.withColumn("bucket", lit("")).limit(0)
@@ -1114,6 +1120,145 @@ object Curation {
           admitted.iterator
       }
       .toDF("doc_id", "n_tokens", "quality_score", "cum_tokens")
+  }
+
+  // ------------------------------------------------------------- C35
+  /** CURATION FUNNEL — the observability row for C8's gate chain
+    * ("where did my corpus go?"): cumulative survivor counts through
+    * lang → min-tokens → uniq-ratio → repetition → exact-dedup, the
+    * table a pipeline operator reads when a sweep deletes more (or
+    * less) than expected — a gate suddenly eating 40% of a crawl
+    * slice is a data bug caught HERE, before training. All six stage
+    * counts come from ONE aggregate over one scan: per-doc gate
+    * booleans are cumulative AND chains evaluated under the scan,
+    * stage counts are conditional sums, and the dedup stage is a
+    * conditional COUNT(DISTINCT sha) in the same Aggregate — one
+    * exchange total, then a 1-row stack to long format (no extra
+    * shuffle). Stage ORDER is part of the contract (each count is
+    * "survivors of every gate so far"); it mirrors C8's oracle
+    * formulation (lang first). */
+  def curateFunnel(spark: SparkSession, sfDir: String, minTokens: Int = 10,
+      maxDupBigram: Double = 0.1,
+      langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame = {
+    val scored = Tables.documents(spark, sfDir)
+      .withColumn("toks", TextAnalysis.tokens("text"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("uniq_ratio",
+        size(array_distinct(col("toks"))).cast("double") /
+          nullif(size(col("toks")), lit(0)))
+      .withColumn("bg", expr(
+        """IF(size(toks) < 2, array(),
+          |   zip_with(slice(toks, 1, size(toks) - 1),
+          |            slice(toks, 2, size(toks) - 1),
+          |            (a, b) -> concat(a, ' ', b)))""".stripMargin))
+      .withColumn("dup_bigram_ratio",
+        when(size(col("bg")) === 0, lit(0.0)).otherwise(
+          lit(1.0) - size(array_distinct(col("bg"))).cast("double") / size(col("bg"))))
+      .withColumn("c1", col("lang").isin(langs: _*))
+      .withColumn("c2", col("c1") && col("n_tokens") >= minTokens)
+      .withColumn("c3", col("c2") && col("uniq_ratio") >= 0.3)
+      .withColumn("c4", col("c3") && col("dup_bigram_ratio") <= maxDupBigram)
+    scored.agg(
+      count(lit(1)).as("s0"),
+      sum(when(col("c1"), 1L).otherwise(0L)).as("s1"),
+      sum(when(col("c2"), 1L).otherwise(0L)).as("s2"),
+      sum(when(col("c3"), 1L).otherwise(0L)).as("s3"),
+      sum(when(col("c4"), 1L).otherwise(0L)).as("s4"),
+      countDistinct(when(col("c4"), sha2(col("text"), 256))).as("s5"))
+      .selectExpr(
+        """stack(6,
+          |  0, 'ingest',      s0,
+          |  1, 'lang',        s1,
+          |  2, 'min_tokens',  s2,
+          |  3, 'uniq_ratio',  s3,
+          |  4, 'repetition',  s4,
+          |  5, 'exact_dedup', s5) AS (stage_idx, stage, docs)""".stripMargin)
+  }
+
+  def curateFunnelSql(minTokens: Int = 10, maxDupBigram: Double = 0.1): String =
+    s"""WITH x AS (
+       |  SELECT doc_id, lang, text,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT lang, text, len(toks) AS n_tokens,
+       |    CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(len(toks), 0)
+       |      AS uniq_ratio,
+       |    CASE WHEN len(toks) < 2 THEN []
+       |         ELSE list_transform(generate_series(1, len(toks) - 1),
+       |                i -> toks[i] || ' ' || toks[i + 1]) END AS bg
+       |  FROM x),
+       |c AS (
+       |  SELECT text,
+       |    list_contains(['en', 'de', 'es', 'fr', 'zh'], lang) AS c1,
+       |    list_contains(['en', 'de', 'es', 'fr', 'zh'], lang)
+       |      AND n_tokens >= $minTokens AS c2,
+       |    list_contains(['en', 'de', 'es', 'fr', 'zh'], lang)
+       |      AND n_tokens >= $minTokens AND uniq_ratio >= 0.3 AS c3,
+       |    list_contains(['en', 'de', 'es', 'fr', 'zh'], lang)
+       |      AND n_tokens >= $minTokens AND uniq_ratio >= 0.3
+       |      AND (CASE WHEN len(bg) = 0 THEN 0.0
+       |           ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+       |           END) <= $maxDupBigram AS c4
+       |  FROM g),
+       |a AS (
+       |  SELECT COUNT(*) AS s0,
+       |    CAST(SUM(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+       |    CAST(SUM(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+       |    CAST(SUM(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+       |    CAST(SUM(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+       |    COUNT(DISTINCT CASE WHEN c4 THEN sha256(text) END) AS s5
+       |  FROM c)
+       |SELECT 0 AS stage_idx, 'ingest' AS stage, s0 AS docs FROM a
+       |UNION ALL SELECT 1, 'lang', s1 FROM a
+       |UNION ALL SELECT 2, 'min_tokens', s2 FROM a
+       |UNION ALL SELECT 3, 'uniq_ratio', s3 FROM a
+       |UNION ALL SELECT 4, 'repetition', s4 FROM a
+       |UNION ALL SELECT 5, 'exact_dedup', s5 FROM a
+       |ORDER BY stage_idx""".stripMargin
+
+  // ------------------------------------------------------------- C34
+  /** INGEST-TIME sequence packing — C13's streaming twin with the
+    * C27/C29 semantic difference stated: batch packing fixes the
+    * corpus-wide doc_id order; online packing assigns (seq_id,
+    * seq_offset) in ADMISSION order (doc_id within a trigger, arrival
+    * order across triggers — at ingest you cannot see the future), so
+    * the two agree exactly when ingest happens in doc_id order and
+    * differ by design otherwise. State is the concatenation's own O(1)
+    * footprint — tokens spent + a high-water doc_id replay fence (an
+    * at-least-once redelivery must NOT re-pack a doc at a new offset:
+    * a training sequence that exists twice at two positions poisons
+    * the shard writer downstream). Single logical token stream →
+    * single group, the budgetSelectStream reasoning: this is the
+    * admission CONTROLLER on the curated trickle, not a corpus scan. */
+  def packStream(docs: DataFrame, seqLen: Int = 2048): DataFrame = {
+    require(seqLen >= 1, s"seqLen $seqLen must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    docs
+      .select(col("doc_id").cast("long"),
+        size(TextAnalysis.tokens()).cast("long").as("n_tokens"))
+      .as[(Long, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[(Long, Long)],
+            state: org.apache.spark.sql.streaming.GroupState[(Long, Long)]) =>
+          var (spent, lastId) = state.getOption.getOrElse((0L, -1L))
+          val out = it.toSeq.sortBy(_._1).iterator
+            .filter(_._1 > lastId) // replay fence
+            .map { case (id, n) =>
+              val off = spent
+              spent += n
+              lastId = id
+              (id, n, off / seqLen, off % seqLen)
+            }
+            .toVector
+          state.update((spent, lastId))
+          out.iterator
+      }
+      .toDF("doc_id", "n_tokens", "seq_id", "seq_offset")
   }
 
   // ------------------------------------------------------------- C15

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -122,6 +123,29 @@ object TextAnalysis {
     Tables.documents(spark, sfDir)
       .select($"doc_id", TextFunctions.langId($"text").as("lang_guess"), $"lang")
       .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- E19
+  /** LANGUAGE-ID CONFUSION matrix — E3's driver-visible quality report
+    * (the D8 discipline: a heuristic component's accuracy should be a
+    * per-round NUMBER in the dump, not only a spec threshold): counts
+    * per (labeled lang, predicted lang) with row-share, plus overall
+    * accuracy derivable from the diagonal. One map pass through the
+    * codegen'd langId kernel, one exchange on the tiny (lang, guess)
+    * key space. Rows-only: the n-gram profile is engine-specific — the
+    * accuracy spec on the labeled column is the check. */
+  def langIdConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"lang", TextFunctions.langId($"text").as("predicted"))
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lang_total",
+        sum($"n").over(Window.partitionBy($"lang")))
+      .select($"lang", $"predicted", $"n",
+        round($"n".cast("double") / $"lang_total", 4).as("share"),
+        ($"lang" === $"predicted").as("correct"))
+      .orderBy($"lang", $"predicted")
   }
 
   // ---------------------------------------------------------------- E4

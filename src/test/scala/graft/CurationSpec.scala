@@ -710,6 +710,52 @@ class CurationSpec extends SparkSpec {
     assert(rep === out, "split depends on partition layout")
   }
 
+  test("curate_funnel: monotone stages, endpoints match the pipeline") {
+    val out = Curation.curateFunnel(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.map(_._2).toSeq === Seq("ingest", "lang", "min_tokens",
+      "uniq_ratio", "repetition", "exact_dedup"))
+    // survivors can only shrink stage to stage
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3, s"funnel grew: $a -> $b")
+    }
+    assert(out.head._3 === Tables.documents(spark, sf).count())
+    // the last stage IS the v2 pipeline's row count (pre-scrub = scrub)
+    assert(out.last._3 === Curation.pipelineCurateV2(spark, sf).count(),
+      "funnel endpoint diverged from the pipeline it audits")
+  }
+
+  test("packStream: ordered replay equals batch packing, replay fence holds") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val want = Curation.packSequences(Tables.documents(spark, sf))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(want.nonEmpty)
+    val history = Tables.documents(spark, sf).orderBy($"doc_id")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    // split mid-corpus so a sequence straddles the trigger boundary
+    val (a, b) = history.splitAt(history.length / 2)
+    val input = MemoryStream[(Long, String)](32, spark, None)
+    val q = Curation.packStream(input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pack_out")
+      .outputMode("append").start()
+    try {
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
+      def got = spark.table("pack_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.toSet === want,
+        "doc_id-ordered ingest must reproduce the batch packing exactly")
+      val n1 = got.length
+      // at-least-once redelivery: the fence must drop the replayed
+      // slice — a doc packed twice at two offsets poisons the shards
+      input.addData(b.toSeq); q.processAllAvailable()
+      assert(got.length === n1, "replayed docs re-packed at new offsets")
+    } finally q.stop()
+  }
+
   test("split_leak_audit: reports exactly train docs, catches every exact cross-split dup") {
     val docs = Tables.documents(spark, sf)
     val split = Curation.splitAssign(docs).select($"doc_id", $"split")

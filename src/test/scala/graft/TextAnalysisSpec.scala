@@ -295,6 +295,21 @@ class TextAnalysisSpec extends SparkSpec {
     sf1.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= ln2))
   }
 
+  test("langid confusion: shares sum to 1 per lang, diagonal accuracy beats chance") {
+    val out = TextAnalysis.langIdConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(out.nonEmpty)
+    val n = Tables.documents(spark, sf).count()
+    assert(out.map(_._3).sum === n, "docs lost from the matrix")
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-3, s"$lang shares")
+    }
+    val acc = out.filter(_._5).map(_._3).sum.toDouble / n
+    val langs = out.map(_._1).distinct.length
+    assert(acc > 1.0 / langs, s"accuracy $acc no better than chance")
+  }
+
   test("drift stream: per-batch JSD vs static baseline, novel vocab exact, identical slice at zero") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val ln2 = math.log(2.0)
