@@ -1365,6 +1365,45 @@ object Monitoring {
        |FROM v WHERE varx > 0.0 AND vary > 0.0
        |ORDER BY device_a, device_b""".stripMargin
 
+  // ---------------------------------------------------------------- A53
+  /** Windowed EXTENDED statistics — the pXX half of CloudWatch
+    * `get-metric-statistics` that A4's Sum/Avg/Min/Max/SampleCount
+    * set omits (the reference's CLI can request `p99` exactly like
+    * `Sum`, putmedia_check.sh:10-37 — and tail percentiles, not
+    * means, are what latency/SLO dashboards actually alarm on): per
+    * (device, hour) exact p50/p95/p99 of the metric plus the sample
+    * count. One map-side-partial exchange on the (device, window)
+    * key; EXACT interpolated percentiles under B9's parity rounding.
+    * At 100 TB the same query swaps percentile() for
+    * percentile_approx — B20's documented trade. */
+  def windowPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
+      .groupBy($"user_id",
+        expr(s"$tsUs div 3600000000").as("h"))
+      .agg(
+        count(lit(1)).as("n_samples"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .select($"user_id", ($"h" * 3600000000L).as("window_us"),
+        $"n_samples", $"p50", $"p95", $"p99")
+      .orderBy($"user_id", $"window_us")
+  }
+
+  val windowPercentilesSql: String =
+    """SELECT user_id,
+      |  (epoch_us(ts) // 3600000000) * 3600000000 AS window_us,
+      |  COUNT(*) AS n_samples,
+      |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(value, 0.95), 4) AS p95,
+      |  ROUND(quantile_cont(value, 0.99), 4) AS p99
+      |FROM events
+      |WHERE event_type = 'purchase' AND value IS NOT NULL
+      |GROUP BY user_id, epoch_us(ts) // 3600000000
+      |ORDER BY user_id, window_us""".stripMargin
+
   // ---------------------------------------------------------------- A51
   /** ONE-ROW FLEET dashboard — E10's corpus_stats for the telemetry
     * axis, the summary an operator reads before opening any per-device

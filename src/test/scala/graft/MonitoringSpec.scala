@@ -445,6 +445,21 @@ class MonitoringSpec extends SparkSpec {
     assert(out.toSet === Set((1L, 2L)), s"pairs: ${out.toSeq}")
   }
 
+  test("window percentiles: ordered, consistent with window min/max sample counts") {
+    val out = Monitoring.windowPercentiles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, _, n, p50, p95, p99) =>
+      assert(n >= 1)
+      assert(p50 <= p95 && p95 <= p99, "percentiles out of order")
+    }
+    // totals conserve: window sample counts sum to the filtered scan
+    val total = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase" && $"value".isNotNull).count()
+    assert(out.map(_._3).sum === total)
+  }
+
   test("fleet health: one row, counts consistent, active + silent = fleet") {
     val r = Monitoring.fleetHealth(spark, sf).collect()
     assert(r.length === 1)
