@@ -1649,10 +1649,15 @@ object Curation {
     // while the oracle and the budgetSelectStream twin (quality floor
     // filter) both drop such docs. One explicit filter on both sides
     // keeps the three formulations aligned.
+    // PINNED (the lm_buckets finding): the id-span require plus the
+    // prefix sum's internal consumers (span agg, bucket subtotals,
+    // base join) would each re-run the regex-heavy quality-score tail
+    // — 3-4× the E2 cost. Pinned size is three narrow columns per doc.
     val scored = TextAnalysis.textQualityOf(docs)
       .select(col("doc_id"), col("n_tokens"),
         floor(col("quality_score") * 1e6).cast("long").as("q6"))
       .filter(col("q6").isNotNull)
+      .localCheckpoint(true)
     val r = scored.agg(min(col("doc_id")), max(col("doc_id"))).head()
     if (r.isNullAt(0)) return scored.withColumn("cum_tokens", lit(0L)).limit(0)
     require(r.getLong(0) >= 0 && r.getLong(1) < (1L << 40),
