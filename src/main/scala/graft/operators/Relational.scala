@@ -1268,8 +1268,17 @@ object Relational {
       // zone the cast is the identity on the instant (the B30 note)
       .withColumn("o_odate_us",
         expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"))
-    val numeric = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_odate_us")
-    val strings = Seq("o_orderstatus", "o_orderpriority")
+    profileOf(o, Seq("o_orderkey", "o_custkey", "o_totalprice", "o_odate_us"),
+      Seq("o_orderstatus", "o_orderpriority"))
+      .orderBy($"col_name")
+  }
+
+  /** The profile kernel behind [[qProfile]] and [[profileStream]] —
+    * one row per column over an arbitrary frame. */
+  private[operators] def profileOf(df: DataFrame, numeric: Seq[String],
+      strings: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     def branch(c: String, isNum: Boolean): DataFrame = {
       val mm =
         if (isNum)
@@ -1281,7 +1290,7 @@ object Relational {
           Seq(lit(null).cast("double").as("min_num"),
             lit(null).cast("double").as("max_num"),
             min(col(c)).as("min_str"), max(col(c)).as("max_str"))
-      o.select(col(c)).agg(
+      df.select(col(c)).agg(
         count(col(c)).as("n"),
         Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
           countDistinct(col(c)).as("n_distinct")) ++ mm: _*)
@@ -1291,7 +1300,49 @@ object Relational {
     (numeric.map(branch(_, isNum = true)) ++
       strings.map(branch(_, isNum = false)))
       .reduce(_ unionByName _)
-      .orderBy($"col_name")
+  }
+
+  /** STREAMING data-quality profile — B35's ingest twin and the
+    * B family's first streaming member (the Deequ-monitor shape):
+    * every micro-batch is profiled per column (the B35 kernel), and
+    * when a REFERENCE profile is supplied (a previous trusted batch
+    * run — the A35 stream-static pattern), each column carries drift
+    * flags: a null-fraction jump beyond `nullTol`, or numeric values
+    * outside the reference [min, max] envelope. Schema drift at
+    * ingest is how silent upstream changes (a renamed field, a unit
+    * change, a suddenly-null column) get caught BEFORE they poison a
+    * snapshot — B35 can only report after the fact. Per-batch
+    * whole-trigger analytics via foreachBatch (the D9/E18 reasoning);
+    * the reference joins as a broadcast of one row per column. */
+  def profileStream(stream: DataFrame, numeric: Seq[String],
+      strings: Seq[String], reference: Option[DataFrame] = None,
+      nullTol: Double = 0.05)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(nullTol >= 0, s"nullTol $nullTol must be >= 0")
+    val ref = reference.map(_.select(col("col_name"),
+      (col("n_nulls").cast("double") /
+        nullif(col("n") + col("n_nulls"), lit(0L))).as("ref_null_frac"),
+      col("min_num").as("ref_min"), col("max_num").as("ref_max"))
+      .localCheckpoint(true))
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val p = profileOf(batch, numeric, strings)
+        .withColumn("null_frac", col("n_nulls").cast("double") /
+          nullif(col("n") + col("n_nulls"), lit(0L)))
+      val out = ref match {
+        case None => p.withColumn("null_drift", lit(false))
+          .withColumn("range_drift", lit(false))
+        case Some(r) => p.join(broadcast(r), Seq("col_name"), "left")
+          .withColumn("null_drift",
+            coalesce(col("null_frac"), lit(0.0)) >
+              coalesce(col("ref_null_frac"), lit(0.0)) + nullTol)
+          .withColumn("range_drift",
+            coalesce(col("ref_min").isNotNull &&
+              (col("min_num") < col("ref_min") ||
+                col("max_num") > col("ref_max")), lit(false)))
+          .drop("ref_null_frac", "ref_min", "ref_max")
+      }
+      sink(out.withColumn("batch_id", lit(batchId)), batchId)
+    }
   }
 
   val qProfileSql: String = {

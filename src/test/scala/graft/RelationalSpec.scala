@@ -261,4 +261,43 @@ class RelationalSpec extends SparkSpec {
     val sup = Relational.qCopurchaseOf(lines).collect().map(_.getLong(2))
     assert(sup.sameElements(sup.sortBy(-_)))
   }
+
+  test("profile stream: clean batch silent, drifted batch flags nulls and range") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // reference: a trusted clean profile of val in [10, 20], no nulls
+    val refDocs = Seq((10.0, "a"), (15.0, "b"), (20.0, "a"))
+      .toDF("v", "s")
+    val reference = Seq(("v", 3L, 0L, 3L, 10.0, 20.0),
+      ("s", 3L, 0L, 2L, Double.NaN, Double.NaN))
+      .toDF("col_name", "n", "n_nulls", "n_distinct", "mn", "mx")
+      .select($"col_name", $"n", $"n_nulls", $"n_distinct",
+        when($"col_name" === "v", $"mn").otherwise(lit(null)).as("min_num"),
+        when($"col_name" === "v", $"mx").otherwise(lit(null)).as("max_num"))
+    val input = MemoryStream[(java.lang.Double, String)](33, spark, None)
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Boolean, Boolean)]
+    val q = Relational.profileStream(
+      input.toDS().toDF("v", "s"), Seq("v"), Seq("s"), Some(reference)) {
+      (report, id) =>
+        report.collect().foreach(r => rows +=
+          ((id, r.getString(0),
+            r.getBoolean(r.fieldIndex("null_drift")),
+            r.getBoolean(r.fieldIndex("range_drift")))))
+    }.start()
+    try {
+      // batch 0: clean, in range — nothing flags
+      input.addData((12.0, "a"), (18.0, "b"))
+      q.processAllAvailable()
+      assert(rows.filter(_._1 == 0L).forall(t => !t._3 && !t._4),
+        s"clean batch flagged: $rows")
+      // batch 1: a null v and an out-of-range v — both flags fire on v
+      input.addData((null.asInstanceOf[java.lang.Double], "a"), (99.0, "b"))
+      q.processAllAvailable()
+      val v1 = rows.find(t => t._1 == 1L && t._2 == "v").get
+      assert(v1._3, s"null drift not flagged: $rows")
+      assert(v1._4, s"range drift not flagged: $rows")
+      val s1 = rows.find(t => t._1 == 1L && t._2 == "s").get
+      assert(!s1._3 && !s1._4, s"string column falsely flagged: $rows")
+    } finally q.stop()
+  }
 }
