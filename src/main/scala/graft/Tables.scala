@@ -149,4 +149,22 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Every table this library knows, by its SQL name. */
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register the full schema as temp views so `spark.sql` works
+    * directly against the corpus — combined with the GraftExtensions
+    * function registrations this is the library's SQL-first surface
+    * (a user who writes SQL, not Scala, gets every table AND every
+    * native kernel — cosine_sim, simhash64, bloom probes — in one
+    * call). Views are lazy: registration costs no jobs, and each
+    * view's scan carries the loader's schema checks + timestamp
+    * normalization exactly like the DataFrame entry points. */
+  def registerAll(s: SparkSession, sfDir: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(s, sfDir) else load(s, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -1390,4 +1390,42 @@ object Relational {
       |SELECT path, COUNT(*) AS n_sessions
       |FROM p GROUP BY path
       |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- B41
+  /** JOIN-SKEW report — the evidence table behind every "should I salt
+    * this key" decision (B22 ships the salted join; THIS is how an
+    * operator finds out it is needed before a 100 TB shuffle hangs on
+    * one straggler task): top keys of a join column by row share, each
+    * flagged hot when its rows exceed `hotFactor` fair task shares
+    * (share · partitions > factor — the key that makes one task do
+    * `factor`× the average work). One map-side-partial exchange on the
+    * key + a bounded top-k; the total rides the same aggregate via a
+    * window-free broadcast of the 1-row sum. Share is an integer
+    * ratio rounded at 6 — hash-stable. */
+  def qSkewReport(spark: SparkSession, sfDir: String, topK: Int = 20,
+      partitions: Int = 32, hotFactor: Double = 4.0): DataFrame = {
+    import spark.implicits._
+    require(topK >= 1 && partitions >= 1 && hotFactor > 0)
+    val counts = Tables.events(spark, sfDir)
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum($"n").as("total"))
+    counts.crossJoin(broadcast(total))
+      .orderBy($"n".desc, $"user_id").limit(topK)
+      .select($"user_id", $"n", $"total",
+        round($"n".cast("double") / $"total".cast("double"), 6).as("share"),
+        (($"n".cast("double") / $"total".cast("double")) * partitions >
+          hotFactor).as("hot"))
+      .orderBy($"n".desc, $"user_id")
+  }
+
+  def qSkewReportSql(topK: Int = 20, partitions: Int = 32,
+      hotFactor: Double = 4.0): String =
+    s"""WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+       |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+       |SELECT user_id, n, total,
+       |  ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+       |  (CAST(n AS DOUBLE) / CAST(total AS DOUBLE)) * $partitions
+       |    > $hotFactor AS hot
+       |FROM c, t
+       |ORDER BY n DESC, user_id LIMIT $topK""".stripMargin
 }

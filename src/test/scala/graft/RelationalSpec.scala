@@ -262,6 +262,31 @@ class RelationalSpec extends SparkSpec {
     assert(sup.sameElements(sup.sortBy(-_)))
   }
 
+  test("skew report: planted hot key flagged, shares ordered, uniform keys cold") {
+    val out = Relational.qSkewReport(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getBoolean(4)))
+    assert(out.nonEmpty && out.length <= 20)
+    // descending by count with id tie-break
+    assert(out.map(_._2).sameElements(out.map(_._2).sortBy(-_)))
+    // shares are fractions of the total
+    out.foreach(t => assert(t._3 > 0.0 && t._3 <= 1.0))
+    // sf events are near-uniform per device: nothing should read hot
+    assert(out.forall(!_._4), s"uniform corpus flagged hot: ${out.toSeq}")
+  }
+
+  test("SQL surface: registered views + native functions answer spark.sql") {
+    Tables.registerAll(spark, sf)
+    val n = spark.sql("SELECT COUNT(*) FROM lineitem").head().getLong(0)
+    assert(n === Tables.lineitem(spark, sf).count())
+    // a native kernel over a registered view, pure SQL end to end
+    val r = spark.sql(
+      """SELECT d.doc_id, lang_id(d.text) AS guess,
+        |  simhash64(regexp_extract_all(lower(d.text), '[a-z0-9]+', 0)) AS sig
+        |FROM documents d ORDER BY d.doc_id LIMIT 5""".stripMargin).collect()
+    assert(r.length === 5)
+    assert(r.forall(row => row.getString(1).nonEmpty))
+  }
+
   test("profile stream: clean batch silent, drifted batch flags nulls and range") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // reference: a trusted clean profile of val in [10, 20], no nulls
