@@ -1122,6 +1122,37 @@ object Curation {
       .toDF("doc_id", "n_tokens", "quality_score", "cum_tokens")
   }
 
+  // ------------------------------------------------------------- C36
+  /** DUP-DEPTH histogram — how DEEP duplication runs, which E10's
+    * single dup_rate number cannot say (a 4% dup rate from thousands
+    * of pairs is crawl noise; the same 4% from one document repeated
+    * two thousand times is a template/SEO artifact needing a source
+    * fix — and C19's boilerplate pass, not C1's doc dedup, if the
+    * copies differ by a byte): exact-duplicate cluster sizes (sha-256
+    * groups) rolled into one row per size with cluster and doc counts
+    * and the docs-removed-if-deduped tally. Two cheap aggregations:
+    * the sha groupBy C1 already pays, then a rollup on the tiny
+    * (size) key space. */
+  def dedupClusterStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val sizes = Tables.documents(spark, sfDir)
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(count(lit(1)).as("sz"))
+    sizes.groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"),
+        sum(col("sz") - 1).as("n_removable"))
+      .orderBy(col("cluster_size"))
+  }
+
+  val dedupClusterStatsSql: String =
+    """WITH s AS (
+      |  SELECT sha256(text) AS h, COUNT(*) AS sz
+      |  FROM documents GROUP BY 1)
+      |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+      |  CAST(SUM(sz) AS BIGINT) AS n_docs,
+      |  CAST(SUM(sz - 1) AS BIGINT) AS n_removable
+      |FROM s GROUP BY sz ORDER BY cluster_size""".stripMargin
+
   // ------------------------------------------------------------- C35
   /** CURATION FUNNEL — the observability row for C8's gate chain
     * ("where did my corpus go?"): cumulative survivor counts through

@@ -710,6 +710,20 @@ class CurationSpec extends SparkSpec {
     assert(rep === out, "split depends on partition layout")
   }
 
+  test("dedup_cluster_stats: totals conserve, removable matches dedup outcome") {
+    val docs = Tables.documents(spark, sf)
+    val out = Curation.dedupClusterStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    assert(out.map(_._3).sum === docs.count(), "docs lost from the histogram")
+    out.foreach { case (sz, nc, nd, rem) =>
+      assert(nd === sz * nc && rem === (sz - 1) * nc)
+    }
+    // removable total == docs the exact dedup would drop
+    val distinct = docs.select(sha2($"text", 256)).distinct().count()
+    assert(out.map(_._4).sum === docs.count() - distinct)
+  }
+
   test("curate_funnel: monotone stages, endpoints match the pipeline") {
     val out = Curation.curateFunnel(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))

@@ -133,4 +133,71 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: split assignment is a pure function of id — any subset agrees") {
+    import graft.operators.Curation
+    val idsGen: Gen[List[Long]] =
+      Gen.choose(5, 80).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 100000L)))
+    for (seed <- 1L to 6L) {
+      val ids = sample(idsGen, seed).distinct
+      val docs = ids.map(id => (id, s"src${id % 3}", id * 7))
+        .toDF("doc_id", "source", "n_chars")
+      val full = Curation.splitAssign(docs).collect()
+        .map(r => r.getLong(0) -> r.getString(3)).toMap
+      assert(full.keySet === ids.toSet)
+      // ANY subset (a later ingest batch, a re-partition, a filter)
+      // assigns identically — the ingest-stability contract
+      val subset = Curation.splitAssign(
+        docs.filter($"doc_id" % 3 === seed % 3).repartition(3)).collect()
+        .map(r => r.getLong(0) -> r.getString(3))
+      subset.foreach { case (id, s) =>
+        assert(full(id) === s, s"seed=$seed doc $id reassigned")
+      }
+    }
+  }
+
+  test("property: gap fill never fabricates beyond the cap, observed rows survive") {
+    import graft.operators.Monitoring
+    val evGen: Gen[List[(Long, Long, Double)]] = for {
+      n <- Gen.choose(2, 50)
+      rows <- Gen.listOfN(n, for {
+        dev <- Gen.choose(1L, 3L)
+        h <- Gen.choose(0L, 40L)
+        v <- Gen.choose(1, 100).map(_.toDouble)
+      } yield (dev, h, v))
+    } yield rows
+    val hourUs = 3600000000L
+    for (seed <- 1L to 6L) {
+      val rows = sample(evGen, seed)
+      val events = rows
+        .map { case (d, h, v) => (d, new java.sql.Timestamp(h * hourUs / 1000), v) }
+        .toDF("user_id", "ts", "value")
+      val out = Monitoring.gapFillOf(events, maxFillHours = 3, horizonHours = 30)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1) / hourUs, r.getDouble(2), r.getBoolean(3)))
+      // horizon start, as the operator derives it
+      val cut = rows.map(_._2).max - 29
+      val byDev = out.groupBy(_._1)
+      byDev.foreach { case (dev, series) =>
+        val hours = series.map(_._2).sorted
+        assert(hours.distinct.length === hours.length, s"seed=$seed dup hour")
+        // every filled hour's LOCF source is a real INPUT observation
+        // at most maxFill-1 hours back (possibly just before the cut)
+        val inputHours = rows.filter(_._1 == dev).map(_._2).toSet
+        series.filter(_._4).foreach { case (_, h, _, _) =>
+          assert((1L to 2L).exists(d => inputHours.contains(h - d)),
+            s"seed=$seed fill at $h has no nearby observation")
+          assert(h >= cut, s"seed=$seed fill before the horizon")
+        }
+        // runs of consecutive fills never exceed cap - 1
+        val fills = series.filter(_._4).map(_._2).sorted
+        var run = 1
+        fills.sliding(2).foreach { w =>
+          if (w.length == 2 && w(1) == w(0) + 1) {
+            run += 1; assert(run <= 2, s"seed=$seed fill run too long")
+          } else run = 1
+        }
+      }
+    }
+  }
 }
