@@ -1537,13 +1537,21 @@ object Monitoring {
     * window pass); Spark's sequence() would count DOWN for an empty
     * range, so the clip guard below is load-bearing. */
   def gapFill(spark: SparkSession, sfDir: String,
-      maxFillHours: Int = 12, horizonHours: Int = 168): DataFrame =
-    gapFillOf(Tables.events(spark, sfDir), maxFillHours, horizonHours)
+      maxFillHours: Int = 12, horizonHours: Int = 168,
+      linear: Boolean = false): DataFrame =
+    gapFillOf(Tables.events(spark, sfDir), maxFillHours, horizonHours, linear)
 
   /** A49 over an arbitrary events frame (spec entry — plant gaps on
-    * both sides of the fill cap): needs (user_id, ts, value). */
+    * both sides of the fill cap): needs (user_id, ts, value).
+    * `linear` switches LOCF for linear interpolation between the
+    * gap's edges (the dashboard's other fill mode — right for a
+    * continuously-varying level like temperature, wrong for a
+    * counter): the synthesized value is prev + (next − prev) ·
+    * (i − prev_h) / (next_h − prev_h), a fixed IEEE tree over the
+    * DECIMAL edge sums, so it hash-checks like the LOCF mode. */
   def gapFillOf(events: DataFrame,
-      maxFillHours: Int, horizonHours: Int): DataFrame = {
+      maxFillHours: Int, horizonHours: Int,
+      linear: Boolean = false): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     require(maxFillHours >= 2 && horizonHours > maxFillHours,
@@ -1579,15 +1587,26 @@ object Monitoring {
         $"h" - $"prev_h" >= 2 && $"h" - $"prev_h" <= maxFillHours)
       .withColumn("fill_from", greatest($"prev_h" + 1, $"cut_h"))
       .filter($"fill_from" <= $"h" - 1) // sequence() counts DOWN on empty
-      .select($"user_id",
-        explode(sequence($"fill_from", $"h" - 1)).as("fh"),
-        $"prev_m".cast("double").as("metric_sum"), lit(true).as("filled"))
+      .select($"user_id", $"prev_h", $"h",
+        $"prev_m".cast("double").as("pm"), $"m".cast("double").as("nm"),
+        explode(sequence($"fill_from", $"h" - 1)).as("fh"))
       .select($"user_id", ($"fh" * 3600000000L).as("hour_us"),
-        $"metric_sum", $"filled")
+        (if (linear)
+          $"pm" + ($"nm" - $"pm") *
+            (($"fh" - $"prev_h").cast("double") /
+              ($"h" - $"prev_h").cast("double"))
+        else $"pm").as("metric_sum"),
+        lit(true).as("filled"))
     observed.union(fills).orderBy($"user_id", $"hour_us")
   }
 
-  def gapFillSql(maxFillHours: Int = 12, horizonHours: Int = 168): String =
+  def gapFillSql(maxFillHours: Int = 12, horizonHours: Int = 168,
+      linear: Boolean = false): String = {
+    val fillExpr =
+      if (linear)
+        """CAST(prev_m AS DOUBLE) + (CAST(m AS DOUBLE) - CAST(prev_m AS DOUBLE))
+          |      * (CAST(fh - prev_h AS DOUBLE) / CAST(h - prev_h AS DOUBLE))""".stripMargin
+      else "CAST(prev_m AS DOUBLE)"
     s"""WITH hourly AS (
        |  SELECT user_id, epoch_us(ts) // 3600000000 AS h,
        |    SUM(CAST(value AS DECIMAL(18,4))) AS m
@@ -1608,13 +1627,13 @@ object Monitoring {
        |    CAST(m AS DOUBLE) AS metric_sum, FALSE AS filled
        |  FROM lagged WHERE h >= cut_h),
        |fills AS (
-       |  SELECT user_id,
-       |    UNNEST(generate_series(GREATEST(prev_h + 1, cut_h), h - 1))
-       |      * 3600000000 AS hour_us,
-       |    CAST(prev_m AS DOUBLE) AS metric_sum, TRUE AS filled
-       |  FROM lagged
+       |  SELECT user_id, fh * 3600000000 AS hour_us,
+       |    $fillExpr AS metric_sum, TRUE AS filled
+       |  FROM lagged,
+       |    UNNEST(generate_series(GREATEST(prev_h + 1, cut_h), h - 1)) AS u(fh)
        |  WHERE prev_h IS NOT NULL
        |    AND h - prev_h >= 2 AND h - prev_h <= ${maxFillHours})
        |SELECT * FROM obs UNION ALL SELECT * FROM fills
        |ORDER BY user_id, hour_us""".stripMargin
+  }
 }

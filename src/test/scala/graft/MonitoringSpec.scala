@@ -531,5 +531,19 @@ class MonitoringSpec extends SparkSpec {
       (3L, 101L) -> (3.0, false), (3L, 102L) -> (3.0, true),
       (3L, 103L) -> (4.0, false))
     assert(out === want, s"got: ${out.toSeq.sortBy(_._1)}")
+    // linear mode: same rows, interpolated values on the fills
+    val lin = Monitoring.gapFillOf(events, maxFillHours = 3,
+      horizonHours = 10, linear = true).collect()
+      .map(r => ((r.getLong(0), r.getLong(1) / hourUs),
+        (r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(lin.keySet === want.keySet)
+    assert(lin((1L, 101L)) === ((15.0, true)), s"linear 100→102: $lin")
+    // expectation mirrors the operator's exact IEEE tree:
+    // pm + (nm - pm) * ((fh - prev) / (next - prev))
+    assert(lin((1L, 103L)) === ((20.0 + (30.0 - 20.0) * (1.0 / 3.0), true)))
+    assert(lin((1L, 104L)) === ((20.0 + (30.0 - 20.0) * (2.0 / 3.0), true)))
+    assert(lin((3L, 102L)) === ((3.5, true)))
+    // observed rows identical across modes
+    want.filter(!_._2._2).foreach { case (k, v) => assert(lin(k) === v) }
   }
 }
