@@ -218,6 +218,80 @@ object Similarity {
       .orderBy($"query_id", $"cos".desc, $"neighbor_id")
   }
 
+  // ---------------------------------------------------------------- D18
+  /** k-NN LABEL EVALUATION — the standard embedding-quality probe
+    * ("would a k-NN classifier work on these vectors?" is the fastest
+    * honest answer to "is this encoder any good", run before anyone
+    * trains on or retrieves with a new embedding version): each panel
+    * query's label is predicted by majority vote of its k nearest
+    * corpus neighbors (self excluded) and compared to its own label.
+    * Per-query verdict rows — the aggregate accuracy is one GROUP BY
+    * away and the per-query rows are the error analysis. Vote ties
+    * break deterministically (count desc, then label) so the verdict
+    * hash-checks; the scoring kernel IS D1's (same rounded cosines,
+    * same guard), so this inherits the brute path's ceiling and the
+    * family's IVF serving path at scale. */
+  def knnEval(spark: SparkSession, sfDir: String, k: Int = AnnK): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.cachedCount(spark, s"$sfDir/embeddings.parquet") * QueryIdBound
+    require(pairs <= BruteForceMaxPairs,
+      s"brute-force kNN eval would score $pairs pairs (> $BruteForceMaxPairs); " +
+        "serve the D10/D12 snapshot paths instead")
+    // On the driver corpus the verdict is honest and damning: labels
+    // are assigned independently of geometry, so the report reads
+    // chance-level accuracy — exactly what this probe exists to say
+    // about an encoder whose vectors don't separate its labels.
+    knnEvalOf(Tables.embeddings(spark, sfDir), k)
+  }
+
+  /** D18 over an arbitrary (vec_id, embedding, label) frame (spec
+    * entry — plant label-clustered geometry). */
+  def knnEvalOf(e: DataFrame, k: Int = AnnK): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val q = e.filter($"vec_id" < QueryIdBound)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+        $"label".as("true_label"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"vec_id")
+    val votes = e.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"true_label", $"vec_id", $"label",
+        round(VectorFunctions.cosineSim($"qe", $"embedding"), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .groupBy($"query_id", $"true_label", $"label")
+      .agg(count(lit(1)).as("n_votes"))
+    val wv = Window.partitionBy($"query_id")
+      .orderBy($"n_votes".desc, $"label")
+    votes.withColumn("vr", row_number().over(wv))
+      .filter($"vr" === 1)
+      .select($"query_id", $"true_label", $"label".as("predicted"),
+        $"n_votes", ($"label" === $"true_label").as("correct"))
+      .orderBy($"query_id")
+  }
+
+  val knnEvalSql: String =
+    s"""WITH topk AS (
+       |  SELECT query_id, true_label, label FROM (
+       |    SELECT q.vec_id AS query_id, q.label AS true_label,
+       |      c.vec_id, c.label,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q", "c")} DESC, c.vec_id) AS rank
+       |    FROM embeddings q, embeddings c
+       |    WHERE q.vec_id < $QueryIdBound AND c.vec_id <> q.vec_id) t
+       |  WHERE rank <= $AnnK),
+       |votes AS (
+       |  SELECT query_id, true_label, label, COUNT(*) AS n_votes
+       |  FROM topk GROUP BY 1, 2, 3),
+       |win AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY n_votes DESC, label) AS vr
+       |  FROM votes)
+       |SELECT query_id, true_label, label AS predicted, n_votes,
+       |  (label = true_label) AS correct
+       |FROM win WHERE vr = 1 ORDER BY query_id""".stripMargin
+
   // ---------------------------------------------------------------- D17
   /** EMBEDDING-SPACE drift report — E17's twin on the vector axis:
     * Jensen-Shannon divergence of each label slice's CELL-MASS

@@ -521,6 +521,34 @@ class SimilaritySpec extends SparkSpec {
     assert(again.toSeq === out.map(t => (t._1, t._4)).toSeq, "nondeterministic")
   }
 
+  test("knn eval: one verdict per query, honest on chance labels, perfect on planted clusters") {
+    val out = Similarity.knnEval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getBoolean(4)))
+    val panel = Tables.embeddings(spark, sf)
+      .filter($"vec_id" < Similarity.QueryIdBound).count()
+    assert(out.length === panel.toInt, "a query lost its verdict")
+    out.foreach { case (_, t, p, votes, correct) =>
+      assert(votes >= 1 && votes <= 10)
+      assert(correct === (t == p))
+    }
+    // the driver corpus assigns labels independently of geometry, so
+    // the honest verdict is chance-level accuracy — the probe's value
+    // is that it SAYS so; the planted frame below proves it can also
+    // say the opposite
+    def v(base: Double, jitter: Double, i: Int) =
+      Array.tabulate(8)(d => (base + (if (d == i % 3) jitter else 0.0)).toFloat)
+    val planted = (
+      (0L until 6L).map(i => (i, v(1.0, 0.05, i.toInt), 1)) ++
+        (6L until 12L).map(i => (i, v(-1.0, 0.05, i.toInt), 2))
+      ).toDF("vec_id", "embedding", "label")
+    val pv = Similarity.knnEvalOf(planted, k = 3).collect()
+      .map(r => (r.getLong(0), r.getBoolean(4)))
+    // panel = vec_id < 10: queries 0-5 are label 1, 6-9 label 2 — two
+    // antipodal clusters, so every majority vote lands on the truth
+    assert(pv.length === 10 && pv.forall(_._2), s"planted eval: ${pv.toSeq}")
+  }
+
   test("radius search: threshold honored, IVF path is a subset with usable recall") {
     val exact = Similarity.annRadius(spark, sf, threshold = 0.3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
