@@ -218,6 +218,28 @@ object Similarity {
       .orderBy($"query_id", $"cos".desc, $"neighbor_id")
   }
 
+  // ---------------------------------------------------------------- D19
+  /** STREAMING retrieval against the PERSISTED serving snapshot —
+    * what a production retrieval tier actually runs (D9's annStream
+    * serves a brute in-memory corpus, the correctness twin; this one
+    * serves the D10 int8 snapshot, so each trigger's queries pay
+    * probed-cells × int8 I/O, not a corpus scan): per micro-batch,
+    * the query frame probes the snapshot via [[annIvfServe]] —
+    * partition-pruned cell reads, quantized scoring, post-snapshot
+    * tombstones honored — and the top-k lands in the caller's sink
+    * with its batch id. foreachBatch per the D9 reasoning
+    * (per-query stateless retrieval has no watermark semantics to
+    * fake); the snapshot is a fixed directory, so triggers serve a
+    * CONSISTENT index version until the operator is restarted onto a
+    * new snapshot — the blue/green index-rollover model, stated
+    * rather than hidden. */
+  def annServeStream(queries: DataFrame, indexDir: String, k: Int = AnnK,
+      nProbe: Int = 2)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(annIvfServe(batch, indexDir, k, nProbe), batchId)
+    }
+
   // ---------------------------------------------------------------- D18
   /** k-NN LABEL EVALUATION — the standard embedding-quality probe
     * ("would a k-NN classifier work on these vectors?" is the fastest

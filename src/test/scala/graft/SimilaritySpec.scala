@@ -549,6 +549,38 @@ class SimilaritySpec extends SparkSpec {
     assert(pv.length === 10 && pv.forall(_._2), s"planted eval: ${pv.toSeq}")
   }
 
+  test("serve stream: per-batch results equal direct snapshot serving, stateless") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tmp = java.nio.file.Files.createTempDirectory("graft-serve-st").toString
+    val (src, dst) = (s"$tmp/float", s"$tmp/int8")
+    Similarity.writeIvfIndex(spark, sf, src)
+    Similarity.compactIvfIndexInt8(spark, src, dst)
+    val panel = Tables.embeddings(spark, sf)
+      .filter($"vec_id" < Similarity.QueryIdBound)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val want = Similarity.annIvfServe(panel, dst, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val qrows = panel.as[(Long, Array[Float])].collect()
+    val input = MemoryStream[(Long, Array[Float])](41, spark, None)
+    val got = scala.collection.mutable.Map.empty[Long, Set[(Long, Int, Long)]]
+    val q = Similarity.annServeStream(
+      input.toDS().toDF("query_id", "embedding"), dst, k = 5, nProbe = 2) {
+      (res, id) =>
+        got(id) = res.collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    }.start()
+    try {
+      val (a, b) = qrows.splitAt(qrows.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
+      assert((got(0L) ++ got(1L)) === want,
+        "streamed serving diverged from the direct snapshot probe")
+      // stateless across triggers: re-sending a query reproduces its rows
+      input.addData(a.toSeq); q.processAllAvailable()
+      assert(got(2L) === got(0L), "snapshot serving not stateless")
+    } finally q.stop()
+  }
+
   test("radius search: threshold honored, IVF path is a subset with usable recall") {
     val exact = Similarity.annRadius(spark, sf, threshold = 0.3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
