@@ -124,4 +124,29 @@ object UpsertSink {
       .partitionBy("bucket")
       .parquet(dataDir)
   }
+
+  /** EXPIRE old replay markers — the other maintenance half: every
+    * applied batch leaves a `_committed/<batchId>` file forever, and a
+    * stream that has run for a year carries ~10⁵ of them (a listing
+    * cost on every recovery, and an unbounded tiny-file leak on object
+    * stores). Markers exist ONLY to short-circuit at-least-once
+    * replays, and Structured Streaming replays at most the batches
+    * after the last checkpoint — so markers older than the newest
+    * `keepLast` are dead weight and can be dropped. Keep `keepLast`
+    * comfortably above the checkpoint's possible replay depth (the
+    * default is orders of magnitude above it); the pass is idempotent
+    * and maintenance-path, like [[compactSnapshot]]. */
+  def expireMarkers(spark: org.apache.spark.sql.SparkSession, dir: String,
+      keepLast: Int = 1000): Int = {
+    require(keepLast >= 1, s"keepLast $keepLast must be >= 1")
+    val root = new Path(s"$dir/_committed")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val ids = fs.listStatus(root).toSeq
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      .sorted
+    val stale = ids.dropRight(keepLast)
+    stale.foreach(id => fs.delete(new Path(root, id.toString), false))
+    stale.size
+  }
 }

@@ -95,4 +95,25 @@ class UpsertSinkSpec extends SparkSpec {
     assert(files.values.forall(_ === 1), s"buckets not compacted: $files")
     assert(snap(dir) === before, "compaction changed snapshot content")
   }
+
+  test("marker expiry keeps the newest, replay of a kept batch still short-circuits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert-exp").toString
+    def doc(id: Long, v: Long) = Seq((id, v, s"v$v")).toDF("k", "ver", "payload")
+    (0L until 6L).foreach(b => UpsertSink.applyBatch(doc(b, b), b, dir, "k", "ver", 4))
+    val markers = new java.io.File(s"$dir/_committed")
+    // local Hadoop FS writes a .crc beside each marker — count markers
+    def ids = markers.list().filter(_.forall(_.isDigit)).sorted.toSeq
+    assert(ids === (0 to 5).map(_.toString))
+    val dropped = UpsertSink.expireMarkers(spark, dir, keepLast = 2)
+    assert(dropped === 4 && ids === Seq("4", "5"))
+    // a KEPT batch replayed is still a no-op (its marker survives)
+    val before = UpsertSink.snapshot(spark, dir).count()
+    UpsertSink.applyBatch(doc(5L, 999L), 5L, dir, "k", "ver", 4)
+    assert(UpsertSink.snapshot(spark, dir)
+      .filter($"k" === 5L).head().getLong(1) === 5L,
+      "replayed kept batch re-applied despite its marker")
+    assert(UpsertSink.snapshot(spark, dir).count() === before)
+    // idempotent: nothing more to drop
+    assert(UpsertSink.expireMarkers(spark, dir, keepLast = 2) === 0)
+  }
 }
