@@ -1365,6 +1365,69 @@ object Monitoring {
        |FROM v WHERE varx > 0.0 AND vary > 0.0
        |ORDER BY device_a, device_b""".stripMargin
 
+  // ---------------------------------------------------------------- A54
+  /** ERROR PARETO — the prioritization chart behind "fix the worst
+    * devices first" (A10 ranks top error devices; THIS says how much
+    * of the fleet's pain the top k actually carry — if 20 devices own
+    * 80% of errors, remediation is a ticket queue; if the share curve
+    * is flat, the cause is systemic and per-device remediation is
+    * busywork): devices in (errors desc, id) order with running error
+    * totals and cumulative share. The running sum uses the C18
+    * stratifiedPrefixSum shape — NOT a single-partition window, so a
+    * million-device fleet ranks in parallel buckets; the dump keeps
+    * the top `topK` rows (bounded) while the cumulative math runs
+    * over the whole fleet. Share is an integer ratio rounded at 6. */
+  def errorPareto(spark: SparkSession, sfDir: String,
+      topK: Int = 20, buckets: Int = 1024): DataFrame = {
+    import spark.implicits._
+    require(topK >= 1)
+    val perDev = Tables.events(spark, sfDir)
+      .filter($"event_type" === "error")
+      .groupBy($"user_id").agg(count(lit(1)).as("errs"))
+    val r = perDev.agg(max($"errs"), min($"user_id"), max($"user_id")).head()
+    if (r.isNullAt(0))
+      return perDev.select($"user_id", $"errs",
+        $"errs".as("cum_errs"), lit(0.0).as("cum_share"),
+        lit(0L).as("rank")).limit(0)
+    require(r.getLong(0) < (1L << 22) && r.getLong(1) >= 0 &&
+      r.getLong(2) < (1L << 40),
+      s"errorPareto key packing needs errs < 2^22 and ids in [0, 2^40)")
+    val maxE = r.getLong(0)
+    val keyed = perDev
+      .withColumn("__ord", (lit(maxE) - $"errs") * lit(1L << 40) + $"user_id")
+      .withColumn("__one", lit(1L))
+      .withColumn("__s", lit("all"))
+    val total = perDev.agg(sum($"errs").as("total"))
+    val ranked = Scale.stratifiedPrefixSum(keyed, "__s", "__ord", "errs",
+        "cum_errs", buckets)
+    Scale.stratifiedPrefixSum(ranked, "__s", "__ord", "__one", "rank",
+        buckets)
+      .crossJoin(broadcast(total))
+      .filter($"rank" <= topK)
+      .select($"user_id", $"errs", $"cum_errs",
+        round($"cum_errs".cast("double") / $"total".cast("double"), 6)
+          .as("cum_share"),
+        $"rank")
+      .orderBy($"rank")
+  }
+
+  def errorParetoSql(topK: Int = 20): String =
+    s"""WITH d AS (
+       |  SELECT user_id, COUNT(*) AS errs FROM events
+       |  WHERE event_type = 'error' GROUP BY user_id),
+       |t AS (SELECT CAST(SUM(errs) AS BIGINT) AS total FROM d),
+       |o AS (
+       |  SELECT user_id, errs,
+       |    SUM(errs) OVER (ORDER BY errs DESC, user_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_errs,
+       |    ROW_NUMBER() OVER (ORDER BY errs DESC, user_id) AS rank
+       |  FROM d)
+       |SELECT user_id, errs, CAST(cum_errs AS BIGINT) AS cum_errs,
+       |  ROUND(CAST(cum_errs AS DOUBLE) / CAST(total AS DOUBLE), 6)
+       |    AS cum_share,
+       |  rank
+       |FROM o, t WHERE rank <= $topK ORDER BY rank""".stripMargin
+
   // ---------------------------------------------------------------- A53
   /** Windowed EXTENDED statistics — the pXX half of CloudWatch
     * `get-metric-statistics` that A4's Sum/Avg/Min/Max/SampleCount

@@ -445,6 +445,26 @@ class MonitoringSpec extends SparkSpec {
     assert(out.toSet === Set((1L, 2L)), s"pairs: ${out.toSeq}")
   }
 
+  test("error pareto: cumulative share monotone to the fleet total, ranks dense") {
+    val out = Monitoring.errorPareto(spark, sf, topK = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(out.nonEmpty)
+    // ranks are 1..n dense; errors non-increasing in rank order
+    assert(out.map(_._5).toSeq === (1L to out.length))
+    assert(out.map(_._2).sameElements(out.map(_._2).sortBy(-_)))
+    // running totals: each cum is previous + own; final share is 1.0
+    out.foldLeft(0L) { case (prev, (_, e, cum, _, _)) =>
+      assert(cum === prev + e); cum
+    }
+    assert(out.last._4 === 1.0, s"fleet share must end at 1: ${out.last}")
+    // agreement with the A10 ranking on the head
+    val top = Monitoring.topErrorDevices(spark, sf).collect()
+      .map(_.getLong(0)).toSeq
+    assert(out.map(_._1).take(top.length).toSeq === top,
+      "pareto head diverged from the top-error ranking")
+  }
+
   test("window percentiles: ordered, consistent with window min/max sample counts") {
     val out = Monitoring.windowPercentiles(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
