@@ -119,16 +119,37 @@ object Bench {
         s""""sf":"$sfDir","protocol":"min-of-pass-medians(2x3)",""" +
         s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
         s""""xmx_mb":$xmxMb,"cpus":$cpus,"pass_wall_sec":[$wall1,$wall2]}"""
-    println(line)
-    // also persist the line to a file: the stdout artifact rides through
-    // sbt/driver log capture, which has truncated a round's JSON tail
-    // before — the file survives regardless of log buffering
+    // The full artifact goes to the FILE only. The driver's round
+    // capture keeps just the last 2000 chars of the log, so a 15 KB
+    // single line can never parse from it (every BENCH_r*.json through
+    // r8 carries "parsed": null with a mid-map fragment as the tail).
+    // stdout therefore carries ONLY a compact line guaranteed to fit
+    // inside that window WITH the trailing sbt "[success]" line: the
+    // headline metric, the top slots by headline time rounded to ms,
+    // and a pointer to the full per-slot file.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
+    def ms(d: Double): Double = math.rint(d * 1000) / 1000
+    val top = results.sortBy(-_._2._1).takeWhile(_._2._1 >= 0)
+      .foldLeft((List.empty[String], 0)) { case ((acc, len), (k, v)) =>
+        val e = "\"" + k + "\":" + ms(v._1)
+        // budget the queries map to ~1300 chars so the whole line stays
+        // well under the driver's 2000-char tail window
+        if (len + e.length > 1300) (acc, len) else (e :: acc, len + e.length + 1)
+      }._1.reverse
+    val failed = results.filter(_._2._1 < 0).map(_._1)
+    val compact =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+        s""""queries":${top.mkString("{", ",", "}")},""" +
+        s""""slots":${results.size},"slots_shown":${top.size},""" +
+        s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""full":"$out","sf":"$sfDir","protocol":"min-of-pass-medians(2x3)",""" +
+        s""""load_avg":[$loadStart,$loadEnd]}"""
+    println(compact)
     spark.stop()
   }
 }

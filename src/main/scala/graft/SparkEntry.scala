@@ -243,6 +243,9 @@ object SparkEntry {
     "mon_alert_windows" -> Monitoring.alertWindowsSql,
     "mon_escalation_batch" -> Monitoring.escalationBatchSql,
     "mon_top_error_devices" -> Monitoring.topErrorDevicesSql,
+    // A29: hash-gated in its provably-exact regime only (fleet <
+    // sketch capacity — precondition pinned in MonitoringSpec)
+    "mon_top_error_devices_approx" -> Monitoring.topErrorDevicesApproxSql(),
     "mon_json_props" -> Monitoring.jsonPropsSql,
     "mon_asof_last_success" -> Monitoring.asofLastSuccessSql,
     "mon_ewma" -> Monitoring.ewmaSql,

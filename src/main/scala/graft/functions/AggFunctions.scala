@@ -110,11 +110,17 @@ object AggFunctions {
     * (est DESC, word) for a deterministic surface. Deterministic
     * GIVEN a merge order, though: once distinct keys exceed capacity,
     * shuffle-fetch order changes the exact est values and can flip
-    * membership at the k-th rank boundary run-to-run. That is WHY the
-    * consumers (word_freq_topk_approx, mon_top_error_devices_approx)
-    * are declared rows-only in SURVEY §2 and must never be promoted to
-    * the hash gate — the sketch's contract is the error bound, not a
-    * stable byte-for-byte output. */
+    * membership at the k-th rank boundary run-to-run. That is WHY
+    * word_freq_topk_approx (vocabulary ≫ capacity at every SF) is
+    * declared rows-only in SURVEY §2 and must never be promoted to
+    * the hash gate — the sketch's contract there is the error bound,
+    * not a stable byte-for-byte output. EXCEPTION — the provably-exact
+    * regime: while a consumer's distinct-key count stays under
+    * capacity, no compaction fires in any buffer or merge, every est
+    * is the exact count, and the output IS merge-order invariant;
+    * mon_top_error_devices_approx sizes its sketch (8k counters) so
+    * driver fleets sit in that regime and is hash-gated there, with
+    * the precondition spec-pinned (MonitoringSpec). */
   case class HeavyHittersAgg(
       child: Expression,
       k: Int,

@@ -816,13 +816,27 @@ object Curation {
     * either C12 (drop from train) or a re-split.
     *
     * Scale shape is C12's: the eval side is a FRACTION of the corpus
-    * by construction (the split fractions), its gram set broadcasts,
-    * and the train side streams map-only through the broadcast join —
-    * the 100 TB side never shuffles for the probe; the only exchange
-    * is the per-train-doc count aggregation. Gram identity is the
+    * by construction (the split fractions); while it fits
+    * [[MaxBroadcastEvalDocs]] its gram set broadcasts and the train
+    * side streams map-only through the broadcast join — the 100 TB
+    * side never shuffles for the probe; the only exchange is the
+    * per-train-doc count aggregation. Past the cap (a fraction of
+    * 100 TB is itself terabytes) the probe becomes a shuffle join on
+    * the gram hash instead of failing on the broadcast limit. Gram identity is the
     * shared shingle hash (C4's injectivity note applies: probed
     * distinct-hashes == distinct-grams on this population each
     * round). */
+  /** Past this many eval-side documents the audit's probe join stops
+    * FORCING a broadcast and falls back to a shuffle join (Scale.
+    * MaxBroadcastBlocks discipline): the eval side is a split FRACTION
+    * of the corpus, not a fixed benchmark set like C12's, so at the
+    * 100 TB regime a forced broadcast of its gram table would blow the
+    * 8 GB broadcast-table limit / driver heap outright. 100k docs at
+    * ~200 grams × ~24 B a row keeps the forced broadcast well under
+    * 1 GB; past it, AQE still picks a broadcast if the built gram side
+    * turns out small at runtime. */
+  val MaxBroadcastEvalDocs: Long = 100000L
+
   def splitLeakAudit(spark: SparkSession, sfDir: String, n: Int = 13,
       valFrac: Double = 0.05, testFrac: Double = 0.05,
       seed: Long = 11L): DataFrame = {
@@ -835,8 +849,16 @@ object Curation {
       split.filter(col("split") =!= "train"), Seq("doc_id"), "left_semi")
     val evalGrams = Dedup.gramSet(evalDocs, "doc_id", "text", n)
       .select(col("g"), col("id").as("eval_id"))
+    // size the eval side from the cached parquet row count (free) —
+    // the split is a pure id fraction, so the estimate is exact in
+    // expectation and needs no job
+    val evalDocsEst = (Tables.cachedCount(spark,
+      s"$sfDir/documents.parquet") * (valFrac + testFrac)).toLong
+    val evalSide =
+      if (evalDocsEst <= MaxBroadcastEvalDocs) broadcast(evalGrams)
+      else evalGrams
     Dedup.gramSet(trainDocs, "doc_id", "text", n)
-      .join(broadcast(evalGrams), Seq("g"))
+      .join(evalSide, Seq("g"))
       .groupBy(col("id"))
       .agg(countDistinct(col("g")).as("n_shared_grams"),
         countDistinct(col("eval_id")).as("n_eval_docs"))

@@ -794,22 +794,48 @@ object Monitoring {
 
   // ---------------------------------------------------------------- A29
   /** A10's scale path: top error devices through the Misra-Gries
-    * heavy-hitters sketch — per-partition state is a hard 8k-counter
-    * bound instead of one counter per device, so the fleet can grow
-    * without growing the aggregation (the "which gateways are failing
-    * most" question at millions of devices). Rows-only: estimates are
-    * sketch-internal; the spec pins exactness while the fleet fits the
-    * sketch and the MG bound beyond it. */
+    * heavy-hitters sketch — per-partition state is a hard ~8k-counter
+    * bound (capacity = k · slack ≥ [[ApproxTopCounters]]) instead of
+    * one counter per device, so the fleet can grow without growing the
+    * aggregation (the "which gateways are failing most" question at
+    * millions of devices).
+    *
+    * ORACLE CONTRACT (r8 verdict #5): while the distinct error-device
+    * count stays UNDER the capacity, no MG compaction ever fires in
+    * any partition buffer or merge, every est is the exact error
+    * count, and the result is merge-order invariant — provably
+    * identical to A10's exact SQL under the sketch's (est DESC,
+    * user_id-as-string) tie-break. Every driver SF has 150 devices ≪
+    * 8k, so this query is hash-gated there; past capacity the MG
+    * error-bound spec (MonitoringSpec) is the contract instead. */
+  val ApproxTopCounters: Int = 8192
+
   def topErrorDevicesApprox(spark: SparkSession, sfDir: String,
       k: Int = 5): DataFrame = {
     import spark.implicits._
+    val slack = math.max(2, (ApproxTopCounters + k - 1) / k)
     Tables.events(spark, sfDir)
       .filter($"event_type" === "error")
       .select($"user_id".cast("string").as("dev"))
-      .agg(graft.functions.AggFunctions.approxTopK($"dev", k).as("top"))
+      .agg(graft.functions.AggFunctions.approxTopK($"dev", k, slack)
+        .as("top"))
       .select(posexplode($"top").as(Seq("rank", "t")))
       .select(($"rank" + 1).as("rank"), $"t.word".as("user_id"), $"t.est")
   }
+
+  /** A29's exact-regime oracle: A10's counts under the sketch's OWN
+    * deterministic surface order — est DESC, then the device id AS A
+    * STRING (the sketch keys on the stringified id, so "10" < "9"). */
+  def topErrorDevicesApproxSql(k: Int = 5): String =
+    s"""SELECT rank, user_id, est FROM (
+       |  SELECT CAST(ROW_NUMBER() OVER (
+       |      ORDER BY COUNT(*) DESC, CAST(user_id AS VARCHAR)) AS INT)
+       |    AS rank,
+       |    CAST(user_id AS VARCHAR) AS user_id,
+       |    COUNT(*) AS est
+       |  FROM events WHERE event_type = 'error'
+       |  GROUP BY user_id) t
+       |WHERE rank <= $k ORDER BY rank""".stripMargin
 
   // ---------------------------------------------------------------- A16
   /** Metric value distribution per event type: 10-bucket histogram on
@@ -1384,6 +1410,13 @@ object Monitoring {
     val perDev = Tables.events(spark, sfDir)
       .filter($"event_type" === "error")
       .groupBy($"user_id").agg(count(lit(1)).as("errs"))
+      // pinned (fleet-sized, not corpus-sized): the lineage below it
+      // is executed by at least four driver actions — the key-packing
+      // guard head() plus each prefix-sum pass's internal min/max
+      // probe and subtotal collect — and without the pin every one
+      // re-scans the events parquet (the lmBuckets/budgetSelect
+      // discipline)
+      .localCheckpoint(true)
     val r = perDev.agg(max($"errs"), min($"user_id"), max($"user_id")).head()
     if (r.isNullAt(0))
       return perDev.select($"user_id", $"errs",
@@ -1486,6 +1519,12 @@ object Monitoring {
       .agg(count(lit(1)).as("n"),
         sum(when($"event_type" === "error", 1L).otherwise(0L)).as("errs"),
         max(expr(tsUs)).as("last_us"))
+      // pinned (fleet-sized): both the now-aggregate and the fleet
+      // rollup consume this frame — without the pin the "never a
+      // second corpus scan" claim rests on ReuseExchange happening to
+      // dedupe two identical aggregate subtrees, which nothing
+      // asserts; the pin makes it structural
+      .localCheckpoint(true)
     val now = perDev.agg(max($"last_us").as("now_us"))
     perDev.crossJoin(broadcast(now))
       .agg(

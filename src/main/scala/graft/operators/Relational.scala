@@ -1178,12 +1178,31 @@ object Relational {
       .select(org.apache.spark.sql.functions.col("l_orderkey"),
         org.apache.spark.sql.functions.col("l_partkey")), topK)
 
+  /** Hot-basket ceiling for [[qCopurchaseOf]]: a basket larger than
+    * this is deterministically SUBSAMPLED to this many parts before
+    * pair generation. Rationale: pair fan-out is row-local C(k, 2) —
+    * on order-shaped baskets (TPC-H ~7 lines) that is the right plan,
+    * but the operator is generic over any (order, part) frame, and one
+    * pathological 100k-item "basket" (a bot, a default key) would
+    * materialize ~5×10⁹ structs inside a single row's flatten — a
+    * task-killer NO AQE skew handling can split because it never
+    * reaches a shuffle. 4096 caps the worst row at ~8.4M pairs.
+    * BIAS STATEMENT: pairs involving a subsampled-away part of a
+    * mega-basket lose that basket's support contribution (df keeps
+    * only the surviving parts too, so support ≤ df stays invariant);
+    * baskets at or under the cap are untouched, so ordinary corpora —
+    * including the driver query's TPC-H orders — are bit-identical
+    * with the cap in place. */
+  val MaxBasketParts: Int = 4096
+
   /** B37 over an arbitrary (l_orderkey, l_partkey) frame (spec entry —
     * plant baskets with known support/lift). */
-  def qCopurchaseOf(lines: DataFrame, topK: Int = 20): DataFrame = {
+  def qCopurchaseOf(lines: DataFrame, topK: Int = 20,
+      maxBasket: Int = MaxBasketParts): DataFrame = {
     val spark = lines.sparkSession
     import spark.implicits._
     require(topK > 0, "topK must be positive")
+    require(maxBasket >= 2, s"maxBasket $maxBasket must be >= 2")
     // One exchange on the order key builds each order's BASKET
     // (collect_set dedupes in-aggregate — no separate distinct pass),
     // and pair generation is ROW-LOCAL over the sorted basket: the
@@ -1202,6 +1221,18 @@ object Relational {
     val baskets = lines.select($"l_orderkey", $"l_partkey")
       .groupBy($"l_orderkey")
       .agg(array_sort(collect_set($"l_partkey")).as("ps"))
+      // hot-basket cap (see [[MaxBasketParts]]): oversize baskets keep
+      // a deterministic pseudorandom subset — rank parts by
+      // xxhash64(orderkey, part) and cut, the trainSample/C25 pattern
+      // made row-local (the hash seeds on the basket key, so the
+      // surviving subset is stable across partition layouts and
+      // decorrelated from part-id order); the collect_set buffer
+      // itself is only O(basket) longs, never O(basket²)
+      .withColumn("ps",
+        when(size($"ps") <= maxBasket, $"ps").otherwise(expr(
+          s"""array_sort(transform(slice(array_sort(transform(ps,
+             |  p -> named_struct('h', xxhash64(l_orderkey, p), 'p', p))),
+             |  1, $maxBasket), s -> s.p))""".stripMargin)))
     val n = baskets.agg(count(lit(1)).as("n_orders"))
     val df = baskets
       .select(explode($"ps").as("part"))

@@ -452,7 +452,17 @@ object StreamingAggs {
     * and a replay fence for at-least-once transport. Alert rows carry
     * the flip count AT THE MOMENT of paging (= minFlaps) — the
     * parity spec keys on (device, day), which replayed history lands
-    * on exactly the batch operator's flagged set. */
+    * on exactly the batch operator's flagged set.
+    *
+    * DELIVERY CONTRACT (batch-parity precondition): events must
+    * arrive in (ts, event_id) order PER DEVICE across triggers. The
+    * replay fence cannot distinguish a redelivery from a genuinely
+    * late out-of-order event — both sort at-or-before the watermark
+    * pair — so on an unordered transport late events are silently
+    * dropped and the stream diverges from [[graft.operators
+    * .Monitoring.statusFlaps]] with no signal. Front an unordered
+    * transport with a per-device reorder buffer (or run the batch
+    * twin over the landed history) before trusting parity. */
   def flapStream(events: Dataset[DeviceEvent],
       minFlaps: Int = 4): Dataset[FlapAlert] = {
     require(minFlaps >= 1, s"minFlaps $minFlaps must be >= 1")

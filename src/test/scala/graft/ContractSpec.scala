@@ -70,15 +70,24 @@ class ContractSpec extends AnyFunSuite {
     assert(orphan.isEmpty, s"oracleSql without queries entry: ${orphan.toSeq.sorted}")
   }
 
-  test("Misra-Gries sketch queries stay excluded from the hash gate") {
+  test("truncating Misra-Gries queries stay excluded from the hash gate") {
     // HeavyHittersAgg estimates are merge-order dependent once distinct
     // keys exceed capacity: shuffle-fetch order changes est values and
-    // can flip k-th-rank membership run-to-run. The sketch's contract
-    // is its error bound (spec-pinned), not byte-stable output — these
-    // queries must stay rows-only forever, never gain an oracleSql.
-    Seq("word_freq_topk_approx", "mon_top_error_devices_approx").foreach { q =>
+    // can flip k-th-rank membership run-to-run. word_freq_topk_approx
+    // runs over a vocabulary far beyond its capacity at every SF, so it
+    // must stay rows-only forever. (mon_top_error_devices_approx is the
+    // deliberate exception: its 8k-counter capacity exceeds any driver
+    // fleet, no compaction can fire, and the exact-regime result is
+    // merge-order invariant — hash-gated, see the next test.)
+    Seq("word_freq_topk_approx").foreach { q =>
       assert(!SparkEntry.oracleSql.contains(q),
         s"$q is merge-order nondeterministic and must not be hash-gated")
     }
+  }
+
+  test("A29 carries its exact-regime oracle") {
+    // the data-side precondition (distinct error devices < capacity)
+    // is pinned in MonitoringSpec, which owns a SparkSession
+    assert(SparkEntry.oracleSql.contains("mon_top_error_devices_approx"))
   }
 }

@@ -172,7 +172,15 @@ class MonitoringSpec extends SparkSpec {
     val approx = Monitoring.topErrorDevicesApprox(spark, sf).collect()
       .map(r => (r.getString(1), r.getLong(2)))
     assert(approx.length === 5)
-    // 15 devices << 40 counters → estimates are exact counts
+    // hash-gate precondition (A29 is oracle-promoted in its exact
+    // regime): distinct error devices must stay under the sketch
+    // capacity, or no compaction-free exactness argument holds — a
+    // testdata change that breaks this must fail HERE, not as a
+    // driver hash mismatch
+    assert(exact.size < Monitoring.ApproxTopCounters,
+      s"${exact.size} distinct error devices >= sketch capacity — " +
+        "demote mon_top_error_devices_approx back to rows-only")
+    // fleet << capacity → estimates are exact counts
     approx.foreach { case (dev, est) => assert(est === exact(dev)) }
     // and the returned set is a valid top-5 (tie-robust: every returned
     // count >= the 5th-largest exact count)

@@ -262,6 +262,34 @@ class RelationalSpec extends SparkSpec {
     assert(sup.sameElements(sup.sortBy(-_)))
   }
 
+  test("copurchase: hot basket capped deterministically, small baskets untouched") {
+    // one pathological 1000-part "basket" (a bot / default key) beside
+    // two ordinary orders that plant a known top pair
+    val mega = (1 to 1000).map(p => (99L, p.toLong + 10000L))
+    val lines = (Seq(
+      (1L, 10L), (1L, 20L),
+      (2L, 10L), (2L, 20L)) ++ mega)
+      .toDF("l_orderkey", "l_partkey")
+    val capped = Relational.qCopurchaseOf(lines, topK = 1000000,
+      maxBasket = 32).collect()
+    // the mega-basket contributes at most C(32, 2) pairs, not C(1000, 2)
+    val megaPairs = capped.count(_.getLong(0) > 10000L)
+    assert(megaPairs === 32 * 31 / 2, s"mega basket produced $megaPairs pairs")
+    // sub-cap baskets are bit-identical to the uncapped run
+    val plant = capped.filter(_.getLong(0) === 10L).map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(plant.toSeq === Seq((10L, 20L, 2L, 2L, 2L)))
+    // support <= df invariant survives the cap (df keeps only the
+    // surviving parts of a capped basket)
+    capped.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(2) <= r.getLong(4))
+    }
+    // the subsample is deterministic: a second run is identical
+    val again = Relational.qCopurchaseOf(lines, topK = 1000000,
+      maxBasket = 32).collect()
+    assert(capped.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("skew report: planted hot key flagged, shares ordered, uniform keys cold") {
     val out = Relational.qSkewReport(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getBoolean(4)))

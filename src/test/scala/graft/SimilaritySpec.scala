@@ -488,10 +488,28 @@ class SimilaritySpec extends SparkSpec {
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
     assert(nChunks > 0 && nQueries > 0)
     assert(hits <= nQueries)
+    // the panel is a FIXED cut, not corpus-proportional: at this SF
+    // the auto-route must stay on the exact path and the panel must
+    // be capped
+    assert(r.getString(4) === "exact")
+    assert(nQueries <= 256)
     // identical twin chunks (near-dup docs) can outrank self on id
     // ties; anything below this bound means the encode or key scheme
     // broke, not the corpus
     assert(rate >= 0.9, s"self-hit rate $rate")
+  }
+
+  test("embed-search pipeline: IVF serving path runs cell-pruned with bounded recall loss") {
+    // the scale path the auto-route takes past the brute pair guard:
+    // index built FROM the chunk frame, probe through annIvfServe.
+    // A panel query IS its own vector, so its nearest centroid == its
+    // assigned cell — self always sits in the top probed cell; the
+    // only loss vs exact is int8 scoring letting a twin outrank.
+    val r = Similarity.pipelineEmbedSearch(spark, sf,
+      viaIndex = Some(true)).collect().head
+    assert(r.getString(4) === "ivf")
+    assert(r.getLong(1) <= 256)
+    assert(r.getDouble(3) >= 0.85, s"ivf self-hit rate ${r.getDouble(3)}")
   }
 
   test("embed cluster: corpus report sizes sum to corpus count, purity bounded") {
