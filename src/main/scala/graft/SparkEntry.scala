@@ -161,6 +161,8 @@ object SparkEntry {
       Monitoring.statusFlaps(s, d)),
     "mon_cross_corr" -> ((s: SparkSession, d: String) =>
       Monitoring.crossCorr(s, d)),
+    "mon_cross_corr_anomalies" -> ((s: SparkSession, d: String) =>
+      Monitoring.crossCorrAnomalies(s, d)),
     "mon_gap_fill" -> ((s: SparkSession, d: String) =>
       Monitoring.gapFill(s, d)),
     "mon_fleet_health" -> ((s: SparkSession, d: String) =>
@@ -314,6 +316,7 @@ object SparkEntry {
     "q_retention_cohorts" -> Relational.qRetentionCohortsSql,
     "mon_status_flaps" -> Monitoring.statusFlapsSql(),
     "mon_cross_corr" -> Monitoring.crossCorrSql(),
+    "mon_cross_corr_anomalies" -> Monitoring.crossCorrAnomaliesSql(),
     "mon_gap_fill" -> Monitoring.gapFillSql(),
     "mon_gap_fill_linear" -> Monitoring.gapFillSql(linear = true),
     "mon_fleet_health" -> Monitoring.fleetHealthSql(),

@@ -1248,10 +1248,17 @@ object Monitoring {
     * and the verdict are the identical IEEE tree in both engines, so
     * the strict `>` cut picks the same rows bit-for-bit. */
   def zscoreOutliers(spark: SparkSession, sfDir: String,
-      k: Double = 2.0): DataFrame = {
+      k: Double = 2.0): DataFrame =
+    zscoreOutliersOf(Tables.events(spark, sfDir), k)
+
+  /** A31 over an arbitrary events frame (spec entry + the A45b
+    * candidate generator's screen): needs (user_id, ts, event_id,
+    * event_type, value). */
+  def zscoreOutliersOf(events: DataFrame, k: Double = 2.0): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
     require(k > 0, s"threshold $k must be positive")
-    val ev = Tables.events(spark, sfDir)
+    val ev = events
       .filter($"event_type" === "purchase" && $"value".isNotNull)
       .select($"user_id", expr("unix_micros(ts)").as("us"),
         $"event_id", $"value")
@@ -1326,6 +1333,23 @@ object Monitoring {
     val spark = events.sparkSession
     import spark.implicits._
     require(panel >= 2, s"panel $panel must be >= 2")
+    val top = events
+      .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"user_id").limit(panel)
+      .select($"user_id")
+    crossCorrKernel(events, top, minBuckets)
+  }
+
+  /** The shared A45 Pearson kernel over an arbitrary bounded device
+    * PANEL — one definition for every candidate generator (top-volume
+    * in [[crossCorrOf]], the A31/A36 anomaly sets in
+    * [[crossCorrAnomaliesOf]]), so the correlation math cannot drift
+    * between them. `panelDevices` must be a bounded one-column
+    * (user_id) frame — it broadcasts. */
+  private def crossCorrKernel(events: DataFrame, panelDevices: DataFrame,
+      minBuckets: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
     require(minBuckets >= 2, s"minBuckets $minBuckets must be >= 2")
     // 6-hour buckets: coarse enough that sparse per-device series still
     // align on shared buckets, fine enough to carry diurnal structure
@@ -1333,11 +1357,7 @@ object Monitoring {
       .filter($"value".isNotNull)
       .groupBy($"user_id", expr("unix_micros(ts) div 21600000000").as("bucket"))
       .agg(sum($"value".cast("decimal(18,4)")).cast("decimal(18,4)").as("hv"))
-    val top = events
-      .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
-      .orderBy($"cnt".desc, $"user_id").limit(panel)
-      .select($"user_id")
-    val h = hourly.join(broadcast(top), "user_id")
+    val h = hourly.join(broadcast(panelDevices.select($"user_id")), "user_id")
     val pairs = h.as("a").join(h.as("b"),
         $"a.bucket" === $"b.bucket" && $"a.user_id" < $"b.user_id")
       .groupBy($"a.user_id".as("device_a"), $"b.user_id".as("device_b"))
@@ -1390,6 +1410,128 @@ object Monitoring {
        |  (n_buckets * sxy - sx * sy) / (sqrt(varx) * sqrt(vary)) AS corr_hv
        |FROM v WHERE varx > 0.0 AND vary > 0.0
        |ORDER BY device_a, device_b""".stripMargin
+
+  // --------------------------------------------------------------- A45b
+  /** A45 fed by a CANDIDATE GENERATOR instead of event volume — the
+    * fleet-wide screen at scale the A45 docstring promises: the panel
+    * is the devices the ANOMALY detectors flagged (A31 z-score outlier
+    * samples + A36 CUSUM alarms), ranked by flag count with an id
+    * tiebreak and capped at `maxPanel`. Top-N-by-volume is the wrong
+    * panel for "did these degrade together" — a QUIET device that
+    * alarmed belongs in the screen and a chatty healthy one does not
+    * (the spec plants exactly that: a low-volume common-cause pair the
+    * volume panel provably misses). Correlation math is the one shared
+    * [[crossCorrKernel]], so this and [[crossCorr]] cannot diverge on
+    * formula.
+    *
+    * Scale: candidate generation is itself a fleet screen — both
+    * generators are the already-shipped scale-shaped operators (one
+    * corpus scan + fleet-sized frames each), their flag sets are
+    * fleet-bounded, and the panel cap bounds the pair join exactly as
+    * A45's. Oracle-checked end-to-end: both generators and the kernel
+    * are bit-exact parity operators, so their composition is too. */
+  def crossCorrAnomalies(spark: SparkSession, sfDir: String,
+      k: Double = 2.0, target: Double = 50.0, slack: Double = 2.5,
+      h: Double = 200.0, maxPanel: Int = 24,
+      minBuckets: Long = 24): DataFrame =
+    crossCorrAnomaliesOf(Tables.events(spark, sfDir),
+      k, target, slack, h, maxPanel, minBuckets)
+
+  /** A45b over an arbitrary events frame (spec entry — plant a quiet
+    * common-cause pair beside loud healthy devices). */
+  def crossCorrAnomaliesOf(events: DataFrame, k: Double = 2.0,
+      target: Double = 50.0, slack: Double = 2.5, h: Double = 200.0,
+      maxPanel: Int = 24, minBuckets: Long = 24): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(maxPanel >= 2, s"maxPanel $maxPanel must be >= 2")
+    // flag weight: one per z-outlier SAMPLE (a device that keeps
+    // tripping the detector outranks a one-off) plus one per CUSUM
+    // alarm; union-all-sum keeps the frame fleet-bounded
+    val zFlags = zscoreOutliersOf(events, k)
+      .groupBy($"user_id").agg(count(lit(1)).as("f"))
+    val cFlags = cusumOf(events, target, slack, h)
+      .filter($"alarm").select($"user_id", lit(1L).as("f"))
+    val panel = zFlags.select($"user_id", $"f")
+      .unionByName(cFlags)
+      .groupBy($"user_id").agg(sum($"f").as("n_flags"))
+      .orderBy($"n_flags".desc, $"user_id").limit(maxPanel)
+      .select($"user_id")
+    crossCorrKernel(events, panel, minBuckets)
+  }
+
+  /** The composition oracle: A31's flag counts + A36's alarms feed the
+    * panel CTE, then the A45 kernel SQL body runs over that panel. */
+  def crossCorrAnomaliesSql(k: Double = 2.0, target: Double = 50.0,
+      slack: Double = 2.5, h: Double = 200.0, maxPanel: Int = 24,
+      minBuckets: Long = 24): String = {
+    val ref = target + slack
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us, value
+       |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+       |mo AS (
+       |  SELECT user_id, COUNT(*) AS n,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+       |  FROM e GROUP BY user_id),
+       |st AS (
+       |  SELECT user_id, sx / n AS mu,
+       |    sqrt(greatest((sxx - sx * sx / n) / n, 0.0)) AS sigma
+       |  FROM mo),
+       |zf AS (
+       |  SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS f
+       |  FROM e JOIN st USING (user_id)
+       |  WHERE abs(e.value - st.mu) > $k * st.sigma
+       |  GROUP BY e.user_id),
+       |cv AS (
+       |  SELECT user_id, list(value ORDER BY epoch_us(ts), event_id) AS vals
+       |  FROM events
+       |  WHERE event_type = 'purchase' AND value IS NOT NULL
+       |  GROUP BY user_id),
+       |cu AS (
+       |  SELECT user_id,
+       |    list_reduce(
+       |      list_prepend([CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+       |        list_transform(vals, el -> [CAST(el AS DOUBLE), CAST(el AS DOUBLE)])),
+       |      (acc, x) -> [greatest(CAST(0.0 AS DOUBLE), acc[1] + (x[1] - $ref)),
+       |                   greatest(acc[2],
+       |                     greatest(CAST(0.0 AS DOUBLE), acc[1] + (x[1] - $ref)))]) AS cst
+       |  FROM cv),
+       |cf AS (
+       |  SELECT user_id, CAST(1 AS BIGINT) AS f FROM cu WHERE cst[2] > $h),
+       |fl AS (
+       |  SELECT user_id, SUM(f) AS n_flags
+       |  FROM (SELECT * FROM zf UNION ALL SELECT * FROM cf)
+       |  GROUP BY user_id),
+       |panel AS (
+       |  SELECT user_id FROM fl ORDER BY n_flags DESC, user_id
+       |  LIMIT $maxPanel),
+       |hourly AS (
+       |  SELECT user_id, epoch_us(ts) // 21600000000 AS bucket,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS hv
+       |  FROM events WHERE value IS NOT NULL
+       |  GROUP BY user_id, epoch_us(ts) // 21600000000),
+       |hp AS (SELECT hourly.* FROM hourly SEMI JOIN panel USING (user_id)),
+       |m AS (
+       |  SELECT a.user_id AS device_a, b.user_id AS device_b,
+       |    COUNT(*) AS n_buckets,
+       |    CAST(CAST(SUM(a.hv) AS DECIMAL(38,4)) AS DOUBLE) AS sx,
+       |    CAST(CAST(SUM(b.hv) AS DECIMAL(38,4)) AS DOUBLE) AS sy,
+       |    CAST(CAST(SUM(a.hv * b.hv) AS DECIMAL(38,4)) AS DOUBLE) AS sxy,
+       |    CAST(CAST(SUM(a.hv * a.hv) AS DECIMAL(38,4)) AS DOUBLE) AS sxx,
+       |    CAST(CAST(SUM(b.hv * b.hv) AS DECIMAL(38,4)) AS DOUBLE) AS syy
+       |  FROM hp a JOIN hp b ON a.bucket = b.bucket AND a.user_id < b.user_id
+       |  GROUP BY a.user_id, b.user_id
+       |  HAVING COUNT(*) >= $minBuckets),
+       |v AS (
+       |  SELECT *, greatest(n_buckets * sxx - sx * sx, 0.0) AS varx,
+       |    greatest(n_buckets * syy - sy * sy, 0.0) AS vary
+       |  FROM m)
+       |SELECT device_a, device_b, n_buckets,
+       |  (n_buckets * sxy - sx * sy) / (sqrt(varx) * sqrt(vary)) AS corr_hv
+       |FROM v WHERE varx > 0.0 AND vary > 0.0
+       |ORDER BY device_a, device_b""".stripMargin
+  }
 
   // ---------------------------------------------------------------- A54
   /** ERROR PARETO — the prioritization chart behind "fix the worst

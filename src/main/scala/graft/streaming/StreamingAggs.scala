@@ -21,7 +21,7 @@ object StreamingAggs {
     * one; a watermark on a different timestamp column does NOT satisfy
     * this stage and must still fail loudly downstream rather than be
     * silently absorbed here. */
-  private def withWatermarkIfAbsent(df: DataFrame, col: String, delay: String): DataFrame = {
+  private[streaming] def withWatermarkIfAbsent(df: DataFrame, col: String, delay: String): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
     val already = df.queryExecution.logical.collectFirst {
       case e: EventTimeWatermark if e.eventTime.name == col => e

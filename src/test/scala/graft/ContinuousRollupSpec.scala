@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.Monitoring
+import graft.sources.EventSource
+import graft.streaming.{ContinuousRollup, UpsertSink}
+
+/** The continuous-aggregate composition (A3 ∘ A47): a streaming
+  * windowed rollup upserted into the bucketed snapshot must, after
+  * replaying history, equal the batch A3 answer EXACTLY — including
+  * across a replayed trigger, which the A47 marker short-circuits. */
+class ContinuousRollupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("replayed history's snapshot equals A3's batch rollup; replayed trigger is a no-op") {
+    val staging = java.nio.file.Files.createTempDirectory("graft-roll-in").toString
+    val dir = java.nio.file.Files.createTempDirectory("graft-roll").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-roll-ck").toString
+    // 4 files -> 4 micro-batches: windows split across triggers exercise
+    // the last-writer-wins convergence, not just single-shot aggregation.
+    // The huge watermark keeps every window open so no late row is
+    // dropped — the parity precondition (production uses a real
+    // watermark and parity holds for rows inside it).
+    val stream = EventSource.replayTable(spark, sf, staging, parts = 4)
+    val q = ContinuousRollup.start(stream, dir, ckpt,
+      nBuckets = 8, watermark = "3650 days")
+    try q.processAllAvailable() finally q.stop()
+
+    val snap = ContinuousRollup.snapshot(spark, dir)
+    val batch = Monitoring.windowSum(spark, sf)
+    // exact set equality, both directions (decimal-sum discipline makes
+    // the doubles bit-identical)
+    assert(snap.exceptAll(batch).count() === 0, "snapshot rows not in batch")
+    assert(batch.exceptAll(snap).count() === 0, "batch rows not in snapshot")
+    assert(snap.count() > 0)
+
+    // a REPLAYED trigger must be short-circuited by its marker: re-apply
+    // batch 0 with poisoned content — if the fence failed, these rows
+    // would land and parity above would be destroyed
+    val poison = Seq((999999L, 0L, -1.0, 1L, "999999:0"))
+      .toDF("user_id", "window_us", "metric_sum", "sample_count",
+        "rollup_key")
+      .withColumn("__ver", org.apache.spark.sql.functions.lit(0L))
+    UpsertSink.applyBatch(poison, 0L, dir, "rollup_key", "__ver", 8)
+    val after = ContinuousRollup.snapshot(spark, dir)
+    assert(after.filter($"user_id" === 999999L).count() === 0,
+      "replayed trigger was applied — the exactly-once fence is broken")
+    assert(after.exceptAll(batch).count() === 0 &&
+      batch.exceptAll(after).count() === 0)
+  }
+
+  test("open windows converge: a window split across triggers ends at its full sum") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DeviceEvent
+    val dir = java.nio.file.Files.createTempDirectory("graft-roll2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-roll2-ck").toString
+    val input = MemoryStream[DeviceEvent](41, spark, None)
+    def ev(id: Long, sec: Int, v: Double) = DeviceEvent(id,
+      Timestamp.valueOf(f"2024-01-01 10:00:$sec%02d"), 7L, "purchase", v, "{}")
+    val q = ContinuousRollup.start(input.toDS().toDF(), dir, ckpt,
+      nBuckets = 4, watermark = "3650 days")
+    try {
+      input.addData(ev(1, 5, 10.0), ev(2, 20, 2.5))
+      q.processAllAvailable()
+      // partial state after trigger 1: the poller already sees the window
+      val mid = ContinuousRollup.snapshot(spark, dir).collect()
+      assert(mid.length === 1 && mid.head.getDouble(2) === 12.5 &&
+        mid.head.getLong(3) === 2L)
+      // trigger 2 adds to the SAME window: upsert must replace, not dup
+      input.addData(ev(3, 40, 30.0))
+      q.processAllAvailable()
+      val fin = ContinuousRollup.snapshot(spark, dir).collect()
+      assert(fin.length === 1, s"window duplicated: ${fin.toSeq}")
+      assert(fin.head.getDouble(2) === 42.5 && fin.head.getLong(3) === 3L)
+    } finally q.stop()
+  }
+}

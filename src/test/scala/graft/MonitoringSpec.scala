@@ -453,6 +453,44 @@ class MonitoringSpec extends SparkSpec {
     assert(out.toSet === Set((1L, 2L)), s"pairs: ${out.toSeq}")
   }
 
+  test("cross corr anomalies: quiet common-cause pair found, volume panel provably misses it") {
+    val bucketUs = 21600000000L
+    var eid = 0L
+    def ev(u: Long, b: Long, v: Double) = {
+      eid += 1
+      (u, eid, new java.sql.Timestamp((b * bucketUs) / 1000), "purchase", v)
+    }
+    // quiet common-cause pair 1,2: ONE sample per bucket over 30
+    // buckets; a shared spike at bucket 15 makes both z-score outliers
+    // AND CUSUM alarms; dev2 is an affine map of dev1 -> corr 1
+    val base = (0 until 30).map(b => if (b == 15) 500.0 else 10.0 + (b % 5))
+    val quiet = (0L until 30L).flatMap { b =>
+      Seq(ev(1L, b, base(b.toInt)), ev(2L, b, 2.0 * base(b.toInt) + 1.0))
+    }
+    // loud healthy devices 10..17: 20x the volume, constant value 50 —
+    // zero variance (no z flags), under the CUSUM reference (no alarm)
+    val loud = (0L until 30L).flatMap { b =>
+      (10L until 18L).flatMap(u => (0 until 20).map(_ => ev(u, b, 50.0)))
+    }
+    val events = (quiet ++ loud)
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    // A45's top-by-volume panel is the 8 loud devices; every loud pair
+    // is zero-variance-dropped, so the screen reports NOTHING — the
+    // common-cause pair is structurally invisible to it
+    val vol = Monitoring.crossCorrOf(events, panel = 8, minBuckets = 24)
+      .collect()
+    assert(vol.isEmpty, s"volume panel unexpectedly found: ${vol.toSeq}")
+    // the anomaly-fed panel is exactly the flagged set {1, 2} and the
+    // pair surfaces at corr ~ 1
+    val out = Monitoring.crossCorrAnomaliesOf(events, maxPanel = 8,
+      minBuckets = 24).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.keySet === Set((1L, 2L)), s"pairs: $out")
+    assert(out((1L, 2L))._1 === 30L)
+    assert(out((1L, 2L))._2 > 0.999, s"corr ${out((1L, 2L))._2}")
+  }
+
   test("error pareto: cumulative share monotone to the fleet total, ranks dense") {
     val out = Monitoring.errorPareto(spark, sf, topK = 1000).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
