@@ -840,4 +840,80 @@ object Multimodal {
       |    AS span_rms
       |FROM sil GROUP BY media_id, grp
       |ORDER BY media_id, start_window""".stripMargin
+
+  // ---------------------------------------------------------------- F12
+  /** STREAMING audio silence — F11's live twin (VAD at ingest: the
+    * reference is a live media gateway, and trimming/flagging silence
+    * as the audio lands is the first thing an audio-training consumer
+    * asks of it). Per-media state is the OPEN silence run — run start
+    * plus the exact integer (energy, sample) sums — and the last seen
+    * window index as the replay fence: the two-longs-plus-two-sums
+    * shape F7 proved for frames, applied to level windows. Each
+    * trigger folds its slice in window_idx order; a silent window
+    * (rms < threshold) contiguous with the open run extends it, any
+    * break (a loud window, or a gap in the index sequence — the batch
+    * kernel's islands break on BOTH) closes the run and emits the
+    * span, with span RMS re-derived from the carried integer sums so
+    * the row is bit-identical to batch F11's. A window at or before
+    * the fence drops (at-least-once transport; the flapStream
+    * in-order-per-media delivery contract applies). The final still-
+    * open run per media is withheld until something closes it — feed
+    * an end-of-media marker (any loud window past the last index) to
+    * flush, which is what a gateway's stream-closed event is; the
+    * parity spec pins emitted == batch minus open tails before the
+    * markers and == batch exactly after. State is O(live media). */
+  def audioSilenceStream(windows: Dataset[AudioWindow],
+      rmsThreshold: Double = 44.0): Dataset[SilenceSpan] = {
+    import windows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(rmsThreshold > 0, s"rmsThreshold $rmsThreshold must be positive")
+    windows
+      .groupByKey(_.media_id)
+      .flatMapGroupsWithState[SilenceState, SilenceSpan](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id, it, state) =>
+          val sorted = it.toArray.sortBy(_.window_idx)
+          var st = state.getOption.getOrElse(
+            SilenceState(lastSeenIdx = -1, runOpen = false,
+              runStart = 0, energy = 0L, samples = 0L))
+          val out = Seq.newBuilder[SilenceSpan]
+          def close(endIdx: Int): Unit = if (st.runOpen) {
+            out += SilenceSpan(id, st.runStart, endIdx,
+              (endIdx - st.runStart + 1).toLong,
+              math.sqrt(st.energy.toDouble / st.samples.toDouble))
+            st = st.copy(runOpen = false, energy = 0L, samples = 0L)
+          }
+          sorted.foreach { w =>
+            if (w.window_idx > st.lastSeenIdx) { // fence: replays drop
+              val silent = w.rms < rmsThreshold
+              val contiguous = st.runOpen && w.window_idx == st.lastSeenIdx + 1
+              if (!silent) close(st.lastSeenIdx)
+              else if (contiguous)
+                st = st.copy(energy = st.energy + w.energy,
+                  samples = st.samples + w.n_samples)
+              else {
+                close(st.lastSeenIdx) // index gap: islands break
+                st = st.copy(runOpen = true, runStart = w.window_idx,
+                  energy = w.energy, samples = w.n_samples.toLong)
+              }
+              st = st.copy(lastSeenIdx = w.window_idx)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }
+
+/** One audio level window (F9's row shape) as a typed stream element. */
+case class AudioWindow(media_id: Long, window_idx: Int, n_samples: Int,
+    energy: Long, rms: Double)
+
+/** One closed silence span — batch F11's row schema. */
+case class SilenceSpan(media_id: Long, start_window: Int, end_window: Int,
+    n_windows: Long, span_rms: Double)
+
+/** F12 state: the replay fence plus the open run's start and exact
+  * integer sums (no run open ⇔ runOpen=false, sums zeroed). */
+case class SilenceState(lastSeenIdx: Int, runOpen: Boolean, runStart: Int,
+    energy: Long, samples: Long)

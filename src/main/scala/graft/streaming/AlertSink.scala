@@ -42,6 +42,24 @@ object AlertSink {
         s"consec_fails=${a.consec_fails} ts=${a.ts}")
   }
 
+  /** One epoch's delivery — the foreachBatch body, exposed so a
+    * REPLAYED trigger is testable directly: re-invoking with the same
+    * (batch, epochId) overwrites the epoch's own directory, leaving
+    * the audit log byte-identical (exactly-once); the notifier side
+    * channel fires again (at-least-once — the semantics real mail
+    * has; a production Notifier dedupes on its own key if it must). */
+  def deliverBatch(batch: Dataset[HealthAlert], epochId: Long,
+      outDir: String, notifier: Notifier = LogNotifier): Unit = {
+    batch.persist()
+    try {
+      batch.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+      batch.foreachPartition { it: Iterator[HealthAlert] =>
+        it.foreach(notifier.notify)
+      }
+    } finally batch.unpersist()
+    ()
+  }
+
   /** Attach delivery to an alert stream. Returns the started query;
     * callers own its lifecycle. */
   def start(alerts: Dataset[HealthAlert], outDir: String,
@@ -50,14 +68,7 @@ object AlertSink {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[HealthAlert], epochId: Long) =>
-        batch.persist()
-        try {
-          batch.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
-          batch.foreachPartition { it: Iterator[HealthAlert] =>
-            it.foreach(notifier.notify)
-          }
-        } finally batch.unpersist()
-        ()
+        deliverBatch(batch, epochId, outDir, notifier)
       }
       .start()
 

@@ -109,6 +109,57 @@ class MultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming audio silence: replay matches batch, end markers flush open tails") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{AudioWindow, SilenceSpan}
+    val MM = Multimodal
+    val all = MM.mmAudioWindows(spark, sf, 64)
+      .select($"media_id", $"window_idx", $"n_samples", $"energy", $"rms")
+      .as[AudioWindow].collect()
+    // global sort by window_idx keeps every media in-order ACROSS the
+    // trigger split (the operator's delivery contract); runs split
+    // mid-media exercise the carried open-run state
+    val sortedAll = all.sortBy(w => (w.window_idx, w.media_id))
+    val (sliceA, sliceB) = sortedAll.splitAt(sortedAll.length / 2)
+    val input = MemoryStream[AudioWindow](32, spark, None)
+    val q = MM.audioSilenceStream(input.toDS())
+      .writeStream.format("memory").queryName("sil_out")
+      .outputMode("append").start()
+    try {
+      input.addData(sliceA.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(sliceB.toSeq: _*)
+      q.processAllAvailable()
+      def streamed: Set[(Long, Int, Int, Long, Double)] = spark.table("sil_out")
+        .as[SilenceSpan].collect()
+        .map(s => (s.media_id, s.start_window, s.end_window, s.n_windows,
+          s.span_rms)).toSet
+      val batch = MM.mmAudioSilence(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+          r.getDouble(4))).toSet
+      assert(batch.nonEmpty, "corpus produced no silence spans — vacuous")
+      // spans whose last window IS the media's last window are still
+      // open at stream end — everything else must already match
+      val maxIdx = all.groupBy(_.media_id)
+        .map { case (m, ws) => m -> ws.map(_.window_idx).max }
+      val openTails = batch.filter(s => s._3 == maxIdx(s._1))
+      val s1 = streamed
+      assert(s1 === batch -- openTails,
+        "streamed closed spans diverged from the batch operator")
+      // a replayed slice must not re-emit or corrupt runs (fence)
+      input.addData(sliceB.toSeq: _*)
+      q.processAllAvailable()
+      assert(streamed === s1, "replayed windows re-emitted spans")
+      // end-of-media markers (the gateway's stream-closed event) flush
+      // the open tails: parity becomes EXACT
+      val markers = maxIdx.map { case (m, i) =>
+        AudioWindow(m, i + 1, 1, 0L, 1e9) }.toSeq
+      input.addData(markers: _*)
+      q.processAllAvailable()
+      assert(streamed === batch, "flushed spans diverged from batch")
+    } finally q.stop()
+  }
+
   test("resize: real byte loop matches the claimed ceil(n/4) geometry") {
     val rows = Multimodal.mmResize(spark, sf).collect()
     assert(rows.length.toLong === Tables.documents(spark, sf).count())
