@@ -74,6 +74,11 @@ object SparkEntry {
     "q_scalar_subquery" -> (Relational.qScalarSubquery _),
     // C: dedup
     "dedup_exact" -> (Dedup.dedupExact _),
+    "dedup_keep_best" -> (Dedup.dedupKeepBest _),
+    "dsir_score" -> ((s: SparkSession, d: String) =>
+      Curation.dsirScore(s, d)),
+    "dsir_select" -> ((s: SparkSession, d: String) =>
+      Curation.dsirSelect(s, d)),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
     "dedup_minhash_indexed" -> (Dedup.dedupMinhashIndexed _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
@@ -280,6 +285,9 @@ object SparkEntry {
     "mm_dedup_frames" -> Multimodal.mmDedupFramesSql,
     "mm_audio_levels" -> Multimodal.mmAudioLevelsSql,
     "dedup_exact" -> Dedup.dedupExactSql,
+    "dedup_keep_best" -> Dedup.dedupKeepBestSql,
+    "dsir_score" -> Curation.dsirScoreSql(),
+    "dsir_select" -> Curation.dsirSelectSql(),
     "ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "dedup_semantic_fixed" -> Dedup.dedupSemanticFixedSql,

@@ -252,6 +252,51 @@ object TextFunctions {
     h
   }
 
+  /** HASHED BIGRAM feature buckets — the DSIR feature space (Xie et
+    * al. 2023, data selection with importance resampling: documents
+    * are represented as counts of hashed n-gram features in a fixed
+    * number of buckets): element i is the bucket of the (token i,
+    * token i+1) bigram, duplicates kept IN ORDER (feature COUNTS are
+    * the representation — a set would be a different statistic). The
+    * hash is the PORTABLE pipeline ([[portableTokenHash]] per token,
+    * the [[ChainMult]] mod-2⁶⁴ polynomial for the pair, floorMod into
+    * the bucket range) — every op DuckDB replays exactly, so the whole
+    * importance-weight computation downstream is oracle-checkable,
+    * unlike the xxhash shingle kernel. Docs with < 2 tokens emit an
+    * empty array (no bigram features — weight 0 by convention). */
+  case class BigramBuckets(child: Expression, nBuckets: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (isStringArray(child.dataType) && nBuckets >= 1)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        "bigram_buckets needs array<string>, nBuckets>=1")
+
+    override def nullSafeEval(a: Any): Any = {
+      val toks = a.asInstanceOf[ArrayData]
+      val len = toks.numElements()
+      if (len < 2) return new GenericArrayData(Array.emptyLongArray)
+      val th = new Array[Long](len)
+      var i = 0
+      while (i < len) {
+        th(i) = if (toks.isNullAt(i)) 0L
+          else portableTokenHash(toks.getUTF8String(i))
+        i += 1
+      }
+      val out = new Array[Long](len - 1)
+      i = 0
+      while (i < len - 1) {
+        val f = th(i) * ChainMult + th(i + 1) // wraps mod 2^64
+        out(i) = java.lang.Math.floorMod(f, nBuckets.toLong)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** POSITIONAL `n`-token window hashes: same token-prehash + chained
     * hashLong kernel as [[ShingleHashes]], but IN TEXT ORDER with
     * duplicates kept — element i is the hash of the window starting at
@@ -436,6 +481,9 @@ object TextFunctions {
 
   def langId(text: Column): Column =
     GraftColumn.apply(LangIdGuess(GraftColumn.expression(text)))
+
+  def bigramBuckets(tokens: Column, nBuckets: Int): Column =
+    GraftColumn.apply(BigramBuckets(GraftColumn.expression(tokens), nBuckets))
 
   def shingleHashes(tokens: Column, n: Int): Column =
     GraftColumn.apply(ShingleHashes(GraftColumn.expression(tokens), n))

@@ -1773,4 +1773,204 @@ object Curation {
       |  FROM gated WHERE n_tokens >= 10 AND uniq_ratio >= 0.3)
       |SELECT doc_id, source, n_tokens FROM ranked
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- C37
+  /** DSIR-style IMPORTANCE SCORING — data selection with importance
+    * resampling (Xie et al. 2023, the public method behind
+    * domain-targeted pretraining mixes): every raw document gets a log
+    * importance weight log(p_target(x)/p_raw(x)) under hashed-bigram
+    * bag-of-features models of a small TARGET domain vs the raw
+    * corpus; high-weight documents "look like" the target and get
+    * selected. Features are [[graft.functions.TextFunctions
+    * .bigramBuckets]] — the PORTABLE hash pipeline into `nBuckets`
+    * buckets (power of two: the mod-2⁶⁴ chain then reduces exactly in
+    * both engines) — so the entire computation is oracle-checked:
+    * bucket log-ratios are ln of exact-integer ratios (Laplace add-1
+    * smoothing), identical IEEE in both engines (the E6 ln precedent),
+    * and the per-doc sum Σ n_f·lr_f runs through DECIMAL(28,12)
+    * quantized terms (the §4/jsd discipline) so it is order-free.
+    *
+    * Scale shape: ONE feature-extraction pass builds the per-(doc,
+    * bucket) count frame (one corpus exchange, pinned — the bucket
+    * count table, the totals probe and the weight join all read it);
+    * bucket stats are a ≤ nBuckets frame that broadcasts; nothing
+    * ever pairs documents. At 100 TB pin the count frame to parquet
+    * instead of a local checkpoint; everything else is unchanged. */
+  def dsirScore(spark: SparkSession, sfDir: String,
+      targetSources: Seq[String] = Seq("src0", "src1"),
+      nBuckets: Int = 4096): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    dsirScored(docs, col("source").isin(targetSources.map(x => x: Any): _*),
+        nBuckets)
+      .select(col("doc_id"), col("source"),
+        round(col("logw"), 6).as("dsir_logw"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The scoring kernel over an arbitrary docs frame (spec entry —
+    * plant target-like and off-target docs): emits EVERY doc with its
+    * unrounded log weight (feature-free docs at 0.0). */
+  private[graft] def dsirScored(docs: DataFrame, isTarget: Column,
+      nBuckets: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(nBuckets >= 2 && (nBuckets & (nBuckets - 1)) == 0,
+      s"nBuckets $nBuckets must be a power of two (the oracle's " +
+        "mod-2^64 chain reduces exactly only then)")
+    // one corpus pass: tokenize, hash, explode the ATTRIBUTE (the
+    // round-7 Generate codegen rule), count per (doc, bucket)
+    val nf = docs
+      .select(col("doc_id"), isTarget.as("is_t"),
+        graft.functions.TextFunctions.bigramBuckets(
+          TextAnalysis.tokens("text"), nBuckets).as("bs"))
+      .select(col("doc_id"), col("is_t"), explode(col("bs")).as("b"))
+      .groupBy(col("doc_id"), col("is_t"), col("b"))
+      .agg(count(lit(1)).as("nf"))
+      // pinned: three consumers (bucket counts, the totals probe via
+      // them, the weight join) — without the pin each re-runs the
+      // tokenize+hash corpus pass
+      .localCheckpoint(true)
+    val counts = nf.groupBy($"b")
+      .agg(sum($"nf").as("rc"),
+        sum(when($"is_t", $"nf").otherwise(0L)).as("tc"))
+      .localCheckpoint(true) // ≤ nBuckets rows; read twice
+    val t = counts.agg(sum($"rc"), sum($"tc")).head()
+    if (t.isNullAt(0))
+      return docs.select(col("doc_id"), col("source"),
+        lit(0.0).as("logw"))
+    val (tr, tt) = (t.getLong(0), t.getLong(1))
+    val lr = counts.select($"b",
+      (log(($"tc" + 1L).cast("double") / lit((tt + nBuckets).toDouble)) -
+        log(($"rc" + 1L).cast("double") / lit((tr + nBuckets).toDouble)))
+        .as("lr"))
+    val perDoc = nf
+      .join(broadcast(lr), "b")
+      .groupBy($"doc_id")
+      .agg(sum(($"nf" * $"lr").cast("decimal(28,12)")).cast("double")
+        .as("logw"))
+    docs.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("logw"), lit(0.0)).as("logw"))
+  }
+
+  /** C37's SELECTION half: keep the top `num/den` fraction of the
+    * corpus by DSIR weight — rank machinery is C18/C32's (weight
+    * quantized to an integer micro-key, packed with doc_id, ranked
+    * via stratifiedPrefixSum over a single stratum — no
+    * single-partition window), so the cut runs at fleet width. */
+  def dsirSelect(spark: SparkSession, sfDir: String,
+      targetSources: Seq[String] = Seq("src0", "src1"),
+      nBuckets: Int = 4096, num: Int = 1, den: Int = 5,
+      buckets: Int = 1024): DataFrame = {
+    import spark.implicits._
+    require(num >= 0 && den >= 1 && num <= den,
+      s"keep fraction $num/$den must be within [0, 1]")
+    val docs = Tables.documents(spark, sfDir)
+    val scored = dsirScored(docs,
+        col("source").isin(targetSources.map(x => x: Any): _*), nBuckets)
+      .select($"doc_id", $"source", $"logw",
+        floor($"logw" * 1e4).cast("long").as("q4"))
+      .localCheckpoint(true) // span probe + prefix sum + total
+    val r = scored.agg(max($"q4"), min($"q4"),
+      min($"doc_id"), max($"doc_id")).head()
+    if (r.isNullAt(0)) return scored.select($"doc_id", $"source",
+      round($"logw", 6).as("dsir_logw")).limit(0)
+    require(r.getLong(0) - r.getLong(1) < (1L << 22) &&
+      r.getLong(2) >= 0 && r.getLong(3) < (1L << 40),
+      s"dsirSelect key packing needs q4 span < 2^22 and doc_id in " +
+        s"[0, 2^40); got span ${r.getLong(0) - r.getLong(1)}")
+    val maxQ = r.getLong(0)
+    val keyed = scored
+      .withColumn("__ord", (lit(maxQ) - $"q4") * lit(1L << 40) + $"doc_id")
+      .withColumn("__one", lit(1L))
+      .withColumn("__s", lit("all"))
+    val total = scored.agg(count(lit(1)).as("__n"))
+    Scale.stratifiedPrefixSum(keyed, "__s", "__ord", "__one", "__rnk",
+        buckets)
+      .crossJoin(broadcast(total))
+      .filter($"__rnk" * den <= $"__n" * num)
+      .select($"doc_id", $"source", round($"logw", 6).as("dsir_logw"))
+      .orderBy($"doc_id")
+  }
+
+  def dsirScoreSql(targetSources: Seq[String] = Seq("src0", "src1"),
+      nBuckets: Int = 4096): String =
+    s"""WITH $dsirScoredCtes
+       |SELECT d.doc_id, d.source,
+       |  ROUND(COALESCE(s.logw, 0.0), 6) AS dsir_logw
+       |FROM documents d LEFT JOIN s USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+      .replace("__TGT__", targetSources.map(s => s"'$s'").mkString(", "))
+      .replace("__B__", nBuckets.toString)
+
+  def dsirSelectSql(targetSources: Seq[String] = Seq("src0", "src1"),
+      nBuckets: Int = 4096, num: Int = 1, den: Int = 5): String =
+    s"""WITH $dsirScoredCtes,
+       |al AS (
+       |  SELECT d.doc_id, d.source, COALESCE(s.logw, 0.0) AS logw
+       |  FROM documents d LEFT JOIN s USING (doc_id)),
+       |rk AS (
+       |  SELECT doc_id, source, logw,
+       |    ROW_NUMBER() OVER (ORDER BY
+       |      CAST(FLOOR(logw * 1e4) AS BIGINT) DESC, doc_id) AS rnk,
+       |    COUNT(*) OVER () AS n
+       |  FROM al)
+       |SELECT doc_id, source, ROUND(logw, 6) AS dsir_logw
+       |FROM rk WHERE rnk * $den <= n * $num
+       |ORDER BY doc_id""".stripMargin
+      .replace("__TGT__", targetSources.map(s => s"'$s'").mkString(", "))
+      .replace("__B__", nBuckets.toString)
+
+  /** The shared CTE chain: portable token hashes (the E4 staged list
+    * pipeline), the bigram mod-2⁶⁴ chain reduced mod the power-of-two
+    * bucket count (HUGEINT product < 2¹²⁷ — in range), Laplace
+    * log-ratios, DECIMAL-quantized per-doc sums. */
+  private val dsirScoredCtes: String =
+    """t AS (
+      |  SELECT doc_id, source IN (__TGT__) AS is_t,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |h0 AS (SELECT doc_id, is_t,
+      |  list_transform(list_transform(toks, tok ->
+      |    list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(string_split(tok, ''), c -> ord(c))),
+      |      (h, c) -> (h * 31 + c) % 4294967296)),
+      |    u -> CAST(CASE WHEN u >= 2147483648 THEN u - 4294967296 ELSE u END AS BIGINT)) AS th
+      |  FROM t),
+      |hA AS (SELECT doc_id, is_t, list_transform(th, x -> xor(x, x >> 33)) AS th FROM h0),
+      |hB AS (SELECT doc_id, is_t, list_transform(list_transform(th, x ->
+      |    ((CASE WHEN x < 0 THEN x::HUGEINT + 18446744073709551616 ELSE x::HUGEINT END)
+      |      * 18397679294719823053) % 18446744073709551616),
+      |  u -> CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT)) AS th FROM hA),
+      |hC AS (SELECT doc_id, is_t, list_transform(th, x -> xor(x, x >> 29)) AS th FROM hB),
+      |hD AS (SELECT doc_id, is_t, list_transform(list_transform(th, x ->
+      |    ((CASE WHEN x < 0 THEN x::HUGEINT + 18446744073709551616 ELSE x::HUGEINT END)
+      |      * 14181476777654086739) % 18446744073709551616),
+      |  u -> CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT)) AS th FROM hC),
+      |hE AS (SELECT doc_id, is_t, list_transform(th, x -> xor(x, x >> 32)) AS th FROM hD),
+      |bg AS (
+      |  SELECT doc_id, is_t,
+      |    unnest(list_transform(range(1, len(th)), i ->
+      |      CAST(((CASE WHEN th[i] < 0 THEN th[i]::HUGEINT + 18446744073709551616
+      |              ELSE th[i]::HUGEINT END) * 6364136223846793005
+      |            + (CASE WHEN th[i+1] < 0 THEN th[i+1]::HUGEINT + 18446744073709551616
+      |              ELSE th[i+1]::HUGEINT END)) % __B__ AS BIGINT))) AS b
+      |  FROM hE WHERE len(th) >= 2),
+      |nf AS (SELECT doc_id, is_t, b, COUNT(*) AS nf FROM bg GROUP BY 1, 2, 3),
+      |c AS (
+      |  SELECT b, CAST(SUM(nf) AS BIGINT) AS rc,
+      |    CAST(SUM(CASE WHEN is_t THEN nf ELSE 0 END) AS BIGINT) AS tc
+      |  FROM nf GROUP BY b),
+      |tt AS (SELECT CAST(SUM(rc) AS BIGINT) AS tr,
+      |  CAST(SUM(tc) AS BIGINT) AS tts FROM c),
+      |lr AS (
+      |  SELECT b,
+      |    ln(CAST(tc + 1 AS DOUBLE) / CAST(tts + __B__ AS DOUBLE)) -
+      |    ln(CAST(rc + 1 AS DOUBLE) / CAST(tr + __B__ AS DOUBLE)) AS lr
+      |  FROM c, tt),
+      |s AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CAST(nf * lr AS DECIMAL(28,12))) AS DOUBLE) AS logw
+      |  FROM nf JOIN lr USING (b) GROUP BY doc_id)""".stripMargin
 }

@@ -32,6 +32,89 @@ object Dedup {
       .orderBy($"source")
   }
 
+  // ---------------------------------------------------------------- C38
+  /** KEEP-BEST normalized-exact dedup — canonical-document selection:
+    * C1 counts duplicates, THIS picks which copy survives. The
+    * cluster key is sha256 of the NORMALIZED text (the shared
+    * tokenizer's tokens re-joined — case / punctuation / whitespace
+    * invariant, the canonicalization C4-era pipelines apply before
+    * exact hashing), which is exactly what makes "best copy" a real
+    * choice: raw-identical copies would tie on every quality term,
+    * but normalization-equal copies differ in the punctuation and
+    * casing the quality score sees. Winner per cluster by E2's ONE
+    * composite ([[TextAnalysis.textQualityOf]]) with (quality desc,
+    * id) tie-break; NULL-quality copies (token-free — note they all
+    * share the empty normal form and collapse into one cluster) rank
+    * last rather than crash the sweep.
+    *
+    * Scale: the winner per cluster runs through the TopKPerKey custom
+    * operator — per-partition bounded heaps prune to ONE row per
+    * cluster per partition BEFORE the shuffle, so a pathological
+    * 10M-copy boilerplate cluster costs each task one comparison
+    * stream, where a row_number window would sort the whole hot
+    * cluster in a single task. Cluster sizes come from a map-side-
+    * combined count. Payloads never shuffle (the 32-byte digest
+    * groups). */
+  def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame =
+    dedupKeepBestOf(Tables.documents(spark, sfDir))
+
+  /** C38 over an arbitrary docs frame (spec entry — plant
+    * normalization-equal copies of differing quality). */
+  def dedupKeepBestOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs
+      .select($"doc_id", $"source",
+        sha2(concat_ws(" ", TextAnalysis.tokens("text")), 256).as("ck"))
+      .join(TextAnalysis.textQualityOf(docs)
+        .select($"doc_id", $"quality_score"), "doc_id")
+      .withColumn("q",
+        coalesce($"quality_score", lit(Double.NegativeInfinity)))
+      // pinned: the winner pass and the cluster-size count would each
+      // re-run the quality scan otherwise
+      .localCheckpoint(true)
+    val winners = graft.plans.TopK.perKey(keyed, Seq("ck"),
+      Seq(col("q").desc, col("doc_id").asc), 1)
+    val sizes = keyed.groupBy($"ck").agg(count(lit(1)).as("n_copies"))
+    winners.join(sizes, "ck")
+      .select($"doc_id", $"source", $"n_copies", $"quality_score")
+      .orderBy($"doc_id")
+  }
+
+  /** E2's quality formula restated (the oracle's one definition),
+    * keep-best winner per sha256 cluster with the identical
+    * tie-break. */
+  val dedupKeepBestSql: String = {
+    val stopList = TextAnalysis.stopwordsSqlList
+    s"""WITH x AS (
+       |  SELECT doc_id, text,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+       |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+       |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct_cnt
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id,
+       |    0.25 * (CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS DOUBLE) / nullif(n_tokens, 0))
+       |    + 0.25 * (CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(n_tokens, 0))
+       |    + 0.25 * (1.0 - CAST(punct_cnt AS DOUBLE) / nullif(length(text), 0))
+       |    + 0.25 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) AS quality_score
+       |  FROM x),
+       |k AS (
+       |  SELECT d.doc_id, d.source,
+       |    sha256(array_to_string(
+       |      regexp_extract_all(lower(d.text), '[a-z0-9]+'), ' ')) AS ck,
+       |    q.quality_score
+       |  FROM documents d JOIN q USING (doc_id)),
+       |r AS (
+       |  SELECT doc_id, source, quality_score,
+       |    ROW_NUMBER() OVER (PARTITION BY ck ORDER BY
+       |      COALESCE(quality_score, '-infinity'::DOUBLE) DESC, doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY ck) AS n_copies
+       |  FROM k)
+       |SELECT doc_id, source, n_copies, quality_score
+       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   val dedupExactSql: String =
     """SELECT source, COUNT(*) AS n_docs,
       |  COUNT(DISTINCT sha256(text)) AS n_distinct,

@@ -47,6 +47,11 @@ object TextAnalysis {
     * (broadcast-free). */
   private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
 
+  /** The stopword list as a DuckDB list literal — shared with every
+    * oracle that restates the E2 composite (one list, no drift). */
+  private[operators] val stopwordsSqlList: String =
+    stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
   def textQuality(spark: SparkSession, sfDir: String): DataFrame =
     textQualityOf(Tables.documents(spark, sfDir)).orderBy(col("doc_id"))
 

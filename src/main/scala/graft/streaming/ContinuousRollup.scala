@@ -77,4 +77,47 @@ object ContinuousRollup {
     UpsertSink.snapshot(spark, dir)
       .select(col("user_id"), col("window_us"),
         col("metric_sum"), col("sample_count"))
+
+  /** The FULL CloudWatch statistic set (A4's hourly
+    * Sum/Average/Minimum/Maximum/SampleCount, all event types)
+    * maintained continuously — every statistic the reference's CLI can
+    * request (putmedia_check.sh `--statistics`) from one incremental
+    * table. All five are order-free aggregates, so update-mode
+    * last-writer-wins converges them exactly like the Sum rollup;
+    * settled windows are bit-identical to `Monitoring.windowStats`
+    * (spec-pinned). */
+  def statUpdates(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    StreamingAggs.withWatermarkIfAbsent(events, "ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("stat_sum"),
+        (sum(col("value").cast("decimal(18,4)")).cast("double") /
+          count(lit(1))).as("stat_avg"),
+        min(col("value")).as("stat_min"),
+        max(col("value")).as("stat_max"),
+        count(lit(1)).as("sample_count"))
+      .select(col("user_id"),
+        expr("unix_micros(window.start)").as("window_us"),
+        col("stat_sum"), col("stat_avg"), col("stat_min"),
+        col("stat_max"), col("sample_count"))
+      .withColumn("rollup_key",
+        concat_ws(":", col("user_id"), col("window_us")))
+
+  def startStats(events: DataFrame, dir: String, checkpointDir: String,
+      nBuckets: Int = 64, watermark: String = "10 minutes"): StreamingQuery =
+    statUpdates(events, watermark).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        UpsertSink.applyBatch(batch.withColumn("__ver", lit(batchId)),
+          batchId, dir, "rollup_key", "__ver", nBuckets)
+      }
+      .start()
+
+  def statsSnapshot(spark: SparkSession, dir: String): DataFrame =
+    UpsertSink.snapshot(spark, dir)
+      .select(col("user_id"), col("window_us"), col("stat_sum"),
+        col("stat_avg"), col("stat_min"), col("stat_max"),
+        col("sample_count"))
 }

@@ -50,6 +50,21 @@ class ContinuousRollupSpec extends SparkSpec {
       batch.exceptAll(after).count() === 0)
   }
 
+  test("full stat set: replayed history equals A4's hourly Sum/Avg/Min/Max/Count") {
+    val staging = java.nio.file.Files.createTempDirectory("graft-rollst-in").toString
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollst").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rollst-ck").toString
+    val stream = EventSource.replayTable(spark, sf, staging, parts = 3)
+    val q = ContinuousRollup.startStats(stream, dir, ckpt,
+      nBuckets = 8, watermark = "3650 days")
+    try q.processAllAvailable() finally q.stop()
+    val snap = ContinuousRollup.statsSnapshot(spark, dir)
+    val batch = Monitoring.windowStats(spark, sf)
+    assert(snap.exceptAll(batch).count() === 0, "snapshot rows not in batch")
+    assert(batch.exceptAll(snap).count() === 0, "batch rows not in snapshot")
+    assert(snap.count() > 0)
+  }
+
   test("open windows converge: a window split across triggers ends at its full sum") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

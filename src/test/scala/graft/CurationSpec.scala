@@ -21,6 +21,42 @@ class CurationSpec extends SparkSpec {
       s"expected exact-dup survivor + german doc, got ${kept.toSeq}")
   }
 
+  test("dsir: target-like docs outrank off-target, feature-free docs zero, partition-invariant") {
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha beta", "tgt"),
+      (2L, "alpha beta gamma alpha beta", "tgt"),
+      (10L, "alpha beta alpha beta", "raw"),      // target-like
+      (11L, "gamma delta gamma delta", "raw"),    // off-target
+      (12L, "", "raw"),                           // no tokens
+      (13L, "solo", "raw"))                       // one token: no bigram
+      .toDF("doc_id", "text", "source")
+    def score(d: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      Curation.dsirScored(d, col("source") === "tgt", 256)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val w = score(docs)
+    assert(w(10) > w(11),
+      s"target-like doc must outrank off-target: ${w(10)} vs ${w(11)}")
+    assert(w(12) === 0.0 && w(13) === 0.0)
+    // the decimal-quantized sum is partition-layout invariant
+    assert(score(docs.repartition(5)) === w)
+  }
+
+  test("dsir select: kept set is exactly the top fraction on the micro-key rank") {
+    val n = Tables.documents(spark, sf).count()
+    val kept = Curation.dsirSelect(spark, sf, num = 1, den = 5)
+      .select($"doc_id").as[Long].collect().toSet
+    // rnk * den <= n * num  ⇔  rnk <= floor(n * num / den)
+    assert(kept.size === (n / 5).toInt, s"kept ${kept.size} of $n")
+    // the kept set must be the head of the score ranking under the
+    // operator's own micro-key (floor(logw·1e5) desc, id)
+    val scored = Curation.dsirScored(Tables.documents(spark, sf),
+        col("source").isin("src0", "src1"), 4096)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val expect = scored.sortBy { case (id, lw) =>
+      (-math.floor(lw * 1e4).toLong, id) }.take(kept.size).map(_._1).toSet
+    assert(kept === expect)
+  }
+
   test("full pipeline drops planted near-duplicates at the production 0.8 threshold") {
     // long doc, one word changed: 66 tokens → 62 5-shingles, 5 affected
     // → Jaccard ≈ 57/67 ≈ 0.85 > 0.8, so stage 4 must drop doc 2

@@ -45,6 +45,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("keep-best: normalization-equal copies cluster, the cleanest copy wins") {
+    val docs = Seq(
+      // one normalized cluster, three copies of descending cleanliness:
+      // same tokens, punctuation load differs -> quality differs
+      (1L, "The;; quick,, brown!! fox?? jumps;; over!! the¶¶ lazy©© dog¶¶ now!!", "s1"),
+      (2L, "The quick brown fox jumps over the lazy dog now", "s1"),
+      (3L, "The, quick brown fox jumps over the lazy dog now!", "s2"),
+      // singleton cluster
+      (4L, "a completely different document about spark physical planning", "s1"),
+      // token-free docs share the empty normal form: one cluster
+      (5L, "???", "s1"),
+      (6L, "!!!", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.dedupKeepBestOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // the punctuation-free copy wins its 3-copy cluster — NOT the
+    // lowest id (that's what separates keep-best from keep-first)
+    assert(out.keySet === Set(2L, 4L, 5L), s"winners: $out")
+    assert(out(2L)._2 === 3L)
+    assert(out(4L)._2 === 1L)
+    // token-free copies: NULL quality ties -> lowest id, cluster of 2
+    assert(out(5L)._2 === 2L)
+    // cluster sizes sum to the corpus
+    assert(out.values.map(_._2).sum === docs.count())
+  }
+
   test("minhash jaccard estimates exact jaccard on identical docs as 1.0") {
     val dupOnly = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
       (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")).toDF("doc_id", "text")
