@@ -161,6 +161,9 @@ object SparkEntry {
     "q_cube" -> (Relational.qCube _),
     "q_exists_corr" -> (Relational.qExistsCorr _),
     "q_funnel" -> ((s: SparkSession, d: String) => Relational.qFunnel(s, d)),
+    "q_returned_customers" -> ((s: SparkSession, d: String) =>
+      Relational.qReturnedCustomers(s, d)),
+    "q_nation_trade" -> (Relational.qNationTrade _),
     "q_retention_cohorts" -> (Relational.qRetentionCohorts _),
     "mon_status_flaps" -> ((s: SparkSession, d: String) =>
       Monitoring.statusFlaps(s, d)),
@@ -325,6 +328,8 @@ object SparkEntry {
     "mon_status_flaps" -> Monitoring.statusFlapsSql(),
     "mon_cross_corr" -> Monitoring.crossCorrSql(),
     "mon_cross_corr_anomalies" -> Monitoring.crossCorrAnomaliesSql(),
+    "q_returned_customers" -> Relational.qReturnedCustomersSql,
+    "q_nation_trade" -> Relational.qNationTradeSql,
     "mon_gap_fill" -> Monitoring.gapFillSql(),
     "mon_gap_fill_linear" -> Monitoring.gapFillSql(linear = true),
     "mon_fleet_health" -> Monitoring.fleetHealthSql(),

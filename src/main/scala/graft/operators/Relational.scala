@@ -1459,4 +1459,84 @@ object Relational {
        |    > $hotFactor AS hot
        |FROM c, t
        |ORDER BY n DESC, user_id LIMIT $topK""".stripMargin
+
+  // ---------------------------------------------------------------- B42
+  /** TPC-H Q10-style RETURNED-ITEM revenue per customer: who cost us
+    * the most in returns — lineitem filtered to `l_returnflag = 'R'`
+    * BEFORE any join (the predicate prunes the fact scan, .explain
+    * shows it in PushedFilters), then orders → customer shuffled on
+    * their keys, nation broadcast, one aggregate, deterministic
+    * top-20. Revenue through the B1/B2 decimal product-sum
+    * discipline. */
+  def qReturnedCustomers(spark: SparkSession, sfDir: String,
+      topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, sfDir).filter($"l_returnflag" === "R")
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"n_name")
+      .agg(productSum(dec($"l_extendedprice") *
+          (lit(1).cast("decimal(18,4)") - dec($"l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(topK)
+  }
+
+  val qReturnedCustomersSql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem, orders, customer, nation
+      |WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey
+      |  AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- B43
+  /** TPC-H Q7-style NATION TRADE flows: cross-border revenue (supplier
+    * nation ≠ customer nation) by ship year — the bilateral-volume
+    * rollup. Join shape: lineitem shuffles once on the order key and
+    * once on the supplier key; BOTH nation sides broadcast (self-join
+    * of a tiny dim under two aliases); the cross-border filter runs on
+    * broadcast-local columns, never an exchange. Output is
+    * nations² × years — dashboard-sized however large the fact. */
+  def qNationTrade(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n1 = Tables.nation(spark, sfDir)
+      .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+    val n2 = Tables.nation(spark, sfDir)
+      .select($"n_nationkey".as("cn_key"), $"n_name".as("cust_nation"))
+    l.join(s, $"l_suppkey" === $"s_suppkey")
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(broadcast(n1), $"s_nationkey" === $"sn_key")
+      .join(broadcast(n2), $"c_nationkey" === $"cn_key")
+      .filter($"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").as("l_year"))
+      .agg(productSum(dec($"l_extendedprice") *
+          (lit(1).cast("decimal(18,4)") - dec($"l_discount")))
+        .as("volume"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  val qNationTradeSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INT) AS l_year,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS volume
+      |FROM lineitem, supplier, orders, customer, nation n1, nation n2
+      |WHERE l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+      |  AND o_custkey = c_custkey AND s_nationkey = n1.n_nationkey
+      |  AND c_nationkey = n2.n_nationkey AND n1.n_name <> n2.n_name
+      |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 }

@@ -351,6 +351,51 @@ object Similarity {
       .orderBy($"label")
   }
 
+  // ---------------------------------------------------------------- D20
+  /** STREAMING embedding drift — D17's live twin, completing the drift
+    * trio's streaming coverage (text E17 ↔ E18; embeddings D17 ↔ THIS;
+    * all four share ONE jsd kernel, so no monitor can diverge on
+    * formula): per micro-batch, arriving vectors quantize to the
+    * BASELINE's cells (centroids fixed at query start from the
+    * baseline corpus — D17's vec_id-prefix rule; re-deriving them per
+    * trigger would move the bins under the statistic) and each label's
+    * cell distribution scores JSD against the pinned baseline cell
+    * distribution. A batch label massing into cells the baseline left
+    * empty takes the exact closed-form term (the E18 novel-vocab
+    * discipline), which fires precisely when embedding drift is worst
+    * — a new content cluster. Stateless per trigger (the foreachBatch
+    * reasoning of E18/D9); the baseline counts compute once,
+    * lazily, and are pinned. */
+  def embedDriftStream(vecs: DataFrame, baseline: DataFrame,
+      nCentroids: Int = 64)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import vecs.sparkSession.implicits._
+    require(nCentroids >= 1)
+    lazy val centroids = {
+      val c = baseline.filter($"vec_id" < nCentroids).orderBy($"vec_id")
+        .select($"embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      require(c.nonEmpty, s"no baseline vectors with vec_id < $nCentroids")
+      c
+    }
+    lazy val ref = baseline
+      .select(VectorFunctions.nearestCentroid($"embedding", centroids)
+        .cast("long").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("gf"))
+      .localCheckpoint(true)
+    vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val counts = batch
+        .select(col("label").as("s"),
+          VectorFunctions.nearestCentroid(col("embedding"), centroids)
+            .cast("long").as("w"))
+        .groupBy(col("s"), col("w")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      sink(TextAnalysis.jsdAgainst(counts, ref)
+        .select(col("s").as("label"), col("n_items").as("n_vecs"),
+          col("n_distinct").as("n_cells"), col("jsd")), batchId)
+    }
+  }
+
   val embedDriftSql: String =
     """WITH cen AS (
       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,

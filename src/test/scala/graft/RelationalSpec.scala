@@ -290,6 +290,25 @@ class RelationalSpec extends SparkSpec {
     assert(capped.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("returned customers: bounded top-k, revenue descending, positive counts") {
+    val out = Relational.qReturnedCustomers(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val rev = out.map(_.getDouble(3))
+    assert(rev.sameElements(rev.sortBy(-_)))
+    out.foreach { r => assert(r.getDouble(3) > 0.0 && r.getLong(4) >= 1L) }
+  }
+
+  test("nation trade: strictly cross-border, deterministic order, positive volumes") {
+    val out = Relational.qNationTrade(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (s, c, _, v) =>
+      assert(s != c, s"same-nation flow leaked: $s")
+      assert(v > 0.0)
+    }
+    assert(out.sameElements(out.sortBy(t => (t._1, t._2, t._3))))
+  }
+
   test("skew report: planted hot key flagged, shares ordered, uniform keys cold") {
     val out = Relational.qSkewReport(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getBoolean(4)))

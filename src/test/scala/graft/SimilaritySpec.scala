@@ -523,6 +523,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embed drift stream: identical mix scores zero, shifted mix flagged, baseline cells fixed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // two cells from baseline ids 0/1; ref cell mass {0: 3, 1: 1}
+    val baseline = Seq(
+      (0L, Array(1f, 0f), "b"), (1L, Array(0f, 1f), "b"),
+      (2L, Array(0.9f, 0.1f), "b"), (3L, Array(0.95f, 0.05f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val input = MemoryStream[(Long, Array[Float], String)](33, spark, None)
+    val got = scala.collection.mutable.Map.empty[(Long, String), Double]
+    val q = Similarity.embedDriftStream(
+      input.toDS().toDF("vec_id", "embedding", "label"), baseline,
+      nCentroids = 2) { (report, id) =>
+      report.collect().foreach(r => got((id, r.getString(0))) = r.getDouble(3))
+    }.start()
+    try {
+      input.addData(
+        // "same": cell mix {0: 3, 1: 1} — exactly the baseline mix
+        (10L, Array(1f, 0f), "same"), (11L, Array(0.9f, 0.1f), "same"),
+        (12L, Array(0.95f, 0.05f), "same"), (13L, Array(0f, 1f), "same"),
+        // "shift": all mass in cell 1 — a new dominant content cluster
+        (20L, Array(0f, 1f), "shift"), (21L, Array(0.1f, 0.9f), "shift"))
+      q.processAllAvailable()
+      assert(math.abs(got((0L, "same"))) < 1e-15,
+        s"identical mix drifted: $got")
+      assert(got((0L, "shift")) > 0.1, s"shifted mix not flagged: $got")
+      // a second trigger scores against the SAME pinned baseline
+      input.addData((30L, Array(1f, 0f), "same2"))
+      q.processAllAvailable()
+      assert(got.contains((1L, "same2")))
+      assert(got((1L, "same2")) > 0.0) // all mass in cell 0 vs 3:1 ref
+    } finally q.stop()
+  }
+
   test("embed drift: bounds hold, masses conserve, deterministic") {
     val out = Similarity.embedDrift(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
