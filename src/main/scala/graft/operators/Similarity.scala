@@ -1380,7 +1380,7 @@ object Similarity {
     * production queries use. Rows-only: the stub embedding geometry
     * is engine-specific. */
   def pipelineEmbedSearch(spark: SparkSession, sfDir: String,
-      dim: Int = 8, panelSize: Int = 256,
+      dim: Int = 8, panelSize: Int = 128,
       viaIndex: Option[Boolean] = None,
       indexDir: Option[String] = None,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
@@ -1403,14 +1403,19 @@ object Similarity {
       // the encode pass should run once, like the D6/D11 index-build
       // pins
       .localCheckpoint(true)
-    val panel = trainSample(embedded, panelSize)
+    // the panel COLLECTS (≤ panelSize rows): orderBy+limit+collect
+    // plans as TakeOrderedAndProject (bounded per-partition heaps, one
+    // driver merge) — a localCheckpoint of the same frame would
+    // materialize it as GlobalLimit∘Sort, a full corpus sort exchange
+    // (measured +1 s on this slot at sf0.1); the local relation then
+    // feeds the probe (and, on the ivf path, the probe collection)
+    // with zero re-execution
+    val panelLocal = trainSample(embedded, panelSize)
       .select($"vec_id".as("query_id"), $"embedding")
-      // tiny (≤ panelSize rows) but its lineage is a full sort-cut of
-      // the corpus — pin it so the count, the probe, and (ivf path)
-      // the probe collection don't re-run the cut
-      .localCheckpoint(true)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val panel = panelLocal.toDF("query_id", "embedding")
     val nChunks = embedded.count()
-    val nQueries = panel.count()
+    val nQueries = panelLocal.length.toLong
     val exactPairs = nChunks * nQueries
     val useIvf = viaIndex.getOrElse(exactPairs > BruteForceMaxPairs)
     val hits =

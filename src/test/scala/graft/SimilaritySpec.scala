@@ -492,7 +492,7 @@ class SimilaritySpec extends SparkSpec {
     // the auto-route must stay on the exact path and the panel must
     // be capped
     assert(r.getString(4) === "exact")
-    assert(nQueries <= 256)
+    assert(nQueries <= 128)
     // identical twin chunks (near-dup docs) can outrank self on id
     // ties; anything below this bound means the encode or key scheme
     // broke, not the corpus
@@ -508,7 +508,7 @@ class SimilaritySpec extends SparkSpec {
     val r = Similarity.pipelineEmbedSearch(spark, sf,
       viaIndex = Some(true)).collect().head
     assert(r.getString(4) === "ivf")
-    assert(r.getLong(1) <= 256)
+    assert(r.getLong(1) <= 128)
     assert(r.getDouble(3) >= 0.85, s"ivf self-hit rate ${r.getDouble(3)}")
   }
 
