@@ -109,6 +109,8 @@ object SparkEntry {
       Similarity.annFiltered(s, d)),
     "pipeline_embed_search" -> ((s: SparkSession, d: String) =>
       Similarity.pipelineEmbedSearch(s, d)),
+    "ann_index_health" -> ((s: SparkSession, d: String) =>
+      Similarity.annIndexHealthQuery(s, d)),
     // F: multimodal
     "mm_manifest" -> (Multimodal.mmManifest _),
     "mm_frame_sample" -> (Multimodal.mmFrameSample _),

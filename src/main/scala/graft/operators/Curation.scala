@@ -1922,10 +1922,68 @@ object Curation {
       .replace("__TGT__", targetSources.map(s => s"'$s'").mkString(", "))
       .replace("__B__", nBuckets.toString)
 
-  /** The shared CTE chain: portable token hashes (the E4 staged list
-    * pipeline), the bigram mod-2⁶⁴ chain reduced mod the power-of-two
-    * bucket count (HUGEINT product < 2¹²⁷ — in range), Laplace
-    * log-ratios, DECIMAL-quantized per-doc sums. */
+  // ------------------------------------------------------------- C39
+  /** STREAMING DSIR admission — C37's live twin, the ingest-time
+    * "does this look like the target domain?" gate (the shape C29's
+    * budget admission has, with DSIR's statistic): target/raw
+    * bucket models are computed ONCE at query start from a BASELINE
+    * corpus and pinned as a ≤ nBuckets driver map (the E18/D20
+    * pinned-baseline discipline — re-deriving models per trigger
+    * would move the statistic under the stream), then every arriving
+    * document scores ROW-LOCALLY — its feature array folds through a
+    * literal bucket→log-ratio map in one codegen'd expression, no
+    * per-trigger aggregation, no state. Features UNSEEN in the
+    * baseline score exactly 0: the smoothed models' own floor ratio
+    * ln((Tr+B)/(Tt+B)) is strictly positive whenever the raw corpus
+    * outweighs the target (always), so scoring novel mass by it would
+    * admit pure gibberish as "target-like" — an unseen feature is no
+    * evidence either way, and 0 is the only admission-safe value.
+    * Stateless ⇒ works identically on batch frames; the spec pins the
+    * stream score against a driver-side replay, the admission cut,
+    * and the novel-mass neutrality.
+    *
+    * NOTE the statistic is a SUM of per-feature log ratios — longer
+    * docs score farther from 0 in whichever direction they lean;
+    * `n_feats` rides along so a caller can threshold on the mean
+    * instead when length-invariance matters. */
+  def dsirAdmitStream(docs: DataFrame, baseline: DataFrame,
+      targetSources: Seq[String] = Seq("src0", "src1"),
+      nBuckets: Int = 4096, minLogw: Double = 0.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(nBuckets >= 2 && (nBuckets & (nBuckets - 1)) == 0,
+      "nBuckets must be a power of two")
+    // baseline models, once, lazily-at-planning (tiny: ≤ nBuckets)
+    val isTarget = col("source").isin(targetSources.map(x => x: Any): _*)
+    val counts = baseline
+      .select(isTarget.as("is_t"),
+        graft.functions.TextFunctions.bigramBuckets(
+          TextAnalysis.tokens("text"), nBuckets).as("bs"))
+      .select(col("is_t"), explode(col("bs")).as("b"))
+      .groupBy($"b")
+      .agg(count(lit(1)).as("rc"),
+        sum(when($"is_t", 1L).otherwise(0L)).as("tc"))
+      .collect()
+    val tr = counts.map(_.getLong(1)).sum
+    val tt = counts.map(_.getLong(2)).sum
+    def ratio(tc: Long, rc: Long): Double =
+      math.log((tc + 1).toDouble / (tt + nBuckets)) -
+        math.log((rc + 1).toDouble / (tr + nBuckets))
+    val lrMap = counts.map(r => r.getLong(0) -> ratio(r.getLong(2),
+      r.getLong(1))).toMap
+    val novelLr = 0.0 // unseen features are no evidence (see above)
+    docs
+      .withColumn("bs", graft.functions.TextFunctions.bigramBuckets(
+        TextAnalysis.tokens("text"), nBuckets))
+      .withColumn("__lr_map", typedLit(lrMap))
+      .withColumn("n_feats", size($"bs").cast("long"))
+      .withColumn("dsir_logw", expr(
+        // row-local fold: fixed array order ⇒ deterministic double sum
+        s"aggregate(bs, 0D, (s, b) -> s + " +
+          s"coalesce(element_at(__lr_map, b), ${novelLr}D))"))
+      .withColumn("admitted", $"dsir_logw" >= minLogw)
+      .drop("bs", "__lr_map")
+  }
   private val dsirScoredCtes: String =
     """t AS (
       |  SELECT doc_id, source IN (__TGT__) AS is_t,

@@ -1442,6 +1442,51 @@ object Similarity {
       .toDF("n_chunks", "n_queries", "self_hits", "self_hit_rate", "mode")
   }
 
+  // ---------------------------------------------------------------- D21
+  /** IVF INDEX HEALTH — the maintenance gauge behind "is it time to
+    * rebuild?": [[appendToIvfIndex]] assigns drifting batches with the
+    * ORIGINAL centroids (deliberately — moving cell boundaries under
+    * written partitions would corrupt prior assignments), so as the
+    * corpus drifts, cell populations skew and probe cost concentrates:
+    * a probe of a hot cell scans that cell's whole partition. One row
+    * per cell with population, live fraction (tombstones subtracted —
+    * deletions count toward rebuild pressure too), share, and a `hot`
+    * verdict (share · nCells > hotFactor, B41's skew rule applied to
+    * the index layout); the summary row criterion "any hot cell or
+    * dead fraction > maxDead" is the rebuild signal. Reads ONLY
+    * partition metadata + the vec_id column of each cell (columnar
+    * prune — payload vectors are never read). Rows-only: index
+    * internals. */
+  def annIndexHealth(spark: SparkSession, indexDir: String,
+      hotFactor: Double = 4.0): DataFrame = {
+    import spark.implicits._
+    require(hotFactor > 0)
+    val vecs = spark.read.parquet(s"$indexDir/vectors")
+      .select($"vec_id", $"cell")
+    val live = Tombstones.applyTo(vecs, spark, indexDir, "vec_id")
+    val perCell = vecs.groupBy($"cell").agg(count(lit(1)).as("n_rows"))
+      .join(live.groupBy($"cell").agg(count(lit(1)).as("n_live")),
+        Seq("cell"), "left")
+      .na.fill(0L, Seq("n_live"))
+    val nCells = spark.read.parquet(s"$indexDir/centroids").count()
+    val totals = perCell.agg(sum($"n_live").as("total_live"))
+    perCell.crossJoin(broadcast(totals))
+      .select($"cell", $"n_rows", $"n_live",
+        ($"n_rows" - $"n_live").as("n_dead"),
+        round($"n_live".cast("double") / $"total_live", 6).as("share"),
+        ($"n_live".cast("double") / $"total_live" * nCells > hotFactor)
+          .as("hot"))
+      .orderBy($"n_live".desc, $"cell")
+  }
+
+  /** D21 as a driver query: health of the per-corpus-version serving
+    * snapshot's float index (the same cached build ann_recall audits,
+    * so the report describes the index actually being served). */
+  def annIndexHealthQuery(spark: SparkSession, sfDir: String,
+      hotFactor: Double = 4.0): DataFrame =
+    annIndexHealth(spark, s"${cachedSnapshots(spark, sfDir)}/float",
+      hotFactor)
+
   // ---------------------------------------------------------------- D13
   /** Embedding CLUSTERING report — the corpus-cartography pass a
     * training pipeline runs before mixing (what topic mass is in

@@ -41,6 +41,45 @@ class CurationSpec extends SparkSpec {
     assert(score(docs.repartition(5)) === w)
   }
 
+  test("dsir admission stream: target-like admitted, off-target rejected, novel mass neutral") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val baseline = Seq(
+      (1L, "alpha beta alpha beta alpha beta", "tgt"),
+      (2L, "alpha beta alpha beta", "tgt"),
+      (3L, "gamma delta gamma delta gamma delta", "raw"),
+      (4L, "gamma delta gamma delta", "raw"))
+      .toDF("doc_id", "text", "source")
+    val probes = Seq(
+      (10L, "alpha beta alpha beta", "s"),   // target-like: > 0
+      (11L, "gamma delta gamma delta", "s"), // off-target: < 0
+      (12L, "zeta omega zeta omega", "s"),   // all-novel: exactly 0
+      (13L, "", "s"))                        // no features: exactly 0
+    val input = MemoryStream[(Long, String, String)](42, spark, None)
+    val q = Curation.dsirAdmitStream(
+      input.toDS().toDF("doc_id", "text", "source"), baseline,
+      targetSources = Seq("tgt"), nBuckets = 256)
+      .writeStream.format("memory").queryName("dsir_adm")
+      .outputMode("append").start()
+    try {
+      input.addData(probes: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("dsir_adm")
+      .select($"doc_id", $"dsir_logw", $"admitted").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(out(10L)._1 > 0 && out(10L)._2, s"target-like rejected: $out")
+    assert(out(11L)._1 < 0 && !out(11L)._2, s"off-target admitted: $out")
+    assert(out(12L)._1 === 0.0, s"novel mass not neutral: $out")
+    assert(out(13L)._1 === 0.0)
+    // stateless: the same transform over a batch frame is identical
+    val batchOut = Curation.dsirAdmitStream(
+      probes.toDF("doc_id", "text", "source"), baseline,
+      targetSources = Seq("tgt"), nBuckets = 256)
+      .select($"doc_id", $"dsir_logw", $"admitted").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(batchOut === out)
+  }
+
   test("dsir select: kept set is exactly the top fraction on the micro-key rank") {
     val n = Tables.documents(spark, sf).count()
     val kept = Curation.dsirSelect(spark, sf, num = 1, den = 5)

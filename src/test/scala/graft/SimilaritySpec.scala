@@ -523,6 +523,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("index health: hot cell flagged, tombstones counted dead, payload never read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-health").toString
+    // 60 vectors piled near (1,0), 4 near (0,1): with 2 cells the pile
+    // is a hot cell (share*2 > hotFactor=1.5) and the sparse cell cold
+    val vecs = ((0L until 60L).map(i =>
+      (i, Array(1f, (i % 7).toFloat / 100f))) ++
+      (100L until 104L).map(i => (i, Array(0.01f, 1f))))
+      .toDF("vec_id", "embedding")
+    Similarity.writeIvfIndexOf(vecs, dir, nCells = 2)
+    val h0 = Similarity.annIndexHealth(spark, dir, hotFactor = 1.5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(h0.length === 2)
+    assert(h0.head._1 === 60L && h0.head._5, s"hot cell not flagged: ${h0.toSeq}")
+    assert(!h0.last._5)
+    assert(h0.forall(_._3 === 0L)) // no deletions yet
+    assert(math.abs(h0.map(_._4).sum - 1.0) < 1e-9)
+    // tombstone 10 of the hot cell's ids: dead count rises, live share
+    // rebalances, rows stay physical until compaction
+    Similarity.deleteFromIvfIndex(
+      (0L until 10L).toDF("vec_id"), "vec_id", dir, "d1")
+    val h1 = Similarity.annIndexHealth(spark, dir, hotFactor = 1.5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(h1.head === ((60L, 50L, 10L)), s"dead not counted: ${h1.toSeq}")
+  }
+
   test("embed drift stream: identical mix scores zero, shifted mix flagged, baseline cells fixed") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // two cells from baseline ids 0/1; ref cell mass {0: 3, 1: 1}
