@@ -166,6 +166,8 @@ object SparkEntry {
     "q_returned_customers" -> ((s: SparkSession, d: String) =>
       Relational.qReturnedCustomers(s, d)),
     "q_nation_trade" -> (Relational.qNationTrade _),
+    "q_value_tiers" -> ((s: SparkSession, d: String) =>
+      Relational.qValueTiers(s, d)),
     "q_retention_cohorts" -> (Relational.qRetentionCohorts _),
     "mon_status_flaps" -> ((s: SparkSession, d: String) =>
       Monitoring.statusFlaps(s, d)),
@@ -332,6 +334,7 @@ object SparkEntry {
     "mon_cross_corr_anomalies" -> Monitoring.crossCorrAnomaliesSql(),
     "q_returned_customers" -> Relational.qReturnedCustomersSql,
     "q_nation_trade" -> Relational.qNationTradeSql,
+    "q_value_tiers" -> Relational.qValueTiersSql(),
     "mon_gap_fill" -> Monitoring.gapFillSql(),
     "mon_gap_fill_linear" -> Monitoring.gapFillSql(linear = true),
     "mon_fleet_health" -> Monitoring.fleetHealthSql(),

@@ -1529,6 +1529,72 @@ object Relational {
       .orderBy($"supp_nation", $"cust_nation", $"l_year")
   }
 
+  // ---------------------------------------------------------------- B44
+  /** VALUE TIERS — NTILE / PERCENT_RANK / CUME_DIST per market
+    * segment, the customer-worth decile report. The SCALE point: all
+    * three are rank-derived, and a naive `NTILE(10) OVER (PARTITION BY
+    * segment ORDER BY …)` sorts each segment in ONE task — a 100 TB
+    * segment is a straggler by construction. Here the rank comes from
+    * the C18 stratifiedPrefixSum machinery (parallel bucketed rank per
+    * segment) and NTILE's exact remainder semantics are re-derived in
+    * closed form from (rank, n, tiles): q = n div t, r = n mod t, the
+    * first r tiles take q+1 rows — integer arithmetic identical in
+    * both engines, and the ORACLE runs DuckDB's NATIVE NTILE /
+    * PERCENT_RANK / CUME_DIST to prove the closed form matches the
+    * standard semantics exactly. Balances quantize to integer cents
+    * for the rank key (2-decimal data → no ties beyond the unique-id
+    * tiebreak, both engines rank identically). */
+  def qValueTiers(spark: SparkSession, sfDir: String, tiles: Int = 10,
+      buckets: Int = 1024): DataFrame = {
+    import spark.implicits._
+    require(tiles >= 1)
+    val c = Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal",
+        round($"c_acctbal" * 100, 0).cast("long").as("q2"))
+    val r = c.agg(max($"q2"), min($"q2"),
+      min($"c_custkey"), max($"c_custkey")).head()
+    if (r.isNullAt(0))
+      return c.select($"c_custkey", $"c_mktsegment", $"c_acctbal",
+        lit(0L).as("rank"), lit(0L).as("tier"),
+        lit(0.0).as("pct_rank"), lit(0.0).as("cume")).limit(0)
+    require(r.getLong(0) - r.getLong(1) < (1L << 22) &&
+      r.getLong(2) >= 0 && r.getLong(3) < (1L << 40),
+      "qValueTiers key packing needs cent span < 2^22, keys in [0, 2^40)")
+    val maxQ = r.getLong(0)
+    val keyed = c
+      .withColumn("__ord", (lit(maxQ) - $"q2") * lit(1L << 40) + $"c_custkey")
+      .withColumn("__one", lit(1L))
+    val totals = c.groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+    Scale.stratifiedPrefixSum(keyed, "c_mktsegment", "__ord", "__one",
+        "rank", buckets)
+      .join(broadcast(totals), "c_mktsegment")
+      .withColumn("__q", expr(s"n div $tiles"))
+      .withColumn("__r", $"n" % tiles)
+      .withColumn("__b", $"__r" * ($"__q" + 1L))
+      .withColumn("tier",
+        when($"rank" <= $"__b", expr("(rank - 1) div (__q + 1) + 1"))
+          .otherwise(expr("__r + (rank - __b - 1) div __q + 1")))
+      .withColumn("pct_rank",
+        when($"n" > 1L,
+          round(($"rank" - 1L).cast("double") / ($"n" - 1L), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("cume", round($"rank".cast("double") / $"n", 6))
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal",
+        $"rank", $"tier", $"pct_rank", $"cume")
+      .orderBy($"c_mktsegment", $"rank")
+  }
+
+  def qValueTiersSql(tiles: Int = 10): String =
+    s"""SELECT c_custkey, c_mktsegment, c_acctbal,
+       |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank,
+       |  CAST(NTILE($tiles) OVER w AS BIGINT) AS tier,
+       |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       |  ROUND(CUME_DIST() OVER w, 6) AS cume
+       |FROM customer
+       |WINDOW w AS (PARTITION BY c_mktsegment
+       |  ORDER BY CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) DESC, c_custkey)
+       |ORDER BY c_mktsegment, rank""".stripMargin
+
   val qNationTradeSql: String =
     """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
       |  CAST(year(l_shipdate) AS INT) AS l_year,

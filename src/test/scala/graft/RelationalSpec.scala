@@ -309,6 +309,32 @@ class RelationalSpec extends SparkSpec {
     assert(out.sameElements(out.sortBy(t => (t._1, t._2, t._3))))
   }
 
+  test("value tiers: parallel closed-form NTILE equals Spark's native window") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Relational.qValueTiers(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6))).toMap
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy(round($"c_acctbal" * 100, 0).cast("long").desc, $"c_custkey")
+    val want = Tables.customer(spark, sf)
+      .select($"c_custkey",
+        row_number().over(w).cast("long").as("rank"),
+        ntile(10).over(w).cast("long").as("tier"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(got === want, "closed-form tiering diverged from native ntile")
+    // tier sizes: first (n mod 10) tiles carry one extra row
+    val bySeg = Relational.qValueTiers(spark, sf).collect()
+      .groupBy(_.getString(1))
+    bySeg.foreach { case (_, rows) =>
+      val sizes = rows.groupBy(_.getLong(4)).view.mapValues(_.length)
+      assert(sizes.values.max - sizes.values.min <= 1)
+    }
+  }
+
   test("skew report: planted hot key flagged, shares ordered, uniform keys cold") {
     val out = Relational.qSkewReport(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getBoolean(4)))
