@@ -168,6 +168,8 @@ object SparkEntry {
     "q_nation_trade" -> (Relational.qNationTrade _),
     "q_value_tiers" -> ((s: SparkSession, d: String) =>
       Relational.qValueTiers(s, d)),
+    "text_lm_score_bigram" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.textLmScoreBigram(s, d)),
     "q_retention_cohorts" -> (Relational.qRetentionCohorts _),
     "mon_status_flaps" -> ((s: SparkSession, d: String) =>
       Monitoring.statusFlaps(s, d)),
@@ -335,6 +337,7 @@ object SparkEntry {
     "q_returned_customers" -> Relational.qReturnedCustomersSql,
     "q_nation_trade" -> Relational.qNationTradeSql,
     "q_value_tiers" -> Relational.qValueTiersSql(),
+    "text_lm_score_bigram" -> TextAnalysis.textLmScoreBigramSql(),
     "mon_gap_fill" -> Monitoring.gapFillSql(),
     "mon_gap_fill_linear" -> Monitoring.gapFillSql(linear = true),
     "mon_fleet_health" -> Monitoring.fleetHealthSql(),

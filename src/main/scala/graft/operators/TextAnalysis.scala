@@ -584,6 +584,113 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  // --------------------------------------------------------------- E20
+  /** BIGRAM language-model score per document — E11's unigram signal
+    * upgraded to the Jelinek-Mercer interpolated bigram model quality
+    * pipelines actually run (word-salad documents pass a unigram LM —
+    * every word is common — but fail the bigram one; that separation
+    * is the point of the upgrade): per bigram position,
+    * p = λ·(c₂(w₁w₂)/c₁(w₁)) + (1−λ)·(c₁(w₂)+1)/(T+V), doc score =
+    * mean ln p over its bigram positions. Same inverted-index shape as
+    * E11 with ONE extra postings family: token and bigram counts both
+    * come out of one corpus scan ROW-LOCALLY (TokenCounts on the token
+    * array and on the zipped bigram-string array), the scan is pinned,
+    * and the only exchanges are the two count aggregations plus the
+    * prefix/unigram joins (bounded by bigram vocab, never by pairs).
+    * Docs with < 2 tokens carry NULL — no bigram evidence is not the
+    * smoothed floor (E11's convention covers them on the unigram
+    * axis).
+    *
+    * Oracle discipline: counts are exact integers, the interpolation
+    * is one identical IEEE tree (exact-int-to-double divisions, the
+    * 0.7/0.3 literals, one ln — correctly rounded in both engines),
+    * per-bigram logp quantizes to DECIMAL(28,12) before the order-free
+    * per-doc sum (the E11 proof applies verbatim). */
+  def textLmScoreBigram(spark: SparkSession, sfDir: String,
+      lambda: Double = 0.7): DataFrame =
+    textLmScoreBigramOf(Tables.documents(spark, sfDir), lambda)
+
+  /** E20 over an arbitrary docs frame (spec entry — plant a scrambled
+    * twin of a fluent doc: same unigram bag, collapsed bigram score). */
+  def textLmScoreBigramOf(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(lambda > 0 && lambda < 1, s"lambda $lambda out of (0, 1)")
+    val base = docs.withColumn("toks", tokens())
+      .select($"doc_id",
+        TextFunctions.tokenCounts($"toks").as("tc"),
+        TextFunctions.tokenCounts(expr(
+          """zip_with(slice(toks, 1, size(toks) - 1),
+            |  slice(toks, 2, size(toks) - 1),
+            |  (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bc"))
+      .localCheckpoint(true)
+    val tfd = base.select($"doc_id", explode($"tc").as(Seq("term", "tfd")))
+    val bfd = base.select($"doc_id", explode($"bc").as(Seq("bterm", "bfd")))
+    val tf = tfd.groupBy($"term").agg(sum($"tfd").as("tf"))
+      // read three times (totals, prefix join, unigram join)
+      .localCheckpoint(true)
+    val bf = bfd.groupBy($"bterm").agg(sum($"bfd").as("c2"))
+    val totals = tf.agg(sum($"tf").as("corpus_tokens"),
+      count(lit(1)).as("vocab"))
+    val lm = bf
+      .withColumn("w1", split($"bterm", " ").getItem(0))
+      .withColumn("w2", split($"bterm", " ").getItem(1))
+      .join(tf.select($"term".as("w1"), $"tf".as("c1w1")), "w1")
+      .join(tf.select($"term".as("w2"), $"tf".as("c1w2")), "w2")
+      .crossJoin(broadcast(totals))
+      .select($"bterm",
+        // (1 − λ) computed IN double on both engines — a driver-side
+        // 1.0-0.7 prints as 0.30000000000000004, whose 17-digit
+        // decimal literal need not round-trip through DuckDB DECIMAL
+        log(lit(lambda) * ($"c2".cast("double") / $"c1w1".cast("double")) +
+          (lit(1.0) - lit(lambda)) *
+            (($"c1w2" + 1.0) / ($"corpus_tokens" + $"vocab")))
+          .cast("decimal(28,12)").as("logp"))
+    val scored = bfd.join(lm, Seq("bterm"))
+      .groupBy($"doc_id")
+      .agg(sum($"bfd").as("n_bigrams"),
+        sum($"bfd".cast("decimal(8,0)") * $"logp").as("slp"))
+    docs.select($"doc_id").join(scored, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        round($"slp".cast("double") / $"n_bigrams", 6).as("lm2_score"))
+      .orderBy($"doc_id")
+  }
+
+  def textLmScoreBigramSql(lambda: Double = 0.7): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents),
+       |postings AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       |bpost AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |    i -> concat(toks[i], ' ', toks[i + 1]))) AS bterm
+       |  FROM t WHERE len(toks) >= 2),
+       |tf AS (SELECT term, count(*) AS tf FROM postings GROUP BY term),
+       |bf AS (SELECT bterm, count(*) AS c2 FROM bpost GROUP BY bterm),
+       |totals AS (
+       |  SELECT CAST(sum(tf) AS BIGINT) AS corpus_tokens, count(*) AS vocab
+       |  FROM tf),
+       |lm AS (
+       |  SELECT bterm,
+       |    CAST(ln(CAST($lambda AS DOUBLE)
+       |        * (CAST(c2 AS DOUBLE) / CAST(t1.tf AS DOUBLE)) +
+       |      (CAST(1.0 AS DOUBLE) - CAST($lambda AS DOUBLE))
+       |        * ((t2.tf + 1.0) / (corpus_tokens + vocab)))
+       |      AS DECIMAL(28,12)) AS logp
+       |  FROM bf
+       |  JOIN tf t1 ON t1.term = string_split(bterm, ' ')[1]
+       |  JOIN tf t2 ON t2.term = string_split(bterm, ' ')[2]
+       |  CROSS JOIN totals),
+       |scored AS (
+       |  SELECT doc_id, count(*) AS n_bigrams, sum(logp) AS slp
+       |  FROM bpost JOIN lm USING (bterm) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       |  ROUND(CAST(s.slp AS DOUBLE) / s.n_bigrams, 6) AS lm2_score
+       |FROM documents d LEFT JOIN scored s USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   val textLmScoreSql: String =
     """WITH postings AS (
       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term

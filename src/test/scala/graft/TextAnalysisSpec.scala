@@ -310,6 +310,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(acc > 1.0 / langs, s"accuracy $acc no better than chance")
   }
 
+  test("bigram lm: word salad collapses, unigram can't tell — the upgrade's point") {
+    val fluent = "the cat sat on the mat and the dog sat on the rug"
+    // same BAG of words, scrambled order: every unigram count identical
+    val salad = "sat the rug dog mat the on cat and on sat the the"
+    val docs = (Seq(
+      (1L, fluent), (2L, salad)) ++
+      // corpus mass: more fluent text so bigram statistics favor it
+      (10L to 14L).map(i => (i, fluent)))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.textLmScoreBigramOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 === 12L) // 13 tokens -> 12 bigram positions
+    assert(out(1L)._2 > out(2L)._2,
+      s"scrambled doc did not score lower: $out")
+    // <2-token docs carry NULL, not a fabricated floor
+    val tiny = TextAnalysis.textLmScoreBigramOf(
+      (docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq :+
+        (99L, "solo")).toDF("doc_id", "text")).collect()
+      .filter(_.getLong(0) == 99L).head
+    assert(tiny.getLong(1) === 0L && tiny.isNullAt(2))
+  }
+
   test("drift stream: per-batch JSD vs static baseline, novel vocab exact, identical slice at zero") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val ln2 = math.log(2.0)
