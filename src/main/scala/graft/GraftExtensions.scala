@@ -59,6 +59,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => TextFunctions.LangIdGuess(args(0))))
     e.injectFunction(fn("interleave_bits",
       args => graft.functions.LayoutFunctions.InterleaveBits(args(0), args(1))))
+    e.injectFunction(fn("token_counts",
+      args => TextFunctions.TokenCounts(args(0))))
+    e.injectFunction(fn("deflate_ratio",
+      args => TextFunctions.DeflateRatio(args(0))))
+    e.injectFunction(fn("bigram_buckets",
+      args => TextFunctions.BigramBuckets(args(0),
+        args(1).eval().asInstanceOf[Int])))
+    e.injectFunction(fn("quantize8",
+      args => VectorFunctions.Quantize8(args(0))))
+    e.injectFunction(fn("int8_cosine_sim",
+      args => VectorFunctions.Int8CosineSim(args(0), args(1))))
     // aggregate: approx_top_k(col, k[, slack]) — literal ints
     e.injectFunction(fn("approx_top_k",
       args => (if (args.length > 2)

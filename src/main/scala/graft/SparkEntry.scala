@@ -170,6 +170,8 @@ object SparkEntry {
       Relational.qValueTiers(s, d)),
     "text_lm_score_bigram" -> ((s: SparkSession, d: String) =>
       TextAnalysis.textLmScoreBigram(s, d)),
+    "mon_downtime_sla" -> ((s: SparkSession, d: String) =>
+      Monitoring.downtimeSla(s, d)),
     "q_retention_cohorts" -> (Relational.qRetentionCohorts _),
     "mon_status_flaps" -> ((s: SparkSession, d: String) =>
       Monitoring.statusFlaps(s, d)),
@@ -338,6 +340,7 @@ object SparkEntry {
     "q_nation_trade" -> Relational.qNationTradeSql,
     "q_value_tiers" -> Relational.qValueTiersSql(),
     "text_lm_score_bigram" -> TextAnalysis.textLmScoreBigramSql(),
+    "mon_downtime_sla" -> Monitoring.downtimeSlaSql(),
     "mon_gap_fill" -> Monitoring.gapFillSql(),
     "mon_gap_fill_linear" -> Monitoring.gapFillSql(linear = true),
     "mon_fleet_health" -> Monitoring.fleetHealthSql(),

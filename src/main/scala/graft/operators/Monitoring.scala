@@ -611,6 +611,74 @@ object Monitoring {
       .orderBy($"user_id", $"gap_start_us", $"next_event_id")
   }
 
+  // ---------------------------------------------------------------- A57
+  /** DOWNTIME / SLA calendar — A40's gap list rolled into the
+    * per-device-day availability report an operations review actually
+    * reads ("which devices broke their SLA, on which days, by how
+    * much"): each closed silence gap is SPLIT across the day
+    * boundaries it spans (explode the covered day range, credit each
+    * day its exact overlap — the C33/B33 contribution-explode shape,
+    * never a per-day rescan), then per (device, day) total downtime,
+    * uptime ratio, and the SLA-breach verdict. Only days with
+    * downtime appear (a zero-downtime day is the default, not a row);
+    * the open-ended tail after a device's last event is A42's
+    * business, by the same reasoning as A40. Fan-out is bounded by
+    * gap-days, not corpus rows; the one exchange is the A40 lag
+    * window this composes. */
+  def downtimeSla(spark: SparkSession, sfDir: String,
+      maxGapUs: Long = 43200000000L, slaTarget: Double = 0.95): DataFrame = {
+    import spark.implicits._
+    require(slaTarget > 0 && slaTarget < 1,
+      s"slaTarget $slaTarget out of (0, 1)")
+    val dayUs = 86400000000L
+    heartbeatGaps(spark, sfDir, maxGapUs)
+      .select($"user_id", $"gap_start_us".as("s"), $"gap_end_us".as("e"))
+      .withColumn("day", explode(sequence(
+        expr(s"s div $dayUs"), expr(s"e div $dayUs"))))
+      .withColumn("ov",
+        least($"e", ($"day" + 1L) * dayUs) - greatest($"s", $"day" * dayUs))
+      .filter($"ov" > 0L)
+      .groupBy($"user_id", $"day")
+      .agg(sum($"ov").as("downtime_us"), count(lit(1)).as("n_gap_spans"))
+      .select($"user_id", ($"day" * dayUs).as("day_us"),
+        $"downtime_us", $"n_gap_spans",
+        round(lit(1.0) - $"downtime_us".cast("double") / 86400000000.0, 6)
+          .as("uptime_ratio"),
+        ((lit(1.0) - $"downtime_us".cast("double") / 86400000000.0)
+          < slaTarget).as("sla_breach"))
+      .orderBy($"user_id", $"day_us")
+  }
+
+  def downtimeSlaSql(maxGapUs: Long = 43200000000L,
+      slaTarget: Double = 0.95): String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+       |g AS (
+       |  SELECT user_id, lag(us) OVER w AS prev_us, us
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |gaps AS (
+       |  SELECT user_id, prev_us AS s, us AS e2 FROM g
+       |  WHERE prev_us IS NOT NULL AND us - prev_us > $maxGapUs),
+       |d AS (
+       |  SELECT user_id, s, e2,
+       |    unnest(generate_series(s // 86400000000, e2 // 86400000000)) AS day
+       |  FROM gaps),
+       |o AS (
+       |  SELECT user_id, day,
+       |    least(e2, (day + 1) * 86400000000) -
+       |      greatest(s, day * 86400000000) AS ov
+       |  FROM d),
+       |agg AS (
+       |  SELECT user_id, day, CAST(SUM(ov) AS BIGINT) AS downtime_us,
+       |    COUNT(*) AS n_gap_spans
+       |  FROM o WHERE ov > 0 GROUP BY 1, 2)
+       |SELECT user_id, day * 86400000000 AS day_us, downtime_us, n_gap_spans,
+       |  ROUND(1.0 - CAST(downtime_us AS DOUBLE) / 86400000000.0, 6)
+       |    AS uptime_ratio,
+       |  (1.0 - CAST(downtime_us AS DOUBLE) / 86400000000.0) < $slaTarget
+       |    AS sla_breach
+       |FROM agg ORDER BY user_id, day_us""".stripMargin
+
   // ---------------------------------------------------------------- A42
   /** FLEET-ABSENCE report: registered devices that have NOT reported
     * within the trailing `recentUs` window (default 24 h) of the

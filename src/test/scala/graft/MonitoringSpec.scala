@@ -491,6 +491,30 @@ class MonitoringSpec extends SparkSpec {
     assert(out((1L, 2L))._2 > 0.999, s"corr ${out((1L, 2L))._2}")
   }
 
+  test("downtime sla: day fragments conserve gap mass, verdicts consistent") {
+    val dayUs = 86400000000L
+    val totalGapUs = Monitoring.heartbeatGaps(spark, sf).collect()
+      .map(_.getLong(3)).sum
+    val out = Monitoring.downtimeSla(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(out.nonEmpty, "corpus produced no downtime days — vacuous")
+    // splitting across days must conserve total silence exactly
+    assert(out.map(_._3).sum === totalGapUs, "day split lost gap mass")
+    out.foreach { case (_, dayStart, dt, spans, ratio, breach) =>
+      assert(dayStart % dayUs === 0L)
+      assert(dt > 0L && dt <= dayUs)
+      assert(spans >= 1L)
+      val raw = 1.0 - dt.toDouble / 8.64e10
+      assert(ratio === math.rint(raw * 1e6) / 1e6 || math.abs(ratio - raw) < 1e-6)
+      assert(breach === (raw < 0.95))
+    }
+    // at least one gap straddles midnight at this SF: some device-day
+    // pair must carry a fragment smaller than its source gap
+    val k = out.map(t => (t._1, t._2)).toSet
+    assert(k.size === out.length, "duplicate (device, day) rows")
+  }
+
   test("error pareto: cumulative share monotone to the fleet total, ranks dense") {
     val out = Monitoring.errorPareto(spark, sf, topK = 1000).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),

@@ -283,5 +283,21 @@ class ScaleSpec extends SparkSpec {
         |  SELECT inline(approx_top_k(lang, 3)) AS (word, est)
         |  FROM docs) t ORDER BY est DESC, word""".stripMargin)
     assert(hh.count() === 3)
+    // round-9 registrations: row-local counts, compression ratio,
+    // DSIR features, int8 serving kernels
+    val tc = spark.sql(
+      "SELECT token_counts(array('a','b','a'))['a']").head().getLong(0)
+    assert(tc === 2L)
+    val dr = spark.sql("SELECT deflate_ratio(repeat('ab', 500))")
+      .head().getDouble(0)
+    assert(dr > 0.0 && dr < 0.2, s"repetitive text should compress: $dr")
+    // 3 tokens -> 2 bigram features, buckets inside [0, 64)
+    val bb = spark.sql("SELECT bigram_buckets(array('a','b','c'), 64)")
+      .head().getSeq[Long](0)
+    assert(bb.length === 2 && bb.forall(b => b >= 0 && b < 64))
+    val iq = spark.sql(
+      """SELECT int8_cosine_sim(quantize8(embedding), quantize8(embedding))
+        |FROM emb LIMIT 3""".stripMargin).collect()
+    iq.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 0.05))
   }
 }
