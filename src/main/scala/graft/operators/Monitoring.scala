@@ -611,6 +611,47 @@ object Monitoring {
       .orderBy($"user_id", $"gap_start_us", $"next_event_id")
   }
 
+  // ---------------------------------------------------------------- A58
+  /** INCIDENT BLAST-RADIUS groups — the step after A45b answers "did
+    * these two degrade together": cluster the correlated-anomaly PAIRS
+    * into connected components, giving the operator the actual
+    * common-cause groups (a shared switch takes out a component, not a
+    * pair; remediation is per-group). Edges = A45b pairs with
+    * |corr| ≥ `corrThreshold` (anti-correlation is common-cause signal
+    * too — a failing-over pair moves opposite); components via
+    * [[Scale.connectedComponents]] (edge count bounded by panel², so
+    * the driver union-find fast path always applies); per group the
+    * size and the sorted member list. Rows-only: component labeling is
+    * engine-internal; the spec plants two disjoint common-cause groups
+    * and pins exact recovery. */
+  def incidentGroups(spark: SparkSession, sfDir: String,
+      corrThreshold: Double = 0.8, k: Double = 2.0,
+      target: Double = 50.0, slack: Double = 2.5, h: Double = 200.0,
+      maxPanel: Int = 24, minBuckets: Long = 24): DataFrame =
+    incidentGroupsOf(Tables.events(spark, sfDir), corrThreshold,
+      k, target, slack, h, maxPanel, minBuckets)
+
+  /** A58 over an arbitrary events frame (spec entry). */
+  def incidentGroupsOf(events: DataFrame, corrThreshold: Double = 0.8,
+      k: Double = 2.0, target: Double = 50.0, slack: Double = 2.5,
+      h: Double = 200.0, maxPanel: Int = 24,
+      minBuckets: Long = 24): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(corrThreshold > 0 && corrThreshold <= 1,
+      s"corrThreshold $corrThreshold out of (0, 1]")
+    val pairs = crossCorrAnomaliesOf(events, k, target, slack, h,
+        maxPanel, minBuckets)
+      .filter(abs($"corr_hv") >= corrThreshold)
+      .select($"device_a".as("id1"), $"device_b".as("id2"))
+    Scale.connectedComponents(pairs)
+      .groupBy($"comp")
+      .agg(count(lit(1)).as("n_devices"),
+        sort_array(collect_list($"id")).as("devices"))
+      .select($"comp".as("group_id"), $"n_devices", $"devices")
+      .orderBy($"group_id")
+  }
+
   // ---------------------------------------------------------------- A57
   /** DOWNTIME / SLA calendar — A40's gap list rolled into the
     * per-device-day availability report an operations review actually

@@ -491,6 +491,34 @@ class MonitoringSpec extends SparkSpec {
     assert(out((1L, 2L))._2 > 0.999, s"corr ${out((1L, 2L))._2}")
   }
 
+  test("incident groups: two planted common-cause clusters recovered exactly") {
+    val bucketUs = 21600000000L
+    var eid = 0L
+    def ev(u: Long, b: Long, v: Double) = {
+      eid += 1
+      (u, eid, new java.sql.Timestamp((b * bucketUs) / 1000), "purchase", v)
+    }
+    // group A {1,2}: shared spike at bucket 15; group B {5,6}: shared
+    // spike at bucket 8 — both anomalous (z + CUSUM), within-group
+    // corr ~1, cross-group corr low (misaligned spikes)
+    val baseA = (0 until 30).map(b => if (b == 15) 500.0 else 10.0 + (b % 5))
+    val baseB = (0 until 30).map(b => if (b == 8) 480.0 else 12.0 + (b % 3))
+    val quiet = (0L until 30L).flatMap { b =>
+      Seq(ev(1L, b, baseA(b.toInt)), ev(2L, b, 2.0 * baseA(b.toInt) + 1.0),
+        ev(5L, b, baseB(b.toInt)), ev(6L, b, 1.5 * baseB(b.toInt) + 2.0))
+    }
+    val loud = (0L until 30L).flatMap { b =>
+      (10L until 18L).flatMap(u => (0 until 20).map(_ => ev(u, b, 50.0)))
+    }
+    val events = (quiet ++ loud)
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val groups = Monitoring.incidentGroupsOf(events, corrThreshold = 0.8,
+      maxPanel = 8, minBuckets = 24).collect()
+      .map(r => r.getSeq[Long](2).toSet)
+    assert(groups.toSet === Set(Set(1L, 2L), Set(5L, 6L)),
+      s"groups: ${groups.toSeq}")
+  }
+
   test("downtime sla: day fragments conserve gap mass, verdicts consistent") {
     val dayUs = 86400000000L
     val totalGapUs = Monitoring.heartbeatGaps(spark, sf).collect()
