@@ -120,4 +120,120 @@ object ContinuousRollup {
       .select(col("user_id"), col("window_us"), col("stat_sum"),
         col("stat_avg"), col("stat_min"), col("stat_max"),
         col("sample_count"))
+
+  /** CONTINUOUS HISTOGRAM rollup — the tail-percentile half (A53's
+    * p50/p95/p99) maintained incrementally. Exact percentiles are not
+    * mergeable, so no upsert of a percentile column can be right;
+    * the honest continuously-maintainable statistic is the fixed-
+    * bucket HISTOGRAM (A16's shape), kept here as (device, window,
+    * bucket) COUNT rows — plain integer aggregates, trivially
+    * last-writer-wins convergent, bit-exact against a batch recount
+    * (spec-pinned) — with percentiles DERIVED at read time by
+    * interpolating within the cumulative bucket walk. That is the
+    * B20/A53 trade stated as a table: sub-bucket-width percentile
+    * error, any quantile on demand, no re-aggregation per poll. */
+  def histUpdates(events: DataFrame, nBins: Int = 20, lo: Double = 0.0,
+      hi: Double = 600.0, watermark: String = "10 minutes"): DataFrame = {
+    require(nBins >= 1 && hi > lo, "need nBins >= 1 and hi > lo")
+    val width = (hi - lo) / nBins
+    StreamingAggs.withWatermarkIfAbsent(
+        events.filter(col("value").isNotNull), "ts", watermark)
+      // "vbucket": the VALUE bucket — "bucket" is reserved by the
+      // upsert sink for its hash-partition column
+      .withColumn("vbucket",
+        least(greatest(floor((col("value") - lo) / width), lit(0.0)),
+          lit((nBins - 1).toDouble)).cast("int"))
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"), col("vbucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"),
+        expr("unix_micros(window.start)").as("window_us"),
+        col("vbucket"), col("cnt"))
+      .withColumn("rollup_key",
+        concat_ws(":", col("user_id"), col("window_us"), col("vbucket")))
+  }
+
+  def startHist(events: DataFrame, dir: String, checkpointDir: String,
+      nBins: Int = 20, lo: Double = 0.0, hi: Double = 600.0,
+      nBuckets: Int = 64, watermark: String = "10 minutes"): StreamingQuery =
+    histUpdates(events, nBins, lo, hi, watermark).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        UpsertSink.applyBatch(batch.withColumn("__ver", lit(batchId)),
+          batchId, dir, "rollup_key", "__ver", nBuckets)
+      }
+      .start()
+
+  def histSnapshot(spark: SparkSession, dir: String): DataFrame =
+    UpsertSink.snapshot(spark, dir)
+      .select(col("user_id"), col("window_us"), col("vbucket"), col("cnt"))
+
+  /** Percentiles ON DEMAND from the maintained histogram: for each
+    * (device, window) walk the cumulative bucket counts and linearly
+    * interpolate inside the bucket that crosses q·n — within ~a bucket
+    * width of the exact sample quantile (uniform-within-bucket is one
+    * width; the q·n vs q·(n−1) index conventions can shift the
+    * crossing one sample into an adjacent bucket — two widths is the
+    * spec-pinned bound). Any quantile, any time, from the same
+    * table. */
+  def histPercentile(spark: SparkSession, dir: String, q: Double,
+      nBins: Int = 20, lo: Double = 0.0, hi: Double = 600.0): DataFrame = {
+    import spark.implicits._
+    require(q >= 0 && q <= 1, s"quantile $q out of [0, 1]")
+    val width = (hi - lo) / nBins
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id", $"window_us").orderBy($"vbucket")
+    histSnapshot(spark, dir)
+      .withColumn("cum", sum($"cnt").over(w))
+      .withColumn("n", sum($"cnt").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id", $"window_us")))
+      // the first bucket whose cumulative count reaches q·n holds the
+      // quantile; interpolate by the fraction of that bucket consumed
+      .filter($"cum" >= lit(q) * $"n" &&
+        ($"cum" - $"cnt") < lit(q) * $"n")
+      .select($"user_id", $"window_us",
+        round(lit(lo) + ($"vbucket" +
+          ((lit(q) * $"n" - ($"cum" - $"cnt")) / $"cnt")) * width, 6)
+          .as(s"p_est"))
+      .orderBy($"user_id", $"window_us")
+  }
+
+  /** BACKFILL / repair — the lambda-loop closer: data later than the
+    * watermark never reaches the streaming aggregate, so a scheduled
+    * batch pass recomputes the affected window range FROM HISTORY and
+    * upserts the corrected rows over the snapshot (A47's idempotent
+    * apply — re-running a repair converges; give each repair run its
+    * own `repairId` outside the stream's epoch space, negative by
+    * convention, so the marker fence never collides with live
+    * triggers). Only windows intersecting [fromUs, toUs) are touched —
+    * the history scan prunes on the same bound. */
+  def backfillSums(spark: SparkSession, sfDir: String, dir: String,
+      fromUs: Long, toUs: Long, repairId: Long,
+      nBuckets: Int = 64): Unit = {
+    import spark.implicits._
+    require(repairId < 0, "use a negative repairId — the stream owns >= 0")
+    require(fromUs < toUs, s"empty repair range [$fromUs, $toUs)")
+    // EXPAND to whole windows: recounting a partially-covered window
+    // would overwrite a correct total with a partial one — the repair
+    // unit is the window, never the event range
+    val winUs = 60000000L
+    val f = fromUs - java.lang.Math.floorMod(fromUs, winUs)
+    val t0 = java.lang.Math.floorMod(toUs, winUs)
+    val t = if (t0 == 0) toUs else toUs + (winUs - t0)
+    val batch = graft.Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .withColumn("us", expr("unix_micros(ts)"))
+      .filter($"us" >= f && $"us" < t)
+      .groupBy($"user_id", expr("unix_micros(date_trunc('minute', ts))")
+        .as("window_us"))
+      .agg(sum($"value".cast("decimal(18,4)")).cast("double")
+          .as("metric_sum"),
+        count(lit(1)).as("sample_count"))
+      .withColumn("rollup_key",
+        concat_ws(":", col("user_id"), col("window_us")))
+      .withColumn("__ver", lit(Long.MaxValue)) // a repair is authoritative
+    UpsertSink.applyBatch(batch, repairId, dir, "rollup_key", "__ver",
+      nBuckets)
+  }
 }

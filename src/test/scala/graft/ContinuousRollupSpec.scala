@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.Monitoring
@@ -63,6 +64,83 @@ class ContinuousRollupSpec extends SparkSpec {
     assert(snap.exceptAll(batch).count() === 0, "snapshot rows not in batch")
     assert(batch.exceptAll(snap).count() === 0, "batch rows not in snapshot")
     assert(snap.count() > 0)
+  }
+
+  test("histogram rollup: maintained bucket counts equal a batch recount; percentiles derive") {
+    val staging = java.nio.file.Files.createTempDirectory("graft-rollh-in").toString
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollh").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rollh-ck").toString
+    val stream = EventSource.replayTable(spark, sf, staging, parts = 3)
+    val q = ContinuousRollup.startHist(stream, dir, ckpt,
+      nBuckets = 8, watermark = "3650 days")
+    try q.processAllAvailable() finally q.stop()
+    val snap = ContinuousRollup.histSnapshot(spark, dir)
+    // batch recount with the identical bucketing
+    val width = (600.0 - 0.0) / 20
+    val batch = Tables.events(spark, sf)
+      .filter($"value".isNotNull)
+      .withColumn("vbucket",
+        least(greatest(floor($"value" / width), lit(0.0)), lit(19.0))
+          .cast("int"))
+      .groupBy($"user_id",
+        expr("unix_micros(date_trunc('hour', ts))").as("window_us"),
+        $"vbucket")
+      .agg(count(lit(1)).as("cnt"))
+    assert(snap.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(snap).count() === 0)
+    // derived percentile: within ~a bucket of the exact interpolated
+    // sample quantile — the uniform-within-bucket assumption is one
+    // width, and the q·n vs q·(n−1) index conventions can shift the
+    // crossing by one sample into the adjacent bucket, so the honest
+    // bound is two widths
+    val p95 = ContinuousRollup.histPercentile(spark, dir, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Tables.events(spark, sf).filter($"value".isNotNull)
+      .groupBy($"user_id",
+        expr("unix_micros(date_trunc('hour', ts))").as("window_us"))
+      .agg(expr("percentile(value, 0.95)").as("p")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(p95.keySet === exact.keySet)
+    p95.foreach { case (k, est) =>
+      assert(math.abs(est - exact(k)) <= 2 * width + 1e-9,
+        s"$k: est $est vs exact ${exact(k)}")
+    }
+  }
+
+  test("backfill repairs a poisoned window back to the batch answer, idempotently") {
+    val staging = java.nio.file.Files.createTempDirectory("graft-rollb-in").toString
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollb").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rollb-ck").toString
+    val stream = EventSource.replayTable(spark, sf, staging, parts = 2)
+    val q = ContinuousRollup.start(stream, dir, ckpt,
+      nBuckets = 8, watermark = "3650 days")
+    try q.processAllAvailable() finally q.stop()
+    val batch = Monitoring.windowSum(spark, sf)
+    // poison one real window (a late-data miss would look like this:
+    // the snapshot holds a stale partial)
+    val victim = batch.limit(1).collect().head
+    val (vu, vw) = (victim.getLong(0), victim.getLong(1))
+    val poison = Seq((vu, vw, -1.0, 1L, s"$vu:$vw"))
+      .toDF("user_id", "window_us", "metric_sum", "sample_count",
+        "rollup_key")
+      .withColumn("__ver", org.apache.spark.sql.functions.lit(Long.MaxValue))
+    UpsertSink.applyBatch(poison, -999L, dir, "rollup_key", "__ver", 8)
+    assert(ContinuousRollup.snapshot(spark, dir)
+      .filter($"user_id" === vu && $"window_us" === vw)
+      .head().getDouble(2) === -1.0)
+    // repair the window's range (deliberately unaligned bounds: the
+    // operator must expand to whole windows)
+    ContinuousRollup.backfillSums(spark, sf, dir,
+      vw + 7L, vw + 8L, repairId = -1000L, nBuckets = 8)
+    val snap = ContinuousRollup.snapshot(spark, dir)
+    assert(snap.exceptAll(batch).count() === 0 &&
+      batch.exceptAll(snap).count() === 0, "repair did not restore parity")
+    // a re-run of the same repair converges (content-idempotent apply)
+    ContinuousRollup.backfillSums(spark, sf, dir,
+      vw + 7L, vw + 8L, repairId = -1001L, nBuckets = 8)
+    val again = ContinuousRollup.snapshot(spark, dir)
+    assert(again.exceptAll(batch).count() === 0 &&
+      batch.exceptAll(again).count() === 0)
   }
 
   test("open windows converge: a window split across triggers ends at its full sum") {
