@@ -172,6 +172,8 @@ object SparkEntry {
       TextAnalysis.textLmScoreBigram(s, d)),
     "mon_downtime_sla" -> ((s: SparkSession, d: String) =>
       Monitoring.downtimeSla(s, d)),
+    "mix_report" -> ((s: SparkSession, d: String) =>
+      Curation.mixReport(s, d)),
     "q_retention_cohorts" -> (Relational.qRetentionCohorts _),
     "mon_status_flaps" -> ((s: SparkSession, d: String) =>
       Monitoring.statusFlaps(s, d)),
@@ -341,6 +343,7 @@ object SparkEntry {
     "q_value_tiers" -> Relational.qValueTiersSql(),
     "text_lm_score_bigram" -> TextAnalysis.textLmScoreBigramSql(),
     "mon_downtime_sla" -> Monitoring.downtimeSlaSql(),
+    "mix_report" -> Curation.mixReportSql(),
     "mon_gap_fill" -> Monitoring.gapFillSql(),
     "mon_gap_fill_linear" -> Monitoring.gapFillSql(linear = true),
     "mon_fleet_health" -> Monitoring.fleetHealthSql(),

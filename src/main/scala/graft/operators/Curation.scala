@@ -1922,6 +1922,81 @@ object Curation {
       .replace("__TGT__", targetSources.map(s => s"'$s'").mkString(", "))
       .replace("__B__", nBuckets.toString)
 
+  // ------------------------------------------------------------- C41
+  /** MIX COMPOSITION audit — "did the mix I built match the weights I
+    * asked for?": per source, the raw corpus mass (docs, tokens)
+    * beside the achieved epoch-mix mass (distinct docs, epoch
+    * instances, mix tokens) and the achieved token ratio vs the
+    * REQUESTED weight. The achieved ratio converges to the requested
+    * weight in expectation (each doc repeats ~w times under C24's
+    * deterministic lottery); a gap is the observability signal this
+    * report exists for (skewed doc lengths interacting with the
+    * fractional lottery, a weight map missing a source). Sources
+    * weighted to zero still appear — with zero achieved mass — rather
+    * than silently vanishing from the audit. One tokenize scan
+    * (pinned — both the raw and the mix rollup read it); everything
+    * else is fleet-of-sources-sized. */
+  def mixReport(spark: SparkSession, sfDir: String,
+      weights: Map[String, Double] = Map("src1" -> 2.5, "src2" -> 0.5),
+      defaultWeight: Double = 1.0, seed: Long = 7L): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs
+      .select($"doc_id", $"source",
+        size(TextAnalysis.tokens()).cast("long").as("n_toks"))
+      .localCheckpoint(true)
+    val mix = mixEpochs(docs, "source", weights, defaultWeight, seed)
+    val per = mix.join(toks.select($"doc_id", $"n_toks"), "doc_id")
+      .groupBy($"source")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_instances"),
+        sum($"n_toks").as("mix_tokens"))
+    val raw = toks.groupBy($"source")
+      .agg(count(lit(1)).as("raw_docs"), sum($"n_toks").as("raw_tokens"))
+    val wExpr = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (s, w)) => when($"source" === s, lit(w)).otherwise(acc)
+    }
+    raw.join(per, Seq("source"), "left")
+      .na.fill(0L, Seq("n_docs", "n_instances", "mix_tokens"))
+      .select($"source", $"raw_docs", $"raw_tokens",
+        $"n_docs", $"n_instances", $"mix_tokens",
+        round($"mix_tokens".cast("double") / $"raw_tokens".cast("double"), 6)
+          .as("achieved_ratio"),
+        wExpr.as("requested_weight"))
+      .orderBy($"source")
+  }
+
+  def mixReportSql(weights: Map[String, Double] = Map("src1" -> 2.5,
+      "src2" -> 0.5), defaultWeight: Double = 1.0): String = {
+    val caseExpr = weights.toSeq.sortBy(_._1)
+      .map { case (s, w) => s"WHEN '$s' THEN $w" }
+      .mkString("CASE r.source ", " ", s" ELSE $defaultWeight END")
+    s"""WITH m AS (SELECT * FROM ($mixEpochsSql)),
+       |tk AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+       |      AS n_toks
+       |  FROM documents),
+       |per AS (
+       |  SELECT tk.source, COUNT(DISTINCT m.doc_id) AS n_docs,
+       |    COUNT(*) AS n_instances,
+       |    CAST(SUM(tk.n_toks) AS BIGINT) AS mix_tokens
+       |  FROM m JOIN tk USING (doc_id) GROUP BY tk.source),
+       |raw AS (
+       |  SELECT source, COUNT(*) AS raw_docs,
+       |    CAST(SUM(n_toks) AS BIGINT) AS raw_tokens
+       |  FROM tk GROUP BY source)
+       |SELECT r.source, raw_docs, raw_tokens,
+       |  COALESCE(n_docs, 0) AS n_docs,
+       |  COALESCE(n_instances, 0) AS n_instances,
+       |  COALESCE(mix_tokens, 0) AS mix_tokens,
+       |  ROUND(CAST(COALESCE(mix_tokens, 0) AS DOUBLE)
+       |    / CAST(raw_tokens AS DOUBLE), 6) AS achieved_ratio,
+       |  CAST($caseExpr AS DOUBLE) AS requested_weight
+       |FROM raw r LEFT JOIN per ON r.source = per.source
+       |ORDER BY r.source""".stripMargin
+  }
+
   // ------------------------------------------------------------- C39
   /** STREAMING DSIR admission — C37's live twin, the ingest-time
     * "does this look like the target domain?" gate (the shape C29's
