@@ -439,6 +439,59 @@ object StreamingAggs {
       }
   }
 
+  /** STREAMING DOWNTIME accounting — the live twin of
+    * [[graft.operators.Monitoring.downtimeSla]] (A57): when a device's
+    * next event arrives after a silence longer than `maxGapUs`, the
+    * closed gap is emitted immediately as per-DAY fragments (the A57
+    * day-split kernel run row-locally at close time), so the
+    * availability ledger is current the moment a gap closes instead of
+    * at the next batch sweep. State per device is two longs — the last
+    * seen (us, event_id), which is both the gap anchor and the replay
+    * fence (the flapStream in-order-per-device delivery contract
+    * applies verbatim). Still-open silence is [[HealthMonitor]]/A41
+    * timeout territory by the same division of labor as batch
+    * A40/A42; replayed history aggregated per (device, day) equals
+    * the batch A57 rows exactly (parity spec). */
+  def downtimeStream(events: Dataset[DeviceEvent],
+      maxGapUs: Long = 43200000000L): Dataset[DowntimeFragment] = {
+    require(maxGapUs > 0, s"maxGapUs $maxGapUs must be positive")
+    val dayUs = 86400000000L
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapState, DowntimeFragment](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (dev, it, state) =>
+          val sorted = it.toArray.sortBy(e =>
+            (HealthMonitor.tsMicros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(GapState(-1L, -1L))
+          val out = Seq.newBuilder[DowntimeFragment]
+          sorted.foreach { e =>
+            val us = HealthMonitor.tsMicros(e.ts)
+            val replay = us < st.lastUs ||
+              (us == st.lastUs && e.event_id <= st.lastId)
+            if (!replay) {
+              if (st.lastUs >= 0 && us - st.lastUs > maxGapUs) {
+                val (s, en) = (st.lastUs, us)
+                var day = s / dayUs
+                while (day <= en / dayUs) {
+                  val ov = math.min(en, (day + 1) * dayUs) -
+                    math.max(s, day * dayUs)
+                  if (ov > 0) out += DowntimeFragment(dev, day * dayUs,
+                    ov, s, en)
+                  day += 1
+                }
+              }
+              st = GapState(us, e.event_id)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** STREAMING FLAP detection — the live twin of
     * [[graft.operators.Monitoring.statusFlaps]] (A44): a device-day
     * accumulating err↔ok transitions pages the MOMENT its count
@@ -553,3 +606,11 @@ case class WelfordState(n: Long, mean: Double, m2: Double)
   * it was judged against. */
 case class ZscoreAlert(user_id: Long, event_id: Long, us: Long,
     value: Double, prior_mean: Double, prior_sigma: Double)
+
+/** A59 state: last seen (us, event_id) — gap anchor + replay fence. */
+case class GapState(lastUs: Long, lastId: Long)
+
+/** One closed silence gap's contribution to one device-day — sum per
+  * (user_id, day_us) to get batch A57's downtime_us exactly. */
+case class DowntimeFragment(user_id: Long, day_us: Long, downtime_us: Long,
+    gap_start_us: Long, gap_end_us: Long)

@@ -543,6 +543,43 @@ class MonitoringSpec extends SparkSpec {
     assert(k.size === out.length, "duplicate (device, day) rows")
   }
 
+  test("downtime stream: fragments aggregate to the batch SLA calendar, replay-fenced") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{DeviceEvent, DowntimeFragment, StreamingAggs}
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    // global (us, id) sort keeps every device in-order across the
+    // trigger split (the operator's delivery contract)
+    val all = Tables.events(spark, sf).as[DeviceEvent].collect()
+      .sortBy(e => (us(e.ts), e.event_id))
+    val (a, b) = all.splitAt(all.length / 2)
+    val input = MemoryStream[DeviceEvent](34, spark, None)
+    val q = StreamingAggs.downtimeStream(input.toDS())
+      .writeStream.format("memory").queryName("dt_out")
+      .outputMode("append").start()
+    try {
+      input.addData(a.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(b.toSeq: _*)
+      q.processAllAvailable()
+      def agg: Set[(Long, Long, Long, Long)] = spark.table("dt_out")
+        .as[DowntimeFragment].collect()
+        .groupBy(f => (f.user_id, f.day_us))
+        .map { case ((u, d), fs) =>
+          (u, d, fs.map(_.downtime_us).sum, fs.length.toLong) }.toSet
+      val batch = Monitoring.downtimeSla(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(batch.nonEmpty)
+      val s1 = agg
+      assert(s1 === batch, "streamed day fragments diverged from batch A57")
+      // at-least-once transport: replayed slice drops at the fence
+      input.addData(b.toSeq: _*)
+      q.processAllAvailable()
+      assert(agg === s1, "replayed events re-emitted downtime")
+    } finally q.stop()
+  }
+
   test("error pareto: cumulative share monotone to the fleet total, ranks dense") {
     val out = Monitoring.errorPareto(spark, sf, topK = 1000).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
