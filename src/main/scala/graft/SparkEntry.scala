@@ -166,6 +166,7 @@ object SparkEntry {
     "q_returned_customers" -> ((s: SparkSession, d: String) =>
       Relational.qReturnedCustomers(s, d)),
     "q_nation_trade" -> (Relational.qNationTrade _),
+    "q_market_share" -> (Relational.qMarketShare _),
     "q_value_tiers" -> ((s: SparkSession, d: String) =>
       Relational.qValueTiers(s, d)),
     "text_lm_score_bigram" -> ((s: SparkSession, d: String) =>
@@ -340,6 +341,7 @@ object SparkEntry {
     "mon_cross_corr_anomalies" -> Monitoring.crossCorrAnomaliesSql(),
     "q_returned_customers" -> Relational.qReturnedCustomersSql,
     "q_nation_trade" -> Relational.qNationTradeSql,
+    "q_market_share" -> Relational.qMarketShareSql,
     "q_value_tiers" -> Relational.qValueTiersSql(),
     "text_lm_score_bigram" -> TextAnalysis.textLmScoreBigramSql(),
     "mon_downtime_sla" -> Monitoring.downtimeSlaSql(),

@@ -1595,6 +1595,72 @@ object Relational {
        |  ORDER BY CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) DESC, c_custkey)
        |ORDER BY c_mktsegment, rank""".stripMargin
 
+  // ---------------------------------------------------------------- B46
+  /** TPC-H Q8-style MARKET SHARE: each supplier nation's share of a
+    * customer region's yearly revenue — the share-of-group pattern at
+    * its classic instance. The share denominator is a SECOND-LEVEL
+    * aggregate of the first (region-year totals over nation rows), so
+    * the shape is: one fact aggregation to the (region, year, nation)
+    * frame, then the totals rollup over THAT (regions × years rows —
+    * broadcast back), never a window over fact rows and never a second
+    * fact scan. Numerator and denominator both stay DECIMAL(38,4)
+    * until the final division (double sums of the per-nation revenues
+    * would be order-dependent and break the oracle; decimal sums are
+    * exact in any order — the §4 discipline one level up). */
+  def qMarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val n1 = Tables.nation(spark, sfDir)
+      .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+    val n2 = Tables.nation(spark, sfDir)
+      .select($"n_nationkey".as("cn_key"), $"n_regionkey".as("c_region"))
+    val r = Tables.region(spark, sfDir)
+      .select($"r_regionkey", $"r_name")
+    val per = l.join(s, $"l_suppkey" === $"s_suppkey")
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(broadcast(n1), $"s_nationkey" === $"sn_key")
+      .join(broadcast(n2), $"c_nationkey" === $"cn_key")
+      .join(broadcast(r), $"c_region" === $"r_regionkey")
+      .groupBy($"r_name", year($"l_shipdate").as("l_year"), $"supp_nation")
+      .agg(sum(dec($"l_extendedprice") *
+          (lit(1).cast("decimal(18,4)") - dec($"l_discount")))
+        .cast("decimal(38,4)").as("revd"))
+    val totals = per.groupBy($"r_name", $"l_year")
+      .agg(sum($"revd").cast("decimal(38,4)").as("totd"))
+    per.join(broadcast(totals), Seq("r_name", "l_year"))
+      .select($"r_name", $"l_year", $"supp_nation",
+        $"revd".cast("double").as("revenue"),
+        round($"revd".cast("double") / $"totd".cast("double"), 6)
+          .as("mkt_share"))
+      .orderBy($"r_name", $"l_year", $"supp_nation")
+  }
+
+  val qMarketShareSql: String =
+    """WITH per AS (
+      |  SELECT r_name, CAST(year(l_shipdate) AS INT) AS l_year,
+      |    n1.n_name AS supp_nation,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS revd
+      |  FROM lineitem, supplier, orders, customer, nation n1, nation n2,
+      |    region
+      |  WHERE l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+      |    AND o_custkey = c_custkey AND s_nationkey = n1.n_nationkey
+      |    AND c_nationkey = n2.n_nationkey
+      |    AND n2.n_regionkey = r_regionkey
+      |  GROUP BY r_name, year(l_shipdate), n1.n_name),
+      |t AS (
+      |  SELECT r_name, l_year,
+      |    CAST(SUM(revd) AS DECIMAL(38,4)) AS totd
+      |  FROM per GROUP BY r_name, l_year)
+      |SELECT per.r_name, per.l_year, supp_nation,
+      |  CAST(revd AS DOUBLE) AS revenue,
+      |  ROUND(CAST(revd AS DOUBLE) / CAST(totd AS DOUBLE), 6) AS mkt_share
+      |FROM per JOIN t ON per.r_name = t.r_name AND per.l_year = t.l_year
+      |ORDER BY per.r_name, per.l_year, supp_nation""".stripMargin
+
   val qNationTradeSql: String =
     """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
       |  CAST(year(l_shipdate) AS INT) AS l_year,

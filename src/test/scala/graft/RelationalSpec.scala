@@ -335,6 +335,19 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("market share: shares partition each (region, year) to exactly 1") {
+    val out = Relational.qMarketShare(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, _, _, rev, sh) =>
+      assert(rev > 0.0 && sh > 0.0 && sh <= 1.0)
+    }
+    out.groupBy(t => (t._1, t._2)).foreach { case (k, rows) =>
+      assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-4, s"$k shares")
+    }
+  }
+
   test("skew report: planted hot key flagged, shares ordered, uniform keys cold") {
     val out = Relational.qSkewReport(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getBoolean(4)))
