@@ -175,6 +175,10 @@ object SparkEntry {
       Monitoring.downtimeSla(s, d)),
     "mix_report" -> ((s: SparkSession, d: String) =>
       Curation.mixReport(s, d)),
+    "pack_report" -> ((s: SparkSession, d: String) =>
+      Curation.packReport(s, d)),
+    "mm_motion_profile" -> ((s: SparkSession, d: String) =>
+      Multimodal.mmMotionProfile(s, d)),
     "q_retention_cohorts" -> (Relational.qRetentionCohorts _),
     "mon_status_flaps" -> ((s: SparkSession, d: String) =>
       Monitoring.statusFlaps(s, d)),
@@ -346,6 +350,8 @@ object SparkEntry {
     "text_lm_score_bigram" -> TextAnalysis.textLmScoreBigramSql(),
     "mon_downtime_sla" -> Monitoring.downtimeSlaSql(),
     "mix_report" -> Curation.mixReportSql(),
+    "pack_report" -> Curation.packReportSql(),
+    "mm_motion_profile" -> Multimodal.mmMotionProfileSql,
     "mon_gap_fill" -> Monitoring.gapFillSql(),
     "mon_gap_fill_linear" -> Monitoring.gapFillSql(linear = true),
     "mon_fleet_health" -> Monitoring.fleetHealthSql(),

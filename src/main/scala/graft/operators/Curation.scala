@@ -528,6 +528,36 @@ object Curation {
   def packSequencesQuery(spark: SparkSession, sfDir: String): DataFrame =
     packSequences(Tables.documents(spark, sfDir))
 
+  // ------------------------------------------------------------- C43
+  /** PACK-LAYOUT audit — the observability row for C13's
+    * concatenate-then-cut packing: that layout wastes zero padding by
+    * construction, and its cost lives elsewhere — documents SPLIT
+    * across sequence boundaries (a broken context window; the count
+    * that motivates doc-aware packing variants). Per sequence: docs
+    * starting in it, its id range, and the boundary-crosser count.
+    * One rollup over the C13 frame; the oracle wraps C13's SQL as a
+    * subquery so audit and packer cannot drift. */
+  def packReport(spark: SparkSession, sfDir: String,
+      seqLen: Int = 2048): DataFrame = {
+    import spark.implicits._
+    packSequences(Tables.documents(spark, sfDir), seqLen)
+      .groupBy($"seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"doc_id").as("first_doc_id"),
+        max($"doc_id").as("last_doc_id"),
+        sum(when($"seq_offset" + $"n_tokens" > seqLen, 1L).otherwise(0L))
+          .as("n_crossers"))
+      .orderBy($"seq_id")
+  }
+
+  def packReportSql(seqLen: Int = 2048): String =
+    s"""WITH p AS (SELECT * FROM ($packSequencesSql))
+       |SELECT seq_id, COUNT(*) AS n_docs,
+       |  MIN(doc_id) AS first_doc_id, MAX(doc_id) AS last_doc_id,
+       |  CAST(SUM(CASE WHEN seq_offset + n_tokens > $seqLen
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_crossers
+       |FROM p GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
   val packSequencesSql: String =
     """WITH t AS (
       |  SELECT doc_id,

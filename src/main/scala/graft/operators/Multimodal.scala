@@ -258,6 +258,60 @@ object Multimodal {
        |  AND bit_count(xor(frame_hash, prev_hash)) >= 20
        |ORDER BY media_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- F13
+  /** MOTION PROFILE per media — the "how dynamic is this video" row a
+    * video-curation pass mixes on (static slideshows and talking heads
+    * train differently from action footage; mean inter-frame distance
+    * is the standard cheap proxy): per media, the consecutive-frame
+    * Hamming-distance series of F6's lag stage rolled into
+    * n_frames / n_transitions / mean / max Hamming and the cut count
+    * at the F6 threshold. Same ONE media_id exchange as F6 (the lag
+    * window), then a fleet-of-media-sized aggregate. Mean is an exact
+    * integer ratio rounded at 6 — hash-stable. */
+  def mmMotionProfile(spark: SparkSession, sfDir: String,
+      cutThreshold: Int = 20): DataFrame = {
+    import spark.implicits._
+    require(cutThreshold >= 1 && cutThreshold <= 64)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"media_id").orderBy($"frame_idx")
+    mmFrames(spark, sfDir)
+      .withColumn("prev_hash", lag($"frame_hash", 1).over(w))
+      .withColumn("hamming", when($"prev_hash".isNotNull,
+        expr("CAST(bit_count(frame_hash ^ prev_hash) AS INT)")))
+      .groupBy($"media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        count($"hamming").as("n_transitions"),
+        round(sum($"hamming").cast("double") /
+          nullif(count($"hamming"), lit(0L)), 6).as("mean_hamming"),
+        max($"hamming").as("max_hamming"),
+        sum(when($"hamming" >= cutThreshold, 1L).otherwise(0L))
+          .as("n_cuts"))
+      .orderBy($"media_id")
+  }
+
+  /** The frame replay wrapped, then the identical lag/xor/bit_count
+    * tree rolled per media. */
+  val mmMotionProfileSql: String =
+    s"""WITH hh AS (
+       |  SELECT media_id, frame_idx, frame_hash,
+       |    lag(frame_hash) OVER w AS prev_hash
+       |  FROM ($mmFrameSampleSql) base
+       |  WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)),
+       |h2 AS (
+       |  SELECT media_id,
+       |    CASE WHEN prev_hash IS NOT NULL
+       |      THEN CAST(bit_count(xor(frame_hash, prev_hash)) AS INT)
+       |    END AS hamming
+       |  FROM hh)
+       |SELECT media_id, COUNT(*) AS n_frames,
+       |  COUNT(hamming) AS n_transitions,
+       |  ROUND(CAST(SUM(hamming) AS DOUBLE)
+       |    / nullif(COUNT(hamming), 0), 6) AS mean_hamming,
+       |  MAX(hamming) AS max_hamming,
+       |  CAST(SUM(CASE WHEN hamming >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_cuts
+       |FROM h2 GROUP BY media_id ORDER BY media_id""".stripMargin
+
   // ---------------------------------------------------------------- F7
   /** STREAMING scene cuts — F6's live twin and the F-family's first
     * streaming member (the reference IS a live video gateway; shot
