@@ -171,6 +171,8 @@ object SparkEntry {
       Relational.qValueTiers(s, d)),
     "text_lm_score_bigram" -> ((s: SparkSession, d: String) =>
       TextAnalysis.textLmScoreBigram(s, d)),
+    "word_cooccurrence" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.wordCooccurrence(s, d)),
     "mon_downtime_sla" -> ((s: SparkSession, d: String) =>
       Monitoring.downtimeSla(s, d)),
     "mix_report" -> ((s: SparkSession, d: String) =>
@@ -348,6 +350,7 @@ object SparkEntry {
     "q_market_share" -> Relational.qMarketShareSql,
     "q_value_tiers" -> Relational.qValueTiersSql(),
     "text_lm_score_bigram" -> TextAnalysis.textLmScoreBigramSql(),
+    "word_cooccurrence" -> TextAnalysis.wordCooccurrenceSql(),
     "mon_downtime_sla" -> Monitoring.downtimeSlaSql(),
     "mix_report" -> Curation.mixReportSql(),
     "pack_report" -> Curation.packReportSql(),

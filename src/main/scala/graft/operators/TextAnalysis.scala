@@ -691,6 +691,81 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN scored s USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- E21
+  /** TOP-PMI COLLOCATIONS — which word pairs stick together far beyond
+    * chance (corpus phraseology: named entities, idioms, template
+    * boilerplate — the pairs a tokenizer-merge or a boilerplate rule
+    * would want to know about): pointwise mutual information
+    * ln(c₂·T / (c₁(w₁)·c₁(w₂))) over adjacent-pair counts, floored at
+    * `minCount` occurrences (PMI's low-count pathology — a hapax pair
+    * scores arbitrarily high — is cut, not smoothed, which is the
+    * standard collocation-extraction move). Same one-scan row-local
+    * count shape as E20; the PMI products stay inside 2⁵³ at any
+    * corpus size that fits a double's exact-integer range (c₂·T <
+    * 2⁵³ ⇔ corpus ≲ 10⁸ bigrams per count — past that, rescale both
+    * ratios first), and the ln tree is identical in both engines.
+    * Deterministic top-k on (raw pmi desc, pair). */
+  def wordCooccurrence(spark: SparkSession, sfDir: String,
+      topK: Int = 20, minCount: Long = 5L): DataFrame = {
+    import spark.implicits._
+    require(topK >= 1 && minCount >= 1)
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.withColumn("toks", tokens())
+      .select($"doc_id",
+        TextFunctions.tokenCounts($"toks").as("tc"),
+        TextFunctions.tokenCounts(expr(
+          """zip_with(slice(toks, 1, size(toks) - 1),
+            |  slice(toks, 2, size(toks) - 1),
+            |  (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bc"))
+      .localCheckpoint(true)
+    val tf = base.select(explode($"tc").as(Seq("term", "n")))
+      .groupBy($"term").agg(sum($"n").as("tf"))
+      .localCheckpoint(true) // totals + two prefix joins
+    val bf = base.select(explode($"bc").as(Seq("bterm", "n")))
+      .groupBy($"bterm").agg(sum($"n").as("c2"))
+      .filter($"c2" >= minCount)
+    val totals = tf.agg(sum($"tf").as("t"))
+    bf
+      .withColumn("w1", split($"bterm", " ").getItem(0))
+      .withColumn("w2", split($"bterm", " ").getItem(1))
+      .join(tf.select($"term".as("w1"), $"tf".as("c1")), "w1")
+      .join(tf.select($"term".as("w2"), $"tf".as("c2u")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi",
+        log(($"c2".cast("double") * $"t".cast("double")) /
+          ($"c1".cast("double") * $"c2u".cast("double"))))
+      .orderBy($"pmi".desc, $"w1", $"w2")
+      .limit(topK)
+      .select($"w1", $"w2", $"c2".as("pair_count"),
+        round($"pmi", 6).as("pmi"))
+  }
+
+  def wordCooccurrenceSql(topK: Int = 20, minCount: Long = 5L): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents),
+       |postings AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       |bpost AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |    i -> concat(toks[i], ' ', toks[i + 1]))) AS bterm
+       |  FROM t WHERE len(toks) >= 2),
+       |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM postings GROUP BY term),
+       |bf AS (SELECT bterm, CAST(count(*) AS BIGINT) AS c2
+       |  FROM bpost GROUP BY bterm HAVING count(*) >= $minCount),
+       |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS t FROM tf),
+       |p AS (
+       |  SELECT string_split(bterm, ' ')[1] AS w1,
+       |    string_split(bterm, ' ')[2] AS w2, c2,
+       |    ln((CAST(c2 AS DOUBLE) * CAST(t AS DOUBLE)) /
+       |      (CAST(t1.tf AS DOUBLE) * CAST(t2.tf AS DOUBLE))) AS pmi
+       |  FROM bf
+       |  JOIN tf t1 ON t1.term = string_split(bterm, ' ')[1]
+       |  JOIN tf t2 ON t2.term = string_split(bterm, ' ')[2]
+       |  CROSS JOIN tot)
+       |SELECT w1, w2, c2 AS pair_count, ROUND(pmi, 6) AS pmi
+       |FROM p ORDER BY pmi DESC, w1, w2 LIMIT $topK""".stripMargin
+
   val textLmScoreSql: String =
     """WITH postings AS (
       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
