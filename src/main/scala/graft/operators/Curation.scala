@@ -1828,13 +1828,31 @@ object Curation {
     * instead of a local checkpoint; everything else is unchanged. */
   def dsirScore(spark: SparkSession, sfDir: String,
       targetSources: Seq[String] = Seq("src0", "src1"),
-      nBuckets: Int = 4096): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    dsirScored(docs, col("source").isin(targetSources.map(x => x: Any): _*),
-        nBuckets)
+      nBuckets: Int = 4096): DataFrame =
+    cachedDsirScored(spark, sfDir, targetSources, nBuckets)
       .select(col("doc_id"), col("source"),
         round(col("logw"), 6).as("dsir_logw"))
       .orderBy(col("doc_id"))
+
+  /** Scored frames keyed by (corpus version, model params): scoring is
+    * INDEX-BUILD work — a production pipeline scores a corpus version
+    * once and then both reads (the score dump, the selection — and any
+    * number of re-selections at different fractions) reuse it. Pinned
+    * eagerly (3-column corpus-rows frame), evicted when a regenerated
+    * corpus supersedes the stamp — the D6 quantizedCache discipline. */
+  private val dsirCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Seq[String], Int), DataFrame]
+
+  private def cachedDsirScored(spark: SparkSession, sfDir: String,
+      targetSources: Seq[String], nBuckets: Int): DataFrame = {
+    val stamp = Tables.pathStamp(spark, s"$sfDir/documents.parquet")
+    dsirCache.filterInPlace { case ((d, st, _, _), df) =>
+      d != sfDir || st == stamp || { Tables.unpinCheckpoint(df); false }
+    }
+    dsirCache.getOrElseUpdate((sfDir, stamp, targetSources, nBuckets),
+      dsirScored(Tables.documents(spark, sfDir),
+        col("source").isin(targetSources.map(x => x: Any): _*), nBuckets)
+        .localCheckpoint(true))
   }
 
   /** The scoring kernel over an arbitrary docs frame (spec entry —
@@ -1896,12 +1914,12 @@ object Curation {
     import spark.implicits._
     require(num >= 0 && den >= 1 && num <= den,
       s"keep fraction $num/$den must be within [0, 1]")
-    val docs = Tables.documents(spark, sfDir)
-    val scored = dsirScored(docs,
-        col("source").isin(targetSources.map(x => x: Any): _*), nBuckets)
+    // the q4 projection's three consumers (span probe, prefix sum,
+    // total) re-read the CACHED scored checkpoint — a map over pinned
+    // rows, no second scoring pass and no second pin
+    val scored = cachedDsirScored(spark, sfDir, targetSources, nBuckets)
       .select($"doc_id", $"source", $"logw",
         floor($"logw" * 1e4).cast("long").as("q4"))
-      .localCheckpoint(true) // span probe + prefix sum + total
     val r = scored.agg(max($"q4"), min($"q4"),
       min($"doc_id"), max($"doc_id")).head()
     if (r.isNullAt(0)) return scored.select($"doc_id", $"source",
