@@ -169,6 +169,12 @@ object SparkEntry {
     "q_market_share" -> (Relational.qMarketShare _),
     "q_value_tiers" -> ((s: SparkSession, d: String) =>
       Relational.qValueTiers(s, d)),
+    "q_late_orders" -> (Relational.qLateOrders _),
+    "q_promo_share" -> (Relational.qPromoShare _),
+    "q_order_count_dist" -> (Relational.qOrderCountDist _),
+    "q_large_orders" -> ((s: SparkSession, d: String) =>
+      Relational.qLargeOrders(s, d)),
+    "q_idle_customers" -> (Relational.qIdleCustomers _),
     "text_lm_score_bigram" -> ((s: SparkSession, d: String) =>
       TextAnalysis.textLmScoreBigram(s, d)),
     "word_cooccurrence" -> ((s: SparkSession, d: String) =>
@@ -349,6 +355,11 @@ object SparkEntry {
     "q_nation_trade" -> Relational.qNationTradeSql,
     "q_market_share" -> Relational.qMarketShareSql,
     "q_value_tiers" -> Relational.qValueTiersSql(),
+    "q_late_orders" -> Relational.qLateOrdersSql,
+    "q_promo_share" -> Relational.qPromoShareSql,
+    "q_order_count_dist" -> Relational.qOrderCountDistSql,
+    "q_large_orders" -> Relational.qLargeOrdersSql,
+    "q_idle_customers" -> Relational.qIdleCustomersSql,
     "text_lm_score_bigram" -> TextAnalysis.textLmScoreBigramSql(),
     "word_cooccurrence" -> TextAnalysis.wordCooccurrenceSql(),
     "mon_downtime_sla" -> Monitoring.downtimeSlaSql(),

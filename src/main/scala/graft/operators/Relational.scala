@@ -1671,4 +1671,184 @@ object Relational {
       |  AND c_nationkey = n2.n_nationkey AND n1.n_name <> n2.n_name
       |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // ---------------------------------------------------------------- B47
+  /** TPC-H Q4-style ORDER PRIORITY check: orders placed in one year
+    * with slipped fulfilment (any lineitem shipped > 90 days after the
+    * order date), counted per priority class. Plan: the year predicate
+    * prunes the orders scan BEFORE the join (PushedFilters — at 100 TB
+    * with date-partitioned orders this is partition pruning, not a
+    * full scan); LEFT SEMI on the order key carries the lateness
+    * predicate as an extra join condition so lineitem is projected to
+    * two columns and never widened; EXISTS semantics means duplicate
+    * late lines per order cost nothing; one 5-row aggregate. */
+  def qLateOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_shipdate")
+    o.join(l, $"l_orderkey" === $"o_orderkey" &&
+        $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val qLateOrdersSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- B48
+  /** TPC-H Q14-style PROMO revenue share per ship month: what fraction
+    * of each month's revenue came from promotional part types. Both
+    * the promo and total revenue come out of ONE conditional DECIMAL
+    * aggregate (no second scan, no self-join); the share is a single
+    * IEEE division off the exact sums, rounded to 6 places (identical
+    * in both engines — the B46 discipline). Join shape: lineitem
+    * shuffles once on the part key; part carries only (key, type).
+    * Output is months — dashboard-sized however large the fact. */
+  def qPromoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, sfDir)
+      .select($"l_partkey", $"l_shipdate", $"l_extendedprice", $"l_discount")
+    val p = Tables.part(spark, sfDir).select($"p_partkey", $"p_type")
+    val revd = dec($"l_extendedprice") *
+      (lit(1).cast("decimal(18,4)") - dec($"l_discount"))
+    l.join(p, $"l_partkey" === $"p_partkey")
+      .groupBy(year($"l_shipdate").cast("int").as("ship_year"),
+        month($"l_shipdate").cast("int").as("ship_month"))
+      .agg(
+        sum(when($"p_type".startsWith("PROMO"), revd)).cast("decimal(38,4)")
+          .cast("double").as("promo_revenue"),
+        sum(revd).cast("decimal(38,4)").cast("double").as("total_revenue"))
+      .withColumn("promo_share",
+        round(lit(100.0) * $"promo_revenue" / $"total_revenue", 6))
+      .orderBy($"ship_year", $"ship_month")
+  }
+
+  val qPromoShareSql: String =
+    """SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+      |  CAST(month(l_shipdate) AS INT) AS ship_month,
+      |  CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) END) AS DECIMAL(38,4)) AS DOUBLE) AS promo_revenue,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS total_revenue,
+      |  ROUND(100.0 * CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) END) AS DECIMAL(38,4)) AS DOUBLE) / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE), 6) AS promo_share
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |GROUP BY year(l_shipdate), month(l_shipdate)
+      |ORDER BY ship_year, ship_month""".stripMargin
+
+  // ---------------------------------------------------------------- B49
+  /** TPC-H Q13-style CUSTOMER ORDER-COUNT distribution: how many
+    * customers placed exactly N orders, including the zero-order tail
+    * that an inner join would silently drop. Plan: LEFT OUTER join on
+    * the customer key (one exchange), per-customer count, then a
+    * second tiny aggregate over the count domain (≤ max orders per
+    * customer — dozens of rows at any scale). The classic two-level
+    * aggregation; no window, no distinct. */
+  def qOrderCountDist(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir).select($"c_custkey")
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderkey")
+    c.join(o, $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  val qOrderCountDistSql: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |      GROUP BY c_custkey) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ---------------------------------------------------------------- B50
+  /** TPC-H Q18-style LARGE-VOLUME orders: orders whose summed quantity
+    * clears a floor, with their customer. Plan: the HAVING aggregate
+    * runs FIRST and collapses lineitem to qualifying order keys (a
+    * few per ten thousand at the shipped floor) — the join back to
+    * orders/customer moves only survivors, so the expensive side of
+    * the join shrinks before it shuffles; AQE is free to broadcast
+    * the survivor frame at runtime. Quantity through the DECIMAL
+    * discipline; no timestamps in the output (SURVEY §4). */
+  def qLargeOrders(spark: SparkSession, sfDir: String,
+      minQty: Double = 250.0): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(dsum($"l_quantity").as("total_qty"))
+      .filter($"total_qty" > minQty)
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_name")
+    big.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey", $"o_totalprice",
+        $"total_qty")
+      .orderBy($"total_qty".desc, $"o_orderkey")
+  }
+
+  val qLargeOrdersSql: String =
+    """SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+      |FROM customer, orders, lineitem
+      |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+      |HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 250.0
+      |ORDER BY total_qty DESC, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- B51
+  /** TPC-H Q22-style IDLE high-balance customers: customers whose
+    * balance beats the positive-balance average but who placed no
+    * order in the current era, rolled up per nation. Plan: the scalar
+    * average is ONE tiny aggregate broadcast into the filter (exact
+    * DECIMAL sum / count — the identical IEEE division both engines
+    * perform); the no-recent-orders test is a LEFT ANTI join against
+    * orders pre-filtered to the era (predicate pushed to the scan);
+    * nation broadcasts. Output is nations — constant-sized. */
+  def qIdleCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir)
+    val avgBal = c.filter($"c_acctbal" > 0.0)
+      .agg((sum(dec($"c_acctbal")).cast("double") / count(lit(1)))
+        .as("avg_bal"))
+    val recent = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    val n = Tables.nation(spark, sfDir)
+    c.crossJoin(broadcast(avgBal))
+      .filter($"c_acctbal" > $"avg_bal")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("numcust"), dsum($"c_acctbal").as("totacctbal"))
+      .orderBy($"n_name")
+  }
+
+  val qIdleCustomersSql: String =
+    """SELECT n_name, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+      |FROM customer, nation
+      |WHERE c_nationkey = n_nationkey
+      |  AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+      |                   FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey
+      |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
 }

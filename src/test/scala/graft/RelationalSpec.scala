@@ -411,4 +411,87 @@ class RelationalSpec extends SparkSpec {
       assert(!s1._3 && !s1._4, s"string column falsely flagged: $rows")
     } finally q.stop()
   }
+
+  test("late orders: semi-join counts equal a distinct-key recompute, full window covered") {
+    val out = Relational.qLateOrders(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(out.nonEmpty)
+    out.foreach { case (_, n) => assert(n > 0L) }
+    assert(out.sameElements(out.sortBy(_._1)), "priority order broken")
+    // EXISTS semantics: the count must equal distinct qualifying orders,
+    // not late-line multiplicity (an inner join would overcount).
+    val want = Tables.orders(spark, sf)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.lineitem(spark, sf),
+        $"l_orderkey" === $"o_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"))
+      .select($"o_orderkey").distinct().count()
+    assert(out.map(_._2).sum == want,
+      s"semi-join total ${out.map(_._2).sum} != distinct recompute $want")
+  }
+
+  test("promo share: bounded, consistent with its own sums, months ordered") {
+    val out = Relational.qPromoShare(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (promo, total, share) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(total > 0.0 && promo >= 0.0 && promo <= total)
+      assert(share >= 0.0 && share <= 100.0)
+      assert(share == math.rint(100.0 * promo / total * 1e6) / 1e6 ||
+        math.abs(share - 100.0 * promo / total) < 1e-6,
+        s"share $share inconsistent with $promo/$total")
+    }
+    val keys = out.map(r => (r.getInt(0), r.getInt(1)))
+    assert(keys.sameElements(keys.sorted), "month order broken")
+  }
+
+  test("order count dist: conserves customers AND orders, keeps the zero tail") {
+    val out = Relational.qOrderCountDist(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nCust = Tables.customer(spark, sf).count()
+    val nOrd = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        $"o_custkey" === $"c_custkey", "left_semi").count()
+    assert(out.map(_._2).sum == nCust, "customer mass not conserved")
+    assert(out.map(t => t._1 * t._2).sum == nOrd, "order mass not conserved")
+    val zeroTail = Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf),
+        $"c_custkey" === $"o_custkey", "left_anti").count()
+    assert(out.toMap.getOrElse(0L, 0L) == zeroTail,
+      "zero-order customers dropped (inner-join bug)")
+  }
+
+  test("large orders: every survivor clears the floor, set matches a direct recompute") {
+    val out = Relational.qLargeOrders(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getDouble(4) > 250.0))
+    val qty = out.map(r => r.getDouble(4))
+    assert(qty.sameElements(qty.sorted.reverse), "not descending by qty")
+    val want = Tables.lineitem(spark, sf).groupBy($"l_orderkey")
+      .agg(sum($"l_quantity".cast("decimal(18,4)")).cast("double").as("q"))
+      .filter($"q" > 250.0).count()
+    assert(out.length == want, s"${out.length} survivors != recompute $want")
+  }
+
+  test("idle customers: members verified idle and above the positive-balance mean") {
+    val out = Relational.qIdleCustomers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    val c = Tables.customer(spark, sf)
+    val avgBal = c.filter($"c_acctbal" > 0.0)
+      .agg((sum($"c_acctbal".cast("decimal(18,4)")).cast("double") /
+        count(lit(1))).as("a")).head().getDouble(0)
+    val idle = c.filter($"c_acctbal" > avgBal)
+      .join(Tables.orders(spark, sf)
+        .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+        .select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+    assert(out.map(_._2).sum == idle.count(), "membership mass mismatch")
+    out.foreach { case (n, cnt, bal) =>
+      assert(cnt > 0L, s"empty nation row $n")
+      assert(bal > avgBal, s"nation $n total below one member's floor")
+    }
+  }
 }
