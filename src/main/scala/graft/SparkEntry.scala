@@ -181,6 +181,8 @@ object SparkEntry {
       TextAnalysis.wordCooccurrence(s, d)),
     "mon_downtime_sla" -> ((s: SparkSession, d: String) =>
       Monitoring.downtimeSla(s, d)),
+    "mon_capacity_forecast" -> ((s: SparkSession, d: String) =>
+      Monitoring.capacityForecast(s, d)),
     "mix_report" -> ((s: SparkSession, d: String) =>
       Curation.mixReport(s, d)),
     "pack_report" -> ((s: SparkSession, d: String) =>
@@ -363,6 +365,7 @@ object SparkEntry {
     "text_lm_score_bigram" -> TextAnalysis.textLmScoreBigramSql(),
     "word_cooccurrence" -> TextAnalysis.wordCooccurrenceSql(),
     "mon_downtime_sla" -> Monitoring.downtimeSlaSql(),
+    "mon_capacity_forecast" -> Monitoring.capacityForecastSql(),
     "mix_report" -> Curation.mixReportSql(),
     "pack_report" -> Curation.packReportSql(),
     "mm_motion_profile" -> Multimodal.mmMotionProfileSql,

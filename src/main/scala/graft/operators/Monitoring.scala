@@ -1989,4 +1989,97 @@ object Monitoring {
        |SELECT * FROM obs UNION ALL SELECT * FROM fills
        |ORDER BY user_id, hour_us""".stripMargin
   }
+
+  // ---------------------------------------------------------------- A60
+  /** CAPACITY FORECAST — per-device OLS trend on a metric plus the
+    * projected time-to-threshold (the "disk fills in N days" /
+    * "temperature crosses the limit next week" report every capacity
+    * planner runs). The fleet-sized answer to the reference's manual
+    * "is this metric drifting" inspection (putmedia_check.sh polls a
+    * window's statistics; this extrapolates them).
+    *
+    * Scale shape: ONE map-side-partial aggregate per device collecting
+    * the five regression moments (n, Σx, Σy, Σxy, Σx²) plus max(x) —
+    * O(1) state per device however long the series, no window, no
+    * sort, no second scan. Slope/intercept/ETA come out of the exact
+    * moments in closed form on the reduced fleet-sized frame.
+    *
+    * Oracle parity (SURVEY §4): x = WHOLE SECONDS rebased to the feed
+    * epoch (exact integer division both engines — micros-scale x
+    * overflows DuckDB's int64 DECIMAL(18) multiply kernel; seconds
+    * keep every x·x and x·y raw product under 2⁶³), moments summed as
+    * DECIMAL (x at DECIMAL(18,0), y at DECIMAL(18,4)), each moment
+    * cast to DOUBLE once, and the slope/ETA arithmetic written as the
+    * same IEEE expression tree in both engines (the B26 discipline).
+    * Devices need ≥ `minPoints` samples and nonzero x-variance. */
+  def capacityForecast(spark: SparkSession, sfDir: String,
+      threshold: Double = 400.0, minPoints: Int = 3): DataFrame =
+    capacityForecastOf(Tables.events(spark, sfDir), threshold, minPoints)
+
+  /** The kernel over an arbitrary events frame (user_id, ts, value,
+    * event_type) — lets the spec plant a deterministic ramp and check
+    * the fitted slope/ETA against the planted truth. */
+  def capacityForecastOf(events: DataFrame, threshold: Double = 400.0,
+      minPoints: Int = 3): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(minPoints >= 2, s"minPoints $minPoints < 2 cannot fit a line")
+    val x = expr(s"(unix_micros(ts) - ${FeedEpochUs}L) div 1000000")
+    val xd = x.cast("decimal(18,0)")
+    val y = $"value".cast("decimal(18,4)")
+    val m = events
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_samples"),
+        sum(xd).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(xd * y).cast("double").as("sxy"),
+        sum(xd * xd).cast("double").as("sxx"),
+        max(x).cast("double").as("xmax"))
+    val n = $"n_samples"
+    val denom = n * $"sxx" - $"sx" * $"sx"
+    val slopeSec = (n * $"sxy" - $"sx" * $"sy") / denom
+    val slopeDay = slopeSec * lit(SecPerDay)
+    val projected = ($"sy" - slopeSec * $"sx") / n + slopeSec * $"xmax"
+    m.filter(n >= minPoints && denom > 0.0)
+      .select($"user_id", n,
+        round(slopeDay, 6).as("slope_per_day"),
+        round(projected, 6).as("projected_now"),
+        round(when(slopeDay > 0.0 && projected < threshold,
+          (lit(threshold) - projected) / slopeDay), 6)
+          .as("days_to_breach"))
+      .orderBy($"user_id")
+  }
+
+  /** The synthetic feed's first day (2024-01-01 UTC) in epoch micros —
+    * the x rebase keeping regression moments inside DECIMAL(18). */
+  private val FeedEpochUs = 1704067200000000L
+  private val SecPerDay = 86400.0
+
+  def capacityForecastSql(threshold: Double = 400.0,
+      minPoints: Int = 3): String =
+    s"""WITH p AS (
+       |  SELECT user_id,
+       |    (epoch_us(ts) - 1704067200000000) // 1000000 AS x,
+       |    CAST(value AS DECIMAL(18,4)) AS y
+       |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+       |m AS (
+       |  SELECT user_id, COUNT(*) AS n_samples,
+       |    CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+       |    CAST(SUM(y) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(x AS DECIMAL(18,0)) * y) AS DOUBLE) AS sxy,
+       |    CAST(SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
+       |    CAST(MAX(x) AS DOUBLE) AS xmax
+       |  FROM p GROUP BY user_id)
+       |SELECT user_id, n_samples,
+       |  ROUND((n_samples * sxy - sx * sy) / (n_samples * sxx - sx * sx) * ${SecPerDay}, 6) AS slope_per_day,
+       |  ROUND((sy - (n_samples * sxy - sx * sy) / (n_samples * sxx - sx * sx) * sx) / n_samples + (n_samples * sxy - sx * sy) / (n_samples * sxx - sx * sx) * xmax, 6) AS projected_now,
+       |  ROUND(CASE WHEN (n_samples * sxy - sx * sy) / (n_samples * sxx - sx * sx) * ${SecPerDay} > 0.0
+       |    AND (sy - (n_samples * sxy - sx * sy) / (n_samples * sxx - sx * sx) * sx) / n_samples + (n_samples * sxy - sx * sy) / (n_samples * sxx - sx * sx) * xmax < ${threshold}
+       |    THEN (${threshold} - ((sy - (n_samples * sxy - sx * sy) / (n_samples * sxx - sx * sx) * sx) / n_samples + (n_samples * sxy - sx * sy) / (n_samples * sxx - sx * sx) * xmax))
+       |      / ((n_samples * sxy - sx * sy) / (n_samples * sxx - sx * sx) * ${SecPerDay}) END, 6) AS days_to_breach
+       |FROM m
+       |WHERE n_samples >= ${minPoints} AND n_samples * sxx - sx * sx > 0.0
+       |ORDER BY user_id""".stripMargin
 }

@@ -701,4 +701,40 @@ class MonitoringSpec extends SparkSpec {
     // observed rows identical across modes
     want.filter(!_._2._2).foreach { case (k, v) => assert(lin(k) === v) }
   }
+
+  test("capacity forecast: planted ramp recovers slope and ETA, degenerate series drop") {
+    val base = 1704067200000000L / 1000 // 2024-01-01 in epoch millis
+    def t(h: Int) = new java.sql.Timestamp(base + h * 3600000L)
+    // device 1: exact ramp +0.5/hour = +12/day from 100, 241 hourly points
+    val ramp = (0 to 240).map(i =>
+      (1L, t(i), i.toLong, "purchase", 100.0 + 0.5 * i))
+    // device 2: flat — fits slope 0, never breaches
+    val flat = (0 to 24).map(i => (2L, t(i), 500L + i, "purchase", 50.0))
+    // device 3: two points — under minPoints
+    val twoPt = Seq((3L, t(0), 900L, "purchase", 10.0),
+      (3L, t(1), 901L, "purchase", 20.0))
+    // device 4: declining — negative slope, no breach ETA
+    val down = (0 to 24).map(i =>
+      (4L, t(i), 950L + i, "purchase", 300.0 - 2.0 * i))
+    // device 5: zero x-variance (all samples the same instant)
+    val zeroVar = (0 until 5).map(i => (5L, t(0), 980L + i, "purchase", 7.0))
+    val events = (ramp ++ flat ++ twoPt ++ down ++ zeroVar)
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Monitoring.capacityForecastOf(events, threshold = 400.0)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toMap
+    assert(out.keySet === Set(1L, 2L, 4L), s"wrong fleet: ${out.keySet}")
+    val (n1, slope1, now1, eta1) = out(1L)
+    assert(n1 === 241L)
+    assert(math.abs(slope1 - 12.0) < 1e-3, s"slope $slope1 != planted 12/day")
+    assert(math.abs(now1 - 220.0) < 1e-3, s"projected $now1 != ramp end 220")
+    // (400 - 220) / 12 = 15 days out
+    assert(eta1.exists(e => math.abs(e - 15.0) < 1e-3), s"eta $eta1 != 15")
+    assert(math.abs(out(2L)._2) < 1e-6 && out(2L)._4.isEmpty,
+      "flat series must fit slope 0 with no ETA")
+    assert(out(4L)._2 < 0.0 && out(4L)._4.isEmpty,
+      "declining series must keep a negative slope and no ETA")
+  }
 }
