@@ -111,6 +111,8 @@ object SparkEntry {
       Similarity.pipelineEmbedSearch(s, d)),
     "ann_index_health" -> ((s: SparkSession, d: String) =>
       Similarity.annIndexHealthQuery(s, d)),
+    "ann_hybrid" -> ((s: SparkSession, d: String) =>
+      Similarity.annHybrid(s, d)),
     // F: multimodal
     "mm_manifest" -> (Multimodal.mmManifest _),
     "mm_frame_sample" -> (Multimodal.mmFrameSample _),
@@ -156,6 +158,8 @@ object SparkEntry {
     "dedup_cluster_stats" -> (Curation.dedupClusterStats _),
     "shuffle_sequences" -> (Curation.shuffleSequencesQuery _),
     "domain_cap" -> (Curation.domainCapQuery _),
+    "oversample_rare" -> (Curation.oversampleRareQuery _),
+    "text_script_profile" -> (TextAnalysis.textScriptProfile _),
     "q_asof_join" -> (Joins.asofJoinQuery _),
     "q_range_join" -> (Joins.rangeJoinQuery _),
     "q_corr" -> (Relational.qCorr _),
@@ -342,6 +346,8 @@ object SparkEntry {
     "dedup_cluster_stats" -> Curation.dedupClusterStatsSql,
     "shuffle_sequences" -> Curation.shuffleSequencesSql,
     "domain_cap" -> Curation.domainCapSql,
+    "oversample_rare" -> Curation.oversampleRareSql(),
+    "text_script_profile" -> TextAnalysis.textScriptProfileSql,
     "q_asof_join" -> Joins.asofJoinSql,
     "q_range_join" -> Joins.rangeJoinSql,
     "q_corr" -> Relational.qCorrSql,
@@ -384,6 +390,7 @@ object SparkEntry {
     "q_top_movers" -> Relational.qTopMoversSql,
     "q_heatmap" -> Relational.qHeatmapSql,
     "ann_filtered" -> Similarity.annFilteredSql,
+    "ann_hybrid" -> Similarity.annHybridSql,
     "q_event_paths" -> Relational.qEventPathsSql,
     "text_entropy" -> TextAnalysis.textEntropySql,
     "corpus_drift" -> TextAnalysis.corpusDriftSql,

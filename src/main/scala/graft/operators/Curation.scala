@@ -2154,4 +2154,82 @@ object Curation {
       |  SELECT doc_id,
       |    CAST(SUM(CAST(nf * lr AS DECIMAL(28,12))) AS DOUBLE) AS logw
       |  FROM nf JOIN lr USING (b) GROUP BY doc_id)""".stripMargin
+
+  // ------------------------------------------------------------- C44
+  /** OVERSAMPLE RARE — temperature-based source rebalancing, the
+    * inverse knob of C25's cap: rare sources get their docs REPLICATED
+    * toward the target mix instead of large ones being cut (the
+    * multilingual-training standard: sampling factor ∝ (n_max/n_s)^T,
+    * T = 0.5, capped at `maxFactor` so a 10-doc source cannot explode).
+    * Every doc keeps at least one copy (factors clamp at 1 — this
+    * operator never drops; dropping is C14/C25's job); the fractional
+    * part of the factor becomes one extra copy per doc decided by the
+    * C25 seeded-LCG lottery on doc_id — deterministic, unbiased within
+    * each source, and ORACLE-CHECKABLE (the signed LCG key compares
+    * against the same double threshold in both engines).
+    *
+    * Plan shape: one tiny per-source aggregate (sources, not docs),
+    * factors broadcast back, then a MAP-ONLY explode of
+    * sequence(1, n_copies) — the 100 TB corpus streams through without
+    * an exchange; output size is Σ factors · n_s, bounded by
+    * maxFactor × corpus. */
+  def oversampleRare(docs: DataFrame, sourceCol: String = "source",
+      temperature: Double = 0.5, maxFactor: Double = 4.0,
+      seed: Long = 97L): DataFrame = {
+    require(temperature > 0 && temperature <= 1,
+      s"temperature $temperature outside (0, 1]")
+    require(maxFactor >= 1.0, s"maxFactor $maxFactor would drop docs")
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+    val nMax = counts.agg(max(col("n")).as("n_max"))
+    val factors = counts.crossJoin(broadcast(nMax))
+      .withColumn("factor",
+        least(lit(maxFactor),
+          pow(col("n_max").cast("double") / col("n").cast("double"),
+            temperature)))
+      .select(col(sourceCol), col("factor"))
+    val sk = graft.functions.HashFunctions.lcg64(col("doc_id"), seed)
+      .cast("double")
+    val thr = lit(-9.223372036854776e18) +
+      (col("factor") - floor(col("factor"))) * lit(1.8446744073709552e19)
+    docs.join(broadcast(factors), Seq(sourceCol))
+      .withColumn("n_copies",
+        floor(col("factor")).cast("long") +
+          when(sk < thr, 1L).otherwise(0L))
+      .select(col("doc_id"), col(sourceCol), col("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+      .orderBy(col("doc_id"), col("copy"))
+  }
+
+  /** Driver query rebalances by LANGUAGE — the synthetic corpus is
+    * uniform by source but English-heavy by lang (the realistic
+    * multilingual-rebalancing shape: en stays ×1, the tail replicates
+    * toward parity). */
+  def oversampleRareQuery(spark: SparkSession, sfDir: String): DataFrame =
+    oversampleRare(Tables.documents(spark, sfDir), sourceCol = "lang")
+
+  def oversampleRareSql(temperature: Double = 0.5, maxFactor: Double = 4.0,
+      seed: Long = 97L): String =
+    s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+       |mx AS (SELECT MAX(n) AS n_max FROM c),
+       |f AS (
+       |  SELECT lang,
+       |    LEAST($maxFactor, pow(CAST((SELECT n_max FROM mx) AS DOUBLE) / CAST(n AS DOUBLE), $temperature)) AS factor
+       |  FROM c),
+       |k AS (
+       |  SELECT doc_id, d.lang, factor,
+       |    ((doc_id + $seed)::HUGEINT * 6364136223846793005
+       |      + 1442695040888963407) % 18446744073709551616 AS u
+       |  FROM documents d JOIN f USING (lang)),
+       |d2 AS (
+       |  SELECT doc_id, lang,
+       |    CAST(floor(factor) AS BIGINT) +
+       |      CASE WHEN CAST(CAST(CASE WHEN u >= 9223372036854775808
+       |            THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS DOUBLE)
+       |          < -9.223372036854776e18 + (factor - floor(factor)) * 1.8446744073709552e19
+       |        THEN 1 ELSE 0 END AS n_copies
+       |  FROM k)
+       |SELECT doc_id, lang, n_copies,
+       |  unnest(generate_series(1, n_copies)) AS copy
+       |FROM d2
+       |ORDER BY doc_id, copy""".stripMargin
 }

@@ -1546,4 +1546,166 @@ object Similarity {
         $"purity", round($"mean_dist", 6).as("mean_dist"))
       .orderBy($"cluster_id")
   }
+
+  // ---------------------------------------------------------------- D22
+  /** HYBRID SEARCH — reciprocal-rank fusion of lexical (BM25) and
+    * vector (cosine) retrieval, the modern search-tier table stakes:
+    * each ranker alone misses what the other catches (exact keywords
+    * vs paraphrase), and RRF (Cormack et al., SIGIR'09) fuses the two
+    * rank lists without score calibration: rrf(d) = Σ 1/(K + rank_i(d))
+    * over the lists that retrieved d, K = 60.
+    *
+    * The query panel is the D1 convention (doc/vec ids below
+    * [[QueryIdBound]] — documents and embeddings share the id space).
+    * Text side is doc-as-query retrieval over the E16 inverted-index
+    * shape: the query doc's `queryTermCap` MOST SELECTIVE terms (top
+    * idf — the classic stopword skip, bounding probe fan-out per query
+    * to a constant) probe the postings; a candidate's score is the sum
+    * of its matched postings' BM25 contributions, summed as
+    * DECIMAL(18,8) so the oracle's sum order cannot drift a ulp.
+    * Vector side is the shared [[bruteTopKFrames]] kernel here (500 ×
+    * 10 pairs); at corpus scale the SAME fusion runs off
+    * `annIvfServe`'s ranked output instead — only the pool source
+    * changes. Each list truncates to `poolN` before fusion (rank > poolN
+    * contributes < 1/(K+poolN) ≈ nothing). Both rank lists are tiny
+    * (poolN × queries) so the full-outer fusion join is trivial.
+    *
+    * Scale notes: query terms broadcast (queries × termCap rows); the
+    * postings probe is a broadcast-hash join on term — the candidate
+    * side streams; no exchange carries more than pool-sized frames
+    * after the probe's aggregate. */
+  def annHybrid(spark: SparkSession, sfDir: String, k: Int = HybridK,
+      poolN: Int = HybridPoolN, rrfK: Int = 60,
+      queryTermCap: Int = 16): DataFrame =
+    annHybridOf(Tables.documents(spark, sfDir),
+      Tables.embeddings(spark, sfDir),
+      nDocs = Tables.cachedCount(spark, s"$sfDir/documents.parquet"),
+      nVecs = Tables.cachedCount(spark, s"$sfDir/embeddings.parquet"),
+      queryBound = QueryIdBound, k = k, poolN = poolN, rrfK = rrfK,
+      queryTermCap = queryTermCap)
+
+  /** The kernel over arbitrary (doc_id, text) / (vec_id, embedding)
+    * frames sharing an id space — lets the spec plant a keyword-only
+    * twin and an embedding-only twin and prove fusion surfaces BOTH.
+    * `nDocs`/`nVecs` are passed in (metadata-cheap for the table
+    * wrapper) so the kernel runs no counting job of its own. */
+  def annHybridOf(docs: DataFrame, emb: DataFrame, nDocs: Long,
+      nVecs: Long, queryBound: Long, k: Int = HybridK,
+      poolN: Int = HybridPoolN, rrfK: Int = 60,
+      queryTermCap: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(k > 0 && poolN >= k && rrfK > 0 && queryTermCap > 0,
+      s"bad hybrid params k=$k poolN=$poolN rrfK=$rrfK cap=$queryTermCap")
+    // postings (doc_id, term, tf, dl) row-locally — the E16 shape
+    val tf = docs.withColumn("toks", TextAnalysis.tokens())
+      .select($"doc_id", size($"toks").cast("long").as("dl"),
+        explode(graft.functions.TextFunctions.tokenCounts($"toks"))
+          .as(Seq("term", "tf")))
+      .localCheckpoint(true)
+    val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val totals = tf.agg((sum($"tf").cast("double") / nDocs).as("avgdl"))
+    def idfCol: Column =
+      log(lit(1.0) + (lit(nDocs.toDouble) - $"df" + 0.5) / ($"df" + 0.5))
+    val scored = tf.join(df_, Seq("term")).crossJoin(broadcast(totals))
+      .withColumn("idf", idfCol)
+      .withColumn("bm25",
+        $"idf" * ($"tf" * 2.2) /
+          ($"tf" + lit(1.2) *
+            (lit(1.0) - 0.75 + lit(0.75) * ($"dl" / $"avgdl"))))
+    val qTerms = graft.plans.TopK.perKey(
+      scored.filter($"doc_id" < queryBound)
+        .select($"doc_id".as("query_id"), $"term", $"idf"),
+      Seq("query_id"), Seq($"idf".desc, $"term".asc), queryTermCap)
+      .select($"query_id", $"term")
+    val textPairs = scored.select($"term", $"doc_id".as("cand_id"), $"bm25")
+      .join(broadcast(qTerms), Seq("term"))
+      .filter($"cand_id" =!= $"query_id")
+      .groupBy($"query_id", $"cand_id")
+      .agg(sum($"bm25".cast("decimal(18,8)")).cast("double").as("text_score"))
+    val wT = Window.partitionBy($"query_id")
+      .orderBy($"text_score".desc, $"cand_id")
+    val textTop = graft.plans.TopK.perKey(textPairs, Seq("query_id"),
+      Seq($"text_score".desc, $"cand_id".asc), poolN)
+      .withColumn("text_rank", row_number().over(wT).cast("long"))
+      .select($"query_id", $"cand_id", $"text_rank")
+    val vecTop = bruteTopKFrames(emb,
+      emb.filter($"vec_id" < queryBound)
+        .select($"vec_id".as("query_id"), $"embedding"),
+      k = poolN,
+      knownPairs = Some(nVecs * queryBound))
+      .select($"query_id", $"neighbor_id".as("cand_id"),
+        $"rank".cast("long").as("vec_rank"))
+    val fused = textTop
+      .join(vecTop, Seq("query_id", "cand_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + $"text_rank"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + $"vec_rank"), lit(0.0)))
+    val wF = Window.partitionBy($"query_id").orderBy($"rrf".desc, $"cand_id")
+    graft.plans.TopK.perKey(fused, Seq("query_id"),
+      Seq($"rrf".desc, $"cand_id".asc), k)
+      .withColumn("rank", row_number().over(wF).cast("long"))
+      .select($"query_id", $"rank", $"cand_id",
+        round($"rrf", 6).as("rrf"), $"text_rank", $"vec_rank")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val HybridK = 10
+  val HybridPoolN = 50
+
+  val annHybridSql: String =
+    s"""WITH postings AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM postings GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |t AS (SELECT CAST(sum(tf) AS DOUBLE) / (SELECT n_docs FROM n) AS avgdl FROM tf),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df, dl.dl,
+       |    (ln(1.0 + (CAST((SELECT n_docs FROM n) AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))) AS idf,
+       |    (ln(1.0 + (CAST((SELECT n_docs FROM n) AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)))
+       |      * (tf.tf * 2.2::DOUBLE)
+       |      / (tf.tf + 1.2::DOUBLE * (1.0 - 0.75 + 0.75::DOUBLE * (dl.dl / t.avgdl))) AS bm25
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN t),
+       |qterms AS (
+       |  SELECT query_id, term FROM (
+       |    SELECT doc_id AS query_id, term,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY idf DESC, term) AS tr
+       |    FROM scored WHERE doc_id < $QueryIdBound) x WHERE tr <= 16),
+       |textpairs AS (
+       |  SELECT q.query_id, s.doc_id AS cand_id,
+       |    CAST(SUM(CAST(s.bm25 AS DECIMAL(18,8))) AS DOUBLE) AS text_score
+       |  FROM qterms q JOIN scored s USING (term)
+       |  WHERE s.doc_id <> q.query_id
+       |  GROUP BY q.query_id, s.doc_id),
+       |ttop AS (
+       |  SELECT query_id, cand_id, text_rank FROM (
+       |    SELECT query_id, cand_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY text_score DESC, cand_id) AS text_rank
+       |    FROM textpairs) x WHERE text_rank <= $HybridPoolN),
+       |vtop AS (
+       |  SELECT query_id, cand_id, vec_rank FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q", "c")} DESC, c.vec_id) AS vec_rank
+       |    FROM embeddings q, embeddings c
+       |    WHERE q.vec_id < $QueryIdBound AND c.vec_id <> q.vec_id) x
+       |  WHERE vec_rank <= $HybridPoolN),
+       |fused AS (
+       |  SELECT COALESCE(t.query_id, v.query_id) AS query_id,
+       |    COALESCE(t.cand_id, v.cand_id) AS cand_id,
+       |    t.text_rank, v.vec_rank,
+       |    COALESCE(1.0::DOUBLE / (60 + t.text_rank), 0.0::DOUBLE)
+       |      + COALESCE(1.0::DOUBLE / (60 + v.vec_rank), 0.0::DOUBLE) AS rrf
+       |  FROM ttop t FULL OUTER JOIN vtop v
+       |    ON t.query_id = v.query_id AND t.cand_id = v.cand_id)
+       |SELECT query_id, rank, cand_id, ROUND(rrf, 6) AS rrf,
+       |  text_rank, vec_rank
+       |FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY rrf DESC, cand_id) AS rank
+       |  FROM fused) x
+       |WHERE rank <= $HybridK
+       |ORDER BY query_id, rank""".stripMargin
 }

@@ -1158,4 +1158,56 @@ object TextAnalysis {
       |SELECT s AS source, n_tokens, vocab,
       |  0.5 * sp + 0.5 * (sq + ln(2.0) * (1.0 - gfp / ngd)) AS jsd
       |FROM agg ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- E22
+  /** SCRIPT / CHARSET PROFILE — per-source character-class composition
+    * (ASCII letters, digits, whitespace, the rest): the corpus-QA
+    * gauge that catches mojibake, binary spill, wrong-script ingest,
+    * and markup-heavy sources before they poison tokenizer training.
+    * Counts come from length deltas after class-stripping
+    * regexp_replace — per-row integer arithmetic (map-only), summed
+    * exactly as BIGINTs in ONE per-source aggregate; fractions are
+    * single IEEE divisions off the exact sums. `other` is derived by
+    * subtraction, so the four fractions partition 1 exactly and the
+    * operator needs no cross-engine agreement on punctuation classes. */
+  def textScriptProfile(spark: SparkSession, sfDir: String): DataFrame =
+    textScriptProfileOf(Tables.documents(spark, sfDir))
+
+  def textScriptProfileOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def stripped(re: String): Column =
+      length($"text") - length(regexp_replace($"text", re, ""))
+    val m = docs.select($"source",
+      length($"text").cast("long").as("nc"),
+      stripped("[A-Za-z]").cast("long").as("na"),
+      stripped("[0-9]").cast("long").as("nd"),
+      stripped("[ \\t\\n\\r]").cast("long").as("ns"))
+    m.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"nc").as("n_chars"),
+        sum($"na").as("n_alpha"), sum($"nd").as("n_digit"),
+        sum($"ns").as("n_space"))
+      .select($"source", $"n_docs", $"n_chars",
+        round($"n_alpha".cast("double") / $"n_chars", 6).as("alpha_frac"),
+        round($"n_digit".cast("double") / $"n_chars", 6).as("digit_frac"),
+        round($"n_space".cast("double") / $"n_chars", 6).as("space_frac"),
+        round(($"n_chars" - $"n_alpha" - $"n_digit" - $"n_space")
+          .cast("double") / $"n_chars", 6).as("other_frac"))
+      .orderBy($"source")
+  }
+
+  val textScriptProfileSql: String =
+    """WITH m AS (
+      |  SELECT source, CAST(length(text) AS BIGINT) AS nc,
+      |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS na,
+      |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS nd,
+      |    CAST(length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS BIGINT) AS ns
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs, CAST(SUM(nc) AS BIGINT) AS n_chars,
+      |  ROUND(CAST(SUM(na) AS DOUBLE) / CAST(SUM(nc) AS BIGINT), 6) AS alpha_frac,
+      |  ROUND(CAST(SUM(nd) AS DOUBLE) / CAST(SUM(nc) AS BIGINT), 6) AS digit_frac,
+      |  ROUND(CAST(SUM(ns) AS DOUBLE) / CAST(SUM(nc) AS BIGINT), 6) AS space_frac,
+      |  ROUND(CAST(SUM(nc) - SUM(na) - SUM(nd) - SUM(ns) AS DOUBLE) / CAST(SUM(nc) AS BIGINT), 6) AS other_frac
+      |FROM m GROUP BY source
+      |ORDER BY source""".stripMargin
 }

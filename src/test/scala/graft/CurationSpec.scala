@@ -888,6 +888,33 @@ class CurationSpec extends SparkSpec {
         assert(headMin.min >= tailMax.max, s"$lang head below tail")
     }
   }
+
+  test("oversample rare: exact integer factors replicate exactly, cap binds, nothing drops") {
+    import spark.implicits._
+    // big: 100 docs (factor 1); quarter: 25 docs (sqrt(4) = 2 exactly —
+    // the fractional lottery must NOT fire); singleton: 1 doc (sqrt(100)
+    // = 10 capped to 4)
+    val docs = ((0 until 100).map(i => (i.toLong, "big")) ++
+      (100 until 125).map(i => (i.toLong, "quarter")) ++
+      Seq((125L, "singleton")))
+      .toDF("doc_id", "source")
+    val out = Curation.oversampleRare(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val bySrc = out.groupBy(_._2)
+    assert(bySrc("big").forall(_._3 == 1L), "factor-1 source replicated")
+    assert(bySrc("big").size === 100)
+    assert(bySrc("quarter").forall(_._3 == 2L),
+      s"exact factor 2 must give exactly 2 copies: ${bySrc("quarter").take(3).toSeq}")
+    assert(bySrc("quarter").size === 50)
+    assert(bySrc("singleton").forall(_._3 == 4L), "maxFactor cap not binding")
+    assert(bySrc("singleton").size === 4)
+    // every doc keeps at least one copy; copy indices are 1..n_copies
+    assert(out.map(_._1).distinct.length === 126, "a doc was dropped")
+    out.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.map(_._4).sorted.sameElements(1L to rows.head._3),
+        s"doc $id copy indices broken")
+    }
+  }
 }
 
 /** Top-level so spark.implicits can derive its Encoder. */

@@ -674,4 +674,51 @@ class SimilaritySpec extends SparkSpec {
     val recall = ivfSet.size.toDouble / exactSet.size
     assert(recall >= 0.5, s"radius recall $recall below the family bound")
   }
+
+  test("hybrid search: fusion surfaces the keyword-only AND embedding-only twins") {
+    import spark.implicits._
+    // id 0 is the query. id 1 shares its rare keywords but points the
+    // OPPOSITE way in embedding space; id 2 shares nothing lexically
+    // but carries the identical embedding; 3-5 are noise on both axes.
+    val docs = Seq(
+      (0L, "zebra quantum flux calibration manifold"),
+      (1L, "zebra quantum flux calibration manifold report"),
+      (2L, "completely unrelated prose about gardening and soup"),
+      (3L, "noise alpha beta gamma delta epsilon"),
+      (4L, "filler words keep the idf surface honest here"),
+      (5L, "more filler so rare terms stay rare in this corpus"))
+      .toDF("doc_id", "text")
+    def v(x: Double, y: Double) = Array.tabulate(8)(i =>
+      if (i == 0) x.toFloat else if (i == 1) y.toFloat else 0.0f)
+    val emb = Seq(
+      (0L, v(1, 0)), (1L, v(-1, 0.1)), (2L, v(1, 0)),
+      (3L, v(0, 1)), (4L, v(0.1, 1)), (5L, v(-0.1, 1)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.annHybridOf(docs, emb, nDocs = 6, nVecs = 6,
+      queryBound = 1L, k = 2, poolN = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    assert(out.forall(_._1 == 0L))
+    val byCand = out.map(t => t._3 -> t).toMap
+    assert(byCand.keySet === Set(1L, 2L),
+      s"fusion must surface both twins, got ${byCand.keySet}")
+    // the keyword twin leads the text list but misses the vector pool
+    assert(byCand(1L)._5.contains(1L) && byCand(1L)._6.isEmpty,
+      s"keyword twin ranks wrong: ${byCand(1L)}")
+    // the embedding twin leads the vector list but misses the text list
+    assert(byCand(2L)._5.isEmpty && byCand(2L)._6.contains(1L),
+      s"embedding twin ranks wrong: ${byCand(2L)}")
+    // rrf is exactly the reciprocal-rank sum with absent lists as zero
+    out.foreach { case (_, _, _, rrf, tr, vr) =>
+      val want = tr.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        vr.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(math.abs(rrf - want) < 1e-6, s"rrf $rrf != $want")
+    }
+    // deterministic tie-break: equal rrf orders by candidate id
+    val sf01 = Similarity.annHybrid(spark, sf).collect()
+    assert(sf01.length == 10 * Similarity.HybridK)
+    val ranks = sf01.map(r => (r.getLong(0), r.getLong(1)))
+    assert(ranks.sameElements(ranks.sorted), "rank order broken on sf data")
+  }
 }

@@ -362,4 +362,25 @@ class TextAnalysisSpec extends SparkSpec {
         s"half-novel JSD: got ${got.get((1L, "srcC"))} want $want")
     } finally q.stop()
   }
+
+  test("script profile: planted composition exact, fractions partition 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "abc 12\n!!", "clean"), // 3 alpha, 2 digit, 2 ws, 2 other of 9
+      (1L, "ABCDEFGHIJ", "clean"), // pure letters
+      (2L, "<<<>>>", "markup")) // pure "other" — the mojibake signal
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.textScriptProfileOf(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    val (nd, nc, a, d, s, o) = out("clean")
+    assert((nd, nc) === ((2L, 19L)))
+    assert(a === math.rint(13.0 / 19 * 1e6) / 1e6)
+    assert(d === math.rint(2.0 / 19 * 1e6) / 1e6)
+    assert(s === math.rint(2.0 / 19 * 1e6) / 1e6)
+    assert(o === math.rint(2.0 / 19 * 1e6) / 1e6)
+    assert(out("markup") === ((1L, 6L, 0.0, 0.0, 0.0, 1.0)),
+      s"pure-markup source must land fully in other: ${out("markup")}")
+  }
 }
