@@ -113,6 +113,8 @@ object SparkEntry {
       Similarity.annIndexHealthQuery(s, d)),
     "ann_hybrid" -> ((s: SparkSession, d: String) =>
       Similarity.annHybrid(s, d)),
+    "ann_mmr" -> ((s: SparkSession, d: String) =>
+      Similarity.annMmr(s, d)),
     // F: multimodal
     "mm_manifest" -> (Multimodal.mmManifest _),
     "mm_frame_sample" -> (Multimodal.mmFrameSample _),
@@ -159,6 +161,7 @@ object SparkEntry {
     "shuffle_sequences" -> (Curation.shuffleSequencesQuery _),
     "domain_cap" -> (Curation.domainCapQuery _),
     "oversample_rare" -> (Curation.oversampleRareQuery _),
+    "contamination_report" -> (Curation.contaminationReportQuery _),
     "text_script_profile" -> (TextAnalysis.textScriptProfile _),
     "q_asof_join" -> (Joins.asofJoinQuery _),
     "q_range_join" -> (Joins.rangeJoinQuery _),
@@ -347,6 +350,7 @@ object SparkEntry {
     "shuffle_sequences" -> Curation.shuffleSequencesSql,
     "domain_cap" -> Curation.domainCapSql,
     "oversample_rare" -> Curation.oversampleRareSql(),
+    "contamination_report" -> Curation.contaminationReportSql,
     "text_script_profile" -> TextAnalysis.textScriptProfileSql,
     "q_asof_join" -> Joins.asofJoinSql,
     "q_range_join" -> Joins.rangeJoinSql,

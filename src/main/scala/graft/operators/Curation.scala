@@ -2200,6 +2200,70 @@ object Curation {
       .orderBy(col("doc_id"), col("copy"))
   }
 
+  // ------------------------------------------------------------- C45
+  /** CONTAMINATION REPORT — C12's question from the EVAL side: not
+    * "which train docs are dirty" but "which benchmark items are
+    * BURNED, and how badly" (the number an eval owner needs before
+    * trusting a score; a benchmark with 40% of items leaked measures
+    * memorization, not capability). Per benchmark item: distinct
+    * contaminated train docs and distinct leaked n-grams, with clean
+    * items present as zero rows (the good news is a row too, not an
+    * absence).
+    *
+    * Scale shape: C12's exact contract — benchmark grams broadcast
+    * ("a test set, not terabytes"), the 100 TB train side streams
+    * MAP-ONLY into the probe join; the aggregate is keyed by benchmark
+    * item so its cardinality is the benchmark's, and COUNT(DISTINCT)
+    * tolerates the gram multiset (no pre-join distinct pass over the
+    * corpus). Gram identity is the C12 hash (oracle replays the gram
+    * STRINGS — a hash collision would surface as a count mismatch). */
+  def contaminationReport(docs: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 13): DataFrame = {
+    require(n >= 1)
+    val bg = Dedup.gramSet(benchmark, idCol, textCol, n)
+      .select(col("id").as("bench_id"), col("g")).distinct()
+    val tg = Dedup.gramSet(docs, idCol, textCol, n)
+      .select(col("id").as("train_id"), col("g"))
+    val rep = tg.join(broadcast(bg), Seq("g"))
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("train_id")).as("n_train_docs"),
+        countDistinct(col("g")).as("n_shared_grams"))
+    benchmark.select(col(idCol).as("bench_id"))
+      .join(rep, Seq("bench_id"), "left_outer")
+      .select(col("bench_id"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+      .orderBy(col("bench_id"))
+  }
+
+  def contaminationReportQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    contaminationReport(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0))
+  }
+
+  val contaminationReportSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, array_to_string(t[i:i+12], ' ') AS gram
+      |  FROM toks, UNNEST(generate_series(1, len(t) - 12)) AS u(i)
+      |  WHERE len(t) >= 13),
+      |bg AS (SELECT DISTINCT doc_id AS bench_id, gram FROM g WHERE doc_id % 10 = 0),
+      |tg AS (SELECT doc_id AS train_id, gram FROM g WHERE doc_id % 10 <> 0),
+      |agg AS (
+      |  SELECT bench_id, COUNT(DISTINCT train_id) AS n_train_docs,
+      |    COUNT(DISTINCT gram) AS n_shared_grams
+      |  FROM tg JOIN bg USING (gram) GROUP BY bench_id)
+      |SELECT b.bench_id, COALESCE(n_train_docs, 0) AS n_train_docs,
+      |  COALESCE(n_shared_grams, 0) AS n_shared_grams
+      |FROM (SELECT doc_id AS bench_id FROM documents WHERE doc_id % 10 = 0) b
+      |LEFT JOIN agg USING (bench_id)
+      |ORDER BY bench_id""".stripMargin
+
   /** Driver query rebalances by LANGUAGE — the synthetic corpus is
     * uniform by source but English-heavy by lang (the realistic
     * multilingual-rebalancing shape: en stays ×1, the tail replicates

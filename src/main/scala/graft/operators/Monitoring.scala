@@ -2053,8 +2053,9 @@ object Monitoring {
   }
 
   /** The synthetic feed's first day (2024-01-01 UTC) in epoch micros —
-    * the x rebase keeping regression moments inside DECIMAL(18). */
-  private val FeedEpochUs = 1704067200000000L
+    * the x rebase keeping regression moments inside DECIMAL(18). Public:
+    * the A61 streaming twin rebases against the same origin. */
+  val FeedEpochUs = 1704067200000000L
   private val SecPerDay = 86400.0
 
   def capacityForecastSql(threshold: Double = 400.0,

@@ -1653,6 +1653,112 @@ object Similarity {
   val HybridK = 10
   val HybridPoolN = 50
 
+  // ---------------------------------------------------------------- D23
+  /** MMR RE-RANK — Maximal Marginal Relevance diversification
+    * (Carbonell & Goldstein, SIGIR'98): a raw top-k is often k
+    * paraphrases of the same chunk (exactly what C2/C5's near-dup
+    * families guarantee at corpus scale); retrieval that feeds a
+    * context window wants COVERAGE. Greedy selection maximizes
+    * λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) — relevance traded against
+    * similarity to what's already picked.
+    *
+    * The greedy argmax over an evolving set is inherently sequential
+    * (not SQL-expressible — rows-only + spec), but it is sequential
+    * PER QUERY over a CONSTANT-SIZE pool: the candidate pool (top
+    * `poolN` by cosine — the D1 kernel here, annIvfServe at corpus
+    * scale) groups by query and each group re-ranks in one task with
+    * O(poolN²) work and O(poolN) state — corpus size never enters.
+    * Ties break by candidate id; λ=1 degenerates to the plain cosine
+    * order (the spec pins both). */
+  def annMmr(spark: SparkSession, sfDir: String, k: Int = HybridK,
+      poolN: Int = HybridPoolN, lambda: Double = 0.7): DataFrame = {
+    import spark.implicits._
+    require(k > 0 && poolN >= k, s"bad mmr params k=$k poolN=$poolN")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda $lambda outside [0,1]")
+    val e = Tables.embeddings(spark, sfDir)
+    val queries = e.filter($"vec_id" < QueryIdBound)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val pool = bruteTopKFrames(e, queries, k = poolN,
+      knownPairs = Some(
+        Tables.cachedCount(spark, s"$sfDir/embeddings.parquet") * QueryIdBound))
+    annMmrOf(pool, e, k, lambda)
+  }
+
+  /** The re-rank kernel over an arbitrary ranked pool (query_id,
+    * neighbor_id, cos) + an embedding frame — the pool source is
+    * pluggable (brute here, IVF/PQ serving paths at scale). */
+  def annMmrOf(pool: DataFrame, emb: DataFrame, k: Int,
+      lambda: Double): DataFrame = {
+    val spark = pool.sparkSession
+    import spark.implicits._
+    val withVecs = pool
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("embedding"))
+      .as[(Long, Long, Double, Array[Float])]
+    withVecs.groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Array[Float])]) =>
+        // pool is poolN rows by construction — bounded group state
+        val cands = it.toArray.sortBy(t => (-t._3, t._2))
+        val n = cands.length
+        val picked = new Array[Int](math.min(k, n))
+        val pickScore = new Array[Double](picked.length)
+        val used = new Array[Boolean](n)
+        // running max-sim-to-selected per candidate: O(poolN) updates
+        // per pick instead of re-scanning the selected set
+        val maxSim = new Array[Double](n)
+        var r = 0
+        while (r < picked.length) {
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!used(i)) {
+              val s = lambda * cands(i)._3 -
+                (1 - lambda) * (if (r == 0) 0.0 else maxSim(i))
+              if (s > bestScore ||
+                  (s == bestScore && best >= 0 && cands(i)._2 < cands(best)._2)) {
+                best = i; bestScore = s
+              }
+            }
+            i += 1
+          }
+          picked(r) = best
+          pickScore(r) = bestScore
+          used(best) = true
+          val bv = cands(best)._4
+          i = 0
+          while (i < n) {
+            if (!used(i)) {
+              val s = cosF(cands(i)._4, bv)
+              if (s > maxSim(i)) maxSim(i) = s
+            }
+            i += 1
+          }
+          r += 1
+        }
+        picked.iterator.zipWithIndex.map { case (idx, rk) =>
+          val c = cands(idx)
+          (qid, (rk + 1).toLong, c._2, c._3, pickScore(rk))
+        }
+      }
+      .toDF("query_id", "rank", "neighbor_id", "relevance", "mmr_score")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Sequential-double cosine over float vectors — the
+    * VectorFunctions kernel's accumulation order. */
+  private def cosF(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   val annHybridSql: String =
     s"""WITH postings AS (
        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term

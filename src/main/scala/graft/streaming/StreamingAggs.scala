@@ -557,7 +557,90 @@ object StreamingAggs {
           out.result().iterator
       }
   }
+
+  /** STREAMING capacity forecast — the live twin of
+    * [[graft.operators.Monitoring.capacityForecastOf]] (A60): the
+    * regression moments are COMMUTATIVE sums, so unlike the EWMA
+    * recurrence no per-device ordering is needed at all — each trigger
+    * folds its samples into exact accumulators (Σx and max x as longs;
+    * Σy at scale 4 as a long; Σxy / Σx² as exact BigDecimals, since a
+    * year-long per-second series pushes both past 2⁶³) and re-emits the
+    * device's refreshed forecast. The closed form replays the batch
+    * operator's IEEE tree on doubles taken from the SAME exact decimal
+    * moments, so a replayed history matches batch BIT-EXACTLY (the
+    * parity spec pins it). State is six scalars per device however
+    * long its series. Events are assumed at/after the feed epoch
+    * (A60's rebase contract — batch `div` and this floorDiv agree on
+    * non-negative x). */
+  def trendStream(events: Dataset[DeviceEvent], threshold: Double = 400.0,
+      minPoints: Int = 3): DataFrame = {
+    require(minPoints >= 2, s"minPoints $minPoints < 2 cannot fit a line")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val zero = java.math.BigDecimal.ZERO
+    events.filter(_.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[TrendState, TrendRow](GroupStateTimeout.NoTimeout) {
+        (dev: Long, it: Iterator[DeviceEvent], state: GroupState[TrendState]) =>
+          var s = state.getOption.getOrElse(
+            TrendState(0L, 0L, 0L, zero, zero, Long.MinValue))
+          it.foreach { e =>
+            val x = Math.floorDiv(
+              HealthMonitor.tsMicros(e.ts) - graft.operators.Monitoring.FeedEpochUs,
+              1000000L)
+            // value → DECIMAL(18,4) exactly as the batch cast does
+            // (BigDecimal.valueOf(double) = shortest decimal repr,
+            // HALF_UP — Spark's Decimal.set(double) path)
+            val y4 = java.math.BigDecimal.valueOf(e.value)
+              .setScale(4, java.math.RoundingMode.HALF_UP)
+            s = TrendState(s.n + 1L, s.sx + x,
+              s.sy4 + y4.unscaledValue().longValueExact(),
+              s.sxy.add(java.math.BigDecimal.valueOf(x).multiply(y4)),
+              s.sxx.add(java.math.BigDecimal.valueOf(x * x)),
+              math.max(s.xmax, x))
+          }
+          state.update(s)
+          // the A60 closed form on doubles off the exact moments
+          val n = s.n.toDouble
+          val sx = s.sx.toDouble
+          val sy = java.math.BigDecimal.valueOf(s.sy4, 4).doubleValue()
+          val sxy = s.sxy.doubleValue()
+          val sxx = s.sxx.doubleValue()
+          val denom = n * sxx - sx * sx
+          if (s.n >= minPoints && denom > 0.0) {
+            val slopeSec = (n * sxy - sx * sy) / denom
+            val slopeDay = slopeSec * 86400.0
+            val projected = (sy - slopeSec * sx) / n + slopeSec * s.xmax.toDouble
+            val eta = if (slopeDay > 0.0 && projected < threshold)
+              Some(round6((threshold - projected) / slopeDay)) else None
+            TrendRow(dev, s.n, ready = true,
+              Some(round6(slopeDay)), Some(round6(projected)), eta)
+          } else TrendRow(dev, s.n, ready = false, None, None, None)
+      }
+      .filter(_.ready)
+      .toDF()
+      .select(col("user_id"), col("n_samples"), col("slope_per_day"),
+        col("projected_now"), col("days_to_breach"))
+  }
+
+  /** Spark's Round-on-double semantics (HALF_UP over the shortest
+    * decimal repr) — shared so stream and batch cannot drift. */
+  private def round6(v: Double): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 }
+
+/** Exact per-device regression moments (A61): counts/Σx/max-x as longs,
+  * Σy at fixed scale 4 as a long, Σxy / Σx² as arbitrary-precision
+  * decimals — a year-long per-second series overflows 2⁶³ on both. */
+case class TrendState(n: Long, sx: Long, sy4: Long,
+    sxy: java.math.BigDecimal, sxx: java.math.BigDecimal, xmax: Long)
+
+/** One live forecast row (ready = fitted: enough points, nonzero
+  * x-variance). */
+case class TrendRow(user_id: Long, n_samples: Long, ready: Boolean,
+    slope_per_day: Option[Double], projected_now: Option[Double],
+    days_to_breach: Option[Double])
 
 /** Per-device flap state: previous error flag (-1 = none yet, carried
   * across midnight like the batch lag window), current day + flip

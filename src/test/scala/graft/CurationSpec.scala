@@ -889,6 +889,29 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("contamination report: burned items counted from the eval side, clean items zero") {
+    import spark.implicits._
+    val leaked = (1 to 14).map(i => s"tok$i").mkString(" ")
+    val train = Seq(
+      (1L, s"prefix words here $leaked and a suffix"),
+      (2L, s"$leaked copied wholesale into another page"),
+      (3L, "an entirely clean training document with enough words to " +
+        "carry its own plain thirteen gram content safely along"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, s"question stem $leaked answer choices"),
+      (101L, "a pristine benchmark item phrased in words the training " +
+        "corpus never uses together in any window of thirteen"))
+      .toDF("doc_id", "text")
+    val out = Curation.contaminationReport(train, bench).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet === Set(100L, 101L), "every bench item must report")
+    assert(out(100L)._1 === 2L,
+      s"both contaminated train docs must count: ${out(100L)}")
+    assert(out(100L)._2 >= 2L, "shared-gram count must cover the window")
+    assert(out(101L) === ((0L, 0L)), s"clean item not zero: ${out(101L)}")
+  }
+
   test("oversample rare: exact integer factors replicate exactly, cap binds, nothing drops") {
     import spark.implicits._
     // big: 100 docs (factor 1); quarter: 25 docs (sqrt(4) = 2 exactly —

@@ -721,4 +721,43 @@ class SimilaritySpec extends SparkSpec {
     val ranks = sf01.map(r => (r.getLong(0), r.getLong(1)))
     assert(ranks.sameElements(ranks.sorted), "rank order broken on sf data")
   }
+
+  test("MMR re-rank: coverage beats redundancy, lambda=1 is the plain cosine order") {
+    import spark.implicits._
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    // query 0 at (1,0,0). Candidates 1-3: near-identical paraphrases
+    // hugging the query; candidate 4: moderately relevant, orthogonal
+    // to the paraphrase cluster's residual direction; 5: weak.
+    val emb = Seq(
+      (0L, v(1, 0, 0)),
+      (1L, v(1, 0.10, 0)), (2L, v(1, 0.11, 0)), (3L, v(1, 0.12, 0)),
+      (4L, v(0.9, 0, 0.9)), (5L, v(0.2, 1, 0))).toDF("vec_id", "embedding")
+    val pool = Similarity.bruteTopKFrames(emb,
+      emb.filter($"vec_id" === 0L)
+        .select($"vec_id".as("query_id"), $"embedding"),
+      k = 5).select($"query_id", $"neighbor_id", $"cos")
+    // plain relevance order: the three paraphrases fill the top 3
+    val plain = pool.orderBy($"cos".desc).collect().map(_.getLong(1)).take(3)
+    assert(plain.toSet === Set(1L, 2L, 3L), s"setup broken: ${plain.toSeq}")
+    // MMR at lambda .5: after one paraphrase, the diverse candidate 4
+    // must displace the remaining paraphrases
+    val mmr = Similarity.annMmrOf(pool, emb, k = 3, lambda = 0.5)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(mmr.map(_._1).sameElements(Seq(1L, 2L, 3L)), "ranks not 1..k")
+    val picked = mmr.map(_._2)
+    // pick 1 is pure relevance (a paraphrase); pick 2 must be the
+    // diverse candidate, displacing the near-identical runners-up that
+    // plain cosine put at ranks 2-3
+    assert(picked(0) == 1L && picked(1) == 4L,
+      s"MMR kept ${picked.toSeq} — paraphrase cluster not diversified")
+    // lambda = 1 degenerates to the cosine order exactly
+    val deg = Similarity.annMmrOf(pool, emb, k = 5, lambda = 1.0)
+      .collect().map(_.getLong(2))
+    val want = pool.orderBy($"cos".desc, $"neighbor_id").collect()
+      .map(_.getLong(1))
+    assert(deg.sameElements(want), s"λ=1 drifted: ${deg.toSeq} vs ${want.toSeq}")
+    // the sf-data driver query: k rows per query, ranks contiguous
+    val sfOut = Similarity.annMmr(spark, sf).collect()
+    assert(sfOut.length == 10 * Similarity.HybridK)
+  }
 }

@@ -583,6 +583,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming trend: replayed history refits the batch capacity forecast bit-exactly") {
+    def pv(id: Long, hour: Int, dev: Long, v: Double): DeviceEvent =
+      DeviceEvent(id, new Timestamp(1704067200000L + hour * 3600000L),
+        dev, "purchase", v, "{}")
+    // device 1: the A60 spec's exact ramp (+0.5/hour from 100); device
+    // 2: flat; split mid-series so state must carry across triggers
+    val all = (0 to 240).map(i => pv(i.toLong, i, 1L, 100.0 + 0.5 * i)) ++
+      (0 to 24).map(i => pv(500L + i, i, 2L, 50.0))
+    val (first, second) = all.partition(_.event_id % 2 == 0)
+    val input = MemoryStream[DeviceEvent](17, spark, None)
+    val q = StreamingAggs.trendStream(input.toDS())
+      .writeStream.format("memory").queryName("trend_out")
+      .outputMode("update").start()
+    try {
+      input.addData(first: _*)
+      q.processAllAvailable()
+      input.addData(second: _*)
+      q.processAllAvailable()
+      val live = spark.table("trend_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+        .groupBy(_._1).map { case (d, rows) => d -> rows.maxBy(_._2) }
+      import spark.implicits._
+      val batch = graft.operators.Monitoring.capacityForecastOf(
+        all.map(e => (e.user_id, e.ts, e.event_type, e.value))
+          .toDF("user_id", "ts", "event_type", "value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+        .map(t => t._1 -> t).toMap
+      assert(live.keySet === batch.keySet, s"fleet drift: $live vs $batch")
+      live.foreach { case (d, row) =>
+        assert(row === batch(d), s"device $d: stream $row != batch ${batch(d)}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming flaps: replayed history pages the batch flagged device-days, once each") {
     import graft.operators.Monitoring
     val want = Monitoring.statusFlaps(spark, sf).collect()
