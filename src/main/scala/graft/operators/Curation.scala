@@ -2179,7 +2179,11 @@ object Curation {
     require(temperature > 0 && temperature <= 1,
       s"temperature $temperature outside (0, 1]")
     require(maxFactor >= 1.0, s"maxFactor $maxFactor would drop docs")
+    // pin the SOURCE-sized counts frame: it feeds both the n_max
+    // scalar and the factor join — unpinned, each branch would rescan
+    // and re-aggregate the full corpus (the fleetHealth lesson)
     val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val nMax = counts.agg(max(col("n")).as("n_max"))
     val factors = counts.crossJoin(broadcast(nMax))
       .withColumn("factor",
@@ -2197,7 +2201,9 @@ object Curation {
           when(sk < thr, 1L).otherwise(0L))
       .select(col("doc_id"), col(sourceCol), col("n_copies"),
         explode(sequence(lit(1L), col("n_copies"))).as("copy"))
-      .orderBy(col("doc_id"), col("copy"))
+    // no sort here: the output is corpus × factor sized and downstream
+    // consumers (packing, shuffle_sequences) impose their own order —
+    // a presentation orderBy would range-partition the whole corpus
   }
 
   // ------------------------------------------------------------- C45
@@ -2270,6 +2276,7 @@ object Curation {
     * toward parity). */
   def oversampleRareQuery(spark: SparkSession, sfDir: String): DataFrame =
     oversampleRare(Tables.documents(spark, sfDir), sourceCol = "lang")
+      .orderBy(col("doc_id"), col("copy"))
 
   def oversampleRareSql(temperature: Double = 0.5, maxFactor: Double = 4.0,
       seed: Long = 97L): String =

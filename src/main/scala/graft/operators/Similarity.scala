@@ -1576,13 +1576,26 @@ object Similarity {
     * after the probe's aggregate. */
   def annHybrid(spark: SparkSession, sfDir: String, k: Int = HybridK,
       poolN: Int = HybridPoolN, rrfK: Int = 60,
-      queryTermCap: Int = 16): DataFrame =
-    annHybridOf(Tables.documents(spark, sfDir),
-      Tables.embeddings(spark, sfDir),
-      nDocs = Tables.cachedCount(spark, s"$sfDir/documents.parquet"),
+      queryTermCap: Int = 16): DataFrame = {
+    // the inverted index is a per-corpus-version build artifact, not
+    // per-query work: pin it once per (dir, mtime) — the quantizedCache
+    // discipline, superseded versions evicted + unpinned
+    val stamp = Tables.pathStamp(spark, s"$sfDir/documents.parquet")
+    hybridCache.filterInPlace { case ((d, st), df) =>
+      d != sfDir || st == stamp || { Tables.unpinCheckpoint(df); false }
+    }
+    val scored = hybridCache.getOrElseUpdate((sfDir, stamp),
+      bm25ScoredPostings(Tables.documents(spark, sfDir),
+        Tables.cachedCount(spark, s"$sfDir/documents.parquet"))
+        .localCheckpoint(true))
+    hybridFrom(scored, Tables.embeddings(spark, sfDir),
       nVecs = Tables.cachedCount(spark, s"$sfDir/embeddings.parquet"),
       queryBound = QueryIdBound, k = k, poolN = poolN, rrfK = rrfK,
       queryTermCap = queryTermCap)
+  }
+
+  private val hybridCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), DataFrame]
 
   /** The kernel over arbitrary (doc_id, text) / (vec_id, embedding)
     * frames sharing an id space — lets the spec plant a keyword-only
@@ -1592,12 +1605,19 @@ object Similarity {
   def annHybridOf(docs: DataFrame, emb: DataFrame, nDocs: Long,
       nVecs: Long, queryBound: Long, k: Int = HybridK,
       poolN: Int = HybridPoolN, rrfK: Int = 60,
-      queryTermCap: Int = 16): DataFrame = {
+      queryTermCap: Int = 16): DataFrame =
+    hybridFrom(bm25ScoredPostings(docs, nDocs), emb, nVecs, queryBound,
+      k, poolN, rrfK, queryTermCap)
+
+  /** The E16 scored-postings build: (doc_id, term, tf, dl, idf, bm25)
+    * row-locally off ONE pinned tokenization pass. In production this
+    * frame IS the persisted inverted index (built at ingest, served
+    * from storage); [[annHybrid]] caches it per corpus version so
+    * repeated hybrid queries pay only the probe, mirroring that
+    * split. */
+  private def bm25ScoredPostings(docs: DataFrame, nDocs: Long): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    require(k > 0 && poolN >= k && rrfK > 0 && queryTermCap > 0,
-      s"bad hybrid params k=$k poolN=$poolN rrfK=$rrfK cap=$queryTermCap")
-    // postings (doc_id, term, tf, dl) row-locally — the E16 shape
     val tf = docs.withColumn("toks", TextAnalysis.tokens())
       .select($"doc_id", size($"toks").cast("long").as("dl"),
         explode(graft.functions.TextFunctions.tokenCounts($"toks"))
@@ -1605,14 +1625,22 @@ object Similarity {
       .localCheckpoint(true)
     val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val totals = tf.agg((sum($"tf").cast("double") / nDocs).as("avgdl"))
-    def idfCol: Column =
-      log(lit(1.0) + (lit(nDocs.toDouble) - $"df" + 0.5) / ($"df" + 0.5))
-    val scored = tf.join(df_, Seq("term")).crossJoin(broadcast(totals))
-      .withColumn("idf", idfCol)
+    tf.join(df_, Seq("term")).crossJoin(broadcast(totals))
+      .withColumn("idf",
+        log(lit(1.0) + (lit(nDocs.toDouble) - $"df" + 0.5) / ($"df" + 0.5)))
       .withColumn("bm25",
         $"idf" * ($"tf" * 2.2) /
           ($"tf" + lit(1.2) *
             (lit(1.0) - 0.75 + lit(0.75) * ($"dl" / $"avgdl"))))
+  }
+
+  private def hybridFrom(scored: DataFrame, emb: DataFrame, nVecs: Long,
+      queryBound: Long, k: Int, poolN: Int, rrfK: Int,
+      queryTermCap: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    require(k > 0 && poolN >= k && rrfK > 0 && queryTermCap > 0,
+      s"bad hybrid params k=$k poolN=$poolN rrfK=$rrfK cap=$queryTermCap")
     val qTerms = graft.plans.TopK.perKey(
       scored.filter($"doc_id" < queryBound)
         .select($"doc_id".as("query_id"), $"term", $"idf"),
