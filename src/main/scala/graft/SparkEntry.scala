@@ -163,6 +163,8 @@ object SparkEntry {
     "oversample_rare" -> (Curation.oversampleRareQuery _),
     "contamination_report" -> (Curation.contaminationReportQuery _),
     "text_script_profile" -> (TextAnalysis.textScriptProfile _),
+    "text_vocab_coverage" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.textVocabCoverage(s, d)),
     "q_asof_join" -> (Joins.asofJoinQuery _),
     "q_range_join" -> (Joins.rangeJoinQuery _),
     "q_corr" -> (Relational.qCorr _),
@@ -190,6 +192,8 @@ object SparkEntry {
       Monitoring.downtimeSla(s, d)),
     "mon_capacity_forecast" -> ((s: SparkSession, d: String) =>
       Monitoring.capacityForecast(s, d)),
+    "mon_forecast_accuracy" -> ((s: SparkSession, d: String) =>
+      Monitoring.forecastAccuracy(s, d)),
     "mix_report" -> ((s: SparkSession, d: String) =>
       Curation.mixReport(s, d)),
     "pack_report" -> ((s: SparkSession, d: String) =>
@@ -352,6 +356,7 @@ object SparkEntry {
     "oversample_rare" -> Curation.oversampleRareSql(),
     "contamination_report" -> Curation.contaminationReportSql,
     "text_script_profile" -> TextAnalysis.textScriptProfileSql,
+    "text_vocab_coverage" -> TextAnalysis.textVocabCoverageSql(),
     "q_asof_join" -> Joins.asofJoinSql,
     "q_range_join" -> Joins.rangeJoinSql,
     "q_corr" -> Relational.qCorrSql,
@@ -376,6 +381,7 @@ object SparkEntry {
     "word_cooccurrence" -> TextAnalysis.wordCooccurrenceSql(),
     "mon_downtime_sla" -> Monitoring.downtimeSlaSql(),
     "mon_capacity_forecast" -> Monitoring.capacityForecastSql(),
+    "mon_forecast_accuracy" -> Monitoring.forecastAccuracySql(),
     "mix_report" -> Curation.mixReportSql(),
     "pack_report" -> Curation.packReportSql(),
     "mm_motion_profile" -> Multimodal.mmMotionProfileSql,

@@ -2052,6 +2052,102 @@ object Monitoring {
       .orderBy($"user_id")
   }
 
+  // ---------------------------------------------------------------- A62
+  /** FORECAST ACCURACY — the honest-forecasting backtest A60 needs
+    * before anyone pages on its ETAs: fit the trend on the history
+    * BEFORE a cutoff, score it on the holdout AFTER, report per-device
+    * MAE and signed bias (a model can have a small MAE and still be
+    * systematically early — bias is the "always pages a day late"
+    * smell). Devices without enough training points or holdout samples
+    * drop; a fleet-wide reviewer aggregates the output, which is
+    * device-sized.
+    *
+    * Scale shape: TWO passes over events split by the cutoff predicate
+    * (both pushed to the scan — date-partitioned storage prunes each
+    * side); the training pass is A60's one-exchange moment aggregate
+    * reduced to a FLEET-sized frame, which then joins the holdout side
+    * — broadcast at scale, so the holdout pass stays map-local until
+    * its own per-device error aggregate. Per-row errors are exact-
+    * identical IEEE doubles; they enter the aggregate as DECIMAL(18,6)
+    * so sum order cannot drift the reported MAE (the D22 discipline). */
+  def forecastAccuracy(spark: SparkSession, sfDir: String,
+      cutoff: String = "2024-01-22", minPoints: Int = 3): DataFrame =
+    forecastAccuracyOf(Tables.events(spark, sfDir), cutoff, minPoints)
+
+  def forecastAccuracyOf(events: DataFrame, cutoff: String = "2024-01-22",
+      minPoints: Int = 3): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(minPoints >= 2, s"minPoints $minPoints < 2 cannot fit a line")
+    val cutTs = lit(cutoff).cast("timestamp")
+    val x = expr(s"(unix_micros(ts) - ${FeedEpochUs}L) div 1000000")
+    val xd = x.cast("decimal(18,0)")
+    val y = $"value".cast("decimal(18,4)")
+    val samples = events
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
+    val m = samples.filter($"ts" < cutTs)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_train"),
+        sum(xd).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(xd * y).cast("double").as("sxy"),
+        sum(xd * xd).cast("double").as("sxx"))
+    val n = $"n_train"
+    val denom = n * $"sxx" - $"sx" * $"sx"
+    val slopeSec = (n * $"sxy" - $"sx" * $"sy") / denom
+    val fit = m.filter(n >= minPoints && denom > 0.0)
+      .select($"user_id", n, slopeSec.as("slope_sec"),
+        (($"sy" - slopeSec * $"sx") / n).as("intercept"))
+    val holdout = samples.filter($"ts" >= cutTs)
+      .select($"user_id", x.cast("double").as("xh"),
+        $"value".as("yh"))
+    holdout.join(broadcast(fit), Seq("user_id"))
+      .withColumn("err", $"yh" - ($"intercept" + $"slope_sec" * $"xh"))
+      .groupBy($"user_id", $"n_train", $"slope_sec")
+      .agg(count(lit(1)).as("n_holdout"),
+        (sum(abs($"err").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("mae"),
+        (sum($"err".cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("bias"))
+      .select($"user_id", $"n_train", $"n_holdout",
+        round($"slope_sec" * lit(SecPerDay), 6).as("slope_per_day"),
+        round($"mae", 6).as("mae"), round($"bias", 6).as("bias"))
+      .orderBy($"user_id")
+  }
+
+  def forecastAccuracySql(cutoff: String = "2024-01-22",
+      minPoints: Int = 3): String =
+    s"""WITH p AS (
+       |  SELECT user_id, ts,
+       |    (epoch_us(ts) - 1704067200000000) // 1000000 AS x,
+       |    value,
+       |    CAST(value AS DECIMAL(18,4)) AS y
+       |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+       |m AS (
+       |  SELECT user_id, COUNT(*) AS n_train,
+       |    CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+       |    CAST(SUM(y) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(x AS DECIMAL(18,0)) * y) AS DOUBLE) AS sxy,
+       |    CAST(SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sxx
+       |  FROM p WHERE ts < TIMESTAMP '$cutoff' GROUP BY user_id),
+       |fit AS (
+       |  SELECT user_id, n_train,
+       |    (n_train * sxy - sx * sy) / (n_train * sxx - sx * sx) AS slope_sec,
+       |    (sy - (n_train * sxy - sx * sy) / (n_train * sxx - sx * sx) * sx) / n_train AS intercept
+       |  FROM m
+       |  WHERE n_train >= ${minPoints} AND n_train * sxx - sx * sx > 0.0),
+       |h AS (
+       |  SELECT p.user_id, n_train, slope_sec,
+       |    value - (intercept + slope_sec * CAST(x AS DOUBLE)) AS err
+       |  FROM p JOIN fit ON p.user_id = fit.user_id
+       |  WHERE ts >= TIMESTAMP '$cutoff')
+       |SELECT user_id, n_train, COUNT(*) AS n_holdout,
+       |  ROUND(slope_sec * ${SecPerDay}, 6) AS slope_per_day,
+       |  ROUND(CAST(SUM(CAST(abs(err) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mae,
+       |  ROUND(CAST(SUM(CAST(err AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS bias
+       |FROM h GROUP BY user_id, n_train, slope_sec
+       |ORDER BY user_id""".stripMargin
+
   /** The synthetic feed's first day (2024-01-01 UTC) in epoch micros —
     * the x rebase keeping regression moments inside DECIMAL(18). Public:
     * the A61 streaming twin rebases against the same origin. */

@@ -1196,6 +1196,74 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  // ---------------------------------------------------------------- E23
+  /** VOCABULARY COVERAGE CURVE — what fraction of corpus tokens the
+    * top-N terms cover, at standard budget cuts: THE tokenizer-sizing
+    * question (a 10k vocab covering 96% of tokens means 4% of the
+    * corpus fragments into fallback bytes; the C32 perplexity buckets
+    * and E5's raw top-k both assume someone already chose N — this is
+    * how N gets chosen).
+    *
+    * Scale shape: one term-count aggregate (the E5 exchange) pinned;
+    * the ranking then runs over a frame bounded by the LARGEST CUT,
+    * not the vocabulary — the custom TopK operator's map-side heaps
+    * prune every partition to maxCut rows before the single ranking
+    * task, so a billion-term web vocabulary ships maxCut rows per
+    * partition and the window sorts a constant-size frame. Counts are
+    * exact BIGINTs; coverage is one IEEE division, rounded at 6. */
+  def textVocabCoverage(spark: SparkSession, sfDir: String,
+      cuts: Seq[Int] = Seq(100, 1000, 10000)): DataFrame =
+    textVocabCoverageOf(Tables.documents(spark, sfDir), cuts)
+
+  def textVocabCoverageOf(docs: DataFrame,
+      cuts: Seq[Int] = Seq(100, 1000, 10000)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(cuts.nonEmpty && cuts.forall(_ > 0) && cuts == cuts.sorted,
+      s"cuts must be positive and ascending: $cuts")
+    val counts = docs.withColumn("toks", tokens())
+      .select(explode(TextFunctions.tokenCounts($"toks")).as(Seq("term", "tf")))
+      .groupBy($"term").agg(sum($"tf").as("cnt"))
+      .localCheckpoint(true) // vocab-sized; feeds totals AND the top frame
+    val totals = counts.agg(count(lit(1)).as("n_terms"),
+      sum($"cnt").as("total_tokens"))
+    val top = graft.plans.TopK.perKey(
+      counts.withColumn("__k", lit(1)), Seq("__k"),
+      Seq($"cnt".desc, $"term".asc), cuts.max)
+    val w = Window.partitionBy($"__k").orderBy($"cnt".desc, $"term")
+    val ranked = top.withColumn("rank", row_number().over(w))
+    val coveredCols = cuts.map(c =>
+      coalesce(sum(when($"rank" <= c, $"cnt")), lit(0L))
+        .as(s"__c$c"))
+    val one = ranked.agg(coveredCols.head, coveredCols.tail: _*)
+    val stackExpr = cuts.map(c => s"$c, __c$c").mkString(", ")
+    one.selectExpr(
+        s"stack(${cuts.length}, $stackExpr) as (vocab_cut, covered_tokens)")
+      .crossJoin(broadcast(totals))
+      .select($"vocab_cut".cast("long").as("vocab_cut"), $"n_terms",
+        $"total_tokens", $"covered_tokens",
+        round($"covered_tokens".cast("double") /
+          $"total_tokens".cast("double"), 6).as("coverage"))
+      .orderBy($"vocab_cut")
+  }
+
+  def textVocabCoverageSql(cuts: Seq[Int] = Seq(100, 1000, 10000)): String = {
+    val vals = cuts.map(c => s"($c)").mkString(",")
+    s"""WITH tf AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+       |  FROM documents),
+       |c AS (SELECT term, COUNT(*) AS cnt FROM tf GROUP BY term),
+       |t AS (SELECT COUNT(*) AS n_terms, CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM c),
+       |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank FROM c),
+       |k AS (SELECT * FROM (VALUES $vals) v(cut))
+       |SELECT CAST(cut AS BIGINT) AS vocab_cut, n_terms, total_tokens,
+       |  CAST(COALESCE(SUM(CASE WHEN rank <= cut THEN cnt END), 0) AS BIGINT) AS covered_tokens,
+       |  ROUND(CAST(COALESCE(SUM(CASE WHEN rank <= cut THEN cnt END), 0) AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6) AS coverage
+       |FROM k, r, t
+       |GROUP BY cut, n_terms, total_tokens
+       |ORDER BY vocab_cut""".stripMargin
+  }
+
   val textScriptProfileSql: String =
     """WITH m AS (
       |  SELECT source, CAST(length(text) AS BIGINT) AS nc,

@@ -737,4 +737,33 @@ class MonitoringSpec extends SparkSpec {
     assert(out(4L)._2 < 0.0 && out(4L)._4.isEmpty,
       "declining series must keep a negative slope and no ETA")
   }
+
+  test("forecast accuracy: perfect line scores zero, planted offset lands in MAE and bias") {
+    val base = 1704067200000000L / 1000
+    def t(h: Int) = new java.sql.Timestamp(base + h * 3600000L)
+    // device 1: exact line through train AND holdout — zero error
+    val perfect = (0 to 48).map(i =>
+      (1L, t(i), "purchase", 10.0 + 0.5 * i))
+    // device 2: exact line in train, holdout shifted +5 — MAE 5, bias +5
+    val shifted = (0 to 48).map { i =>
+      val lift = if (i >= 24) 5.0 else 0.0
+      (2L, t(i), "purchase", 10.0 + 0.5 * i + lift)
+    }
+    import spark.implicits._
+    val events = (perfect ++ shifted)
+      .toDF("user_id", "ts", "event_type", "value")
+    val out = Monitoring.forecastAccuracyOf(events, cutoff = "2024-01-02")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    val (nt1, nh1, slope1, mae1, bias1) = out(1L)
+    assert(nt1 === 24L && nh1 === 25L)
+    assert(math.abs(slope1 - 12.0) < 1e-3, s"slope $slope1")
+    assert(math.abs(mae1) < 1e-6 && math.abs(bias1) < 1e-6,
+      s"perfect line must score zero: mae=$mae1 bias=$bias1")
+    val (_, _, _, mae2, bias2) = out(2L)
+    assert(math.abs(mae2 - 5.0) < 1e-6 && math.abs(bias2 - 5.0) < 1e-6,
+      s"planted +5 offset: mae=$mae2 bias=$bias2")
+  }
 }

@@ -363,6 +363,22 @@ class TextAnalysisSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("vocab coverage: planted frequencies give exact cut coverage, over-cut saturates") {
+    import spark.implicits._
+    // counts: aa×5, bb×3, cc×1, dd×1 → total 10
+    val docs = Seq((0L, "aa aa aa bb bb cc"), (1L, "aa aa bb dd"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.textVocabCoverageOf(docs, cuts = Seq(1, 2, 10))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(out.keySet === Set(1L, 2L, 10L))
+    assert(out(1L) === ((4L, 10L, 5L, 0.5)), s"cut 1: ${out(1L)}")
+    assert(out(2L) === ((4L, 10L, 8L, 0.8)), s"cut 2: ${out(2L)}")
+    assert(out(10L) === ((4L, 10L, 10L, 1.0)),
+      s"a cut past the vocabulary must saturate at 1: ${out(10L)}")
+  }
+
   test("script profile: planted composition exact, fractions partition 1") {
     import spark.implicits._
     val docs = Seq(
