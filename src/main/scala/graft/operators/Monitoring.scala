@@ -2068,8 +2068,9 @@ object Monitoring {
     * reduced to a FLEET-sized frame, which then joins the holdout side
     * — broadcast at scale, so the holdout pass stays map-local until
     * its own per-device error aggregate. Per-row errors are exact-
-    * identical IEEE doubles; they enter the aggregate as DECIMAL(18,6)
-    * so sum order cannot drift the reported MAE (the D22 discipline). */
+    * identical IEEE doubles; they enter the aggregate as INTEGER
+    * MICROS via floor(x·1e6 + .5) — pure IEEE ops both engines — so
+    * sum order cannot drift the reported MAE. */
   def forecastAccuracy(spark: SparkSession, sfDir: String,
       cutoff: String = "2024-01-22", minPoints: Int = 3): DataFrame =
     forecastAccuracyOf(Tables.events(spark, sfDir), cutoff, minPoints)
@@ -2101,17 +2102,30 @@ object Monitoring {
     val holdout = samples.filter($"ts" >= cutTs)
       .select($"user_id", x.cast("double").as("xh"),
         $"value".as("yh"))
+    // Per-row errors quantize to integer MICROS via floor(x·1e6 + .5):
+    // pure IEEE ops, bit-identical in both engines. (A double→DECIMAL
+    // cast here is NOT portable on computed values: Spark rounds the
+    // shortest decimal repr, DuckDB the exact binary value — at sf0.1
+    // a handful of holdout errors sat on 1e-6 boundaries and the two
+    // casts disagreed by one ulp of the report.)
+    val errQ = (c: org.apache.spark.sql.Column) => floor(c * lit(1e6) + lit(0.5)).cast("long")
     holdout.join(broadcast(fit), Seq("user_id"))
       .withColumn("err", $"yh" - ($"intercept" + $"slope_sec" * $"xh"))
       .groupBy($"user_id", $"n_train", $"slope_sec")
       .agg(count(lit(1)).as("n_holdout"),
-        (sum(abs($"err").cast("decimal(18,6)")).cast("double") /
+        (sum(errQ(abs($"err"))).cast("double") / lit(1e6) /
           count(lit(1))).as("mae"),
-        (sum($"err".cast("decimal(18,6)")).cast("double") /
+        (sum(errQ($"err")).cast("double") / lit(1e6) /
           count(lit(1))).as("bias"))
+      // mae/bias ship UNrounded: they are exact integer-micro sums
+      // through an identical IEEE chain, so the raw doubles already
+      // match bit-for-bit — a final ROUND would reintroduce the
+      // boundary problem (sum/n over quantized micros lands on exact
+      // .5e-6 values, where Spark's string-based HALF_UP and DuckDB's
+      // binary round disagree)
       .select($"user_id", $"n_train", $"n_holdout",
         round($"slope_sec" * lit(SecPerDay), 6).as("slope_per_day"),
-        round($"mae", 6).as("mae"), round($"bias", 6).as("bias"))
+        $"mae", $"bias")
       .orderBy($"user_id")
   }
 
@@ -2143,8 +2157,8 @@ object Monitoring {
        |  WHERE ts >= TIMESTAMP '$cutoff')
        |SELECT user_id, n_train, COUNT(*) AS n_holdout,
        |  ROUND(slope_sec * ${SecPerDay}, 6) AS slope_per_day,
-       |  ROUND(CAST(SUM(CAST(abs(err) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mae,
-       |  ROUND(CAST(SUM(CAST(err AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS bias
+       |  CAST(SUM(CAST(floor(abs(err) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*) AS mae,
+       |  CAST(SUM(CAST(floor(err * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*) AS bias
        |FROM h GROUP BY user_id, n_train, slope_sec
        |ORDER BY user_id""".stripMargin
 
