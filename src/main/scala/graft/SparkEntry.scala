@@ -115,6 +115,9 @@ object SparkEntry {
       Similarity.annHybrid(s, d)),
     "ann_mmr" -> ((s: SparkSession, d: String) =>
       Similarity.annMmr(s, d)),
+    "ann_capped" -> ((s: SparkSession, d: String) =>
+      Similarity.annCapped(s, d)),
+    "mm_thumbnails" -> (Multimodal.mmThumbnails _),
     // F: multimodal
     "mm_manifest" -> (Multimodal.mmManifest _),
     "mm_frame_sample" -> (Multimodal.mmFrameSample _),
@@ -401,6 +404,8 @@ object SparkEntry {
     "q_heatmap" -> Relational.qHeatmapSql,
     "ann_filtered" -> Similarity.annFilteredSql,
     "ann_hybrid" -> Similarity.annHybridSql,
+    "ann_capped" -> Similarity.annCappedSql,
+    "mm_thumbnails" -> Multimodal.mmThumbnailsSql,
     "q_event_paths" -> Relational.qEventPathsSql,
     "text_entropy" -> TextAnalysis.textEntropySql,
     "corpus_drift" -> TextAnalysis.corpusDriftSql,

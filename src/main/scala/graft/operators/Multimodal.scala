@@ -825,6 +825,36 @@ object Multimodal {
        |FROM sh GROUP BY media_id, shot_id
        |ORDER BY media_id, shot_id""".stripMargin
 
+  // ---------------------------------------------------------------- F14
+  /** THUMBNAIL pick — the poster frame every media library needs: per
+    * media, the representative keyframe of the LONGEST shot (longest =
+    * the content the media mostly is; the keyframe is F10's first
+    * frame of that shot — stable under re-encode, unlike "frame 0",
+    * which is black/logo lead-in for most real video). Ties break to
+    * the earliest shot. Pure composition over F10's one-exchange shot
+    * segmentation: the argmax runs through the bounded-heap TopK (k=1)
+    * on the shot-count-sized frame — no second pass over frames, no
+    * window over the full shot list. The oracle WRAPS the F10 SQL so
+    * pick and segmentation cannot drift. */
+  def mmThumbnails(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.TopK.perKey(shots(mmFrames(spark, sfDir)),
+      Seq("media_id"), Seq($"n_frames".desc, $"shot_id".asc), 1)
+      .select($"media_id", $"shot_id", $"start_frame", $"n_frames",
+        $"keyframe_hash")
+      .orderBy($"media_id")
+  }
+
+  val mmThumbnailsSql: String =
+    s"""SELECT media_id, shot_id, start_frame, n_frames, keyframe_hash
+       |FROM (
+       |  SELECT media_id, shot_id, start_frame, n_frames, keyframe_hash,
+       |    row_number() OVER (PARTITION BY media_id
+       |      ORDER BY n_frames DESC, shot_id) AS rk
+       |  FROM ($mmShotsSql) s) t
+       |WHERE rk = 1
+       |ORDER BY media_id""".stripMargin
+
   // ---------------------------------------------------------------- F11
   /** AUDIO SILENCE spans — the VAD/trim first pass over F9's level
     * windows: maximal runs of consecutive windows whose RMS sits under

@@ -1775,6 +1775,75 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- D24
+  /** SOURCE-CAPPED ANN — "at most m results per source": the search-
+    * result-diversity constraint every retrieval surface ships (one
+    * boilerplate-heavy domain would otherwise fill the whole top-k
+    * with siblings — D23 diversifies by GEOMETRY, this caps by
+    * METADATA, and real rankers run both). Candidates come from the
+    * pool kernel (brute here, the IVF serving path at scale), join
+    * their source over the shared id space, rank within (query,
+    * source), cut at `perSource`, then take the final top-k by score.
+    * Both windows run over pool-sized frames — corpus size never
+    * enters after the pool stage. A dominated pool can under-fill k
+    * (fewer than k candidates survive the cap) — that is the
+    * documented semantics, not a bug: widen poolN, not the cap. */
+  def annCapped(spark: SparkSession, sfDir: String, k: Int = HybridK,
+      poolN: Int = HybridPoolN, perSource: Int = 2): DataFrame = {
+    import spark.implicits._
+    require(k > 0 && poolN >= k && perSource > 0,
+      s"bad cap params k=$k poolN=$poolN perSource=$perSource")
+    val e = Tables.embeddings(spark, sfDir)
+    val pool = bruteTopKFrames(e,
+      e.filter($"vec_id" < QueryIdBound)
+        .select($"vec_id".as("query_id"), $"embedding"),
+      k = poolN,
+      knownPairs = Some(
+        Tables.cachedCount(spark, s"$sfDir/embeddings.parquet") * QueryIdBound))
+      .select($"query_id", $"neighbor_id", $"cos")
+    val src = pool.join(
+      Tables.documents(spark, sfDir)
+        .select($"doc_id".as("neighbor_id"), $"source"),
+      Seq("neighbor_id"))
+    val wS = Window.partitionBy($"query_id", $"source")
+      .orderBy($"cos".desc, $"neighbor_id")
+    val capped = src.withColumn("src_rank", row_number().over(wS).cast("long"))
+      .filter($"src_rank" <= perSource)
+    val wF = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    graft.plans.TopK.perKey(capped, Seq("query_id"),
+      Seq($"cos".desc, $"neighbor_id".asc), k)
+      .withColumn("rank", row_number().over(wF).cast("long"))
+      .select($"query_id", $"rank", $"neighbor_id", $"source",
+        $"src_rank", $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val annCappedSql: String =
+    s"""WITH pool AS (
+       |  SELECT query_id, neighbor_id, cos FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      ${cosSql("q", "c")} AS cos,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q", "c")} DESC, c.vec_id) AS prank
+       |    FROM embeddings q, embeddings c
+       |    WHERE q.vec_id < $QueryIdBound AND c.vec_id <> q.vec_id) x
+       |  WHERE prank <= $HybridPoolN),
+       |src AS (
+       |  SELECT pool.query_id, pool.neighbor_id, pool.cos, d.source
+       |  FROM pool JOIN documents d ON pool.neighbor_id = d.doc_id),
+       |capped AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id, source
+       |      ORDER BY cos DESC, neighbor_id) AS src_rank
+       |  FROM src)
+       |SELECT query_id, rank, neighbor_id, source, src_rank, cos
+       |FROM (
+       |  SELECT query_id, neighbor_id, source, src_rank, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM capped WHERE src_rank <= 2) t
+       |WHERE rank <= $HybridK
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Sequential-double cosine over float vectors — the
     * VectorFunctions kernel's accumulation order. */
   private def cosF(a: Array[Float], b: Array[Float]): Double = {

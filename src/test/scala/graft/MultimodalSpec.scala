@@ -276,4 +276,26 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(out.head._5 - math.sqrt(1920.0 / 128.0)) < 1e-12)
     assert(math.abs(out(1)._5 - math.sqrt(1600.0 / 160.0)) < 1e-12)
   }
+
+  test("thumbnails: one poster per media, from a longest shot, keyframe consistent") {
+    val thumbs = Multimodal.mmThumbnails(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val shots = Multimodal.mmShots(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(4),
+        r.getLong(5)))
+    val byMedia = shots.groupBy(_._1)
+    assert(thumbs.keySet === byMedia.keySet, "a media lost its poster")
+    thumbs.foreach { case (m, (shotId, startF, nF, key)) =>
+      val ms = byMedia(m)
+      val maxLen = ms.map(_._4).max
+      assert(nF === maxLen, s"media $m picked a non-longest shot")
+      // earliest among the longest
+      assert(shotId === ms.filter(_._4 == maxLen).map(_._2).min,
+        s"media $m tie-break broken")
+      val shot = ms.find(_._2 == shotId).get
+      assert(startF === shot._3 && key === shot._5,
+        s"media $m keyframe/start drifted from the shot row")
+    }
+  }
 }

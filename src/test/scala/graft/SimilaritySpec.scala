@@ -760,4 +760,30 @@ class SimilaritySpec extends SparkSpec {
     val sfOut = Similarity.annMmr(spark, sf).collect()
     assert(sfOut.length == 10 * Similarity.HybridK)
   }
+
+  test("source-capped ANN: cap respected, order is the capped pool's score prefix") {
+    import spark.implicits._
+    val out = Similarity.annCapped(spark, sf, perSource = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    // never more than perSource per (query, source); src_rank honest
+    out.groupBy(t => (t._1, t._4)).foreach { case (k, rows) =>
+      assert(rows.length <= 2, s"cap broken for $k: ${rows.length}")
+      assert(rows.map(_._5).forall(_ <= 2L))
+    }
+    // within each query: ranks contiguous from 1, cos non-increasing
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(1L to sorted.length),
+        s"query $q ranks not contiguous")
+      assert(sorted.map(_._6).sliding(2).forall(p =>
+        p.length < 2 || p(0) >= p(1)), s"query $q cos order broken")
+    }
+    // the cap actually bound somewhere: some query has a source at the
+    // cap AND a pool candidate from that source was displaced (20
+    // sources x cap 2 = 40 < pool 50, so this must occur on sf data)
+    val atCap = out.groupBy(t => (t._1, t._4)).count(_._2.length == 2)
+    assert(atCap > 0, "cap never binds on sf data — test is vacuous")
+  }
 }
