@@ -156,6 +156,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: oversample conserves docs, bounds copies, and is subset-stable") {
+    import graft.operators.Curation
+    val corpusGen: Gen[List[(Long, String)]] =
+      Gen.choose(10, 120).flatMap(n => Gen.listOfN(n, for {
+        id <- Gen.choose(0L, 100000L)
+        src <- Gen.oneOf("a", "b", "c", "d")
+      } yield (id, src)))
+    for (seed <- 1L to 6L) {
+      val rows = sample(corpusGen, seed).distinctBy(_._1)
+      val docs = rows.toDF("doc_id", "source")
+      val out = Curation.oversampleRare(docs, maxFactor = 4.0).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      // every doc survives with 1..ceil(maxFactor) copies, indices 1..n
+      assert(out.map(_._1).distinct.length === rows.length,
+        s"seed=$seed dropped docs")
+      out.groupBy(_._1).foreach { case (id, copies) =>
+        val n = copies.head._3
+        assert(n >= 1L && n <= 4L, s"seed=$seed doc $id copies $n")
+        assert(copies.map(_._4).sorted.sameElements(1L to n))
+      }
+      // a doc's copy count is a pure function of (its id, its source's
+      // factor): re-running on a reshuffled frame agrees exactly
+      val again = Curation.oversampleRare(docs.repartition(5)).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      out.foreach { case (id, _, n, _) =>
+        assert(again(id) === n, s"seed=$seed doc $id copies unstable")
+      }
+    }
+  }
+
+  test("property: regression moments are order-blind — forecast invariant under shuffles") {
+    import graft.operators.Monitoring
+    val base = 1704067200000L
+    val seriesGen: Gen[List[(Long, Int, Double)]] =
+      Gen.choose(6, 60).flatMap(n => Gen.listOfN(n, for {
+        dev <- Gen.choose(1L, 3L)
+        hour <- Gen.choose(0, 500)
+        v <- Gen.choose(0, 40000).map(_ / 100.0)
+      } yield (dev, hour, v)))
+    for (seed <- 1L to 5L) {
+      val rows = sample(seriesGen, seed)
+        .distinctBy(t => (t._1, t._2))
+        .map { case (d, h, v) =>
+          (d, new java.sql.Timestamp(base + h * 3600000L), "purchase", v) }
+      val df = rows.toDF("user_id", "ts", "event_type", "value")
+      val a = Monitoring.capacityForecastOf(df).collect().map(_.toSeq)
+      val b = Monitoring.capacityForecastOf(
+        df.repartition(7).sortWithinPartitions($"value")).collect()
+        .map(_.toSeq)
+      assert(a.toSeq === b.toSeq, s"seed=$seed forecast depends on row order")
+    }
+  }
+
   test("property: gap fill never fabricates beyond the cap, observed rows survive") {
     import graft.operators.Monitoring
     val evGen: Gen[List[(Long, Long, Double)]] = for {
