@@ -187,6 +187,19 @@ object SparkEntry {
     "q_large_orders" -> ((s: SparkSession, d: String) =>
       Relational.qLargeOrders(s, d)),
     "q_idle_customers" -> (Relational.qIdleCustomers _),
+    "q_min_cost_supplier" -> (Relational.qMinCostSupplier _),
+    "q_product_profit" -> ((s: SparkSession, d: String) =>
+      Relational.qProductProfit(s, d)),
+    "q_top_supplier" -> (Relational.qTopSupplier _),
+    "q_supplier_counts" -> (Relational.qSupplierCounts _),
+    "q_small_qty_revenue" -> ((s: SparkSession, d: String) =>
+      Relational.qSmallQtyRevenue(s, d)),
+    "q_disjunctive_revenue" -> (Relational.qDisjunctiveRevenue _),
+    "q_blocking_supplier" -> (Relational.qBlockingSupplier _),
+    "text_bpe_pairs" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.textBpePairs(s, d)),
+    "text_zipf" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.textZipf(s, d)),
     "text_lm_score_bigram" -> ((s: SparkSession, d: String) =>
       TextAnalysis.textLmScoreBigram(s, d)),
     "word_cooccurrence" -> ((s: SparkSession, d: String) =>
@@ -380,6 +393,15 @@ object SparkEntry {
     "q_order_count_dist" -> Relational.qOrderCountDistSql,
     "q_large_orders" -> Relational.qLargeOrdersSql,
     "q_idle_customers" -> Relational.qIdleCustomersSql,
+    "q_min_cost_supplier" -> Relational.qMinCostSupplierSql,
+    "q_product_profit" -> Relational.qProductProfitSql,
+    "q_top_supplier" -> Relational.qTopSupplierSql,
+    "q_supplier_counts" -> Relational.qSupplierCountsSql,
+    "q_small_qty_revenue" -> Relational.qSmallQtyRevenueSql,
+    "q_disjunctive_revenue" -> Relational.qDisjunctiveRevenueSql,
+    "q_blocking_supplier" -> Relational.qBlockingSupplierSql,
+    "text_bpe_pairs" -> TextAnalysis.textBpePairsSql(),
+    "text_zipf" -> TextAnalysis.textZipfSql(),
     "text_lm_score_bigram" -> TextAnalysis.textLmScoreBigramSql(),
     "word_cooccurrence" -> TextAnalysis.wordCooccurrenceSql(),
     "mon_downtime_sla" -> Monitoring.downtimeSlaSql(),

@@ -1851,4 +1851,323 @@ object Relational {
       |      AND o_orderdate >= TIMESTAMP '2000-01-01')
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- B52
+  /** TPC-H Q2-style MIN-COST SUPPLIER (adapted: this schema has no
+    * partsupp, so "cost" is the realized unit price — exact DECIMAL
+    * revenue / exact DECIMAL quantity per (part, supplier) from the
+    * fact table, one IEEE division both engines perform identically).
+    * For parts in a size/type band, pick each part's cheapest observed
+    * supplier (ties broken by supplier key), with supplier + nation
+    * detail. Plan: ONE exchange on (partkey, suppkey) builds unit
+    * prices; the per-part min is a min-STRUCT aggregate (no window, no
+    * second scan of the fact); part prunes BEFORE the join (pushed
+    * size/type predicates); supplier and nation broadcast. Output is
+    * qualifying-parts-sized — the fact table never moves twice. */
+  def qMinCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, sfDir)
+      .filter($"p_size".between(10, 20) && $"p_type" === "STANDARD")
+      .select($"p_partkey", $"p_name")
+    val l = Tables.lineitem(spark, sfDir)
+      .select($"l_partkey", $"l_suppkey", $"l_extendedprice", $"l_quantity")
+    val up = l.join(p, $"l_partkey" === $"p_partkey")
+      .groupBy($"p_partkey", $"p_name", $"l_suppkey")
+      .agg((dsum($"l_extendedprice") / dsum($"l_quantity")).as("unit_price"))
+    val best = up.groupBy($"p_partkey", $"p_name")
+      .agg(min(struct($"unit_price", $"l_suppkey")).as("b"))
+      .select($"p_partkey", $"p_name",
+        $"b.l_suppkey".as("s_suppkey"),
+        round($"b.unit_price", 6).as("unit_price"))
+    val s = Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_name",
+      $"s_nationkey")
+    val n = Tables.nation(spark, sfDir).select($"n_nationkey", $"n_name")
+    best.join(broadcast(s), Seq("s_suppkey"))
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .select($"p_partkey", $"p_name", $"s_name", $"n_name", $"unit_price")
+      .orderBy($"p_partkey")
+  }
+
+  val qMinCostSupplierSql: String =
+    """WITH up AS (
+      |  SELECT p_partkey, p_name, l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+      |      / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS unit_price
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+      |  GROUP BY p_partkey, p_name, l_suppkey),
+      |best AS (
+      |  SELECT p_partkey, p_name, l_suppkey, unit_price,
+      |    ROW_NUMBER() OVER (PARTITION BY p_partkey
+      |      ORDER BY unit_price, l_suppkey) AS rn
+      |  FROM up)
+      |SELECT p_partkey, p_name, s_name, n_name,
+      |  ROUND(unit_price, 6) AS unit_price
+      |FROM best
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE rn = 1
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- B53
+  /** TPC-H Q9-style PRODUCT-TYPE PROFIT by supplier nation and year
+    * (adapted: no partsupp supplycost — the cost proxy is half the
+    * part's retail price per unit, stated up front; what the shape
+    * exercises is unchanged: a 4-table join with a LIKE-filtered part
+    * dimension and a two-key rollup). Plan: part prunes on the name
+    * predicate BEFORE the join and broadcasts; supplier/nation
+    * broadcast; lineitem shuffles ONCE to the (nation, year) rollup;
+    * revenue and cost come out of the same aggregate as two exact
+    * DECIMAL sums — the profit arithmetic is one IEEE tree off exact
+    * sums, identical in both engines. */
+  def qProductProfit(spark: SparkSession, sfDir: String,
+      namePattern: String = "%gear%"): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, sfDir)
+      .filter($"p_name".like(namePattern))
+      .select($"p_partkey", $"p_retailprice")
+    val s = Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_nationkey")
+    val n = Tables.nation(spark, sfDir).select($"n_nationkey", $"n_name")
+    val l = Tables.lineitem(spark, sfDir)
+      .select($"l_partkey", $"l_suppkey", $"l_shipdate",
+        $"l_extendedprice", $"l_discount", $"l_quantity")
+    val revd = dec($"l_extendedprice") *
+      (lit(1).cast("decimal(18,4)") - dec($"l_discount"))
+    l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .join(broadcast(s), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"),
+        year($"l_shipdate").cast("int").as("o_year"))
+      .agg(
+        sum(revd).cast("decimal(38,4)").cast("double").as("rev"),
+        sum(dec($"p_retailprice") * dec($"l_quantity"))
+          .cast("decimal(38,4)").cast("double").as("cost2"))
+      .select($"nation", $"o_year",
+        round($"rev" - lit(0.5) * $"cost2", 6).as("profit"))
+      .orderBy($"nation", $"o_year")
+  }
+
+  val qProductProfitSql: String =
+    """SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+      |  ROUND(
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE)
+      |    - 0.5 * CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE), 6) AS profit
+      |FROM lineitem, part, supplier, nation
+      |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |  AND s_nationkey = n_nationkey AND p_name LIKE '%gear%'
+      |GROUP BY n_name, year(l_shipdate)
+      |ORDER BY nation, o_year""".stripMargin
+
+  // ---------------------------------------------------------------- B54
+  /** TPC-H Q15-style TOP SUPPLIER: the supplier(s) with maximum
+    * revenue over a quarter — ties ALL surface (the spec's view
+    * semantics), which is why the max comes back as a value join, not
+    * a LIMIT 1. Plan: one supplier-key aggregate over the pruned
+    * quarter (predicate pushed to the scan); the scalar max is a
+    * one-row aggregate CROSS-broadcast into the filter; supplier
+    * detail broadcasts. Two passes over the supplier-revenue frame,
+    * zero extra passes over the fact. */
+  def qTopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lit("1998-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-04-01").cast("timestamp"))
+    val revd = dec($"l_extendedprice") *
+      (lit(1).cast("decimal(18,4)") - dec($"l_discount"))
+    val rev = l.groupBy($"l_suppkey")
+      .agg(sum(revd).cast("decimal(38,4)").cast("double").as("total_revenue"))
+      .localCheckpoint(true) // supplier-sized; feeds the max AND the filter
+    val mx = rev.agg(max($"total_revenue").as("mx"))
+    val s = Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_name")
+    rev.crossJoin(broadcast(mx))
+      .filter($"total_revenue" === $"mx")
+      .join(broadcast(s), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_revenue")
+      .orderBy($"s_suppkey")
+  }
+
+  val qTopSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- B55
+  /** TPC-H Q16-style SUPPLIER COUNT per part attribute group (adapted:
+    * supplier-part relationships come from the fact table; the
+    * "complaint" exclusion is suppliers with negative balance). Plan:
+    * the excluded-supplier set is a LEFT ANTI broadcast (tiny); part
+    * prunes on brand/type BEFORE the join; ONE exchange on the part
+    * key joins fact to dimension, then the distinct-supplier count
+    * groups by the three attributes. distinct inside the aggregate —
+    * Spark's two-phase partial-distinct handles it without a separate
+    * dedup pass. */
+  def qSupplierCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, sfDir)
+      .filter($"p_brand" =!= "Brand#1" && !$"p_type".startsWith("PROMO"))
+      .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+    val bad = Tables.supplier(spark, sfDir)
+      .filter($"s_acctbal" < 0.0).select($"s_suppkey")
+    val l = Tables.lineitem(spark, sfDir).select($"l_partkey", $"l_suppkey")
+    l.join(broadcast(bad), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .join(p, $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+
+  val qSupplierCountsSql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // ---------------------------------------------------------------- B56
+  /** TPC-H Q17-style SMALL-QUANTITY revenue: average yearly revenue
+    * lost if small orders (below 20% of the part's average quantity)
+    * for one brand stopped shipping. Plan: the per-part average rides
+    * an unbounded WINDOW over the part key on the broadcast-joined
+    * brand slice — ONE fact scan, ONE exchange, no aggregate-join-back
+    * (the join-back formulation scans the full fact twice, because a
+    * brand predicate reaches lineitem only through the join — it can
+    * never push into the fact scan); the threshold comparison is one
+    * IEEE tree off exact DECIMAL sums (sum/count division — the
+    * identical double in both engines). */
+  def qSmallQtyRevenue(spark: SparkSession, sfDir: String,
+      brand: String = "Brand#13"): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, sfDir)
+      .filter($"p_brand" === brand).select($"p_partkey")
+    val l = Tables.lineitem(spark, sfDir)
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      .join(broadcast(p), $"l_partkey" === $"p_partkey")
+    val w = Window.partitionBy($"l_partkey")
+    l.withColumn("avg_qty",
+        sum(dec($"l_quantity")).over(w).cast("double") /
+          count(lit(1)).over(w))
+      .filter($"l_quantity" < lit(0.2) * $"avg_qty")
+      .agg((dsum($"l_extendedprice") / lit(7.0)).as("avg_yearly"))
+      .select(round($"avg_yearly", 6).as("avg_yearly"))
+  }
+
+  val qSmallQtyRevenueSql: String =
+    """WITH p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+      |l AS (
+      |  SELECT l_partkey, l_quantity, l_extendedprice
+      |  FROM lineitem JOIN p ON l_partkey = p_partkey),
+      |a AS (
+      |  SELECT l_partkey AS a_partkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+      |  FROM l GROUP BY l_partkey)
+      |SELECT ROUND(
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 6)
+      |  AS avg_yearly
+      |FROM l JOIN a ON l_partkey = a_partkey
+      |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
+
+  // ---------------------------------------------------------------- B57
+  /** TPC-H Q19-style DISJUNCTIVE predicate revenue: three brand/size/
+    * quantity bands OR'd together — the shape that tests whether the
+    * planner pushes a disjunction of conjunctions into the scan and
+    * keeps the join selective. Plan: the part-side conjuncts
+    * (brand+size) prune part BEFORE the broadcast join; the common
+    * quantity bounds (the OR's hull, 1..30) push into the lineitem
+    * scan as a PushedFilter; the residual OR evaluates post-join in
+    * one codegen'd predicate. One exact DECIMAL revenue sum. */
+  def qDisjunctiveRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, sfDir)
+      .filter(($"p_brand" === "Brand#5" && $"p_size".between(1, 5)) ||
+        ($"p_brand" === "Brand#13" && $"p_size".between(1, 10)) ||
+        ($"p_brand" === "Brand#20" && $"p_size".between(1, 15)))
+      .select($"p_partkey", $"p_brand")
+    val l = Tables.lineitem(spark, sfDir)
+      .filter($"l_quantity".between(1, 30)) // the OR's quantity hull
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice", $"l_discount")
+    val revd = dec($"l_extendedprice") *
+      (lit(1).cast("decimal(18,4)") - dec($"l_discount"))
+    l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .filter(($"p_brand" === "Brand#5" && $"l_quantity".between(1, 11)) ||
+        ($"p_brand" === "Brand#13" && $"l_quantity".between(10, 20)) ||
+        ($"p_brand" === "Brand#20" && $"l_quantity".between(20, 30)))
+      .agg(sum(revd).cast("decimal(38,4)").cast("double").as("revenue"))
+  }
+
+  val qDisjunctiveRevenueSql: String =
+    """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  // ---------------------------------------------------------------- B58
+  /** TPC-H Q21-style BLOCKING SUPPLIER (adapted: no commit/receipt
+    * dates — the "supplier who kept the order waiting" is the SOLE
+    * supplier whose latest line shipped strictly last in a
+    * multi-supplier finalized order). Plan: the fact shuffles ONCE —
+    * into the (order, supplier) partial aggregate; every later
+    * exchange moves the REDUCED os frame (≤ suppliers-per-order rows
+    * per order), and the per-order context (supplier count, order
+    * max, how many tie the max) comes from windows over one
+    * order-key partitioning of that reduced frame — no second fact
+    * scan, no self-join; the finalized-orders filter is a semi join
+    * applied before the aggregate so open orders never shuffle.
+    * Output is per-supplier counts: fleet-sized. */
+  def qBlockingSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fOrders = Tables.orders(spark, sfDir)
+      .filter($"o_orderstatus" === "F").select($"o_orderkey")
+    val os = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+      .join(fOrders, $"l_orderkey" === $"o_orderkey", "left_semi")
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max($"l_shipdate").as("sship"))
+    val w = Window.partitionBy($"l_orderkey")
+    val ctx = os
+      .withColumn("nsupp", count(lit(1)).over(w))
+      .withColumn("omax", max($"sship").over(w))
+      .withColumn("nmax",
+        sum(when($"sship" === $"omax", 1).otherwise(0)).over(w))
+    val s = Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_name")
+    ctx.filter($"nsupp" >= 2 && $"nmax" === 1 && $"sship" === $"omax")
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(s), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"numwait")
+      .orderBy($"numwait".desc, $"s_suppkey")
+  }
+
+  val qBlockingSupplierSql: String =
+    """WITH os AS (
+      |  SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS sship
+      |  FROM lineitem
+      |  WHERE EXISTS (SELECT 1 FROM orders
+      |    WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')
+      |  GROUP BY l_orderkey, l_suppkey),
+      |ctx0 AS (
+      |  SELECT l_orderkey, l_suppkey, sship,
+      |    COUNT(*) OVER (PARTITION BY l_orderkey) AS nsupp,
+      |    MAX(sship) OVER (PARTITION BY l_orderkey) AS omax
+      |  FROM os),
+      |ctx AS (
+      |  SELECT *,
+      |    SUM(CASE WHEN sship = omax THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY l_orderkey) AS nmax
+      |  FROM ctx0)
+      |SELECT s_suppkey, s_name, COUNT(*) AS numwait
+      |FROM ctx JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE nsupp >= 2 AND nmax = 1 AND sship = omax
+      |GROUP BY s_suppkey, s_name
+      |ORDER BY numwait DESC, s_suppkey""".stripMargin
 }

@@ -1264,6 +1264,133 @@ object TextAnalysis {
        |ORDER BY vocab_cut""".stripMargin
   }
 
+  // ---------------------------------------------------------------- E24
+  /** BPE PAIR COUNTS — the first merge step of byte-pair-encoding
+    * tokenizer training: corpus-wide counts of adjacent character
+    * pairs inside word tokens, top-k by count. The number every BPE
+    * trainer computes first (the highest-count pair becomes merge #1).
+    *
+    * Scale shape: pairs are generated from the VOCABULARY, not the
+    * token stream — Σ_terms tf(term)·pairs(term) equals the per-token
+    * scan exactly, but the explode runs over distinct terms (millions)
+    * instead of corpus tokens (trillions at 100 TB), each weighted by
+    * its exact BIGINT frequency. One term-count exchange (the E5
+    * kernel), one bounded pair aggregate (the pair domain is ≤ |Σ|²),
+    * top-k via a bounded heap. */
+  def textBpePairs(spark: SparkSession, sfDir: String,
+      k: Int = 50): DataFrame =
+    textBpePairsOf(Tables.documents(spark, sfDir), k)
+
+  def textBpePairsOf(docs: DataFrame, k: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(k > 0, s"k must be positive: $k")
+    docs.withColumn("toks", tokens())
+      .select(explode(TextFunctions.tokenCounts($"toks")).as(Seq("term", "tf")))
+      .groupBy($"term").agg(sum($"tf").as("cnt"))
+      .filter(length($"term") >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, length(term) - 1),
+          |  i -> substring(term, i, 2))""".stripMargin)).as("pair"),
+        $"cnt")
+      .groupBy($"pair").agg(sum($"cnt").as("cnt"))
+      .orderBy($"cnt".desc, $"pair")
+      .limit(k)
+  }
+
+  def textBpePairsSql(k: Int = 50): String =
+    s"""WITH tf AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+       |  FROM documents),
+       |c AS (SELECT term, COUNT(*) AS cnt FROM tf GROUP BY term),
+       |p AS (
+       |  SELECT unnest(list_transform(range(1, length(term)),
+       |    i -> substring(term, i, 2))) AS pair, cnt
+       |  FROM c WHERE length(term) >= 2)
+       |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS cnt
+       |FROM p GROUP BY pair
+       |ORDER BY cnt DESC, pair LIMIT $k""".stripMargin
+
+  // ---------------------------------------------------------------- E25
+  /** ZIPF FIT — how closely the corpus obeys Zipf's law: OLS slope and
+    * intercept of ln(count) against ln(rank) over the top-N terms. A
+    * natural corpus sits near slope −1; template/boilerplate-heavy or
+    * synthetic text flattens (this driver corpus: ~−0.18 over its
+    * 31-word template vocabulary — the operator's verdict is honest),
+    * and the slope is the standard one-number input to corpus-mixing
+    * heuristics and vocabulary sizing.
+    *
+    * Scale shape: one term-count exchange (the E5 kernel); the
+    * bounded-heap TopK prunes every partition to topN rows, so the
+    * ranking window runs over a CONSTANT-size frame (≤ topN rows —
+    * the single-partition window is over the pruned constant frame,
+    * never the vocabulary). Parity: ln is correctly rounded in both
+    * engines (the E11 discipline); x/y quantize to DECIMAL(18,9)
+    * before the moment sums so products stay inside DECIMAL(38) exact
+    * arithmetic and sums are order-free; the slope/intercept division
+    * is one identical IEEE tree rounded at 6. */
+  def textZipf(spark: SparkSession, sfDir: String,
+      topN: Int = 200): DataFrame =
+    textZipfOf(Tables.documents(spark, sfDir), topN)
+
+  def textZipfOf(docs: DataFrame, topN: Int = 200): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(topN >= 2, s"topN must be >= 2: $topN")
+    val counts = docs.withColumn("toks", tokens())
+      .select(explode(TextFunctions.tokenCounts($"toks")).as(Seq("term", "tf")))
+      .groupBy($"term").agg(sum($"tf").as("cnt"))
+    val top = graft.plans.TopK.perKey(
+      counts.withColumn("__k", lit(1)), Seq("__k"),
+      Seq($"cnt".desc, $"term".asc), topN)
+    val w = Window.partitionBy($"__k").orderBy($"cnt".desc, $"term")
+    val xy = top.withColumn("rank", row_number().over(w))
+      .select(
+        log($"rank".cast("double")).cast("decimal(18,9)").as("x"),
+        log($"cnt".cast("double")).cast("decimal(18,9)").as("y"))
+    xy.agg(
+        count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+      .select(
+        $"n".as("n_terms"),
+        round(
+          ($"n" * $"sxy".cast("double") -
+            $"sx".cast("double") * $"sy".cast("double")) /
+            ($"n" * $"sxx".cast("double") -
+              $"sx".cast("double") * $"sx".cast("double")), 6).as("slope"),
+        round(
+          ($"sy".cast("double") -
+            (($"n" * $"sxy".cast("double") -
+              $"sx".cast("double") * $"sy".cast("double")) /
+              ($"n" * $"sxx".cast("double") -
+                $"sx".cast("double") * $"sx".cast("double"))) *
+              $"sx".cast("double")) / $"n", 6).as("intercept"))
+  }
+
+  def textZipfSql(topN: Int = 200): String =
+    s"""WITH tf AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+       |  FROM documents),
+       |c AS (SELECT term, COUNT(*) AS cnt FROM tf GROUP BY term),
+       |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank FROM c),
+       |xy AS (
+       |  SELECT CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(18,9)) AS x,
+       |    CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(18,9)) AS y
+       |  FROM r WHERE rank <= $topN),
+       |m AS (
+       |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+       |    SUM(x*x) AS sxx, SUM(x*y) AS sxy
+       |  FROM xy)
+       |SELECT n AS n_terms,
+       |  ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+       |  ROUND((CAST(sy AS DOUBLE)
+       |    - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |      / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+       |      * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+       |FROM m""".stripMargin
+
   val textScriptProfileSql: String =
     """WITH m AS (
       |  SELECT source, CAST(length(text) AS BIGINT) AS nc,

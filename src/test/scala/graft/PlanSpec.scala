@@ -21,6 +21,12 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** The AQE FINAL plan only — executedPlan.toString prints "Final
+    * Plan" AND "Initial Plan" sections, double-counting every node
+    * for scan/exchange audits. */
+  private def finalPlan(df: DataFrame): String =
+    executedPlan(df).split("== Initial Plan ==").head
+
   test("q1: filter + projection push into the parquet scan") {
     val p = plan(Relational.q1PricingSummary(spark, sf))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
@@ -310,6 +316,39 @@ class PlanSpec extends SparkSpec {
       .find(_.contains("l_orderkey")).get
     assert(!read.contains("l_quantity") && !read.contains("l_extendedprice"),
       s"lineitem scan wider than (orderkey, shipdate): $read")
+  }
+
+  test("small qty revenue: one fact scan — the per-part average is a window, not a join-back") {
+    val p = finalPlan(Relational.qSmallQtyRevenue(spark, sf))
+    // the aggregate-join-back formulation scans the full fact TWICE
+    // (the brand predicate reaches lineitem only through the join and
+    // can never push into the fact scan) — the window formulation is
+    // the single-scan plan
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(scans == 1,
+      s"lineitem scanned $scans times — join-back crept in:\n$p")
+    // exactly ONE SinglePartition: the unavoidable 1-row scalar agg —
+    // a second would mean the per-part window went global
+    val singles = p.linesIterator.count(_.contains("SinglePartition"))
+    assert(singles <= 1, s"window went global ($singles):\n$p")
+    assert(p.contains("Window"), s"per-part window missing:\n$p")
+  }
+
+  test("disjunctive revenue: the OR's quantity hull pushes into the fact scan") {
+    val p = plan(Relational.qDisjunctiveRevenue(spark, sf))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      p.contains("LessThanOrEqual(l_quantity,30.0)"),
+      s"quantity hull not in PushedFilters:\n$p")
+  }
+
+  test("blocking supplier: fact shuffles once, windows partitioned, no self-join") {
+    val p = finalPlan(Relational.qBlockingSupplier(spark, sf))
+    assert(!p.contains("SinglePartition"), s"global window crept in:\n$p")
+    assert(!p.contains("Cartesian"), s"cartesian product:\n$p")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(scans <= 1, s"lineitem scanned $scans times (self-join?):\n$p")
   }
 
   test("hybrid search: query terms broadcast into the postings probe") {

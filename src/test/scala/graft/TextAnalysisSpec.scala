@@ -399,4 +399,65 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("markup") === ((1L, 6L, 0.0, 0.0, 0.0, 1.0)),
       s"pure-markup source must land fully in other: ${out("markup")}")
   }
+
+  test("bpe pairs: vocab-weighted counts equal the per-token scan exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "banana banana band"),
+      (2L, "ana banana!  AND band and"),
+      (3L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.textBpePairsOf(docs, k = 100).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // brute: every adjacent pair of every token occurrence
+    val toks = Seq("banana", "banana", "band", "ana", "banana", "and",
+      "band", "and", "x")
+    val want = toks.flatMap(w => w.sliding(2).filter(_.length == 2))
+      .groupBy(identity).map { case (p, v) => p -> v.size.toLong }
+    assert(out.toMap == want, s"${out.toMap} != $want")
+    // ordering: count desc, then pair asc
+    val sorted = out.sortBy { case (p, c) => (-c, p) }
+    assert(out.sameElements(sorted), "top-k order broken")
+    assert(out.forall(_._1.length == 2))
+  }
+
+  test("bpe pairs: driver-table counts match a token-stream recompute") {
+    // the Σ tf(term)·pairs(term) identity on real data: the operator's
+    // vocab-weighted aggregate vs a direct per-token-occurrence explode
+    val out = TextAnalysis.textBpePairs(spark, sf, k = 30).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(out.nonEmpty)
+    import spark.implicits._
+    val brute = Tables.documents(spark, sf)
+      .select(explode(TextAnalysis.tokens()).as("w"))
+      .filter(length($"w") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"pair").limit(30).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(out.sameElements(brute), "vocab-weighted != token-stream scan")
+  }
+
+  test("zipf fit: slope/intercept match a driver-side OLS on the rank curve") {
+    val out = TextAnalysis.textZipf(spark, sf, topN = 200).head()
+    val (n, slope, icept) = (out.getLong(0), out.getDouble(1), out.getDouble(2))
+    import spark.implicits._
+    val counts = Tables.documents(spark, sf)
+      .select(explode(TextAnalysis.tokens()).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val ranked = counts.sortBy { case (w, c) => (-c, w) }.take(200)
+    assert(n == ranked.length.toLong)
+    val xy = ranked.zipWithIndex.map { case ((_, c), i) =>
+      (math.log(i + 1.0), math.log(c.toDouble)) }
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxx = xy.map(t => t._1 * t._1).sum
+    val sxy = xy.map(t => t._1 * t._2).sum
+    val m = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val b = (sy - m * sx) / n
+    assert(math.abs(slope - m) < 1e-6, s"slope $slope vs $m")
+    assert(math.abs(icept - b) < 1e-6, s"intercept $icept vs $b")
+    assert(slope < 0.0, "rank-frequency slope must be negative")
+  }
 }
