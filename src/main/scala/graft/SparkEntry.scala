@@ -198,6 +198,10 @@ object SparkEntry {
     "q_blocking_supplier" -> (Relational.qBlockingSupplier _),
     "text_bpe_pairs" -> ((s: SparkSession, d: String) =>
       TextAnalysis.textBpePairs(s, d)),
+    "bpe_train" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeTrain(s, d)),
+    "bpe_apply" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeApply(s, d)),
     "text_zipf" -> ((s: SparkSession, d: String) =>
       TextAnalysis.textZipf(s, d)),
     "text_lm_score_bigram" -> ((s: SparkSession, d: String) =>

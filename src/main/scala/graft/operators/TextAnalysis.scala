@@ -1391,6 +1391,131 @@ object TextAnalysis {
        |      * CAST(sx AS DOUBLE)) / n, 6) AS intercept
        |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- E26
+  /** BPE TRAIN — byte-pair-encoding tokenizer training at corpus
+    * scale: the iterative merge loop every subword tokenizer
+    * (SentencePiece-BPE, GPT-2) runs, expressed so NO iteration ever
+    * touches the corpus. The corpus is scanned ONCE into the
+    * (term, count) vocabulary frame (the E5 exchange); each of the
+    * nMerges iterations then (1) counts adjacent SYMBOL pairs over
+    * the vocabulary weighted by exact BIGINT term frequency — the
+    * same Σ tf·pairs identity E24 proves against the token stream —
+    * (2) collects the single top pair (count desc, then pair — fully
+    * deterministic), and (3) rewrites each term's symbol array with a
+    * leftmost non-overlapping fold (a codegen'd `aggregate` lambda;
+    * a merged symbol can never equal its own left half, so the
+    * single-pass fold is exact BPE merge semantics). Every iteration
+    * is vocabulary-bounded — at 100 TB the loop costs nMerges passes
+    * over millions of distinct terms, not trillions of tokens — and
+    * the frame is re-pinned per iteration so lineage stays flat.
+    *
+    * Iterative ⇒ not SQL-expressible (rows-only + spec: the classic
+    * low/lower/newest/widest corpus pins the es→est→lo→low merge
+    * sequence; train/apply results are cached per corpus VERSION like
+    * the D5 quantizer — a deterministic tokenizer is build output). */
+  def bpeTrain(spark: SparkSession, sfDir: String,
+      nMerges: Int = 30): DataFrame = {
+    val (merges, _) = cachedBpe(spark, sfDir, nMerges)
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b, c), i) =>
+      (i + 1, a, b, a + b, c)
+    }.toDF("merge_rank", "left", "right", "merged", "pair_count")
+      .orderBy($"merge_rank")
+  }
+
+  /** E26 core over an arbitrary docs frame: returns the ordered merge
+    * list and the final symbolized vocabulary (term, cnt, syms). */
+  def bpeLearnOf(docs: DataFrame,
+      nMerges: Int): (Seq[(String, String, Long)], DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(nMerges >= 1, s"nMerges must be >= 1: $nMerges")
+    var vocab = docs.withColumn("toks", tokens())
+      .select(explode(TextFunctions.tokenCounts($"toks")).as(Seq("term", "tf")))
+      .groupBy($"term").agg(sum($"tf").as("cnt"))
+      .withColumn("syms", split($"term", ""))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var done = false
+    while (merges.length < nMerges && !done) {
+      val top = vocab.filter(size($"syms") >= 2)
+        .select($"cnt", explode(expr(
+          """zip_with(slice(syms, 1, size(syms) - 1),
+            |  slice(syms, 2, size(syms) - 1),
+            |  (a, b) -> named_struct('a', a, 'b', b))""".stripMargin)).as("p"))
+        .groupBy($"p.a".as("a"), $"p.b".as("b"))
+        .agg(sum($"cnt").as("c"))
+        .orderBy($"c".desc, $"a", $"b").limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((a, b, c))
+        // superseded iterations' pinned blocks: released by the
+        // ContextCleaner once the old frame's RDD is GC-collected
+        // (the Bench slot-hygiene note) — no explicit unpersist needed
+        vocab = vocab.withColumn("syms",
+            aggregate($"syms", array().cast("array<string>"), (acc, x) =>
+              when(size(acc) > 0 &&
+                  element_at(acc, -1) === lit(a) && x === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+                .otherwise(concat(acc, array(x)))))
+          .localCheckpoint(true)
+      }
+    }
+    (merges.toSeq, vocab)
+  }
+
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Int), (Seq[(String, String, Long)], DataFrame)]
+
+  private def cachedBpe(spark: SparkSession, sfDir: String,
+      nMerges: Int): (Seq[(String, String, Long)], DataFrame) = {
+    val stamp = graft.Tables.pathStamp(spark, s"$sfDir/documents.parquet")
+    bpeCache.filterInPlace { case ((d, st, _), _) => d != sfDir || st == stamp }
+    bpeCache.getOrElseUpdate((sfDir, stamp, nMerges),
+      bpeLearnOf(Tables.documents(spark, sfDir), nMerges))
+  }
+
+  // ---------------------------------------------------------------- E27
+  /** BPE APPLY — segment the corpus with the learned tokenizer and
+    * report per-document piece counts (the number a token-budgeted
+    * packer or a cost model actually consumes — C13 packs by token
+    * count; this is where that count comes from once the tokenizer is
+    * subword). The segmentation rides the VOCABULARY: the final train
+    * state already maps every term to its merged symbols, so applying
+    * the tokenizer is one join of per-doc term counts against the
+    * symbolized vocab — pieces(doc) = Σ tf(term, doc)·|syms(term)| —
+    * never a per-token re-walk of the merge rules. At 100 TB: one
+    * corpus scan for per-doc term counts, one vocab-keyed join (AQE
+    * broadcasts when the vocab fits), zero iteration. */
+  def bpeApply(spark: SparkSession, sfDir: String,
+      nMerges: Int = 30): DataFrame = {
+    val (_, vocab) = cachedBpe(spark, sfDir, nMerges)
+    bpeApplyOf(Tables.documents(spark, sfDir), vocab)
+  }
+
+  /** E27 over arbitrary docs + a symbolized vocab (term, syms). */
+  def bpeApplyOf(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pieces = vocab.select($"term", size($"syms").as("pieces"))
+    val perDoc = docs.withColumn("toks", tokens())
+      .select($"doc_id", explode(TextFunctions.tokenCounts($"toks"))
+        .as(Seq("term", "tf")))
+      .join(pieces, Seq("term"))
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("word_tokens"),
+        sum($"tf" * $"pieces").as("bpe_pieces"))
+    docs.select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"word_tokens", lit(0L)).as("word_tokens"),
+        coalesce($"bpe_pieces", lit(0L)).as("bpe_pieces"),
+        round($"bpe_pieces".cast("double") / $"word_tokens", 6)
+          .as("pieces_per_token"))
+      .orderBy($"doc_id")
+  }
+
   val textScriptProfileSql: String =
     """WITH m AS (
       |  SELECT source, CAST(length(text) AS BIGINT) AS nc,

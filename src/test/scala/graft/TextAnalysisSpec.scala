@@ -439,6 +439,72 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.sameElements(brute), "vocab-weighted != token-stream scan")
   }
 
+  test("bpe train: the classic corpus learns the canonical merge sequence") {
+    import spark.implicits._
+    // Sennrich et al.'s worked example: {low:5, lower:2, newest:6,
+    // widest:3}. Pair counts put (e,s)=9 tied with (s,t)=9 — the
+    // deterministic (count desc, left, right) order picks (e,s); then
+    // (es,t)=9, then (l,o)=7 tied with (o,w)=7 -> (l,o), then (lo,w)=7.
+    val docs = Seq((1L,
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val (merges, vocab) = TextAnalysis.bpeLearnOf(docs, nMerges = 4)
+    assert(merges.map(m => (m._1, m._2, m._3)) == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L), ("lo", "w", 7L)),
+      s"merge sequence diverged: $merges")
+    // final symbolization after 4 merges
+    val syms = vocab.select($"term", $"syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(syms("low") == Seq("low"))
+    assert(syms("lower") == Seq("low", "e", "r"))
+    assert(syms("newest") == Seq("n", "e", "w", "est"))
+    assert(syms("widest") == Seq("w", "i", "d", "est"))
+    // reconstruction: merging never loses or reorders characters
+    syms.foreach { case (t, ss) => assert(ss.mkString == t) }
+  }
+
+  test("bpe train: overlapping runs merge leftmost non-overlapping") {
+    import spark.implicits._
+    // 'aaaa' under merge (a,a): leftmost pass yields [aa][aa], never
+    // [a][aa][a] or a triple — the fold's just-merged symbol must not
+    // re-merge with the next single 'a' ('aaa' -> [aa][a])
+    val docs = Seq((1L, "aaaa aaa aa")).toDF("doc_id", "text")
+    val (merges, vocab) = TextAnalysis.bpeLearnOf(docs, nMerges = 1)
+    assert(merges.head._1 == "a" && merges.head._2 == "a")
+    val syms = vocab.select($"term", $"syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(syms("aaaa") == Seq("aa", "aa"))
+    assert(syms("aaa") == Seq("aa", "a"))
+    assert(syms("aa") == Seq("aa"))
+  }
+
+  test("bpe train + apply on the driver table: determinism, conservation, monotonicity") {
+    val m1 = TextAnalysis.bpeTrain(spark, sf, nMerges = 8).collect()
+    val m2 = TextAnalysis.bpeTrain(spark, sf, nMerges = 8).collect()
+    assert(m1.sameElements(m2), "train not deterministic")
+    assert(m1.length == 8)
+    // pair counts never increase along the greedy sequence's prefix
+    // in ties only — but each merged symbol must concat its halves
+    m1.foreach { r =>
+      assert(r.getString(3) == r.getString(1) + r.getString(2))
+      assert(r.getLong(4) > 0L)
+    }
+    val applied = TextAnalysis.bpeApply(spark, sf, nMerges = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(applied.nonEmpty)
+    // conservation: >= 1 piece per word; pieces never exceed characters
+    applied.foreach { case (id, words, pieces) =>
+      assert(pieces >= words, s"doc $id: fewer pieces than words")
+    }
+    // monotonicity: more merges -> no more total pieces
+    val applied16 = TextAnalysis.bpeApply(spark, sf, nMerges = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    applied.foreach { case (id, _, p8) =>
+      assert(applied16(id) <= p8, s"doc $id: pieces grew with more merges")
+    }
+  }
+
   test("zipf fit: slope/intercept match a driver-side OLS on the rank curve") {
     val out = TextAnalysis.textZipf(spark, sf, topN = 200).head()
     val (n, slope, icept) = (out.getLong(0), out.getDouble(1), out.getDouble(2))
