@@ -210,6 +210,11 @@ object SparkEntry {
       TextAnalysis.wordCooccurrence(s, d)),
     "mon_downtime_sla" -> ((s: SparkSession, d: String) =>
       Monitoring.downtimeSla(s, d)),
+    "mon_anomaly_ensemble" -> ((s: SparkSession, d: String) =>
+      Monitoring.anomalyEnsemble(s, d)),
+    "shuffle_audit" -> (Curation.shuffleAudit _),
+    "length_buckets" -> ((s: SparkSession, d: String) =>
+      Curation.lengthBuckets(s, d)),
     "mon_capacity_forecast" -> ((s: SparkSession, d: String) =>
       Monitoring.capacityForecast(s, d)),
     "mon_forecast_accuracy" -> ((s: SparkSession, d: String) =>
@@ -409,6 +414,9 @@ object SparkEntry {
     "text_lm_score_bigram" -> TextAnalysis.textLmScoreBigramSql(),
     "word_cooccurrence" -> TextAnalysis.wordCooccurrenceSql(),
     "mon_downtime_sla" -> Monitoring.downtimeSlaSql(),
+    "mon_anomaly_ensemble" -> Monitoring.anomalyEnsembleSql(),
+    "shuffle_audit" -> Curation.shuffleAuditSql,
+    "length_buckets" -> Curation.lengthBucketsSql(),
     "mon_capacity_forecast" -> Monitoring.capacityForecastSql(),
     "mon_forecast_accuracy" -> Monitoring.forecastAccuracySql(),
     "mix_report" -> Curation.mixReportSql(),

@@ -2303,4 +2303,137 @@ object Curation {
        |  unnest(generate_series(1, n_copies)) AS copy
        |FROM d2
        |ORDER BY doc_id, copy""".stripMargin
+
+  // ---------------------------------------------------------------- C46
+  /** SHUFFLE AUDIT — is the training order actually decorrelated from
+    * ingestion order? Exact Spearman rank correlation between each
+    * sequence's ingestion rank and its position in C23's shuffled
+    * order. The audit that catches the real failure modes a seeded
+    * shuffle can develop: a key derived from a non-unique or
+    * truncated id (rho snaps toward 1 in runs), a writer that
+    * "shuffles" within partitions but concatenates them in input
+    * order, or a shard label that is not monotone in key order. A
+    * healthy shuffle reads |rho| ≈ O(1/√n); ingestion order reads 1.
+    *
+    * Scale shape: runs on the SEQUENCE frame (corpus tokens / seqLen
+    * rows, not documents); each of the two exact global ranks is one
+    * range exchange + per-partition sort + the two-pass zipWithIndex
+    * offset — the same linear cost the shuffled-shard writer itself
+    * pays, with no single-partition window anywhere. Σd² rides
+    * DECIMAL(18,0)² products (exact to |d| < 10¹⁸); the closed-form
+    * 1 − 6Σd²/(n(n²−1)) is one identical IEEE tree rounded at 6. */
+  def shuffleAudit(spark: SparkSession, sfDir: String): DataFrame =
+    shuffleAuditOf(shuffleSequences(Tables.documents(spark, sfDir)))
+
+  /** C46 over an arbitrary shuffled frame with (seq_id, shuffle_key)
+    * — seq_id monotone in ingestion order, output order = (key, id). */
+  def shuffleAuditOf(shuffled: DataFrame): DataFrame = {
+    val spark = shuffled.sparkSession
+    import spark.implicits._
+    val base = shuffled.select(col("seq_id"), col("shuffle_key"))
+    val ing = globalRank(base, Seq(col("seq_id")))
+    val sh = globalRank(base, Seq(col("shuffle_key"), col("seq_id")))
+    val d = ing.toDF("seq_id", "r1").join(sh.toDF("sid2", "r2"),
+        $"seq_id" === $"sid2")
+      .select(($"r1" - $"r2").cast("decimal(18,0)").as("d"))
+    d.agg(count(lit(1)).as("n"), sum($"d" * $"d").cast("double").as("sd2"))
+      .select($"n".as("n_sequences"),
+        when($"n" >= 2, round(lit(1.0) - lit(6.0) * $"sd2" /
+          ($"n".cast("double") *
+            ($"n".cast("double") * $"n".cast("double") - lit(1.0))), 6))
+          .as("spearman_rho"))
+  }
+
+  /** EXACT global rank 0..n−1 of `df` under `sortCols`: range
+    * repartition (cross-partition order), per-partition sort, then
+    * the classic two-pass zipWithIndex offset — never a
+    * single-partition window. Returns (first sort column of each row
+    * is NOT returned — the caller's key column, rank). */
+  private def globalRank(df: DataFrame,
+      sortCols: Seq[Column]): org.apache.spark.rdd.RDD[(Long, Long)] = {
+    val parts = math.max(df.rdd.getNumPartitions, 1)
+    df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .rdd.zipWithIndex()
+      .map { case (r, i) => (r.getLong(0), i) }
+  }
+
+  def shuffleAuditSql: String =
+    s"""WITH s AS (SELECT seq_id, shuffle_key FROM ($shuffleSequencesSql)),
+       |r AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY seq_id) AS r1,
+       |    ROW_NUMBER() OVER (ORDER BY shuffle_key, seq_id) AS r2
+       |  FROM s),
+       |m AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(SUM(CAST(r1 - r2 AS DECIMAL(18,0))
+       |      * CAST(r1 - r2 AS DECIMAL(18,0))) AS DOUBLE) AS sd2
+       |  FROM r)
+       |SELECT CAST(n AS BIGINT) AS n_sequences,
+       |  CASE WHEN n >= 2 THEN
+       |    ROUND(1.0 - 6.0 * sd2 / (CAST(n AS DOUBLE)
+       |      * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)), 6)
+       |  END AS spearman_rho
+       |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------- C47
+  /** LENGTH BUCKETS — the padding-waste report behind bucketed
+    * batching: documents binned by token count, with the token mass
+    * each bin would PAD to its ceiling (every sample in a bin padded
+    * to the bin's upper edge — the standard dynamic-batching
+    * approximation of per-batch max). The number that decides bin
+    * granularity, and the pack-vs-pad tradeoff against C13 (packing
+    * wastes nothing but splices documents; padding preserves
+    * boundaries at this measured cost).
+    *
+    * Scale shape: map-only binning (integer division on the row-local
+    * token count), ONE bin-keyed aggregate — output is bins, constant
+    * size; pad arithmetic is exact BIGINTs, the waste fraction one
+    * rounded IEEE division. */
+  def lengthBuckets(spark: SparkSession, sfDir: String,
+      binTokens: Int = 16): DataFrame =
+    lengthBucketsOf(Tables.documents(spark, sfDir), binTokens)
+
+  def lengthBucketsOf(docs: DataFrame, binTokens: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(binTokens >= 1, s"binTokens must be positive: $binTokens")
+    docs
+      .select((size(graft.operators.TextAnalysis.tokens())
+        .cast("long")).as("n_tokens"))
+      // integer div, not `/` (double division loses exactness past 2⁵³)
+      .select($"n_tokens", expr(s"n_tokens div $binTokens").as("bin"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("token_mass"))
+      .select(($"bin" * binTokens).as("bucket_lo"),
+        (($"bin" + 1) * binTokens).as("bucket_hi"),
+        $"n_docs", $"token_mass",
+        (($"bin" + 1) * binTokens * $"n_docs" - $"token_mass")
+          .as("pad_tokens"),
+        round((($"bin" + 1) * binTokens * $"n_docs" - $"token_mass")
+          .cast("double") /
+          (($"bin" + 1) * binTokens * $"n_docs").cast("double"), 6)
+          .as("pad_frac"))
+      .orderBy($"bucket_lo")
+  }
+
+  def lengthBucketsSql(binTokens: Int = 16): String =
+    s"""WITH t AS (
+       |  SELECT CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+       |    AS n_tokens
+       |  FROM documents),
+       |b AS (
+       |  SELECT n_tokens // $binTokens AS bin, n_tokens FROM t),
+       |g AS (
+       |  SELECT bin, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS token_mass
+       |  FROM b GROUP BY bin)
+       |SELECT CAST(bin * $binTokens AS BIGINT) AS bucket_lo,
+       |  CAST((bin + 1) * $binTokens AS BIGINT) AS bucket_hi,
+       |  n_docs, token_mass,
+       |  CAST((bin + 1) * $binTokens * n_docs - token_mass AS BIGINT)
+       |    AS pad_tokens,
+       |  ROUND(CAST((bin + 1) * $binTokens * n_docs - token_mass AS DOUBLE)
+       |    / CAST((bin + 1) * $binTokens * n_docs AS DOUBLE), 6) AS pad_frac
+       |FROM g ORDER BY bucket_lo""".stripMargin
 }

@@ -1828,10 +1828,17 @@ object Monitoring {
     * deviation is infinitely many MADs there, and A40/A44 own that
     * failure mode. */
   def madOutliers(spark: SparkSession, sfDir: String,
-      k: Double = 3.5): DataFrame = {
+      k: Double = 3.5): DataFrame =
+    madOutliersOf(Tables.events(spark, sfDir), k)
+
+  /** A52 over an arbitrary events frame (spec entry + the A63
+    * ensemble member): needs (user_id, ts, event_id, event_type,
+    * value). */
+  def madOutliersOf(events: DataFrame, k: Double = 3.5): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
     require(k > 0, s"k $k must be positive")
-    val vals = Tables.events(spark, sfDir)
+    val vals = events
       .filter($"event_type" === "purchase" && $"value".isNotNull)
       .select($"user_id", expr(tsUs).as("us"), $"event_id", $"value")
     val med = vals.groupBy($"user_id")
@@ -2193,4 +2200,122 @@ object Monitoring {
        |FROM m
        |WHERE n_samples >= ${minPoints} AND n_samples * sxx - sx * sx > 0.0
        |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- A63
+  /** ANOMALY ENSEMBLE — one fleet verdict from the three independent
+    * detectors (A31 z-score, A52 median/MAD, A36 CUSUM): which devices
+    * are flagged, by HOW MANY detectors, with each detector's evidence
+    * count. The triage row an on-call reads first — a device all three
+    * detectors agree on outranks thirty single-detector blips, and a
+    * CUSUM-only hit (sustained small drift, invisible to both
+    * point-outlier detectors) is a different incident class than a
+    * spike (z + MAD, CUSUM silent). Also the A58 incident-group
+    * generator's natural input.
+    *
+    * Scale shape: each detector is its own pruned scan of the purchase
+    * slice (predicate pushed; three parallel one-exchange passes — at
+    * 100 TB three pushed scans beat pinning a corpus-sized slice), and
+    * every post-detector frame is fleet-bounded: two outlier-count
+    * aggregates, the CUSUM alarm filter, then fleet-sized FULL OUTER
+    * joins. Detector params are the members' own defaults; the
+    * composition reuses the member kernels verbatim (zscoreOutliersOf /
+    * madOutliersOf / cusumOf), so ensemble and member verdicts cannot
+    * drift. */
+  def anomalyEnsemble(spark: SparkSession, sfDir: String,
+      k: Double = 2.0, kMad: Double = 3.5, target: Double = 50.0,
+      slack: Double = 2.5, h: Double = 200.0): DataFrame =
+    anomalyEnsembleOf(Tables.events(spark, sfDir), k, kMad, target, slack, h)
+
+  /** A63 over an arbitrary events frame (spec entry — plant a spike
+    * device, a drift device, and a healthy device). */
+  def anomalyEnsembleOf(events: DataFrame, k: Double = 2.0,
+      kMad: Double = 3.5, target: Double = 50.0, slack: Double = 2.5,
+      h: Double = 200.0): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val z = zscoreOutliersOf(events, k).groupBy($"user_id")
+      .agg(count(lit(1)).as("z_events"))
+    val m = madOutliersOf(events, kMad).groupBy($"user_id")
+      .agg(count(lit(1)).as("mad_events"))
+    val c = cusumOf(events, target, slack, h).filter($"alarm")
+      .select($"user_id", $"cusum_max")
+    z.join(m, Seq("user_id"), "full_outer")
+      .join(c, Seq("user_id"), "full_outer")
+      .select($"user_id",
+        coalesce($"z_events", lit(0L)).as("z_events"),
+        coalesce($"mad_events", lit(0L)).as("mad_events"),
+        $"cusum_max".isNotNull.as("cusum_alarm"),
+        round($"cusum_max", 6).as("cusum_max"),
+        ($"z_events".isNotNull.cast("int") +
+          $"mad_events".isNotNull.cast("int") +
+          $"cusum_max".isNotNull.cast("int")).as("n_detectors"))
+      .orderBy($"n_detectors".desc, $"user_id")
+  }
+
+  /** The composition oracle: the A31, A52, and A36 oracle bodies as
+    * CTEs (the CUSUM fold via the A36 list_reduce technique), full
+    * outer joined per device. */
+  def anomalyEnsembleSql(k: Double = 2.0, kMad: Double = 3.5,
+      target: Double = 50.0, slack: Double = 2.5,
+      h: Double = 200.0): String = {
+    val ref = target + slack
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us, value
+       |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+       |mo AS (
+       |  SELECT user_id, COUNT(*) AS n,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+       |  FROM e GROUP BY user_id),
+       |st AS (
+       |  SELECT user_id, sx / n AS mu,
+       |    sqrt(greatest((sxx - sx * sx / n) / n, 0.0)) AS sigma
+       |  FROM mo),
+       |zc AS (
+       |  SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS z_events
+       |  FROM e JOIN st USING (user_id)
+       |  WHERE abs(e.value - st.mu) > $k * st.sigma
+       |  GROUP BY e.user_id),
+       |med AS (
+       |  SELECT user_id, ROUND(quantile_cont(value, 0.5), 4) AS med
+       |  FROM e GROUP BY user_id),
+       |dv AS (
+       |  SELECT e.user_id, ROUND(ABS(e.value - med.med), 4) AS absdev
+       |  FROM e JOIN med USING (user_id)),
+       |mad AS (
+       |  SELECT user_id, ROUND(quantile_cont(absdev, 0.5), 4) AS mad
+       |  FROM dv GROUP BY user_id),
+       |mc AS (
+       |  SELECT dv.user_id, CAST(COUNT(*) AS BIGINT) AS mad_events
+       |  FROM dv JOIN mad USING (user_id)
+       |  WHERE mad.mad > 0.0 AND dv.absdev / (mad.mad * 1.4826) > $kMad
+       |  GROUP BY dv.user_id),
+       |cv AS (
+       |  SELECT user_id, list(value ORDER BY us, event_id) AS vals
+       |  FROM e GROUP BY user_id),
+       |cu AS (
+       |  SELECT user_id,
+       |    list_reduce(
+       |      list_prepend([CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+       |        list_transform(vals, el -> [CAST(el AS DOUBLE), CAST(el AS DOUBLE)])),
+       |      (acc, x) -> [greatest(CAST(0.0 AS DOUBLE), acc[1] + (x[1] - $ref)),
+       |                   greatest(acc[2],
+       |                     greatest(CAST(0.0 AS DOUBLE), acc[1] + (x[1] - $ref)))]) AS st
+       |  FROM cv),
+       |ca AS (
+       |  SELECT user_id, st[2] AS cusum_max FROM cu WHERE st[2] > $h)
+       |SELECT COALESCE(zc.user_id, mc.user_id, ca.user_id) AS user_id,
+       |  COALESCE(z_events, 0) AS z_events,
+       |  COALESCE(mad_events, 0) AS mad_events,
+       |  ca.user_id IS NOT NULL AS cusum_alarm,
+       |  ROUND(cusum_max, 6) AS cusum_max,
+       |  CAST((CASE WHEN zc.user_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    + (CASE WHEN mc.user_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    + (CASE WHEN ca.user_id IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+       |    AS n_detectors
+       |FROM zc
+       |FULL OUTER JOIN mc ON zc.user_id = mc.user_id
+       |FULL OUTER JOIN ca ON COALESCE(zc.user_id, mc.user_id) = ca.user_id
+       |ORDER BY n_detectors DESC, user_id""".stripMargin
+  }
 }

@@ -938,6 +938,62 @@ class CurationSpec extends SparkSpec {
         s"doc $id copy indices broken")
     }
   }
+
+  test("shuffle audit: identity order reads 1, reversal reads -1, a real shuffle reads near 0") {
+    import spark.implicits._
+    def frame(keys: Seq[Long]): org.apache.spark.sql.DataFrame =
+      keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+        .toDF("seq_id", "shuffle_key")
+    val n = 101
+    val ident = Curation.shuffleAuditOf(frame((0 until n).map(_.toLong))).head()
+    assert(ident.getLong(0) == n && ident.getDouble(1) == 1.0,
+      s"identity order: $ident")
+    val rev = Curation.shuffleAuditOf(
+      frame((0 until n).map(i => (n - i).toLong))).head()
+    assert(rev.getDouble(1) == -1.0, s"reversal: $rev")
+    // driver-side exact recompute of a planted permutation
+    val perm = new scala.util.Random(7).shuffle((0 until n).toList)
+    val out = Curation.shuffleAuditOf(frame(perm.map(_.toLong))).head()
+    val pos = perm.zipWithIndex.sortBy(t => (t._1, t._2)).map(_._2)
+      .zipWithIndex.toMap // ingestion index -> shuffled rank
+    val sd2 = (0 until n).map { i =>
+      val d = i.toLong - pos(i); d * d }.sum.toDouble
+    val want = math.rint((1.0 - 6.0 * sd2 /
+      (n.toDouble * (n.toDouble * n.toDouble - 1.0))) * 1e6) / 1e6
+    assert(out.getDouble(1) == want, s"${out.getDouble(1)} != $want")
+    // the real C23 shuffle on the driver corpus decorrelates
+    val real = Curation.shuffleAudit(spark, sf).head()
+    val nr = real.getLong(0)
+    assert(nr > 5, "fixture lost its sequences")
+    // null hypothesis SE is 1/sqrt(n-1); 3 SE covers the sf0.001
+    // fixture's 14 sequences without ever accepting ingestion order
+    assert(math.abs(real.getDouble(1)) < 3.0 / math.sqrt(nr - 1.0),
+      s"seeded shuffle failed to decorrelate: $real")
+  }
+
+  test("length buckets: conservation, exact pad arithmetic, ordered bins") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),                       // 3 tokens  -> bin 0 (0-4)
+      (2L, (1 to 4).map(_ => "x").mkString(" ")),  // 4  -> bin 0
+      (3L, (1 to 5).map(_ => "x").mkString(" ")),  // 5  -> bin 1 (5-9)
+      (4L, (1 to 12).map(_ => "x").mkString(" ")), // 12 -> bin 2
+      (5L, "")).toDF("doc_id", "text")             // 0  -> bin 0
+    val out = Curation.lengthBucketsOf(docs, binTokens = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.map(_._3).sum == 5, "doc conservation")
+    assert(out.map(t => (t._1, t._2)).toSeq ==
+      Seq((0L, 5L), (5L, 10L), (10L, 15L)), s"bins: ${out.toSeq}")
+    val b0 = out(0)
+    assert(b0._3 == 3 && b0._4 == 7 && b0._5 == 3 * 5 - 7,
+      s"bin 0 pad arithmetic: $b0")
+    out.foreach { b =>
+      assert(b._5 == b._2 * b._3 - b._4, s"pad != ceil*n - mass: $b")
+      assert(b._6 >= 0.0 && b._6 < 1.0)
+      assert(b._6 == math.rint(b._5.toDouble / (b._2 * b._3) * 1e6) / 1e6)
+    }
+  }
 }
 
 /** Top-level so spark.implicits can derive its Encoder. */

@@ -766,4 +766,39 @@ class MonitoringSpec extends SparkSpec {
     assert(math.abs(mae2 - 5.0) < 1e-6 && math.abs(bias2 - 5.0) < 1e-6,
       s"planted +5 offset: mae=$mae2 bias=$bias2")
   }
+
+  test("anomaly ensemble: spike hits z+MAD, drift hits CUSUM only, healthy absent") {
+    import spark.implicits._
+    // device 1 (spike): jittered base so MAD > 0, one 150.0 point —
+    // z and MAD both flag it; CUSUM's single positive step (150−52.5
+    // = 97.5) stays under h = 200, then clamps back toward 0
+    val spike = (0 until 50).map(i =>
+      (1L, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        i.toLong, "purchase", 45.0 + (i % 11))) :+
+      (1L, new java.sql.Timestamp(1700000060000L), 99L, "purchase", 150.0)
+    // device 2 (drift): constant 55.0 — sigma = 0 and MAD = 0 silence
+    // both point detectors; CUSUM ramps 2.5/step × 100 = 250 > 200
+    val drift = (0 until 100).map(i =>
+      (2L, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        1000L + i, "purchase", 55.0))
+    // device 3 (healthy): constant at the target
+    val healthy = (0 until 20).map(i =>
+      (3L, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        2000L + i, "purchase", 50.0))
+    val events = (spike ++ drift ++ healthy)
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Monitoring.anomalyEnsembleOf(events).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getInt(5))).toMap
+    assert(out.keySet === Set(1L, 2L), s"verdict set: $out")
+    val (z1, m1, c1, n1) = out(1L)
+    assert(z1 >= 1L && m1 >= 1L && !c1 && n1 == 2,
+      s"spike device verdict: ${out(1L)}")
+    val (z2, m2, c2, n2) = out(2L)
+    assert(z2 == 0L && m2 == 0L && c2 && n2 == 1,
+      s"drift device verdict: ${out(2L)}")
+    // ordering: most-agreed-on device first
+    val order = Monitoring.anomalyEnsembleOf(events).collect().map(_.getLong(0))
+    assert(order.head == 1L, s"triage order: ${order.toSeq}")
+  }
 }
