@@ -253,4 +253,59 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: distributed BPE equals a driver-side reference replay") {
+    // short words over a 2-char alphabet force overlapping runs and
+    // count ties — the two places a merge implementation goes wrong
+    val corpusGen: Gen[List[String]] = Gen.choose(5, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1, 6).flatMap(l =>
+        Gen.listOfN(l, Gen.oneOf("a", "b")).map(_.mkString))))
+    def replay(words: Map[String, Long], nMerges: Int)
+        : (Seq[(String, String, Long)], Map[String, Vector[String]]) = {
+      var syms = words.keys.map(w => w -> w.map(_.toString).toVector).toMap
+      val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      var stop = false
+      while (out.length < nMerges && !stop) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        for ((w, ss) <- syms; i <- 0 until ss.length - 1)
+          counts((ss(i), ss(i + 1))) =
+            counts.getOrElse((ss(i), ss(i + 1)), 0L) + words(w)
+        if (counts.isEmpty) stop = true
+        else {
+          val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+          out += ((a, b, c))
+          syms = syms.map { case (w, ss) =>
+            val nb = Vector.newBuilder[String]
+            var i = 0
+            while (i < ss.length) {
+              if (i + 1 < ss.length && ss(i) == a && ss(i + 1) == b) {
+                nb += (a + b); i += 2
+              } else { nb += ss(i); i += 1 }
+            }
+            w -> nb.result()
+          }
+        }
+      }
+      (out.toSeq, syms)
+    }
+    for (seed <- 1L to 5L) {
+      val words = sample(corpusGen, seed)
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val (got, vocab) = graft.operators.TextAnalysis.bpeLearnOf(docs, 5)
+      val wc = words.groupBy(identity).map { case (w, v) => w -> v.size.toLong }
+      val (want, wantSyms) = replay(wc, 5)
+      assert(got == want, s"seed $seed: merges $got != reference $want")
+      val gotSyms = vocab.select(col("term"), col("syms")).collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+      assert(gotSyms == wantSyms, s"seed $seed: symbolization diverged")
+      gotSyms.foreach { case (t, ss) =>
+        assert(ss.mkString == t, s"seed $seed: reconstruction broke on $t")
+      }
+      // apply: pieces = Σ tf·|syms| against the reference symbolization
+      val applied = graft.operators.TextAnalysis.bpeApplyOf(docs, vocab)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).head
+      val wantPieces = wc.map { case (w, n) => n * wantSyms(w).length }.sum
+      assert(applied == ((wc.values.sum, wantPieces)), s"seed $seed: $applied")
+    }
+  }
 }
