@@ -118,6 +118,10 @@ object SparkEntry {
     "ann_capped" -> ((s: SparkSession, d: String) =>
       Similarity.annCapped(s, d)),
     "mm_thumbnails" -> (Multimodal.mmThumbnails _),
+    "mm_training_clips" -> ((s: SparkSession, d: String) =>
+      Multimodal.mmTrainingClips(s, d)),
+    "mm_quality_gate" -> ((s: SparkSession, d: String) =>
+      Multimodal.mmQualityGate(s, d)),
     // F: multimodal
     "mm_manifest" -> (Multimodal.mmManifest _),
     "mm_frame_sample" -> (Multimodal.mmFrameSample _),
@@ -440,6 +444,8 @@ object SparkEntry {
     "ann_hybrid" -> Similarity.annHybridSql,
     "ann_capped" -> Similarity.annCappedSql,
     "mm_thumbnails" -> Multimodal.mmThumbnailsSql,
+    "mm_training_clips" -> Multimodal.mmTrainingClipsSql(),
+    "mm_quality_gate" -> Multimodal.mmQualityGateSql(),
     "q_event_paths" -> Relational.qEventPathsSql,
     "text_entropy" -> TextAnalysis.textEntropySql,
     "corpus_drift" -> TextAnalysis.corpusDriftSql,

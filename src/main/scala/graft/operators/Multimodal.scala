@@ -925,6 +925,134 @@ object Multimodal {
       |FROM sil GROUP BY media_id, grp
       |ORDER BY media_id, start_window""".stripMargin
 
+  // ---------------------------------------------------------------- F15
+  /** TRAINING-CLIP selection — which fixed-length clips a video
+    * training run samples from each media: one clip per sufficiently
+    * long shot (a clip inside one shot is temporally coherent; a clip
+    * spanning a cut teaches the model that cuts are motion), capped
+    * per media by LONGEST-shot-first so a thousand-cut music video
+    * cannot flood the batch (ties to the earliest shot — F14's rule).
+    * Pure composition over F10's one-exchange segmentation: the
+    * min-length filter runs on the shot-count-sized frame, the
+    * per-media cap through the bounded-heap TopK. The oracle WRAPS
+    * the F10 SQL so clip selection and segmentation cannot drift. */
+  def mmTrainingClips(spark: SparkSession, sfDir: String,
+      clipLen: Int = 8, minFrames: Int = 1,
+      maxClipsPerMedia: Int = 4): DataFrame =
+    trainingClipsOf(shots(mmFrames(spark, sfDir)),
+      clipLen, minFrames, maxClipsPerMedia)
+
+  /** F15 over an arbitrary shot frame (spec entry — plant long and
+    * short shots to exercise the filter, the cap, and the ordering).
+    * The driver default minFrames = 1 is the honest setting for this
+    * corpus: its synthetic frame hashes are pairwise ~32 bits apart,
+    * so every transition is a cut and every shot is one frame — a
+    * real decode seam yields multi-frame shots and a real minFrames. */
+  def trainingClipsOf(sh: DataFrame, clipLen: Int = 8,
+      minFrames: Int = 1, maxClipsPerMedia: Int = 4): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    require(clipLen >= 1 && minFrames >= 1 && maxClipsPerMedia >= 1,
+      s"clipLen/minFrames/maxClipsPerMedia must be positive")
+    graft.plans.TopK.perKey(sh.filter($"n_frames" >= minFrames),
+        Seq("media_id"), Seq($"n_frames".desc, $"shot_id".asc),
+        maxClipsPerMedia)
+      .select($"media_id", $"shot_id",
+        $"start_frame".as("clip_start"),
+        least($"n_frames", lit(clipLen.toLong)).cast("int").as("clip_len"))
+      .orderBy($"media_id", $"shot_id")
+  }
+
+  def mmTrainingClipsSql(clipLen: Int = 8, minFrames: Int = 1,
+      maxClipsPerMedia: Int = 4): String =
+    s"""WITH sh AS ($mmShotsSql),
+       |pick AS (
+       |  SELECT media_id, shot_id, start_frame, n_frames,
+       |    ROW_NUMBER() OVER (PARTITION BY media_id
+       |      ORDER BY n_frames DESC, shot_id) AS rn
+       |  FROM sh WHERE n_frames >= $minFrames)
+       |SELECT media_id, shot_id, start_frame AS clip_start,
+       |  CAST(least(n_frames, $clipLen) AS INT) AS clip_len
+       |FROM pick WHERE rn <= $maxClipsPerMedia
+       |ORDER BY media_id, shot_id""".stripMargin
+
+  // ---------------------------------------------------------------- F16
+  /** MEDIA QUALITY GATE — the F-family's C8: one pass/fail verdict
+    * per media from the three signals a video-curation pipeline
+    * screens on BEFORE paying for decode-heavy downstream work:
+    * duration in usable bounds (truncated uploads and unbounded
+    * streams both fail), enough motion (mean inter-frame hamming —
+    * static slates/test cards fail; media too short to have a
+    * transition read as motionless), and not mostly silence (silent
+    * window mass over total windows). Composes F1/F13/F11 verbatim —
+    * gate and member reports cannot drift; everything post-member is
+    * media-sized LEFT joins off each member's one exchange. Fractions
+    * compare on ROUNDED values (both engines round identically, so
+    * the boolean cut cannot sit on an ulp). */
+  def mmQualityGate(spark: SparkSession, sfDir: String,
+      minDuration: Double = 2.0, maxDuration: Double = 600.0,
+      motionFloor: Double = 5.0, maxSilentFrac: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val manifest = mmManifest(spark, sfDir)
+      .select($"media_id", $"duration_s")
+    val motion = mmMotionProfile(spark, sfDir)
+      .select($"media_id", $"mean_hamming")
+    val silent = mmAudioSilence(spark, sfDir)
+      .groupBy($"media_id").agg(sum($"n_windows").as("silent_windows"))
+    val windows = mmAudioWindows(spark, sfDir, 64)
+      .groupBy($"media_id").agg(count(lit(1)).as("total_windows"))
+    manifest
+      .join(motion, Seq("media_id"), "left")
+      .join(windows, Seq("media_id"), "left")
+      .join(silent, Seq("media_id"), "left")
+      .select($"media_id", $"duration_s",
+        coalesce($"mean_hamming", lit(0.0)).as("mean_hamming"),
+        round(coalesce($"silent_windows", lit(0L)).cast("double") /
+          $"total_windows", 6).as("silent_frac"))
+      .withColumn("duration_ok",
+        $"duration_s" >= minDuration && $"duration_s" <= maxDuration)
+      .withColumn("motion_ok", $"mean_hamming" >= motionFloor)
+      .withColumn("audio_ok",
+        $"silent_frac".isNotNull && $"silent_frac" <= maxSilentFrac)
+      .withColumn("passed", $"duration_ok" && $"motion_ok" && $"audio_ok")
+      .orderBy($"media_id")
+  }
+
+  def mmQualityGateSql(minDuration: Double = 2.0,
+      maxDuration: Double = 600.0, motionFloor: Double = 5.0,
+      maxSilentFrac: Double = 0.5): String =
+    s"""WITH man AS (
+       |  SELECT media_id, duration_s FROM ($mmManifestSql)),
+       |mot AS (
+       |  SELECT media_id, mean_hamming FROM ($mmMotionProfileSql)),
+       |sil AS (
+       |  SELECT media_id, CAST(SUM(n_windows) AS BIGINT) AS silent_windows
+       |  FROM ($mmAudioSilenceSql) GROUP BY media_id),
+       |tot AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(ceil(length(text) / 64.0) AS BIGINT) AS total_windows
+       |  FROM documents WHERE length(text) > 0),
+       |j AS (
+       |  SELECT man.media_id, man.duration_s,
+       |    COALESCE(mot.mean_hamming, 0.0) AS mean_hamming,
+       |    ROUND(CAST(COALESCE(sil.silent_windows, 0) AS DOUBLE)
+       |      / tot.total_windows, 6) AS silent_frac
+       |  FROM man
+       |  LEFT JOIN mot ON man.media_id = mot.media_id
+       |  LEFT JOIN tot ON man.media_id = tot.media_id
+       |  LEFT JOIN sil ON man.media_id = sil.media_id)
+       |SELECT media_id, duration_s, mean_hamming, silent_frac,
+       |  duration_s >= $minDuration AND duration_s <= $maxDuration
+       |    AS duration_ok,
+       |  mean_hamming >= $motionFloor AS motion_ok,
+       |  silent_frac IS NOT NULL AND silent_frac <= $maxSilentFrac
+       |    AS audio_ok,
+       |  (duration_s >= $minDuration AND duration_s <= $maxDuration)
+       |    AND mean_hamming >= $motionFloor
+       |    AND (silent_frac IS NOT NULL AND silent_frac <= $maxSilentFrac)
+       |    AS passed
+       |FROM j ORDER BY media_id""".stripMargin
+
   // ---------------------------------------------------------------- F12
   /** STREAMING audio silence — F11's live twin (VAD at ingest: the
     * reference is a live media gateway, and trimming/flagging silence

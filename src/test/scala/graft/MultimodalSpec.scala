@@ -298,4 +298,47 @@ class MultimodalSpec extends SparkSpec {
         s"media $m keyframe/start drifted from the shot row")
     }
   }
+
+  test("training clips: min-length filter, longest-first cap, tie to earliest shot") {
+    val sh = Seq(
+      // media 1: lengths 10, 2, 6, 3, 5, 7 — minFrames=4 keeps
+      // {10, 6, 5, 7}, cap 3 keeps {10, 7, 6}, output in shot order
+      (1L, 0L, 0, 9, 10L, 111L), (1L, 1L, 10, 11, 2L, 222L),
+      (1L, 2L, 12, 17, 6L, 333L), (1L, 3L, 18, 20, 3L, 444L),
+      (1L, 4L, 21, 25, 5L, 555L), (1L, 5L, 26, 32, 7L, 666L),
+      // media 2: all one-frame shots — fully filtered
+      (2L, 0L, 0, 0, 1L, 1L), (2L, 1L, 1, 1, 1L, 2L),
+      // media 3: two equal-length shots beyond the cap=3 — all kept
+      (3L, 0L, 0, 4, 5L, 7L), (3L, 1L, 5, 9, 5L, 8L))
+      .toDF("media_id", "shot_id", "start_frame", "end_frame",
+        "n_frames", "keyframe_hash")
+    val out = Multimodal.trainingClipsOf(sh, clipLen = 8, minFrames = 4,
+        maxClipsPerMedia = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(out.filter(_._1 == 2L).isEmpty, "one-frame shots not filtered")
+    assert(out.filter(_._1 == 1L).toSeq ==
+      Seq((1L, 0L, 0, 8), (1L, 2L, 12, 6), (1L, 5L, 26, 7)),
+      s"media 1 clips: ${out.toSeq}")
+    assert(out.filter(_._1 == 3L).toSeq ==
+      Seq((3L, 0L, 0, 5), (3L, 1L, 5, 5)), s"media 3 clips: ${out.toSeq}")
+  }
+
+  test("quality gate: verdicts consistent with their own reported signals") {
+    val out = Multimodal.mmQualityGate(spark, sf).collect()
+    assert(out.length == 500, "every media gets a verdict row")
+    out.foreach { r =>
+      val (dur, motion, silent) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      val (dOk, mOk, aOk, passed) =
+        (r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7))
+      assert(dOk == (dur >= 2.0 && dur <= 600.0))
+      assert(mOk == (motion >= 5.0))
+      assert(aOk == (silent <= 0.5))
+      assert(passed == (dOk && mOk && aOk))
+      assert(silent >= 0.0 && silent <= 1.0)
+    }
+    // the gate discriminates on this corpus: both verdicts occur
+    assert(out.exists(_.getBoolean(7)) && out.exists(!_.getBoolean(7)),
+      "gate degenerate — all pass or all fail")
+  }
 }
