@@ -208,6 +208,8 @@ object SparkEntry {
       TextAnalysis.bpeApply(s, d)),
     "text_zipf" -> ((s: SparkSession, d: String) =>
       TextAnalysis.textZipf(s, d)),
+    "text_keywords" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.textKeywords(s, d)),
     "text_lm_score_bigram" -> ((s: SparkSession, d: String) =>
       TextAnalysis.textLmScoreBigram(s, d)),
     "word_cooccurrence" -> ((s: SparkSession, d: String) =>
@@ -216,6 +218,8 @@ object SparkEntry {
       Monitoring.downtimeSla(s, d)),
     "mon_anomaly_ensemble" -> ((s: SparkSession, d: String) =>
       Monitoring.anomalyEnsemble(s, d)),
+    "mon_level_shift" -> ((s: SparkSession, d: String) =>
+      Monitoring.levelShift(s, d)),
     "shuffle_audit" -> (Curation.shuffleAudit _),
     "length_buckets" -> ((s: SparkSession, d: String) =>
       Curation.lengthBuckets(s, d)),
@@ -415,10 +419,12 @@ object SparkEntry {
     "q_blocking_supplier" -> Relational.qBlockingSupplierSql,
     "text_bpe_pairs" -> TextAnalysis.textBpePairsSql(),
     "text_zipf" -> TextAnalysis.textZipfSql(),
+    "text_keywords" -> TextAnalysis.textKeywordsSql,
     "text_lm_score_bigram" -> TextAnalysis.textLmScoreBigramSql(),
     "word_cooccurrence" -> TextAnalysis.wordCooccurrenceSql(),
     "mon_downtime_sla" -> Monitoring.downtimeSlaSql(),
     "mon_anomaly_ensemble" -> Monitoring.anomalyEnsembleSql(),
+    "mon_level_shift" -> Monitoring.levelShiftSql(),
     "shuffle_audit" -> Curation.shuffleAuditSql,
     "length_buckets" -> Curation.lengthBucketsSql(),
     "mon_capacity_forecast" -> Monitoring.capacityForecastSql(),

@@ -2201,6 +2201,101 @@ object Monitoring {
        |WHERE n_samples >= ${minPoints} AND n_samples * sxx - sx * sx > 0.0
        |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- A64
+  /** LEVEL-SHIFT detection (single change point per device) — WHEN a
+    * device's metric stepped, not just that it is now anomalous: the
+    * split of the per-device series maximizing |mean-before −
+    * mean-after| with a minimum segment size on both sides (binary
+    * segmentation's first step, the classic AMOC formulation). The
+    * question A31/A36 cannot answer: CUSUM says "drifted past the
+    * budget", this says "at 14:32, from 48 to 63" — the row an
+    * incident timeline starts from.
+    *
+    * Plan: EVERY ROW IS A CANDIDATE SPLIT — one running-sum window
+    * per device (rank + prefix sum in the same partitioned window
+    * frame) turns each row into (left n/sum, right n/sum) by
+    * subtraction from the device totals, so the whole split scan is
+    * one window stage + one argmax aggregate on ONE device-key
+    * exchange; no per-split re-aggregation, no quadratic anything,
+    * no mapPartitions. Sums ride DECIMAL(18,4) (order-free, exact);
+    * means and the shift are identical IEEE divisions; the argmax
+    * tie-breaks to the EARLIEST qualifying split via a min-struct on
+    * (−|shift|, rank). */
+  def levelShift(spark: SparkSession, sfDir: String,
+      minSeg: Int = 5): DataFrame =
+    levelShiftOf(Tables.events(spark, sfDir), minSeg)
+
+  /** A64 over an arbitrary events frame (spec entry — plant a step
+    * series with a known change point). */
+  def levelShiftOf(events: DataFrame, minSeg: Int = 5): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(minSeg >= 1, s"minSeg $minSeg must be positive")
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val wAll = Window.partitionBy($"user_id")
+    val ev = events
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
+      .select($"user_id", expr(tsUs).as("us"), $"event_id",
+        $"value".cast("decimal(18,4)").as("v"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("lsum", sum($"v").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tsum", sum($"v").over(wAll))
+    val cand = ev
+      .filter($"rn" >= minSeg && $"n" - $"rn" >= minSeg)
+      .withColumn("left_mean",
+        $"lsum".cast("double") / $"rn")
+      .withColumn("right_mean",
+        ($"tsum" - $"lsum").cast("double") / ($"n" - $"rn"))
+      .withColumn("shift", $"right_mean" - $"left_mean")
+      .withColumn("ashift", abs($"shift"))
+    cand.groupBy($"user_id")
+      .agg(min(struct((-$"ashift").as("na"), $"rn", $"us", $"shift",
+        $"left_mean", $"right_mean", $"n")).as("b"))
+      .select($"user_id",
+        $"b.n".as("n_events"),
+        $"b.rn".cast("int").as("split_rank"),
+        $"b.us".as("split_us"),
+        round($"b.left_mean", 6).as("left_mean"),
+        round($"b.right_mean", 6).as("right_mean"),
+        round($"b.shift", 6).as("shift"))
+      .orderBy($"user_id")
+  }
+
+  def levelShiftSql(minSeg: Int = 5): String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS us, event_id,
+       |    CAST(value AS DECIMAL(18,4)) AS v
+       |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+       |r AS (
+       |  SELECT user_id, us, event_id, v,
+       |    ROW_NUMBER() OVER w AS rn,
+       |    SUM(v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW) AS lsum,
+       |    COUNT(*) OVER (PARTITION BY user_id) AS n,
+       |    SUM(v) OVER (PARTITION BY user_id) AS tsum
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |cand AS (
+       |  SELECT user_id, us, rn, n,
+       |    CAST(lsum AS DOUBLE) / rn AS left_mean,
+       |    CAST(tsum - lsum AS DOUBLE) / (n - rn) AS right_mean,
+       |    CAST(tsum - lsum AS DOUBLE) / (n - rn)
+       |      - CAST(lsum AS DOUBLE) / rn AS shift
+       |  FROM r WHERE rn >= $minSeg AND n - rn >= $minSeg),
+       |best AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+       |    ORDER BY abs(shift) DESC, rn) AS pick
+       |  FROM cand)
+       |SELECT user_id, n AS n_events, CAST(rn AS INT) AS split_rank,
+       |  us AS split_us,
+       |  ROUND(left_mean, 6) AS left_mean,
+       |  ROUND(right_mean, 6) AS right_mean,
+       |  ROUND(shift, 6) AS shift
+       |FROM best WHERE pick = 1
+       |ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- A63
   /** ANOMALY ENSEMBLE — one fleet verdict from the three independent
     * detectors (A31 z-score, A52 median/MAD, A36 CUSUM): which devices

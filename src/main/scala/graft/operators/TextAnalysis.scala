@@ -1516,6 +1516,103 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- E28
+  /** RAKE KEYWORD extraction — the representative phrase per document
+    * (Rose et al.'s Rapid Automatic Keyword Extraction, the classic
+    * unsupervised baseline): candidate phrases are maximal runs of
+    * non-stopword tokens; each word scores degree/frequency over the
+    * doc's phrases (degree = Σ length of phrases it appears in —
+    * words that live in long phrases outrank loners); a phrase scores
+    * the sum of its members' scores; the doc's keyword is its top
+    * phrase, ties to the lexicographically first.
+    *
+    * Scale shape: all exchanges are DOC-keyed on token-level frames
+    * (the E6 cost class) — islands from one partitioned window
+    * (pos − row_number, the gaps-and-islands move), phrase text via
+    * array_sort over collected (pos, token) structs (collect_list
+    * order is NOT deterministic; the sort is what makes the phrase
+    * reproducible), and the per-doc argmax is a min-STRUCT — no
+    * second pass. Parity: per-word scores quantize to DECIMAL(18,9)
+    * before the phrase sum (order-free — the E11 discipline); the
+    * stopword list is the ONE inline E2 list on both engines. */
+  def textKeywords(spark: SparkSession, sfDir: String): DataFrame =
+    textKeywordsOf(Tables.documents(spark, sfDir))
+
+  def textKeywordsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.withColumn("toks", tokens())
+      .select($"doc_id", posexplode($"toks").as(Seq("pos", "tok")))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val isl = toks.filter(!$"tok".isInCollection(stopwords))
+      .withColumn("grp", $"pos" - row_number().over(w))
+    val ph = isl.groupBy($"doc_id", $"grp").agg(
+      array_join(expr(
+        "transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)"),
+        " ").as("phrase"),
+      count(lit(1)).as("plen"))
+    val mem = isl.join(ph, Seq("doc_id", "grp"))
+      .select($"doc_id", $"grp", $"tok", $"plen")
+    val ws = mem.groupBy($"doc_id", $"tok")
+      .agg(count(lit(1)).as("freq"), sum($"plen").as("deg"))
+    val ps = mem.join(ws, Seq("doc_id", "tok"))
+      .select($"doc_id", $"grp",
+        ($"deg".cast("double") / $"freq").cast("decimal(18,9)").as("wscore"))
+      .groupBy($"doc_id", $"grp")
+      .agg(sum($"wscore").cast("double").as("score"))
+    val best = ph.join(ps, Seq("doc_id", "grp"))
+      .groupBy($"doc_id")
+      .agg(min(struct((-$"score").as("ns"), $"phrase", $"plen",
+        $"score".as("sc"))).as("b"))
+    docs.select($"doc_id").join(best, Seq("doc_id"), "left")
+      .select($"doc_id", $"b.phrase".as("keyword"),
+        $"b.plen".as("phrase_len"), round($"b.sc", 6).as("score"))
+      .orderBy($"doc_id")
+  }
+
+  val textKeywordsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, s['pos'] AS pos, s['tok'] AS tok
+       |  FROM (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(toks) + 1),
+       |      i -> {'pos': i, 'tok': toks[i]})) AS s
+       |  FROM t)),
+       |isl AS (
+       |  SELECT doc_id, pos, tok,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM tok WHERE NOT list_contains($stopwordsSqlList, tok)),
+       |ph AS (
+       |  SELECT doc_id, grp,
+       |    string_agg(tok, ' ' ORDER BY pos) AS phrase,
+       |    COUNT(*) AS plen
+       |  FROM isl GROUP BY doc_id, grp),
+       |mem AS (
+       |  SELECT isl.doc_id, isl.grp, isl.tok, ph.plen
+       |  FROM isl JOIN ph USING (doc_id, grp)),
+       |ws AS (
+       |  SELECT doc_id, tok, COUNT(*) AS freq,
+       |    CAST(SUM(plen) AS BIGINT) AS deg
+       |  FROM mem GROUP BY doc_id, tok),
+       |ps AS (
+       |  SELECT doc_id, grp, CAST(SUM(wscore) AS DOUBLE) AS score
+       |  FROM (SELECT mem.doc_id, mem.grp,
+       |    CAST(CAST(ws.deg AS DOUBLE) / ws.freq AS DECIMAL(18,9)) AS wscore
+       |    FROM mem JOIN ws USING (doc_id, tok))
+       |  GROUP BY doc_id, grp),
+       |best AS (
+       |  SELECT ph.doc_id, ph.phrase, ph.plen, ps.score,
+       |    ROW_NUMBER() OVER (PARTITION BY ph.doc_id
+       |      ORDER BY ps.score DESC, ph.phrase) AS rn
+       |  FROM ph JOIN ps USING (doc_id, grp))
+       |SELECT d.doc_id, b.phrase AS keyword,
+       |  b.plen AS phrase_len, ROUND(b.score, 6) AS score
+       |FROM documents d
+       |LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+       |ORDER BY d.doc_id""".stripMargin
+
   val textScriptProfileSql: String =
     """WITH m AS (
       |  SELECT source, CAST(length(text) AS BIGINT) AS nc,

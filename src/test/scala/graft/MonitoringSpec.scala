@@ -767,6 +767,35 @@ class MonitoringSpec extends SparkSpec {
       s"planted +5 offset: mae=$mae2 bias=$bias2")
   }
 
+  test("level shift: planted step found at the exact boundary, flat series reports ~0 shift") {
+    import spark.implicits._
+    // device 1: 20 samples at 48, then 20 at 63 — split must land at
+    // rank 20 with means exactly 48 and 63
+    val step = (0 until 40).map(i =>
+      (1L, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        i.toLong, "purchase", if (i < 20) 48.0 else 63.0))
+    // device 2: flat 50s — every candidate split has shift 0; the
+    // tie-break picks the EARLIEST qualifying rank (minSeg)
+    val flat = (0 until 30).map(i =>
+      (2L, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        100L + i, "purchase", 50.0))
+    // device 3: too short for two minSeg segments — absent
+    val short = (0 until 6).map(i =>
+      (3L, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        200L + i, "purchase", 10.0 * i))
+    val events = (step ++ flat ++ short)
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Monitoring.levelShiftOf(events, minSeg = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(out.keySet === Set(1L, 2L), s"verdicts: $out")
+    assert(out(1L) === ((40L, 20, 48.0, 63.0, 15.0)),
+      s"planted step: ${out(1L)}")
+    val (n2, rk2, _, _, s2) = out(2L)
+    assert(n2 == 30L && rk2 == 5 && s2 == 0.0,
+      s"flat series: ${out(2L)}")
+  }
+
   test("anomaly ensemble: spike hits z+MAD, drift hits CUSUM only, healthy absent") {
     import spark.implicits._
     // device 1 (spike): jittered base so MAD > 0, one 150.0 point —

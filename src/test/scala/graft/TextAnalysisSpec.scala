@@ -439,6 +439,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.sameElements(brute), "vocab-weighted != token-stream scan")
   }
 
+  test("rake keywords: hand-computed scores, stopword islands, deterministic phrase text") {
+    import spark.implicits._
+    // doc 1: "deep learning of deep networks and the learning rate"
+    //   islands: [deep learning], [deep networks], [learning rate]
+    //   freq: deep 2, learning 2, networks 1, rate 1
+    //   deg:  deep 2+2=4, learning 2+2=4, networks 2, rate 2
+    //   scores: deep 2, learning 2, networks 2, rate 2
+    //   phrases: "deep learning" 4, "deep networks" 4, "learning rate" 4
+    //   tie at 4 -> lexicographic: "deep learning"
+    val docs = Seq(
+      (1L, "deep learning of deep networks and the learning rate"),
+      (2L, "the of and"), // all stopwords -> NULL keyword
+      (3L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.textKeywordsOf(docs).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1),
+          if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toMap
+    assert(out(1L) === (("deep learning", 4.0)), s"doc 1: ${out(1L)}")
+    assert(out(2L)._1 == null, s"all-stopword doc: ${out(2L)}")
+    assert(out(3L) === (("solo", 1.0)), s"single-word doc: ${out(3L)}")
+    // a longer phrase outranks repeated short ones: degree rewards
+    // words living in long phrases
+    val d4 = Seq((4L, "alpha beta gamma delta of beta of beta"))
+      .toDF("doc_id", "text")
+    val k4 = TextAnalysis.textKeywordsOf(d4).collect().head
+    assert(k4.getString(1) == "alpha beta gamma delta", s"long phrase lost: $k4")
+  }
+
   test("bpe train: the classic corpus learns the canonical merge sequence") {
     import spark.implicits._
     // Sennrich et al.'s worked example: {low:5, lower:2, newest:6,
