@@ -120,6 +120,10 @@ object SparkEntry {
     "mm_thumbnails" -> (Multimodal.mmThumbnails _),
     "mm_training_clips" -> ((s: SparkSession, d: String) =>
       Multimodal.mmTrainingClips(s, d)),
+    "knn_graph" -> ((s: SparkSession, d: String) =>
+      Similarity.knnGraph(s, d)),
+    "knn_graph_ivf" -> ((s: SparkSession, d: String) =>
+      Similarity.knnGraphIvf(s, d)),
     "mm_quality_gate" -> ((s: SparkSession, d: String) =>
       Multimodal.mmQualityGate(s, d)),
     // F: multimodal
@@ -451,6 +455,7 @@ object SparkEntry {
     "ann_capped" -> Similarity.annCappedSql,
     "mm_thumbnails" -> Multimodal.mmThumbnailsSql,
     "mm_training_clips" -> Multimodal.mmTrainingClipsSql(),
+    "knn_graph" -> Similarity.knnGraphSql,
     "mm_quality_gate" -> Multimodal.mmQualityGateSql(),
     "q_event_paths" -> Relational.qEventPathsSql,
     "text_entropy" -> TextAnalysis.textEntropySql,

@@ -786,4 +786,26 @@ class SimilaritySpec extends SparkSpec {
     val atCap = out.groupBy(t => (t._1, t._4)).count(_._2.length == 2)
     assert(atCap > 0, "cap never binds on sf data — test is vacuous")
   }
+
+  test("knn graph: every node has k ranked edges, no self loops; IVF path recalls the exact graph") {
+    val exact = Similarity.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val n = exact.map(_._1).distinct.length
+    assert(n > 100, "fixture lost its vectors")
+    exact.groupBy(_._1).foreach { case (v, edges) =>
+      assert(edges.length == 5, s"node $v has ${edges.length} edges")
+      assert(edges.map(_._2).sorted.sameElements(1 to 5))
+      assert(edges.forall(_._3 != v), s"self loop at $v")
+      val cs = edges.sortBy(_._2).map(_._4)
+      assert(cs.sameElements(cs.sorted.reverse), s"ranks not by cos at $v")
+    }
+    val exactPairs = exact.map(t => (t._1, t._3)).toSet
+    val ivf = Similarity.knnGraphIvf(spark, sf, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (ivf & exactPairs).size.toDouble / exactPairs.size
+    // the synthetic corpus is near-uniform on the sphere — hostile
+    // geometry for IVF (neighbors scatter across cells); the bound is
+    // the honest floor, far above the ~1% random baseline
+    assert(recall > 0.2, s"IVF graph recall $recall")
+  }
 }
