@@ -124,6 +124,8 @@ object SparkEntry {
       Similarity.knnGraph(s, d)),
     "knn_graph_ivf" -> ((s: SparkSession, d: String) =>
       Similarity.knnGraphIvf(s, d)),
+    "knn_clusters" -> ((s: SparkSession, d: String) =>
+      Similarity.knnClusters(s, d)),
     "mm_quality_gate" -> ((s: SparkSession, d: String) =>
       Multimodal.mmQualityGate(s, d)),
     // F: multimodal

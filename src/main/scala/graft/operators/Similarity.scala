@@ -1937,14 +1937,20 @@ object Similarity {
       .otherwise(VectorFunctions.dotProduct(qe, emb) / (qnrm * nrm)), 6)
 
   def knnGraph(spark: SparkSession, sfDir: String, k: Int = AnnK): DataFrame = {
-    import spark.implicits._
     val n = Tables.cachedCount(spark, s"$sfDir/embeddings.parquet")
     require(n * n <= BruteForceMaxPairs,
       s"brute self-kNN would score ${n * n} pairs (> $BruteForceMaxPairs); " +
         "use knnGraphIvf — the cell-bucketed scale path")
-    val e = Tables.embeddings(spark, sfDir)
-      .select($"vec_id", $"embedding",
-        VectorFunctions.l2Norm($"embedding").as("nrm"))
+    knnGraphCore(Tables.embeddings(spark, sfDir), k)
+  }
+
+  /** The exact-graph kernel over an arbitrary (vec_id, embedding)
+    * frame — UNGUARDED (callers own the pair-ceiling check). */
+  private[graft] def knnGraphCore(e0: DataFrame, k: Int): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val e = e0.select($"vec_id", $"embedding",
+      VectorFunctions.l2Norm($"embedding").as("nrm"))
     val q = e.select($"vec_id".as("query_id"), $"embedding".as("qe"),
       $"nrm".as("qnrm"))
     // the stream side carries ALL the pair work (n per row): a small
@@ -1958,6 +1964,57 @@ object Similarity {
         k)
       .select($"query_id".as("vec_id"), $"rank", $"neighbor_id", $"cos")
       .orderBy($"vec_id", $"rank")
+  }
+
+  // ---------------------------------------------------------------- D26
+  /** MUTUAL-kNN CLUSTERS — semantic clustering from the D25 graph:
+    * keep edges with cos ≥ threshold that BOTH endpoints chose
+    * (mutuality is the classic hub-killer — a generic vector near
+    * everything gets picked by many neighbors but reciprocates few,
+    * and without the mutuality cut it wires whole regions into one
+    * blob), then connected components over the surviving edges; every
+    * vector lands in exactly one cluster, isolated vectors as
+    * singletons. The cluster-size census this emits is the corpus
+    * cartography a mixing/dedup decision reads (one giant component =
+    * near-dup farm or a threshold set too low).
+    *
+    * Scale shape: edges are k·n (graph-bounded, never n²); the
+    * mutual cut is a self-join of the edge list on the reversed key;
+    * components via [[Scale.connectedComponents]] (driver union-find
+    * under the edge budget, flat-lineage label propagation above);
+    * the census is one component-keyed count. At corpus scale feed
+    * [[knnGraphIvf]]'s edges through [[knnClustersOf]] — same
+    * downstream, recall-bounded candidates. */
+  def knnClusters(spark: SparkSession, sfDir: String, k: Int = AnnK,
+      threshold: Double = 0.5): DataFrame = {
+    val n = Tables.cachedCount(spark, s"$sfDir/embeddings.parquet")
+    require(n * n <= BruteForceMaxPairs,
+      s"brute self-kNN would score ${n * n} pairs (> $BruteForceMaxPairs); " +
+        "feed knnGraphIvf edges through knnClustersOf instead")
+    knnClustersOf(Tables.embeddings(spark, sfDir),
+      knnGraphCore(Tables.embeddings(spark, sfDir), k), threshold)
+  }
+
+  /** D26 over an arbitrary embeddings frame + a precomputed edge
+    * frame (vec_id, neighbor_id, cos) — the exact or the IVF graph. */
+  def knnClustersOf(e: DataFrame, graph: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    require(threshold > -1.0 && threshold <= 1.0, s"threshold $threshold")
+    val strong = graph.filter($"cos" >= threshold)
+      .select($"vec_id".as("id1"), $"neighbor_id".as("id2"))
+    val mutual = strong
+      .intersect(strong.select($"id2".as("id1"), $"id1".as("id2")))
+      .filter($"id1" < $"id2") // one undirected edge per pair
+    val comps = Scale.connectedComponents(mutual)
+      .toDF("vec_id", "cluster_id")
+    e.select($"vec_id").join(comps, Seq("vec_id"), "left")
+      .select($"vec_id",
+        coalesce($"cluster_id", $"vec_id").as("cluster_id"))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy($"n_members".desc, $"cluster_id")
   }
 
   /** D25's SCALE PATH: the IVF-bucketed self-join — cells assigned by

@@ -808,4 +808,23 @@ class SimilaritySpec extends SparkSpec {
     // the honest floor, far above the ~1% random baseline
     assert(recall > 0.2, s"IVF graph recall $recall")
   }
+
+  test("knn clusters: planted groups recovered, hub not mutual, noise singleton") {
+    import spark.implicits._
+    def v(a: Float, b: Float, c: Float, d: Float) = Array(a, b, c, d)
+    val e = (
+      (1L to 4L).map(i => (i, v(1f, i * 0.01f, 0f, 0f))) ++      // cluster A
+      (11L to 14L).map(i => (i, v((i - 10) * 0.01f, 1f, 0f, 0f))) ++ // cluster B
+      Seq((21L, v(0f, 0f, 1f, 0f)), (22L, v(0f, 0f, 0f, 1f)),    // noise
+        (30L, v(1f, 1f, 0f, 0f)))                                 // hub: ~0.707 to both
+      ).toDF("vec_id", "embedding")
+    val graph = Similarity.knnGraphCore(e, 3)
+    val out = Similarity.knnClustersOf(e, graph, threshold = 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // two 4-clusters labeled by their min id; hub and noise singletons —
+    // WITHOUT the mutuality cut the hub's 0.707 edges to both groups
+    // would wire A, B, and the hub into one 9-blob
+    assert(out == Map(1L -> 4L, 11L -> 4L, 21L -> 1L, 22L -> 1L, 30L -> 1L),
+      s"census: $out")
+  }
 }
