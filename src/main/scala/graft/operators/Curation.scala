@@ -2307,20 +2307,28 @@ object Curation {
   // ---------------------------------------------------------------- C46
   /** SHUFFLE AUDIT — is the training order actually decorrelated from
     * ingestion order? Exact Spearman rank correlation between each
-    * sequence's ingestion rank and its position in C23's shuffled
-    * order. The audit that catches the real failure modes a seeded
-    * shuffle can develop: a key derived from a non-unique or
-    * truncated id (rho snaps toward 1 in runs), a writer that
-    * "shuffles" within partitions but concatenates them in input
-    * order, or a shard label that is not monotone in key order. A
-    * healthy shuffle reads |rho| ≈ O(1/√n); ingestion order reads 1.
+    * sequence's ingestion rank and its rank under the SHUFFLE KEY.
+    * What this catches: key-degeneracy failure modes — a key derived
+    * from a non-unique or truncated id, a seed collision, a key
+    * formula that preserves id order in runs (rho snaps toward 1).
+    * What it deliberately does NOT audit: the order actually
+    * MATERIALIZED on disk — this frame-level audit recomputes rank
+    * from the key, so a writer that ignores the key (concatenates
+    * partitions in input order, or a non-monotone shard label) needs
+    * the write-side check instead: read the shards back in label
+    * order and feed (read position, seq_id) through
+    * [[shuffleAuditOf]] — the same kernel audits any claimed order.
+    * A healthy key reads |rho| ≈ O(1/√n); ingestion order reads 1.
     *
     * Scale shape: runs on the SEQUENCE frame (corpus tokens / seqLen
-    * rows, not documents); each of the two exact global ranks is one
-    * range exchange + per-partition sort + the two-pass zipWithIndex
-    * offset — the same linear cost the shuffled-shard writer itself
-    * pays, with no single-partition window anywhere. Σd² rides
-    * DECIMAL(18,0)² products (exact to |d| < 10¹⁸); the closed-form
+    * rows, not documents), PINNED once — its lineage is the whole
+    * C13 pack pipeline, and the two global ranks each consume the
+    * frame twice (zipWithIndex's count pass + emit), which unpinned
+    * would re-run the pack pipeline ~4× (the gapFill multi-consumer
+    * discipline). Each exact global rank is one range exchange +
+    * per-partition sort + the two-pass zipWithIndex offset — no
+    * single-partition window anywhere. Σd² rides DECIMAL(18,0)²
+    * products (exact to |d| < 10¹⁸); the closed-form
     * 1 − 6Σd²/(n(n²−1)) is one identical IEEE tree rounded at 6. */
   def shuffleAudit(spark: SparkSession, sfDir: String): DataFrame =
     shuffleAuditOf(shuffleSequences(Tables.documents(spark, sfDir)))
@@ -2331,6 +2339,7 @@ object Curation {
     val spark = shuffled.sparkSession
     import spark.implicits._
     val base = shuffled.select(col("seq_id"), col("shuffle_key"))
+      .localCheckpoint(true) // 4 downstream passes — see docstring
     val ing = globalRank(base, Seq(col("seq_id")))
     val sh = globalRank(base, Seq(col("shuffle_key"), col("seq_id")))
     val d = ing.toDF("seq_id", "r1").join(sh.toDF("sid2", "r2"),

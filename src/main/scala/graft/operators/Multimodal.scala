@@ -997,9 +997,16 @@ object Multimodal {
       .select($"media_id", $"duration_s")
     val motion = mmMotionProfile(spark, sfDir)
       .select($"media_id", $"mean_hamming")
-    val silent = mmAudioSilence(spark, sfDir)
+    // ONE analyzer pass feeds both audio consumers: calling
+    // mmAudioSilence + mmAudioWindows separately would decode every
+    // payload twice AND re-pin the window size at two sites; the
+    // pinned frame is numeric window rows — far smaller than the
+    // payloads a second decode pass would re-read (gapFill's
+    // multi-consumer discipline)
+    val win = mmAudioWindows(spark, sfDir, 64).localCheckpoint(true)
+    val silent = audioSilence(win, 44.0)
       .groupBy($"media_id").agg(sum($"n_windows").as("silent_windows"))
-    val windows = mmAudioWindows(spark, sfDir, 64)
+    val windows = win
       .groupBy($"media_id").agg(count(lit(1)).as("total_windows"))
     manifest
       .join(motion, Seq("media_id"), "left")

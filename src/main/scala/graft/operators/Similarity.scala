@@ -1938,8 +1938,10 @@ object Similarity {
 
   def knnGraph(spark: SparkSession, sfDir: String, k: Int = AnnK): DataFrame = {
     val n = Tables.cachedCount(spark, s"$sfDir/embeddings.parquet")
-    require(n * n <= BruteForceMaxPairs,
-      s"brute self-kNN would score ${n * n} pairs (> $BruteForceMaxPairs); " +
+    // division form, not n*n: the square overflows Long around n ≈
+    // 3.04e9 — exactly the corpus scale this guard exists to refuse
+    require(n == 0 || n <= BruteForceMaxPairs / n,
+      s"brute self-kNN would score n²=$n² pairs (> $BruteForceMaxPairs); " +
         "use knnGraphIvf — the cell-bucketed scale path")
     knnGraphCore(Tables.embeddings(spark, sfDir), k)
   }
@@ -1988,8 +1990,9 @@ object Similarity {
   def knnClusters(spark: SparkSession, sfDir: String, k: Int = AnnK,
       threshold: Double = 0.5): DataFrame = {
     val n = Tables.cachedCount(spark, s"$sfDir/embeddings.parquet")
-    require(n * n <= BruteForceMaxPairs,
-      s"brute self-kNN would score ${n * n} pairs (> $BruteForceMaxPairs); " +
+    // division form — see knnGraph's overflow note
+    require(n == 0 || n <= BruteForceMaxPairs / n,
+      s"brute self-kNN would score n²=$n² pairs (> $BruteForceMaxPairs); " +
         "feed knnGraphIvf edges through knnClustersOf instead")
     knnClustersOf(Tables.embeddings(spark, sfDir),
       knnGraphCore(Tables.embeddings(spark, sfDir), k), threshold)
@@ -2043,19 +2046,23 @@ object Similarity {
       VectorFunctions.nearestCentroid($"embedding", centroids).as("cell"))
     val centroidDf = centroids.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq.toDF("pcell", "cvec")
-    // per-vector probe list: nProbe nearest cells by L2 — the window
-    // partitions on the VECTOR key (never global); the cross join is
-    // corpus × centroids rows, map-local against the broadcast table
-    val wq = Window.partitionBy($"query_id").orderBy($"dist", $"pcell")
-    val probes = e.select($"vec_id".as("query_id"), $"embedding".as("qe"),
+    // per-vector probe list: nProbe nearest cells by L2. The query
+    // side here is the WHOLE corpus (unlike annIvf's ~10 queries), so
+    // a row_number window would shuffle n × nCells scored rows just to
+    // keep nProbe per vector — at 10⁹ vectors × 4096 cells that probe
+    // exchange dwarfs the pair work the IVF path saves. TopK.perKey's
+    // map-side bounded heaps prune to nProbe per vector BEFORE any
+    // exchange; the cross join stays map-local against the broadcast.
+    val scoredCells = e.select($"vec_id".as("query_id"),
+        $"embedding".as("qe"),
         VectorFunctions.l2Norm($"embedding").as("qnrm"))
       .crossJoin(broadcast(centroidDf))
       .withColumn("dist", expr(
         """aggregate(zip_with(qe, cvec,
           |  (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),
           |  0D, (s, v) -> s + v)""".stripMargin))
-      .withColumn("pr", row_number().over(wq))
-      .filter($"pr" <= nProbe)
+    val probes = graft.plans.TopK.perKey(scoredCells, Seq("query_id"),
+        Seq($"dist".asc, $"pcell".asc), nProbe)
       .select($"query_id", $"qe", $"qnrm", $"pcell".as("cell"))
     rankTopK(cells.join(probes, Seq("cell"))
         .filter($"vec_id" =!= $"query_id")

@@ -1495,7 +1495,14 @@ object TextAnalysis {
     bpeApplyOf(Tables.documents(spark, sfDir), vocab)
   }
 
-  /** E27 over arbitrary docs + a symbolized vocab (term, syms). */
+  /** E27 over arbitrary docs + a symbolized vocab (term, syms). A
+    * term ABSENT from the vocab (docs ≠ the training corpus — the
+    * generic entry's normal case) still counts: it falls back to
+    * fully-unmerged character pieces (length(term) — what a BPE
+    * encoder without an applicable merge emits), so word_tokens is
+    * always the doc's true token count and an OOV-heavy doc reads a
+    * HIGH pieces_per_token instead of silently vanishing from the
+    * budget. */
   def bpeApplyOf(docs: DataFrame, vocab: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -1503,10 +1510,11 @@ object TextAnalysis {
     val perDoc = docs.withColumn("toks", tokens())
       .select($"doc_id", explode(TextFunctions.tokenCounts($"toks"))
         .as(Seq("term", "tf")))
-      .join(pieces, Seq("term"))
+      .join(pieces, Seq("term"), "left")
       .groupBy($"doc_id")
       .agg(sum($"tf").as("word_tokens"),
-        sum($"tf" * $"pieces").as("bpe_pieces"))
+        sum($"tf" * coalesce($"pieces", length($"term")))
+          .as("bpe_pieces"))
     docs.select($"doc_id").join(perDoc, Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"word_tokens", lit(0L)).as("word_tokens"),

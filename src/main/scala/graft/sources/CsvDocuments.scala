@@ -25,7 +25,24 @@ import org.apache.spark.sql.functions._
   * 128 MB split boundary does not know where its file began), the
   * header line is matched by VALUE and dropped wherever it appears;
   * a data row that happens to equal the header verbatim is
-  * indistinguishable from a header by construction. */
+  * indistinguishable from a header by construction.
+  *
+  * CONTRACT — column order is FIXED to [[schema]]'s order. CSV
+  * parsing is positional: a file with the same columns in a
+  * different order would parse with string fields silently swapped
+  * (string↔string swaps satisfy any schema). The detection signal is
+  * the HEADER: a reordered file's header does not match the
+  * canonical line, so it lands in quarantine as the first row of
+  * that file — an operator watching the quarantine sees one header
+  * row per misordered file BEFORE trusting its data. (The JSONL
+  * sibling is immune — its fields are keyed.)
+  *
+  * LIMITATION — quoted fields containing NEWLINES (legal CSV) cannot
+  * survive a line-based splittable read: the record arrives as two
+  * lines and both quarantine (unclosed quote + type drift). Multiline
+  * documents belong on the JSONL path, where \n is escaped in-band;
+  * this front door is for the single-line-record deliveries
+  * (metadata exports, label files) CSV is actually used for. */
 object CsvDocuments {
 
   /** The documents-table schema, as the CSV columns in order. */

@@ -30,6 +30,20 @@ class CsvDocumentsSpec extends SparkSpec {
       assert(r.getString(1).contains("part-0.csv")))
   }
 
+  test("csv ingest: a reordered header is the misordered-file detection signal") {
+    // column order is positional (the documented contract): a vendor
+    // file with swapped columns cannot be caught row-by-row when the
+    // swap is string<->string, but its HEADER fails the canonical
+    // match and surfaces in quarantine — one row per misordered file
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv")
+    java.nio.file.Files.write(dir.resolve("swapped.csv"),
+      "doc_id,lang,text,source,n_chars\n7,en,hello,src0,5".getBytes("UTF-8"))
+    val res = CsvDocuments.read(spark, dir.toString)
+    val q = res.quarantine.collect().map(_.getString(0))
+    assert(q.contains("doc_id,lang,text,source,n_chars"),
+      s"reordered header not quarantined: ${q.toSeq}")
+  }
+
   test("csv ingest: all-clean file produces an empty quarantine") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv")
     java.nio.file.Files.write(dir.resolve("ok.csv"),

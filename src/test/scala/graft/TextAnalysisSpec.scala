@@ -490,6 +490,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(syms("widest") == Seq("w", "i", "d", "est"))
     // reconstruction: merging never loses or reorders characters
     syms.foreach { case (t, ss) => assert(ss.mkString == t) }
+    // OOV apply: an unseen term counts at character-piece fallback —
+    // it must never silently vanish from the token budget
+    val oov = Seq((9L, "low unseen")).toDF("doc_id", "text")
+    val row = TextAnalysis.bpeApplyOf(oov, vocab).collect().head
+    assert(row.getLong(1) == 2L, s"word_tokens dropped the OOV term: $row")
+    assert(row.getLong(2) == (1 + "unseen".length).toLong,
+      s"OOV char fallback broken: $row")
   }
 
   test("bpe train: overlapping runs merge leftmost non-overlapping") {
