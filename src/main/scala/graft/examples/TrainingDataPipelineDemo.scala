@@ -12,7 +12,9 @@ import graft.operators.{Curation, Relational, TextAnalysis}
   *
   *   corpus dashboard → dup-depth histogram → curation funnel →
   *   train/val/test split → cross-split leak audit → drift report →
-  *   LM buckets → epoch-weighted end-to-end pipeline → packed shards
+  *   LM buckets → tokenizer (BPE train/apply + length buckets) →
+  *   epoch-weighted end-to-end pipeline → packed shards →
+  *   shuffle-order audit
   *
   * Run: sbt "runMain graft.examples.TrainingDataPipelineDemo [sfDir]"
   */
@@ -51,6 +53,16 @@ object TrainingDataPipelineDemo {
         .groupBy($"lang", $"bucket").agg(count(lit(1)).as("docs"))
         .orderBy($"lang", $"bucket"))
 
+    // 4b. The tokenizer: learn the merge table from the corpus, then
+    //     price every doc in LEARNED pieces (what the packer budgets
+    //     by once the tokenizer is subword), and read the pad-vs-pack
+    //     tradeoff off the length histogram.
+    show("BPE merge table (first 10)")(
+      TextAnalysis.bpeTrain(spark, sfDir, nMerges = 10))
+    show("BPE pieces per doc (head)")(
+      TextAnalysis.bpeApply(spark, sfDir, nMerges = 10).limit(10))
+    show("length buckets (padding waste)")(Curation.lengthBuckets(spark, sfDir))
+
     // 5. The production pipeline: gates + dedup + decontamination →
     //    epoch weights → seeded shuffle → packing, then shards where
     //    every training sequence lives whole in exactly one file.
@@ -64,7 +76,12 @@ object TrainingDataPipelineDemo {
     new java.io.File(shardDir).listFiles().sortBy(_.getName)
       .foreach(f => println(s"  ${f.getName}"))
 
-    // 6. Is the join-side data skewed enough to need salting?
+    // 6. Audit the training ORDER the shards encode: Spearman rank
+    //    correlation of ingestion order vs the seeded shuffle key —
+    //    a degenerate key reads 1, healthy reads near 0.
+    show("shuffle-order audit")(Curation.shuffleAudit(spark, sfDir))
+
+    // 7. Is the join-side data skewed enough to need salting?
     show("skew report (events join key)")(Relational.qSkewReport(spark, sfDir))
 
     spark.stop()

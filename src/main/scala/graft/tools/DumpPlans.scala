@@ -79,7 +79,14 @@ object DumpPlans {
       // round 9 wave 5: the remaining TPC-H classics + tokenizer stats
       "q_min_cost_supplier", "q_product_profit", "q_top_supplier",
       "q_supplier_counts", "q_small_qty_revenue", "q_disjunctive_revenue",
-      "q_blocking_supplier", "text_bpe_pairs", "text_zipf")
+      "q_blocking_supplier", "text_bpe_pairs", "text_zipf",
+      // round 9 waves 7-12 (bpe_train/bpe_apply/knn_clusters/
+      // shuffle_audit pin or iterate eagerly at construction — their
+      // dumps would show only a post-pin tail; the ensemble's member
+      // kernels are the A31/A36/A52 entries above)
+      "mon_level_shift", "text_keywords", "length_buckets",
+      "mm_training_clips", "mm_quality_gate", "knn_graph",
+      "knn_graph_ivf")
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, formatted explain)\n\n")
     sb.append("Generated by `graft.tools.DumpPlans`; regenerate after plan-")
