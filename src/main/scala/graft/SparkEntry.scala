@@ -216,6 +216,10 @@ object SparkEntry {
       TextAnalysis.textZipf(s, d)),
     "text_keywords" -> ((s: SparkSession, d: String) =>
       TextAnalysis.textKeywords(s, d)),
+    "text_hapax" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.textHapax(s, d)),
+    "gram_memorization" -> ((s: SparkSession, d: String) =>
+      Curation.gramMemorization(s, d)),
     "text_lm_score_bigram" -> ((s: SparkSession, d: String) =>
       TextAnalysis.textLmScoreBigram(s, d)),
     "word_cooccurrence" -> ((s: SparkSession, d: String) =>
@@ -426,6 +430,8 @@ object SparkEntry {
     "text_bpe_pairs" -> TextAnalysis.textBpePairsSql(),
     "text_zipf" -> TextAnalysis.textZipfSql(),
     "text_keywords" -> TextAnalysis.textKeywordsSql,
+    "text_hapax" -> TextAnalysis.textHapaxSql,
+    "gram_memorization" -> Curation.gramMemorizationSql(),
     "text_lm_score_bigram" -> TextAnalysis.textLmScoreBigramSql(),
     "word_cooccurrence" -> TextAnalysis.wordCooccurrenceSql(),
     "mon_downtime_sla" -> Monitoring.downtimeSlaSql(),

@@ -2385,6 +2385,63 @@ object Curation {
        |  END AS spearman_rho
        |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- C48
+  /** GRAM MEMORIZATION report — the evidence table behind the
+    * dedup-reduces-memorization decision (Lee/Carlini line): the
+    * top-k most-repeated long n-grams with occurrence and
+    * document-spread counts. High occurrences in ONE doc is internal
+    * repetition (E7's business); high spread across many docs is the
+    * template/boilerplate a model will memorize verbatim — and
+    * exactly what C19's substring scrub or C1's exact dedup should
+    * have eaten first. Distinct from dedup: this REPORTS (readable
+    * gram text as evidence), it does not remove.
+    *
+    * Scale shape: the C12 gram explode (corpus-token-row cost — the
+    * price every gram operator pays), ONE gram-keyed aggregate with
+    * map-side partials, the minCount filter BEFORE the bounded-heap
+    * top-k so singleton grams (the overwhelming majority) never reach
+    * the ordering. */
+  def gramMemorization(spark: SparkSession, sfDir: String, n: Int = 13,
+      minCount: Long = 2L, k: Int = 20): DataFrame =
+    gramMemorizationOf(Tables.documents(spark, sfDir), n, minCount, k)
+
+  def gramMemorizationOf(docs: DataFrame, n: Int = 13,
+      minCount: Long = 2L, k: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(n >= 2 && minCount >= 1 && k >= 1,
+      s"need n >= 2, minCount >= 1, k >= 1 (got $n, $minCount, $k)")
+    docs
+      .select($"doc_id",
+        graft.operators.TextAnalysis.tokens().as("toks"))
+      .filter(size($"toks") >= n)
+      .select($"doc_id", explode(expr(
+        s"""transform(sequence(1, size(toks) - ${n - 1}),
+           |  i -> array_join(slice(toks, i, $n), ' '))""".stripMargin))
+        .as("gram"))
+      .groupBy($"gram")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct($"doc_id").as("n_docs"))
+      .filter($"n_occurrences" >= minCount)
+      .orderBy($"n_occurrences".desc, $"gram")
+      .limit(k)
+  }
+
+  def gramMemorizationSql(n: Int = 13, minCount: Long = 2L,
+      k: Int = 20): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, array_to_string(t[i:i+${n - 1}], ' ') AS gram
+       |  FROM toks, UNNEST(generate_series(1, len(t) - ${n - 1})) AS u(i)
+       |  WHERE len(t) >= $n)
+       |SELECT gram, COUNT(*) AS n_occurrences,
+       |  COUNT(DISTINCT doc_id) AS n_docs
+       |FROM g GROUP BY gram
+       |HAVING COUNT(*) >= $minCount
+       |ORDER BY n_occurrences DESC, gram LIMIT $k""".stripMargin
+
   // ---------------------------------------------------------------- C47
   /** LENGTH BUCKETS — the padding-waste report behind bucketed
     * batching: documents binned by token count, with the token mass

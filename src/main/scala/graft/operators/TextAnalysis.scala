@@ -1621,6 +1621,53 @@ object TextAnalysis {
        |LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- E29
+  /** HAPAX / TYPE-TOKEN profile per source — lexical-noise screening:
+    * the share of a source's vocabulary occurring exactly ONCE and
+    * its type-token ratio. OCR damage, mojibake, and id/hash spill
+    * mint endless one-off "words" (hapax share and TTR both spike);
+    * heavily templated text collapses both. The one-row-per-source
+    * screen read next to E17's drift and E22's charset profile before
+    * trusting a new source.
+    *
+    * Scale shape: one (source, term) aggregate off the row-local
+    * TokenCounts kernel, then a source-keyed rollup — both map-side
+    * partial; output is sources. Exact BIGINTs; two rounded IEEE
+    * divisions. */
+  def textHapax(spark: SparkSession, sfDir: String): DataFrame =
+    textHapaxOf(Tables.documents(spark, sfDir))
+
+  def textHapaxOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.withColumn("toks", tokens())
+      .select($"source", explode(TextFunctions.tokenCounts($"toks"))
+        .as(Seq("term", "tf")))
+      .groupBy($"source", $"term").agg(sum($"tf").as("cnt"))
+      .groupBy($"source")
+      .agg(sum($"cnt").as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum(when($"cnt" === 1, 1L).otherwise(0L)).as("hapax_terms"))
+      .select($"source", $"n_tokens", $"n_terms", $"hapax_terms",
+        round($"hapax_terms".cast("double") / $"n_terms", 6)
+          .as("hapax_frac"),
+        round($"n_terms".cast("double") / $"n_tokens", 6).as("ttr"))
+      .orderBy($"source")
+  }
+
+  val textHapaxSql: String =
+    """WITH tf AS (
+      |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents),
+      |c AS (SELECT source, term, COUNT(*) AS cnt FROM tf GROUP BY source, term)
+      |SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_terms,
+      |  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_terms,
+      |  ROUND(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS hapax_frac,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT), 6) AS ttr
+      |FROM c GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val textScriptProfileSql: String =
     """WITH m AS (
       |  SELECT source, CAST(length(text) AS BIGINT) AS nc,

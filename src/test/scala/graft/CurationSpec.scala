@@ -971,6 +971,29 @@ class CurationSpec extends SparkSpec {
       s"seeded shuffle failed to decorrelate: $real")
   }
 
+  test("gram memorization: cross-doc template surfaces with its spread, singletons cut") {
+    import spark.implicits._
+    val boiler = (1 to 13).map(i => s"w$i").mkString(" ") // one exact 13-gram
+    val docs = Seq(
+      (1L, s"intro one $boiler"),
+      (2L, s"different preamble here $boiler"),
+      (3L, s"yet another lead $boiler"),
+      // doc-internal repetition: the same 13-gram twice in ONE doc
+      (4L, s"$boiler filler $boiler"),
+      (5L, "totally unique text with no repeats at all whatsoever")
+    ).toDF("doc_id", "text")
+    val out = Curation.gramMemorizationOf(docs, n = 13, minCount = 2, k = 50)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out.contains(boiler), s"template gram missing: ${out.keySet}")
+    val (occ, spread) = out(boiler)
+    // 3 cross-doc occurrences + 2 in doc 4 = 5, across 4 docs
+    assert(occ == 5L && spread == 4L, s"template counts: $occ/$spread")
+    // every reported gram repeats; doc 5's singleton grams never appear
+    assert(out.values.forall(_._1 >= 2L))
+    assert(!out.keySet.exists(_.contains("whatsoever")), "singleton leaked")
+  }
+
   test("length buckets: conservation, exact pad arithmetic, ordered bins") {
     import spark.implicits._
     val docs = Seq(

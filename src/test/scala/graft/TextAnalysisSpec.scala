@@ -439,6 +439,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.sameElements(brute), "vocab-weighted != token-stream scan")
   }
 
+  test("hapax profile: noisy source reads high, templated source reads low") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo", "noisy"),
+      (2L, "foxtrot golf hotel india juliet", "noisy"),
+      (3L, "spam spam spam eggs spam", "template"),
+      (4L, "spam eggs spam eggs", "template"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.textHapaxOf(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    // noisy: 10 tokens, 10 terms, all hapax
+    assert(out("noisy") === ((10L, 10L, 10L, 1.0, 1.0)))
+    // template: 9 tokens, 2 terms (spam=6, eggs=3), no hapax
+    assert(out("template") === ((9L, 2L, 0L, 0.0,
+      math.rint(2.0 / 9 * 1e6) / 1e6)))
+  }
+
   test("rake keywords: hand-computed scores, stopword islands, deterministic phrase text") {
     import spark.implicits._
     // doc 1: "deep learning of deep networks and the learning rate"
