@@ -318,6 +318,37 @@ class PlanSpec extends SparkSpec {
       s"lineitem scan wider than (orderkey, shipdate): $read")
   }
 
+  test("min cost supplier: one fact scan, min-struct aggregate — no window, dims broadcast") {
+    val p = finalPlan(Relational.qMinCostSupplier(spark, sf))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(scans == 1, s"lineitem scanned $scans times:\n$p")
+    assert(!p.contains("Window"), s"per-part argmin leaked into a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"supplier/nation not broadcast:\n$p")
+  }
+
+  test("product profit: every dimension broadcasts — the fact shuffles once, to the rollup") {
+    val p = finalPlan(Relational.qProductProfit(spark, sf))
+    assert(!p.contains("SortMergeJoin"),
+      s"a dimension join shuffled the fact:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(scans == 1, s"lineitem scanned $scans times:\n$p")
+  }
+
+  test("supplier counts: the bad-supplier exclusion never shuffles the fact") {
+    // at sf0.001 the negative-balance set is EMPTY and AQE's
+    // empty-relation propagation erases the anti join outright — also
+    // a correct scale plan; what must never appear is a sort-merge
+    // anti join (the fact shuffled just to subtract a tiny set)
+    val p = finalPlan(Relational.qSupplierCounts(spark, sf))
+    val antiLines = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
+    assert(antiLines.forall(_.contains("Broadcast")),
+      s"anti join shuffled the fact:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part join not broadcast:\n$p")
+  }
+
   test("small qty revenue: one fact scan — the per-part average is a window, not a join-back") {
     val p = finalPlan(Relational.qSmallQtyRevenue(spark, sf))
     // the aggregate-join-back formulation scans the full fact TWICE
