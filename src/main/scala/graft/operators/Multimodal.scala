@@ -1060,6 +1060,80 @@ object Multimodal {
        |    AS passed
        |FROM j ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- F17
+  /** STREAMING training clips — F15's live half: a clip emits the
+    * MOMENT its shot closes (the next cut arrives), so a video-
+    * training ingest pipeline can hand clips to the encoder while the
+    * media is still uploading instead of waiting for batch
+    * segmentation. Carries F7's scene-cut state machine extended with
+    * the open shot (start index, running shot id, sampled-frame
+    * count); a frame whose Hamming distance to the previous crosses
+    * the threshold closes the open shot — emitted as a clip when it
+    * has ≥ minFrames sampled frames, truncated to clipLen exactly
+    * like batch F15.
+    *
+    * CONTRACT — the stream emits EVERY qualifying clip, uncapped:
+    * F15's longest-shot-first per-media cap is a completed-media
+    * selection (longest is unknowable mid-stream) and belongs to the
+    * batch/downstream side. The final still-open shot flushes on an
+    * END-OF-MEDIA marker: any frame row with frame_bytes < 0 (what a
+    * gateway's stream-closed event maps to — the F12 convention).
+    * Replays drop at the frame-index fence; the flapStream
+    * in-order-per-media delivery contract applies. Parity spec:
+    * emitted == batch `trainingClipsOf(shots(frames))` uncapped,
+    * exactly, once markers arrive; minus open tails before them. */
+  def clipStream(frames: Dataset[SampledFrame], threshold: Int = 20,
+      clipLen: Int = 8, minFrames: Int = 1): Dataset[TrainingClip] = {
+    import frames.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(threshold >= 1 && threshold <= 64,
+      s"threshold $threshold out of [1, 64]")
+    require(clipLen >= 1 && minFrames >= 1,
+      s"clipLen/minFrames must be positive")
+    frames
+      .groupByKey(_.media_id)
+      .flatMapGroupsWithState[ClipState, TrainingClip](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id, it, state) =>
+          val sorted = it.toArray.sortBy(_.frame_idx)
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[TrainingClip]
+          def closeShot(s: ClipState): Unit =
+            if (s.shotFrames >= minFrames)
+              out += TrainingClip(id, s.shotId, s.shotStart,
+                math.min(clipLen, s.shotFrames))
+          sorted.foreach { f =>
+            if (st == null || f.frame_idx > st.lastIdx) { // fence
+              if (f.frame_bytes < 0) { // end-of-media marker: flush
+                if (st != null) {
+                  closeShot(st)
+                  st = st.copy(lastIdx = f.frame_idx, shotFrames = 0)
+                }
+              } else if (st == null || st.shotFrames == 0) {
+                // first frame of the media (or after a flush): open
+                st = ClipState(f.frame_idx, f.frame_hash,
+                  shotStart = f.frame_idx,
+                  shotId = if (st == null) 0L else st.shotId + 1,
+                  shotFrames = 1)
+              } else {
+                val h = java.lang.Long.bitCount(f.frame_hash ^ st.lastHash)
+                if (h >= threshold) {
+                  closeShot(st)
+                  st = ClipState(f.frame_idx, f.frame_hash,
+                    shotStart = f.frame_idx, shotId = st.shotId + 1,
+                    shotFrames = 1)
+                } else {
+                  st = st.copy(lastIdx = f.frame_idx,
+                    lastHash = f.frame_hash, shotFrames = st.shotFrames + 1)
+                }
+              }
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   // ---------------------------------------------------------------- F12
   /** STREAMING audio silence — F11's live twin (VAD at ingest: the
     * reference is a live media gateway, and trimming/flagging silence
@@ -1123,6 +1197,16 @@ object Multimodal {
       }
   }
 }
+
+/** One emitted training clip (batch F15's row shape). */
+case class TrainingClip(media_id: Long, shot_id: Long, clip_start: Int,
+    clip_len: Int)
+
+/** F17 state: the F7 frame fence plus the open shot (start index,
+  * running shot id, sampled-frame count; shotFrames == 0 marks a
+  * flushed media awaiting its next first frame). */
+case class ClipState(lastIdx: Int, lastHash: Long, shotStart: Int,
+    shotId: Long, shotFrames: Int)
 
 /** One audio level window (F9's row shape) as a typed stream element. */
 case class AudioWindow(media_id: Long, window_idx: Int, n_samples: Int,

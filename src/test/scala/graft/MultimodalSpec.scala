@@ -299,6 +299,52 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("streaming clips: parity with uncapped batch selection, markers flush, replays drop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{SampledFrame, TrainingClip, Multimodal => MM}
+    val all = MM.mmFrameSample(spark, sf).as[SampledFrame].collect()
+    val (sliceA, sliceB) = all.splitAt(all.length / 2)
+    // end-of-media markers: one sentinel frame per media past its last
+    // index (frame_bytes < 0 — the gateway's stream-closed event)
+    val markers = all.groupBy(_.media_id).map { case (m, fs) =>
+      SampledFrame(m, fs.map(_.frame_idx).max + 1, 0L, -1, 0L)
+    }.toSeq
+    val input = MemoryStream[SampledFrame](33, spark, None)
+    val q = MM.clipStream(input.toDS(), clipLen = 8, minFrames = 1)
+      .writeStream.format("memory").queryName("clips_out")
+      .outputMode("append").start()
+    try {
+      input.addData(sliceA.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(sliceB.toSeq: _*)
+      q.processAllAvailable()
+      def streamed: Set[(Long, Long, Int, Int)] = spark.table("clips_out")
+        .as[TrainingClip].collect()
+        .map(c => (c.media_id, c.shot_id, c.clip_start, c.clip_len)).toSet
+      // the batch selection UNCAPPED (the stream's stated contract:
+      // longest-first capping is a completed-media choice)
+      val batch = MM.trainingClipsOf(
+          MM.shots(MM.mmFrameSample(spark, sf)), clipLen = 8,
+          minFrames = 1, maxClipsPerMedia = 1000000).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+        .toSet
+      assert(batch.nonEmpty, "corpus produced no clips — vacuous")
+      val beforeFlush = streamed
+      // every emitted clip is a batch clip; only open tails are missing
+      assert(beforeFlush.subsetOf(batch),
+        "stream emitted a clip batch segmentation does not contain")
+      input.addData(markers: _*)
+      q.processAllAvailable()
+      assert(streamed === batch,
+        "flushed stream diverged from uncapped batch clips")
+      // at-least-once: a replayed slice re-emits nothing
+      val flushed = streamed
+      input.addData(sliceB.toSeq: _*)
+      q.processAllAvailable()
+      assert(streamed === flushed, "replayed frames re-emitted clips")
+    } finally q.stop()
+  }
+
   test("training clips: min-length filter, longest-first cap, tie to earliest shot") {
     val sh = Seq(
       // media 1: lengths 10, 2, 6, 3, 5, 7 — minFrames=4 keeps
