@@ -198,6 +198,7 @@ object SparkEntry {
       Relational.qLargeOrders(s, d)),
     "q_idle_customers" -> (Relational.qIdleCustomers _),
     "q_min_cost_supplier" -> (Relational.qMinCostSupplier _),
+    "q_rfm" -> (Relational.qRfm _),
     "q_product_profit" -> ((s: SparkSession, d: String) =>
       Relational.qProductProfit(s, d)),
     "q_top_supplier" -> (Relational.qTopSupplier _),
@@ -421,6 +422,7 @@ object SparkEntry {
     "q_large_orders" -> Relational.qLargeOrdersSql,
     "q_idle_customers" -> Relational.qIdleCustomersSql,
     "q_min_cost_supplier" -> Relational.qMinCostSupplierSql,
+    "q_rfm" -> Relational.qRfmSql,
     "q_product_profit" -> Relational.qProductProfitSql,
     "q_top_supplier" -> Relational.qTopSupplierSql,
     "q_supplier_counts" -> Relational.qSupplierCountsSql,

@@ -1852,6 +1852,54 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  // ---------------------------------------------------------------- B59
+  /** RFM customer profile — recency / frequency / monetary plus the
+    * purchase CADENCE, the segmentation row every lifecycle-marketing
+    * and churn model starts from. The mean inter-order gap uses the
+    * TELESCOPING identity — mean of consecutive gaps ≡ (last − first)
+    * / (n − 1) — so cadence needs NO lag window and no per-customer
+    * ordering: the whole profile is ONE customer-key aggregate
+    * (min/max/count/decimal-sum), with "now" = the corpus's max order
+    * date as a broadcast 1-row scalar (recency measured against the
+    * data, not the wall clock — reproducible). Single-order customers
+    * carry NULL cadence (no gap evidence ≠ a zero-day gap). */
+  def qRfm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderdate", $"o_totalprice")
+    val ref = o.agg(max($"o_orderdate").as("ref"))
+    val prof = o.groupBy($"o_custkey")
+      .agg(count(lit(1)).as("frequency"),
+        min($"o_orderdate").as("first_order"),
+        max($"o_orderdate").as("last_order"),
+        dsum($"o_totalprice").as("monetary"))
+    prof.crossJoin(broadcast(ref))
+      .select($"o_custkey", $"frequency",
+        datediff($"ref", $"last_order").cast("long").as("recency_days"),
+        $"monetary",
+        when($"frequency" >= 2,
+          round(datediff($"last_order", $"first_order").cast("double") /
+            ($"frequency" - 1), 6)).as("avg_gap_days"))
+      .orderBy($"o_custkey")
+  }
+
+  val qRfmSql: String =
+    """WITH ref AS (SELECT MAX(o_orderdate) AS ref FROM orders),
+      |p AS (
+      |  SELECT o_custkey, COUNT(*) AS frequency,
+      |    MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT o_custkey, frequency,
+      |  CAST(datediff('day', last_order, ref) AS BIGINT) AS recency_days,
+      |  monetary,
+      |  CASE WHEN frequency >= 2 THEN
+      |    ROUND(CAST(datediff('day', first_order, last_order) AS DOUBLE)
+      |      / (frequency - 1), 6)
+      |  END AS avg_gap_days
+      |FROM p, ref
+      |ORDER BY o_custkey""".stripMargin
+
   // ---------------------------------------------------------------- B52
   /** TPC-H Q2-style MIN-COST SUPPLIER (adapted: this schema has no
     * partsupp, so "cost" is the realized unit price — exact DECIMAL

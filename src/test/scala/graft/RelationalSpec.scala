@@ -495,6 +495,34 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("rfm: telescoping cadence equals a lag recompute, single-order customers NULL") {
+    val out = Relational.qRfm(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).toMap
+    assert(out.nonEmpty)
+    // independent recompute: per-customer date list, consecutive gaps
+    val dates = Tables.orders(spark, sf)
+      .select($"o_custkey", $"o_orderdate".cast("string")).collect()
+      .map(r => (r.getLong(0), java.time.LocalDate.parse(
+        r.getString(1).take(10))))
+      .groupBy(_._1).map { case (c, rows) => c -> rows.map(_._2).sorted }
+    val refDate = dates.values.flatten.max
+      .asInstanceOf[java.time.LocalDate]
+    dates.foreach { case (c, ds) =>
+      val (freq, rec, _, gap) = out(c)
+      assert(freq == ds.length.toLong)
+      assert(rec ==
+        java.time.temporal.ChronoUnit.DAYS.between(ds.last, refDate))
+      if (ds.length >= 2) {
+        val gaps = ds.sliding(2).map(p =>
+          java.time.temporal.ChronoUnit.DAYS.between(p.head, p.last))
+        val want = gaps.sum.toDouble / (ds.length - 1)
+        assert(math.abs(gap - want) < 1e-6,
+          s"customer $c cadence $gap != lag mean $want")
+      } else assert(gap.isNaN, s"single-order customer $c must carry NULL")
+    }
+  }
+
   test("min cost supplier: winner is the true per-part minimum with key tie-break") {
     val out = Relational.qMinCostSupplier(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(4)))
