@@ -213,6 +213,8 @@ object SparkEntry {
       TextAnalysis.bpeTrain(s, d)),
     "bpe_apply" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bpeApply(s, d)),
+    "pack_bpe" -> ((s: SparkSession, d: String) =>
+      Curation.packSequencesBpe(s, d)),
     "text_zipf" -> ((s: SparkSession, d: String) =>
       TextAnalysis.textZipf(s, d)),
     "text_keywords" -> ((s: SparkSession, d: String) =>

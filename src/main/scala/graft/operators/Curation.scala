@@ -528,6 +528,49 @@ object Curation {
   def packSequencesQuery(spark: SparkSession, sfDir: String): DataFrame =
     packSequences(Tables.documents(spark, sfDir))
 
+  /** The packing kernel over ANY precomputed (doc_id, n_tokens) frame —
+    * the public seam the C49 BPE packer and custom cost models (chars,
+    * bytes, billed tokens) plug into. Same kernel as [[packSequences]],
+    * so every count source packs with identical semantics. */
+  def packSequencesFromCounts(counts: DataFrame, seqLen: Int = 2048,
+      buckets: Int = 1024): DataFrame =
+    packFromCounts(counts.select(col("doc_id"), col("n_tokens")),
+      seqLen, keep = Nil, buckets = buckets)
+
+  // ------------------------------------------------------------- C49
+  /** BPE-PIECE sequence packing — C13's packer budgeting in the unit a
+    * training run actually consumes: per-doc piece counts under the
+    * LEARNED tokenizer (E27's pieces = Σ tf·|syms| join), not
+    * whitespace words. The divergence is systematic, not noise:
+    * whitespace counting under-budgets exactly the docs a subword
+    * tokenizer fragments most (rare/long/OOV-heavy words → several
+    * pieces each), so a whitespace-budgeted corpus overflows its
+    * context windows in production by each doc's (pieces_per_token −
+    * 1) factor. Composition: E27's one-scan-one-join piece counts →
+    * the C13 two-pass prefix-sum kernel — the iterative part (BPE
+    * train) is per-VOCAB work cached per corpus version, so at 100 TB
+    * this packs with one corpus scan + one vocab join + the same
+    * exchange budget as C13. Rows-only: the learned merge list is the
+    * train loop's output — not SQL-expressible (E26's reason, verbatim);
+    * the spec pins hand-computed piece packing and the
+    * whitespace-vs-piece divergence on a planted OOV doc. */
+  def packSequencesBpe(spark: SparkSession, sfDir: String,
+      seqLen: Int = 2048, nMerges: Int = 30,
+      buckets: Int = 1024): DataFrame =
+    packSequencesFromCounts(
+      TextAnalysis.bpeApply(spark, sfDir, nMerges)
+        .select(col("doc_id"), col("bpe_pieces").as("n_tokens")),
+      seqLen, buckets)
+
+  /** C49 over arbitrary docs + a symbolized vocab (term, syms) — the
+    * spec entry: a hand-built vocab makes piece counts hand-checkable. */
+  def packSequencesBpeOf(docs: DataFrame, vocab: DataFrame,
+      seqLen: Int = 2048, buckets: Int = 1024): DataFrame =
+    packSequencesFromCounts(
+      TextAnalysis.bpeApplyOf(docs, vocab)
+        .select(col("doc_id"), col("bpe_pieces").as("n_tokens")),
+      seqLen, buckets)
+
   // ------------------------------------------------------------- C43
   /** PACK-LAYOUT audit — the observability row for C13's
     * concatenate-then-cut packing: that layout wastes zero padding by

@@ -1420,17 +1420,30 @@ object Similarity {
     val useIvf = viaIndex.getOrElse(exactPairs > BruteForceMaxPairs)
     val hits =
       if (useIvf) {
+        val ownsDir = indexDir.isEmpty
         val dir = indexDir.getOrElse(
           java.nio.file.Files.createTempDirectory("graft-embed-search-")
             .toString)
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // this operator OWNS $dir/float and $dir/int8: a re-run against
+        // an explicit indexDir must rebuild from scratch, not append
+        // stale cells under the new build (and the probe below is
+        // eager — count() — so the teardown after it is safe)
+        Seq("float", "int8").foreach(s =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$s"), true))
         // the production serving shape end-to-end: float index built
         // FROM the chunk frame, compacted to the int8 snapshot, panel
         // probed through the cell-pruned serving scan
         writeIvfIndexOf(embedded, s"$dir/float", nCells)
         compactIvfIndexInt8(spark, s"$dir/float", s"$dir/int8")
-        annIvfServe(panel, s"$dir/int8", k = 1, nProbe = nProbe)
+        val n = annIvfServe(panel, s"$dir/int8", k = 1, nProbe = nProbe)
           .filter($"rank" === 1 && $"neighbor_id" === $"query_id")
           .count()
+        // an acceptance probe leaves no index behind unless the caller
+        // asked to keep one by naming the directory
+        if (ownsDir) fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        n
       } else {
         bruteTopKFrames(embedded, panel, k = 1, excludeSelf = false,
             knownPairs = Some(exactPairs))
@@ -1563,12 +1576,16 @@ object Similarity {
     * to a constant) probe the postings; a candidate's score is the sum
     * of its matched postings' BM25 contributions, summed as
     * DECIMAL(18,8) so the oracle's sum order cannot drift a ulp.
-    * Vector side is the shared [[bruteTopKFrames]] kernel here (500 ×
-    * 10 pairs); at corpus scale the SAME fusion runs off
-    * `annIvfServe`'s ranked output instead — only the pool source
-    * changes. Each list truncates to `poolN` before fusion (rank > poolN
-    * contributes < 1/(K+poolN) ≈ nothing). Both rank lists are tiny
-    * (poolN × queries) so the full-outer fusion join is trivial.
+    * Vector side AUTO-ROUTES (the D15 seam): the shared
+    * [[bruteTopKFrames]] kernel while query×corpus pairs fit
+    * [[BruteForceMaxPairs]] (exact — 500 × 10 pairs at driver SF), the
+    * persisted int8 IVF serving path ([[writeIvfIndexOf]] →
+    * [[compactIvfIndexInt8]] → [[annIvfServe]]) past it — the fused
+    * query runs at ANY corpus size instead of refusing;
+    * `viaIndex`/`indexDir` force a leg / reuse a pre-built index. Each
+    * list truncates to `poolN` before fusion (rank > poolN contributes
+    * < 1/(K+poolN) ≈ nothing). Both rank lists are tiny (poolN ×
+    * queries) so the full-outer fusion join is trivial.
     *
     * Scale notes: query terms broadcast (queries × termCap rows); the
     * postings probe is a broadcast-hash join on term — the candidate
@@ -1576,7 +1593,8 @@ object Similarity {
     * after the probe's aggregate. */
   def annHybrid(spark: SparkSession, sfDir: String, k: Int = HybridK,
       poolN: Int = HybridPoolN, rrfK: Int = 60,
-      queryTermCap: Int = 16): DataFrame = {
+      queryTermCap: Int = 16, viaIndex: Option[Boolean] = None,
+      indexDir: Option[String] = None): DataFrame = {
     // the inverted index is a per-corpus-version build artifact, not
     // per-query work: pin it once per (dir, mtime) — the quantizedCache
     // discipline, superseded versions evicted + unpinned
@@ -1591,7 +1609,8 @@ object Similarity {
     hybridFrom(scored, Tables.embeddings(spark, sfDir),
       nVecs = Tables.cachedCount(spark, s"$sfDir/embeddings.parquet"),
       queryBound = QueryIdBound, k = k, poolN = poolN, rrfK = rrfK,
-      queryTermCap = queryTermCap)
+      queryTermCap = queryTermCap, viaIndex = viaIndex,
+      indexDir = indexDir)
   }
 
   private val hybridCache =
@@ -1605,9 +1624,10 @@ object Similarity {
   def annHybridOf(docs: DataFrame, emb: DataFrame, nDocs: Long,
       nVecs: Long, queryBound: Long, k: Int = HybridK,
       poolN: Int = HybridPoolN, rrfK: Int = 60,
-      queryTermCap: Int = 16): DataFrame =
+      queryTermCap: Int = 16, viaIndex: Option[Boolean] = None,
+      indexDir: Option[String] = None): DataFrame =
     hybridFrom(bm25ScoredPostings(docs, nDocs), emb, nVecs, queryBound,
-      k, poolN, rrfK, queryTermCap)
+      k, poolN, rrfK, queryTermCap, viaIndex, indexDir)
 
   /** The E16 scored-postings build: (doc_id, term, tf, dl, idf, bm25)
     * row-locally off ONE pinned tokenization pass. In production this
@@ -1636,7 +1656,9 @@ object Similarity {
 
   private def hybridFrom(scored: DataFrame, emb: DataFrame, nVecs: Long,
       queryBound: Long, k: Int, poolN: Int, rrfK: Int,
-      queryTermCap: Int): DataFrame = {
+      queryTermCap: Int, viaIndex: Option[Boolean] = None,
+      indexDir: Option[String] = None, nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     require(k > 0 && poolN >= k && rrfK > 0 && queryTermCap > 0,
@@ -1657,13 +1679,52 @@ object Similarity {
       Seq($"text_score".desc, $"cand_id".asc), poolN)
       .withColumn("text_rank", row_number().over(wT).cast("long"))
       .select($"query_id", $"cand_id", $"text_rank")
-    val vecTop = bruteTopKFrames(emb,
-      emb.filter($"vec_id" < queryBound)
-        .select($"vec_id".as("query_id"), $"embedding"),
-      k = poolN,
-      knownPairs = Some(nVecs * queryBound))
-      .select($"query_id", $"neighbor_id".as("cand_id"),
-        $"rank".cast("long").as("vec_rank"))
+    // VECTOR HALF ROUTING — the D15 seam: exact while the pair count
+    // fits the brute guard, the persisted int8 IVF serving path past
+    // it (division-form guard — nVecs · queryBound overflows Long
+    // first at planetary corpus sizes). `viaIndex` forces either leg;
+    // the default means the fused query NEVER refuses on corpus size.
+    val queries = emb.filter($"vec_id" < queryBound)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val useIvf = viaIndex.getOrElse(nVecs > BruteForceMaxPairs / queryBound)
+    val vecTop =
+      if (useIvf) {
+        val ownsDir = indexDir.isEmpty
+        val dir = indexDir.getOrElse(
+          java.nio.file.Files.createTempDirectory("graft-hybrid-").toString)
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // reuse a caller-provided index if it already holds the int8
+        // snapshot (the production case: built once at ingest); build
+        // the float→int8 chain fresh otherwise
+        val int8 = s"$dir/int8"
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$int8/vectors"))) {
+          fs.delete(new org.apache.hadoop.fs.Path(s"$dir/float"), true)
+          writeIvfIndexOf(emb, s"$dir/float", nCells)
+          compactIvfIndexInt8(spark, s"$dir/float", int8)
+        }
+        // materialize BEFORE the temp index disappears (the fused
+        // plan below is lazy; a deleted index under a lazy scan is a
+        // read-after-free)
+        val served = servedVecTop(queries, int8, poolN, nProbe,
+          excludeSelf = true).localCheckpoint(true)
+        if (ownsDir) fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        served
+      } else bruteTopKFrames(emb, queries, k = poolN,
+          knownPairs = Some(nVecs * queryBound))
+        .select($"query_id", $"neighbor_id".as("cand_id"),
+          $"rank".cast("long").as("vec_rank"))
+    rrfFuse(textTop, vecTop, k, rrfK)
+  }
+
+  /** The RRF back half shared by [[hybridFrom]] and
+    * [[hybridServeStream]] — ONE definition of the fusion arithmetic
+    * and tie-break, so the batch operator and the serving tier cannot
+    * drift (the spec pins them equal row-for-row). */
+  private def rrfFuse(textTop: DataFrame, vecTop: DataFrame, k: Int,
+      rrfK: Int): DataFrame = {
+    val spark = textTop.sparkSession
+    import spark.implicits._
     val fused = textTop
       .join(vecTop, Seq("query_id", "cand_id"), "full_outer")
       .withColumn("rrf",
@@ -1678,8 +1739,139 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** The served vector pool shared by [[hybridFrom]]'s IVF leg and
+    * [[hybridServeStream]]: probe the int8 snapshot, optionally drop
+    * the query's own row (a corpus-drawn query ranks itself first —
+    * over-fetch by one and re-densify so ranks stay 1..poolN). */
+  private def servedVecTop(queries: DataFrame, int8Dir: String,
+      poolN: Int, nProbe: Int, excludeSelf: Boolean): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val raw = annIvfServe(queries, int8Dir,
+      k = if (excludeSelf) poolN + 1 else poolN, nProbe = nProbe)
+    val base =
+      if (excludeSelf) raw.filter($"neighbor_id" =!= $"query_id") else raw
+    val wV = Window.partitionBy($"query_id")
+      .orderBy($"rank".asc, $"cand_id".asc)
+    base.select($"query_id", $"neighbor_id".as("cand_id"), $"rank")
+      .withColumn("vec_rank", row_number().over(wV).cast("long"))
+      .filter($"vec_rank" <= poolN)
+      .select($"query_id", $"cand_id", $"vec_rank")
+  }
+
   val HybridK = 10
   val HybridPoolN = 50
+
+  // ---------------------------------------------------------------- D27
+  /** PERSISTED BM25 POSTINGS INDEX — the text half of the search tier
+    * as a SERVED ARTIFACT (until now [[annHybrid]] pinned the scored
+    * postings per corpus version as an in-session cache; a production
+    * tier builds the inverted index at ingest and every query probes
+    * STORAGE): the E16/D22 scored-postings frame (doc_id, term, tf,
+    * dl, idf, bm25), hash-bucketed on TERM and written one file-set
+    * per bucket — the A47/D10 layout discipline — so a query batch's
+    * term set prunes the scan to the buckets those terms hash into at
+    * planning time (the postings twin of IVF cell pruning). `meta`
+    * records the bucket count; the probe reads it rather than trusting
+    * a caller to repeat the build parameter. */
+  def writePostingsIndex(docs: DataFrame, nDocs: Long, dir: String,
+      nBuckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(nBuckets >= 1, s"nBuckets $nBuckets must be >= 1")
+    bm25ScoredPostings(docs, nDocs)
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
+      .repartition(nBuckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    Seq(nBuckets).toDF("n_buckets").write.mode("overwrite")
+      .parquet(s"$dir/meta")
+  }
+
+  /** BM25 retrieval against the persisted postings index — the text
+    * twin of [[annIvfServe]]: the query batch's distinct terms (a
+    * trigger-sized frame) prune the postings scan by bucket AND term,
+    * a tiny idf lookup over the pruned scan caps each query to its
+    * `queryTermCap` most selective terms (the D22 stopword-skip rule —
+    * probe fan-out per query stays constant no matter how long the
+    * query text is), and candidate scores aggregate the matched
+    * postings' BM25 contributions with D22's DECIMAL(18,8) sum
+    * discipline. Returns (query_id, cand_id, text_rank ≤ poolN) —
+    * [[rrfFuse]]'s text-side contract. OOV query terms match no
+    * postings row and contribute nothing, exactly like the batch
+    * operator. */
+  def bm25Serve(queries: DataFrame, postingsDir: String,
+      poolN: Int = HybridPoolN, queryTermCap: Int = 16,
+      excludeSelf: Boolean = false): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(poolN >= 1 && queryTermCap >= 1,
+      s"bad serve params poolN=$poolN cap=$queryTermCap")
+    val nBuckets = spark.read.parquet(s"$postingsDir/meta")
+      .head.getInt(0)
+    // trigger-sized probe front half, pinned: read for the bucket
+    // collect AND the cap join
+    val qt = queries
+      .select(col("query_id"),
+        explode(array_distinct(TextAnalysis.tokens())).as("term"))
+      .localCheckpoint(true)
+    val probed = qt
+      .select($"term", pmod(xxhash64($"term"), lit(nBuckets)).as("bucket"))
+      .distinct().collect()
+    val termList = probed.map(_.getString(0)).toSeq
+    val bucketList = probed.map(_.getLong(1)).distinct.toSeq
+    // pruned scan: bucket isin prunes directories at planning time,
+    // term isin prunes row groups inside them; pinned because the idf
+    // lookup and the candidate probe both read it
+    val scan = spark.read.parquet(s"$postingsDir/postings")
+      .filter($"bucket".isin(bucketList: _*) && $"term".isin(termList: _*))
+      .localCheckpoint(true)
+    val idfs = scan.select($"term", $"idf").distinct()
+    val capped = graft.plans.TopK.perKey(qt.join(idfs, Seq("term")),
+      Seq("query_id"), Seq($"idf".desc, $"term".asc), queryTermCap)
+      .select($"query_id", $"term")
+    val cands = scan.select($"term", $"doc_id".as("cand_id"), $"bm25")
+      .join(broadcast(capped), Seq("term"))
+    val base =
+      if (excludeSelf) cands.filter($"cand_id" =!= $"query_id") else cands
+    val pairs = base.groupBy($"query_id", $"cand_id")
+      .agg(sum($"bm25".cast("decimal(18,8)")).cast("double")
+        .as("text_score"))
+    val wT = Window.partitionBy($"query_id")
+      .orderBy($"text_score".desc, $"cand_id")
+    graft.plans.TopK.perKey(pairs, Seq("query_id"),
+      Seq($"text_score".desc, $"cand_id".asc), poolN)
+      .withColumn("text_rank", row_number().over(wT).cast("long"))
+      .select($"query_id", $"cand_id", $"text_rank")
+  }
+
+  /** STREAMING HYBRID SEARCH against the persisted search tier — the
+    * "live query against the index" story with BOTH halves served from
+    * storage (D19 serves only the vector snapshot): per micro-batch,
+    * the query frame (query_id, text, embedding) probes the D27
+    * postings index ([[bm25Serve]]) and the D10 int8 snapshot
+    * ([[servedVecTop]]), and [[rrfFuse]] — the SAME fusion the batch
+    * operator runs — lands the top-k in the caller's sink with its
+    * batch id. foreachBatch per the D19 reasoning (stateless per-query
+    * retrieval has no watermark semantics to fake); both index
+    * directories are fixed for the operator's lifetime — the
+    * blue/green rollover model, stated rather than hidden. The spec
+    * pins streamed output equal ROW-FOR-ROW to the batch routed fusion
+    * over the same indexes. */
+  def hybridServeStream(queries: DataFrame, postingsDir: String,
+      vecIndexDir: String, k: Int = HybridK, poolN: Int = HybridPoolN,
+      rrfK: Int = 60, queryTermCap: Int = 16, nProbe: Int = 4,
+      excludeSelf: Boolean = false)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      import batch.sparkSession.implicits._
+      val b = batch.localCheckpoint(true) // both probes read the trigger
+      val textTop = bm25Serve(b.select($"query_id", $"text"),
+        postingsDir, poolN, queryTermCap, excludeSelf)
+      val vecTop = servedVecTop(b.select($"query_id", $"embedding"),
+        vecIndexDir, poolN, nProbe, excludeSelf)
+      sink(rrfFuse(textTop, vecTop, k, rrfK), batchId)
+    }
 
   // ---------------------------------------------------------------- D23
   /** MMR RE-RANK — Maximal Marginal Relevance diversification
@@ -1699,16 +1891,41 @@ object Similarity {
     * Ties break by candidate id; λ=1 degenerates to the plain cosine
     * order (the spec pins both). */
   def annMmr(spark: SparkSession, sfDir: String, k: Int = HybridK,
-      poolN: Int = HybridPoolN, lambda: Double = 0.7): DataFrame = {
+      poolN: Int = HybridPoolN, lambda: Double = 0.7,
+      viaIndex: Option[Boolean] = None,
+      indexDir: Option[String] = None): DataFrame = {
     import spark.implicits._
     require(k > 0 && poolN >= k, s"bad mmr params k=$k poolN=$poolN")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda $lambda outside [0,1]")
     val e = Tables.embeddings(spark, sfDir)
+    val nVecs = Tables.cachedCount(spark, s"$sfDir/embeddings.parquet")
     val queries = e.filter($"vec_id" < QueryIdBound)
       .select($"vec_id".as("query_id"), $"embedding")
-    val pool = bruteTopKFrames(e, queries, k = poolN,
-      knownPairs = Some(
-        Tables.cachedCount(spark, s"$sfDir/embeddings.parquet") * QueryIdBound))
+    // pool source routes exactly like D22's vector half: brute under
+    // the pair ceiling, the int8 IVF serving snapshot past it — the
+    // re-ranker itself is pool-size work either way
+    val useIvf = viaIndex.getOrElse(nVecs > BruteForceMaxPairs / QueryIdBound)
+    val pool =
+      if (useIvf) {
+        val ownsDir = indexDir.isEmpty
+        val dir = indexDir.getOrElse(
+          java.nio.file.Files.createTempDirectory("graft-mmr-").toString)
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val int8 = s"$dir/int8"
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$int8/vectors"))) {
+          fs.delete(new org.apache.hadoop.fs.Path(s"$dir/float"), true)
+          writeIvfIndexOf(e, s"$dir/float", nCells = 16)
+          compactIvfIndexInt8(spark, s"$dir/float", int8)
+        }
+        val p = annIvfServe(queries, int8, k = poolN + 1, nProbe = 4)
+          .filter($"neighbor_id" =!= $"query_id")
+          .select($"query_id", $"neighbor_id", $"cos")
+          .localCheckpoint(true) // outlive the temp index (lazy plan)
+        if (ownsDir) fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        p
+      } else bruteTopKFrames(e, queries, k = poolN,
+        knownPairs = Some(nVecs * QueryIdBound))
     annMmrOf(pool, e, k, lambda)
   }
 

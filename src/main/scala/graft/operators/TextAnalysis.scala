@@ -620,9 +620,12 @@ object TextAnalysis {
       .select($"doc_id",
         TextFunctions.tokenCounts($"toks").as("tc"),
         TextFunctions.tokenCounts(expr(
-          """zip_with(slice(toks, 1, size(toks) - 1),
-            |  slice(toks, 2, size(toks) - 1),
-            |  (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bc"))
+          // size(toks) < 2 would make the slice length negative (slice
+          // throws) — token-free/single-token docs carry zero bigrams
+          """IF(size(toks) < 2, array(),
+            |  zip_with(slice(toks, 1, size(toks) - 1),
+            |    slice(toks, 2, size(toks) - 1),
+            |    (a, b) -> concat(a, ' ', b)))""".stripMargin)).as("bc"))
       .localCheckpoint(true)
     val tfd = base.select($"doc_id", explode($"tc").as(Seq("term", "tfd")))
     val bfd = base.select($"doc_id", explode($"bc").as(Seq("bterm", "bfd")))
@@ -714,9 +717,11 @@ object TextAnalysis {
       .select($"doc_id",
         TextFunctions.tokenCounts($"toks").as("tc"),
         TextFunctions.tokenCounts(expr(
-          """zip_with(slice(toks, 1, size(toks) - 1),
-            |  slice(toks, 2, size(toks) - 1),
-            |  (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bc"))
+          // same guard as E20: slice length must stay non-negative
+          """IF(size(toks) < 2, array(),
+            |  zip_with(slice(toks, 1, size(toks) - 1),
+            |    slice(toks, 2, size(toks) - 1),
+            |    (a, b) -> concat(a, ' ', b)))""".stripMargin)).as("bc"))
       .localCheckpoint(true)
     val tf = base.select(explode($"tc").as(Seq("term", "n")))
       .groupBy($"term").agg(sum($"n").as("tf"))

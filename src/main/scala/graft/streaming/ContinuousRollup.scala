@@ -189,9 +189,17 @@ object ContinuousRollup {
         org.apache.spark.sql.expressions.Window
           .partitionBy($"user_id", $"window_us")))
       // the first bucket whose cumulative count reaches q·n holds the
-      // quantile; interpolate by the fraction of that bucket consumed
-      .filter($"cum" >= lit(q) * $"n" &&
-        ($"cum" - $"cnt") < lit(q) * $"n")
+      // quantile; interpolate by the fraction of that bucket consumed.
+      // q = 0 needs its own crossing rule: (cum − cnt) < 0 never holds
+      // (the first bucket starts at exactly 0), so p0 is the first
+      // NON-EMPTY bucket (cum − cnt = 0 ∧ cnt > 0 — unique per key
+      // even when zero-count repair rows lead the walk), and the
+      // interpolation fraction evaluates to 0 there — the
+      // minimum-bucket estimate.
+      .filter(
+        if (q == 0) ($"cum" - $"cnt") === 0 && $"cnt" > 0
+        else $"cum" >= lit(q) * $"n" &&
+          ($"cum" - $"cnt") < lit(q) * $"n")
       .select($"user_id", $"window_us",
         round(lit(lo) + ($"vbucket" +
           ((lit(q) * $"n" - ($"cum" - $"cnt")) / $"cnt")) * width, 6)
@@ -221,7 +229,7 @@ object ContinuousRollup {
     val f = fromUs - java.lang.Math.floorMod(fromUs, winUs)
     val t0 = java.lang.Math.floorMod(toUs, winUs)
     val t = if (t0 == 0) toUs else toUs + (winUs - t0)
-    val batch = graft.Tables.events(spark, sfDir)
+    val recomputed = graft.Tables.events(spark, sfDir)
       .filter($"event_type" === "purchase")
       .withColumn("us", expr("unix_micros(ts)"))
       .filter($"us" >= f && $"us" < t)
@@ -232,7 +240,31 @@ object ContinuousRollup {
         count(lit(1)).as("sample_count"))
       .withColumn("rollup_key",
         concat_ws(":", col("user_id"), col("window_us")))
-      .withColumn("__ver", lit(Long.MaxValue)) // a repair is authoritative
+      .localCheckpoint(true) // read twice: upsert + stale-key anti-join
+    // STALE rows must not survive the repair: a (device, window) the
+    // snapshot carries inside the repaired range but for which history
+    // now has ZERO events would emit no recomputed row, and the wrong
+    // existing row would win by omission. Emit explicit ZERO rows for
+    // exactly those snapshot keys — history is authoritative for the
+    // whole expanded range, including its silences.
+    val stale = snapshot(spark, dir)
+      .filter($"window_us" >= f && $"window_us" < t)
+      .select($"user_id", $"window_us",
+        concat_ws(":", $"user_id", $"window_us").as("rollup_key"))
+      .join(recomputed.select($"rollup_key"), Seq("rollup_key"),
+        "left_anti")
+      .withColumn("metric_sum", lit(0.0))
+      .withColumn("sample_count", lit(0L))
+      .select($"user_id", $"window_us", $"metric_sum", $"sample_count",
+        $"rollup_key")
+    // A repair is authoritative over any live trigger (batch ids are
+    // small non-negatives; MaxValue/2 dwarfs them) AND over every
+    // EARLIER repair: version = MaxValue/2 + |repairId|, so callers
+    // passing strictly decreasing repairIds (−1, −2, … — the stated
+    // convention) get strict last-repair-wins instead of the undefined
+    // tie two MaxValue stamps would produce.
+    val batch = recomputed.unionByName(stale)
+      .withColumn("__ver", lit(Long.MaxValue / 2 - repairId))
     UpsertSink.applyBatch(batch, repairId, dir, "rollup_key", "__ver",
       nBuckets)
   }

@@ -105,6 +105,22 @@ class ContinuousRollupSpec extends SparkSpec {
       assert(math.abs(est - exact(k)) <= 2 * width + 1e-9,
         s"$k: est $est vs exact ${exact(k)}")
     }
+    // q = 0 has its own crossing rule (the generic filter's
+    // (cum − cnt) < 0 never holds): every key must yield exactly one
+    // row — the left edge of its first non-empty bucket, which is
+    // within one bucket width of the true minimum
+    val p0 = ContinuousRollup.histPercentile(spark, dir, 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val mins = Tables.events(spark, sf).filter($"value".isNotNull)
+      .groupBy($"user_id",
+        expr("unix_micros(date_trunc('hour', ts))").as("window_us"))
+      .agg(min($"value").as("m")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(p0.keySet === mins.keySet, "p0 must cover every key")
+    p0.foreach { case (k, est) =>
+      assert(est <= mins(k) + 1e-9 && mins(k) - est <= width + 1e-9,
+        s"$k: p0 $est vs min ${mins(k)}")
+    }
   }
 
   test("backfill repairs a poisoned window back to the batch answer, idempotently") {
@@ -120,7 +136,13 @@ class ContinuousRollupSpec extends SparkSpec {
     // the snapshot holds a stale partial)
     val victim = batch.limit(1).collect().head
     val (vu, vw) = (victim.getLong(0), victim.getLong(1))
-    val poison = Seq((vu, vw, -1.0, 1L, s"$vu:$vw"))
+    // two poisons: a stale partial on a REAL window, and a GHOST row
+    // whose (device, window) has zero history events inside the
+    // repaired range — the repair must zero the ghost out explicitly
+    // (omission would let it survive)
+    val ghostU = 999999999L
+    val poison = Seq((vu, vw, -1.0, 1L, s"$vu:$vw"),
+        (ghostU, vw, 123.0, 9L, s"$ghostU:$vw"))
       .toDF("user_id", "window_us", "metric_sum", "sample_count",
         "rollup_key")
       .withColumn("__ver", org.apache.spark.sql.functions.lit(Long.MaxValue))
@@ -132,15 +154,23 @@ class ContinuousRollupSpec extends SparkSpec {
     // operator must expand to whole windows)
     ContinuousRollup.backfillSums(spark, sf, dir,
       vw + 7L, vw + 8L, repairId = -1000L, nBuckets = 8)
+    def live(df: org.apache.spark.sql.DataFrame) =
+      df.filter($"sample_count" > 0) // zeroed ghosts read as "no data"
     val snap = ContinuousRollup.snapshot(spark, dir)
-    assert(snap.exceptAll(batch).count() === 0 &&
-      batch.exceptAll(snap).count() === 0, "repair did not restore parity")
-    // a re-run of the same repair converges (content-idempotent apply)
+    assert(live(snap).exceptAll(batch).count() === 0 &&
+      batch.exceptAll(live(snap)).count() === 0,
+      "repair did not restore parity")
+    val ghost = snap.filter($"user_id" === ghostU && $"window_us" === vw)
+      .collect()
+    assert(ghost.length === 1 && ghost.head.getDouble(2) === 0.0 &&
+      ghost.head.getLong(3) === 0L, "ghost row not zeroed by the repair")
+    // a re-run of the same repair converges (content-idempotent apply,
+    // and the later repairId carries the strictly larger version)
     ContinuousRollup.backfillSums(spark, sf, dir,
       vw + 7L, vw + 8L, repairId = -1001L, nBuckets = 8)
     val again = ContinuousRollup.snapshot(spark, dir)
-    assert(again.exceptAll(batch).count() === 0 &&
-      batch.exceptAll(again).count() === 0)
+    assert(live(again).exceptAll(batch).count() === 0 &&
+      batch.exceptAll(live(again)).count() === 0)
   }
 
   test("open windows converge: a window split across triggers ends at its full sum") {

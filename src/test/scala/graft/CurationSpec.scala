@@ -654,6 +654,49 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("pack_bpe: piece-budgeted packing follows the vocab's piece counts and diverges from whitespace packing") {
+    // hand vocab: "aa" stays whole (1 piece), "bb" splits (2 pieces);
+    // "cc" is OOV → char fallback (2 pieces)
+    val vocab = Seq(("aa", Seq("aa")), ("bb", Seq("b", "b")))
+      .toDF("term", "syms")
+    val docs = Seq((0L, "aa bb"), (1L, "cc"), (2L, "aa aa aa"))
+      .toDF("doc_id", "text")
+    // piece counts: d0 = 1+2 = 3, d1 = 2, d2 = 3; cum-before 0, 3, 5
+    val bpe = Curation.packSequencesBpeOf(docs, vocab, seqLen = 4,
+      buckets = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(bpe.toSeq === Seq((0L, 3L, 0L, 0L), (1L, 2L, 0L, 3L),
+      (2L, 3L, 1L, 1L)), s"piece packing wrong: ${bpe.toSeq}")
+    // whitespace counts (2, 1, 3; cum-before 0, 2, 3) place d1/d2
+    // differently — the budget divergence the piece packer exists for
+    val ws = Curation.packSequences(docs, seqLen = 4, buckets = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ws.toSeq === Seq((0L, 2L, 0L, 0L), (1L, 1L, 0L, 2L),
+      (2L, 3L, 0L, 3L)), s"whitespace packing drifted: ${ws.toSeq}")
+    assert(bpe.map(t => (t._1, t._3, t._4)).toSet !=
+      ws.map(t => (t._1, t._3, t._4)).toSet,
+      "planted corpus failed to separate the two budgets")
+    // the sf driver query: same invariants as C13 — contiguous global
+    // positions in the PIECE stream
+    val out = Curation.packSequencesBpe(spark, sf, seqLen = 64,
+      buckets = 7).collect()
+    assert(out.nonEmpty)
+    var cum = 0L
+    out.foreach { r =>
+      val (n, seq, off) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(off >= 0 && off < 64)
+      assert(seq * 64 + off === cum,
+        s"doc ${r.getLong(0)} starts at ${seq * 64 + off}, expected $cum")
+      cum += n
+    }
+    // and it packs MORE tokens than the whitespace packer counted —
+    // subword pieces per word are ≥ 1 everywhere, > 1 somewhere
+    val wsTotal = Curation.packSequences(Tables.documents(spark, sf))
+      .agg(org.apache.spark.sql.functions.sum(col("n_tokens"))).head.getLong(0)
+    assert(cum > wsTotal, s"piece stream $cum not above word stream $wsTotal")
+  }
+
   test("quality_rank_cut: keeps exactly the top floor(num*n/den) per source") {
     // token counts: a → 5,4,3,2,1; b → ties at the 4/7 boundary so the
     // doc_id tiebreak is what decides who survives

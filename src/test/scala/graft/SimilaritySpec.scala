@@ -722,6 +722,86 @@ class SimilaritySpec extends SparkSpec {
     assert(ranks.sameElements(ranks.sorted), "rank order broken on sf data")
   }
 
+  test("hybrid routing: the IVF serving path fuses at driver SF with recall vs the brute fusion") {
+    // force the serving leg at a size where the brute leg is exact:
+    // the routed run must complete, keep the fused-output contract,
+    // and overlap the exact fusion on most of its picks (the text half
+    // is identical — only the vector pool degrades to approximate)
+    val exact = Similarity.annHybrid(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-hyb-ivf").toString
+    val routed = Similarity.annHybrid(spark, sf,
+      viaIndex = Some(true), indexDir = Some(dir)).collect()
+    assert(routed.length == 10 * Similarity.HybridK,
+      s"routed fusion lost rows: ${routed.length}")
+    val ranks = routed.map(r => (r.getLong(0), r.getLong(1)))
+    assert(ranks.sameElements(ranks.sorted), "routed rank order broken")
+    val routedSet = routed.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (routedSet & exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"routed fusion recall $recall vs brute fusion")
+    // a second run against the SAME indexDir reuses the int8 snapshot
+    // (the production built-once-at-ingest case) and agrees with itself
+    val again = Similarity.annHybrid(spark, sf,
+      viaIndex = Some(true), indexDir = Some(dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again === routedSet, "index reuse changed the fusion")
+    // auto-routing below the ceiling stays on the exact leg
+    val auto = Similarity.annHybrid(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(auto === exact)
+  }
+
+  test("hybrid serve stream: streamed postings+int8 probe equals the batch routed fusion row-for-row") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hyb-serve").toString
+    val (vdir, pdir) = (s"$tmp/vec", s"$tmp/text")
+    // the batch routed fusion builds the int8 snapshot at vdir and IS
+    // the expected answer; the postings index is the new D27 artifact
+    val want = Similarity.annHybrid(spark, sf,
+      viaIndex = Some(true), indexDir = Some(vdir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5))).toSet
+    Similarity.writePostingsIndex(Tables.documents(spark, sf),
+      nDocs = Tables.documents(spark, sf).count(), pdir, nBuckets = 16)
+    val qrows = Tables.documents(spark, sf)
+      .filter($"doc_id" < Similarity.QueryIdBound)
+      .select($"doc_id".as("query_id"), $"text")
+      .join(Tables.embeddings(spark, sf)
+        .select($"vec_id".as("query_id"), $"embedding"), Seq("query_id"))
+      .as[(Long, String, Array[Float])].collect()
+    val input = MemoryStream[(Long, String, Array[Float])](43, spark, None)
+    val got = scala.collection.mutable.Map
+      .empty[Long, Set[(Long, Long, Long, Double, Long, Long)]]
+    val q = Similarity.hybridServeStream(
+      input.toDS().toDF("query_id", "text", "embedding"),
+      pdir, s"$vdir/int8", excludeSelf = true) { (res, id) =>
+      got(id) = res.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5))).toSet
+    }.start()
+    try {
+      // two triggers: the tier is stateless per query batch
+      val (a, b) = qrows.splitAt(qrows.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
+      assert((got(0L) ++ got(1L)) === want,
+        "streamed hybrid fusion diverged from the batch routed fusion")
+    } finally q.stop()
+  }
+
+  test("MMR routing: the IVF-pooled re-rank matches the brute pool's picks on most queries") {
+    val exact = Similarity.annMmr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val routed = Similarity.annMmr(spark, sf, viaIndex = Some(true))
+      .collect()
+    assert(routed.length == 10 * Similarity.HybridK)
+    val routedSet = routed.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = (routedSet & exact).size.toDouble / exact.size
+    assert(overlap >= 0.6, s"IVF-pooled MMR overlap $overlap vs brute pool")
+  }
+
   test("MMR re-rank: coverage beats redundancy, lambda=1 is the plain cosine order") {
     import spark.implicits._
     def v(xs: Double*) = xs.map(_.toFloat).toArray
