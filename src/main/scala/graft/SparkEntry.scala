@@ -215,6 +215,10 @@ object SparkEntry {
       TextAnalysis.bpeApply(s, d)),
     "pack_bpe" -> ((s: SparkSession, d: String) =>
       Curation.packSequencesBpe(s, d)),
+    "embed_cluster_lloyd" -> ((s: SparkSession, d: String) =>
+      Similarity.embedClusterLloyd(s, d)),
+    "ann_rerank" -> ((s: SparkSession, d: String) =>
+      Similarity.annRerank(s, d)),
     "text_zipf" -> ((s: SparkSession, d: String) =>
       TextAnalysis.textZipf(s, d)),
     "text_keywords" -> ((s: SparkSession, d: String) =>
@@ -223,10 +227,16 @@ object SparkEntry {
       TextAnalysis.textHapax(s, d)),
     "gram_memorization" -> ((s: SparkSession, d: String) =>
       Curation.gramMemorization(s, d)),
+    "gopher_rules" -> ((s: SparkSession, d: String) =>
+      Curation.gopherRulesQuery(s, d)),
     "text_lm_score_bigram" -> ((s: SparkSession, d: String) =>
       TextAnalysis.textLmScoreBigram(s, d)),
     "word_cooccurrence" -> ((s: SparkSession, d: String) =>
       TextAnalysis.wordCooccurrence(s, d)),
+    // 24h gap / 50% SLO: on the sparse synthetic fleet these split the
+    // exhausted verdict (the 12h/95% production defaults read all-true)
+    "mon_error_budget" -> ((s: SparkSession, d: String) =>
+      Monitoring.errorBudget(s, d, maxGapUs = 86400000000L, slo = 0.5)),
     "mon_downtime_sla" -> ((s: SparkSession, d: String) =>
       Monitoring.downtimeSla(s, d)),
     "mon_anomaly_ensemble" -> ((s: SparkSession, d: String) =>
@@ -253,6 +263,12 @@ object SparkEntry {
       Monitoring.crossCorr(s, d)),
     "mon_cross_corr_anomalies" -> ((s: SparkSession, d: String) =>
       Monitoring.crossCorrAnomalies(s, d)),
+    // screening threshold for the driver corpus: the synthetic fleet's
+    // strongest co-movers sit near |corr| 0.35-0.57 (production default
+    // 0.8 would report an empty-but-honest frame), so the driver row
+    // exercises the full pair→component→group path on real edges
+    "mon_incident_groups" -> ((s: SparkSession, d: String) =>
+      Monitoring.incidentGroups(s, d, corrThreshold = 0.3)),
     "mon_gap_fill" -> ((s: SparkSession, d: String) =>
       Monitoring.gapFill(s, d)),
     "mon_fleet_health" -> ((s: SparkSession, d: String) =>
@@ -436,9 +452,12 @@ object SparkEntry {
     "text_keywords" -> TextAnalysis.textKeywordsSql,
     "text_hapax" -> TextAnalysis.textHapaxSql,
     "gram_memorization" -> Curation.gramMemorizationSql(),
+    "gopher_rules" -> Curation.gopherRulesSql(),
     "text_lm_score_bigram" -> TextAnalysis.textLmScoreBigramSql(),
     "word_cooccurrence" -> TextAnalysis.wordCooccurrenceSql(),
     "mon_downtime_sla" -> Monitoring.downtimeSlaSql(),
+    "mon_error_budget" ->
+      Monitoring.errorBudgetSql(maxGapUs = 86400000000L, slo = 0.5),
     "mon_anomaly_ensemble" -> Monitoring.anomalyEnsembleSql(),
     "mon_level_shift" -> Monitoring.levelShiftSql(),
     "shuffle_audit" -> Curation.shuffleAuditSql,

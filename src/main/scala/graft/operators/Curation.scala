@@ -2545,4 +2545,95 @@ object Curation {
        |  ROUND(CAST((bin + 1) * $binTokens * n_docs - token_mass AS DOUBLE)
        |    / CAST((bin + 1) * $binTokens * n_docs AS DOUBLE), 6) AS pad_frac
        |FROM g ORDER BY bucket_lo""".stripMargin
+
+  // ---------------------------------------------------------------- C50
+  /** GOPHER QUALITY RULES — the published heuristic battery (Rae et
+    * al. 2021, Appendix A: the filter set MassiveText shipped and
+    * every later web-scale corpus re-derived): per document, the four
+    * token-level signals and their rule verdicts — word count in
+    * bounds (fragments and runaway concatenations both fail), mean
+    * word length in bounds (character noise fails low, unbroken
+    * markup fails high), alphabetic-word fraction (numeric/id dumps
+    * fail), and a minimum stop-word count (the cheap "is this prose"
+    * test — word salads of content words fail it). The symbol-ratio /
+    * bullet-line half of Gopher's battery reads RAW text, which is
+    * E2/E8's business (punct_ratio there); composing those columns in
+    * is one join — the rule split is stated, not hidden.
+    *
+    * Scale shape: map-only — one corpus scan, every signal a codegen'd
+    * lambda over the token array, no corpus state, no shuffle beyond
+    * the presentation sort. Ratio rules compare on values ROUNDED at
+    * 6 (both engines round identically — the F16 discipline), so no
+    * verdict sits on an ulp. Token-free docs keep their row with NULL
+    * ratios and a failed verdict — a gate must list what it rejected. */
+  def gopherRules(docs: DataFrame, minWords: Long = 50L,
+      maxWords: Long = 100000L, minWordLen: Double = 3.0,
+      maxWordLen: Double = 10.0, minAlphaFrac: Double = 0.8,
+      minStopWords: Long = 2L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(minWords >= 0 && maxWords >= minWords,
+      s"bad word bounds [$minWords, $maxWords]")
+    require(minWordLen >= 0 && maxWordLen >= minWordLen,
+      s"bad word-length bounds [$minWordLen, $maxWordLen]")
+    docs.withColumn("toks", TextAnalysis.tokens())
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_words"),
+        round(expr(
+          """aggregate(toks, 0L, (a, x) -> a + length(x))""")
+          .cast("double") / nullif(size($"toks"), lit(0)), 6)
+          .as("mean_word_len"),
+        round(size(expr("filter(toks, x -> x rlike '[a-z]')"))
+          .cast("double") / nullif(size($"toks"), lit(0)), 6)
+          .as("alpha_frac"),
+        size(expr(
+          """filter(toks, x -> array_contains(
+            |array('the','be','to','of','and','that','have','with'), x))"""
+            .stripMargin)).cast("long").as("stop_words"))
+      .withColumn("words_ok",
+        $"n_words" >= minWords && $"n_words" <= maxWords)
+      .withColumn("word_len_ok",
+        $"mean_word_len".isNotNull &&
+          $"mean_word_len" >= minWordLen && $"mean_word_len" <= maxWordLen)
+      .withColumn("alpha_ok",
+        $"alpha_frac".isNotNull && $"alpha_frac" >= minAlphaFrac)
+      .withColumn("stop_ok", $"stop_words" >= minStopWords)
+      .withColumn("passed",
+        $"words_ok" && $"word_len_ok" && $"alpha_ok" && $"stop_ok")
+      .orderBy($"doc_id")
+  }
+
+  def gopherRulesQuery(spark: SparkSession, sfDir: String): DataFrame =
+    gopherRules(Tables.documents(spark, sfDir))
+
+  def gopherRulesSql(minWords: Long = 50L, maxWords: Long = 100000L,
+      minWordLen: Double = 3.0, maxWordLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopWords: Long = 2L): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    ROUND(CAST(list_sum(list_transform(toks, x -> length(x)))
+       |        AS DOUBLE) / nullif(len(toks), 0), 6) AS mean_word_len,
+       |    ROUND(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+       |        AS DOUBLE) / nullif(len(toks), 0), 6) AS alpha_frac,
+       |    CAST(len(list_filter(toks, x -> list_contains(
+       |      ['the','be','to','of','and','that','have','with'], x)))
+       |      AS BIGINT) AS stop_words
+       |  FROM t),
+       |r AS (
+       |  SELECT *,
+       |    n_words >= $minWords AND n_words <= $maxWords AS words_ok,
+       |    mean_word_len IS NOT NULL AND mean_word_len >= $minWordLen
+       |      AND mean_word_len <= $maxWordLen AS word_len_ok,
+       |    alpha_frac IS NOT NULL AND alpha_frac >= $minAlphaFrac
+       |      AS alpha_ok,
+       |    stop_words >= $minStopWords AS stop_ok
+       |  FROM m)
+       |SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_words,
+       |  words_ok, word_len_ok, alpha_ok, stop_ok,
+       |  words_ok AND word_len_ok AND alpha_ok AND stop_ok AS passed
+       |FROM r ORDER BY doc_id""".stripMargin
 }

@@ -720,6 +720,76 @@ object Monitoring {
        |    AS sla_breach
        |FROM agg ORDER BY user_id, day_us""".stripMargin
 
+  // ---------------------------------------------------------------- A65
+  /** SLO ERROR BUDGET — the report an SRE review actually steers by
+    * (A57 says which days broke; THIS says how much failure allowance
+    * remains): per device, the observed span (first→last event), total
+    * silence mass from A40's gap kernel, the budget the SLO grants
+    * (span · (1 − slo)), the consumed fraction, and the exhausted
+    * verdict — the "stop shipping, start fixing" line from the SRE
+    * workbook. Composes heartbeatGaps verbatim (budget and gap list
+    * cannot disagree on what counts as downtime); span comes from ONE
+    * map-side min/max aggregate. Devices with a single event (zero
+    * span) have no observable availability and are excluded, stated.
+    * Budget arithmetic: one double product floored to micros — both
+    * engines evaluate the identical IEEE tree; the consumed ratio
+    * rounds at 6. */
+  def errorBudget(spark: SparkSession, sfDir: String,
+      maxGapUs: Long = 43200000000L, slo: Double = 0.95): DataFrame = {
+    import spark.implicits._
+    require(slo > 0 && slo < 1, s"slo $slo out of (0, 1)")
+    val spans = Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(min(expr("unix_micros(ts)")).as("first_us"),
+        max(expr("unix_micros(ts)")).as("last_us"))
+      .withColumn("span_us", $"last_us" - $"first_us")
+      .filter($"span_us" > 0L)
+    val down = heartbeatGaps(spark, sfDir, maxGapUs)
+      .groupBy($"user_id")
+      .agg(sum($"gap_us").as("d"), count(lit(1)).as("g"))
+    spans.join(down, Seq("user_id"), "left")
+      .select($"user_id", $"span_us",
+        coalesce($"d", lit(0L)).as("downtime_us"),
+        coalesce($"g", lit(0L)).as("n_gaps"))
+      .withColumn("budget_us",
+        floor($"span_us".cast("double") * (lit(1.0) - slo)).cast("long"))
+      .withColumn("budget_consumed",
+        round($"downtime_us".cast("double") /
+          nullif($"budget_us", lit(0L)).cast("double"), 6))
+      .withColumn("exhausted", $"downtime_us" > $"budget_us")
+      .orderBy($"user_id")
+  }
+
+  def errorBudgetSql(maxGapUs: Long = 43200000000L,
+      slo: Double = 0.95): String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+       |g AS (
+       |  SELECT user_id, lag(us) OVER w AS prev_us, us
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |gaps AS (
+       |  SELECT user_id, us - prev_us AS gap_us FROM g
+       |  WHERE prev_us IS NOT NULL AND us - prev_us > $maxGapUs),
+       |sp AS (
+       |  SELECT user_id, CAST(max(us) - min(us) AS BIGINT) AS span_us
+       |  FROM e GROUP BY user_id HAVING max(us) - min(us) > 0),
+       |d AS (
+       |  SELECT user_id, CAST(SUM(gap_us) AS BIGINT) AS downtime_us,
+       |    COUNT(*) AS n_gaps
+       |  FROM gaps GROUP BY user_id),
+       |j AS (
+       |  SELECT sp.user_id, sp.span_us,
+       |    COALESCE(d.downtime_us, 0) AS downtime_us,
+       |    COALESCE(d.n_gaps, 0) AS n_gaps,
+       |    CAST(floor(CAST(sp.span_us AS DOUBLE)
+       |      * (CAST(1.0 AS DOUBLE) - $slo)) AS BIGINT) AS budget_us
+       |  FROM sp LEFT JOIN d ON sp.user_id = d.user_id)
+       |SELECT user_id, span_us, downtime_us, n_gaps, budget_us,
+       |  ROUND(CAST(downtime_us AS DOUBLE)
+       |    / CAST(nullif(budget_us, 0) AS DOUBLE), 6) AS budget_consumed,
+       |  downtime_us > budget_us AS exhausted
+       |FROM j ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- A42
   /** FLEET-ABSENCE report: registered devices that have NOT reported
     * within the trailing `recentUs` window (default 24 h) of the

@@ -1155,6 +1155,93 @@ object Multimodal {
     * flush, which is what a gateway's stream-closed event is; the
     * parity spec pins emitted == batch minus open tails before the
     * markers and == batch exactly after. State is O(live media). */
+  // ---------------------------------------------------------------- F18
+  /** STREAMING QUALITY GATE — F16 moved to where its value actually
+    * lives: gate-before-storage at ingest, one verdict the moment each
+    * media closes, so a failing upload is rejected BEFORE the pipeline
+    * pays for storage and decode-heavy downstream work. Consumes the
+    * gateway's interleaved per-media event stream (frame samples,
+    * audio windows, and the stream-closed marker — the F12/F17
+    * convention); per-media state is F7's frame fence + running
+    * Hamming sums and F12's window fence + silent/total counts — a
+    * fixed handful of longs however long the media runs. The verdict
+    * row computes with the IDENTICAL expression trees as batch F16
+    * (same rounds, same coalesces, same boolean cuts), duration joined
+    * from the static manifest at emit (stream-static join — the
+    * registry-lookup shape), so settled verdicts are bit-equal to the
+    * batch gate's (parity spec). A closed media's state keeps its
+    * fence: replayed events and duplicate markers drop instead of
+    * re-emitting. */
+  def qualityGateStream(ingest: Dataset[MediaIngestEvent],
+      manifest: DataFrame, minDuration: Double = 2.0,
+      maxDuration: Double = 600.0, motionFloor: Double = 5.0,
+      maxSilentFrac: Double = 0.5, rmsThreshold: Double = 44.0): DataFrame = {
+    val spark = ingest.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(rmsThreshold > 0, s"rmsThreshold $rmsThreshold must be positive")
+    val summaries = ingest
+      .groupByKey(_.media_id)
+      .flatMapGroupsWithState[GateState, GateSummary](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id, it, state) =>
+          var st = state.getOption.getOrElse(GateState(
+            closed = false, lastFrameIdx = -1, lastHash = 0L,
+            hammingSum = 0L, nTransitions = 0L, lastWinIdx = -1,
+            totalWindows = 0L, silentWindows = 0L))
+          val out = Seq.newBuilder[GateSummary]
+          if (!st.closed) {
+            // one trigger may interleave all three kinds: fold each
+            // signal in its own index order, marker strictly last
+            val evs = it.toArray
+            evs.filter(_.kind == "frame").sortBy(_.idx).foreach { f =>
+              if (!st.closed && f.idx > st.lastFrameIdx) {
+                if (st.lastFrameIdx >= 0) {
+                  st = st.copy(
+                    hammingSum = st.hammingSum +
+                      java.lang.Long.bitCount(f.frame_hash ^ st.lastHash),
+                    nTransitions = st.nTransitions + 1)
+                }
+                st = st.copy(lastFrameIdx = f.idx, lastHash = f.frame_hash)
+              }
+            }
+            evs.filter(_.kind == "audio").sortBy(_.idx).foreach { w =>
+              if (!st.closed && w.idx > st.lastWinIdx) {
+                st = st.copy(lastWinIdx = w.idx,
+                  totalWindows = st.totalWindows + 1,
+                  silentWindows = st.silentWindows +
+                    (if (w.rms < rmsThreshold) 1L else 0L))
+              }
+            }
+            if (evs.exists(_.kind == "end")) {
+              out += GateSummary(id, st.hammingSum, st.nTransitions,
+                st.silentWindows, st.totalWindows)
+              st = st.copy(closed = true)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+    // verdict columns: the batch gate's expression trees verbatim
+    summaries.toDF()
+      .join(manifest.select(col("media_id"), col("duration_s")),
+        Seq("media_id"))
+      .select(col("media_id"), col("duration_s"),
+        coalesce(round(col("hamming_sum").cast("double") /
+          nullif(col("n_transitions"), lit(0L)), 6), lit(0.0))
+          .as("mean_hamming"),
+        when(col("total_windows") > 0L,
+          round(col("silent_windows").cast("double") /
+            col("total_windows"), 6)).as("silent_frac"))
+      .withColumn("duration_ok",
+        col("duration_s") >= minDuration && col("duration_s") <= maxDuration)
+      .withColumn("motion_ok", col("mean_hamming") >= motionFloor)
+      .withColumn("audio_ok",
+        col("silent_frac").isNotNull && col("silent_frac") <= maxSilentFrac)
+      .withColumn("passed",
+        col("duration_ok") && col("motion_ok") && col("audio_ok"))
+  }
+
   def audioSilenceStream(windows: Dataset[AudioWindow],
       rmsThreshold: Double = 44.0): Dataset[SilenceSpan] = {
     import windows.sparkSession.implicits._
@@ -1211,6 +1298,24 @@ case class ClipState(lastIdx: Int, lastHash: Long, shotStart: Int,
 /** One audio level window (F9's row shape) as a typed stream element. */
 case class AudioWindow(media_id: Long, window_idx: Int, n_samples: Int,
     energy: Long, rms: Double)
+
+/** One interleaved per-media ingest event — the gateway's stream as the
+  * F18 gate consumes it: kind ∈ frame | audio | end, with the fields
+  * the kind uses populated (`idx` = frame_idx / window_idx). */
+case class MediaIngestEvent(media_id: Long, kind: String, idx: Int,
+    frame_hash: Long, rms: Double)
+
+/** F18 per-media state: F7's frame fence + running Hamming sums, F12's
+  * window fence + silent/total counts, and the closed flag that makes
+  * duplicate markers and post-close replays no-ops. */
+case class GateState(closed: Boolean, lastFrameIdx: Int, lastHash: Long,
+    hammingSum: Long, nTransitions: Long, lastWinIdx: Int,
+    totalWindows: Long, silentWindows: Long)
+
+/** F18's emitted per-media summary (verdict columns derive from it via
+  * the batch gate's expression trees). */
+case class GateSummary(media_id: Long, hamming_sum: Long,
+    n_transitions: Long, silent_windows: Long, total_windows: Long)
 
 /** One closed silence span — batch F11's row schema. */
 case class SilenceSpan(media_id: Long, start_window: Int, end_window: Int,

@@ -1560,6 +1560,80 @@ object Similarity {
       .orderBy($"cluster_id")
   }
 
+  // ---------------------------------------------------------------- D13b
+  /** LLOYD REFINEMENT — the iterate-to-convergence half D13's
+    * cartography lacked: assignment to sample-trained centroids is one
+    * half of k-means; THIS is the other — full-corpus Lloyd rounds
+    * (assign every vector to its nearest centroid, recompute each
+    * centroid as its cluster's mean) until the max centroid shift
+    * drops under `eps` or `maxIter` rounds run. Shape per round: ONE
+    * corpus scan (the codegen'd nearestCentroid map pass +
+    * posexplode), ONE (cluster, dim)-keyed aggregate whose exchange
+    * carries only k·dim partials per task (map-side combine eats the
+    * exploded rows), and a k×dim driver collect — the standard
+    * distributed k-means cost model (maxIter corpus scans, no growing
+    * lineage: each round's centroids are driver-side literals compiled
+    * into the next round's assignment expression, so lineage is FLAT
+    * by construction — the Scale.connectedComponents discipline comes
+    * free here).
+    *
+    * Determinism across partition layouts (the §4 discipline on an
+    * iterative op): per-dimension sums run in DECIMAL(28,9) — each
+    * float quantizes identically everywhere and decimal addition is
+    * exact, hence order-free — so every round's centroids, and
+    * therefore the whole trajectory, are bit-identical however the
+    * corpus is partitioned. Empty clusters keep their previous
+    * centroid (the standard dead-centroid rule, spec-pinned).
+    * Returns (refined centroids, rounds actually run). */
+  def lloydRefine(e: DataFrame, init: Array[Array[Double]],
+      maxIter: Int = 10, eps: Double = 1e-4): (Array[Array[Double]], Int) = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    require(init.nonEmpty, "need at least one initial centroid")
+    require(maxIter >= 0 && eps >= 0, s"bad lloyd params $maxIter/$eps")
+    var centroids = init
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val upd = e.select(
+          VectorFunctions.nearestCentroid($"embedding", centroids)
+            .cast("int").as("cluster_id"),
+          posexplode($"embedding").as(Seq("pos", "x")))
+        .groupBy($"cluster_id", $"pos")
+        .agg(sum($"x".cast("decimal(28,9)")).as("sx"),
+          count(lit(1)).as("n"))
+        .collect() // k·dim rows — driver-bounded by construction
+      val next = centroids.map(_.clone())
+      upd.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          r.getDecimal(2).doubleValue() / r.getLong(3)
+      }
+      val shift = centroids.indices.map { c =>
+        math.sqrt(centroids(c).indices
+          .map(d => (next(c)(d) - centroids(c)(d)) *
+            (next(c)(d) - centroids(c)(d))).sum)
+      }.max
+      centroids = next
+      iter += 1
+      converged = shift <= eps
+    }
+    (centroids, iter)
+  }
+
+  /** D13 with the refined centroids — corpus cartography where the
+    * clusters are REAL (converged Lloyd optima over the whole corpus),
+    * not one nearest-assignment to a sample fit. Same report schema as
+    * [[embedCluster]] plus the rounds-run gauge. Rows-only for D13's
+    * reason (k-means geometry is engine-specific). */
+  def embedClusterLloyd(spark: SparkSession, sfDir: String,
+      nClusters: Int = 16, maxTrain: Int = 100000, maxIter: Int = 10,
+      eps: Double = 1e-4): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val (refined, iters) = lloydRefine(e,
+      corpusCentroids(spark, sfDir, nClusters, maxTrain), maxIter, eps)
+    embedClusterOf(e, refined).withColumn("n_iters", lit(iters))
+  }
+
   // ---------------------------------------------------------------- D22
   /** HYBRID SEARCH — reciprocal-rank fusion of lexical (BM25) and
     * vector (cosine) retrieval, the modern search-tier table stakes:
@@ -1761,6 +1835,65 @@ object Similarity {
 
   val HybridK = 10
   val HybridPoolN = 50
+
+  // ---------------------------------------------------------------- D29
+  /** TWO-STAGE RERANK — the refine step every production ANN tier runs
+    * (IVF-flat / DiskANN style): stage 1 generates candidates on the
+    * CHEAP int8 serving snapshot (cell-pruned, quantized — D19's
+    * economics), stage 2 re-scores ONLY the candidate pool against
+    * full-precision floats and re-ranks — exact geometry at pool cost,
+    * never corpus cost. The float reads come from the FLOAT index's
+    * probed cells (partition-pruned — the refine pass touches the same
+    * directories the probe did, not the corpus), which is why the
+    * build keeps both precisions: int8 is the scan tier, float is the
+    * refine tier. Within the candidate pool the output order is
+    * EXACTLY the brute kernel's (same rounded cosine, same tie-break —
+    * spec-pinned); what quantization can still cost is candidates the
+    * int8 stage never surfaced (the family's probe-recall contract,
+    * measured by the spec against D1). Rows-only: index geometry is
+    * engine-specific (the D5 reason). */
+  def annRerank(spark: SparkSession, sfDir: String, k: Int = AnnK,
+      poolN: Int = 50, nProbe: Int = 4, nCells: Int = 16,
+      indexDir: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    require(k >= 1 && poolN >= k && nProbe >= 1,
+      s"bad rerank params k=$k poolN=$poolN nProbe=$nProbe")
+    val e = Tables.embeddings(spark, sfDir)
+    val queries = e.filter($"vec_id" < QueryIdBound)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val ownsDir = indexDir.isEmpty
+    val dir = indexDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-rerank-").toString)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/int8/vectors"))) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/float"), true)
+      writeIvfIndexOf(e, s"$dir/float", nCells)
+      compactIvfIndexInt8(spark, s"$dir/float", s"$dir/int8")
+    }
+    // stage 1: over-fetch by one on the int8 tier, drop self
+    val cands = annIvfServe(queries, s"$dir/int8", k = poolN + 1, nProbe)
+      .filter($"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id", $"cell")
+      .localCheckpoint(true) // read for the cell collect AND the join
+    val probedCells = cands.select($"cell").distinct()
+      .as[Int].collect() // ≤ nProbe · queries — pruning needs the driver
+    // stage 2: exact floats from ONLY the probed float-index cells;
+    // the candidate pool broadcasts, the pruned scan streams
+    val floats = spark.read.parquet(s"$dir/float/vectors")
+      .filter($"cell".isin(probedCells.toSeq: _*))
+      .select($"vec_id".as("neighbor_id"), $"embedding")
+    val rer = floats
+      .join(broadcast(cands), Seq("neighbor_id"))
+      .join(broadcast(queries
+        .select($"query_id", $"embedding".as("qe"))), Seq("query_id"))
+      .select($"query_id", $"neighbor_id".as("vec_id"), $"cell",
+        round(VectorFunctions.cosineSim($"qe", $"embedding"), 6).as("cos"))
+    val out = rankTopK(rer, k, extras = Seq("cell"))
+      .localCheckpoint(true) // outlive the temp index (lazy plan)
+    if (ownsDir) fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    out
+  }
 
   // ---------------------------------------------------------------- D27
   /** PERSISTED BM25 POSTINGS INDEX — the text half of the search tier

@@ -517,6 +517,15 @@ class MonitoringSpec extends SparkSpec {
       .map(r => r.getSeq[Long](2).toSet)
     assert(groups.toSet === Set(Set(1L, 2L), Set(5L, 6L)),
       s"groups: ${groups.toSeq}")
+    // the driver row (screening threshold — see SparkEntry): real
+    // edges at driver SF, every group ≥ 2 devices, sizes honest
+    val driver = Monitoring.incidentGroups(spark, sf, corrThreshold = 0.3)
+      .collect()
+    assert(driver.nonEmpty, "driver screening threshold found no groups")
+    driver.foreach { r =>
+      assert(r.getLong(1) >= 2L &&
+        r.getLong(1) === r.getSeq[Long](2).size.toLong)
+    }
   }
 
   test("downtime sla: day fragments conserve gap mass, verdicts consistent") {

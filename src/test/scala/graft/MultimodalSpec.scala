@@ -109,6 +109,55 @@ class MultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality gate: verdicts at media close equal batch F16; replays and dup markers drop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.MediaIngestEvent
+    val MM = Multimodal
+    val frames = MM.mmFrames(spark, sf)
+      .select($"media_id", $"frame_idx", $"frame_hash").collect()
+      .map(r => MediaIngestEvent(r.getLong(0), "frame", r.getInt(1),
+        r.getLong(2), 0.0))
+      .sortBy(_.idx)
+    val audio = MM.mmAudioWindows(spark, sf, 64)
+      .select($"media_id", $"window_idx", $"rms").collect()
+      .map(r => MediaIngestEvent(r.getLong(0), "audio", r.getInt(1), 0L,
+        r.getDouble(2)))
+      .sortBy(_.idx)
+    val markers = MM.mmManifest(spark, sf).select($"media_id").collect()
+      .map(r => MediaIngestEvent(r.getLong(0), "end", Int.MaxValue, 0L, 0.0))
+    val manifest = MM.mmManifest(spark, sf)
+      .select($"media_id", $"duration_s").localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6),
+        r.getBoolean(7))).toSet
+    val batch = rows(MM.mmQualityGate(spark, sf))
+    assert(batch.nonEmpty && batch.exists(_._8) && batch.exists(!_._8),
+      "corpus gate verdicts vacuous")
+    val input = MemoryStream[MediaIngestEvent](34, spark, None)
+    val q = MM.qualityGateStream(input.toDS(), manifest)
+      .writeStream.format("memory").queryName("gate_out")
+      .outputMode("append").start()
+    try {
+      def streamed = rows(spark.table("gate_out"))
+      // signals split across triggers (idx-sorted — the in-order
+      // delivery contract), markers in the last trigger
+      val (fa, fb) = frames.splitAt(frames.length / 2)
+      val (aa, ab) = audio.splitAt(audio.length / 2)
+      input.addData((fa ++ aa).toSeq: _*); q.processAllAvailable()
+      assert(streamed.isEmpty, "gate emitted before any media closed")
+      input.addData((fb ++ ab).toSeq: _*); q.processAllAvailable()
+      input.addData(markers.toSeq: _*); q.processAllAvailable()
+      assert(streamed === batch,
+        "streamed gate verdicts diverged from batch F16")
+      // post-close replays and duplicate markers are no-ops
+      input.addData((frames ++ audio ++ markers).toSeq: _*)
+      q.processAllAvailable()
+      assert(streamed === batch, "closed media re-emitted or mutated")
+    } finally q.stop()
+  }
+
   test("streaming audio silence: replay matches batch, end markers flush open tails") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.{AudioWindow, SilenceSpan}

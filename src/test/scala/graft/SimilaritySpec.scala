@@ -675,6 +675,50 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"radius recall $recall below the family bound")
   }
 
+  test("lloyd refinement: planted clusters recovered from a bad init; deterministic; dead centroid kept") {
+    import spark.implicits._
+    // two tight planted clusters on the x axis; init is WORST-CASE:
+    // both live centroids inside cluster A, a third far from everything
+    val vecs = ((0 until 20).map(i => (i.toLong,
+        Array.tabulate(4)(d =>
+          (if (d == 0) 1.0 + 0.01 * (i % 5) else 0.001 * d).toFloat), "a")) ++
+      (20 until 40).map(i => (i.toLong,
+        Array.tabulate(4)(d =>
+          (if (d == 0) -1.0 - 0.01 * (i % 5) else 0.001 * d).toFloat), "b")))
+      .toDF("vec_id", "embedding", "label")
+    val init = Array(Array(1.0, 0, 0, 0), Array(1.1, 0, 0, 0),
+      Array(50.0, 50, 50, 50))
+    val (c, iters) = Similarity.lloydRefine(vecs, init,
+      maxIter = 10, eps = 1e-9)
+    assert(iters >= 2 && iters <= 10, s"iteration count $iters")
+    // the empty centroid never moves (dead-centroid rule)
+    assert(c(2).sameElements(init(2)), s"dead centroid drifted: ${c(2).toSeq}")
+    // the two live centroids end up one per planted cluster — the
+    // recovery a single assignment pass from this init cannot produce
+    val xs = Seq(c(0)(0), c(1)(0)).sorted
+    assert(xs.head < -0.9 && xs.last > 0.9,
+      s"clusters not recovered: centroids at $xs")
+    // perfect purity under the refined centroids
+    val report = Similarity.embedClusterOf(vecs, c).collect()
+    report.filter(_.getLong(1) > 0).foreach { r =>
+      assert(r.getDouble(4) === 1.0, s"impure cluster: $r")
+    }
+    // bit-identical trajectory across partition layouts (decimal sums)
+    val (c2, iters2) = Similarity.lloydRefine(vecs.repartition(7), init,
+      maxIter = 10, eps = 1e-9)
+    assert(iters2 === iters)
+    c.indices.foreach(i => assert(c(i).sameElements(c2(i)),
+      s"centroid $i differs across partitionings"))
+    // eps = infinity converges in one round; maxIter = 0 is the identity
+    assert(Similarity.lloydRefine(vecs, init, maxIter = 10,
+      eps = Double.MaxValue)._2 === 1)
+    val (id0, it0) = Similarity.lloydRefine(vecs, init, maxIter = 0)
+    assert(it0 === 0 && id0.indices.forall(i => id0(i).sameElements(init(i))))
+    // the sf driver query runs and reports its rounds
+    val out = Similarity.embedClusterLloyd(spark, sf, maxIter = 3).collect()
+    assert(out.nonEmpty && out.forall(r => r.getInt(6) <= 3))
+  }
+
   test("hybrid search: fusion surfaces the keyword-only AND embedding-only twins") {
     import spark.implicits._
     // id 0 is the query. id 1 shares its rare keywords but points the
@@ -749,6 +793,35 @@ class SimilaritySpec extends SparkSpec {
     val auto = Similarity.annHybrid(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(auto === exact)
+  }
+
+  test("two-stage rerank: pool order is exactly the brute kernel's, recall within the family bound") {
+    val exact = Similarity.annBruteTopK(spark, sf, k = 10).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    val exactMap = exact.toMap
+    val out = Similarity.annRerank(spark, sf, k = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2),
+        r.getDouble(3)))
+    assert(out.nonEmpty)
+    // ranks dense per query, order = (cos desc, id)
+    out.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(1L to sorted.length.toLong),
+        s"ranks not dense for query $q")
+      assert(sorted.sameElements(
+        rs.sortBy(t => (-t._4, t._3)).zipWithIndex
+          .map { case (t, i) => (t._1, i + 1L, t._3, t._4) }),
+        s"rerank order not (cos desc, id) for query $q")
+    }
+    // stage 2 is EXACT: every surfaced pair carries the brute cosine
+    out.foreach { case (q, _, n, cos) =>
+      exactMap.get((q, n)).foreach(want =>
+        assert(cos === want, s"rerank cos $cos != brute $want for ($q,$n)"))
+    }
+    // probe-recall contract vs the exact top-k
+    val recall = (out.map(t => (t._1, t._3)).toSet &
+      exact.map(_._1).toSet).size.toDouble / exact.length
+    assert(recall >= 0.6, s"rerank recall $recall below the family bound")
   }
 
   test("hybrid serve stream: streamed postings+int8 probe equals the batch routed fusion row-for-row") {
