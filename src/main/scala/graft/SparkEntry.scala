@@ -229,6 +229,19 @@ object SparkEntry {
       Curation.gramMemorization(s, d)),
     "gopher_rules" -> ((s: SparkSession, d: String) =>
       Curation.gopherRulesQuery(s, d)),
+    "repetition_rules" -> ((s: SparkSession, d: String) =>
+      Curation.repetitionRulesQuery(s, d)),
+    "curriculum_order" -> ((s: SparkSession, d: String) =>
+      Curation.curriculumOrderQuery(s, d)),
+    "tokenizer_fertility" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tokenizerFertility(s, d)),
+    "text_ngram_diversity" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.textNgramDiversity(s, d)),
+    "q_forecast_revenue" -> (Relational.qForecastRevenue _),
+    "mm_silence_trim" -> ((s: SparkSession, d: String) =>
+      Multimodal.mmSilenceTrim(s, d)),
+    "mm_loudness_norm" -> ((s: SparkSession, d: String) =>
+      Multimodal.mmLoudnessNorm(s, d)),
     "text_lm_score_bigram" -> ((s: SparkSession, d: String) =>
       TextAnalysis.textLmScoreBigram(s, d)),
     "word_cooccurrence" -> ((s: SparkSession, d: String) =>
@@ -453,6 +466,12 @@ object SparkEntry {
     "text_hapax" -> TextAnalysis.textHapaxSql,
     "gram_memorization" -> Curation.gramMemorizationSql(),
     "gopher_rules" -> Curation.gopherRulesSql(),
+    "repetition_rules" -> Curation.repetitionRulesSql(),
+    "curriculum_order" -> Curation.curriculumOrderSql(),
+    "text_ngram_diversity" -> TextAnalysis.textNgramDiversitySql,
+    "q_forecast_revenue" -> Relational.qForecastRevenueSql,
+    "mm_silence_trim" -> Multimodal.mmSilenceTrimSql(),
+    "mm_loudness_norm" -> Multimodal.mmLoudnessNormSql(),
     "text_lm_score_bigram" -> TextAnalysis.textLmScoreBigramSql(),
     "word_cooccurrence" -> TextAnalysis.wordCooccurrenceSql(),
     "mon_downtime_sla" -> Monitoring.downtimeSlaSql(),

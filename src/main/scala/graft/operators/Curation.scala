@@ -2636,4 +2636,222 @@ object Curation {
        |  words_ok, word_len_ok, alpha_ok, stop_ok,
        |  words_ok AND word_len_ok AND alpha_ok AND stop_ok AS passed
        |FROM r ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- C51
+  /** GOPHER REPETITION RULES — the other half of the published battery
+    * (Rae et al. 2021, Appendix A): C50 gates on what a document's
+    * tokens look like; THIS gates on how much of it is the same thing
+    * over and over — the boilerplate/listicle/keyword-stuffing class
+    * C50's signals cannot see. Per document, the character mass of the
+    * heaviest repeated n-gram for n = 2, 3, 4 (top-fraction rules, the
+    * published ≤ 0.20/0.18/0.16 defaults) and the character mass inside
+    * DUPLICATED 5-grams (the ≤ 0.15 rule — a long doc whose top 2-gram
+    * is diluted can still be 40% copy-pasted paragraphs, which is what
+    * the dup rule catches). "Top mass" is max over REPEATED grams
+    * (count ≥ 2) of count × gram-chars — deterministic with no
+    * tie-break; a gram occurring once is not repetition, and admitting
+    * it would flunk every short doc on whichever long 4-gram it
+    * happens to contain. Fractions denominate in token chars and
+    * compare ROUNDED at 6 (the F16 discipline) so no verdict sits on
+    * an ulp. Overlapping occurrences can push a fraction past 1.0
+    * (count × chars double-counts shared tokens — stated, monotone in
+    * repetition, which is all a threshold rule needs).
+    *
+    * Scale shape: ONE gram explode carrying all four n values as a
+    * tagged union (4× the token stream, the word_cooccurrence cost
+    * class), one (doc, n, gram) count exchange, one doc-keyed
+    * conditional aggregate, then a doc-sized join back to the base scan
+    * so token-free docs keep their row. A doc with no REPEATED n-grams
+    * at a given n has nothing to flag — NULL fraction, vacuous PASS
+    * (length policing is C50's word-count rule, not this one's). On
+    * this synthetic corpus dup-5 mass is honestly zero everywhere; the
+    * spec plants a copy-pasted doc that fails it. */
+  def repetitionRules(docs: DataFrame, top2Max: Double = 0.20,
+      top3Max: Double = 0.18, top4Max: Double = 0.16,
+      dup5Max: Double = 0.15): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(top2Max >= 0 && top3Max >= 0 && top4Max >= 0 && dup5Max >= 0,
+      "rule thresholds must be non-negative")
+    val toksed = docs.withColumn("toks", TextAnalysis.tokens())
+    val base = toksed.select($"doc_id",
+      coalesce(expr("aggregate(toks, 0L, (a, x) -> a + length(x))"), lit(0L))
+        .as("tok_chars"))
+    // Spark's sequence(1, 0) DESCENDS — each n guards on size(toks) >= n
+    def grams(n: Int): String =
+      s"""IF(size(toks) >= $n,
+         |  transform(sequence(1, size(toks) - ${n - 1}),
+         |    i -> struct($n AS n, concat_ws(' ', slice(toks, i, $n)) AS gram)),
+         |  array())""".stripMargin
+    val mass = toksed
+      .select($"doc_id", explode(expr(
+        s"concat(${grams(2)}, ${grams(3)}, ${grams(4)}, ${grams(5)})"))
+        .as("g"))
+      .select($"doc_id", $"g.n".as("n"), $"g.gram".as("gram"))
+      .groupBy($"doc_id", $"n", $"gram")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("gmass", $"cnt" * (length($"gram") - ($"n" - 1)))
+      .groupBy($"doc_id")
+      .agg(
+        max(when($"n" === 2 && $"cnt" > 1, $"gmass")).as("top2_mass"),
+        max(when($"n" === 3 && $"cnt" > 1, $"gmass")).as("top3_mass"),
+        max(when($"n" === 4 && $"cnt" > 1, $"gmass")).as("top4_mass"),
+        sum(when($"n" === 5 && $"cnt" > 1, $"gmass")).as("dup5_mass0"),
+        max(when($"n" === 5, lit(1))).as("has5"))
+    base.join(mass, Seq("doc_id"), "left")
+      .select($"doc_id",
+        round($"top2_mass".cast("double") / nullif($"tok_chars", lit(0L)), 6)
+          .as("top2_frac"),
+        round($"top3_mass".cast("double") / nullif($"tok_chars", lit(0L)), 6)
+          .as("top3_frac"),
+        round($"top4_mass".cast("double") / nullif($"tok_chars", lit(0L)), 6)
+          .as("top4_frac"),
+        round(when($"has5" === 1, coalesce($"dup5_mass0", lit(0L)))
+          .cast("double") / nullif($"tok_chars", lit(0L)), 6)
+          .as("dup5_frac"))
+      .withColumn("top2_ok", $"top2_frac".isNull || $"top2_frac" <= top2Max)
+      .withColumn("top3_ok", $"top3_frac".isNull || $"top3_frac" <= top3Max)
+      .withColumn("top4_ok", $"top4_frac".isNull || $"top4_frac" <= top4Max)
+      .withColumn("dup5_ok", $"dup5_frac".isNull || $"dup5_frac" <= dup5Max)
+      .withColumn("passed",
+        $"top2_ok" && $"top3_ok" && $"top4_ok" && $"dup5_ok")
+      .orderBy($"doc_id")
+  }
+
+  def repetitionRulesQuery(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionRules(Tables.documents(spark, sfDir))
+
+  def repetitionRulesSql(top2Max: Double = 0.20, top3Max: Double = 0.18,
+      top4Max: Double = 0.16, dup5Max: Double = 0.15): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, CAST(coalesce(
+       |      list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT)
+       |    AS tok_chars
+       |  FROM t),
+       |g AS (
+       |  SELECT doc_id, 2 AS n, toks[i] || ' ' || toks[i+1] AS gram
+       |    FROM t, unnest(range(1, len(toks))) AS r(i)
+       |  UNION ALL
+       |  SELECT doc_id, 3, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |    FROM t, unnest(range(1, len(toks) - 1)) AS r(i)
+       |  UNION ALL
+       |  SELECT doc_id, 4, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |      || ' ' || toks[i+3]
+       |    FROM t, unnest(range(1, len(toks) - 2)) AS r(i)
+       |  UNION ALL
+       |  SELECT doc_id, 5, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |      || ' ' || toks[i+3] || ' ' || toks[i+4]
+       |    FROM t, unnest(range(1, len(toks) - 3)) AS r(i)),
+       |c AS (
+       |  SELECT doc_id, n, gram, COUNT(*) AS cnt,
+       |    COUNT(*) * (length(gram) - (n - 1)) AS gmass
+       |  FROM g GROUP BY doc_id, n, gram),
+       |m AS (
+       |  SELECT doc_id,
+       |    max(CASE WHEN n = 2 AND cnt > 1 THEN gmass END) AS top2_mass,
+       |    max(CASE WHEN n = 3 AND cnt > 1 THEN gmass END) AS top3_mass,
+       |    max(CASE WHEN n = 4 AND cnt > 1 THEN gmass END) AS top4_mass,
+       |    sum(CASE WHEN n = 5 AND cnt > 1 THEN gmass END) AS dup5_mass0,
+       |    max(CASE WHEN n = 5 THEN 1 END) AS has5
+       |  FROM c GROUP BY doc_id),
+       |f AS (
+       |  SELECT b.doc_id,
+       |    ROUND(CAST(top2_mass AS DOUBLE) / nullif(tok_chars, 0), 6)
+       |      AS top2_frac,
+       |    ROUND(CAST(top3_mass AS DOUBLE) / nullif(tok_chars, 0), 6)
+       |      AS top3_frac,
+       |    ROUND(CAST(top4_mass AS DOUBLE) / nullif(tok_chars, 0), 6)
+       |      AS top4_frac,
+       |    ROUND(CAST(CASE WHEN has5 = 1 THEN coalesce(dup5_mass0, 0) END
+       |      AS DOUBLE) / nullif(tok_chars, 0), 6) AS dup5_frac
+       |  FROM b LEFT JOIN m ON b.doc_id = m.doc_id)
+       |SELECT doc_id, top2_frac, top3_frac, top4_frac, dup5_frac,
+       |  top2_frac IS NULL OR top2_frac <= $top2Max AS top2_ok,
+       |  top3_frac IS NULL OR top3_frac <= $top3Max AS top3_ok,
+       |  top4_frac IS NULL OR top4_frac <= $top4Max AS top4_ok,
+       |  dup5_frac IS NULL OR dup5_frac <= $dup5Max AS dup5_ok,
+       |  (top2_frac IS NULL OR top2_frac <= $top2Max)
+       |    AND (top3_frac IS NULL OR top3_frac <= $top3Max)
+       |    AND (top4_frac IS NULL OR top4_frac <= $top4Max)
+       |    AND (dup5_frac IS NULL OR dup5_frac <= $dup5Max) AS passed
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- C52
+  /** CURRICULUM ORDER — the easy-first training schedule (Bengio et
+    * al.'s curriculum learning, the length-proxy variant every LM
+    * pretraining ablation starts from): rank the corpus by difficulty
+    * (token count ASC — short docs first; any integer score plugs into
+    * the same packing), cut the ranking into `stages` equal-size
+    * stages, and DECORRELATE within each stage with the C23 seeded LCG
+    * key — curriculum across stages, shuffled inside them, the order a
+    * training run actually consumes (monotone difficulty with no
+    * intra-stage ingestion-order bias). Deterministic end to end:
+    * reruns, engines, and partition layouts all emit the same order.
+    *
+    * Scale shape: the global rank is [[Scale.stratifiedPrefixSum]]
+    * under a CONSTANT stratum — the prefix kernel parallelizes by
+    * order-key range buckets, so "global sort rank" costs two passes
+    * and no single-partition window (C18's reasoning with the
+    * per-source strata removed); the stage is integer arithmetic on
+    * (rank, n) — `(rank−1)·stages div n`, exact on both engines; the
+    * shuffle key is map-side LCG arithmetic. C18's key packing and its
+    * collision guards apply verbatim. */
+  def curriculumOrder(docs: DataFrame, stages: Int = 4, seed: Long = 41L,
+      buckets: Int = 1024): DataFrame = {
+    require(stages >= 1, s"stages $stages must be positive")
+    val scored = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens()).cast("long").as("n_tokens"))
+    val r = scored.agg(max(col("n_tokens")), min(col("n_tokens")),
+      min(col("doc_id")), max(col("doc_id")), count(lit(1))).head()
+    if (r.isNullAt(0))
+      return scored.withColumn("rnk", lit(0L))
+        .withColumn("stage", lit(0)).withColumn("shuffle_key", lit(0L))
+        .limit(0)
+    val n = r.getLong(4)
+    require(r.getLong(0) - r.getLong(1) < (1L << 22) &&
+      r.getLong(2) >= 0 && r.getLong(3) < (1L << 40),
+      s"curriculumOrder key packing needs score span < 2^22 and doc_id " +
+        s"in [0, 2^40); got span ${r.getLong(0) - r.getLong(1)}, " +
+        s"ids [${r.getLong(2)}, ${r.getLong(3)}]")
+    val keyed = scored
+      .withColumn("__ord", col("n_tokens") * lit(1L << 40) + col("doc_id"))
+      .withColumn("__one", lit(1L))
+    Scale.stratifiedPrefixSum(keyed.withColumn("__all", lit("all")),
+        "__all", "__ord", "__one", "rnk", buckets)
+      .withColumn("stage",
+        expr(s"(rnk - 1) * $stages div ${math.max(n, 1L)}").cast("int"))
+      .withColumn("shuffle_key", shuffleKey(col("doc_id"), seed))
+      .select(col("doc_id"), col("n_tokens"), col("rnk"), col("stage"),
+        col("shuffle_key"))
+      .orderBy(col("stage"), col("shuffle_key"), col("doc_id"))
+  }
+
+  def curriculumOrderQuery(spark: SparkSession, sfDir: String): DataFrame =
+    curriculumOrder(Tables.documents(spark, sfDir))
+
+  def curriculumOrderSql(stages: Int = 4, seed: Long = 41L): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, n_tokens,
+       |    ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS rnk,
+       |    COUNT(*) OVER () AS n
+       |  FROM t),
+       |k AS (
+       |  SELECT doc_id, n_tokens, rnk,
+       |    CAST((rnk - 1) * $stages // n AS INT) AS stage,
+       |    ((doc_id + $seed)::HUGEINT * 6364136223846793005
+       |      + 1442695040888963407) % 18446744073709551616 AS u
+       |  FROM r)
+       |SELECT doc_id, n_tokens, CAST(rnk AS BIGINT) AS rnk, stage,
+       |  CAST(CASE WHEN u >= 9223372036854775808
+       |       THEN u - 18446744073709551616 ELSE u END AS BIGINT)
+       |    AS shuffle_key
+       |FROM k ORDER BY stage, shuffle_key, doc_id""".stripMargin
 }

@@ -1155,6 +1155,185 @@ object Multimodal {
     * flush, which is what a gateway's stream-closed event is; the
     * parity spec pins emitted == batch minus open tails before the
     * markers and == batch exactly after. State is O(live media). */
+  // ---------------------------------------------------------------- F19
+  /** SILENCE TRIM — the speech-pipeline first cut (what an ASR /
+    * audio-training ingest actually does with F11's VAD signal): per
+    * media, drop the LEADING and TRAILING silent window runs and
+    * report what remains — kept span, trimmed masses, kept fraction.
+    * Interior silence stays (pauses are speech; only dead air at the
+    * edges is trim territory — the span-level interior report is
+    * F11's). Silence is decided in EXACT integer form
+    * (energy < threshold² · samples ⟺ rms < threshold, sqrt is
+    * monotone) so no window's verdict sits on an ulp.
+    *
+    * Shape: F9's map-only window pass, then ONE media-keyed aggregate —
+    * the leading run is min(idx) over non-silent windows, the trailing
+    * run is total − 1 − max(idx), both conditional aggregates in the
+    * same GROUP BY; no window function, no join-back. An all-silent
+    * media keeps its row with kept = 0 (a gate must list what it
+    * dropped — the C50 convention). */
+  def mmSilenceTrim(spark: SparkSession, sfDir: String,
+      rmsThreshold: Int = 44, windowSamples: Int = 256): DataFrame =
+    mmSilenceTrimOf(mmAudioWindows(spark, sfDir, windowSamples), rmsThreshold)
+
+  def mmSilenceTrimOf(windows: DataFrame, rmsThreshold: Int = 44): DataFrame = {
+    val spark = windows.sparkSession
+    import spark.implicits._
+    require(rmsThreshold >= 0, s"rmsThreshold $rmsThreshold negative")
+    val thr2 = rmsThreshold.toLong * rmsThreshold
+    windows
+      .select($"media_id", $"window_idx", $"n_samples", $"energy",
+        ($"energy" >= lit(thr2) * $"n_samples").as("loud"))
+      .groupBy($"media_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        min(when($"loud", $"window_idx")).as("first_loud"),
+        max(when($"loud", $"window_idx")).as("last_loud"))
+      .select($"media_id", $"n_windows",
+        coalesce($"first_loud", $"n_windows".cast("int")).as("lead_trim"),
+        when($"last_loud".isNotNull, $"n_windows".cast("int") - 1 - $"last_loud")
+          .otherwise(lit(0)).as("tail_trim"),
+        when($"first_loud".isNotNull, $"last_loud" - $"first_loud" + 1)
+          .otherwise(lit(0)).as("kept_windows"))
+      .withColumn("kept_frac",
+        round($"kept_windows".cast("double") / $"n_windows", 6))
+      .orderBy($"media_id")
+  }
+
+  /** DuckDB replay: the F9 window CTE + the same conditional min/max
+    * aggregate tree over the integer silence verdicts. */
+  def mmSilenceTrimSql(rmsThreshold: Int = 44): String = {
+    val thr2 = rmsThreshold.toLong * rmsThreshold
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS n FROM documents),
+       |w AS (
+       |  SELECT doc_id, text, n,
+       |    unnest(range(0, CAST(ceil(n / 256.0) AS BIGINT))) AS idx
+       |  FROM d WHERE n > 0),
+       |s AS (
+       |  SELECT doc_id AS media_id, CAST(idx AS INT) AS window_idx,
+       |    list_transform(
+       |      string_split(substring(text, CAST(idx * 256 + 1 AS INT), 256), ''),
+       |      c -> ord(c) - 128) AS samples
+       |  FROM w),
+       |lv AS (
+       |  SELECT media_id, window_idx,
+       |    CAST(len(samples) AS BIGINT) AS n_samples,
+       |    CAST(list_sum(list_transform(samples, x -> x * x)) AS BIGINT)
+       |      AS energy
+       |  FROM s),
+       |a AS (
+       |  SELECT media_id, COUNT(*) AS n_windows,
+       |    min(CASE WHEN energy >= $thr2 * n_samples THEN window_idx END)
+       |      AS first_loud,
+       |    max(CASE WHEN energy >= $thr2 * n_samples THEN window_idx END)
+       |      AS last_loud
+       |  FROM lv GROUP BY media_id)
+       |SELECT media_id, n_windows,
+       |  coalesce(first_loud, CAST(n_windows AS INT)) AS lead_trim,
+       |  CASE WHEN last_loud IS NOT NULL
+       |    THEN CAST(n_windows AS INT) - 1 - last_loud ELSE 0 END AS tail_trim,
+       |  CASE WHEN first_loud IS NOT NULL
+       |    THEN last_loud - first_loud + 1 ELSE 0 END AS kept_windows,
+       |  ROUND(CAST(CASE WHEN first_loud IS NOT NULL
+       |      THEN last_loud - first_loud + 1 ELSE 0 END AS DOUBLE)
+       |    / n_windows, 6) AS kept_frac
+       |FROM a ORDER BY media_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- F20
+  /** LOUDNESS NORMALIZATION pass — the gain computation + clipping
+    * audit a speech/audio-training pipeline runs before resampling:
+    * per media, the RMS over the WHOLE track (one sqrt of the exact
+    * integer energy/sample sums — not a mean of window RMSes, the F11
+    * discipline), the gain that would bring it to `targetRms`, and how
+    * many windows would CLIP at that gain (peak × gain > 127). The
+    * clip verdict is decided in exact integer arithmetic —
+    * peak² · target² · Σsamples > 127² · Σenergy, squaring is monotone
+    * on non-negatives — so the count cannot drift on an ulp while the
+    * reported gain stays one IEEE sqrt + divide, identical in both
+    * engines.
+    *
+    * Shape: F9's map-only windows, ONE exchange — a media-partitioned
+    * window stage carries the track sums onto each row for the clip
+    * test, and the following media-keyed aggregate reuses that
+    * partitioning (no second exchange; the B30 window-then-agg rule). */
+  def mmLoudnessNorm(spark: SparkSession, sfDir: String,
+      targetRms: Int = 60, windowSamples: Int = 256): DataFrame =
+    mmLoudnessNormOf(mmAudioWindows(spark, sfDir, windowSamples), targetRms)
+
+  def mmLoudnessNormOf(windows: DataFrame, targetRms: Int = 60): DataFrame = {
+    val spark = windows.sparkSession
+    import spark.implicits._
+    require(targetRms > 0, s"targetRms $targetRms must be positive")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"media_id")
+    val t2 = targetRms.toLong * targetRms
+    windows
+      .select($"media_id", $"peak", $"n_samples", $"energy")
+      .withColumn("sum_e", sum($"energy").over(w))
+      .withColumn("sum_n", sum($"n_samples".cast("long")).over(w))
+      .groupBy($"media_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        max($"sum_e").as("te"), max($"sum_n").as("tn"),
+        sum(when($"peak".cast("long") * $"peak" * t2 * $"sum_n" >
+          lit(16129L) * $"sum_e", 1L).otherwise(0L)).as("clipped_windows"))
+      .select($"media_id", $"n_windows",
+        round(sqrt($"te".cast("double") / $"tn"), 6).as("media_rms"),
+        when($"te" > 0,
+          round(lit(targetRms.toDouble) / sqrt($"te".cast("double") / $"tn"), 6))
+          .as("gain"),
+        $"clipped_windows")
+      .withColumn("clipped_frac",
+        round($"clipped_windows".cast("double") / $"n_windows", 6))
+      .orderBy($"media_id")
+  }
+
+  /** DuckDB replay: the F9 window CTE + per-media integer sums via a
+    * window stage + the identical integer clip inequality. */
+  def mmLoudnessNormSql(targetRms: Int = 60): String = {
+    val t2 = targetRms.toLong * targetRms
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS n FROM documents),
+       |w AS (
+       |  SELECT doc_id, text, n,
+       |    unnest(range(0, CAST(ceil(n / 256.0) AS BIGINT))) AS idx
+       |  FROM d WHERE n > 0),
+       |s AS (
+       |  SELECT doc_id AS media_id,
+       |    list_transform(
+       |      string_split(substring(text, CAST(idx * 256 + 1 AS INT), 256), ''),
+       |      c -> ord(c) - 128) AS samples
+       |  FROM w),
+       |lv AS (
+       |  SELECT media_id,
+       |    CAST(len(samples) AS BIGINT) AS n_samples,
+       |    CAST(list_max(list_transform(samples, x -> abs(x))) AS BIGINT)
+       |      AS peak,
+       |    CAST(list_sum(list_transform(samples, x -> x * x)) AS BIGINT)
+       |      AS energy
+       |  FROM s),
+       |t AS (
+       |  SELECT media_id, peak, energy, n_samples,
+       |    SUM(energy) OVER (PARTITION BY media_id) AS sum_e,
+       |    SUM(n_samples) OVER (PARTITION BY media_id) AS sum_n
+       |  FROM lv),
+       |a AS (
+       |  SELECT media_id, COUNT(*) AS n_windows,
+       |    max(sum_e) AS te, max(sum_n) AS tn,
+       |    CAST(SUM(CASE WHEN peak * peak * $t2 * sum_n > 16129 * sum_e
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS clipped_windows
+       |  FROM t GROUP BY media_id)
+       |SELECT media_id, n_windows,
+       |  ROUND(sqrt(CAST(te AS DOUBLE) / tn), 6) AS media_rms,
+       |  CASE WHEN te > 0
+       |    THEN ROUND($targetRms / sqrt(CAST(te AS DOUBLE) / tn), 6)
+       |  END AS gain,
+       |  clipped_windows,
+       |  ROUND(CAST(clipped_windows AS DOUBLE) / n_windows, 6) AS clipped_frac
+       |FROM a ORDER BY media_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- F18
   /** STREAMING QUALITY GATE — F16 moved to where its value actually
     * lives: gate-before-storage at ingest, one verdict the moment each

@@ -2218,4 +2218,37 @@ object Relational {
       |WHERE nsupp >= 2 AND nmax = 1 AND sship = omax
       |GROUP BY s_suppkey, s_name
       |ORDER BY numwait DESC, s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- B60
+  /** TPC-H Q6-style FORECAST-REVENUE delta: the revenue that would have
+    * been gained by eliminating a band of small discounts on
+    * small-quantity lines in one ship year — the last classic TPC-H
+    * query missing from the closure, and the purest pushed-predicate
+    * exemplar in the suite: all three filters land in the parquet scan
+    * (year range, discount band, quantity cap — `.explain` shows them
+    * under PushedFilters), the scan reads four columns, and the plan is
+    * scan → whole-stage-codegen'd partial sum → one 1-row exchange.
+    * No join, no window, no distinct: at 100 TB this query is I/O-bound
+    * on exactly the rows and bytes it needs. Revenue sums in exact
+    * DECIMAL (§4) so the one output value hash-checks. */
+  def qForecastRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+        $"l_quantity" < 24)
+      .agg(sum(dec($"l_extendedprice") * dec($"l_discount"))
+        .cast("decimal(38,4)").cast("double").as("revenue"))
+  }
+
+  val qForecastRevenueSql: String =
+    """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      |    * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE)
+      |  AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
 }

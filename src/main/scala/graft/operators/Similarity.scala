@@ -1187,13 +1187,19 @@ object Similarity {
       k = k + 1, nProbe = 8))
     val pqServe = selfless(annPqServe(queries, s"$snapRoot/pq",
       k = k + 1, nProbe = 8))
-    val methods = Seq("int8", "ivf", "ivf_int8_serve", "ivf_pq", "lsh", "pq")
+    val methods = Seq("int8", "ivf", "ivf_int8_rerank", "ivf_int8_serve",
+      "ivf_pq", "lsh", "pq")
     val tagged = Seq(
       "lsh" -> annLsh(spark, sfDir, k = k),
       "ivf" -> annIvf(spark, sfDir, k = k),
       "int8" -> annBruteInt8(spark, sfDir, k = k),
       "ivf_int8_serve" -> serve,
       "ivf_pq" -> pqServe,
+      // the D29 two-stage tier: int8 candidates, exact float refine —
+      // graded at the SAME nProbe as the serving row so the delta
+      // isolates what the refine stage buys (order fixes) and what
+      // quantization still costs (unsurfaced candidates)
+      "ivf_int8_rerank" -> annRerank(spark, sfDir, k = k, nProbe = 8),
       "pq" -> annPq(spark, sfDir, k = k))
       .map { case (n, df) =>
         df.select(lit(n).as("method"), $"query_id", $"neighbor_id") }
@@ -1591,11 +1597,18 @@ object Similarity {
     import spark.implicits._
     require(init.nonEmpty, "need at least one initial centroid")
     require(maxIter >= 0 && eps >= 0, s"bad lloyd params $maxIter/$eps")
+    // Each round re-reads the source scan rather than a pinned copy:
+    // measured at sf0.1, an eager localCheckpoint of the embedding
+    // column costs MORE per call than maxIter vectorized parquet
+    // re-scans save (7.2 s vs 3.2 s — the checkpointed row format
+    // loses the columnar scan + codegen path). At a scale where the
+    // re-scan dominates, pin with .persist upstream and pass that in.
+    val emb = e.select(col("embedding"))
     var centroids = init
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val upd = e.select(
+      val upd = emb.select(
           VectorFunctions.nearestCentroid($"embedding", centroids)
             .cast("int").as("cluster_id"),
           posexplode($"embedding").as(Seq("pos", "x")))
@@ -1851,7 +1864,17 @@ object Similarity {
     * spec-pinned); what quantization can still cost is candidates the
     * int8 stage never surfaced (the family's probe-recall contract,
     * measured by the spec against D1). Rows-only: index geometry is
-    * engine-specific (the D5 reason). */
+    * engine-specific (the D5 reason).
+    *
+    * The two-tier build is INDEX-BUILD work (a production tier builds
+    * at ingest and serves many queries): with no explicit `indexDir`
+    * the built index is cached per (corpus dir, version stamp) for the
+    * JVM's life — repeat queries pay only the probe + refine, never a
+    * rebuild — and superseded corpus versions' directories are deleted
+    * on next access, the quantizedCache eviction discipline on disk. */
+  private val rerankIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), String]
+
   def annRerank(spark: SparkSession, sfDir: String, k: Int = AnnK,
       poolN: Int = 50, nProbe: Int = 4, nCells: Int = 16,
       indexDir: Option[String] = None): DataFrame = {
@@ -1861,13 +1884,21 @@ object Similarity {
     val e = Tables.embeddings(spark, sfDir)
     val queries = e.filter($"vec_id" < QueryIdBound)
       .select($"vec_id".as("query_id"), $"embedding")
-    val ownsDir = indexDir.isEmpty
-    val dir = indexDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft-rerank-").toString)
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/int8/vectors"))) {
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/float"), true)
+    def hp(p: String) = new org.apache.hadoop.fs.Path(p)
+    lazy val stamp = Tables.pathStamp(spark, s"$sfDir/embeddings.parquet")
+    val dir = indexDir.getOrElse {
+      rerankIndexCache.filterInPlace { case ((d, st), old) =>
+        d != sfDir || st == stamp || {
+          hp(old).getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(hp(old), true); false
+        }
+      }
+      rerankIndexCache.getOrElseUpdate((sfDir, stamp),
+        java.nio.file.Files.createTempDirectory("graft-rerank-").toString)
+    }
+    val fs = hp(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp(s"$dir/int8/vectors"))) {
+      fs.delete(hp(s"$dir/float"), true)
       writeIvfIndexOf(e, s"$dir/float", nCells)
       compactIvfIndexInt8(spark, s"$dir/float", s"$dir/int8")
     }
@@ -1889,10 +1920,8 @@ object Similarity {
         .select($"query_id", $"embedding".as("qe"))), Seq("query_id"))
       .select($"query_id", $"neighbor_id".as("vec_id"), $"cell",
         round(VectorFunctions.cosineSim($"qe", $"embedding"), 6).as("cos"))
-    val out = rankTopK(rer, k, extras = Seq("cell"))
-      .localCheckpoint(true) // outlive the temp index (lazy plan)
-    if (ownsDir) fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-    out
+    // pin: the result must outlive a later eviction of the cached index
+    rankTopK(rer, k, extras = Seq("cell")).localCheckpoint(true)
   }
 
   // ---------------------------------------------------------------- D27

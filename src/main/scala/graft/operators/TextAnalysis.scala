@@ -1687,4 +1687,115 @@ object TextAnalysis {
       |  ROUND(CAST(SUM(nc) - SUM(na) - SUM(nd) - SUM(ns) AS DOUBLE) / CAST(SUM(nc) AS BIGINT), 6) AS other_frac
       |FROM m GROUP BY source
       |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- E30
+  /** N-GRAM DIVERSITY per document — the distinct-n family (the
+    * text-generation "distinct-1/2/3" metric run as a corpus filter):
+    * unique n-grams over total n-grams for n = 1, 2, 3. LOW diversity
+    * is the degenerate-repetition signal (a model decoding loop, a
+    * keyword-stuffed page — complements C51, which weighs the heaviest
+    * single offender; this measures how little variety there is
+    * overall), and a near-1.0 distinct-2 on a long doc is the opposite
+    * smell: machine-generated word salad with no reused phrasing.
+    * E29's `ttr` is the corpus-level distinct-1 per source; this is the
+    * per-document gate row.
+    *
+    * Shape: map-only — every ratio computes ROW-LOCALLY from the token
+    * array (array_distinct over grams built by one slice/concat
+    * transform; no explode, no exchange beyond the presentation sort).
+    * At 100 TB this is a pure scan-transform pass with the E1/E2 cost
+    * model. Ratios round at 6; docs with fewer than n tokens have no
+    * n-grams — NULL ratio (stated, the C51 vacuous-pass convention). */
+  def textNgramDiversity(spark: SparkSession, sfDir: String): DataFrame =
+    textNgramDiversityOf(Tables.documents(spark, sfDir))
+
+  def textNgramDiversityOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def gramArr(n: Int): String =
+      if (n == 1) "toks"
+      else s"""IF(size(toks) >= $n,
+              |  transform(sequence(1, size(toks) - ${n - 1}),
+              |    i -> concat_ws(' ', slice(toks, i, $n))),
+              |  array())""".stripMargin
+    def distinctFrac(n: Int): Column = {
+      val g = gramArr(n)
+      round(expr(s"size(array_distinct($g))").cast("double") /
+        nullif(expr(s"size($g)").cast("double"), lit(0.0)), 6)
+    }
+    docs.withColumn("toks", tokens())
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        distinctFrac(1).as("distinct1"),
+        distinctFrac(2).as("distinct2"),
+        distinctFrac(3).as("distinct3"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- E31
+  /** TOKENIZER FERTILITY per source — the tokenizer-efficiency report
+    * every multilingual/multi-domain training effort reads before
+    * fixing a vocabulary (fertility = subword pieces per word; it IS
+    * the compute-and-context-budget exchange rate, and a source whose
+    * fertility runs 2× the corpus mean pays 2× context per word —
+    * the standard evidence for vocab rebalancing): per source, doc
+    * count, word tokens, BPE pieces under the LEARNED vocab (E27's
+    * join — pieces = Σ tf·|syms|, OOV terms fall back to character
+    * pieces so high-OOV sources read HIGH, not missing), fertility,
+    * and chars-per-piece (the compression view of the same number).
+    *
+    * Shape: E27's one corpus scan + one vocab join, then ONE tiny
+    * (source) rollup — nothing beyond E27's cost. Rows-only: the merge
+    * list is the train loop's output (E26's reason); the spec pins
+    * hand-computed fertilities on a hand vocab. */
+  def tokenizerFertility(spark: SparkSession, sfDir: String,
+      nMerges: Int = 30): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    tokenizerFertilityOf(docs,
+      bpeApply(spark, sfDir, nMerges), docs.sparkSession)
+  }
+
+  /** E31 over an arbitrary per-doc piece frame (doc_id, word_tokens,
+    * bpe_pieces — E27's schema): the spec entry. */
+  def tokenizerFertilityOf(docs: DataFrame, perDoc: DataFrame,
+      spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select($"doc_id", $"source",
+        expr("aggregate(regexp_extract_all(lower(text), '[a-z0-9]+', 0), " +
+          "0L, (a, x) -> a + length(x))").as("tok_chars"))
+      .join(perDoc.select($"doc_id", $"word_tokens", $"bpe_pieces"),
+        Seq("doc_id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"word_tokens").as("word_tokens"),
+        sum($"bpe_pieces").as("bpe_pieces"),
+        sum($"tok_chars").as("tok_chars"))
+      .select($"source", $"n_docs", $"word_tokens", $"bpe_pieces",
+        round($"bpe_pieces".cast("double") /
+          nullif($"word_tokens", lit(0L)), 6).as("fertility"),
+        round($"tok_chars".cast("double") /
+          nullif($"bpe_pieces", lit(0L)), 6).as("chars_per_piece"))
+      .orderBy($"source")
+  }
+
+  val textNgramDiversitySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, toks,
+      |    list_transform(range(1, len(toks)),
+      |      i -> toks[i] || ' ' || toks[i+1]) AS g2,
+      |    list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+      |  FROM t)
+      |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
+      |    / nullif(len(toks), 0), 6) AS distinct1,
+      |  ROUND(CAST(len(list_distinct(g2)) AS DOUBLE)
+      |    / nullif(len(g2), 0), 6) AS distinct2,
+      |  ROUND(CAST(len(list_distinct(g3)) AS DOUBLE)
+      |    / nullif(len(g3), 0), 6) AS distinct3
+      |FROM g ORDER BY doc_id""".stripMargin
 }

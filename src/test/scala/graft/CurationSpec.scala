@@ -1060,6 +1060,65 @@ class CurationSpec extends SparkSpec {
       assert(b._6 == math.rint(b._5.toDouble / (b._2 * b._3) * 1e6) / 1e6)
     }
   }
+
+  test("repetition rules: planted 2-gram loop and copy-pasted 5-gram fail, prose passes, token-free vacuous") {
+    val docs = Seq(
+      // varied prose: every n-gram unique → every top mass is one
+      // occurrence, well under the thresholds
+      (1L, "the quick brown fox jumps over seven lazy dogs while autumn " +
+        "rivers carry golden leaves toward distant quiet villages tonight"),
+      // 2-gram loop: "x y" dominates → top2 (and up) fail
+      (2L, "x y x y x y x y x y"),
+      // copy-pasted 5-gram amid unique filler → dup5 mass 2·26 chars
+      (3L, "alpha bravo charlie delta echo " +
+        "unrelated filler material spanning several distinct tokens here " +
+        "alpha bravo charlie delta echo"),
+      (4L, ""),      // token-free: NULL fracs, vacuous pass
+      (5L, "solo"))  // one token: no grams at any n, vacuous pass
+      .toDF("doc_id", "text")
+    val out = Curation.repetitionRules(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(9), "varied prose passes")
+    assert(!out(2L).getBoolean(5) && !out(2L).getBoolean(9),
+      "2-gram loop fails top2")
+    // doc 2 top2: "x y" cnt 5 × 2 chars = 10 over 10 token chars = 1.0
+    assert(out(2L).getDouble(1) === 1.0)
+    assert(!out(3L).getBoolean(8) && !out(3L).getBoolean(9),
+      "copy-pasted 5-gram fails the dup rule")
+    // dup5 mass: 1 duplicated 5-gram, cnt 2 × 26 chars = 52
+    val tokChars3 = "alphabravocharliedeltaecho".length * 2 +
+      "unrelatedfillermaterialspanningseveraldistincttokenshere".length
+    assert(out(3L).getDouble(4) ===
+      math.rint(52.0 / tokChars3 * 1e6) / 1e6)
+    Seq(4L, 5L).foreach { id =>
+      val r = out(id)
+      assert(r.isNullAt(1) && r.isNullAt(4) && r.getBoolean(9),
+        s"doc $id: no grams → vacuous pass")
+    }
+  }
+
+  test("curriculum order: length-ranked equal stages, within-stage LCG order, layout-invariant") {
+    // token counts 1..8 in scrambled id order → rank follows length
+    val docs = (1L to 8L).map(i =>
+      (i, Seq.fill(((i * 3) % 8 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Curation.curriculumOrder(docs, stages = 4)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // ranks are 1..8 in (n_tokens, doc_id) order; stages split 2/2/2/2
+    assert(rows.map(_._3).sorted.sameElements(1L to 8L))
+    rows.foreach { case (_, _, rnk, stage) =>
+      assert(stage === ((rnk - 1) * 4 / 8).toInt, s"stage math: $rnk -> $stage")
+    }
+    val byRank = rows.sortBy(_._3).map(_._2)
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b },
+      "rank must be monotone in difficulty")
+    // partition-layout invariance: the emitted order is identical
+    val again = Curation.curriculumOrder(docs.repartition(7), stages = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    assert(again.toSeq === out.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).toSeq)
+  }
 }
 
 /** Top-level so spark.implicits can derive its Encoder. */

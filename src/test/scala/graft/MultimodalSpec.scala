@@ -436,4 +436,58 @@ class MultimodalSpec extends SparkSpec {
     assert(out.exists(_.getBoolean(7)) && out.exists(!_.getBoolean(7)),
       "gate degenerate — all pass or all fail")
   }
+
+  test("silence trim: planted edge runs trim, interior silence survives, all-silent zeros") {
+    // threshold 44 → silent ⟺ energy < 1936·n. n = 4 per window here.
+    val loud = 4L * 50 * 50   // rms 50 ≥ 44
+    val quiet = 4L * 10 * 10  // rms 10 < 44
+    val w = Seq(
+      // media 1: [q, q, L, q, L, q] → lead 2, tail 1, kept 3
+      (1L, 0, 4, 10, quiet), (1L, 1, 4, 10, quiet), (1L, 2, 4, 50, loud),
+      (1L, 3, 4, 10, quiet), (1L, 4, 4, 50, loud), (1L, 5, 4, 10, quiet),
+      // media 2: all silent → kept 0, lead = total, tail 0
+      (2L, 0, 4, 10, quiet), (2L, 1, 4, 10, quiet),
+      // media 3: all loud → nothing trimmed
+      (3L, 0, 4, 50, loud), (3L, 1, 4, 50, loud))
+      .toDF("media_id", "window_idx", "n_samples", "peak", "energy")
+    val out = Multimodal.mmSilenceTrimOf(w).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getDouble(5)))).toMap
+    assert(out(1L) === ((2, 1, 3, 0.5)))
+    assert(out(2L) === ((2, 0, 0, 0.0)))
+    assert(out(3L) === ((0, 0, 2, 1.0)))
+    // driver query: trims partition the window count when anything is kept
+    Multimodal.mmSilenceTrim(spark, sf).collect().foreach { r =>
+      val (total, lead, tail, kept) =
+        (r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      if (kept > 0) assert(lead + kept + tail === total)
+      else assert(lead === total && tail === 0)
+    }
+  }
+
+  test("loudness norm: exact clip count at the planted gain, gain*rms hits target") {
+    // media 1: track rms = sqrt((3600+400)/8) ≈ 22.36 → gain ≈ 2.68;
+    // window 0 peak 60: 60·gain > 127 clips; window 1 peak 10 does not.
+    val w = Seq(
+      (1L, 0, 4, 60, 4L * 30 * 30), (1L, 1, 4, 10, 4L * 10 * 10),
+      // media 2: silent-ish uniform track, nothing clips at gain → 127/peak
+      (2L, 0, 4, 20, 4L * 20 * 20), (2L, 1, 4, 20, 4L * 20 * 20))
+      .toDF("media_id", "window_idx", "n_samples", "peak", "energy")
+    val out = Multimodal.mmLoudnessNormOf(w, targetRms = 60).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(4) === 1L, "exactly the peak-60 window clips")
+    // reported gain is target/rms at round-6
+    val rms1 = math.sqrt((3600.0 + 400.0) / 8)
+    assert(math.abs(r1.getDouble(2) - BigDecimal(rms1)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    val r2 = out(2L)
+    assert(r2.getLong(4) === 0L, "uniform track below clip at target gain")
+    assert(math.abs(r2.getDouble(3) * 20.0 - 60.0) < 1e-4,
+      "gain × rms lands on target")
+    // driver query: every audible media gets a row, fracs in [0,1]
+    Multimodal.mmLoudnessNorm(spark, sf).collect().foreach { r =>
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
 }

@@ -392,4 +392,48 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
       s"expected query-term + vector-query broadcast joins:\n$p")
   }
+
+  test("forecast revenue: all three filters pushed, four-column scan, no wide op but one 1-row agg") {
+    val p = plan(Relational.qForecastRevenue(spark, sf))
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)") &&
+      p.contains("LessThanOrEqual(l_discount,0.07)") &&
+      p.contains("LessThan(l_quantity,24.0)") &&
+      p.contains("GreaterThanOrEqual(l_shipdate,"),
+      s"filters not in PushedFilters:\n$p")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_orderkey") && !read.contains("l_returnflag"),
+      s"scan reads pruned columns: $read")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      s"unexpected wide operator:\n$p")
+  }
+
+  test("ngram diversity: row-local ratios — zero exchanges before the presentation sort") {
+    val p = plan(TextAnalysis.textNgramDiversity(spark, sf))
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, // the orderBy range exchange only
+      s"ngram diversity must be map-only ($exchanges exchanges):\n$p")
+  }
+
+  test("repetition rules: one gram-count exchange + one doc rollup, no corpus self-join") {
+    val p = plan(Curation.repetitionRulesQuery(spark, sf))
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"pair blowup in repetition rules:\n$p")
+    assert(p.contains("partial_"), s"no map-side partials:\n$p")
+  }
+
+  test("loudness norm: the media window's exchange is reused by the rollup") {
+    val p = finalPlan(Multimodal.mmLoudnessNorm(spark, sf))
+    assert(!p.contains("SinglePartition"), s"global window crept in:\n$p")
+    // window partitioning feeds the aggregate: exactly one hash
+    // exchange on media_id + the presentation range exchange
+    val hashEx = p.linesIterator.count(l =>
+      l.trim.startsWith("Exchange hashpartitioning"))
+    assert(hashEx <= 1, s"rollup re-shuffled after the window ($hashEx):\n$p")
+  }
+
+  test("curriculum order: global rank without a single-partition window") {
+    val p = finalPlan(Curation.curriculumOrderQuery(spark, sf))
+    assert(!p.contains("Window") || !p.contains("SinglePartition"),
+      s"curriculum rank fell back to a global window:\n$p")
+  }
 }

@@ -152,8 +152,8 @@ class SimilaritySpec extends SparkSpec {
     val rows = Similarity.annRecall(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toMap
-    assert(rows.keySet ===
-      Set("int8", "ivf", "ivf_int8_serve", "ivf_pq", "lsh", "pq"))
+    assert(rows.keySet === Set("int8", "ivf", "ivf_int8_rerank",
+      "ivf_int8_serve", "ivf_pq", "lsh", "pq"))
     val expected = rows.values.head._2
     assert(expected > 0L)
     rows.foreach { case (m, (hits, exp, recall)) =>
@@ -169,6 +169,12 @@ class SimilaritySpec extends SparkSpec {
     assert(rows("pq")._3 > 0.0, s"pq recall zero: $rows")
     assert(rows("ivf_pq")._3 >= 0.1,
       s"PQ serving snapshot recall below the family bound: $rows")
+    // exact refine can only fix order within the surfaced pool — the
+    // two-stage tier must not fall below the quantized tier it refines
+    assert(rows("ivf_int8_rerank")._3 >= rows("ivf_int8_serve")._3 - 0.2,
+      s"rerank far below the tier it refines: $rows")
+    assert(rows("ivf_int8_rerank")._3 >= 0.6,
+      s"rerank recall below the family bound: $rows")
   }
 
   test("PQ ANN: codebook-exact vectors score cos 1.0, recall beats random, deterministic") {

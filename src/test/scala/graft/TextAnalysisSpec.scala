@@ -579,4 +579,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(icept - b) < 1e-6, s"intercept $icept vs $b")
     assert(slope < 0.0, "rank-frequency slope must be negative")
   }
+
+  test("ngram diversity: hand-computed ratios, unique text ones, degenerate loop low, empty null") {
+    val docs = Seq(
+      // [x y x y x y]: distinct1 2/6, distinct2 2/5, distinct3 2/4
+      (1L, "x y x y x y"),
+      (2L, "each word appears exactly once here"), // all ratios 1.0
+      (3L, ""),                                    // no tokens: all NULL
+      (4L, "ab cd"))                               // 1 bigram, no trigram
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.textNgramDiversityOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def d(r: org.apache.spark.sql.Row, i: Int) = r.getDouble(i)
+    assert(d(out(1L), 2) === math.rint(2.0 / 6 * 1e6) / 1e6)
+    assert(d(out(1L), 3) === 0.4 && d(out(1L), 4) === 0.5)
+    assert(d(out(2L), 2) === 1.0 && d(out(2L), 3) === 1.0 &&
+      d(out(2L), 4) === 1.0)
+    assert(out(3L).isNullAt(2) && out(3L).isNullAt(3) && out(3L).isNullAt(4))
+    assert(d(out(4L), 3) === 1.0 && out(4L).isNullAt(4),
+      "two tokens: one bigram, no trigram")
+  }
+
+  test("tokenizer fertility: hand vocab exact, OOV falls back to char pieces") {
+    val docs = Seq(
+      (1L, "hello hello", "s1"),   // 2 words × 2 pieces = 4
+      (2L, "xyz", "s2"))           // OOV: 3 char pieces for 1 word
+      .toDF("doc_id", "text", "source")
+    val vocab = Seq(("hello", Seq("he", "llo"))).toDF("term", "syms")
+    val perDoc = TextAnalysis.bpeApplyOf(docs, vocab)
+    val out = TextAnalysis.tokenizerFertilityOf(docs, perDoc, spark)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(out("s1") === ((1L, 2L, 4L, 2.0, 2.5)),
+      s"hello-doc fertility: ${out("s1")}")
+    assert(out("s2") === ((1L, 1L, 3L, 3.0, 1.0)),
+      s"OOV doc fertility: ${out("s2")}")
+  }
 }
