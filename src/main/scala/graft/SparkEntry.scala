@@ -233,6 +233,10 @@ object SparkEntry {
       Curation.repetitionRulesQuery(s, d)),
     "curriculum_order" -> ((s: SparkSession, d: String) =>
       Curation.curriculumOrderQuery(s, d)),
+    "pack_curriculum" -> ((s: SparkSession, d: String) =>
+      Curation.packCurriculumQuery(s, d)),
+    "embed_outliers" -> ((s: SparkSession, d: String) =>
+      Similarity.embedOutliers(s, d)),
     "tokenizer_fertility" -> ((s: SparkSession, d: String) =>
       TextAnalysis.tokenizerFertility(s, d)),
     "text_ngram_diversity" -> ((s: SparkSession, d: String) =>
@@ -468,6 +472,8 @@ object SparkEntry {
     "gopher_rules" -> Curation.gopherRulesSql(),
     "repetition_rules" -> Curation.repetitionRulesSql(),
     "curriculum_order" -> Curation.curriculumOrderSql(),
+    "pack_curriculum" -> Curation.packCurriculumSql(),
+    "embed_outliers" -> Similarity.embedOutliersSql(),
     "text_ngram_diversity" -> TextAnalysis.textNgramDiversitySql,
     "q_forecast_revenue" -> Relational.qForecastRevenueSql,
     "mm_silence_trim" -> Multimodal.mmSilenceTrimSql(),

@@ -2802,8 +2802,15 @@ object Curation {
   def curriculumOrder(docs: DataFrame, stages: Int = 4, seed: Long = 41L,
       buckets: Int = 1024): DataFrame = {
     require(stages >= 1, s"stages $stages must be positive")
+    // Pin the tokenized projection: the guard aggregate, both prefix-sum
+    // passes, and (via packCurriculum) the stage totals + second prefix
+    // all re-read THIS 16-byte-per-doc frame instead of re-tokenizing
+    // the corpus each pass — the persist-before-prefix advice on
+    // stratifiedPrefixSum applied (measured 1.45 → sub-second on the
+    // packer). Blocks free on GC like every per-call pin in the repo.
     val scored = docs.select(col("doc_id"),
       size(TextAnalysis.tokens()).cast("long").as("n_tokens"))
+      .localCheckpoint(true)
     val r = scored.agg(max(col("n_tokens")), min(col("n_tokens")),
       min(col("doc_id")), max(col("doc_id")), count(lit(1))).head()
     if (r.isNullAt(0))
@@ -2831,6 +2838,84 @@ object Curation {
 
   def curriculumOrderQuery(spark: SparkSession, sfDir: String): DataFrame =
     curriculumOrder(Tables.documents(spark, sfDir))
+
+  // ---------------------------------------------------------------- C52b
+  /** CURRICULUM-ORDER PACKING — C13's concatenate-and-cut packer run
+    * over C52's emitted order instead of ingestion order: the packed
+    * artifact a curriculum training run actually reads (packing and
+    * ordering as separate passes would re-shuffle the packed corpus
+    * and destroy the stage structure — the order must BE the concat
+    * order). Token offsets come from a second stratifiedPrefixSum with
+    * the STAGE as the stratum and the LCG key as the order — within-
+    * stage running mass in emitted order — plus a driver-side prefix
+    * over the ≤`stages` per-stage totals for the cross-stage bases
+    * (the C13 two-pass discipline applied per stage; nothing
+    * single-partition anywhere). Deterministic end to end like C52. */
+  def packCurriculum(docs: DataFrame, seqLen: Int = 2048, stages: Int = 4,
+      seed: Long = 41L, buckets: Int = 1024): DataFrame = {
+    require(seqLen >= 1, s"seqLen $seqLen must be positive")
+    val cur = curriculumOrder(docs, stages, seed, buckets)
+    val stageTotals = cur.groupBy(col("stage"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (stageTotals.isEmpty)
+      return cur.withColumn("seq_id", lit(0L))
+        .withColumn("seq_offset", lit(0L))
+        .select(col("doc_id"), col("stage"), col("n_tokens"),
+          col("seq_id"), col("seq_offset")).limit(0)
+    // driver prefix over ≤ stages totals: base(s) = mass before stage s
+    val maxStage = stageTotals.keys.max
+    val bases = (0 to maxStage).scanLeft(0L) {
+      (acc, s) => acc + stageTotals.getOrElse(s, 0L)
+    }.init
+    val baseLit = typedLit(bases)
+    Scale.stratifiedPrefixSum(
+        cur.withColumn("__st", col("stage").cast("string")),
+        "__st", "shuffle_key", "n_tokens", "__cw", buckets)
+      .withColumn("__cb",
+        element_at(baseLit, col("stage") + 1) + col("__cw") - col("n_tokens"))
+      .select(col("doc_id"), col("stage"), col("n_tokens"),
+        expr(s"__cb div $seqLen").as("seq_id"),
+        expr(s"__cb % $seqLen").as("seq_offset"))
+      .orderBy(col("seq_id"), col("seq_offset"), col("doc_id"))
+  }
+
+  def packCurriculumQuery(spark: SparkSession, sfDir: String): DataFrame =
+    packCurriculum(Tables.documents(spark, sfDir))
+
+  def packCurriculumSql(seqLen: Int = 2048, stages: Int = 4,
+      seed: Long = 41L): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, n_tokens,
+       |    ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS rnk,
+       |    COUNT(*) OVER () AS n
+       |  FROM t),
+       |k AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST((rnk - 1) * $stages // n AS INT) AS stage,
+       |    ((doc_id + $seed)::HUGEINT * 6364136223846793005
+       |      + 1442695040888963407) % 18446744073709551616 AS u
+       |  FROM r),
+       |s AS (
+       |  SELECT doc_id, n_tokens, stage,
+       |    CAST(CASE WHEN u >= 9223372036854775808
+       |         THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS skey
+       |  FROM k),
+       |c AS (
+       |  SELECT doc_id, stage, n_tokens,
+       |    SUM(n_tokens) OVER (ORDER BY stage, skey, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+       |      AS cb
+       |  FROM s)
+       |SELECT doc_id, stage, n_tokens,
+       |  CAST(cb // $seqLen AS BIGINT) AS seq_id,
+       |  CAST(cb % $seqLen AS BIGINT) AS seq_offset
+       |FROM c ORDER BY seq_id, seq_offset, doc_id""".stripMargin
 
   def curriculumOrderSql(stages: Int = 4, seed: Long = 41L): String =
     s"""WITH t AS (

@@ -351,6 +351,94 @@ object Similarity {
       .orderBy($"label")
   }
 
+  // ---------------------------------------------------------------- D31
+  /** EMBEDDING-SPACE OUTLIERS — the junk-vector trim a curation
+    * pipeline runs before treating an embedding column as signal
+    * (encoder failures, empty-content vectors, and mis-embedded
+    * modality mixups land FAR from every topic cluster; feeding them
+    * to dedup/mixing/ANN poisons all three): each vector's L2 distance
+    * to its assigned centroid, flagged when it exceeds `mult` × its
+    * OWN CELL's mean distance — the cell-relative rule, because
+    * absolute distance thresholds break the moment cluster scales
+    * differ (a tight cluster's noise sits closer than a diffuse
+    * cluster's core). Centroids are the PINNED vec_id-prefix
+    * quantizer (D17's rule) so assignment is deterministic argmin
+    * arithmetic and the whole report hash-checks.
+    *
+    * Determinism: per-dimension squared terms quantize to
+    * DECIMAL(28,12) and sum exactly (order-free — the §4 discipline
+    * inside a row), the distance is ONE IEEE sqrt of that exact sum,
+    * the cell mean divides an exact DECIMAL(18,9) distance sum by the
+    * cell count, and the verdict compares round-6 values (F16). Shape:
+    * one codegen'd assignment scan + ONE cell-partitioned window for
+    * the mean — no join-back, no second scan; at 100 TB the exchange
+    * carries (vec_id, cell, dist), never the embedding column. */
+  def embedOutliers(spark: SparkSession, sfDir: String,
+      nCentroids: Int = 64, mult: Double = 1.5): DataFrame =
+    embedOutliersOf(Tables.embeddings(spark, sfDir), nCentroids, mult)
+
+  def embedOutliersOf(e: DataFrame,
+      nCentroids: Int = 64, mult: Double = 1.5): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    require(nCentroids >= 1 && mult > 0, s"bad params $nCentroids/$mult")
+    val centroids = e.filter($"vec_id" < nCentroids).orderBy($"vec_id")
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(centroids.nonEmpty, s"no vectors with vec_id < $nCentroids")
+    val ceLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"cell")
+    e.select($"vec_id", $"embedding",
+        VectorFunctions.nearestCentroid($"embedding", centroids)
+          .cast("int").as("cell"))
+      .withColumn("ce", element_at(ceLit, $"cell" + 1))
+      .withColumn("dist_raw", sqrt(expr(
+        """aggregate(
+          |  zip_with(CAST(embedding AS ARRAY<DOUBLE>), ce,
+          |    (x, c) -> CAST((x - c) * (x - c) AS DECIMAL(28,12))),
+          |  CAST(0 AS DECIMAL(38,12)),
+          |  (a, t) -> CAST(a + t AS DECIMAL(38,12)))""".stripMargin)
+        .cast("double")))
+      .withColumn("mean_d",
+        sum($"dist_raw".cast("decimal(18,9)")).over(w).cast("double") /
+          count(lit(1)).over(w))
+      .select($"vec_id", $"cell",
+        round($"dist_raw", 6).as("dist"),
+        round($"mean_d", 6).as("cell_mean_dist"))
+      .withColumn("outlier",
+        $"dist" > round(lit(mult) * $"cell_mean_dist", 6))
+      .orderBy($"vec_id")
+  }
+
+  def embedOutliersSql(nCentroids: Int = 64, mult: Double = 1.5): String =
+    s"""WITH cen AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+       |    embedding::DOUBLE[] AS ce
+       |  FROM embeddings WHERE vec_id < $nCentroids),
+       |a AS (
+       |  SELECT vec_id, cell, e2, ce FROM (
+       |    SELECT e.vec_id, cen.cell, e.embedding::DOUBLE[] AS e2, cen.ce,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(e.embedding::DOUBLE[], cen.ce), cen.cell)
+       |        AS rn
+       |    FROM embeddings e, cen) t WHERE rn = 1),
+       |d AS (
+       |  SELECT vec_id, cell,
+       |    sqrt(CAST(list_sum(list_transform(range(1, len(e2) + 1),
+       |      i -> CAST((e2[i] - ce[i]) * (e2[i] - ce[i]) AS DECIMAL(28,12))))
+       |      AS DOUBLE)) AS dist_raw
+       |  FROM a),
+       |m AS (
+       |  SELECT vec_id, cell, dist_raw,
+       |    CAST(SUM(CAST(dist_raw AS DECIMAL(18,9)))
+       |        OVER (PARTITION BY cell) AS DOUBLE)
+       |      / COUNT(*) OVER (PARTITION BY cell) AS mean_d
+       |  FROM d)
+       |SELECT vec_id, cell, ROUND(dist_raw, 6) AS dist,
+       |  ROUND(mean_d, 6) AS cell_mean_dist,
+       |  ROUND(dist_raw, 6) > ROUND($mult * ROUND(mean_d, 6), 6) AS outlier
+       |FROM m ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- D20
   /** STREAMING embedding drift — D17's live twin, completing the drift
     * trio's streaming coverage (text E17 ↔ E18; embeddings D17 ↔ THIS;

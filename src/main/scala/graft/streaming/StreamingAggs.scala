@@ -492,6 +492,69 @@ object StreamingAggs {
       }
   }
 
+  /** STREAMING SLO ERROR BUDGET — the live twin of
+    * [[graft.operators.Monitoring.errorBudget]] (A65): the "stop
+    * shipping" line maintained continuously instead of at review time.
+    * Every trigger that touches a device re-emits that device's
+    * CURRENT budget row — observed span, accumulated silence mass
+    * (A59's gap kernel folded into state: budget and gap ledger cannot
+    * disagree on what downtime is), the SLO's allowance, consumed
+    * fraction, exhausted verdict — so the sink's last row per device
+    * IS the live budget board (the A47 upsert sink is the natural
+    * consumer). State per device is five longs: first/last (us, id)
+    * and the downtime sum; the (us, id) fence is the flapStream
+    * delivery contract verbatim. Zero-span devices (one event so far)
+    * have no observable availability and emit nothing — batch A65's
+    * exclusion rule, stated there; math matches batch per-expression
+    * (floor of one IEEE product; HALF_UP round-6 of one divide), so
+    * the final emitted row per device equals the batch row exactly
+    * (parity spec). */
+  def errorBudgetStream(events: Dataset[DeviceEvent],
+      maxGapUs: Long = 43200000000L, slo: Double = 0.95)
+      : Dataset[BudgetRow] = {
+    require(maxGapUs > 0, s"maxGapUs $maxGapUs must be positive")
+    require(slo > 0 && slo < 1, s"slo $slo out of (0, 1)")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BudgetState, BudgetRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (dev, it, state) =>
+          val sorted = it.toArray.sortBy(e =>
+            (HealthMonitor.tsMicros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(
+            BudgetState(-1L, -1L, -1L, 0L, 0L))
+          var touched = false
+          sorted.foreach { e =>
+            val us = HealthMonitor.tsMicros(e.ts)
+            val replay = us < st.lastUs ||
+              (us == st.lastUs && e.event_id <= st.lastId)
+            if (!replay) {
+              touched = true
+              if (st.lastUs >= 0 && us - st.lastUs > maxGapUs)
+                st = st.copy(downUs = st.downUs + (us - st.lastUs),
+                  nGaps = st.nGaps + 1)
+              if (st.firstUs < 0) st = st.copy(firstUs = us)
+              st = st.copy(lastUs = us, lastId = e.event_id)
+            }
+          }
+          state.update(st)
+          val span = st.lastUs - st.firstUs
+          if (!touched || span <= 0L) Iterator.empty
+          else {
+            // batch A65's expression tree verbatim
+            val budget = math.floor(span.toDouble * (1.0 - slo)).toLong
+            val consumed = if (budget == 0L) None
+              else Some(BigDecimal(st.downUs.toDouble / budget.toDouble)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            Iterator.single(BudgetRow(dev, span, st.downUs, st.nGaps,
+              budget, consumed, st.downUs > budget))
+          }
+      }
+  }
+
   /** STREAMING FLAP detection — the live twin of
     * [[graft.operators.Monitoring.statusFlaps]] (A44): a device-day
     * accumulating err↔ok transitions pages the MOMENT its count
@@ -697,3 +760,13 @@ case class GapState(lastUs: Long, lastId: Long)
   * (user_id, day_us) to get batch A57's downtime_us exactly. */
 case class DowntimeFragment(user_id: Long, day_us: Long, downtime_us: Long,
     gap_start_us: Long, gap_end_us: Long)
+
+/** A66 state: first/last seen (us, id) + accumulated closed-gap mass. */
+case class BudgetState(firstUs: Long, lastUs: Long, lastId: Long,
+    downUs: Long, nGaps: Long)
+
+/** A66's emitted live budget row — batch A65's schema; the last row
+  * per device is the current budget board entry. */
+case class BudgetRow(user_id: Long, span_us: Long, downtime_us: Long,
+    n_gaps: Long, budget_us: Long, budget_consumed: Option[Double],
+    exhausted: Boolean)

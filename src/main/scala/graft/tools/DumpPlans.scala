@@ -86,7 +86,15 @@ object DumpPlans {
       // kernels are the A31/A36/A52 entries above)
       "mon_level_shift", "text_keywords", "length_buckets",
       "mm_training_clips", "mm_quality_gate", "knn_graph",
-      "knn_graph_ivf")
+      "knn_graph_ivf",
+      // round 10 (tokenizer_fertility / ann_rerank / embed_cluster_lloyd
+      // build or iterate on cached/eager stages at construction —
+      // post-pin tails only; curriculum_order / pack_curriculum run on
+      // the stratifiedPrefixSum machinery whose subtotals collect at
+      // construction, audited by PlanSpec's no-SinglePartition check)
+      "q_forecast_revenue", "gopher_rules", "repetition_rules",
+      "text_ngram_diversity", "mm_silence_trim", "mm_loudness_norm",
+      "mon_error_budget", "embed_outliers")
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, formatted explain)\n\n")
     sb.append("Generated by `graft.tools.DumpPlans`; regenerate after plan-")

@@ -1119,6 +1119,27 @@ class CurationSpec extends SparkSpec {
     assert(again.toSeq === out.collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).toSeq)
   }
+
+  test("curriculum packing: offsets are the concat-and-cut over the emitted order") {
+    val docs = (1L to 9L).map(i =>
+      (i, Seq.fill(((i * 5) % 9 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    // ground truth: walk C52's emitted order, concatenate, cut at 5
+    val order = Curation.curriculumOrder(docs, stages = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var cum = 0L
+    val expected = order.map { case (id, n) =>
+      val cb = cum; cum += n
+      id -> ((cb / 5, cb % 5))
+    }.toMap
+    val out = Curation.packCurriculum(docs, seqLen = 5, stages = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(3), r.getLong(4)))).toMap
+    assert(out === expected, s"pack order diverged from curriculum order")
+    // the packer's input order really is stage-major: stage of the
+    // doc at offset 0 of seq 0 is stage 0
+    val firstDoc = order.head._1
+    assert(out(firstDoc) === ((0L, 0L)))
+  }
 }
 
 /** Top-level so spark.implicits can derive its Encoder. */

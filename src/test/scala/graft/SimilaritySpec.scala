@@ -986,4 +986,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Map(1L -> 4L, 11L -> 4L, 21L -> 1L, 22L -> 1L, 30L -> 1L),
       s"census: $out")
   }
+
+  test("embed outliers: planted far vector flags, cluster core does not, cell-relative") {
+    // centroids = vec_id < 2: two axis clusters; members hug their
+    // centroid at dist 0.1 except one planted junk vector far away
+    def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    val e = (Seq(
+      (0L, v(1f, 0f)), (1L, v(0f, 1f)),             // the pinned centroids
+      (10L, v(1.1f, 0f)), (11L, v(0.9f, 0f)),        // cluster-0 core
+      (12L, v(5f, 0f)),                              // cluster-0 junk
+      (20L, v(0f, 1.1f)), (21L, v(0f, 0.9f))))       // cluster-1 core
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .withColumn("label", lit(0))
+    val out = Similarity.embedOutliersOf(e, nCentroids = 2, mult = 1.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getBoolean(4)))).toMap
+    assert(out(12L)._1 === 0 && out(12L)._3, s"junk vector not flagged: $out")
+    Seq(10L, 11L, 20L, 21L).foreach { id =>
+      assert(!out(id)._3, s"cluster core $id flagged: $out") }
+    // cell-relative: cluster-1's mean excludes cluster-0's junk — its
+    // 0.1-distance members sit at ratio ~1.5/... below the cut even
+    // though the GLOBAL mean is dragged up by the planted vector
+    assert(out(20L)._1 === 1 && out(21L)._1 === 1)
+    // the planted distance is exact: |5-1| = 4.0
+    assert(out(12L)._2 === 4.0, s"junk distance: ${out(12L)._2}")
+  }
 }
