@@ -235,8 +235,12 @@ object SparkEntry {
       Curation.curriculumOrderQuery(s, d)),
     "pack_curriculum" -> ((s: SparkSession, d: String) =>
       Curation.packCurriculumQuery(s, d)),
+    "pipeline_massivetext" -> ((s: SparkSession, d: String) =>
+      Curation.pipelineMassivetextQuery(s, d)),
     "embed_outliers" -> ((s: SparkSession, d: String) =>
       Similarity.embedOutliers(s, d)),
+    "label_propagation" -> ((s: SparkSession, d: String) =>
+      Similarity.labelPropagation(s, d)),
     "tokenizer_fertility" -> ((s: SparkSession, d: String) =>
       TextAnalysis.tokenizerFertility(s, d)),
     "text_ngram_diversity" -> ((s: SparkSession, d: String) =>
@@ -473,6 +477,7 @@ object SparkEntry {
     "repetition_rules" -> Curation.repetitionRulesSql(),
     "curriculum_order" -> Curation.curriculumOrderSql(),
     "pack_curriculum" -> Curation.packCurriculumSql(),
+    "pipeline_massivetext" -> Curation.pipelineMassivetextSql(),
     "embed_outliers" -> Similarity.embedOutliersSql(),
     "text_ngram_diversity" -> TextAnalysis.textNgramDiversitySql,
     "q_forecast_revenue" -> Relational.qForecastRevenueSql,

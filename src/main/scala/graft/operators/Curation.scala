@@ -2606,6 +2606,46 @@ object Curation {
   def gopherRulesQuery(spark: SparkSession, sfDir: String): DataFrame =
     gopherRules(Tables.documents(spark, sfDir))
 
+  // ---------------------------------------------------------------- C53
+  /** MASSIVETEXT FILTER CHAIN — the two published Gopher batteries
+    * composed end to end (C50's token-signal gates ∧ C51's repetition
+    * rules) into the keep/drop verdict the paper's pipeline actually
+    * applies, with BOTH failure surfaces carried per doc so the drop
+    * log says WHY (the C35 funnel discipline: a gate that only says
+    * "dropped" is unreviewable). C6/C8 are this repo's hand-tuned
+    * curation chains; THIS is the published battery verbatim — a user
+    * reproducing MassiveText/Gopher preprocessing runs this one.
+    * Composes the member operators' frames unchanged (gate and member
+    * reports cannot drift — the F16 rule); one doc-keyed join of two
+    * doc-sized verdict frames over the members' own scans. */
+  def pipelineMassivetext(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    gopherRules(docs)
+      .select($"doc_id", $"n_words", $"passed".as("gopher_ok"))
+      .join(repetitionRules(docs)
+        .select($"doc_id", $"passed".as("repetition_ok")), Seq("doc_id"))
+      .withColumn("kept", $"gopher_ok" && $"repetition_ok")
+      .orderBy($"doc_id")
+  }
+
+  def pipelineMassivetextQuery(spark: SparkSession, sfDir: String): DataFrame =
+    pipelineMassivetext(Tables.documents(spark, sfDir))
+
+  def pipelineMassivetextSql(): String =
+    // substitute AFTER stripMargin: the members' own SQL contains `||`
+    // concatenations at line starts, which a second stripMargin pass
+    // would corrupt to `|`
+    """WITH g AS (%GOPHER%),
+      |r AS (%REP%)
+      |SELECT g.doc_id, g.n_words, g.passed AS gopher_ok,
+      |  r.passed AS repetition_ok,
+      |  g.passed AND r.passed AS kept
+      |FROM g JOIN r ON g.doc_id = r.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+      .replace("%GOPHER%", gopherRulesSql())
+      .replace("%REP%", repetitionRulesSql())
+
   def gopherRulesSql(minWords: Long = 50L, maxWords: Long = 100000L,
       minWordLen: Double = 3.0, maxWordLen: Double = 10.0,
       minAlphaFrac: Double = 0.8, minStopWords: Long = 2L): String =

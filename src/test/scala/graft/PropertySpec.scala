@@ -308,4 +308,67 @@ class PropertySpec extends SparkSpec {
       assert(applied == ((wc.values.sum, wantPieces)), s"seed $seed: $applied")
     }
   }
+
+  test("property: repetition fracs equal a driver-side reference on arbitrary docs") {
+    import graft.operators.Curation
+    def reference(text: String): Map[Int, (Option[Long], Long)] = {
+      val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector
+      (2 to 5).map { n =>
+        val grams = toks.sliding(n).filter(_.length == n)
+          .map(_.mkString(" ")).toVector
+        val byGram = grams.groupBy(identity).view
+          .mapValues(_.size.toLong).toMap
+        def mass(g: String, c: Long) = c * (g.length - (n - 1))
+        val top = byGram.collect { case (g, c) if c > 1 => mass(g, c) }
+          .reduceOption(_ max _)
+        val dup = byGram.collect { case (g, c) if c > 1 => mass(g, c) }.sum
+        n -> ((top, dup))
+      }.toMap
+    }
+    for (seed <- 1L to 6L) {
+      val text = sample(docGen, seed + 300)
+      val tokChars = "[a-z0-9]+".r.findAllIn(text.toLowerCase)
+        .map(_.length).sum.toLong
+      val ref = reference(text)
+      val row = Curation.repetitionRules(Seq((1L, text)).toDF("doc_id", "text"))
+        .collect().head
+      def want(o: Option[Long]): Option[Double] =
+        o.map(m => math.rint(m.toDouble / tokChars * 1e6) / 1e6)
+      Seq((1, 2), (2, 3), (3, 4)).foreach { case (idx, n) =>
+        val got = if (row.isNullAt(idx)) None else Some(row.getDouble(idx))
+        assert(got === want(ref(n)._1), s"seed $seed top$n: $got vs ref")
+      }
+      val gotDup = if (row.isNullAt(4)) None else Some(row.getDouble(4))
+      val wantDup = // NULL only when the doc has no 5-grams at all
+        if ("[a-z0-9]+".r.findAllIn(text.toLowerCase).size < 5) None
+        else Some(math.rint(ref(5)._2.toDouble / tokChars * 1e6) / 1e6)
+      assert(gotDup === wantDup, s"seed $seed dup5: $gotDup vs $wantDup")
+    }
+  }
+
+  test("property: curriculum stages are balanced and monotone in difficulty") {
+    import graft.operators.Curation
+    val lensGen: Gen[List[Int]] =
+      Gen.choose(4, 60).flatMap(n => Gen.listOfN(n, Gen.choose(0, 40)))
+    for (seed <- 1L to 5L) {
+      val lens = sample(lensGen, seed + 500)
+      val docs = lens.zipWithIndex.map { case (len, i) =>
+        (i.toLong, Seq.fill(len)("w").mkString(" ")) }.toDF("doc_id", "text")
+      val stages = 4
+      val out = Curation.curriculumOrder(docs, stages).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+      val n = out.length
+      // stage sizes differ by at most 1 (equal rank cuts)
+      val sizes = out.groupBy(_._3).view.mapValues(_.length).toMap
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"seed $seed: unbalanced stages $sizes")
+      // stage is monotone in rank, difficulty monotone in rank
+      out.sortBy(_._2).sliding(2).foreach {
+        case Array((t1, _, s1), (t2, _, s2)) =>
+          assert(s1 <= s2 && t1 <= t2, s"seed $seed: monotonicity broke")
+        case _ =>
+      }
+      assert(out.map(_._2).sorted.sameElements(1L to n))
+    }
+  }
 }

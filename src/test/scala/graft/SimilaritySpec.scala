@@ -1012,4 +1012,37 @@ class SimilaritySpec extends SparkSpec {
     // the planted distance is exact: |5-1| = 4.0
     assert(out(12L)._2 === 4.0, s"junk distance: ${out(12L)._2}")
   }
+
+  test("label propagation: planted chains fill from one seed each, ties to smaller label, bounded rounds") {
+    // two directed 3-chains + a bridge vertex hearing both sides
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),    // cluster A: 1-2-3
+      (4L, 5L), (5L, 4L), (5L, 6L), (6L, 5L),    // cluster B: 4-5-6
+      (7L, 3L), (7L, 6L))                        // bridge: votes tie
+      .toDF("vec_id", "neighbor_id")
+    val init = Seq(
+      (1L, Some(10), true), (2L, None, false), (3L, None, false),
+      (4L, Some(20), true), (5L, None, false), (6L, None, false),
+      (7L, None, false))
+      .toDF("vec_id", "label", "is_seed")
+    val (out, iters) = Similarity.labelPropagationOf(edges, init, maxIter = 10)
+    val got = out.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(got(2L) === Some(10) && got(3L) === Some(10), s"chain A: $got")
+    assert(got(5L) === Some(20) && got(6L) === Some(20), s"chain B: $got")
+    assert(got(7L) === Some(10), s"tie must break to the smaller label: $got")
+    assert(got(1L) === Some(10) && got(4L) === Some(20), "seeds changed")
+    assert(iters <= 4, s"chains of depth 2 + bridge must settle fast: $iters")
+    // driver entry: every vector labeled or an isolated unlabeled tail,
+    // seeds retain their true labels
+    val drv = Similarity.labelPropagation(spark, sf).collect()
+    val seeds = drv.filter(_.getBoolean(2))
+    val truth = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    seeds.foreach { r =>
+      assert(r.getInt(1) === truth(r.getLong(0)), "seed label drifted") }
+    assert(drv.count(r => !r.isNullAt(1)) > seeds.length,
+      "propagation labeled nothing beyond the seeds")
+  }
 }
