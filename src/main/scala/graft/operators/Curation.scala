@@ -2923,6 +2923,24 @@ object Curation {
   def packCurriculumQuery(spark: SparkSession, sfDir: String): DataFrame =
     packCurriculum(Tables.documents(spark, sfDir))
 
+  /** CURRICULUM SHARDS — C52b's packed order written as STAGE-MAJOR
+    * training shards (`stage=0/ … stage=k−1/`): a curriculum run
+    * consumes the directories in label order, and inside each stage
+    * the file order is the packed (seq_id, seq_offset) order — the
+    * C21 loader contract per stage. The `stage` prefix leads the
+    * within-partition sort for the writeShuffledShards reason
+    * verbatim (a partitionBy write whose declared sort does not start
+    * with the partition column gets a planner-inserted sort on the
+    * column alone, which EliminateSorts then uses to strip THIS one,
+    * scrambling rows inside files). */
+  def writeCurriculumShards(docs: DataFrame, outDir: String,
+      seqLen: Int = 2048, stages: Int = 4, seed: Long = 41L): Unit = {
+    packCurriculum(docs, seqLen, stages, seed)
+      .repartition(stages, col("stage"))
+      .sortWithinPartitions(col("stage"), col("seq_id"), col("seq_offset"))
+      .write.mode("overwrite").partitionBy("stage").parquet(outDir)
+  }
+
   def packCurriculumSql(seqLen: Int = 2048, stages: Int = 4,
       seed: Long = 41L): String =
     s"""WITH t AS (

@@ -1139,6 +1139,30 @@ class CurationSpec extends SparkSpec {
     // doc at offset 0 of seq 0 is stage 0
     val firstDoc = order.head._1
     assert(out(firstDoc) === ((0L, 0L)))
+    // the stage-major shard writer: one directory per stage, every
+    // stage one file, rows inside each file in packed (seq, offset)
+    // order — reading stage=0..k-1 in label order IS the curriculum
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-curriculum").toString + "/out"
+    Curation.writeCurriculumShards(docs, dir, seqLen = 5, stages = 3)
+    val rows = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), col("stage"), col("seq_id"),
+        col("seq_offset"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._5).toSet === (1L to 9L).toSet, "writer lost docs")
+    rows.groupBy(_._2).foreach { case (stage, rs) =>
+      assert(rs.map(_._1).distinct.size === 1, s"stage $stage spans files")
+      assert(rs.map(r => (r._3, r._4)).toSeq ===
+        rs.map(r => (r._3, r._4)).sortBy(identity).toSeq,
+        s"stage $stage rows not in packed file order")
+    }
+    // label order ++ in-file order == the packed global order
+    val byLabel = rows.sortBy(r => (r._2, r._3, r._4)).map(_._5).toSeq
+    val packed = Curation.packCurriculum(docs, seqLen = 5, stages = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(byLabel === packed,
+      "concatenating stage shards must reproduce the packed order")
   }
 }
 
