@@ -241,6 +241,8 @@ object SparkEntry {
       Similarity.embedOutliers(s, d)),
     "label_propagation" -> ((s: SparkSession, d: String) =>
       Similarity.labelPropagation(s, d)),
+    "dedup_recall_report" -> ((s: SparkSession, d: String) =>
+      Dedup.dedupRecallReport(s, d)),
     "tokenizer_fertility" -> ((s: SparkSession, d: String) =>
       TextAnalysis.tokenizerFertility(s, d)),
     "text_ngram_diversity" -> ((s: SparkSession, d: String) =>

@@ -1379,4 +1379,91 @@ object Dedup {
       |  CAST(MAX(e) AS BIGINT) AS end_tok,
       |  CAST(MAX(e) - MIN(s) AS BIGINT) AS n_tokens
       |FROM g2 GROUP BY doc_id, mgrp ORDER BY doc_id, start_tok""".stripMargin
+
+  // ------------------------------------------------------------- C54
+  /** DEDUP RECALL REPORT — the D8 discipline applied to the text-dedup
+    * family: retrieval quality as a driver-visible per-round NUMBER,
+    * not only a planted-pair spec threshold. Ground truth is the EXACT
+    * set of pairs with 5-gram shingle-set Jaccard ≥ `threshold`
+    * (unblocked, un-df-capped posting self-join — guarded AUDIT work
+    * like D8's brute baseline: the pair-ceiling require refuses past
+    * audit scale, and at corpus scale the planted-recall specs remain
+    * the check); each method's found-pair set then scores
+    * matched/baseline recall. What the rows mean: the MinHash row IS
+    * the measured LSH S-curve at this threshold (its verify stage
+    * already filters on exact Jaccard, so every miss is a banding
+    * miss); the SimHash row says how much of the Jaccard near-dup mass
+    * a Hamming-space sweep catches — a DIFFERENT similarity, reported
+    * against the same truth because a curation team runs one ground
+    * truth, not one per method. `found` beyond the baseline is not
+    * error for SimHash (it legitimately pairs docs the gram measure
+    * scores below threshold) — the report carries found and matched
+    * separately so both readings stay honest. */
+  /** A deterministic audit is AUDIT-BUILD work (the D8 recall-report
+    * rule): the rows cache per (corpus dir, version stamp, threshold)
+    * for the JVM's life, stale corpus versions evicted on access. */
+  private val recallReportCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Double), Seq[(String, Long, Long, Long, java.lang.Double)]]
+
+  def dedupRecallReport(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val n = Tables.cachedCount(spark, s"$sfDir/documents.parquet")
+    // division form — n² overflows Long around 3e9 (the knnGraph rule)
+    require(n == 0 || n <= Similarity.BruteForceMaxPairs / n,
+      s"exact dedup baseline would score n²=$n² pairs — audit-scale " +
+        "only; at corpus scale the planted-recall specs are the check")
+    val stamp = Tables.pathStamp(spark, s"$sfDir/documents.parquet")
+    recallReportCache.filterInPlace { case ((d, st, _), _) =>
+      d != sfDir || st == stamp
+    }
+    recallReportCache.getOrElseUpdate((sfDir, stamp, threshold),
+        dedupRecallReportOf(Tables.documents(spark, sfDir), threshold)
+          .collect().toSeq.map(r => (r.getString(0), r.getLong(1),
+            r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) null
+            else java.lang.Double.valueOf(r.getDouble(4)))))
+      .toDF("method", "found_pairs", "baseline_pairs", "matched", "recall")
+  }
+
+  /** C54 over an arbitrary (doc_id, text) frame — the spec entry;
+    * UNGUARDED (the driver wrapper owns the pair-ceiling check). */
+  def dedupRecallReportOf(docs: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // distinct-shingle frame feeds postings AND sizes — pin it (the
+    // 2+-consumers rule); rows are (id, 8-byte hash array)
+    val sh = shingleFrame(docs, "doc_id", "text", 5)
+      .select($"id", array_distinct($"sh").as("sh"))
+      .filter(size($"sh") > 0)
+      .localCheckpoint(true)
+    val idx = sh.select($"id", explode($"sh").as("g"))
+    val sizes = sh.select($"id", size($"sh").cast("long").as("sz"))
+    val exact = idx.select($"g", $"id".as("id1"))
+      .join(idx.select($"g", $"id".as("id2")), Seq("g"))
+      .filter($"id1" < $"id2")
+      .groupBy($"id1", $"id2").agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"id".as("id1"), $"sz".as("sz1")), Seq("id1"))
+      .join(sizes.select($"id".as("id2"), $"sz".as("sz2")), Seq("id2"))
+      .filter(round($"inter".cast("double") /
+        ($"sz1" + $"sz2" - $"inter"), 6) >= threshold)
+      .select($"id1", $"id2")
+      .localCheckpoint(true) // both method rows probe it
+    val base = exact.count()
+    val methods = Seq(
+      "minhash_lsh" ->
+        minhashPairs(docs, "doc_id", "text", threshold = threshold),
+      "simhash" -> simhashPairs(docs, "doc_id", "text"))
+    val rows = methods.map { case (name, pairs) =>
+      val f = pairs.select($"id1", $"id2").distinct().localCheckpoint(true)
+      val matched = f.join(exact, Seq("id1", "id2"), "left_semi").count()
+      (name, f.count(), base, matched,
+        if (base == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(
+          math.rint(matched.toDouble / base * 1e6) / 1e6))
+    }
+    rows.toDF("method", "found_pairs", "baseline_pairs", "matched",
+      "recall").orderBy($"method")
+  }
 }

@@ -597,4 +597,35 @@ class DedupSpec extends SparkSpec {
       assert(r.getBoolean(3) === (r.getLong(2) != r.getLong(0)))
     }
   }
+
+  test("dedup recall report: planted true pairs counted, sub-threshold excluded, perfect recall on exact dups") {
+    val base = "the quick brown fox jumps over seven lazy dogs while " +
+      "autumn rivers carry golden leaves toward distant villages"
+    // long doc: one changed token in the middle keeps 5-gram jaccard
+    // well above 0.5 (a changed token in SHORT base would land 9/19)
+    val long1 = base + " where ancient stone bridges cross quiet water " +
+      "and morning light settles on empty market squares before dawn"
+    val long2 = long1.replace("market", "harbor")
+    val docs = Seq(
+      (1L, base), (2L, base),     // exact dup: jaccard 1.0
+      (4L, long1), (5L, long2),   // near dup: high-jaccard long pair
+      (10L, "completely unrelated text about database query planning " +
+        "with partitions exchanges and adaptive execution stages"),
+      (11L, "another singleton document covering streaming watermarks " +
+        "state stores and checkpoint recovery semantics"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupRecallReportOf(docs, threshold = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    // truth: (1,2) at 1.0 and (4,5) high; (1,4)-class containments sit
+    // ~0.39 below threshold; singletons pair with nothing
+    val (f, b, m, rec) = out("minhash_lsh")
+    assert(b === 2L, s"baseline must hold exactly the planted pairs: $out")
+    assert(m === f && m === 2L && rec === Some(1.0),
+      s"minhash must recover all planted pairs: $out")
+    val (_, b2, m2, rec2) = out("simhash")
+    assert(b2 === 2L && m2 >= 1L && rec2.exists(_ > 0.0),
+      s"simhash must at least pair the exact dup: $out")
+  }
 }
