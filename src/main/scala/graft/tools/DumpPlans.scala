@@ -94,7 +94,7 @@ object DumpPlans {
       // construction, audited by PlanSpec's no-SinglePartition check)
       "q_forecast_revenue", "gopher_rules", "repetition_rules",
       "text_ngram_diversity", "mm_silence_trim", "mm_loudness_norm",
-      "mon_error_budget", "embed_outliers")
+      "mon_error_budget", "embed_outliers", "pipeline_massivetext")
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, formatted explain)\n\n")
     sb.append("Generated by `graft.tools.DumpPlans`; regenerate after plan-")

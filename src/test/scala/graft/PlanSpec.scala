@@ -436,4 +436,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window") || !p.contains("SinglePartition"),
       s"curriculum rank fell back to a global window:\n$p")
   }
+
+  test("embed outliers: one cell-partitioned window, vectors never ride the exchange") {
+    val p = finalPlan(Similarity.embedOutliers(spark, sf))
+    assert(!p.contains("SinglePartition"), s"global window crept in:\n$p")
+    // the window exchange must carry (id, cell, dist) — the embedding
+    // column is projected away before the shuffle
+    val exLines = executedPlan(Similarity.embedOutliers(spark, sf))
+      .linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exLines.nonEmpty, "expected the cell-mean window exchange")
+  }
 }
