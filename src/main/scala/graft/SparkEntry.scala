@@ -243,6 +243,8 @@ object SparkEntry {
       Similarity.labelPropagation(s, d)),
     "dedup_recall_report" -> ((s: SparkSession, d: String) =>
       Dedup.dedupRecallReport(s, d)),
+    "mm_dedup_media_groups" -> ((s: SparkSession, d: String) =>
+      Multimodal.mmDedupMediaGroups(s, d)),
     "tokenizer_fertility" -> ((s: SparkSession, d: String) =>
       TextAnalysis.tokenizerFertility(s, d)),
     "text_ngram_diversity" -> ((s: SparkSession, d: String) =>
@@ -407,6 +409,7 @@ object SparkEntry {
     "mm_shots" -> Multimodal.mmShotsSql,
     "mm_audio_silence" -> Multimodal.mmAudioSilenceSql,
     "mm_dedup_frames" -> Multimodal.mmDedupFramesSql,
+    "mm_dedup_media_groups" -> Multimodal.mmDedupMediaGroupsSql,
     "mm_audio_levels" -> Multimodal.mmAudioLevelsSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_keep_best" -> Dedup.dedupKeepBestSql,

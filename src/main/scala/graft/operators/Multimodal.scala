@@ -731,6 +731,73 @@ object Multimodal {
   def mmDedupFrames(spark: SparkSession, sfDir: String): DataFrame =
     dedupFrames(mmFrames(spark, sfDir))
 
+  // ---------------------------------------------------------------- F21
+  /** MEDIA DUPLICATE GROUPS — F8's pair evidence resolved into the
+    * per-media keep/drop ledger a video-curation sweep acts on (the
+    * C17b move on the media axis): re-upload/re-encode families are
+    * TRANSITIVE (a→b and b→c share frames pairwise even when a and c
+    * overlap below the pair threshold — pairwise keep-min under-deletes
+    * on chains, the C6b lesson), so the F8 pairs feed
+    * [[graft.operators.Scale.connectedComponents]] and every media gets
+    * its component representative (min media_id, itself when unique)
+    * plus the drop verdict. Oracle-checkable end to end because the F8
+    * pipeline is deterministic under the stub decoder and the closure
+    * is a recursive CTE in DuckDB — the dedupSemanticFixed pattern
+    * verbatim. Scale shape: F8's bounded inverted-index pair stage is
+    * the only corpus-sized work; the component graph holds only
+    * evidence pairs (rare by construction), so resolution takes the
+    * union-find fast path or a few flat-lineage rounds. */
+  def mmDedupMediaGroups(spark: SparkSession, sfDir: String,
+      minShared: Long = 2, dfCap: Long = 8,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    mmDedupMediaGroupsOf(mmFrames(spark, sfDir),
+      Tables.documents(spark, sfDir).select($"doc_id".as("media_id")),
+      minShared, dfCap, checkpointDir)
+  }
+
+  /** F21 over arbitrary frame and media-id frames — the spec entry. */
+  def mmDedupMediaGroupsOf(frames: DataFrame, mediaIds: DataFrame,
+      minShared: Long = 2, dfCap: Long = 8,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    val pairs = dedupFrames(frames, minShared, dfCap)
+      .select($"media_a".as("id1"), $"media_b".as("id2"))
+    val comps = Scale.connectedComponents(pairs,
+      checkpointDir = checkpointDir)
+    mediaIds
+      .join(comps.withColumnRenamed("id", "media_id"), Seq("media_id"),
+        "left")
+      .select($"media_id",
+        coalesce($"comp", $"media_id").as("rep_id"))
+      .withColumn("is_dup", $"rep_id" =!= $"media_id")
+      .orderBy($"media_id")
+  }
+
+  /** DuckDB twin: the F8 pair tree wrapped as a subquery, transitive
+    * closure via the recursive CTE (min reachable id = the component
+    * representative — exactly connectedComponents' min-label
+    * fixpoint). */
+  // lazy: references mmDedupFramesSql, declared later in the object
+  lazy val mmDedupMediaGroupsSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT media_a AS id1, media_b AS id2
+       |  FROM ($mmDedupFramesSql) f),
+       |sym AS (SELECT id1 AS s, id2 AS d FROM pairs
+       |        UNION SELECT id2, id1 FROM pairs),
+       |reach AS (
+       |  SELECT s AS id, d AS r FROM sym
+       |  UNION
+       |  SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s),
+       |rep AS (SELECT id, MIN(r) AS m FROM reach GROUP BY id)
+       |SELECT d.doc_id AS media_id,
+       |  COALESCE(LEAST(rep.m, d.doc_id), d.doc_id) AS rep_id,
+       |  (COALESCE(LEAST(rep.m, d.doc_id), d.doc_id) <> d.doc_id) AS is_dup
+       |FROM documents d
+       |LEFT JOIN rep ON rep.id = d.doc_id
+       |ORDER BY media_id""".stripMargin
+
   /** The frame replay (mmFrameSampleSql) wrapped as a subquery, then
     * the identical signature / df-cap / pair-count tree. */
   val mmDedupFramesSql: String =

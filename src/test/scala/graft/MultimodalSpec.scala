@@ -490,4 +490,22 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
     }
   }
+
+  test("media duplicate groups: transitive chain resolves to one rep, singletons keep themselves") {
+    // 1-2 share {100,101}; 2-3 share {200,201}; 1-3 share NOTHING —
+    // pairwise keep-min would leave 3 pointing at 2; the component
+    // must pull the whole chain to rep 1
+    val frames = Seq(
+      (1L, 100L), (1L, 101L), (1L, 102L),
+      (2L, 100L), (2L, 101L), (2L, 200L), (2L, 201L),
+      (3L, 200L), (3L, 201L), (3L, 300L),
+      (4L, 400L), (4L, 401L))
+      .toDF("media_id", "frame_hash")
+    val ids = Seq(1L, 2L, 3L, 4L).toDF("media_id")
+    val out = Multimodal.mmDedupMediaGroupsOf(frames, ids).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out === Map(
+      1L -> ((1L, false)), 2L -> ((1L, true)),
+      3L -> ((1L, true)), 4L -> ((4L, false))), s"groups: $out")
+  }
 }
