@@ -155,6 +155,9 @@ object SparkEntry {
     // C+E composition: training-data curation pipeline
     "pipeline_curate" -> (Curation.pipelineCurate _),
     "pipeline_curate_full" -> (Curation.curate _),
+    "pipeline_curate_gated" -> ((s: SparkSession, d: String) =>
+      Curation.curateGated(s, d)),
+    "decontaminate_bloom" -> (Curation.decontamBloomQuery _),
     "pipeline_curate_v2" -> (Curation.pipelineCurateV2 _),
     "decontaminate" -> (Curation.decontamQuery _),
     "decontaminate_fuzzy" -> (Curation.decontamFuzzyQuery _),
@@ -215,6 +218,12 @@ object SparkEntry {
       TextAnalysis.bpeApply(s, d)),
     "pack_bpe" -> ((s: SparkSession, d: String) =>
       Curation.packSequencesBpe(s, d)),
+    "mix_sample_bpe" -> ((s: SparkSession, d: String) =>
+      Curation.mixSampleBpeQuery(s, d)),
+    "budget_select_bpe" -> ((s: SparkSession, d: String) =>
+      Curation.budgetSelectBpe(s, d)),
+    "domain_cap_bpe" -> ((s: SparkSession, d: String) =>
+      Curation.domainCapBpe(s, d)),
     "embed_cluster_lloyd" -> ((s: SparkSession, d: String) =>
       Similarity.embedClusterLloyd(s, d)),
     "ann_rerank" -> ((s: SparkSession, d: String) =>
@@ -294,6 +303,8 @@ object SparkEntry {
     // exercises the full pair→component→group path on real edges
     "mon_incident_groups" -> ((s: SparkSession, d: String) =>
       Monitoring.incidentGroups(s, d, corrThreshold = 0.3)),
+    "mon_incident_pairs" -> ((s: SparkSession, d: String) =>
+      Monitoring.incidentPairs(s, d, corrThreshold = 0.3)),
     "mon_gap_fill" -> ((s: SparkSession, d: String) =>
       Monitoring.gapFill(s, d)),
     "mon_fleet_health" -> ((s: SparkSession, d: String) =>
@@ -429,6 +440,10 @@ object SparkEntry {
     "vec_norms" -> Similarity.vecNormsSql,
     "pipeline_curate" -> Curation.pipelineCurateSql,
     "decontaminate" -> Curation.decontamSql,
+    // C59 is C12 on a different execution path (bloom prescreen +
+    // exact confirm) — same oracle BY DESIGN, hash-pinning the
+    // zero-false-negative claim
+    "decontaminate_bloom" -> Curation.decontamSql,
     "decontaminate_fuzzy" -> Curation.decontamFuzzySql,
     "pack_sequences" -> Curation.packSequencesSql,
     "mix_sample" -> Curation.mixSampleSql,
@@ -456,6 +471,7 @@ object SparkEntry {
     "mon_status_flaps" -> Monitoring.statusFlapsSql(),
     "mon_cross_corr" -> Monitoring.crossCorrSql(),
     "mon_cross_corr_anomalies" -> Monitoring.crossCorrAnomaliesSql(),
+    "mon_incident_pairs" -> Monitoring.incidentPairsSql(corrThreshold = 0.3),
     "q_returned_customers" -> Relational.qReturnedCustomersSql,
     "q_nation_trade" -> Relational.qNationTradeSql,
     "q_market_share" -> Relational.qMarketShareSql,

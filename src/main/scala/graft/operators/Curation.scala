@@ -80,6 +80,44 @@ object Curation {
   def curate(spark: SparkSession, sfDir: String): DataFrame =
     curateFull(Tables.documents(spark, sfDir))
 
+  // ------------------------------------------------------------- C58
+  /** RECALL-GATED curation — C6b's full chain behind C54's measured
+    * number, the F16 discipline applied to dedup: a curated corpus
+    * whose near-dedup stage silently under-deletes is WORSE than a
+    * failed run (the dupes ship into training), so the chain REFUSES
+    * to emit when the measured MinHash-LSH recall against the exact
+    * Jaccard ground truth falls below `minRecall` — mis-tuned banding
+    * becomes a loud gate failure naming the number, not a quiet
+    * quality regression discovered at eval time. The report is C54's
+    * cached audit artifact (per corpus version — the gate adds no
+    * per-run cost beyond the first); zero baseline pairs reads as
+    * vacuously healthy (nothing to recall). At corpus scale, where
+    * C54's exact baseline refuses by its pair ceiling, gate on a
+    * deterministic audit SAMPLE of the corpus — the report seam
+    * ([[curateGatedOf]]) takes any report frame, so the sampling
+    * policy is the caller's knob, not a second code path. */
+  def curateGated(spark: SparkSession, sfDir: String,
+      minRecall: Double = 0.8, recallThreshold: Double = 0.5): DataFrame =
+    curateGatedOf(Tables.documents(spark, sfDir),
+      Dedup.dedupRecallReport(spark, sfDir, recallThreshold), minRecall)
+
+  /** C58 over arbitrary docs + any C54-shaped report frame — the spec
+    * entry (a synthetic bad report pins the fail-path without having
+    * to defeat the banding deterministically). */
+  def curateGatedOf(docs: DataFrame, recallReport: DataFrame,
+      minRecall: Double = 0.8): DataFrame = {
+    require(minRecall >= 0 && minRecall <= 1,
+      s"minRecall $minRecall out of [0, 1]")
+    val row = recallReport.filter(col("method") === "minhash_lsh")
+      .select(col("recall")).head()
+    require(row.isNullAt(0) || row.getDouble(0) >= minRecall,
+      f"dedup recall gate: minhash_lsh recall ${if (row.isNullAt(0)) 0.0
+        else row.getDouble(0)}%.6f < $minRecall vs exact Jaccard ground " +
+        "truth — the near-dedup stage would silently under-delete; " +
+        "retune the banding (bands × rows) before curating")
+    curateFull(docs)
+  }
+
   /** The shared stateless gate chain of [[curateV2]] and
     * [[curateStream]] — ONE definition so the batch pipeline and its
     * streaming twin cannot drift. Bigrams via zip_with over two slices,
@@ -347,6 +385,61 @@ object Curation {
       |WHERE d.doc_id % 10 <> 0
       |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)
       |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------------------- C59
+  /** BLOOM-PRESCREENED decontamination — C12's exact semantics with
+    * the broadcast budget under control: when the eval SUITE grows
+    * (the union of every benchmark a lab must scrub — dozens of sets,
+    * tens of millions of grams), broadcasting the distinct gram set
+    * as a join hash relation costs ~80+ bits/key per task; the
+    * prescreen ships a ~14-bit/key Bloom SKETCH instead — B23's
+    * exact machinery reused verbatim: the filter is built DISTRIBUTED
+    * (`stat.bloomFilter`, partial sketches merged driver-side — no
+    * gram ever collected) and probed through
+    * [[graft.functions.BloomFunctions.mightContain]], the native
+    * codegen'd predicate inside the scan's WholeStageCodegen span (no
+    * hash table, no UDF). Only prescreen SURVIVORS (true matches +
+    * the tuned fpp of clean grams) reach the exact confirm join.
+    * Bloom filters have zero false negatives, so prescreen→confirm
+    * returns EXACTLY C12's answer — SAME oracle, hash-checked per
+    * round. Scale shape: the 100 TB side's grams stream map-only
+    * through the sketch; the confirm join processes an fpp-bounded
+    * trickle (left unpinned — AQE broadcasts it at test scale,
+    * shuffles survivors at suite scale where the oversized broadcast
+    * is exactly what this operator avoids); the anti-join back
+    * shuffles ids only. */
+  def decontaminateBloom(docs: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 13, fpp: Double = 0.001,
+      expectedGrams: Long = 4000000L): DataFrame = {
+    require(n >= 1)
+    require(fpp > 0 && fpp < 1, s"fpp $fpp out of (0, 1)")
+    val benchGrams = Dedup.gramSet(benchmark, idCol, textCol, n)
+      .select(col("g")).distinct()
+      // two consumers (bloom build + confirm join) — pin once
+      .localCheckpoint(true)
+    // a gram-free benchmark cannot leak anything — and stat.bloomFilter
+    // NPEs on an empty frame (null partial sketch), so the vacuous
+    // case exits before the build; the pinned frame makes this cheap
+    if (benchGrams.isEmpty) return docs
+    val bf = benchGrams.stat.bloomFilter("g", expectedGrams, fpp)
+    val contaminated = Dedup.gramSet(docs, idCol, textCol, n)
+      .filter(graft.functions.BloomFunctions.mightContain(col("g"), bf))
+      .join(benchGrams, Seq("g"), "left_semi")
+      .select(col("id").as(idCol)).distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Driver query: C12's exact split and shape — the result (and the
+    * oracle) must be bit-identical; only the execution path differs. */
+  def decontamBloomQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    decontaminateBloom(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
 
   // ------------------------------------------------------------- C22
   /** FUZZY decontamination (the Llama-2 refinement of C12's drop-on-
@@ -680,6 +773,50 @@ object Curation {
     * everyone else — exercises override, default, and pass-through. */
   def mixSampleQuery(spark: SparkSession, sfDir: String): DataFrame =
     mixSample(Tables.documents(spark, sfDir), "source",
+      Map("src0" -> 1000000L, "src1" -> 500L), defaultBudget = 800L)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------- C55
+  /** BPE-PIECE training mix — C14's budget knob denominated in the
+    * unit a training-mix spec actually states ("N billion TOKENS of
+    * web" means tokenizer pieces, not whitespace words): the same
+    * [[mixSampleFromCounts]] kernel fed E27's learned-tokenizer piece
+    * counts instead of `size(tokens())`. The divergence is C49's,
+    * applied to ADMISSION instead of layout: whitespace budgeting
+    * over-admits exactly the OOV/rare-word-heavy docs a subword
+    * tokenizer fragments most, so a whitespace-budgeted mix overshoots
+    * its real piece budget by each stratum's pieces-per-token factor.
+    * Scale shape unchanged from C14 — the piece counts are one corpus
+    * scan + one vocab join (E27, cached per corpus version), then the
+    * C18 prefix-sum kernel; the stratum metadata join is doc-keyed.
+    * Rows-only: the learned merge list is the BPE train loop's output
+    * (E26's reason); the spec pins the whitespace-vs-piece admission
+    * divergence on a planted OOV doc. */
+  def mixSampleBpe(spark: SparkSession, sfDir: String,
+      stratumCol: String, budgets: Map[String, Long],
+      defaultBudget: Long, nMerges: Int = 30,
+      orderCol: String = "doc_id"): DataFrame =
+    mixSampleBpeOf(Tables.documents(spark, sfDir),
+      TextAnalysis.bpeApply(spark, sfDir, nMerges),
+      stratumCol, budgets, defaultBudget, orderCol)
+
+  /** C55 over arbitrary docs + a precomputed piece frame (doc_id,
+    * bpe_pieces) — the spec entry (hand vocab → hand-checkable
+    * admission). */
+  def mixSampleBpeOf(docs: DataFrame, pieces: DataFrame,
+      stratumCol: String, budgets: Map[String, Long],
+      defaultBudget: Long, orderCol: String = "doc_id"): DataFrame =
+    mixSampleFromCounts(
+      docs.select(col("doc_id"), col("lang"), col(stratumCol))
+        .join(pieces.select(col("doc_id"),
+          col("bpe_pieces").as("n_tokens")), Seq("doc_id")),
+      stratumCol, budgets, defaultBudget, orderCol)
+
+  /** Driver query: C14's exact budget panel, denominated in pieces —
+    * the side-by-side a mix owner reads to see the admission shift. */
+  def mixSampleBpeQuery(spark: SparkSession, sfDir: String): DataFrame =
+    mixSampleBpe(spark, sfDir, "source",
       Map("src0" -> 1000000L, "src1" -> 500L), defaultBudget = 800L)
       .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
       .orderBy(col("doc_id"))
@@ -1138,6 +1275,41 @@ object Curation {
       |  FROM s)
       |SELECT doc_id, source FROM r WHERE rn <= 10
       |ORDER BY source, doc_id""".stripMargin
+
+  // ------------------------------------------------------------- C57
+  /** BPE-PIECE domain cap — C25's re-balance knob denominated in
+    * pieces: instead of "at most k DOCS per domain", keep each
+    * domain's unbiased (seeded-LCG-ordered) subsample until a PIECE
+    * budget is spent — the form the knob takes when what you are
+    * protecting is the training-token mix, not the doc count (domains
+    * differ wildly in doc length, so a doc-count cap still lets a
+    * long-doc domain dominate the token stream). Composition, no new
+    * kernel: C25's unbiased order (the LCG key) as the admission
+    * ORDER, C14's [[mixSampleFromCounts]] prefix-sum budget as the
+    * cut, C49's piece counts as the DENOMINATION. Scale shape is
+    * C14's (bucketed prefix sum, no per-domain single-task sort);
+    * the LCG key is map-side arithmetic. Rows-only (E26's reason);
+    * the spec pins hand-computed admission under a hand vocab and the
+    * doc-count-vs-piece divergence. */
+  def domainCapBpe(spark: SparkSession, sfDir: String,
+      domainCol: String = "source", budgetPieces: Long = 600L,
+      nMerges: Int = 30, seed: Long = 11L): DataFrame =
+    domainCapBpeOf(Tables.documents(spark, sfDir),
+      TextAnalysis.bpeApply(spark, sfDir, nMerges),
+      domainCol, budgetPieces, seed)
+
+  /** C57 over arbitrary docs + a precomputed piece frame — the spec
+    * entry. */
+  def domainCapBpeOf(docs: DataFrame, pieces: DataFrame,
+      domainCol: String, budgetPieces: Long, seed: Long = 11L): DataFrame =
+    mixSampleFromCounts(
+      docs.select(col("doc_id"), col(domainCol))
+        .join(pieces.select(col("doc_id"),
+          col("bpe_pieces").as("n_tokens")), Seq("doc_id"))
+        .withColumn("__dk", shuffleKey(col("doc_id"), seed)),
+      domainCol, Map.empty, budgetPieces, orderCol = "__dk")
+      .drop("__dk")
+      .orderBy(col(domainCol), col("doc_id"))
 
   // ------------------------------------------------------------- C27
   /** STREAMING per-domain cap — C25's ingest-time twin, with the
@@ -1779,11 +1951,24 @@ object Curation {
     // prefix sum's internal consumers (span agg, bucket subtotals,
     // base join) would each re-run the regex-heavy quality-score tail
     // — 3-4× the E2 cost. Pinned size is three narrow columns per doc.
-    val scored = TextAnalysis.textQualityOf(docs)
-      .select(col("doc_id"), col("n_tokens"),
-        floor(col("quality_score") * 1e6).cast("long").as("q6"))
-      .filter(col("q6").isNotNull)
-      .localCheckpoint(true)
+    budgetSelectFromScored(
+      TextAnalysis.textQualityOf(docs)
+        .select(col("doc_id"), col("n_tokens"),
+          floor(col("quality_score") * 1e6).cast("long").as("q6"))
+        .filter(col("q6").isNotNull),
+      budgetTokens, buckets)
+  }
+
+  /** The C28 selection kernel over ANY scored (doc_id, n_tokens, q6)
+    * frame — the pluggable-counts seam (C49's, applied to selection):
+    * the quality ORDER and the budget DENOMINATION are independent
+    * knobs, so a caller can rank by the E2 composite while budgeting
+    * in BPE pieces, billed tokens, or bytes. Pins the scored frame
+    * before the span probe + both prefix passes re-read it. */
+  def budgetSelectFromScored(scoredIn: DataFrame, budgetTokens: Long,
+      buckets: Int = 1024): DataFrame = {
+    require(budgetTokens >= 0, s"budget $budgetTokens must be >= 0")
+    val scored = scoredIn.localCheckpoint(true)
     val r = scored.agg(min(col("doc_id")), max(col("doc_id"))).head()
     if (r.isNullAt(0)) return scored.withColumn("cum_tokens", lit(0L)).limit(0)
     require(r.getLong(0) >= 0 && r.getLong(1) < (1L << 40),
@@ -1803,6 +1988,39 @@ object Curation {
 
   def budgetSelectQuery(spark: SparkSession, sfDir: String): DataFrame =
     budgetSelect(Tables.documents(spark, sfDir))
+
+  // ------------------------------------------------------------- C56
+  /** BPE-PIECE budget selection — C28 with the budget denominated in
+    * learned-tokenizer pieces: rank by the same E2 quality composite,
+    * fill the budget by E27's per-doc piece counts. "We can afford N
+    * tokens of pretraining data" means pieces the model will consume;
+    * whitespace denomination admits MORE docs than the budget can
+    * carry (pieces/token ≥ 1 everywhere), and the shortfall
+    * concentrates on the OOV-heavy tail. One extra doc-keyed join vs
+    * C28 (the cached E27 piece frame); the kernel, pinning, and scale
+    * shape are [[budgetSelectFromScored]]'s verbatim. Rows-only: the
+    * learned vocab is train-loop output (E26's reason); the spec pins
+    * the admission divergence on a planted OOV doc. */
+  def budgetSelectBpe(spark: SparkSession, sfDir: String,
+      budgetPieces: Long = 15000, nMerges: Int = 30,
+      buckets: Int = 1024): DataFrame =
+    budgetSelectBpeOf(Tables.documents(spark, sfDir),
+      TextAnalysis.bpeApply(spark, sfDir, nMerges),
+      budgetPieces, buckets)
+
+  /** C56 over arbitrary docs + a precomputed piece frame — the spec
+    * entry (hand vocab → hand-checkable selection). */
+  def budgetSelectBpeOf(docs: DataFrame, pieces: DataFrame,
+      budgetPieces: Long, buckets: Int = 1024): DataFrame =
+    budgetSelectFromScored(
+      TextAnalysis.textQualityOf(docs)
+        .select(col("doc_id"),
+          floor(col("quality_score") * 1e6).cast("long").as("q6"))
+        .filter(col("q6").isNotNull)
+        .join(pieces.select(col("doc_id"),
+          col("bpe_pieces").as("n_tokens")), Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("q6")),
+      budgetPieces, buckets)
 
   val budgetSelectSql: String =
     """WITH x AS (
@@ -2863,8 +3081,13 @@ object Curation {
       s"curriculumOrder key packing needs score span < 2^22 and doc_id " +
         s"in [0, 2^40); got span ${r.getLong(0) - r.getLong(1)}, " +
         s"ids [${r.getLong(2)}, ${r.getLong(3)}]")
+    // rebase by the min BEFORE shifting (the lmBuckets/dsir pattern):
+    // the span require bounds the actual multiplicand, so a corpus of
+    // uniformly huge docs can't overflow the packed Long into negative
+    // keys; subtracting a constant preserves the ascending order
     val keyed = scored
-      .withColumn("__ord", col("n_tokens") * lit(1L << 40) + col("doc_id"))
+      .withColumn("__ord",
+        (col("n_tokens") - lit(r.getLong(1))) * lit(1L << 40) + col("doc_id"))
       .withColumn("__one", lit(1L))
     Scale.stratifiedPrefixSum(keyed.withColumn("__all", lit("all")),
         "__all", "__ord", "__one", "rnk", buckets)

@@ -621,9 +621,11 @@ object Monitoring {
     * too — a failing-over pair moves opposite); components via
     * [[Scale.connectedComponents]] (edge count bounded by panel², so
     * the driver union-find fast path always applies); per group the
-    * size and the sorted member list. Rows-only: component labeling is
-    * engine-internal; the spec plants two disjoint common-cause groups
-    * and pins exact recovery. */
+    * size and the sorted member list, serialized as a comma-joined
+    * string (a flat column the driver's rows-only harness can
+    * sort/hash — an ARRAY column crashes its pandas checker).
+    * Rows-only: component labeling is engine-internal; the spec plants
+    * two disjoint common-cause groups and pins exact recovery. */
   def incidentGroups(spark: SparkSession, sfDir: String,
       corrThreshold: Double = 0.8, k: Double = 2.0,
       target: Double = 50.0, slack: Double = 2.5, h: Double = 200.0,
@@ -640,17 +642,61 @@ object Monitoring {
     import spark.implicits._
     require(corrThreshold > 0 && corrThreshold <= 1,
       s"corrThreshold $corrThreshold out of (0, 1]")
-    val pairs = crossCorrAnomaliesOf(events, k, target, slack, h,
-        maxPanel, minBuckets)
-      .filter(abs($"corr_hv") >= corrThreshold)
+    val pairs = incidentPairsOf(events, corrThreshold, k, target,
+        slack, h, maxPanel, minBuckets)
       .select($"device_a".as("id1"), $"device_b".as("id2"))
     Scale.connectedComponents(pairs)
       .groupBy($"comp")
       .agg(count(lit(1)).as("n_devices"),
-        sort_array(collect_list($"id")).as("devices"))
+        array_join(sort_array(collect_list($"id")), ",").as("devices"))
       .select($"comp".as("group_id"), $"n_devices", $"devices")
       .orderBy($"group_id")
   }
+
+  // --------------------------------------------------------------- A58b
+  /** INCIDENT EDGE LIST — the oracle-checkable half of A58: the
+    * correlated-anomaly pairs that survive the |corr| ≥ threshold
+    * screen, i.e. exactly the edges [[incidentGroupsOf]] feeds to
+    * connected components. Splitting the dump means the pair math
+    * (generators → kernel → threshold) is hash-checked against DuckDB
+    * end to end even though component LABELING stays rows-only (labels
+    * are engine-internal, D26's reason). Same composition-oracle
+    * argument as A45b: every member is a parity operator, so the
+    * filtered composition is too. */
+  def incidentPairs(spark: SparkSession, sfDir: String,
+      corrThreshold: Double = 0.8, k: Double = 2.0,
+      target: Double = 50.0, slack: Double = 2.5, h: Double = 200.0,
+      maxPanel: Int = 24, minBuckets: Long = 24): DataFrame =
+    incidentPairsOf(Tables.events(spark, sfDir), corrThreshold,
+      k, target, slack, h, maxPanel, minBuckets)
+
+  /** A58b over an arbitrary events frame. */
+  def incidentPairsOf(events: DataFrame, corrThreshold: Double = 0.8,
+      k: Double = 2.0, target: Double = 50.0, slack: Double = 2.5,
+      h: Double = 200.0, maxPanel: Int = 24,
+      minBuckets: Long = 24): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(corrThreshold > 0 && corrThreshold <= 1,
+      s"corrThreshold $corrThreshold out of (0, 1]")
+    crossCorrAnomaliesOf(events, k, target, slack, h,
+        maxPanel, minBuckets)
+      .filter(abs($"corr_hv") >= corrThreshold)
+      .withColumn("corr_hv", round($"corr_hv", 6))
+      .orderBy($"device_a", $"device_b")
+  }
+
+  /** A58b oracle: A45b's composition SQL with the threshold screen on
+    * top (round-6 quantization on the surfaced float, house rule). */
+  def incidentPairsSql(corrThreshold: Double = 0.8, k: Double = 2.0,
+      target: Double = 50.0, slack: Double = 2.5, h: Double = 200.0,
+      maxPanel: Int = 24, minBuckets: Long = 24): String =
+    s"""WITH pairs AS (
+       |${crossCorrAnomaliesSql(k, target, slack, h, maxPanel, minBuckets)}
+       |)
+       |SELECT device_a, device_b, n_buckets, round(corr_hv, 6) AS corr_hv
+       |FROM pairs WHERE abs(corr_hv) >= $corrThreshold
+       |ORDER BY device_a, device_b""".stripMargin
 
   // ---------------------------------------------------------------- A57
   /** DOWNTIME / SLA calendar — A40's gap list rolled into the

@@ -1885,10 +1885,21 @@ object Similarity {
           excludeSelf = true).localCheckpoint(true)
         if (ownsDir) fs.delete(new org.apache.hadoop.fs.Path(dir), true)
         served
-      } else bruteTopKFrames(emb, queries, k = poolN,
-          knownPairs = Some(nVecs * queryBound))
-        .select($"query_id", $"neighbor_id".as("cand_id"),
-          $"rank".cast("long").as("vec_rank"))
+      } else {
+        // forced-brute (viaIndex=Some(false)) re-checks the ceiling in
+        // DIVISION form: nVecs * queryBound can overflow Long negative
+        // and sail past bruteTopKFrames' `pairs <= max` require,
+        // launching the unbounded cross join the auto-route guard
+        // exists to refuse
+        require(nVecs <= BruteForceMaxPairs / queryBound,
+          s"brute vector leg refused: $nVecs vectors × $queryBound " +
+            s"queries exceeds BruteForceMaxPairs=$BruteForceMaxPairs; " +
+            "use viaIndex=Some(true)")
+        bruteTopKFrames(emb, queries, k = poolN,
+            knownPairs = Some(nVecs * queryBound))
+          .select($"query_id", $"neighbor_id".as("cand_id"),
+            $"rank".cast("long").as("vec_rank"))
+      }
     rrfFuse(textTop, vecTop, k, rrfK)
   }
 
@@ -2168,14 +2179,32 @@ object Similarity {
           writeIvfIndexOf(e, s"$dir/float", nCells = 16)
           compactIvfIndexInt8(spark, s"$dir/float", int8)
         }
+        // servedVecTop's re-densify discipline, cos kept in the
+        // projection: over-fetch by one for the self row, then
+        // truncate back so the pool is exactly poolN whether or not
+        // the probe surfaced the query itself (D22 routing parity)
+        val wP = Window.partitionBy($"query_id")
+          .orderBy($"rank".asc, $"neighbor_id".asc)
         val p = annIvfServe(queries, int8, k = poolN + 1, nProbe = 4)
           .filter($"neighbor_id" =!= $"query_id")
+          .withColumn("__vr", row_number().over(wP))
+          .filter($"__vr" <= poolN)
           .select($"query_id", $"neighbor_id", $"cos")
           .localCheckpoint(true) // outlive the temp index (lazy plan)
         if (ownsDir) fs.delete(new org.apache.hadoop.fs.Path(dir), true)
         p
-      } else bruteTopKFrames(e, queries, k = poolN,
-        knownPairs = Some(nVecs * QueryIdBound))
+      } else {
+        // forced-brute (viaIndex=Some(false)) must re-check the pair
+        // ceiling in DIVISION form — nVecs * bound overflows Long at
+        // planetary corpus sizes and a negative product would sail
+        // past bruteTopKFrames' require
+        require(nVecs <= BruteForceMaxPairs / QueryIdBound,
+          s"brute MMR pool refused: $nVecs vectors × $QueryIdBound " +
+            s"queries exceeds BruteForceMaxPairs=$BruteForceMaxPairs; " +
+            "use viaIndex=Some(true)")
+        bruteTopKFrames(e, queries, k = poolN,
+          knownPairs = Some(nVecs * QueryIdBound))
+      }
     annMmrOf(pool, e, k, lambda)
   }
 

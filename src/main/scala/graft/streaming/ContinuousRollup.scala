@@ -257,12 +257,17 @@ object ContinuousRollup {
       .withColumn("sample_count", lit(0L))
       .select($"user_id", $"window_us", $"metric_sum", $"sample_count",
         $"rollup_key")
-    // A repair is authoritative over any live trigger (batch ids are
-    // small non-negatives; MaxValue/2 dwarfs them) AND over every
-    // EARLIER repair: version = MaxValue/2 + |repairId|, so callers
-    // passing strictly decreasing repairIds (−1, −2, … — the stated
-    // convention) get strict last-repair-wins instead of the undefined
-    // tie two MaxValue stamps would produce.
+    // Cross-batch precedence is APPLY ORDER: UpsertSink.applyBatch
+    // replaces existing keys unconditionally (anti-join + union), so
+    // the last apply wins regardless of version — a repair overwrites
+    // whatever the snapshot holds (including a higher-stamped poison
+    // row), and a LATER live trigger would overwrite a repaired key in
+    // turn. That is safe by protocol, not by version math: repairs
+    // target settled windows past the watermark, where no live trigger
+    // emits. The version column only arbitrates duplicates WITHIN one
+    // batch; a repair emits one row per key, so any distinct stamp
+    // works — MaxValue/2 − repairId keeps successive repairs (−1, −2,
+    // … by convention) distinct for debuggability.
     val batch = recomputed.unionByName(stale)
       .withColumn("__ver", lit(Long.MaxValue / 2 - repairId))
     UpsertSink.applyBatch(batch, repairId, dir, "rollup_key", "__ver",

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Monitoring
+
+/** GENERIC periodic-recompute board — the streaming shape shared by
+  * every "live twin of a whole-history batch product" in this repo
+  * ([[IncidentBoard]] = A58's groups, [[EnsembleBoard]] = A63's
+  * per-device ensemble): some monitoring products (connected
+  * components, full-series correlation, median-based outlier panels)
+  * change NON-INCREMENTALLY when one event arrives, so their honest
+  * live twin is not a state machine but a cadence: land events in an
+  * exactly-once LEDGER, periodically re-run the batch operator over
+  * it, publish the result as a committed EPOCH a reader can always
+  * poll consistently.
+  *
+  * The two fences, once, for every instantiation:
+  *
+  *  1. Ledger: each trigger owns `batch=<id>/` and a replayed trigger
+  *     (same id, same content — checkpoint determinism) OVERWRITES its
+  *     own directory (the AlertSink epoch fence) — never duplicates.
+  *  2. Board: each regroup lands under `epoch=<id>/`; the `_SUCCESS`
+  *     marker is the commit point [[board]] keys on, so a crash
+  *     mid-regroup leaves the previous epoch visible, never a torn
+  *     table; a replayed regroup overwrites its own epoch and
+  *     converges.
+  *
+  * Scale: per-regroup cost = the wrapped batch operator's (each is
+  * individually audited) + one ledger scan — the honest price of a
+  * whole-history product. `regroupEvery` trades staleness against
+  * regroup frequency; a retention sweep over old `batch=` directories
+  * bounds the ledger when the analysis window is finite. */
+object LedgerBoard {
+
+  /** Attach a board maintainer: `recompute` is the batch operator run
+    * over the accumulated ledger at each regroup trigger. */
+  def start(events: DataFrame, ledgerDir: String, boardDir: String,
+      checkpointDir: String, regroupEvery: Int = 1)(
+      recompute: DataFrame => DataFrame): StreamingQuery = {
+    require(regroupEvery >= 1, s"regroupEvery $regroupEvery must be >= 1")
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, ledgerDir, boardDir, regroupEvery)(
+          recompute)
+      }
+      .start()
+  }
+
+  /** One trigger: ledger append (exactly-once) + periodic recompute.
+    * Public so replay-fence specs can re-invoke a delivered batch. */
+  def applyBatch(batch: DataFrame, batchId: Long, ledgerDir: String,
+      boardDir: String, regroupEvery: Int)(
+      recompute: DataFrame => DataFrame): Unit = {
+    val spark = batch.sparkSession
+    batch.select("event_id", "ts", "user_id", "event_type", "value",
+        "props")
+      .write.mode("overwrite").parquet(s"$ledgerDir/batch=$batchId")
+    if (batchId % regroupEvery == 0) {
+      val history = spark.read.parquet(ledgerDir).drop("batch")
+      recompute(history)
+        .write.mode("overwrite").parquet(s"$boardDir/epoch=$batchId")
+    }
+  }
+
+  /** The newest COMMITTED epoch (`_SUCCESS`-marked — see the board
+    * fence above). */
+  def board(spark: SparkSession, boardDir: String): DataFrame = {
+    val root = new Path(boardDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epochs =
+      if (!fs.exists(root)) Array.empty[Long]
+      else fs.listStatus(root).map(_.getPath)
+        .filter(_.getName.startsWith("epoch="))
+        .filter(p => fs.exists(new Path(p, "_SUCCESS")))
+        .map(_.getName.stripPrefix("epoch=").toLong)
+    require(epochs.nonEmpty, s"no committed board epoch under $boardDir")
+    spark.read.parquet(s"$boardDir/epoch=${epochs.max}")
+  }
+}
+
+/** STREAMING anomaly-ensemble board — A63's live twin on the
+  * [[LedgerBoard]] cadence: the per-device multi-detector panel
+  * (z-score sample counts, MAD counts, CUSUM alarm magnitude, the
+  * ensemble verdict) recomputed over the full ledger each regroup.
+  * A63 is median- and full-series-moment-based, so it shares A58's
+  * non-incremental character — the cadence shape is the honest twin
+  * (the pager-speed detectors already stream: A33/A37/A52's kin);
+  * THIS board is what the ops review polls for "which devices do the
+  * detectors agree on right now". Spec pins replayed-history parity
+  * with batch A63. */
+object EnsembleBoard {
+  def start(events: DataFrame, ledgerDir: String, boardDir: String,
+      checkpointDir: String, k: Double = 2.0, kMad: Double = 3.5,
+      target: Double = 50.0, slack: Double = 2.5, h: Double = 200.0,
+      regroupEvery: Int = 1): StreamingQuery =
+    LedgerBoard.start(events, ledgerDir, boardDir, checkpointDir,
+      regroupEvery)(history =>
+      Monitoring.anomalyEnsembleOf(history, k, kMad, target, slack, h))
+
+  def board(spark: SparkSession, boardDir: String): DataFrame =
+    LedgerBoard.board(spark, boardDir)
+}

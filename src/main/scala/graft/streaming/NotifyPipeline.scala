@@ -40,4 +40,46 @@ object NotifyPipeline {
     AlertSink.start(
       AlertSink.suppressStream(HealthMonitor.monitor(events), cooldownUs),
       outDir, checkpointDir, notifier)
+
+  /** [[start]] with a LIVE ALERT BOARD downstream: beside the append
+    * audit log + notifier, every delivered alert upserts its
+    * (device, action) row into an [[UpsertSink]] snapshot — the
+    * "what is each device's current state per ladder action" table an
+    * on-call dashboard polls, without scanning the epoch log. One
+    * trigger, both sinks, exactly-once EACH by their own fences:
+    * delivery overwrites its epoch directory, the board upsert
+    * short-circuits on its batch marker — so a replayed trigger
+    * leaves log AND board unchanged (the composed spec pins both).
+    * Within a batch the later event time wins (verCol = unix micros);
+    * across batches apply order = trigger order, which IS event-time
+    * order per key because the suppress stage's fence drops
+    * out-of-order repeats. */
+  def startWithBoard(events: Dataset[DeviceEvent], outDir: String,
+      boardDir: String, checkpointDir: String,
+      cooldownUs: Long = 1800000000L,
+      notifier: AlertSink.Notifier = AlertSink.LogNotifier,
+      nBuckets: Int = 16): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    AlertSink.suppressStream(HealthMonitor.monitor(events), cooldownUs)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[HealthAlert], epochId: Long) =>
+        AlertSink.deliverBatch(batch, epochId, outDir, notifier)
+        UpsertSink.applyBatch(
+          batch.toDF()
+            .withColumn("alert_key",
+              concat_ws(":", col("user_id"), col("action")))
+            .withColumn("__ver", expr("unix_micros(ts)")),
+          epochId, boardDir, "alert_key", "__ver", nBuckets)
+      }
+      .start()
+  }
+
+  /** The live alert board: one row per (device, action) with the
+    * latest delivered transition. */
+  def board(spark: org.apache.spark.sql.SparkSession,
+      boardDir: String): org.apache.spark.sql.DataFrame =
+    UpsertSink.snapshot(spark, boardDir)
+      .select("user_id", "ts", "action", "consec_fails")
 }

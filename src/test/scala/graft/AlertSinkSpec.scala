@@ -132,6 +132,56 @@ class AlertSinkSpec extends SparkSpec {
       .map(_.toSeq).toSeq.sortBy(_.toString)
     assert(after === before, "replayed trigger changed the audit log")
   }
+
+  test("notify pipeline board: latest (device, action) rows live, replayed trigger changes neither log nor board") {
+    import org.apache.spark.sql.functions.{col, concat_ws, expr}
+    val outDir = java.nio.file.Files.createTempDirectory("graft-nb").toString
+    val boardDir = java.nio.file.Files.createTempDirectory("graft-nb-brd").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-nb-ck").toString
+    val input = MemoryStream[DeviceEvent](103, spark, None)
+    val q = graft.streaming.NotifyPipeline.startWithBoard(
+      input.toDS(), outDir, boardDir, ckDir,
+      cooldownUs = 1800000000L, notifier = CountingNotifier)
+    try {
+      // batch 1: device 7 fails 3× → SERVICE_RESTART pages
+      input.addData((1 to 3).map(i => ev(i, i, 7L, "error")))
+      q.processAllAvailable()
+      // batch 2: device 7 recovers (different action → pages through
+      // the cooldown); device 9's own ladder fires independently
+      input.addData(Seq(ev(4, 4, 7L, "click")) ++
+        (5 to 7).map(i => ev(i + 10L, i, 9L, "error")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the board is exactly "latest delivered transition per (device,
+    // action)" — derivable from the audit log, maintained without
+    // scanning it
+    val board = graft.streaming.NotifyPipeline.board(spark, boardDir)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getTimestamp(1)))
+      .toSet
+    val fromLog = AlertSink.deliveredLog(spark, outDir)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getTimestamp(1)))
+      .groupBy(t => (t._1, t._2))
+      .map { case (_, rows) => rows.maxBy(_._3.getTime) }.toSet
+    assert(board === fromLog, s"board $board != log-derived $fromLog")
+    assert(board.map(_._2) === Set(HealthMonitor.SERVICE_RESTART,
+      HealthMonitor.RECOVERED), s"board actions: $board")
+    assert(board.map(_._1) === Set(7L, 9L))
+
+    // replayed trigger: the board upsert short-circuits on its batch
+    // marker — even a poisoned re-apply of a delivered epoch is a no-op
+    val poison = Seq(HealthAlert(999L,
+        Timestamp.valueOf("2024-01-01 11:00:00"), "restart", 9))
+      .toDS().toDF()
+      .withColumn("alert_key", concat_ws(":", col("user_id"), col("action")))
+      .withColumn("__ver", expr("unix_micros(ts)"))
+    graft.streaming.UpsertSink.applyBatch(poison, 0L, boardDir,
+      "alert_key", "__ver", 16)
+    val after = graft.streaming.NotifyPipeline.board(spark, boardDir)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getTimestamp(1)))
+      .toSet
+    assert(after === board, "replayed trigger changed the board")
+  }
 }
 
 /** Serializable counting notifier; local-mode executors share the JVM,

@@ -164,8 +164,8 @@ class ContinuousRollupSpec extends SparkSpec {
       .collect()
     assert(ghost.length === 1 && ghost.head.getDouble(2) === 0.0 &&
       ghost.head.getLong(3) === 0L, "ghost row not zeroed by the repair")
-    // a re-run of the same repair converges (content-idempotent apply,
-    // and the later repairId carries the strictly larger version)
+    // a re-run of the same repair converges (content-idempotent apply;
+    // precedence is apply order — the fresh repairId skips the marker)
     ContinuousRollup.backfillSums(spark, sf, dir,
       vw + 7L, vw + 8L, repairId = -1001L, nBuckets = 8)
     val again = ContinuousRollup.snapshot(spark, dir)

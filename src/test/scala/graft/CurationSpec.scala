@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Curation
+import graft.operators.{Curation, TextAnalysis}
 
 class CurationSpec extends SparkSpec {
   import spark.implicits._
@@ -695,6 +695,188 @@ class CurationSpec extends SparkSpec {
     val wsTotal = Curation.packSequences(Tables.documents(spark, sf))
       .agg(org.apache.spark.sql.functions.sum(col("n_tokens"))).head.getLong(0)
     assert(cum > wsTotal, s"piece stream $cum not above word stream $wsTotal")
+  }
+
+  test("decontaminate_bloom: zero false negatives, low fp rate, exact parity with C12") {
+    import graft.functions.BloomFunctions
+    // the sketch itself: every inserted key hits (the property the
+    // exact-confirm design rests on); disjoint keys hit at ~fpp
+    val rnd = new scala.util.Random(7)
+    val in = Array.fill(5000)(rnd.nextLong())
+    val bloom = org.apache.spark.util.sketch.BloomFilter
+      .create(5000L, 0.001)
+    in.foreach(bloom.putLong)
+    val inSet = in.toSet
+    val out = Array.fill(20000)(rnd.nextLong()).filterNot(inSet)
+    assert(in.forall(bloom.mightContainLong),
+      "bloom false negative — an inserted key was not found")
+    val fps = out.count(bloom.mightContainLong)
+    assert(fps <= out.length / 100,
+      s"bloom fp rate ${fps.toDouble / out.length} far above tuned 0.001")
+    // the native expression agrees with the sketch probe, under codegen
+    val probed = (in.take(100) ++ out.take(100)).toSeq.toDF("g")
+      .withColumn("hit", BloomFunctions.mightContain(col("g"), bloom))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    probed.foreach { case (g, hitCol) =>
+      assert(hitCol === bloom.mightContainLong(g),
+        s"expression/eval divergence on $g")
+    }
+    // operator parity: a planted leak + clean docs behave exactly as C12
+    def words(a: Int, b: Int) = (a until b).map(i => s"w$i").mkString(" ")
+    val leak = words(100, 120)
+    val docs = Seq((1L, "en", "s", words(0, 40)),
+      (2L, "en", "s", s"prefix text here ${leak} suffix"),
+      (3L, "en", "s", words(200, 240)))
+      .toDF("doc_id", "lang", "source", "text")
+    val bench = Seq((100L, "en", "s", leak))
+      .toDF("doc_id", "lang", "source", "text")
+    val viaBloom = Curation.decontaminateBloom(docs, bench)
+      .collect().map(_.getLong(0)).toSet
+    val viaExact = Curation.decontaminate(docs, bench)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaBloom === viaExact && viaBloom === Set(1L, 3L),
+      s"bloom path $viaBloom != exact path $viaExact")
+    // empty benchmark: nothing can leak, docs unchanged
+    assert(Curation.decontaminateBloom(docs,
+      bench.limit(0)).count() === 3L)
+    // full-corpus parity at spec SF (the oracle pins this per round at
+    // the driver SF too — both entries share one SQL)
+    val a = Curation.decontamBloomQuery(spark, sf)
+    val b = Curation.decontamQuery(spark, sf)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0,
+      "bloom-path corpus result drifted from C12")
+  }
+
+  test("pipeline_curate_gated: bad recall refuses loudly, good recall passes with C6b parity, empty baseline vacuous") {
+    def report(recall: java.lang.Double, base: Long) = Seq(
+      ("minhash_lsh", 10L, base, 4L, recall),
+      ("simhash", 3L, base, 1L, recall),
+    ).toDF("method", "found_pairs", "baseline_pairs", "matched", "recall")
+    val docs = Tables.documents(spark, sf)
+    // fail-path: a known-bad banding must refuse before any curation
+    val e = intercept[IllegalArgumentException] {
+      Curation.curateGatedOf(docs, report(0.4, 10L), minRecall = 0.8)
+    }
+    assert(e.getMessage.contains("0.400000") &&
+      e.getMessage.contains("recall gate"), e.getMessage)
+    // pass-path: identical rows to the ungated chain
+    val gated = Curation.curateGatedOf(docs, report(1.0, 10L))
+      .collect().map(_.getLong(0)).toSeq
+    val plain = Curation.curate(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(gated === plain, "gated pass-path drifted from C6b")
+    // vacuous path: zero baseline pairs (null recall) is healthy
+    assert(Curation.curateGatedOf(docs, report(null, 0L)).count() ===
+      plain.size.toLong)
+    // the driver entry end to end (real cached C54 report — recall is
+    // 1.0 at spec SF, so the gate passes and emits the curated corpus)
+    assert(Curation.curateGated(spark, sf).count() === plain.size.toLong)
+  }
+
+  test("mix_sample_bpe: piece-denominated budgets reject the OOV doc whitespace admits") {
+    // hand vocab: "aa" whole (1 piece); "cc" is OOV → char fallback (2)
+    val vocab = Seq(("aa", Seq("aa"))).toDF("term", "syms")
+    val docs = Seq(
+      (0L, "en", "srcA", "aa aa"),       // ws 2, pieces 2
+      (1L, "en", "srcA", "cc cc cc"),    // ws 3, pieces 6 — the OOV doc
+      (2L, "en", "srcA", "aa"),          // ws 1, pieces 1
+      (3L, "en", "srcB", "cc"),          // ws 1, pieces 2
+    ).toDF("doc_id", "lang", "source", "text")
+    val pieces = TextAnalysis.bpeApplyOf(docs, vocab)
+    val budgets = Map("srcA" -> 5L)
+    // whitespace admission (cum ≤ 5 in doc_id order): 2, 5, 6 → {0, 1}
+    val ws = Curation.mixSample(docs, "source", budgets, defaultBudget = 2L)
+      .collect().map(_.getLong(0)).toSet
+    assert(ws === Set(0L, 1L, 3L), s"whitespace admission drifted: $ws")
+    // piece admission: 2, 8, 9 → the OOV doc blows the same budget and
+    // everything behind it in the greedy prefix stays out too
+    val bpe = Curation.mixSampleBpeOf(docs, pieces, "source", budgets,
+      defaultBudget = 2L).collect().map(_.getLong(0)).toSet
+    assert(bpe === Set(0L, 3L), s"piece admission wrong: $bpe")
+    // driver query: non-empty, and per-source piece mass inside budget
+    val out = Curation.mixSampleBpeQuery(spark, sf)
+    assert(out.count() > 0)
+    val perSrc = out.groupBy($"source")
+      .agg(org.apache.spark.sql.functions.sum($"n_tokens").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSrc.foreach { case (s, m) =>
+      val cap = Map("src0" -> 1000000L, "src1" -> 500L).getOrElse(s, 800L)
+      assert(m <= cap, s"source $s piece mass $m over budget $cap")
+    }
+  }
+
+  test("budget_select_bpe: piece budget cuts the prefix earlier than the whitespace budget") {
+    val vocab = Seq(("aa", Seq("aa"))).toDF("term", "syms")
+    // identical E2 quality per doc (same shape, same length term), so
+    // the selection order is pure doc_id tiebreak — what differs is
+    // ONLY the denomination: 4 whitespace tokens each, but the OOV doc
+    // costs 8 pieces
+    val docs = Seq(
+      (0L, "aa aa aa aa"),  // 4 ws, 4 pieces
+      (1L, "cc cc cc cc"),  // 4 ws, 8 pieces — OOV
+      (2L, "aa aa aa aa"),  // 4 ws, 4 pieces
+    ).toDF("doc_id", "text")
+    val pieces = TextAnalysis.bpeApplyOf(docs, vocab)
+    val ws = Curation.budgetSelect(docs, budgetTokens = 10, buckets = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(ws === Set(0L, 1L, 2L), s"whitespace selection drifted: $ws")
+    // pieces cum: 4, 12, 16 — doc 1 straddles (cum_before 4 < 10 →
+    // kept, the C28 boundary rule), doc 2 sees cum_before 12 → out
+    val bpe = Curation.budgetSelectBpeOf(docs, pieces, budgetPieces = 10,
+      buckets = 2).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(bpe.map(_._1).toSet === Set(0L, 1L), s"piece selection: ${bpe.toSeq}")
+    assert(bpe.toMap === Map(0L -> 4L, 1L -> 8L),
+      s"piece counts wrong: ${bpe.toSeq}")
+    // driver query: non-empty, piece mass before the last doc < budget
+    val out = Curation.budgetSelectBpe(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(3) - r.getLong(1) < 15000L,
+      s"doc ${r.getLong(0)} admitted after the piece budget closed"))
+  }
+
+  test("domain_cap_bpe: LCG-ordered piece budget per domain, diverges from the doc-count cap") {
+    val vocab = Seq(("aa", Seq("aa"))).toDF("term", "syms")
+    val docs = Seq(
+      (10L, "x", "aa"),       // 1 piece
+      (11L, "x", "cc"),       // 2 pieces (OOV)
+      (12L, "x", "cc cc"),    // 4 pieces
+      (20L, "y", "aa aa"),    // 2 pieces
+    ).toDF("doc_id", "source", "text").withColumn("lang", lit("en"))
+    val pieces = TextAnalysis.bpeApplyOf(docs, vocab)
+    val pieceOf = Map(10L -> 1L, 11L -> 2L, 12L -> 4L, 20L -> 2L)
+    // independent simulation: the admission order is the seeded LCG
+    // key order (C25's), the cut is the greedy piece prefix (C14's)
+    val keyed = docs.select($"doc_id", $"source",
+      Curation.shuffleKey($"doc_id", 11L).as("k"))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(0)))
+    val expected = keyed.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      var cum = 0L
+      // cum is monotone, so the greedy prefix is just "admit while ≤"
+      rows.sortBy(t => (t._2, t._3)).toSeq.flatMap { case (_, _, id) =>
+        cum += pieceOf(id)
+        if (cum <= 2L) Some(id) else None
+      }
+    }.toSet
+    val got = Curation.domainCapBpeOf(docs, pieces, "source",
+      budgetPieces = 2L, seed = 11L).collect().map(_.getLong(0)).toSet
+    assert(got === expected, s"got $got, simulated $expected")
+    // per-domain piece mass never exceeds the budget…
+    Seq("x", "y").foreach { d =>
+      val m = got.toSeq.filter(id => (if (d == "x") id < 20 else id >= 20))
+        .map(pieceOf).sum
+      assert(m <= 2L, s"domain $d piece mass $m over budget")
+    }
+    // …and the doc-COUNT cap (k=2) admits a different set than the
+    // piece budget on this corpus — the divergence C57 exists for
+    val docCap = Curation.domainCap(docs, "source", k = 2, seed = 11L)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(docCap !== got, s"doc-count cap $docCap == piece cap $got")
+    // driver query: non-empty, per-domain piece mass within budget
+    val out = Curation.domainCapBpe(spark, sf)
+    assert(out.count() > 0)
+    val perDom = out.groupBy($"source")
+      .agg(org.apache.spark.sql.functions.sum($"n_tokens").as("m"))
+      .collect().map(_.getLong(1))
+    perDom.foreach(m => assert(m <= 600L, s"domain piece mass $m over 600"))
   }
 
   test("quality_rank_cut: keeps exactly the top floor(num*n/den) per source") {

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Monitoring
+import graft.sources.EventSource
+import graft.streaming.IncidentBoard
+
+class IncidentBoardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.collect().map(r => (r.getLong(1), r.getString(2))).toSet
+
+  test("incident board: replayed history equals batch A58, fence holds, epochs advance") {
+    val staging = tmp("graft-ib-in")
+    val ledger = tmp("graft-ib-led")
+    val board = tmp("graft-ib-brd")
+    val ckpt = tmp("graft-ib-ck")
+    val stream = EventSource.replayTable(spark, sf, staging, parts = 3)
+    // screening threshold 0.3 — the driver row's reasoning: real edges
+    // at spec SF so the full pair→component path executes live
+    val q = IncidentBoard.start(stream, ledger, board, ckpt,
+      corrThreshold = 0.3)
+    try q.processAllAvailable() finally q.stop()
+
+    val live = IncidentBoard.board(spark, board)
+    val batch = Monitoring.incidentGroups(spark, sf, corrThreshold = 0.3)
+    assert(rows(live) === rows(batch),
+      s"board != batch A58: ${rows(live)} vs ${rows(batch)}")
+    assert(live.count() > 0, "replay produced an empty board")
+
+    // replay fence: re-invoking a delivered trigger (same id, same
+    // content — checkpoint determinism) must leave board AND ledger
+    // ledger semantics unchanged (epoch overwrite, not append)
+    // pin: the replay below OVERWRITES batch=0 while this plan would
+    // lazily read it — materialize before the rewrite
+    val b0 = spark.read.parquet(s"$ledger/batch=0").localCheckpoint(true)
+    val ledgerBefore = spark.read.parquet(ledger).count()
+    IncidentBoard.applyBatch(b0, 0L, ledger, board, 0.3, 2.0, 50.0,
+      2.5, 200.0, 24, 24L, regroupEvery = 1)
+    assert(spark.read.parquet(ledger).count() === ledgerBefore,
+      "replayed trigger grew the ledger — epoch overwrite broken")
+    assert(rows(IncidentBoard.board(spark, board)) === rows(batch),
+      "replayed trigger changed the board")
+
+    // the board reader keys on the newest COMMITTED epoch: an epoch
+    // directory without _SUCCESS (torn regroup) must stay invisible
+    val fs = new org.apache.hadoop.fs.Path(board)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val torn = new org.apache.hadoop.fs.Path(s"$board/epoch=999999")
+    fs.mkdirs(torn)
+    assert(rows(IncidentBoard.board(spark, board)) === rows(batch),
+      "uncommitted epoch leaked into the board")
+    fs.delete(torn, true)
+
+    // regroupEvery > 1: only regroup triggers move the board epoch —
+    // intermediate batches land in the ledger but the board holds the
+    // last regroup (staleness is the stated knob, not a bug)
+    val board2 = tmp("graft-ib-brd2")
+    val ledger2 = tmp("graft-ib-led2")
+    (0L until 3L).foreach { b =>
+      IncidentBoard.applyBatch(
+        spark.read.parquet(s"$ledger/batch=$b"), b, ledger2, board2,
+        0.3, 2.0, 50.0, 2.5, 200.0, 24, 24L, regroupEvery = 2)
+    }
+    val epochs = fs.listStatus(new org.apache.hadoop.fs.Path(board2))
+      .map(_.getPath.getName).filter(_.startsWith("epoch=")).sorted
+    assert(epochs.toSeq === Seq("epoch=0", "epoch=2"),
+      s"regroupEvery=2 epochs: ${epochs.toSeq}")
+    // and the final epoch (full ledger) still matches batch A58
+    assert(rows(IncidentBoard.board(spark, board2)) === rows(batch),
+      "cadenced board drifted from batch A58 at the final regroup")
+  }
+
+  test("ensemble board: replayed history equals batch A63 row for row") {
+    val staging = tmp("graft-eb-in")
+    val ledger = tmp("graft-eb-led")
+    val board = tmp("graft-eb-brd")
+    val ckpt = tmp("graft-eb-ck")
+    val stream = EventSource.replayTable(spark, sf, staging, parts = 3)
+    val q = graft.streaming.EnsembleBoard.start(stream, ledger, board, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val live = graft.streaming.EnsembleBoard.board(spark, board)
+    val batch = Monitoring.anomalyEnsemble(spark, sf)
+    assert(live.count() > 0, "replay produced an empty ensemble board")
+    assert(live.exceptAll(batch).count() === 0 &&
+      batch.exceptAll(live).count() === 0,
+      "ensemble board != batch A63 on replayed history")
+  }
+}

@@ -514,9 +514,15 @@ class MonitoringSpec extends SparkSpec {
       .toDF("user_id", "event_id", "ts", "event_type", "value")
     val groups = Monitoring.incidentGroupsOf(events, corrThreshold = 0.8,
       maxPanel = 8, minBuckets = 24).collect()
-      .map(r => r.getSeq[Long](2).toSet)
+      .map(r => r.getString(2).split(",").map(_.toLong).toSet)
     assert(groups.toSet === Set(Set(1L, 2L), Set(5L, 6L)),
       s"groups: ${groups.toSeq}")
+    // the pair half (A58b): exactly the within-group edges survive the
+    // threshold, and members ∪ pairs == members ∪ groups
+    val pairEdges = Monitoring.incidentPairsOf(events,
+      corrThreshold = 0.8, maxPanel = 8, minBuckets = 24).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairEdges === Set((1L, 2L), (5L, 6L)), s"pairs: $pairEdges")
     // the driver row (screening threshold — see SparkEntry): real
     // edges at driver SF, every group ≥ 2 devices, sizes honest
     val driver = Monitoring.incidentGroups(spark, sf, corrThreshold = 0.3)
@@ -524,7 +530,7 @@ class MonitoringSpec extends SparkSpec {
     assert(driver.nonEmpty, "driver screening threshold found no groups")
     driver.foreach { r =>
       assert(r.getLong(1) >= 2L &&
-        r.getLong(1) === r.getSeq[Long](2).size.toLong)
+        r.getLong(1) === r.getString(2).split(",").length.toLong)
     }
   }
 

@@ -51,6 +51,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"unexpected sort-merge join:\n$p")
   }
 
+  test("q3: joins broadcast and top-k is TakeOrdered, not a global sort") {
+    // the r10 bench drift watch item: a flip of either join to SMJ or
+    // of the limit to a full sort is the only plan change that could
+    // explain a real q3 regression — pin both
+    val p = executedPlan(Relational.q3ShippingPriority(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"q3 dims not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q3 join flipped to SMJ:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q3 top-k lost TakeOrderedAndProject:\n$p")
+  }
+
   test("q5: dim chain broadcasts even in the 6-way star join") {
     val p = executedPlan(Relational.q5LocalSupplier(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"no broadcast joins in star:\n$p")
