@@ -236,6 +236,8 @@ object SparkEntry {
       TextAnalysis.textHapax(s, d)),
     "gram_memorization" -> ((s: SparkSession, d: String) =>
       Curation.gramMemorization(s, d)),
+    "quality_classifier" -> ((s: SparkSession, d: String) =>
+      Curation.qualityClassifier(s, d)),
     "gopher_rules" -> ((s: SparkSession, d: String) =>
       Curation.gopherRulesQuery(s, d)),
     "repetition_rules" -> ((s: SparkSession, d: String) =>
@@ -495,6 +497,7 @@ object SparkEntry {
     "text_hapax" -> TextAnalysis.textHapaxSql,
     "gram_memorization" -> Curation.gramMemorizationSql(),
     "gopher_rules" -> Curation.gopherRulesSql(),
+    "quality_classifier" -> Curation.qualityClassifierSql(),
     "repetition_rules" -> Curation.repetitionRulesSql(),
     "curriculum_order" -> Curation.curriculumOrderSql(),
     "pack_curriculum" -> Curation.packCurriculumSql(),

@@ -2864,6 +2864,152 @@ object Curation {
       .replace("%GOPHER%", gopherRulesSql())
       .replace("%REP%", repetitionRulesSql())
 
+  // ------------------------------------------------------------- C60
+  /** MODEL-BASED quality filter — the published pipelines' "train a
+    * classifier on a quality seed, score the corpus, keep what the
+    * model likes" step (CCNet's Wikipedia-reference LM filter,
+    * LLaMA's classifier pass), as a first-class operator: a TWO-CLASS
+    * naive Bayes over hashed-bigram features
+    * ([[graft.functions.TextFunctions.bigramBuckets]] — the portable
+    * C37 hash pipeline), trained on any LABELED doc frame and scoring
+    * every doc with z = Σ n_f·w_f, w_f = ln((pos_f+1)/(pos+B)) −
+    * ln((neg_f+1)/(neg+B)) (add-1 smoothing; the class-prior term is
+    * deliberately absorbed into `threshold` so the knob is one
+    * number). C37 scores "looks like the TARGET DOMAIN vs the raw
+    * corpus"; THIS scores "looks like the GOOD class vs the BAD
+    * class" — the estimator differs exactly where the use case does
+    * (denominator = the negative class, not everything). Features
+    * unseen in the labeled set take the smoothed floor weight
+    * ln((neg+B)/(pos+B)) instead of silently dropping out — a fully
+    * novel doc reads as the class-mass prior, not as spuriously
+    * confident.
+    *
+    * The driver row closes the loop with published parts only: labels
+    * = C50's Gopher verdict (battery pass = positive), so the
+    * classifier GENERALIZES the hand rules into a statistical gate —
+    * and the whole train+score computation is ORACLE-CHECKED (ln of
+    * exact integer ratios + the DECIMAL(28,12) order-free sum, the
+    * C37 parity argument verbatim).
+    *
+    * Scale shape: one feature pass (pinned — class counts and the
+    * scoring join both read it), bucket stats ≤ nBuckets broadcast,
+    * nothing pairs documents; training cost is the feature pass, so
+    * "retrain on a new seed" is one corpus scan. */
+  def qualityClassifier(spark: SparkSession, sfDir: String,
+      nBuckets: Int = 4096, threshold: Double = 0.0): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    qualityClassifierOf(docs,
+      gopherRules(docs).select(col("doc_id"), col("passed").as("is_pos")),
+      nBuckets, threshold)
+  }
+
+  /** C60 over arbitrary docs + labels (doc_id, is_pos) — the spec
+    * entry; docs absent from `labels` are scored but not trained on. */
+  def qualityClassifierOf(docs: DataFrame, labels: DataFrame,
+      nBuckets: Int = 4096, threshold: Double = 0.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(nBuckets >= 2 && (nBuckets & (nBuckets - 1)) == 0,
+      s"nBuckets $nBuckets must be a power of two (the oracle's " +
+        "mod-2^64 chain reduces exactly only then)")
+    val nf = docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.bigramBuckets(
+          TextAnalysis.tokens("text"), nBuckets).as("bs"))
+      .select(col("doc_id"), explode(col("bs")).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("nf"))
+      .localCheckpoint(true) // class counts + scoring join both read it
+    val counts = nf
+      .join(labels.select(col("doc_id"), col("is_pos")), Seq("doc_id"))
+      .groupBy($"b")
+      .agg(sum(when($"is_pos", $"nf").otherwise(0L)).as("pc"),
+        sum(when(!$"is_pos", $"nf").otherwise(0L)).as("nc"))
+      .localCheckpoint(true) // ≤ nBuckets rows; totals probe + weights
+    val t = counts.agg(sum($"pc"), sum($"nc")).head()
+    if (t.isNullAt(0))
+      return docs.select(col("doc_id"), col("source"),
+        lit(0.0).as("nb_z"), lit(false).as("keep"))
+    val (pt, nt) = (t.getLong(0), t.getLong(1))
+    // smoothed floor for features absent from the labeled set
+    val w0 = math.log((nt + nBuckets).toDouble / (pt + nBuckets).toDouble)
+    val w = counts.select($"b",
+      (log(($"pc" + 1L).cast("double") / lit((pt + nBuckets).toDouble)) -
+        log(($"nc" + 1L).cast("double") / lit((nt + nBuckets).toDouble)))
+        .as("w"))
+    val z = nf.join(broadcast(w), Seq("b"), "left")
+      .groupBy($"doc_id")
+      .agg(sum(($"nf" * coalesce($"w", lit(w0))).cast("decimal(28,12)"))
+        .cast("double").as("z"))
+    docs.select(col("doc_id"), col("source"))
+      .join(z, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        round(coalesce(col("z"), lit(0.0)), 6).as("nb_z"),
+        (coalesce(col("z"), lit(0.0)) > threshold).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C60's composition oracle: C50's verdict labels the t CTE, then
+    * the C37 hash/count/ln/decimal-sum chain with two-class counts. */
+  def qualityClassifierSql(nBuckets: Int = 4096,
+      threshold: Double = 0.0): String =
+    // substitute %GOPHER% AFTER stripMargin (the member SQL rule)
+    """WITH g AS (%GOPHER%),
+      |t AS (
+      |  SELECT d.doc_id, g.passed AS is_t,
+      |    regexp_extract_all(lower(d.text), '[a-z0-9]+') AS toks
+      |  FROM documents d JOIN g ON d.doc_id = g.doc_id),
+      |h0 AS (SELECT doc_id, is_t,
+      |  list_transform(list_transform(toks, tok ->
+      |    list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(string_split(tok, ''), c -> ord(c))),
+      |      (h, c) -> (h * 31 + c) % 4294967296)),
+      |    u -> CAST(CASE WHEN u >= 2147483648 THEN u - 4294967296 ELSE u END AS BIGINT)) AS th
+      |  FROM t),
+      |hA AS (SELECT doc_id, is_t, list_transform(th, x -> xor(x, x >> 33)) AS th FROM h0),
+      |hB AS (SELECT doc_id, is_t, list_transform(list_transform(th, x ->
+      |    ((CASE WHEN x < 0 THEN x::HUGEINT + 18446744073709551616 ELSE x::HUGEINT END)
+      |      * 18397679294719823053) % 18446744073709551616),
+      |  u -> CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT)) AS th FROM hA),
+      |hC AS (SELECT doc_id, is_t, list_transform(th, x -> xor(x, x >> 29)) AS th FROM hB),
+      |hD AS (SELECT doc_id, is_t, list_transform(list_transform(th, x ->
+      |    ((CASE WHEN x < 0 THEN x::HUGEINT + 18446744073709551616 ELSE x::HUGEINT END)
+      |      * 14181476777654086739) % 18446744073709551616),
+      |  u -> CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT)) AS th FROM hC),
+      |hE AS (SELECT doc_id, is_t, list_transform(th, x -> xor(x, x >> 32)) AS th FROM hD),
+      |bg AS (
+      |  SELECT doc_id, is_t,
+      |    unnest(list_transform(range(1, len(th)), i ->
+      |      CAST(((CASE WHEN th[i] < 0 THEN th[i]::HUGEINT + 18446744073709551616
+      |              ELSE th[i]::HUGEINT END) * 6364136223846793005
+      |            + (CASE WHEN th[i+1] < 0 THEN th[i+1]::HUGEINT + 18446744073709551616
+      |              ELSE th[i+1]::HUGEINT END)) % __B__ AS BIGINT))) AS b
+      |  FROM hE WHERE len(th) >= 2),
+      |nf AS (SELECT doc_id, is_t, b, COUNT(*) AS nf FROM bg GROUP BY 1, 2, 3),
+      |c AS (
+      |  SELECT b,
+      |    CAST(SUM(CASE WHEN is_t THEN nf ELSE 0 END) AS BIGINT) AS pc,
+      |    CAST(SUM(CASE WHEN NOT is_t THEN nf ELSE 0 END) AS BIGINT) AS nc
+      |  FROM nf GROUP BY b),
+      |tt AS (SELECT CAST(SUM(pc) AS BIGINT) AS pt,
+      |  CAST(SUM(nc) AS BIGINT) AS nt FROM c),
+      |w AS (
+      |  SELECT b,
+      |    ln(CAST(pc + 1 AS DOUBLE) / CAST(pt + __B__ AS DOUBLE)) -
+      |    ln(CAST(nc + 1 AS DOUBLE) / CAST(nt + __B__ AS DOUBLE)) AS w
+      |  FROM c, tt),
+      |s AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CAST(nf * w AS DECIMAL(28,12))) AS DOUBLE) AS z
+      |  FROM nf JOIN w USING (b) GROUP BY doc_id)
+      |SELECT d.doc_id, d.source, ROUND(COALESCE(s.z, 0.0), 6) AS nb_z,
+      |  COALESCE(s.z, 0.0) > __THR__ AS keep
+      |FROM documents d LEFT JOIN s USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+      .replace("%GOPHER%", gopherRulesSql())
+      .replace("__B__", nBuckets.toString)
+      .replace("__THR__", threshold.toString)
+
   def gopherRulesSql(minWords: Long = 50L, maxWords: Long = 100000L,
       minWordLen: Double = 3.0, maxWordLen: Double = 10.0,
       minAlphaFrac: Double = 0.8, minStopWords: Long = 2L): String =

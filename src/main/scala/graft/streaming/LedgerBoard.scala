@@ -67,6 +67,40 @@ object LedgerBoard {
     }
   }
 
+  /** The retention sweep the scale note promises: drop ledger batches
+    * below `keepFromBatchId` (and, with `pruneBoard`, board epochs
+    * below it — keeping at least the newest committed epoch so a
+    * reader never loses the board). Run from maintenance, not the hot
+    * path — the next regroup then covers the RETAINED window, which
+    * is the stated semantics ("groups over the retained window"), not
+    * data loss. Idempotent: pruning an already-pruned range is a
+    * no-op. */
+  def pruneLedger(spark: SparkSession, ledgerDir: String,
+      keepFromBatchId: Long, boardDir: Option[String] = None): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val lroot = new Path(ledgerDir)
+    val lfs = lroot.getFileSystem(conf)
+    if (lfs.exists(lroot))
+      lfs.listStatus(lroot).map(_.getPath)
+        .filter(_.getName.startsWith("batch="))
+        .filter(_.getName.stripPrefix("batch=").toLong < keepFromBatchId)
+        .foreach(p => lfs.delete(p, true))
+    boardDir.foreach { bd =>
+      val broot = new Path(bd)
+      val bfs = broot.getFileSystem(conf)
+      if (bfs.exists(broot)) {
+        val epochs = bfs.listStatus(broot).map(_.getPath)
+          .filter(_.getName.startsWith("epoch="))
+          .filter(p => bfs.exists(new Path(p, "_SUCCESS")))
+          .map(p => p.getName.stripPrefix("epoch=").toLong -> p)
+        val newest = if (epochs.isEmpty) Long.MinValue else epochs.map(_._1).max
+        // never delete the newest committed epoch: the reader's board
+        epochs.filter { case (id, _) => id < keepFromBatchId && id != newest }
+          .foreach { case (_, p) => bfs.delete(p, true) }
+      }
+    }
+  }
+
   /** The newest COMMITTED epoch (`_SUCCESS`-marked — see the board
     * fence above). */
   def board(spark: SparkSession, boardDir: String): DataFrame = {

@@ -697,6 +697,45 @@ class CurationSpec extends SparkSpec {
     assert(cum > wsTotal, s"piece stream $cum not above word stream $wsTotal")
   }
 
+  test("quality_classifier: learns the labeled split, floors novel vocab at the prior, drives the gopher seed") {
+    // two clearly-separated vocabularies with EQUAL labeled mass, so
+    // the unseen-feature floor w0 = ln((nt+B)/(pt+B)) is exactly 0
+    val docs = Seq(
+      (1L, "s", "alpha beta alpha beta alpha beta"),
+      (2L, "s", "alpha beta alpha beta alpha beta"),
+      (3L, "s", "xxq yyq xxq yyq xxq yyq"),
+      (4L, "s", "xxq yyq xxq yyq xxq yyq"),
+      (10L, "s", "alpha beta alpha beta"),   // unlabeled, positive-ish
+      (11L, "s", "xxq yyq xxq yyq"),         // unlabeled, negative-ish
+      (12L, "s", "novel words entirely here"), // unlabeled, all unseen
+    ).toDF("doc_id", "source", "text")
+    val labels = Seq((1L, true), (2L, true), (3L, false), (4L, false))
+      .toDF("doc_id", "is_pos")
+    val out = Curation.qualityClassifierOf(docs, labels)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(out(10L)._1 > 0 && out(10L)._2,
+      s"positive-vocab doc scored ${out(10L)}")
+    assert(out(11L)._1 < 0 && !out(11L)._2,
+      s"negative-vocab doc scored ${out(11L)}")
+    assert(out(12L)._1 === 0.0 && !out(12L)._2,
+      s"novel-vocab doc off the prior floor: ${out(12L)}")
+    assert(out(1L)._2 && !out(3L)._2, "training docs misclassified")
+    // the driver row: trained on the gopher verdict, the statistical
+    // gate must agree with its own seed on a clear majority (it
+    // GENERALIZES the rules, not memorizes them — perfect agreement
+    // is not required, direction is)
+    val drv = Curation.qualityClassifier(spark, sf)
+      .select($"doc_id", $"keep")
+    val seed = Curation.gopherRules(Tables.documents(spark, sf))
+      .select($"doc_id", $"passed")
+    val joined = drv.join(seed, "doc_id")
+      .select($"keep" === $"passed").collect().map(_.getBoolean(0))
+    assert(joined.nonEmpty)
+    val agree = joined.count(identity).toDouble / joined.length
+    assert(agree > 0.6, s"classifier agrees with its seed only $agree")
+  }
+
   test("decontaminate_bloom: zero false negatives, low fp rate, exact parity with C12") {
     import graft.functions.BloomFunctions
     // the sketch itself: every inserted key hits (the property the

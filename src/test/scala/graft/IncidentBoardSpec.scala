@@ -76,6 +76,49 @@ class IncidentBoardSpec extends SparkSpec {
       "cadenced board drifted from batch A58 at the final regroup")
   }
 
+  test("ledger prune: old batches drop, next regroup covers the retained window, newest epoch survives") {
+    val ledger = tmp("graft-lp-led")
+    val board = tmp("graft-lp-brd")
+    // three batches of the real table, then retention cuts batch 0
+    val parts = Tables.events(spark, sf).repartition(3)
+      .localCheckpoint(true)
+    val staged = parts.withColumn("__p",
+      org.apache.spark.sql.functions.spark_partition_id())
+    (0 until 3).foreach { b =>
+      graft.streaming.LedgerBoard.applyBatch(
+        staged.filter($"__p" === b).drop("__p"), b.toLong, ledger, board,
+        regroupEvery = 1)(h =>
+        Monitoring.anomalyEnsembleOf(h))
+    }
+    val fs = new org.apache.hadoop.fs.Path(ledger)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.streaming.LedgerBoard.pruneLedger(spark, ledger,
+      keepFromBatchId = 1L, boardDir = Some(board))
+    val batches = fs.listStatus(new org.apache.hadoop.fs.Path(ledger))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted
+    assert(batches.toSeq === Seq("batch=1", "batch=2"),
+      s"retained: ${batches.toSeq}")
+    // epoch 0 pruned, newest (2) survives; epoch 1 also < keepFrom? no:
+    // keepFrom=1 keeps epoch 1 and 2
+    val epochs = fs.listStatus(new org.apache.hadoop.fs.Path(board))
+      .map(_.getPath.getName).filter(_.startsWith("epoch=")).sorted
+    assert(epochs.toSeq === Seq("epoch=1", "epoch=2"), s"epochs: ${epochs.toSeq}")
+    // the next regroup covers exactly the retained window
+    graft.streaming.LedgerBoard.applyBatch(
+      staged.filter($"__p" === 99).drop("__p") /* empty */, 3L, ledger,
+      board, regroupEvery = 1)(h => Monitoring.anomalyEnsembleOf(h))
+    val live = graft.streaming.LedgerBoard.board(spark, board)
+    val retained = Monitoring.anomalyEnsembleOf(
+      spark.read.parquet(ledger).drop("batch"))
+    assert(live.exceptAll(retained).count() === 0 &&
+      retained.exceptAll(live).count() === 0,
+      "post-prune regroup did not cover exactly the retained window")
+    // prune everything below the newest epoch: the newest must survive
+    graft.streaming.LedgerBoard.pruneLedger(spark, ledger, 99L, Some(board))
+    assert(graft.streaming.LedgerBoard.board(spark, board).count() ===
+      live.count(), "prune deleted the newest committed epoch")
+  }
+
   test("ensemble board: replayed history equals batch A63 row for row") {
     val staging = tmp("graft-eb-in")
     val ledger = tmp("graft-eb-led")
