@@ -2949,6 +2949,63 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------- C60b
+  /** C60's TRAINED MODEL as a dense bucket-indexed weight vector —
+    * the SERVING artifact: training collapses to one corpus feature
+    * pass + a ≤nBuckets collect (training IS index-build work), and
+    * the vector ships to executors as a codegen reference object.
+    * Slots for features absent from the labeled set carry the
+    * smoothed floor w0, so the dense gather and the batch
+    * join-with-coalesce score identically by construction. */
+  def qualityClassifierModel(docs: DataFrame, labels: DataFrame,
+      nBuckets: Int = 4096): Array[Double] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(nBuckets >= 2 && (nBuckets & (nBuckets - 1)) == 0,
+      s"nBuckets $nBuckets must be a power of two")
+    val rows = docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.bigramBuckets(
+          TextAnalysis.tokens("text"), nBuckets).as("bs"))
+      .select(col("doc_id"), explode(col("bs")).as("b"))
+      .join(labels.select(col("doc_id"), col("is_pos")), Seq("doc_id"))
+      .groupBy($"b")
+      .agg(sum(when($"is_pos", 1L).otherwise(0L)).as("pc"),
+        sum(when(!$"is_pos", 1L).otherwise(0L)).as("nc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pt = rows.map(_._2).sum
+    val nt = rows.map(_._3).sum
+    val w0 = math.log((nt + nBuckets).toDouble / (pt + nBuckets).toDouble)
+    val w = Array.fill(nBuckets)(w0)
+    rows.foreach { case (b, pc, nc) =>
+      w(b.toInt) = math.log((pc + 1).toDouble / (pt + nBuckets)) -
+        math.log((nc + 1).toDouble / (nt + nBuckets))
+    }
+    w
+  }
+
+  /** SERVE the classifier — one dense-gather projection
+    * ([[graft.functions.ClassifierFunctions.bucketScoreSum]]), no
+    * join, no shuffle, no state: the SAME call scores a batch corpus
+    * and a LIVE ingest stream (pass a streaming frame — the plan is a
+    * stateless map, so it attaches to any sink mode), which makes
+    * this C60's streaming admission twin the same way curateStream
+    * twins the batch gates. Scores match [[qualityClassifierOf]] to
+    * float addition order (the serving-tier tolerance, spec-pinned at
+    * 1e-6); the batch operator remains the oracle-checked truth. */
+  def classifierServe(docs: DataFrame, model: Array[Double],
+      threshold: Double = 0.0): DataFrame = {
+    require(model.nonEmpty && (model.length & (model.length - 1)) == 0,
+      s"model length ${model.length} must be a power of two (the hash " +
+        "pipeline's bucket count)")
+    docs.select(col("doc_id"),
+        graft.functions.ClassifierFunctions.bucketScoreSum(
+          graft.functions.TextFunctions.bigramBuckets(
+            TextAnalysis.tokens("text"), model.length), model).as("z"))
+      .select(col("doc_id"), round(col("z"), 6).as("nb_z"),
+        (col("z") > threshold).as("keep"))
+  }
+
   /** C60's composition oracle: C50's verdict labels the t CTE, then
     * the C37 hash/count/ln/decimal-sum chain with two-class counts. */
   def qualityClassifierSql(nBuckets: Int = 4096,

@@ -736,6 +736,47 @@ class CurationSpec extends SparkSpec {
     assert(agree > 0.6, s"classifier agrees with its seed only $agree")
   }
 
+  test("classifier serve: dense gather matches the batch scorer, gates a live stream statelessly") {
+    val docs = Seq(
+      (1L, "s", "alpha beta alpha beta alpha beta"),
+      (2L, "s", "alpha beta alpha beta alpha beta"),
+      (3L, "s", "xxq yyq xxq yyq xxq yyq"),
+      (4L, "s", "xxq yyq xxq yyq xxq yyq"),
+      (10L, "s", "alpha beta alpha beta"),
+      (11L, "s", "xxq yyq xxq yyq"),
+      (12L, "s", "novel words entirely here"),
+    ).toDF("doc_id", "source", "text")
+    val labels = Seq((1L, true), (2L, true), (3L, false), (4L, false))
+      .toDF("doc_id", "is_pos")
+    val model = Curation.qualityClassifierModel(docs, labels)
+    val served = Curation.classifierServe(docs, model).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    val batch = Curation.qualityClassifierOf(docs, labels).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    batch.foreach { case (id, (z, keep)) =>
+      assert(math.abs(served(id)._1 - z) <= 1e-6,
+        s"doc $id served ${served(id)._1} vs batch $z")
+      assert(served(id)._2 === keep, s"doc $id keep flag diverged")
+    }
+    // the SAME projection gates a live stream — stateless map, no
+    // join/shuffle/state, so append mode needs no watermark
+    val input = new org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](104, spark, None)
+    val q = Curation.classifierServe(
+        input.toDS().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("cls_out")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, "alpha beta alpha beta"),
+        (11L, "xxq yyq xxq yyq"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table("cls_out").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(live === Map(10L -> served(10L), 11L -> served(11L)),
+      s"live gate diverged: $live")
+  }
+
   test("decontaminate_bloom: zero false negatives, low fp rate, exact parity with C12") {
     import graft.functions.BloomFunctions
     // the sketch itself: every inserted key hits (the property the
