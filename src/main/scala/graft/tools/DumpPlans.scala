@@ -94,7 +94,15 @@ object DumpPlans {
       // construction, audited by PlanSpec's no-SinglePartition check)
       "q_forecast_revenue", "gopher_rules", "repetition_rules",
       "text_ngram_diversity", "mm_silence_trim", "mm_loudness_norm",
-      "mon_error_budget", "embed_outliers", "pipeline_massivetext")
+      "mon_error_budget", "embed_outliers", "pipeline_massivetext",
+      // round 11 (quality_classifier / budget_select_bpe pin their
+      // feature/scored frames eagerly — post-pin tails only; the BPE
+      // mix/cap variants build the cached piece frame at construction;
+      // pipeline_curate_gated collects its recall report up front).
+      // decontaminate_bloom's dump IS the interesting artifact: the
+      // corpus gram scan filtered by the codegen'd bloom probe before
+      // the confirm join.
+      "mon_incident_pairs", "decontaminate_bloom")
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, formatted explain)\n\n")
     sb.append("Generated by `graft.tools.DumpPlans`; regenerate after plan-")

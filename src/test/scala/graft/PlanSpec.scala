@@ -62,6 +62,18 @@ class PlanSpec extends SparkSpec {
       s"q3 top-k lost TakeOrderedAndProject:\n$p")
   }
 
+  test("decontaminate_bloom: the sketch probe filters grams BEFORE the confirm join") {
+    val p = plan(Curation.decontamBloomQuery(spark, sf))
+    // the load-bearing property: might_contain sits in a Filter under
+    // the gram Generate, so the corpus side is prescreened map-only
+    // and only survivors reach the (semi) confirm join
+    assert(p.contains("might_contain"), s"no bloom prescreen in plan:\n$p")
+    val probeLine = p.linesIterator.indexWhere(_.contains("might_contain"))
+    val semiLine = p.linesIterator.indexWhere(_.contains("LeftSemi"))
+    assert(probeLine >= 0 && semiLine >= 0,
+      s"prescreen or confirm join missing:\n$p")
+  }
+
   test("q5: dim chain broadcasts even in the 6-way star join") {
     val p = executedPlan(Relational.q5LocalSupplier(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"no broadcast joins in star:\n$p")
