@@ -35,6 +35,43 @@ class PropertySpec extends SparkSpec {
     } yield toks.mkString(" "))
   } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
 
+  test("property: bloom decontamination equals exact decontamination on arbitrary corpora") {
+    // zero false negatives + exact confirm ⇒ the bloom path is a pure
+    // execution-strategy change; any divergence is a bug, not a trade
+    for (seed <- 1L to 6L) {
+      val all = sample(docsGen, seed * 31L).toDF("doc_id", "text")
+      val docs = all.filter($"doc_id" % 3 =!= 0)
+      val bench = all.filter($"doc_id" % 3 === 0)
+      val exact = graft.operators.Curation
+        .decontaminate(docs, bench, n = 5)
+        .collect().map(_.getLong(0)).toSet
+      val bloom = graft.operators.Curation
+        .decontaminateBloom(docs, bench, n = 5, fpp = 0.01)
+        .collect().map(_.getLong(0)).toSet
+      assert(bloom === exact, s"bloom path diverged at seed=$seed")
+    }
+  }
+
+  test("property: classifier serve matches the batch scorer on arbitrary corpora") {
+    for (seed <- 1L to 6L) {
+      val docs = sample(docsGen, seed * 17L).toDF("doc_id", "text")
+        .withColumn("source", lit("s"))
+      val labels = docs.select($"doc_id", ($"doc_id" % 2 === 0).as("is_pos"))
+      val model = graft.operators.Curation
+        .qualityClassifierModel(docs, labels, nBuckets = 64)
+      val batch = graft.operators.Curation
+        .qualityClassifierOf(docs, labels, nBuckets = 64)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val served = graft.operators.Curation
+        .classifierServe(docs, model)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      batch.foreach { case (id, z) =>
+        assert(math.abs(served(id) - z) <= 1e-6,
+          s"doc $id served ${served(id)} vs batch $z seed=$seed")
+      }
+    }
+  }
+
   test("property: substring ranges disjoint+ordered, scrub accounts every token") {
     for (seed <- 1L to 6L) {
       val docs = sample(docsGen, seed).toDF("doc_id", "text")
