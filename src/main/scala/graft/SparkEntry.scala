@@ -214,6 +214,10 @@ object SparkEntry {
       TextAnalysis.textBpePairs(s, d)),
     "bpe_train" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bpeTrain(s, d)),
+    "unigram_train" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.unigramTrain(s, d)),
+    "unigram_apply" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.unigramApply(s, d)),
     "bpe_apply" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bpeApply(s, d)),
     "pack_bpe" -> ((s: SparkSession, d: String) =>

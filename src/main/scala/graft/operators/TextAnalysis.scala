@@ -1779,6 +1779,209 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  // ---------------------------------------------------------------- E32
+  /** UNIGRAM-LM TOKENIZER TRAIN — the OTHER published subword family
+    * (Kudo 2018, the SentencePiece `--model_type=unigram` default;
+    * E26 is the BPE half): a probabilistic piece inventory fitted by
+    * EM and pruned to a vocabulary budget, instead of a greedy merge
+    * list. This implementation states its two standard
+    * simplifications plainly: the E-step is VITERBI (hard-EM — each
+    * word contributes counts along its single best segmentation, the
+    * common production shortcut, deterministic by the longest-piece
+    * tie-break), and pruning drops the lowest-probability multi-char
+    * pieces per round (count-based, not the paper's exact
+    * loss-delta), floored at the single-character alphabet so every
+    * string stays segmentable.
+    *
+    * Scale shape — the part that matters at 100 TB: the corpus is
+    * scanned ONCE into the distinct (term, tf) vocabulary frame
+    * (E26's discipline, pinned); every EM round runs the per-term DP
+    * over that frame with the piece table BROADCAST (≤ seedSize
+    * entries — driver-bounded by construction), and collects ≤
+    * seedSize piece counts. No round touches the corpus; cost is
+    * rounds × distinct-terms × O(|term|·maxPieceLen).
+    *
+    * Iterative + closure-driven ⇒ rows-only (E26's reason); the spec
+    * pins EM's defining behavior on a planted corpus — a productive
+    * multi-char piece wins probability mass and the Viterbi apply
+    * uses it — plus alphabet retention under pruning. Results cache
+    * per corpus version (tokenizers are build artifacts). */
+  def unigramTrain(spark: SparkSession, sfDir: String,
+      vocabSize: Int = 512, maxPieceLen: Int = 6, seedSize: Int = 4096,
+      emRounds: Int = 4): DataFrame = {
+    import spark.implicits._
+    cachedUnigram(spark, sfDir, vocabSize, maxPieceLen, seedSize, emRounds)
+      .toSeq.sortBy { case (p, lp) => (-lp, p) }.zipWithIndex
+      .map { case ((p, lp), i) =>
+        (i + 1, p, math.rint(lp * 1e6) / 1e6) }
+      .toDF("rank", "piece", "logp")
+      .orderBy($"rank")
+  }
+
+  private val unigramCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Int, Int, Int, Int), Map[String, Double]]
+
+  private def cachedUnigram(spark: SparkSession, sfDir: String,
+      vocabSize: Int, maxPieceLen: Int, seedSize: Int,
+      emRounds: Int): Map[String, Double] = {
+    val stamp = Tables.pathStamp(spark, s"$sfDir/documents.parquet")
+    unigramCache.filterInPlace { case ((d, st, _, _, _, _), _) =>
+      d != sfDir || st == stamp }
+    unigramCache.getOrElseUpdate(
+      (sfDir, stamp, vocabSize, maxPieceLen, seedSize, emRounds),
+      unigramLearnOf(Tables.documents(spark, sfDir), vocabSize,
+        maxPieceLen, seedSize, emRounds))
+  }
+
+  /** Viterbi segmentation under a piece log-prob table: best(i) =
+    * max over pieces ending at i. Ties break to the LONGEST last
+    * piece (start scanned ascending, strict improvement required) —
+    * deterministic for a fixed table. Single-char coverage makes a
+    * full parse always exist when the alphabet is in the table. */
+  private[graft] def unigramSegment(term: String,
+      logp: Map[String, Double], maxPieceLen: Int): Seq[String] = {
+    val n = term.length
+    if (n == 0) return Nil
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = Array.fill(n + 1)(-1)
+    best(0) = 0.0
+    var end = 1
+    while (end <= n) {
+      var start = math.max(0, end - maxPieceLen)
+      while (start < end) {
+        if (best(start) != Double.NegativeInfinity) {
+          logp.get(term.substring(start, end)).foreach { lp =>
+            val cand = best(start) + lp
+            if (cand > best(end)) { best(end) = cand; back(end) = start }
+          }
+        }
+        start += 1
+      }
+      end += 1
+    }
+    if (best(n) == Double.NegativeInfinity)
+      // alphabet hole (chars outside the trained table): char fallback,
+      // the E27 OOV convention — the term still counts, fragmented
+      return term.map(_.toString)
+    var at = n
+    val out = List.newBuilder[String]
+    val rev = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    while (at > 0) { rev += ((back(at), at)); at = back(at) }
+    rev.reverseIterator.foreach { case (s, e) => out += term.substring(s, e) }
+    out.result()
+  }
+
+  /** E32 core over an arbitrary docs frame: the fitted piece → logp
+    * table. */
+  def unigramLearnOf(docs: DataFrame, vocabSize: Int = 512,
+      maxPieceLen: Int = 6, seedSize: Int = 4096,
+      emRounds: Int = 4): Map[String, Double] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(vocabSize >= 2 && maxPieceLen >= 1 && emRounds >= 1 &&
+      seedSize >= vocabSize,
+      s"bad unigram params vocab=$vocabSize len=$maxPieceLen " +
+        s"seed=$seedSize rounds=$emRounds")
+    // ONE corpus scan → distinct (term, tf); every round reads this
+    val terms = docs.withColumn("toks", tokens())
+      .select(explode(TextFunctions.tokenCounts($"toks")).as(Seq("term", "tf")))
+      .groupBy($"term").agg(sum($"tf").as("tf"))
+      .as[(String, Long)]
+      .localCheckpoint(true)
+    // seed: every substring ≤ maxPieceLen weighted by tf; all chars
+    // kept unconditionally, top seedSize multi-char by mass
+    val subs = terms.toDF("term", "tf")
+      .select($"tf", explode(expr(
+        s"""flatten(transform(sequence(1, length(term)), i ->
+           |  transform(sequence(i, least(i + $maxPieceLen - 1, length(term))),
+           |    j -> substring(term, i, j - i + 1))))""".stripMargin))
+        .as("piece"))
+      .groupBy($"piece").agg(sum($"tf").as("c"))
+      .localCheckpoint(true) // chars + multi both read it
+    val chars = subs.filter(length($"piece") === 1)
+      .as[(String, Long)].collect()
+    val multi = graft.plans.TopK.perKey(
+        subs.filter(length($"piece") > 1).withColumn("__k", lit(1)),
+        Seq("__k"), Seq($"c".desc, $"piece".asc), seedSize)
+      .select($"piece", $"c").as[(String, Long)].collect()
+    def normalize(counts: Seq[(String, Long)]): Map[String, Double] = {
+      // add-1 over the piece table so a zero-count survivor keeps a
+      // finite logp; total in BigInt (corpus-scale masses)
+      val total = counts.map(c => BigInt(c._2)).sum + counts.length
+      counts.map { case (p, c) =>
+        p -> math.log((c + 1).toDouble / total.toDouble) }.toMap
+    }
+    var logp = normalize((chars ++ multi).toSeq)
+    var round = 0
+    while (round < emRounds) {
+      val bc = spark.sparkContext.broadcast(logp)
+      val mpl = maxPieceLen
+      // hard-EM E-step: piece counts along each term's best parse,
+      // weighted by exact term frequency; ≤ |table| rows collect
+      val counted = terms
+        .flatMap { case (t, tf) =>
+          unigramSegment(t, bc.value, mpl).map(p => (p, tf)) }
+        .toDF("piece", "c")
+        .groupBy($"piece").agg(sum($"c").as("c"))
+        .as[(String, Long)].collect().toMap
+      bc.destroy()
+      val charSet = chars.map(_._1).toSet
+      // M-step + prune: chars are unconditional; multi-char pieces
+      // keep their Viterbi mass, drop to the vocab budget by
+      // (mass desc, piece) — count-based pruning, stated above
+      val survivors = logp.keysIterator.map { p =>
+        p -> counted.getOrElse(p, 0L) }.toSeq
+      val keptMulti = survivors.filterNot(s => charSet(s._1))
+        .sortBy { case (p, c) => (-c, p) }
+        .take(math.max(0, vocabSize - charSet.size))
+        // a multi-char piece the Viterbi never uses is dead weight
+        // even inside the budget
+        .filter(_._2 > 0L)
+      logp = normalize(survivors.filter(s => charSet(s._1)) ++ keptMulti)
+      round += 1
+    }
+    logp
+  }
+
+  // ---------------------------------------------------------------- E32b
+  /** UNIGRAM APPLY — E27's per-doc piece counting under the unigram
+    * model: pieces(doc) = Σ tf(term)·|viterbi(term)|, one corpus scan
+    * with the fitted table broadcast in the segmenting closure, and
+    * the same output schema as E27 so every piece-denominated
+    * consumer (C49 packer, C55/C56/C57 budgets, E31 fertility) plugs
+    * in unchanged — swap the tokenizer, keep the pipeline. */
+  def unigramApply(spark: SparkSession, sfDir: String,
+      vocabSize: Int = 512, maxPieceLen: Int = 6, seedSize: Int = 4096,
+      emRounds: Int = 4): DataFrame =
+    unigramApplyOf(Tables.documents(spark, sfDir),
+      cachedUnigram(spark, sfDir, vocabSize, maxPieceLen, seedSize,
+        emRounds), maxPieceLen)
+
+  /** E32b over arbitrary docs + a fitted table (the spec entry). */
+  def unigramApplyOf(docs: DataFrame, logp: Map[String, Double],
+      maxPieceLen: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(logp)
+    val mpl = maxPieceLen
+    val perDoc = docs.withColumn("toks", tokens())
+      .select($"doc_id", explode(TextFunctions.tokenCounts($"toks"))
+        .as(Seq("term", "tf")))
+      .as[(Long, String, Long)]
+      .map { case (id, t, tf) =>
+        (id, tf, tf * unigramSegment(t, bc.value, mpl).length) }
+      .toDF("doc_id", "wt", "up")
+      .groupBy($"doc_id")
+      .agg(sum($"wt").as("word_tokens"), sum($"up").as("unigram_pieces"))
+    docs.select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"word_tokens", lit(0L)).as("word_tokens"),
+        coalesce($"unigram_pieces", lit(0L)).as("unigram_pieces"),
+        round($"unigram_pieces".cast("double") / $"word_tokens", 6)
+          .as("pieces_per_token"))
+      .orderBy($"doc_id")
+  }
+
   val textNgramDiversitySql: String =
     """WITH t AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks

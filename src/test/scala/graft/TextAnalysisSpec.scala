@@ -532,6 +532,65 @@ class TextAnalysisSpec extends SparkSpec {
     assert(syms("aa") == Seq("aa"))
   }
 
+  test("unigram train: EM concentrates mass on the productive piece, viterbi uses it, alphabet survives pruning") {
+    import spark.implicits._
+    // a corpus dominated by 'ab' repetition: the seed holds ab/aba/...,
+    // EM's best parses route mass through 'ab', and pruning to a tiny
+    // budget must keep it (plus the {a,b,c} alphabet, unconditionally)
+    val docs = Seq((1L, Seq.fill(20)("ababab").mkString(" ") + " cc"))
+      .toDF("doc_id", "text")
+    val logp = TextAnalysis.unigramLearnOf(docs, vocabSize = 5,
+      maxPieceLen = 3, seedSize = 64, emRounds = 3)
+    assert(Set("a", "b", "c").subsetOf(logp.keySet),
+      s"alphabet pruned: ${logp.keySet}")
+    assert(logp.keySet.size <= 5, s"vocab budget blown: ${logp.keySet}")
+    assert(logp.contains("ab") || logp.contains("aba") ||
+      logp.contains("bab"), s"no productive piece survived: ${logp.keySet}")
+    // segmentation determinism + the productive piece actually used
+    val seg = TextAnalysis.unigramSegment("ababab", logp, 3)
+    assert(seg.mkString == "ababab", s"parse loses chars: $seg")
+    assert(seg.length < 6, s"viterbi ignored the learned piece: $seg")
+    assert(seg == TextAnalysis.unigramSegment("ababab", logp, 3))
+    // char fallback: a term with an out-of-alphabet char still counts
+    val oov = TextAnalysis.unigramSegment("azb", logp, 3)
+    assert(oov.mkString == "azb" && oov.nonEmpty, s"fallback broken: $oov")
+  }
+
+  test("unigram apply: hand-fitted table gives hand-checkable piece counts in E27's schema") {
+    import spark.implicits._
+    // hand table: 'ab' strong, chars weak — 'abab' parses [ab][ab]
+    val logp = Map("ab" -> math.log(0.4), "a" -> math.log(0.1),
+      "b" -> math.log(0.1), "c" -> math.log(0.1))
+    val docs = Seq((1L, "abab abab c"), (2L, ""), (3L, "zz"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramApplyOf(docs, logp, maxPieceLen = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // doc 1: tf(abab)=2 ×2 pieces + tf(c)=1 ×1 = 5 pieces / 3 words
+    assert(out(1L) === ((3L, 5L)), s"doc1: ${out(1L)}")
+    assert(out(2L) === ((0L, 0L)), s"empty doc: ${out(2L)}")
+    // 'zz' is out-of-alphabet: char fallback = 2 pieces, never dropped
+    assert(out(3L) === ((1L, 2L)), s"oov doc: ${out(3L)}")
+    // driver table: determinism + the E27 conservation invariants
+    val a1 = TextAnalysis.unigramApply(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val a2 = TextAnalysis.unigramApply(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a1.sameElements(a2), "apply not deterministic")
+    assert(a1.nonEmpty)
+    a1.foreach { case (id, words, pieces) =>
+      assert(pieces >= words, s"doc $id: fewer pieces than words")
+    }
+    val train = TextAnalysis.unigramTrain(spark, sf).collect()
+    assert(train.nonEmpty && train.length <= 512)
+    // ranked by logp desc: monotone non-increasing
+    train.sliding(2).foreach {
+      case Array(hi, lo) =>
+        assert(hi.getDouble(2) >= lo.getDouble(2), "rank order broken")
+      case _ =>
+    }
+  }
+
   test("bpe train + apply on the driver table: determinism, conservation, monotonicity") {
     val m1 = TextAnalysis.bpeTrain(spark, sf, nMerges = 8).collect()
     val m2 = TextAnalysis.bpeTrain(spark, sf, nMerges = 8).collect()
