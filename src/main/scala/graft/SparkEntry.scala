@@ -214,6 +214,8 @@ object SparkEntry {
       TextAnalysis.textBpePairs(s, d)),
     "bpe_train" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bpeTrain(s, d)),
+    "tokenizer_compare" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tokenizerCompare(s, d)),
     "unigram_train" -> ((s: SparkSession, d: String) =>
       TextAnalysis.unigramTrain(s, d)),
     "unigram_apply" -> ((s: SparkSession, d: String) =>

@@ -1982,6 +1982,40 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- E33
+  /** TOKENIZER BAKE-OFF — the decision artifact behind "which
+    * tokenizer do we fix for this corpus": per source, fertility under
+    * the learned BPE (E27) and the fitted unigram LM (E32b) side by
+    * side, from the two apply frames the families already produce
+    * (E31 reports ONE tokenizer's economics; choosing between
+    * tokenizers needs both on one row). A lower-fertility family
+    * buys proportionally more words per context window on that
+    * source — the number the vocab decision actually turns on. One
+    * doc-keyed join of the two cached apply frames + the doc-source
+    * map, then a source-sized rollup; both apply passes are cached
+    * per corpus version, so the report is join-cost only. */
+  def tokenizerCompare(spark: SparkSession, sfDir: String,
+      nMerges: Int = 30, vocabSize: Int = 512): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select($"doc_id", $"source")
+      .join(bpeApply(spark, sfDir, nMerges)
+        .select($"doc_id", $"word_tokens", $"bpe_pieces"), Seq("doc_id"))
+      .join(unigramApply(spark, sfDir, vocabSize)
+        .select($"doc_id", $"unigram_pieces"), Seq("doc_id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"word_tokens").as("word_tokens"),
+        sum($"bpe_pieces").as("bpe_pieces"),
+        sum($"unigram_pieces").as("unigram_pieces"))
+      .select($"source", $"n_docs", $"word_tokens",
+        $"bpe_pieces", $"unigram_pieces",
+        round($"bpe_pieces".cast("double") /
+          nullif($"word_tokens", lit(0L)), 6).as("fertility_bpe"),
+        round($"unigram_pieces".cast("double") /
+          nullif($"word_tokens", lit(0L)), 6).as("fertility_unigram"))
+      .orderBy($"source")
+  }
+
   val textNgramDiversitySql: String =
     """WITH t AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks

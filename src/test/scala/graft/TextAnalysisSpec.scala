@@ -591,6 +591,27 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer compare: both fertilities >= 1, shared word totals, deterministic") {
+    val r1 = TextAnalysis.tokenizerCompare(spark, sf).collect()
+    val r2 = TextAnalysis.tokenizerCompare(spark, sf).collect()
+    assert(r1.sameElements(r2), "compare not deterministic")
+    assert(r1.nonEmpty)
+    r1.foreach { r =>
+      val (wt, bp, up) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(bp >= wt && up >= wt,
+        s"source ${r.getString(0)}: pieces below words ($wt, $bp, $up)")
+      assert(r.getDouble(5) >= 1.0 && r.getDouble(6) >= 1.0,
+        s"fertility below 1 for ${r.getString(0)}")
+    }
+    // cross-family consistency: word totals come from the SAME
+    // tokenize pass on both sides — they must agree with the corpus
+    val corpusWords = TextAnalysis.textTokens(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum(col("word_tokens")))
+      .head.getLong(0)
+    assert(r1.map(_.getLong(2)).sum === corpusWords,
+      "per-source word totals do not cover the corpus")
+  }
+
   test("bpe train + apply on the driver table: determinism, conservation, monotonicity") {
     val m1 = TextAnalysis.bpeTrain(spark, sf, nMerges = 8).collect()
     val m2 = TextAnalysis.bpeTrain(spark, sf, nMerges = 8).collect()
