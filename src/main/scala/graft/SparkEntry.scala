@@ -124,6 +124,8 @@ object SparkEntry {
       Similarity.knnGraph(s, d)),
     "knn_graph_ivf" -> ((s: SparkSession, d: String) =>
       Similarity.knnGraphIvf(s, d)),
+    "knn_pagerank" -> ((s: SparkSession, d: String) =>
+      Similarity.knnPagerank(s, d)),
     "knn_clusters" -> ((s: SparkSession, d: String) =>
       Similarity.knnClusters(s, d)),
     "mm_quality_gate" -> ((s: SparkSession, d: String) =>

@@ -2539,6 +2539,114 @@ object Similarity {
       .orderBy($"vec_id", $"rank")
   }
 
+  // ---------------------------------------------------------------- D34
+  /** PAGERANK over the kNN graph — graph centrality as a data-quality
+    * signal: in a semantic neighbor graph, high-PageRank vectors are
+    * the densely-referenced "canonical" examples and the low tail is
+    * isolated/outlier material (the graph-side complement of D31's
+    * distance-based trim; web-graph centrality as a selection signal
+    * is the published precedent this transplants to embedding space).
+    * Standard damped iteration with the two honesty details spelled
+    * out: DANGLING mass (nodes with no out-edges — can happen on
+    * recall-bounded D25b edges even though brute kNN gives every node
+    * k out-edges) is redistributed uniformly each round so the
+    * distribution keeps summing to 1, and convergence is an L1-delta
+    * probe with a hard iteration cap (the D13b stop discipline).
+    *
+    * Scale shape — the D32 graph-iteration contract: the edge list is
+    * pinned ONCE (k·n rows, never n²); each round is one edge-keyed
+    * join + a map-side-combinable in-mass sum + two scalar aggs
+    * (dangling mass, delta), with the rank frame re-pinned per round
+    * so lineage stays flat. Rows-only (iterative — D26's reason); the
+    * spec pins exact parity with a driver-side power-iteration replay
+    * on planted graphs and mass conservation on the corpus. */
+  def knnPagerank(spark: SparkSession, sfDir: String, k: Int = AnnK,
+      damping: Double = 0.85, maxIter: Int = 20,
+      tol: Double = 1e-4): DataFrame = {
+    import spark.implicits._
+    cachedPagerank(spark, sfDir, k, damping, maxIter, tol)
+  }
+
+  /** Centrality over a CORPUS VERSION is build output (the D8 /
+    * ann_rerank cache rule): compute once per (corpus stamp, params),
+    * serve the pinned frame afterwards. */
+  private val pagerankCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Int, Double, Int, Double), DataFrame]
+
+  private def cachedPagerank(spark: SparkSession, sfDir: String, k: Int,
+      damping: Double, maxIter: Int, tol: Double): DataFrame = {
+    import spark.implicits._
+    val stamp = Tables.pathStamp(spark, s"$sfDir/embeddings.parquet")
+    pagerankCache.filterInPlace { case ((d, st, _, _, _, _), df) =>
+      d != sfDir || st == stamp || { Tables.unpinCheckpoint(df); false }
+    }
+    pagerankCache.getOrElseUpdate((sfDir, stamp, k, damping, maxIter, tol), {
+      val (pr, iters) = pagerankOf(knnGraph(spark, sfDir, k),
+        damping, maxIter, tol)
+      pr.select($"id".as("vec_id"), round($"pr", 6).as("pagerank"),
+          lit(iters).as("n_iters"))
+        .orderBy($"pagerank".desc, $"vec_id")
+        .localCheckpoint(true)
+    })
+  }
+
+  /** D34 core over an arbitrary edge frame (vec_id, neighbor_id[, …])
+    * — the spec entry; returns (ranks, iterations run). */
+  def pagerankOf(edges: DataFrame, damping: Double = 0.85,
+      maxIter: Int = 20, tol: Double = 1e-6): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(damping > 0 && damping < 1, s"damping $damping out of (0,1)")
+    require(maxIter >= 1 && tol >= 0, s"bad iteration params")
+    // pin the graph once — every round's plan reads these (the D32
+    // measured rule); all three are O(k·n) or node-sized
+    val e = edges.select(col("vec_id").as("src"),
+      col("neighbor_id").as("dst")).localCheckpoint(true)
+    val outDeg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    // nodes carry their STATIC dangling flag (the no-out-edge set never
+    // changes between rounds) so each round needs exactly ONE action:
+    // the combined delta + next-round-dangling-mass aggregate below
+    val nodes = e.select($"src".as("id"))
+      .unionByName(e.select($"dst".as("id"))).distinct()
+      .join(outDeg.select($"src".as("id"), lit(true).as("has_out")),
+        Seq("id"), "left")
+      .select($"id", coalesce($"has_out", lit(false)).as("has_out"))
+      .localCheckpoint(true)
+    val n = nodes.count()
+    if (n == 0)
+      return (nodes.select($"id").withColumn("pr", lit(0.0)).limit(0), 0)
+    var pr = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint(true)
+    var iter = 0
+    var delta = Double.MaxValue
+    // dangling mass: rank held by no-out-edge nodes — without uniform
+    // redistribution the distribution leaks toward 0 every round
+    var dangling =
+      nodes.filter(!$"has_out").count().toDouble / n
+    while (iter < maxIter && delta > tol) {
+      val base = (1.0 - damping) / n + damping * dangling / n
+      val contrib = e.join(outDeg, Seq("src"))
+        .join(pr.select($"id".as("src"), $"pr"), Seq("src"))
+        .select($"dst".as("id"), ($"pr" / $"deg").as("c"))
+        .groupBy($"id").agg(sum($"c").as("inmass"))
+      val next = nodes.join(contrib, Seq("id"), "left")
+        .select($"id", $"has_out",
+          (lit(base) + lit(damping) * coalesce($"inmass", lit(0.0)))
+            .as("pr"))
+        .localCheckpoint(true)
+      // ONE action per round: convergence delta and the NEXT round's
+      // dangling mass from the same scan
+      val probe = next.join(pr.select($"id", $"pr".as("prev")), Seq("id"))
+        .agg(sum(abs($"pr" - $"prev")),
+          sum(when(!$"has_out", $"pr").otherwise(0.0))).head()
+      delta = probe.getDouble(0)
+      dangling = if (probe.isNullAt(1)) 0.0 else probe.getDouble(1)
+      pr = next
+      iter += 1
+    }
+    (pr.select($"id", $"pr"), iter)
+  }
+
   // ---------------------------------------------------------------- D26
   /** MUTUAL-kNN CLUSTERS — semantic clustering from the D25 graph:
     * keep edges with cos ≥ threshold that BOTH endpoints chose

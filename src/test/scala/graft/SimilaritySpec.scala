@@ -1013,6 +1013,49 @@ class SimilaritySpec extends SparkSpec {
     assert(out(12L)._2 === 4.0, s"junk distance: ${out(12L)._2}")
   }
 
+  test("pagerank: matches a driver power-iteration replay, handles dangling mass, conserves on the corpus") {
+    // star + dangling node: 1,2,3 all point at 0; 0 points at 1; 4
+    // points at 0 but nothing points back and 4 has no IN-edges from
+    // the star — and node 5 is DANGLING (appears only as a dst)
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 1L), (4L, 0L),
+        (0L, 5L))
+      .toDF("vec_id", "neighbor_id")
+    val (prDf, iters) = Similarity.pagerankOf(edges, damping = 0.85,
+      maxIter = 30, tol = 1e-10)
+    val got = prDf.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // driver-side reference replay: identical update rule, plain loops
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L, 5L)
+    val out = Map(0L -> Seq(1L, 5L), 1L -> Seq(0L), 2L -> Seq(0L),
+      3L -> Seq(0L), 4L -> Seq(0L))
+    var ref = nodes.map(_ -> 1.0 / 6).toMap
+    for (_ <- 1 to iters) {
+      val dangling = ref.filterKeys(k => !out.contains(k)).values.sum
+      val base = 0.15 / 6 + 0.85 * dangling / 6
+      val in = nodes.map { v =>
+        v -> out.collect { case (u, ds) if ds.contains(v) =>
+          ref(u) / ds.length }.sum
+      }.toMap
+      ref = nodes.map(v => v -> (base + 0.85 * in(v))).toMap
+    }
+    nodes.foreach { v =>
+      assert(math.abs(got(v) - ref(v)) < 1e-9,
+        s"node $v: ${got(v)} vs replay ${ref(v)}")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9,
+      s"mass leaked: ${got.values.sum}")
+    // the hub out-ranks every spoke
+    assert(got(0L) > got(2L) && got(0L) > got(4L), s"star inverted: $got")
+    // driver entry: mass conserved on the corpus graph, deterministic
+    val drv = Similarity.knnPagerank(spark, sf).collect()
+    assert(drv.nonEmpty)
+    val mass = drv.map(_.getDouble(1)).sum
+    assert(math.abs(mass - 1.0) < 1e-3, s"corpus mass $mass")
+    val drv2 = Similarity.knnPagerank(spark, sf).collect()
+    assert(drv.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      drv2.map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+      "pagerank not deterministic")
+  }
+
   test("label propagation: planted chains fill from one seed each, ties to smaller label, bounded rounds") {
     // two directed 3-chains + a bridge vertex hearing both sides
     val edges = Seq(
