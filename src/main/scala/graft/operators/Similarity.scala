@@ -2590,6 +2590,40 @@ object Similarity {
     })
   }
 
+  // ---------------------------------------------------------------- D34b
+  /** CENTRALITY-BASED SELECTION — the composition D34 exists for:
+    * keep the top `num/den` fraction of the corpus by kNN-graph
+    * PageRank (densely-referenced canonical material in, the isolated
+    * tail out) — the graph-side sibling of C37's dsir_select and the
+    * D31 distance trim, one more SELECTION signal over the same id
+    * space. Rank machinery is C18/C28's: the rounded rank (∈ [0,1],
+    * 6 decimals ⇒ micro-key span ≤ 1e6 < 2²²) packs with vec_id into
+    * the prefix-sum key, so the global cut runs at fleet width with
+    * no single-partition window and no corpus-sized heap. Rows-only
+    * (the rank column is D34's iterative output); the spec pins the
+    * kept set equal to the collected top-fraction exactly. */
+  def pagerankSelect(spark: SparkSession, sfDir: String, k: Int = AnnK,
+      num: Int = 1, den: Int = 5, buckets: Int = 1024): DataFrame = {
+    import spark.implicits._
+    require(num >= 0 && den >= 1 && num <= den,
+      s"keep fraction $num/$den must be within [0, 1]")
+    val pr = cachedPagerank(spark, sfDir, k, 0.85, 20, 1e-4)
+      .select($"vec_id", $"pagerank")
+    val n = Tables.cachedCount(spark, s"$sfDir/embeddings.parquet")
+    if (n == 0) return pr.withColumn("rnk", lit(0L)).limit(0)
+    require(n < (1L << 40), s"vec_id domain $n too wide for key packing")
+    val keyed = pr
+      .withColumn("__ord",
+        (lit(1000000L) - floor($"pagerank" * 1e6).cast("long")) *
+          lit(1L << 40) + $"vec_id")
+      .withColumn("__one", lit(1L)).withColumn("__all", lit("all"))
+    Scale.stratifiedPrefixSum(keyed, "__all", "__ord", "__one", "rnk",
+        buckets)
+      .filter($"rnk" * den <= lit(n) * num)
+      .select($"vec_id", $"pagerank", $"rnk")
+      .orderBy($"rnk")
+  }
+
   /** D34 core over an arbitrary edge frame (vec_id, neighbor_id[, …])
     * — the spec entry; returns (ranks, iterations run). */
   def pagerankOf(edges: DataFrame, damping: Double = 0.85,

@@ -1056,6 +1056,23 @@ class SimilaritySpec extends SparkSpec {
       "pagerank not deterministic")
   }
 
+  test("pagerank select: kept set is exactly the top fraction, cut monotone with id tiebreak") {
+    val all = Similarity.knnPagerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val n = all.length
+    val expectKeep = all.sortBy { case (id, pr) => (-pr, id) }
+      .take(n / 5).map(_._1).toSet
+    val kept = Similarity.pagerankSelect(spark, sf, num = 1, den = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === expectKeep,
+      s"cut mismatch: ${kept.size} kept vs expected ${expectKeep.size}")
+    // fraction edges: 0/1 keeps nothing, 1/1 keeps everything
+    assert(Similarity.pagerankSelect(spark, sf, num = 0, den = 1)
+      .count() === 0L)
+    assert(Similarity.pagerankSelect(spark, sf, num = 1, den = 1)
+      .count() === n.toLong)
+  }
+
   test("label propagation: planted chains fill from one seed each, ties to smaller label, bounded rounds") {
     // two directed 3-chains + a bridge vertex hearing both sides
     val edges = Seq(
