@@ -228,6 +228,8 @@ object SparkEntry {
       TextAnalysis.bpeApply(s, d)),
     "pack_bpe" -> ((s: SparkSession, d: String) =>
       Curation.packSequencesBpe(s, d)),
+    "pack_unigram" -> ((s: SparkSession, d: String) =>
+      Curation.packSequencesUnigram(s, d)),
     "mix_sample_bpe" -> ((s: SparkSession, d: String) =>
       Curation.mixSampleBpeQuery(s, d)),
     "budget_select_bpe" -> ((s: SparkSession, d: String) =>

@@ -664,6 +664,32 @@ object Curation {
         .select(col("doc_id"), col("bpe_pieces").as("n_tokens")),
       seqLen, buckets)
 
+  // ------------------------------------------------------------- C49b
+  /** UNIGRAM-PIECE sequence packing — C49 with the tokenizer swapped:
+    * E32b's fitted unigram-LM piece counts through the SAME
+    * [[packSequencesFromCounts]] kernel. Exists as the executable
+    * proof of the seam claim (E32b emits E27's schema precisely so
+    * every piece consumer swaps tokenizers unchanged) — and because a
+    * lab that picks unigram in the E33 bake-off needs its packer the
+    * same day. Rows-only (the fitted table is EM output — E26's
+    * reason); the spec pins packing under a hand-fitted table against
+    * C13's whitespace layout. */
+  def packSequencesUnigram(spark: SparkSession, sfDir: String,
+      seqLen: Int = 2048, vocabSize: Int = 512,
+      buckets: Int = 1024): DataFrame =
+    packSequencesFromCounts(
+      TextAnalysis.unigramApply(spark, sfDir, vocabSize)
+        .select(col("doc_id"), col("unigram_pieces").as("n_tokens")),
+      seqLen, buckets)
+
+  /** C49b over arbitrary docs + a fitted table (the spec entry). */
+  def packSequencesUnigramOf(docs: DataFrame, logp: Map[String, Double],
+      maxPieceLen: Int, seqLen: Int = 2048, buckets: Int = 1024): DataFrame =
+    packSequencesFromCounts(
+      TextAnalysis.unigramApplyOf(docs, logp, maxPieceLen)
+        .select(col("doc_id"), col("unigram_pieces").as("n_tokens")),
+      seqLen, buckets)
+
   // ------------------------------------------------------------- C43
   /** PACK-LAYOUT audit — the observability row for C13's
     * concatenate-then-cut packing: that layout wastes zero padding by
@@ -2849,6 +2875,41 @@ object Curation {
 
   def pipelineMassivetextQuery(spark: SparkSession, sfDir: String): DataFrame =
     pipelineMassivetext(Tables.documents(spark, sfDir))
+
+  // ---------------------------------------------------------------- C53b
+  /** STREAMING MassiveText gate — C53's ingest twin, with the easy
+    * honesty that makes it exact: every verdict in the battery is a
+    * PER-DOCUMENT product (C50's token signals, C51's within-doc
+    * repetition masses), and a document never spans micro-batches —
+    * so the published chain applies to each batch UNCHANGED, with
+    * zero cross-batch state and no watermark. Per trigger, the batch
+    * operator's verdict frame (keep/drop + both failure surfaces —
+    * the drop log that says WHY) lands under `epoch=<id>/`; the
+    * epoch-overwrite makes a replayed trigger rewrite its own
+    * directory (the AlertSink fence), so the audit log is
+    * exactly-once. The batch C53 remains the oracle-checked truth;
+    * the spec pins per-epoch union == batch-on-union and the replay
+    * fence. */
+  def massivetextStream(docs: DataFrame, auditDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        massivetextBatch(batch, epochId, auditDir)
+      }
+      .start()
+
+  /** One trigger (public for the replay-fence spec). */
+  def massivetextBatch(batch: DataFrame, epochId: Long,
+      auditDir: String): Unit =
+    pipelineMassivetext(batch)
+      .write.mode("overwrite").parquet(s"$auditDir/epoch=$epochId")
+
+  /** The accumulated verdict log (partition column `epoch` = the
+    * delivering micro-batch). */
+  def massivetextLog(spark: SparkSession, auditDir: String): DataFrame =
+    spark.read.parquet(auditDir)
 
   def pipelineMassivetextSql(): String =
     // substitute AFTER stripMargin: the members' own SQL contains `||`

@@ -852,6 +852,78 @@ class CurationSpec extends SparkSpec {
     assert(Curation.curateGated(spark, sf).count() === plain.size.toLong)
   }
 
+  test("massivetext stream: per-epoch verdicts equal the batch battery, replayed trigger leaves the log unchanged") {
+    val auditDir = java.nio.file.Files
+      .createTempDirectory("graft-mtx").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-mtx-ck").toString
+    // distinct tokens (no repeated n-gram → repetition vacuous pass),
+    // two stopwords up front, ≥50 words, clean alpha mass
+    def words(a: Int, n: Int): String =
+      "the and " + (a until a + n).map(i => s"word$i").mkString(" ")
+    val rows = Seq(
+      (1L, words(0, 60)),                     // passes both batteries
+      (2L, "tiny"),                           // gopher word-count fail
+      (3L, Seq.fill(60)("spam spam").mkString(" ")), // repetition fail
+      (4L, words(100, 55)))
+    val input = new org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](105, spark, None)
+    val q = Curation.massivetextStream(
+      input.toDS().toDF("doc_id", "text"), auditDir, ckpt)
+    try {
+      input.addData(rows.take(2))
+      q.processAllAvailable()
+      input.addData(rows.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val log = Curation.massivetextLog(spark, auditDir)
+    val batch = Curation.pipelineMassivetext(
+      rows.toDF("doc_id", "text"))
+    assert(log.drop("epoch").exceptAll(batch).count() === 0 &&
+      batch.exceptAll(log.drop("epoch")).count() === 0,
+      "per-epoch union != batch battery on the union")
+    val kept = log.filter($"kept").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L), s"gate verdicts wrong: $kept")
+    // replay fence: re-deliver epoch 0 with its own content — the log
+    // must stay byte-identical (epoch overwrite, not append)
+    val before = log.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    Curation.massivetextBatch(rows.take(2).toDF("doc_id", "text"), 0L,
+      auditDir)
+    val after = Curation.massivetextLog(spark, auditDir).collect()
+      .map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(after === before, "replayed trigger changed the audit log")
+  }
+
+  test("pack_unigram: piece packing under a hand-fitted table diverges from whitespace packing") {
+    // table: "ab" strong, chars weak — "abab" parses as 2 pieces
+    val logp = Map("ab" -> math.log(0.5), "a" -> math.log(0.05),
+      "b" -> math.log(0.05), "c" -> math.log(0.05))
+    val docs = Seq((0L, "abab c"), (1L, "abab abab"), (2L, "c"))
+      .toDF("doc_id", "text")
+    // piece counts: d0 = 2+1 = 3, d1 = 4, d2 = 1; cum-before 0, 3, 7
+    val out = Curation.packSequencesUnigramOf(docs, logp,
+      maxPieceLen = 2, seqLen = 4, buckets = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((0L, 3L, 0L, 0L), (1L, 4L, 0L, 3L),
+      (2L, 1L, 1L, 3L)), s"unigram packing wrong: ${out.toSeq}")
+    // whitespace counts (2, 2, 1) place the stream differently
+    val ws = Curation.packSequences(docs, seqLen = 4, buckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.map(t => (t._1, t._3, t._4)).toSet != ws.toSet,
+      "planted corpus failed to separate the two budgets")
+    // driver query: contiguous positions in the unigram piece stream
+    val drv = Curation.packSequencesUnigram(spark, sf, seqLen = 64)
+      .collect()
+    assert(drv.nonEmpty)
+    var cum = 0L
+    drv.foreach { r =>
+      assert(r.getLong(2) * 64 + r.getLong(3) === cum,
+        s"doc ${r.getLong(0)} misplaced")
+      cum += r.getLong(1)
+    }
+  }
+
   test("mix_sample_bpe: piece-denominated budgets reject the OOV doc whitespace admits") {
     // hand vocab: "aa" whole (1 piece); "cc" is OOV → char fallback (2)
     val vocab = Seq(("aa", Seq("aa"))).toDF("term", "syms")
