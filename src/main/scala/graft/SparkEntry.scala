@@ -285,6 +285,9 @@ object SparkEntry {
     // exhausted verdict (the 12h/95% production defaults read all-true)
     "mon_error_budget" -> ((s: SparkSession, d: String) =>
       Monitoring.errorBudget(s, d, maxGapUs = 86400000000L, slo = 0.5)),
+    // same calibrated knobs as A65 so verdicts split on this fleet
+    "mon_budget_eta" -> ((s: SparkSession, d: String) =>
+      Monitoring.budgetEta(s, d, maxGapUs = 86400000000L, slo = 0.5)),
     "mon_downtime_sla" -> ((s: SparkSession, d: String) =>
       Monitoring.downtimeSla(s, d)),
     "mon_anomaly_ensemble" -> ((s: SparkSession, d: String) =>
@@ -486,6 +489,8 @@ object SparkEntry {
     "mon_cross_corr" -> Monitoring.crossCorrSql(),
     "mon_cross_corr_anomalies" -> Monitoring.crossCorrAnomaliesSql(),
     "mon_incident_pairs" -> Monitoring.incidentPairsSql(corrThreshold = 0.3),
+    "mon_budget_eta" ->
+      Monitoring.budgetEtaSql(maxGapUs = 86400000000L, slo = 0.5),
     "q_returned_customers" -> Relational.qReturnedCustomersSql,
     "q_nation_trade" -> Relational.qNationTradeSql,
     "q_market_share" -> Relational.qMarketShareSql,

@@ -836,6 +836,63 @@ object Monitoring {
        |  downtime_us > budget_us AS exhausted
        |FROM j ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- A67
+  /** BUDGET-EXHAUSTION FORECAST — the question the A65 board raises
+    * but does not answer: "at the burn rate observed so far, WHEN
+    * does each device's error budget run out" (the SRE
+    * freeze-the-release ETA; A60 forecasts capacity, THIS forecasts
+    * the budget clock). Burn model is the honest zeroth-order one —
+    * downtime accrues at its observed average rate downtime/span —
+    * so eta_us = remaining_budget · span ∕ downtime; a device with
+    * ZERO observed downtime has no measurable burn and reports a
+    * NULL eta (never exhausts at current rate — a forecast, not a
+    * promise), an exhausted device reports 0. The ETA denominates in
+    * DAYS, not micros — partly because days are what a release
+    * decision reads, mostly for §4 parity: at 1e13-µs magnitudes
+    * round-at-6 stops being cross-engine-stable (the scaled value
+    * exceeds 2⁵³), while day-scale keeps the rounded mantissa exact
+    * in both engines. The division runs in DOUBLE on exact BIGINT
+    * inputs ((b−d)·span overflows BIGINT at fleet spans; identical
+    * IEEE tree both sides). Composition of A65's frame: one extra
+    * projection, no new exchange. */
+  def budgetEta(spark: SparkSession, sfDir: String,
+      maxGapUs: Long = 43200000000L, slo: Double = 0.95): DataFrame = {
+    import spark.implicits._
+    errorBudget(spark, sfDir, maxGapUs, slo)
+      .withColumn("eta_days",
+        when($"exhausted", lit(0.0))
+          .when($"downtime_us" === 0L, lit(null).cast("double"))
+          .otherwise(round(
+            ($"budget_us" - $"downtime_us").cast("double") *
+              $"span_us".cast("double") /
+              $"downtime_us".cast("double") / lit(86400000000.0), 6)))
+      .withColumn("verdict",
+        when($"exhausted", lit("exhausted"))
+          .when($"downtime_us" === 0L, lit("healthy"))
+          .otherwise(lit("burning")))
+      .select($"user_id", $"span_us", $"downtime_us", $"budget_us",
+        $"budget_consumed", $"eta_days", $"verdict")
+      .orderBy($"user_id")
+  }
+
+  /** A67 oracle: A65's composition SQL plus the ETA projection. */
+  def budgetEtaSql(maxGapUs: Long = 43200000000L,
+      slo: Double = 0.95): String =
+    s"""WITH eb AS (
+       |${errorBudgetSql(maxGapUs, slo)}
+       |)
+       |SELECT user_id, span_us, downtime_us, budget_us, budget_consumed,
+       |  CASE WHEN exhausted THEN 0.0
+       |       WHEN downtime_us = 0 THEN NULL
+       |       ELSE ROUND(CAST(budget_us - downtime_us AS DOUBLE)
+       |         * CAST(span_us AS DOUBLE)
+       |         / CAST(downtime_us AS DOUBLE) / 86400000000.0, 6)
+       |  END AS eta_days,
+       |  CASE WHEN exhausted THEN 'exhausted'
+       |       WHEN downtime_us = 0 THEN 'healthy'
+       |       ELSE 'burning' END AS verdict
+       |FROM eb ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- A42
   /** FLEET-ABSENCE report: registered devices that have NOT reported
     * within the trailing `recentUs` window (default 24 h) of the

@@ -534,6 +534,48 @@ class MonitoringSpec extends SparkSpec {
     }
   }
 
+  test("budget eta: forecast arithmetic consistent with the budget board, verdicts partition") {
+    val eta = Monitoring.budgetEta(spark, sf,
+      maxGapUs = 86400000000L, slo = 0.5).collect()
+    val eb = Monitoring.errorBudget(spark, sf,
+      maxGapUs = 86400000000L, slo = 0.5).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getBoolean(6))).toMap
+    assert(eta.nonEmpty && eta.length === eb.size,
+      "eta board must cover exactly the budget board")
+    eta.foreach { r =>
+      val id = r.getLong(0)
+      val (span, down, budget, exhausted) = eb(id)
+      r.getString(6) match {
+        case "exhausted" =>
+          assert(exhausted && r.getDouble(5) === 0.0, s"device $id")
+        case "healthy" =>
+          assert(down === 0L && r.isNullAt(5), s"device $id")
+        case "burning" =>
+          val expect = math.rint((budget - down).toDouble * span.toDouble /
+            down.toDouble / 86400000000.0 * 1e6) / 1e6
+          assert(!exhausted && r.getDouble(5) === expect,
+            s"device $id: ${r.getDouble(5)} vs $expect")
+          assert(r.getDouble(5) > 0.0, s"burning device $id with eta <= 0")
+        case v => fail(s"unknown verdict $v")
+      }
+    }
+    // branch coverage via regimes the corpus pins deterministically:
+    // a gap threshold beyond any span → zero downtime → all healthy
+    val healthy = Monitoring.budgetEta(spark, sf,
+      maxGapUs = Long.MaxValue / 4, slo = 0.5).collect()
+    assert(healthy.nonEmpty &&
+      healthy.forall(r => r.getString(6) == "healthy" && r.isNullAt(5)),
+      "no-gap regime must read all-healthy with NULL eta")
+    // a tight threshold + near-1 SLO → downtime dwarfs the budget
+    val burned = Monitoring.budgetEta(spark, sf,
+      maxGapUs = 600000000L, slo = 0.9999).collect()
+    assert(burned.exists(_.getString(6) == "exhausted"),
+      "tight-budget regime produced no exhausted device")
+    burned.filter(_.getString(6) == "exhausted")
+      .foreach(r => assert(r.getDouble(5) === 0.0))
+  }
+
   test("downtime sla: day fragments conserve gap mass, verdicts consistent") {
     val dayUs = 86400000000L
     val totalGapUs = Monitoring.heartbeatGaps(spark, sf).collect()
