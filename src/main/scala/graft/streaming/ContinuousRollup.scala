@@ -273,4 +273,55 @@ object ContinuousRollup {
     UpsertSink.applyBatch(batch, repairId, dir, "rollup_key", "__ver",
       nBuckets)
   }
+
+  /** [[backfillSums]] for the FULL-STAT table ([[startStats]]'s hourly
+    * Sum/Avg/Min/Max/SampleCount) — the repair path the five-stat
+    * rollup was missing: same contract (expand to whole hour windows,
+    * recompute from history with [[statUpdates]]'s exact expressions,
+    * explicit ZERO rows for stale snapshot keys — avg/min/max NULL and
+    * sample_count 0, the "no data" shape a `sample_count > 0` reader
+    * filters), same apply-order precedence notes as the Sum repair. */
+  def backfillStats(spark: SparkSession, sfDir: String, dir: String,
+      fromUs: Long, toUs: Long, repairId: Long,
+      nBuckets: Int = 64): Unit = {
+    import spark.implicits._
+    require(repairId < 0, "use a negative repairId — the stream owns >= 0")
+    require(fromUs < toUs, s"empty repair range [$fromUs, $toUs)")
+    val winUs = 3600000000L
+    val f = fromUs - java.lang.Math.floorMod(fromUs, winUs)
+    val t0 = java.lang.Math.floorMod(toUs, winUs)
+    val t = if (t0 == 0) toUs else toUs + (winUs - t0)
+    val recomputed = graft.Tables.events(spark, sfDir)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .filter($"us" >= f && $"us" < t)
+      .groupBy($"user_id", expr("unix_micros(date_trunc('hour', ts))")
+        .as("window_us"))
+      .agg(
+        sum($"value".cast("decimal(18,4)")).cast("double").as("stat_sum"),
+        (sum($"value".cast("decimal(18,4)")).cast("double") /
+          count(lit(1))).as("stat_avg"),
+        min($"value").as("stat_min"),
+        max($"value").as("stat_max"),
+        count(lit(1)).as("sample_count"))
+      .withColumn("rollup_key",
+        concat_ws(":", col("user_id"), col("window_us")))
+      .localCheckpoint(true) // read twice: upsert + stale-key anti-join
+    val stale = statsSnapshot(spark, dir)
+      .filter($"window_us" >= f && $"window_us" < t)
+      .select($"user_id", $"window_us",
+        concat_ws(":", $"user_id", $"window_us").as("rollup_key"))
+      .join(recomputed.select($"rollup_key"), Seq("rollup_key"),
+        "left_anti")
+      .withColumn("stat_sum", lit(0.0))
+      .withColumn("stat_avg", lit(null).cast("double"))
+      .withColumn("stat_min", lit(null).cast("double"))
+      .withColumn("stat_max", lit(null).cast("double"))
+      .withColumn("sample_count", lit(0L))
+      .select($"user_id", $"window_us", $"stat_sum", $"stat_avg",
+        $"stat_min", $"stat_max", $"sample_count", $"rollup_key")
+    val batch = recomputed.unionByName(stale)
+      .withColumn("__ver", lit(Long.MaxValue / 2 - repairId))
+    UpsertSink.applyBatch(batch, repairId, dir, "rollup_key", "__ver",
+      nBuckets)
+  }
 }

@@ -64,6 +64,35 @@ class ContinuousRollupSpec extends SparkSpec {
     assert(snap.exceptAll(batch).count() === 0, "snapshot rows not in batch")
     assert(batch.exceptAll(snap).count() === 0, "batch rows not in snapshot")
     assert(snap.count() > 0)
+
+    // REPAIR: poison a real window + plant a ghost key, then backfill
+    // the range — the five-stat table must return to batch parity and
+    // the ghost must be explicitly zeroed (the sums-repair contract)
+    val victim = batch.limit(1).collect().head
+    val (vu, vw) = (victim.getLong(0), victim.getLong(1))
+    val ghostU = 999999999L
+    val poison = Seq(
+        (vu, vw, -1.0, -1.0, -1.0, -1.0, 1L, s"$vu:$vw"),
+        (ghostU, vw, 9.0, 9.0, 9.0, 9.0, 9L, s"$ghostU:$vw"))
+      .toDF("user_id", "window_us", "stat_sum", "stat_avg", "stat_min",
+        "stat_max", "sample_count", "rollup_key")
+      .withColumn("__ver", org.apache.spark.sql.functions.lit(Long.MaxValue))
+    UpsertSink.applyBatch(poison, -999L, dir, "rollup_key", "__ver", 8)
+    assert(ContinuousRollup.statsSnapshot(spark, dir)
+      .filter($"user_id" === vu && $"window_us" === vw)
+      .head().getDouble(2) === -1.0)
+    ContinuousRollup.backfillStats(spark, sf, dir,
+      vw + 7L, vw + 8L, repairId = -1000L, nBuckets = 8)
+    val repaired = ContinuousRollup.statsSnapshot(spark, dir)
+    def live(df: org.apache.spark.sql.DataFrame) =
+      df.filter($"sample_count" > 0)
+    assert(live(repaired).exceptAll(batch).count() === 0 &&
+      batch.exceptAll(live(repaired)).count() === 0,
+      "stats repair did not restore parity")
+    val ghost = repaired.filter($"user_id" === ghostU).collect()
+    assert(ghost.length === 1 && ghost.head.getDouble(2) === 0.0 &&
+      ghost.head.isNullAt(3) && ghost.head.getLong(6) === 0L,
+      s"ghost not zeroed: ${ghost.toSeq}")
   }
 
   test("histogram rollup: maintained bucket counts equal a batch recount; percentiles derive") {
