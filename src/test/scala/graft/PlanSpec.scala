@@ -74,6 +74,16 @@ class PlanSpec extends SparkSpec {
       s"prescreen or confirm join missing:\n$p")
   }
 
+  test("quality_classifier: bucket weights broadcast into the scoring join") {
+    // the ≤nBuckets weight frame must broadcast — a shuffled weight
+    // join would exchange the corpus-sized feature frame a second time
+    val p = finalPlan(Curation.qualityClassifier(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"weight join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"classifier scoring fell into SMJ:\n$p")
+  }
+
   test("q5: dim chain broadcasts even in the 6-way star join") {
     val p = executedPlan(Relational.q5LocalSupplier(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"no broadcast joins in star:\n$p")
