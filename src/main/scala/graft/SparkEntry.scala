@@ -126,6 +126,8 @@ object SparkEntry {
       Similarity.knnGraphIvf(s, d)),
     "knn_pagerank" -> ((s: SparkSession, d: String) =>
       Similarity.knnPagerank(s, d)),
+    "knn_pagerank_ivf" -> ((s: SparkSession, d: String) =>
+      Similarity.knnPagerankIvf(s, d)),
     "pagerank_select" -> ((s: SparkSession, d: String) =>
       Similarity.pagerankSelect(s, d)),
     "knn_clusters" -> ((s: SparkSession, d: String) =>

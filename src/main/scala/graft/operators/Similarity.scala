@@ -2562,31 +2562,58 @@ object Similarity {
     * on planted graphs and mass conservation on the corpus. */
   def knnPagerank(spark: SparkSession, sfDir: String, k: Int = AnnK,
       damping: Double = 0.85, maxIter: Int = 20,
-      tol: Double = 1e-4): DataFrame = {
-    import spark.implicits._
-    cachedPagerank(spark, sfDir, k, damping, maxIter, tol)
-  }
+      tol: Double = 1e-4): DataFrame =
+    cachedPagerank(spark, sfDir, s"exact:$k:$damping:$maxIter:$tol",
+      knnGraph(spark, sfDir, k), damping, maxIter, tol)
+
+  // ---------------------------------------------------------------- D34c
+  /** D34's WIRED SCALE PATH — the same [[pagerankOf]] iteration fed
+    * [[knnGraphIvf]]'s recall-bounded edges instead of the brute
+    * guard's: at corpus scale the exact graph REFUSES (n² pair
+    * ceiling, by design), and until this entry the escape hatch was
+    * manual composition — every other graph consumer (D25b's graph,
+    * D26's clusters) already had its IVF sibling wired. Rank quality
+    * is recall-bounded exactly like the edges (an edge the probe
+    * geometry misses moves a little in-mass), which is why the spec
+    * pins TOP-FRACTION OVERLAP against the exact graph's ranks at
+    * test scale rather than per-node equality — centrality SELECTION
+    * (D34b's cut) is the consumer, and the cut set is what must
+    * agree. Dangling-mass handling is live here, not theoretical:
+    * IVF edges genuinely drop nodes' out-edges. Rows-only (iterative
+    * + probe-geometry-defined — D25b's reason). */
+  def knnPagerankIvf(spark: SparkSession, sfDir: String, k: Int = AnnK,
+      nCells: Int = 0, nProbe: Int = 4, damping: Double = 0.85,
+      maxIter: Int = 20, tol: Double = 1e-4): DataFrame =
+    cachedPagerank(spark, sfDir,
+      s"ivf:$k:$nCells:$nProbe:$damping:$maxIter:$tol",
+      knnGraphIvf(spark, sfDir, k, nCells, nProbe), damping, maxIter, tol)
 
   /** Centrality over a CORPUS VERSION is build output (the D8 /
     * ann_rerank cache rule): compute once per (corpus stamp, params),
-    * serve the pinned frame afterwards. */
+    * serve the pinned frame afterwards. `variant` encodes the edge
+    * source and every iteration param; `edges` is by-name so a cache
+    * hit never builds the graph. */
   private val pagerankCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Long, Int, Double, Int, Double), DataFrame]
+    .empty[(String, Long, String), DataFrame]
 
-  private def cachedPagerank(spark: SparkSession, sfDir: String, k: Int,
-      damping: Double, maxIter: Int, tol: Double): DataFrame = {
+  private def cachedPagerank(spark: SparkSession, sfDir: String,
+      variant: String, edges: => DataFrame, damping: Double,
+      maxIter: Int, tol: Double): DataFrame = {
     import spark.implicits._
     val stamp = Tables.pathStamp(spark, s"$sfDir/embeddings.parquet")
-    pagerankCache.filterInPlace { case ((d, st, _, _, _, _), df) =>
+    pagerankCache.filterInPlace { case ((d, st, _), df) =>
       d != sfDir || st == stamp || { Tables.unpinCheckpoint(df); false }
     }
-    pagerankCache.getOrElseUpdate((sfDir, stamp, k, damping, maxIter, tol), {
-      val (pr, iters) = pagerankOf(knnGraph(spark, sfDir, k),
-        damping, maxIter, tol)
-      pr.select($"id".as("vec_id"), round($"pr", 6).as("pagerank"),
+    pagerankCache.getOrElseUpdate((sfDir, stamp, variant), {
+      val (pr, iters) = pagerankOf(edges, damping, maxIter, tol)
+      val out = pr.select($"id".as("vec_id"), round($"pr", 6).as("pagerank"),
           lit(iters).as("n_iters"))
         .orderBy($"pagerank".desc, $"vec_id")
         .localCheckpoint(true)
+      // the served projection is its own pinned block set — release the
+      // final iteration frame it superseded
+      Tables.unpinCheckpoint(pr)
+      out
     })
   }
 
@@ -2599,22 +2626,33 @@ object Similarity {
     * space. Rank machinery is C18/C28's: the rounded rank (∈ [0,1],
     * 6 decimals ⇒ micro-key span ≤ 1e6 < 2²²) packs with vec_id into
     * the prefix-sum key, so the global cut runs at fleet width with
-    * no single-partition window and no corpus-sized heap. Rows-only
-    * (the rank column is D34's iterative output); the spec pins the
-    * kept set equal to the collected top-fraction exactly. */
+    * no single-partition window and no corpus-sized heap. Ranks come
+    * from [[knnPagerankIvf]] — the edge source that RUNS at corpus
+    * scale (the exact graph's guard refuses there; the r11 verdict's
+    * weak-row fix) — so the served selection survives 100× instead of
+    * refusing; the spec pins the kept set equal to the collected
+    * top-fraction of the SAME rank frame exactly, and D34c's spec
+    * separately bounds that frame's drift vs the exact graph.
+    * Rows-only (the rank column is iterative output). */
   def pagerankSelect(spark: SparkSession, sfDir: String, k: Int = AnnK,
-      num: Int = 1, den: Int = 5, buckets: Int = 1024): DataFrame = {
+      num: Int = 1, den: Int = 5, buckets: Int = 1024,
+      nCells: Int = 0, nProbe: Int = 4): DataFrame = {
     import spark.implicits._
     require(num >= 0 && den >= 1 && num <= den,
       s"keep fraction $num/$den must be within [0, 1]")
-    val pr = cachedPagerank(spark, sfDir, k, 0.85, 20, 1e-4)
+    val pr = knnPagerankIvf(spark, sfDir, k, nCells, nProbe)
       .select($"vec_id", $"pagerank")
     val n = Tables.cachedCount(spark, s"$sfDir/embeddings.parquet")
     if (n == 0) return pr.withColumn("rnk", lit(0L)).limit(0)
     require(n < (1L << 40), s"vec_id domain $n too wide for key packing")
     val keyed = pr
+      // round-to-nearest, not floor: pagerank is ALREADY quantized to
+      // 6 decimals, but the product re-introduces FP representation
+      // error (0.000029 * 1e6 = 28.999999999999996) — floor would drop
+      // such a doc one micro-rank and let the id tiebreak swap the cut
+      // boundary on unlucky values
       .withColumn("__ord",
-        (lit(1000000L) - floor($"pagerank" * 1e6).cast("long")) *
+        (lit(1000000L) - round($"pagerank" * 1e6).cast("long")) *
           lit(1L << 40) + $"vec_id")
       .withColumn("__one", lit(1L)).withColumn("__all", lit("all"))
     Scale.stratifiedPrefixSum(keyed, "__all", "__ord", "__one", "rnk",
@@ -2675,10 +2713,19 @@ object Similarity {
           sum(when(!$"has_out", $"pr").otherwise(0.0))).head()
       delta = probe.getDouble(0)
       dangling = if (probe.isNullAt(1)) 0.0 else probe.getDouble(1)
+      // the superseded round is dead once the probe (its last reader)
+      // has run — without this each invocation pins up to maxIter
+      // node-sized block sets for the JVM's life
+      val prev = pr
       pr = next
+      Tables.unpinCheckpoint(prev)
       iter += 1
     }
-    (pr.select($"id", $"pr"), iter)
+    // the returned frame reads only the FINAL round's checkpoint
+    // (lineage-truncated, self-contained) — the graph pins are dead too
+    val out = (pr.select($"id", $"pr"), iter)
+    Seq(e, outDeg, nodes).foreach(Tables.unpinCheckpoint)
+    out
   }
 
   // ---------------------------------------------------------------- D26
