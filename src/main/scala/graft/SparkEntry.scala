@@ -132,6 +132,8 @@ object SparkEntry {
       Similarity.pagerankSelect(s, d)),
     "knn_clusters" -> ((s: SparkSession, d: String) =>
       Similarity.knnClusters(s, d)),
+    "knn_clusters_ivf" -> ((s: SparkSession, d: String) =>
+      Similarity.knnClustersIvf(s, d)),
     "mm_quality_gate" -> ((s: SparkSession, d: String) =>
       Multimodal.mmQualityGate(s, d)),
     // F: multimodal
@@ -252,6 +254,14 @@ object SparkEntry {
       Curation.gramMemorization(s, d)),
     "quality_classifier" -> ((s: SparkSession, d: String) =>
       Curation.qualityClassifier(s, d)),
+    "classifier_report" -> ((s: SparkSession, d: String) =>
+      Curation.classifierReport(s, d)),
+    "mix_sample_unigram" -> ((s: SparkSession, d: String) =>
+      Curation.mixSampleUnigramQuery(s, d)),
+    "budget_select_unigram" -> ((s: SparkSession, d: String) =>
+      Curation.budgetSelectUnigram(s, d)),
+    "domain_cap_unigram" -> ((s: SparkSession, d: String) =>
+      Curation.domainCapUnigram(s, d)),
     "gopher_rules" -> ((s: SparkSession, d: String) =>
       Curation.gopherRulesQuery(s, d)),
     "repetition_rules" -> ((s: SparkSession, d: String) =>
@@ -266,6 +276,8 @@ object SparkEntry {
       Similarity.embedOutliers(s, d)),
     "label_propagation" -> ((s: SparkSession, d: String) =>
       Similarity.labelPropagation(s, d)),
+    "label_propagation_ivf" -> ((s: SparkSession, d: String) =>
+      Similarity.labelPropagationIvf(s, d)),
     "dedup_recall_report" -> ((s: SparkSession, d: String) =>
       Dedup.dedupRecallReport(s, d)),
     "mm_dedup_media_groups" -> ((s: SparkSession, d: String) =>
@@ -517,6 +529,7 @@ object SparkEntry {
     "gram_memorization" -> Curation.gramMemorizationSql(),
     "gopher_rules" -> Curation.gopherRulesSql(),
     "quality_classifier" -> Curation.qualityClassifierSql(),
+    "classifier_report" -> Curation.classifierReportSql(),
     "repetition_rules" -> Curation.repetitionRulesSql(),
     "curriculum_order" -> Curation.curriculumOrderSql(),
     "pack_curriculum" -> Curation.packCurriculumSql(),

@@ -103,18 +103,37 @@ object Curation {
 
   /** C58 over arbitrary docs + any C54-shaped report frame — the spec
     * entry (a synthetic bad report pins the fail-path without having
-    * to defeat the banding deterministically). */
+    * to defeat the banding deterministically). `simhashMinRecall`
+    * extends the gate to C54's SimHash row for pipelines whose
+    * configured near-dup stage is SimHash — the report always
+    * MEASURED both methods, but until r12 only MinHash could refuse,
+    * so a mistuned Hamming sweep shipped dupes the gate existed to
+    * stop. None (the default) leaves SimHash report-only, matching
+    * the chain's MinHash-LSH near-dup stage. */
   def curateGatedOf(docs: DataFrame, recallReport: DataFrame,
-      minRecall: Double = 0.8): DataFrame = {
+      minRecall: Double = 0.8,
+      simhashMinRecall: Option[Double] = None): DataFrame = {
     require(minRecall >= 0 && minRecall <= 1,
       s"minRecall $minRecall out of [0, 1]")
-    val row = recallReport.filter(col("method") === "minhash_lsh")
-      .select(col("recall")).head()
-    require(row.isNullAt(0) || row.getDouble(0) >= minRecall,
-      f"dedup recall gate: minhash_lsh recall ${if (row.isNullAt(0)) 0.0
-        else row.getDouble(0)}%.6f < $minRecall vs exact Jaccard ground " +
-        "truth — the near-dedup stage would silently under-delete; " +
-        "retune the banding (bands × rows) before curating")
+    simhashMinRecall.foreach(r => require(r >= 0 && r <= 1,
+      s"simhashMinRecall $r out of [0, 1]"))
+    // a report without the expected method row must fail AS the gate,
+    // naming the missing row — not as an opaque head() NoSuchElement
+    def gateOn(method: String, floor: Double): Unit = {
+      val row = recallReport.filter(col("method") === method)
+        .select(col("recall")).take(1)
+      require(row.nonEmpty,
+        s"dedup recall gate: report has no '$method' row — wrong " +
+          "method name or empty report; the gate cannot certify what " +
+          "was never measured")
+      require(row.head.isNullAt(0) || row.head.getDouble(0) >= floor,
+        f"dedup recall gate: $method recall ${if (row.head.isNullAt(0)) 0.0
+          else row.head.getDouble(0)}%.6f < $floor vs exact Jaccard " +
+          "ground truth — the near-dedup stage would silently " +
+          "under-delete; retune before curating")
+    }
+    gateOn("minhash_lsh", minRecall)
+    simhashMinRecall.foreach(gateOn("simhash", _))
     curateFull(docs)
   }
 
@@ -833,10 +852,8 @@ object Curation {
   def mixSampleBpeOf(docs: DataFrame, pieces: DataFrame,
       stratumCol: String, budgets: Map[String, Long],
       defaultBudget: Long, orderCol: String = "doc_id"): DataFrame =
-    mixSampleFromCounts(
-      docs.select(col("doc_id"), col("lang"), col(stratumCol))
-        .join(pieces.select(col("doc_id"),
-          col("bpe_pieces").as("n_tokens")), Seq("doc_id")),
+    mixSamplePieceCounts(docs,
+      pieces.select(col("doc_id"), col("bpe_pieces").as("n_tokens")),
       stratumCol, budgets, defaultBudget, orderCol)
 
   /** Driver query: C14's exact budget panel, denominated in pieces —
@@ -846,6 +863,54 @@ object Curation {
       Map("src0" -> 1000000L, "src1" -> 500L), defaultBudget = 800L)
       .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
       .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------- C55b
+  /** UNIGRAM-PIECE training mix — C55 with the tokenizer swapped:
+    * E32b's fitted unigram piece counts through the SAME
+    * [[mixSampleFromCounts]] kernel. C49b proved the tokenizer seam
+    * for PACKING; this (with C56b/C57b) completes the swap-proof for
+    * ADMISSION — the r11 verdict's gap: a lab that picks unigram in
+    * the E33 bake-off states its mix budgets in unigram pieces the
+    * same day, with zero new kernels. Rows-only (the fitted table is
+    * EM output — E26's reason); the spec pins the BPE-vs-unigram
+    * admission shift on a doc whose piece economics differ between
+    * the two tokenizers. */
+  def mixSampleUnigram(spark: SparkSession, sfDir: String,
+      stratumCol: String, budgets: Map[String, Long],
+      defaultBudget: Long, vocabSize: Int = 512,
+      orderCol: String = "doc_id"): DataFrame =
+    mixSamplePieceCounts(Tables.documents(spark, sfDir),
+      TextAnalysis.unigramApply(spark, sfDir, vocabSize)
+        .select(col("doc_id"), col("unigram_pieces").as("n_tokens")),
+      stratumCol, budgets, defaultBudget, orderCol)
+
+  /** C55b over arbitrary docs + a hand-fitted table (the spec entry —
+    * the C49b pattern: a hand table makes admission hand-checkable). */
+  def mixSampleUnigramOf(docs: DataFrame, logp: Map[String, Double],
+      maxPieceLen: Int, stratumCol: String, budgets: Map[String, Long],
+      defaultBudget: Long, orderCol: String = "doc_id"): DataFrame =
+    mixSamplePieceCounts(docs,
+      TextAnalysis.unigramApplyOf(docs, logp, maxPieceLen)
+        .select(col("doc_id"), col("unigram_pieces").as("n_tokens")),
+      stratumCol, budgets, defaultBudget, orderCol)
+
+  def mixSampleUnigramQuery(spark: SparkSession, sfDir: String): DataFrame =
+    mixSampleUnigram(spark, sfDir, "source",
+      Map("src0" -> 1000000L, "src1" -> 500L), defaultBudget = 800L)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** The shared admission seam all piece denominations feed: stratum
+    * metadata doc-keyed onto a precomputed (doc_id, n_tokens) count
+    * frame, then the C14 prefix-sum kernel. ONE definition so the BPE
+    * and unigram mixes cannot drift. */
+  private def mixSamplePieceCounts(docs: DataFrame, counts: DataFrame,
+      stratumCol: String, budgets: Map[String, Long],
+      defaultBudget: Long, orderCol: String): DataFrame =
+    mixSampleFromCounts(
+      docs.select(col("doc_id"), col("lang"), col(stratumCol))
+        .join(counts, Seq("doc_id")),
+      stratumCol, budgets, defaultBudget, orderCol)
 
   val mixSampleSql: String =
     """WITH t AS (
@@ -1328,10 +1393,40 @@ object Curation {
     * entry. */
   def domainCapBpeOf(docs: DataFrame, pieces: DataFrame,
       domainCol: String, budgetPieces: Long, seed: Long = 11L): DataFrame =
+    domainCapPieceCounts(docs,
+      pieces.select(col("doc_id"), col("bpe_pieces").as("n_tokens")),
+      domainCol, budgetPieces, seed)
+
+  // ------------------------------------------------------------- C57b
+  /** UNIGRAM-PIECE domain cap — C57 with the tokenizer swapped (E32b
+    * counts through the same LCG-ordered per-domain prefix sum); the
+    * last admission kernel of the C55b/C56b/C57b swap-proof trio.
+    * Rows-only (E26's reason); spec pins hand-computed admission
+    * under a hand-fitted table. */
+  def domainCapUnigram(spark: SparkSession, sfDir: String,
+      domainCol: String = "source", budgetPieces: Long = 600L,
+      vocabSize: Int = 512, seed: Long = 11L): DataFrame =
+    domainCapPieceCounts(Tables.documents(spark, sfDir),
+      TextAnalysis.unigramApply(spark, sfDir, vocabSize)
+        .select(col("doc_id"), col("unigram_pieces").as("n_tokens")),
+      domainCol, budgetPieces, seed)
+
+  /** C57b over arbitrary docs + a hand-fitted table (the spec entry). */
+  def domainCapUnigramOf(docs: DataFrame, logp: Map[String, Double],
+      maxPieceLen: Int, domainCol: String, budgetPieces: Long,
+      seed: Long = 11L): DataFrame =
+    domainCapPieceCounts(docs,
+      TextAnalysis.unigramApplyOf(docs, logp, maxPieceLen)
+        .select(col("doc_id"), col("unigram_pieces").as("n_tokens")),
+      domainCol, budgetPieces, seed)
+
+  /** The shared per-domain piece-budget seam — ONE definition so the
+    * BPE and unigram caps cannot drift. */
+  private def domainCapPieceCounts(docs: DataFrame, counts: DataFrame,
+      domainCol: String, budgetPieces: Long, seed: Long): DataFrame =
     mixSampleFromCounts(
       docs.select(col("doc_id"), col(domainCol))
-        .join(pieces.select(col("doc_id"),
-          col("bpe_pieces").as("n_tokens")), Seq("doc_id"))
+        .join(counts, Seq("doc_id"))
         .withColumn("__dk", shuffleKey(col("doc_id"), seed)),
       domainCol, Map.empty, budgetPieces, orderCol = "__dk")
       .drop("__dk")
@@ -2038,13 +2133,44 @@ object Curation {
     * entry (hand vocab → hand-checkable selection). */
   def budgetSelectBpeOf(docs: DataFrame, pieces: DataFrame,
       budgetPieces: Long, buckets: Int = 1024): DataFrame =
+    budgetSelectPieceCounts(docs,
+      pieces.select(col("doc_id"), col("bpe_pieces").as("n_tokens")),
+      budgetPieces, buckets)
+
+  // ------------------------------------------------------------- C56b
+  /** UNIGRAM-PIECE budget selection — C56 with the tokenizer swapped
+    * (E32b counts through the same scored prefix-sum), completing the
+    * admission swap-proof alongside C55b/C57b: quality ORDER, budget
+    * DENOMINATION, and now TOKENIZER are three independent knobs.
+    * Rows-only (E26's reason); the spec pins the BPE-vs-unigram
+    * selection shift on a doc the two tokenizers price differently. */
+  def budgetSelectUnigram(spark: SparkSession, sfDir: String,
+      budgetPieces: Long = 15000, vocabSize: Int = 512,
+      buckets: Int = 1024): DataFrame =
+    budgetSelectPieceCounts(Tables.documents(spark, sfDir),
+      TextAnalysis.unigramApply(spark, sfDir, vocabSize)
+        .select(col("doc_id"), col("unigram_pieces").as("n_tokens")),
+      budgetPieces, buckets)
+
+  /** C56b over arbitrary docs + a hand-fitted table (the spec entry). */
+  def budgetSelectUnigramOf(docs: DataFrame, logp: Map[String, Double],
+      maxPieceLen: Int, budgetPieces: Long,
+      buckets: Int = 1024): DataFrame =
+    budgetSelectPieceCounts(docs,
+      TextAnalysis.unigramApplyOf(docs, logp, maxPieceLen)
+        .select(col("doc_id"), col("unigram_pieces").as("n_tokens")),
+      budgetPieces, buckets)
+
+  /** The shared scored-selection seam all piece denominations feed —
+    * ONE definition so the BPE and unigram budgets cannot drift. */
+  private def budgetSelectPieceCounts(docs: DataFrame, counts: DataFrame,
+      budgetPieces: Long, buckets: Int): DataFrame =
     budgetSelectFromScored(
       TextAnalysis.textQualityOf(docs)
         .select(col("doc_id"),
           floor(col("quality_score") * 1e6).cast("long").as("q6"))
         .filter(col("q6").isNotNull)
-        .join(pieces.select(col("doc_id"),
-          col("bpe_pieces").as("n_tokens")), Seq("doc_id"))
+        .join(counts, Seq("doc_id"))
         .select(col("doc_id"), col("n_tokens"), col("q6")),
       budgetPieces, buckets)
 
@@ -3067,17 +3193,87 @@ object Curation {
         (col("z") > threshold).as("keep"))
   }
 
-  /** C60's composition oracle: C50's verdict labels the t CTE, then
-    * the C37 hash/count/ln/decimal-sum chain with two-class counts. */
-  def qualityClassifierSql(nBuckets: Int = 4096,
-      threshold: Double = 0.0): String =
-    // substitute %GOPHER% AFTER stripMargin (the member SQL rule)
-    """WITH g AS (%GOPHER%),
-      |t AS (
-      |  SELECT d.doc_id, g.passed AS is_t,
-      |    regexp_extract_all(lower(d.text), '[a-z0-9]+') AS toks
-      |  FROM documents d JOIN g ON d.doc_id = g.doc_id),
-      |h0 AS (SELECT doc_id, is_t,
+  // ------------------------------------------------------------- C60c
+  /** TRAINING-TIME SCORE PROFILE — the reference artifact the serving
+    * drift gate compares against: the score distribution (mean, spread,
+    * keep rate) of the frozen model over the corpus it was trained on,
+    * one row, computed once at train time and stored next to the
+    * weight vector. All three stats are order-free aggregates over one
+    * serve pass. */
+  def classifierProfile(docs: DataFrame, model: Array[Double],
+      threshold: Double = 0.0): DataFrame =
+    classifierServe(docs, model, threshold)
+      .agg(avg(col("nb_z")).as("ref_mean"),
+        coalesce(stddev_pop(col("nb_z")), lit(0.0)).as("ref_std"),
+        avg(col("keep").cast("double")).as("ref_keep_rate"),
+        count(lit(1)).as("ref_n"))
+
+  /** DRIFT-GATED serving — B40's reference-profile discipline applied
+    * to the classifier tier (the r11 verdict's item 6): a frozen model
+    * scores whatever arrives FOREVER, so when the incoming vocabulary
+    * drifts (new domain, new language, upstream tokenization change)
+    * the scores silently degrade — every unseen bigram lands on the
+    * smoothed floor weight, dragging the whole distribution toward the
+    * prior. The gate scores the batch with the SAME dense gather, then
+    * flags it when the batch's score distribution leaves the
+    * training-time envelope: mean beyond `stdTol` reference spreads,
+    * or keep rate beyond `keepTol` absolute. Flags are COLUMNS on
+    * every served row (batch-level facts broadcast back onto the
+    * rows), so a downstream sink can quarantine a drifted batch
+    * without a second pass; the verdicts themselves are unchanged —
+    * the gate OBSERVES, the threshold knob still decides. Batch shape
+    * = one serve projection + one 1-row aggregate + two broadcast
+    * cross joins (no shuffle of the served rows); for a live stream
+    * call this per micro-batch from foreachBatch (the B40/D9 shape —
+    * an aggregate cannot ride a stateless streaming projection). */
+  def classifierServeGated(docs: DataFrame, model: Array[Double],
+      profile: DataFrame, threshold: Double = 0.0,
+      stdTol: Double = 3.0, keepTol: Double = 0.15): DataFrame = {
+    require(stdTol >= 0 && keepTol >= 0,
+      s"tolerances must be >= 0 (got stdTol=$stdTol, keepTol=$keepTol)")
+    val scored = classifierServe(docs, model, threshold)
+      .localCheckpoint(true) // read twice: batch stats + served rows
+    val stats = scored.agg(
+      avg(col("nb_z")).as("batch_mean"),
+      avg(col("keep").cast("double")).as("batch_keep_rate"))
+    scored
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(profile
+        .select(col("ref_mean"), col("ref_std"), col("ref_keep_rate"))))
+      .withColumn("mean_drift",
+        abs(col("batch_mean") - col("ref_mean")) >
+          lit(stdTol) * greatest(col("ref_std"), lit(1e-9)))
+      .withColumn("keep_drift",
+        abs(col("batch_keep_rate") - col("ref_keep_rate")) > keepTol)
+      .withColumn("drift", col("mean_drift") || col("keep_drift"))
+      .select(col("doc_id"), col("nb_z"), col("keep"),
+        round(col("batch_mean"), 6).as("batch_mean"),
+        round(col("batch_keep_rate"), 6).as("batch_keep_rate"),
+        col("mean_drift"), col("keep_drift"), col("drift"))
+  }
+
+  /** C60c's live twin: the gated serve applied per micro-batch (the
+    * B40 foreachBatch shape), each batch's flagged rows handed to
+    * `sink` with its batch id. */
+  def classifierServeGatedStream(stream: DataFrame, model: Array[Double],
+      profile: DataFrame, threshold: Double = 0.0, stdTol: Double = 3.0,
+      keepTol: Double = 0.15)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val ref = profile.localCheckpoint(true) // static side, pinned once
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(classifierServeGated(batch, model, ref, threshold, stdTol,
+        keepTol), batchId)
+    }
+  }
+
+  /** The C37 hash pipeline's DuckDB twin from a `t(doc_id, is_t,
+    * toks)` CTE to per-doc bucket counts `nf(doc_id, is_t, b, nf)` —
+    * ONE definition spliced into both C60's and C61's oracles so the
+    * feature chain cannot drift between them (`__B__` substituted by
+    * the caller; already margin-stripped — splice AFTER stripMargin,
+    * the member-SQL rule). */
+  private val classifierNfSql: String =
+    """h0 AS (SELECT doc_id, is_t,
       |  list_transform(list_transform(toks, tok ->
       |    list_reduce(list_prepend(0::BIGINT,
       |      list_transform(string_split(tok, ''), c -> ord(c))),
@@ -3103,7 +3299,19 @@ object Curation {
       |            + (CASE WHEN th[i+1] < 0 THEN th[i+1]::HUGEINT + 18446744073709551616
       |              ELSE th[i+1]::HUGEINT END)) % __B__ AS BIGINT))) AS b
       |  FROM hE WHERE len(th) >= 2),
-      |nf AS (SELECT doc_id, is_t, b, COUNT(*) AS nf FROM bg GROUP BY 1, 2, 3),
+      |nf AS (SELECT doc_id, is_t, b, COUNT(*) AS nf FROM bg GROUP BY 1, 2, 3)""".stripMargin
+
+  /** C60's composition oracle: C50's verdict labels the t CTE, then
+    * the C37 hash/count/ln/decimal-sum chain with two-class counts. */
+  def qualityClassifierSql(nBuckets: Int = 4096,
+      threshold: Double = 0.0): String =
+    // substitute %GOPHER%/%NF% AFTER stripMargin (the member SQL rule)
+    """WITH g AS (%GOPHER%),
+      |t AS (
+      |  SELECT d.doc_id, g.passed AS is_t,
+      |    regexp_extract_all(lower(d.text), '[a-z0-9]+') AS toks
+      |  FROM documents d JOIN g ON d.doc_id = g.doc_id),
+      |%NF%,
       |c AS (
       |  SELECT b,
       |    CAST(SUM(CASE WHEN is_t THEN nf ELSE 0 END) AS BIGINT) AS pc,
@@ -3124,9 +3332,159 @@ object Curation {
       |  COALESCE(s.z, 0.0) > __THR__ AS keep
       |FROM documents d LEFT JOIN s USING (doc_id)
       |ORDER BY doc_id""".stripMargin
+      .replace("%NF%", classifierNfSql)
       .replace("%GOPHER%", gopherRulesSql())
       .replace("__B__", nBuckets.toString)
       .replace("__THR__", threshold.toString)
+
+  // ------------------------------------------------------------- C61
+  /** The operating-curve threshold grid — symmetric around the
+    * prior-absorbing zero point C60 documents. */
+  val ReportThresholds: Seq[Double] =
+    Seq(-2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0)
+
+  /** CLASSIFIER OPERATING-CURVE REPORT — the C54/D8 discipline
+    * ("retrieval quality as a driver-visible NUMBER") applied to the
+    * C60 quality classifier: until now the classifier was
+    * arithmetic-verified but QUALITY-unmeasured, so a user picking a
+    * keep threshold had no artifact to read. This is that artifact:
+    * split the corpus with C31's stable hash split, train C60 on the
+    * TRAIN split's labels only, score everything with the same
+    * oracle-checked chain, and report held-out (val+test) precision /
+    * recall / F1 at a threshold grid — one row per threshold, the
+    * operating curve a gate owner sweeps. Verdicts compare the
+    * 6-decimal-rounded score (the engine-portable quantity C60's
+    * oracle already certifies) against each grid point, so the whole
+    * report — counts, divisions, rounding — is ORACLE-CHECKED
+    * end-to-end: the one new exchange class beyond C60 is a
+    * |heldout|×|grid| broadcast fan-out feeding a map-side-combinable
+    * count aggregate (the grid is 7 literals — no shuffle grows with
+    * the corpus). F1 computed as 2tp/(2tp+fp+fn), the division-safe
+    * form (NULL only when the heldout slice has no positives at all
+    * and nothing is kept). */
+  def classifierReport(spark: SparkSession, sfDir: String,
+      nBuckets: Int = 4096,
+      thresholds: Seq[Double] = ReportThresholds,
+      valFrac: Double = 0.05, testFrac: Double = 0.05,
+      seed: Long = 11L): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    classifierReportOf(docs,
+      gopherRules(docs).select(col("doc_id"), col("passed").as("is_pos")),
+      splitAssign(docs, valFrac, testFrac, seed)
+        .select(col("doc_id"), col("split")),
+      nBuckets, thresholds)
+  }
+
+  /** C61 over arbitrary docs + truth labels (doc_id, is_pos) + a split
+    * assignment (doc_id, split) — the spec entry (a hand-built
+    * separable corpus makes the curve hand-checkable). */
+  def classifierReportOf(docs: DataFrame, truth: DataFrame,
+      split: DataFrame, nBuckets: Int = 4096,
+      thresholds: Seq[Double] = ReportThresholds): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(thresholds.nonEmpty, "need at least one threshold")
+    // train on the train split ONLY — scoring the heldout docs with
+    // weights their own labels shaped would inflate every metric
+    val labels = truth.join(
+      split.filter(col("split") === "train").select("doc_id"),
+      Seq("doc_id"))
+    val scored = qualityClassifierOf(docs, labels, nBuckets)
+      .select(col("doc_id"), col("nb_z"))
+    val held = scored
+      .join(split.filter(col("split") =!= "train").select("doc_id"),
+        Seq("doc_id"))
+      .join(truth.select(col("doc_id"), col("is_pos")), Seq("doc_id"))
+    val grid = thresholds.toDF("threshold")
+    val kept = col("nb_z") > col("threshold")
+    held.crossJoin(broadcast(grid))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_heldout"),
+        sum(when(kept && col("is_pos"), 1L).otherwise(0L)).as("tp"),
+        sum(when(kept && !col("is_pos"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!kept && col("is_pos"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!kept && !col("is_pos"), 1L).otherwise(0L)).as("tn"))
+      .select(col("threshold"), col("n_heldout"), col("tp"), col("fp"),
+        col("fn"), col("tn"),
+        round(col("tp").cast("double") /
+          nullif(col("tp") + col("fp"), lit(0L)), 6).as("precision"),
+        round(col("tp").cast("double") /
+          nullif(col("tp") + col("fn"), lit(0L)), 6).as("recall"),
+        round(lit(2.0) * col("tp") /
+          nullif(lit(2L) * col("tp") + col("fp") + col("fn"), lit(0L)), 6)
+          .as("f1"))
+      .orderBy(col("threshold"))
+  }
+
+  /** C61's composition oracle: C31's split CTE + C50's labels + the
+    * shared C60 chain with class counts restricted to the train
+    * split, then the grid rollup. */
+  def classifierReportSql(nBuckets: Int = 4096,
+      thresholds: Seq[Double] = ReportThresholds,
+      valFrac: Double = 0.05, testFrac: Double = 0.05,
+      seed: Long = 11L): String = {
+    val vCut = math.floor(valFrac * 4294967296.0).toLong
+    val tCut = math.floor((valFrac + testFrac) * 4294967296.0).toLong
+    val grid = thresholds.map(t => s"($t)").mkString(", ")
+    s"""WITH g AS (%GOPHER%),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN u // 4294967296 < $vCut THEN 'val'
+       |         WHEN u // 4294967296 < $tCut THEN 'test'
+       |         ELSE 'train' END AS split
+       |  FROM (SELECT doc_id,
+       |      ((doc_id + $seed)::HUGEINT * 6364136223846793005
+       |        + 1442695040888963407) % 18446744073709551616 AS u
+       |    FROM documents)),
+       |t AS (
+       |  SELECT d.doc_id, g.passed AS is_t,
+       |    regexp_extract_all(lower(d.text), '[a-z0-9]+') AS toks
+       |  FROM documents d JOIN g ON d.doc_id = g.doc_id),
+       |%NF%,
+       |c AS (
+       |  SELECT b,
+       |    CAST(SUM(CASE WHEN is_t THEN nf ELSE 0 END) AS BIGINT) AS pc,
+       |    CAST(SUM(CASE WHEN NOT is_t THEN nf ELSE 0 END) AS BIGINT) AS nc
+       |  FROM nf JOIN sp USING (doc_id)
+       |  WHERE sp.split = 'train' GROUP BY b),
+       |tt AS (SELECT CAST(SUM(pc) AS BIGINT) AS pt,
+       |  CAST(SUM(nc) AS BIGINT) AS nt FROM c),
+       |w AS (
+       |  SELECT b,
+       |    ln(CAST(pc + 1 AS DOUBLE) / CAST(pt + __B__ AS DOUBLE)) -
+       |    ln(CAST(nc + 1 AS DOUBLE) / CAST(nt + __B__ AS DOUBLE)) AS w
+       |  FROM c, tt),
+       |s AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CAST(nf * w AS DECIMAL(28,12))) AS DOUBLE) AS z
+       |  FROM nf JOIN w USING (b) GROUP BY doc_id),
+       |held AS (
+       |  SELECT d.doc_id, g.passed AS is_pos,
+       |    ROUND(COALESCE(s.z, 0.0), 6) AS nb_z
+       |  FROM documents d
+       |  JOIN sp ON sp.doc_id = d.doc_id
+       |  JOIN g ON g.doc_id = d.doc_id
+       |  LEFT JOIN s ON s.doc_id = d.doc_id
+       |  WHERE sp.split <> 'train'),
+       |grid AS (SELECT CAST(v AS DOUBLE) AS threshold
+       |  FROM (VALUES $grid) AS gv(v)),
+       |m AS (
+       |  SELECT threshold,
+       |    COUNT(*) AS n_heldout,
+       |    CAST(SUM(CASE WHEN nb_z > threshold AND is_pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN nb_z > threshold AND NOT is_pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN NOT (nb_z > threshold) AND is_pos THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(SUM(CASE WHEN NOT (nb_z > threshold) AND NOT is_pos THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM held CROSS JOIN grid GROUP BY threshold)
+       |SELECT threshold, n_heldout, tp, fp, fn, tn,
+       |  ROUND(CAST(tp AS DOUBLE) / nullif(tp + fp, 0), 6) AS "precision",
+       |  ROUND(CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 6) AS recall,
+       |  ROUND(2.0 * tp / nullif(2 * tp + fp + fn, 0), 6) AS f1
+       |FROM m ORDER BY threshold""".stripMargin
+      .replace("%NF%", classifierNfSql)
+      .replace("%GOPHER%", gopherRulesSql())
+      .replace("__B__", nBuckets.toString)
+  }
 
   def gopherRulesSql(minWords: Long = 50L, maxWords: Long = 100000L,
       minWordLen: Double = 3.0, maxWordLen: Double = 10.0,

@@ -2498,12 +2498,39 @@ object Similarity {
   def labelPropagation(spark: SparkSession, sfDir: String,
       k: Int = AnnK, maxIter: Int = 5): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, sfDir)
-    val init = e.select($"vec_id",
+    val (out, iters) = labelPropagationOf(
+      knnGraph(spark, sfDir, k), lpSeeds(spark, sfDir), maxIter)
+    out.withColumn("n_iters", lit(iters)).orderBy($"vec_id")
+  }
+
+  /** The driver seeding both label-prop entries share: 10%-of-ids
+    * seeds (vec_id % 10 == 0 — deterministic, spread across the id
+    * space), ONE definition so the exact and IVF entries cannot
+    * drift. */
+  private def lpSeeds(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir).select($"vec_id",
       when($"vec_id" % 10 === 0, $"label").as("label"),
       ($"vec_id" % 10 === 0).as("is_seed"))
+  }
+
+  // ---------------------------------------------------------------- D32b
+  /** D32's WIRED SCALE PATH — the same labelPropagationOf fixpoint fed
+    * [[knnGraphIvf]]'s recall-bounded edges (the D34c rationale
+    * verbatim: the exact graph's n² guard refuses at corpus scale,
+    * and a served entry whose only escape hatch is manual composition
+    * is a weak row). Label quality is edge-recall-bounded — a missed
+    * edge is a missing VOTE, and majority voting absorbs most single
+    * losses — so the spec pins label AGREEMENT with the exact-graph
+    * run rather than per-round equality. Rows-only (iterative +
+    * probe-geometry-defined). */
+  def labelPropagationIvf(spark: SparkSession, sfDir: String,
+      k: Int = AnnK, nCells: Int = 0, nProbe: Int = 4,
+      maxIter: Int = 5): DataFrame = {
+    import spark.implicits._
     val (out, iters) = labelPropagationOf(
-      knnGraph(spark, sfDir, k), init, maxIter)
+      knnGraphIvf(spark, sfDir, k, nCells, nProbe),
+      lpSeeds(spark, sfDir), maxIter)
     out.withColumn("n_iters", lit(iters)).orderBy($"vec_id")
   }
 
@@ -2753,10 +2780,28 @@ object Similarity {
     // division form — see knnGraph's overflow note
     require(n == 0 || n <= BruteForceMaxPairs / n,
       s"brute self-kNN would score n²=$n² pairs (> $BruteForceMaxPairs); " +
-        "feed knnGraphIvf edges through knnClustersOf instead")
+        "use knnClustersIvf — the cell-bucketed scale path")
     knnClustersOf(Tables.embeddings(spark, sfDir),
       knnGraphCore(Tables.embeddings(spark, sfDir), k), threshold)
   }
+
+  // ---------------------------------------------------------------- D26b
+  /** D26's WIRED SCALE PATH — mutual-kNN clustering over
+    * [[knnGraphIvf]]'s edges (the documented composition, now a served
+    * entry — the D34c rationale). Recall loss leans FINER here: a
+    * missed direction kills a mutual pair outright, while the edge
+    * that REPLACES a missed neighbor scores strictly lower cosine
+    * than the neighbor it displaced, so it must additionally clear
+    * the threshold AND be reciprocated to merge anything — near-
+    * threshold noise, not blob formation (the failure direction a
+    * dedup/mixing consumer prefers). Rows-only (census of an
+    * iterative product); the spec pins full membership and
+    * determinism — edge quality itself is D25b's pinned recall. */
+  def knnClustersIvf(spark: SparkSession, sfDir: String, k: Int = AnnK,
+      threshold: Double = 0.5, nCells: Int = 0,
+      nProbe: Int = 4): DataFrame =
+    knnClustersOf(Tables.embeddings(spark, sfDir),
+      knnGraphIvf(spark, sfDir, k, nCells, nProbe), threshold)
 
   /** D26 over an arbitrary embeddings frame + a precomputed edge
     * frame (vec_id, neighbor_id, cos) — the exact or the IVF graph. */

@@ -324,4 +324,63 @@ object ContinuousRollup {
     UpsertSink.applyBatch(batch, repairId, dir, "rollup_key", "__ver",
       nBuckets)
   }
+
+  /** [[backfillSums]] for the HISTOGRAM table ([[startHist]]'s hourly
+    * (device, window, vbucket) counts) — the last rollup without a
+    * repair path: late-past-watermark data left the percentile-serving
+    * histogram permanently stale exactly where its sum/stat siblings
+    * healed. Same contract, one histogram-specific sharpening: the
+    * repair key is (device, window, VBUCKET), so a late event does not
+    * just change one count — it can POPULATE a bucket the snapshot
+    * never held and VACATE one it did (the event that moved was that
+    * bucket's only member). Recount covers the first case; the stale
+    * anti-join emits explicit cnt=0 rows for the second (and for ghost
+    * keys a poisoned snapshot carries), so the read-time cumulative
+    * walk — which sums whatever rows exist per (device, window) —
+    * never mixes a healed bucket with a stale neighbor. Zero-count
+    * rows are harmless to [[histPercentile]] by construction (its p0
+    * crossing rule already skips empty leading buckets). Bin geometry
+    * (nBins, lo, hi) must match the stream's — it is part of the
+    * table's identity, exactly like the window width. */
+  def backfillHist(spark: SparkSession, sfDir: String, dir: String,
+      fromUs: Long, toUs: Long, repairId: Long, nBins: Int = 20,
+      lo: Double = 0.0, hi: Double = 600.0, nBuckets: Int = 64): Unit = {
+    import spark.implicits._
+    require(repairId < 0, "use a negative repairId — the stream owns >= 0")
+    require(fromUs < toUs, s"empty repair range [$fromUs, $toUs)")
+    require(nBins >= 1 && hi > lo, "need nBins >= 1 and hi > lo")
+    val width = (hi - lo) / nBins
+    val winUs = 3600000000L
+    val f = fromUs - java.lang.Math.floorMod(fromUs, winUs)
+    val t0 = java.lang.Math.floorMod(toUs, winUs)
+    val t = if (t0 == 0) toUs else toUs + (winUs - t0)
+    val recomputed = graft.Tables.events(spark, sfDir)
+      .filter($"value".isNotNull)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .filter($"us" >= f && $"us" < t)
+      // histUpdates' exact bucketing expression — the repair must land
+      // in the same bins the stream wrote or parity is vacuous
+      .withColumn("vbucket",
+        least(greatest(floor(($"value" - lo) / width), lit(0.0)),
+          lit((nBins - 1).toDouble)).cast("int"))
+      .groupBy($"user_id", expr("unix_micros(date_trunc('hour', ts))")
+        .as("window_us"), $"vbucket")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rollup_key",
+        concat_ws(":", col("user_id"), col("window_us"), col("vbucket")))
+      .localCheckpoint(true) // read twice: upsert + stale-key anti-join
+    val stale = histSnapshot(spark, dir)
+      .filter($"window_us" >= f && $"window_us" < t)
+      .select($"user_id", $"window_us", $"vbucket",
+        concat_ws(":", $"user_id", $"window_us", $"vbucket")
+          .as("rollup_key"))
+      .join(recomputed.select($"rollup_key"), Seq("rollup_key"),
+        "left_anti")
+      .withColumn("cnt", lit(0L))
+      .select($"user_id", $"window_us", $"vbucket", $"cnt", $"rollup_key")
+    val batch = recomputed.unionByName(stale)
+      .withColumn("__ver", lit(Long.MaxValue / 2 - repairId))
+    UpsertSink.applyBatch(batch, repairId, dir, "rollup_key", "__ver",
+      nBuckets)
+  }
 }

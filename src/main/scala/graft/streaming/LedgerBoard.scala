@@ -35,18 +35,31 @@ import graft.operators.Monitoring
   * bounds the ledger when the analysis window is finite. */
 object LedgerBoard {
 
+  /** The default ledger projection — the events schema the first two
+    * instantiations (IncidentBoard, EnsembleBoard) board. Kept as an
+    * explicit default rather than `batch.columns` so those boards'
+    * ledgers stay schema-stable even if the SOURCE grows columns
+    * (a ledger is a durable table; silent widening would make epoch
+    * N+1's files schema-diverge from epoch N's under one root). */
+  val EventLedgerCols: Seq[String] =
+    Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
   /** Attach a board maintainer: `recompute` is the batch operator run
-    * over the accumulated ledger at each regroup trigger. */
+    * over the accumulated ledger at each regroup trigger; `ledgerCols`
+    * is the ledger's projection — pass the boarded stream's own
+    * columns to board a non-event frame (documents, embeddings — the
+    * generic contract the r11 verdict asked to honor). */
   def start(events: DataFrame, ledgerDir: String, boardDir: String,
-      checkpointDir: String, regroupEvery: Int = 1)(
+      checkpointDir: String, regroupEvery: Int = 1,
+      ledgerCols: Seq[String] = EventLedgerCols)(
       recompute: DataFrame => DataFrame): StreamingQuery = {
     require(regroupEvery >= 1, s"regroupEvery $regroupEvery must be >= 1")
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, ledgerDir, boardDir, regroupEvery)(
-          recompute)
+        applyBatch(batch, batchId, ledgerDir, boardDir, regroupEvery,
+          ledgerCols)(recompute)
       }
       .start()
   }
@@ -54,11 +67,11 @@ object LedgerBoard {
   /** One trigger: ledger append (exactly-once) + periodic recompute.
     * Public so replay-fence specs can re-invoke a delivered batch. */
   def applyBatch(batch: DataFrame, batchId: Long, ledgerDir: String,
-      boardDir: String, regroupEvery: Int)(
+      boardDir: String, regroupEvery: Int,
+      ledgerCols: Seq[String] = EventLedgerCols)(
       recompute: DataFrame => DataFrame): Unit = {
     val spark = batch.sparkSession
-    batch.select("event_id", "ts", "user_id", "event_type", "value",
-        "props")
+    batch.select(ledgerCols.head, ledgerCols.tail: _*)
       .write.mode("overwrite").parquet(s"$ledgerDir/batch=$batchId")
     if (batchId % regroupEvery == 0) {
       val history = spark.read.parquet(ledgerDir).drop("batch")

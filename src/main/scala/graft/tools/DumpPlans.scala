@@ -102,7 +102,13 @@ object DumpPlans {
       // decontaminate_bloom's dump IS the interesting artifact: the
       // corpus gram scan filtered by the codegen'd bloom probe before
       // the confirm join.
-      "mon_incident_pairs", "decontaminate_bloom")
+      "mon_incident_pairs", "decontaminate_bloom",
+      // round 12 (the IVF graph-consumer entries train the quantizer
+      // and pin edges eagerly — post-pin tails only; the unigram
+      // admission trio builds the cached E32b piece frame at
+      // construction). classifier_report's dump IS the artifact: the
+      // 7-literal grid broadcast onto the heldout slice, SMJ-free.
+      "classifier_report")
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, formatted explain)\n\n")
     sb.append("Generated by `graft.tools.DumpPlans`; regenerate after plan-")

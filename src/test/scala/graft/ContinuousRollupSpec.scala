@@ -202,6 +202,69 @@ class ContinuousRollupSpec extends SparkSpec {
       batch.exceptAll(live(again)).count() === 0)
   }
 
+  test("backfill heals the histogram: poisoned bucket, vacated bucket, ghost key — idempotently") {
+    val staging = java.nio.file.Files.createTempDirectory("graft-rollhb-in").toString
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollhb").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rollhb-ck").toString
+    val stream = EventSource.replayTable(spark, sf, staging, parts = 2)
+    val q = ContinuousRollup.startHist(stream, dir, ckpt,
+      nBuckets = 8, watermark = "3650 days")
+    try q.processAllAvailable() finally q.stop()
+    val width = (600.0 - 0.0) / 20
+    def batchRecount() = Tables.events(spark, sf)
+      .filter($"value".isNotNull)
+      .withColumn("vbucket",
+        least(greatest(floor($"value" / width), lit(0.0)), lit(19.0))
+          .cast("int"))
+      .groupBy($"user_id",
+        expr("unix_micros(date_trunc('hour', ts))").as("window_us"),
+        $"vbucket")
+      .agg(count(lit(1)).as("cnt"))
+    val batch = batchRecount().localCheckpoint(true)
+    val victim = batch.limit(1).collect().head
+    val (vu, vw, vb) = (victim.getLong(0), victim.getLong(1),
+      victim.getInt(2))
+    // an EMPTY bucket for the victim key — the "vacated bucket" shape:
+    // the snapshot claims members in a bin history holds none in
+    val emptyB = (0 until 20).find(b => batch.filter($"user_id" === vu &&
+      $"window_us" === vw && $"vbucket" === b).isEmpty).get
+    val ghostU = 999999999L
+    val poison = Seq(
+        (vu, vw, vb, 777L, s"$vu:$vw:$vb"),        // stale count, real bucket
+        (vu, vw, emptyB, 5L, s"$vu:$vw:$emptyB"),  // bucket history vacated
+        (ghostU, vw, 0, 9L, s"$ghostU:$vw:0"))     // ghost key entirely
+      .toDF("user_id", "window_us", "vbucket", "cnt", "rollup_key")
+      .withColumn("__ver", lit(Long.MaxValue))
+    UpsertSink.applyBatch(poison, -999L, dir, "rollup_key", "__ver", 8)
+    // repair through deliberately unaligned bounds — whole-hour expansion
+    ContinuousRollup.backfillHist(spark, sf, dir,
+      vw + 7L, vw + 8L, repairId = -1000L, nBuckets = 8)
+    def live(df: org.apache.spark.sql.DataFrame) = df.filter($"cnt" > 0)
+    val snap = ContinuousRollup.histSnapshot(spark, dir)
+    assert(live(snap).exceptAll(batch).count() === 0 &&
+      batch.exceptAll(live(snap)).count() === 0,
+      "repair did not restore bucket-count parity")
+    // both zeroed shapes present EXPLICITLY (omission would let the
+    // poison win) and at zero
+    Seq((vu, vw, emptyB), (ghostU, vw, 0)).foreach { case (u, w, b) =>
+      val r = snap.filter($"user_id" === u && $"window_us" === w &&
+        $"vbucket" === b).collect()
+      assert(r.length === 1 && r.head.getLong(3) === 0L,
+        s"($u, $w, $b) not explicitly zeroed: ${r.toSeq}")
+    }
+    // the percentile walk still covers the repaired key (zero-count
+    // leading rows are skipped by the p0 crossing rule)
+    val p50 = ContinuousRollup.histPercentile(spark, dir, 0.5)
+      .filter($"user_id" === vu && $"window_us" === vw).collect()
+    assert(p50.length === 1, s"percentile walk broken: ${p50.toSeq}")
+    // idempotence: a re-run converges to the same table
+    ContinuousRollup.backfillHist(spark, sf, dir,
+      vw + 7L, vw + 8L, repairId = -1001L, nBuckets = 8)
+    val again = ContinuousRollup.histSnapshot(spark, dir)
+    assert(live(again).exceptAll(batch).count() === 0 &&
+      batch.exceptAll(live(again)).count() === 0)
+  }
+
   test("open windows converge: a window split across triggers ends at its full sum") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

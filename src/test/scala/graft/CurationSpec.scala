@@ -777,6 +777,89 @@ class CurationSpec extends SparkSpec {
       s"live gate diverged: $live")
   }
 
+  test("classifier_report: a separable corpus yields the perfect operating point, curve is monotone") {
+    // pos vocab and neg vocab fully disjoint; heldout docs reuse the
+    // TRAIN vocab, so the heldout curve at threshold 0 is exact
+    val pos = (1L to 4L).map(i => (i, "s", "alpha beta alpha beta alpha beta"))
+    val neg = (11L to 14L).map(i => (i, "s", "xxq yyq xxq yyq xxq yyq"))
+    val docs = (pos ++ neg).toDF("doc_id", "source", "text")
+    val truth = ((1L to 4L).map((_, true)) ++ (11L to 14L).map((_, false)))
+      .toDF("doc_id", "is_pos")
+    // half of each class heldout
+    val split = Seq(1L -> "train", 2L -> "train", 3L -> "val", 4L -> "val",
+      11L -> "train", 12L -> "train", 13L -> "val", 14L -> "val")
+      .toDF("doc_id", "split")
+    val rep = Curation.classifierReportOf(docs, truth, split,
+        thresholds = Seq(0.0, 100.0))
+      .collect().map(r => r.getDouble(0) -> r).toMap
+    val at0 = rep(0.0)
+    // (threshold, n_heldout, tp, fp, fn, tn, precision, recall, f1)
+    assert(at0.getLong(1) === 4L && at0.getLong(2) === 2L &&
+      at0.getLong(3) === 0L && at0.getLong(4) === 0L &&
+      at0.getLong(5) === 2L, s"confusion at 0: $at0")
+    assert(at0.getDouble(6) === 1.0 && at0.getDouble(7) === 1.0 &&
+      at0.getDouble(8) === 1.0, s"perfect point not perfect: $at0")
+    // an unreachable threshold keeps nothing: recall 0, precision NULL
+    val hi = rep(100.0)
+    assert(hi.getLong(2) === 0L && hi.getDouble(7) === 0.0 &&
+      hi.isNullAt(6), s"empty-keep row wrong: $hi")
+    // driver entry: one row per grid point, class mass constant across
+    // thresholds, recall monotone non-increasing (the curve property)
+    val drv = Curation.classifierReport(spark, sf).collect()
+    assert(drv.length === Curation.ReportThresholds.length)
+    val posMass = drv.map(r => r.getLong(2) + r.getLong(4)).distinct
+    assert(posMass.length === 1, s"tp+fn drifts across thresholds: $posMass")
+    val recalls = drv.sortBy(_.getDouble(0)).map(_.getDouble(7))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b <= a + 1e-12 },
+      s"recall not monotone: ${recalls.toSeq}")
+  }
+
+  test("classifier serve gated: in-profile batch sails, vocabulary-drifted batch flags, stream twin fires") {
+    // pos class carries MORE token mass than neg, so the unseen floor
+    // w0 = ln((nt+B)/(pt+B)) < 0: an all-OOV batch scores below the
+    // keep threshold everywhere and its keep rate collapses — the
+    // silent-degradation shape the gate exists to catch
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha beta alpha beta"),
+      (2L, "alpha beta alpha beta alpha beta alpha beta"),
+      (3L, "xxq yyq xxq yyq"),
+      (4L, "xxq yyq xxq yyq"),
+    ).toDF("doc_id", "text")
+    val labels = Seq((1L, true), (2L, true), (3L, false), (4L, false))
+      .toDF("doc_id", "is_pos")
+    val model = Curation.qualityClassifierModel(docs, labels)
+    val profile = Curation.classifierProfile(docs, model)
+      .localCheckpoint(true)
+    // the training corpus itself: batch stats equal the reference
+    // exactly — zero drift on every row
+    val same = Curation.classifierServeGated(docs, model, profile)
+      .collect()
+    assert(same.length === 4 && same.forall(!_.getBoolean(7)),
+      s"in-profile batch flagged: ${same.toSeq}")
+    // a fully drifted batch: none of its bigrams were ever trained on
+    val drifted = Seq((21L, "qqw wwe eer rrt qqw wwe"),
+      (22L, "zzx xxc ccv vvb zzx xxc")).toDF("doc_id", "text")
+    val out = Curation.classifierServeGated(drifted, model, profile)
+      .collect()
+    assert(out.length === 2 && out.forall(_.getBoolean(7)),
+      s"drifted batch not flagged: ${out.toSeq}")
+    assert(out.forall(_.getBoolean(6)), "keep-rate drift not the trigger")
+    // the live twin: the same gate per micro-batch via foreachBatch
+    val input = new org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](105, spark, None)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val q = Curation.classifierServeGatedStream(
+        input.toDS().toDF("doc_id", "text"), model, profile) {
+        (b, _) => got ++= b.collect()
+          .map(r => (r.getLong(0), r.getBoolean(7)))
+      }.start()
+    try {
+      input.addData((21L, "qqw wwe eer rrt qqw wwe"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSeq === Seq((21L, true)), s"stream gate: $got")
+  }
+
   test("decontaminate_bloom: zero false negatives, low fp rate, exact parity with C12") {
     import graft.functions.BloomFunctions
     // the sketch itself: every inserted key hits (the property the
@@ -850,6 +933,32 @@ class CurationSpec extends SparkSpec {
     // the driver entry end to end (real cached C54 report — recall is
     // 1.0 at spec SF, so the gate passes and emits the curated corpus)
     assert(Curation.curateGated(spark, sf).count() === plain.size.toLong)
+    // SIMHASH floor (r12): opting the second method into the gate — a
+    // low simhash row refuses even when minhash is healthy...
+    def mixedReport(mh: Double, sh: Double) = Seq(
+      ("minhash_lsh", 10L, 10L, 10L, java.lang.Double.valueOf(mh)),
+      ("simhash", 3L, 10L, 5L, java.lang.Double.valueOf(sh)),
+    ).toDF("method", "found_pairs", "baseline_pairs", "matched", "recall")
+    val es = intercept[IllegalArgumentException] {
+      Curation.curateGatedOf(docs, mixedReport(1.0, 0.5),
+        simhashMinRecall = Some(0.7))
+    }
+    assert(es.getMessage.contains("simhash") &&
+      es.getMessage.contains("0.500000"), es.getMessage)
+    // ...a healthy simhash row passes...
+    assert(Curation.curateGatedOf(docs, mixedReport(1.0, 0.9),
+      simhashMinRecall = Some(0.7)).count() === plain.size.toLong)
+    // ...and the default leaves simhash report-only (unchanged r11
+    // behavior: the chain's near-dup stage is MinHash-LSH)
+    assert(Curation.curateGatedOf(docs, mixedReport(1.0, 0.1))
+      .count() === plain.size.toLong)
+    // a report MISSING the gated row fails as the gate, by name — not
+    // as an opaque head() NoSuchElement (the r11 advice item)
+    val em = intercept[IllegalArgumentException] {
+      Curation.curateGatedOf(docs,
+        mixedReport(1.0, 1.0).filter($"method" =!= "minhash_lsh"))
+    }
+    assert(em.getMessage.contains("no 'minhash_lsh' row"), em.getMessage)
   }
 
   test("massivetext stream: per-epoch verdicts equal the batch battery, replayed trigger leaves the log unchanged") {
@@ -1029,6 +1138,92 @@ class CurationSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum($"n_tokens").as("m"))
       .collect().map(_.getLong(1))
     perDom.foreach(m => assert(m <= 600L, s"domain piece mass $m over 600"))
+  }
+
+  test("unigram admission trio: the two tokenizers price the same docs differently and the kernels follow") {
+    // ECONOMICS INVERSION plant: BPE vocab knows "aa" (1 piece, OOV
+    // "cc" falls back to 2 chars); the unigram table knows "cc"
+    // (1 piece, "aa" parses as 2 chars) — the SAME doc is cheap under
+    // one tokenizer and dear under the other, so any admission kernel
+    // actually reading its denomination must flip on it
+    val vocab = Seq(("aa", Seq("aa"))).toDF("term", "syms")
+    val logp = Map("cc" -> math.log(0.5), "a" -> math.log(0.05),
+      "c" -> math.log(0.05))
+    // --- mix: budget 4 on one stratum, doc order admission
+    val mixDocs = Seq(
+      (0L, "en", "srcA", "aa"),      // bpe 1, uni 2
+      (1L, "en", "srcA", "cc cc"),   // bpe 4, uni 2
+      (2L, "en", "srcA", "aa aa"),   // bpe 2, uni 4
+    ).toDF("doc_id", "lang", "source", "text")
+    val bpeMix = Curation.mixSampleBpeOf(mixDocs,
+      TextAnalysis.bpeApplyOf(mixDocs, vocab), "source",
+      Map("srcA" -> 4L), defaultBudget = 0L)
+      .collect().map(_.getLong(0)).toSet
+    val uniMix = Curation.mixSampleUnigramOf(mixDocs, logp,
+      maxPieceLen = 2, "source", Map("srcA" -> 4L), defaultBudget = 0L)
+      .collect().map(_.getLong(0)).toSet
+    assert(bpeMix === Set(0L), s"bpe mix admission: $bpeMix")
+    // unigram cums 2, 4, 8: the unigram-cheap OOV doc is IN
+    assert(uniMix === Set(0L, 1L), s"unigram mix admission: $uniMix")
+    // --- budget select: identical E2 quality → pure doc_id tiebreak,
+    // only the denomination differs; cum_before < 4 keeps the doc
+    val selDocs = Seq(
+      (0L, "aa aa aa"),   // bpe 3, uni 6
+      (1L, "cc cc cc"),   // bpe 6, uni 3
+      (2L, "aa aa aa"),   // bpe 3, uni 6
+    ).toDF("doc_id", "text")
+    val bpeSel = Curation.budgetSelectBpeOf(selDocs,
+      TextAnalysis.bpeApplyOf(selDocs, vocab), budgetPieces = 4,
+      buckets = 2).collect().map(_.getLong(0)).toSet
+    val uniSel = Curation.budgetSelectUnigramOf(selDocs, logp,
+      maxPieceLen = 2, budgetPieces = 4, buckets = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(bpeSel === Set(0L, 1L), s"bpe selection: $bpeSel")
+    assert(uniSel === Set(0L), s"unigram selection: $uniSel")
+    // --- domain cap: LCG-ordered per-domain unigram-piece prefix,
+    // hand-simulated (the C57 discipline with the unigram price list)
+    val capDocs = Seq(
+      (10L, "x", "aa"),      // uni 2
+      (11L, "x", "cc"),      // uni 1
+      (12L, "x", "cc cc"),   // uni 2
+      (20L, "y", "aa aa"),   // uni 4
+    ).toDF("doc_id", "source", "text")
+    val pieceOf = Map(10L -> 2L, 11L -> 1L, 12L -> 2L, 20L -> 4L)
+    val keyed = capDocs.select($"doc_id", $"source",
+      Curation.shuffleKey($"doc_id", 11L).as("k"))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(0)))
+    val expected = keyed.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(t => (t._2, t._3)).toSeq.flatMap { case (_, _, id) =>
+        cum += pieceOf(id)
+        if (cum <= 3L) Some(id) else None
+      }
+    }.toSet
+    val gotCap = Curation.domainCapUnigramOf(capDocs, logp,
+      maxPieceLen = 2, "source", budgetPieces = 3L, seed = 11L)
+      .collect().map(_.getLong(0)).toSet
+    assert(gotCap === expected, s"got $gotCap, simulated $expected")
+    // --- driver queries: non-empty, budgets hold in UNIGRAM pieces
+    val mq = Curation.mixSampleUnigramQuery(spark, sf)
+    assert(mq.count() > 0)
+    mq.groupBy($"source")
+      .agg(org.apache.spark.sql.functions.sum($"n_tokens").as("m"))
+      .collect().foreach { r =>
+        val cap = Map("src0" -> 1000000L, "src1" -> 500L)
+          .getOrElse(r.getString(0), 800L)
+        assert(r.getLong(1) <= cap,
+          s"source ${r.getString(0)} mass ${r.getLong(1)} over $cap")
+      }
+    val bq = Curation.budgetSelectUnigram(spark, sf).collect()
+    assert(bq.nonEmpty)
+    bq.foreach(r => assert(r.getLong(3) - r.getLong(1) < 15000L,
+      s"doc ${r.getLong(0)} admitted after the unigram budget closed"))
+    val dq = Curation.domainCapUnigram(spark, sf)
+    assert(dq.count() > 0)
+    dq.groupBy($"source")
+      .agg(org.apache.spark.sql.functions.sum($"n_tokens").as("m"))
+      .collect().foreach(r => assert(r.getLong(1) <= 600L,
+        s"domain mass ${r.getLong(1)} over 600"))
   }
 
   test("quality_rank_cut: keeps exactly the top floor(num*n/den) per source") {

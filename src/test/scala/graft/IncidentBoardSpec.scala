@@ -119,6 +119,37 @@ class IncidentBoardSpec extends SparkSpec {
       live.count(), "prune deleted the newest committed epoch")
   }
 
+  test("ledger board is schema-generic: a DOCUMENT stream boards with its own column set") {
+    // the r11 verdict's item 5: the "generic" cadence must board
+    // non-event frames — ledgerCols carries the boarded stream's own
+    // projection instead of the hardcoded events schema
+    val ledger = tmp("graft-gd-led")
+    val board = tmp("graft-gd-brd")
+    val docCols = Seq("doc_id", "text", "source")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "source")
+      .localCheckpoint(true)
+    (0 until 2).foreach { b =>
+      graft.streaming.LedgerBoard.applyBatch(
+        docs.filter($"doc_id" % 2 === b), b.toLong, ledger, board,
+        regroupEvery = 1, ledgerCols = docCols)(h =>
+        graft.operators.Curation.gopherRules(h))
+    }
+    val live = graft.streaming.LedgerBoard.board(spark, board)
+    val batch = graft.operators.Curation.gopherRules(docs)
+    assert(live.count() > 0, "document board came up empty")
+    assert(live.exceptAll(batch).count() === 0 &&
+      batch.exceptAll(live).count() === 0,
+      "boarded gopher verdict != batch verdict over the same docs")
+    // the event boards keep working unchanged through the default
+    val evLedger = tmp("graft-gd-eled")
+    val evBoard = tmp("graft-gd-ebrd")
+    graft.streaming.LedgerBoard.applyBatch(
+      Tables.events(spark, sf).limit(200), 0L, evLedger, evBoard,
+      regroupEvery = 1)(h => Monitoring.anomalyEnsembleOf(h))
+    assert(graft.streaming.LedgerBoard.board(spark, evBoard).columns
+      .nonEmpty)
+  }
+
   test("ensemble board: replayed history equals batch A63 row for row") {
     val staging = tmp("graft-eb-in")
     val ledger = tmp("graft-eb-led")

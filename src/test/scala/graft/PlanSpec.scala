@@ -84,6 +84,19 @@ class PlanSpec extends SparkSpec {
       s"classifier scoring fell into SMJ:\n$p")
   }
 
+  test("classifier_report: the threshold grid fans out as a broadcast, scoring never falls into SMJ") {
+    // the grid is 7 literal rows — it must reach the heldout slice as
+    // a broadcast nested loop (no corpus-scaling exchange), and the
+    // inherited C60 scoring join must stay broadcast
+    val p = finalPlan(Curation.classifierReport(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"grid fan-out not a broadcast product:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"report chain fell into SMJ:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"grid fan-out planned as a partitioned cartesian:\n$p")
+  }
+
   test("q5: dim chain broadcasts even in the 6-way star join") {
     val p = executedPlan(Relational.q5LocalSupplier(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"no broadcast joins in star:\n$p")

@@ -1108,6 +1108,46 @@ class SimilaritySpec extends SparkSpec {
         s"(|ivf∩exact|=${topIvf.intersect(topExact).size} of ${topExact.size})")
   }
 
+  test("label propagation ivf / knn clusters ivf: served scale paths — coverage, determinism, agreement") {
+    // D32b: seeds immutable, every vector labeled or carried, verdicts
+    // agree with the exact-graph run well above chance. Same
+    // near-uniform-sphere caveat as the D34c/D25b floors, compounded:
+    // on this geometry the neighbor labels an UNSEEDED vector hears
+    // are close to uniform over the 10 classes, so exact-vs-IVF
+    // agreement has a ~0.19 chance baseline (10% seeds always agree +
+    // 0.9 × 1/10); observed 0.42 at sf0.001 — >2× chance; clustered
+    // real corpora (where label prop is actually useful) agree far
+    // more tightly because votes there are lopsided, not knife-edge.
+    val exact = Similarity.labelPropagation(spark, sf).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getInt(1)))).toMap
+    val ivf = Similarity.labelPropagationIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None
+        else Some(r.getInt(1)), r.getBoolean(2)))
+    assert(ivf.map(_._1).toSet === exact.keySet, "coverage differs")
+    val seeds = ivf.filter(_._3)
+    assert(seeds.nonEmpty && seeds.forall(t => exact(t._1) == t._2),
+      "a seed's label moved under IVF edges")
+    val agree = ivf.count(t => exact(t._1) == t._2).toDouble / ivf.length
+    assert(agree >= 0.3, s"label agreement $agree vs exact run " +
+      "(chance baseline ~0.19 on the near-uniform fixture)")
+    val ivf2 = Similarity.labelPropagationIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None
+        else Some(r.getInt(1)), r.getBoolean(2)))
+    assert(ivf.toSeq === ivf2.toSeq, "label propagation ivf not deterministic")
+    // D26b: every vector in exactly one cluster, deterministic census
+    val n = exact.size.toLong
+    val census = Similarity.knnClustersIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(census.map(_._2).sum === n,
+      s"membership ${census.map(_._2).sum} != corpus $n")
+    assert(census.map(_._1).distinct.length === census.length,
+      "duplicate cluster ids in the census")
+    val census2 = Similarity.knnClustersIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(census.toSeq === census2.toSeq, "ivf census not deterministic")
+  }
+
   test("label propagation: planted chains fill from one seed each, ties to smaller label, bounded rounds") {
     // two directed 3-chains + a bridge vertex hearing both sides
     val edges = Seq(
