@@ -256,6 +256,10 @@ object SparkEntry {
       Curation.qualityClassifier(s, d)),
     "classifier_report" -> ((s: SparkSession, d: String) =>
       Curation.classifierReport(s, d)),
+    "mix_reweight" -> ((s: SparkSession, d: String) =>
+      Curation.mixReweight(s, d)),
+    "mix_reweight_apply" -> ((s: SparkSession, d: String) =>
+      Curation.mixReweightApply(s, d)),
     "mix_sample_unigram" -> ((s: SparkSession, d: String) =>
       Curation.mixSampleUnigramQuery(s, d)),
     "budget_select_unigram" -> ((s: SparkSession, d: String) =>
@@ -530,6 +534,8 @@ object SparkEntry {
     "gopher_rules" -> Curation.gopherRulesSql(),
     "quality_classifier" -> Curation.qualityClassifierSql(),
     "classifier_report" -> Curation.classifierReportSql(),
+    "mix_reweight" -> Curation.mixReweightSql(),
+    "mix_reweight_apply" -> Curation.mixReweightApplySql(),
     "repetition_rules" -> Curation.repetitionRulesSql(),
     "curriculum_order" -> Curation.curriculumOrderSql(),
     "pack_curriculum" -> Curation.packCurriculumSql(),

@@ -2458,6 +2458,201 @@ object Curation {
        |ORDER BY r.source""".stripMargin
   }
 
+  // ------------------------------------------------------------- C62
+  /** DOMAIN REWEIGHTING BY EXCESS LOSS — the DoReMi-shaped step the
+    * mix family was missing: C14/C24 APPLY a given mixture, C41
+    * audits one, but nothing DERIVED weights from the data. The
+    * published recipe reweights domains by the proxy model's excess
+    * loss over a reference; this is its n-gram instantiation built
+    * from engine primitives (the C60 move — published pipeline shape,
+    * engine-native estimator, simplification stated): per source,
+    * excess = cross-entropy of the source's token stream under the
+    * CORPUS add-1 unigram LM minus under the SOURCE-LOCAL one —
+    * KL(p_s ‖ P_corpus) − KL(p_s ‖ P_s), which is the source's KL to
+    * the mixture for any source big enough that its own smoothed LM
+    * fits it (NO sign guarantee for tiny sources, where add-1
+    * flattens the self-LM below the corpus fit — honest, and
+    * harmless: such a source reads as mixture-typical and is
+    * down-weighted). A source the global mixture models much worse
+    * than its own LM is distinctive / under-represented and gets
+    * upweighted by one exponentiated-gradient step: w' ∝ w ·
+    * exp(η·excess), normalized. η = 0 is the identity; iterate by
+    * feeding achieved mixes back through.
+    *
+    * ORACLE-CHECKED end-to-end — the parity ledger: ln and exp are
+    * bit-identical across engines on this machine (exp's input is the
+    * 6-decimal-rounded excess, so both engines exponentiate the same
+    * double); per-term CE contributions quantize to DECIMAL(28,12)
+    * before the order-free sum (the C60 rule); the normalizer is a
+    * DECIMAL sum of per-source unnormalized weights. Scale shape: ONE
+    * tokenize pass to the pinned (source, term, count) frame — per-
+    * term work is two log-ratio products, the only exchanges are the
+    * (source, term) count and the source rollup; the normalizing
+    * window runs over ≤ #sources rows (single partition is the
+    * point, not a bottleneck). */
+  def mixReweight(spark: SparkSession, sfDir: String,
+      eta: Double = 1.0): DataFrame =
+    mixReweightOf(Tables.documents(spark, sfDir), "source", eta)
+
+  /** C62 over arbitrary docs — the spec entry (a planted distinctive
+    * source makes the direction hand-checkable). */
+  def mixReweightOf(docs: DataFrame, sourceCol: String,
+      eta: Double = 1.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tc = docs.select(col(sourceCol).cast("string").as("src"),
+        explode(TextAnalysis.tokens("text")).as("term"))
+      .groupBy($"src", $"term").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // corpus totals + source totals + CE terms
+    val totals = tc.groupBy($"term").agg(sum($"c").as("ct"))
+      .localCheckpoint(true)
+    val vnRow = totals.agg(count(lit(1)), sum($"ct")).head()
+    val empty = tc.select(lit("").as("source"), lit(0L).as("n_docs"),
+      lit(0L).as("n_tokens"), lit(0.0).as("ce_corpus"),
+      lit(0.0).as("ce_self"), lit(0.0).as("excess"),
+      lit(0.0).as("weight_old"), lit(0.0).as("weight_new")).limit(0)
+    if (vnRow.isNullAt(1)) return empty
+    val (v, n) = (vnRow.getLong(0), vnRow.getLong(1))
+    val st = tc.groupBy($"src").agg(sum($"c").as("ns")).localCheckpoint(true)
+    val sCnt = st.count()
+    val wOld = 1.0 / sCnt
+    val agg = tc
+      .join(totals, Seq("term"))
+      .join(st, Seq("src"))
+      .select($"src", $"ns",
+        (-$"c" * log(($"ct" + 1L).cast("double") / lit((n + v).toDouble)))
+          .cast("decimal(28,12)").as("xc"),
+        (-$"c" * log(($"c" + 1L).cast("double") / ($"ns" + v).cast("double")))
+          .cast("decimal(28,12)").as("xs"))
+      .groupBy($"src", $"ns")
+      .agg(sum($"xc").as("sc"), sum($"xs").as("ss"))
+    val e = agg.select($"src", $"ns",
+      round($"sc".cast("double") / $"ns", 6).as("ce_corpus"),
+      round($"ss".cast("double") / $"ns", 6).as("ce_self"),
+      // excess rounds the RAW difference (not the difference of the
+      // display roundings) — this rounded value is exp's input, the
+      // engine-portable handoff point
+      round($"sc".cast("double") / $"ns" - $"ss".cast("double") / $"ns", 6)
+        .as("excess"))
+    val u = e.withColumn("unnorm",
+      (lit(wOld) * exp(lit(eta) * $"excess")).cast("decimal(28,12)"))
+    // ≤ #sources rows ride this window — single partition by design
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val nd = docs.groupBy(col(sourceCol).cast("string").as("src"))
+      .agg(count(lit(1)).as("n_docs"))
+    u.withColumn("total", sum($"unnorm").over(w))
+      .join(nd, Seq("src"))
+      .select($"src".as("source"), $"n_docs", $"ns".as("n_tokens"),
+        $"ce_corpus", $"ce_self", $"excess",
+        round(lit(wOld), 6).as("weight_old"),
+        round($"unnorm".cast("double") / $"total".cast("double"), 6)
+          .as("weight_new"))
+      .orderBy($"source")
+  }
+
+  def mixReweightSql(eta: Double = 1.0): String =
+    s"""WITH tok AS (
+       |  SELECT source AS src,
+       |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+       |  FROM documents),
+       |tc AS (SELECT src, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+       |tot AS (SELECT term, CAST(SUM(c) AS BIGINT) AS ct FROM tc GROUP BY term),
+       |vn AS (SELECT COUNT(*) AS v, CAST(SUM(ct) AS BIGINT) AS n FROM tot),
+       |st AS (SELECT src, CAST(SUM(c) AS BIGINT) AS ns FROM tc GROUP BY src),
+       |nd AS (SELECT source AS src, COUNT(*) AS n_docs
+       |  FROM documents GROUP BY source),
+       |x AS (
+       |  SELECT tc.src, st.ns,
+       |    CAST(-tc.c * ln(CAST(tot.ct + 1 AS DOUBLE)
+       |      / CAST(vn.n + vn.v AS DOUBLE)) AS DECIMAL(28,12)) AS xc,
+       |    CAST(-tc.c * ln(CAST(tc.c + 1 AS DOUBLE)
+       |      / CAST(st.ns + vn.v AS DOUBLE)) AS DECIMAL(28,12)) AS xs
+       |  FROM tc JOIN tot USING (term) JOIN st ON st.src = tc.src, vn),
+       |agg AS (SELECT src, ns, SUM(xc) AS sc, SUM(xs) AS ss
+       |  FROM x GROUP BY src, ns),
+       |cnt AS (SELECT COUNT(*) AS s FROM st),
+       |e AS (
+       |  SELECT src, ns,
+       |    ROUND(CAST(sc AS DOUBLE) / ns, 6) AS ce_corpus,
+       |    ROUND(CAST(ss AS DOUBLE) / ns, 6) AS ce_self,
+       |    ROUND(CAST(sc AS DOUBLE) / ns
+       |      - CAST(ss AS DOUBLE) / ns, 6) AS excess
+       |  FROM agg),
+       |u AS (
+       |  SELECT src, ns, ce_corpus, ce_self, excess,
+       |    CAST((1.0 / cnt.s) * exp($eta * excess) AS DECIMAL(28,12)) AS unnorm,
+       |    ROUND(1.0 / cnt.s, 6) AS weight_old
+       |  FROM e, cnt)
+       |SELECT u.src AS source, nd.n_docs, u.ns AS n_tokens,
+       |  ce_corpus, ce_self, excess, weight_old,
+       |  ROUND(CAST(unnorm AS DOUBLE)
+       |    / CAST(SUM(unnorm) OVER () AS DOUBLE), 6) AS weight_new
+       |FROM u JOIN nd ON nd.src = u.src
+       |ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------- C62b
+  /** DERIVE → APPLY, closed: C62's learned weights converted to
+    * per-source token budgets (floor(weight·totalTokens)) and fed
+    * straight into the C14 admission kernel — the loop a mix owner
+    * actually runs ("reweight by what the data says, then cut the
+    * corpus to it") as ONE entry, so the derive step can never drift
+    * from the apply step's expectations. Differs from C14 only in
+    * where budgets come from: a ≤#sources learned frame (broadcast
+    * into the prefix-sum output) instead of a hand Map. Oracle-checked
+    * end-to-end: C62's SQL is spliced as a CTE, the budget conversion
+    * is floor of a double product of engine-identical inputs, and the
+    * admission is C14's integer-exact cumulative rule. */
+  def mixReweightApply(spark: SparkSession, sfDir: String,
+      totalTokens: Long = 20000, eta: Double = 1.0): DataFrame = {
+    require(totalTokens >= 0, s"totalTokens $totalTokens must be >= 0")
+    val docs = Tables.documents(spark, sfDir)
+    val budgets = mixReweight(spark, sfDir, eta)
+      .select(col("source"),
+        floor(col("weight_new") * totalTokens).cast("long").as("budget"))
+    mixSampleBudgetFrame(
+      docs.withColumn("n_tokens",
+        size(TextAnalysis.tokens()).cast("long")),
+      "source", budgets)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The C14 kernel with budgets as a FRAME (stratum, budget) instead
+    * of a Map — the seam every learned budget source feeds. The
+    * budget frame is stratum-sized, so it broadcasts into the
+    * prefix-sum output; admission stays the integer-exact cumulative
+    * rule. */
+  def mixSampleBudgetFrame(counts: DataFrame, stratumCol: String,
+      budgets: DataFrame, orderCol: String = "doc_id"): DataFrame =
+    Scale.stratifiedPrefixSum(counts, stratumCol, orderCol, "n_tokens",
+        "__ca")
+      .join(broadcast(budgets.select(col(stratumCol), col("budget"))),
+        Seq(stratumCol))
+      .filter(col("__ca") <= col("budget"))
+      .drop("__ca", "budget")
+
+  def mixReweightApplySql(totalTokens: Long = 20000,
+      eta: Double = 1.0): String =
+    s"""WITH rw AS (%RW%),
+       |b AS (SELECT source,
+       |  CAST(floor(weight_new * $totalTokens) AS BIGINT) AS budget
+       |  FROM rw),
+       |t AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents),
+       |ca AS (
+       |  SELECT *, SUM(n_tokens) OVER (
+       |    PARTITION BY source ORDER BY doc_id) AS cum
+       |  FROM t)
+       |SELECT doc_id, lang, source, n_tokens
+       |FROM ca JOIN b USING (source)
+       |WHERE cum <= budget
+       |ORDER BY doc_id""".stripMargin
+      .replace("%RW%", mixReweightSql(eta))
+
   // ------------------------------------------------------------- C39
   /** STREAMING DSIR admission — C37's live twin, the ingest-time
     * "does this look like the target domain?" gate (the shape C29's

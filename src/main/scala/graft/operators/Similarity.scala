@@ -2534,6 +2534,28 @@ object Similarity {
     out.withColumn("n_iters", lit(iters)).orderBy($"vec_id")
   }
 
+  /** Corpus kNN graphs are BUILD OUTPUT (the D8 / ann_rerank cache
+    * rule extended to the edge substrate): clusters, label
+    * propagation, and PageRank all read the same edges, so the build
+    * runs once per (corpus version, build params) and the pinned
+    * frame serves every consumer — before this cache each D26b/D32b/
+    * D34c call re-ran the full IVF probe-and-rank. Eviction unpins
+    * superseded corpus versions (the Tables.unpinCheckpoint trade:
+    * a stale handle fails loudly rather than reading mixed
+    * versions). */
+  private val graphCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, String), DataFrame]
+
+  private def cachedGraph(spark: SparkSession, sfDir: String,
+      variant: String)(build: => DataFrame): DataFrame = {
+    val stamp = Tables.pathStamp(spark, s"$sfDir/embeddings.parquet")
+    graphCache.filterInPlace { case ((d, st, _), df) =>
+      d != sfDir || st == stamp || { Tables.unpinCheckpoint(df); false }
+    }
+    graphCache.getOrElseUpdate((sfDir, stamp, variant),
+      build.localCheckpoint(true))
+  }
+
   def knnGraph(spark: SparkSession, sfDir: String, k: Int = AnnK): DataFrame = {
     val n = Tables.cachedCount(spark, s"$sfDir/embeddings.parquet")
     // division form, not n*n: the square overflows Long around n ≈
@@ -2541,7 +2563,8 @@ object Similarity {
     require(n == 0 || n <= BruteForceMaxPairs / n,
       s"brute self-kNN would score n²=$n² pairs (> $BruteForceMaxPairs); " +
         "use knnGraphIvf — the cell-bucketed scale path")
-    knnGraphCore(Tables.embeddings(spark, sfDir), k)
+    cachedGraph(spark, sfDir, s"exact:$k")(
+      knnGraphCore(Tables.embeddings(spark, sfDir), k))
   }
 
   /** The exact-graph kernel over an arbitrary (vec_id, embedding)
@@ -2838,8 +2861,14 @@ object Similarity {
   def knnGraphIvf(spark: SparkSession, sfDir: String, k: Int = AnnK,
       nCells: Int = 0, nProbe: Int = 4,
       maxTrain: Int = 100000): DataFrame = {
-    import spark.implicits._
     require(nProbe >= 1, s"nProbe $nProbe must be positive")
+    cachedGraph(spark, sfDir, s"ivf:$k:$nCells:$nProbe:$maxTrain")(
+      knnGraphIvfBuild(spark, sfDir, k, nCells, nProbe, maxTrain))
+  }
+
+  private def knnGraphIvfBuild(spark: SparkSession, sfDir: String,
+      k: Int, nCells: Int, nProbe: Int, maxTrain: Int): DataFrame = {
+    import spark.implicits._
     // same single-split hazard as knnGraph: both the cell assignment
     // and the probe ranking are per-vector arithmetic that must not
     // run on one core just because the corpus is one parquet file

@@ -1226,6 +1226,65 @@ class CurationSpec extends SparkSpec {
         s"domain mass ${r.getLong(1)} over 600"))
   }
 
+  test("mix_reweight: distinctive source upweights, eta=0 is the identity, weights normalize") {
+    // srcA and srcB share the mixture's vocabulary; srcC is fully
+    // distinctive — the corpus LM models C's stream far worse than
+    // C's own LM does, so its excess (smoothed KL to the mixture)
+    // dominates and one EG step moves mass toward it
+    val docs = Seq(
+      (1L, "srcA", "the cat sat on the mat the cat sat"),
+      (2L, "srcA", "the dog sat on the mat the dog sat"),
+      (3L, "srcB", "the cat sat on the mat the dog sat"),
+      (4L, "srcC", "zyx wvu tsr qpo zyx wvu tsr qpo zyx"),
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.mixReweightOf(docs, "source").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(5), r.getDouble(6),
+        r.getDouble(7)))).toMap // excess, weight_old, weight_new
+    assert(out.keySet === Set("srcA", "srcB", "srcC"))
+    assert(out("srcC")._1 > out("srcA")._1 &&
+      out("srcC")._1 > out("srcB")._1,
+      s"distinctive source not highest-excess: $out")
+    assert(out("srcC")._3 > out("srcC")._2,
+      s"distinctive source not upweighted: ${out("srcC")}")
+    assert(out("srcB")._3 < out("srcB")._2,
+      s"mixture-typical source not downweighted: ${out("srcB")}")
+    val mass = out.values.map(_._3).sum
+    assert(math.abs(mass - 1.0) < 1e-5, s"weights do not normalize: $mass")
+    // eta = 0: exp(0) everywhere — the update is the identity
+    val id = Curation.mixReweightOf(docs, "source", eta = 0.0).collect()
+      .map(r => (r.getDouble(6), r.getDouble(7)))
+    assert(id.forall { case (o, n) => o === n },
+      s"eta=0 moved weights: ${id.toSeq}")
+    // driver entry: one row per source, weights normalize (excess has
+    // no sign guarantee — it is KL(p_s ‖ P_corpus) − KL(p_s ‖ P_s),
+    // and add-1 smoothing can flatten a tiny source's own LM below
+    // the corpus fit)
+    val drv = Curation.mixReweight(spark, sf).collect()
+    assert(drv.length === 20)
+    val dmass = drv.map(_.getDouble(7)).sum
+    assert(math.abs(dmass - 1.0) < 1e-4, s"driver weights: $dmass")
+  }
+
+  test("mix_reweight_apply: learned budgets bound each source's admitted token mass") {
+    val total = 5000L
+    val budgets = Curation.mixReweight(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        math.floor(r.getDouble(7) * total).toLong).toMap
+    val out = Curation.mixReweightApply(spark, sf, totalTokens = total)
+      .localCheckpoint(true)
+    val perSrc = out.groupBy($"source")
+      .agg(org.apache.spark.sql.functions.sum($"n_tokens").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSrc.nonEmpty)
+    perSrc.foreach { case (s, m) =>
+      assert(m <= budgets(s),
+        s"source $s admitted $m tokens over its learned budget ${budgets(s)}")
+    }
+    // the cut actually binds somewhere — otherwise the test is vacuous
+    assert(out.count() < Tables.documents(spark, sf).count(),
+      "no source's budget bound at this total")
+  }
+
   test("quality_rank_cut: keeps exactly the top floor(num*n/den) per source") {
     // token counts: a → 5,4,3,2,1; b → ties at the 4/7 boundary so the
     // doc_id tiebreak is what decides who survives

@@ -84,6 +84,16 @@ class PlanSpec extends SparkSpec {
       s"classifier scoring fell into SMJ:\n$p")
   }
 
+  test("mix_reweight_apply: the learned budget frame broadcasts into the admission") {
+    // the ≤#sources budget frame must broadcast onto the prefix-sum
+    // output — a shuffled budget join would re-exchange the corpus
+    val p = finalPlan(Curation.mixReweightApply(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"budget join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"admission fell into SMJ:\n$p")
+  }
+
   test("classifier_report: the threshold grid fans out as a broadcast, scoring never falls into SMJ") {
     // the grid is 7 literal rows — it must reach the heldout slice as
     // a broadcast nested loop (no corpus-scaling exchange), and the
