@@ -170,6 +170,8 @@ object SparkEntry {
     "decontaminate" -> (Curation.decontamQuery _),
     "decontaminate_fuzzy" -> (Curation.decontamFuzzyQuery _),
     "pack_sequences" -> (Curation.packSequencesQuery _),
+    "pack_doc_aware" -> ((s: SparkSession, d: String) =>
+      Curation.packDocAwareQuery(s, d)),
     "mix_sample" -> (Curation.mixSampleQuery _),
     "mix_epochs" -> (Curation.mixEpochsQuery _),
     "split_assign" -> (Curation.splitAssignQuery _),
@@ -536,6 +538,7 @@ object SparkEntry {
     "classifier_report" -> Curation.classifierReportSql(),
     "mix_reweight" -> Curation.mixReweightSql(),
     "mix_reweight_apply" -> Curation.mixReweightApplySql(),
+    "pack_doc_aware" -> Curation.packDocAwareSql(),
     "repetition_rules" -> Curation.repetitionRulesSql(),
     "curriculum_order" -> Curation.curriculumOrderSql(),
     "pack_curriculum" -> Curation.packCurriculumSql(),

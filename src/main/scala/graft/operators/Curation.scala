@@ -775,6 +775,78 @@ object Curation {
       .write.mode("overwrite").parquet(outDir)
   }
 
+  // ------------------------------------------------------------- C63
+  /** DOC-AWARE packing — the variant C43's boundary-crosser count
+    * exists to motivate: C13's concatenate-then-cut layout wastes
+    * zero padding but SPLITS documents across sequence boundaries
+    * (broken context windows); when context integrity matters more
+    * than padding, the published alternative packs docs WHOLE. Greedy
+    * first-fit is inherently sequential (each pad decision depends on
+    * every prior one — not a prefix sum), so this implements the
+    * scalable shape: LENGTH-BUCKETED slotting. Each doc rounds up to
+    * a bucket (granularity `g`, capped at `seqLen`); same-bucket docs
+    * pack `seqLen div bucket` per sequence by within-bucket rank —
+    * pure per-row arithmetic over one stratified prefix-sum rank, so
+    * the layout is deterministic, zero docs cross a boundary, and
+    * the padding waste is bounded by the bucket width per doc (the
+    * stated trade vs C13's zero-pad/crossing layout). Docs longer
+    * than `seqLen` take a whole sequence and flag `truncated` (the
+    * packer's honest signal to route them through C30 chunking
+    * first). Sequence identity is (bucket, seq_in_bucket) — globally
+    * unique without coordination across buckets. ORACLE-CHECKED:
+    * bucketing, ranking, slotting are integer-exact in both
+    * engines. */
+  def packDocAware(docs: DataFrame, seqLen: Int = 2048, g: Int = 64,
+      buckets: Int = 1024): DataFrame = {
+    require(seqLen >= 1 && g >= 1 && g <= seqLen,
+      s"need 1 <= g <= seqLen (got g=$g, seqLen=$seqLen)")
+    val counts = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens()).cast("long").as("n_tokens"))
+    val b = counts
+      // bucket = capped length rounded UP to the granularity; empty
+      // docs still occupy one slot (bucket g) so every doc lands
+      .withColumn("eff", least(col("n_tokens"), lit(seqLen.toLong)))
+      .withColumn("bucket",
+        greatest(expr(s"((eff + ${g - 1}) div $g) * $g"), lit(g.toLong)))
+      .withColumn("capacity", expr(s"$seqLen div bucket"))
+      .withColumn("__one", lit(1L))
+    Scale.stratifiedPrefixSum(b, "bucket", "doc_id", "__one", "__rnk",
+        buckets)
+      .select(col("doc_id"), col("n_tokens"), col("bucket"),
+        expr("(__rnk - 1) div capacity").as("seq_in_bucket"),
+        expr("(__rnk - 1) % capacity").as("slot_in_seq"),
+        (col("bucket") - col("eff")).as("pad_tokens"),
+        (col("n_tokens") > seqLen).as("truncated"))
+      .orderBy(col("doc_id"))
+  }
+
+  def packDocAwareQuery(spark: SparkSession, sfDir: String,
+      seqLen: Int = 2048, g: Int = 64): DataFrame =
+    packDocAware(Tables.documents(spark, sfDir), seqLen, g)
+
+  def packDocAwareSql(seqLen: Int = 2048, g: Int = 64): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, n_tokens,
+       |    LEAST(n_tokens, $seqLen) AS eff,
+       |    GREATEST(((LEAST(n_tokens, $seqLen) + ${g - 1}) // $g) * $g,
+       |      $g) AS bucket
+       |  FROM t),
+       |r AS (
+       |  SELECT *, $seqLen // bucket AS capacity,
+       |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rnk
+       |  FROM b)
+       |SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+       |  CAST((rnk - 1) // capacity AS BIGINT) AS seq_in_bucket,
+       |  CAST((rnk - 1) % capacity AS BIGINT) AS slot_in_seq,
+       |  CAST(bucket - eff AS BIGINT) AS pad_tokens,
+       |  n_tokens > $seqLen AS truncated
+       |FROM r ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- C14
   /** Token-budget TRAINING MIX: per stratum (source/domain/language),
     * keep docs in deterministic `orderCol` order until the stratum's

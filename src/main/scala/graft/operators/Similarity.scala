@@ -2485,9 +2485,16 @@ object Similarity {
             !($"vote" <=> $"label")).as("__chg"))
         .localCheckpoint(true)
       changed = next.filter($"__chg").limit(1).count() > 0
+      // the superseded round is dead once its join (above) and the
+      // change probe have run — same leak class as pagerankOf's fix
+      val prev = labels
       labels = next.select($"vec_id", $"label", $"is_seed")
+      Tables.unpinCheckpoint(prev)
       iter += 1
     }
+    // the returned frame reads only the final round's checkpoint —
+    // the edge pin is dead (labels' lineage was truncated per round)
+    Tables.unpinCheckpoint(e)
     (labels, iter)
   }
 

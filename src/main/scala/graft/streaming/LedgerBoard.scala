@@ -130,6 +130,33 @@ object LedgerBoard {
   }
 }
 
+/** LIVE MIXTURE-WEIGHT BOARD — C62's streaming twin on the
+  * [[LedgerBoard]] cadence, and the first NON-EVENT instantiation
+  * (the r12 ledger-schema generalization at work): land the document
+  * stream in the ledger under its own column set, periodically re-run
+  * the C62 reweighting over the full retained corpus, publish the
+  * weight table as a committed epoch. Weight derivation is a
+  * whole-corpus product (global token counts, the normalizing sum),
+  * so it shares A58/A63's non-incremental character and the cadence
+  * shape is its honest live twin — the board a mix owner polls for
+  * "what would the learned weights be on everything ingested so
+  * far". Fences, staleness/cost knobs, and retention inherit from
+  * [[LedgerBoard]]; spec pins replayed-history parity with batch
+  * C62. */
+object MixBoard {
+  val LedgerCols: Seq[String] = Seq("doc_id", "source", "text")
+
+  def start(docs: DataFrame, ledgerDir: String, boardDir: String,
+      checkpointDir: String, eta: Double = 1.0,
+      regroupEvery: Int = 1): StreamingQuery =
+    LedgerBoard.start(docs, ledgerDir, boardDir, checkpointDir,
+      regroupEvery, ledgerCols = LedgerCols)(history =>
+      graft.operators.Curation.mixReweightOf(history, "source", eta))
+
+  def board(spark: SparkSession, boardDir: String): DataFrame =
+    LedgerBoard.board(spark, boardDir)
+}
+
 /** STREAMING anomaly-ensemble board — A63's live twin on the
   * [[LedgerBoard]] cadence: the per-device multi-detector panel
   * (z-score sample counts, MAD counts, CUSUM alarm magnitude, the

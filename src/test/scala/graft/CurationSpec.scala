@@ -1226,6 +1226,48 @@ class CurationSpec extends SparkSpec {
         s"domain mass ${r.getLong(1)} over 600"))
   }
 
+  test("pack_doc_aware: whole docs only, dense slots, bounded waste, diverges from C13 where C13 splits") {
+    def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, words(10)),   // bucket 16, shares a sequence with doc 2
+      (1L, words(100)),  // bucket 112, capacity 1 — its own sequence
+      (2L, words(10)),   // bucket 16, slot 1 beside doc 0
+      (3L, words(200)),  // > seqLen: whole sequence + truncated flag
+    ).toDF("doc_id", "text")
+    val out = Curation.packDocAware(docs, seqLen = 128, g = 16)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    // (bucket, seq_in_bucket, slot_in_seq, pad, truncated)
+    assert(out(0L) === ((16L, 0L, 0L, 6L, false)), s"doc 0: ${out(0L)}")
+    assert(out(2L) === ((16L, 0L, 1L, 6L, false)), s"doc 2: ${out(2L)}")
+    assert(out(1L) === ((112L, 0L, 0L, 12L, false)), s"doc 1: ${out(1L)}")
+    assert(out(3L) === ((128L, 0L, 0L, 0L, true)), s"doc 3: ${out(3L)}")
+    // driver corpus: the three C63 invariants at scale
+    val seqLen = 2048L
+    val g = 64L
+    val drv = Curation.packDocAwareQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(drv.nonEmpty)
+    drv.foreach { case (id, n, bucket, _, slot, pad, trunc) =>
+      // a doc NEVER crosses: its slot's end stays inside the sequence
+      assert(bucket * (slot + 1) <= seqLen, s"doc $id crosses: $bucket*$slot")
+      assert(pad >= 0 && pad <= g, s"doc $id waste $pad beyond bucket width")
+      assert(trunc === (n > seqLen), s"doc $id truncation flag wrong")
+    }
+    // slots are DENSE per sequence: 0..m-1 each
+    drv.groupBy(t => (t._3, t._4)).foreach { case (k, ds) =>
+      assert(ds.map(_._5).sorted.sameElements(0L until ds.length),
+        s"sequence $k slots not dense: ${ds.map(_._5).sorted.toSeq}")
+    }
+    // the divergence C63 exists for: C13's layout splits docs across
+    // boundaries on this corpus (C43 counts them); C63 has zero by
+    // construction
+    val crossers = Curation.packReport(spark, sf).collect()
+      .map(_.getLong(4)).sum
+    assert(crossers > 0, "fixture never splits a doc — divergence vacuous")
+  }
+
   test("mix_reweight: distinctive source upweights, eta=0 is the identity, weights normalize") {
     // srcA and srcB share the mixture's vocabulary; srcC is fully
     // distinctive — the corpus LM models C's stream far worse than

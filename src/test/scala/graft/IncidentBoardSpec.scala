@@ -150,6 +150,32 @@ class IncidentBoardSpec extends SparkSpec {
       .nonEmpty)
   }
 
+  test("mix board: a replayed document stream's weight table equals batch C62") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ledger = tmp("graft-mxb-led")
+    val board = tmp("graft-mxb-brd")
+    val ckpt = tmp("graft-mxb-ck")
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").localCheckpoint(true)
+    val rows = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val input = MemoryStream[(Long, String, String)](106, spark, None)
+    val q = graft.streaming.MixBoard.start(
+      input.toDS().toDF("doc_id", "source", "text"), ledger, board, ckpt)
+    try {
+      input.addData(rows.take(rows.length / 2))
+      q.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = graft.streaming.MixBoard.board(spark, board)
+    val batch = graft.operators.Curation.mixReweightOf(docs, "source")
+    assert(live.count() > 0, "mix board came up empty")
+    assert(live.exceptAll(batch).count() === 0 &&
+      batch.exceptAll(live).count() === 0,
+      "boarded weight table != batch C62 on replayed history")
+  }
+
   test("ensemble board: replayed history equals batch A63 row for row") {
     val staging = tmp("graft-eb-in")
     val ledger = tmp("graft-eb-led")
