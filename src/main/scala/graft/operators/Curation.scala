@@ -803,11 +803,18 @@ object Curation {
     val counts = docs.select(col("doc_id"),
       size(TextAnalysis.tokens()).cast("long").as("n_tokens"))
     val b = counts
-      // bucket = capped length rounded UP to the granularity; empty
-      // docs still occupy one slot (bucket g) so every doc lands
+      // bucket = capped length rounded UP to the granularity, then
+      // capped AGAIN at seqLen: when seqLen is not a multiple of g,
+      // the round-up can overshoot seqLen and a capacity of
+      // seqLen div bucket = 0 would null the slot math (and error the
+      // oracle's division). Empty docs still occupy one slot
+      // (bucket g) so every doc lands. Pad stays < g on the capped
+      // path too: eff > seqLen − g there, so seqLen − eff < g.
       .withColumn("eff", least(col("n_tokens"), lit(seqLen.toLong)))
       .withColumn("bucket",
-        greatest(expr(s"((eff + ${g - 1}) div $g) * $g"), lit(g.toLong)))
+        least(
+          greatest(expr(s"((eff + ${g - 1}) div $g) * $g"), lit(g.toLong)),
+          lit(seqLen.toLong)))
       .withColumn("capacity", expr(s"$seqLen div bucket"))
       .withColumn("__one", lit(1L))
     Scale.stratifiedPrefixSum(b, "bucket", "doc_id", "__one", "__rnk",
@@ -833,8 +840,8 @@ object Curation {
        |b AS (
        |  SELECT doc_id, n_tokens,
        |    LEAST(n_tokens, $seqLen) AS eff,
-       |    GREATEST(((LEAST(n_tokens, $seqLen) + ${g - 1}) // $g) * $g,
-       |      $g) AS bucket
+       |    LEAST(GREATEST(((LEAST(n_tokens, $seqLen) + ${g - 1}) // $g) * $g,
+       |      $g), $seqLen) AS bucket
        |  FROM t),
        |r AS (
        |  SELECT *, $seqLen // bucket AS capacity,
@@ -2561,7 +2568,10 @@ object Curation {
     * term work is two log-ratio products, the only exchanges are the
     * (source, term) count and the source rollup; the normalizing
     * window runs over ≤ #sources rows (single partition is the
-    * point, not a bottleneck). */
+    * point, not a bottleneck); the result detaches as a ≤#sources
+    * local relation and the corpus-scale pins release before return,
+    * so repeated invocations (MixBoard's regroup cadence) leak
+    * nothing. */
   def mixReweight(spark: SparkSession, sfDir: String,
       eta: Double = 1.0): DataFrame =
     mixReweightOf(Tables.documents(spark, sfDir), "source", eta)
@@ -2579,11 +2589,17 @@ object Curation {
     val totals = tc.groupBy($"term").agg(sum($"c").as("ct"))
       .localCheckpoint(true)
     val vnRow = totals.agg(count(lit(1)), sum($"ct")).head()
-    val empty = tc.select(lit("").as("source"), lit(0L).as("n_docs"),
-      lit(0L).as("n_tokens"), lit(0.0).as("ce_corpus"),
-      lit(0.0).as("ce_self"), lit(0.0).as("excess"),
-      lit(0.0).as("weight_old"), lit(0.0).as("weight_new")).limit(0)
-    if (vnRow.isNullAt(1)) return empty
+    // detached from the pinned intermediates: the empty path must not
+    // reference blocks the unpin below releases
+    val empty = spark.range(0).select(lit("").as("source"),
+      lit(0L).as("n_docs"), lit(0L).as("n_tokens"),
+      lit(0.0).as("ce_corpus"), lit(0.0).as("ce_self"),
+      lit(0.0).as("excess"), lit(0.0).as("weight_old"),
+      lit(0.0).as("weight_new"))
+    if (vnRow.isNullAt(1)) {
+      Seq(tc, totals).foreach(graft.Tables.unpinCheckpoint)
+      return empty
+    }
     val (v, n) = (vnRow.getLong(0), vnRow.getLong(1))
     val st = tc.groupBy($"src").agg(sum($"c").as("ns")).localCheckpoint(true)
     val sCnt = st.count()
@@ -2613,7 +2629,7 @@ object Curation {
       .partitionBy(lit(1))
     val nd = docs.groupBy(col(sourceCol).cast("string").as("src"))
       .agg(count(lit(1)).as("n_docs"))
-    u.withColumn("total", sum($"unnorm").over(w))
+    val out = u.withColumn("total", sum($"unnorm").over(w))
       .join(nd, Seq("src"))
       .select($"src".as("source"), $"n_docs", $"ns".as("n_tokens"),
         $"ce_corpus", $"ce_self", $"excess",
@@ -2621,6 +2637,16 @@ object Curation {
         round($"unnorm".cast("double") / $"total".cast("double"), 6)
           .as("weight_new"))
       .orderBy($"source")
+    // detach the result (≤ #sources rows — bounded by construction,
+    // the centroid/vocab-collect class) as a local relation, THEN
+    // release the corpus-scale intermediates: without this every
+    // invocation (MixBoard re-runs it per regroup trigger) pins three
+    // vocabulary-scale block sets for the JVM's life — the pagerankOf
+    // leak class this changeset closes
+    val rows = out.collect().toSeq
+    Seq(tc, totals, st).foreach(graft.Tables.unpinCheckpoint)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
   }
 
   def mixReweightSql(eta: Double = 1.0): String =
@@ -2694,14 +2720,18 @@ object Curation {
     * of a Map — the seam every learned budget source feeds. The
     * budget frame is stratum-sized, so it broadcasts into the
     * prefix-sum output; admission stays the integer-exact cumulative
-    * rule. */
+    * rule. Strata ABSENT from the frame take `defaultBudget` (the
+    * mixSampleFromCounts contract — an inner join would silently drop
+    * them: a learned frame can genuinely miss a stratum, e.g. C62
+    * never emits a source whose docs all tokenize empty). */
   def mixSampleBudgetFrame(counts: DataFrame, stratumCol: String,
-      budgets: DataFrame, orderCol: String = "doc_id"): DataFrame =
+      budgets: DataFrame, defaultBudget: Long = 0L,
+      orderCol: String = "doc_id"): DataFrame =
     Scale.stratifiedPrefixSum(counts, stratumCol, orderCol, "n_tokens",
         "__ca")
       .join(broadcast(budgets.select(col(stratumCol), col("budget"))),
-        Seq(stratumCol))
-      .filter(col("__ca") <= col("budget"))
+        Seq(stratumCol), "left")
+      .filter(col("__ca") <= coalesce(col("budget"), lit(defaultBudget)))
       .drop("__ca", "budget")
 
   def mixReweightApplySql(totalTokens: Long = 20000,
@@ -2720,8 +2750,8 @@ object Curation {
        |    PARTITION BY source ORDER BY doc_id) AS cum
        |  FROM t)
        |SELECT doc_id, lang, source, n_tokens
-       |FROM ca JOIN b USING (source)
-       |WHERE cum <= budget
+       |FROM ca LEFT JOIN b USING (source)
+       |WHERE cum <= COALESCE(budget, 0)
        |ORDER BY doc_id""".stripMargin
       .replace("%RW%", mixReweightSql(eta))
 
@@ -3488,45 +3518,67 @@ object Curation {
     * every served row (batch-level facts broadcast back onto the
     * rows), so a downstream sink can quarantine a drifted batch
     * without a second pass; the verdicts themselves are unchanged —
-    * the gate OBSERVES, the threshold knob still decides. Batch shape
-    * = one serve projection + one 1-row aggregate + two broadcast
-    * cross joins (no shuffle of the served rows); for a live stream
-    * call this per micro-batch from foreachBatch (the B40/D9 shape —
-    * an aggregate cannot ride a stateless streaming projection). */
+    * the gate OBSERVES, the threshold knob still decides. The flags
+    * are BATCH-LEVEL CONSTANTS, so the batch shape is two stateless
+    * serve passes — one 1-row stats action, one output projection
+    * with the verdicts stamped as literals: no pin, no join, nothing
+    * accumulates across triggers (a checkpoint-per-batch variant is
+    * the pagerankOf leak class — one pinned batch set per trigger,
+    * forever). For a live stream call this per micro-batch from
+    * foreachBatch (the B40/D9 shape — an aggregate cannot ride a
+    * stateless streaming projection). An EMPTY batch carries no
+    * distribution evidence and is never flagged. */
   def classifierServeGated(docs: DataFrame, model: Array[Double],
       profile: DataFrame, threshold: Double = 0.0,
       stdTol: Double = 3.0, keepTol: Double = 0.15): DataFrame = {
     require(stdTol >= 0 && keepTol >= 0,
       s"tolerances must be >= 0 (got stdTol=$stdTol, keepTol=$keepTol)")
+    val p = profile
+      .select(col("ref_mean"), col("ref_std"), col("ref_keep_rate"))
+      .head()
     val scored = classifierServe(docs, model, threshold)
-      .localCheckpoint(true) // read twice: batch stats + served rows
-    val stats = scored.agg(
-      avg(col("nb_z")).as("batch_mean"),
-      avg(col("keep").cast("double")).as("batch_keep_rate"))
-    scored
-      .crossJoin(broadcast(stats))
-      .crossJoin(broadcast(profile
-        .select(col("ref_mean"), col("ref_std"), col("ref_keep_rate"))))
-      .withColumn("mean_drift",
-        abs(col("batch_mean") - col("ref_mean")) >
-          lit(stdTol) * greatest(col("ref_std"), lit(1e-9)))
-      .withColumn("keep_drift",
-        abs(col("batch_keep_rate") - col("ref_keep_rate")) > keepTol)
-      .withColumn("drift", col("mean_drift") || col("keep_drift"))
-      .select(col("doc_id"), col("nb_z"), col("keep"),
-        round(col("batch_mean"), 6).as("batch_mean"),
-        round(col("batch_keep_rate"), 6).as("batch_keep_rate"),
-        col("mean_drift"), col("keep_drift"), col("drift"))
+    val s = scored.agg(count(lit(1)), avg(col("nb_z")),
+      avg(col("keep").cast("double"))).head()
+    val nonEmpty = s.getLong(0) > 0
+    val batchMean = if (nonEmpty) s.getDouble(1) else 0.0
+    val batchKeep = if (nonEmpty) s.getDouble(2) else 0.0
+    val meanDrift = nonEmpty &&
+      math.abs(batchMean - p.getDouble(0)) >
+        stdTol * math.max(p.getDouble(1), 1e-9)
+    val keepDrift = nonEmpty &&
+      math.abs(batchKeep - p.getDouble(2)) > keepTol
+    scored.select(col("doc_id"), col("nb_z"), col("keep"),
+      round(lit(batchMean), 6).as("batch_mean"),
+      round(lit(batchKeep), 6).as("batch_keep_rate"),
+      lit(meanDrift).as("mean_drift"),
+      lit(keepDrift).as("keep_drift"),
+      lit(meanDrift || keepDrift).as("drift"))
   }
 
   /** C60c's live twin: the gated serve applied per micro-batch (the
     * B40 foreachBatch shape), each batch's flagged rows handed to
-    * `sink` with its batch id. */
+    * `sink` with its batch id. The profile collapses to one collected
+    * row per gated batch (3 doubles) — nothing pinned on the static
+    * side either. */
   def classifierServeGatedStream(stream: DataFrame, model: Array[Double],
       profile: DataFrame, threshold: Double = 0.0, stdTol: Double = 3.0,
       keepTol: Double = 0.15)(sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val ref = profile.localCheckpoint(true) // static side, pinned once
+    // collect the 1-row profile ONCE and replay it as a local relation
+    // per trigger — a pinned checkpoint here would outlive the query
+    val spark = profile.sparkSession
+    val pRow = profile
+      .select(col("ref_mean"), col("ref_std"), col("ref_keep_rate"))
+      .head()
+    val ref = spark.createDataFrame(
+      java.util.Arrays.asList(pRow),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ref_mean",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("ref_std",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("ref_keep_rate",
+          org.apache.spark.sql.types.DoubleType))))
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       sink(classifierServeGated(batch, model, ref, threshold, stdTol,
         keepTol), batchId)

@@ -2743,8 +2743,13 @@ object Similarity {
       .select($"id", coalesce($"has_out", lit(false)).as("has_out"))
       .localCheckpoint(true)
     val n = nodes.count()
-    if (n == 0)
-      return (nodes.select($"id").withColumn("pr", lit(0.0)).limit(0), 0)
+    if (n == 0) {
+      // the empty frame must not reference the pins released here —
+      // the early return otherwise bypasses the end-of-function unpin
+      val out = spark.range(0).select($"id", lit(0.0).as("pr"))
+      Seq(e, outDeg, nodes).foreach(Tables.unpinCheckpoint)
+      return (out, 0)
+    }
     var pr = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint(true)
     var iter = 0
     var delta = Double.MaxValue

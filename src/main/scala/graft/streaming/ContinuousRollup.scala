@@ -272,6 +272,8 @@ object ContinuousRollup {
       .withColumn("__ver", lit(Long.MaxValue / 2 - repairId))
     UpsertSink.applyBatch(batch, repairId, dir, "rollup_key", "__ver",
       nBuckets)
+    // the apply (its writes are actions) was the pin's last reader
+    graft.Tables.unpinCheckpoint(recomputed)
   }
 
   /** [[backfillSums]] for the FULL-STAT table ([[startStats]]'s hourly
@@ -323,6 +325,8 @@ object ContinuousRollup {
       .withColumn("__ver", lit(Long.MaxValue / 2 - repairId))
     UpsertSink.applyBatch(batch, repairId, dir, "rollup_key", "__ver",
       nBuckets)
+    // the apply (its writes are actions) was the pin's last reader
+    graft.Tables.unpinCheckpoint(recomputed)
   }
 
   /** [[backfillSums]] for the HISTOGRAM table ([[startHist]]'s hourly
@@ -382,5 +386,7 @@ object ContinuousRollup {
       .withColumn("__ver", lit(Long.MaxValue / 2 - repairId))
     UpsertSink.applyBatch(batch, repairId, dir, "rollup_key", "__ver",
       nBuckets)
+    // the apply (its writes are actions) was the pin's last reader
+    graft.Tables.unpinCheckpoint(recomputed)
   }
 }

@@ -61,20 +61,20 @@ object UpsertSink {
     try {
       val touched = deduped.select($"bucket").distinct()
         .as[Long].collect().toSet // bounded by nBuckets
-      val merged =
+      val checkpointed =
         if (fs.exists(new Path(dataDir))) {
           // partition filter prunes the scan to touched buckets only
           val existing = spark.read.parquet(dataDir)
             .filter($"bucket".isin(touched.toSeq: _*))
-          existing.join(deduped.select(col(keyCol)), Seq(keyCol), "left_anti")
+          Some(existing
+            .join(deduped.select(col(keyCol)), Seq(keyCol), "left_anti")
             .unionByName(deduped)
             // eager checkpoint MATERIALIZES the merge before the write
             // and cuts the scan out of the write plan — Spark (rightly)
-            // refuses to overwrite a path its own plan still reads;
-            // size is touched-buckets only, released with the JVM's
-            // reference like the D-family pins
-            .localCheckpoint(true)
-        } else deduped
+            // refuses to overwrite a path its own plan still reads
+            .localCheckpoint(true))
+        } else None
+      val merged = checkpointed.getOrElse(deduped)
       merged.write
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic") // replace ONLY
@@ -82,6 +82,10 @@ object UpsertSink {
         .parquet(dataDir)
       fs.mkdirs(marker.getParent)
       fs.create(marker, true).close()
+      // the write (an action) is the checkpoint's last reader: release
+      // it, or a continuously-running stream pins one touched-buckets
+      // block set PER TRIGGER for the JVM's life (the r12 leak sweep)
+      checkpointed.foreach(graft.Tables.unpinCheckpoint)
     } finally deduped.unpersist()
     ()
   }
@@ -115,14 +119,15 @@ object UpsertSink {
       nBuckets: Int = 64): Unit = {
     import spark.implicits._
     val dataDir = s"$dir/data"
-    spark.read.parquet(dataDir)
+    val pinned = spark.read.parquet(dataDir)
       .repartition(nBuckets, $"bucket")
       .localCheckpoint(true)
-      .write
+    pinned.write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket")
       .parquet(dataDir)
+    graft.Tables.unpinCheckpoint(pinned) // the write was its last reader
   }
 
   /** EXPIRE old replay markers — the other maintenance half: every

@@ -858,6 +858,10 @@ class CurationSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
     assert(got.toSeq === Seq((21L, true)), s"stream gate: $got")
+    // an EMPTY batch carries no distribution evidence — never flagged
+    val none = Curation.classifierServeGated(
+      drifted.limit(0), model, profile).collect()
+    assert(none.isEmpty)
   }
 
   test("decontaminate_bloom: zero false negatives, low fp rate, exact parity with C12") {
@@ -1242,6 +1246,15 @@ class CurationSpec extends SparkSpec {
     assert(out(2L) === ((16L, 0L, 1L, 6L, false)), s"doc 2: ${out(2L)}")
     assert(out(1L) === ((112L, 0L, 0L, 12L, false)), s"doc 1: ${out(1L)}")
     assert(out(3L) === ((128L, 0L, 0L, 0L, true)), s"doc 3: ${out(3L)}")
+    // seqLen NOT a multiple of g (the review-found hole): the round-up
+    // bucket caps at seqLen so capacity stays >= 1 — no NULL slots, no
+    // oracle division-by-zero, crossing invariant intact, pad < g
+    val odd = Curation.packDocAware(
+        Seq((7L, words(70))).toDF("doc_id", "text"), seqLen = 100, g = 64)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getBoolean(6))).head
+    assert(odd === ((100L, 0L, 0L, 30L, false)),
+      s"non-divisible seqLen mishandled: $odd")
     // driver corpus: the three C63 invariants at scale
     val seqLen = 2048L
     val g = 64L
@@ -1325,6 +1338,16 @@ class CurationSpec extends SparkSpec {
     // the cut actually binds somewhere — otherwise the test is vacuous
     assert(out.count() < Tables.documents(spark, sf).count(),
       "no source's budget bound at this total")
+    // a stratum ABSENT from the budget frame takes defaultBudget (the
+    // review-found inner-join drop): zero-cost docs stay admitted
+    // under the default 0, costly ones do not
+    val counts = Seq((1L, "known", 3L), (2L, "ghost", 0L),
+      (3L, "ghost", 5L)).toDF("doc_id", "source", "n_tokens")
+    val onlyKnown = Seq(("known", 10L)).toDF("source", "budget")
+    val kept = Curation.mixSampleBudgetFrame(counts, "source", onlyKnown)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L),
+      s"absent-stratum default budget broken: $kept")
   }
 
   test("quality_rank_cut: keeps exactly the top floor(num*n/den) per source") {
