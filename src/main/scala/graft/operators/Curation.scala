@@ -2586,22 +2586,25 @@ object Curation {
         explode(TextAnalysis.tokens("text")).as("term"))
       .groupBy($"src", $"term").agg(count(lit(1)).as("c"))
       .localCheckpoint(true) // corpus totals + source totals + CE terms
+    // every pin releases in the finally below — early returns and
+    // mid-flight failures included (the r12 leak-sweep rule)
+    val pins = scala.collection.mutable.ArrayBuffer(tc)
+    try {
     val totals = tc.groupBy($"term").agg(sum($"c").as("ct"))
       .localCheckpoint(true)
+    pins += totals
     val vnRow = totals.agg(count(lit(1)), sum($"ct")).head()
     // detached from the pinned intermediates: the empty path must not
-    // reference blocks the unpin below releases
+    // reference blocks the finally releases
     val empty = spark.range(0).select(lit("").as("source"),
       lit(0L).as("n_docs"), lit(0L).as("n_tokens"),
       lit(0.0).as("ce_corpus"), lit(0.0).as("ce_self"),
       lit(0.0).as("excess"), lit(0.0).as("weight_old"),
       lit(0.0).as("weight_new"))
-    if (vnRow.isNullAt(1)) {
-      Seq(tc, totals).foreach(graft.Tables.unpinCheckpoint)
-      return empty
-    }
+    if (vnRow.isNullAt(1)) return empty
     val (v, n) = (vnRow.getLong(0), vnRow.getLong(1))
     val st = tc.groupBy($"src").agg(sum($"c").as("ns")).localCheckpoint(true)
+    pins += st
     val sCnt = st.count()
     val wOld = 1.0 / sCnt
     val agg = tc
@@ -2638,15 +2641,15 @@ object Curation {
           .as("weight_new"))
       .orderBy($"source")
     // detach the result (≤ #sources rows — bounded by construction,
-    // the centroid/vocab-collect class) as a local relation, THEN
-    // release the corpus-scale intermediates: without this every
-    // invocation (MixBoard re-runs it per regroup trigger) pins three
-    // vocabulary-scale block sets for the JVM's life — the pagerankOf
-    // leak class this changeset closes
+    // the centroid/vocab-collect class) as a local relation so the
+    // finally can release the corpus-scale intermediates: without
+    // this every invocation (MixBoard re-runs it per regroup trigger)
+    // pins three vocabulary-scale block sets for the JVM's life — the
+    // pagerankOf leak class this changeset closes
     val rows = out.collect().toSeq
-    Seq(tc, totals, st).foreach(graft.Tables.unpinCheckpoint)
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally pins.foreach(graft.Tables.unpinCheckpoint)
   }
 
   def mixReweightSql(eta: Double = 1.0): String =
@@ -3519,37 +3522,55 @@ object Curation {
     * rows), so a downstream sink can quarantine a drifted batch
     * without a second pass; the verdicts themselves are unchanged —
     * the gate OBSERVES, the threshold knob still decides. The flags
-    * are BATCH-LEVEL CONSTANTS, so the batch shape is two stateless
-    * serve passes — one 1-row stats action, one output projection
-    * with the verdicts stamped as literals: no pin, no join, nothing
-    * accumulates across triggers (a checkpoint-per-batch variant is
-    * the pagerankOf leak class — one pinned batch set per trigger,
-    * forever). For a live stream call this per micro-batch from
-    * foreachBatch (the B40/D9 shape — an aggregate cannot ride a
-    * stateless streaming projection). An EMPTY batch carries no
-    * distribution evidence and is never flagged. */
+    * are BATCH-LEVEL CONSTANTS stamped as literals, so the batch
+    * entry is two stateless serve passes (one 1-row stats action, one
+    * output projection) with no pin, no join — fine for one-shot
+    * batch audits; the STREAM twin scores once per trigger through a
+    * checkpoint released in a finally after the sink returns. Missing
+    * evidence never flags: an empty batch, a batch whose every score
+    * is NULL (all-NULL text), or a profile row with NULL stats (built
+    * over an empty corpus) reads as "nothing to compare" — flags stay
+    * false rather than killing a long-running query on an NPE. */
   def classifierServeGated(docs: DataFrame, model: Array[Double],
       profile: DataFrame, threshold: Double = 0.0,
-      stdTol: Double = 3.0, keepTol: Double = 0.15): DataFrame = {
+      stdTol: Double = 3.0, keepTol: Double = 0.15): DataFrame =
+    gateScored(classifierServe(docs, model, threshold),
+      profileRow(profile), stdTol, keepTol)
+
+  /** The profile's 1-row collapse — shared by the batch and stream
+    * entries; fails by name on an empty frame instead of head()'s
+    * opaque NoSuchElement (the C58 advice rule). */
+  private def profileRow(profile: DataFrame): org.apache.spark.sql.Row = {
+    val rows = profile
+      .select(col("ref_mean"), col("ref_std"), col("ref_keep_rate"))
+      .take(1)
+    require(rows.nonEmpty,
+      "classifier profile frame is empty — build it with " +
+        "classifierProfile over the training corpus")
+    rows.head
+  }
+
+  /** The gate core over an ALREADY-SCORED frame: one 1-row stats
+    * action + the literal-stamped output projection. Null-safe on
+    * both sides (see [[classifierServeGated]]'s evidence rule). */
+  private def gateScored(scored: DataFrame, p: org.apache.spark.sql.Row,
+      stdTol: Double, keepTol: Double): DataFrame = {
     require(stdTol >= 0 && keepTol >= 0,
       s"tolerances must be >= 0 (got stdTol=$stdTol, keepTol=$keepTol)")
-    val p = profile
-      .select(col("ref_mean"), col("ref_std"), col("ref_keep_rate"))
-      .head()
-    val scored = classifierServe(docs, model, threshold)
+    def d(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
     val s = scored.agg(count(lit(1)), avg(col("nb_z")),
       avg(col("keep").cast("double"))).head()
-    val nonEmpty = s.getLong(0) > 0
-    val batchMean = if (nonEmpty) s.getDouble(1) else 0.0
-    val batchKeep = if (nonEmpty) s.getDouble(2) else 0.0
-    val meanDrift = nonEmpty &&
-      math.abs(batchMean - p.getDouble(0)) >
-        stdTol * math.max(p.getDouble(1), 1e-9)
-    val keepDrift = nonEmpty &&
-      math.abs(batchKeep - p.getDouble(2)) > keepTol
+    val batchMean = if (s.getLong(0) > 0) d(s, 1) else None
+    val batchKeep = if (s.getLong(0) > 0) d(s, 2) else None
+    val meanDrift = (for (bm <- batchMean; rm <- d(p, 0); rs <- d(p, 1))
+      yield math.abs(bm - rm) > stdTol * math.max(rs, 1e-9))
+      .getOrElse(false)
+    val keepDrift = (for (bk <- batchKeep; rk <- d(p, 2))
+      yield math.abs(bk - rk) > keepTol).getOrElse(false)
     scored.select(col("doc_id"), col("nb_z"), col("keep"),
-      round(lit(batchMean), 6).as("batch_mean"),
-      round(lit(batchKeep), 6).as("batch_keep_rate"),
+      round(lit(batchMean.getOrElse(0.0)), 6).as("batch_mean"),
+      round(lit(batchKeep.getOrElse(0.0)), 6).as("batch_keep_rate"),
       lit(meanDrift).as("mean_drift"),
       lit(keepDrift).as("keep_drift"),
       lit(meanDrift || keepDrift).as("drift"))
@@ -3557,31 +3578,22 @@ object Curation {
 
   /** C60c's live twin: the gated serve applied per micro-batch (the
     * B40 foreachBatch shape), each batch's flagged rows handed to
-    * `sink` with its batch id. The profile collapses to one collected
-    * row per gated batch (3 doubles) — nothing pinned on the static
-    * side either. */
+    * `sink` with its batch id. The profile collapses to 3 collected
+    * doubles at attach time; each trigger scores ONCE into a
+    * checkpoint read by both the stats action and the sink, released
+    * in a finally once the sink returns — `sink` must therefore
+    * materialize synchronously (write/collect inside the call), which
+    * every foreachBatch sink in this repo does. */
   def classifierServeGatedStream(stream: DataFrame, model: Array[Double],
       profile: DataFrame, threshold: Double = 0.0, stdTol: Double = 3.0,
       keepTol: Double = 0.15)(sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    // collect the 1-row profile ONCE and replay it as a local relation
-    // per trigger — a pinned checkpoint here would outlive the query
-    val spark = profile.sparkSession
-    val pRow = profile
-      .select(col("ref_mean"), col("ref_std"), col("ref_keep_rate"))
-      .head()
-    val ref = spark.createDataFrame(
-      java.util.Arrays.asList(pRow),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("ref_mean",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("ref_std",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("ref_keep_rate",
-          org.apache.spark.sql.types.DoubleType))))
+    val pRow = profileRow(profile)
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      sink(classifierServeGated(batch, model, ref, threshold, stdTol,
-        keepTol), batchId)
+      val scored = classifierServe(batch, model, threshold)
+        .localCheckpoint(true)
+      try sink(gateScored(scored, pRow, stdTol, keepTol), batchId)
+      finally graft.Tables.unpinCheckpoint(scored)
     }
   }
 

@@ -270,10 +270,11 @@ object ContinuousRollup {
     // … by convention) distinct for debuggability.
     val batch = recomputed.unionByName(stale)
       .withColumn("__ver", lit(Long.MaxValue / 2 - repairId))
-    UpsertSink.applyBatch(batch, repairId, dir, "rollup_key", "__ver",
-      nBuckets)
-    // the apply (its writes are actions) was the pin's last reader
-    graft.Tables.unpinCheckpoint(recomputed)
+    // the apply (its writes are actions) is the pin's last reader —
+    // released in a finally so a failed repair does not leak it
+    try UpsertSink.applyBatch(batch, repairId, dir, "rollup_key",
+      "__ver", nBuckets)
+    finally graft.Tables.unpinCheckpoint(recomputed)
   }
 
   /** [[backfillSums]] for the FULL-STAT table ([[startStats]]'s hourly
@@ -323,10 +324,11 @@ object ContinuousRollup {
         $"stat_min", $"stat_max", $"sample_count", $"rollup_key")
     val batch = recomputed.unionByName(stale)
       .withColumn("__ver", lit(Long.MaxValue / 2 - repairId))
-    UpsertSink.applyBatch(batch, repairId, dir, "rollup_key", "__ver",
-      nBuckets)
-    // the apply (its writes are actions) was the pin's last reader
-    graft.Tables.unpinCheckpoint(recomputed)
+    // the apply (its writes are actions) is the pin's last reader —
+    // released in a finally so a failed repair does not leak it
+    try UpsertSink.applyBatch(batch, repairId, dir, "rollup_key",
+      "__ver", nBuckets)
+    finally graft.Tables.unpinCheckpoint(recomputed)
   }
 
   /** [[backfillSums]] for the HISTOGRAM table ([[startHist]]'s hourly
@@ -384,9 +386,10 @@ object ContinuousRollup {
       .select($"user_id", $"window_us", $"vbucket", $"cnt", $"rollup_key")
     val batch = recomputed.unionByName(stale)
       .withColumn("__ver", lit(Long.MaxValue / 2 - repairId))
-    UpsertSink.applyBatch(batch, repairId, dir, "rollup_key", "__ver",
-      nBuckets)
-    // the apply (its writes are actions) was the pin's last reader
-    graft.Tables.unpinCheckpoint(recomputed)
+    // the apply (its writes are actions) is the pin's last reader —
+    // released in a finally so a failed repair does not leak it
+    try UpsertSink.applyBatch(batch, repairId, dir, "rollup_key",
+      "__ver", nBuckets)
+    finally graft.Tables.unpinCheckpoint(recomputed)
   }
 }

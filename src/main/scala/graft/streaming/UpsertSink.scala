@@ -75,17 +75,20 @@ object UpsertSink {
             .localCheckpoint(true))
         } else None
       val merged = checkpointed.getOrElse(deduped)
-      merged.write
-        .mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic") // replace ONLY
-        .partitionBy("bucket")                       // touched buckets
-        .parquet(dataDir)
-      fs.mkdirs(marker.getParent)
-      fs.create(marker, true).close()
       // the write (an action) is the checkpoint's last reader: release
-      // it, or a continuously-running stream pins one touched-buckets
-      // block set PER TRIGGER for the JVM's life (the r12 leak sweep)
-      checkpointed.foreach(graft.Tables.unpinCheckpoint)
+      // it in a FINALLY — a failed write must not leak the pin either,
+      // or a continuously-running stream pins one touched-buckets
+      // block set PER (failed or successful) TRIGGER for the JVM's
+      // life (the r12 leak sweep)
+      try {
+        merged.write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic") // replace ONLY
+          .partitionBy("bucket")                       // touched buckets
+          .parquet(dataDir)
+        fs.mkdirs(marker.getParent)
+        fs.create(marker, true).close()
+      } finally checkpointed.foreach(graft.Tables.unpinCheckpoint)
     } finally deduped.unpersist()
     ()
   }
@@ -122,12 +125,12 @@ object UpsertSink {
     val pinned = spark.read.parquet(dataDir)
       .repartition(nBuckets, $"bucket")
       .localCheckpoint(true)
-    pinned.write
+    try pinned.write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket")
       .parquet(dataDir)
-    graft.Tables.unpinCheckpoint(pinned) // the write was its last reader
+    finally graft.Tables.unpinCheckpoint(pinned) // write = last reader
   }
 
   /** EXPIRE old replay markers — the other maintenance half: every

@@ -862,6 +862,26 @@ class CurationSpec extends SparkSpec {
     val none = Curation.classifierServeGated(
       drifted.limit(0), model, profile).collect()
     assert(none.isEmpty)
+    // MISSING evidence never kills the gate (the r12 review findings):
+    // a profile built over an EMPTY corpus carries NULL stats — served
+    // rows come through unflagged instead of NPE-ing the query...
+    val nullProfile = Curation.classifierProfile(docs.limit(0), model)
+    val viaNull = Curation.classifierServeGated(drifted, model,
+      nullProfile).collect()
+    assert(viaNull.length === 2 && viaNull.forall(!_.getBoolean(7)),
+      s"null-stat profile should flag nothing: ${viaNull.toSeq}")
+    // ...and an all-NULL-text batch (NULL scores, count > 0) likewise
+    val nullDocs = Seq((31L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val viaNullBatch = Curation.classifierServeGated(nullDocs, model,
+      profile).collect()
+    assert(viaNullBatch.length === 1 && !viaNullBatch.head.getBoolean(7),
+      s"null-score batch should flag nothing: ${viaNullBatch.toSeq}")
+    // an EMPTY profile frame fails by name, not NoSuchElement
+    val ep = intercept[IllegalArgumentException] {
+      Curation.classifierServeGated(drifted, model, profile.limit(0))
+    }
+    assert(ep.getMessage.contains("profile frame is empty"), ep.getMessage)
   }
 
   test("decontaminate_bloom: zero false negatives, low fp rate, exact parity with C12") {
