@@ -124,6 +124,8 @@ object SparkEntry {
       Similarity.knnGraph(s, d)),
     "knn_graph_ivf" -> ((s: SparkSession, d: String) =>
       Similarity.knnGraphIvf(s, d)),
+    "knn_graph_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.knnGraphRecall(s, d)),
     "knn_pagerank" -> ((s: SparkSession, d: String) =>
       Similarity.knnPagerank(s, d)),
     "knn_pagerank_ivf" -> ((s: SparkSession, d: String) =>

@@ -2919,6 +2919,39 @@ object Similarity {
       .orderBy($"vec_id", $"rank")
   }
 
+  // ---------------------------------------------------------------- D25c
+  /** GRAPH RECALL REPORT — the C54/D8 discipline ("retrieval quality
+    * as a driver-visible per-round NUMBER") applied to the edge
+    * substrate every IVF graph consumer now serves from (D25b edges →
+    * D26b clusters, D32b labels, D34c ranks): edge recall of the IVF
+    * graph against the exact graph, as a report row the driver records
+    * every round instead of a spec-time-only floor. Ground truth is
+    * guarded AUDIT work exactly like C54's baseline — [[knnGraph]]'s
+    * pair ceiling refuses at corpus scale, where the planted-recall
+    * specs remain the check and a deterministic audit SAMPLE feeds
+    * this same report shape. Both graphs come from the r12 edge-frame
+    * cache, so the report costs three counts over pinned frames.
+    * Rows-only (probe geometry is implementation-defined — D25b's
+    * reason). */
+  def knnGraphRecall(spark: SparkSession, sfDir: String, k: Int = AnnK,
+      nCells: Int = 0, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val exact = knnGraph(spark, sfDir, k) // owns the pair-ceiling guard
+      .select($"vec_id", $"neighbor_id")
+    val ivf = knnGraphIvf(spark, sfDir, k, nCells, nProbe)
+      .select($"vec_id", $"neighbor_id")
+    val baseline = exact.count()
+    val found = ivf.count()
+    val matched = ivf.join(exact, Seq("vec_id", "neighbor_id"),
+      "left_semi").count()
+    Seq(("ivf_graph", found, baseline, matched,
+        if (baseline == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(
+          math.rint(matched.toDouble / baseline * 1e6) / 1e6)))
+      .toDF("method", "found_edges", "baseline_edges", "matched",
+        "recall")
+  }
+
   val knnGraphSql: String =
     s"""SELECT vec_id, rank, neighbor_id, cos FROM (
        |  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,

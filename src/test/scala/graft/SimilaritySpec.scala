@@ -1148,6 +1148,24 @@ class SimilaritySpec extends SparkSpec {
     assert(census.toSeq === census2.toSeq, "ivf census not deterministic")
   }
 
+  test("knn graph recall report: driver-visible edge recall holds the D25b floor") {
+    val r = Similarity.knnGraphRecall(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getString(0) === "ivf_graph")
+    val (found, base, matched) =
+      (row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(matched <= math.min(found, base),
+      s"matched $matched exceeds found=$found/baseline=$base")
+    // the D25b spec-time floor, now a recorded number: same
+    // near-uniform-sphere caveat (hostile IVF geometry)
+    assert(!row.isNullAt(4) && row.getDouble(4) > 0.2,
+      s"edge recall ${row.getDouble(4)} under the D25b floor")
+    val again = Similarity.knnGraphRecall(spark, sf).collect().head
+    assert(again.getDouble(4) === row.getDouble(4),
+      "recall report not deterministic")
+  }
+
   test("label propagation: planted chains fill from one seed each, ties to smaller label, bounded rounds") {
     // two directed 3-chains + a bridge vertex hearing both sides
     val edges = Seq(
