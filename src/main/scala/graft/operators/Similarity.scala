@@ -2451,6 +2451,11 @@ object Similarity {
     * and the per-round work is one edge-keyed join + one (vec, label)
     * count + one argmax, all map-side-combinable. Rounds are bounded;
     * each is O(k·n) edge rows, never n². */
+  /** CALLER-RELEASE CONTRACT: the returned frame is a PINNED eager
+    * checkpoint (the final round). A long-lived caller must release it
+    * via `Tables.unpinCheckpoint` after materializing whatever it
+    * derives (the driver entries stage it into a [[servedArtifact]]
+    * and release in a finally — the r12 ADVICE leak class). */
   def labelPropagationOf(edges: DataFrame, init: DataFrame,
       maxIter: Int = 5): (DataFrame, Int) = {
     val spark = init.sparkSession
@@ -2503,11 +2508,25 @@ object Similarity {
     * source (the guard applies; knnGraphIvf plugs in at corpus scale).
     * Rows-only: the fixpoint is iterative (D26's reason). */
   def labelPropagation(spark: SparkSession, sfDir: String,
-      k: Int = AnnK, maxIter: Int = 5): DataFrame = {
+      k: Int = AnnK, maxIter: Int = 5): DataFrame =
+    cachedLabelProp(spark, sfDir, s"exact:$k:$maxIter",
+      knnGraph(spark, sfDir, k), maxIter)
+
+  /** Propagated labels over a corpus version are build output exactly
+    * like pagerank ranks — staged via [[servedArtifact]]; the fixpoint
+    * frame's pin is released in a finally once the artifact write has
+    * materialized it (the r12 ADVICE leak: the returned checkpoint
+    * previously had no releasing caller). */
+  private def cachedLabelProp(spark: SparkSession, sfDir: String,
+      variant: String, edges: => DataFrame, maxIter: Int): DataFrame = {
     import spark.implicits._
-    val (out, iters) = labelPropagationOf(
-      knnGraph(spark, sfDir, k), lpSeeds(spark, sfDir), maxIter)
-    out.withColumn("n_iters", lit(iters)).orderBy($"vec_id")
+    servedArtifact(spark, sfDir, "labelprop", variant) { (dir, stamp) =>
+      val (out, iters) = labelPropagationOf(edges,
+        lpSeeds(spark, sfDir), maxIter)
+      try writeKnnGraphIndex(out.withColumn("n_iters", lit(iters)),
+        dir, stamp, variant)
+      finally Tables.unpinCheckpoint(out)
+    }.orderBy($"vec_id")
   }
 
   /** The driver seeding both label-prop entries share: 10%-of-ids
@@ -2533,34 +2552,119 @@ object Similarity {
     * probe-geometry-defined). */
   def labelPropagationIvf(spark: SparkSession, sfDir: String,
       k: Int = AnnK, nCells: Int = 0, nProbe: Int = 4,
-      maxIter: Int = 5): DataFrame = {
-    import spark.implicits._
-    val (out, iters) = labelPropagationOf(
-      knnGraphIvf(spark, sfDir, k, nCells, nProbe),
-      lpSeeds(spark, sfDir), maxIter)
-    out.withColumn("n_iters", lit(iters)).orderBy($"vec_id")
+      maxIter: Int = 5): DataFrame =
+    cachedLabelProp(spark, sfDir, s"ivf:$k:$nCells:$nProbe:$maxIter",
+      knnGraphIvf(spark, sfDir, k, nCells, nProbe), maxIter)
+
+  /** Corpus kNN graphs — and the rank/label frames derived from them —
+    * are BUILD OUTPUT, and build output belongs ON DISK with the
+    * writeLshIndex / compactIvfIndex lifecycle (the r12 verdict's #1):
+    * the r12 session-local TrieMaps made every NEW session re-run the
+    * full IVF probe-and-rank, which at 100 TB is the dominant cost of
+    * serving D26b/D32b/D34c/D34b. Artifacts are staged per (family,
+    * corpus identity, build variant) under [[indexRoot]]: a `data/`
+    * parquet plus a 1-row `meta/` pinning the corpus STAMP and variant,
+    * so a re-opened artifact either provably matches the corpus on
+    * disk or fails BY NAME ([[readKnnGraphIndex]]). A fresh session
+    * re-opens instead of rebuilding; a corpus or param change lands in
+    * the same directory and overwrites (one artifact per variant —
+    * disk growth is bounded by the number of DISTINCT variants a
+    * deployment actually serves, stated here because variants are
+    * never auto-reaped). Readers are LAZY parquet scans — no pinned
+    * blocks anywhere in this layer (closing the r12 ADVICE items on
+    * non-atomic getOrElseUpdate pin races: losers now drop a lazy
+    * reader, not a checkpoint). */
+  private def indexRoot(spark: SparkSession): String =
+    spark.conf.get("spark.graft.indexDir",
+      s"${System.getProperty("java.io.tmpdir")}/graft-index")
+
+  /** Path-safe artifact directory for (corpus, variant): readable last
+    * path segment + a canonical-path digest (two spellings of one
+    * corpus dir must map to ONE artifact), variant with ':' flattened. */
+  private def artifactDir(spark: SparkSession, sfDir: String,
+      family: String, variant: String): String = {
+    val canon = Tables.canonicalPath(spark, sfDir)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val leaf = new org.apache.hadoop.fs.Path(sfDir).getName
+    s"${indexRoot(spark)}/$family/$leaf-${md.take(12)}/${variant.replace(':', '_')}"
   }
 
-  /** Corpus kNN graphs are BUILD OUTPUT (the D8 / ann_rerank cache
-    * rule extended to the edge substrate): clusters, label
-    * propagation, and PageRank all read the same edges, so the build
-    * runs once per (corpus version, build params) and the pinned
-    * frame serves every consumer — before this cache each D26b/D32b/
-    * D34c call re-ran the full IVF probe-and-rank. Eviction unpins
-    * superseded corpus versions (the Tables.unpinCheckpoint trade:
-    * a stale handle fails loudly rather than reading mixed
-    * versions). */
-  private val graphCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Long, String), DataFrame]
+  /** WRITE a graph-family index artifact: the frame staged as parquet
+    * plus a 1-row meta pinning the corpus stamp + build variant —
+    * the commit point a re-opening session validates against. The
+    * meta is written LAST so a crash mid-write leaves an artifact
+    * that fails the meta read (→ rebuild), never a torn data set
+    * under a valid meta. */
+  def writeKnnGraphIndex(frame: DataFrame, indexDir: String,
+      corpusStamp: Long, variant: String): Unit = {
+    val spark = frame.sparkSession
+    import spark.implicits._
+    frame.write.mode("overwrite").parquet(s"$indexDir/data")
+    Seq((corpusStamp, variant)).toDF("corpus_stamp", "variant")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
 
-  private def cachedGraph(spark: SparkSession, sfDir: String,
-      variant: String)(build: => DataFrame): DataFrame = {
+  /** RE-OPEN a staged graph artifact. Fails BY NAME when the artifact
+    * was built over a different corpus version (stamp) or different
+    * build params (variant) — serving mixed versions silently is the
+    * failure mode the meta exists to prevent. */
+  def readKnnGraphIndex(spark: SparkSession, indexDir: String,
+      corpusStamp: Long, variant: String): DataFrame = {
+    val m = spark.read.parquet(s"$indexDir/meta").head()
+    require(m.getLong(0) == corpusStamp && m.getString(1) == variant,
+      s"stale kNN graph index at $indexDir: built at corpus stamp " +
+        s"${m.getLong(0)} variant '${m.getString(1)}' but the corpus on " +
+        s"disk is stamp $corpusStamp variant '$variant' — rebuild the " +
+        "artifact (the corpus or the build params moved under it)")
+    spark.read.parquet(s"$indexDir/data")
+  }
+
+  /** Session handle map (dir identity, stamp, variant) → validated lazy
+    * reader — saves the per-call meta probe, nothing more; the DISK
+    * artifact is the real cache. Build counter is spec-visible proof
+    * that a fresh session serves without rebuilding. */
+  private val artifactCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, String), DataFrame]
+  private val buildLocks = scala.collection.concurrent.TrieMap
+    .empty[String, Object]
+  private[graft] val artifactBuilds =
+    new java.util.concurrent.atomic.AtomicLong(0)
+  /** Drop session handles (spec hook: simulates a fresh session —
+    * the next serve must come from the DISK artifact, not a rebuild). */
+  private[graft] def clearArtifactHandles(): Unit = artifactCache.clear()
+
+  /** Serve (family, corpus, variant) from its staged artifact,
+    * building only when the artifact is missing or stale. `build`
+    * receives (artifactDir, corpusStamp) and must stage via
+    * [[writeKnnGraphIndex]]; it runs under a per-directory lock so
+    * concurrent first calls build ONCE (the r12 ADVICE race). */
+  private def servedArtifact(spark: SparkSession, sfDir: String,
+      family: String, variant: String)
+      (build: (String, Long) => Unit): DataFrame = {
     val stamp = Tables.pathStamp(spark, s"$sfDir/embeddings.parquet")
-    graphCache.filterInPlace { case ((d, st, _), df) =>
-      d != sfDir || st == stamp || { Tables.unpinCheckpoint(df); false }
+    val key = (s"$family:$sfDir", stamp, variant)
+    artifactCache.filterInPlace { case ((d, st, _), _) =>
+      d != s"$family:$sfDir" || st == stamp
     }
-    graphCache.getOrElseUpdate((sfDir, stamp, variant),
-      build.localCheckpoint(true))
+    artifactCache.get(key).getOrElse {
+      val dir = artifactDir(spark, sfDir, family, variant)
+      val lock = { val o = new Object
+        buildLocks.putIfAbsent(dir, o).getOrElse(o) }
+      lock.synchronized {
+        val reader =
+          try readKnnGraphIndex(spark, dir, stamp, variant)
+          catch { case scala.util.control.NonFatal(_) =>
+            // missing (fresh deployment) or stale (corpus/params moved):
+            // rebuild in place — the direct readKnnGraphIndex path keeps
+            // the loud failure for callers who expect a live artifact
+            artifactBuilds.incrementAndGet()
+            build(dir, stamp)
+            readKnnGraphIndex(spark, dir, stamp, variant)
+          }
+        artifactCache.putIfAbsent(key, reader).getOrElse(reader)
+      }
+    }
   }
 
   def knnGraph(spark: SparkSession, sfDir: String, k: Int = AnnK): DataFrame = {
@@ -2570,8 +2674,11 @@ object Similarity {
     require(n == 0 || n <= BruteForceMaxPairs / n,
       s"brute self-kNN would score n²=$n² pairs (> $BruteForceMaxPairs); " +
         "use knnGraphIvf — the cell-bucketed scale path")
-    cachedGraph(spark, sfDir, s"exact:$k")(
-      knnGraphCore(Tables.embeddings(spark, sfDir), k))
+    servedArtifact(spark, sfDir, "knn", s"exact:$k") { (dir, stamp) =>
+      writeKnnGraphIndex(
+        knnGraphCore(Tables.embeddings(spark, sfDir), k),
+        dir, stamp, s"exact:$k")
+    }.orderBy(col("vec_id"), col("rank"))
   }
 
   /** The exact-graph kernel over an arbitrary (vec_id, embedding)
@@ -2645,33 +2752,27 @@ object Similarity {
       s"ivf:$k:$nCells:$nProbe:$damping:$maxIter:$tol",
       knnGraphIvf(spark, sfDir, k, nCells, nProbe), damping, maxIter, tol)
 
-  /** Centrality over a CORPUS VERSION is build output (the D8 /
-    * ann_rerank cache rule): compute once per (corpus stamp, params),
-    * serve the pinned frame afterwards. `variant` encodes the edge
-    * source and every iteration param; `edges` is by-name so a cache
-    * hit never builds the graph. */
-  private val pagerankCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Long, String), DataFrame]
-
+  /** Centrality over a CORPUS VERSION is build output: staged once per
+    * (corpus stamp, params) through the [[servedArtifact]] lifecycle —
+    * a fresh session re-opens the ranks from disk instead of re-running
+    * the iteration (and the graph build feeding it). `variant` encodes
+    * the edge source and every iteration param; `edges` is by-name so
+    * an artifact hit never builds the graph. The artifact write is the
+    * served projection's only materialization, after which the
+    * fixpoint frame's checkpoint is released in a finally — no pins
+    * survive the build. */
   private def cachedPagerank(spark: SparkSession, sfDir: String,
       variant: String, edges: => DataFrame, damping: Double,
       maxIter: Int, tol: Double): DataFrame = {
     import spark.implicits._
-    val stamp = Tables.pathStamp(spark, s"$sfDir/embeddings.parquet")
-    pagerankCache.filterInPlace { case ((d, st, _), df) =>
-      d != sfDir || st == stamp || { Tables.unpinCheckpoint(df); false }
-    }
-    pagerankCache.getOrElseUpdate((sfDir, stamp, variant), {
+    servedArtifact(spark, sfDir, "pagerank", variant) { (dir, stamp) =>
       val (pr, iters) = pagerankOf(edges, damping, maxIter, tol)
-      val out = pr.select($"id".as("vec_id"), round($"pr", 6).as("pagerank"),
-          lit(iters).as("n_iters"))
-        .orderBy($"pagerank".desc, $"vec_id")
-        .localCheckpoint(true)
-      // the served projection is its own pinned block set — release the
-      // final iteration frame it superseded
-      Tables.unpinCheckpoint(pr)
-      out
-    })
+      try writeKnnGraphIndex(
+        pr.select($"id".as("vec_id"), round($"pr", 6).as("pagerank"),
+          lit(iters).as("n_iters")),
+        dir, stamp, variant)
+      finally Tables.unpinCheckpoint(pr)
+    }.orderBy($"pagerank".desc, $"vec_id")
   }
 
   // ---------------------------------------------------------------- D34b
@@ -2874,8 +2975,12 @@ object Similarity {
       nCells: Int = 0, nProbe: Int = 4,
       maxTrain: Int = 100000): DataFrame = {
     require(nProbe >= 1, s"nProbe $nProbe must be positive")
-    cachedGraph(spark, sfDir, s"ivf:$k:$nCells:$nProbe:$maxTrain")(
-      knnGraphIvfBuild(spark, sfDir, k, nCells, nProbe, maxTrain))
+    val variant = s"ivf:$k:$nCells:$nProbe:$maxTrain"
+    servedArtifact(spark, sfDir, "knn", variant) { (dir, stamp) =>
+      writeKnnGraphIndex(
+        knnGraphIvfBuild(spark, sfDir, k, nCells, nProbe, maxTrain),
+        dir, stamp, variant)
+    }.orderBy(col("vec_id"), col("rank"))
   }
 
   private def knnGraphIvfBuild(spark: SparkSession, sfDir: String,
@@ -2929,10 +3034,10 @@ object Similarity {
     * guarded AUDIT work exactly like C54's baseline — [[knnGraph]]'s
     * pair ceiling refuses at corpus scale, where the planted-recall
     * specs remain the check and a deterministic audit SAMPLE feeds
-    * this same report shape. Both graphs come from the r12 edge-frame
-    * cache, so the report costs three counts over pinned frames.
-    * Rows-only (probe geometry is implementation-defined — D25b's
-    * reason). */
+    * this same report shape. Both graphs come from the staged
+    * artifact layer, so the report costs three counts over parquet
+    * scans. Rows-only (probe geometry is implementation-defined —
+    * D25b's reason). */
   def knnGraphRecall(spark: SparkSession, sfDir: String, k: Int = AnnK,
       nCells: Int = 0, nProbe: Int = 4): DataFrame = {
     import spark.implicits._

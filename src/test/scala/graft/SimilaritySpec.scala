@@ -1198,4 +1198,42 @@ class SimilaritySpec extends SparkSpec {
     assert(drv.count(r => !r.isNullAt(1)) > seeds.length,
       "propagation labeled nothing beyond the seeds")
   }
+
+  test("graph artifacts: a fresh session re-opens from disk without rebuilding") {
+    // warm every family once, then drop the session handles — the next
+    // serves must come from the staged artifacts, not a rebuild
+    val g1 = Similarity.knnGraphIvf(spark, sf, nProbe = 4).collect()
+    val p1 = Similarity.knnPagerankIvf(spark, sf).collect()
+    val l1 = Similarity.labelPropagationIvf(spark, sf).collect()
+    Similarity.clearArtifactHandles()
+    val builds0 = Similarity.artifactBuilds.get()
+    val g2 = Similarity.knnGraphIvf(spark, sf, nProbe = 4).collect()
+    val p2 = Similarity.knnPagerankIvf(spark, sf).collect()
+    val l2 = Similarity.labelPropagationIvf(spark, sf).collect()
+    assert(Similarity.artifactBuilds.get() === builds0,
+      "a fresh session rebuilt instead of re-opening the disk artifact")
+    assert(g1.toSeq === g2.toSeq, "graph drifted across sessions")
+    assert(p1.toSeq === p2.toSeq, "pagerank drifted across sessions")
+    assert(l1.toSeq === l2.toSeq, "labels drifted across sessions")
+  }
+
+  test("graph artifact meta: stamp or variant mismatch fails by name") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-knn-artifact").toString
+    val edges = Seq((1L, 1, 2L, 0.5)).toDF("vec_id", "rank", "neighbor_id", "cos")
+    Similarity.writeKnnGraphIndex(edges, dir, 42L, "exact:5")
+    // matching stamp + variant round-trips the data exactly
+    val back = Similarity.readKnnGraphIndex(spark, dir, 42L, "exact:5")
+    assert(back.collect().toSeq === edges.collect().toSeq)
+    val exStamp = intercept[IllegalArgumentException] {
+      Similarity.readKnnGraphIndex(spark, dir, 43L, "exact:5").collect()
+    }
+    assert(exStamp.getMessage.contains("stale kNN graph index"),
+      s"stamp mismatch must fail by name: ${exStamp.getMessage}")
+    val exVar = intercept[IllegalArgumentException] {
+      Similarity.readKnnGraphIndex(spark, dir, 42L, "exact:7").collect()
+    }
+    assert(exVar.getMessage.contains("stale kNN graph index"),
+      s"variant mismatch must fail by name: ${exVar.getMessage}")
+  }
 }
