@@ -234,6 +234,10 @@ object SparkEntry {
       TextAnalysis.unigramApply(s, d)),
     "bpe_apply" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bpeApply(s, d)),
+    "bpe_apply_indexed" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeApplyIndexed(s, d)),
+    "unigram_apply_indexed" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.unigramApplyIndexed(s, d)),
     "pack_bpe" -> ((s: SparkSession, d: String) =>
       Curation.packSequencesBpe(s, d)),
     "pack_unigram" -> ((s: SparkSession, d: String) =>
@@ -260,10 +264,14 @@ object SparkEntry {
       Curation.qualityClassifier(s, d)),
     "classifier_report" -> ((s: SparkSession, d: String) =>
       Curation.classifierReport(s, d)),
+    "classifier_threshold" -> ((s: SparkSession, d: String) =>
+      Curation.classifierThreshold(s, d)),
     "mix_reweight" -> ((s: SparkSession, d: String) =>
       Curation.mixReweight(s, d)),
     "mix_reweight_apply" -> ((s: SparkSession, d: String) =>
       Curation.mixReweightApply(s, d)),
+    "mix_reweight_iterate" -> ((s: SparkSession, d: String) =>
+      Curation.mixReweightIterate(s, d)),
     "mix_sample_unigram" -> ((s: SparkSession, d: String) =>
       Curation.mixSampleUnigramQuery(s, d)),
     "budget_select_unigram" -> ((s: SparkSession, d: String) =>
@@ -373,6 +381,10 @@ object SparkEntry {
     "text_entropy" -> (TextAnalysis.textEntropy _),
     "corpus_drift" -> (TextAnalysis.corpusDrift _),
     "langid_confusion" -> (TextAnalysis.langIdConfusion _),
+    "lang_classifier" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.langClassifier(s, d)),
+    "lang_classifier_report" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.langClassifierReport(s, d)),
     "quality_rank_cut" -> (Curation.qualityRankCutQuery _),
     "budget_select" -> (Curation.budgetSelectQuery _),
     "text_readability" -> (TextAnalysis.textReadability _),
@@ -538,6 +550,7 @@ object SparkEntry {
     "gopher_rules" -> Curation.gopherRulesSql(),
     "quality_classifier" -> Curation.qualityClassifierSql(),
     "classifier_report" -> Curation.classifierReportSql(),
+    "classifier_threshold" -> Curation.classifierThresholdSql(),
     "mix_reweight" -> Curation.mixReweightSql(),
     "mix_reweight_apply" -> Curation.mixReweightApplySql(),
     "pack_doc_aware" -> Curation.packDocAwareSql(),

@@ -118,7 +118,12 @@ object Curation {
     simhashMinRecall.foreach(r => require(r >= 0 && r <= 1,
       s"simhashMinRecall $r out of [0, 1]"))
     // a report without the expected method row must fail AS the gate,
-    // naming the missing row — not as an opaque head() NoSuchElement
+    // naming the missing row — not as an opaque head() NoSuchElement.
+    // A NULL recall passes VACUOUSLY (deliberate): C54 emits NULL only
+    // when the corpus has zero exact-Jaccard ground-truth pairs, i.e.
+    // there is nothing the near-dedup stage could under-delete — a
+    // fail-closed gate there would block every duplicate-free corpus
+    // on principle. A measured-but-low recall still refuses below.
     def gateOn(method: String, floor: Double): Unit = {
       val row = recallReport.filter(col("method") === method)
         .select(col("recall")).take(1)
@@ -2758,6 +2763,124 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
       .replace("%RW%", mixReweightSql(eta))
 
+  // ------------------------------------------------------------- C62d
+  /** ITERATED DOMAIN REWEIGHTING — C62 run to a FIXPOINT (the r12
+    * verdict's #4): DoReMi iterates reweight→resample until the
+    * mixture settles; C62 took exactly ONE exponentiated-gradient
+    * step. This is the bounded-rounds driver (the D32 pattern:
+    * hard cap + tolerance stop), with the resample step expressed
+    * DISTRIBUTIONALLY — instead of physically cutting the corpus per
+    * round, the reference LM each round is the weight-MIXTURE of the
+    * per-source add-1 unigram LMs, P_mix(term) = Σ_s w_s·p_s(term),
+    * so "resample to the new weights" = "re-mix the reference" (the
+    * same estimator move C62 states for the one-step version; the
+    * round-1 reference therefore differs from C62's POOLED-count LM —
+    * a uniform mixture of per-source LMs, not a pooled estimate —
+    * which is why the final round is NOT C62's SQL and the entry is
+    * rows-only: the iteration is also inherently recursive, outside
+    * one SQL query).
+    *
+    * Update rule per round: excess_s = CE(p̂_s ‖ P_mix) − CE(p̂_s ‖
+    * p_s) rounded to 6 decimals (the C62 handoff discipline), w' ∝
+    * w·exp(η·excess), normalized; stop when the L1 weight delta ≤
+    * `tol` or after `maxRounds`. The fixpoint is self-balancing: a
+    * distinctive source gains weight, the mixture drifts toward it,
+    * its excess falls — the iteration CONCENTRATES excess losses
+    * toward equality (the spec pins the spread shrinking on a planted
+    * skewed corpus).
+    *
+    * Scale shape: ONE tokenize pass to the pinned (src, term, count)
+    * frame (C62's); ce_self is round-invariant and computed once;
+    * each round is one broadcast join of the ≤#sources weight frame +
+    * one term-keyed exchange over the pinned counts + a ≤#sources
+    * collect. Emitted rows are rounds × sources — driver-bounded by
+    * construction; all pins release in the finally. */
+  def mixReweightIterate(spark: SparkSession, sfDir: String,
+      eta: Double = 1.0, maxRounds: Int = 5,
+      tol: Double = 1e-4): DataFrame =
+    mixReweightIterateOf(Tables.documents(spark, sfDir), "source",
+      eta, maxRounds, tol)
+
+  /** C62d over arbitrary docs — the spec entry. Output: one row per
+    * (round, source) for every round RUN, with the round's L1 delta
+    * stamped on each row (the stop evidence, driver-visible). */
+  def mixReweightIterateOf(docs: DataFrame, sourceCol: String,
+      eta: Double = 1.0, maxRounds: Int = 5,
+      tol: Double = 1e-4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(eta >= 0, s"eta $eta must be >= 0")
+    require(maxRounds >= 1 && tol >= 0,
+      s"bad iteration params rounds=$maxRounds tol=$tol")
+    val tc = docs.select(col(sourceCol).cast("string").as("src"),
+        explode(TextAnalysis.tokens("text")).as("term"))
+      .groupBy($"src", $"term").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // every round's mixture + CE read it
+    val pins = scala.collection.mutable.ArrayBuffer(tc)
+    try {
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, Double, Double, Double, Double)]
+      val schema = Seq.empty[(Int, String, Double, Double, Double, Double)]
+        .toDF("round", "source", "excess", "weight_old", "weight_new",
+          "l1_delta")
+      // vocab size + per-source token mass: ≤#sources + 1 driver rows
+      val v = tc.select($"term").distinct().count()
+      if (v == 0) return schema
+      val ns = tc.groupBy($"src").agg(sum($"c").as("ns"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val srcs = ns.keys.toSeq.sorted
+      // ce_self is round-invariant (source-local LM never moves):
+      // C62's xs sum, once — quantized per term before the order-free
+      // sum (the determinism discipline, no oracle here but one rule)
+      val nsDf = broadcast(ns.toSeq.toDF("src", "ns"))
+      val ceSelf = tc.join(nsDf, Seq("src"))
+        .select($"src",
+          (-$"c" * log(($"c" + 1L).cast("double") /
+            ($"ns" + v).cast("double"))).cast("decimal(28,12)").as("xs"))
+        .groupBy($"src").agg(sum($"xs").as("ss"))
+        .collect().map(r => r.getString(0) ->
+          r.getDecimal(1).doubleValue()).toMap
+      var w = srcs.map(s => s -> 1.0 / srcs.length).toMap
+      var round = 0
+      var delta = Double.MaxValue
+      while (round < maxRounds && delta > tol) {
+        // P_mix(term) = Σ_s w_s·(c_s+1)/(ns_s+v) decomposed into the
+        // sparse part (rows that exist) + the constant smoothing base
+        val base = srcs.map(s => w(s) / (ns(s) + v)).sum
+        val wDf = broadcast(w.toSeq.toDF("src", "w"))
+        val mix = tc.join(wDf, Seq("src")).join(nsDf, Seq("src"))
+          // per-source contributions ∈ (0,1] quantize before the
+          // order-free sum so the mixture is run-deterministic
+          .select($"term", ($"w" * $"c" / ($"ns" + v))
+            .cast("decimal(38,30)").as("m"))
+          .groupBy($"term").agg(sum($"m").cast("double").as("mp"))
+        val ceMix = tc.join(mix, Seq("term")).join(nsDf, Seq("src"))
+          .select($"src",
+            (-$"c" * log($"mp" + base)).cast("decimal(28,12)").as("xm"))
+          .groupBy($"src").agg(sum($"xm").as("sm"))
+          .collect().map(r => r.getString(0) ->
+            r.getDecimal(1).doubleValue()).toMap
+        val excess = srcs.map { s =>
+          s -> math.rint((ceMix(s) / ns(s) - ceSelf(s) / ns(s)) * 1e6) / 1e6
+        }.toMap
+        val unnorm = srcs.map(s => s -> w(s) * math.exp(eta * excess(s)))
+        val total = unnorm.map(_._2).sum
+        val next = unnorm.map { case (s, u) => s -> u / total }.toMap
+        delta = srcs.map(s => math.abs(next(s) - w(s))).sum
+        round += 1
+        srcs.foreach { s =>
+          out += ((round, s, excess(s),
+            math.rint(w(s) * 1e6) / 1e6, math.rint(next(s) * 1e6) / 1e6,
+            math.rint(delta * 1e6) / 1e6))
+        }
+        w = next
+      }
+      out.toSeq.toDF("round", "source", "excess", "weight_old",
+        "weight_new", "l1_delta")
+        .orderBy($"round", $"source")
+    } finally pins.foreach(graft.Tables.unpinCheckpoint)
+  }
+
   // ------------------------------------------------------------- C39
   /** STREAMING DSIR admission — C37's live twin, the ingest-time
     * "does this look like the target domain?" gate (the shape C29's
@@ -3391,9 +3514,33 @@ object Curation {
   }
 
   /** C60 over arbitrary docs + labels (doc_id, is_pos) — the spec
-    * entry; docs absent from `labels` are scored but not trained on. */
+    * entry; docs absent from `labels` are scored but not trained on.
+    *
+    * Pin discipline (the r12 ADVICE class): the doc×bucket feature
+    * frame is pinned (class counts + the scoring join both read it)
+    * but released in a `finally` once the served projection is
+    * MATERIALIZED — its own eager checkpoint, lineage-independent of
+    * the feature pass. Bucket class counts are collected instead of
+    * checkpointed (≤ nBuckets rows — driver-bounded by construction),
+    * so the only storage that outlives the call is the one doc-sized
+    * result frame the caller holds; callers that aggregate it further
+    * (C61's report) release even that via Tables.unpinCheckpoint. */
   def qualityClassifierOf(docs: DataFrame, labels: DataFrame,
       nBuckets: Int = 4096, threshold: Double = 0.0): DataFrame = {
+    val (out, nf) = qualityClassifierLazy(docs, labels, nBuckets, threshold)
+    // materialized HERE so the nf pin can release — the returned frame
+    // reads only its own checkpoint blocks
+    try out.localCheckpoint(true)
+    finally nf.foreach(Tables.unpinCheckpoint)
+  }
+
+  /** The LAZY scoring plan + the feature pin backing it — the internal
+    * seam the plan gate inspects (the public entry materializes and
+    * detaches, hiding the join shape behind an RDD scan). Callers must
+    * materialize the frame, then release the pin. */
+  private[graft] def qualityClassifierLazy(docs: DataFrame,
+      labels: DataFrame, nBuckets: Int,
+      threshold: Double): (DataFrame, Option[DataFrame]) = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(nBuckets >= 2 && (nBuckets & (nBuckets - 1)) == 0,
@@ -3407,33 +3554,41 @@ object Curation {
       .groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).as("nf"))
       .localCheckpoint(true) // class counts + scoring join both read it
-    val counts = nf
-      .join(labels.select(col("doc_id"), col("is_pos")), Seq("doc_id"))
-      .groupBy($"b")
-      .agg(sum(when($"is_pos", $"nf").otherwise(0L)).as("pc"),
-        sum(when(!$"is_pos", $"nf").otherwise(0L)).as("nc"))
-      .localCheckpoint(true) // ≤ nBuckets rows; totals probe + weights
-    val t = counts.agg(sum($"pc"), sum($"nc")).head()
-    if (t.isNullAt(0))
-      return docs.select(col("doc_id"), col("source"),
-        lit(0.0).as("nb_z"), lit(false).as("keep"))
-    val (pt, nt) = (t.getLong(0), t.getLong(1))
-    // smoothed floor for features absent from the labeled set
+    val counts =
+      try nf
+        .join(labels.select(col("doc_id"), col("is_pos")), Seq("doc_id"))
+        .groupBy($"b")
+        .agg(sum(when($"is_pos", $"nf").otherwise(0L)).as("pc"),
+          sum(when(!$"is_pos", $"nf").otherwise(0L)).as("nc"))
+        .collect() // ≤ nBuckets rows — driver-bounded by construction
+      catch { case t: Throwable => Tables.unpinCheckpoint(nf); throw t }
+    if (counts.isEmpty) {
+      // the zero frame reads only `docs` — no pin to hand back
+      Tables.unpinCheckpoint(nf)
+      return (docs.select(col("doc_id"), col("source"),
+        lit(0.0).as("nb_z"), lit(false).as("keep")), None)
+    }
+    val pt = counts.map(_.getLong(1)).sum
+    val nt = counts.map(_.getLong(2)).sum
+    // smoothed floor for features absent from the labeled set;
+    // driver-side math.log == executor-side log() (both Math.log),
+    // so weights are bit-identical to the former distributed form
     val w0 = math.log((nt + nBuckets).toDouble / (pt + nBuckets).toDouble)
-    val w = counts.select($"b",
-      (log(($"pc" + 1L).cast("double") / lit((pt + nBuckets).toDouble)) -
-        log(($"nc" + 1L).cast("double") / lit((nt + nBuckets).toDouble)))
-        .as("w"))
+    val w = counts.toSeq.map { r =>
+      (r.getLong(0),
+        math.log((r.getLong(1) + 1).toDouble / (pt + nBuckets)) -
+          math.log((r.getLong(2) + 1).toDouble / (nt + nBuckets)))
+    }.toDF("b", "w")
     val z = nf.join(broadcast(w), Seq("b"), "left")
       .groupBy($"doc_id")
       .agg(sum(($"nf" * coalesce($"w", lit(w0))).cast("decimal(28,12)"))
         .cast("double").as("z"))
-    docs.select(col("doc_id"), col("source"))
+    (docs.select(col("doc_id"), col("source"))
       .join(z, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
         round(coalesce(col("z"), lit(0.0)), 6).as("nb_z"),
         (coalesce(col("z"), lit(0.0)) > threshold).as("keep"))
-      .orderBy(col("doc_id"))
+      .orderBy(col("doc_id")), Some(nf))
   }
 
   // ------------------------------------------------------------- C60b
@@ -3659,6 +3814,8 @@ object Curation {
       |  SELECT doc_id,
       |    CAST(SUM(CAST(nf * w AS DECIMAL(28,12))) AS DOUBLE) AS z
       |  FROM nf JOIN w USING (b) GROUP BY doc_id)
+      |-- inner join is LOSSLESS here (unlike C61): every doc carries a
+      |-- label, so every nf bucket appears in c and hence in w
       |SELECT d.doc_id, d.source, ROUND(COALESCE(s.z, 0.0), 6) AS nb_z,
       |  COALESCE(s.z, 0.0) > __THR__ AS keep
       |FROM documents d LEFT JOIN s USING (doc_id)
@@ -3713,6 +3870,22 @@ object Curation {
       split: DataFrame, nBuckets: Int = 4096,
       thresholds: Seq[Double] = ReportThresholds): DataFrame = {
     val spark = docs.sparkSession
+    // the report collapses the pinned score frame to ≤|grid| rows, so
+    // collect it and release the corpus-sized score pin before
+    // returning — a classifierReport call leaves ZERO pins behind
+    val (rep, scored) = classifierReportLazy(docs, truth, split,
+      nBuckets, thresholds)
+    try spark.createDataFrame(rep.collectAsList(), rep.schema)
+    finally Tables.unpinCheckpoint(scored)
+  }
+
+  /** The LAZY report plan + the pinned score frame backing it — the
+    * internal seam the plan gate inspects (the public entry collects
+    * the tiny report into a local relation). */
+  private[graft] def classifierReportLazy(docs: DataFrame,
+      truth: DataFrame, split: DataFrame, nBuckets: Int,
+      thresholds: Seq[Double]): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
     import spark.implicits._
     require(thresholds.nonEmpty, "need at least one threshold")
     // train on the train split ONLY — scoring the heldout docs with
@@ -3728,7 +3901,7 @@ object Curation {
       .join(truth.select(col("doc_id"), col("is_pos")), Seq("doc_id"))
     val grid = thresholds.toDF("threshold")
     val kept = col("nb_z") > col("threshold")
-    held.crossJoin(broadcast(grid))
+    val rep = held.crossJoin(broadcast(grid))
       .groupBy(col("threshold"))
       .agg(count(lit(1)).as("n_heldout"),
         sum(when(kept && col("is_pos"), 1L).otherwise(0L)).as("tp"),
@@ -3745,11 +3918,17 @@ object Curation {
           nullif(lit(2L) * col("tp") + col("fp") + col("fn"), lit(0L)), 6)
           .as("f1"))
       .orderBy(col("threshold"))
+    (rep, scored)
   }
 
   /** C61's composition oracle: C31's split CTE + C50's labels + the
     * shared C60 chain with class counts restricted to the train
-    * split, then the grid rollup. */
+    * split, then the grid rollup. Because `c` sees ONLY train-split
+    * counts, a heldout doc can carry buckets absent from `w` — the
+    * scorer must LEFT JOIN and floor unseen buckets at
+    * w0 = ln((nt+B)/(pt+B)), mirroring the Scala path exactly (an
+    * inner join would silently drop train-unseen vocabulary and skew
+    * every tp/fp/fn cell whenever pt != nt). */
   def classifierReportSql(nBuckets: Int = 4096,
       thresholds: Seq[Double] = ReportThresholds,
       valFrac: Double = 0.05, testFrac: Double = 0.05,
@@ -3785,10 +3964,13 @@ object Curation {
        |    ln(CAST(pc + 1 AS DOUBLE) / CAST(pt + __B__ AS DOUBLE)) -
        |    ln(CAST(nc + 1 AS DOUBLE) / CAST(nt + __B__ AS DOUBLE)) AS w
        |  FROM c, tt),
+       |w0 AS (SELECT ln(CAST(nt + __B__ AS DOUBLE)
+       |    / CAST(pt + __B__ AS DOUBLE)) AS w0 FROM tt),
        |s AS (
        |  SELECT doc_id,
-       |    CAST(SUM(CAST(nf * w AS DECIMAL(28,12))) AS DOUBLE) AS z
-       |  FROM nf JOIN w USING (b) GROUP BY doc_id),
+       |    CAST(SUM(CAST(nf * COALESCE(w.w, w0.w0)
+       |      AS DECIMAL(28,12))) AS DOUBLE) AS z
+       |  FROM nf LEFT JOIN w USING (b) CROSS JOIN w0 GROUP BY doc_id),
        |held AS (
        |  SELECT d.doc_id, g.passed AS is_pos,
        |    ROUND(COALESCE(s.z, 0.0), 6) AS nb_z
@@ -3816,6 +3998,76 @@ object Curation {
       .replace("%GOPHER%", gopherRulesSql())
       .replace("__B__", nBuckets.toString)
   }
+
+  // ------------------------------------------------------------- C64
+  /** OPERATING-POINT SELECTION over the C61 curve — the round-13 ask:
+    * C61 emits the seven-point operating grid, but the serving tier
+    * (C60b dense gather, C60c drift gate) still took a HAND-PICKED
+    * threshold constant; this closes the loop by DERIVING the
+    * operating point from the measured curve, so "retrain → remeasure
+    * → rethreshold" is one artifact chain with no human constant in
+    * the middle. Two modes:
+    *  - max-F1 (default, the driver row): the grid row with the
+    *    highest held-out F1, ties to the SMALLER threshold (keep more
+    *    at equal F1) and NULL F1s last — an argmax over an
+    *    already-tiny frame, fully SQL-expressible, oracle-checked.
+    *  - precision-target: the SMALLEST threshold whose held-out
+    *    precision clears `target` — recall is monotone non-increasing
+    *    in the threshold, so the smallest qualifying threshold is the
+    *    max-recall point at that precision bar; EMPTY when no grid
+    *    point qualifies (the caller decides whether to widen the grid
+    *    or refuse to serve — a silent fallback would ship a gate that
+    *    misses its contract).
+    * Scale: input is the |grid|-row report; selection is driver-cheap
+    * by construction. */
+  def classifierThreshold(spark: SparkSession, sfDir: String,
+      nBuckets: Int = 4096,
+      thresholds: Seq[Double] = ReportThresholds,
+      valFrac: Double = 0.05, testFrac: Double = 0.05,
+      seed: Long = 11L): DataFrame =
+    classifierThresholdOf(classifierReport(spark, sfDir, nBuckets,
+      thresholds, valFrac, testFrac, seed))
+
+  /** C64 over any C61-shaped report frame — the spec entry. */
+  def classifierThresholdOf(report: DataFrame,
+      precisionTarget: Option[Double] = None): DataFrame =
+    precisionTarget match {
+      case None =>
+        report.orderBy(desc_nulls_last("f1"), col("threshold")).limit(1)
+      case Some(p) =>
+        require(p >= 0 && p <= 1, s"precision target $p out of [0, 1]")
+        report.filter(col("precision").isNotNull && col("precision") >= p)
+          .orderBy(col("threshold")).limit(1)
+    }
+
+  /** The chosen point as the SCALAR the serving tier consumes
+    * ([[classifierServe]] / [[classifierServeGated]] `threshold`
+    * argument) — fails by name when no point qualifies rather than
+    * serving a default the curve never certified. */
+  def chosenThreshold(report: DataFrame,
+      precisionTarget: Option[Double] = None): Double = {
+    val rows = classifierThresholdOf(report, precisionTarget)
+      .select(col("threshold")).take(1)
+    require(rows.nonEmpty,
+      "classifier threshold selection: no operating point qualifies " +
+        "(empty report, or no grid row meets the precision target) — " +
+        "widen the threshold grid or lower the target")
+    rows.head.getDouble(0)
+  }
+
+  /** C64's oracle: the C61 curve wrapped in the argmax (DESC NULLS
+    * LAST + threshold tiebreak — both engines sort the same rounded
+    * doubles). */
+  def classifierThresholdSql(nBuckets: Int = 4096,
+      thresholds: Seq[Double] = ReportThresholds,
+      valFrac: Double = 0.05, testFrac: Double = 0.05,
+      seed: Long = 11L): String =
+    // splice AFTER stripMargin (the member-SQL rule)
+    """SELECT * FROM (%REPORT%)
+      |ORDER BY f1 DESC NULLS LAST, threshold LIMIT 1"""
+      .stripMargin
+      .replace("%REPORT%",
+        classifierReportSql(nBuckets, thresholds, valFrac, testFrac, seed))
 
   def gopherRulesSql(minWords: Long = 50L, maxWords: Long = 100000L,
       minWordLen: Double = 3.0, maxWordLen: Double = 10.0,

@@ -406,7 +406,8 @@ object Dedup {
     * exact dedup upstream). */
   def minhashPairsIndexed(spark: SparkSession, indexDir: String,
       newDocs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5, maxBucket: Int = MaxBucketAllPairs): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = MaxBucketAllPairs,
+      excludeBatches: Seq[String] = Nil): DataFrame = {
     val (shingleSize, numHashes, bands) = indexMeta(spark, indexDir)
     // The fresh batch is tokenized + shingled ONCE and PINNED (eager
     // localCheckpoint): the prefilter build below, the banding, and
@@ -448,8 +449,17 @@ object Dedup {
     // and the shingle side below is semi-joined on ids drawn from this
     // already-filtered scan, so a deleted doc can neither pair nor be
     // verified against.
+    // `excludeBatches` is the ingest REPLAY FENCE (lshIngestStream): a
+    // replayed trigger must not probe partitions its own crashed
+    // attempt appended — a doc probing an index that contains ITSELF
+    // reads as a near-dup and flips the admit decision on replay.
+    // Filtering bands alone suffices: the shingle side below is
+    // semi-joined on ids drawn from this scan.
+    val idxScan0 = spark.read.parquet(s"$indexDir/bands")
+    val idxScan = if (excludeBatches.isEmpty) idxScan0
+      else idxScan0.filter(!col("batch").isin(excludeBatches: _*))
     val idxBanded = Tombstones.applyTo(
-      spark.read.parquet(s"$indexDir/bands")
+      idxScan
         .filter(graft.functions.BloomFunctions.mightContain(
           xxhash64(col("band"), col("bucket")), bf)),
       spark, indexDir)
@@ -503,6 +513,90 @@ object Dedup {
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch").parquet(s"$indexDir/shingles")
     } finally shingled.unpersist(false)
+  }
+
+  // ---------------------------------------------------------------- C65
+  /** STREAMING INGEST INTO THE PERSISTED INDEX — the r12 verdict's #3:
+    * C11's near-dup admission kept its signatures in stream state
+    * only, so ingest-time decisions and the weekly sweep's staged
+    * index could drift apart (a doc C11 admitted was invisible to the
+    * next [[minhashPairsIndexed]] sweep until someone rebuilt). This
+    * twin closes the loop: each micro-batch PROBES the staged index
+    * (corpus + every previously-ingested batch), admits what nothing
+    * already covers, and FOLDS the admitted docs back in through
+    * [[appendToLshIndex]] — so the index is at all times exactly
+    * "base corpus + everything ingest admitted", and the weekly sweep
+    * and the live gate read one truth.
+    *
+    * EXACTLY-ONCE under replay, by two fences: (1) appends are
+    * idempotent per batch id (each batch owns its `batch=ingest-N`
+    * partitions; a replayed write REPLACES them), and (2) the probe
+    * EXCLUDES the current batch's own partitions (`excludeBatches`),
+    * so a doc appended by a crashed attempt cannot pair with itself
+    * and flip its own admit decision on the re-run. Decisions are
+    * therefore a pure function of (index-before-this-batch, batch
+    * content) — replaying any suffix of history converges to the
+    * same staged state as a single clean run (the spec pins this).
+    *
+    * Admission is deterministic keep-first: a fresh doc drops iff it
+    * verified-pairs with a CORPUS doc or with a SMALLER fresh id —
+    * on a fresh chain A≈B≈C the representative A survives (same
+    * collapse direction as C38's keep-best with id as the quality
+    * key). Scale: the probe is the C10 sweep (Bloom-pruned bands,
+    * batch-sized fresh side); the append writes batch-sized
+    * partitions; nothing scans the full corpus per trigger. */
+  def lshIngestStream(docs: DataFrame, indexDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.5)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      lshIngestBatch(batch, batchId, indexDir, idCol, textCol,
+        threshold, sink)
+    }
+
+  /** The per-trigger body — public so a replay test (or a manual
+    * backfill) can re-run one batch and observe convergence. `sink`
+    * receives the ADMITTED slice and must materialize synchronously
+    * (the repo's foreachBatch contract). */
+  def lshIngestBatch(batch: DataFrame, batchId: Long, indexDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.5,
+      sink: (DataFrame, Long) => Unit = (_, _) => ()): Unit = {
+    val spark = batch.sparkSession
+    val bid = s"ingest-$batchId"
+    // pin the batch: the probe, the flag joins, and the admit anti-join
+    // all read it, and a nondeterministic source must not probe with
+    // one batch and append another (the minhashPairsIndexed anchor
+    // rule, applied at this layer's boundary)
+    val b = batch.localCheckpoint(true)
+    try {
+      // empty trigger: nothing to probe or append (and the probe's
+      // Bloom build NPEs on an empty frame — the B23 guard rule)
+      if (b.isEmpty) { sink(b, batchId); return }
+      val pairs = minhashPairsIndexed(spark, indexDir, b, idCol, textCol,
+        threshold, excludeBatches = Seq(bid))
+      val ids = b.select(col(idCol).as("__fid")).distinct()
+      // pairs carry id1 < id2 with ≥1 fresh member by construction;
+      // drop the fresh-vs-corpus doc, or the larger of a fresh pair
+      val flagged = pairs
+        .join(ids.select(col("__fid").as("id1"), lit(true).as("f1")),
+          Seq("id1"), "left")
+        .join(ids.select(col("__fid").as("id2"), lit(true).as("f2")),
+          Seq("id2"), "left")
+      val drops = flagged.select(
+        when(coalesce(col("f1"), lit(false)) &&
+            !coalesce(col("f2"), lit(false)), col("id1"))
+          .otherwise(col("id2")).as("__drop")).distinct()
+      val admitted = b.join(drops, b(idCol) === drops("__drop"),
+          "left_anti")
+        .localCheckpoint(true) // decisions FROZEN before the index moves
+      try {
+        appendToLshIndex(admitted, idCol, textCol, indexDir, bid)
+        sink(admitted, batchId)
+      } finally graft.Tables.unpinCheckpoint(admitted)
+      // the probe's tracked batch pins are dead once pairs was consumed
+      releaseSweepPins()
+    } finally graft.Tables.unpinCheckpoint(b)
   }
 
   /** Record DELETIONS against a staged LSH index (takedowns,

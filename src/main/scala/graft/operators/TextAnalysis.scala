@@ -153,6 +153,130 @@ object TextAnalysis {
       .orderBy($"lang", $"predicted")
   }
 
+  // ---------------------------------------------------------------- E35
+  /** TRAINED LANGUAGE ID — the C60 hashed-NB kernel retargeted at
+    * `lang` labels (the r12 verdict's #5: E3's char-heuristic was the
+    * weakest filter in the curation chain, and E19 was already
+    * MEASURING it — this upgrades the estimator with near-zero new
+    * machinery). Multi-class naive Bayes over the SAME hashed-bigram
+    * features C60 uses: per-language dense weight vectors w_l[b] =
+    * ln((c_{l,b}+1)/(tot_l+B)) plus a ln-prior from train doc counts,
+    * served as |langs| dense gathers (the C60b codegen shape — no
+    * join, no shuffle, stateless) with argmax decided by first-max
+    * array position (ties to the alphabetically smaller language —
+    * deterministic). Training is one corpus feature pass + a
+    * ≤ |langs|·nBuckets collect (driver-bounded by construction).
+    *
+    * FALLBACK, not replacement: a doc with NO bigram evidence
+    * (< 2 tokens) would read as pure prior under NB — those route
+    * through E3's character heuristic instead, so the trained tier
+    * never forces a prior-only guess. For an UNLABELED corpus (where
+    * language ID actually matters), train on any labeled slice and
+    * serve everything — the model ships as plain arrays, session-free.
+    * Rows-only (hashed features + learned weights are
+    * engine-specific); the E35 spec pins held-out accuracy ABOVE the
+    * heuristic's measured number, and the report entry records the
+    * held-out confusion per round (the E19 discipline). */
+  case class LangModel(langs: Array[String], nBuckets: Int,
+      weights: Array[Array[Double]], logPrior: Array[Double])
+
+  /** Train on (doc_id, lang) labels; docs absent from `labels` are
+    * not trained on. */
+  def langClassifierModel(docs: DataFrame, labels: DataFrame,
+      nBuckets: Int = 4096): LangModel = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(nBuckets >= 2 && (nBuckets & (nBuckets - 1)) == 0,
+      s"nBuckets $nBuckets must be a power of two")
+    val nf = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.bigramBuckets(
+          tokens("text"), nBuckets)).as("b"))
+      .join(labels.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy($"lang", $"b").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val docCounts = labels.groupBy($"lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langs = docCounts.keys.toArray.sorted
+    require(langs.nonEmpty, "no labeled languages to train on")
+    val totalDocs = docCounts.values.sum.toDouble
+    val byLang = nf.groupBy(_._1)
+    val weights = langs.map { l =>
+      val rows = byLang.getOrElse(l, Array.empty)
+      val tot = rows.map(_._3).sum
+      val w = Array.fill(nBuckets)(
+        math.log(1.0 / (tot + nBuckets))) // unseen-bucket floor
+      rows.foreach { case (_, b, c) =>
+        w(b.toInt) = math.log((c + 1).toDouble / (tot + nBuckets)) }
+      w
+    }
+    val prior = langs.map(l => math.log(docCounts(l) / totalDocs))
+    LangModel(langs, nBuckets, weights, prior)
+  }
+
+  /** Serve: docs → (doc_id, lang_pred, used_fallback). Stateless —
+    * attaches to a stream unchanged (the C60b property). */
+  def langClassifierServe(docs: DataFrame, model: LangModel): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bs = graft.functions.TextFunctions.bigramBuckets(
+      tokens("text"), model.nBuckets)
+    val zCols = model.langs.indices.map(i =>
+      (graft.functions.ClassifierFunctions.bucketScoreSum(
+        $"__bs", model.weights(i)) + model.logPrior(i)).as(s"__z$i"))
+    val langsArr = array(model.langs.map(lit(_)).toIndexedSeq: _*)
+    docs.withColumn("__bs", bs)
+      .select(col("*") +: zCols: _*)
+      .withColumn("__zs", array(model.langs.indices
+        .map(i => col(s"__z$i")).toIndexedSeq: _*))
+      .select($"doc_id",
+        // first-max position = alphabetically smaller lang on ties;
+        // evidence-free docs fall back to the E3 heuristic
+        when(size($"__bs") < 1,
+          graft.functions.TextFunctions.langId(col("text")))
+          .otherwise(element_at(langsArr,
+            array_position($"__zs", array_max($"__zs")).cast("int")))
+          .as("lang_pred"),
+        (size($"__bs") < 1).as("used_fallback"))
+  }
+
+  /** Driver entry: train on C31's train split, serve EVERYTHING,
+    * emit the truth label + split alongside for the report/specs. */
+  def langClassifier(spark: SparkSession, sfDir: String,
+      nBuckets: Int = 4096, valFrac: Double = 0.05,
+      testFrac: Double = 0.05, seed: Long = 11L): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val split = Curation.splitAssign(docs, valFrac, testFrac, seed)
+      .select($"doc_id", $"split")
+    val model = langClassifierModel(docs,
+      docs.select($"doc_id", $"lang")
+        .join(split.filter($"split" === "train").select("doc_id"),
+          Seq("doc_id")), nBuckets)
+    langClassifierServe(docs, model)
+      .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+      .join(split, Seq("doc_id"))
+      .select($"doc_id", $"lang", $"lang_pred", $"used_fallback", $"split")
+      .orderBy($"doc_id")
+  }
+
+  /** E35's held-out confusion in E19's frame shape — the trained
+    * tier's per-round quality number next to the heuristic's. */
+  def langClassifierReport(spark: SparkSession, sfDir: String,
+      nBuckets: Int = 4096, valFrac: Double = 0.05,
+      testFrac: Double = 0.05, seed: Long = 11L): DataFrame = {
+    import spark.implicits._
+    langClassifier(spark, sfDir, nBuckets, valFrac, testFrac, seed)
+      .filter($"split" =!= "train")
+      .groupBy($"lang", $"lang_pred".as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lang_total",
+        sum($"n").over(Window.partitionBy($"lang")))
+      .select($"lang", $"predicted", $"n",
+        round($"n".cast("double") / $"lang_total", 4).as("share"),
+        ($"lang" === $"predicted").as("correct"))
+      .orderBy($"lang", $"predicted")
+  }
+
   // ---------------------------------------------------------------- E4
   /** Document fingerprints: winnowing rolling-hash (8-token windows) +
     * 64-bit SimHash. Oracle-checked since round 7: both kernels run on
@@ -2014,6 +2138,125 @@ object TextAnalysis {
         round($"unigram_pieces".cast("double") /
           nullif($"word_tokens", lit(0L)), 6).as("fertility_unigram"))
       .orderBy($"source")
+  }
+
+  // ---------------------------------------------------------------- E34
+  /** PERSISTED TOKENIZER ARTIFACT — the r12 verdict's #2: a training
+    * run tokenizes for weeks, so the vocabulary must outlive the
+    * session that trained it, exactly like every other build output in
+    * this repo (writeLshIndex, compactIvfIndex, writeKnnGraphIndex).
+    * One staged layout serves BOTH families:
+    *   - `pieces/`  — BPE: the symbolized vocabulary (term, cnt, syms)
+    *                  the E27 apply join consumes; unigram: the fitted
+    *                  (piece, logp) table at FULL double precision
+    *                  (the display frame's 6-decimal rounding is for
+    *                  humans; the artifact must reproduce the apply
+    *                  bit-exactly).
+    *   - `merges/`  — BPE only: the ordered merge list (provenance +
+    *                  what a streaming encoder would replay).
+    *   - `meta/`    — 1 row: family, corpus stamp (provenance — apply
+    *                  to OTHER corpora is the artifact's whole point,
+    *                  so the stamp is recorded, not enforced), params
+    *                  string, and max_piece_len (the unigram apply
+    *                  needs it; storing it here means apply and train
+    *                  cannot disagree on the DP window).
+    * Meta is written LAST (the writeKnnGraphIndex commit-point rule). */
+  def writeTokenizer(spark: SparkSession, sfDir: String, tokDir: String,
+      family: String = "bpe", nMerges: Int = 30, vocabSize: Int = 512,
+      maxPieceLen: Int = 6, seedSize: Int = 4096,
+      emRounds: Int = 4): Unit = {
+    import spark.implicits._
+    val stamp = Tables.pathStamp(spark, s"$sfDir/documents.parquet")
+    val params = family match {
+      case "bpe" =>
+        val (merges, vocab) = cachedBpe(spark, sfDir, nMerges)
+        vocab.select($"term", $"cnt", $"syms")
+          .write.mode("overwrite").parquet(s"$tokDir/pieces")
+        merges.zipWithIndex.map { case ((a, b, c), i) =>
+          (i + 1, a, b, a + b, c) }
+          .toDF("merge_rank", "left", "right", "merged", "pair_count")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tokDir/merges")
+        s"bpe:$nMerges"
+      case "unigram" =>
+        cachedUnigram(spark, sfDir, vocabSize, maxPieceLen, seedSize,
+            emRounds)
+          .toSeq.toDF("piece", "logp")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tokDir/pieces")
+        s"unigram:$vocabSize:$maxPieceLen:$seedSize:$emRounds"
+      case other => throw new IllegalArgumentException(
+        s"unknown tokenizer family '$other' (bpe | unigram)")
+    }
+    Seq((family, stamp, params, maxPieceLen))
+      .toDF("family", "corpus_stamp", "params", "max_piece_len")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tokDir/meta")
+  }
+
+  /** Validated meta of a staged tokenizer — fails BY NAME on a family
+    * mismatch (feeding a unigram table through the BPE join would
+    * silently mis-count every doc). Returns (params, maxPieceLen). */
+  private def tokenizerMeta(spark: SparkSession, tokDir: String,
+      expectFamily: String): (String, Int) = {
+    val m = spark.read.parquet(s"$tokDir/meta").head()
+    require(m.getString(0) == expectFamily,
+      s"tokenizer artifact at $tokDir is family '${m.getString(0)}', " +
+        s"expected '$expectFamily' — wrong artifact for this apply path")
+    (m.getString(2), m.getInt(3))
+  }
+
+  /** E27's apply fed from a staged artifact instead of the session
+    * cache — the cross-session consumer: any corpus, any session,
+    * the vocab trained wherever the artifact says. Bit-exact with
+    * [[bpeApplyOf]] over the in-session vocab (round-trip spec). */
+  def bpeApplyFrom(spark: SparkSession, tokDir: String,
+      docs: DataFrame): DataFrame = {
+    tokenizerMeta(spark, tokDir, "bpe")
+    bpeApplyOf(docs, spark.read.parquet(s"$tokDir/pieces"))
+  }
+
+  /** E32b's apply fed from a staged artifact; maxPieceLen comes from
+    * the artifact's own meta so apply cannot disagree with train. */
+  def unigramApplyFrom(spark: SparkSession, tokDir: String,
+      docs: DataFrame): DataFrame = {
+    val (_, maxPieceLen) = tokenizerMeta(spark, tokDir, "unigram")
+    val logp = spark.read.parquet(s"$tokDir/pieces")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    unigramApplyOf(docs, logp, maxPieceLen)
+  }
+
+  /** Served entries: the apply ROUTED THROUGH THE DISK ARTIFACT —
+    * write once per corpus version (the C10 temp-dir discipline),
+    * then every apply re-opens the staged tokenizer; proves in
+    * product that the artifact carries everything apply needs. */
+  private val tokDirCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, String), String]
+  private def servedTokDir(spark: SparkSession, sfDir: String,
+      key: String)(write: String => Unit): String = {
+    val stamp = Tables.pathStamp(spark, s"$sfDir/documents.parquet")
+    tokDirCache.filterInPlace { case ((d, st, _), _) =>
+      d != sfDir || st == stamp }
+    tokDirCache.getOrElseUpdate((sfDir, stamp, key), {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-tokenizer").toString
+      write(dir)
+      dir
+    })
+  }
+
+  def bpeApplyIndexed(spark: SparkSession, sfDir: String,
+      nMerges: Int = 30): DataFrame = {
+    val dir = servedTokDir(spark, sfDir, s"bpe:$nMerges")(
+      writeTokenizer(spark, sfDir, _, "bpe", nMerges))
+    bpeApplyFrom(spark, dir, Tables.documents(spark, sfDir))
+  }
+
+  def unigramApplyIndexed(spark: SparkSession, sfDir: String,
+      vocabSize: Int = 512, maxPieceLen: Int = 6, seedSize: Int = 4096,
+      emRounds: Int = 4): DataFrame = {
+    val dir = servedTokDir(spark, sfDir,
+      s"unigram:$vocabSize:$maxPieceLen:$seedSize:$emRounds")(
+      writeTokenizer(spark, sfDir, _, "unigram", 30, vocabSize,
+        maxPieceLen, seedSize, emRounds))
+    unigramApplyFrom(spark, dir, Tables.documents(spark, sfDir))
   }
 
   val textNgramDiversitySql: String =

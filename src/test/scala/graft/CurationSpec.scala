@@ -814,6 +814,90 @@ class CurationSpec extends SparkSpec {
       s"recall not monotone: ${recalls.toSeq}")
   }
 
+  test("classifier_report: heldout doc with train-UNSEEN vocabulary scores at the w0 floor") {
+    // The r12 ADVICE divergence: C61 trains on the train split only,
+    // so a heldout doc can carry buckets absent from the weight table.
+    // The scorer (Scala AND oracle) must floor those at
+    // w0 = ln((nt+B)/(pt+B)) — doc 21 below is built ENTIRELY from
+    // train-unseen vocabulary, so its score is exactly n_bigrams · w0.
+    val docs = Seq(
+      (1L, "s", "alpha beta alpha beta"),   // train pos: 3 bigrams
+      (11L, "s", "xxq yyq xxq yyq xxq"),    // train neg: 4 bigrams
+      (21L, "s", "zork quux zork quux"))    // heldout: 3 unseen bigrams
+      .toDF("doc_id", "source", "text")
+    val truth = Seq((1L, true), (11L, false), (21L, true))
+      .toDF("doc_id", "is_pos")
+    val split = Seq(1L -> "train", 11L -> "train", 21L -> "val")
+      .toDF("doc_id", "split")
+    val b = 4096
+    val w0 = math.log((4.0 + b) / (3.0 + b)) // pt=3, nt=4
+    val scored = Curation.qualityClassifierOf(docs,
+        truth.join(split.filter($"split" === "train").select("doc_id"),
+          Seq("doc_id")), b)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(scored(21L) - 3.0 * w0) < 1e-6,
+      s"unseen-vocab doc must score 3·w0=${3 * w0}, got ${scored(21L)}")
+    // the report sees the floored score: kept at 0.0 (w0 > 0 since
+    // nt > pt), dropped once the threshold clears 3·w0
+    val rep = Curation.classifierReportOf(docs, truth, split,
+        nBuckets = b, thresholds = Seq(0.0, 0.001))
+      .collect().map(r => r.getDouble(0) -> r).toMap
+    assert(rep(0.0).getLong(2) === 1L && rep(0.0).getLong(4) === 0L,
+      s"floored doc must be kept at 0: ${rep(0.0)}")
+    assert(rep(0.001).getLong(2) === 0L && rep(0.001).getLong(4) === 1L,
+      s"floored doc must drop past 3·w0: ${rep(0.001)}")
+  }
+
+  test("classifier_threshold: derives the operating point from a planted curve, serving consumes it") {
+    // planted curve: (threshold, tp, fp, fn, tn) rows with known metrics
+    def row(t: Double, tp: Long, fp: Long, fn: Long, tn: Long) =
+      (t, tp + fp + fn + tn, tp, fp, fn, tn,
+        if (tp + fp == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(tp.toDouble / (tp + fp)),
+        java.lang.Double.valueOf(tp.toDouble / (tp + fn)),
+        java.lang.Double.valueOf(2.0 * tp / (2 * tp + fp + fn)))
+    val rep = Seq(
+      row(-1.0, 10L, 10L, 0L, 0L),  // f1 = 2/3, precision 0.5
+      row(0.0, 9L, 2L, 1L, 8L),     // f1 = 0.857..., precision 9/11
+      row(1.0, 5L, 0L, 5L, 10L),    // f1 = 2/3, precision 1.0
+      row(2.0, 0L, 0L, 10L, 10L))   // nothing kept: precision NULL
+      .toDF("threshold", "n_heldout", "tp", "fp", "fn", "tn",
+        "precision", "recall", "f1")
+    // max-F1 mode picks 0.0
+    val best = Curation.classifierThresholdOf(rep).collect()
+    assert(best.length === 1 && best.head.getDouble(0) === 0.0, best.toSeq)
+    assert(Curation.chosenThreshold(rep) === 0.0)
+    // tie in F1 (2/3 at -1.0 and 1.0 after removing the 0.0 row) —
+    // smaller threshold wins
+    assert(Curation.chosenThreshold(rep.filter($"threshold" =!= 0.0))
+      === -1.0)
+    // precision-target: smallest threshold clearing the bar
+    assert(Curation.chosenThreshold(rep, Some(0.9)) === 1.0)
+    assert(Curation.chosenThreshold(rep, Some(0.7)) === 0.0)
+    // nothing qualifies → fails by name, not a silent default
+    val ex = intercept[IllegalArgumentException] {
+      Curation.chosenThreshold(rep.limit(0))
+    }
+    assert(ex.getMessage.contains("no operating point qualifies"))
+    // the derived scalar feeds the serving tier directly
+    val docs = Seq((1L, "s", "alpha beta alpha"), (2L, "s", "xxq yyq xxq"))
+      .toDF("doc_id", "source", "text")
+    val labels = Seq((1L, true), (2L, false)).toDF("doc_id", "is_pos")
+    val model = Curation.qualityClassifierModel(docs, labels)
+    val served = Curation.classifierServe(docs, model,
+      Curation.chosenThreshold(rep)).collect()
+    assert(served.length === 2, "serving with the derived point broke")
+    // driver entry: exactly one row, drawn from the driver grid, and
+    // it carries the max F1 of the full report
+    val full = Curation.classifierReport(spark, sf).collect()
+      .map(r => if (r.isNullAt(8)) Double.NegativeInfinity else r.getDouble(8))
+    val drv = Curation.classifierThreshold(spark, sf).collect()
+    assert(drv.length === 1)
+    val drvF1 = if (drv.head.isNullAt(8)) Double.NegativeInfinity
+      else drv.head.getDouble(8)
+    assert(drvF1 === full.max, s"driver row F1 $drvF1 != max ${full.max}")
+  }
+
   test("classifier serve gated: in-profile batch sails, vocabulary-drifted batch flags, stream twin fires") {
     // pos class carries MORE token mass than neg, so the unseen floor
     // w0 = ln((nt+B)/(pt+B)) < 0: an all-OOV batch scores below the
@@ -1338,6 +1422,60 @@ class CurationSpec extends SparkSpec {
     assert(drv.length === 20)
     val dmass = drv.map(_.getDouble(7)).sum
     assert(math.abs(dmass - 1.0) < 1e-4, s"driver weights: $dmass")
+  }
+
+  test("mix_reweight_iterate: weights conserve, distinctive source gains, excess spread concentrates, tol stops") {
+    // the C62 planted corpus: srcC fully distinctive, srcA/srcB share
+    // the mixture vocabulary
+    val docs = Seq(
+      (1L, "srcA", "the cat sat on the mat the cat sat"),
+      (2L, "srcA", "the dog sat on the mat the dog sat"),
+      (3L, "srcB", "the cat sat on the mat the dog sat"),
+      (4L, "srcC", "zyx wvu tsr qpo zyx wvu tsr qpo zyx"),
+    ).toDF("doc_id", "source", "text")
+    val rows = Curation.mixReweightIterateOf(docs, "source",
+        eta = 1.0, maxRounds = 6, tol = 1e-6)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val byRound = rows.groupBy(_._1)
+    val nRounds = byRound.keys.max
+    assert(nRounds >= 2, s"planted skew must take >1 round: $nRounds")
+    // weight mass conserves every round
+    byRound.foreach { case (rd, rs) =>
+      val mass = rs.map(_._5).sum
+      assert(math.abs(mass - 1.0) < 1e-4, s"round $rd mass $mass")
+    }
+    // the distinctive source's weight is monotone non-decreasing
+    // toward the fixpoint
+    val cWeights = (1 to nRounds).map(rd =>
+      byRound(rd).find(_._2 == "srcC").get._5)
+    assert(cWeights.head > 1.0 / 3 + 1e-6,
+      s"round 1 must upweight the distinctive source: $cWeights")
+    assert(cWeights.zip(cWeights.tail).forall { case (a, b) => b >= a - 1e-6 },
+      s"distinctive weight not monotone: $cWeights")
+    // excess-loss CONCENTRATION: the max-min excess spread shrinks
+    // round over round (the fixpoint equalizes excess)
+    val spreads = (1 to nRounds).map { rd =>
+      val es = byRound(rd).map(_._3)
+      es.max - es.min
+    }
+    assert(spreads.zip(spreads.tail).forall { case (a, b) => b <= a + 1e-9 },
+      s"excess spread not concentrating: $spreads")
+    // a loose tolerance stops after round 1; a zero tolerance runs to
+    // the cap (the planted skew never lands on an exact fixpoint)
+    val one = Curation.mixReweightIterateOf(docs, "source",
+      eta = 1.0, maxRounds = 6, tol = 10.0).collect()
+    assert(one.map(_.getInt(0)).max === 1, "loose tol must stop at round 1")
+    val capped = Curation.mixReweightIterateOf(docs, "source",
+      eta = 1.0, maxRounds = 3, tol = 0.0).collect()
+    assert(capped.map(_.getInt(0)).max === 3, "zero tol must run to the cap")
+    // driver entry: rounds × 20 sources, deterministic
+    val drv = Curation.mixReweightIterate(spark, sf).collect()
+    assert(drv.length % 20 === 0 && drv.nonEmpty, s"driver rows ${drv.length}")
+    val again = Curation.mixReweightIterate(spark, sf).collect()
+    assert(drv.map(_.toString).toSeq === again.map(_.toString).toSeq,
+      "iterated reweight not deterministic")
   }
 
   test("mix_reweight_apply: learned budgets bound each source's admitted token mass") {

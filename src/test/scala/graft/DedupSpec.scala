@@ -190,6 +190,61 @@ class DedupSpec extends SparkSpec {
       s"compaction left multiple batch partitions: $batchDirs")
   }
 
+  test("lsh ingest stream: admitted batches fold into the staged index exactly once; replay converges") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lsh-ingest").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-lsh-ingest-ck").toString
+    val corpus = Seq(
+      (100L, base),
+      (300L, "completely unrelated text about cooking pasta with tomatoes and basil leaves"),
+    ).toDF("doc_id", "text")
+    Dedup.writeLshIndex(corpus, "doc_id", "text", dir)
+    val uniq = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val fin = "quarterly financial report revenue increased by twelve percent year over year"
+    val b0 = Seq((400L, uniq), (101L, base.replace("lazy dog", "lazy cat")))
+    val b1 = Seq((401L, uniq.replace("nu xi", "nu pi")), (402L, fin))
+    val admitted = scala.collection.concurrent.TrieMap.empty[Long, Set[Long]]
+    val input = new org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](106, spark, None)
+    val q = Dedup.lshIngestStream(
+        input.toDS().toDF("doc_id", "text"), dir) { (adm, bid) =>
+        admitted(bid) = adm.collect().map(_.getLong(0)).toSet
+      }.option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(b0); q.processAllAvailable()
+      input.addData(b1); q.processAllAvailable()
+    } finally q.stop()
+    // batch 0: 101 near-dups corpus 100 → dropped; 400 admitted
+    assert(admitted(0L) === Set(400L), s"batch0 admitted: $admitted")
+    // batch 1: 401 near-dups 400 — which lives in the INDEX (appended
+    // by batch 0), not in any stream state: the cross-batch catch this
+    // operator exists for
+    assert(admitted(1L) === Set(402L), s"batch1 admitted: $admitted")
+    def bandRows(d: String) = spark.read.parquet(s"$d/bands")
+      .collect().map(_.toSeq.toString).sorted.toSeq
+    // exactly-once equivalence: staged state == base + batch
+    // appendToLshIndex over the same admitted slices
+    val twin = java.nio.file.Files
+      .createTempDirectory("graft-lsh-twin").toString
+    Dedup.writeLshIndex(corpus, "doc_id", "text", twin)
+    Dedup.appendToLshIndex(Seq((400L, uniq)).toDF("doc_id", "text"),
+      "doc_id", "text", twin, "ingest-0")
+    Dedup.appendToLshIndex(Seq((402L, fin)).toDF("doc_id", "text"),
+      "doc_id", "text", twin, "ingest-1")
+    assert(bandRows(dir) === bandRows(twin),
+      "streamed index != batch-appended twin")
+    // replay batch 1 after a simulated crash: the probe's own-batch
+    // exclusion keeps the decision identical, the idempotent append
+    // keeps the state identical
+    val before = bandRows(dir)
+    Dedup.lshIngestBatch(b1.toDF("doc_id", "text"), 1L, dir,
+      sink = (adm, _) =>
+        assert(adm.collect().map(_.getLong(0)).toSet === Set(402L),
+          "replayed decision drifted"))
+    assert(bandRows(dir) === before, "replay changed the staged state")
+  }
+
   test("persisted SimHash index: incremental sweep matches the in-memory pairs") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sim-idx").toString
     val corpus = Seq(

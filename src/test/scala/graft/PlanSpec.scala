@@ -76,12 +76,27 @@ class PlanSpec extends SparkSpec {
 
   test("quality_classifier: bucket weights broadcast into the scoring join") {
     // the ≤nBuckets weight frame must broadcast — a shuffled weight
-    // join would exchange the corpus-sized feature frame a second time
-    val p = finalPlan(Curation.qualityClassifier(spark, sf))
-    assert(p.contains("BroadcastHashJoin"),
-      s"weight join not broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"classifier scoring fell into SMJ:\n$p")
+    // join would exchange the corpus-sized feature frame a second time.
+    // The public entry materializes and detaches (the r12 ADVICE pin
+    // fix), so the join shape lives on the LAZY internal seam.
+    val docs = Tables.documents(spark, sf)
+    val labels = Curation.gopherRules(docs)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("passed").as("is_pos"))
+    val (lazyOut, pin) = Curation.qualityClassifierLazy(docs, labels,
+      4096, 0.0)
+    try {
+      val p = finalPlan(lazyOut)
+      assert(p.contains("BroadcastHashJoin"),
+        s"weight join not broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"classifier scoring fell into SMJ:\n$p")
+    } finally pin.foreach(Tables.unpinCheckpoint)
+    // and the public entry IS detached: one RDD scan, no live join —
+    // the leak-fix contract (nf released after materialization)
+    val pub = finalPlan(Curation.qualityClassifier(spark, sf))
+    assert(pub.contains("Scan ExistingRDD") && !pub.contains("Join"),
+      s"public entry must serve the materialized checkpoint:\n$pub")
   }
 
   test("mix_reweight_apply: the learned budget frame broadcasts into the admission") {
@@ -96,15 +111,30 @@ class PlanSpec extends SparkSpec {
 
   test("classifier_report: the threshold grid fans out as a broadcast, scoring never falls into SMJ") {
     // the grid is 7 literal rows — it must reach the heldout slice as
-    // a broadcast nested loop (no corpus-scaling exchange), and the
-    // inherited C60 scoring join must stay broadcast
-    val p = finalPlan(Curation.classifierReport(spark, sf))
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"grid fan-out not a broadcast product:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"report chain fell into SMJ:\n$p")
-    assert(!p.contains("CartesianProduct"),
-      s"grid fan-out planned as a partitioned cartesian:\n$p")
+    // a broadcast nested loop (no corpus-scaling exchange). The public
+    // entry collects the ≤|grid| report into a local relation (zero
+    // pins left behind), so the shape lives on the LAZY seam.
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val truth = Curation.gopherRules(docs)
+      .select(col("doc_id"), col("passed").as("is_pos"))
+    val split = Curation.splitAssign(docs, 0.05, 0.05, 11L)
+      .select(col("doc_id"), col("split"))
+    val (rep, scored) = Curation.classifierReportLazy(docs, truth, split,
+      4096, Curation.ReportThresholds)
+    try {
+      val p = finalPlan(rep)
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"grid fan-out not a broadcast product:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"report chain fell into SMJ:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"grid fan-out planned as a partitioned cartesian:\n$p")
+    } finally Tables.unpinCheckpoint(scored)
+    // the public entry is a local relation — collected, nothing pinned
+    val pub = finalPlan(Curation.classifierReport(spark, sf))
+    assert(pub.contains("LocalTableScan") && !pub.contains("Join"),
+      s"public report must be a collected local relation:\n$pub")
   }
 
   test("q5: dim chain broadcasts even in the 6-way star join") {

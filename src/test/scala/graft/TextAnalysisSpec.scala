@@ -696,4 +696,88 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("s2") === ((1L, 1L, 3L, 3.0, 1.0)),
       s"OOV doc fertility: ${out("s2")}")
   }
+
+  test("lang classifier: planted vocab split learns perfectly, fallback routes, corpus held-out at least matches the heuristic") {
+    // planted: two "languages" with disjoint vocabulary — when signal
+    // exists, the trained tier must find it
+    val docs = ((1L to 10L).map(i =>
+        (i, "aaa bbb ccc ddd aaa bbb ccc", "xx")) ++
+      (11L to 20L).map(i =>
+        (i, "qqq rrr sss ttt qqq rrr sss", "yy")))
+      .toDF("doc_id", "text", "lang")
+    val trainLabels = docs.filter($"doc_id" % 2 === 0)
+      .select($"doc_id", $"lang")
+    val model = TextAnalysis.langClassifierModel(docs, trainLabels)
+    val served = TextAnalysis.langClassifierServe(docs, model)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (1L to 10L).foreach(i => assert(served(i) === "xx", s"doc $i: $served"))
+    (11L to 20L).foreach(i => assert(served(i) === "yy", s"doc $i: $served"))
+    // evidence-free doc (< 2 tokens): routes through the E3 heuristic,
+    // flagged as such
+    val one = Seq((99L, "bonjour", "fr")).toDF("doc_id", "text", "lang")
+    val fb = TextAnalysis.langClassifierServe(one, model).collect().head
+    assert(fb.getBoolean(2), "one-token doc must take the fallback route")
+    val heurGuess = one.select(
+      graft.functions.TextFunctions.langId($"text")).collect().head.getString(0)
+    assert(fb.getString(1) === heurGuess,
+      "fallback must be the E3 heuristic's guess verbatim")
+    // Driver corpus: the synthetic text carries NO language signal
+    // (all 31 vocabulary words shared across the 5 langs at near-equal
+    // frequency — verified against the generator's output), so CHANCE
+    // is the majority-class share and no content-based tier can beat
+    // it reliably. The honest pin: the trained tier's held-out
+    // accuracy is at least the heuristic's measured number on the
+    // same docs (the upgrade never regresses the tier it replaces) —
+    // on a REAL corpus the planted test above is the capability proof.
+    val drv = TextAnalysis.langClassifier(spark, sf).collect()
+    val held = drv.filter(_.getString(4) != "train")
+    val acc = held.count(r => r.getString(1) === r.getString(2)).toDouble /
+      held.length
+    val heur = TextAnalysis.textLangId(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1) == r.getString(2))).toMap
+    val heldIds = held.map(_.getLong(0)).toSet
+    val heurAcc = heldIds.count(heur(_)).toDouble / heldIds.size
+    assert(acc >= heurAcc,
+      f"trained held-out accuracy $acc%.3f regressed below the " +
+        f"heuristic's $heurAcc%.3f")
+    // report entry: E19's frame shape over the held-out slice,
+    // row-shares normalize per lang
+    val rep = TextAnalysis.langClassifierReport(spark, sf).collect()
+    val byLang = rep.groupBy(_.getString(0))
+    byLang.foreach { case (l, rs) =>
+      val share = rs.map(_.getDouble(3)).sum
+      assert(math.abs(share - 1.0) < 0.01, s"lang $l shares: $share") }
+    assert(rep.map(_.getLong(2)).sum === held.length,
+      "report mass != held-out docs")
+  }
+
+  test("tokenizer artifact: apply-from-disk is bit-exact with apply-from-cache, both families") {
+    // BPE: the served indexed entry routes through the staged artifact
+    val bpeCached = TextAnalysis.bpeApply(spark, sf).collect()
+    val bpeDisk = TextAnalysis.bpeApplyIndexed(spark, sf).collect()
+    assert(bpeCached.toSeq === bpeDisk.toSeq,
+      "BPE apply from the re-opened artifact drifted from the cache")
+    // unigram: full-precision logp round trip — bit-exact scores
+    val uniCached = TextAnalysis.unigramApply(spark, sf).collect()
+    val uniDisk = TextAnalysis.unigramApplyIndexed(spark, sf).collect()
+    assert(uniCached.toSeq === uniDisk.toSeq,
+      "unigram apply from the re-opened artifact drifted from the cache")
+    // cross-session shape: a DIFFERENT corpus applies under the staged
+    // vocab (the artifact's reason to exist) — counts follow the
+    // artifact's vocabulary, not the target corpus's
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tok-spec").toString
+    TextAnalysis.writeTokenizer(spark, sf, dir, "bpe")
+    val other = Seq((900001L, "s", "completely fresh vocabulary here"))
+      .toDF("doc_id", "source", "text")
+    val applied = TextAnalysis.bpeApplyFrom(spark, dir, other).collect()
+    assert(applied.length === 1 && applied.head.getLong(1) === 4L,
+      s"cross-corpus apply must count the doc's 4 words: ${applied.toSeq}")
+    // family mismatch fails by name, not with a mis-shaped join
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.unigramApplyFrom(spark, dir, other)
+    }
+    assert(ex.getMessage.contains("family"),
+      s"family mismatch must fail by name: ${ex.getMessage}")
+  }
 }
