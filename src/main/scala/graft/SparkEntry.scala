@@ -385,6 +385,10 @@ object SparkEntry {
       TextAnalysis.langClassifier(s, d)),
     "lang_classifier_report" -> ((s: SparkSession, d: String) =>
       TextAnalysis.langClassifierReport(s, d)),
+    "lang_classifier_indexed" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.langClassifierIndexed(s, d)),
+    "classifier_serve_indexed" -> ((s: SparkSession, d: String) =>
+      Curation.classifierServeIndexed(s, d)),
     "quality_rank_cut" -> (Curation.qualityRankCutQuery _),
     "budget_select" -> (Curation.budgetSelectQuery _),
     "text_readability" -> (TextAnalysis.textReadability _),

@@ -3855,13 +3855,31 @@ object Curation {
       thresholds: Seq[Double] = ReportThresholds,
       valFrac: Double = 0.05, testFrac: Double = 0.05,
       seed: Long = 11L): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    classifierReportOf(docs,
-      gopherRules(docs).select(col("doc_id"), col("passed").as("is_pos")),
-      splitAssign(docs, valFrac, testFrac, seed)
-        .select(col("doc_id"), col("split")),
-      nBuckets, thresholds)
+    // the report is audit/build output over a corpus version (the C54
+    // cache rule): ≤|grid| collected rows cache per (corpus stamp,
+    // params) — C64 re-reads it for threshold selection and would
+    // otherwise re-run the whole train+score chain per call. Driver
+    // memory only (7 rows), zero pinned blocks.
+    val stamp = Tables.pathStamp(spark, s"$sfDir/documents.parquet")
+    val key = s"$nBuckets:${thresholds.mkString(",")}:$valFrac:$testFrac:$seed"
+    reportCache.filterInPlace { case ((d, st, _), _) =>
+      d != sfDir || st == stamp }
+    val (rows, schema) = reportCache.getOrElseUpdate((sfDir, stamp, key), {
+      val docs = Tables.documents(spark, sfDir)
+      val rep = classifierReportOf(docs,
+        gopherRules(docs).select(col("doc_id"), col("passed").as("is_pos")),
+        splitAssign(docs, valFrac, testFrac, seed)
+          .select(col("doc_id"), col("split")),
+        nBuckets, thresholds)
+      (rep.collectAsList(), rep.schema)
+    })
+    spark.createDataFrame(rows, schema)
   }
+
+  private val reportCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, String),
+      (java.util.List[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType)]
 
   /** C61 over arbitrary docs + truth labels (doc_id, is_pos) + a split
     * assignment (doc_id, split) — the spec entry (a hand-built
@@ -4068,6 +4086,89 @@ object Curation {
       .stripMargin
       .replace("%REPORT%",
         classifierReportSql(nBuckets, thresholds, valFrac, testFrac, seed))
+
+  // ------------------------------------------------------------- C60d
+  /** PERSISTED CLASSIFIER SERVING BUNDLE — the tokenizer-artifact
+    * argument (E34) applied to the quality classifier: a gate serves a
+    * frozen model for months, so the model must outlive the session
+    * that trained it. One staged bundle carries everything the
+    * drift-gated serving tier consumes — `weights/` (the dense bucket
+    * vector at FULL double precision), `profile/` (the training-time
+    * score envelope C60c compares against, computed at the DERIVED
+    * operating point), and `meta/` (nBuckets, the C64-derived
+    * threshold, corpus stamp as provenance) written LAST as the commit
+    * point — so "train → measure → rethreshold → profile" ships as a
+    * single versioned artifact and a serving tier can never pair a
+    * model with another model's threshold or profile. */
+  def writeQualityClassifier(spark: SparkSession, sfDir: String,
+      dir: String, nBuckets: Int = 4096,
+      thresholds: Seq[Double] = ReportThresholds,
+      valFrac: Double = 0.05, testFrac: Double = 0.05,
+      seed: Long = 11L): Unit = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val labels = gopherRules(docs)
+      .select(col("doc_id"), col("passed").as("is_pos"))
+    val model = qualityClassifierModel(docs, labels, nBuckets)
+    val thr = chosenThreshold(classifierReport(spark, sfDir, nBuckets,
+      thresholds, valFrac, testFrac, seed))
+    model.zipWithIndex.map { case (w, b) => (b, w) }.toSeq.toDF("b", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/weights")
+    classifierProfile(docs, model, thr)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/profile")
+    val stamp = Tables.pathStamp(spark, s"$sfDir/documents.parquet")
+    Seq((nBuckets, thr, stamp))
+      .toDF("n_buckets", "threshold", "corpus_stamp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** The re-opened bundle. A torn weights table (fewer rows than the
+    * meta's nBuckets) fails by name — serving a partial vector would
+    * silently floor every missing bucket at 0. */
+  case class ClassifierBundle(model: Array[Double], threshold: Double,
+      profile: DataFrame)
+  def readQualityClassifier(spark: SparkSession,
+      dir: String): ClassifierBundle = {
+    val m = spark.read.parquet(s"$dir/meta").head()
+    val (nB, thr) = (m.getInt(0), m.getDouble(1))
+    val rows = spark.read.parquet(s"$dir/weights").collect()
+    require(rows.length == nB,
+      s"classifier bundle at $dir is torn: ${rows.length} weight rows " +
+        s"for nBuckets=$nB — rebuild with writeQualityClassifier")
+    val w = new Array[Double](nB)
+    rows.foreach(r => w(r.getInt(0)) = r.getDouble(1))
+    ClassifierBundle(w, thr, spark.read.parquet(s"$dir/profile"))
+  }
+
+  /** Drift-gated serve straight from a staged bundle — the
+    * cross-session consumer (any corpus, any session; bit-exact with
+    * serving the in-session model, spec-pinned). */
+  def classifierServeFrom(spark: SparkSession, dir: String,
+      docs: DataFrame, stdTol: Double = 3.0,
+      keepTol: Double = 0.15): DataFrame = {
+    val b = readQualityClassifier(spark, dir)
+    classifierServeGated(docs, b.model, b.profile, b.threshold,
+      stdTol, keepTol)
+  }
+
+  /** Served entry: the gated serve ROUTED THROUGH THE DISK BUNDLE,
+    * written once per corpus version (the C10 temp-dir discipline). */
+  private val bundleDirCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Int), String]
+  def classifierServeIndexed(spark: SparkSession, sfDir: String,
+      nBuckets: Int = 4096): DataFrame = {
+    val stamp = Tables.pathStamp(spark, s"$sfDir/documents.parquet")
+    bundleDirCache.filterInPlace { case ((d, st, _), _) =>
+      d != sfDir || st == stamp }
+    val dir = bundleDirCache.getOrElseUpdate((sfDir, stamp, nBuckets), {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-classifier").toString
+      writeQualityClassifier(spark, sfDir, d, nBuckets)
+      d
+    })
+    classifierServeFrom(spark, dir, Tables.documents(spark, sfDir))
+      .orderBy(col("doc_id"))
+  }
 
   def gopherRulesSql(minWords: Long = 50L, maxWords: Long = 100000L,
       minWordLen: Double = 3.0, maxWordLen: Double = 10.0,

@@ -277,6 +277,77 @@ object TextAnalysis {
       .orderBy($"lang", $"predicted")
   }
 
+  // ---------------------------------------------------------------- E35c
+  /** PERSISTED LANGUAGE-ID MODEL — the E34/C60d artifact discipline
+    * for the E35 family: `weights/` (lang, b, w) at full precision,
+    * `priors/` (lang, log_prior — the langs table doubles as the
+    * class inventory, sorted order restored on read), `meta/`
+    * (nBuckets + corpus stamp provenance) written LAST. A torn
+    * weights table fails by name on read. */
+  def writeLangModel(spark: SparkSession, model: LangModel, dir: String,
+      corpusStamp: Long = 0L): Unit = {
+    import spark.implicits._
+    model.langs.zipWithIndex.flatMap { case (l, i) =>
+      model.weights(i).zipWithIndex.map { case (w, b) => (l, b, w) }
+    }.toSeq.toDF("lang", "b", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/weights")
+    model.langs.zip(model.logPrior).toSeq.toDF("lang", "log_prior")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/priors")
+    Seq((model.nBuckets, corpusStamp)).toDF("n_buckets", "corpus_stamp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def readLangModel(spark: SparkSession, dir: String): LangModel = {
+    val nB = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    val priors = spark.read.parquet(s"$dir/priors").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val langs = priors.keys.toArray.sorted
+    val byLang = spark.read.parquet(s"$dir/weights").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val weights = langs.map { l =>
+      val rows = byLang.getOrElse(l, Array.empty)
+      require(rows.length == nB,
+        s"lang model at $dir is torn: ${rows.length} weight rows for " +
+          s"'$l' with nBuckets=$nB — rebuild with writeLangModel")
+      val w = new Array[Double](nB)
+      rows.foreach { case (_, b, v) => w(b) = v }
+      w
+    }
+    LangModel(langs, nB, weights, langs.map(priors))
+  }
+
+  /** Served entry: E35's serve routed through the disk model, staged
+    * once per corpus version (the C10 temp-dir discipline) — proves
+    * the artifact carries everything serving needs. Bit-exact with
+    * the in-session model (spec-pinned). */
+  def langClassifierIndexed(spark: SparkSession, sfDir: String,
+      nBuckets: Int = 4096, valFrac: Double = 0.05,
+      testFrac: Double = 0.05, seed: Long = 11L): DataFrame = {
+    import spark.implicits._
+    val stamp = Tables.pathStamp(spark, s"$sfDir/documents.parquet")
+    langModelDirCache.filterInPlace { case ((d, st, _), _) =>
+      d != sfDir || st == stamp }
+    val dir = langModelDirCache.getOrElseUpdate((sfDir, stamp, nBuckets), {
+      val docs = Tables.documents(spark, sfDir)
+      val split = Curation.splitAssign(docs, valFrac, testFrac, seed)
+        .select($"doc_id", $"split")
+      val model = langClassifierModel(docs,
+        docs.select($"doc_id", $"lang")
+          .join(split.filter($"split" === "train").select("doc_id"),
+            Seq("doc_id")), nBuckets)
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-langmodel").toString
+      writeLangModel(spark, model, d, stamp)
+      d
+    })
+    langClassifierServe(Tables.documents(spark, sfDir),
+        readLangModel(spark, dir))
+      .orderBy($"doc_id")
+  }
+  private val langModelDirCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Int), String]
+
   // ---------------------------------------------------------------- E4
   /** Document fingerprints: winnowing rolling-hash (8-token windows) +
     * 64-bit SimHash. Oracle-checked since round 7: both kernels run on

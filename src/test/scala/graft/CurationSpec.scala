@@ -898,6 +898,46 @@ class CurationSpec extends SparkSpec {
     assert(drvF1 === full.max, s"driver row F1 $drvF1 != max ${full.max}")
   }
 
+  test("classifier bundle: serve-from-disk is bit-exact with the session model, torn bundle fails by name") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-clf-bundle").toString
+    Curation.writeQualityClassifier(spark, sf, dir)
+    val docs = Tables.documents(spark, sf)
+    // the session-side twin: same labels, same derived threshold
+    val labels = Curation.gopherRules(docs)
+      .select($"doc_id", $"passed".as("is_pos"))
+    val model = Curation.qualityClassifierModel(docs, labels)
+    val thr = Curation.chosenThreshold(Curation.classifierReport(spark, sf))
+    val profile = Curation.classifierProfile(docs, model, thr)
+    val session = Curation.classifierServeGated(docs, model, profile, thr)
+      .collect().map(_.toString).sorted.toSeq
+    val disk = Curation.classifierServeFrom(spark, dir, docs)
+      .collect().map(_.toString).sorted.toSeq
+    assert(session === disk, "bundle serve drifted from the session model")
+    // the bundle's meta carries the DERIVED threshold, not a constant
+    val b = Curation.readQualityClassifier(spark, dir)
+    assert(b.threshold === thr, s"bundle threshold ${b.threshold} != $thr")
+    // torn bundle: drop the weights table behind the meta → by-name
+    // failure, not a silently zero-floored vector
+    val torn = java.nio.file.Files
+      .createTempDirectory("graft-clf-torn").toString
+    Curation.writeQualityClassifier(spark, sf, torn)
+    spark.read.parquet(s"$torn/weights").limit(10).write
+      .mode("overwrite").parquet(s"$torn/weights2")
+    // overwrite weights with the truncated copy (two-step: parquet
+    // cannot overwrite its own input in place)
+    spark.read.parquet(s"$torn/weights2").write
+      .mode("overwrite").parquet(s"$torn/weights")
+    val ex = intercept[IllegalArgumentException] {
+      Curation.readQualityClassifier(spark, torn)
+    }
+    assert(ex.getMessage.contains("torn"),
+      s"torn bundle must fail by name: ${ex.getMessage}")
+    // the served entry is deterministic and serves every doc
+    val drv = Curation.classifierServeIndexed(spark, sf).collect()
+    assert(drv.length === docs.count())
+  }
+
   test("classifier serve gated: in-profile batch sails, vocabulary-drifted batch flags, stream twin fires") {
     // pos class carries MORE token mass than neg, so the unseen floor
     // w0 = ln((nt+B)/(pt+B)) < 0: an all-OOV batch scores below the

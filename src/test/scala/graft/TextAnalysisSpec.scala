@@ -751,6 +751,44 @@ class TextAnalysisSpec extends SparkSpec {
       "report mass != held-out docs")
   }
 
+  test("lang model artifact: round trip bit-exact, torn per-class table fails by name") {
+    val docs = ((1L to 6L).map(i => (i, "aaa bbb ccc aaa bbb", "xx")) ++
+      (11L to 16L).map(i => (i, "qqq rrr sss qqq rrr", "yy")))
+      .toDF("doc_id", "text", "lang")
+    val model = TextAnalysis.langClassifierModel(docs,
+      docs.select($"doc_id", $"lang"), nBuckets = 64)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-langmodel-spec").toString
+    TextAnalysis.writeLangModel(spark, model, dir)
+    val back = TextAnalysis.readLangModel(spark, dir)
+    assert(back.langs.toSeq === model.langs.toSeq)
+    assert(back.nBuckets === model.nBuckets)
+    assert(back.logPrior.toSeq === model.logPrior.toSeq)
+    model.weights.zip(back.weights).foreach { case (a, b) =>
+      assert(a.toSeq === b.toSeq, "weights drifted through the artifact") }
+    // serve-from-disk == serve-from-session
+    val s1 = TextAnalysis.langClassifierServe(docs, model)
+      .collect().map(_.toString).sorted.toSeq
+    val s2 = TextAnalysis.langClassifierServe(docs, back)
+      .collect().map(_.toString).sorted.toSeq
+    assert(s1 === s2)
+    // torn: truncate the weights table behind the meta
+    spark.read.parquet(s"$dir/weights").limit(10).write
+      .mode("overwrite").parquet(s"$dir/w2")
+    spark.read.parquet(s"$dir/w2").write
+      .mode("overwrite").parquet(s"$dir/weights")
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.readLangModel(spark, dir)
+    }
+    assert(ex.getMessage.contains("torn"),
+      s"torn model must fail by name: ${ex.getMessage}")
+    // served entry: deterministic, covers every doc
+    val drv = TextAnalysis.langClassifierIndexed(spark, sf).collect()
+    assert(drv.length === Tables.documents(spark, sf).count())
+    val again = TextAnalysis.langClassifierIndexed(spark, sf).collect()
+    assert(drv.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("tokenizer artifact: apply-from-disk is bit-exact with apply-from-cache, both families") {
     // BPE: the served indexed entry routes through the staged artifact
     val bpeCached = TextAnalysis.bpeApply(spark, sf).collect()
