@@ -126,6 +126,8 @@ object SparkEntry {
       Similarity.knnGraphIvf(s, d)),
     "knn_graph_recall" -> ((s: SparkSession, d: String) =>
       Similarity.knnGraphRecall(s, d)),
+    "knn_graph_indexed" -> ((s: SparkSession, d: String) =>
+      Similarity.knnGraphIndexed(s, d)),
     "knn_pagerank" -> ((s: SparkSession, d: String) =>
       Similarity.knnPagerank(s, d)),
     "knn_pagerank_ivf" -> ((s: SparkSession, d: String) =>
@@ -143,6 +145,8 @@ object SparkEntry {
     "mm_frame_sample" -> (Multimodal.mmFrameSample _),
     "mm_codec_stats" -> (Multimodal.mmCodecStats _),
     "mm_frame_features" -> (Multimodal.mmFrameFeatures _),
+    "mm_frame_search" -> ((s: SparkSession, d: String) =>
+      Multimodal.mmFrameSearch(s, d)),
     "mm_resize" -> (Multimodal.mmResize _),
     "mm_scene_cuts" -> (Multimodal.mmSceneCuts _),
     "mm_shots" -> (Multimodal.mmShots _),
@@ -471,6 +475,7 @@ object SparkEntry {
     "mm_resize" -> Multimodal.mmResizeSql,
     "mm_frame_sample" -> Multimodal.mmFrameSampleSql,
     "mm_frame_features" -> Multimodal.mmFrameFeaturesSql,
+    "mm_frame_search" -> Multimodal.mmFrameSearchSql(),
     "mm_scene_cuts" -> Multimodal.mmSceneCutsSql,
     "mm_shots" -> Multimodal.mmShotsSql,
     "mm_audio_silence" -> Multimodal.mmAudioSilenceSql,

@@ -533,6 +533,102 @@ object Multimodal {
        |FROM agg ORDER BY media_id, frame_idx""".stripMargin
   }
 
+  // ---------------------------------------------------------------- F22
+  /** CROSS-MEDIA FRAME SEARCH — near-dup frame retrieval over the F4
+    * embedding bridge: for each query frame (media sampled at
+    * 1/`queryEvery`), the top-k most-similar frames from OTHER media
+    * by cosine. This is the retrieval a video-dedup or
+    * highlight-reuse pass runs ("which other assets contain this
+    * shot"), composed from parts the family already certifies:
+    * similarity runs over the 6-decimal-QUANTIZED components F4's
+    * oracle replays bit-exactly (the C61 rounded-handoff move — both
+    * engines dot/normalize the same doubles in the same left-assoc
+    * order), so the whole retrieval is ORACLE-CHECKED end-to-end.
+    * Deterministic ties: (cos desc, media, frame).
+    *
+    * Scale shape: the D1 brute kernel — corpus frames spread, the
+    * small query slice broadcast, TopK.perKey bounded heaps; the pair
+    * ceiling refuses past [[Similarity.BruteForceMaxPairs]] and the
+    * scale path is the F4 doc's bridge (feed [[frameFeatures]] through
+    * [[Similarity.writeIvfIndexOf]] and serve cell-pruned). */
+  def mmFrameSearch(spark: SparkSession, sfDir: String, k: Int = 3,
+      queryEvery: Int = 50): DataFrame = {
+    import spark.implicits._
+    require(k >= 1 && queryEvery >= 1,
+      s"bad params k=$k queryEvery=$queryEvery")
+    // the pair guard counts ACTUAL frames from the manifest column
+    // (frames(n) = ceil(ceil(n/64)/4) — the decode's own sampling
+    // arithmetic), one narrow column scan, never the payloads; the
+    // ceiling check stays in division form (the overflow rule)
+    val fc = when(col("n_chars") > 0,
+      ceil(ceil(col("n_chars") / 64.0) / 4.0).cast("long")).otherwise(0L)
+    val fr = Tables.documents(spark, sfDir)
+      .agg(sum(fc), sum(when(col("doc_id") % queryEvery === 0, fc)
+        .otherwise(0L))).head()
+    val cframes = if (fr.isNullAt(0)) 0L else fr.getLong(0)
+    val qframes = if (fr.isNullAt(1)) 0L else fr.getLong(1)
+    require(cframes == 0 ||
+      cframes <= Similarity.BruteForceMaxPairs / math.max(1L, qframes),
+      s"brute frame search would score $cframes × $qframes pairs (> " +
+        s"${Similarity.BruteForceMaxPairs}); stage frameFeatures " +
+        "through Similarity.writeIvfIndexOf and serve cell-pruned " +
+        "instead")
+    val feats = mmFrameFeatures(spark, sfDir)
+    val q = feats.select(
+      ($"media_id".as("query_media") +: $"frame_idx".as("query_frame") +:
+        (0 until 8).map(i => col(s"f$i").as(s"qf$i"))): _*)
+      .filter($"query_media" % queryEvery === 0)
+    val dot = (0 until 8).map(i => col(s"qf$i") * col(s"f$i"))
+      .reduce(_ + _)
+    val qn = sqrt((0 until 8).map(i => col(s"qf$i") * col(s"qf$i"))
+      .reduce(_ + _))
+    val cn = sqrt((0 until 8).map(i => col(s"f$i") * col(s"f$i"))
+      .reduce(_ + _))
+    val pairs = feats
+      .repartition(spark.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(q))
+      .filter($"media_id" =!= $"query_media")
+      .select($"query_media", $"query_frame", $"media_id", $"frame_idx",
+        round(dot / (qn * cn), 6).as("cos"))
+    val top = graft.plans.TopK.perKey(pairs,
+      Seq("query_media", "query_frame"),
+      Seq($"cos".desc, $"media_id".asc, $"frame_idx".asc), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_media", $"query_frame")
+      .orderBy($"cos".desc, $"media_id", $"frame_idx")
+    top.withColumn("rank", row_number().over(w))
+      .select($"query_media", $"query_frame", $"rank", $"media_id",
+        $"frame_idx", $"cos")
+      .orderBy($"query_media", $"query_frame", $"rank")
+  }
+
+  /** F22's oracle: F4's full extractor replay as a CTE, then the
+    * explicit 8-component dot/norm chain (left-assoc adds — the same
+    * double op order Spark's reduce emits) and the ROW_NUMBER top-k. */
+  def mmFrameSearchSql(k: Int = 3, queryEvery: Int = 50): String = {
+    def dotOf(a: String, b: String): String =
+      (0 until 8).map(i => s"$a.f$i * $b.f$i").mkString(" + ")
+    def normOf(a: String): String =
+      "sqrt(" + (0 until 8).map(i => s"$a.f$i * $a.f$i").mkString(" + ") + ")"
+    // splice AFTER stripMargin (the member-SQL rule)
+    s"""WITH ff AS (%FF%),
+       |q AS (SELECT * FROM ff WHERE media_id % $queryEvery = 0),
+       |p AS (
+       |  SELECT q.media_id AS query_media, q.frame_idx AS query_frame,
+       |    c.media_id, c.frame_idx,
+       |    round((${dotOf("q", "c")}) / (${normOf("q")} * ${normOf("c")}), 6) AS cos
+       |  FROM q JOIN ff c ON c.media_id <> q.media_id),
+       |r AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_media, query_frame
+       |    ORDER BY cos DESC, media_id, frame_idx) AS rank
+       |  FROM p)
+       |SELECT query_media, query_frame, rank, media_id, frame_idx, cos
+       |FROM r WHERE rank <= $k
+       |ORDER BY query_media, query_frame, rank""".stripMargin
+      .replace("%FF%", mmFrameFeaturesSql)
+  }
+
   // ---------------------------------------------------------------- F5
   /** Media transform contract: payload bytes → payload bytes (resize,
     * transcode, crop). Same per-partition amortization seam as

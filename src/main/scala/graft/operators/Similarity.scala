@@ -2993,18 +2993,32 @@ object Similarity {
       .repartition(spark.sparkContext.defaultParallelism)
     val centroids = corpusCentroids(spark, sfDir, nCells, maxTrain)
     val cells = e.select($"vec_id", $"embedding",
-      VectorFunctions.l2Norm($"embedding").as("nrm"),
       VectorFunctions.nearestCentroid($"embedding", centroids).as("cell"))
     val centroidDf = centroids.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq.toDF("pcell", "cvec")
-    // per-vector probe list: nProbe nearest cells by L2. The query
-    // side here is the WHOLE corpus (unlike annIvf's ~10 queries), so
-    // a row_number window would shuffle n × nCells scored rows just to
-    // keep nProbe per vector — at 10⁹ vectors × 4096 cells that probe
-    // exchange dwarfs the pair work the IVF path saves. TopK.perKey's
-    // map-side bounded heaps prune to nProbe per vector BEFORE any
-    // exchange; the cross join stays map-local against the broadcast.
-    val scoredCells = e.select($"vec_id".as("query_id"),
+    knnGraphProbeCore(cells, centroidDf, k, nProbe)
+  }
+
+  /** The IVF-graph probe-and-rank core over an ALREADY-ASSIGNED cells
+    * frame (vec_id, embedding, cell) + a centroid table (pcell, cvec)
+    * — shared by the corpus build (fresh assignment) and
+    * [[knnGraphFromIndex]] (stored assignment), so the two paths
+    * cannot drift: same probes, same candidates, same tie-breaks.
+    *
+    * Per-vector probe list: nProbe nearest cells by L2. The query
+    * side here is the WHOLE corpus (unlike annIvf's ~10 queries), so
+    * a row_number window would shuffle n × nCells scored rows just to
+    * keep nProbe per vector — at 10⁹ vectors × 4096 cells that probe
+    * exchange dwarfs the pair work the IVF path saves. TopK.perKey's
+    * map-side bounded heaps prune to nProbe per vector BEFORE any
+    * exchange; the cross join stays map-local against the broadcast. */
+  private[graft] def knnGraphProbeCore(cells0: DataFrame, centroidDf: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
+    val spark = cells0.sparkSession
+    import spark.implicits._
+    val cells = cells0.select($"vec_id", $"embedding",
+      VectorFunctions.l2Norm($"embedding").as("nrm"), $"cell")
+    val scoredCells = cells0.select($"vec_id".as("query_id"),
         $"embedding".as("qe"),
         VectorFunctions.l2Norm($"embedding").as("qnrm"))
       .crossJoin(broadcast(centroidDf))
@@ -3023,6 +3037,45 @@ object Similarity {
       .select($"query_id".as("vec_id"), $"rank", $"neighbor_id", $"cos")
       .orderBy($"vec_id", $"rank")
   }
+
+  // ---------------------------------------------------------------- D25d
+  /** kNN GRAPH FROM THE OWNED IVF STORE — the growth path the
+    * corpus-stamped artifact can't serve: [[knnGraphIvf]] keys its
+    * artifact to the corpus table's stamp, so ANY ingest invalidates
+    * it and a rebuild re-trains/re-assigns the whole corpus. This
+    * build instead reads a staged [[writeIvfIndex]] store — vectors
+    * arrive with their STORED cell assignments (made once, frozen
+    * centroids, appended batches included, tombstones honored) — so
+    * after each [[appendToIvfIndex]] the graph refresh pays ONLY the
+    * probe-and-rank over the stored layout: no centroid retraining,
+    * no re-assignment, no dependence on the corpus table at all.
+    * Because the cells and centroids are identical, the refreshed
+    * graph is BIT-EXACT with a from-scratch [[knnGraphProbeCore]]
+    * build over the union under the same frozen quantizer
+    * (spec-pinned) — incremental ingest costs probe work, loses
+    * nothing. The standard IVF trade rides along: appended batches
+    * drift from the trained quantizer; rebuild the store when cell
+    * populations skew. */
+  def knnGraphFromIndex(spark: SparkSession, indexDir: String,
+      k: Int = AnnK, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    require(nProbe >= 1, s"nProbe $nProbe must be positive")
+    val vectors = Tombstones.applyTo(
+        spark.read.parquet(s"$indexDir/vectors"), spark, indexDir,
+        "vec_id")
+      .select($"vec_id", $"embedding", $"cell")
+    val centroidDf = spark.read.parquet(s"$indexDir/centroids")
+      .select($"cell".as("pcell"), $"cvec")
+    knnGraphProbeCore(vectors, centroidDf, k, nProbe)
+  }
+
+  /** Served entry: the graph refreshed from the per-corpus-version
+    * staged float index (the D10 snapshot cache — index build work,
+    * shared with the serving compactions). */
+  def knnGraphIndexed(spark: SparkSession, sfDir: String,
+      k: Int = AnnK, nProbe: Int = 4): DataFrame =
+    knnGraphFromIndex(spark, s"${cachedSnapshots(spark, sfDir)}/float",
+      k, nProbe)
 
   // ---------------------------------------------------------------- D25c
   /** GRAPH RECALL REPORT — the C54/D8 discipline ("retrieval quality

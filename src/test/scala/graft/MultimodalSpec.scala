@@ -508,4 +508,28 @@ class MultimodalSpec extends SparkSpec {
       1L -> ((1L, false)), 2L -> ((1L, true)),
       3L -> ((1L, true)), 4L -> ((4L, false))), s"groups: $out")
   }
+
+  test("mm frame search: ranks dense per query frame, no same-media hits, scores ordered, deterministic") {
+    val rows = Multimodal.mmFrameSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getInt(4), r.getDouble(5)))
+    assert(rows.nonEmpty, "no query frames at driver SF")
+    rows.groupBy(t => (t._1, t._2)).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq === (1 to sorted.length),
+        s"ranks not dense for $q")
+      val cs = sorted.map(_._6)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        s"cos not non-increasing for $q: ${cs.toSeq}")
+      assert(rs.forall(_._4 != q._1), s"same-media hit for $q")
+      assert(sorted.length <= 3, s"more than k hits for $q")
+    }
+    // every query media contributed every one of its frames as queries
+    val qm = rows.map(_._1).distinct.sorted
+    assert(qm.forall(_ % 50 == 0), s"non-sampled query media: ${qm.toSeq}")
+    val again = Multimodal.mmFrameSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getInt(4), r.getDouble(5)))
+    assert(rows.toSeq === again.toSeq, "frame search not deterministic")
+  }
 }

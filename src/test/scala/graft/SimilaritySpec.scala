@@ -1199,6 +1199,48 @@ class SimilaritySpec extends SparkSpec {
       "propagation labeled nothing beyond the seeds")
   }
 
+  test("knn graph from the IVF store: append-then-refresh is bit-exact with a frozen-quantizer rebuild") {
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graph-store").toString
+    val all = Tables.embeddings(spark, sf)
+    val base = all.filter($"vec_id" % 5 =!= 0L)
+    val grown = all.filter($"vec_id" % 5 === 0L)
+    // stage the base corpus, then INGEST the remainder as a batch
+    Similarity.writeIvfIndexOf(base.select($"vec_id", $"embedding"),
+      dir, nCells = 8)
+    Similarity.appendToIvfIndex(spark,
+      grown.select($"vec_id", $"embedding"), dir, "ingest-1")
+    val refreshed = Similarity.knnGraphFromIndex(spark, dir, nProbe = 4)
+      .collect().map(_.toString).sorted.toSeq
+    // from-scratch twin under the SAME frozen quantizer: assign every
+    // vector with the store's own centroids and run the shared core —
+    // identical cells → identical candidates → identical graph
+    val centroidDf = spark.read.parquet(s"$dir/centroids")
+    val centroids = centroidDf.orderBy($"cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val cells = all.select($"vec_id", $"embedding",
+      graft.functions.VectorFunctions
+        .nearestCentroid($"embedding", centroids).as("cell"))
+    val scratch = Similarity.knnGraphProbeCore(cells,
+        centroidDf.select($"cell".as("pcell"), $"cvec"), 5, 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(refreshed === scratch,
+      "append-then-refresh drifted from the frozen-quantizer rebuild")
+    // every vector — base AND ingested — has edges
+    val nodes = Similarity.knnGraphFromIndex(spark, dir, nProbe = 4)
+      .select($"vec_id").distinct().count()
+    assert(nodes === all.count(), s"nodes $nodes != corpus")
+    // tombstoned vectors vanish from both sides of the refreshed graph
+    val victim = all.limit(1).select($"vec_id").collect().head.getLong(0)
+    Dedup.deleteFromLshIndex( // same tombstone table shape
+      Seq(victim).toDF("vec_id"), "vec_id", dir, "rm-1")
+    val after = Similarity.knnGraphFromIndex(spark, dir, nProbe = 4)
+    assert(after.filter($"vec_id" === victim ||
+      $"neighbor_id" === victim).count() === 0,
+      "tombstoned vector still in the refreshed graph")
+  }
+
   test("graph artifacts: a fresh session re-opens from disk without rebuilding") {
     // warm every family once, then drop the session handles — the next
     // serves must come from the staged artifacts, not a rebuild
