@@ -147,6 +147,8 @@ object SparkEntry {
     "mm_frame_features" -> (Multimodal.mmFrameFeatures _),
     "mm_frame_search" -> ((s: SparkSession, d: String) =>
       Multimodal.mmFrameSearch(s, d)),
+    "mm_frame_search_ivf" -> ((s: SparkSession, d: String) =>
+      Multimodal.mmFrameSearchIvf(s, d)),
     "mm_resize" -> (Multimodal.mmResize _),
     "mm_scene_cuts" -> (Multimodal.mmSceneCuts _),
     "mm_shots" -> (Multimodal.mmShots _),
@@ -242,6 +244,8 @@ object SparkEntry {
       TextAnalysis.bpeApplyIndexed(s, d)),
     "unigram_apply_indexed" -> ((s: SparkSession, d: String) =>
       TextAnalysis.unigramApplyIndexed(s, d)),
+    "tokenizer_profile" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tokenizerProfile(s, d)),
     "pack_bpe" -> ((s: SparkSession, d: String) =>
       Curation.packSequencesBpe(s, d)),
     "pack_unigram" -> ((s: SparkSession, d: String) =>

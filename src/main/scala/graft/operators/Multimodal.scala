@@ -629,6 +629,94 @@ object Multimodal {
       .replace("%FF%", mmFrameFeaturesSql)
   }
 
+  // ---------------------------------------------------------------- F22b
+  /** F22's WIRED SCALE PATH — the r12 served-sibling rule (a scale
+    * path that exists only as a doc note is a weak row): frame
+    * features staged per corpus version through
+    * [[Similarity.writeIvfIndexOf]] (frames keyed media·2²⁰+idx — the
+    * decode's stride-4 indices stay far below the span), queries
+    * probe their nProbe nearest cells and score ONLY probed-cell
+    * members — pair cost falls from frames × queries to the
+    * cell-pruned slice, and the staged layout is the same
+    * append/compact/tombstone store every other vector family uses.
+    * Scores run over the RAW float features (the serving tier's
+    * precision; the brute entry's 6-decimal quantization is its
+    * oracle handoff, not a semantic), so the spec pins top-k RECALL
+    * against the brute entry rather than equality — the D25b
+    * discipline. Rows-only (probe geometry — D25b's reason). */
+  private val FrameIdxSpan = 1L << 20
+  private val frameIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), String]
+  private def frameIndexDir(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    val stamp = Tables.pathStamp(spark, s"$sfDir/documents.parquet")
+    frameIndexCache.filterInPlace { case ((d, st), _) =>
+      d != sfDir || st == stamp }
+    frameIndexCache.getOrElseUpdate((sfDir, stamp), {
+      val media = Tables.documents(spark, sfDir)
+        .select($"doc_id", $"text".cast("binary"))
+        .as[(Long, Array[Byte])]
+      val vecs = frameFeatures(media).toDF()
+        .select(($"media_id" * FrameIdxSpan + $"frame_idx").as("vec_id"),
+          $"feature".as("embedding"))
+      val n = vecs.count()
+      // the corpusCentroids auto-scale shape: enough cells that a
+      // probed slice stays small, floored for tiny corpora
+      val nCells = math.max(2, math.min(4096,
+        math.ceil(math.sqrt(n.toDouble)).toInt))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-frame-index").toString
+      Similarity.writeIvfIndexOf(vecs, dir, nCells)
+      dir
+    })
+  }
+
+  def mmFrameSearchIvf(spark: SparkSession, sfDir: String, k: Int = 3,
+      queryEvery: Int = 50, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    require(k >= 1 && queryEvery >= 1 && nProbe >= 1,
+      s"bad params k=$k queryEvery=$queryEvery nProbe=$nProbe")
+    val dir = frameIndexDir(spark, sfDir)
+    val vectors = spark.read.parquet(s"$dir/vectors")
+      .select($"vec_id", $"embedding", $"cell")
+    val centroidDf = spark.read.parquet(s"$dir/centroids")
+      .select($"cell".as("pcell"), $"cvec")
+    val l2 = graft.functions.VectorFunctions.l2Norm(_: org.apache.spark.sql.Column)
+    val q = vectors
+      .filter(expr(s"(vec_id div $FrameIdxSpan) % $queryEvery") === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+        l2($"embedding").as("qnrm"))
+    val scored = q.crossJoin(broadcast(centroidDf))
+      .withColumn("dist", expr(
+        """aggregate(zip_with(qe, cvec,
+          |  (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),
+          |  0D, (s, v) -> s + v)""".stripMargin))
+    val probes = graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq($"dist".asc, $"pcell".asc), nProbe)
+      .select($"query_id", $"qe", $"qnrm", $"pcell".as("cell"))
+    val dot = graft.functions.VectorFunctions.dotProduct($"qe", $"embedding")
+    val pairs = vectors
+      .select($"vec_id", $"embedding", l2($"embedding").as("nrm"), $"cell")
+      .join(probes, Seq("cell"))
+      .filter(expr(s"vec_id div $FrameIdxSpan") =!=
+        expr(s"query_id div $FrameIdxSpan"))
+      .select($"query_id", $"vec_id",
+        round(when($"qnrm" === 0.0 || $"nrm" === 0.0, 0.0)
+          .otherwise(dot / ($"qnrm" * $"nrm")), 6).as("cos"))
+    val top = graft.plans.TopK.perKey(pairs, Seq("query_id"),
+      Seq($"cos".desc, $"vec_id".asc), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    top.withColumn("rank", row_number().over(w))
+      .select(expr(s"query_id div $FrameIdxSpan").as("query_media"),
+        expr(s"cast(query_id % $FrameIdxSpan as int)").as("query_frame"),
+        $"rank",
+        expr(s"vec_id div $FrameIdxSpan").as("media_id"),
+        expr(s"cast(vec_id % $FrameIdxSpan as int)").as("frame_idx"),
+        $"cos")
+      .orderBy($"query_media", $"query_frame", $"rank")
+  }
+
   // ---------------------------------------------------------------- F5
   /** Media transform contract: payload bytes → payload bytes (resize,
     * transcode, crop). Same per-partition amortization seam as

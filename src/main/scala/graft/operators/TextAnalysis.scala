@@ -2330,6 +2330,108 @@ object TextAnalysis {
     unigramApplyFrom(spark, dir, Tables.documents(spark, sfDir))
   }
 
+  // ---------------------------------------------------------------- E36
+  /** TOKENIZER DRIFT MONITOR — the C60c drift-gate discipline applied
+    * to the tokenizer artifact: a frozen vocabulary tokenizes whatever
+    * arrives FOREVER, and when the incoming distribution drifts (new
+    * domain, new language, upstream cleaning change) fertility creeps
+    * — every OOV term falls back to character pieces, silently
+    * inflating token budgets, packing waste, and training cost. The
+    * profile records the training-time fertility envelope (per-doc
+    * pieces-per-token mean/spread over the corpus the vocab was fit
+    * on); the gate scores a batch with the SAME artifact apply and
+    * stamps batch-level drift flags as literal columns (the C60c
+    * shape: one 1-row stats action + one output projection, no state,
+    * no join). Missing evidence never flags — an empty batch or
+    * all-empty docs read as "nothing to compare". Family-generic: the
+    * artifact's own meta routes to the BPE or unigram apply, so one
+    * monitor serves both families. */
+  def tokenizerApplyFrom(spark: SparkSession, tokDir: String,
+      docs: DataFrame): DataFrame = {
+    val fam = spark.read.parquet(s"$tokDir/meta").head().getString(0)
+    val out = fam match {
+      case "bpe" => bpeApplyFrom(spark, tokDir, docs)
+      case "unigram" => unigramApplyFrom(spark, tokDir, docs)
+      case other => throw new IllegalArgumentException(
+        s"unknown tokenizer family '$other' in $tokDir/meta")
+    }
+    out.select(col("doc_id"), col("word_tokens"),
+      col(out.columns(2)).as("pieces"), col("pieces_per_token"))
+  }
+
+  /** The training-time reference envelope: one row of order-free
+    * aggregates over the artifact apply. */
+  def tokenizerProfileOf(spark: SparkSession, tokDir: String,
+      docs: DataFrame): DataFrame =
+    tokenizerApplyFrom(spark, tokDir, docs)
+      .agg(round(avg(col("pieces_per_token")), 6).as("ref_fertility"),
+        round(coalesce(stddev_pop(col("pieces_per_token")), lit(0.0)), 6)
+          .as("ref_fertility_std"),
+        count(lit(1)).as("ref_n"))
+
+  /** Driver entry: the profile of the corpus-version BPE artifact
+    * over its own training corpus (rows-only — learned vocab). */
+  def tokenizerProfile(spark: SparkSession, sfDir: String,
+      nMerges: Int = 30): DataFrame = {
+    val dir = servedTokDir(spark, sfDir, s"bpe:$nMerges")(
+      writeTokenizer(spark, sfDir, _, "bpe", nMerges))
+    tokenizerProfileOf(spark, dir, Tables.documents(spark, sfDir))
+  }
+
+  /** Gate a batch against the envelope: per-doc apply columns plus
+    * batch-level literals (batch_fertility, fertility_drift). */
+  def fertilityGate(spark: SparkSession, tokDir: String, docs: DataFrame,
+      profile: DataFrame, stdTol: Double = 3.0): DataFrame = {
+    val pRows = profile
+      .select(col("ref_fertility"), col("ref_fertility_std")).take(1)
+    require(pRows.nonEmpty,
+      "tokenizer profile frame is empty — build it with " +
+        "tokenizerProfileOf over the training corpus")
+    gateFertility(tokenizerApplyFrom(spark, tokDir, docs), pRows.head,
+      stdTol)
+  }
+
+  private def gateFertility(applied: DataFrame,
+      p: org.apache.spark.sql.Row, stdTol: Double): DataFrame = {
+    require(stdTol >= 0, s"stdTol $stdTol must be >= 0")
+    def d(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    val s = applied.agg(count(col("pieces_per_token")),
+      avg(col("pieces_per_token"))).head()
+    val batchMean = if (s.getLong(0) > 0) d(s, 1) else None
+    val drift = (for (bm <- batchMean; rm <- d(p, 0); rs <- d(p, 1))
+      yield math.abs(bm - rm) > stdTol * math.max(rs, 1e-9))
+      .getOrElse(false)
+    applied.select(col("doc_id"), col("word_tokens"), col("pieces"),
+      col("pieces_per_token"),
+      round(lit(batchMean.getOrElse(0.0)), 6).as("batch_fertility"),
+      lit(drift).as("fertility_drift"))
+  }
+
+  /** E36's live twin: the gate per micro-batch (the C60c stream
+    * shape) — each trigger applies ONCE into a checkpoint read by
+    * both the stats action and the sink, released in a finally once
+    * the sink returns (`sink` must materialize synchronously — the
+    * repo's foreachBatch contract). */
+  def fertilityGateStream(stream: DataFrame, tokDir: String,
+      profile: DataFrame, stdTol: Double = 3.0)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = stream.sparkSession
+    val pRows = profile
+      .select(col("ref_fertility"), col("ref_fertility_std")).take(1)
+    require(pRows.nonEmpty,
+      "tokenizer profile frame is empty — build it with " +
+        "tokenizerProfileOf over the training corpus")
+    val pRow = pRows.head
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val applied = tokenizerApplyFrom(spark, tokDir, batch)
+        .localCheckpoint(true)
+      try sink(gateFertility(applied, pRow, stdTol), batchId)
+      finally graft.Tables.unpinCheckpoint(applied)
+    }
+  }
+
   val textNgramDiversitySql: String =
     """WITH t AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks

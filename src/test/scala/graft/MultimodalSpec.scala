@@ -532,4 +532,27 @@ class MultimodalSpec extends SparkSpec {
         r.getInt(4), r.getDouble(5)))
     assert(rows.toSeq === again.toSeq, "frame search not deterministic")
   }
+
+  test("mm frame search ivf: served scale path recalls the brute top-k, no same-media hits, deterministic") {
+    def sets(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(3), r.getInt(4)))
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    val brute = sets(Multimodal.mmFrameSearch(spark, sf).collect())
+    val ivf = Multimodal.mmFrameSearchIvf(spark, sf).collect()
+    val ivfSets = sets(ivf)
+    assert(ivfSets.keySet === brute.keySet, "query frame sets differ")
+    val (hit, base) = brute.toSeq.map { case (q, b) =>
+      (b.intersect(ivfSets(q)).size, b.size) }
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    val recall = hit.toDouble / base
+    // probe-geometry floor on the near-uniform synthetic features —
+    // the honest-baseline rule: chance for a 3-of-800 set is ~0.004
+    assert(recall >= 0.7, f"ivf frame-search recall $recall%.3f < 0.7")
+    ivf.foreach(r => assert(r.getLong(3) != r.getLong(0),
+      s"same-media hit: $r"))
+    val again = Multimodal.mmFrameSearchIvf(spark, sf).collect()
+      .map(_.toString)
+    assert(ivf.map(_.toString).toSeq === again.toSeq,
+      "ivf frame search not deterministic")
+  }
 }
