@@ -818,4 +818,113 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ex.getMessage.contains("family"),
       s"family mismatch must fail by name: ${ex.getMessage}")
   }
+
+  /** A fully hand-controlled BPE artifact in the staged layout —
+    * the spec owns the vocab, so the fertility envelope is exact
+    * arithmetic: "alpha" segments to 2 pieces, "beta" to 1, anything
+    * else is OOV and falls back to char pieces. */
+  private def handTokenizer(): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-handtok").toString
+    Seq(("alpha", 1L, Seq("al", "pha")), ("beta", 1L, Seq("beta")))
+      .toDF("term", "cnt", "syms")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/pieces")
+    Seq(("bpe", "hand", "bpe:hand", 6))
+      .toDF("family", "corpus_stamp", "params", "max_piece_len")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    dir
+  }
+
+  test("tokenizer profile + fertility gate: hand envelope exact, drifted batch flags, missing evidence never flags") {
+    import graft.operators.TextAnalysis
+    val dir = handTokenizer()
+    // envelope by hand: doc 1 "alpha beta alpha" -> 5 pieces / 3 words
+    // = 1.666667 ppt; doc 2 "beta beta" -> 1.0 ppt
+    val train = Seq((1L, "alpha beta alpha"), (2L, "beta beta"))
+      .toDF("doc_id", "text")
+    val profile = TextAnalysis.tokenizerProfileOf(spark, dir, train)
+      .localCheckpoint(true)
+    val p = profile.head()
+    assert(p.getLong(2) === 2L)
+    assert(math.abs(p.getDouble(0) - (1.666667 + 1.0) / 2) < 1e-5,
+      s"ref_fertility off: $p")
+    assert(math.abs(p.getDouble(1) - (1.666667 - 1.0) / 2) < 1e-5,
+      s"ref_fertility_std off: $p")
+    // in-envelope batch: ppt 1.0, |1.0 - 1.333| <= 3 sigma -> sails
+    val ok = TextAnalysis.fertilityGate(spark, dir,
+      Seq((11L, "beta beta beta")).toDF("doc_id", "text"), profile)
+      .collect()
+    assert(ok.length === 1 && !ok.head.getBoolean(5),
+      s"in-envelope batch flagged: ${ok.toSeq}")
+    assert(math.abs(ok.head.getDouble(4) - 1.0) < 1e-6,
+      s"batch_fertility off: ${ok.toSeq}")
+    // OOV-heavy batch: "gamma" is unseen -> 5 char pieces, ppt 5.0,
+    // |5.0 - 1.333| = 3.667 > 3 * 0.333 -> drift
+    val bad = TextAnalysis.fertilityGate(spark, dir,
+      Seq((21L, "gamma gamma")).toDF("doc_id", "text"), profile)
+      .collect()
+    assert(bad.length === 1 && bad.head.getBoolean(5),
+      s"OOV-heavy batch not flagged: ${bad.toSeq}")
+    assert(bad.head.getLong(2) === 10L, s"char fallback: ${bad.toSeq}")
+    // missing evidence never flags: an empty batch has no rows to
+    // flag, and an all-NULL-text batch carries NULL ppt (count 0)
+    assert(TextAnalysis.fertilityGate(spark, dir,
+      train.limit(0), profile).collect().isEmpty)
+    val nulls = TextAnalysis.fertilityGate(spark, dir,
+      Seq((31L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      profile).collect()
+    assert(nulls.length === 1 && !nulls.head.getBoolean(5),
+      s"null-text batch should flag nothing: ${nulls.toSeq}")
+    // an empty profile frame fails by name, not NoSuchElement
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.fertilityGate(spark, dir, train, profile.limit(0))
+    }
+    assert(ex.getMessage.contains("profile frame is empty"),
+      ex.getMessage)
+    // family routing: an unknown family in meta fails by name
+    Seq(("wordpiece", "hand", "x", 6))
+      .toDF("family", "corpus_stamp", "params", "max_piece_len")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val fx = intercept[IllegalArgumentException] {
+      TextAnalysis.tokenizerProfileOf(spark, dir, train)
+    }
+    assert(fx.getMessage.contains("family"), fx.getMessage)
+    // the unigram route of the SAME monitor: served artifact, sane row
+    val uni = TextAnalysis.tokenizerProfile(spark, sf)
+    assert(uni.count() === 1)
+  }
+
+  test("fertility gate stream: in-envelope batch sails, OOV batch flags, twin matches the batch gate") {
+    import graft.operators.TextAnalysis
+    val dir = handTokenizer()
+    val train = Seq((1L, "alpha beta alpha"), (2L, "beta beta"))
+      .toDF("doc_id", "text")
+    val profile = TextAnalysis.tokenizerProfileOf(spark, dir, train)
+      .localCheckpoint(true)
+    val input = new org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](230, spark, None)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Boolean)]
+    val q = TextAnalysis.fertilityGateStream(
+        input.toDS().toDF("doc_id", "text"), dir, profile) { (b, _) =>
+        got ++= b.collect().map(r =>
+          (r.getLong(0), r.getLong(2), r.getDouble(4), r.getBoolean(5)))
+      }.start()
+    try {
+      input.addData((11L, "beta beta beta"))
+      q.processAllAvailable()
+      input.addData((21L, "gamma gamma"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSeq === Seq((11L, 3L, 1.0, false),
+      (21L, 10L, 5.0, true)), s"stream gate: $got")
+    // twin parity: the batch gate on the same slices agrees row-wise
+    val batch = Seq((11L, "beta beta beta"), (21L, "gamma gamma"))
+      .map { case (id, txt) =>
+        val r = TextAnalysis.fertilityGate(spark, dir,
+          Seq((id, txt)).toDF("doc_id", "text"), profile).head()
+        (r.getLong(0), r.getLong(2), r.getDouble(4), r.getBoolean(5))
+      }
+    assert(got.toSeq === batch, s"batch/stream twin parity: $batch")
+  }
 }
