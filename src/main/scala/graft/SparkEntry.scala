@@ -103,6 +103,8 @@ object SparkEntry {
     "knn_join" -> ((s: SparkSession, d: String) => Similarity.knnJoin(s, d)),
     "vec_norms" -> (Similarity.vecNorms _),
     "ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
+    "ann_recall_curve" -> ((s: SparkSession, d: String) =>
+      Similarity.annRecallCurve(s, d)),
     "embed_cluster" -> ((s: SparkSession, d: String) =>
       Similarity.embedCluster(s, d)),
     "ann_filtered" -> ((s: SparkSession, d: String) =>
@@ -280,6 +282,16 @@ object SparkEntry {
       Curation.mixReweightApply(s, d)),
     "mix_reweight_iterate" -> ((s: SparkSession, d: String) =>
       Curation.mixReweightIterate(s, d)),
+    "mix_temperature" -> ((s: SparkSession, d: String) =>
+      Curation.mixTemperature(s, d)),
+    "mix_temperature_apply" -> ((s: SparkSession, d: String) =>
+      Curation.mixTemperatureApply(s, d)),
+    "data_card" -> ((s: SparkSession, d: String) =>
+      Curation.dataCard(s, d)),
+    "cluster_sample" -> ((s: SparkSession, d: String) =>
+      Curation.clusterSample(s, d)),
+    "cluster_sample_frontier" -> ((s: SparkSession, d: String) =>
+      Curation.clusterSample(s, d, mode = "frontier")),
     "mix_sample_unigram" -> ((s: SparkSession, d: String) =>
       Curation.mixSampleUnigramQuery(s, d)),
     "budget_select_unigram" -> ((s: SparkSession, d: String) =>
@@ -413,6 +425,7 @@ object SparkEntry {
     "tfidf_top" -> ((s: SparkSession, d: String) => TextAnalysis.tfIdfTop(s, d)),
     "text_repetition" -> (TextAnalysis.textRepetition _),
     "text_pii_scrub" -> (TextAnalysis.textPiiScrub _),
+    "pii_report" -> (TextAnalysis.piiReport _),
     "word_freq_topk_approx" -> ((s: SparkSession, d: String) =>
       TextAnalysis.wordFreqTopKApprox(s, d)),
     "corpus_stats" -> (TextAnalysis.corpusStats _),
@@ -566,6 +579,9 @@ object SparkEntry {
     "classifier_threshold" -> Curation.classifierThresholdSql(),
     "mix_reweight" -> Curation.mixReweightSql(),
     "mix_reweight_apply" -> Curation.mixReweightApplySql(),
+    "mix_temperature" -> Curation.mixTemperatureSql(),
+    "data_card" -> Curation.dataCardSql(),
+    "mix_temperature_apply" -> Curation.mixTemperatureApplySql(),
     "pack_doc_aware" -> Curation.packDocAwareSql(),
     "repetition_rules" -> Curation.repetitionRulesSql(),
     "curriculum_order" -> Curation.curriculumOrderSql(),
@@ -627,6 +643,7 @@ object SparkEntry {
     "word_freq_topk" -> TextAnalysis.wordFreqTopKSql,
     "text_repetition" -> TextAnalysis.textRepetitionSql,
     "text_pii_scrub" -> TextAnalysis.textPiiScrubSql,
+    "pii_report" -> TextAnalysis.piiReportSql,
     "corpus_stats" -> TextAnalysis.corpusStatsSql,
     "tfidf_top" -> TextAnalysis.tfIdfTopSql,
     "text_lm_score" -> TextAnalysis.textLmScoreSql,

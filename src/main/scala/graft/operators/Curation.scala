@@ -2881,6 +2881,280 @@ object Curation {
     } finally pins.foreach(graft.Tables.unpinCheckpoint)
   }
 
+  // ------------------------------------------------------------- C66
+  /** TEMPERATURE-SCALED MIXING WEIGHTS — the mT5/XLM-R multilingual
+    * sampling rule (q_s ∝ p_s^α, α ∈ (0,1]): raw token shares starve
+    * low-resource sources, uniform over-trains them; exponentiating
+    * the share flattens the distribution exactly as much as α says.
+    * C62 LEARNS weights from excess loss; C66 is the closed-form
+    * knob a mixture spec states directly — the two feed the SAME
+    * budget-frame seam ([[mixSampleBudgetFrame]]), so a pipeline can
+    * switch rules without touching admission.
+    *
+    * Scale shape: one corpus scan for per-source token mass (map-side
+    * combine into ≤ #sources rows), then all arithmetic rides a
+    * #sources-sized frame — the single-partition window is bounded by
+    * construction (the C62 class). Oracle-checked: the one libm op
+    * (pow via exp·ln) takes the ROUNDED share as input and re-rounds
+    * its output before the normalizing DECIMAL sum — the C62
+    * engine-portable handoff, so both engines sum identical decimals
+    * and divide identical doubles. A zero-mass source (every doc
+    * tokenizes empty) takes weight 0 explicitly — ln(0) is an error
+    * in DuckDB and NULL in Spark, so the guard is semantics, not
+    * cosmetics. */
+  def mixTemperature(spark: SparkSession, sfDir: String,
+      alpha: Double = 0.5): DataFrame =
+    mixTemperatureOf(Tables.documents(spark, sfDir), "source", alpha)
+
+  /** C66 over arbitrary docs — the spec entry (planted 80/16/4 token
+    * masses make the flattening hand-checkable). */
+  def mixTemperatureOf(docs: DataFrame, sourceCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha $alpha must be in (0,1]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val st = docs
+      .select(col(sourceCol).cast("string").as("source"),
+        size(TextAnalysis.tokens()).cast("long").as("n_tokens"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("ns"))
+    // ≤ #sources rows ride this window — single partition by design
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val u = st
+      .withColumn("share",
+        round($"ns".cast("double") / sum($"ns").over(w).cast("double"), 6))
+      .withColumn("unnorm",
+        when($"share" > 0,
+          round(exp(lit(alpha) * log($"share")), 6))
+          .otherwise(lit(0.0)).cast("decimal(28,12)"))
+    u.withColumn("usum", sum($"unnorm").over(w))
+      .select($"source", $"n_docs", $"ns".as("n_tokens"), $"share",
+        round($"unnorm".cast("double") / $"usum".cast("double"), 6)
+          .as("weight"))
+      .orderBy($"source")
+  }
+
+  def mixTemperatureSql(alpha: Double = 0.5): String =
+    s"""WITH t AS (
+       |  SELECT CAST(source AS VARCHAR) AS source,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+       |      AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |st AS (SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS ns
+       |  FROM t GROUP BY source),
+       |sh AS (SELECT source, n_docs, ns,
+       |    ROUND(CAST(ns AS DOUBLE) /
+       |      (SELECT CAST(SUM(ns) AS DOUBLE) FROM st), 6) AS share
+       |  FROM st),
+       |u AS (SELECT *, CAST(CASE WHEN share > 0
+       |      THEN ROUND(exp($alpha * ln(share)), 6) ELSE 0 END
+       |    AS DECIMAL(28,12)) AS unnorm
+       |  FROM sh)
+       |SELECT source, n_docs, ns AS n_tokens, share,
+       |  ROUND(CAST(unnorm AS DOUBLE) /
+       |    (SELECT CAST(SUM(unnorm) AS DOUBLE) FROM u), 6) AS weight
+       |FROM u ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------ C66b
+  /** C66 APPLIED — temperature weights to per-source token budgets to
+    * integer-exact prefix-sum admission, through the same budget-FRAME
+    * seam C62b uses (left join, absent stratum takes the 0 default —
+    * a learned frame can genuinely miss a stratum). The budget is
+    * floor(weight · totalTokens): both engines floor the product of
+    * an identical 6-decimal weight and an integer literal, so the
+    * IEEE multiply is bit-identical and the floor cannot straddle. */
+  def mixTemperatureApply(spark: SparkSession, sfDir: String,
+      totalTokens: Long = 20000, alpha: Double = 0.5): DataFrame = {
+    require(totalTokens >= 0, s"totalTokens $totalTokens must be >= 0")
+    val budgets = mixTemperature(spark, sfDir, alpha)
+      .select(col("source"),
+        floor(col("weight") * totalTokens).cast("long").as("budget"))
+    mixSampleBudgetFrame(
+      Tables.documents(spark, sfDir).withColumn("n_tokens",
+        size(TextAnalysis.tokens()).cast("long")),
+      "source", budgets)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  def mixTemperatureApplySql(totalTokens: Long = 20000,
+      alpha: Double = 0.5): String =
+    s"""WITH tw AS (%TW%),
+       |b AS (SELECT source,
+       |  CAST(floor(weight * $totalTokens) AS BIGINT) AS budget
+       |  FROM tw),
+       |t AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+       |      AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |ca AS (
+       |  SELECT *, SUM(n_tokens) OVER (
+       |    PARTITION BY source ORDER BY doc_id) AS cum
+       |  FROM t)
+       |SELECT doc_id, lang, source, n_tokens
+       |FROM ca LEFT JOIN b USING (source)
+       |WHERE cum <= COALESCE(budget, 0)
+       |ORDER BY doc_id""".stripMargin
+      .replace("%TW%", mixTemperatureSql(alpha))
+
+  // ------------------------------------------------------------- C68
+  /** DATA CARD — the per-source datasheet (Gebru et al.'s "Datasheets
+    * for Datasets", operationalized): one row per source carrying the
+    * numbers a release review, a mix owner, or a downstream consumer
+    * asks first — volume (docs, tokens, mean length), exact-duplicate
+    * rate, PII exposure, language composition (majority language +
+    * its share), and the Gopher quality pass rate. Every signal is a
+    * member kernel this repo already oracle-checks (E10's dup rule,
+    * E37's PII regexes, C50's battery) COMPOSED, not re-derived — the
+    * F16 rule: card and member reports cannot drift.
+    *
+    * Scale shape: one corpus scan computes tokens/hash/PII map-side;
+    * the C50 frame joins doc-keyed; both aggregates land on ≤ #sources
+    * (× #langs for the majority-language window, itself bounded by the
+    * label space, the A10 class). Nothing corpus-sized survives the
+    * exchange. */
+  def dataCard(spark: SparkSession, sfDir: String): DataFrame =
+    dataCardOf(Tables.documents(spark, sfDir))
+
+  def dataCardOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val g = gopherRules(docs).select($"doc_id", $"passed")
+    val base = docs.select($"doc_id",
+        col("source").cast("string").as("source"), $"lang",
+        size(TextAnalysis.tokens()).cast("long").as("n_tokens"),
+        sha2($"text", 256).as("h"),
+        (TextAnalysis.piiCount($"text") > 0L).as("pii_hit"))
+    val perSrc = base.join(g, Seq("doc_id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        round(avg($"n_tokens"), 6).as("avg_tokens"),
+        round(lit(1.0) -
+          countDistinct($"h").cast("double") / count(lit(1)), 6)
+          .as("dup_rate"),
+        round(avg(when($"pii_hit", 1.0).otherwise(0.0)), 6)
+          .as("pii_frac"),
+        round(avg(when($"passed", 1.0).otherwise(0.0)), 6)
+          .as("gopher_pass_frac"))
+    // majority language: ≤ #sources × #langs rows ride this window
+    val wL = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"nl".desc, $"lang")
+    val topLang = docs
+      .groupBy(col("source").cast("string").as("source"), $"lang")
+      .agg(count(lit(1)).as("nl"))
+      .withColumn("rk", row_number().over(wL)).filter($"rk" === 1)
+      .select($"source", $"lang".as("top_lang"), $"nl")
+    perSrc.join(topLang, Seq("source"))
+      .select($"source", $"n_docs", $"total_tokens", $"avg_tokens",
+        $"dup_rate", $"pii_frac", $"gopher_pass_frac", $"top_lang",
+        round($"nl".cast("double") / $"n_docs", 6).as("top_lang_share"))
+      .orderBy($"source")
+  }
+
+  def dataCardSql(): String =
+    s"""WITH g AS (%GOPHER%),
+       |b AS (
+       |  SELECT doc_id, CAST(source AS VARCHAR) AS source, lang,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+       |      AS BIGINT) AS n_tokens,
+       |    sha256(text) AS h,
+       |    (len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) +
+       |     len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}')) +
+       |     len(regexp_extract_all(text, '${TextAnalysis.IpRe}')) > 0)
+       |      AS pii_hit
+       |  FROM documents),
+       |s AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |    ROUND(AVG(n_tokens), 6) AS avg_tokens,
+       |    ROUND(1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 6)
+       |      AS dup_rate,
+       |    ROUND(AVG(CASE WHEN pii_hit THEN 1.0 ELSE 0.0 END), 6)
+       |      AS pii_frac,
+       |    ROUND(AVG(CASE WHEN passed THEN 1.0 ELSE 0.0 END), 6)
+       |      AS gopher_pass_frac
+       |  FROM b JOIN g USING (doc_id) GROUP BY source),
+       |lc AS (SELECT source, lang, COUNT(*) AS nl
+       |  FROM b GROUP BY source, lang),
+       |tl AS (SELECT source, lang AS top_lang, nl,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY nl DESC, lang) AS rk
+       |  FROM lc)
+       |SELECT s.source, n_docs, total_tokens, avg_tokens, dup_rate,
+       |  pii_frac, gopher_pass_frac, top_lang,
+       |  ROUND(CAST(nl AS DOUBLE) / n_docs, 6) AS top_lang_share
+       |FROM s JOIN tl USING (source) WHERE rk = 1
+       |ORDER BY source""".stripMargin
+      .replace("%GOPHER%", gopherRulesSql().replace(
+        "FROM r ORDER BY doc_id", "FROM r"))
+
+  // ------------------------------------------------------------- C67
+  /** CLUSTER-BALANCED SELECTION — the diversity-preserving subsample
+    * (coreset selection, the DeepCore/SemDeDup-adjacent move): a flat
+    * random or score-ranked cut concentrates wherever the corpus is
+    * dense, so the subset inherits the corpus's mode imbalance;
+    * quota-per-cluster over the SAME coarse k-means quantizer the IVF
+    * and SemDeDup paths use guarantees every region of embedding
+    * space lands its share. Two modes, one sort flip: `prototype`
+    * keeps each cluster's most central members (clean exemplars —
+    * seed sets, eval anchors); `frontier` keeps its most peripheral
+    * (hard/unusual examples — the active-learning pick).
+    *
+    * Scale shape: centroid assignment is ONE codegen'd map pass
+    * (centroids ride the closure, ≤ nClusters·dim doubles); the
+    * per-cluster quota runs on the TopK.perKey operator — map-side
+    * bounded heaps, merge on ≤ nClusters keys — so no giant cluster
+    * ever funnels through a single window partition; the metadata
+    * join is doc-keyed. Per-row distance quantizes to DECIMAL(18,9)
+    * (the D13 discipline) so ties break identically everywhere.
+    * Rows-only: k-means centroids are loop output (D13's reason). */
+  def clusterSample(spark: SparkSession, sfDir: String, quota: Int = 8,
+      nClusters: Int = 16, mode: String = "prototype"): DataFrame = {
+    val centroids = Similarity.corpusCentroids(spark, sfDir, nClusters)
+    clusterSampleOf(
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("doc_id"), col("embedding")),
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("source")),
+      centroids, quota, mode)
+  }
+
+  /** C67 over arbitrary (doc_id, embedding) + (doc_id, source) frames
+    * with given centroids — the spec entry (planted tight clusters
+    * with known outliers make both modes hand-checkable). */
+  def clusterSampleOf(embeds: DataFrame, meta: DataFrame,
+      centroids: Array[Array[Double]], quota: Int,
+      mode: String = "prototype"): DataFrame = {
+    require(quota >= 1, s"quota $quota must be >= 1")
+    require(mode == "prototype" || mode == "frontier",
+      s"mode '$mode' must be prototype | frontier")
+    val spark = embeds.sparkSession
+    import spark.implicits._
+    require(centroids.nonEmpty, "need at least one centroid")
+    val centroidDf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cluster_id", "cvec")
+    val assigned = embeds
+      .select($"doc_id", $"embedding",
+        graft.functions.VectorFunctions
+          .nearestCentroid($"embedding", centroids).as("cluster_id"))
+      .join(broadcast(centroidDf), Seq("cluster_id"))
+      .withColumn("dist", expr(
+        """cast(sqrt(aggregate(zip_with(embedding, cvec,
+          |  (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),
+          |  0D, (s, v) -> s + v)) as decimal(18,9))""".stripMargin))
+      .select($"doc_id", $"cluster_id", $"dist")
+    val ord =
+      if (mode == "prototype") Seq(col("dist").asc, col("doc_id").asc)
+      else Seq(col("dist").desc, col("doc_id").asc)
+    graft.plans.TopK.perKey(assigned, Seq("cluster_id"), ord, quota)
+      .join(meta, Seq("doc_id"), "left")
+      .select($"doc_id", $"source", $"cluster_id",
+        $"dist".cast("double").as("dist"))
+      .orderBy($"cluster_id", $"doc_id")
+  }
+
   // ------------------------------------------------------------- C39
   /** STREAMING DSIR admission — C37's live twin, the ingest-time
     * "does this look like the target domain?" gate (the shape C29's

@@ -1306,6 +1306,63 @@ object Similarity {
         math.rint(hits.getOrElse(m, 0L).toDouble / expected * 1e6) / 1e6))
   }
 
+  // --------------------------------------------------------------- D36
+  /** RECALL-vs-PROBES CURVE — the index TUNING artifact D8 doesn't
+    * give: D8 grades each tier at one production configuration; the
+    * operator deciding nProbe needs the whole trade — each probe step
+    * scans one more ~√n-sized cell, so the curve says exactly how much
+    * corpus fraction buys how much recall, and where it saturates
+    * (past saturation every extra probe is pure latency). One row per
+    * probe count: recall@k of the served int8 IVF tier against the
+    * exact float baseline.
+    *
+    * Scale shape: the exact baseline is the CACHED 10·k-row frame
+    * (guarded brute work, paid once per corpus version); each curve
+    * point is one served probe pass over the staged index, all points
+    * unioned into ONE action whose output is bounded by |probes|. The
+    * report itself is cached per corpus version (the D8 discipline —
+    * a deterministic audit should not re-run its search passes).
+    * Rows-only: probe geometry (D2's reason). */
+  def annRecallCurve(spark: SparkSession, sfDir: String, k: Int = 10,
+      probes: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    import spark.implicits._
+    require(probes.nonEmpty && probes.forall(_ >= 1),
+      s"probes $probes must be >= 1")
+    val stamp = Tables.pathStamp(spark, s"$sfDir/embeddings.parquet")
+    recallCurveCache.filterInPlace { case ((d, st, _, _), _) =>
+      d != sfDir || st == stamp
+    }
+    recallCurveCache.getOrElseUpdate(
+        (sfDir, stamp, k, probes.mkString(",")), {
+      val (exact, expected) = cachedExactBaseline(spark, sfDir, k)
+      val queries = Tables.embeddings(spark, sfDir)
+        .filter($"vec_id" < QueryIdBound)
+        .select($"vec_id".as("query_id"), $"embedding")
+      val snapRoot = cachedSnapshots(spark, sfDir)
+      val wq = Window.partitionBy($"query_id").orderBy($"rank")
+      val tagged = probes.map { p =>
+        // serving mode keeps the self pair; the baseline excludes it —
+        // ask for k+1, drop self, keep the top k (D8's like-for-like)
+        annIvfServe(queries, s"$snapRoot/int8", k = k + 1, nProbe = p)
+          .filter($"neighbor_id" =!= $"query_id")
+          .withColumn("rk", row_number().over(wq))
+          .filter($"rk" <= k)
+          .select(lit(p).as("n_probe"), $"query_id", $"neighbor_id")
+      }.reduce(_ unionByName _)
+      val hits = tagged
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy($"n_probe").agg(count(lit(1)).as("hits"))
+        .as[(Int, Long)].collect().toMap
+      // seeded from the probe list: a probe level finding nothing must
+      // surface as recall 0.0, not vanish from the curve
+      probes.sorted.map(p => (p, hits.getOrElse(p, 0L), expected,
+        math.rint(hits.getOrElse(p, 0L).toDouble / expected * 1e6) / 1e6))
+    }).toDF("n_probe", "hits", "expected", "recall")
+  }
+
+  private val recallCurveCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Int, String), Seq[(Int, Long, Long, Double)]]
+
   /** Serving snapshots keyed by (corpus dir, stamp): ONE float index
     * write feeds BOTH read-optimized compactions (`int8/` and `pq/`
     * under the returned root) — building them is INDEX BUILD work,

@@ -675,6 +675,80 @@ object TextAnalysis {
        |    '$IpRe', '[IP]', 'g') AS scrubbed
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- E37
+  /** PII EXPOSURE REPORT — the per-source governance rollup a release
+    * review actually reads (E8 redacts doc by doc; the decision
+    * "which source needs a scrub pass before export" needs the rates):
+    * per source, doc volume, how many docs carry at least one hit,
+    * per-class hit totals, and the affected fraction. Built on the
+    * ONE shared regex set (a definition fix here moves the report,
+    * the scrub, the v2 pipeline, and the stream twin together).
+    *
+    * Scale shape: one corpus scan, regex extraction map-side, then a
+    * #sources-sized aggregate — the cheapest report class there is.
+    * The fraction is an avg of exact 0/1 doubles (integer-valued sums
+    * are order-free), so the oracle comparison is safe. */
+  def piiReportOf(docs: DataFrame, stratumCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = col("text")
+    val hit = ($"e" + $"p" + $"i" > 0L)
+    docs.select(col(stratumCol).cast("string").as("source"),
+        size(regexp_extract_all(t, lit(EmailRe), lit(0)))
+          .cast("long").as("e"),
+        size(regexp_extract_all(t, lit(PhoneRe), lit(0)))
+          .cast("long").as("p"),
+        size(regexp_extract_all(t, lit(IpRe), lit(0)))
+          .cast("long").as("i"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(hit, 1L).otherwise(0L)).as("docs_with_pii"),
+        sum($"e").as("n_emails"), sum($"p").as("n_phones"),
+        sum($"i").as("n_ips"),
+        round(avg(when(hit, 1.0).otherwise(0.0)), 6).as("pii_frac"))
+      .orderBy($"source")
+  }
+
+  def piiReport(spark: SparkSession, sfDir: String): DataFrame =
+    piiReportOf(Tables.documents(spark, sfDir), "source")
+
+  val piiReportSql: String =
+    s"""WITH x AS (
+       |  SELECT CAST(source AS VARCHAR) AS source,
+       |    len(regexp_extract_all(text, '$EmailRe')) AS e,
+       |    len(regexp_extract_all(text, '$PhoneRe')) AS p,
+       |    len(regexp_extract_all(text, '$IpRe')) AS i
+       |  FROM documents)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS docs_with_pii,
+       |  CAST(SUM(e) AS BIGINT) AS n_emails,
+       |  CAST(SUM(p) AS BIGINT) AS n_phones,
+       |  CAST(SUM(i) AS BIGINT) AS n_ips,
+       |  ROUND(AVG(CASE WHEN e + p + i > 0 THEN 1.0 ELSE 0.0 END), 6)
+       |    AS pii_frac
+       |FROM x GROUP BY source ORDER BY source""".stripMargin
+
+  /** E8's LIVE twin (E37b) — redaction belongs at INGEST, before a raw
+    * payload is ever persisted where an export can pick it up. Every
+    * op is a stateless projection (counts + triple replace, no sort,
+    * no state), so the twin IS the batch kernel minus E8's display
+    * sort: readStream → this → writeStream runs with zero shuffle and
+    * zero state store, the cheapest streaming class Spark has. */
+  def piiScrubStream(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0)))
+        .cast("long").as("n_phones"),
+      size(regexp_extract_all(t, lit(IpRe), lit(0)))
+        .cast("long").as("n_ips"),
+      scrubPii(t).as("scrubbed"))
+  }
+
   // --------------------------------------------------------------- E10
   /** One-row corpus dashboard: the summary a pipeline operator checks
     * before/after every curation sweep — doc and token volume, length

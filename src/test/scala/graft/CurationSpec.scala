@@ -1548,6 +1548,133 @@ class CurationSpec extends SparkSpec {
       s"absent-stratum default budget broken: $kept")
   }
 
+  test("mix_temperature: hand shares flatten exactly, alpha=1 is the identity, zero-mass source takes 0, apply binds") {
+    def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    // planted token masses 80/16/4 (+ a zero-mass source): shares
+    // .8/.16/.04, sqrt -> .894427/.4/.2, normalized by 1.494427
+    val docs = Seq(
+      (1L, "a", words(40)), (2L, "a", words(40)),
+      (3L, "b", words(8)), (4L, "b", words(8)),
+      (5L, "c", words(4)), (6L, "d", "!!!"))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.mixTemperatureOf(docs, "source", alpha = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val usum = 0.894427 + 0.4 + 0.2
+    val expect = Map("a" -> (80L, 0.8, 0.894427 / usum),
+      "b" -> (16L, 0.16, 0.4 / usum), "c" -> (4L, 0.04, 0.2 / usum),
+      "d" -> (0L, 0.0, 0.0))
+    assert(out.keySet === expect.keySet)
+    expect.foreach { case (s, (ns, share, wgt)) =>
+      assert(out(s)._1 === ns, s"$s token mass")
+      assert(math.abs(out(s)._2 - share) < 1e-6, s"$s share: ${out(s)}")
+      assert(math.abs(out(s)._3 - wgt) < 1e-5, s"$s weight: ${out(s)}")
+    }
+    // the flattening direction: high-resource compresses, low-resource
+    // expands — the rule's entire point
+    assert(out("a")._3 < 0.8 && out("c")._3 > 0.04)
+    // alpha=1 is the identity: weight == share on every row
+    Curation.mixTemperatureOf(docs, "source", alpha = 1.0)
+      .collect().foreach { r =>
+        assert(math.abs(r.getDouble(4) - r.getDouble(3)) < 1e-6,
+          s"alpha=1 must return the share: $r")
+      }
+    // out-of-range alpha fails by name
+    val ex = intercept[IllegalArgumentException] {
+      Curation.mixTemperatureOf(docs, "source", alpha = 0.0)
+    }
+    assert(ex.getMessage.contains("alpha"), ex.getMessage)
+    // APPLY: budgets floor(weight*100) = 59/26/13/0; prefix admission
+    // keeps doc 1 (cum 40 <= 59) but not 2 (80), both b docs (16 <= 26),
+    // the c doc (4 <= 13), and the zero-cost d doc under budget 0
+    val budgets = Curation.mixTemperatureOf(docs, "source", 0.5)
+      .select($"source",
+        org.apache.spark.sql.functions.floor($"weight" * 100)
+          .cast("long").as("budget"))
+    val kept2 = Curation.mixSampleBudgetFrame(
+        docs.withColumn("n_tokens",
+          org.apache.spark.sql.functions.size(
+            graft.operators.TextAnalysis.tokens()).cast("long")),
+        "source", budgets)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 === Set(1L, 3L, 4L, 5L, 6L), s"admission: $kept2")
+  }
+
+  test("data_card: planted sources yield exact volume, dup, pii, language, and gopher cells") {
+    // P passes the C50 battery: 60 words, mean len ~3.9, alpha 1.0,
+    // stopword-rich; the junk doc fails it and carries a phone hit
+    val p = Seq.fill(6)("the quick brown fox jumps over the lazy dog now")
+      .mkString(" ")
+    val docs = Seq(
+      (1L, "a", "en", p),
+      (2L, "a", "en", p),
+      (3L, "a", "de", "short junk 555-123-4567"),
+      (10L, "b", "fr", "tiny unique and clean"))
+      .toDF("doc_id", "source", "lang", "text")
+    val card = Curation.dataCardOf(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(card.keySet === Set("a", "b"))
+    val a = card("a")
+    assert(a.getLong(1) === 3L && a.getLong(2) === 125L,
+      s"volume cells: $a")
+    assert(a.getDouble(3) === 41.666667, s"avg_tokens: $a")
+    assert(a.getDouble(4) === 0.333333, s"dup_rate: $a") // 1 - 2/3
+    assert(a.getDouble(5) === 0.333333, s"pii_frac: $a")
+    assert(a.getDouble(6) === 0.666667, s"gopher_pass_frac: $a")
+    assert(a.getString(7) === "en" && a.getDouble(8) === 0.666667,
+      s"language cells: $a")
+    val b = card("b")
+    assert(b.getLong(1) === 1L && b.getDouble(4) === 0.0 &&
+      b.getDouble(5) === 0.0 && b.getDouble(6) === 0.0 &&
+      b.getString(7) === "fr" && b.getDouble(8) === 1.0,
+      s"singleton source row: $b")
+  }
+
+  test("cluster_sample: prototype keeps centers, frontier keeps outliers, quota binds per cluster") {
+    // two planted clusters around (0,0) and (10,10): ids 1/2/3 at
+    // distances .1/.2/3.0 from c0; ids 11/12 at .1/4.0 from c1
+    val centroids = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+    val embeds = Seq(
+      (1L, Array(0.1f, 0f)), (2L, Array(0.2f, 0f)), (3L, Array(3f, 0f)),
+      (11L, Array(10f, 10.1f)), (12L, Array(10f, 14f)))
+      .toDF("doc_id", "embedding")
+    val meta = Seq((1L, "a"), (2L, "a"), (3L, "a"), (11L, "b"))
+      .toDF("doc_id", "source")
+    def pick(mode: String, quota: Int) =
+      Curation.clusterSampleOf(embeds, meta, centroids, quota, mode)
+        .collect().map(r => r.getLong(0)).toSet
+    // quota 1: prototype takes each cluster's most central member,
+    // frontier its most peripheral — the sort flip is the semantics
+    assert(pick("prototype", 1) === Set(1L, 11L))
+    assert(pick("frontier", 1) === Set(3L, 12L))
+    // quota 2 binds only where the cluster exceeds it
+    assert(pick("prototype", 2) === Set(1L, 2L, 11L, 12L))
+    // quota beyond every cluster size admits everything
+    assert(pick("prototype", 10) === Set(1L, 2L, 3L, 11L, 12L))
+    // metadata is a LEFT join: a doc missing its meta row survives
+    // with a NULL source instead of silently vanishing
+    val rows = Curation.clusterSampleOf(embeds, meta, centroids, 10)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(rows(12L) === null && rows(1L) === "a")
+    // bad arguments fail by name
+    val qx = intercept[IllegalArgumentException] {
+      Curation.clusterSampleOf(embeds, meta, centroids, 0)
+    }
+    assert(qx.getMessage.contains("quota"), qx.getMessage)
+    val mx = intercept[IllegalArgumentException] {
+      Curation.clusterSampleOf(embeds, meta, centroids, 1, "random")
+    }
+    assert(mx.getMessage.contains("mode"), mx.getMessage)
+    // the driver entries run on the corpus: quota binds, deterministic
+    val d1 = Curation.clusterSample(spark, sf, quota = 4).collect()
+    val d2 = Curation.clusterSample(spark, sf, quota = 4).collect()
+    assert(d1.map(_.toString).toSeq === d2.map(_.toString).toSeq)
+    val perCluster = d1.groupBy(_.getInt(2)).map(_._2.length)
+    assert(perCluster.forall(_ <= 4), s"quota violated: $perCluster")
+    assert(d1.nonEmpty)
+  }
+
   test("quality_rank_cut: keeps exactly the top floor(num*n/den) per source") {
     // token counts: a → 5,4,3,2,1; b → ties at the 4/7 boundary so the
     // doc_id tiebreak is what decides who survives

@@ -177,6 +177,40 @@ class SimilaritySpec extends SparkSpec {
       s"rerank recall below the family bound: $rows")
   }
 
+  test("ann_recall_curve: probes buy recall monotonically, top of curve meets the serve floor, deterministic") {
+    val rows = Similarity.annRecallCurve(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === Seq(1, 2, 4, 8, 16),
+      s"curve rows out of order: ${rows.toSeq}")
+    val expected = rows.head._3
+    rows.foreach { case (p, hits, exp, recall) =>
+      assert(exp === expected, s"denominators diverged: ${rows.toSeq}")
+      assert(recall >= 0.0 && recall <= 1.0 && hits <= exp,
+        s"probe $p out of range: ${rows.toSeq}")
+    }
+    // more probes can only grow the candidate pool; int8 score noise
+    // allows only marginal local dips, never a real regression
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 >= a._4 - 0.02,
+        s"recall fell from nProbe ${a._1} to ${b._1}: ${rows.toSeq}")
+    }
+    // the 8-probe point is D8's production row — same floor applies,
+    // and the 16-probe point can only sit at or above it
+    assert(rows.find(_._1 == 8).get._4 >= 0.6,
+      s"8-probe recall below the serve floor: ${rows.toSeq}")
+    assert(rows.last._4 >= rows.head._4,
+      s"curve top below its start: ${rows.toSeq}")
+    // a deterministic audit replays identically
+    val again = Similarity.annRecallCurve(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq === again.toSeq, "curve not deterministic")
+    // degenerate probe lists fail by name
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.annRecallCurve(spark, sf, probes = Seq(0))
+    }
+    assert(ex.getMessage.contains("probes"), ex.getMessage)
+  }
+
   test("PQ ANN: codebook-exact vectors score cos 1.0, recall beats random, deterministic") {
     // a vector that IS a concatenation of its own codebook centroids
     // reconstructs exactly — pin that the encoder picks those codes by

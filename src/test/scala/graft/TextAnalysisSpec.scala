@@ -183,6 +183,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byId(3L) === ((0L, 0L, 0L, "nothing sensitive here at all")))
   }
 
+  test("pii report: per-source hit totals and affected fractions are exact, stream twin matches the batch scrub") {
+    val planted = Seq(
+      (1L, "a", "contact alice.smith+spam@example.co.uk or call 555-123-4567 now"),
+      (2L, "a", "nothing sensitive here at all"),
+      (3L, "a", "mail root@host.org and also admin@host.org today"),
+      (4L, "b", "server at 192.168.10.1 is fine"),
+    ).toDF("doc_id", "source", "text")
+    val rep = TextAnalysis.piiReportOf(planted, "source").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    // a: 3 docs, 2 affected, 3 emails, 1 phone; b: 1 doc, 1 ip
+    assert(rep("a") === ((3L, 2L, 3L, 1L, 0L, 0.666667)))
+    assert(rep("b") === ((1L, 1L, 0L, 0L, 1L, 1.0)))
+    // the live twin is the batch kernel minus the display sort: every
+    // replayed row matches E8 exactly
+    val input = new org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](231, spark, None)
+    val q = TextAnalysis.piiScrubStream(input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pii_scrub_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "call 555-123-4567 and mail a@b.io"),
+        (2L, "clean"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table("pii_scrub_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).sortBy(_._1)
+    val batch = TextAnalysis.piiScrub(
+        Seq((1L, "call 555-123-4567 and mail a@b.io"), (2L, "clean"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).sortBy(_._1)
+    assert(live.toSeq === batch.toSeq, s"batch/stream twin parity: ${live.toSeq}")
+  }
+
   test("boilerplate frac: cross-doc template grams flagged, unique text scores 0") {
     val template = "click here to subscribe now" // 5-token boilerplate
     val docs = Seq(
