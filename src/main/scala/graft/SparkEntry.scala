@@ -276,6 +276,8 @@ object SparkEntry {
       Curation.classifierReport(s, d)),
     "classifier_threshold" -> ((s: SparkSession, d: String) =>
       Curation.classifierThreshold(s, d)),
+    "classifier_calibration" -> ((s: SparkSession, d: String) =>
+      Curation.classifierCalibration(s, d)),
     "mix_reweight" -> ((s: SparkSession, d: String) =>
       Curation.mixReweight(s, d)),
     "mix_reweight_apply" -> ((s: SparkSession, d: String) =>
@@ -577,6 +579,7 @@ object SparkEntry {
     "quality_classifier" -> Curation.qualityClassifierSql(),
     "classifier_report" -> Curation.classifierReportSql(),
     "classifier_threshold" -> Curation.classifierThresholdSql(),
+    "classifier_calibration" -> Curation.classifierCalibrationSql(),
     "mix_reweight" -> Curation.mixReweightSql(),
     "mix_reweight_apply" -> Curation.mixReweightApplySql(),
     "mix_temperature" -> Curation.mixTemperatureSql(),

@@ -4221,13 +4221,15 @@ object Curation {
     * w0 = ln((nt+B)/(pt+B)), mirroring the Scala path exactly (an
     * inner join would silently drop train-unseen vocabulary and skew
     * every tp/fp/fn cell whenever pt != nt). */
-  def classifierReportSql(nBuckets: Int = 4096,
-      thresholds: Seq[Double] = ReportThresholds,
-      valFrac: Double = 0.05, testFrac: Double = 0.05,
-      seed: Long = 11L): String = {
+  /** The shared score→heldout WITH-chain (gopher truth → split →
+    * features → train counts → weights → scores → held) that BOTH the
+    * C61 operating curve and the C69 calibration report splice — one
+    * definition of "train on the train split, score everyone else",
+    * so curve and calibration cannot drift. */
+  private def classifierHeldSql(nBuckets: Int, valFrac: Double,
+      testFrac: Double, seed: Long): String = {
     val vCut = math.floor(valFrac * 4294967296.0).toLong
     val tCut = math.floor((valFrac + testFrac) * 4294967296.0).toLong
-    val grid = thresholds.map(t => s"($t)").mkString(", ")
     s"""WITH g AS (%GOPHER%),
        |sp AS (
        |  SELECT doc_id,
@@ -4270,7 +4272,19 @@ object Curation {
        |  JOIN sp ON sp.doc_id = d.doc_id
        |  JOIN g ON g.doc_id = d.doc_id
        |  LEFT JOIN s ON s.doc_id = d.doc_id
-       |  WHERE sp.split <> 'train'),
+       |  WHERE sp.split <> 'train')""".stripMargin
+      .replace("%NF%", classifierNfSql)
+      .replace("%GOPHER%", gopherRulesSql())
+      .replace("__B__", nBuckets.toString)
+  }
+
+  def classifierReportSql(nBuckets: Int = 4096,
+      thresholds: Seq[Double] = ReportThresholds,
+      valFrac: Double = 0.05, testFrac: Double = 0.05,
+      seed: Long = 11L): String = {
+    val grid = thresholds.map(t => s"($t)").mkString(", ")
+    classifierHeldSql(nBuckets, valFrac, testFrac, seed) + "," +
+    s"""
        |grid AS (SELECT CAST(v AS DOUBLE) AS threshold
        |  FROM (VALUES $grid) AS gv(v)),
        |m AS (
@@ -4286,9 +4300,115 @@ object Curation {
        |  ROUND(CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 6) AS recall,
        |  ROUND(2.0 * tp / nullif(2 * tp + fp + fn, 0), 6) AS f1
        |FROM m ORDER BY threshold""".stripMargin
-      .replace("%NF%", classifierNfSql)
-      .replace("%GOPHER%", gopherRulesSql())
-      .replace("__B__", nBuckets.toString)
+  }
+
+  def classifierCalibrationSql(nBuckets: Int = 4096, nBins: Int = 10,
+      valFrac: Double = 0.05, testFrac: Double = 0.05,
+      seed: Long = 11L): String =
+    classifierHeldSql(nBuckets, valFrac, testFrac, seed) + "," +
+    s"""
+       |mm AS (SELECT MIN(nb_z) AS mn, MAX(nb_z) AS mx FROM held),
+       |dec AS (
+       |  SELECT is_pos, nb_z,
+       |    CASE WHEN mx = mn THEN 0
+       |         ELSE LEAST(${nBins - 1}, CAST(FLOOR(
+       |           (nb_z - mn) / (mx - mn) * $nBins) AS BIGINT)) END
+       |      AS bin
+       |  FROM held CROSS JOIN mm)
+       |SELECT CAST(bin AS INTEGER) AS bin, COUNT(*) AS n,
+       |  ROUND(CAST(SUM(CAST(nb_z AS DECIMAL(28,12))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mean_score,
+       |  ROUND(AVG(CASE WHEN is_pos THEN 1.0 ELSE 0.0 END), 6)
+       |    AS pos_rate
+       |FROM dec GROUP BY bin ORDER BY bin""".stripMargin
+
+  // ------------------------------------------------------------- C69
+  /** CALIBRATION REPORT — the reliability diagram for C60's scores
+    * (C61 answers "where do I cut?"; this answers "can I TRUST the
+    * score as a rate?" — the question anyone weighting docs by
+    * classifier score, DSIR-style, is implicitly betting on): held-out
+    * docs binned into equal-width score bins between the observed
+    * min/max, each bin reporting its member count, mean score, and
+    * empirical positive rate. A calibrated score has pos_rate rising
+    * monotonically with mean_score; a cliff or inversion says the
+    * z-score is rank-information only and must not be used as a
+    * weight without recalibration.
+    *
+    * Equal-WIDTH bins, not quantiles, deliberately: quantile binning
+    * needs a global sort (a corpus-scale single-partition window —
+    * the exact shape this repo bans), while width binning is one
+    * 1-row min/max aggregate broadcast into a map-side bin stamp.
+    * Oracle-checked: bins come off the SAME 6-decimal-rounded score
+    * C60 certifies, via IEEE-only arithmetic (subtract/divide/
+    * multiply/floor — no libm), and the per-bin mean quantizes to
+    * DECIMAL(28,12) before the order-free sum. Empty bins are absent
+    * rows by construction (both engines group the same stamps). */
+  def classifierCalibration(spark: SparkSession, sfDir: String,
+      nBuckets: Int = 4096, nBins: Int = 10, valFrac: Double = 0.05,
+      testFrac: Double = 0.05, seed: Long = 11L): DataFrame = {
+    // audit output over a corpus version (the C61 cache rule):
+    // ≤ nBins collected rows, zero pinned blocks left behind
+    val stamp = Tables.pathStamp(spark, s"$sfDir/documents.parquet")
+    val key = s"$nBuckets:$nBins:$valFrac:$testFrac:$seed"
+    calibrationCache.filterInPlace { case ((d, st, _), _) =>
+      d != sfDir || st == stamp }
+    val (rows, schema) = calibrationCache.getOrElseUpdate(
+        (sfDir, stamp, key), {
+      val docs = Tables.documents(spark, sfDir)
+      val rep = classifierCalibrationOf(docs,
+        gopherRules(docs).select(col("doc_id"), col("passed").as("is_pos")),
+        splitAssign(docs, valFrac, testFrac, seed)
+          .select(col("doc_id"), col("split")),
+        nBuckets, nBins)
+      (rep.collectAsList(), rep.schema)
+    })
+    spark.createDataFrame(rows, schema)
+  }
+
+  private val calibrationCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, String),
+      (java.util.List[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType)]
+
+  /** C69 over arbitrary docs + truth (doc_id, is_pos) + a split
+    * assignment — the spec entry (a planted separable corpus puts all
+    * positives in the top bins and all negatives in the bottom). */
+  def classifierCalibrationOf(docs: DataFrame, truth: DataFrame,
+      split: DataFrame, nBuckets: Int = 4096,
+      nBins: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(nBins >= 2, s"nBins $nBins must be >= 2")
+    // train on the train split ONLY (C61's held construction, exactly)
+    val labels = truth.join(
+      split.filter(col("split") === "train").select("doc_id"),
+      Seq("doc_id"))
+    val scored = qualityClassifierOf(docs, labels, nBuckets)
+      .select(col("doc_id"), col("nb_z"))
+    try {
+      val held = scored
+        .join(split.filter(col("split") =!= "train").select("doc_id"),
+          Seq("doc_id"))
+        .join(truth.select(col("doc_id"), col("is_pos")), Seq("doc_id"))
+      // one 1-row min/max exchange broadcast into the bin stamp — the
+      // C61 grid shape; no global sort anywhere
+      val mm = held.agg(min($"nb_z").as("mn"), max($"nb_z").as("mx"))
+      val rep = held.crossJoin(broadcast(mm))
+        .withColumn("bin",
+          when($"mx" === $"mn", lit(0L))
+            .otherwise(least(lit((nBins - 1).toLong),
+              floor(($"nb_z" - $"mn") / ($"mx" - $"mn") * nBins)))
+            .cast("int"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"nb_z".cast("decimal(28,12)")).cast("double")
+            / count(lit(1)), 6).as("mean_score"),
+          round(avg(when($"is_pos", 1.0).otherwise(0.0)), 6)
+            .as("pos_rate"))
+        .orderBy($"bin")
+      // ≤ nBins rows — detach so the finally can release the score pin
+      spark.createDataFrame(rep.collectAsList(), rep.schema)
+    } finally Tables.unpinCheckpoint(scored)
   }
 
   // ------------------------------------------------------------- C64

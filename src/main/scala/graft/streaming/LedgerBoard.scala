@@ -157,6 +157,28 @@ object MixBoard {
     LedgerBoard.board(spark, boardDir)
 }
 
+/** STREAMING data-card board — C68's live twin on the [[LedgerBoard]]
+  * cadence: the per-source datasheet (volume, exact-dup rate, PII
+  * exposure, majority language, Gopher pass rate) recomputed over the
+  * full document ledger each regroup. The dup-rate and majority-
+  * language cells are whole-history distincts/modes — A58's
+  * non-incremental character — so the cadence shape is the honest
+  * twin; THIS board is what a data owner polls for "what does my
+  * corpus look like right now" while ingest is live. Spec pins
+  * replayed-history parity with batch C68. */
+object CardBoard {
+  val LedgerCols: Seq[String] = Seq("doc_id", "source", "lang", "text")
+
+  def start(docs: DataFrame, ledgerDir: String, boardDir: String,
+      checkpointDir: String, regroupEvery: Int = 1): StreamingQuery =
+    LedgerBoard.start(docs, ledgerDir, boardDir, checkpointDir,
+      regroupEvery, ledgerCols = LedgerCols)(history =>
+      graft.operators.Curation.dataCardOf(history))
+
+  def board(spark: SparkSession, boardDir: String): DataFrame =
+    LedgerBoard.board(spark, boardDir)
+}
+
 /** STREAMING anomaly-ensemble board — A63's live twin on the
   * [[LedgerBoard]] cadence: the per-device multi-detector panel
   * (z-score sample counts, MAD counts, CUSUM alarm magnitude, the

@@ -814,6 +814,54 @@ class CurationSpec extends SparkSpec {
       s"recall not monotone: ${recalls.toSeq}")
   }
 
+  test("classifier_calibration: separable corpus lands classes in opposite bins, degenerate range collapses to bin 0") {
+    val pos = (1L to 4L).map(i => (i, "s", "alpha beta alpha beta alpha beta"))
+    val neg = (11L to 14L).map(i => (i, "s", "xxq yyq xxq yyq xxq yyq"))
+    val docs = (pos ++ neg).toDF("doc_id", "source", "text")
+    val truth = ((1L to 4L).map((_, true)) ++ (11L to 14L).map((_, false)))
+      .toDF("doc_id", "is_pos")
+    val split = Seq(1L -> "train", 2L -> "train", 3L -> "val", 4L -> "val",
+      11L -> "train", 12L -> "train", 13L -> "val", 14L -> "val")
+      .toDF("doc_id", "split")
+    val rep = Curation.classifierCalibrationOf(docs, truth, split,
+        nBins = 2).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    // held = {3,4 pos at the max score, 13,14 neg at the min}: the
+    // negatives fill bin 0 at rate 0, the positives bin 1 at rate 1
+    assert(rep.keySet === Set(0, 1), s"bins: $rep")
+    assert(rep(0)._1 === 2L && rep(0)._3 === 0.0, s"neg bin: $rep")
+    assert(rep(1)._1 === 2L && rep(1)._3 === 1.0, s"pos bin: $rep")
+    assert(rep(1)._2 > rep(0)._2, s"mean scores not ordered: $rep")
+    // a degenerate score range (every held doc identical) is ONE bin
+    val flat = Seq((1L, "s", "alpha beta"), (2L, "s", "alpha beta"),
+      (3L, "s", "alpha beta"), (4L, "s", "alpha beta"))
+      .toDF("doc_id", "source", "text")
+    val flatTruth = (1L to 4L).map((_, true)).toDF("doc_id", "is_pos")
+    val flatSplit = Seq(1L -> "train", 2L -> "train", 3L -> "val",
+      4L -> "val").toDF("doc_id", "split")
+    val one = Curation.classifierCalibrationOf(flat, flatTruth,
+      flatSplit, nBins = 4).collect()
+    assert(one.length === 1 && one.head.getInt(0) === 0 &&
+      one.head.getLong(1) === 2L && one.head.getDouble(3) === 1.0,
+      s"degenerate range: ${one.toSeq}")
+    // bad bins fail by name
+    val ex = intercept[IllegalArgumentException] {
+      Curation.classifierCalibrationOf(docs, truth, split, nBins = 1)
+    }
+    assert(ex.getMessage.contains("nBins"), ex.getMessage)
+    // driver entry: bins in range, counts positive, rates in [0,1],
+    // replay identical (the audit-cache rule)
+    val drv = Curation.classifierCalibration(spark, sf).collect()
+    assert(drv.nonEmpty && drv.length <= 10)
+    drv.foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(0) <= 9 && r.getLong(1) > 0L)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    val again = Curation.classifierCalibration(spark, sf).collect()
+    assert(drv.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("classifier_report: heldout doc with train-UNSEEN vocabulary scores at the w0 floor") {
     // The r12 ADVICE divergence: C61 trains on the train split only,
     // so a heldout doc can carry buckets absent from the weight table.

@@ -176,6 +176,34 @@ class IncidentBoardSpec extends SparkSpec {
       "boarded weight table != batch C62 on replayed history")
   }
 
+  test("card board: a replayed document stream's datasheet equals batch C68") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ledger = tmp("graft-cdb-led")
+    val board = tmp("graft-cdb-brd")
+    val ckpt = tmp("graft-cdb-ck")
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "lang", "text").localCheckpoint(true)
+    val rows = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSeq
+    val input = MemoryStream[(Long, String, String, String)](107, spark, None)
+    val q = graft.streaming.CardBoard.start(
+      input.toDS().toDF("doc_id", "source", "lang", "text"),
+      ledger, board, ckpt)
+    try {
+      input.addData(rows.take(rows.length / 2))
+      q.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = graft.streaming.CardBoard.board(spark, board)
+    val batch = graft.operators.Curation.dataCardOf(docs)
+    assert(live.count() > 0, "card board came up empty")
+    assert(live.exceptAll(batch).count() === 0 &&
+      batch.exceptAll(live).count() === 0,
+      "boarded datasheet != batch C68 on replayed history")
+  }
+
   test("ensemble board: replayed history equals batch A63 row for row") {
     val staging = tmp("graft-eb-in")
     val ledger = tmp("graft-eb-led")
