@@ -103,6 +103,10 @@ object SparkEntry {
     "knn_join" -> ((s: SparkSession, d: String) => Similarity.knnJoin(s, d)),
     "vec_norms" -> (Similarity.vecNorms _),
     "ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
+    "embed_project" -> ((s: SparkSession, d: String) =>
+      Similarity.embedProject(s, d)),
+    "ann_projected" -> ((s: SparkSession, d: String) =>
+      Similarity.annProjected(s, d)),
     "ann_recall_curve" -> ((s: SparkSession, d: String) =>
       Similarity.annRecallCurve(s, d)),
     "embed_cluster" -> ((s: SparkSession, d: String) =>

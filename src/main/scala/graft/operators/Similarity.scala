@@ -1363,6 +1363,107 @@ object Similarity {
   private val recallCurveCache = scala.collection.concurrent.TrieMap
     .empty[(String, Long, Int, String), Seq[(Int, Long, Long, Double)]]
 
+  // --------------------------------------------------------------- D35
+  /** JL RANDOM PROJECTION — the dimensionality knob for every
+    * embedding consumer (Johnson–Lindenstrauss via a Rademacher ±1
+    * matrix, Achlioptas 2003): project d-dim embeddings to m dims
+    * with pairwise distances preserved to ~√(2/m) relative error, so
+    * a brute/IVF candidate pass over the projection scans d/m× fewer
+    * bytes and the float refine stage re-ranks survivors at full
+    * precision (the D29 two-stage discipline, applied to DIMENSION
+    * instead of bit-width).
+    *
+    * The matrix is a FUNCTION, not data: sign(i,j) comes from the
+    * same splitmix64 chain the F4 extractor uses, seeded by (seed,
+    * j·d+i) — any executor, any session regenerates it bit-identically,
+    * so nothing is broadcast and the projection of a corpus version
+    * is reproducible forever. Scale shape: ONE map-only pass, each
+    * output dim a codegen'd zip_with/aggregate fold; the m·d sign
+    * literals ride the plan (≤ a few KB). Rows-only: the fold order
+    * of `aggregate` is engine-specific at the ulp (D2's reason); the
+    * spec pins determinism, exact 2× homogeneity, and the JL
+    * distance-preservation envelope. */
+  def embedProject(spark: SparkSession, sfDir: String, m: Int = 16,
+      seed: Long = 35L): DataFrame =
+    embedProjectOf(Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")), m, seed)
+
+  def embedProjectOf(e: DataFrame, m: Int, seed: Long = 35L): DataFrame = {
+    require(m >= 1, s"m $m must be >= 1")
+    val spark = e.sparkSession
+    import spark.implicits._
+    // 1-row probe for d — driver-bounded by construction
+    val dRow = e.select(size($"embedding")).limit(1).collect()
+    require(dRow.nonEmpty, "empty embedding frame — nothing to project")
+    val d = dRow.head.getInt(0)
+    def sign(k: Long): Double = {
+      var z = seed + (k + 1L) * -7046029254386353131L
+      z = (z ^ (z >>> 30)) * -4658895280553007687L
+      z = (z ^ (z >>> 27)) * -7723592293110705685L
+      z = z ^ (z >>> 31)
+      if (z < 0L) -1.0 else 1.0
+    }
+    val inv = 1.0 / math.sqrt(m.toDouble)
+    val comps = (0 until m).map { j =>
+      val row = Array.tabulate(d)(i => sign(j.toLong * d + i))
+      (aggregate(
+        zip_with($"embedding", lit(row),
+          (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v) * inv).as(s"p$j")
+    }
+    e.select(($"vec_id" +: comps): _*)
+      .select($"vec_id",
+        array((0 until m).map(j => col(s"p$j")): _*).as("proj"))
+      .orderBy($"vec_id")
+  }
+
+  // -------------------------------------------------------------- D35b
+  /** PROJECTED TWO-STAGE SEARCH — D35 proven in the retrieval stack
+    * (the served-sibling rule: a reduction that exists only as a
+    * column is a weak row): stage one ranks candidates by cosine over
+    * the m-dim projection — d/m× less arithmetic and I/O per scored
+    * pair — stage two re-scores the `cand` survivors with the exact
+    * float kernel and keeps the top k (the D29 shape with DIMENSION
+    * as the cheap axis instead of bit-width). The refine join is
+    * candidate-keyed (queries × cand rows, not queries × corpus);
+    * the candidate stage rides TopK.perKey bounded heaps behind the
+    * family's pair ceiling — at corpus scale the same projection
+    * feeds the IVF store instead, cells trained on proj. */
+  def annProjected(spark: SparkSession, sfDir: String, k: Int = AnnK,
+      m: Int = 16, cand: Int = 40, seed: Long = 35L): DataFrame = {
+    import spark.implicits._
+    require(cand >= k, s"cand $cand must be >= k $k")
+    val proj = embedProject(spark, sfDir, m, seed)
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding")
+    val q = proj.filter($"vec_id" < QueryIdBound)
+      .select($"vec_id".as("query_id"), $"proj".as("qp"))
+    val nC = e.count(); val nQ = QueryIdBound
+    require(nC * nQ <= BruteForceMaxPairs,
+      s"projected brute stage would score ${nC * nQ} pairs " +
+        s"(> $BruteForceMaxPairs); train the IVF store on the " +
+        "projection instead")
+    // the candidate stage scores float32 projections through the same
+    // codegen'd kernel the int8/float tiers use — stage one is
+    // approximate by construction, so the narrowing cast costs nothing
+    val candTop = graft.plans.TopK.perKey(
+      proj.select($"vec_id", $"proj".cast("array<float>").as("proj"))
+        .crossJoin(broadcast(
+          q.select($"query_id", $"qp".cast("array<float>").as("qp"))))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id",
+          VectorFunctions.cosineSim($"qp", $"proj").as("pcos")),
+      Seq("query_id"), Seq($"pcos".desc, $"vec_id".asc), cand)
+    val qe = e.filter($"vec_id" < QueryIdBound)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    rankTopK(candTop
+      .join(e, Seq("vec_id"))
+      .join(broadcast(qe), Seq("query_id"))
+      .select($"query_id", $"vec_id",
+        round(VectorFunctions.cosineSim($"qe", $"embedding"), 6)
+          .as("cos")), k)
+  }
+
   /** Serving snapshots keyed by (corpus dir, stamp): ONE float index
     * write feeds BOTH read-optimized compactions (`int8/` and `pq/`
     * under the returned root) — building them is INDEX BUILD work,

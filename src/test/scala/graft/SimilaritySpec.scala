@@ -177,6 +177,94 @@ class SimilaritySpec extends SparkSpec {
       s"rerank recall below the family bound: $rows")
   }
 
+  test("embed_project: JL envelope holds, exact 2x homogeneity, seeds diverge, deterministic") {
+    val d = 64; val m = 32
+    val rnd = new scala.util.Random(42)
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Array.fill(d)(rnd.nextGaussian().toFloat)))
+    val e = vecs.toDF("vec_id", "embedding")
+    val proj = Similarity.embedProjectOf(e, m).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(proj.size === 20 && proj.values.forall(_.length === m))
+    // JL: pairwise squared distances preserved within the √(2/m)
+    // envelope — per-pair inside a generous 3σ band, mean tight
+    def sq(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      i <- vecs.indices; j <- vecs.indices if i < j
+    } yield {
+      val exact = sq(vecs(i)._2.map(_.toDouble), vecs(j)._2.map(_.toDouble))
+      sq(proj(vecs(i)._1), proj(vecs(j)._1)) / exact
+    }
+    assert(ratios.forall(r => r > 0.2 && r < 2.5),
+      s"pairwise distortion out of band: ${ratios.min} .. ${ratios.max}")
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.8 && mean < 1.2, s"mean distortion $mean")
+    // linearity: doubling the input doubles the projection EXACTLY
+    // (scaling by a power of two is lossless in IEEE)
+    val doubled = Similarity.embedProjectOf(
+        vecs.map { case (id, v) => (id, v.map(_ * 2f)) }
+          .toDF("vec_id", "embedding"), m).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    vecs.foreach { case (id, _) =>
+      assert(doubled(id).toSeq === proj(id).map(_ * 2).toSeq,
+        s"homogeneity broken for vec $id")
+    }
+    // a different seed is a different matrix
+    val other = Similarity.embedProjectOf(e, m, seed = 99L).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(vecs.exists { case (id, _) =>
+      other(id).toSeq != proj(id).toSeq }, "seed ignored")
+    // deterministic replay, and the driver entry projects the corpus
+    val again = Similarity.embedProjectOf(e, m).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    vecs.foreach { case (id, _) =>
+      assert(again(id).toSeq === proj(id).toSeq, "not deterministic") }
+    val drv = Similarity.embedProject(spark, sf).collect()
+    assert(drv.nonEmpty && drv.forall(_.getSeq[Double](1).length === 16))
+  }
+
+  test("ann_projected: two-stage recall beats chance, refine scores are the exact kernel, wider m buys recall") {
+    def sets(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => r.getLong(0) -> r.getLong(2)).groupBy(_._1)
+      .map { case (q, ps) => q -> ps.map(_._2).toSet }
+    val brute = Similarity.annBruteTopK(spark, sf).collect()
+    val bruteSets = sets(brute)
+    val bruteCos = brute.map(r =>
+      (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val p16 = Similarity.annProjected(spark, sf, m = 16).collect()
+    val p16Sets = sets(p16)
+    assert(p16Sets.keySet === bruteSets.keySet, "query sets differ")
+    def recall(got: Map[Long, Set[Long]]) = {
+      val (h, b) = bruteSets.toSeq.map { case (q, s) =>
+        (s.intersect(got(q)).size, s.size) }
+        .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+      h.toDouble / b
+    }
+    val r16 = recall(p16Sets)
+    // chance for 10-of-100 is 0.1; the projection must do far better
+    assert(r16 >= 0.4, f"m=16 recall $r16%.3f < 0.4")
+    // surfaced pairs carry the EXACT float kernel's score — stage two
+    // is the same arithmetic as D1, so overlapping pairs agree to the
+    // rounded bit
+    p16.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      bruteCos.get(key).foreach(c => assert(c === r.getDouble(3),
+        s"refine score drifted from the exact kernel at $key"))
+    }
+    // more projected dims can only sharpen the candidate stage
+    val r48 = recall(sets(Similarity.annProjected(spark, sf, m = 48)
+      .collect()))
+    assert(r48 >= r16 - 0.05, f"m=48 recall $r48%.3f far below m=16 $r16%.3f")
+    // deterministic; degenerate cand fails by name
+    val again = Similarity.annProjected(spark, sf, m = 16).collect()
+    assert(p16.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.annProjected(spark, sf, k = 10, cand = 5)
+    }
+    assert(ex.getMessage.contains("cand"), ex.getMessage)
+  }
+
   test("ann_recall_curve: probes buy recall monotonically, top of curve meets the serve floor, deterministic") {
     val rows = Similarity.annRecallCurve(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
