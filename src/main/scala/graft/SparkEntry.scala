@@ -432,6 +432,7 @@ object SparkEntry {
     "text_repetition" -> (TextAnalysis.textRepetition _),
     "text_pii_scrub" -> (TextAnalysis.textPiiScrub _),
     "pii_report" -> (TextAnalysis.piiReport _),
+    "text_normalize" -> (TextAnalysis.textNormalize _),
     "word_freq_topk_approx" -> ((s: SparkSession, d: String) =>
       TextAnalysis.wordFreqTopKApprox(s, d)),
     "corpus_stats" -> (TextAnalysis.corpusStats _),
@@ -651,6 +652,7 @@ object SparkEntry {
     "text_repetition" -> TextAnalysis.textRepetitionSql,
     "text_pii_scrub" -> TextAnalysis.textPiiScrubSql,
     "pii_report" -> TextAnalysis.piiReportSql,
+    "text_normalize" -> TextAnalysis.textNormalizeSql,
     "corpus_stats" -> TextAnalysis.corpusStatsSql,
     "tfidf_top" -> TextAnalysis.tfIdfTopSql,
     "text_lm_score" -> TextAnalysis.textLmScoreSql,

@@ -469,7 +469,45 @@ object TextFunctions {
     override def prettyName: String = "token_counts"
   }
 
+  /** TEXT NORMALIZATION — pipeline stage zero, the pass every dedup,
+    * hash, and tokenizer stage silently assumes has already run: the
+    * same document crawled twice can arrive NFD vs NFC ("café" as
+    * e+◌́ vs é), cased differently, or with whitespace mangled by an
+    * extractor — and every byte-level fingerprint in this repo would
+    * call them different. NFC-compose (java.text.Normalizer — ICU
+    * semantics for the composed forms), locale-independent lowercase
+    * (Locale.ROOT — a tr_TR default locale must not change corpus
+    * hashes), collapse [ \t\n\r\f] runs to one space, trim. Empty
+    * stays empty; null stays null (UnaryExpression's contract). */
+  case class NormalizeText(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"normalize_text needs a string, got ${child.dataType.sql}")
+
+    override def nullSafeEval(a: Any): Any = {
+      val s = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toString
+      val nfc =
+        if (java.text.Normalizer.isNormalized(s,
+            java.text.Normalizer.Form.NFC)) s // the common fast path
+        else java.text.Normalizer.normalize(s,
+          java.text.Normalizer.Form.NFC)
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        nfc.toLowerCase(java.util.Locale.ROOT)
+          .replaceAll("[ \\t\\n\\r\\f]+", " ").trim)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // Column-API wrappers.
+  def normalizeText(text: Column): Column =
+    GraftColumn.apply(NormalizeText(GraftColumn.expression(text)))
+
   def simhash64(tokens: Column): Column =
     GraftColumn.apply(SimHash64(GraftColumn.expression(tokens)))
 

@@ -749,6 +749,43 @@ object TextAnalysis {
       scrubPii(t).as("scrubbed"))
   }
 
+  // --------------------------------------------------------------- E38
+  /** TEXT NORMALIZATION pass — stage ZERO of every pipeline in this
+    * repo, made explicit: the same document crawled twice can arrive
+    * NFD vs NFC composed, differently cased, or whitespace-mangled,
+    * and every byte-level stage downstream (E4 fingerprints, C1 exact
+    * dedup, C12 13-gram decontamination, the tokenizers) would treat
+    * the variants as different documents. One codegen'd map pass
+    * through the [[graft.functions.TextFunctions.NormalizeText]]
+    * native expression (NFC-compose, Locale.ROOT lowercase, collapse
+    * whitespace runs, trim) with before/after char counts so the
+    * shrinkage is auditable. Map-only: no exchange, no state — the
+    * cheapest full-corpus pass there is. Oracle-checked: DuckDB's
+    * nfc_normalize/lower/regexp_replace chain reproduces the
+    * expression byte-for-byte on the corpus. */
+  def textNormalizeOf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.TextFunctions.normalizeText(col(textCol))
+          .as("norm_text"),
+        length(col(textCol)).as("chars_in"))
+      .withColumn("chars_out", length(col("norm_text")))
+      .orderBy(col(idCol))
+
+  def textNormalize(spark: SparkSession, sfDir: String): DataFrame =
+    textNormalizeOf(Tables.documents(spark, sfDir), "doc_id", "text")
+
+  val textNormalizeSql: String =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(lower(nfc_normalize(text)),
+      |      '[ \t\n\r\f]+', ' ', 'g')) AS norm_text,
+      |    CAST(length(text) AS INTEGER) AS chars_in
+      |  FROM documents)
+      |SELECT doc_id, norm_text, chars_in,
+      |  CAST(length(norm_text) AS INTEGER) AS chars_out
+      |FROM n ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- E10
   /** One-row corpus dashboard: the summary a pipeline operator checks
     * before/after every curation sweep — doc and token volume, length

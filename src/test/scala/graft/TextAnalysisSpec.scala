@@ -183,6 +183,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byId(3L) === ((0L, 0L, 0L, "nothing sensitive here at all")))
   }
 
+  test("text normalize: NFD composes, case folds locale-free, whitespace collapses, idempotent") {
+    import graft.functions.TextFunctions
+    // "Cafe" + combining acute (NFD) must compose to the NFC é and
+    // then lowercase; runs of tabs/newlines collapse; edges trim
+    val docs = Seq(
+      (1L, "Cafe\u0301  DU\tMonde\n\nNOW "), // NFD: e + combining acute
+      (2L, "already clean text"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.textNormalizeOf(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(1L) === "café du monde now", s"normalized: ${got(1L)}")
+    assert(got(2L) === "already clean text")
+    assert(got(3L) === "" && got(4L) === null)
+    // char accounting: composed + collapsed output is shorter
+    val counts = TextAnalysis.textNormalizeOf(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) (-1, -1) else (r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(counts(1L)._2 < counts(1L)._1, s"no shrinkage: ${counts(1L)}")
+    // idempotence: normalizing the normalized text is the identity
+    val once = Seq((1L, got(1L))).toDF("doc_id", "text")
+    val twice = TextAnalysis.textNormalizeOf(once, "doc_id", "text")
+      .head().getString(1)
+    assert(twice === got(1L), "normalize not idempotent")
+    // a non-string input fails type check by name
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      docs.select(TextFunctions.normalizeText(col("doc_id"))).collect()
+    }
+    assert(ex.getMessage.contains("normalize_text needs a string"),
+      ex.getMessage)
+  }
+
   test("pii report: per-source hit totals and affected fractions are exact, stream twin matches the batch scrub") {
     val planted = Seq(
       (1L, "a", "contact alice.smith+spam@example.co.uk or call 555-123-4567 now"),
