@@ -107,6 +107,8 @@ object SparkEntry {
       Similarity.embedProject(s, d)),
     "ann_projected" -> ((s: SparkSession, d: String) =>
       Similarity.annProjected(s, d)),
+    "ann_projected_ivf" -> ((s: SparkSession, d: String) =>
+      Similarity.annProjectedIvf(s, d)),
     "ann_recall_curve" -> ((s: SparkSession, d: String) =>
       Similarity.annRecallCurve(s, d)),
     "embed_cluster" -> ((s: SparkSession, d: String) =>

@@ -1464,6 +1464,57 @@ object Similarity {
           .as("cos")), k)
   }
 
+  // -------------------------------------------------------------- D35c
+  /** D35b's WIRED SCALE PATH (the served-sibling rule): the projected
+    * vectors staged once per corpus version through the SAME IVF
+    * store every other vector family uses (cell-partitioned layout,
+    * append/compact/tombstone lifecycle), candidates served by the
+    * cell-pruned [[annIvfIndexed]] scan over m-dim float32 rows —
+    * probed-cell I/O shrinks by d/m ON TOP of the cell pruning — and
+    * the float refine unchanged. At 100 TB this is the shape that
+    * holds: no brute pair stage anywhere; index build is one
+    * projection pass + the IVF write. */
+  private val projIvfCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Int, Long), String]
+  private def projIndexDir(spark: SparkSession, sfDir: String, m: Int,
+      seed: Long): String = {
+    val stamp = Tables.pathStamp(spark, s"$sfDir/embeddings.parquet")
+    projIvfCache.filterInPlace { case ((d, st, _, _), _) =>
+      d != sfDir || st == stamp }
+    projIvfCache.getOrElseUpdate((sfDir, stamp, m, seed), {
+      val vecs = embedProject(spark, sfDir, m, seed)
+        .select(col("vec_id"), col("proj").cast("array<float>")
+          .as("embedding"))
+      val n = vecs.count()
+      // the corpusCentroids auto-scale shape, floored for tiny corpora
+      val nCells = math.max(2, math.min(4096,
+        math.ceil(math.sqrt(n.toDouble)).toInt))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-proj-ivf").toString
+      writeIvfIndexOf(vecs, dir, nCells)
+      dir
+    })
+  }
+
+  def annProjectedIvf(spark: SparkSession, sfDir: String, k: Int = AnnK,
+      m: Int = 16, nProbe: Int = 4, cand: Int = 40,
+      seed: Long = 35L): DataFrame = {
+    import spark.implicits._
+    require(cand >= k, s"cand $cand must be >= k $k")
+    val dir = projIndexDir(spark, sfDir, m, seed)
+    val candTop = annIvfIndexed(spark, dir, k = cand, nProbe = nProbe)
+      .select($"query_id", $"neighbor_id".as("vec_id"))
+    val e = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val qe = e.filter($"vec_id" < QueryIdBound)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    rankTopK(candTop
+      .join(e, Seq("vec_id"))
+      .join(broadcast(qe), Seq("query_id"))
+      .select($"query_id", $"vec_id",
+        round(VectorFunctions.cosineSim($"qe", $"embedding"), 6)
+          .as("cos")), k)
+  }
+
   /** Serving snapshots keyed by (corpus dir, stamp): ONE float index
     * write feeds BOTH read-optimized compactions (`int8/` and `pq/`
     * under the returned root) — building them is INDEX BUILD work,

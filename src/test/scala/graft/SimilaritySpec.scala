@@ -265,6 +265,38 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("cand"), ex.getMessage)
   }
 
+  test("ann_projected_ivf: staged scale path recalls the brute baseline, exact refine scores, deterministic") {
+    def sets(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => r.getLong(0) -> r.getLong(2)).groupBy(_._1)
+      .map { case (q, ps) => q -> ps.map(_._2).toSet }
+    val brute = Similarity.annBruteTopK(spark, sf).collect()
+    val bruteSets = sets(brute)
+    val bruteCos = brute.map(r =>
+      (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf = Similarity.annProjectedIvf(spark, sf, m = 32, nProbe = 8)
+      .collect()
+    val ivfSets = sets(ivf)
+    assert(ivfSets.keySet === bruteSets.keySet, "query sets differ")
+    val (h, b) = bruteSets.toSeq.map { case (q, s) =>
+      (s.intersect(ivfSets(q)).size, s.size) }
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    val recall = h.toDouble / b
+    info(f"projected-IVF recall@10: $recall%.3f")
+    // probe-geometry floor: 8 probes of ~√n cells over a 32-dim
+    // projection on the near-uniform fixture; chance is ~0.1
+    assert(recall >= 0.4, f"projected-IVF recall $recall%.3f < 0.4")
+    // surfaced pairs carry the exact float kernel's score
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      bruteCos.get(key).foreach(c => assert(c === r.getDouble(3),
+        s"refine score drifted at $key"))
+    }
+    val again = Similarity.annProjectedIvf(spark, sf, m = 32, nProbe = 8)
+      .collect()
+    assert(ivf.map(_.toString).toSeq === again.map(_.toString).toSeq,
+      "projected-IVF serve not deterministic")
+  }
+
   test("ann_recall_curve: probes buy recall monotonically, top of curve meets the serve floor, deterministic") {
     val rows = Similarity.annRecallCurve(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
