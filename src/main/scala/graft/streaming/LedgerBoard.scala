@@ -179,6 +179,94 @@ object CardBoard {
     LedgerBoard.board(spark, boardDir)
 }
 
+/** INCREMENTAL data-card board — [[CardBoard]]'s scale path: the
+  * cadence board re-reads the WHOLE document ledger per regroup,
+  * which is the honest price of exact whole-history cells (exact
+  * distinct, exact mode) but prices the board at O(corpus) per
+  * trigger. This board ledgers MERGEABLE PARTIALS instead — counts
+  * add, HLL sketches union (Spark's DataSketches hll_sketch_agg /
+  * hll_union_agg, the same register-max merge a 1000-executor rollup
+  * would ship) — so each trigger costs O(batch), the ledger holds
+  * (source × lang)-sized rows per batch, and the board is a
+  * poll-time merge over partials: no regroup cadence, always fresh.
+  * The one cell that degrades is dup_rate: exact distinct becomes the
+  * HLL estimate (~1% at lgK 12), carried as `dup_rate_approx` so the
+  * schema SAYS it's an estimate (the B13/B36 naming rule). Exactly
+  * once: a replayed trigger overwrites its own `batch=` partials. */
+object CardSketchBoard {
+  import org.apache.spark.sql.functions._
+
+  def start(docs: DataFrame, ledgerDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applyBatch(b, id, ledgerDir) }
+      .start()
+
+  /** One trigger: fold the batch into (source, lang)-keyed partials —
+    * every column either adds or unions under merge. Public so replay
+    * fences can re-invoke a delivered batch. */
+  def applyBatch(batch: DataFrame, batchId: Long,
+      ledgerDir: String): Unit = {
+    val g = graft.operators.Curation.gopherRules(batch)
+      .select(col("doc_id"), col("passed"))
+    batch.join(g, Seq("doc_id"))
+      .select(col("source").cast("string").as("source"), col("lang"),
+        size(graft.operators.TextAnalysis.tokens()).cast("long")
+          .as("n_tokens"),
+        sha2(col("text"), 256).as("h"),
+        (graft.operators.TextAnalysis.piiCount(col("text")) > 0L)
+          .as("pii_hit"),
+        col("passed"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("pii_hit"), 1L).otherwise(0L)).as("pii_docs"),
+        sum(when(col("passed"), 1L).otherwise(0L)).as("gopher_pass"),
+        hll_sketch_agg(col("h")).as("sketch"))
+      .write.mode("overwrite").parquet(s"$ledgerDir/batch=$batchId")
+  }
+
+  /** Poll-time merge: sums + sketch unions over the partial ledger —
+    * O(#batches × #sources × #langs) rows, never the corpus. */
+  def board(spark: SparkSession, ledgerDir: String): DataFrame = {
+    val p = spark.read.parquet(ledgerDir).drop("batch")
+    val perLang = p.groupBy(col("source"), col("lang"))
+      .agg(sum("n_docs").as("nl"))
+    val wL = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("nl").desc, col("lang"))
+    val top = perLang
+      .withColumn("rk",
+        org.apache.spark.sql.functions.row_number().over(wL))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("nl"))
+    p.groupBy(col("source"))
+      .agg(sum("n_docs").as("n_docs"),
+        sum("total_tokens").as("total_tokens"),
+        sum("pii_docs").as("pii_docs"),
+        sum("gopher_pass").as("gopher_pass"),
+        hll_sketch_estimate(hll_union_agg(col("sketch")))
+          .as("est_distinct"))
+      .join(top, Seq("source"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        round(col("total_tokens").cast("double") / col("n_docs"), 6)
+          .as("avg_tokens"),
+        round(lit(1.0) -
+          col("est_distinct").cast("double") / col("n_docs"), 6)
+          .as("dup_rate_approx"),
+        round(col("pii_docs").cast("double") / col("n_docs"), 6)
+          .as("pii_frac"),
+        round(col("gopher_pass").cast("double") / col("n_docs"), 6)
+          .as("gopher_pass_frac"),
+        col("top_lang"),
+        round(col("nl").cast("double") / col("n_docs"), 6)
+          .as("top_lang_share"))
+      .orderBy(col("source"))
+  }
+}
+
 /** STREAMING anomaly-ensemble board — A63's live twin on the
   * [[LedgerBoard]] cadence: the per-device multi-detector panel
   * (z-score sample counts, MAD counts, CUSUM alarm magnitude, the

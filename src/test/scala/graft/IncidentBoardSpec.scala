@@ -204,6 +204,57 @@ class IncidentBoardSpec extends SparkSpec {
       "boarded datasheet != batch C68 on replayed history")
   }
 
+  test("card sketch board: merged partials match batch C68, dup cell within sketch error, exact cells exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ledger = tmp("graft-csb-led")
+    val ckpt = tmp("graft-csb-ck")
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "lang", "text").localCheckpoint(true)
+    val rows = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSeq
+    val input = MemoryStream[(Long, String, String, String)](108, spark, None)
+    val q = graft.streaming.CardSketchBoard.start(
+      input.toDS().toDF("doc_id", "source", "lang", "text"),
+      ledger, ckpt)
+    try {
+      input.addData(rows.take(rows.length / 3))
+      q.processAllAvailable()
+      input.addData(rows.slice(rows.length / 3, 2 * rows.length / 3))
+      q.processAllAvailable()
+      input.addData(rows.drop(2 * rows.length / 3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = graft.streaming.CardSketchBoard.board(spark, ledger)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val batch = graft.operators.Curation.dataCardOf(docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(live.keySet === batch.keySet, "source sets differ")
+    batch.foreach { case (src, b) =>
+      val l = live(src)
+      // additive cells merge EXACTLY across triggers
+      assert(l.getLong(1) === b.getLong(1), s"$src n_docs")
+      assert(l.getLong(2) === b.getLong(2), s"$src total_tokens")
+      assert(l.getDouble(3) === b.getDouble(3), s"$src avg_tokens")
+      assert(l.getDouble(5) === b.getDouble(5), s"$src pii_frac")
+      assert(l.getDouble(6) === b.getDouble(6), s"$src gopher_pass_frac")
+      assert(l.getString(7) === b.getString(7), s"$src top_lang")
+      assert(l.getDouble(8) === b.getDouble(8), s"$src top_lang_share")
+      // the one estimated cell: HLL union vs exact distinct, ~1% lgK 12
+      assert(math.abs(l.getDouble(4) - b.getDouble(4)) <= 0.03,
+        s"$src dup_rate_approx ${l.getDouble(4)} vs exact ${b.getDouble(4)}")
+    }
+    // exactly-once: replaying a delivered trigger converges, never adds
+    graft.streaming.CardSketchBoard.applyBatch(
+      rows.take(rows.length / 3)
+        .toDF("doc_id", "source", "lang", "text"), 0L, ledger)
+    val replayed = graft.streaming.CardSketchBoard.board(spark, ledger)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    batch.foreach { case (src, b) =>
+      assert(replayed(src) === b.getLong(1),
+        s"$src n_docs drifted after a replayed trigger") }
+  }
+
   test("ensemble board: replayed history equals batch A63 row for row") {
     val staging = tmp("graft-eb-in")
     val ledger = tmp("graft-eb-led")
