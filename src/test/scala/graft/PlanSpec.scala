@@ -523,6 +523,47 @@ class PlanSpec extends SparkSpec {
       s"curriculum rank fell back to a global window:\n$p")
   }
 
+  test("mix temperature apply: learned budgets broadcast into the prefix-sum admission") {
+    // the C62b property on the C66 rule: the ≤#sources budget frame
+    // must broadcast — a shuffled budget join would price admission
+    // at corpus scale
+    val p = executedPlan(Curation.mixTemperatureApply(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"budget frame not broadcast into admission:\n$p")
+  }
+
+  test("cluster sample: quota runs through TopKPerKey, centroids broadcast, no window") {
+    val p = executedPlan(Curation.clusterSample(spark, sf, quota = 4))
+    // bounded heaps, not a per-cluster window — a dense cluster must
+    // never funnel through one window partition
+    assert(p.contains("TopKPerKey"),
+      s"cluster quota lost the bounded-heap operator:\n$p")
+    assert(!p.contains("Window"), s"a window crept into the quota:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroid frame not broadcast:\n$p")
+  }
+
+  test("projected IVF serve: cell partition pruning reaches the projected index scan") {
+    val p = executedPlan(Similarity.annProjectedIvf(spark, sf))
+    // the entire point of staging the projection: probes read ONLY
+    // their cells' directories of m-dim rows
+    assert(p.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("cell")),
+      s"projected index scan reads all cells:\n$p")
+    assert(p.contains("graft-proj-ivf"),
+      s"candidates not served from the staged projected index:\n$p")
+  }
+
+  test("data card: the C50 frame joins doc-keyed, aggregates land on source keys") {
+    val p = executedPlan(Curation.dataCard(spark, sf))
+    // no all-pairs anything: the only join is doc-keyed (plus the
+    // bounded top-lang join) — a cartesian would mean the card
+    // re-derived a member signal against itself
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the data card:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+  }
+
   test("embed outliers: one cell-partitioned window, vectors never ride the exchange") {
     val p = finalPlan(Similarity.embedOutliers(spark, sf))
     assert(!p.contains("SinglePartition"), s"global window crept in:\n$p")
