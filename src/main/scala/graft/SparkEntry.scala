@@ -435,6 +435,7 @@ object SparkEntry {
     "text_pii_scrub" -> (TextAnalysis.textPiiScrub _),
     "pii_report" -> (TextAnalysis.piiReport _),
     "text_normalize" -> (TextAnalysis.textNormalize _),
+    "normalize_impact" -> (TextAnalysis.normalizeImpact _),
     "word_freq_topk_approx" -> ((s: SparkSession, d: String) =>
       TextAnalysis.wordFreqTopKApprox(s, d)),
     "corpus_stats" -> (TextAnalysis.corpusStats _),
@@ -655,6 +656,7 @@ object SparkEntry {
     "text_pii_scrub" -> TextAnalysis.textPiiScrubSql,
     "pii_report" -> TextAnalysis.piiReportSql,
     "text_normalize" -> TextAnalysis.textNormalizeSql,
+    "normalize_impact" -> TextAnalysis.normalizeImpactSql,
     "corpus_stats" -> TextAnalysis.corpusStatsSql,
     "tfidf_top" -> TextAnalysis.tfIdfTopSql,
     "text_lm_score" -> TextAnalysis.textLmScoreSql,

@@ -786,6 +786,45 @@ object TextAnalysis {
       |  CAST(length(norm_text) AS INTEGER) AS chars_out
       |FROM n ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- E38b
+  /** NORMALIZATION IMPACT — the before/after audit that justifies
+    * running E38 at all: per source, exact-distinct counts of the RAW
+    * text vs the NORMALIZED text. Every `dups_surfaced` unit is a
+    * duplicate C1 was blind to — the same document differing only in
+    * composition form, case, or whitespace — i.e. dedup recall E38
+    * buys for free. One scan, two hashes per doc, a ≤#sources
+    * aggregate. */
+  def normalizeImpactOf(docs: DataFrame, stratumCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(stratumCol).cast("string").as("source"),
+        sha2(col("text"), 256).as("hr"),
+        sha2(graft.functions.TextFunctions.normalizeText(col("text")),
+          256).as("hn"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"hr").as("distinct_raw"),
+        countDistinct($"hn").as("distinct_norm"))
+      .withColumn("dups_surfaced", $"distinct_raw" - $"distinct_norm")
+      .orderBy($"source")
+  }
+
+  def normalizeImpact(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeImpactOf(Tables.documents(spark, sfDir), "source")
+
+  val normalizeImpactSql: String =
+    """WITH x AS (
+      |  SELECT CAST(source AS VARCHAR) AS source,
+      |    sha256(text) AS hr,
+      |    sha256(trim(regexp_replace(lower(nfc_normalize(text)),
+      |      '[ \t\n\r\f]+', ' ', 'g'))) AS hn
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT hr) AS distinct_raw,
+      |  COUNT(DISTINCT hn) AS distinct_norm,
+      |  COUNT(DISTINCT hr) - COUNT(DISTINCT hn) AS dups_surfaced
+      |FROM x GROUP BY source ORDER BY source""".stripMargin
+
   // --------------------------------------------------------------- E10
   /** One-row corpus dashboard: the summary a pipeline operator checks
     * before/after every curation sweep — doc and token volume, length

@@ -218,6 +218,23 @@ class TextAnalysisSpec extends SparkSpec {
       ex.getMessage)
   }
 
+  test("normalize impact: composition/case/whitespace twins collapse, raw distincts stand") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a", "Hello World"),
+      (2L, "a", "hello   world"),  // whitespace + case twin of 1
+      (3L, "a", "hello world"),    // the canonical form itself
+      (4L, "a", "something else"),
+      (10L, "b", "unique here"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.normalizeImpactOf(docs, "source").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // raw: 4 distinct texts in a; normalized: docs 1/2/3 collapse to 1
+    assert(got("a") === ((4L, 4L, 2L, 2L)), s"source a: $got")
+    assert(got("b") === ((1L, 1L, 1L, 0L)), s"source b: $got")
+  }
+
   test("pii report: per-source hit totals and affected fractions are exact, stream twin matches the batch scrub") {
     val planted = Seq(
       (1L, "a", "contact alice.smith+spam@example.co.uk or call 555-123-4567 now"),
