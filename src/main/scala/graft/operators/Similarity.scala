@@ -808,6 +808,93 @@ object Similarity {
       .partitionBy("batch", "cell").parquet(s"$indexDir/vectors")
   }
 
+  // -------------------------------------------------------------- D37
+  /** STREAMING VECTOR INGEST → the persisted IVF index — C65's
+    * contract for the vector store (the r12 LSH fix, applied to the
+    * other index family): without it, ingest-time embedding dedup
+    * state and the staged searchable index drift apart; with it the
+    * index is at all times exactly "base corpus + everything ingest
+    * admitted", and every probe tier reads one truth.
+    *
+    * EXACTLY-ONCE under replay, by the same two fences as C65:
+    * (1) appends are idempotent per batch id ([[appendToIvfIndex]]'s
+    * dynamic partition overwrite — a replayed write REPLACES its own
+    * `batch=ingest-N` partitions), and (2) the admission probe
+    * EXCLUDES the current batch's own partitions, so a vector
+    * appended by a crashed attempt cannot match itself and flip its
+    * own decision on the re-run. Decisions are a pure function of
+    * (index-before-this-batch, batch content).
+    *
+    * Admission is deterministic keep-first: a fresh vector drops iff
+    * it scores cos ≥ threshold against a CORPUS vector in a probed
+    * cell, or against a SMALLER fresh id (C38's collapse direction).
+    * Scale: the corpus side is the cell-pruned probe (nProbe cells
+    * per fresh vector — a missed duplicate in an unprobed cell is the
+    * standard IVF recall trade, bought back with probes); the
+    * fresh×fresh check is batch-sized and pair-ceiling guarded —
+    * nothing scans the full corpus per trigger. */
+  def ivfIngestStream(vecs: DataFrame, indexDir: String,
+      threshold: Double = 0.9, nProbe: Int = 8)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      ivfIngestBatch(batch, batchId, indexDir, threshold, nProbe, sink)
+    }
+
+  /** The per-trigger body — public so a replay test (or a manual
+    * backfill) can re-run one batch and observe convergence. `sink`
+    * receives the ADMITTED slice and must materialize synchronously
+    * (the repo's foreachBatch contract). */
+  def ivfIngestBatch(batch: DataFrame, batchId: Long, indexDir: String,
+      threshold: Double = 0.9, nProbe: Int = 8,
+      sink: (DataFrame, Long) => Unit = (_, _) => ()): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val bid = s"ingest-$batchId"
+    // pin the batch: probe, fresh-pair check, and append must all read
+    // ONE snapshot of a possibly nondeterministic source
+    val b = batch.localCheckpoint(true)
+    try {
+      if (b.isEmpty) { sink(b, batchId); return }
+      val n = b.count()
+      require(n * n <= BruteForceMaxPairs,
+        s"fresh-batch self-check would score ${n * n} pairs " +
+          s"(> $BruteForceMaxPairs); split the trigger")
+      // corpus probe, own-batch partitions excluded (the replay fence)
+      val vectors = Tombstones.applyTo(
+          spark.read.parquet(s"$indexDir/vectors"), spark, indexDir,
+          "vec_id")
+        .filter($"batch" =!= bid)
+      val centroidDf = spark.read.parquet(s"$indexDir/centroids")
+      val probes = collectProbes(
+        b.select($"vec_id".as("query_id"), $"embedding".as("qe")),
+        centroidDf, nProbe)
+      val probedCells = probes.map(_._3).distinct
+      val probesLocal = probes.toDF("query_id", "qe", "cell")
+      val corpusDrops = vectors.filter($"cell".isin(probedCells: _*))
+        .join(broadcast(probesLocal), Seq("cell"))
+        .filter(round(VectorFunctions.cosineSim($"qe", $"embedding"), 6)
+          >= threshold)
+        .select($"query_id".as("__drop"))
+      // fresh×fresh: the larger id of a near-dup pair drops (keep-first)
+      val freshDrops = b.select($"vec_id".as("id1"), $"embedding".as("e1"))
+        .join(broadcast(
+          b.select($"vec_id".as("id2"), $"embedding".as("e2"))),
+          col("id1") < col("id2"))
+        .filter(round(VectorFunctions.cosineSim($"e1", $"e2"), 6)
+          >= threshold)
+        .select($"id2".as("__drop"))
+      val drops = corpusDrops.unionByName(freshDrops).distinct()
+      val admitted = b.join(drops, b("vec_id") === drops("__drop"),
+          "left_anti")
+        .localCheckpoint(true) // decisions FROZEN before the index moves
+      try {
+        appendToIvfIndex(spark, admitted, indexDir, bid)
+        sink(admitted, batchId)
+      } finally graft.Tables.unpinCheckpoint(admitted)
+    } finally graft.Tables.unpinCheckpoint(b)
+  }
+
   /** Compact a staged IVF index — the `Dedup.compactLshIndex` pattern
     * for the vector table: appended `batch=` partitions fold into one
     * `base` set per cell (restoring large files and single-listing

@@ -297,6 +297,55 @@ class SimilaritySpec extends SparkSpec {
       "projected-IVF serve not deterministic")
   }
 
+  test("ivf ingest stream: corpus dups drop, fresh keep-first, index moves, replay converges") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-ingest").toString
+    // nCells=1: every probe scans the whole (tiny) index, so admission
+    // decisions are exact and the spec is fully hand-checkable
+    val base = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    Similarity.writeIvfIndexOf(base, dir, nCells = 1)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    val input = MemoryStream[(Long, Array[Float])](232, spark, None)
+    val q = Similarity.ivfIngestStream(
+        input.toDS().toDF("vec_id", "embedding"), dir) { (adm, id) =>
+        got += ((id, adm.collect().map(_.getLong(0)).toSet))
+      }.start()
+    try {
+      // 10 duplicates corpus vec 1 → drops; 11 is novel → admits;
+      // 12 duplicates FRESH 11 → keep-first drops the larger id
+      input.addData((10L, Array(1f, 0f, 0f, 0f)),
+        (11L, Array(0f, 0f, 0f, 1f)), (12L, Array(0f, 0f, 0f, 1f)))
+      q.processAllAvailable()
+      // 20 duplicates 11 — which ingest just appended: the index MOVED
+      // and the gate reads it; 21 sits at cos .5 from everyone → admits
+      input.addData((20L, Array(0f, 0f, 0f, 1f)),
+        (21L, Array(0.5f, 0.5f, 0.5f, 0.5f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSeq === Seq((0L, Set(11L)), (1L, Set(21L))),
+      s"admission log: $got")
+    val staged = spark.read.parquet(s"$dir/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(staged === Set(1L, 2L, 3L, 11L, 21L),
+      s"index is not base + admitted: $staged")
+    // the replay fence: re-running a delivered trigger converges — the
+    // same admitted set, no duplicate rows in the index
+    var replayAdmitted = Set.empty[Long]
+    Similarity.ivfIngestBatch(
+      Seq((10L, Array(1f, 0f, 0f, 0f)), (11L, Array(0f, 0f, 0f, 1f)),
+        (12L, Array(0f, 0f, 0f, 1f))).toDF("vec_id", "embedding"),
+      0L, dir,
+      sink = (adm, _) =>
+        replayAdmitted = adm.collect().map(_.getLong(0)).toSet)
+    assert(replayAdmitted === Set(11L), s"replay drifted: $replayAdmitted")
+    val after = spark.read.parquet(s"$dir/vectors")
+      .groupBy().count().head().getLong(0)
+    assert(after === 5L, s"replay duplicated index rows: $after")
+  }
+
   test("ann_recall_curve: probes buy recall monotonically, top of curve meets the serve floor, deterministic") {
     val rows = Similarity.annRecallCurve(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
