@@ -229,6 +229,27 @@ object CardSketchBoard {
       .write.mode("overwrite").parquet(s"$ledgerDir/batch=$batchId")
   }
 
+  /** Compact the partial ledger — the index-family lifecycle applied
+    * to board partials: a long-lived ingest leaves one `batch=`
+    * directory per trigger, and the poll-time merge eventually pays
+    * a listing/read per batch; compaction folds every partial into
+    * ONE `batch=base` set per (source, lang) — counts sum, sketches
+    * union into a single sketch (the merge is associative, so the
+    * compacted ledger boards IDENTICALLY). Functional: writes only
+    * `dstDir`, a crash leaves the live ledger untouched; swap and
+    * delete src afterwards (the compactLshIndex contract). */
+  def compact(spark: SparkSession, ledgerDir: String,
+      dstDir: String): Unit = {
+    spark.read.parquet(ledgerDir).drop("batch")
+      .groupBy(col("source"), col("lang"))
+      .agg(sum("n_docs").as("n_docs"),
+        sum("total_tokens").as("total_tokens"),
+        sum("pii_docs").as("pii_docs"),
+        sum("gopher_pass").as("gopher_pass"),
+        hll_union_agg(col("sketch")).as("sketch"))
+      .write.mode("overwrite").parquet(s"$dstDir/batch=base")
+  }
+
   /** Poll-time merge: sums + sketch unions over the partial ledger —
     * O(#batches × #sources × #langs) rows, never the corpus. */
   def board(spark: SparkSession, ledgerDir: String): DataFrame = {

@@ -253,6 +253,18 @@ class IncidentBoardSpec extends SparkSpec {
     batch.foreach { case (src, b) =>
       assert(replayed(src) === b.getLong(1),
         s"$src n_docs drifted after a replayed trigger") }
+    // compaction: the folded ledger boards IDENTICALLY (sketch union
+    // is associative), from one base partial set
+    val compacted = tmp("graft-csb-cmp")
+    graft.streaming.CardSketchBoard.compact(spark, ledger, compacted)
+    val cmp = graft.streaming.CardSketchBoard.board(spark, compacted)
+    val full = graft.streaming.CardSketchBoard.board(spark, ledger)
+    assert(cmp.exceptAll(full).count() === 0 &&
+      full.exceptAll(cmp).count() === 0,
+      "compacted ledger boards differently")
+    assert(spark.read.parquet(compacted).select("batch").distinct()
+      .collect().map(_.getString(0)).toSeq === Seq("base"),
+      "compaction left more than the base batch")
   }
 
   test("ensemble board: replayed history equals batch A63 row for row") {
