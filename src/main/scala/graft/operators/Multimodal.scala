@@ -650,8 +650,12 @@ object Multimodal {
   private def frameIndexDir(spark: SparkSession, sfDir: String): String = {
     import spark.implicits._
     val stamp = Tables.pathStamp(spark, s"$sfDir/documents.parquet")
-    frameIndexCache.filterInPlace { case ((d, st), _) =>
-      d != sfDir || st == stamp }
+    // stale corpus versions' staged dirs are reaped at JVM exit (a
+    // returned lazy plan may still scan them — the snapshotCache rule)
+    frameIndexCache.filterInPlace { case ((d, st), dir) =>
+      val stale = d == sfDir && st != stamp
+      if (stale) Dedup.deleteAtExit(dir)
+      !stale }
     frameIndexCache.getOrElseUpdate((sfDir, stamp), {
       val media = Tables.documents(spark, sfDir)
         .select($"doc_id", $"text".cast("binary"))

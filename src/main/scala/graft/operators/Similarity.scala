@@ -1566,8 +1566,12 @@ object Similarity {
   private def projIndexDir(spark: SparkSession, sfDir: String, m: Int,
       seed: Long): String = {
     val stamp = Tables.pathStamp(spark, s"$sfDir/embeddings.parquet")
-    projIvfCache.filterInPlace { case ((d, st, _, _), _) =>
-      d != sfDir || st == stamp }
+    // stale corpus versions' staged dirs are reaped at JVM exit (a
+    // returned lazy plan may still scan them — the snapshotCache rule)
+    projIvfCache.filterInPlace { case ((d, st, _, _), dir) =>
+      val stale = d == sfDir && st != stamp
+      if (stale) Dedup.deleteAtExit(dir)
+      !stale }
     projIvfCache.getOrElseUpdate((sfDir, stamp, m, seed), {
       val vecs = embedProject(spark, sfDir, m, seed)
         .select(col("vec_id"), col("proj").cast("array<float>")

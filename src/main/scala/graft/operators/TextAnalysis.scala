@@ -326,8 +326,12 @@ object TextAnalysis {
       testFrac: Double = 0.05, seed: Long = 11L): DataFrame = {
     import spark.implicits._
     val stamp = Tables.pathStamp(spark, s"$sfDir/documents.parquet")
-    langModelDirCache.filterInPlace { case ((d, st, _), _) =>
-      d != sfDir || st == stamp }
+    // stale corpus versions' staged dirs are reaped at JVM exit (a
+    // returned lazy plan may still scan them — the snapshotCache rule)
+    langModelDirCache.filterInPlace { case ((d, st, _), dir) =>
+      val stale = d == sfDir && st != stamp
+      if (stale) Dedup.deleteAtExit(dir)
+      !stale }
     val dir = langModelDirCache.getOrElseUpdate((sfDir, stamp, nBuckets), {
       val docs = Tables.documents(spark, sfDir)
       val split = Curation.splitAssign(docs, valFrac, testFrac, seed)
@@ -2453,8 +2457,12 @@ object TextAnalysis {
   private def servedTokDir(spark: SparkSession, sfDir: String,
       key: String)(write: String => Unit): String = {
     val stamp = Tables.pathStamp(spark, s"$sfDir/documents.parquet")
-    tokDirCache.filterInPlace { case ((d, st, _), _) =>
-      d != sfDir || st == stamp }
+    // stale corpus versions' staged dirs are reaped at JVM exit (the
+    // snapshotCache rule)
+    tokDirCache.filterInPlace { case ((d, st, _), dir) =>
+      val stale = d == sfDir && st != stamp
+      if (stale) Dedup.deleteAtExit(dir)
+      !stale }
     tokDirCache.getOrElseUpdate((sfDir, stamp, key), {
       val dir = java.nio.file.Files
         .createTempDirectory("graft-tokenizer").toString
