@@ -296,6 +296,8 @@ object SparkEntry {
       Curation.mixTemperatureApply(s, d)),
     "data_card" -> ((s: SparkSession, d: String) =>
       Curation.dataCard(s, d)),
+    "cluster_budget" -> ((s: SparkSession, d: String) =>
+      Curation.clusterBudget(s, d)),
     "cluster_sample" -> ((s: SparkSession, d: String) =>
       Curation.clusterSample(s, d)),
     "cluster_sample_frontier" -> ((s: SparkSession, d: String) =>
@@ -417,6 +419,8 @@ object SparkEntry {
       TextAnalysis.langClassifierIndexed(s, d)),
     "classifier_serve_indexed" -> ((s: SparkSession, d: String) =>
       Curation.classifierServeIndexed(s, d)),
+    "classifier_serve_calibrated" -> ((s: SparkSession, d: String) =>
+      Curation.classifierServeCalibratedQuery(s, d)),
     "quality_rank_cut" -> (Curation.qualityRankCutQuery _),
     "budget_select" -> (Curation.budgetSelectQuery _),
     "text_readability" -> (TextAnalysis.textReadability _),

@@ -3155,6 +3155,45 @@ object Curation {
       .orderBy($"cluster_id", $"doc_id")
   }
 
+  // ------------------------------------------------------------ C67b
+  /** CLUSTER TOKEN BUDGETS — C67's quota counted in the unit a
+    * training mix actually states: the SAME equal-per-region
+    * diversity contract, admission denominated in TOKENS through the
+    * C14 prefix-sum kernel with the CLUSTER as the stratum (one
+    * kernel, third stratum type: source → lang → embedding region).
+    * Admission order is stable doc_id (the C14 contract — the budget
+    * caps each region's token mass; C67's prototype/frontier modes
+    * are the centrality-ORDERED siblings). Scale: assignment is one
+    * map pass, the kernel is the audited two-pass bucketed prefix
+    * sum; rows-only (k-means centroids — D13's reason). */
+  def clusterBudget(spark: SparkSession, sfDir: String,
+      budgetTokens: Long = 2000, nClusters: Int = 16): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens $budgetTokens must be >= 0")
+    val centroids = Similarity.corpusCentroids(spark, sfDir, nClusters)
+    clusterBudgetOf(
+      Tables.documents(spark, sfDir),
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("doc_id"), col("embedding")),
+      centroids, budgetTokens)
+  }
+
+  def clusterBudgetOf(docs: DataFrame, embeds: DataFrame,
+      centroids: Array[Array[Double]], budgetTokens: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(centroids.nonEmpty, "need at least one centroid")
+    val assigned = docs.join(embeds, Seq("doc_id"))
+      .withColumn("cluster_id", graft.functions.VectorFunctions
+        .nearestCentroid($"embedding", centroids))
+      .withColumn("n_tokens", size(TextAnalysis.tokens()).cast("long"))
+      .select($"doc_id", $"source", $"cluster_id", $"n_tokens")
+    Scale.stratifiedPrefixSum(assigned, "cluster_id", "doc_id",
+        "n_tokens", "__ca")
+      .filter(col("__ca") <= budgetTokens)
+      .drop("__ca")
+      .orderBy($"cluster_id", $"doc_id")
+  }
+
   // ------------------------------------------------------------- C39
   /** STREAMING DSIR admission — C37's live twin, the ingest-time
     * "does this look like the target domain?" gate (the shape C29's
@@ -3922,6 +3961,49 @@ object Curation {
         (col("z") > threshold).as("keep"))
   }
 
+  // ------------------------------------------------------------ C69b
+  /** RECALIBRATED SERVING — C69 closed into the serving tier: the
+    * calibration report says whether the z-score can be trusted as a
+    * rate; THIS makes it one. Pool-adjacent-violators isotonic
+    * regression over the C69 bins (n-weighted, the classic monotone
+    * fit — driver-side over ≤ nBins rows, the C64 argmax class) turns
+    * (mean_score, pos_rate) into a monotone step map, and serving
+    * stamps each scored doc with the step's level as `p_keep` — a
+    * probability a DSIR-style weighted sampler can multiply, where
+    * the raw z-score was rank-information only. The step map rides
+    * the plan as ≤ nBins literals (codegen'd when-chain, no join). */
+  private[graft] def pavaFit(
+      bins: Seq[(Double, Double, Long)]): Seq[(Double, Double)] = {
+    require(bins.nonEmpty, "calibration frame is empty — build it " +
+      "with classifierCalibrationOf over a labeled corpus")
+    val st = scala.collection.mutable.ArrayBuffer
+      .empty[(Double, Double, Long)] // (left edge score, level, weight)
+    bins.sortBy(_._1).foreach { case (s, r, n) =>
+      st += ((s, r, n))
+      while (st.length >= 2 && st(st.length - 2)._2 > st.last._2) {
+        val (_, r2, n2) = st.remove(st.length - 1)
+        val (s1, r1, n1) = st.remove(st.length - 1)
+        st += ((s1, (r1 * n1 + r2 * n2) / (n1 + n2), n1 + n2))
+      }
+    }
+    st.map(x => (x._1, x._2)).toSeq
+  }
+
+  def classifierServeCalibrated(docs: DataFrame, model: Array[Double],
+      calibration: DataFrame, threshold: Double = 0.0): DataFrame = {
+    // ≤ nBins rows — driver-bounded by construction
+    val bins = calibration
+      .select(col("mean_score"), col("pos_rate"), col("n")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSeq
+    val steps = pavaFit(bins)
+    val prob = steps.tail.foldLeft(lit(steps.head._2)) {
+      case (acc, (edge, lvl)) =>
+        when(col("nb_z") >= edge, lvl).otherwise(acc)
+    }
+    classifierServe(docs, model, threshold)
+      .withColumn("p_keep", round(prob, 6))
+  }
+
   // ------------------------------------------------------------- C60c
   /** TRAINING-TIME SCORE PROFILE — the reference artifact the serving
     * drift gate compares against: the score distribution (mean, spread,
@@ -4549,18 +4631,37 @@ object Curation {
     * written once per corpus version (the C10 temp-dir discipline). */
   private val bundleDirCache = scala.collection.concurrent.TrieMap
     .empty[(String, Long, Int), String]
-  def classifierServeIndexed(spark: SparkSession, sfDir: String,
-      nBuckets: Int = 4096): DataFrame = {
+  private def servedBundleDir(spark: SparkSession, sfDir: String,
+      nBuckets: Int): String = {
     val stamp = Tables.pathStamp(spark, s"$sfDir/documents.parquet")
-    bundleDirCache.filterInPlace { case ((d, st, _), _) =>
-      d != sfDir || st == stamp }
-    val dir = bundleDirCache.getOrElseUpdate((sfDir, stamp, nBuckets), {
+    // stale corpus versions' staged dirs are reaped at JVM exit (the
+    // snapshotCache rule)
+    bundleDirCache.filterInPlace { case ((d, st, _), dir) =>
+      val stale = d == sfDir && st != stamp
+      if (stale) Dedup.deleteAtExit(dir)
+      !stale }
+    bundleDirCache.getOrElseUpdate((sfDir, stamp, nBuckets), {
       val d = java.nio.file.Files
         .createTempDirectory("graft-classifier").toString
       writeQualityClassifier(spark, sfDir, d, nBuckets)
       d
     })
-    classifierServeFrom(spark, dir, Tables.documents(spark, sfDir))
+  }
+
+  def classifierServeIndexed(spark: SparkSession, sfDir: String,
+      nBuckets: Int = 4096): DataFrame =
+    classifierServeFrom(spark, servedBundleDir(spark, sfDir, nBuckets),
+      Tables.documents(spark, sfDir))
+      .orderBy(col("doc_id"))
+
+  /** C69b's driver entry: the staged bundle's model served through
+    * the isotonic step map fitted on the cached C69 report. */
+  def classifierServeCalibratedQuery(spark: SparkSession, sfDir: String,
+      nBuckets: Int = 4096, nBins: Int = 10): DataFrame = {
+    val b = readQualityClassifier(spark,
+      servedBundleDir(spark, sfDir, nBuckets))
+    classifierServeCalibrated(Tables.documents(spark, sfDir), b.model,
+      classifierCalibration(spark, sfDir, nBuckets, nBins), b.threshold)
       .orderBy(col("doc_id"))
   }
 

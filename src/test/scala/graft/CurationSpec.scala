@@ -862,6 +862,82 @@ class CurationSpec extends SparkSpec {
     assert(drv.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("cluster_budget: per-region token budgets bind in stable doc order") {
+    def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    val centroids = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+    // cluster 0: docs 1/2/3 at 6/5/4 tokens; cluster 1: docs 11/12 at
+    // 8/8 — a budget of 10 admits {1, 2(cum 11 > 10? no...)}
+    val docs = Seq(
+      (1L, "a", words(6)), (2L, "a", words(5)), (3L, "a", words(4)),
+      (11L, "b", words(8)), (12L, "b", words(8)))
+      .toDF("doc_id", "source", "text")
+    val embeds = Seq(
+      (1L, Array(0.1f, 0f)), (2L, Array(0.2f, 0f)), (3L, Array(0.3f, 0f)),
+      (11L, Array(10f, 10f)), (12L, Array(10f, 10.2f)))
+      .toDF("doc_id", "embedding")
+    def kept(budget: Long) =
+      Curation.clusterBudgetOf(docs, embeds, centroids, budget)
+        .collect().map(_.getLong(0)).toSet
+    // budget 11: cluster 0 admits 1 (6) and 2 (cum 11), not 3 (15);
+    // cluster 1 admits 11 (8), not 12 (16)
+    assert(kept(11L) === Set(1L, 2L, 11L), s"budget 11: ${kept(11L)}")
+    // budget 8: doc 1 alone busts nothing (6 <= 8); 2 pushes past
+    assert(kept(8L) === Set(1L, 11L), s"budget 8: ${kept(8L)}")
+    // a budget beyond both regions admits everything
+    assert(kept(100L) === Set(1L, 2L, 3L, 11L, 12L))
+    // the driver entry: per-cluster token mass never exceeds budget
+    val drv = Curation.clusterBudget(spark, sf, budgetTokens = 300)
+    val masses = drv.groupBy($"cluster_id")
+      .agg(org.apache.spark.sql.functions.sum($"n_tokens").as("m"))
+      .collect().map(_.getLong(1))
+    assert(masses.nonEmpty && masses.forall(_ <= 300L),
+      s"cluster budget violated: ${masses.toSeq}")
+  }
+
+  test("classifier recalibration: PAVA pools violators, served p_keep is monotone and separates classes") {
+    // the fit itself: a non-monotone middle pools n-weighted
+    val steps = Curation.pavaFit(Seq(
+      (-1.0, 0.0, 10L), (0.0, 0.6, 10L), (1.0, 0.4, 10L), (2.0, 1.0, 10L)))
+    assert(steps === Seq((-1.0, 0.0), (0.0, 0.5), (2.0, 1.0)),
+      s"PAVA steps: $steps")
+    // weighted pooling: the heavy bin dominates the pooled level
+    val weighted = Curation.pavaFit(Seq((0.0, 0.9, 30L), (1.0, 0.1, 10L)))
+    assert(weighted.length === 1 &&
+      math.abs(weighted.head._2 - 0.7) < 1e-12, s"weighted: $weighted")
+    // an empty calibration fails by name
+    val ex = intercept[IllegalArgumentException] { Curation.pavaFit(Nil) }
+    assert(ex.getMessage.contains("calibration"), ex.getMessage)
+    // end to end on the separable corpus: calibrated serving maps the
+    // positive class to a strictly higher p_keep than the negative
+    val pos = (1L to 4L).map(i => (i, "s", "alpha beta alpha beta alpha beta"))
+    val neg = (11L to 14L).map(i => (i, "s", "xxq yyq xxq yyq xxq yyq"))
+    val docs = (pos ++ neg).toDF("doc_id", "source", "text")
+    val truth = ((1L to 4L).map((_, true)) ++ (11L to 14L).map((_, false)))
+      .toDF("doc_id", "is_pos")
+    val split = Seq(1L -> "train", 2L -> "train", 3L -> "val", 4L -> "val",
+      11L -> "train", 12L -> "train", 13L -> "val", 14L -> "val")
+      .toDF("doc_id", "split")
+    val model = Curation.qualityClassifierModel(docs,
+      truth.join(split.filter($"split" === "train").select("doc_id"),
+        Seq("doc_id")))
+    val calib = Curation.classifierCalibrationOf(docs, truth, split,
+      nBins = 2)
+    val served = Curation.classifierServeCalibrated(docs, model, calib)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(3)))
+      .toMap
+    served.values.foreach { case (_, p) => assert(p >= 0.0 && p <= 1.0) }
+    // monotone: sort by score, p_keep never decreases
+    val byScore = served.values.toSeq.sortBy(_._1)
+    byScore.zip(byScore.tail).foreach { case ((_, p1), (_, p2)) =>
+      assert(p2 >= p1, s"p_keep not monotone in score: $byScore") }
+    assert(served(1L)._2 > served(11L)._2,
+      s"classes not separated: ${served.toSeq.sortBy(_._1)}")
+    // the driver entry runs the staged bundle through the cached curve
+    val drv = Curation.classifierServeCalibratedQuery(spark, sf).collect()
+    assert(drv.nonEmpty && drv.forall { r =>
+      val p = r.getDouble(3); p >= 0.0 && p <= 1.0 })
+  }
+
   test("classifier_report: heldout doc with train-UNSEEN vocabulary scores at the w0 floor") {
     // The r12 ADVICE divergence: C61 trains on the train split only,
     // so a heldout doc can carry buckets absent from the weight table.
