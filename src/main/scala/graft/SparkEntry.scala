@@ -67,6 +67,8 @@ object SparkEntry {
     "mon_top_error_devices_approx" -> ((s: SparkSession, d: String) =>
       Monitoring.topErrorDevicesApprox(s, d)),
     "mon_mttr" -> (Monitoring.mttr _),
+    "mon_series_search" -> ((s: SparkSession, d: String) =>
+      Monitoring.seriesSearch(s, d)),
     "q_string_agg" -> (Relational.qStringAgg _),
     "q_salted_join" -> (Relational.qSaltedJoin _),
     "q_bloom_join" -> (Relational.qBloomJoin _),
@@ -561,6 +563,7 @@ object SparkEntry {
     "q_retention_cohorts" -> Relational.qRetentionCohortsSql,
     "mon_status_flaps" -> Monitoring.statusFlapsSql(),
     "mon_cross_corr" -> Monitoring.crossCorrSql(),
+    "mon_series_search" -> Monitoring.seriesSearchSql(),
     "mon_cross_corr_anomalies" -> Monitoring.crossCorrAnomaliesSql(),
     "mon_incident_pairs" -> Monitoring.incidentPairsSql(corrThreshold = 0.3),
     "mon_budget_eta" ->

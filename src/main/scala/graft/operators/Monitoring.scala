@@ -1693,6 +1693,115 @@ object Monitoring {
        |FROM v WHERE varx > 0.0 AND vary > 0.0
        |ORDER BY device_a, device_b""".stripMargin
 
+  // ---------------------------------------------------------------- A68
+  /** TIME-SERIES SIMILARITY SEARCH — the retrieval shape A45 is not
+    * (EDBT'19's streaming-series search problem, batch form): A45
+    * screens a bounded PANEL all-pairs ("did these degrade
+    * together"); THIS takes ONE query device and ranks the whole
+    * fleet by series similarity ("which devices behave like this
+    * one" — the triage question after an incident names a culprit).
+    * Cost is fleet × 1, not panel², so no panel cap is needed.
+    * Similarity is Pearson over the SAME aligned 6-hour decimal
+    * bucket sums as A45 (one definition of the series, shared
+    * upstream); for z-normalized series the distance identity
+    * dist_z = √(2·(1−r)) makes the correlation ranking EXACTLY the
+    * z-distance ranking, and the report carries both columns.
+    *
+    * Query selection is deterministic: the top-volume device (count
+    * desc, id) — the device an incident most likely names; `Of` takes
+    * any query frame. Scale: bucket sums are one exchange; the query
+    * series (≤ windows buckets) BROADCASTS into every candidate's
+    * partition — the brute-ANN query-side-broadcast shape on series;
+    * top-k is orderBy+limit = TakeOrdered bounded heaps. Oracle: sums
+    * ride DECIMAL (order-free), the closing arithmetic is IEEE-only
+    * (sqrt is correctly rounded by the standard), so the unrounded
+    * doubles agree and the 6-decimal display rounding is safe. */
+  def seriesSearch(spark: SparkSession, sfDir: String, k: Int = 10,
+      minBuckets: Long = 24): DataFrame =
+    seriesSearchOf(Tables.events(spark, sfDir), k, minBuckets)
+
+  def seriesSearchOf(events: DataFrame, k: Int,
+      minBuckets: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"k $k must be >= 1")
+    require(minBuckets >= 2, s"minBuckets $minBuckets must be >= 2")
+    val hourly = events
+      .filter($"value".isNotNull)
+      .groupBy($"user_id",
+        expr("unix_micros(ts) div 21600000000").as("bucket"))
+      .agg(sum($"value".cast("decimal(18,4)")).cast("decimal(18,4)")
+        .as("hv"))
+    val qDev = events
+      .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"user_id").limit(1)
+      .select($"user_id")
+    val q = hourly.join(broadcast(qDev), Seq("user_id"))
+      .select($"user_id".as("query_device"), $"bucket", $"hv".as("qv"))
+    hourly.join(broadcast(q), Seq("bucket"))
+      .filter($"user_id" =!= $"query_device")
+      .groupBy($"query_device", $"user_id".as("device"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum($"qv").cast("decimal(38,4)").cast("double").as("sx"),
+        sum($"hv").cast("decimal(38,4)").cast("double").as("sy"),
+        sum($"qv" * $"hv").cast("decimal(38,4)").cast("double").as("sxy"),
+        sum($"qv" * $"qv").cast("decimal(38,4)").cast("double").as("sxx"),
+        sum($"hv" * $"hv").cast("decimal(38,4)").cast("double").as("syy"))
+      .filter($"n_buckets" >= minBuckets)
+      .withColumn("varx",
+        greatest($"n_buckets" * $"sxx" - $"sx" * $"sx", lit(0.0)))
+      .withColumn("vary",
+        greatest($"n_buckets" * $"syy" - $"sy" * $"sy", lit(0.0)))
+      .filter($"varx" > 0.0 && $"vary" > 0.0)
+      // dist derives from the ROUNDED corr — the engine-portable
+      // handoff value both engines print (the C62 rule)
+      .withColumn("corr_hv",
+        round(($"n_buckets" * $"sxy" - $"sx" * $"sy") /
+          (sqrt($"varx") * sqrt($"vary")), 6))
+      .select($"query_device", $"device", $"n_buckets", $"corr_hv",
+        round(sqrt(greatest(lit(2.0) * (lit(1.0) - $"corr_hv"),
+          lit(0.0))), 6).as("dist_z"))
+      .orderBy($"corr_hv".desc, $"device")
+      .limit(k)
+  }
+
+  def seriesSearchSql(k: Int = 10, minBuckets: Long = 24): String =
+    s"""WITH hourly AS (
+       |  SELECT user_id, epoch_us(ts) // 21600000000 AS bucket,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS hv
+       |  FROM events WHERE value IS NOT NULL
+       |  GROUP BY user_id, epoch_us(ts) // 21600000000),
+       |qd AS (
+       |  SELECT user_id FROM events GROUP BY user_id
+       |  ORDER BY COUNT(*) DESC, user_id LIMIT 1),
+       |q AS (
+       |  SELECT hourly.user_id AS query_device, bucket, hv AS qv
+       |  FROM hourly JOIN qd USING (user_id)),
+       |m AS (
+       |  SELECT q.query_device, h.user_id AS device,
+       |    COUNT(*) AS n_buckets,
+       |    CAST(CAST(SUM(q.qv) AS DECIMAL(38,4)) AS DOUBLE) AS sx,
+       |    CAST(CAST(SUM(h.hv) AS DECIMAL(38,4)) AS DOUBLE) AS sy,
+       |    CAST(CAST(SUM(q.qv * h.hv) AS DECIMAL(38,4)) AS DOUBLE) AS sxy,
+       |    CAST(CAST(SUM(q.qv * q.qv) AS DECIMAL(38,4)) AS DOUBLE) AS sxx,
+       |    CAST(CAST(SUM(h.hv * h.hv) AS DECIMAL(38,4)) AS DOUBLE) AS syy
+       |  FROM hourly h JOIN q ON h.bucket = q.bucket
+       |    AND h.user_id <> q.query_device
+       |  GROUP BY q.query_device, h.user_id
+       |  HAVING COUNT(*) >= $minBuckets),
+       |v AS (
+       |  SELECT *, greatest(n_buckets * sxx - sx * sx, 0.0) AS varx,
+       |    greatest(n_buckets * syy - sy * sy, 0.0) AS vary
+       |  FROM m),
+       |c AS (
+       |  SELECT query_device, device, n_buckets,
+       |    ROUND((n_buckets * sxy - sx * sy) /
+       |      (sqrt(varx) * sqrt(vary)), 6) AS corr_hv
+       |  FROM v WHERE varx > 0.0 AND vary > 0.0)
+       |SELECT query_device, device, n_buckets, corr_hv,
+       |  ROUND(sqrt(greatest(2.0 * (1.0 - corr_hv), 0.0)), 6) AS dist_z
+       |FROM c ORDER BY corr_hv DESC, device LIMIT $k""".stripMargin
+
   // --------------------------------------------------------------- A45b
   /** A45 fed by a CANDIDATE GENERATOR instead of event volume — the
     * fleet-wide screen at scale the A45 docstring promises: the panel

@@ -439,6 +439,34 @@ class MonitoringSpec extends SparkSpec {
     assert(out((2L, 3L)) === ((10L, -1.0)))
   }
 
+  test("series search: tracking device tops at dist 0, anti-series bottoms, k and floor bind") {
+    val bucketUs = 21600000000L
+    def ev(u: Long, b: Long, v: Double) =
+      (u, new java.sql.Timestamp((b * bucketUs) / 1000), v)
+    // device 1 is the query (most events: an extra in-bucket sample);
+    // 2 tracks it exactly, 3 anti-tracks, 4 is constant (dropped),
+    // 5 shares too few buckets (dropped by the floor)
+    val events = ((0L until 10L).flatMap { b =>
+      Seq(ev(1L, b, (b + 1).toDouble), ev(1L, b, 0.0),
+        ev(2L, b, 2.0 * (b + 1)), ev(3L, b, (10 - b).toDouble),
+        ev(4L, b, 5.0))
+    } ++ (0L until 3L).map(b => ev(5L, b, (3 * b + 1).toDouble)))
+      .toDF("user_id", "ts", "value")
+    val out = Monitoring.seriesSearchOf(events, k = 10, minBuckets = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    // ranked: the exact tracker first at corr 1 / dist 0, the
+    // anti-series last at corr -1 / dist 2; 4 and 5 absent
+    assert(out.map(_._2).toSeq === Seq(2L, 3L), s"ranking: ${out.toSeq}")
+    assert(out.forall(_._1 === 1L), s"query device: ${out.toSeq}")
+    assert(out.head._4 === 1.0 && out.head._5 === 0.0, s"tracker: ${out.toSeq}")
+    assert(out.last._4 === -1.0 && out.last._5 === 2.0, s"anti: ${out.toSeq}")
+    // k binds
+    val one = Monitoring.seriesSearchOf(events, k = 1, minBuckets = 5)
+      .collect()
+    assert(one.length === 1 && one.head.getLong(1) === 2L)
+  }
+
   test("cross corr: pairs below the shared-bucket floor are dropped") {
     val bucketUs = 21600000000L
     def ev(u: Long, b: Long, v: Double) =
