@@ -69,6 +69,8 @@ object SparkEntry {
     "mon_mttr" -> (Monitoring.mttr _),
     "mon_series_search" -> ((s: SparkSession, d: String) =>
       Monitoring.seriesSearch(s, d)),
+    "mon_alarm_verify" -> ((s: SparkSession, d: String) =>
+      Monitoring.alarmVerify(s, d)),
     "q_string_agg" -> (Relational.qStringAgg _),
     "q_salted_join" -> (Relational.qSaltedJoin _),
     "q_bloom_join" -> (Relational.qBloomJoin _),

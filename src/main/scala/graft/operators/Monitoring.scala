@@ -1802,6 +1802,97 @@ object Monitoring {
        |  ROUND(sqrt(greatest(2.0 * (1.0 - corr_hv), 0.0)), 6) AS dist_z
        |FROM c ORDER BY corr_hv DESC, device LIMIT $k""".stripMargin
 
+  // ---------------------------------------------------------------- A69
+  /** ALARM VERIFICATION — the EDBT'18 alarm-verification shape
+    * (stream processing + ML + text analytics) on this repo's own
+    * kernels: most alert floods are transient, and an on-call rotation
+    * drowns unless something predicts WHICH alarms are real. Alarms
+    * are A8's all-error device-hours; the LABEL comes from the data
+    * itself — an alarm is real iff the failure PERSISTED into the
+    * next hour (at least one more error), transient iff the device
+    * recovered; the FEATURES are the window's own event text (type +
+    * prop tokens, in event-time order) through the C60 hashed-bigram
+    * NB kernel — one classifier kernel for corpus quality, language
+    * ID, and now alarm triage. Train on the past, score the future:
+    * the split is a time cutoff at the `trainFrac` quantile of alarm
+    * hours, so no held-out alarm leaks its own outcome into training.
+    *
+    * Scale: alarms and labels are device-hour aggregates off one
+    * events scan; window text is one doc-keyed collect_list sorted
+    * in-row (the E28 determinism move); train is the C60 ≤nBuckets
+    * collect; serving is the dense codegen'd gather. Rows-only: the
+    * time-quantile split + hashed features are implementation-defined
+    * (C60's served entries' reason); the spec plants a signal corpus
+    * the kernel must learn and the driver entry records the live
+    * verdicts. */
+  def alarmVerify(spark: SparkSession, sfDir: String,
+      trainFrac: Double = 0.7, nBuckets: Int = 1024): DataFrame =
+    alarmVerifyOf(Tables.events(spark, sfDir), trainFrac, nBuckets)
+
+  def alarmVerifyOf(events: DataFrame, trainFrac: Double = 0.7,
+      nBuckets: Int = 1024): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(trainFrac > 0.0 && trainFrac < 1.0,
+      s"trainFrac $trainFrac must be in (0,1)")
+    val HourUs = 3600000000L
+    val hours = events
+      .groupBy($"user_id",
+        expr("unix_micros(date_trunc('hour', ts))").as("hour_us"))
+      .agg(
+        sum(when($"event_type" === "error", 1L).otherwise(0L))
+          .as("failures"),
+        sum(when($"event_type" =!= "error", 1L).otherwise(0L))
+          .as("successes"))
+    val alarms = hours.filter($"failures" >= 1 && $"successes" === 0)
+      .select($"user_id", $"hour_us")
+    // label: the failure persisted into the NEXT hour
+    val nextErr = hours.filter($"failures" >= 1)
+      .select($"user_id", ($"hour_us" - HourUs).as("hour_us"),
+        lit(true).as("was_real"))
+    val windowText = events
+      .withColumn("hour_us",
+        expr("unix_micros(date_trunc('hour', ts))"))
+      .groupBy($"user_id", $"hour_us")
+      .agg(expr(
+        """array_join(transform(
+          |  array_sort(collect_list(named_struct(
+          |    'us', unix_micros(ts), 'id', event_id,
+          |    's', concat(event_type, ' k',
+          |      coalesce(get_json_object(props, '$.k'), '')))),
+          |  (a, b) -> case when a.us < b.us then -1
+          |    when a.us > b.us then 1
+          |    when a.id < b.id then -1 when a.id > b.id then 1
+          |    else 0 end),
+          |  x -> x.s), ' ')""".stripMargin).as("text"))
+    val docs = alarms
+      .join(nextErr, Seq("user_id", "hour_us"), "left")
+      .na.fill(false, Seq("was_real"))
+      .join(windowText, Seq("user_id", "hour_us"))
+      .select(($"user_id" * lit(1L << 40) + $"hour_us" / HourUs)
+        .as("doc_id"), $"user_id", $"hour_us", $"text", $"was_real")
+    // the time cutoff: train on the past, verify the future — exact
+    // percentile over alarm hours (device-hour-bounded, the E10 class)
+    val cutRow = docs.agg(
+      expr(s"percentile(hour_us, $trainFrac)").as("c")).head()
+    if (cutRow.isNullAt(0))
+      return docs.select($"user_id", $"hour_us",
+        lit(0.0).as("nb_z"), lit(false).as("predicted_real"),
+        $"was_real").limit(0)
+    val cutoff = cutRow.getDouble(0)
+    val train = docs.filter($"hour_us" <= cutoff)
+    val model = Curation.qualityClassifierModel(
+      train.select($"doc_id", $"text"),
+      train.select($"doc_id", $"was_real".as("is_pos")), nBuckets)
+    val test = docs.filter($"hour_us" > cutoff)
+    Curation.classifierServe(test.select($"doc_id", $"text"), model)
+      .join(test.select($"doc_id", $"user_id", $"hour_us", $"was_real"),
+        Seq("doc_id"))
+      .select($"user_id", $"hour_us", $"nb_z",
+        $"keep".as("predicted_real"), $"was_real")
+      .orderBy($"user_id", $"hour_us")
+  }
+
   // --------------------------------------------------------------- A45b
   /** A45 fed by a CANDIDATE GENERATOR instead of event volume — the
     * fleet-wide screen at scale the A45 docstring promises: the panel

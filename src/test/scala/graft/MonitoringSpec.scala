@@ -467,6 +467,42 @@ class MonitoringSpec extends SparkSpec {
     assert(one.length === 1 && one.head.getLong(1) === 2L)
   }
 
+  test("alarm verify: planted prop signal learned across the time split, labels from persistence") {
+    val HourS = 3600L
+    var id = 0L
+    def ev(u: Long, h: Long, t: String, k: Int) = {
+      id += 1
+      (id, new java.sql.Timestamp((h * HourS + 10) * 1000), u, t,
+        s"""{"k": $k}""")
+    }
+    // device 1: k99 alarms persisting hour after hour (real); device 2:
+    // k11 alarms each followed by a recovered hour (transient)
+    val rows = (0L until 21L).map(h => ev(1L, h, "error", 99)) ++
+      (0L until 20L by 2).map(h => ev(2L, h, "error", 11)) ++
+      (1L until 20L by 2).map(h => ev(2L, h, "click", 5))
+    val events = rows
+      .toDF("event_id", "ts", "user_id", "event_type", "props")
+    val out = Monitoring.alarmVerifyOf(events, trainFrac = 0.7,
+        nBuckets = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1) / 3600000000L,
+        r.getBoolean(3), r.getBoolean(4)))
+    assert(out.nonEmpty, "no held-out alarms scored")
+    assert(out.exists(_._1 == 1L) && out.exists(_._1 == 2L),
+      s"both devices must have held-out alarms: ${out.toSeq}")
+    // persisting k99 alarms verify REAL (the final open hour has no
+    // next-hour evidence and is label-false by construction — skip it)
+    out.filter(o => o._1 == 1L && o._2 < 20L).foreach { o =>
+      assert(o._3 && o._4, s"persistent alarm misjudged: $o") }
+    // recovering k11 alarms verify TRANSIENT
+    out.filter(_._1 == 2L).foreach { o =>
+      assert(!o._3 && !o._4, s"transient alarm misjudged: $o") }
+    // degenerate split bounds fail by name
+    val ex = intercept[IllegalArgumentException] {
+      Monitoring.alarmVerifyOf(events, trainFrac = 1.0)
+    }
+    assert(ex.getMessage.contains("trainFrac"), ex.getMessage)
+  }
+
   test("cross corr: pairs below the shared-bucket floor are dropped") {
     val bucketUs = 21600000000L
     def ev(u: Long, b: Long, v: Double) =
