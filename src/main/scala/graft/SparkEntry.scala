@@ -444,6 +444,8 @@ object SparkEntry {
     "pii_report" -> (TextAnalysis.piiReport _),
     "text_normalize" -> (TextAnalysis.textNormalize _),
     "normalize_impact" -> (TextAnalysis.normalizeImpact _),
+    "text_sentiment" -> (TextAnalysis.textSentiment _),
+    "sentiment_by_source" -> (TextAnalysis.sentimentBySource _),
     "word_freq_topk_approx" -> ((s: SparkSession, d: String) =>
       TextAnalysis.wordFreqTopKApprox(s, d)),
     "corpus_stats" -> (TextAnalysis.corpusStats _),
@@ -666,6 +668,8 @@ object SparkEntry {
     "pii_report" -> TextAnalysis.piiReportSql,
     "text_normalize" -> TextAnalysis.textNormalizeSql,
     "normalize_impact" -> TextAnalysis.normalizeImpactSql,
+    "text_sentiment" -> TextAnalysis.textSentimentSql,
+    "sentiment_by_source" -> TextAnalysis.sentimentBySourceSql,
     "corpus_stats" -> TextAnalysis.corpusStatsSql,
     "tfidf_top" -> TextAnalysis.tfIdfTopSql,
     "text_lm_score" -> TextAnalysis.textLmScoreSql,

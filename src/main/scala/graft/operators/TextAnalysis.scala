@@ -829,6 +829,109 @@ object TextAnalysis {
       |  COUNT(DISTINCT hr) - COUNT(DISTINCT hn) AS dups_surfaced
       |FROM x GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- E40
+  /** LEXICON SENTIMENT — the EDBT'16 Twitter-at-scale shape (an
+    * AFINN-style valence lexicon, no model): per document, the mean
+    * valence of its lexicon hits plus the hit count; per source, the
+    * rollup a brand/ops dashboard reads. A curation pipeline uses the
+    * same signal as a cheap polarity/toxicity prior next to C60's
+    * learned score. The lexicon is ONE inline literal table shared
+    * verbatim by both engines (the E2 stopword-list rule), joined
+    * against exploded tokens — at a real lexicon size (~2.5k terms)
+    * it broadcasts; mean quantizes per-term to DECIMAL before the
+    * order-free sum (the E11 discipline). Docs with zero hits carry
+    * NULL sentiment (no evidence ≠ neutral) and still appear. */
+  val SentimentLexicon: Seq[(String, Int)] = Seq(
+    "good" -> 3, "great" -> 3, "excellent" -> 4, "love" -> 3,
+    "happy" -> 3, "best" -> 3, "nice" -> 2, "win" -> 2, "works" -> 2,
+    "fast" -> 1, "fine" -> 1, "ok" -> 1,
+    "bad" -> -3, "terrible" -> -4, "awful" -> -4, "hate" -> -3,
+    "sad" -> -2, "worst" -> -3, "broken" -> -2, "fail" -> -2,
+    "slow" -> -1, "bug" -> -1, "error" -> -1, "crash" -> -2)
+
+  def textSentimentOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lex = SentimentLexicon.toDF("term", "valence")
+    val hits = docs
+      .select($"doc_id", explode(tokens()).as("term"))
+      .join(broadcast(lex), Seq("term"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        sum($"valence".cast("decimal(18,4)")).as("vsum"))
+    docs.select($"doc_id", col("source").cast("string").as("source"))
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id", $"source",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        round($"vsum".cast("double") / $"n_hits", 6).as("sentiment"))
+      .orderBy($"doc_id")
+  }
+
+  def textSentiment(spark: SparkSession, sfDir: String): DataFrame =
+    textSentimentOf(Tables.documents(spark, sfDir))
+
+  /** The per-source dashboard rollup: mean doc sentiment over docs
+    * WITH evidence, coverage = fraction of docs that had any. */
+  def sentimentBySourceOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    textSentimentOf(docs)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count($"sentiment").as("n_scored"),
+        // exact decimal sum / long count: one double division on both
+        // engines (decimal AVG rounds engine-specifically — avoided)
+        round(sum($"sentiment".cast("decimal(18,10)")).cast("double")
+          / count($"sentiment"), 6).as("mean_sentiment"),
+        round(count($"sentiment").cast("double") / count(lit(1)), 6)
+          .as("coverage"))
+      .orderBy($"source")
+  }
+
+  def sentimentBySource(spark: SparkSession, sfDir: String): DataFrame =
+    sentimentBySourceOf(Tables.documents(spark, sfDir))
+
+  private def sentimentLexSql: String = SentimentLexicon
+    .map { case (t, v) => s"('$t', $v)" }.mkString(", ")
+
+  val textSentimentSql: String =
+    s"""WITH lex(term, valence) AS (VALUES $sentimentLexSql),
+       |t AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, COUNT(*) AS n_hits,
+       |    SUM(CAST(valence AS DECIMAL(18,4))) AS vsum
+       |  FROM t JOIN lex USING (term) GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(d.source AS VARCHAR) AS source,
+       |  COALESCE(h.n_hits, 0) AS n_hits,
+       |  ROUND(CAST(h.vsum AS DOUBLE) / h.n_hits, 6) AS sentiment
+       |FROM documents d LEFT JOIN h USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  val sentimentBySourceSql: String =
+    s"""WITH lex(term, valence) AS (VALUES $sentimentLexSql),
+       |t AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, COUNT(*) AS n_hits,
+       |    SUM(CAST(valence AS DECIMAL(18,4))) AS vsum
+       |  FROM t JOIN lex USING (term) GROUP BY doc_id),
+       |s AS (
+       |  SELECT d.doc_id, CAST(d.source AS VARCHAR) AS source,
+       |    ROUND(CAST(h.vsum AS DOUBLE) / h.n_hits, 6) AS sentiment
+       |  FROM documents d LEFT JOIN h USING (doc_id))
+       |SELECT source, COUNT(*) AS n_docs,
+       |  COUNT(sentiment) AS n_scored,
+       |  ROUND(CAST(SUM(CAST(sentiment AS DECIMAL(18,10))) AS DOUBLE)
+       |    / COUNT(sentiment), 6) AS mean_sentiment,
+       |  ROUND(CAST(COUNT(sentiment) AS DOUBLE) / COUNT(*), 6)
+       |    AS coverage
+       |FROM s GROUP BY source ORDER BY source""".stripMargin
+
   // --------------------------------------------------------------- E10
   /** One-row corpus dashboard: the summary a pipeline operator checks
     * before/after every curation sweep — doc and token volume, length

@@ -218,6 +218,32 @@ class TextAnalysisSpec extends SparkSpec {
       ex.getMessage)
   }
 
+  test("sentiment: hand valences exact, zero-hit docs carry NULL not neutral, rollup covers") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a", "this works great and i love it"),   // 2+3+3 = 8/3
+      (2L, "a", "terrible slow crash"),              // -4-1-2 = -7/3
+      (3L, "a", "completely neutral words here"),    // no hits -> NULL
+      (10L, "b", "good good bad"))                   // 3+3-3 = 3/3
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.textSentimentOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got(1L)._1 === 3L &&
+      math.abs(got(1L)._2.get - 8.0 / 3) < 1e-6, s"doc 1: $got")
+    assert(math.abs(got(2L)._2.get - (-7.0 / 3)) < 1e-6, s"doc 2: $got")
+    assert(got(3L) === ((0L, None)), s"no-evidence doc: $got")
+    assert(got(10L)._2.get === 1.0, s"doc 10: $got")
+    val roll = TextAnalysis.sentimentBySourceOf(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    // a: 3 docs, 2 scored, mean (8/3 - 7/3)/2 = 1/6, coverage 2/3
+    assert(roll("a")._1 === 3L && roll("a")._2 === 2L)
+    assert(math.abs(roll("a")._3 - 1.0 / 6) < 1e-5, s"mean: ${roll("a")}")
+    assert(roll("a")._4 === 0.666667)
+    assert(roll("b") === ((1L, 1L, 1.0, 1.0)))
+  }
+
   test("normalize impact: composition/case/whitespace twins collapse, raw distincts stand") {
     import graft.operators.TextAnalysis
     val docs = Seq(
