@@ -152,6 +152,10 @@ object SparkEntry {
       Similarity.knnClustersIvf(s, d)),
     "mm_quality_gate" -> ((s: SparkSession, d: String) =>
       Multimodal.mmQualityGate(s, d)),
+    "mm_topk_escalate" -> ((s: SparkSession, d: String) =>
+      Multimodal.mmTopkEscalate(s, d)),
+    "mm_topk_escalate_recall" -> ((s: SparkSession, d: String) =>
+      Multimodal.mmTopkEscalateRecall(s, d)),
     // F: multimodal
     "mm_manifest" -> (Multimodal.mmManifest _),
     "mm_frame_sample" -> (Multimodal.mmFrameSample _),

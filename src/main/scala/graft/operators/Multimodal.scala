@@ -1717,6 +1717,82 @@ object Multimodal {
           out.result().iterator
       }
   }
+
+  // ---------------------------------------------------------------- F23
+  /** PROXY-ESCALATED TOP-K — the SIGMOD'21 probabilistic-top-k shape
+    * for video analytics, deterministic form: answering "the k media
+    * with the most shot changes" with the full decode pass prices the
+    * query at the whole corpus; instead a METADATA-ONLY proxy
+    * (duration off the manifest — runtime predicts cut volume, zero
+    * decode) ranks candidates, only the top k·oversample get the
+    * expensive frame-decode cut count (F6's boundary rule, totaled),
+    * and the answer is the exact top-k among them. `oversample` is
+    * the recall knob (their probabilistic guarantee, as an explicit
+    * budget): candidates the proxy misses are the recall loss, and
+    * [[mmTopkEscalateRecall]] makes that loss a driver-visible number
+    * against the full-decode ground truth (guarded AUDIT work — the
+    * C54/D8 discipline).
+    *
+    * Scale: stage one is manifest-only (TakeOrdered, no decode); the
+    * candidate id slice is driver-bounded (k·oversample) and prunes
+    * the frame generator's scan, so decode cost is candidates — not
+    * corpus; the final top-k window rides ≤ k·oversample rows. */
+  def mmTopkEscalate(spark: SparkSession, sfDir: String, k: Int = 5,
+      oversample: Int = 4): DataFrame = {
+    import spark.implicits._
+    require(k >= 1 && oversample >= 1,
+      s"bad params k=$k oversample=$oversample")
+    // stage 1: zero-decode proxy ranking; ≤ k·oversample collected
+    // ids. The proxy is duration (longest first): more runtime means
+    // more frame transitions and so more cuts — a real metadata-only
+    // signal about where the top of the cut-count ranking lives
+    // (bitrate, the obvious proxy, is constant by construction on
+    // this corpus and carries nothing)
+    val cand = mmManifest(spark, sfDir)
+      .select($"media_id", $"duration_s".as("proxy_score"))
+      .orderBy($"proxy_score".desc, $"media_id")
+      .limit(k * oversample)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val candIds = cand.map(_._1)
+    // stage 2: the expensive motion score over ONLY the candidates —
+    // the media_id filter sits below the frame generator, so only
+    // candidate payloads decode
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"media_id").orderBy($"frame_idx")
+    val deep = mmFrames(spark, sfDir)
+      .filter($"media_id".isin(candIds: _*))
+      .withColumn("prev_hash", lag($"frame_hash", 1).over(w))
+      .withColumn("hamming", when($"prev_hash".isNotNull,
+        expr("CAST(bit_count(frame_hash ^ prev_hash) AS INT)")))
+      .groupBy($"media_id")
+      .agg(sum(when($"hamming" >= 20, 1L).otherwise(0L)).as("n_cuts"))
+    // ≤ k·oversample rows ride this window — bounded by construction
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy($"n_cuts".desc, $"media_id")
+    deep.join(broadcast(cand.toSeq.toDF("media_id", "proxy_score")),
+        Seq("media_id"))
+      .withColumn("rank", row_number().over(wAll))
+      .filter($"rank" <= k)
+      .select($"rank", $"media_id", $"proxy_score", $"n_cuts")
+      .orderBy($"rank")
+  }
+
+  /** The escalation tier's recall vs the FULL-decode top-k — ground
+    * truth is one whole-corpus motion pass (audit work; at corpus
+    * scale run it on a sampled slice). One row. */
+  def mmTopkEscalateRecall(spark: SparkSession, sfDir: String,
+      k: Int = 5, oversample: Int = 4): DataFrame = {
+    import spark.implicits._
+    val got = mmTopkEscalate(spark, sfDir, k, oversample)
+      .select($"media_id").collect().map(_.getLong(0)).toSet
+    val truth = mmMotionProfile(spark, sfDir)
+      .orderBy($"n_cuts".desc, $"media_id").limit(k)
+      .select($"media_id").collect().map(_.getLong(0)).toSet
+    val hits = got.intersect(truth).size
+    Seq((k, oversample, hits,
+      math.rint(hits.toDouble / k * 1e6) / 1e6))
+      .toDF("k", "oversample", "hits", "recall")
+  }
 }
 
 /** One emitted training clip (batch F15's row shape). */

@@ -533,6 +533,38 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.toSeq === again.toSeq, "frame search not deterministic")
   }
 
+  test("mm topk escalate: exact within candidates, full oversample recovers truth, recall row honest") {
+    val k = 5
+    val esc = Multimodal.mmTopkEscalate(spark, sf, k).collect()
+    assert(esc.length === k)
+    assert(esc.map(_.getInt(0)).toSeq === (1 to k), s"ranks: ${esc.toSeq}")
+    // the deep scores are monotone down the ranking
+    val scores = esc.map(_.getLong(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      s"deep ranking not monotone: ${scores.toSeq}")
+    // answers come only from the proxy's candidate slice
+    val candIds = Multimodal.mmManifest(spark, sf)
+      .selectExpr("media_id", "duration_s p")
+      .orderBy(org.apache.spark.sql.functions.col("p").desc,
+        org.apache.spark.sql.functions.col("media_id"))
+      .limit(k * 4).collect().map(_.getLong(0)).toSet
+    esc.foreach(r => assert(candIds.contains(r.getLong(1)),
+      s"answer outside the candidate slice: $r"))
+    // an oversample spanning the corpus makes escalation EXACT
+    val n = Tables.documents(spark, sf).count().toInt
+    val full = Multimodal.mmTopkEscalateRecall(spark, sf, k,
+      oversample = n / k + 1).head()
+    assert(full.getInt(2) === k && full.getDouble(3) === 1.0,
+      s"full-candidate escalation must recover truth: $full")
+    // the honest-recall row at the default budget: consistent fields
+    val r = Multimodal.mmTopkEscalateRecall(spark, sf, k).head()
+    assert(r.getInt(0) === k && r.getInt(2) >= 0 && r.getInt(2) <= k)
+    assert(r.getDouble(3) === math.rint(r.getInt(2).toDouble / k * 1e6) / 1e6)
+    // deterministic replay
+    val again = Multimodal.mmTopkEscalate(spark, sf, k).collect()
+    assert(esc.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("mm frame search ivf: served scale path recalls the brute top-k, no same-media hits, deterministic") {
     def sets(rows: Array[org.apache.spark.sql.Row]) = rows
       .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(3), r.getInt(4)))
