@@ -302,6 +302,8 @@ object SparkEntry {
       Curation.mixTemperature(s, d)),
     "mix_temperature_apply" -> ((s: SparkSession, d: String) =>
       Curation.mixTemperatureApply(s, d)),
+    "pipeline_curate_norm" -> ((s: SparkSession, d: String) =>
+      Curation.pipelineCurateNorm(s, d)),
     "data_card" -> ((s: SparkSession, d: String) =>
       Curation.dataCard(s, d)),
     "cluster_budget" -> ((s: SparkSession, d: String) =>
@@ -606,6 +608,7 @@ object SparkEntry {
     "mix_reweight" -> Curation.mixReweightSql(),
     "mix_reweight_apply" -> Curation.mixReweightApplySql(),
     "mix_temperature" -> Curation.mixTemperatureSql(),
+    "pipeline_curate_norm" -> Curation.pipelineCurateNormSql,
     "data_card" -> Curation.dataCardSql(),
     "mix_temperature_apply" -> Curation.mixTemperatureApplySql(),
     "pack_doc_aware" -> Curation.packDocAwareSql(),

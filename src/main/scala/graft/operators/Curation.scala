@@ -200,6 +200,34 @@ object Curation {
   def pipelineCurateV2(spark: SparkSession, sfDir: String): DataFrame =
     curateV2(Tables.documents(spark, sfDir))
 
+  // ------------------------------------------------------------- C8b
+  /** C8 with E38 as stage ZERO — normalization wired into product,
+    * not just audited beside it (E38b measures what raw hashing
+    * misses; THIS makes the curate chain collapse those twins): the
+    * same gates and keep-first exact dedup run over the NORMALIZED
+    * text, so case/whitespace/composition variants of one document
+    * survive as ONE doc instead of two. One extra codegen'd map
+    * stage, zero new exchanges. Oracle: the normalize chain shadows
+    * the `documents` CTE (SELECT * REPLACE) and the v2 SQL splices
+    * UNCHANGED below it — one definition of the chain, one of the
+    * normalizer, composed. */
+  def pipelineCurateNorm(spark: SparkSession, sfDir: String): DataFrame =
+    curateV2(Tables.documents(spark, sfDir)
+      .withColumn("text",
+        graft.functions.TextFunctions.normalizeText(col("text"))))
+
+  def pipelineCurateNormSql: String =
+    pipelineCurateV2Sql
+      // retarget the chain at the normalized shadow (a CTE cannot
+      // shadow its own base table in DuckDB — circular reference)
+      .replace("FROM documents", "FROM docs_n")
+      .replace("WITH x AS",
+        """WITH docs_n AS (
+          |  SELECT * REPLACE (trim(regexp_replace(lower(nfc_normalize(text)),
+          |    '[ \t\n\r\f]+', ' ', 'g')) AS text)
+          |  FROM documents),
+          |x AS""".stripMargin)
+
   val pipelineCurateV2Sql: String = {
     import TextAnalysis.{EmailRe, IpRe, PhoneRe}
     s"""WITH x AS (

@@ -1672,6 +1672,25 @@ class CurationSpec extends SparkSpec {
       s"absent-stratum default budget broken: $kept")
   }
 
+  test("pipeline_curate_norm: case/whitespace twins collapse to one survivor where v2 keeps both") {
+    // a gate-passing doc and its case+whitespace twin: identical
+    // tokens (the gates agree), different raw bytes (v2's sha256
+    // sees two documents)
+    val p = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq(
+      (1L, "en", "s", p),
+      (2L, "en", "s", p.toUpperCase + "  "),
+      (3L, "en", "s", "the quick brown fox jumps over a lazy dog near here"))
+      .toDF("doc_id", "lang", "source", "text")
+    val v2 = Curation.curateV2(docs).collect().map(_.getLong(0)).toSet
+    assert(v2 === Set(1L, 2L, 3L), s"v2 must keep the raw twins: $v2")
+    val norm = Curation.curateV2(docs.withColumn("text",
+        graft.functions.TextFunctions.normalizeText($"text")))
+      .collect().map(_.getLong(0)).toSet
+    assert(norm === Set(1L, 3L),
+      s"normalized chain must collapse the twins keep-first: $norm")
+  }
+
   test("mix_temperature: hand shares flatten exactly, alpha=1 is the identity, zero-mass source takes 0, apply binds") {
     def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
     // planted token masses 80/16/4 (+ a zero-mass source): shares
