@@ -1869,7 +1869,10 @@ object Monitoring {
       .join(nextErr, Seq("user_id", "hour_us"), "left")
       .na.fill(false, Seq("was_real"))
       .join(windowText, Seq("user_id", "hour_us"))
-      .select(($"user_id" * lit(1L << 40) + $"hour_us" / HourUs)
+      // LONG arithmetic throughout: Column `/` is double division,
+      // and at fleet-scale user ids the composite would exceed 2^53
+      // and collide adjacent hours
+      .select(expr(s"user_id * ${1L << 40} + hour_us div $HourUs")
         .as("doc_id"), $"user_id", $"hour_us", $"text", $"was_real")
     // the time cutoff: train on the past, verify the future — exact
     // percentile over alarm hours (device-hour-bounded, the E10 class)
