@@ -302,6 +302,8 @@ object SparkEntry {
       Curation.mixTemperature(s, d)),
     "mix_temperature_apply" -> ((s: SparkSession, d: String) =>
       Curation.mixTemperatureApply(s, d)),
+    "mix_anneal" -> ((s: SparkSession, d: String) =>
+      Curation.mixAnneal(s, d)),
     "pipeline_curate_norm" -> ((s: SparkSession, d: String) =>
       Curation.pipelineCurateNorm(s, d)),
     "data_card" -> ((s: SparkSession, d: String) =>
@@ -611,6 +613,7 @@ object SparkEntry {
     "pipeline_curate_norm" -> Curation.pipelineCurateNormSql,
     "data_card" -> Curation.dataCardSql(),
     "mix_temperature_apply" -> Curation.mixTemperatureApplySql(),
+    "mix_anneal" -> Curation.mixAnnealSql(),
     "pack_doc_aware" -> Curation.packDocAwareSql(),
     "repetition_rules" -> Curation.repetitionRulesSql(),
     "curriculum_order" -> Curation.curriculumOrderSql(),

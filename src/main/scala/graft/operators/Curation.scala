@@ -2984,6 +2984,73 @@ object Curation {
        |    (SELECT CAST(SUM(unnorm) AS DOUBLE) FROM u), 6) AS weight
        |FROM u ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------------ C66c
+  /** MIXTURE ANNEALING SCHEDULE — the curriculum knob OVER mixtures
+    * (the documented practice of annealing from the natural data
+    * distribution toward a flattened one as training progresses):
+    * per epoch, weights linearly interpolated between two C66
+    * operating points (alphaStart — 1.0 is the raw shares — and
+    * alphaEnd, the flattened target), each epoch's weights converted
+    * to integer token budgets for the admission seam. The whole
+    * schedule is ≤ epochs × sources rows of pure arithmetic on two
+    * C66 frames — one corpus scan total, everything downstream
+    * bounded. Oracle: the C66 SQL splices TWICE and the
+    * interpolation is IEEE-only on the 6-decimal weights both
+    * engines already agree on. */
+  def mixAnneal(spark: SparkSession, sfDir: String, epochs: Int = 5,
+      tokensPerEpoch: Long = 20000, alphaStart: Double = 1.0,
+      alphaEnd: Double = 0.5): DataFrame =
+    mixAnnealOf(Tables.documents(spark, sfDir), "source", epochs,
+      tokensPerEpoch, alphaStart, alphaEnd)
+
+  def mixAnnealOf(docs: DataFrame, sourceCol: String, epochs: Int,
+      tokensPerEpoch: Long, alphaStart: Double,
+      alphaEnd: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(epochs >= 2, s"epochs $epochs must be >= 2")
+    require(tokensPerEpoch >= 0,
+      s"tokensPerEpoch $tokensPerEpoch must be >= 0")
+    val ws = mixTemperatureOf(docs, sourceCol, alphaStart)
+      .select($"source", $"weight".as("w_start"))
+    val we = mixTemperatureOf(docs, sourceCol, alphaEnd)
+      .select($"source", $"weight".as("w_end"))
+    // ≤ epochs × sources rows — the whole schedule is driver-small
+    val grid = (0 until epochs).toDF("epoch")
+    ws.join(we, Seq("source")).crossJoin(broadcast(grid))
+      .withColumn("t",
+        round($"epoch".cast("double") / (epochs - 1), 6))
+      .withColumn("weight",
+        round((lit(1.0) - $"t") * $"w_start" + $"t" * $"w_end", 6))
+      .select($"epoch", $"source", $"weight",
+        floor($"weight" * tokensPerEpoch).cast("long")
+          .as("budget_tokens"))
+      .orderBy($"epoch", $"source")
+  }
+
+  def mixAnnealSql(epochs: Int = 5, tokensPerEpoch: Long = 20000,
+      alphaStart: Double = 1.0, alphaEnd: Double = 0.5): String =
+    s"""WITH ts AS (%TS%),
+       |te AS (%TE%),
+       |ws AS (SELECT source, weight AS w_start FROM ts),
+       |we AS (SELECT source, weight AS w_end FROM te),
+       |grid AS (SELECT CAST(unnest(generate_series(0, ${epochs - 1}))
+       |  AS INTEGER) AS epoch),
+       |j AS (
+       |  SELECT epoch, source, w_start, w_end,
+       |    ROUND(CAST(epoch AS DOUBLE) / ${epochs - 1}, 6) AS t
+       |  FROM ws JOIN we USING (source) CROSS JOIN grid),
+       |w AS (
+       |  SELECT epoch, source,
+       |    ROUND((1.0 - t) * w_start + t * w_end, 6) AS weight
+       |  FROM j)
+       |SELECT epoch, source, weight,
+       |  CAST(floor(weight * $tokensPerEpoch) AS BIGINT)
+       |    AS budget_tokens
+       |FROM w ORDER BY epoch, source""".stripMargin
+      .replace("%TS%", mixTemperatureSql(alphaStart))
+      .replace("%TE%", mixTemperatureSql(alphaEnd))
+
   // ------------------------------------------------------------ C66b
   /** C66 APPLIED — temperature weights to per-source token budgets to
     * integer-exact prefix-sum admission, through the same budget-FRAME

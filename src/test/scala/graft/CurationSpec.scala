@@ -1773,6 +1773,44 @@ class CurationSpec extends SparkSpec {
       s"singleton source row: $b")
   }
 
+  test("mix_anneal: endpoints equal the operating points, midpoint interpolates, budgets floor") {
+    def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "a", words(40)), (2L, "a", words(40)),
+      (3L, "b", words(8)), (4L, "b", words(8)),
+      (5L, "c", words(4)))
+      .toDF("doc_id", "source", "text")
+    def weights(alpha: Double) =
+      Curation.mixTemperatureOf(docs, "source", alpha).collect()
+        .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val w1 = weights(1.0); val w5 = weights(0.5)
+    val sched = Curation.mixAnnealOf(docs, "source", epochs = 3,
+        tokensPerEpoch = 1000, alphaStart = 1.0, alphaEnd = 0.5)
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(sched.size === 9, s"grid: ${sched.keySet}")
+    Seq("a", "b", "c").foreach { s =>
+      // epoch 0 IS the raw shares, the last epoch IS the flattened
+      // target, the midpoint is their mean
+      assert(math.abs(sched((0, s))._1 - w1(s)) < 1e-6, s"$s epoch0")
+      assert(math.abs(sched((2, s))._1 - w5(s)) < 1e-6, s"$s epoch2")
+      assert(math.abs(sched((1, s))._1 - (w1(s) + w5(s)) / 2) < 1e-5,
+        s"$s midpoint")
+      // budgets are the floor of weight x epoch tokens
+      val (w, b) = sched((1, s))
+      assert(b === math.floor(w * 1000).toLong, s"$s budget")
+    }
+    // each epoch's weights stay a distribution
+    (0 to 2).foreach { e =>
+      val tot = Seq("a", "b", "c").map(s => sched((e, s))._1).sum
+      assert(math.abs(tot - 1.0) < 1e-4, s"epoch $e weights sum $tot")
+    }
+    val ex = intercept[IllegalArgumentException] {
+      Curation.mixAnnealOf(docs, "source", 1, 1000, 1.0, 0.5)
+    }
+    assert(ex.getMessage.contains("epochs"), ex.getMessage)
+  }
+
   test("cluster_sample: prototype keeps centers, frontier keeps outliers, quota binds per cluster") {
     // two planted clusters around (0,0) and (10,10): ids 1/2/3 at
     // distances .1/.2/3.0 from c0; ids 11/12 at .1/4.0 from c1
