@@ -71,6 +71,8 @@ object SparkEntry {
       Monitoring.seriesSearch(s, d)),
     "mon_alarm_verify" -> ((s: SparkSession, d: String) =>
       Monitoring.alarmVerify(s, d)),
+    "mon_alarm_verify_report" -> ((s: SparkSession, d: String) =>
+      Monitoring.alarmVerifyReport(s, d)),
     "q_string_agg" -> (Relational.qStringAgg _),
     "q_salted_join" -> (Relational.qSaltedJoin _),
     "q_bloom_join" -> (Relational.qBloomJoin _),

@@ -1896,6 +1896,36 @@ object Monitoring {
       .orderBy($"user_id", $"hour_us")
   }
 
+  // --------------------------------------------------------------- A69b
+  /** A69's QUALITY as a driver-visible number (the C54/D8 discipline:
+    * a learned component's accuracy belongs in the round dump, not
+    * only in spec thresholds): one row over the held-out verdicts —
+    * volume, accuracy, and the precision/recall of the "real" class
+    * (the class a pager acts on: precision is the false-page rate's
+    * complement, recall is the missed-incident rate's). All order-free
+    * integer aggregates over A69's output. */
+  def alarmVerifyReport(spark: SparkSession, sfDir: String,
+      trainFrac: Double = 0.7, nBuckets: Int = 1024): DataFrame = {
+    import spark.implicits._
+    alarmVerify(spark, sfDir, trainFrac, nBuckets)
+      .agg(count(lit(1)).as("n_test"),
+        sum(when($"predicted_real" === $"was_real", 1L).otherwise(0L))
+          .as("n_correct"),
+        sum(when($"predicted_real" && $"was_real", 1L).otherwise(0L))
+          .as("tp"),
+        sum(when($"predicted_real" && !$"was_real", 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(!$"predicted_real" && $"was_real", 1L).otherwise(0L))
+          .as("fn"))
+      .select($"n_test", $"n_correct",
+        round($"n_correct".cast("double") / nullif($"n_test", lit(0L)),
+          6).as("accuracy"),
+        round($"tp".cast("double") / nullif($"tp" + $"fp", lit(0L)), 6)
+          .as("precision_real"),
+        round($"tp".cast("double") / nullif($"tp" + $"fn", lit(0L)), 6)
+          .as("recall_real"))
+  }
+
   // --------------------------------------------------------------- A45b
   /** A45 fed by a CANDIDATE GENERATOR instead of event volume — the
     * fleet-wide screen at scale the A45 docstring promises: the panel

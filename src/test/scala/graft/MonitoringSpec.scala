@@ -501,6 +501,15 @@ class MonitoringSpec extends SparkSpec {
       Monitoring.alarmVerifyOf(events, trainFrac = 1.0)
     }
     assert(ex.getMessage.contains("trainFrac"), ex.getMessage)
+    // the report row recomputes the same confusion driver-side
+    val rep = Monitoring.alarmVerifyReport(spark, sf).head()
+    val n = rep.getLong(0); val ok = rep.getLong(1)
+    assert(n > 0 && ok <= n)
+    assert(rep.getDouble(2) ===
+      math.rint(ok.toDouble / n * 1e6) / 1e6, s"accuracy cell: $rep")
+    Seq(3, 4).foreach { i =>
+      if (!rep.isNullAt(i))
+        assert(rep.getDouble(i) >= 0.0 && rep.getDouble(i) <= 1.0) }
   }
 
   test("cross corr: pairs below the shared-bucket floor are dropped") {
