@@ -1887,8 +1887,18 @@ object Monitoring {
     val model = Curation.qualityClassifierModel(
       train.select($"doc_id", $"text"),
       train.select($"doc_id", $"was_real".as("is_pos")), nBuckets)
+    // Bayes decision under class skew: the NB weights carry likelihood
+    // ratios only, so the verdict threshold is the train split's prior
+    // log-odds ln(neg/pos) — threshold 0 would assume alarms are real
+    // half the time, which no alert stream satisfies. Add-1 so a
+    // single-class train window cannot blow up the log.
+    val pri = train.agg(
+      sum(when($"was_real", 1L).otherwise(0L)),
+      sum(when(!$"was_real", 1L).otherwise(0L))).head()
+    val thr = math.log(
+      (pri.getLong(1) + 1).toDouble / (pri.getLong(0) + 1))
     val test = docs.filter($"hour_us" > cutoff)
-    Curation.classifierServe(test.select($"doc_id", $"text"), model)
+    Curation.classifierServe(test.select($"doc_id", $"text"), model, thr)
       .join(test.select($"doc_id", $"user_id", $"hour_us", $"was_real"),
         Seq("doc_id"))
       .select($"user_id", $"hour_us", $"nb_z",
