@@ -1411,44 +1411,57 @@ object Similarity {
     * a deterministic audit should not re-run its search passes).
     * Rows-only: probe geometry (D2's reason). */
   def annRecallCurve(spark: SparkSession, sfDir: String, k: Int = 10,
-      probes: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+      probes: Seq[Int] = Seq(1, 2, 4, 8, 16),
+      tiers: Seq[String] = Seq("int8", "pq")): DataFrame = {
     import spark.implicits._
     require(probes.nonEmpty && probes.forall(_ >= 1),
       s"probes $probes must be >= 1")
+    require(tiers.nonEmpty && tiers.forall(Set("int8", "pq")),
+      s"tiers $tiers must be from {int8, pq}")
     val stamp = Tables.pathStamp(spark, s"$sfDir/embeddings.parquet")
     recallCurveCache.filterInPlace { case ((d, st, _, _), _) =>
       d != sfDir || st == stamp
     }
     recallCurveCache.getOrElseUpdate(
-        (sfDir, stamp, k, probes.mkString(",")), {
+        (sfDir, stamp, k, probes.mkString(",") + "|" + tiers.mkString(",")), {
       val (exact, expected) = cachedExactBaseline(spark, sfDir, k)
       val queries = Tables.embeddings(spark, sfDir)
         .filter($"vec_id" < QueryIdBound)
         .select($"vec_id".as("query_id"), $"embedding")
       val snapRoot = cachedSnapshots(spark, sfDir)
       val wq = Window.partitionBy($"query_id").orderBy($"rank")
-      val tagged = probes.map { p =>
+      val tagged = (for (t <- tiers; p <- probes) yield {
         // serving mode keeps the self pair; the baseline excludes it —
         // ask for k+1, drop self, keep the top k (D8's like-for-like)
-        annIvfServe(queries, s"$snapRoot/int8", k = k + 1, nProbe = p)
-          .filter($"neighbor_id" =!= $"query_id")
+        val served = t match {
+          case "int8" =>
+            annIvfServe(queries, s"$snapRoot/int8", k = k + 1, nProbe = p)
+          case _ =>
+            annPqServe(queries, s"$snapRoot/pq", k = k + 1, nProbe = p)
+        }
+        served.filter($"neighbor_id" =!= $"query_id")
           .withColumn("rk", row_number().over(wq))
           .filter($"rk" <= k)
-          .select(lit(p).as("n_probe"), $"query_id", $"neighbor_id")
-      }.reduce(_ unionByName _)
+          .select(lit(t).as("tier"), lit(p).as("n_probe"),
+            $"query_id", $"neighbor_id")
+      }).reduce(_ unionByName _)
       val hits = tagged
         .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy($"n_probe").agg(count(lit(1)).as("hits"))
-        .as[(Int, Long)].collect().toMap
-      // seeded from the probe list: a probe level finding nothing must
-      // surface as recall 0.0, not vanish from the curve
-      probes.sorted.map(p => (p, hits.getOrElse(p, 0L), expected,
-        math.rint(hits.getOrElse(p, 0L).toDouble / expected * 1e6) / 1e6))
-    }).toDF("n_probe", "hits", "expected", "recall")
+        .groupBy($"tier", $"n_probe").agg(count(lit(1)).as("hits"))
+        .as[(String, Int, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      // seeded from the tier × probe grid: a level finding nothing
+      // must surface as recall 0.0, not vanish from the curve
+      for (t <- tiers.sorted; p <- probes.sorted) yield {
+        val h = hits.getOrElse((t, p), 0L)
+        (t, p, h, expected, math.rint(h.toDouble / expected * 1e6) / 1e6)
+      }
+    }).toDF("tier", "n_probe", "hits", "expected", "recall")
   }
 
   private val recallCurveCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Long, Int, String), Seq[(Int, Long, Long, Double)]]
+    .empty[(String, Long, Int, String),
+      Seq[(String, Int, Long, Long, Double)]]
 
   // --------------------------------------------------------------- D35
   /** JL RANDOM PROJECTION — the dimensionality knob for every
