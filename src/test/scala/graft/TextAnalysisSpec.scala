@@ -1003,9 +1003,17 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.tokenizerProfileOf(spark, dir, train)
     }
     assert(fx.getMessage.contains("family"), fx.getMessage)
-    // the unigram route of the SAME monitor: served artifact, sane row
-    val uni = TextAnalysis.tokenizerProfile(spark, sf)
-    assert(uni.count() === 1)
+    // family-generic for real: the SAME monitor through a staged
+    // UNIGRAM artifact (meta routes the apply), plus the served BPE
+    // driver entry — both one-row envelopes
+    val udir = java.nio.file.Files
+      .createTempDirectory("graft-unitok-spec").toString
+    TextAnalysis.writeTokenizer(spark, sf, udir, "unigram")
+    val uni = TextAnalysis.tokenizerProfileOf(spark, udir,
+      Seq((1L, "alpha beta"), (2L, "gamma delta epsilon"))
+        .toDF("doc_id", "text"))
+    assert(uni.count() === 1 && uni.head().getLong(2) === 2L)
+    assert(TextAnalysis.tokenizerProfile(spark, sf).count() === 1)
   }
 
   test("fertility gate stream: in-envelope batch sails, OOV batch flags, twin matches the batch gate") {
