@@ -891,6 +891,31 @@ object TextAnalysis {
   def sentimentBySource(spark: SparkSession, sfDir: String): DataFrame =
     sentimentBySourceOf(Tables.documents(spark, sfDir))
 
+  /** E40's LIVE twin (E40b) — the polarity prior at INGEST (the E37b
+    * reasoning: a signal every later consumer joins on is cheapest
+    * stamped when the doc first arrives). NOT the batch kernel minus
+    * a sort: the batch shape explodes + joins + re-aggregates, which
+    * on a stream is a STATEFUL aggregation; the twin folds the
+    * lexicon row-LOCALLY instead — the valence CASE and membership
+    * filter ride the token array in one codegen'd expression, so the
+    * stream stays stateless (no watermark, no store) and the scores
+    * are bit-equal to E40's (identical integer arithmetic, identical
+    * division). */
+  def sentimentStream(docs: DataFrame): DataFrame = {
+    val caseArms = SentimentLexicon
+      .map { case (t, v) => s"WHEN '$t' THEN ${v}L" }.mkString(" ")
+    val keys = SentimentLexicon.map(t => s"'${t._1}'").mkString(", ")
+    docs.withColumn("__toks", tokens())
+      .select(col("doc_id"),
+        expr(s"cast(size(filter(__toks, t -> t IN ($keys))) as long)")
+          .as("n_hits"),
+        expr(s"aggregate(__toks, 0L, (a, t) -> a + " +
+          s"(CASE t $caseArms ELSE 0L END))").as("__vsum"))
+      .select(col("doc_id"), col("n_hits"),
+        round(col("__vsum").cast("double") /
+          nullif(col("n_hits"), lit(0L)), 6).as("sentiment"))
+  }
+
   private def sentimentLexSql: String = SentimentLexicon
     .map { case (t, v) => s"('$t', $v)" }.mkString(", ")
 

@@ -242,6 +242,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(roll("a")._3 - 1.0 / 6) < 1e-5, s"mean: ${roll("a")}")
     assert(roll("a")._4 === 0.666667)
     assert(roll("b") === ((1L, 1L, 1.0, 1.0)))
+    // the stateless live twin scores a replayed stream bit-equal to
+    // the batch kernel, doc for doc
+    val input = new org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](233, spark, None)
+    val q = TextAnalysis.sentimentStream(
+        input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("senti_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.collect().map(r =>
+        (r.getLong(0), r.getString(2))).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table("senti_stream").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(live.keySet === got.keySet)
+    got.foreach { case (id, v) =>
+      assert(live(id) === v, s"stream twin drifted on doc $id") }
   }
 
   test("normalize impact: composition/case/whitespace twins collapse, raw distincts stand") {
