@@ -564,6 +564,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
   }
 
+  test("series search: the query series broadcasts, top-k is TakeOrdered") {
+    val p = executedPlan(Monitoring.seriesSearch(spark, sf))
+    // the retrieval shape's two load-bearing properties: the tiny
+    // query series must broadcast into every candidate's partition,
+    // and the k-cut must be bounded heaps, not a global sort
+    assert(p.contains("BroadcastHashJoin"),
+      s"query series not broadcast: \n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k lost TakeOrdered: \n$p")
+  }
+
+  test("mix anneal: both temperature frames stay on bounded windows, the grid broadcasts") {
+    val p = executedPlan(Curation.mixAnneal(spark, sf))
+    // the schedule is arithmetic over two ≤#sources frames — nothing
+    // corpus-sized may survive past the token-count aggregations
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"epoch grid not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in schedule:\n$p")
+  }
+
   test("embed outliers: one cell-partitioned window, vectors never ride the exchange") {
     val p = finalPlan(Similarity.embedOutliers(spark, sf))
     assert(!p.contains("SinglePartition"), s"global window crept in:\n$p")
