@@ -73,6 +73,10 @@ object SparkEntry {
       Monitoring.alarmVerify(s, d)),
     "mon_alarm_verify_report" -> ((s: SparkSession, d: String) =>
       Monitoring.alarmVerifyReport(s, d)),
+    "mon_alarm_verify_curve" -> ((s: SparkSession, d: String) =>
+      Monitoring.alarmVerifyCurve(s, d)),
+    "mon_alarm_verify_tuned" -> ((s: SparkSession, d: String) =>
+      Monitoring.alarmVerifyTuned(s, d)),
     "q_string_agg" -> (Relational.qStringAgg _),
     "q_salted_join" -> (Relational.qSaltedJoin _),
     "q_bloom_join" -> (Relational.qBloomJoin _),
@@ -110,7 +114,7 @@ object SparkEntry {
     "vec_norms" -> (Similarity.vecNorms _),
     "ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "embed_project" -> ((s: SparkSession, d: String) =>
-      Similarity.embedProject(s, d)),
+      Similarity.embedProjectDump(s, d)),
     "ann_projected" -> ((s: SparkSession, d: String) =>
       Similarity.annProjected(s, d)),
     "ann_projected_ivf" -> ((s: SparkSession, d: String) =>
@@ -138,8 +142,12 @@ object SparkEntry {
       Similarity.knnGraph(s, d)),
     "knn_graph_ivf" -> ((s: SparkSession, d: String) =>
       Similarity.knnGraphIvf(s, d)),
+    "knn_graph_refined" -> ((s: SparkSession, d: String) =>
+      Similarity.knnGraphRefined(s, d)),
     "knn_graph_recall" -> ((s: SparkSession, d: String) =>
       Similarity.knnGraphRecall(s, d)),
+    "knn_graph_recall_sampled" -> ((s: SparkSession, d: String) =>
+      Similarity.knnGraphRecallSampled(s, d)),
     "knn_graph_indexed" -> ((s: SparkSession, d: String) =>
       Similarity.knnGraphIndexed(s, d)),
     "knn_pagerank" -> ((s: SparkSession, d: String) =>
@@ -308,6 +316,10 @@ object SparkEntry {
       Curation.mixAnneal(s, d)),
     "pipeline_curate_norm" -> ((s: SparkSession, d: String) =>
       Curation.pipelineCurateNorm(s, d)),
+    "pipeline_curate_predicted" -> ((s: SparkSession, d: String) =>
+      Curation.pipelineCuratePredicted(s, d)),
+    "curate_predicted_report" -> ((s: SparkSession, d: String) =>
+      Curation.curatePredictedReport(s, d)),
     "data_card" -> ((s: SparkSession, d: String) =>
       Curation.dataCard(s, d)),
     "cluster_budget" -> ((s: SparkSession, d: String) =>
@@ -340,6 +352,8 @@ object SparkEntry {
       Similarity.labelPropagationIvf(s, d)),
     "dedup_recall_report" -> ((s: SparkSession, d: String) =>
       Dedup.dedupRecallReport(s, d)),
+    "dedup_recall_report_sampled" -> ((s: SparkSession, d: String) =>
+      Dedup.dedupRecallReportSampled(s, d)),
     "mm_dedup_media_groups" -> ((s: SparkSession, d: String) =>
       Multimodal.mmDedupMediaGroups(s, d)),
     "tokenizer_fertility" -> ((s: SparkSession, d: String) =>
@@ -381,6 +395,8 @@ object SparkEntry {
       Curation.packReport(s, d)),
     "mm_motion_profile" -> ((s: SparkSession, d: String) =>
       Multimodal.mmMotionProfile(s, d)),
+    "mm_av_sync" -> ((s: SparkSession, d: String) =>
+      Multimodal.mmAvSync(s, d)),
     "q_retention_cohorts" -> (Relational.qRetentionCohorts _),
     "mon_status_flaps" -> ((s: SparkSession, d: String) =>
       Monitoring.statusFlaps(s, d)),
@@ -403,6 +419,8 @@ object SparkEntry {
     "mon_gap_fill_linear" -> ((s: SparkSession, d: String) =>
       Monitoring.gapFill(s, d, linear = true)),
     "mon_window_percentiles" -> (Monitoring.windowPercentiles _),
+    "mon_window_percentiles_approx" -> ((s: SparkSession, d: String) =>
+      Monitoring.windowPercentilesApprox(s, d)),
     "mon_error_pareto" -> ((s: SparkSession, d: String) =>
       Monitoring.errorPareto(s, d)),
     "mon_mad_outliers" -> ((s: SparkSession, d: String) =>
@@ -435,6 +453,8 @@ object SparkEntry {
       Curation.classifierServeIndexed(s, d)),
     "classifier_serve_calibrated" -> ((s: SparkSession, d: String) =>
       Curation.classifierServeCalibratedQuery(s, d)),
+    "calibrated_sample" -> ((s: SparkSession, d: String) =>
+      Curation.calibratedSample(s, d)),
     "quality_rank_cut" -> (Curation.qualityRankCutQuery _),
     "budget_select" -> (Curation.budgetSelectQuery _),
     "text_readability" -> (TextAnalysis.textReadability _),
@@ -640,6 +660,7 @@ object SparkEntry {
     "mix_report" -> Curation.mixReportSql(),
     "pack_report" -> Curation.packReportSql(),
     "mm_motion_profile" -> Multimodal.mmMotionProfileSql,
+    "mm_av_sync" -> Multimodal.mmAvSyncSql(),
     "mon_gap_fill" -> Monitoring.gapFillSql(),
     "mon_gap_fill_linear" -> Monitoring.gapFillSql(linear = true),
     "mon_fleet_health" -> Monitoring.fleetHealthSql(),

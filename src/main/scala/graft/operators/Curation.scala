@@ -153,6 +153,15 @@ object Curation {
     * per site even after inlining. */
   private def qualityGates(docs: DataFrame, minTokens: Int,
       maxDupBigram: Double, langs: Seq[String]): DataFrame =
+    qualityGatesNoLang(docs, minTokens, maxDupBigram)
+      .filter(col("lang").isin(langs: _*))
+
+  /** The language-free half of the gate chain — the seam the C8d
+    * divergence report reads (it must see BOTH language verdicts on
+    * quality-passing docs, so the lang filter cannot have fired yet).
+    * [[qualityGates]] is this plus the lang filter — one definition. */
+  private def qualityGatesNoLang(docs: DataFrame, minTokens: Int,
+      maxDupBigram: Double): DataFrame =
     docs
       .withColumn("toks", TextAnalysis.tokens("text"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
@@ -171,7 +180,6 @@ object Curation {
       .filter(col("n_tokens") >= minTokens)
       .filter(col("uniq_ratio") >= 0.3)
       .filter(col("dup_bigram_ratio") <= maxDupBigram)
-      .filter(col("lang").isin(langs: _*))
 
   /** V2 pipeline (stages 1–3 plus the round-3 gates): quality +
     * language + REPETITION gate (duplicate-bigram fraction, the Gopher
@@ -262,6 +270,93 @@ object Curation {
        |    '$PhoneRe', '[PHONE]', 'g'),
        |    '$IpRe', '[IP]', 'g') AS clean_text
        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------- C8c
+  /** C8 GATED ON PREDICTED LANGUAGE — the C8b wiring move applied to
+    * E35 (the r13 verdict's #1 missing item): a real crawl carries no
+    * `lang` label, so a chain that gates on the ground-truth column is
+    * a demo, not a pipeline. This variant serves the STAGED E35 model
+    * (E35c's artifact — one staging policy for serve entry and chain)
+    * inline on the scan and runs the SAME curateV2 gates over the
+    * prediction, heuristic fallback for evidence-free docs (E35's
+    * rule). Divergence is SURFACED, not hidden: each survivor carries
+    * `lang_pred`, `used_fallback`, and `gate_divergent` — whether the
+    * predicted gate decision differs from what the labeled gate would
+    * have done — so an auditor can count exactly where the classifier
+    * changed admission. Scale: the serve is a stateless codegen'd
+    * gather (|langs| dense dot products riding the scan — no join, no
+    * shuffle); the annotation join is survivor-keyed (post-gate,
+    * post-dedup — the small side). Two scans of `documents`, both
+    * map-only into their exchanges, stated plainly. Rows-only: hashed
+    * features + learned weights are engine-specific (E35's reason);
+    * the spec pins gate PARITY with the labeled chain wherever the
+    * classifier predicts the label correctly. */
+  def pipelineCuratePredicted(spark: SparkSession, sfDir: String,
+      minTokens: Int = 10, maxDupBigram: Double = 0.1,
+      langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame =
+    curatePredictedOf(Tables.documents(spark, sfDir),
+      TextAnalysis.stagedLangModel(spark, sfDir),
+      minTokens, maxDupBigram, langs)
+
+  /** C8c over arbitrary docs + any trained model — the spec entry. */
+  def curatePredictedOf(docs: DataFrame,
+      model: TextAnalysis.LangModel, minTokens: Int = 10,
+      maxDupBigram: Double = 0.1,
+      langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame = {
+    val served = TextAnalysis.langClassifierServeWith(docs, model)
+    val gated = served.withColumn("lang", col("lang_pred"))
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+    curateV2(gated, minTokens, maxDupBigram, langs)
+      .join(served.select(col("doc_id"), col("lang_pred"),
+          col("used_fallback"),
+          (col("lang_pred").isin(langs: _*) =!=
+            col("lang").isin(langs: _*)).as("gate_divergent")),
+        Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------- C8d
+  /** C8c's DIVERGENCE as a driver-visible one-row NUMBER (the C54/D8
+    * discipline: where the classifier changed admission should be a
+    * per-round count, not something an auditor greps survivors for):
+    * over quality-passing docs, how many both gates admit, how many
+    * ONLY the predicted gate admits (the recovered mislabeled crawl
+    * docs), how many ONLY the labeled gate admits (classifier
+    * misses — each one a doc the predicted chain silently drops), and
+    * the heuristic-fallback count. The language gates are the only
+    * stage that can diverge (quality gates see identical text), so
+    * the report reads the language-free gate seam
+    * ([[qualityGatesNoLang]]) once — ONE map-only scan through the
+    * serve + gate expressions into a 1-row order-free aggregate; no
+    * chain re-run, no join. Rows-only: E35's reason. */
+  def curatePredictedReport(spark: SparkSession, sfDir: String,
+      minTokens: Int = 10, maxDupBigram: Double = 0.1,
+      langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame =
+    curatePredictedReportOf(Tables.documents(spark, sfDir),
+      TextAnalysis.stagedLangModel(spark, sfDir),
+      minTokens, maxDupBigram, langs)
+
+  /** C8d over arbitrary docs + model — the spec entry. */
+  def curatePredictedReportOf(docs: DataFrame,
+      model: TextAnalysis.LangModel, minTokens: Int = 10,
+      maxDupBigram: Double = 0.1,
+      langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame = {
+    val served = TextAnalysis.langClassifierServeWith(docs, model)
+    val predIn = col("lang_pred").isin(langs: _*)
+    val labelIn = col("lang").isin(langs: _*)
+    qualityGatesNoLang(served, minTokens, maxDupBigram)
+      .agg(count(lit(1)).as("n_quality_pass"),
+        sum(when(predIn && labelIn, 1L).otherwise(0L))
+          .as("n_both_admit"),
+        sum(when(predIn && !labelIn, 1L).otherwise(0L))
+          .as("n_pred_only"),
+        sum(when(!predIn && labelIn, 1L).otherwise(0L))
+          .as("n_label_only"),
+        sum(when(!predIn && !labelIn, 1L).otherwise(0L))
+          .as("n_neither"),
+        sum(when(col("used_fallback"), 1L).otherwise(0L))
+          .as("n_fallback"))
   }
 
   /** STREAMING curation — the ingest-time twin of [[curateV2]]: the
@@ -4044,16 +4139,29 @@ object Curation {
     * float addition order (the serving-tier tolerance, spec-pinned at
     * 1e-6); the batch operator remains the oracle-checked truth. */
   def classifierServe(docs: DataFrame, model: Array[Double],
+      threshold: Double = 0.0): DataFrame =
+    classifierServeWith(docs, model, threshold)
+      .select(col("doc_id"), col("nb_z"), col("keep"))
+
+  /** The serve with EVERY input column carried through (the E35
+    * langClassifierServeWith move) — the seam stateless stream twins
+    * attach to: a streaming consumer cannot join verdicts back by
+    * doc_id without turning a map stage into a stream-stream join, so
+    * the kernel must ride the row. Same expression, same decision
+    * rule; [[classifierServe]] is this plus a projection, so the two
+    * cannot drift. */
+  def classifierServeWith(docs: DataFrame, model: Array[Double],
       threshold: Double = 0.0): DataFrame = {
     require(model.nonEmpty && (model.length & (model.length - 1)) == 0,
       s"model length ${model.length} must be a power of two (the hash " +
         "pipeline's bucket count)")
-    docs.select(col("doc_id"),
+    docs.withColumn("__z",
         graft.functions.ClassifierFunctions.bucketScoreSum(
           graft.functions.TextFunctions.bigramBuckets(
-            TextAnalysis.tokens("text"), model.length), model).as("z"))
-      .select(col("doc_id"), round(col("z"), 6).as("nb_z"),
-        (col("z") > threshold).as("keep"))
+            TextAnalysis.tokens("text"), model.length), model))
+      .withColumn("nb_z", round(col("__z"), 6))
+      .withColumn("keep", col("__z") > threshold)
+      .drop("__z")
   }
 
   // ------------------------------------------------------------ C69b
@@ -4097,6 +4205,44 @@ object Curation {
     }
     classifierServe(docs, model, threshold)
       .withColumn("p_keep", round(prob, 6))
+  }
+
+  // ------------------------------------------------------------- C69c
+  /** CALIBRATED SAMPLING — C69b's promise cashed: the docstring said
+    * p_keep is "a probability a DSIR-style weighted sampler can
+    * multiply", and until now nothing multiplied it. Bernoulli
+    * admission per doc — admitted iff u(doc_id) < p_keep^(1/T), with
+    * u the SAME seeded-LCG uniform C31 splits on (deterministic,
+    * session-free, replayable forever) and T the usual temperature
+    * knob (T=1 honest probabilities; T→∞ flattens toward
+    * keep-everything, T<1 sharpens toward the argmax gate). Unlike
+    * the C18 rank cut (a hard quantile on the raw score), this keeps
+    * a CALIBRATED fraction of every quality stratum — the sampler's
+    * expected yield per bin IS the bin's p_keep, which the spec pins.
+    * One map-only pass over the served frame: the LCG, the power, and
+    * the compare all ride the scan — no shuffle, no state. Rows-only:
+    * PAVA levels + hashed features are engine-specific (C69b's
+    * reason). */
+  def calibratedSample(spark: SparkSession, sfDir: String,
+      nBuckets: Int = 4096, nBins: Int = 10, temperature: Double = 1.0,
+      seed: Long = 29L): DataFrame =
+    calibratedSampleOf(
+      classifierServeCalibratedQuery(spark, sfDir, nBuckets, nBins),
+      temperature, seed)
+      .orderBy(col("doc_id"))
+
+  /** C69c over any (doc_id, p_keep)-bearing frame — the spec entry. */
+  def calibratedSampleOf(scored: DataFrame, temperature: Double = 1.0,
+      seed: Long = 29L): DataFrame = {
+    require(temperature > 0, s"temperature $temperature must be > 0")
+    val u = shiftrightunsigned(shuffleKey(col("doc_id"), seed), 32)
+      .cast("double") / 4294967296.0
+    scored.withColumn("u", round(u, 6))
+      .withColumn("p_eff",
+        round(pow(col("p_keep"), lit(1.0 / temperature)), 6))
+      // strict <: p_eff = 0 never admits, p_eff = 1 always does
+      // (u ∈ [0, 1)); both compared at round-6 — the C62 handoff rule
+      .withColumn("admitted", col("u") < col("p_eff"))
   }
 
   // ------------------------------------------------------------- C60c

@@ -1520,6 +1520,53 @@ object Dedup {
       .toDF("method", "found_pairs", "baseline_pairs", "matched", "recall")
   }
 
+  // --------------------------------------------------------------- C54b
+  /** SAMPLED DEDUP-RECALL AUDIT — the scale path C54's guard message
+    * promised ("at corpus scale the planted-recall specs are the
+    * check" — and its gate consumer C58 added "gate on a deterministic
+    * audit SAMPLE") now served, not noted: the full C54 report over a
+    * seeded-LCG document sample, so the exact-Jaccard baseline scores
+    * (frac·n)² pairs instead of n² and the audit runs at any corpus
+    * size by shrinking frac. Honesty note carried in the shape: a
+    * doc-sampled audit only sees near-dup pairs with BOTH ends in the
+    * sample (pair sampling rate ≈ frac²), so baseline_pairs shrinks
+    * ~frac² while recall — a RATIO over in-sample pairs — stays an
+    * unbiased estimate of the banding's catch rate, which is what the
+    * C58 gate consumes. Same shape as C54, so [[Curation.curateGatedOf]]
+    * takes this report unchanged — the sampling policy is the caller's
+    * knob, exactly as documented. Cached per (corpus stamp, params);
+    * frac = 1 is spec-pinned identical to the full report. */
+  def dedupRecallReportSampled(spark: SparkSession, sfDir: String,
+      frac: Double = 0.5, seed: Long = 47L,
+      threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    require(frac > 0 && frac <= 1, s"frac $frac out of (0, 1]")
+    val n = Tables.cachedCount(spark, s"$sfDir/documents.parquet")
+    val s = math.ceil(n * frac).toLong
+    require(s == 0 || s <= Similarity.BruteForceMaxPairs / s,
+      s"sampled exact baseline would score ~s²=$s² pairs — shrink frac")
+    val stamp = Tables.pathStamp(spark, s"$sfDir/documents.parquet")
+    val key = s"$frac:$seed:$threshold"
+    sampledRecallCache.filterInPlace { case ((d, st, _), _) =>
+      d != sfDir || st == stamp
+    }
+    val cut = math.floor(frac * 4294967296.0).toLong
+    sampledRecallCache.getOrElseUpdate((sfDir, stamp, key),
+        dedupRecallReportOf(Tables.documents(spark, sfDir)
+            .filter(shiftrightunsigned(
+              Curation.shuffleKey($"doc_id", seed), 32) < cut),
+          threshold)
+          .collect().toSeq.map(r => (r.getString(0), r.getLong(1),
+            r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) null
+            else java.lang.Double.valueOf(r.getDouble(4)))))
+      .toDF("method", "found_pairs", "baseline_pairs", "matched", "recall")
+  }
+
+  private val sampledRecallCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, String),
+      Seq[(String, Long, Long, Long, java.lang.Double)]]
+
   /** C54 over an arbitrary (doc_id, text) frame — the spec entry;
     * UNGUARDED (the driver wrapper owns the pair-ceiling check). */
   def dedupRecallReportOf(docs: DataFrame,

@@ -312,6 +312,162 @@ object Multimodal {
        |    AS n_cuts
        |FROM h2 GROUP BY media_id ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- F25
+  /** A/V SYNC ESTIMATION — the cross-MODALITY composition the family
+    * had not made (F13 profiles motion, F9 profiles loudness; nothing
+    * asked whether they line up): per media, the lag that maximizes
+    * Pearson correlation between the motion series (hamming between
+    * consecutive kept frames, F13's kernel) and the audio-energy
+    * series (F9's integer window energy), over lags in [-maxLag,
+    * maxLag] — the classic sync-drift estimate a video-ingest gate
+    * runs before trusting clip boundaries (a best lag ≠ 0 means the
+    * container's audio track is offset from its frames). Alignment is
+    * exact by construction: kept frame 4t starts at byte 32·t (8-byte
+    * frames, stride 4 — the F2 seam at the granularity this corpus's
+    * short payloads support), the 32-byte audio window t starts there
+    * too, so motion step t pairs with energy window t at lag 0.
+    *
+    * Scale: both series are media-bounded (one partitioned lag window
+    * + one map-only decode each — the F13/F9 plans verbatim); the lag
+    * grid is ≤ 2·maxLag+1 broadcast literals; correlation sums ride
+    * DECIMAL per (media, lag) — ONE exchange on a key that is
+    * media-bounded × grid-bounded; argmax per media is a partitioned
+    * row_number, never a global sort. Oracle end-to-end: integer
+    * series, DECIMAL order-free sums, IEEE-only closing arithmetic,
+    * argmax over the ROUNDED corr (abs-lag then lag tiebreaks — both
+    * engines sort the same values; the A45/A68 discipline). */
+  def mmAvSync(spark: SparkSession, sfDir: String, maxLag: Int = 3,
+      minPoints: Long = 8): DataFrame = {
+    import spark.implicits._
+    require(maxLag >= 0, s"maxLag $maxLag must be >= 0")
+    require(minPoints >= 2, s"minPoints $minPoints must be >= 2")
+    val media = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text".cast("binary"))
+      .as[(Long, Array[Byte])]
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"media_id").orderBy($"frame_idx")
+    val motion = frameSample(media, frameSize = 8, stride = 4).toDF()
+      .withColumn("prev_hash", lag($"frame_hash", 1).over(w))
+      .filter($"prev_hash".isNotNull)
+      .select($"media_id", ($"frame_idx" / 4).cast("long").as("t"),
+        expr("CAST(bit_count(frame_hash ^ prev_hash) AS INT)").as("m"))
+    val audio = audioWindowsOf(media, windowSamples = 32)
+      .select($"media_id", $"window_idx".cast("long").as("ta"),
+        $"energy".as("a"))
+    val lags = (-maxLag to maxLag).toDF("lag")
+    val paired = motion.crossJoin(broadcast(lags))
+      .withColumn("ta", $"t" + $"lag")
+      .join(audio, Seq("media_id", "ta"))
+    val corr = paired
+      .groupBy($"media_id", $"lag")
+      .agg(count(lit(1)).as("n_points"),
+        sum($"m".cast("decimal(18,0)")).cast("decimal(38,4)")
+          .cast("double").as("sx"),
+        sum($"a".cast("decimal(18,0)")).cast("decimal(38,4)")
+          .cast("double").as("sy"),
+        sum(($"m" * $"a").cast("decimal(28,0)")).cast("decimal(38,4)")
+          .cast("double").as("sxy"),
+        sum(($"m" * $"m").cast("decimal(28,0)")).cast("decimal(38,4)")
+          .cast("double").as("sxx"),
+        sum(($"a" * $"a").cast("decimal(28,0)")).cast("decimal(38,4)")
+          .cast("double").as("syy"))
+      .filter($"n_points" >= minPoints)
+      .withColumn("varm",
+        greatest($"n_points" * $"sxx" - $"sx" * $"sx", lit(0.0)))
+      .withColumn("vara",
+        greatest($"n_points" * $"syy" - $"sy" * $"sy", lit(0.0)))
+      .filter($"varm" > 0.0 && $"vara" > 0.0)
+      .withColumn("corr_ma",
+        round(($"n_points" * $"sxy" - $"sx" * $"sy") /
+          (sqrt($"varm") * sqrt($"vara")), 6))
+    val pick = org.apache.spark.sql.expressions.Window
+      .partitionBy($"media_id")
+      .orderBy($"corr_ma".desc, abs($"lag").asc, $"lag".asc)
+    corr.withColumn("rn", row_number().over(pick))
+      .filter($"rn" === 1)
+      .select($"media_id", $"lag".as("best_lag"), $"corr_ma",
+        $"n_points")
+      .orderBy($"media_id")
+  }
+
+  /** F25's oracle: the F2 FNV chunk fold at the sync grid (8-byte
+    * frames, stride 4) + the F9 energy fold at 32-byte windows,
+    * spliced under the lag grid + the A45 Pearson rollup + a QUALIFY
+    * argmax. The fold expressions are the F2/F9 kernels verbatim with
+    * the grid constants swapped — stated here because the 64-byte
+    * originals stay their own single definitions. */
+  def mmAvSyncSql(maxLag: Int = 3, minPoints: Long = 8): String =
+    s"""WITH fd AS (
+       |  SELECT doc_id, text, length(text) AS n FROM documents),
+       |ff AS (
+       |  SELECT doc_id, text, n,
+       |    unnest(range(0, CAST(ceil(n / 8.0) AS BIGINT))) AS idx
+       |  FROM fd WHERE n > 0),
+       |fs AS (
+       |  SELECT doc_id AS media_id, CAST(idx AS INT) AS frame_idx,
+       |    list_reduce(list_prepend(-3750763034362895579::BIGINT,
+       |      list_transform(string_split(substring(text, CAST(idx * 8 + 1 AS INT), 8), ''), c -> ord(c))),
+       |      (h, c) -> CAST(CASE WHEN
+       |          ((CASE WHEN xor(h, c) < 0 THEN xor(h, c)::HUGEINT + 18446744073709551616
+       |            ELSE xor(h, c)::HUGEINT END) * 1099511628211) % 18446744073709551616
+       |          >= 9223372036854775808
+       |        THEN ((CASE WHEN xor(h, c) < 0 THEN xor(h, c)::HUGEINT + 18446744073709551616
+       |            ELSE xor(h, c)::HUGEINT END) * 1099511628211) % 18446744073709551616
+       |          - 18446744073709551616
+       |        ELSE ((CASE WHEN xor(h, c) < 0 THEN xor(h, c)::HUGEINT + 18446744073709551616
+       |            ELSE xor(h, c)::HUGEINT END) * 1099511628211) % 18446744073709551616
+       |        END AS BIGINT)) AS frame_hash
+       |  FROM ff WHERE idx % 4 = 0),
+       |hh AS (
+       |  SELECT media_id, frame_idx, frame_hash,
+       |    lag(frame_hash) OVER w AS prev_hash
+       |  FROM fs
+       |  WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)),
+       |mo AS (
+       |  SELECT media_id, frame_idx // 4 AS t,
+       |    CAST(bit_count(xor(frame_hash, prev_hash)) AS INT) AS m
+       |  FROM hh WHERE prev_hash IS NOT NULL),
+       |aw AS (
+       |  SELECT doc_id, text, n,
+       |    unnest(range(0, CAST(ceil(n / 32.0) AS BIGINT))) AS idx
+       |  FROM fd WHERE n > 0),
+       |au AS (
+       |  SELECT doc_id AS media_id, idx AS ta,
+       |    CAST(list_sum(list_transform(
+       |      list_transform(
+       |        string_split(substring(text, CAST(idx * 32 + 1 AS INT), 32), ''),
+       |        c -> ord(c) - 128), s -> s * s)) AS BIGINT) AS a
+       |  FROM aw),
+       |lg AS (SELECT unnest(range(-$maxLag, ${maxLag + 1})) AS lag),
+       |pr AS (
+       |  SELECT mo.media_id, lg.lag, mo.m, au.a
+       |  FROM mo CROSS JOIN lg
+       |  JOIN au ON au.media_id = mo.media_id
+       |    AND au.ta = mo.t + lg.lag),
+       |c AS (
+       |  SELECT media_id, lag, COUNT(*) AS n_points,
+       |    CAST(CAST(SUM(CAST(m AS DECIMAL(18,0))) AS DECIMAL(38,4)) AS DOUBLE) AS sx,
+       |    CAST(CAST(SUM(CAST(a AS DECIMAL(18,0))) AS DECIMAL(38,4)) AS DOUBLE) AS sy,
+       |    CAST(CAST(SUM(CAST(m * a AS DECIMAL(28,0))) AS DECIMAL(38,4)) AS DOUBLE) AS sxy,
+       |    CAST(CAST(SUM(CAST(m * m AS DECIMAL(28,0))) AS DECIMAL(38,4)) AS DOUBLE) AS sxx,
+       |    CAST(CAST(SUM(CAST(a * a AS DECIMAL(28,0))) AS DECIMAL(38,4)) AS DOUBLE) AS syy
+       |  FROM pr GROUP BY media_id, lag
+       |  HAVING COUNT(*) >= $minPoints),
+       |v AS (
+       |  SELECT *, greatest(n_points * sxx - sx * sx, 0.0) AS varm,
+       |    greatest(n_points * syy - sy * sy, 0.0) AS vara
+       |  FROM c),
+       |r AS (
+       |  SELECT media_id, lag, n_points,
+       |    ROUND((n_points * sxy - sx * sy) /
+       |      (sqrt(varm) * sqrt(vara)), 6) AS corr_ma
+       |  FROM v WHERE varm > 0.0 AND vara > 0.0)
+       |SELECT media_id, lag AS best_lag, corr_ma, n_points
+       |FROM r
+       |QUALIFY row_number() OVER (PARTITION BY media_id
+       |  ORDER BY corr_ma DESC, abs(lag), lag) = 1
+       |ORDER BY media_id""".stripMargin
+
   // ---------------------------------------------------------------- F7
   /** STREAMING scene cuts — F6's live twin and the F-family's first
     * streaming member (the reference IS a live video gateway; shot
@@ -829,10 +985,18 @@ object Multimodal {
   def mmAudioWindows(spark: SparkSession, sfDir: String,
       windowSamples: Int): DataFrame = {
     import spark.implicits._
-    require(windowSamples >= 1, "windowSamples must be positive")
-    val media = Tables.documents(spark, sfDir)
+    audioWindowsOf(Tables.documents(spark, sfDir)
       .select($"doc_id", $"text".cast("binary"))
-      .as[(Long, Array[Byte])]
+      .as[(Long, Array[Byte])], windowSamples)
+  }
+
+  /** The window pipeline over an arbitrary media Dataset — the seam
+    * F25 shares with F9/F11 (one analyzer, one window shape). */
+  def audioWindowsOf(media: Dataset[(Long, Array[Byte])],
+      windowSamples: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(windowSamples >= 1, "windowSamples must be positive")
     media.mapPartitions { rows =>
       val analyzer = new StubAudioAnalyzer(windowSamples)
       rows.flatMap { case (id, payload) =>

@@ -215,7 +215,17 @@ object TextAnalysis {
 
   /** Serve: docs → (doc_id, lang_pred, used_fallback). Stateless —
     * attaches to a stream unchanged (the C60b property). */
-  def langClassifierServe(docs: DataFrame, model: LangModel): DataFrame = {
+  def langClassifierServe(docs: DataFrame, model: LangModel): DataFrame =
+    langClassifierServeWith(docs, model)
+      .select(col("doc_id"), col("lang_pred"), col("used_fallback"))
+
+  /** The serve with EVERY input column carried through — the seam the
+    * C8c predicted-language curate chain consumes (gating needs the
+    * prediction ON the row, not a doc_id join back). Same kernel, same
+    * decision rule; [[langClassifierServe]] is this plus a projection,
+    * so the two cannot drift. */
+  def langClassifierServeWith(docs: DataFrame,
+      model: LangModel): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bs = graft.functions.TextFunctions.bigramBuckets(
@@ -228,15 +238,16 @@ object TextAnalysis {
       .select(col("*") +: zCols: _*)
       .withColumn("__zs", array(model.langs.indices
         .map(i => col(s"__z$i")).toIndexedSeq: _*))
-      .select($"doc_id",
+      .withColumn("lang_pred",
         // first-max position = alphabetically smaller lang on ties;
         // evidence-free docs fall back to the E3 heuristic
         when(size($"__bs") < 1,
           graft.functions.TextFunctions.langId(col("text")))
           .otherwise(element_at(langsArr,
-            array_position($"__zs", array_max($"__zs")).cast("int")))
-          .as("lang_pred"),
-        (size($"__bs") < 1).as("used_fallback"))
+            array_position($"__zs", array_max($"__zs")).cast("int"))))
+      .withColumn("used_fallback", size($"__bs") < 1)
+      .drop((Seq("__bs", "__zs") ++
+        model.langs.indices.map(i => s"__z$i")): _*)
   }
 
   /** Driver entry: train on C31's train split, serve EVERYTHING,
@@ -325,6 +336,20 @@ object TextAnalysis {
       nBuckets: Int = 4096, valFrac: Double = 0.05,
       testFrac: Double = 0.05, seed: Long = 11L): DataFrame = {
     import spark.implicits._
+    langClassifierServe(Tables.documents(spark, sfDir),
+        stagedLangModel(spark, sfDir, nBuckets, valFrac, testFrac, seed))
+      .orderBy($"doc_id")
+  }
+
+  /** The staged per-corpus-version model re-read from disk — the seam
+    * E35c and the C8c predicted-language curate chain share (ONE
+    * staging policy, one artifact; a chain consuming a differently
+    * trained model than the served entry would make their parity
+    * claims vacuous). */
+  def stagedLangModel(spark: SparkSession, sfDir: String,
+      nBuckets: Int = 4096, valFrac: Double = 0.05,
+      testFrac: Double = 0.05, seed: Long = 11L): LangModel = {
+    import spark.implicits._
     val stamp = Tables.pathStamp(spark, s"$sfDir/documents.parquet")
     // stale corpus versions' staged dirs are reaped at JVM exit (a
     // returned lazy plan may still scan them — the snapshotCache rule)
@@ -345,9 +370,7 @@ object TextAnalysis {
       writeLangModel(spark, model, d, stamp)
       d
     })
-    langClassifierServe(Tables.documents(spark, sfDir),
-        readLangModel(spark, dir))
-      .orderBy($"doc_id")
+    readLangModel(spark, dir)
   }
   private val langModelDirCache = scala.collection.concurrent.TrieMap
     .empty[(String, Long, Int), String]

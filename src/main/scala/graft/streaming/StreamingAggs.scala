@@ -47,6 +47,33 @@ object StreamingAggs {
       .groupBy(window(col("ts"), "60 seconds"), col("user_id"))
       .agg(sum(col("value")).as("metric_sum"), count(lit(1)).as("sample_count"))
 
+  /** A53c — STREAMING WINDOW PERCENTILES: the live twin of the A53b
+    * sketch path (an SLO dashboard alarms on tail latency as it
+    * happens, not at the nightly rollup). Tumbling per-device hour
+    * windows through the same approx_percentile sketch — the sketch
+    * buffer IS the streaming state (mergeable partials, fixed size
+    * per open window), finalized and dropped once the watermark
+    * passes, so state stays O(open windows × devices) regardless of
+    * volume. Same approx_ column naming, same round-4 cells as the
+    * batch sibling; the parity spec replays history through both and
+    * pins equality (exact at spec scale: n ≪ accuracy keeps the
+    * sketch lossless). */
+  def windowPercentiles(events: DataFrame, watermark: String = "2 hours",
+      accuracy: Int = 10000): DataFrame =
+    withWatermarkIfAbsent(
+        events.filter(col("event_type") === "purchase" &&
+          col("value").isNotNull), "ts", watermark)
+      .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_samples"),
+        expr(s"approx_percentile(value, array(0.5, 0.95, 0.99), $accuracy)")
+          .as("ap"))
+      .select(col("user_id"),
+        expr("unix_micros(window.start)").as("window_us"),
+        col("n_samples"),
+        round(element_at(col("ap"), 1), 4).as("approx_p50"),
+        round(element_at(col("ap"), 2), 4).as("approx_p95"),
+        round(element_at(col("ap"), 3), 4).as("approx_p99"))
+
   /** Session windows with a 30-minute inactivity gap — streaming
     * sessionization via the native session_window (state merges
     * adjacent windows; watermark finalizes closed sessions). */

@@ -2323,6 +2323,102 @@ class CurationSpec extends SparkSpec {
     assert(byLabel === packed,
       "concatenating stage shards must reproduce the packed order")
   }
+
+  test("curate on predicted language: admission parity where the classifier is right, mislabeled doc admitted and flagged divergent") {
+    val docs = Seq(
+      (1L, "s1", "the quick brown fox jumps over a lazy dog near the river bank", "en"),
+      (2L, "s1", "many different english words form another perfectly normal sentence here today", "en"),
+      (3L, "s2", "der schnelle braune fuchs springt gerade jetzt elegant über den faulen hund", "de"),
+      (4L, "s2", "viele verschiedene deutsche wörter bilden heute einen weiteren ganz normalen satz", "de"),
+      // a crawl doc with NO usable label: english text, junk label —
+      // the labeled gate drops it, the predicted gate must admit it
+      (99L, "s3", "the quick brown fox and many english words near another river bank today", "xx")
+    ).toDF("doc_id", "source", "text", "lang")
+    val labeled = docs.filter($"lang" =!= "xx")
+    val model = TextAnalysis.langClassifierModel(labeled,
+      labeled.select($"doc_id", $"lang"), nBuckets = 256)
+    // precondition: the classifier is right on every well-labeled doc
+    // (in-sample, disjoint vocabularies) and calls 99's text english
+    val preds = TextAnalysis.langClassifierServe(docs, model).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(id =>
+      preds(id) == (if (id <= 2) "en" else "de")), s"preds: $preds")
+    assert(preds(99L) === "en", s"mislabeled doc not recovered: $preds")
+    val out = Curation.curatePredictedOf(docs, model).collect()
+      .map(r => r.getLong(0) -> (r.getString(5), r.getBoolean(6),
+        r.getBoolean(7))).toMap
+    val labeledOut = Curation.curateV2(docs).collect()
+      .map(_.getLong(0)).toSet
+    // parity wherever prediction == label
+    assert(out.keySet - 99L === labeledOut,
+      s"admission diverged where the classifier agreed with the " +
+        s"label: ${out.keySet} vs $labeledOut")
+    // the recovered doc is admitted, flagged, and not a fallback guess
+    assert(out.contains(99L), s"mislabeled doc dropped: ${out.keySet}")
+    val (pred99, fb99, div99) = out(99L)
+    assert(pred99 === "en" && !fb99 && div99,
+      s"divergence not surfaced: ${out(99L)}")
+    // agreeing survivors are unflagged
+    (out.keySet - 99L).foreach(id =>
+      assert(!out(id)._3, s"false divergence flag on $id"))
+    // the C8d one-row divergence ledger prices the same facts
+    val rep = Curation.curatePredictedReportOf(docs, model).head()
+    assert(rep.getLong(0) === 5L, s"quality-pass count: $rep")
+    assert(rep.getLong(1) === 4L, s"both-admit count: $rep")
+    assert(rep.getLong(2) === 1L, s"pred-only (recovered) count: $rep")
+    assert(rep.getLong(3) === 0L, s"label-only (lost) count: $rep")
+    assert(rep.getLong(4) === 0L && rep.getLong(5) === 0L,
+      s"neither/fallback: $rep")
+  }
+
+  test("calibrated sample: degenerate probabilities bind, verdicts consistent, temperature only widens") {
+    val scored = ((1L to 400L).map(i => (i, 0.5)) ++
+      Seq((901L, 0.0), (902L, 1.0), (903L, 0.25)))
+      .toDF("doc_id", "p_keep")
+    val out = Curation.calibratedSampleOf(scored).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(!out(901L)._3, "p_keep=0 admitted")
+    assert(out(902L)._3, "p_keep=1 rejected")
+    out.foreach { case (id, (u, pEff, adm)) =>
+      assert(adm === (u < pEff), s"verdict inconsistent for $id") }
+    // expected yield: the p=0.5 stratum admits about half (LCG uniform)
+    val n = (1L to 400L).count(i => out(i)._3)
+    assert(n > 140 && n < 260, s"p=0.5 stratum admitted $n of 400")
+    // deterministic replay
+    val again = Curation.calibratedSampleOf(scored).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    out.foreach { case (id, (_, _, adm)) =>
+      assert(again(id) === adm, s"not deterministic at $id") }
+    // higher temperature can only widen the admitted set (p^(1/T) ≥ p)
+    val hot = Curation.calibratedSampleOf(scored, temperature = 4.0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    out.foreach { case (id, (_, _, adm)) =>
+      if (adm) assert(hot(id), s"temperature shrank the sample at $id") }
+    // and the driver entry runs on the corpus with consistent verdicts
+    val drv = Curation.calibratedSample(spark, sf).collect()
+    assert(drv.nonEmpty)
+    drv.foreach { r =>
+      assert(r.getBoolean(6) === (r.getDouble(4) < r.getDouble(5)),
+        s"driver entry inconsistent: $r") }
+    // stateless: the same kernel attaches to a stream unchanged (the
+    // E40b property) and reproduces the batch verdicts bit-exactly
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, Double)](208, spark, None)
+    val q = Curation.calibratedSampleOf(
+        input.toDS().toDF("doc_id", "p_keep"))
+      .writeStream.format("memory").queryName("calib_sample_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(scored.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("calib_sample_stream").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    out.foreach { case (id, (_, _, adm)) =>
+      assert(streamed(id) === adm, s"stream/batch diverged at $id") }
+  }
 }
 
 /** Top-level so spark.implicits can derive its Encoder. */

@@ -683,4 +683,30 @@ class DedupSpec extends SparkSpec {
     assert(b2 === 2L && m2 >= 1L && rec2.exists(_ > 0.0),
       s"simhash must at least pair the exact dup: $out")
   }
+
+  test("sampled dedup recall audit: frac=1 is the full report, sub-sample deterministic with shrunken baseline") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) -1.0 else r.getDouble(4))).toSeq
+    val full = rows(Dedup.dedupRecallReport(spark, sf))
+    val all = rows(Dedup.dedupRecallReportSampled(spark, sf, frac = 1.0))
+    assert(all === full,
+      s"frac=1 must reproduce the full report: $all vs $full")
+    val half = rows(Dedup.dedupRecallReportSampled(spark, sf, frac = 0.5))
+    assert(half.map(_._1) === full.map(_._1), "method rows missing")
+    // the sampled baseline can only shrink (pair needs both ends in)
+    half.zip(full).foreach { case (s, f) =>
+      assert(s._3 <= f._3, s"sampled baseline grew: $s vs $f")
+      assert(s._4 <= math.min(s._2, s._3), s"matched out of bounds: $s")
+    }
+    // deterministic replay (cache-independent: different threshold key
+    // forces a fresh build of the same sample)
+    assert(rows(Dedup.dedupRecallReportSampled(spark, sf, frac = 0.5))
+      === half, "sampled audit not deterministic")
+    // degenerate frac fails by name
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.dedupRecallReportSampled(spark, sf, frac = 0.0)
+    }
+    assert(ex.getMessage.contains("frac"), ex.getMessage)
+  }
 }

@@ -1009,4 +1009,188 @@ class MonitoringSpec extends SparkSpec {
     val order = Monitoring.anomalyEnsembleOf(events).collect().map(_.getLong(0))
     assert(order.head == 1L, s"triage order: ${order.toSeq}")
   }
+
+  /** The A69 planted corpus (shared by the curve/tuned/triage specs):
+    * device 1's k99 alarms persist hour to hour (real), device 2's k11
+    * alarms each recover (transient). */
+  private def alarmCorpus() = {
+    val HourS = 3600L
+    var id = 0L
+    def ev(u: Long, h: Long, t: String, k: Int) = {
+      id += 1
+      (id, new java.sql.Timestamp((h * HourS + 10) * 1000), u, t,
+        s"""{"k": $k}""")
+    }
+    val rows = (0L until 21L).map(h => ev(1L, h, "error", 99)) ++
+      (0L until 20L by 2).map(h => ev(2L, h, "error", 11)) ++
+      (1L until 20L by 2).map(h => ev(2L, h, "click", 5))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "props")
+  }
+
+  test("alarm verify curve: cells partition the held-out frame, recall monotone, argmax separates the planted corpus") {
+    val events = alarmCorpus()
+    val verdicts = Monitoring.alarmVerifyOf(events, trainFrac = 0.7,
+      nBuckets = 256)
+    val n = verdicts.count()
+    val nPos = verdicts.filter($"was_real").count()
+    val curve = Monitoring.alarmVerifyCurveOf(verdicts).collect()
+    assert(curve.nonEmpty, "empty curve on a non-empty verdict frame")
+    val thrs = curve.map(_.getDouble(0))
+    assert(thrs.toSeq === thrs.sorted.toSeq && thrs.distinct.length === thrs.length,
+      s"grid not strictly increasing: ${thrs.toSeq}")
+    curve.foreach { r =>
+      assert(r.getLong(1) === n, s"n_heldout cell: $r")
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5) === n,
+        s"confusion cells must partition the frame: $r")
+      assert(r.getLong(2) + r.getLong(4) === nPos,
+        s"tp+fn must equal the positive count: $r")
+    }
+    // recall non-increasing as the threshold rises (kept set shrinks)
+    val recalls = curve.map(r =>
+      if (r.isNullAt(7)) -1.0 else r.getDouble(7)).filter(_ >= 0)
+    recalls.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-9, s"recall rose with threshold: ${recalls.toSeq}")
+    case _ => }
+    // the derived argmax point separates the planted corpus: tp > 0
+    // (the r13 finding was exactly tp=0 at the un-swept prior point)
+    val thr = graft.operators.Curation.chosenThreshold(
+      Monitoring.alarmVerifyCurveOf(verdicts))
+    val tuned = verdicts
+      .select($"user_id", $"hour_us", ($"nb_z" > thr).as("p"), $"was_real")
+      .collect()
+    assert(tuned.exists(r => r.getBoolean(2) && r.getBoolean(3)),
+      s"argmax threshold $thr still pages nothing on a separable corpus")
+  }
+
+  test("alarm verify tuned: threshold column is the curve's scalar and every verdict is consistent with it") {
+    val rows = Monitoring.alarmVerifyTuned(spark, sf).collect()
+    assert(rows.nonEmpty, "no tuned verdicts at sf0.001")
+    val thr = rows.head.getDouble(5)
+    rows.foreach { r =>
+      assert(r.getDouble(5) === thr, s"threshold not constant: $r")
+      assert(r.getBoolean(3) === (r.getDouble(2) > thr),
+        s"verdict inconsistent with the stamped scalar: $r")
+    }
+  }
+
+  test("alarm verify: window text exchange is semi-join pruned to alarm hours (plan pin)") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val w = Monitoring.alarmWindowsOf(Tables.events(spark, sf))
+    val aggs = w.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(
+        _.toString.contains("collect_list")) => a
+    }
+    assert(aggs.nonEmpty, "no collect_list aggregate in the window plan")
+    assert(aggs.forall(_.collectFirst {
+        case j: Join if j.joinType == LeftSemi => j
+      }.nonEmpty),
+      s"text collect_list input not pruned by the alarm-hour semi " +
+        s"join:\n${w.queryExecution.optimizedPlan}")
+  }
+
+  test("window percentiles approx: count parity, cells inside the window envelope, monotone") {
+    val exact = Monitoring.windowPercentiles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val env = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
+      .groupBy($"user_id",
+        (expr("unix_micros(ts)") / 3600000000L).cast("long").as("h"))
+      .agg(min($"value").as("lo"), max($"value").as("hi"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1) * 3600000000L) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val approx = Monitoring.windowPercentilesApprox(spark, sf).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact(key) === r.getLong(2), s"n_samples parity: $r")
+      val (lo, hi) = env(key)
+      val (p50, p95, p99) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(p50 <= p95 + 1e-9 && p95 <= p99 + 1e-9, s"monotone: $r")
+      // round-4 cells of true samples stay within the rounded envelope
+      Seq(p50, p95, p99).foreach(p => assert(
+        p >= lo - 1e-4 && p <= hi + 1e-4, s"outside [$lo, $hi]: $r"))
+    }
+    assert(approx.length === exact.size, "window set parity with exact A53")
+  }
+
+  test("alarm triage stream: stateless serve matches batch verdicts bit-exactly on replayed history") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val events = alarmCorpus()
+    val windows = Monitoring.alarmWindowsOf(events)
+    val Some((model, thr, cutoff)) =
+      Monitoring.alarmModelOf(windows, trainFrac = 0.7, nBuckets = 256)
+    val held = windows.filter($"hour_us" > cutoff)
+      .select($"user_id", $"hour_us", $"text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(held.nonEmpty, "no held-out windows to replay")
+    val input = MemoryStream[(Long, Long, String)](205, spark, None)
+    val q = Monitoring.alarmTriageStream(
+        input.toDS().toDF("user_id", "hour_us", "text"), model, thr)
+      .writeStream.format("memory").queryName("alarm_triage")
+      .outputMode("append").start()
+    try {
+      input.addData(held.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table("alarm_triage").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).sortBy(x => (x._1, x._2))
+    val batch = Monitoring.alarmVerifyOf(events, trainFrac = 0.7,
+        nBuckets = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).sortBy(x => (x._1, x._2))
+    assert(live.toSeq === batch.toSeq,
+      s"stream/batch verdict parity: ${live.toSeq} vs ${batch.toSeq}")
+  }
+
+  test("alarm verifier bundle: round trip serves the derived threshold, torn weights fail by name") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-alarmbundle").toString
+    Monitoring.writeAlarmVerifier(spark, sf, dir)
+    val (model, thr) = Monitoring.readAlarmVerifier(spark, dir)
+    // the stored threshold IS the curve's chosen scalar
+    val expected = graft.operators.Curation.chosenThreshold(
+      Monitoring.alarmVerifyCurve(spark, sf))
+    assert(thr === expected, s"bundle threshold $thr != curve $expected")
+    // cross-session serve parity: replaying tuned verdict rows through
+    // the bundle-fed stream reproduces the tuned verdicts bit-exactly
+    val tuned = Monitoring.alarmVerifyTuned(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+    // stream the corpus's held-out windows through the staged bundle
+    val windows = Monitoring.alarmWindowsOf(Tables.events(spark, sf))
+    val cutoff = Monitoring.alarmModelOf(windows).get._3
+    val held = windows.filter($"hour_us" > cutoff)
+      .select($"user_id", $"hour_us", $"text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val input = MemoryStream[(Long, Long, String)](206, spark, None)
+    val q = Monitoring.alarmTriageStreamFrom(spark, dir,
+        input.toDS().toDF("user_id", "hour_us", "text"))
+      .writeStream.format("memory").queryName("alarm_triage_bundle")
+      .outputMode("append").start()
+    try {
+      input.addData(held.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table("alarm_triage_bundle").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).sortBy(x => (x._1, x._2))
+    assert(live.toSeq === tuned.sortBy(x => (x._1, x._2)).toSeq,
+      s"bundle serve diverged from tuned verdicts")
+    // torn bundle fails by name
+    val weights = spark.read.parquet(s"$dir/weights").limit(5)
+    weights.write.mode("overwrite").parquet(s"$dir/weights_torn")
+    // overwrite the weights dir with the truncated table
+    val fs = new java.io.File(s"$dir/weights")
+    fs.listFiles().foreach(_.delete()); fs.delete()
+    spark.read.parquet(s"$dir/weights_torn")
+      .write.parquet(s"$dir/weights")
+    val ex = intercept[IllegalArgumentException] {
+      Monitoring.readAlarmVerifier(spark, dir)
+    }
+    assert(ex.getMessage.contains("torn"), ex.getMessage)
+  }
 }

@@ -587,4 +587,42 @@ class MultimodalSpec extends SparkSpec {
     assert(ivf.map(_.toString).toSeq === again.toSeq,
       "ivf frame search not deterministic")
   }
+
+  test("av sync: planted offsets recovered exactly, still media dropped, deterministic") {
+    // 32-byte blocks: the first 8 bytes drive MOTION (the operator's
+    // 8-byte frames keep idx%4==0 = each block's head), the other 24
+    // drive AUDIO energy. A/B heads are permutations of one byte
+    // multiset — identical energy, different FNV hash — so switching
+    // A<->B moves the motion series without touching loudness, and
+    // loud tails move loudness without touching motion: the two
+    // modalities are INDEPENDENTLY plantable.
+    val headA = "~\u007f" * 4        // 8 bytes, energy 4*(4+1)
+    val headB = "\u007f~" * 4        // same multiset, other order
+    val quiet = "\u007f" * 24        // tail energy 24
+    val loud = "(" * 24           // (40-128)^2 * 24
+    val events = Set(3, 7, 11, 15)        // switch-and-loud schedule
+    def doc(lagShift: Int): String =
+      (0 until 20).map { t =>
+        val nSwitches = events.count(_ <= t)
+        val head = if (nSwitches % 2 == 0) headA else headB
+        val tail = if (events.contains(t - lagShift)) loud else quiet
+        head + tail
+      }.mkString
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-avsync").toString
+    Seq((1L, doc(0)), (2L, doc(2)), (3L, headA + quiet))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Multimodal.mmAvSync(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    // doc 1: audio tracks motion exactly -> lag 0, perfect correlation
+    assert(out(1L) === ((0, 1.0)), s"tracking media: $out")
+    // doc 2: loudness shifted two blocks later -> lag +2 recovered
+    assert(out(2L) === ((2, 1.0)), s"delayed media: $out")
+    // doc 3: one block — no variance on either series -> dropped
+    assert(!out.contains(3L), s"still media must be dropped: $out")
+    val again = Multimodal.mmAvSync(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(again === out, "av sync not deterministic")
+  }
 }

@@ -222,6 +222,76 @@ class SimilaritySpec extends SparkSpec {
       assert(again(id).toSeq === proj(id).toSeq, "not deterministic") }
     val drv = Similarity.embedProject(spark, sf).collect()
     assert(drv.nonEmpty && drv.forall(_.getSeq[Double](1).length === 16))
+    // the driver DUMP shape (the A58 rule): flat round-6 per-component
+    // columns the harness can sort/hash — values are the projection's,
+    // rounded, in component order
+    val dump = Similarity.embedProjectDump(spark, sf)
+    assert(dump.columns.toSeq ===
+      ("vec_id" +: (0 until 16).map(j => s"p$j")), dump.columns.toSeq)
+    val flat = dump.collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getDouble).toSeq).toMap
+    drv.foreach { r =>
+      val want = r.getSeq[Double](1)
+        .map(v => math.rint(v * 1e6) / 1e6).toSeq
+      assert(flat(r.getLong(0)) === want,
+        s"dump diverges from the projection for vec ${r.getLong(0)}")
+    }
+  }
+
+  test("knn graph refined: hop-2 candidates recover the missed edge, deterministic, recall never below raw") {
+    // planted geometry: A's true 2nd neighbor C is absent from A's raw
+    // edge list but reachable through B (A→B, B→C) — one NN-descent
+    // round must recover it; D is a far decoy that must NOT displace
+    // anything
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),          // A
+      (2L, Array(0.9f, 0.1f, 0.0f)),          // B — A's raw neighbor
+      (3L, Array(0.95f, 0.05f, 0.0f)),        // C — true neighbor, missed
+      (4L, Array(0.0f, 0.0f, 1.0f))           // D — far decoy
+    ).toDF("vec_id", "embedding")
+    val rawEdges = Seq((1L, 2L), (2L, 3L), (3L, 2L), (4L, 1L))
+      .toDF("vec_id", "neighbor_id")
+    val refined = Similarity.refineRound(e, rawEdges, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val aEdges = refined.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    assert(aEdges.toSeq === Seq(3L, 2L),
+      s"A must gain C via the B hop and rank it first: ${refined.toSeq}")
+    // determinism: bit-identical replay
+    val again = Similarity.refineRound(e, rawEdges, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(again.toSeq === refined.toSeq, "refine round not deterministic")
+    // corpus report: refined recall never below the raw IVF row (the
+    // candidate set is a superset and both are exact-scored)
+    val rep = Similarity.knnGraphRecall(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(4)) -1.0 else r.getDouble(4))).toMap
+    assert(rep.keySet === Set("ivf_graph", "ivf_graph_refined"), rep)
+    assert(rep("ivf_graph_refined") >= rep("ivf_graph") - 1e-9,
+      s"refinement lost recall: $rep")
+  }
+
+  test("sampled graph recall audit: frac=1 matches the full report, sub-sample bounded and deterministic") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) -1.0 else r.getDouble(5))).toSeq
+    val full = Similarity.knnGraphRecall(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val all = rows(Similarity.knnGraphRecallSampled(spark, sf, frac = 1.0))
+    // frac=1: every vertex sampled — same edges, same counts
+    assert(all.map(t => (t._1, t._3, t._4, t._5)) === full,
+      s"frac=1 must reproduce the full report: $all vs $full")
+    val part = rows(Similarity.knnGraphRecallSampled(spark, sf,
+      frac = 0.3))
+    assert(part.map(_._1) === Seq("ivf_graph", "ivf_graph_refined"))
+    part.foreach { t =>
+      assert(t._2 > 0 && t._2 < all.head._2,
+        s"sample size out of range: $t")
+      assert(t._5 <= math.min(t._3, t._4), s"matched out of bounds: $t")
+    }
+    assert(rows(Similarity.knnGraphRecallSampled(spark, sf, frac = 0.3))
+      === part, "sampled audit not deterministic")
   }
 
   test("ann_projected: two-stage recall beats chance, refine scores are the exact kernel, wider m buys recall") {
@@ -1367,20 +1437,21 @@ class SimilaritySpec extends SparkSpec {
 
   test("knn graph recall report: driver-visible edge recall holds the D25b floor") {
     val r = Similarity.knnGraphRecall(spark, sf).collect()
-    assert(r.length === 1)
-    val row = r.head
-    assert(row.getString(0) === "ivf_graph")
-    val (found, base, matched) =
-      (row.getLong(1), row.getLong(2), row.getLong(3))
-    assert(matched <= math.min(found, base),
-      s"matched $matched exceeds found=$found/baseline=$base")
-    // the D25b spec-time floor, now a recorded number: same
-    // near-uniform-sphere caveat (hostile IVF geometry)
-    assert(!row.isNullAt(4) && row.getDouble(4) > 0.2,
-      s"edge recall ${row.getDouble(4)} under the D25b floor")
-    val again = Similarity.knnGraphRecall(spark, sf).collect().head
-    assert(again.getDouble(4) === row.getDouble(4),
-      "recall report not deterministic")
+    assert(r.map(_.getString(0)).toSeq ===
+      Seq("ivf_graph", "ivf_graph_refined"), r.toSeq)
+    r.foreach { row =>
+      val (found, base, matched) =
+        (row.getLong(1), row.getLong(2), row.getLong(3))
+      assert(matched <= math.min(found, base),
+        s"matched $matched exceeds found=$found/baseline=$base")
+      // the D25b spec-time floor, now a recorded number: same
+      // near-uniform-sphere caveat (hostile IVF geometry)
+      assert(!row.isNullAt(4) && row.getDouble(4) > 0.2,
+        s"edge recall ${row.getDouble(4)} under the D25b floor")
+    }
+    val again = Similarity.knnGraphRecall(spark, sf).collect()
+    assert(again.map(_.getDouble(4)).toSeq ===
+      r.map(_.getDouble(4)).toSeq, "recall report not deterministic")
   }
 
   test("label propagation: planted chains fill from one seed each, ties to smaller label, bounded rounds") {

@@ -656,6 +656,42 @@ class StreamingSpec extends SparkSpec {
       assert(got === g1, "replayed events re-paged flap alerts")
     } finally q.stop()
   }
+
+  test("window percentiles stream: closed windows match the batch sketch sibling bit-exactly") {
+    // two devices, two hour windows of purchases with spread values,
+    // then a late-hour event to push the watermark past both
+    def pev(id: Long, dev: Long, hour: Int, minute: Int, v: Double) =
+      DeviceEvent(id, Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00"),
+        dev, "purchase", v, "{}")
+    var id = 0L
+    val body = for {
+      dev <- Seq(1L, 2L); hour <- Seq(10, 11); m <- 0 until 20
+    } yield { id += 1; pev(id, dev, hour, m * 2,
+      (dev * 100 + hour + m).toDouble) }
+    val flush = pev(9999L, 1L, 15, 0, 1.0) // watermark pusher
+    val input = MemoryStream[DeviceEvent](207, spark, None)
+    val q = StreamingAggs.windowPercentiles(input.toDS().toDF())
+      .writeStream.format("memory").queryName("pctl_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(body.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(flush)
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table("pctl_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // the four planted windows are closed; the flush window may be held
+    assert(live.keySet.size >= 4, s"closed windows missing: ${live.keySet}")
+    val batch = graft.operators.Monitoring.windowPercentilesApproxOf(
+        body.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    batch.foreach { case (k, v) =>
+      assert(live.get(k).contains(v),
+        s"stream window $k diverged: ${live.get(k)} vs $v") }
+  }
 }
 
 case class HealthAlertRow(user_id: Long, ts: Timestamp, action: String, consec_fails: Int)
