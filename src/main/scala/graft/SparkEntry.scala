@@ -318,6 +318,8 @@ object SparkEntry {
       Curation.pipelineCurateNorm(s, d)),
     "pipeline_curate_predicted" -> ((s: SparkSession, d: String) =>
       Curation.pipelineCuratePredicted(s, d)),
+    "pipeline_curate_routed" -> ((s: SparkSession, d: String) =>
+      Curation.pipelineCurateRouted(s, d)),
     "curate_predicted_report" -> ((s: SparkSession, d: String) =>
       Curation.curatePredictedReport(s, d)),
     "data_card" -> ((s: SparkSession, d: String) =>
@@ -465,6 +467,10 @@ object SparkEntry {
     // E: text analysis
     "text_tokens" -> (TextAnalysis.textTokens _),
     "text_quality" -> (TextAnalysis.textQuality _),
+    "text_code_score" -> (TextAnalysis.textCodeScore _),
+    "code_by_source" -> (TextAnalysis.codeBySource _),
+    "budget_select_calibrated" -> ((s: SparkSession, d: String) =>
+      Curation.budgetSelectCalibrated(s, d)),
     "text_langid" -> (TextAnalysis.textLangId _),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "word_freq_topk" -> (TextAnalysis.wordFreqTopK _),
@@ -633,6 +639,7 @@ object SparkEntry {
     "mix_reweight_apply" -> Curation.mixReweightApplySql(),
     "mix_temperature" -> Curation.mixTemperatureSql(),
     "pipeline_curate_norm" -> Curation.pipelineCurateNormSql,
+    "pipeline_curate_routed" -> Curation.pipelineCurateRoutedSql,
     "data_card" -> Curation.dataCardSql(),
     "mix_temperature_apply" -> Curation.mixTemperatureApplySql(),
     "mix_anneal" -> Curation.mixAnnealSql(),
@@ -694,6 +701,8 @@ object SparkEntry {
     "pipeline_curate_v2" -> Curation.pipelineCurateV2Sql,
     "text_tokens" -> TextAnalysis.textTokensSql,
     "text_quality" -> TextAnalysis.textQualitySql,
+    "text_code_score" -> TextAnalysis.textCodeScoreSql,
+    "code_by_source" -> TextAnalysis.codeBySourceSql,
     "text_fingerprint" -> TextAnalysis.textFingerprintSql,
     "word_freq_topk" -> TextAnalysis.wordFreqTopKSql,
     "text_repetition" -> TextAnalysis.textRepetitionSql,

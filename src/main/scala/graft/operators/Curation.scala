@@ -162,6 +162,17 @@ object Curation {
     * [[qualityGates]] is this plus the lang filter — one definition. */
   private def qualityGatesNoLang(docs: DataFrame, minTokens: Int,
       maxDupBigram: Double): DataFrame =
+    qualityGateSignals(docs)
+      .filter(col("n_tokens") >= minTokens)
+      .filter(col("uniq_ratio") >= 0.3)
+      .filter(col("dup_bigram_ratio") <= maxDupBigram)
+
+  /** The gate SIGNAL columns without any filter — the seam the C8e
+    * routed chain reads (its repetition gates are conditional on the
+    * route, so the predicates cannot have fired yet). One definition
+    * of every signal; the filters above and C8e's routed predicate
+    * both read these columns. */
+  private def qualityGateSignals(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", TextAnalysis.tokens("text"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
@@ -177,9 +188,6 @@ object Curation {
       .withColumn("dup_bigram_ratio",
         when(size(col("bg")) === 0, lit(0.0)).otherwise(
           lit(1.0) - size(array_distinct(col("bg"))).cast("double") / size(col("bg"))))
-      .filter(col("n_tokens") >= minTokens)
-      .filter(col("uniq_ratio") >= 0.3)
-      .filter(col("dup_bigram_ratio") <= maxDupBigram)
 
   /** V2 pipeline (stages 1–3 plus the round-3 gates): quality +
     * language + REPETITION gate (duplicate-bigram fraction, the Gopher
@@ -191,17 +199,28 @@ object Curation {
     * groupBy is the only exchange. */
   def curateV2(docs: DataFrame, minTokens: Int = 10,
       maxDupBigram: Double = 0.1,
-      langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame = {
-    val kept = qualityGates(docs, minTokens, maxDupBigram, langs)
+      langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame =
+    dedupScrubTail(qualityGates(docs, minTokens, maxDupBigram, langs),
+      Nil)
+
+  /** The shared stage-3/4 tail of [[curateV2]] and [[curateRoutedOf]]:
+    * keep-first exact dedup (arg-min struct — doc_id leads, so extra
+    * columns ride WITHOUT changing the survivor choice) then inline
+    * PII scrub on survivors — a map pass, not a re-join. ONE
+    * definition so the routed chain cannot drift from v2 on dedup or
+    * redaction semantics. */
+  private def dedupScrubTail(gated: DataFrame,
+      extra: Seq[String]): DataFrame = {
+    val carried = Seq("doc_id", "source", "n_tokens", "text") ++ extra
+    val kept = gated
       .withColumn("h", sha2(col("text"), 256))
       .groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("source"), col("n_tokens"), col("text"))).as("keep"))
-      .select(col("keep.doc_id").as("doc_id"), col("keep.source").as("source"),
-        col("keep.n_tokens").as("n_tokens"), col("keep.text").as("text"))
-    // scrub inline on the dedup survivors — a map pass, not a re-join
-    kept.select(col("doc_id"), col("source"), col("n_tokens"),
-      TextAnalysis.piiCount(col("text")).as("n_pii"),
-      TextAnalysis.scrubPii(col("text")).as("clean_text"))
+      .agg(min(struct(carried.map(col): _*)).as("keep"))
+      .select(carried.map(c => col(s"keep.$c").as(c)): _*)
+    kept.select((Seq(col("doc_id"), col("source"), col("n_tokens")) ++
+        extra.map(col) ++ Seq(
+          TextAnalysis.piiCount(col("text")).as("n_pii"),
+          TextAnalysis.scrubPii(col("text")).as("clean_text"))): _*)
       .orderBy(col("doc_id"))
   }
 
@@ -358,6 +377,82 @@ object Curation {
         sum(when(col("used_fallback"), 1L).otherwise(0L))
           .as("n_fallback"))
   }
+
+  // ------------------------------------------------------------- C8e
+  /** CODE-ROUTED CURATION — E41 wired into the chain (the C8b wiring
+    * move, applied to routing): the uniq-ratio and duplicate-bigram
+    * gates are PROSE rules — repeated tokens mean boilerplate in
+    * prose but legitimate structure in code (`return this.x;` lines
+    * repeat by design) — so a chain that applies them corpus-wide
+    * silently strips exactly the code a code-aware mix wants. This
+    * variant computes the E41 composite ON the scan (stateless, no
+    * join — the textCodeScoreCols seam), stamps `route`
+    * ('code'|'prose'), EXEMPTS code docs from the two repetition
+    * gates, and keeps everything else identical: minTokens and the
+    * language gate still apply to both routes, and the shared
+    * dedup+scrub tail guarantees survivor choice and redaction cannot
+    * drift from v2. Survivors carry `route` so the mix layer can
+    * stratify on it (E41b prices the volumes). Prose admission is
+    * BIT-IDENTICAL to v2 — the exemption only ever widens. */
+  def pipelineCurateRouted(spark: SparkSession, sfDir: String,
+      minTokens: Int = 10, maxDupBigram: Double = 0.1,
+      langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame =
+    curateRoutedOf(Tables.documents(spark, sfDir), minTokens,
+      maxDupBigram, langs)
+
+  /** C8e over arbitrary docs — the spec entry. */
+  def curateRoutedOf(docs: DataFrame, minTokens: Int = 10,
+      maxDupBigram: Double = 0.1,
+      langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame = {
+    val gated = qualityGateSignals(
+        TextAnalysis.textCodeScoreCols(docs)
+          .withColumn("is_code", coalesce(col("is_code"), lit(false))))
+      .filter(col("n_tokens") >= minTokens)
+      .filter(col("is_code") || (col("uniq_ratio") >= 0.3 &&
+        col("dup_bigram_ratio") <= maxDupBigram))
+      .filter(col("lang").isin(langs: _*))
+    dedupScrubTail(gated, Seq("is_code"))
+      .withColumn("route",
+        when(col("is_code"), "code").otherwise("prose"))
+      .drop("is_code")
+      .orderBy(col("doc_id"))
+  }
+
+  /** C8e's oracle: the v2 SQL with the E41 chain joined in and the
+    * repetition predicates wrapped in the code exemption — surgical
+    * replaces on the ONE v2 definition (the C8b shadow-CTE rule), so
+    * gate formulas are never restated. */
+  def pipelineCurateRoutedSql: String =
+    pipelineCurateV2Sql
+      .replace("WITH x AS",
+        """WITH cd AS (
+          |  SELECT doc_id, coalesce(is_code, false) AS is_code
+          |  FROM (%E41%) e),
+          |x AS""".stripMargin
+          .replace("%E41%", TextAnalysis.textCodeScoreSql))
+      .replace(
+        """  SELECT doc_id, source, text, n_tokens
+          |  FROM g
+          |  WHERE n_tokens >= 10 AND uniq_ratio >= 0.3
+          |    AND (CASE WHEN len(bg) = 0 THEN 0.0
+          |              ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+          |         END) <= 0.1),""".stripMargin,
+        """  SELECT doc_id, source, text, n_tokens, cd.is_code
+          |  FROM g JOIN cd USING (doc_id)
+          |  WHERE n_tokens >= 10 AND (cd.is_code OR (uniq_ratio >= 0.3
+          |    AND (CASE WHEN len(bg) = 0 THEN 0.0
+          |              ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+          |         END) <= 0.1))),""".stripMargin)
+      .replace(
+        """  SELECT doc_id, source, text, n_tokens,
+          |    ROW_NUMBER()""".stripMargin,
+        """  SELECT doc_id, source, text, n_tokens, is_code,
+          |    ROW_NUMBER()""".stripMargin)
+      .replace(
+        "SELECT doc_id, source, n_tokens,",
+        """SELECT doc_id, source, n_tokens,
+          |  CASE WHEN is_code THEN 'code' ELSE 'prose' END AS route,"""
+          .stripMargin)
 
   /** STREAMING curation — the ingest-time twin of [[curateV2]]: the
     * quality / repetition / language gates are stateless per-row
@@ -4244,6 +4339,41 @@ object Curation {
       // (u ∈ [0, 1)); both compared at round-6 — the C62 handoff rule
       .withColumn("admitted", col("u") < col("p_eff"))
   }
+
+  // ------------------------------------------------------------- C69e
+  /** CALIBRATED BUDGET FILL — the C28 selection kernel ranked by the
+    * ISOTONIC probability instead of the E2 heuristic composite:
+    * spend the token budget on the best-calibrated docs first, so the
+    * expected keep-quality of the admitted set is maximized under the
+    * budget and the cut point is a PROBABILITY a reader can interpret
+    * ("we funded everything the model rates above ~0.6"), not an
+    * opaque composite value. Quality order and budget denomination
+    * stay independent knobs (budgetSelectFromScored's contract);
+    * p_keep ∈ [0, 1] so q6 = floor(p_keep·1e6) satisfies the C18 key
+    * packing unchanged. Rows-only: PAVA levels + hashed features —
+    * C69b's reason; the spec pins quality-first admission and the
+    * budget boundary on a planted frame. */
+  def budgetSelectCalibrated(spark: SparkSession, sfDir: String,
+      budgetTokens: Long = 15000, nBuckets: Int = 4096,
+      nBins: Int = 10): DataFrame =
+    budgetSelectCalibratedOf(Tables.documents(spark, sfDir),
+      classifierServeCalibratedQuery(spark, sfDir, nBuckets, nBins)
+        .select(col("doc_id"), col("p_keep")),
+      budgetTokens)
+
+  /** C69e over arbitrary docs + any (doc_id, p_keep) frame — the spec
+    * entry. */
+  def budgetSelectCalibratedOf(docs: DataFrame, pkeep: DataFrame,
+      budgetTokens: Long, buckets: Int = 1024): DataFrame =
+    budgetSelectFromScored(
+      docs.withColumn("n_tokens",
+          size(TextAnalysis.tokens()).cast("long"))
+        .select(col("doc_id"), col("n_tokens"))
+        .join(pkeep.select(col("doc_id"),
+          floor(col("p_keep") * 1e6).cast("long").as("q6")),
+          Seq("doc_id"))
+        .filter(col("q6").isNotNull),
+      budgetTokens, buckets)
 
   // ------------------------------------------------------------- C60c
   /** TRAINING-TIME SCORE PROFILE — the reference artifact the serving

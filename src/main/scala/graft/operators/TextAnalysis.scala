@@ -119,6 +119,126 @@ object TextAnalysis {
        |FROM y ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- E41
+  /** CODE DETECTION — the pretraining-corpus router E2's prose-quality
+    * battery cannot express (code is "low quality" under stopword and
+    * punctuation ratios, yet a code-aware mix WANTS it — routed, not
+    * dropped): per doc, three code signals — symbol density
+    * ({}()[];=<> chars per char), indented-line fraction (2+ spaces or
+    * tab — the block-structure tell), and a prefix-free keyword hit
+    * count (no regex backslashes, the EmailRe portability rule; a
+    * prefix-free alternation makes Java's leftmost-first and RE2's
+    * leftmost-longest agree) — composed into `code_score` with
+    * power-of-two weights and NO rounding (the E2 bit-exactness
+    * discipline: every term is one plain IEEE op in both engines).
+    * One map-only pass; the score is a routing column, `is_code` the
+    * 0.5 cut. NULL score on empty text (nullif denominators — E2's
+    * reason). */
+  val CodeKeywordRe: String =
+    "(^|[^a-z0-9_])(def|return|import|class|function|const|void|" +
+      "elif|lambda|struct|public|static|include|printf)([^a-z0-9_]|$)"
+
+  def textCodeScore(spark: SparkSession, sfDir: String): DataFrame =
+    textCodeScoreOf(Tables.documents(spark, sfDir)).orderBy(col("doc_id"))
+
+  /** The ONE definition of the code composite — unsorted so it
+    * composes onto streams (stateless) and under the E41b rollup. */
+  def textCodeScoreOf(docs: DataFrame): DataFrame =
+    textCodeScoreCols(docs)
+      .select(col("doc_id"), col("n_lines"), col("symbol_cnt"),
+        col("indent_cnt"), col("kw_cnt"), col("symbol_ratio"),
+        col("indent_ratio"), col("code_score"), col("is_code"))
+
+  /** The composite with EVERY input column carried through (the
+    * langClassifierServeWith move) — the seam the C8e routed curate
+    * chain consumes: routing needs `is_code` ON the row, not a doc_id
+    * join back. [[textCodeScoreOf]] is this plus a projection. */
+  def textCodeScoreCols(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withColumn("lines", split($"text", "\n", -1))
+      .withColumn("n_lines", size($"lines").cast("long"))
+      .withColumn("indent_cnt", size(expr(
+        "filter(lines, l -> l rlike '^(  |\t)')")).cast("long"))
+      .withColumn("symbol_cnt",
+        (length($"text") -
+          length(regexp_replace($"text", "[{}()\\[\\];=<>]", "")))
+          .cast("long"))
+      .withColumn("kw_cnt", size(expr(
+        s"regexp_extract_all(lower(text), '$CodeKeywordRe', 0)"))
+        .cast("long"))
+      .withColumn("symbol_ratio",
+        $"symbol_cnt".cast("double") / nullif(length($"text"), lit(0)))
+      .withColumn("indent_ratio",
+        $"indent_cnt".cast("double") / nullif($"n_lines", lit(0L)))
+      // explicit empty-text guard: Spark's least() SKIPS nulls (a
+      // NULL ratio would silently read as the 1.0 cap), so the NULL
+      // composite is stated as a CASE, not left to null propagation
+      .withColumn("code_score", when($"symbol_ratio".isNotNull,
+        lit(0.5) * least(lit(1.0), $"symbol_ratio" * 16.0) +
+          lit(0.25) * $"indent_ratio" +
+          lit(0.25) * least(lit(1.0), $"kw_cnt".cast("double") / 8.0)))
+      .withColumn("is_code", $"code_score" > 0.5)
+      .drop("lines")
+  }
+
+  val textCodeScoreSql: String =
+    s"""WITH x AS (
+       |  SELECT doc_id, text,
+       |    string_split(text, chr(10)) AS lines,
+       |    length(text) - length(regexp_replace(text, '[{}()\\[\\];=<>]', '', 'g')) AS symbol_cnt,
+       |    len(regexp_extract_all(lower(text), '$CodeKeywordRe')) AS kw_cnt
+       |  FROM documents),
+       |y AS (
+       |  SELECT doc_id, text, symbol_cnt, kw_cnt,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(lines, l -> regexp_matches(l, '^(  |\t)'))) AS BIGINT) AS indent_cnt
+       |  FROM x),
+       |z AS (
+       |  SELECT doc_id, n_lines, symbol_cnt, indent_cnt, kw_cnt,
+       |    CAST(symbol_cnt AS DOUBLE) / nullif(length(text), 0) AS symbol_ratio,
+       |    CAST(indent_cnt AS DOUBLE) / nullif(n_lines, 0) AS indent_ratio,
+       |    CASE WHEN length(text) > 0 THEN
+       |      0.5 * least(1.0, (CAST(symbol_cnt AS DOUBLE) / nullif(length(text), 0)) * 16.0)
+       |        + 0.25 * (CAST(indent_cnt AS DOUBLE) / nullif(n_lines, 0))
+       |        + 0.25 * least(1.0, CAST(kw_cnt AS DOUBLE) / 8.0)
+       |    END AS code_score
+       |  FROM y)
+       |SELECT doc_id, n_lines, symbol_cnt, indent_cnt, kw_cnt,
+       |  symbol_ratio, indent_ratio, code_score, code_score > 0.5 AS is_code
+       |FROM z ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- E41b
+  /** E41's corpus ledger (the C54/D8 discipline): code volume per
+    * source — doc count, flagged-code count and share, mean score —
+    * the number a mix designer reads before setting a code-stratum
+    * weight. One rollup over the E41 map; NULL scores (empty docs)
+    * excluded from the mean by avg's own semantics, counted in n. */
+  def codeBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    textCodeScoreOf(Tables.documents(spark, sfDir))
+      .join(Tables.documents(spark, sfDir).select($"doc_id", $"source"),
+        Seq("doc_id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"is_code", 1L).otherwise(0L)).as("n_code"),
+        (sum(when($"is_code", 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("code_share"),
+        avg($"code_score").as("mean_score"))
+      .orderBy($"source")
+  }
+
+  val codeBySourceSql: String =
+    s"""WITH s AS ($textCodeScoreSql)
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN s.is_code THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+       |  CAST(SUM(CASE WHEN s.is_code THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) AS code_share,
+       |  AVG(s.code_score) AS mean_score
+       |FROM s JOIN documents d USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   // ---------------------------------------------------------------- E3
   /** Language ID via the n-gram-profile heuristic expression (rows-only:
     * the scoring profile is engine-specific). Emits the guess alongside

@@ -2419,6 +2419,60 @@ class CurationSpec extends SparkSpec {
     out.foreach { case (id, (_, _, adm)) =>
       assert(streamed(id) === adm, s"stream/batch diverged at $id") }
   }
+
+  test("calibrated budget fill: highest p_keep funded first, boundary doc admitted, budget binds") {
+    // four 5-token docs with distinct probabilities
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa"),
+      (3L, "mu nu xi omicron pi"),
+      (4L, "rho sigma tau upsilon phi"))
+      .toDF("doc_id", "text")
+    val pk = Seq((1L, 0.2), (2L, 0.9), (3L, 0.6), (4L, 0.95))
+      .toDF("doc_id", "p_keep")
+    // budget 12 tokens: fill order 4 (.95), 2 (.9), 3 (.6), 1 (.2) —
+    // doc 3 STARTS inside the budget (cum-before = 10 < 12) and is
+    // admitted (the C28 boundary rule); doc 1 starts at 15 and is not
+    val got = Curation.budgetSelectCalibratedOf(docs, pk,
+        budgetTokens = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq === Seq(4L, 2L, 3L),
+      s"fill order must follow p_keep desc: ${got.toSeq}")
+    assert(got.map(_._4).toSeq === Seq(5L, 10L, 15L),
+      s"cumulative tokens: ${got.toSeq}")
+    // q6 is the floored probability — the cut point is interpretable
+    assert(got.map(_._3).toSeq === Seq(950000L, 900000L, 600000L))
+    // zero budget admits nothing
+    assert(Curation.budgetSelectCalibratedOf(docs, pk, 0L).count() === 0)
+  }
+
+  test("routed curation: code survives the prose repetition gates, prose admission bit-identical to v2") {
+    val codeDoc = (1 to 10).map(_ => "  x = x + 1;").mkString("\n")
+    val prose = "a genuinely varied english sentence with many distinct " +
+      "interesting words flowing along nicely today"
+    val spam = "spam ham spam ham spam ham spam ham spam ham spam ham"
+    val docs = Seq(
+      (1L, "s1", codeDoc, "en"),   // low uniq + high dup — code route
+      (2L, "s1", prose, "en"),     // clean prose — both chains keep
+      (3L, "s1", spam, "en"))      // prose spam — both chains drop
+      .toDF("doc_id", "source", "text", "lang")
+    val routed = Curation.curateRoutedOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(routed.keySet === Set(1L, 2L),
+      s"routed survivors: ${routed.keySet}")
+    assert(routed(1L) === "code" && routed(2L) === "prose",
+      s"routes: $routed")
+    // v2 drops the code doc (low uniq ratio) and the spam alike
+    val v2 = Curation.curateV2(docs).collect().map(_.getLong(0)).toSet
+    assert(v2 === Set(2L), s"v2 survivors: $v2")
+    // prose rows are bit-identical between the chains
+    val rv2 = Curation.curateV2(docs).filter(col("doc_id") === 2L).head()
+    val rrt = Curation.curateRoutedOf(docs)
+      .filter(col("doc_id") === 2L).head()
+    Seq(0, 1, 2).foreach(i => assert(rv2.get(i) === rrt.get(i)))
+    assert(rv2.getAs[Long]("n_pii") === rrt.getAs[Long]("n_pii"))
+    assert(rv2.getAs[String]("clean_text") === rrt.getAs[String]("clean_text"))
+  }
 }
 
 /** Top-level so spark.implicits can derive its Encoder. */

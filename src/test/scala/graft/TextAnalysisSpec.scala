@@ -1068,4 +1068,39 @@ class TextAnalysisSpec extends SparkSpec {
       }
     assert(got.toSeq === batch, s"batch/stream twin parity: $batch")
   }
+
+  test("code score: code flagged, prose not, keyword-in-word immune, empty text NULL") {
+    val python =
+      "def main(args):\n  import sys\n  x = compute(args[0]);\n" +
+        "  if x > 0:\n    return x\n  return 0\n"
+    val cish =
+      "static void run(struct ctx *c) {\n  const int n = c->n;\n" +
+        "  printf(\"%d\", n);\n  return;\n}\n"
+    val prose =
+      "The classic importance of classification in modern lambda " +
+        "calculus defies a functional definition, but the debate " +
+        "continues peacefully across decades of careful scholarship."
+    val docs = Seq((1L, python), (2L, cish), (3L, prose), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.textCodeScoreOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4),
+        if (r.isNullAt(7)) None else Some(r.getDouble(7)),
+        if (r.isNullAt(8)) None else Some(r.getBoolean(8)))).toMap
+    assert(out(1L)._3 === Some(true), s"python not flagged: ${out(1L)}")
+    assert(out(2L)._3 === Some(true), s"c not flagged: ${out(2L)}")
+    assert(out(3L)._3 === Some(false), s"prose flagged: ${out(3L)}")
+    // keyword INSIDE words must not count: classic/importance/
+    // classification/lambda-as-noun — the prose doc still hits the
+    // standalone 'lambda', so its count is exactly 1
+    assert(out(3L)._1 === 1L, s"prose keyword count: ${out(3L)}")
+    assert(out(4L)._2 === None && out(4L)._3 === None,
+      s"empty doc must score NULL: ${out(4L)}")
+    // the by-source ledger prices the same flags
+    val drv = TextAnalysis.codeBySource(spark, sf).collect()
+    assert(drv.nonEmpty)
+    drv.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"n_code > n_docs: $r")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, s"share: $r")
+    }
+  }
 }
