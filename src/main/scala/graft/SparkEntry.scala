@@ -393,6 +393,8 @@ object SparkEntry {
       Monitoring.forecastAccuracy(s, d)),
     "mix_report" -> ((s: SparkSession, d: String) =>
       Curation.mixReport(s, d)),
+    "shard_manifest" -> ((s: SparkSession, d: String) =>
+      Curation.shardManifestQuery(s, d)),
     "pack_report" -> ((s: SparkSession, d: String) =>
       Curation.packReport(s, d)),
     "mm_motion_profile" -> ((s: SparkSession, d: String) =>

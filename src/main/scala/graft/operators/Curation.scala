@@ -998,6 +998,89 @@ object Curation {
       .write.mode("overwrite").parquet(outDir)
   }
 
+  // ------------------------------------------------------------- C21b
+  /** SHARD MANIFEST + INTEGRITY VERIFY — the torn-read discipline
+    * (E34/C60d bundles fail by name) applied to the OUTPUT side: a
+    * training run streams the C21 shards for weeks, and a silently
+    * missing, truncated, or rewritten shard poisons it long before
+    * anyone looks. The manifest is one row per shard file — row
+    * count, token sum, and an ORDER-FREE content checksum (the sum of
+    * per-row 64-bit hashes over the full tuple: commutative, so the
+    * value is partition- and read-order-invariant — the DECIMAL
+    * order-free-sum rule applied to integrity) — keyed by the stable
+    * part index (task-attempt UUIDs in the file name are NOT stable
+    * across rewrites; the range partitioner's part number is).
+    * [[verifyShards]] recomputes the same manifest over the directory
+    * and fails BY NAME on any divergence: missing shards, extra
+    * shards, row-count drift, content drift — each named with its
+    * shard index. Cost: one map-only scan per side into a
+    * shards-bounded aggregate. Rows-only: file layout (which rows
+    * land in which part file) is the range exchange's sampling
+    * choice — the spec pins round-trip verify, tamper detection, and
+    * manifest/data consistency instead. */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val df = spark.read.parquet(dir)
+    val cols = df.columns.toSeq
+    df.withColumn("shard",
+        regexp_extract(input_file_name(), "part-([0-9]+)", 1)
+          .cast("int"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(xxhash64(cols.map(col): _*).cast("decimal(38,0)"))
+          .as("content_sum"))
+      .orderBy(col("shard"))
+  }
+
+  /** Fail-by-name integrity check of a shard dir against its
+    * manifest. Driver cost: shards-bounded collects (≤ the C64 argmax
+    * class). */
+  def verifyShards(spark: SparkSession, dir: String,
+      manifest: DataFrame): Unit = {
+    def toMap(df: DataFrame) = df
+      .select(col("shard"), col("n_rows"), col("sum_tokens"),
+        col("content_sum"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getDecimal(3))).toMap
+    val want = toMap(manifest)
+    val got = toMap(shardManifest(spark, dir))
+    val missing = (want.keySet -- got.keySet).toSeq.sorted
+    val extra = (got.keySet -- want.keySet).toSeq.sorted
+    require(missing.isEmpty && extra.isEmpty,
+      s"shard set drift at $dir: missing shards $missing, " +
+        s"unexpected shards $extra — the packed output does not " +
+        "match its manifest; rebuild with writePackedShards")
+    val drifted = want.keys.filter(k => want(k) != got(k)).toSeq.sorted
+    require(drifted.isEmpty,
+      s"shard content drift at $dir: shards $drifted diverge from " +
+        "the manifest (row count, token sum, or content checksum) — " +
+        "a torn or rewritten shard would poison the training run")
+  }
+
+  /** Driver entry: shards staged once per corpus version (the C10
+    * temp-dir discipline), manifest over them — and the verify pass
+    * RUNS on every call, so the dumped manifest is certified, not
+    * just computed. */
+  def shardManifestQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val stamp = Tables.pathStamp(spark, s"$sfDir/documents.parquet")
+    shardDirCache.filterInPlace { case ((d, st), dir) =>
+      val stale = d == sfDir && st != stamp
+      if (stale) Dedup.deleteAtExit(dir)
+      !stale }
+    val dir = shardDirCache.getOrElseUpdate((sfDir, stamp), {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-shards").toString
+      writePackedShards(Tables.documents(spark, sfDir), d)
+      d
+    })
+    val m = shardManifest(spark, dir)
+    verifyShards(spark, dir, m)
+    m
+  }
+  private val shardDirCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), String]
+
   // ------------------------------------------------------------- C63
   /** DOC-AWARE packing — the variant C43's boundary-crosser count
     * exists to motivate: C13's concatenate-then-cut layout wastes

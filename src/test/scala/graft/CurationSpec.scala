@@ -2446,6 +2446,34 @@ class CurationSpec extends SparkSpec {
     assert(Curation.budgetSelectCalibratedOf(docs, pk, 0L).count() === 0)
   }
 
+  test("shard manifest: round-trip verify passes, a deleted shard fails by name, totals conserve docs") {
+    val docs = (1L to 40L)
+      .map(i => (i, (1 to 12).map(j => s"w$i$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-shardspec").toString
+    Curation.writePackedShards(docs, dir, seqLen = 5, shards = 4)
+    val m = Curation.shardManifest(spark, dir).localCheckpoint(true)
+    Curation.verifyShards(spark, dir, m) // clean round trip
+    val rows = m.collect()
+    assert(rows.map(_.getInt(0)).distinct.length === rows.length,
+      "duplicate shard index in manifest")
+    assert(rows.map(_.getLong(1)).sum === 40L,
+      s"manifest must conserve docs: ${rows.toSeq}")
+    assert(rows.map(_.getLong(2)).sum === 40L * 12,
+      s"manifest must conserve tokens: ${rows.toSeq}")
+    // tamper: drop one shard file — verify fails naming the shard set
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).head.delete()
+    val ex = intercept[IllegalArgumentException] {
+      Curation.verifyShards(spark, dir, m)
+    }
+    assert(ex.getMessage.contains("missing shards"), ex.getMessage)
+    // the driver entry certifies (verify runs inside) on the corpus
+    val drv = Curation.shardManifestQuery(spark, sf).collect()
+    assert(drv.nonEmpty)
+  }
+
   test("routed curation: code survives the prose repetition gates, prose admission bit-identical to v2") {
     val codeDoc = (1 to 10).map(_ => "  x = x + 1;").mkString("\n")
     val prose = "a genuinely varied english sentence with many distinct " +

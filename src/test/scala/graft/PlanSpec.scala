@@ -163,6 +163,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"curate v2 should not join:\n$p")
   }
 
+  test("routed curation: code composite rides the scan — no join, dedup agg still the only wide op") {
+    val p = executedPlan(Curation.pipelineCurateRouted(spark, sf))
+    // the E41 columns must be scan-side projections (the
+    // textCodeScoreCols seam), not a doc_id join back — same exchange
+    // budget as v2: dedup agg + the presentation orderBy
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"expected <= 2 exchanges, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"routed curation should not join:\n$p")
+  }
+
   test("incident context: bucketed range join is an equi-join, never cartesian") {
     val p = executedPlan(Monitoring.incidentContext(spark, sf))
     assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
