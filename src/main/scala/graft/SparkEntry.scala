@@ -320,6 +320,8 @@ object SparkEntry {
       Curation.pipelineCuratePredicted(s, d)),
     "pipeline_curate_routed" -> ((s: SparkSession, d: String) =>
       Curation.pipelineCurateRouted(s, d)),
+    "pipeline_curate_prod" -> ((s: SparkSession, d: String) =>
+      Curation.pipelineCurateProd(s, d)),
     "curate_predicted_report" -> ((s: SparkSession, d: String) =>
       Curation.curatePredictedReport(s, d)),
     "data_card" -> ((s: SparkSession, d: String) =>

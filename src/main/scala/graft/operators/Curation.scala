@@ -400,17 +400,35 @@ object Curation {
     curateRoutedOf(Tables.documents(spark, sfDir), minTokens,
       maxDupBigram, langs)
 
-  /** C8e over arbitrary docs — the spec entry. */
-  def curateRoutedOf(docs: DataFrame, minTokens: Int = 10,
-      maxDupBigram: Double = 0.1,
-      langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame = {
-    val gated = qualityGateSignals(
-        TextAnalysis.textCodeScoreCols(docs)
-          .withColumn("is_code", coalesce(col("is_code"), lit(false))))
+  /** The ONE routed-gate chain shared by batch C8e and its C8f
+    * streaming twin (stateless per-row expressions — they apply to a
+    * stream unchanged): E41 composite on the scan, code exempt from
+    * the two prose repetition gates, minTokens + lang for both
+    * routes. */
+  private def routedGates(docs: DataFrame, minTokens: Int,
+      maxDupBigram: Double, langs: Seq[String]): DataFrame =
+    routedGatesOn(
+      TextAnalysis.textCodeScoreCols(docs)
+        .withColumn("is_code", coalesce(col("is_code"), lit(false))),
+      minTokens, maxDupBigram, langs)
+
+  /** The routed predicate over a frame that ALREADY carries `is_code`
+    * — the seam the C6c production chain uses (it scores the code
+    * composite on the RAW text before normalization, so the
+    * indentation signal survives stage zero). */
+  private def routedGatesOn(withCode: DataFrame, minTokens: Int,
+      maxDupBigram: Double, langs: Seq[String]): DataFrame =
+    qualityGateSignals(withCode)
       .filter(col("n_tokens") >= minTokens)
       .filter(col("is_code") || (col("uniq_ratio") >= 0.3 &&
         col("dup_bigram_ratio") <= maxDupBigram))
       .filter(col("lang").isin(langs: _*))
+
+  /** C8e over arbitrary docs — the spec entry. */
+  def curateRoutedOf(docs: DataFrame, minTokens: Int = 10,
+      maxDupBigram: Double = 0.1,
+      langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame = {
+    val gated = routedGates(docs, minTokens, maxDupBigram, langs)
     dedupScrubTail(gated, Seq("is_code"))
       .withColumn("route",
         when(col("is_code"), "code").otherwise("prose"))
@@ -470,6 +488,79 @@ object Curation {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("h")
       .select(col("doc_id"), col("ts"), col("source"), col("n_tokens"),
+        TextAnalysis.scrubPii(col("text")).as("clean_text"))
+  }
+
+  // ------------------------------------------------------------- C6c
+  /** THE PRODUCTION CURATE CHAIN — the three wiring moves composed
+    * (each shipped separately as C8b/C8c/C8e; a real crawl pipeline
+    * runs them TOGETHER, and composition order is load-bearing):
+    * (0) E41 code composite on the RAW text first — normalization
+    * collapses whitespace, which would erase the indentation signal;
+    * (1) E38 normalization as stage zero of everything else, so
+    * case/whitespace variants dedup as one doc (C8b's contract);
+    * (2) the STAGED E35 classifier predicts language on the
+    * normalized scan — a real crawl carries no label (C8c's
+    * contract), heuristic fallback for evidence-free docs;
+    * (3) the routed gates over the PREDICTION — code exempt from the
+    * prose repetition rules (C8e's contract, the shared
+    * routedGatesOn definition);
+    * (4) the shared dedup+scrub tail. Survivors carry route,
+    * lang_pred, used_fallback, and gate_divergent (vs the label where
+    * one exists) — every decision the chain made is a COLUMN, not a
+    * log line. All pre-dedup stages are stateless row expressions
+    * riding one scan; the dedup groupBy stays the only exchange.
+    * Rows-only: hashed classifier features (E35's reason). */
+  def pipelineCurateProd(spark: SparkSession, sfDir: String,
+      minTokens: Int = 10, maxDupBigram: Double = 0.1,
+      langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame =
+    curateProdOf(Tables.documents(spark, sfDir),
+      TextAnalysis.stagedLangModel(spark, sfDir),
+      minTokens, maxDupBigram, langs)
+
+  /** C6c over arbitrary docs + model — the spec entry. */
+  def curateProdOf(docs: DataFrame, model: TextAnalysis.LangModel,
+      minTokens: Int = 10, maxDupBigram: Double = 0.1,
+      langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame = {
+    val withCode = TextAnalysis.textCodeScoreCols(docs)
+      .withColumn("is_code", coalesce(col("is_code"), lit(false)))
+      .withColumn("text",
+        graft.functions.TextFunctions.normalizeText(col("text")))
+    val served = TextAnalysis.langClassifierServeWith(withCode, model)
+      .withColumn("lang_label", col("lang"))
+      .withColumn("lang", col("lang_pred"))
+    val gated = routedGatesOn(served, minTokens, maxDupBigram, langs)
+    dedupScrubTail(gated,
+        Seq("is_code", "lang_pred", "used_fallback", "lang_label"))
+      .withColumn("route",
+        when(col("is_code"), "code").otherwise("prose"))
+      .withColumn("gate_divergent",
+        col("lang_pred").isin(langs: _*) =!=
+          col("lang_label").isin(langs: _*))
+      .drop("is_code", "lang_label")
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------- C8f
+  /** STREAMING code-routed curation — C8e's ingest twin: the E41
+    * composite and the routed gate predicate are stateless per-row
+    * expressions (they apply to a stream unchanged — the C9 property),
+    * so code docs survive the prose repetition gates AT INGEST and
+    * arrive route-stamped; exact dedup is the same
+    * dropDuplicatesWithinWatermark stage as [[curateStream]]. One gate
+    * definition with batch C8e (qualityGateSignals + the identical
+    * exemption predicate), so the parity spec can pin stream verdicts
+    * row-for-row against the batch chain on replayed history (modulo
+    * the watermark-horizon dedup trade C9 states). */
+  def curateRoutedStream(docs: DataFrame, minTokens: Int = 10,
+      maxDupBigram: Double = 0.1, watermark: String = "10 minutes",
+      langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame = {
+    routedGates(docs, minTokens, maxDupBigram, langs)
+      .withColumn("h", sha2(col("text"), 256))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("h")
+      .select(col("doc_id"), col("ts"), col("source"), col("n_tokens"),
+        when(col("is_code"), "code").otherwise("prose").as("route"),
         TextAnalysis.scrubPii(col("text")).as("clean_text"))
   }
 

@@ -2474,6 +2474,81 @@ class CurationSpec extends SparkSpec {
     assert(drv.nonEmpty)
   }
 
+  test("production curate chain: every wiring move fires — normalize dedup, label recovery, code routing, spam drop") {
+    val en1 = "the quick brown fox jumps over a lazy dog near the river bank"
+    val en2 = "many different english words form another perfectly normal sentence here today"
+    val de1 = "der schnelle braune fuchs springt gerade jetzt elegant über den faulen hund"
+    val de2 = "viele verschiedene deutsche wörter bilden heute einen weiteren ganz normalen satz"
+    val codeDoc = (1 to 10).map(_ => "  x = x + 1;").mkString("\n")
+    val docs = Seq(
+      (1L, "s1", en1, "en"),
+      (2L, "s1", en2, "en"),
+      (3L, "s2", de1, "de"),
+      (4L, "s2", de2, "de"),
+      // case/whitespace variant of doc 1 — normalization must
+      // collapse the pair to ONE survivor (keep-min: doc 1)
+      (5L, "s1", en1.toUpperCase + "  ", "en"),
+      // english text with a junk label — predicted gate recovers it
+      (6L, "s3", "the quick brown fox and many english words near another river bank today", "xx"),
+      // repeated-line code — the routed gate keeps it (label en)
+      (7L, "s4", codeDoc, "en"),
+      // prose spam — dropped everywhere
+      (8L, "s1", "spam ham spam ham spam ham spam ham spam ham spam ham", "en"))
+      .toDF("doc_id", "source", "text", "lang")
+    val labeled = docs.filter($"lang" =!= "xx" && $"doc_id" =!= 7L)
+    val model = TextAnalysis.langClassifierModel(labeled,
+      labeled.select($"doc_id", $"lang"), nBuckets = 256)
+    // columns: doc_id, source, n_tokens, lang_pred, used_fallback,
+    // n_pii, clean_text, route, gate_divergent
+    val out = Curation.curateProdOf(docs, model).collect()
+      .map(r => r.getLong(0) -> (r.getString(7), r.getString(3),
+        r.getBoolean(8))).toMap
+    // survivors: 1 (5 collapsed into it), 2, 3, 4, 6 (recovered),
+    // 7 (code-routed); spam 8 gone
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 6L, 7L),
+      s"prod survivors: ${out.keySet}")
+    assert(out(7L)._1 === "code", s"code doc route: ${out(7L)}")
+    assert(out(6L)._2 === "en" && out(6L)._3,
+      s"recovered doc must be flagged divergent: ${out(6L)}")
+    (out.keySet - 6L).foreach(id =>
+      assert(!out(id)._3, s"false divergence on $id: ${out(id)}"))
+  }
+
+  test("routed curation stream: code routed at ingest, verdicts match the batch chain on replayed history") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val codeDoc = (1 to 10).map(_ => "  y = y * 2;").mkString("\n")
+    val prose = "a genuinely varied english sentence with many distinct interesting words flowing along nicely today"
+    val spam = "spam ham spam ham spam ham spam ham spam ham spam ham"
+    val rows = Seq(
+      (11L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "s1", codeDoc, "en"),
+      (12L, java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), "s1", prose, "en"),
+      (13L, java.sql.Timestamp.valueOf("2024-01-01 10:02:00"), "s1", spam, "en"),
+      // exact dup of 11 within the watermark horizon — dropped
+      (14L, java.sql.Timestamp.valueOf("2024-01-01 10:03:00"), "s1", codeDoc, "en"))
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, String, String)](209, spark, None)
+    val q = Curation.curateRoutedStream(
+        input.toDS().toDF("doc_id", "ts", "source", "text", "lang"))
+      .writeStream.format("memory").queryName("routed_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table("routed_stream").collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(live.keySet === Set(11L, 12L),
+      s"stream survivors: ${live.keySet}")
+    assert(live(11L) === "code" && live(12L) === "prose", s"routes: $live")
+    // batch parity on the same slice (route + admission)
+    val batch = Curation.curateRoutedOf(
+        rows.toDF("doc_id", "ts", "source", "text", "lang")
+          .drop("ts"))
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(batch.keySet === live.keySet &&
+      live.forall { case (k, v) => batch(k) == v },
+      s"stream/batch routed divergence: $live vs $batch")
+  }
+
   test("routed curation: code survives the prose repetition gates, prose admission bit-identical to v2") {
     val codeDoc = (1 to 10).map(_ => "  x = x + 1;").mkString("\n")
     val prose = "a genuinely varied english sentence with many distinct " +
