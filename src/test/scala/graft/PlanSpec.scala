@@ -173,6 +173,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"routed curation should not join:\n$p")
   }
 
+  test("production curate chain: five stages, still one scan — classifier gather and gates ride it, no join") {
+    val p = executedPlan(Curation.pipelineCurateProd(spark, sf))
+    // code score, normalize, classifier serve, and every gate are row
+    // expressions: the only wide ops are the dedup agg + the
+    // presentation orderBy, exactly like v2 — composition must not
+    // have bought a shuffle
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"expected <= 2 exchanges, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"prod chain should not join:\n$p")
+  }
+
   test("incident context: bucketed range join is an equi-join, never cartesian") {
     val p = executedPlan(Monitoring.incidentContext(spark, sf))
     assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
