@@ -77,6 +77,8 @@ object SparkEntry {
       Monitoring.alarmVerifyCurve(s, d)),
     "mon_alarm_verify_tuned" -> ((s: SparkSession, d: String) =>
       Monitoring.alarmVerifyTuned(s, d)),
+    "mon_alarm_verify_transfer" -> ((s: SparkSession, d: String) =>
+      Monitoring.alarmVerifyTransfer(s, d)),
     "q_string_agg" -> (Relational.qStringAgg _),
     "q_salted_join" -> (Relational.qSaltedJoin _),
     "q_bloom_join" -> (Relational.qBloomJoin _),

@@ -2178,6 +2178,67 @@ object Monitoring {
       .orderBy($"user_id", $"hour_us")
   }
 
+  // --------------------------------------------------------------- A69e
+  /** THRESHOLD-TRANSFER REPORT — the honest generalization number
+    * A69d's docstring owed (its argmax selects on the SAME held-out
+    * frame it reports on — a tuned-on-held-out ceiling): split the
+    * held-out verdicts AGAIN by time at their hour median, derive the
+    * operating point from the curve over the EARLIER half only, and
+    * report the confusion of that frozen scalar on the LATER half —
+    * alarms the selection never saw. One row: both thresholds (the
+    * transferred scalar and, for comparison, the ceiling's
+    * same-frame argmax), the later-half confusion, and
+    * precision/recall of the pager class at the transferred point.
+    * All driver-cheap work over the cached pinned frame (one median
+    * action, one ≤21-row curve, one aggregate). Rows-only: A69's
+    * split/hash reason; the spec pins that a stable planted signal
+    * transfers (tp > 0 on the unseen half) and that the cells
+    * partition the later half. */
+  def alarmVerifyTransfer(spark: SparkSession, sfDir: String,
+      trainFrac: Double = 0.7, nBuckets: Int = 1024,
+      precisionTarget: Option[Double] = None): DataFrame =
+    alarmVerifyTransferOf(
+      cachedAlarmVerdicts(spark, sfDir, trainFrac, nBuckets),
+      precisionTarget)
+
+  /** A69e over any A69-shaped verdict frame — the spec entry. */
+  def alarmVerifyTransferOf(verdicts: DataFrame,
+      precisionTarget: Option[Double] = None): DataFrame = {
+    val spark = verdicts.sparkSession
+    import spark.implicits._
+    // the sub-split cutoff: median held-out hour (alarm-hour-bounded
+    // frame — the E10 driver-cheap class)
+    val cutRow = verdicts.agg(
+      expr("percentile(hour_us, 0.5)").as("c")).head()
+    if (cutRow.isNullAt(0))
+      return Seq.empty[(Double, Double, Long, Long, Long, Long, Long)]
+        .toDF("threshold_transferred", "threshold_ceiling", "n_later",
+          "tp", "fp", "fn", "tn")
+        .select(col("*"),
+          lit(null).cast("double").as("precision_real"),
+          lit(null).cast("double").as("recall_real"))
+    val cutoff = cutRow.getDouble(0)
+    val earlier = verdicts.filter($"hour_us" <= cutoff)
+    val later = verdicts.filter($"hour_us" > cutoff)
+    val thrT = Curation.chosenThreshold(
+      alarmVerifyCurveOf(earlier), precisionTarget)
+    val thrC = Curation.chosenThreshold(
+      alarmVerifyCurveOf(verdicts), precisionTarget)
+    val kept = $"nb_z" > thrT
+    later.agg(count(lit(1)).as("n_later"),
+        sum(when(kept && $"was_real", 1L).otherwise(0L)).as("tp"),
+        sum(when(kept && !$"was_real", 1L).otherwise(0L)).as("fp"),
+        sum(when(!kept && $"was_real", 1L).otherwise(0L)).as("fn"),
+        sum(when(!kept && !$"was_real", 1L).otherwise(0L)).as("tn"))
+      .select(lit(thrT).as("threshold_transferred"),
+        lit(thrC).as("threshold_ceiling"),
+        $"n_later", $"tp", $"fp", $"fn", $"tn",
+        round($"tp".cast("double") / nullif($"tp" + $"fp", lit(0L)), 6)
+          .as("precision_real"),
+        round($"tp".cast("double") / nullif($"tp" + $"fn", lit(0L)), 6)
+          .as("recall_real"))
+  }
+
   // --------------------------------------------------------------- A45b
   /** A45 fed by a CANDIDATE GENERATOR instead of event volume — the
     * fleet-wide screen at scale the A45 docstring promises: the panel

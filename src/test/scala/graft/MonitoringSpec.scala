@@ -1062,6 +1062,26 @@ class MonitoringSpec extends SparkSpec {
       s"argmax threshold $thr still pages nothing on a separable corpus")
   }
 
+  test("alarm verify transfer: a stable planted signal pages on the unseen later half, cells partition it") {
+    val events = alarmCorpus()
+    val verdicts = Monitoring.alarmVerifyOf(events, trainFrac = 0.6,
+      nBuckets = 256)
+    val r = Monitoring.alarmVerifyTransferOf(verdicts).head()
+    val (nLater, tp, fp, fn, tn) =
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6))
+    assert(nLater > 0, "no later-half alarms to transfer onto")
+    assert(tp + fp + fn + tn === nLater,
+      s"cells must partition the later half: $r")
+    // the k99-persistence signal is stationary — the threshold chosen
+    // on the earlier half must still page real alarms it never saw
+    assert(tp > 0, s"transferred threshold pages nothing: $r")
+    // the driver entry runs on the corpus and its cells stay bounded
+    val drv = Monitoring.alarmVerifyTransfer(spark, sf).head()
+    assert(drv.getLong(3) + drv.getLong(4) + drv.getLong(5) +
+      drv.getLong(6) === drv.getLong(2), s"corpus cells: $drv")
+  }
+
   test("alarm verify tuned: threshold column is the curve's scalar and every verdict is consistent with it") {
     val rows = Monitoring.alarmVerifyTuned(spark, sf).collect()
     assert(rows.nonEmpty, "no tuned verdicts at sf0.001")
