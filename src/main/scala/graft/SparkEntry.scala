@@ -324,6 +324,10 @@ object SparkEntry {
       Curation.pipelineCurateRouted(s, d)),
     "pipeline_curate_prod" -> ((s: SparkSession, d: String) =>
       Curation.pipelineCurateProd(s, d)),
+    "pipeline_curate_crawl" -> ((s: SparkSession, d: String) =>
+      Curation.pipelineCurateCrawl(s, d)),
+    "pipeline_curate_certified" -> ((s: SparkSession, d: String) =>
+      Curation.pipelineCurateCertified(s, d)),
     "curate_predicted_report" -> ((s: SparkSession, d: String) =>
       Curation.curatePredictedReport(s, d)),
     "data_card" -> ((s: SparkSession, d: String) =>
@@ -405,6 +409,8 @@ object SparkEntry {
       Multimodal.mmMotionProfile(s, d)),
     "mm_av_sync" -> ((s: SparkSession, d: String) =>
       Multimodal.mmAvSync(s, d)),
+    "mm_fragment_gaps" -> ((s: SparkSession, d: String) =>
+      Multimodal.mmFragmentGaps(s, d)),
     "q_retention_cohorts" -> (Relational.qRetentionCohorts _),
     "mon_status_flaps" -> ((s: SparkSession, d: String) =>
       Monitoring.statusFlaps(s, d)),
@@ -457,6 +463,10 @@ object SparkEntry {
       TextAnalysis.langClassifierReport(s, d)),
     "lang_classifier_indexed" -> ((s: SparkSession, d: String) =>
       TextAnalysis.langClassifierIndexed(s, d)),
+    "lang_classifier_vs_heuristic" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.langClassifierVsHeuristic(s, d)),
+    "text_html_extract" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.htmlExtract(s, d)),
     "classifier_serve_indexed" -> ((s: SparkSession, d: String) =>
       Curation.classifierServeIndexed(s, d)),
     "classifier_serve_calibrated" -> ((s: SparkSession, d: String) =>
@@ -674,6 +684,8 @@ object SparkEntry {
     "pack_report" -> Curation.packReportSql(),
     "mm_motion_profile" -> Multimodal.mmMotionProfileSql,
     "mm_av_sync" -> Multimodal.mmAvSyncSql(),
+    "mm_fragment_gaps" -> Multimodal.mmFragmentGapsSql,
+    "text_html_extract" -> TextAnalysis.htmlExtractSql,
     "mon_gap_fill" -> Monitoring.gapFillSql(),
     "mon_gap_fill_linear" -> Monitoring.gapFillSql(linear = true),
     "mon_fleet_health" -> Monitoring.fleetHealthSql(),

@@ -99,7 +99,32 @@ object Curation {
   def curateGated(spark: SparkSession, sfDir: String,
       minRecall: Double = 0.8, recallThreshold: Double = 0.5): DataFrame =
     curateGatedOf(Tables.documents(spark, sfDir),
-      Dedup.dedupRecallReport(spark, sfDir, recallThreshold), minRecall)
+      gateAuditReport(spark, sfDir, recallThreshold), minRecall)
+
+  /** The gate's audit report at ANY corpus size (the r14 finding: the
+    * composed chain still fed C54's full exact baseline, whose pair
+    * ceiling REFUSES past audit scale — so the refusal the sampled
+    * audit was built to remove was still reachable from the driver
+    * entry). Below the ceiling the gate consumes the FULL report (the
+    * cache is shared with the standalone audit slot — no extra cost);
+    * past it, the audit frac is derived so the expected sample lands at
+    * ~90% of the affordable pair budget (the 10% margin absorbs the
+    * binomial overshoot the sampled guard prices on the ACTUAL count)
+    * and the gate consumes the C54b sampled report — recall stays an
+    * unbiased in-sample catch-rate estimate, and the chain never
+    * refuses on corpus size. */
+  private[graft] def gateAuditReport(spark: SparkSession, sfDir: String,
+      recallThreshold: Double): DataFrame = {
+    val n = Tables.cachedCount(spark, s"$sfDir/documents.parquet")
+    if (n == 0 || n <= Similarity.BruteForceMaxPairs / n)
+      Dedup.dedupRecallReport(spark, sfDir, recallThreshold)
+    else {
+      val frac =
+        0.9 * math.sqrt(Similarity.BruteForceMaxPairs.toDouble) / n
+      Dedup.dedupRecallReportSampled(spark, sfDir, frac = frac,
+        threshold = recallThreshold)
+    }
+  }
 
   /** C58 over arbitrary docs + any C54-shaped report frame — the spec
     * entry (a synthetic bad report pins the fail-path without having
@@ -244,16 +269,19 @@ object Curation {
         graft.functions.TextFunctions.normalizeText(col("text"))))
 
   def pipelineCurateNormSql: String =
-    pipelineCurateV2Sql
-      // retarget the chain at the normalized shadow (a CTE cannot
-      // shadow its own base table in DuckDB — circular reference)
-      .replace("FROM documents", "FROM docs_n")
-      .replace("WITH x AS",
-        """WITH docs_n AS (
-          |  SELECT * REPLACE (trim(regexp_replace(lower(nfc_normalize(text)),
-          |    '[ \t\n\r\f]+', ' ', 'g')) AS text)
-          |  FROM documents),
-          |x AS""".stripMargin)
+    // retarget the chain at the normalized shadow (a CTE cannot
+    // shadow its own base table in DuckDB — circular reference);
+    // both splices fail loudly on v2 drift (see spliceSql)
+    spliceSql(
+      spliceSql(pipelineCurateV2Sql, "FROM documents", "FROM docs_n",
+        "v2 base-table scan"),
+      "WITH x AS",
+      """WITH docs_n AS (
+        |  SELECT * REPLACE (trim(regexp_replace(lower(nfc_normalize(text)),
+        |    '[ \t\n\r\f]+', ' ', 'g')) AS text)
+        |  FROM documents),
+        |x AS""".stripMargin,
+      "v2 WITH header")
 
   val pipelineCurateV2Sql: String = {
     import TextAnalysis.{EmailRe, IpRe, PhoneRe}
@@ -436,41 +464,59 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** String.replace that FAILS LOUDLY when its target is absent: the
+    * shadow-CTE oracles below are surgical replaces over the ONE v2
+    * SQL definition, and if that text drifts a plain replace silently
+    * no-ops — the oracle quietly reverts to the unrouted semantics and
+    * surfaces only as an opaque harness hash mismatch rounds later.
+    * Drift must fail at construction, with a named cause. */
+  private def spliceSql(sql: String, target: String,
+      replacement: String, what: String): String = {
+    require(sql.contains(target),
+      s"oracle splice target '$what' not found — the base SQL drifted; " +
+        "update the splice alongside it")
+    sql.replace(target, replacement)
+  }
+
   /** C8e's oracle: the v2 SQL with the E41 chain joined in and the
     * repetition predicates wrapped in the code exemption — surgical
     * replaces on the ONE v2 definition (the C8b shadow-CTE rule), so
     * gate formulas are never restated. */
-  def pipelineCurateRoutedSql: String =
-    pipelineCurateV2Sql
-      .replace("WITH x AS",
-        """WITH cd AS (
-          |  SELECT doc_id, coalesce(is_code, false) AS is_code
-          |  FROM (%E41%) e),
-          |x AS""".stripMargin
-          .replace("%E41%", TextAnalysis.textCodeScoreSql))
-      .replace(
-        """  SELECT doc_id, source, text, n_tokens
-          |  FROM g
-          |  WHERE n_tokens >= 10 AND uniq_ratio >= 0.3
-          |    AND (CASE WHEN len(bg) = 0 THEN 0.0
-          |              ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
-          |         END) <= 0.1),""".stripMargin,
-        """  SELECT doc_id, source, text, n_tokens, cd.is_code
-          |  FROM g JOIN cd USING (doc_id)
-          |  WHERE n_tokens >= 10 AND (cd.is_code OR (uniq_ratio >= 0.3
-          |    AND (CASE WHEN len(bg) = 0 THEN 0.0
-          |              ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
-          |         END) <= 0.1))),""".stripMargin)
-      .replace(
-        """  SELECT doc_id, source, text, n_tokens,
-          |    ROW_NUMBER()""".stripMargin,
-        """  SELECT doc_id, source, text, n_tokens, is_code,
-          |    ROW_NUMBER()""".stripMargin)
-      .replace(
-        "SELECT doc_id, source, n_tokens,",
-        """SELECT doc_id, source, n_tokens,
-          |  CASE WHEN is_code THEN 'code' ELSE 'prose' END AS route,"""
-          .stripMargin)
+  def pipelineCurateRoutedSql: String = {
+    val withCode = spliceSql(pipelineCurateV2Sql, "WITH x AS",
+      """WITH cd AS (
+        |  SELECT doc_id, coalesce(is_code, false) AS is_code
+        |  FROM (%E41%) e),
+        |x AS""".stripMargin
+        .replace("%E41%", TextAnalysis.textCodeScoreSql),
+      "v2 WITH header")
+    val withGates = spliceSql(withCode,
+      """  SELECT doc_id, source, text, n_tokens
+        |  FROM g
+        |  WHERE n_tokens >= 10 AND uniq_ratio >= 0.3
+        |    AND (CASE WHEN len(bg) = 0 THEN 0.0
+        |              ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+        |         END) <= 0.1),""".stripMargin,
+      """  SELECT doc_id, source, text, n_tokens, cd.is_code
+        |  FROM g JOIN cd USING (doc_id)
+        |  WHERE n_tokens >= 10 AND (cd.is_code OR (uniq_ratio >= 0.3
+        |    AND (CASE WHEN len(bg) = 0 THEN 0.0
+        |              ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+        |         END) <= 0.1))),""".stripMargin,
+      "v2 repetition-gate block")
+    val withCarry = spliceSql(withGates,
+      """  SELECT doc_id, source, text, n_tokens,
+        |    ROW_NUMBER()""".stripMargin,
+      """  SELECT doc_id, source, text, n_tokens, is_code,
+        |    ROW_NUMBER()""".stripMargin,
+      "v2 dedup projection")
+    spliceSql(withCarry,
+      "SELECT doc_id, source, n_tokens,",
+      """SELECT doc_id, source, n_tokens,
+        |  CASE WHEN is_code THEN 'code' ELSE 'prose' END AS route,"""
+        .stripMargin,
+      "v2 final projection")
+  }
 
   /** STREAMING curation — the ingest-time twin of [[curateV2]]: the
     * quality / repetition / language gates are stateless per-row
@@ -540,6 +586,73 @@ object Curation {
       .drop("is_code", "lang_label")
       .orderBy(col("doc_id"))
   }
+
+  // ------------------------------------------------------------- C6e
+  /** THE CRAWL FRONT DOOR wired in — C6c behind E42: a real corpus
+    * arrives as HTML, and until now the production chain's stage zero
+    * assumed someone else already stripped it. Stage -1 is the E42
+    * extraction (script/style blocks out, line structure preserved,
+    * entities decoded, chrome lines dropped) as a stateless column
+    * expression ON THE SAME SCAN — the chain's plan shape is C6c's
+    * with one more codegen'd projection, no new exchange. Documented
+    * trade: extraction collapses intra-line whitespace, so E41's
+    * indentation term reads 0 on crawled corpora and code routing
+    * leans on the symbol/keyword terms — preserving <pre> blocks
+    * whole is the seam a code-heavy crawl would add here. Rows-only:
+    * the tail is C6c's (hashed classifier features). */
+  def pipelineCurateCrawl(spark: SparkSession, sfDir: String,
+      minTokens: Int = 10, maxDupBigram: Double = 0.1,
+      langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame =
+    curateCrawlOf(
+      Tables.documents(spark, sfDir).withColumn("text",
+        concat(lit(TextAnalysis.HtmlWrapPrefix), col("text"),
+          lit(TextAnalysis.HtmlWrapSuffix))),
+      TextAnalysis.stagedLangModel(spark, sfDir),
+      minTokens, maxDupBigram, langs)
+
+  /** C6e over arbitrary HTML docs + model — the spec entry. */
+  def curateCrawlOf(docs: DataFrame, model: TextAnalysis.LangModel,
+      minTokens: Int = 10, maxDupBigram: Double = 0.1,
+      langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame =
+    curateProdOf(
+      docs.withColumn("text",
+        array_join(TextAnalysis.htmlExtractCol(col("text")), "\n")),
+      model, minTokens, maxDupBigram, langs)
+
+  // ------------------------------------------------------------- C6d
+  /** CERTIFIED PRODUCTION OUTPUT — the r14 close shipped the pieces
+    * (C6c chain, C13 packing, C21 shards, C21b manifest+verify) and
+    * this composes them into the one slot a training team actually
+    * consumes: the PRODUCTION chain's survivors packed into training
+    * shards, manifested, and VERIFIED — so the certified-manifest
+    * discipline covers the chain's own output, not a separate corpus.
+    * The shard build is a per-corpus-version staged artifact (the C10
+    * temp-dir discipline); the verify pass runs on EVERY call, so the
+    * dumped manifest row set is certified at dump time. Rows-only:
+    * file layout is the range exchange's sampling choice (C21b's
+    * reason) on top of C6c's hashed features. */
+  def pipelineCurateCertified(spark: SparkSession, sfDir: String,
+      seqLen: Int = 2048, shards: Int = 8): DataFrame = {
+    val stamp = Tables.pathStamp(spark, s"$sfDir/documents.parquet")
+    certDirCache.filterInPlace { case ((d, st), dir) =>
+      val stale = d == sfDir && st != stamp
+      if (stale) Dedup.deleteAtExit(dir)
+      !stale }
+    val dir = certDirCache.getOrElseUpdate((sfDir, stamp), {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-cert").toString
+      writePackedShards(
+        pipelineCurateProd(spark, sfDir)
+          .select(col("doc_id"), col("clean_text").as("text")),
+        d, seqLen, shards)
+      d
+    })
+    val m = shardManifest(spark, dir)
+    verifyShards(spark, dir, m)
+    m
+  }
+  private val certDirCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), String]
 
   // ------------------------------------------------------------- C8f
   /** STREAMING code-routed curation — C8e's ingest twin: the E41
@@ -4506,11 +4619,15 @@ object Curation {
     require(temperature > 0, s"temperature $temperature must be > 0")
     val u = shiftrightunsigned(shuffleKey(col("doc_id"), seed), 32)
       .cast("double") / 4294967296.0
-    scored.withColumn("u", round(u, 6))
+    // strict <: p_eff = 0 never admits, p_eff = 1 always does; both
+    // compared at round-6 (the C62 handoff rule) — but raw u in
+    // [0.9999995, 1) rounds UP to 1.000000, which would fail the
+    // strict cut against p_eff = 1 and bias every bin's yield by the
+    // same ~5e-7 mass, so the rounded u clamps to 0.999999: the
+    // comparison domain stays [0, 1) exactly as the raw uniform's.
+    scored.withColumn("u", least(round(u, 6), lit(0.999999)))
       .withColumn("p_eff",
         round(pow(col("p_keep"), lit(1.0 / temperature)), 6))
-      // strict <: p_eff = 0 never admits, p_eff = 1 always does
-      // (u ∈ [0, 1)); both compared at round-6 — the C62 handoff rule
       .withColumn("admitted", col("u") < col("p_eff"))
   }
 

@@ -1541,25 +1541,30 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     import spark.implicits._
     require(frac > 0 && frac <= 1, s"frac $frac out of (0, 1]")
-    val n = Tables.cachedCount(spark, s"$sfDir/documents.parquet")
-    val s = math.ceil(n * frac).toLong
-    require(s == 0 || s <= Similarity.BruteForceMaxPairs / s,
-      s"sampled exact baseline would score ~s²=$s² pairs — shrink frac")
     val stamp = Tables.pathStamp(spark, s"$sfDir/documents.parquet")
     val key = s"$frac:$seed:$threshold"
     sampledRecallCache.filterInPlace { case ((d, st, _), _) =>
       d != sfDir || st == stamp
     }
     val cut = math.floor(frac * 4294967296.0).toLong
-    sampledRecallCache.getOrElseUpdate((sfDir, stamp, key),
-        dedupRecallReportOf(Tables.documents(spark, sfDir)
-            .filter(shiftrightunsigned(
-              Curation.shuffleKey($"doc_id", seed), 32) < cut),
-          threshold)
+    sampledRecallCache.getOrElseUpdate((sfDir, stamp, key), {
+        val sampled = Tables.documents(spark, sfDir)
+          .filter(shiftrightunsigned(
+            Curation.shuffleKey($"doc_id", seed), 32) < cut)
+        // guard on the ACTUAL sample (the D25f qIds.count() rule): the
+        // LCG keyspace cut draws a binomial sample that can exceed the
+        // expected ceil(n·frac), so pricing the expectation could
+        // under-estimate the n² baseline cost the guard exists to
+        // refuse. Counted only on cache miss — a hit already built.
+        val s = sampled.count()
+        require(s == 0 || s <= Similarity.BruteForceMaxPairs / s,
+          s"sampled exact baseline would score s²=$s² pairs — shrink frac")
+        dedupRecallReportOf(sampled, threshold)
           .collect().toSeq.map(r => (r.getString(0), r.getLong(1),
             r.getLong(2), r.getLong(3),
             if (r.isNullAt(4)) null
-            else java.lang.Double.valueOf(r.getDouble(4)))))
+            else java.lang.Double.valueOf(r.getDouble(4))))
+      })
       .toDF("method", "found_pairs", "baseline_pairs", "matched", "recall")
   }
 

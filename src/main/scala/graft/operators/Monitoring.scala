@@ -1865,10 +1865,37 @@ object Monitoring {
     }
     alarmVerdictCache.getOrElseUpdate(
       (sfDir, stamp, trainFrac, nBuckets), {
-        val v = alarmVerifyOf(Tables.events(spark, sfDir), trainFrac,
-          nBuckets).localCheckpoint(true)
+        // serve from the CACHED model — the bundle writer and every
+        // curve/report sibling share ONE train per (corpus, params)
+        val docs = alarmWindowsOf(Tables.events(spark, sfDir))
+        val v = alarmVerdictsFrom(docs,
+            cachedAlarmModel(spark, sfDir, trainFrac, nBuckets))
+          .localCheckpoint(true)
         (v, v.count()) // alarm-hour-bounded — a driver-cheap count
       })._1
+  }
+
+  /** The TRAINED MODEL per corpus version — the same audit-artifact
+    * discipline as the verdict frame, one tier up: [[alarmModelOf]]
+    * is the dominant cost of the whole A69/A70 family (a corpus-wide
+    * train pass), and before this cache the bundle writer paid it
+    * TWICE (once directly, once through the curve's verdicts). Train
+    * runs once per (corpus stamp, trainFrac, nBuckets) per JVM; the
+    * verdict cache and the bundle writer both read it. */
+  private val alarmModelCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Double, Int),
+      Option[(Array[Double], Double, Double)]]
+
+  private def cachedAlarmModel(spark: SparkSession, sfDir: String,
+      trainFrac: Double, nBuckets: Int)
+      : Option[(Array[Double], Double, Double)] = {
+    val stamp = Tables.pathStamp(spark, s"$sfDir/events.parquet")
+    alarmModelCache.filterInPlace { case ((d, st, _, _), _) =>
+      d != sfDir || st == stamp
+    }
+    alarmModelCache.getOrElseUpdate((sfDir, stamp, trainFrac, nBuckets),
+      alarmModelOf(alarmWindowsOf(Tables.events(spark, sfDir)),
+        trainFrac, nBuckets))
   }
 
   /** The labeled alarm-window frame A69 trains and serves on —
@@ -1888,6 +1915,38 @@ object Monitoring {
           .as("successes"))
     val alarms = hours.filter($"failures" >= 1 && $"successes" === 0)
       .select($"user_id", $"hour_us")
+    // TRANSFERABLE context features (the r14 A69e finding: the learned
+    // operating point read recall 0.2 / precision 0.018 on the unseen
+    // later half — raw event tokens are time-local, so the model
+    // memorized the early half's ids instead of learning what a real
+    // alarm looks like). Two features that survive a time split by
+    // construction: the hour-of-day (diurnal failure pattern) and the
+    // alarm hour's failure count z-scored against the DEVICE'S OWN
+    // PRIOR history (the A30/A31 kernel shape — an expanding window
+    // over earlier hours only, so the feature itself never looks
+    // forward), plus the alarm hour's own failure magnitude bucketed
+    // at 4 (a burst of failures persists more often than a single
+    // one). All enter as plain tokens ahead of the event text;
+    // ONE definition here, so batch verify, the curve/tuned/transfer
+    // siblings, and the A70 streaming twin all inherit them.
+    val wHist = Window.partitionBy($"user_id").orderBy($"hour_us")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val devZ = hours
+      .withColumn("mu", avg($"failures").over(wHist))
+      .withColumn("sd", stddev_pop($"failures").over(wHist))
+      .withColumn("dev_z",
+        when($"sd".isNull || $"sd" === 0.0, lit(null))
+          .otherwise(($"failures" - $"mu") / $"sd"))
+      .select($"user_id", $"hour_us",
+        concat(
+          lit("hod"), expr(s"hour_us div $HourUs % 24"),
+          lit(" "),
+          when($"dev_z".isNull, "dzna")
+            .when($"dev_z" < 1.0, "dzlo")
+            .when($"dev_z" < 2.0, "dz1")
+            .when($"dev_z" < 3.0, "dz2")
+            .otherwise("dz3"),
+          lit(" nf"), least($"failures", lit(4L))).as("ctx"))
     // label: the failure persisted into the NEXT hour
     val nextErr = hours.filter($"failures" >= 1)
       .select($"user_id", ($"hour_us" - HourUs).as("hour_us"),
@@ -1918,6 +1977,8 @@ object Monitoring {
       .join(nextErr, Seq("user_id", "hour_us"), "left")
       .na.fill(false, Seq("was_real"))
       .join(windowText, Seq("user_id", "hour_us"))
+      .join(devZ, Seq("user_id", "hour_us"))
+      .withColumn("text", concat($"ctx", lit(" "), $"text"))
       // LONG arithmetic throughout: Column `/` is double division,
       // and at fleet-scale user ids the composite would exceed 2^53
       // and collide adjacent hours
@@ -1961,10 +2022,20 @@ object Monitoring {
 
   def alarmVerifyOf(events: DataFrame, trainFrac: Double = 0.7,
       nBuckets: Int = 1024): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
     val docs = alarmWindowsOf(events)
-    alarmModelOf(docs, trainFrac, nBuckets) match {
+    alarmVerdictsFrom(docs, alarmModelOf(docs, trainFrac, nBuckets))
+  }
+
+  /** Serve held-out verdicts from an ALREADY-TRAINED model over an A69
+    * window frame — the seam that lets the cached model feed the
+    * verdict frame without retraining (train and serve were one body
+    * before, so the bundle writer's shared-pipeline fix would have had
+    * to re-run the train). */
+  private def alarmVerdictsFrom(docs: DataFrame,
+      trained: Option[(Array[Double], Double, Double)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trained match {
       case None =>
         docs.select($"user_id", $"hour_us",
           lit(0.0).as("nb_z"), lit(false).as("predicted_real"),
@@ -2024,8 +2095,10 @@ object Monitoring {
       dir: String, trainFrac: Double = 0.7, nBuckets: Int = 1024,
       precisionTarget: Option[Double] = None): Unit = {
     import spark.implicits._
-    val windows = alarmWindowsOf(Tables.events(spark, sfDir))
-    val trained = alarmModelOf(windows, trainFrac, nBuckets)
+    // ONE shared train: the bundle's model comes from the same cache
+    // the curve's verdict frame serves from, so a cold bundle write
+    // prices the dominant train+serve cost once, not twice
+    val trained = cachedAlarmModel(spark, sfDir, trainFrac, nBuckets)
     require(trained.nonEmpty,
       s"no alarm windows in $sfDir — nothing to train; the bundle " +
         "refuses to ship an evidence-free model")

@@ -468,6 +468,78 @@ object Multimodal {
        |  ORDER BY corr_ma DESC, abs(lag), lag) = 1
        |ORDER BY media_id""".stripMargin
 
+  // --------------------------------------------------------------- F26
+  /** FRAGMENT-CONTINUITY AUDIT — the last reference behavior
+    * (restart.sh's escalation consumes a per-stream fragment list;
+    * a media stream whose fragment NUMBERS skip has lost data even
+    * when its heartbeats look healthy, so continuity is a
+    * fragment-sequence property, not a timestamp property — the batch
+    * twin of A40's heartbeat gaps, keyed by sequence instead of
+    * clock). Input model: each media stream's fragment inventory
+    * (media_id, frag) — here derived deterministically from the
+    * manifest (one 32-byte fragment per payload chunk, with a planted
+    * arithmetic drop so the audit has real gaps to find; a production
+    * deployment feeds its archive's actual fragment list through
+    * [[mmFragmentGapsOf]] unchanged). Per stream: a lag window over
+    * fragment order, a row per gap — (prev present, next present,
+    * count missing) — with the stream's HEAD gap reported against the
+    * virtual fragment -1, since a stream that never delivered
+    * fragment 0 is missing data no adjacent-pair lag would see.
+    *
+    * Scale: the fragment list shuffles ONCE on media_id for the lag
+    * window (fragment counts are per-media-bounded); output is
+    * gaps-only. Oracle end-to-end: integer arithmetic only. */
+  def mmFragmentGapsOf(frags: DataFrame): DataFrame = {
+    val spark = frags.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"media_id").orderBy($"frag")
+    frags
+      .withColumn("prev", coalesce(lag($"frag", 1).over(w), lit(-1L)))
+      .filter($"frag" - $"prev" > 1L)
+      .select($"media_id", $"prev".as("gap_start_frag"),
+        $"frag".as("gap_end_frag"),
+        ($"frag" - $"prev" - 1L).as("n_missing"))
+      .orderBy($"media_id", $"gap_start_frag")
+  }
+
+  /** The synthetic per-stream fragment inventory the driver entry
+    * audits: floor(size_bytes / 32) fragments per media, fragment i
+    * of media m absent iff (m·31 + i) ≡ 0 (mod 17) — a deterministic
+    * ~6% loss pattern that plants both interior and head gaps. */
+  def mmFragmentGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val frags = Tables.documents(spark, sfDir)
+      .select($"doc_id".as("media_id"),
+        (length($"text".cast("binary")).cast("long") / 32L)
+          .cast("long").as("n_frags"))
+      .filter($"n_frags" > 0L)
+      .select($"media_id",
+        explode(sequence(lit(0L), $"n_frags" - 1L)).as("frag"))
+      .filter(($"media_id" * 31L + $"frag") % 17L =!= 0L)
+    mmFragmentGapsOf(frags)
+  }
+
+  val mmFragmentGapsSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(octet_length(encode(text)) // 32 AS BIGINT) AS n_frags
+      |  FROM documents
+      |  WHERE octet_length(encode(text)) // 32 > 0),
+      |f AS (
+      |  SELECT media_id, CAST(i AS BIGINT) AS frag
+      |  FROM m, UNNEST(generate_series(0, n_frags - 1)) AS u(i)
+      |  WHERE (media_id * 31 + i) % 17 <> 0),
+      |g AS (
+      |  SELECT media_id, frag,
+      |    coalesce(lag(frag) OVER (PARTITION BY media_id ORDER BY frag),
+      |      -1) AS prev
+      |  FROM f)
+      |SELECT media_id, prev AS gap_start_frag, frag AS gap_end_frag,
+      |  frag - prev - 1 AS n_missing
+      |FROM g WHERE frag - prev > 1
+      |ORDER BY media_id, gap_start_frag""".stripMargin
+
   // ---------------------------------------------------------------- F7
   /** STREAMING scene cuts — F6's live twin and the F-family's first
     * streaming member (the reference IS a live video gateway; shot

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, TextAnalysis}
+import graft.operators.{Curation, Dedup, TextAnalysis}
 
 class CurationSpec extends SparkSpec {
   import spark.implicits._
@@ -1233,6 +1233,37 @@ class CurationSpec extends SparkSpec {
     assert(em.getMessage.contains("no 'minhash_lsh' row"), em.getMessage)
   }
 
+  test("gate audit auto-routes: full report below the pair ceiling, sampled past it — the composed chain never refuses on corpus size") {
+    // below the ceiling the gate reads the SAME cached full report as
+    // the standalone audit slot — no extra cost, identical rows
+    val full = Dedup.dedupRecallReport(spark, sf).collect().toSeq
+    val routed = Curation.gateAuditReport(spark, sf, 0.5).collect().toSeq
+    assert(routed === full, "below-ceiling gate audit drifted from C54")
+    // past the ceiling: a >10k-doc corpus (n² > the 1e8 pair budget).
+    // Tiny distinct texts keep the audit itself trivial — the point is
+    // the ROUTING, not the recall number.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-gate").toString
+    spark.range(0L, 10050L)
+      .selectExpr("id AS doc_id", "concat('unique doc ', id) AS text",
+        "'en' AS lang", "'s' AS source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // the full exact baseline refuses at this size...
+    val er = intercept[IllegalArgumentException] {
+      Dedup.dedupRecallReport(spark, dir)
+    }
+    assert(er.getMessage.contains("audit-scale"), er.getMessage)
+    // ...but the routed audit runs, in the exact C54 shape the gate
+    // consumes (zero ground-truth pairs → NULL recall → vacuous pass)
+    val big = Curation.gateAuditReport(spark, dir, 0.5)
+    assert(big.columns.toSeq === Seq("method", "found_pairs",
+      "baseline_pairs", "matched", "recall"))
+    assert(big.collect().map(_.getString(0)).toSet ===
+      Set("minhash_lsh", "simhash"))
+    // and the composed gated chain EMITS instead of refusing
+    Curation.curateGated(spark, dir).count() // must not throw
+  }
+
   test("massivetext stream: per-epoch verdicts equal the batch battery, replayed trigger leaves the log unchanged") {
     val auditDir = java.nio.file.Files
       .createTempDirectory("graft-mtx").toString
@@ -2390,6 +2421,19 @@ class CurationSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
     out.foreach { case (id, (_, _, adm)) =>
       assert(again(id) === adm, s"not deterministic at $id") }
+    // the round-6 boundary: a raw uniform in [0.9999995, 1) rounds UP
+    // to 1.000000, which a strict cut against p_eff = 1 would reject —
+    // the clamp to 0.999999 keeps "p_keep = 1 always admits" exact.
+    // Find such a doc_id by scanning the same LCG the kernel uses.
+    val boundaryId = spark.range(0L, 50000000L)
+      .select($"id",
+        (shiftrightunsigned(Curation.shuffleKey($"id", 29L), 32)
+          .cast("double") / 4294967296.0).as("raw"))
+      .filter($"raw" >= 0.9999995).select($"id").head().getLong(0)
+    val bRow = Curation.calibratedSampleOf(
+      Seq((boundaryId, 1.0)).toDF("doc_id", "p_keep")).head()
+    assert(bRow.getBoolean(4), s"p_keep=1 rejected at round-up u: $bRow")
+    assert(bRow.getDouble(2) === 0.999999, s"u not clamped: $bRow")
     // higher temperature can only widen the admitted set (p^(1/T) ≥ p)
     val hot = Curation.calibratedSampleOf(scored, temperature = 4.0)
       .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
@@ -2512,6 +2556,54 @@ class CurationSpec extends SparkSpec {
       s"recovered doc must be flagged divergent: ${out(6L)}")
     (out.keySet - 6L).foreach(id =>
       assert(!out(id)._3, s"false divergence on $id: ${out(id)}"))
+  }
+
+  test("crawl curate chain: extraction is stage -1 — chrome never reaches the gates, survivors match the prod chain on the bare bodies") {
+    val en1 = "the quick brown fox jumps over a lazy dog near the river bank"
+    val en2 = "many different english words form another perfectly normal sentence here today"
+    def wrap(body: String) =
+      "<html><head><script>var tracker = 9;</script></head><body>" +
+        s"<nav>Home | About | Login</nav><p>$body</p>" +
+        "<footer>Copyright 2026 Corp</footer></body></html>"
+    val crawled = Seq(
+      (1L, "s1", wrap(en1), "en"),
+      (2L, "s1", wrap(en2), "en"),
+      // chrome-only page: extraction leaves nothing, the gates drop it
+      (3L, "s2",
+        "<html><body><nav>Home | About | Login</nav></body></html>", "en"))
+      .toDF("doc_id", "source", "text", "lang")
+    val plain = Seq((1L, "s1", en1, "en"), (2L, "s1", en2, "en"))
+      .toDF("doc_id", "source", "text", "lang")
+    val model = TextAnalysis.langClassifierModel(plain,
+      plain.select($"doc_id", $"lang"), nBuckets = 256)
+    val out = Curation.curateCrawlOf(crawled, model).collect()
+      .map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(out.keySet === Set(1L, 2L), s"crawl survivors: ${out.keySet}")
+    // nothing from the template — script payload, nav, footer — may
+    // reach a survivor's training text
+    out.values.foreach { t =>
+      Seq("tracker", "home", "copyright").foreach(c =>
+        assert(!t.contains(c), s"chrome '$c' leaked into: $t")) }
+    // and the crawl chain lands EXACTLY where the prod chain lands on
+    // the pre-extracted bodies — extraction is a front door, not a
+    // different pipeline
+    val prod = Curation.curateProdOf(plain, model).collect()
+      .map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(out === prod, s"crawl vs prod drifted: $out vs $prod")
+  }
+
+  test("certified chain: the dumped manifest covers the production survivors exactly, verify runs inside the entry, replay identical") {
+    val m = Curation.pipelineCurateCertified(spark, sf).collect()
+    assert(m.nonEmpty, "no shards manifested")
+    val packedRows = m.map(_.getLong(1)).sum
+    val survivors = Curation.pipelineCurateProd(spark, sf).count()
+    assert(packedRows === survivors,
+      s"packed rows $packedRows != production survivors $survivors")
+    // repeated call serves the staged artifact, bit-identical (and the
+    // verify pass inside it ran again without firing)
+    val again = Curation.pipelineCurateCertified(spark, sf).collect()
+    assert(again.map(_.toString).toSeq === m.map(_.toString).toSeq,
+      "certified manifest not stable across calls")
   }
 
   test("routed curation stream: code routed at ingest, verdicts match the batch chain on replayed history") {

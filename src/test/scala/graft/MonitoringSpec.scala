@@ -512,6 +512,38 @@ class MonitoringSpec extends SparkSpec {
         assert(rep.getDouble(i) >= 0.0 && rep.getDouble(i) <= 1.0) }
   }
 
+  test("alarm windows: transferable context tokens ride the text — hour-of-day, device-baseline z, failure magnitude") {
+    val HourS = 3600L
+    var id = 0L
+    def ev(u: Long, h: Long, t: String, nf: Int = 1) = (0 until nf).map { i =>
+      id += 1
+      (id, new java.sql.Timestamp((h * HourS + 10 + i) * 1000), u, t,
+        """{"k": 1}""")
+    }
+    // device 1: steady 1-failure alarm hours (flat history -> sd 0 ->
+    // dzna); the hour-7 alarm carries hod7. device 2: quiet history
+    // (2 success hours), then a 6-failure burst at hour 30 -> nf4 cap.
+    val rows = (Seq(5L, 6L, 7L).flatMap(h => ev(1L, h, "error")) ++
+      Seq(10L, 11L).flatMap(h => ev(2L, h, "click")) ++
+      ev(2L, 30L, "error", nf = 6)).toDF(
+      "event_id", "ts", "user_id", "event_type", "props")
+    val w = Monitoring.alarmWindowsOf(rows).collect()
+      .map(r => (r.getLong(1), r.getLong(2) / 3600000000L,
+        r.getString(3))).toList
+    assert(w.nonEmpty)
+    // every window's text LEADS with the context tokens
+    w.foreach { case (_, _, t) =>
+      assert(t.matches("(?s)^hod\\d+ dz\\w+ nf\\d .*"),
+        s"context tokens missing: $t") }
+    // hod is the hour of day; the flat device reads dzna
+    val d1h7 = w.find(x => x._1 == 1L && x._2 == 7L).get._3
+    assert(d1h7.startsWith("hod7 dzna nf1 "), s"device-1 ctx: $d1h7")
+    // the burst device: failures 6 vs prior history {0, 0} -> sd 0
+    // (expanding stddev over zeros) -> dzna, magnitude capped at nf4
+    val d2 = w.find(_._1 == 2L).get._3
+    assert(d2.startsWith("hod6 dzna nf4 "), s"device-2 ctx: $d2")
+  }
+
   test("cross corr: pairs below the shared-bucket floor are dropped") {
     val bucketUs = 21600000000L
     def ev(u: Long, b: Long, v: Double) =

@@ -625,4 +625,30 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
     assert(again === out, "av sync not deterministic")
   }
+
+  test("fragment gaps: interior and head gaps reported, gapless stream silent, driver gaps match the planted drop rule") {
+    // media 1: fragments 0,1,4,5 -> one interior gap (1,4) missing 2;
+    // media 2: first delivered fragment is 3 -> HEAD gap vs virtual -1;
+    // media 3: contiguous -> no rows
+    val frags = Seq((1L, 0L), (1L, 1L), (1L, 4L), (1L, 5L),
+      (2L, 3L), (2L, 4L), (3L, 0L), (3L, 1L))
+      .toDF("media_id", "frag")
+    val out = Multimodal.mmFragmentGapsOf(frags).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 1L, 4L, 2L), (2L, -1L, 3L, 3L)),
+      s"gap rows: ${out.toSeq}")
+    // driver entry: every reported gap's interior fragments violate
+    // the planted keep rule, and the count column is the gap width
+    val drv = Multimodal.mmFragmentGaps(spark, sf).collect()
+    assert(drv.nonEmpty, "planted ~6% loss must surface gaps")
+    drv.foreach { r =>
+      val (m, s, e, n) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))
+      assert(e - s - 1 === n, s"width: $r")
+      ((s + 1) until e).foreach(i =>
+        assert((m * 31 + i) % 17 === 0,
+          s"fragment $i of media $m reported missing but passes " +
+            "the drop rule"))
+    }
+  }
 }

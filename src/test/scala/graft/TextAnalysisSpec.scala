@@ -1103,4 +1103,81 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, s"share: $r")
     }
   }
+
+  test("html extract: script/style never leak, chrome lines drop, body survives with entities decoded, line audit counts") {
+    val html =
+      """<html><head><title>My Page</title><script type="text/js">var secret = 42;</script><style>.x { color: red }</style></head>
+        |<body><nav>Home | About</nav>
+        |<h1>Header</h1>
+        |<p>The quick brown fox jumps over the lazy dog &amp; friends.</p>
+        |<p>Second paragraph with &lt;tags&gt; and &quot;quotes&quot; runs long enough here.</p>
+        |<ul><li>Buy</li><li>Sell</li></ul>
+        |<footer>Copyright 2026 Corp</footer></body></html>""".stripMargin
+    val out = TextAnalysis.htmlExtractOf(
+      Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html").head()
+    val extracted = out.getAs[String]("extracted")
+    // script/style CONTENT must vanish whole, not just the tags
+    assert(!extracted.contains("secret") && !extracted.contains("color"),
+      s"script/style leaked: $extracted")
+    // chrome: nav crumbs, headers, list buttons, footer — all short
+    // unpunctuated lines — drop
+    Seq("Home", "Header", "Buy", "Sell", "Copyright").foreach(c =>
+      assert(!extracted.contains(c), s"chrome '$c' kept: $extracted"))
+    // the two body paragraphs survive, entities decoded
+    assert(extracted.contains(
+      "The quick brown fox jumps over the lazy dog & friends."),
+      s"body lost: $extracted")
+    assert(extracted.contains("<tags>") && extracted.contains("\"quotes\""),
+      s"entities not decoded: $extracted")
+    assert(out.getAs[Long]("n_lines_kept") === 2L, s"line audit: $out")
+    // a chrome-only page extracts to EMPTY (the downstream gates see
+    // nothing — a crawl of pure navigation yields no training text)
+    val chromeOnly = TextAnalysis.htmlExtractOf(
+      Seq((2L, "<html><body><nav>Home | About | Login</nav></body></html>"))
+        .toDF("doc_id", "html"), "doc_id", "html").head()
+    assert(chromeOnly.getAs[String]("extracted") === "" &&
+      chromeOnly.getAs[Long]("n_lines_kept") === 0L, s"$chromeOnly")
+    // driver entry: the template wrap recovers the corpus body for
+    // every doc long enough to clear the chrome filter
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val drv = TextAnalysis.htmlExtract(spark, sf).collect()
+    assert(drv.length === docs.size)
+    drv.foreach { r =>
+      val body = docs(r.getLong(0)).trim.replaceAll("[ \t\r\f]+", " ")
+      val toks = "[a-z0-9]+".r.findAllIn(body.toLowerCase).size
+      if (toks > 4 && !body.contains("\n"))
+        assert(r.getAs[String]("extracted") === body,
+          s"body not recovered for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("lang classifier vs heuristic: per-language ledger matches an independent recomputation") {
+    val rep = TextAnalysis.langClassifierVsHeuristic(spark, sf).collect()
+    // one row per corpus language — the inventory is data-derived
+    val corpusLangs = graft.Tables.documents(spark, sf)
+      .select($"lang").distinct().collect().map(_.getString(0)).toSet
+    assert(rep.map(_.getString(0)).toSet === corpusLangs,
+      s"ledger langs != corpus inventory")
+    // recompute both accuracies from the driver frames it composes
+    val cls = TextAnalysis.langClassifier(spark, sf).collect()
+      .filter(_.getString(4) != "train")
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val heur = TextAnalysis.textLangId(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rep.foreach { r =>
+      val lang = r.getString(0)
+      val ids = cls.filter(_._2._1 == lang).keys.toSeq
+      assert(r.getLong(1) === ids.size.toLong, s"n_heldout: $r")
+      val accT = ids.count(i => cls(i)._2 == lang).toDouble / ids.size
+      val accH = ids.count(i => heur(i) == lang).toDouble / ids.size
+      assert(r.getDouble(2) === math.rint(accT * 1e6) / 1e6,
+        s"acc_trained drifted: $r vs $accT")
+      assert(r.getDouble(3) === math.rint(accH * 1e6) / 1e6,
+        s"acc_heuristic drifted: $r vs $accH")
+      assert(math.abs(r.getDouble(4) -
+        (r.getDouble(2) - r.getDouble(3))) < 1e-5, s"lift: $r")
+    }
+  }
 }
