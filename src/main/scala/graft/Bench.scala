@@ -106,6 +106,13 @@ object Bench {
     }
     val loadEnd = os.getSystemLoadAverage
     val xmxMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    // resident pinned-artifact mass at suite end (the r14 drift
+    // hypothesis: eager localCheckpoint audit artifacts accumulate as
+    // the suite grows, and later slots GC over a bigger heap) — a
+    // NUMBER in the artifact so the theory is checkable round-over-
+    // round instead of re-guessed
+    val storageMb = spark.sparkContext.getRDDStorageInfo
+      .map(_.memSize).sum / (1024 * 1024)
     def jsonMap(f: ((String, (Double, Double, Double))) => Double): String =
       results.map { case (k, v) => "\"" + k + "\":" + f((k, v)) }
         .mkString("{", ",", "}")
@@ -118,7 +125,8 @@ object Bench {
         s""""queries_median_cold":$qsCold,"queries_median_warm":$qsWarm,""" +
         s""""sf":"$sfDir","protocol":"min-of-pass-medians(2x3)",""" +
         s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
-        s""""xmx_mb":$xmxMb,"cpus":$cpus,"pass_wall_sec":[$wall1,$wall2]}"""
+        s""""xmx_mb":$xmxMb,"cpus":$cpus,"storage_mb":$storageMb,""" +
+        s""""pass_wall_sec":[$wall1,$wall2]}"""
     // The full artifact goes to the FILE only. The driver's round
     // capture keeps just the last 2000 chars of the log, so a 15 KB
     // single line can never parse from it (every BENCH_r*.json through

@@ -467,6 +467,8 @@ object SparkEntry {
       TextAnalysis.langClassifierVsHeuristic(s, d)),
     "text_html_extract" -> ((s: SparkSession, d: String) =>
       TextAnalysis.htmlExtract(s, d)),
+    "html_extract_report" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.htmlExtractReport(s, d)),
     "classifier_serve_indexed" -> ((s: SparkSession, d: String) =>
       Curation.classifierServeIndexed(s, d)),
     "classifier_serve_calibrated" -> ((s: SparkSession, d: String) =>
@@ -686,6 +688,7 @@ object SparkEntry {
     "mm_av_sync" -> Multimodal.mmAvSyncSql(),
     "mm_fragment_gaps" -> Multimodal.mmFragmentGapsSql,
     "text_html_extract" -> TextAnalysis.htmlExtractSql,
+    "html_extract_report" -> TextAnalysis.htmlExtractReportSql,
     "mon_gap_fill" -> Monitoring.gapFillSql(),
     "mon_gap_fill_linear" -> Monitoring.gapFillSql(linear = true),
     "mon_fleet_health" -> Monitoring.fleetHealthSql(),

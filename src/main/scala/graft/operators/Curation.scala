@@ -593,8 +593,9 @@ object Curation {
     * assumed someone else already stripped it. Stage -1 is the E42
     * extraction (script/style blocks out, line structure preserved,
     * entities decoded, chrome lines dropped) as a stateless column
-    * expression ON THE SAME SCAN — the chain's plan shape is C6c's
-    * with one more codegen'd projection, no new exchange. Documented
+    * expression behind the [[Scale.evalOnce]] barrier — one extraction
+    * pass per row, then C6c's exact plan (no new exchange); see
+    * [[curateCrawlOf]] for why the barrier is load-bearing. Documented
     * trade: extraction collapses intra-line whitespace, so E41's
     * indentation term reads 0 on crawled corpora and code routing
     * leans on the symbol/keyword terms — preserving <pre> blocks
@@ -610,13 +611,21 @@ object Curation {
       TextAnalysis.stagedLangModel(spark, sfDir),
       minTokens, maxDupBigram, langs)
 
-  /** C6e over arbitrary HTML docs + model — the spec entry. */
+  /** C6e over arbitrary HTML docs + model — the spec entry. The
+    * extraction sits behind [[Scale.evalOnce]]: without the barrier,
+    * predicate pushdown cloned the four-regex extraction into every
+    * gate conjunct on the scan (44 copies in the executed plan — a
+    * 0.07 s map stage re-run per consumer, 9.1 s for the slot); with
+    * it, extraction evaluates once per row and the chain's gates
+    * consume a plain column. The pre-barrier projection reads the
+    * whole corpus (no gate can prune below it) — the right trade
+    * here, since every gate needs the extracted text anyway. */
   def curateCrawlOf(docs: DataFrame, model: TextAnalysis.LangModel,
       minTokens: Int = 10, maxDupBigram: Double = 0.1,
       langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame =
     curateProdOf(
-      docs.withColumn("text",
-        array_join(TextAnalysis.htmlExtractCol(col("text")), "\n")),
+      Scale.evalOnce(docs.withColumn("text",
+        array_join(TextAnalysis.htmlExtractCol(col("text")), "\n"))),
       model, minTokens, maxDupBigram, langs)
 
   // ------------------------------------------------------------- C6d

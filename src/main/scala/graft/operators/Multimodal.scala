@@ -28,6 +28,14 @@ case class SceneCut(media_id: Long, frame_idx: Int, prev_idx: Int,
   * window's two longs, carried across micro-batches. */
 case class FrameState(lastIdx: Int, lastHash: Long)
 
+/** One fragment arrival on a media stream (F26b's input row). */
+case class FragmentEvent(media_id: Long, frag: Long)
+
+/** One detected fragment-sequence gap — the F26 batch operator emits
+  * the same four columns. */
+case class FragmentGap(media_id: Long, gap_start_frag: Long,
+    gap_end_frag: Long, n_missing: Long)
+
 /** Multimodal column handling (SURVEY.md §2.F): media payloads travel
   * as opaque `binary` columns beside typed metadata; decode/
   * feature-extraction runs per-partition against a pluggable decoder.
@@ -539,6 +547,44 @@ object Multimodal {
       |  frag - prev - 1 AS n_missing
       |FROM g WHERE frag - prev > 1
       |ORDER BY media_id, gap_start_frag""".stripMargin
+
+  // -------------------------------------------------------------- F26b
+  /** STREAMING fragment-continuity audit — F26's live twin (the
+    * reference's restart.sh escalates on fragment loss AFTER polling;
+    * a live gateway wants the gap row the moment the out-of-sequence
+    * fragment arrives): per-stream state is ONE long — the highest
+    * fragment number seen — carried across micro-batches; each trigger
+    * folds its slice in fragment order and emits the same gap rows the
+    * batch lag window would (head gap against virtual -1 included, so
+    * a stream that starts at fragment 7 pages immediately). A fragment
+    * at or below the state (transport replay) is dropped — the batch
+    * operator's lag is over the de-duplicated total order, so replayed
+    * history lands on the identical gap rows (parity spec). State
+    * bounded by the LIVE stream count. */
+  def fragmentGapsStream(
+      frags: Dataset[FragmentEvent]): Dataset[FragmentGap] = {
+    import frags.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    frags
+      .groupByKey(_.media_id)
+      .flatMapGroupsWithState[Long, FragmentGap](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id, it, state) =>
+          val sorted = it.toArray.sortBy(_.frag)
+          // virtual fragment -1 when no state: the head-gap rule
+          var last = state.getOption.getOrElse(-1L)
+          val gaps = Seq.newBuilder[FragmentGap]
+          sorted.foreach { f =>
+            if (f.frag > last) {
+              if (f.frag - last > 1L)
+                gaps += FragmentGap(id, last, f.frag, f.frag - last - 1L)
+              last = f.frag
+            } // else: replay — drop, exactly like the batch total order
+          }
+          state.update(last)
+          gaps.result().iterator
+      }
+  }
 
   // ---------------------------------------------------------------- F7
   /** STREAMING scene cuts — F6's live twin and the F-family's first

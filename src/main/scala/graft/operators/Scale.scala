@@ -477,6 +477,25 @@ object Scale {
     * columns. The cheap way to assert two hundred-terabyte pipelines
     * produced identical results without collecting either. (Not xor —
     * xor cancels rows with even multiplicity.) */
+  /** OPTIMIZER BARRIER — this frame's projections evaluate exactly
+    * ONCE per row, no matter how many downstream expressions and
+    * pushed predicates consume them. Catalyst's predicate pushdown and
+    * project collapse INLINE a column's defining expression into every
+    * consumer — correct for cheap expressions, catastrophic for heavy
+    * ones (the r15 finding: the crawl chain's E42 extraction was
+    * cloned 44× into the scan-side gate Filter, turning a 0.07 s
+    * map stage into 6.5 s of repeated regex work). The barrier is a
+    * LAZY RDD round-trip: same schema, same rows, no shuffle, no
+    * materialization — the optimizer simply cannot see through the
+    * RDD lineage, so everything below it is planned once and
+    * everything above consumes plain attributes. Trade (stated): the
+    * boundary splits whole-stage codegen and pins the pre-barrier
+    * projection (predicates that COULD have pruned the scan no longer
+    * reach it) — use only when the protected expression costs more
+    * than the rows it would have pruned. */
+  def evalOnce(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   def contentFingerprint(df: DataFrame): String = {
     val cols = df.columns.map(col)
     df.select(xxhash64(cols: _*).cast("decimal(38,0)").as("h"))

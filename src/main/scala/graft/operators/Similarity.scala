@@ -2106,10 +2106,22 @@ object Similarity {
     hybridCache.filterInPlace { case ((d, st), df) =>
       d != sfDir || st == stamp || { Tables.unpinCheckpoint(df); false }
     }
-    val scored = hybridCache.getOrElseUpdate((sfDir, stamp),
-      bm25ScoredPostings(Tables.documents(spark, sfDir),
+    val scored = hybridCache.getOrElseUpdate((sfDir, stamp), {
+      // pin ONLY the four columns the probe reads (r14 regressed this
+      // slot 1.89x the round the eager pin landed; half of that was a
+      // loaded-machine artifact, the rest this: the raw build carried
+      // tf/dl/df/avgdl into the pinned blocks, and the intermediate tf
+      // pin — needed only while the build's three consumers run —
+      // stayed resident for the JVM's life)
+      val (raw, tfPin) = bm25ScoredPostingsPinned(
+        Tables.documents(spark, sfDir),
         Tables.cachedCount(spark, s"$sfDir/documents.parquet"))
-        .localCheckpoint(true))
+      val pinned = raw.localCheckpoint(true)
+      // safe only AFTER the outer pin materialized: its blocks are
+      // self-contained, nothing reads the truncated tf lineage again
+      Tables.unpinCheckpoint(tfPin)
+      pinned
+    })
     hybridFrom(scored, Tables.embeddings(spark, sfDir),
       nVecs = Tables.cachedCount(spark, s"$sfDir/embeddings.parquet"),
       queryBound = QueryIdBound, k = k, poolN = poolN, rrfK = rrfK,
@@ -2139,7 +2151,18 @@ object Similarity {
     * from storage); [[annHybrid]] caches it per corpus version so
     * repeated hybrid queries pay only the probe, mirroring that
     * split. */
-  private def bm25ScoredPostings(docs: DataFrame, nDocs: Long): DataFrame = {
+  private def bm25ScoredPostings(docs: DataFrame, nDocs: Long): DataFrame =
+    bm25ScoredPostingsPinned(docs, nDocs)._1
+
+  /** The build plus its INTERMEDIATE tf pin (three consumers read the
+    * tokenization pass: df, avgdl, the scoring join — the 2+-consumers
+    * rule), returned so a caller that pins the RESULT can release the
+    * intermediate instead of holding both postings-sized artifacts for
+    * the JVM's life. Projection: only (doc_id, term, idf, bm25) leave —
+    * the probe reads nothing else, and tf/dl/df/avgdl would double the
+    * pinned bytes. */
+  private def bm25ScoredPostingsPinned(docs: DataFrame,
+      nDocs: Long): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val tf = docs.withColumn("toks", TextAnalysis.tokens())
@@ -2149,13 +2172,15 @@ object Similarity {
       .localCheckpoint(true)
     val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val totals = tf.agg((sum($"tf").cast("double") / nDocs).as("avgdl"))
-    tf.join(df_, Seq("term")).crossJoin(broadcast(totals))
+    val scored = tf.join(df_, Seq("term")).crossJoin(broadcast(totals))
       .withColumn("idf",
         log(lit(1.0) + (lit(nDocs.toDouble) - $"df" + 0.5) / ($"df" + 0.5)))
       .withColumn("bm25",
         $"idf" * ($"tf" * 2.2) /
           ($"tf" + lit(1.2) *
             (lit(1.0) - 0.75 + lit(0.75) * ($"dl" / $"avgdl"))))
+      .select($"doc_id", $"term", $"idf", $"bm25")
+    (scored, tf)
   }
 
   private def hybridFrom(scored: DataFrame, emb: DataFrame, nVecs: Long,

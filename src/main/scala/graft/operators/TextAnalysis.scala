@@ -1137,6 +1137,52 @@ object TextAnalysis {
        |FROM l ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------- E42b
+  /** EXTRACTION-YIELD LEDGER per source — the number a crawl operator
+    * watches (the E42 docstring's own alarm: an extraction pass that
+    * suddenly keeps 0.1× the lines is a TEMPLATE change at the source,
+    * not a corpus change — chrome filters are tuned against site
+    * structure, and site structure drifts): per source, doc count,
+    * raw/kept line mass, the keep share, and the extracted character
+    * yield. `source` rides the one extraction scan (the E41b rule —
+    * no join back); one exchange on the tiny source key. */
+  def htmlExtractReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .withColumn("html",
+        concat(lit(HtmlWrapPrefix), $"text", lit(HtmlWrapSuffix)))
+      .select($"source",
+        size(split($"html", "\n", -1)).cast("long").as("raw"),
+        htmlExtractCol($"html").as("k"))
+      .select($"source", $"raw", size($"k").cast("long").as("kept"),
+        length(array_join($"k", "\n")).cast("long").as("chars"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"raw").as("lines_raw"),
+        sum($"kept").as("lines_kept"),
+        round(sum($"kept").cast("double") / sum($"raw"), 6)
+          .as("keep_share"),
+        sum($"chars").as("chars_out"))
+      .orderBy($"source")
+  }
+
+  val htmlExtractReportSql: String = {
+    val base = htmlExtractSql
+    val tail = "\nFROM l ORDER BY doc_id"
+    require(base.endsWith(tail),
+      "E42 oracle tail drifted — update the E42b splice with it")
+    s"""WITH e AS (${base.dropRight(tail.length)}
+       |FROM l)
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(e.n_lines_raw) AS BIGINT) AS lines_raw,
+       |  CAST(SUM(e.n_lines_kept) AS BIGINT) AS lines_kept,
+       |  ROUND(CAST(SUM(e.n_lines_kept) AS DOUBLE) / SUM(e.n_lines_raw),
+       |    6) AS keep_share,
+       |  CAST(SUM(length(e.extracted)) AS BIGINT) AS chars_out
+       |FROM e JOIN documents d USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
   // --------------------------------------------------------------- E40
   /** LEXICON SENTIMENT — the EDBT'16 Twitter-at-scale shape (an
     * AFINN-style valence lexicon, no model): per document, the mean

@@ -108,7 +108,30 @@ object DumpPlans {
       // admission trio builds the cached E32b piece frame at
       // construction). classifier_report's dump IS the artifact: the
       // 7-literal grid broadcast onto the heldout slice, SMJ-free.
-      "classifier_report")
+      "classifier_report",
+      // rounds 13-14 (these landed in PLANS.md by hand last round —
+      // r15 folds them into THIS list so regeneration cannot silently
+      // drop them again; entries that stage a model/verdict frame
+      // eagerly at construction dump their post-pin serve tail, which
+      // is the part a reader audits)
+      "ann_projected_ivf", "budget_select_calibrated",
+      "calibrated_sample", "classifier_calibration", "cluster_budget",
+      "cluster_sample", "code_by_source", "data_card",
+      "dedup_recall_report_sampled", "knn_graph_recall_sampled",
+      "knn_graph_refined", "mix_anneal", "mix_temperature_apply",
+      "mm_av_sync", "mm_topk_escalate", "mon_alarm_verify",
+      "mon_alarm_verify_curve", "mon_alarm_verify_report",
+      "mon_alarm_verify_tuned", "mon_series_search",
+      "mon_window_percentiles_approx", "normalize_impact",
+      "pipeline_curate_norm", "pipeline_curate_predicted",
+      "pipeline_curate_prod", "pipeline_curate_routed",
+      "sentiment_by_source", "shard_manifest", "text_code_score",
+      "text_normalize", "text_sentiment",
+      // round 15 (pipeline_curate_crawl/certified and the lang ledger
+      // stage their model/shards eagerly at construction — post-pin
+      // tails only, PlanSpec pins the crawl chain's exchange budget;
+      // these two are pure lazy plans)
+      "text_html_extract", "mm_fragment_gaps")
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, formatted explain)\n\n")
     sb.append("Generated by `graft.tools.DumpPlans`; regenerate after plan-")
@@ -121,7 +144,7 @@ object DumpPlans {
       // in a fresh temp dir per JVM) so regeneration diffs only when a
       // plan actually changes
       sb.append(df.queryExecution.explainString(ExplainMode.fromString("formatted"))
-        .replaceAll("graft-lsh-index[0-9]+", "graft-lsh-index<tmp>"))
+        .replaceAll("graft-([a-z-]+)[0-9]+", "graft-$1<tmp>"))
       sb.append("```\n")
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)

@@ -651,4 +651,33 @@ class MultimodalSpec extends SparkSpec {
             "the drop rule"))
     }
   }
+
+  test("fragment gaps stream: replayed history lands on the batch gap rows, duplicate fragments drop, late head gap pages") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{FragmentEvent, FragmentGap}
+    val history = Seq((1L, 0L), (1L, 1L), (1L, 4L), (1L, 5L),
+      (2L, 3L), (2L, 4L), (3L, 0L), (3L, 1L))
+    val batch = Multimodal.mmFragmentGapsOf(
+        history.toDF("media_id", "frag")).collect()
+      .map(r => FragmentGap(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val input = MemoryStream[FragmentEvent](210, spark, None)
+    val q = Multimodal.fragmentGapsStream(input.toDS())
+      .writeStream.format("memory").queryName("frag_gaps_stream")
+      .outputMode("append").start()
+    try {
+      // two triggers split mid-stream, with a replayed duplicate in
+      // the second — state must carry fragment order across the cut
+      input.addData(history.take(4).map(t => FragmentEvent(t._1, t._2)))
+      q.processAllAvailable()
+      input.addData((history.drop(4) :+ ((1L, 4L)))
+        .map(t => FragmentEvent(t._1, t._2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("frag_gaps_stream").collect()
+      .map(r => FragmentGap(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(streamed === batch,
+      s"stream gaps $streamed != batch gaps $batch")
+  }
 }

@@ -184,6 +184,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"prod chain should not join:\n$p")
   }
 
+  test("crawl curate chain: extraction evaluates ONCE behind the barrier — same exchange budget as prod, no join") {
+    val p = executedPlan(Curation.pipelineCurateCrawl(spark, sf))
+    // stage -1 (E42 extraction) is a stateless column expression, but
+    // WITHOUT the evalOnce barrier predicate pushdown cloned its four
+    // regexes into every gate conjunct (44 copies, 9.1 s for a 3 s
+    // slot) — the pin: zero extraction regexes above the barrier, and
+    // the same wide-op budget as prod (dedup agg + presentation sort)
+    assert(!p.contains("<(script|style)"),
+      s"extraction leaked above the evalOnce barrier:\n$p")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"expected <= 2 exchanges, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"crawl chain should not join:\n$p")
+  }
+
+  test("html extract: map-only — no exchange beyond the presentation sort, no join") {
+    val p = executedPlan(TextAnalysis.htmlExtract(spark, sf))
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"expected <= 1 exchange, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"extraction should not join:\n$p")
+  }
+
+  test("fragment gaps: one exchange for the per-stream lag window plus the presentation sort") {
+    val p = executedPlan(Multimodal.mmFragmentGaps(spark, sf))
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"expected <= 2 exchanges, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"fragment audit should not join:\n$p")
+  }
+
   test("incident context: bucketed range join is an equi-join, never cartesian") {
     val p = executedPlan(Monitoring.incidentContext(spark, sf))
     assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),

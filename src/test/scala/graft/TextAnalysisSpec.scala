@@ -1153,6 +1153,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("html extract report: per-source yield matches the per-doc frame exactly") {
+    val perDoc = TextAnalysis.htmlExtract(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getAs[String]("extracted").length.toLong)).toMap
+    val srcOf = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rep = TextAnalysis.htmlExtractReport(spark, sf).collect()
+    assert(rep.map(_.getString(0)).toSet === srcOf.values.toSet)
+    rep.foreach { r =>
+      val ids = srcOf.filter(_._2 == r.getString(0)).keys.toSeq
+      assert(r.getLong(1) === ids.size.toLong, s"n_docs: $r")
+      assert(r.getLong(2) === ids.map(perDoc(_)._1).sum, s"lines_raw: $r")
+      assert(r.getLong(3) === ids.map(perDoc(_)._2).sum, s"lines_kept: $r")
+      assert(r.getLong(5) === ids.map(perDoc(_)._3).sum, s"chars_out: $r")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0, s"share: $r")
+    }
+  }
+
   test("lang classifier vs heuristic: per-language ledger matches an independent recomputation") {
     val rep = TextAnalysis.langClassifierVsHeuristic(spark, sf).collect()
     // one row per corpus language — the inventory is data-derived
