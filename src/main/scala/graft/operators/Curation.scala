@@ -178,8 +178,12 @@ object Curation {
     * per site even after inlining. */
   private def qualityGates(docs: DataFrame, minTokens: Int,
       maxDupBigram: Double, langs: Seq[String]): DataFrame =
-    qualityGatesNoLang(docs, minTokens, maxDupBigram)
-      .filter(col("lang").isin(langs: _*))
+    // lang is a RAW column here — filtering BEFORE the signal stage
+    // keeps the predicate below the evalOnce barrier, where it can
+    // still prune the parquet scan (filters commute; the signal gates
+    // see exactly the same rows)
+    qualityGatesNoLang(docs.filter(col("lang").isin(langs: _*)),
+      minTokens, maxDupBigram)
 
   /** The language-free half of the gate chain — the seam the C8d
     * divergence report reads (it must see BOTH language verdicts on
@@ -196,9 +200,25 @@ object Curation {
     * routed chain reads (its repetition gates are conditional on the
     * route, so the predicates cannot have fired yet). One definition
     * of every signal; the filters above and C8e's routed predicate
-    * both read these columns. */
-  private def qualityGateSignals(docs: DataFrame): DataFrame =
-    docs
+    * both read these columns.
+    *
+    * The batch path sits behind [[Scale.evalOnce]] (the r15 crawl
+    * lesson generalized): predicate pushdown inlined the tokenization
+    * into every gate conjunct and the carry projections — the v2
+    * executed plan held 24 copies of `regexp_extract_all`, the prod
+    * plan 38 plus 33 of the normalizer and 12 of the classifier's
+    * bigram gather, each re-run per row per copy. Behind the barrier
+    * every upstream expression — tokenize, normalize, code composite,
+    * classifier gather — prices ONCE per row, and the gates consume
+    * plain scalars. The intermediate toks/bg arrays are dropped
+    * before the boundary so the row that crosses it carries only
+    * scalars + the original columns. Raw-column predicates that CAN
+    * prune the scan (the v2 lang gate) are applied by callers BELOW
+    * this seam. Streaming callers get the plain projection (an RDD
+    * boundary cannot ride a stream; per-trigger volumes make the
+    * duplication harmless there). */
+  private def qualityGateSignals(docs: DataFrame): DataFrame = {
+    val sig = docs
       .withColumn("toks", TextAnalysis.tokens("text"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       // nullif: see curateExact — NULL fails the gate, a raw division
@@ -213,14 +233,20 @@ object Curation {
       .withColumn("dup_bigram_ratio",
         when(size(col("bg")) === 0, lit(0.0)).otherwise(
           lit(1.0) - size(array_distinct(col("bg"))).cast("double") / size(col("bg"))))
+      .drop("toks", "bg")
+    if (docs.isStreaming) sig else Scale.evalOnce(sig)
+  }
 
   /** V2 pipeline (stages 1–3 plus the round-3 gates): quality +
     * language + REPETITION gate (duplicate-bigram fraction, the Gopher
     * rule — loops and boilerplate spam fail it) before the exact dedup,
     * then PII SCRUB on the surviving text (redaction is the last
     * stage, so dedup hashes see the original bytes and scrub cost is
-    * paid only for kept docs). Still one declarative plan: all four
-    * gates are per-row predicates that run under the scan, the dedup
+    * paid only for kept docs). Still one declarative plan: the lang
+    * gate prunes the scan, the signal gates are per-row predicates
+    * over the once-priced signal columns (see [[qualityGateSignals]]'s
+    * barrier note — r15 measured the pushed-down formulation
+    * re-tokenizing per conjunct, 24 plan copies), and the dedup
     * groupBy is the only exchange. */
   def curateV2(docs: DataFrame, minTokens: Int = 10,
       maxDupBigram: Double = 0.1,
@@ -446,11 +472,14 @@ object Curation {
     * indentation signal survives stage zero). */
   private def routedGatesOn(withCode: DataFrame, minTokens: Int,
       maxDupBigram: Double, langs: Seq[String]): DataFrame =
-    qualityGateSignals(withCode)
+    // lang filter BEFORE the signal barrier (the qualityGates rule):
+    // on the C8e chain `lang` is the raw label and prunes the scan;
+    // on C6c it is the classifier's prediction, which the barrier
+    // prices once either way — filters commute, same rows gated
+    qualityGateSignals(withCode.filter(col("lang").isin(langs: _*)))
       .filter(col("n_tokens") >= minTokens)
       .filter(col("is_code") || (col("uniq_ratio") >= 0.3 &&
         col("dup_bigram_ratio") <= maxDupBigram))
-      .filter(col("lang").isin(langs: _*))
 
   /** C8e over arbitrary docs — the spec entry. */
   def curateRoutedOf(docs: DataFrame, minTokens: Int = 10,
@@ -716,7 +745,12 @@ object Curation {
     import spark.implicits._
     import org.apache.spark.sql.streaming.OutputMode
     val gated = qualityGates(docs, minTokens, maxDupBigram, langs)
-      .withColumn("sig", graft.functions.TextFunctions.simhash64(col("toks")))
+      // re-tokenize for the signature: the gate seam no longer exposes
+      // its intermediate toks array (dropped before the evalOnce
+      // boundary); one extra per-trigger tokenization is harmless at
+      // stream volumes
+      .withColumn("sig", graft.functions.TextFunctions.simhash64(
+        TextAnalysis.tokens("text")))
       .withWatermark("ts", s"${horizon.toSeconds} seconds")
     // chunk explode SHARED with the batch sweep (Dedup.simhashChunkCols
     // — batch/stream candidate generation cannot drift); bucket =
