@@ -26,7 +26,11 @@ object Curation {
   def curateExact(docs: DataFrame, minTokens: Int = 10,
       langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame = {
     val toks = TextAnalysis.tokens("text")
-    val gated = docs
+    // lang prunes the scan BELOW the barrier; the tokenizer prices
+    // once behind it (the qualityGateSignals rule — pushdown cloned
+    // this projection into every gate conjunct, 6 copies in the plan)
+    val sig = docs
+      .filter(col("lang").isin(langs: _*))
       .withColumn("n_tokens", size(toks).cast("long"))
       // nullif: a token-free doc must fail the ratio gate as NULL, not
       // crash the scan with an ANSI divide-by-zero — today the
@@ -35,9 +39,9 @@ object Curation {
       // exposes the division)
       .withColumn("uniq_ratio",
         size(array_distinct(toks)).cast("double") / nullif(size(toks), lit(0)))
+    val gated = (if (docs.isStreaming) sig else Scale.evalOnce(sig))
       .filter(col("n_tokens") >= minTokens)
       .filter(col("uniq_ratio") >= 0.3)
-      .filter(col("lang").isin(langs: _*))
     // exact dedup: arg-min doc per hash — map-side partial agg
     gated
       .withColumn("h", sha2(col("text"), 256))

@@ -175,6 +175,12 @@ object Dedup {
     * verification intersects) works on 8-byte values instead of
     * re-hashing/shipping UTF-8 strings. Shared by the in-memory sweep
     * and the persisted index build so the two cannot drift. */
+  // NOTE (r15): an evalOnce barrier was tried here and REVERTED — the
+  // LSH/banded consumers sit behind a repartition whose ReusedExchange
+  // already computes this subtree once, so the barrier only added
+  // per-row array serialization (dedup_minhash_lsh 0.63→0.72 s). The
+  // barrier pays off where pushdown MULTIPLIES evaluation (gate
+  // chains), not where an exchange already deduplicates it.
   private[operators] def shingleFrame(docs: DataFrame, idCol: String,
       textCol: String, shingleSize: Int): DataFrame =
     docs
@@ -190,6 +196,12 @@ object Dedup {
     * a different semantic). Shared by `Curation.decontaminate` and
     * `TextAnalysis.boilerplateFrac` so corpus-gram semantics cannot
     * drift between them. */
+  // NOTE (r15): evalOnce tried and REVERTED here too (decontaminate
+  // 0.49→0.54 s) — the two tokenizer copies (size filter + shingle
+  // projection) cost less than serializing every doc's token array
+  // across the barrier. The rule of thumb the two reverts pin: the
+  // barrier needs ~4+ genuine re-evaluations of a heavy expression to
+  // beat its own row-materialization cost.
   private[operators] def gramSet(docs: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = docs
     .select(col(idCol).as("id"), TextAnalysis.tokens(textCol).as("toks"))
@@ -962,6 +974,9 @@ object Dedup {
       topN: Int = 20): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // (no evalOnce here — the gramSet revert note applies: two
+    // tokenizer copies below a reused exchange are cheaper than
+    // serializing every token array across a barrier)
     val g = docs
       .withColumn("toks", TextAnalysis.tokens())
       // docs with fewer than 3 tokens generate NO grams (the
