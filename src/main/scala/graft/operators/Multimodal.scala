@@ -478,7 +478,8 @@ object Multimodal {
 
   // --------------------------------------------------------------- F26
   /** FRAGMENT-CONTINUITY AUDIT — the last reference behavior
-    * (restart.sh's escalation consumes a per-stream fragment list;
+    * (reference restart.sh:85 polls get_fragment_list.py and
+    * restart.sh:17 counts consecutive runs before escalating;
     * a media stream whose fragment NUMBERS skip has lost data even
     * when its heartbeats look healthy, so continuity is a
     * fragment-sequence property, not a timestamp property — the batch
