@@ -411,6 +411,8 @@ object SparkEntry {
       Multimodal.mmAvSync(s, d)),
     "mm_fragment_gaps" -> ((s: SparkSession, d: String) =>
       Multimodal.mmFragmentGaps(s, d)),
+    "mm_fragment_loss" -> ((s: SparkSession, d: String) =>
+      Multimodal.mmFragmentLoss(s, d)),
     "q_retention_cohorts" -> (Relational.qRetentionCohorts _),
     "mon_status_flaps" -> ((s: SparkSession, d: String) =>
       Monitoring.statusFlaps(s, d)),
@@ -687,6 +689,7 @@ object SparkEntry {
     "mm_motion_profile" -> Multimodal.mmMotionProfileSql,
     "mm_av_sync" -> Multimodal.mmAvSyncSql(),
     "mm_fragment_gaps" -> Multimodal.mmFragmentGapsSql,
+    "mm_fragment_loss" -> Multimodal.mmFragmentLossSql,
     "text_html_extract" -> TextAnalysis.htmlExtractSql,
     "html_extract_report" -> TextAnalysis.htmlExtractReportSql,
     "mon_gap_fill" -> Monitoring.gapFillSql(),

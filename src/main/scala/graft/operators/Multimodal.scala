@@ -549,6 +549,68 @@ object Multimodal {
       |FROM g WHERE frag - prev > 1
       |ORDER BY media_id, gap_start_frag""".stripMargin
 
+  // -------------------------------------------------------------- F26c
+  /** FRAGMENT-LOSS SLA ROLLUP — F26's per-stream summary (gap rows
+    * page an operator; capacity review wants the RATE): per media,
+    * the expected fragment count (from the manifest), the delivered
+    * count, the missing count, and the loss share — the number a
+    * retention SLA is written against. General seam: any
+    * (media_id, frag) delivered inventory against any
+    * (media_id, n_frags) expectation; a stream that delivered NOTHING
+    * still reports (loss 1.0) via the left join — silence is the
+    * worst loss, not a missing row. One small aggregate + one
+    * media-keyed join of two media-bounded frames. */
+  def mmFragmentLossOf(frags: DataFrame, expected: DataFrame): DataFrame = {
+    val spark = frags.sparkSession
+    import spark.implicits._
+    val delivered = frags.groupBy($"media_id")
+      .agg(count(lit(1)).as("n_delivered"))
+    expected
+      .join(delivered, Seq("media_id"), "left")
+      .na.fill(0L, Seq("n_delivered"))
+      .select($"media_id", $"n_frags", $"n_delivered",
+        ($"n_frags" - $"n_delivered").as("n_missing"),
+        round(($"n_frags" - $"n_delivered").cast("double") /
+          $"n_frags", 6).as("loss_share"))
+      .orderBy($"media_id")
+  }
+
+  /** Driver entry over the same planted inventory as [[mmFragmentGaps]]. */
+  def mmFragmentLoss(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val expected = Tables.documents(spark, sfDir)
+      .select($"doc_id".as("media_id"),
+        (length($"text".cast("binary")).cast("long") / 32L)
+          .cast("long").as("n_frags"))
+      .filter($"n_frags" > 0L)
+    val frags = expected
+      .select($"media_id",
+        explode(sequence(lit(0L), $"n_frags" - 1L)).as("frag"))
+      .filter(($"media_id" * 31L + $"frag") % 17L =!= 0L)
+    mmFragmentLossOf(frags, expected)
+  }
+
+  val mmFragmentLossSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(octet_length(encode(text)) // 32 AS BIGINT) AS n_frags
+      |  FROM documents
+      |  WHERE octet_length(encode(text)) // 32 > 0),
+      |f AS (
+      |  SELECT media_id, CAST(i AS BIGINT) AS frag
+      |  FROM m, UNNEST(generate_series(0, n_frags - 1)) AS u(i)
+      |  WHERE (media_id * 31 + i) % 17 <> 0),
+      |d AS (
+      |  SELECT media_id, CAST(count(*) AS BIGINT) AS n_delivered
+      |  FROM f GROUP BY media_id)
+      |SELECT m.media_id, m.n_frags,
+      |  coalesce(d.n_delivered, 0) AS n_delivered,
+      |  m.n_frags - coalesce(d.n_delivered, 0) AS n_missing,
+      |  ROUND(CAST(m.n_frags - coalesce(d.n_delivered, 0) AS DOUBLE)
+      |    / m.n_frags, 6) AS loss_share
+      |FROM m LEFT JOIN d USING (media_id)
+      |ORDER BY media_id""".stripMargin
+
   // -------------------------------------------------------------- F26b
   /** STREAMING fragment-continuity audit — F26's live twin (the
     * reference's restart.sh escalates on fragment loss AFTER polling;

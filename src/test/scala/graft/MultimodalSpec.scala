@@ -652,6 +652,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("fragment loss: silent stream reads loss 1.0, partial and full delivery priced exactly") {
+    val expected = Seq((1L, 4L), (2L, 5L), (3L, 3L))
+      .toDF("media_id", "n_frags")
+    // media 1 delivered 0,1,3 (lost 1 of 4); media 2 everything;
+    // media 3 NOTHING — silence must still report, at loss 1.0
+    val frags = Seq((1L, 0L), (1L, 1L), (1L, 3L),
+      (2L, 0L), (2L, 1L), (2L, 2L), (2L, 3L), (2L, 4L))
+      .toDF("media_id", "frag")
+    val out = Multimodal.mmFragmentLossOf(frags, expected).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(out(1L) === ((3L, 1L, 0.25)), s"partial: ${out(1L)}")
+    assert(out(2L) === ((5L, 0L, 0.0)), s"full: ${out(2L)}")
+    assert(out(3L) === ((0L, 3L, 1.0)), s"silent: ${out(3L)}")
+    // driver entry: loss share consistent with the F26 gap rows' mass
+    val loss = Multimodal.mmFragmentLoss(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val gapMass = Multimodal.mmFragmentGaps(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(3)).sum)
+    gapMass.foreach { case (m, miss) =>
+      // interior+head gaps account for every missing fragment except
+      // a truncated TAIL (the drop rule can remove the last fragment,
+      // which no adjacent-pair gap sees) — loss >= gap mass, and any
+      // excess is at most one trailing fragment per stream here
+      assert(loss(m) >= miss && loss(m) - miss <= 1,
+        s"media $m: loss ${loss(m)} vs gap mass $miss") }
+  }
+
   test("fragment gaps stream: replayed history lands on the batch gap rows, duplicate fragments drop, late head gap pages") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.{FragmentEvent, FragmentGap}
