@@ -26,8 +26,8 @@ object SparkEntry {
     "q_distinct_agg" -> (Relational.qDistinctAgg _),
     "q_conditional_agg" -> (Relational.qConditionalAgg _),
     "q_union_except" -> (Relational.qUnionExcept _),
-    "q_approx_distinct" -> (Relational.qApproxDistinct _),
-    "q_approx_percentiles" -> (Relational.qApproxPercentiles _),
+    "q_approx_distinct" -> (Relational.qApproxDistinctChecked _),
+    "q_approx_percentiles" -> (Relational.qApproxPercentilesChecked _),
     "q_topk_custom" -> (Relational.qTopKCustom _),
     "q_intersect" -> (Relational.qIntersect _),
     "q_datetime" -> (Relational.qDatetime _),
@@ -436,7 +436,7 @@ object SparkEntry {
       Monitoring.gapFill(s, d, linear = true)),
     "mon_window_percentiles" -> (Monitoring.windowPercentiles _),
     "mon_window_percentiles_approx" -> ((s: SparkSession, d: String) =>
-      Monitoring.windowPercentilesApprox(s, d)),
+      Monitoring.windowPercentilesApproxChecked(s, d)),
     "mon_error_pareto" -> ((s: SparkSession, d: String) =>
       Monitoring.errorPareto(s, d)),
     "mon_mad_outliers" -> ((s: SparkSession, d: String) =>
@@ -447,7 +447,7 @@ object SparkEntry {
       Relational.qWindowRange(s, d)),
     "q_rolling_dau" -> (Relational.qRollingDau _),
     "q_profile" -> (Relational.qProfile _),
-    "q_rolling_dau_approx" -> (Relational.qRollingDauApprox _),
+    "q_rolling_dau_approx" -> (Relational.qRollingDauApproxChecked _),
     "q_copurchase" -> ((s: SparkSession, d: String) =>
       Relational.qCopurchase(s, d)),
     "q_top_movers" -> ((s: SparkSession, d: String) =>
@@ -471,6 +471,8 @@ object SparkEntry {
       TextAnalysis.htmlExtract(s, d)),
     "html_extract_report" -> ((s: SparkSession, d: String) =>
       TextAnalysis.htmlExtractReport(s, d)),
+    "html_extract_robust" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.htmlExtractRobust(s, d)),
     "classifier_serve_indexed" -> ((s: SparkSession, d: String) =>
       Curation.classifierServeIndexed(s, d)),
     "classifier_serve_calibrated" -> ((s: SparkSession, d: String) =>
@@ -691,17 +693,23 @@ object SparkEntry {
     "mm_fragment_gaps" -> Multimodal.mmFragmentGapsSql,
     "mm_fragment_loss" -> Multimodal.mmFragmentLossSql,
     "text_html_extract" -> TextAnalysis.htmlExtractSql,
+    "html_extract_robust" -> TextAnalysis.htmlExtractRobustSql,
     "html_extract_report" -> TextAnalysis.htmlExtractReportSql,
     "mon_gap_fill" -> Monitoring.gapFillSql(),
     "mon_gap_fill_linear" -> Monitoring.gapFillSql(linear = true),
     "mon_fleet_health" -> Monitoring.fleetHealthSql(),
     "mon_window_percentiles" -> Monitoring.windowPercentilesSql,
+    "mon_window_percentiles_approx" ->
+      Monitoring.windowPercentilesApproxCheckedSql,
     "mon_error_pareto" -> Monitoring.errorParetoSql(),
     "mon_mad_outliers" -> Monitoring.madOutliersSql(),
     "chunk_documents" -> Curation.chunkDocumentsSql,
     "text_bm25" -> TextAnalysis.textBm25Sql,
     "q_window_range" -> Relational.qWindowRangeSql,
     "q_rolling_dau" -> Relational.qRollingDauSql,
+    "q_rolling_dau_approx" -> Relational.qRollingDauApproxCheckedSql,
+    "q_approx_distinct" -> Relational.qApproxDistinctCheckedSql,
+    "q_approx_percentiles" -> Relational.qApproxPercentilesCheckedSql,
     "q_profile" -> Relational.qProfileSql,
     "q_copurchase" -> Relational.qCopurchaseSql,
     "q_top_movers" -> Relational.qTopMoversSql,

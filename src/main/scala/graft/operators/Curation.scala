@@ -39,7 +39,8 @@ object Curation {
       // exposes the division)
       .withColumn("uniq_ratio",
         size(array_distinct(toks)).cast("double") / nullif(size(toks), lit(0)))
-    val gated = (if (docs.isStreaming) sig else Scale.evalOnce(sig))
+    val gated = (if (docs.isStreaming) Scale.evalOnceStream(sig)
+                 else Scale.evalOnce(sig))
       .filter(col("n_tokens") >= minTokens)
       .filter(col("uniq_ratio") >= 0.3)
     // exact dedup: arg-min doc per hash — map-side partial agg
@@ -218,9 +219,12 @@ object Curation {
     * before the boundary so the row that crosses it carries only
     * scalars + the original columns. Raw-column predicates that CAN
     * prune the scan (the v2 lang gate) are applied by callers BELOW
-    * this seam. Streaming callers get the plain projection (an RDD
-    * boundary cannot ride a stream; per-trigger volumes make the
-    * duplication harmless there). */
+    * this seam. Streaming callers get the OBJECT barrier
+    * ([[Scale.evalOnceStream]]) — r16 measured the plain projection's
+    * micro-batch executed plans at 20 (curateStream) and 22
+    * (curateRoutedStream) copies of the tokenizer, the r15 batch
+    * pathology verbatim; the duplication gate (DupGateSpec) pins both
+    * paths at ≤ 2 copies now. */
   private def qualityGateSignals(docs: DataFrame): DataFrame = {
     val sig = docs
       .withColumn("toks", TextAnalysis.tokens("text"))
@@ -238,7 +242,7 @@ object Curation {
         when(size(col("bg")) === 0, lit(0.0)).otherwise(
           lit(1.0) - size(array_distinct(col("bg"))).cast("double") / size(col("bg"))))
       .drop("toks", "bg")
-    if (docs.isStreaming) sig else Scale.evalOnce(sig)
+    if (docs.isStreaming) Scale.evalOnceStream(sig) else Scale.evalOnce(sig)
   }
 
   /** V2 pipeline (stages 1–3 plus the round-3 gates): quality +

@@ -25,7 +25,24 @@ import graft.Tables
   * shuffle. No driver-side loops; per-device state is bounded by run/
   * session counts, not event counts.
   */
+
+/** A70c per-device state: the open hour's event summaries plus the
+  * prior-hour failure history folded to four scalars (count, running
+  * sum for the batch avg, Welford mean/m2 for the batch stddev_pop).
+  * `hourUs` Long.MinValue = no hour opened yet. Top-level so the
+  * flatMapGroupsWithState encoder derives. */
+case class AlarmDevState(hourUs: Long,
+    evs: List[(Long, Long, String, String)],
+    n: Long, sum: Double, mean: Double, m2: Double)
+
+/** A70c output row — the alarmWindowsOf-shaped triage input. */
+case class AlarmWindowRow(user_id: Long, hour_us: Long, text: String)
+
 object Monitoring {
+
+  /** One event-time hour in epoch microseconds — the A69/A70 window
+    * grain, shared by the batch builder and its streaming twin. */
+  private[graft] val AlarmHourUs = 3600000000L
 
   /** Timestamps are emitted as epoch microseconds (BIGINT) — engine-
     * neutral, per SURVEY.md §4. */
@@ -1904,7 +1921,7 @@ object Monitoring {
   private[graft] def alarmWindowsOf(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val HourUs = 3600000000L
+    val HourUs = AlarmHourUs
     val hours = events
       .groupBy($"user_id",
         expr("unix_micros(date_trunc('hour', ts))").as("hour_us"))
@@ -2061,11 +2078,14 @@ object Monitoring {
     * after the fact: C60b's stateless dense gather scores alert
     * windows at ingest against a FROZEN model + threshold (train in
     * batch with [[alarmModelOf]], or read the staged C60d bundle).
-    * Input is the alert-window stream (user_id, hour_us, text) — the
-    * shape A8's streaming windowed aggregation emits — and the scorer
-    * is one codegen'd map riding each micro-batch's scan: no state, no
-    * join, no shuffle, so triage adds zero latency classes to the
-    * alert path. ONE kernel with batch A69
+    * Input is the alert-window stream (user_id, hour_us, text) in
+    * [[alarmWindowsOf]]'s text shape — ctx tokens leading — which a
+    * LIVE feed gets from [[alarmWindowsStream]] (A70c): the model was
+    * trained on ctx-prefixed text, so a raw window stream that skipped
+    * the prefix would be scored on features the model never saw. The
+    * scorer is one codegen'd map riding each micro-batch's scan: no
+    * state, no join, no shuffle, so triage adds zero latency classes
+    * to the alert path. ONE kernel with batch A69
     * ([[Curation.classifierServeWith]] is [[Curation.classifierServe]]
     * minus the projection), so the spec can pin verdict parity on
     * replayed history bit-exactly. */
@@ -2077,6 +2097,103 @@ object Monitoring {
     Curation.classifierServeWith(windows, model, threshold)
       .select(col("user_id"), col("hour_us"), col("nb_z"),
         (col("nb_z") > threshold).as("predicted_real"))
+  }
+
+  // --------------------------------------------------------------- A70c
+  /** STREAMING ALARM-WINDOW BUILDER — closes the train/serve feature
+    * seam [[alarmTriageStream]] left open: the model is trained on
+    * [[alarmWindowsOf]] text, which LEADS with the ctx tokens
+    * (hod/dz/nf — hour-of-day, device-prior z bucket, failure
+    * magnitude), but the triage stream accepted any (user_id, hour_us,
+    * text) frame — a live feed that skipped the ctx prefix would be
+    * scored on features the model never saw, silently. This operator
+    * turns the RAW event stream into exactly alarmWindowsOf-shaped
+    * windows, so `alarmTriageStream(alarmWindowsStream(events), …)` is
+    * the certified live path (the parity spec pins its emitted text
+    * bit-equal to the batch builder's on replayed history).
+    *
+    * Per-device state is one open hour (its event summaries, bounded
+    * by hour volume) plus the prior-hour failure history folded to
+    * FOUR scalars: count, running sum (the batch `avg`'s arithmetic),
+    * and Welford (mean, m2) — the exact update sequence Spark's
+    * expanding `stddev_pop` window applies in hour order, so the dz
+    * bucket cannot diverge from batch on ulps. An hour closes (and
+    * emits, if it is an alarm hour: failures ≥ 1 and no successes)
+    * when the device's FIRST later-hour event arrives; the trailing
+    * open hour emits only when a later event eventually closes it —
+    * the batch sweep remains the completeness pass (the C9 trade).
+    * Same delivery assumption as F26b, stated: per-device event order
+    * must be nondecreasing in hour ACROSS triggers; a late
+    * earlier-hour event is dropped, not respliced. */
+  def alarmWindowsStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val HourUs = AlarmHourUs
+    // the props probe is the SAME get_json_object the batch window
+    // text uses — extracted before the state machine so one column
+    // expression defines it for both paths
+    val prepped = events.select($"user_id",
+        expr("unix_micros(ts)").as("us"),
+        expr("unix_micros(date_trunc('hour', ts))").as("hour_us"),
+        $"event_id", $"event_type",
+        coalesce(get_json_object($"props", "$.k"), lit("")).as("k"))
+      .as[(Long, Long, Long, Long, String, String)]
+    prepped
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AlarmDevState, AlarmWindowRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          var st = state.getOption.getOrElse(
+            AlarmDevState(Long.MinValue, Nil, 0L, 0.0, 0.0, 0.0))
+          val out = Seq.newBuilder[AlarmWindowRow]
+          def close(): Unit = if (st.hourUs != Long.MinValue) {
+            val failures = st.evs.count(_._3 == "error").toLong
+            val successes = st.evs.size - failures
+            if (failures >= 1L && successes == 0L) {
+              // dz bucket from the PRIOR history scalars — mu is the
+              // batch avg (sum/n), sd the batch stddev_pop (m2/n)
+              val dz =
+                if (st.n == 0L) "dzna"
+                else {
+                  val sd = math.sqrt(st.m2 / st.n)
+                  if (sd == 0.0 || sd.isNaN) "dzna"
+                  else {
+                    val z = (failures - st.sum / st.n) / sd
+                    if (z < 1.0) "dzlo" else if (z < 2.0) "dz1"
+                    else if (z < 3.0) "dz2" else "dz3"
+                  }
+                }
+              val ctx = s"hod${st.hourUs / HourUs % 24} $dz " +
+                s"nf${math.min(failures, 4L)}"
+              val body = st.evs.sortBy(e => (e._1, e._2))
+                .map(e => s"${e._3} k${e._4}").mkString(" ")
+              out += AlarmWindowRow(uid, st.hourUs, s"$ctx $body")
+            }
+            // EVERY closed event-active hour folds into the prior
+            // history (the batch `hours` frame is not alarm-filtered):
+            // sum for the avg, Welford for the stddev_pop
+            val x = failures.toDouble
+            val n1 = st.n + 1
+            val delta = x - st.mean
+            val mean1 = st.mean + delta / n1
+            st = st.copy(n = n1, sum = st.sum + x, mean = mean1,
+              m2 = st.m2 + delta * (x - mean1))
+          }
+          it.toArray.sortBy(e => (e._3, e._2, e._4)).foreach {
+            case (_, us, hourUs, id, etype, k) =>
+              if (hourUs > st.hourUs) {
+                close()
+                st = st.copy(hourUs = hourUs, evs = Nil)
+                st = st.copy(evs = List((us, id, etype, k)))
+              } else if (hourUs == st.hourUs) {
+                st = st.copy(evs = (us, id, etype, k) :: st.evs)
+              } // else: late earlier-hour event — dropped (stated)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+      .toDF("user_id", "hour_us", "text")
   }
 
   // --------------------------------------------------------------- A70b
@@ -2258,58 +2375,110 @@ object Monitoring {
     * held-out verdicts AGAIN by time at their hour median, derive the
     * operating point from the curve over the EARLIER half only, and
     * report the confusion of that frozen scalar on the LATER half —
-    * alarms the selection never saw. One row: both thresholds (the
-    * transferred scalar and, for comparison, the ceiling's
-    * same-frame argmax), the later-half confusion, and
-    * precision/recall of the pager class at the transferred point.
-    * All driver-cheap work over the cached pinned frame (one median
-    * action, one ≤21-row curve, one aggregate). Rows-only: A69's
-    * split/hash reason; the spec pins that a stable planted signal
-    * transfers (tp > 0 on the unseen half) and that the cells
-    * partition the later half. */
+    * alarms the selection never saw.
+    *
+    * TWO rows, one per OPERATING CORNER (the r15 finding: the f1
+    * corner transferred at recall 0.6 but precision 0.018 — 98% false
+    * pages, honest but unusable; a pager needs the other corner
+    * priced too):
+    *   - `f1_argmax`        — the unconstrained F1-argmax point;
+    *   - `precision_floored`— max recall SUBJECT TO precision ≥
+    *     `precisionFloor` on the selection half (the lowest qualifying
+    *     grid threshold — recall is monotone non-increasing in the
+    *     threshold, so lowest qualifying = max recall). When no grid
+    *     point attains the floor on the selection half the row says so
+    *     (`attained` false, null threshold/cells) instead of silently
+    *     paging at an uncertified point — the [[Curation
+    *     .chosenThreshold]] fail-by-name rule, reported as data.
+    * Each row: both thresholds (transferred scalar + same-frame
+    * ceiling for comparison), the later-half confusion at the
+    * TRANSFERRED point, and pager-class precision/recall. All
+    * driver-cheap work over the cached pinned frame (one median
+    * action, two ≤21-row curves, one aggregate per attained corner).
+    * Rows-only: A69's split/hash reason; the spec pins that a stable
+    * planted signal transfers (tp > 0 on the unseen half), that cells
+    * partition the later half, and that the floored corner's
+    * selection-half precision certification holds. */
   def alarmVerifyTransfer(spark: SparkSession, sfDir: String,
       trainFrac: Double = 0.7, nBuckets: Int = 1024,
-      precisionTarget: Option[Double] = None): DataFrame =
+      precisionFloor: Double = 0.5): DataFrame =
     alarmVerifyTransferOf(
       cachedAlarmVerdicts(spark, sfDir, trainFrac, nBuckets),
-      precisionTarget)
+      precisionFloor)
 
   /** A69e over any A69-shaped verdict frame — the spec entry. */
   def alarmVerifyTransferOf(verdicts: DataFrame,
-      precisionTarget: Option[Double] = None): DataFrame = {
+      precisionFloor: Double = 0.5): DataFrame = {
     val spark = verdicts.sparkSession
     import spark.implicits._
+    def emptyCorners: DataFrame =
+      Seq.empty[(String, Option[Double], Boolean)]
+        .toDF("corner", "precision_floor", "attained")
+        .select(col("*"),
+          lit(null).cast("double").as("threshold_transferred"),
+          lit(null).cast("double").as("threshold_ceiling"),
+          lit(null).cast("long").as("n_later"),
+          lit(null).cast("long").as("tp"),
+          lit(null).cast("long").as("fp"),
+          lit(null).cast("long").as("fn"),
+          lit(null).cast("long").as("tn"),
+          lit(null).cast("double").as("precision_real"),
+          lit(null).cast("double").as("recall_real"))
     // the sub-split cutoff: median held-out hour (alarm-hour-bounded
     // frame — the E10 driver-cheap class)
     val cutRow = verdicts.agg(
       expr("percentile(hour_us, 0.5)").as("c")).head()
-    if (cutRow.isNullAt(0))
-      return Seq.empty[(Double, Double, Long, Long, Long, Long, Long)]
-        .toDF("threshold_transferred", "threshold_ceiling", "n_later",
-          "tp", "fp", "fn", "tn")
-        .select(col("*"),
-          lit(null).cast("double").as("precision_real"),
-          lit(null).cast("double").as("recall_real"))
+    if (cutRow.isNullAt(0)) return emptyCorners
     val cutoff = cutRow.getDouble(0)
     val earlier = verdicts.filter($"hour_us" <= cutoff)
     val later = verdicts.filter($"hour_us" > cutoff)
-    val thrT = Curation.chosenThreshold(
-      alarmVerifyCurveOf(earlier), precisionTarget)
-    val thrC = Curation.chosenThreshold(
-      alarmVerifyCurveOf(verdicts), precisionTarget)
-    val kept = $"nb_z" > thrT
-    later.agg(count(lit(1)).as("n_later"),
-        sum(when(kept && $"was_real", 1L).otherwise(0L)).as("tp"),
-        sum(when(kept && !$"was_real", 1L).otherwise(0L)).as("fp"),
-        sum(when(!kept && $"was_real", 1L).otherwise(0L)).as("fn"),
-        sum(when(!kept && !$"was_real", 1L).otherwise(0L)).as("tn"))
-      .select(lit(thrT).as("threshold_transferred"),
-        lit(thrC).as("threshold_ceiling"),
-        $"n_later", $"tp", $"fp", $"fn", $"tn",
-        round($"tp".cast("double") / nullif($"tp" + $"fp", lit(0L)), 6)
-          .as("precision_real"),
-        round($"tp".cast("double") / nullif($"tp" + $"fn", lit(0L)), 6)
-          .as("recall_real"))
+    val curveEarlier = alarmVerifyCurveOf(earlier)
+    val curveAll = alarmVerifyCurveOf(verdicts)
+    // headOption, not chosenThreshold: an unattained floor is a REPORT
+    // ROW here, not an exception — the curve+floor certification is
+    // the content of the corner
+    def pick(curve: DataFrame, target: Option[Double]): Option[Double] =
+      Curation.classifierThresholdOf(curve, target)
+        .select($"threshold").take(1).headOption.map(_.getDouble(0))
+    val corners = Seq(
+      ("f1_argmax", None),
+      ("precision_floored", Some(precisionFloor)))
+    corners.map { case (corner, target) =>
+      pick(curveEarlier, target) match {
+        case None =>
+          Seq((corner, target)).toDF("corner", "precision_floor")
+            .select($"corner", $"precision_floor",
+              lit(false).as("attained"),
+            lit(null).cast("double").as("threshold_transferred"),
+            lit(pick(curveAll, target).orNull).cast("double")
+              .as("threshold_ceiling"),
+            lit(null).cast("long").as("n_later"),
+            lit(null).cast("long").as("tp"),
+            lit(null).cast("long").as("fp"),
+            lit(null).cast("long").as("fn"),
+            lit(null).cast("long").as("tn"),
+            lit(null).cast("double").as("precision_real"),
+            lit(null).cast("double").as("recall_real"))
+        case Some(thrT) =>
+          val kept = $"nb_z" > thrT
+          later.agg(count(lit(1)).as("n_later"),
+              sum(when(kept && $"was_real", 1L).otherwise(0L)).as("tp"),
+              sum(when(kept && !$"was_real", 1L).otherwise(0L)).as("fp"),
+              sum(when(!kept && $"was_real", 1L).otherwise(0L)).as("fn"),
+              sum(when(!kept && !$"was_real", 1L).otherwise(0L)).as("tn"))
+            .select(lit(corner).as("corner"),
+              lit(target.orNull).cast("double").as("precision_floor"),
+              lit(true).as("attained"),
+              lit(thrT).as("threshold_transferred"),
+              lit(pick(curveAll, target).orNull).cast("double")
+                .as("threshold_ceiling"),
+              $"n_later", $"tp", $"fp", $"fn", $"tn",
+              round($"tp".cast("double") / nullif($"tp" + $"fp", lit(0L)), 6)
+                .as("precision_real"),
+              round($"tp".cast("double") / nullif($"tp" + $"fn", lit(0L)), 6)
+                .as("recall_real"))
+      }
+    }.reduce(_ unionByName _)
   }
 
   // --------------------------------------------------------------- A45b
@@ -2581,6 +2750,52 @@ object Monitoring {
         round(element_at($"ap", 3), 4).as("approx_p99"))
       .orderBy($"user_id", $"window_us")
   }
+
+  /** A53b's ORACLE-CHECKED driver projection (the B13 move, rank-space
+    * like B20's: an interpolated envelope would false-fail the tiny
+    * windows where the sketch returns an exact ELEMENT but
+    * percentile() interpolates between two): per window, counts of
+    * samples strictly-below / at-or-below each sketch output bounded
+    * by (q ± 0.001)·n — 10× the accuracy-10000 rank guarantee; exact
+    * A53 percentiles + literal TRUE on the oracle side. Cost: one
+    * extra pass over the (already window-keyed) purchase slice —
+    * certification, not serving. */
+  def windowPercentilesApproxChecked(spark: SparkSession,
+      sfDir: String, accuracy: Int = 10000): DataFrame = {
+    import spark.implicits._
+    val base = Tables.events(spark, sfDir)
+      .filter($"event_type" === "purchase" && $"value".isNotNull)
+      .select($"user_id", expr(s"$tsUs div 3600000000").as("h"), $"value")
+    val ap = base
+      .groupBy($"user_id", $"h")
+      .agg(count(lit(1)).as("n_samples"),
+        expr(s"approx_percentile(value, array(0.5, 0.95, 0.99), $accuracy)")
+          .as("ap"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+    val d = 0.001
+    def rankOk(i: Int, q: Double) =
+      (sum(when($"value" < element_at($"ap", i), 1L).otherwise(0L))
+        <= (lit(q) + d) * first($"n_samples")) &&
+      (sum(when($"value" <= element_at($"ap", i), 1L).otherwise(0L))
+        >= (lit(q) - d) * first($"n_samples"))
+    base.join(ap, Seq("user_id", "h"))
+      .groupBy($"user_id", $"h")
+      .agg(first($"n_samples").as("n_samples"),
+        first($"p50").as("p50"), first($"p95").as("p95"),
+        first($"p99").as("p99"),
+        (rankOk(1, 0.5) && rankOk(2, 0.95) && rankOk(3, 0.99))
+          .as("within_bound"))
+      .select($"user_id", ($"h" * 3600000000L).as("window_us"),
+        $"n_samples", $"p50", $"p95", $"p99", $"within_bound")
+      .orderBy($"user_id", $"window_us")
+  }
+
+  val windowPercentilesApproxCheckedSql: String =
+    """SELECT *, TRUE AS within_bound FROM (%A53%) t
+      |ORDER BY user_id, window_us""".stripMargin
+      .replace("%A53%", windowPercentilesSql)
 
   // ---------------------------------------------------------------- A51
   /** ONE-ROW FLEET dashboard — E10's corpus_stats for the telemetry

@@ -623,7 +623,20 @@ object Multimodal {
     * at or below the state (transport replay) is dropped — the batch
     * operator's lag is over the de-duplicated total order, so replayed
     * history lands on the identical gap rows (parity spec). State
-    * bounded by the LIVE stream count. */
+    * bounded by the LIVE stream count.
+    *
+    * DELIVERY ASSUMPTION (stated, not hidden): fragments must arrive
+    * in nondecreasing order ACROSS triggers per stream — the KVS
+    * PutMedia contract for a single producer connection. A genuinely
+    * late fragment that lands in a later trigger (frag 5 in trigger 1,
+    * frag 3 in trigger 2) is indistinguishable from transport replay
+    * at the one-long state size and is dropped; its already-emitted
+    * gap row is never retracted (Append mode cannot retract). A
+    * multi-producer or resequencing transport needs the watermark
+    * variant: buffer within an event-time watermark, fold once the
+    * watermark passes — more state (the buffered slice), exact gaps
+    * under bounded disorder. The batch F26 sweep remains the
+    * completeness pass either way, exactly like C9's dedup trade. */
   def fragmentGapsStream(
       frags: Dataset[FragmentEvent]): Dataset[FragmentGap] = {
     import frags.sparkSession.implicits._

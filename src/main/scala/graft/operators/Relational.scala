@@ -369,6 +369,56 @@ object Relational {
       .orderBy($"o_orderstatus")
   }
 
+  /** B20's ORACLE-CHECKED driver projection (the B13 move): the
+    * sketch's guarantee is RANK error ≤ 1/accuracy, so the check lives
+    * in rank space — counts of values strictly-below / at-or-below the
+    * returned element, bounded by (q ± δ)·n with δ = 0.001 (10× the
+    * accuracy-10000 guarantee). An interpolated value-space envelope
+    * would FALSE-FAIL small groups: percentile() interpolates between
+    * elements while the sketch returns an actual element. Cost: a
+    * second pass over the fact conditioned on the sketch output —
+    * certification-query cost, not serving cost (B20 itself stays one
+    * pass). Oracle hashes the exact percentiles + literal TRUE. */
+  def qApproxPercentilesChecked(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ap = Tables.orders(spark, sfDir)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        expr("approx_percentile(o_totalprice, array(0.5, 0.95), 10000)")
+          .as("ap"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("exact_p50"),
+        round(expr("percentile(o_totalprice, 0.95)"), 4).as("exact_p95"))
+    val d = 0.001
+    Tables.orders(spark, sfDir)
+      .select($"o_orderstatus", $"o_totalprice")
+      .join(broadcast(ap), Seq("o_orderstatus"))
+      .groupBy($"o_orderstatus")
+      .agg(first($"n").as("n"),
+        first($"exact_p50").as("exact_p50"),
+        first($"exact_p95").as("exact_p95"),
+        sum(when($"o_totalprice" < element_at($"ap", 1), 1L)
+          .otherwise(0L)).as("lt50"),
+        sum(when($"o_totalprice" <= element_at($"ap", 1), 1L)
+          .otherwise(0L)).as("le50"),
+        sum(when($"o_totalprice" < element_at($"ap", 2), 1L)
+          .otherwise(0L)).as("lt95"),
+        sum(when($"o_totalprice" <= element_at($"ap", 2), 1L)
+          .otherwise(0L)).as("le95"))
+      .select($"o_orderstatus", $"exact_p50", $"exact_p95",
+        ($"lt50" <= (lit(0.5) + d) * $"n" &&
+          $"le50" >= (lit(0.5) - d) * $"n" &&
+          $"lt95" <= (lit(0.95) + d) * $"n" &&
+          $"le95" >= (lit(0.95) - d) * $"n").as("within_bound"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val qApproxPercentilesCheckedSql: String =
+    """SELECT o_orderstatus,
+      |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+      |  ROUND(quantile_cont(o_totalprice, 0.95), 4) AS exact_p95,
+      |  TRUE AS within_bound
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- B18
   /** Explicit GROUPING SETS (finer than rollup/cube): status-only,
     * priority-only, and grand-total aggregates in one pass (Catalyst
@@ -936,6 +986,32 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** B13's ORACLE-CHECKED driver projection (the r15 approx-upgrade
+    * move): the sketch estimate is engine-internal and cannot hash
+    * against DuckDB, but the BOUND CHECK can — the driver row carries
+    * the exact side plus `within_bound` (relative error ≤ 0.05, 2.5×
+    * the sketch's 2% rsd) and the oracle emits literal TRUE, so a
+    * sketch regression past its bound is a HASH MISMATCH, not a
+    * silent drift. Deterministic: HLL register merge is
+    * order-insensitive, so the boolean is a function of the corpus
+    * alone. */
+  def qApproxDistinctChecked(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey", 0.02).as("approx"),
+        countDistinct($"l_partkey").as("exact_parts"))
+      .select($"l_returnflag", $"exact_parts",
+        (abs($"approx" - $"exact_parts").cast("double") / $"exact_parts"
+          <= 0.05).as("within_bound"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qApproxDistinctCheckedSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS within_bound
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- B33
   /** Rolling 7-day distinct active users per day (DAU + trailing WAU) —
     * the engagement dashboard staple. COUNT(DISTINCT) over a RANGE
@@ -1161,6 +1237,24 @@ object Relational {
       .select($"day", $"wau_exact", $"wau_approx")
       .orderBy($"day")
   }
+
+  /** B36's ORACLE-CHECKED driver projection (the B13 move): exact WAU
+    * + `within_bound` (relative error ≤ 0.05 — lgConfigK=12 gives rsd
+    * ≈ 1.6%, so 3× slack), oracle emits the B33 exact rollup + literal
+    * TRUE. Deterministic: HLL unions are order-insensitive. */
+  def qRollingDauApproxChecked(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    qRollingDauApprox(spark, sfDir)
+      .select($"day", $"wau_exact",
+        (abs($"wau_approx" - $"wau_exact").cast("double") / $"wau_exact"
+          <= 0.05).as("within_bound"))
+      .orderBy($"day")
+  }
+
+  val qRollingDauApproxCheckedSql: String =
+    """SELECT day, wau AS wau_exact, TRUE AS within_bound
+      |FROM (%B33%) t ORDER BY day""".stripMargin
+      .replace("%B33%", qRollingDauSql)
 
   // ---------------------------------------------------------------- B37
   /** CO-PURCHASE affinity (market-basket lift): part pairs appearing

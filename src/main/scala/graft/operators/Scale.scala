@@ -496,6 +496,26 @@ object Scale {
   def evalOnce(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema)
 
+  /** [[evalOnce]] for a STREAMING frame: an RDD lineage cannot ride a
+    * micro-batch plan, but an OBJECT boundary can. The no-op typed
+    * mapPartitions plants a SerializeFromObject/DeserializeToObject
+    * pair that predicate pushdown and project collapse do not cross,
+    * so — exactly like the batch barrier — everything below it is
+    * planned once and the gates above consume plain attributes.
+    * Measured need (r16): the curateStream/curateRoutedStream
+    * micro-batch EXECUTED plans carried 20/22 copies of the corpus
+    * tokenizer, the same pathology r15 cured on the batch path; the
+    * "per-trigger volumes make it harmless" assumption was wrong in
+    * SHAPE (the multiplier is per row, independent of volume — a
+    * firehose micro-batch pays it in full). Trade vs the batch
+    * barrier: a per-row encode/decode round-trip and a codegen split
+    * instead of an RDD boundary; same rule — keep scan-pruning
+    * predicates BELOW it, heavy projections just beneath it. Works on
+    * batch frames too, but prefer [[evalOnce]] there (no object
+    * round-trip). */
+  def evalOnceStream(df: DataFrame): DataFrame =
+    df.mapPartitions(it => it)(org.apache.spark.sql.Encoders.row(df.schema))
+
   def contentFingerprint(df: DataFrame): String = {
     val cols = df.columns.map(col)
     df.select(xxhash64(cols: _*).cast("decimal(38,0)").as("h"))

@@ -2141,18 +2141,18 @@ object Similarity {
       nVecs: Long, queryBound: Long, k: Int = HybridK,
       poolN: Int = HybridPoolN, rrfK: Int = 60,
       queryTermCap: Int = 16, viaIndex: Option[Boolean] = None,
-      indexDir: Option[String] = None): DataFrame =
-    hybridFrom(bm25ScoredPostings(docs, nDocs), emb, nVecs, queryBound,
+      indexDir: Option[String] = None): DataFrame = {
+    // the tf pin is needed only while the build+probe jobs run, so
+    // materialize the (k-bounded, tiny) fused result eagerly and
+    // release the pin — the annHybrid cache path's unpin move; before
+    // this the discarded pin stayed resident for the JVM's life
+    val (scored, tfPin) = bm25ScoredPostingsPinned(docs, nDocs)
+    val out = hybridFrom(scored, emb, nVecs, queryBound,
       k, poolN, rrfK, queryTermCap, viaIndex, indexDir)
-
-  /** The E16 scored-postings build: (doc_id, term, tf, dl, idf, bm25)
-    * row-locally off ONE pinned tokenization pass. In production this
-    * frame IS the persisted inverted index (built at ingest, served
-    * from storage); [[annHybrid]] caches it per corpus version so
-    * repeated hybrid queries pay only the probe, mirroring that
-    * split. */
-  private def bm25ScoredPostings(docs: DataFrame, nDocs: Long): DataFrame =
-    bm25ScoredPostingsPinned(docs, nDocs)._1
+      .localCheckpoint(true)
+    Tables.unpinCheckpoint(tfPin)
+    out
+  }
 
   /** The build plus its INTERMEDIATE tf pin (three consumers read the
     * tokenization pass: df, avgdl, the scoring join — the 2+-consumers
@@ -2382,23 +2382,32 @@ object Similarity {
     * as a SERVED ARTIFACT (until now [[annHybrid]] pinned the scored
     * postings per corpus version as an in-session cache; a production
     * tier builds the inverted index at ingest and every query probes
-    * STORAGE): the E16/D22 scored-postings frame (doc_id, term, tf,
-    * dl, idf, bm25), hash-bucketed on TERM and written one file-set
-    * per bucket — the A47/D10 layout discipline — so a query batch's
-    * term set prunes the scan to the buckets those terms hash into at
-    * planning time (the postings twin of IVF cell pruning). `meta`
-    * records the bucket count; the probe reads it rather than trusting
-    * a caller to repeat the build parameter. */
+    * STORAGE): the SERVE-NARROWED scored-postings frame (doc_id, term,
+    * idf, bm25) — tf/dl/df/avgdl are build intermediates the probe
+    * never reads, and persisting them would double the index bytes
+    * (the r15 annHybrid pin-narrowing, applied to the on-disk format;
+    * indexes written by earlier wide-schema builds still serve —
+    * [[bm25Serve]] selects only the narrow columns) — hash-bucketed on
+    * TERM and written one file-set per bucket — the A47/D10 layout
+    * discipline — so a query batch's term set prunes the scan to the
+    * buckets those terms hash into at planning time (the postings twin
+    * of IVF cell pruning). `meta` records the bucket count; the probe
+    * reads it rather than trusting a caller to repeat the build
+    * parameter. */
   def writePostingsIndex(docs: DataFrame, nDocs: Long, dir: String,
       nBuckets: Int = 64): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(nBuckets >= 1, s"nBuckets $nBuckets must be >= 1")
-    bm25ScoredPostings(docs, nDocs)
+    val (scored, tfPin) = bm25ScoredPostingsPinned(docs, nDocs)
+    scored
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
       .repartition(nBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/postings")
+    // the write materialized everything that reads tf — release the
+    // intermediate pin instead of holding it for the JVM's life
+    Tables.unpinCheckpoint(tfPin)
     Seq(nBuckets).toDF("n_buckets").write.mode("overwrite")
       .parquet(s"$dir/meta")
   }

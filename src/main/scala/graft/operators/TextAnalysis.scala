@@ -1183,6 +1183,150 @@ object TextAnalysis {
        |GROUP BY d.source ORDER BY d.source""".stripMargin
   }
 
+  // -------------------------------------------------------------- E42c
+  /** REAL-CRAWL EXTRACTION — E42 hardened for markup the clean
+    * template never shows (the r15 verdict's E42-robustness item).
+    * Three additions, E42's plan shape unchanged (stateless column
+    * expressions, one scan, zero shuffle):
+    *
+    *  - STRUCTURE FLATTENING: `<li>` opens render as "- " bullets on
+    *    their own line; `</td>`/`</th>` cell boundaries render as
+    *    " | " separators, so a table row survives as one pipe-joined
+    *    line instead of cells smashed together (tr/table/ul/ol were
+    *    already line breaks via the block pass).
+    *  - BOUNDED ENTITY TABLE ([[HtmlEntityTable]]): the six core
+    *    entities plus the high-frequency punctuation/legal set, ASCII
+    *    renderings, `&amp;`/`&#38;` decoded LAST (the double-decode
+    *    rule). The table is a FIXED literal shared verbatim with the
+    *    SQL oracle — not a general `&#x…;` evaluator, which RE2-safe
+    *    SQL cannot replay; what the table misses QUARANTINES instead.
+    *  - QUARANTINE CONTRACT (JsonlDocuments' corrupt-line rule,
+    *    applied to markup): pages the extractor cannot certify carry
+    *    `quarantine` = true plus a reason list, and their extraction
+    *    ships anyway (best effort, caller decides). Three detectors:
+    *    `unclosed_block` — an unmatched `<script>`/`<style>` open
+    *    survives stage 1, so code would leak into text; checked on
+    *    the post-stage-1 string. `stray_markup` — a `<` immediately
+    *    followed by tag-ish characters survives the tag strip
+    *    (truncated page tail); checked BEFORE entity decode, so a
+    *    legitimate decoded `&lt;div&gt;` cannot false-flag.
+    *    `unknown_entity` — an `&name;`/`&#N;` pattern survives the
+    *    bounded decode.
+    *
+    * On pages with none of the above (no lists/tables, core entities
+    * only, well-formed markup) the extraction is BYTE-IDENTICAL to
+    * E42's — the spec pins that, so the robust front door cannot
+    * silently drift from the oracle-green base extractor. */
+  private[graft] val HtmlEntityTable: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&#160;" -> " ",
+    "&quot;" -> "\"", "&#34;" -> "\"",
+    "&#39;" -> "'", "&apos;" -> "'",
+    "&lt;" -> "<", "&#60;" -> "<",
+    "&gt;" -> ">", "&#62;" -> ">",
+    "&ndash;" -> "-", "&mdash;" -> "--",
+    "&hellip;" -> "...", "&middot;" -> "*",
+    "&copy;" -> "(c)", "&reg;" -> "(r)", "&trade;" -> "(tm)",
+    // & decodes LAST: decoding it earlier would double-decode &amp;lt;
+    "&#38;" -> "&", "&amp;" -> "&")
+
+  def htmlExtractRobustOf(docs: DataFrame, idCol: String,
+      htmlCol: String, chromeMaxTokens: Int = 4): DataFrame = {
+    val html = col(htmlCol)
+    val noBlocks = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val flattened = regexp_replace(
+      regexp_replace(noBlocks, "(?i)<li[^>]*>", "\n- "),
+      "(?i)</(td|th)>", " | ")
+    val withBreaks = regexp_replace(flattened,
+      s"(?i)</?($HtmlBlockTags)[^>]*>", "\n")
+    val noTags = regexp_replace(withBreaks, "<[^>]*>", " ")
+    val decoded = HtmlEntityTable.foldLeft(noTags) {
+      case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    val lines = transform(split(decoded, "\n", -1),
+      l => trim(regexp_replace(l, "[ \t\r\f]+", " ")))
+    val kept = filter(lines, l => {
+      val nTok = size(regexp_extract_all(lower(l), lit("[a-z0-9]+"),
+        lit(0)))
+      nTok > chromeMaxTokens ||
+        (nTok >= 1 && l.rlike("[.!?]$"))
+    })
+    val fUnclosed = noBlocks.rlike("(?is)<(script|style)[^>]*>")
+    val fStray = noTags.rlike("<[a-zA-Z/!]")
+    val fEntity = decoded.rlike("&[a-zA-Z]{1,10};|&#[0-9]{1,7};")
+    docs.select(col(idCol),
+        size(split(html, "\n", -1)).cast("long").as("n_lines_raw"),
+        kept.as("__kept"),
+        fUnclosed.as("__f1"), fStray.as("__f2"), fEntity.as("__f3"))
+      .withColumn("n_lines_kept", size(col("__kept")).cast("long"))
+      .withColumn("extracted", array_join(col("__kept"), "\n"))
+      .withColumn("quarantine", col("__f1") || col("__f2") || col("__f3"))
+      .withColumn("quarantine_reason", when(col("quarantine"),
+        concat_ws(",",
+          when(col("__f1"), "unclosed_block"),
+          when(col("__f2"), "stray_markup"),
+          when(col("__f3"), "unknown_entity"))))
+      .drop("__kept", "__f1", "__f2", "__f3")
+  }
+
+  def htmlExtractRobust(spark: SparkSession, sfDir: String): DataFrame =
+    htmlExtractRobustOf(
+      Tables.documents(spark, sfDir).withColumn("html",
+        concat(lit(HtmlWrapPrefix), col("text"), lit(HtmlWrapSuffix))),
+      "doc_id", "html")
+      .orderBy(col("doc_id"))
+
+  val htmlExtractRobustSql: String = {
+    val wrap = s"'$HtmlWrapPrefix' || text || '$HtmlWrapSuffix'"
+    val decode = HtmlEntityTable.foldLeft("t1") { case (c, (f, t)) =>
+      val to = if (t == "'") "chr(39)"
+        else "'" + t.replace("'", "''") + "'"
+      s"replace($c, '$f', $to)"
+    }
+    s"""WITH h AS (
+       |  SELECT doc_id, $wrap AS html FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |    regexp_replace(html,
+       |      '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g')
+       |      AS nb
+       |  FROM h),
+       |s2 AS (
+       |  SELECT doc_id, nb,
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(nb,
+       |      '(?i)<li[^>]*>', chr(10) || '- ', 'g'),
+       |      '(?i)</(td|th)>', ' | ', 'g'),
+       |      '(?i)</?($HtmlBlockTags)[^>]*>', chr(10), 'g'),
+       |      '<[^>]*>', ' ', 'g') AS t1
+       |  FROM s),
+       |d AS (
+       |  SELECT doc_id, nb, t1, $decode AS t2
+       |  FROM s2),
+       |l AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(html, chr(10))) AS BIGINT) AS n_lines_raw,
+       |    list_filter(
+       |      list_transform(string_split(t2, chr(10)),
+       |        x -> trim(regexp_replace(x, '[ \t\r\f]+', ' ', 'g'))),
+       |      x -> len(regexp_extract_all(lower(x), '[a-z0-9]+')) > 4
+       |        OR (len(regexp_extract_all(lower(x), '[a-z0-9]+')) >= 1
+       |          AND regexp_matches(x, '[.!?]$$'))) AS kept,
+       |    regexp_matches(nb, '(?is)<(script|style)[^>]*>') AS f1,
+       |    regexp_matches(t1, '<[a-zA-Z/!]') AS f2,
+       |    regexp_matches(t2, '&[a-zA-Z]{1,10};|&#[0-9]{1,7};') AS f3
+       |  FROM d JOIN h USING (doc_id))
+       |SELECT doc_id, n_lines_raw,
+       |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       |  array_to_string(kept, chr(10)) AS extracted,
+       |  (f1 OR f2 OR f3) AS quarantine,
+       |  CASE WHEN (f1 OR f2 OR f3) THEN
+       |    concat_ws(',',
+       |      CASE WHEN f1 THEN 'unclosed_block' END,
+       |      CASE WHEN f2 THEN 'stray_markup' END,
+       |      CASE WHEN f3 THEN 'unknown_entity' END)
+       |  END AS quarantine_reason
+       |FROM l ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- E40
   /** LEXICON SENTIMENT — the EDBT'16 Twitter-at-scale shape (an
     * AFINN-style valence lexicon, no model): per document, the mean
@@ -1660,6 +1804,13 @@ object TextAnalysis {
       .select(posexplode($"top").as(Seq("rank", "t")))
       .select(($"rank" + 1).as("rank"), $"t.word", $"t.est")
   }
+
+  // NOTE (r16): E9 deliberately has NO oracle-checked sibling — the
+  // approx-upgrade pass that converted B13/B20/B36/A53b evaluated this
+  // slot and REFUSED it. Truncating-MG estimates are merge-order
+  // dependent once distinct keys exceed the 8k capacity (shuffle-fetch
+  // order changes est values), so even a bound-check boolean can flip
+  // run-to-run near the bound; ContractSpec pins the exclusion.
 
   // --------------------------------------------------------------- E12
   /** BOILERPLATE fraction per doc: the share of a doc's distinct

@@ -1094,24 +1094,52 @@ class MonitoringSpec extends SparkSpec {
       s"argmax threshold $thr still pages nothing on a separable corpus")
   }
 
-  test("alarm verify transfer: a stable planted signal pages on the unseen later half, cells partition it") {
+  test("alarm verify transfer: both corners reported, planted signal pages on the unseen later half, floored corner certified or declared unattained") {
     val events = alarmCorpus()
     val verdicts = Monitoring.alarmVerifyOf(events, trainFrac = 0.6,
       nBuckets = 256)
-    val r = Monitoring.alarmVerifyTransferOf(verdicts).head()
+    val rows = Monitoring.alarmVerifyTransferOf(verdicts).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("f1_argmax", "precision_floored"),
+      s"expected the two operating corners, got ${rows.keySet}")
+    val f1 = rows("f1_argmax")
+    assert(f1.getBoolean(2), "the unconstrained corner always attains")
+    assert(f1.isNullAt(1), "f1 corner carries no precision floor")
     val (nLater, tp, fp, fn, tn) =
-      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
-        r.getLong(6))
+      (f1.getLong(5), f1.getLong(6), f1.getLong(7), f1.getLong(8),
+        f1.getLong(9))
     assert(nLater > 0, "no later-half alarms to transfer onto")
     assert(tp + fp + fn + tn === nLater,
-      s"cells must partition the later half: $r")
+      s"cells must partition the later half: $f1")
     // the k99-persistence signal is stationary — the threshold chosen
     // on the earlier half must still page real alarms it never saw
-    assert(tp > 0, s"transferred threshold pages nothing: $r")
-    // the driver entry runs on the corpus and its cells stay bounded
-    val drv = Monitoring.alarmVerifyTransfer(spark, sf).head()
-    assert(drv.getLong(3) + drv.getLong(4) + drv.getLong(5) +
-      drv.getLong(6) === drv.getLong(2), s"corpus cells: $drv")
+    assert(tp > 0, s"transferred threshold pages nothing: $f1")
+    val pf = rows("precision_floored")
+    assert(pf.getDouble(1) === 0.5, "default floor is 0.5")
+    if (pf.getBoolean(2)) {
+      // attained: the floored corner's selection-half certification
+      // must hold by construction — the chosen threshold is a curve
+      // row with precision >= floor on the EARLIER half
+      val thrT = pf.getDouble(3)
+      val curveE = Monitoring.alarmVerifyCurveOf(
+        verdicts.filter($"hour_us" <= verdicts
+          .agg(expr("percentile(hour_us, 0.5)")).head().getDouble(0)))
+        .filter($"threshold" === thrT).head()
+      assert(!curveE.isNullAt(6) && curveE.getDouble(6) >= 0.5,
+        s"floored corner not certified on its selection half: $curveE")
+      assert(pf.getLong(6) + pf.getLong(7) + pf.getLong(8) +
+        pf.getLong(9) === pf.getLong(5), s"cells: $pf")
+    } else {
+      assert(pf.isNullAt(3) && pf.isNullAt(6),
+        s"unattained corner must carry null threshold and cells: $pf")
+    }
+    // the driver entry runs on the corpus: two rows, attained cells bounded
+    val drv = Monitoring.alarmVerifyTransfer(spark, sf).collect()
+    assert(drv.length === 2, s"driver corners: ${drv.length}")
+    drv.filter(_.getBoolean(2)).foreach { r =>
+      assert(r.getLong(6) + r.getLong(7) + r.getLong(8) +
+        r.getLong(9) === r.getLong(5), s"corpus cells: $r")
+    }
   }
 
   test("alarm verify tuned: threshold column is the curve's scalar and every verdict is consistent with it") {
@@ -1195,6 +1223,69 @@ class MonitoringSpec extends SparkSpec {
         r.getBoolean(3))).sortBy(x => (x._1, x._2))
     assert(live.toSeq === batch.toSeq,
       s"stream/batch verdict parity: ${live.toSeq} vs ${batch.toSeq}")
+  }
+
+  test("alarm windows stream: live builder emits batch-identical ctx-prefixed windows, and composed triage matches the batch scorer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val events = alarmCorpus()
+    val batchWindows = Monitoring.alarmWindowsOf(events)
+    val expected = batchWindows
+      .select($"user_id", $"hour_us", $"text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(expected.nonEmpty, "planted corpus produced no alarm windows")
+    // deliver in event-time order (the stated per-device in-order
+    // assumption) plus one success sentinel per device two hours past
+    // its last event, so every trailing hour closes and emits
+    val raw = events.collect().map(r => (r.getLong(0), r.getTimestamp(1),
+      r.getLong(2), r.getString(3), r.getString(4)))
+    val sentinels = raw.groupBy(_._3).map { case (u, evs) =>
+      val maxTs = evs.map(_._2.getTime).max
+      (900000L + u, new java.sql.Timestamp(maxTs + 7200000L), u, "ok",
+        """{"k": 0}""")
+    }
+    val delivery = (raw ++ sentinels).sortBy(e => (e._2.getTime, e._1))
+    def mkInput(slot: Int) = {
+      val in = MemoryStream[(Long, java.sql.Timestamp, Long, String,
+        String)](slot, spark, None)
+      (in, in.toDS()
+        .toDF("event_id", "ts", "user_id", "event_type", "props"))
+    }
+    val (in1, df1) = mkInput(207)
+    val q1 = Monitoring.alarmWindowsStream(df1)
+      .writeStream.format("memory").queryName("alarm_windows_live")
+      .outputMode("append").start()
+    try {
+      in1.addData(delivery.toIndexedSeq)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val live = spark.table("alarm_windows_live").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(live === expected,
+      s"live windows diverged from the batch builder:\n" +
+        s"missing=${expected -- live}\nextra=${live -- expected}")
+    // composed live path: raw events → window builder → frozen-model
+    // triage, equal to the batch scorer over the batch windows
+    val Some((model, thr, _)) =
+      Monitoring.alarmModelOf(batchWindows, trainFrac = 0.7,
+        nBuckets = 256)
+    val batchScored = Monitoring.alarmTriageStream(
+        batchWindows.select($"user_id", $"hour_us", $"text"), model, thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).sortBy(x => (x._1, x._2))
+    val (in2, df2) = mkInput(208)
+    val q2 = Monitoring.alarmTriageStream(
+        Monitoring.alarmWindowsStream(df2), model, thr)
+      .writeStream.format("memory").queryName("alarm_triage_live")
+      .outputMode("append").start()
+    try {
+      in2.addData(delivery.toIndexedSeq)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val liveScored = spark.table("alarm_triage_live").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).sortBy(x => (x._1, x._2))
+    assert(liveScored.toSeq === batchScored.toSeq,
+      "composed live triage diverged from the batch scorer")
   }
 
   test("alarm verifier bundle: round trip serves the derived threshold, torn weights fail by name") {

@@ -1153,6 +1153,74 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("html extract robust: clean pages byte-match E42, lists/tables flatten, broken markup quarantines with reasons") {
+    def robust(id: Long, html: String) = TextAnalysis.htmlExtractRobustOf(
+      Seq((id, html)).toDF("doc_id", "html"), "doc_id", "html").head()
+    // 1. a well-formed, core-entity, list-free page extracts
+    //    BYTE-IDENTICALLY to the base extractor and stays clean
+    val clean = "<html><head><script>var s = 1;</script></head><body>" +
+      "<nav>Home | About</nav><p>The quick brown fox jumps over the " +
+      "lazy dog &amp; friends again today.</p>" +
+      "<footer>Copyright Corp</footer></body></html>"
+    val base = TextAnalysis.htmlExtractOf(
+      Seq((1L, clean)).toDF("doc_id", "html"), "doc_id", "html").head()
+    val rb = robust(1L, clean)
+    assert(rb.getAs[String]("extracted") === base.getAs[String]("extracted"),
+      s"robust drifted from E42 on a clean page:\n${rb}\n${base}")
+    assert(!rb.getAs[Boolean]("quarantine") &&
+      rb.isNullAt(rb.fieldIndex("quarantine_reason")), s"clean page flagged: $rb")
+    // 2. lists flatten to bullets, table cells to pipe-joined lines
+    val structured = "<body><ul><li>alpha beta gamma delta epsilon." +
+      "</li><li>zeta eta theta iota kappa.</li></ul>" +
+      "<table><tr><td>one two</td><td>three four</td>" +
+      "<td>five six seven.</td></tr></table></body>"
+    val st = robust(2L, structured)
+    val lines = st.getAs[String]("extracted").split("\n").toSeq
+    assert(lines.exists(_.startsWith("- alpha beta gamma")),
+      s"li not bulleted: $lines")
+    assert(lines.exists(l => l.contains("one two |") &&
+      l.contains("| five six seven.")), s"cells not pipe-joined: $lines")
+    assert(!st.getAs[Boolean]("quarantine"), s"structure flagged: $st")
+    // 3. quarantine detectors, each with its reason, extraction still
+    //    shipped best-effort
+    val unclosed = robust(3L,
+      "<body><p>good prose sentence stays right here.</p><script>var leak = 9;")
+    assert(unclosed.getAs[Boolean]("quarantine") &&
+      unclosed.getAs[String]("quarantine_reason") === "unclosed_block",
+      s"$unclosed")
+    assert(unclosed.getAs[String]("extracted")
+      .contains("good prose sentence"), s"best-effort lost: $unclosed")
+    val unknown = robust(4L,
+      "<body><p>price is &euro;42 in the shop catalog today.</p></body>")
+    assert(unknown.getAs[Boolean]("quarantine") &&
+      unknown.getAs[String]("quarantine_reason") === "unknown_entity",
+      s"$unknown")
+    val truncated = robust(5L,
+      "<body><p>hello world this page ends mid tag.</p><div class=")
+    assert(truncated.getAs[Boolean]("quarantine") &&
+      truncated.getAs[String]("quarantine_reason") === "stray_markup",
+      s"$truncated")
+    // a decoded &lt;div&gt; literal must NOT false-flag stray markup
+    val decodedLt = robust(6L,
+      "<body><p>use the &lt;div&gt; element for layout blocks here.</p></body>")
+    assert(!decodedLt.getAs[Boolean]("quarantine"), s"$decodedLt")
+    assert(decodedLt.getAs[String]("extracted").contains("<div>"),
+      s"entity decode lost: $decodedLt")
+    // 4. extended entity table renders ASCII
+    val ent = robust(7L,
+      "<body><p>alpha &ndash; beta &hellip; gamma &copy; delta corp.</p></body>")
+    assert(ent.getAs[String]("extracted")
+      .contains("alpha - beta ... gamma (c) delta corp."), s"$ent")
+    // 5. the driver wrap stays clean-page-equal to E42 wherever E42
+    //    extracted (quarantine flags ride alongside, never change text)
+    val e42 = TextAnalysis.htmlExtract(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("extracted")).toMap
+    TextAnalysis.htmlExtractRobust(spark, sf).collect().foreach { r =>
+      assert(r.getAs[String]("extracted") === e42(r.getLong(0)),
+        s"driver robust extraction drifted for doc ${r.getLong(0)}")
+    }
+  }
+
   test("html extract report: per-source yield matches the per-doc frame exactly") {
     val perDoc = TextAnalysis.htmlExtract(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
