@@ -1990,22 +1990,20 @@ object Similarity {
     * (assign every vector to its nearest centroid, recompute each
     * centroid as its cluster's mean) until the max centroid shift
     * drops under `eps` or `maxIter` rounds run. Shape per round: ONE
-    * corpus scan (the codegen'd nearestCentroid map pass +
-    * posexplode), ONE (cluster, dim)-keyed aggregate whose exchange
-    * carries only k·dim partials per task (map-side combine eats the
-    * exploded rows), and a k×dim driver collect — the standard
-    * distributed k-means cost model (maxIter corpus scans, no growing
-    * lineage: each round's centroids are driver-side literals compiled
-    * into the next round's assignment expression, so lineage is FLAT
-    * by construction — the Scale.connectedComponents discipline comes
-    * free here).
+    * pass over the corpus (nearest-centroid assignment fused with the
+    * per-cluster decimal accumulation in a single treeAggregate whose
+    * partials are k·dim sums + k counts — fixed-size per task), and a
+    * k×dim driver fold — the standard distributed k-means cost model
+    * (maxIter corpus passes, flat lineage: centroids travel as a
+    * per-round broadcast, never as growing plan state).
     *
     * Determinism across partition layouts (the §4 discipline on an
-    * iterative op): per-dimension sums run in DECIMAL(28,9) — each
-    * float quantizes identically everywhere and decimal addition is
-    * exact, hence order-free — so every round's centroids, and
-    * therefore the whole trajectory, are bit-identical however the
-    * corpus is partitioned. Empty clusters keep their previous
+    * iterative op): per-dimension sums quantize each float through
+    * exactly Spark's cast(float AS decimal(28,9)) arithmetic and
+    * BigDecimal addition is exact, hence order-free — so every
+    * round's centroids, and therefore the whole trajectory, are
+    * bit-identical however the corpus is partitioned (spec-pinned
+    * across a repartition(7)). Empty clusters keep their previous
     * centroid (the standard dead-centroid rule, spec-pinned).
     * Returns (refined centroids, rounds actually run). */
   def lloydRefine(e: DataFrame, init: Array[Array[Double]],
@@ -2014,30 +2012,76 @@ object Similarity {
     import spark.implicits._
     require(init.nonEmpty, "need at least one initial centroid")
     require(maxIter >= 0 && eps >= 0, s"bad lloyd params $maxIter/$eps")
-    // Each round re-reads the source scan rather than a pinned copy:
-    // measured at sf0.1, an eager localCheckpoint of the embedding
-    // column costs MORE per call than maxIter vectorized parquet
-    // re-scans save (7.2 s vs 3.2 s — the checkpointed row format
-    // loses the columnar scan + codegen path). At a scale where the
-    // re-scan dominates, pin with .persist upstream and pass that in.
-    val emb = e.select(col("embedding"))
+    // RDD + broadcast + treeAggregate — the deliberate exception to
+    // the DataFrame-first rule, and the shape MLlib's own KMeans uses,
+    // because an ITERATIVE numeric kernel re-pays the whole query-prep
+    // pipeline per round when each round is a fresh DataFrame:
+    // measured r16 at sf0.1, a freshly planned aggregate query cost
+    // ~0.43 s/round (analysis + AQE stage planning + per-stage codegen
+    // compile — per-QUERY costs, corpus-size-independent) against
+    // 0.045 s for re-executing the SAME prepared query. The RDD is
+    // deserialized from the columnar scan ONCE; every round is then
+    // one broadcast (k·dim doubles) + one treeAggregate whose partials
+    // are k·dim decimal sums + k counts — fixed-size per task, the
+    // same exchange mass the old (cluster, dim) aggregate moved.
+    // DETERMINISM across partition layouts is unchanged: each float
+    // quantizes through the exact arithmetic of Spark's
+    // cast(float AS decimal(28,9)) — BigDecimal(Double.toString(v))
+    // then setScale(9, HALF_UP) — and BigDecimal addition is exact,
+    // hence order-free; the nearest-centroid kernel is
+    // NearestCentroid.nullSafeEval's loop verbatim (strict <, same
+    // accumulation order over dims).
+    if (maxIter == 0) return (init, 0)
+    val dim = init.head.length
+    val k = init.length
+    val rdd = e.select(col("embedding")).as[Array[Float]].rdd
+    def quant9(v: Float): java.math.BigDecimal =
+      new java.math.BigDecimal(java.lang.Double.toString(v.toDouble))
+        .setScale(9, java.math.RoundingMode.HALF_UP)
     var centroids = init
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val upd = emb.select(
-          VectorFunctions.nearestCentroid($"embedding", centroids)
-            .cast("int").as("cluster_id"),
-          posexplode($"embedding").as(Seq("pos", "x")))
-        .groupBy($"cluster_id", $"pos")
-        .agg(sum($"x".cast("decimal(28,9)")).as("sx"),
-          count(lit(1)).as("n"))
-        .collect() // k·dim rows — driver-bounded by construction
+      val bc = spark.sparkContext.broadcast(centroids)
+      val zero = (Array.fill(k * dim)(java.math.BigDecimal.ZERO),
+        new Array[Long](k))
+      val (sums, counts) = rdd.treeAggregate(zero)(
+        { case ((s, n), x) =>
+          if (x != null && x.length == dim) {
+            val cs = bc.value
+            var best = 0
+            var bestD = Double.MaxValue
+            var c = 0
+            while (c < cs.length) {
+              val cc = cs(c)
+              var d = 0.0
+              var i = 0
+              while (i < dim) {
+                val diff = x(i).toDouble - cc(i); d += diff * diff; i += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            var i = 0
+            while (i < dim) {
+              s(best * dim + i) = s(best * dim + i).add(quant9(x(i)))
+              i += 1
+            }
+            n(best) += 1
+          }
+          (s, n)
+        },
+        { case ((s1, n1), (s2, n2)) =>
+          var i = 0
+          while (i < s1.length) { s1(i) = s1(i).add(s2(i)); i += 1 }
+          var c = 0
+          while (c < k) { n1(c) += n2(c); c += 1 }
+          (s1, n1)
+        })
+      bc.unpersist(blocking = false)
       val next = centroids.map(_.clone())
-      upd.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) =
-          r.getDecimal(2).doubleValue() / r.getLong(3)
-      }
+      for (c <- 0 until k if counts(c) > 0; d <- 0 until dim)
+        next(c)(d) = sums(c * dim + d).doubleValue() / counts(c)
       val shift = centroids.indices.map { c =>
         math.sqrt(centroids(c).indices
           .map(d => (next(c)(d) - centroids(c)(d)) *
