@@ -326,6 +326,8 @@ object SparkEntry {
       Curation.pipelineCurateProd(s, d)),
     "pipeline_curate_crawl" -> ((s: SparkSession, d: String) =>
       Curation.pipelineCurateCrawl(s, d)),
+    "pipeline_curate_crawl_robust" -> ((s: SparkSession, d: String) =>
+      Curation.pipelineCurateCrawlRobust(s, d)),
     "pipeline_curate_certified" -> ((s: SparkSession, d: String) =>
       Curation.pipelineCurateCertified(s, d)),
     "curate_predicted_report" -> ((s: SparkSession, d: String) =>
@@ -473,6 +475,8 @@ object SparkEntry {
       TextAnalysis.htmlExtractReport(s, d)),
     "html_extract_robust" -> ((s: SparkSession, d: String) =>
       TextAnalysis.htmlExtractRobust(s, d)),
+    "crawl_quarantine_report" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.crawlQuarantineReport(s, d)),
     "classifier_serve_indexed" -> ((s: SparkSession, d: String) =>
       Curation.classifierServeIndexed(s, d)),
     "classifier_serve_calibrated" -> ((s: SparkSession, d: String) =>
@@ -694,6 +698,7 @@ object SparkEntry {
     "mm_fragment_loss" -> Multimodal.mmFragmentLossSql,
     "text_html_extract" -> TextAnalysis.htmlExtractSql,
     "html_extract_robust" -> TextAnalysis.htmlExtractRobustSql,
+    "crawl_quarantine_report" -> TextAnalysis.crawlQuarantineReportSql,
     "html_extract_report" -> TextAnalysis.htmlExtractReportSql,
     "mon_gap_fill" -> Monitoring.gapFillSql(),
     "mon_gap_fill_linear" -> Monitoring.gapFillSql(linear = true),

@@ -665,6 +665,45 @@ object Curation {
         array_join(TextAnalysis.htmlExtractCol(col("text")), "\n"))),
       model, minTokens, maxDupBigram, langs)
 
+  // ------------------------------------------------------------- C6f
+  /** THE CRAWL CHAIN THROUGH THE ROBUST FRONT DOOR — C6e with E42c's
+    * quarantine contract ENFORCED at the chain boundary: a page whose
+    * markup the extractor cannot certify (leaked script code,
+    * undecoded entities, a truncated tail) would poison every
+    * downstream stage — quality gates score the leaked code, dedup
+    * hashes split on entity noise — so quarantined pages are EXCLUDED
+    * from curation here and accounted for in
+    * [[TextAnalysis.crawlQuarantineReport]] (E42d): nothing silently
+    * disappears, the report and the chain read the SAME flags. Clean
+    * pages flow through C6c's exact plan; on a well-formed crawl the
+    * output is row-identical to C6e (spec-pinned — E42c's clean-page
+    * byte-parity composed through the chain). Same barrier reasoning
+    * as C6e: extraction + flags price once behind [[Scale.evalOnce]],
+    * the quarantine predicate is a plain boolean above it. Rows-only:
+    * C6c's tail (hashed classifier features). */
+  def pipelineCurateCrawlRobust(spark: SparkSession, sfDir: String,
+      minTokens: Int = 10, maxDupBigram: Double = 0.1,
+      langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame =
+    curateCrawlRobustOf(
+      Tables.documents(spark, sfDir).withColumn("text",
+        concat(lit(TextAnalysis.HtmlWrapPrefix), col("text"),
+          lit(TextAnalysis.HtmlWrapSuffix))),
+      TextAnalysis.stagedLangModel(spark, sfDir),
+      minTokens, maxDupBigram, langs)
+
+  /** C6f over arbitrary HTML docs + model — the spec entry. */
+  def curateCrawlRobustOf(docs: DataFrame, model: TextAnalysis.LangModel,
+      minTokens: Int = 10, maxDupBigram: Double = 0.1,
+      langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame = {
+    val keepCols = docs.columns.filterNot(_ == "text").map(col).toSeq
+    val extracted = Scale.evalOnce(
+      TextAnalysis.htmlExtractRobustCols(docs, "text")
+        .select(keepCols ++ Seq(col("extracted").as("text"),
+          col("quarantine")): _*))
+    curateProdOf(extracted.filter(!col("quarantine")).drop("quarantine"),
+      model, minTokens, maxDupBigram, langs)
+  }
+
   // ------------------------------------------------------------- C6d
   /** CERTIFIED PRODUCTION OUTPUT — the r14 close shipped the pieces
     * (C6c chain, C13 packing, C21 shards, C21b manifest+verify) and

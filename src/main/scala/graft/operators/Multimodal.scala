@@ -31,6 +31,17 @@ case class FrameState(lastIdx: Int, lastHash: Long)
 /** One fragment arrival on a media stream (F26b's input row). */
 case class FragmentEvent(media_id: Long, frag: Long)
 
+/** F26d's input row: a fragment arrival with its event time — the
+  * watermark-buffered variant needs a clock to bound the disorder. */
+case class TimedFragmentEvent(media_id: Long, ts: java.sql.Timestamp,
+    frag: Long)
+
+/** F26d per-stream state: the highest FOLDED fragment plus the
+  * not-yet-folded buffer (fragment, event-time ms) — bounded by the
+  * watermark horizon, not the stream length. */
+case class FragmentBufferState(lastFolded: Long,
+    buffered: List[(Long, Long)])
+
 /** One detected fragment-sequence gap — the F26 batch operator emits
   * the same four columns. */
 case class FragmentGap(media_id: Long, gap_start_frag: Long,
@@ -658,6 +669,62 @@ object Multimodal {
             } // else: replay — drop, exactly like the batch total order
           }
           state.update(last)
+          gaps.result().iterator
+      }
+  }
+
+  // -------------------------------------------------------------- F26d
+  /** WATERMARK-BUFFERED fragment-continuity audit — the variant
+    * F26b's delivery note names for multi-producer / resequencing
+    * transports: instead of treating every ≤-max-seen fragment as
+    * replay, arrivals BUFFER per stream and fold into the total order
+    * only once the event-time watermark passes them — so a genuinely
+    * late cross-trigger fragment (frag 5 in trigger 1, frag 3 in
+    * trigger 2) lands in its ordered position and the emitted gaps
+    * are EXACT under any disorder bounded by the watermark delay.
+    * The trade F26b's one-long state avoids, stated: state is the
+    * not-yet-folded buffer (bounded by the horizon × arrival rate,
+    * not stream length), and gap rows wait one watermark delay
+    * instead of paging at arrival. Replays (a folded fragment
+    * arriving again) still drop; fragments later than the watermark
+    * horizon are dropped by the watermark itself upstream — the
+    * batch F26 sweep remains the completeness pass. An event-time
+    * timeout flushes streams that go quiet, so the last buffered
+    * fragments fold without waiting for more data on that stream. */
+  def fragmentGapsStreamBuffered(frags: Dataset[TimedFragmentEvent],
+      watermark: String = "10 minutes"): Dataset[FragmentGap] = {
+    import frags.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    frags
+      .withWatermark("ts", watermark)
+      .groupByKey(_.media_id)
+      .flatMapGroupsWithState[FragmentBufferState, FragmentGap](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (id, it, state) =>
+          var st = state.getOption.getOrElse(
+            FragmentBufferState(-1L, Nil))
+          val wm = state.getCurrentWatermarkMs()
+          // buffer the slice (replays of folded fragments drop here)
+          val incoming = it.map(f => (f.frag, f.ts.getTime)).toList
+            .filter(_._1 > st.lastFolded)
+          val buf = st.buffered ++ incoming
+          // fold everything the watermark has passed, in frag order
+          val (ready, waiting) = buf.partition(_._2 <= wm)
+          val gaps = Seq.newBuilder[FragmentGap]
+          var last = st.lastFolded
+          ready.map(_._1).distinct.sorted.foreach { f =>
+            if (f > last) {
+              if (f - last > 1L)
+                gaps += FragmentGap(id, last, f, f - last - 1L)
+              last = f
+            }
+          }
+          st = FragmentBufferState(last, waiting)
+          state.update(st)
+          // flush the remainder once the watermark passes it, even if
+          // this stream never sends another fragment
+          if (waiting.nonEmpty)
+            state.setTimeoutTimestamp(waiting.map(_._2).max + 1L)
           gaps.result().iterator
       }
   }

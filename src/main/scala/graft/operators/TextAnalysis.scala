@@ -1230,7 +1230,16 @@ object TextAnalysis {
     "&#38;" -> "&", "&amp;" -> "&")
 
   def htmlExtractRobustOf(docs: DataFrame, idCol: String,
-      htmlCol: String, chromeMaxTokens: Int = 4): DataFrame = {
+      htmlCol: String, chromeMaxTokens: Int = 4): DataFrame =
+    htmlExtractRobustCols(docs, htmlCol, chromeMaxTokens)
+      .select(col(idCol), col("n_lines_raw"), col("n_lines_kept"),
+        col("extracted"), col("quarantine"), col("quarantine_reason"))
+
+  /** E42c as a COLUMN-PRESERVING stage — every original column rides
+    * through beside the extraction/quarantine columns, so a chain
+    * (C6f) can consume it without a join back. */
+  def htmlExtractRobustCols(docs: DataFrame, htmlCol: String,
+      chromeMaxTokens: Int = 4): DataFrame = {
     val html = col(htmlCol)
     val noBlocks = regexp_replace(html,
       "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
@@ -1253,7 +1262,7 @@ object TextAnalysis {
     val fUnclosed = noBlocks.rlike("(?is)<(script|style)[^>]*>")
     val fStray = noTags.rlike("<[a-zA-Z/!]")
     val fEntity = decoded.rlike("&[a-zA-Z]{1,10};|&#[0-9]{1,7};")
-    docs.select(col(idCol),
+    docs.select(col("*"),
         size(split(html, "\n", -1)).cast("long").as("n_lines_raw"),
         kept.as("__kept"),
         fUnclosed.as("__f1"), fStray.as("__f2"), fEntity.as("__f3"))
@@ -1325,6 +1334,66 @@ object TextAnalysis {
        |      CASE WHEN f3 THEN 'unknown_entity' END)
        |  END AS quarantine_reason
        |FROM l ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------- E42d
+  /** QUARANTINE LEDGER per source — E42b's yield discipline applied to
+    * E42c's quarantine contract: the number a crawl operator watches
+    * when the C6f chain starts excluding pages. Per source: doc count,
+    * quarantined count and share, and the per-detector breakdown
+    * (detectors can co-occur — the breakdown counts flag hits, not a
+    * partition). `source` rides the one extraction scan (the E41b
+    * rule — no join back); one exchange on the tiny source key. A
+    * source whose quarantine share jumps is a TEMPLATE change or a
+    * truncating fetcher at that site, not a corpus change. */
+  def crawlQuarantineReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    htmlExtractRobustCols(
+        Tables.documents(spark, sfDir).withColumn("html",
+          concat(lit(HtmlWrapPrefix), $"text", lit(HtmlWrapSuffix))),
+        "html")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"quarantine", 1L).otherwise(0L)).as("n_quarantined"),
+        sum(when(coalesce($"quarantine_reason", lit(""))
+          .contains("unclosed_block"), 1L).otherwise(0L))
+          .as("n_unclosed_block"),
+        sum(when(coalesce($"quarantine_reason", lit(""))
+          .contains("stray_markup"), 1L).otherwise(0L))
+          .as("n_stray_markup"),
+        sum(when(coalesce($"quarantine_reason", lit(""))
+          .contains("unknown_entity"), 1L).otherwise(0L))
+          .as("n_unknown_entity"))
+      .select($"source", $"n_docs", $"n_quarantined",
+        round($"n_quarantined".cast("double") / $"n_docs", 6)
+          .as("quarantine_share"),
+        $"n_unclosed_block", $"n_stray_markup", $"n_unknown_entity")
+      .orderBy($"source")
+  }
+
+  val crawlQuarantineReportSql: String = {
+    val base = htmlExtractRobustSql
+    val tail = "\nFROM l ORDER BY doc_id"
+    require(base.endsWith(tail),
+      "E42c oracle tail drifted — update the E42d splice with it")
+    s"""WITH e AS (${base.dropRight(tail.length)}
+       |FROM l)
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN e.quarantine THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_quarantined,
+       |  ROUND(CAST(SUM(CASE WHEN e.quarantine THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*), 6) AS quarantine_share,
+       |  CAST(SUM(CASE WHEN contains(coalesce(e.quarantine_reason, ''),
+       |    'unclosed_block') THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_unclosed_block,
+       |  CAST(SUM(CASE WHEN contains(coalesce(e.quarantine_reason, ''),
+       |    'stray_markup') THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_stray_markup,
+       |  CAST(SUM(CASE WHEN contains(coalesce(e.quarantine_reason, ''),
+       |    'unknown_entity') THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_unknown_entity
+       |FROM e JOIN documents d USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
   }
 
   // --------------------------------------------------------------- E40

@@ -93,6 +93,12 @@ object DupAudit {
     // measured r16: robust 0.072 s vs base E42 0.074 s at sf0.1,
     // identical despite 5 printed copies vs 2
     "html_extract_robust" -> 5,
+    // same single-operator-CSE cause, in aggregate expressions: the
+    // three per-detector counters + the quarantine counter each
+    // reference the flag chain, all inside ONE hash aggregate whose
+    // codegen CSE prices the chain once — measured r16: 0.063 s warm
+    // at sf0.1 vs the flag-free E42b report's 0.137 s
+    "crawl_quarantine_report" -> 4,
     "ngram_jaccard" -> 20,
     "pipeline_massivetext" -> 3,
     "quality_rank_cut" -> 3,

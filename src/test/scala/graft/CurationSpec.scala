@@ -2592,6 +2592,45 @@ class CurationSpec extends SparkSpec {
     assert(out === prod, s"crawl vs prod drifted: $out vs $prod")
   }
 
+  test("robust crawl chain: clean crawl row-identical to C6e, quarantined pages excluded — never curated, never silently dropped") {
+    val en1 = "the quick brown fox jumps over a lazy dog near the river bank"
+    val en2 = "many different english words form another perfectly normal sentence here today"
+    val en3 = "yet another long clean english sentence keeps the corpus honest for gates"
+    def wrap(body: String) =
+      "<html><head><script>var tracker = 9;</script></head><body>" +
+        s"<nav>Home | About | Login</nav><p>$body</p>" +
+        "<footer>Copyright 2026 Corp</footer></body></html>"
+    val clean = Seq(
+      (1L, "s1", wrap(en1), "en"), (2L, "s1", wrap(en2), "en"))
+      .toDF("doc_id", "source", "text", "lang")
+    val plain = Seq((1L, "s1", en1, "en"), (2L, "s1", en2, "en"))
+      .toDF("doc_id", "source", "text", "lang")
+    val model = TextAnalysis.langClassifierModel(plain,
+      plain.select($"doc_id", $"lang"), nBuckets = 256)
+    // 1. on a well-formed crawl the robust chain is ROW-IDENTICAL to
+    //    C6e (E42c clean-page byte-parity composed through the chain)
+    val base = Curation.curateCrawlOf(clean, model).collect().toSeq
+    val robust = Curation.curateCrawlRobustOf(clean, model).collect().toSeq
+    assert(robust === base, s"robust crawl drifted on clean pages:\n$robust\nvs\n$base")
+    // 2. a page with an unclosed script would leak code into the gates
+    //    — the robust chain excludes it, C6e would have curated the leak
+    val broken = clean.union(Seq(
+      (3L, "s2", "<body><p>" + en3 + "</p><script>var leak = " +
+        "function() { return 42; };", "en"))
+      .toDF("doc_id", "source", "text", "lang"))
+    val out = Curation.curateCrawlRobustOf(broken, model).collect()
+      .map(_.getLong(0)).toSet
+    assert(out === Set(1L, 2L),
+      s"quarantined page must not be curated: $out")
+    // 3. ...and the ledger accounts for it: the driver report's flag
+    //    columns are the chain's own exclusion flags (same kernel)
+    val flags = TextAnalysis.htmlExtractRobustCols(broken, "text")
+      .select($"doc_id", $"quarantine").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags === Map(1L -> false, 2L -> false, 3L -> true),
+      s"flag kernel drifted: $flags")
+  }
+
   test("certified chain: the dumped manifest covers the production survivors exactly, verify runs inside the entry, replay identical") {
     val m = Curation.pipelineCurateCertified(spark, sf).collect()
     assert(m.nonEmpty, "no shards manifested")

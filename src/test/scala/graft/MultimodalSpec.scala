@@ -708,4 +708,49 @@ class MultimodalSpec extends SparkSpec {
     assert(streamed === batch,
       s"stream gaps $streamed != batch gaps $batch")
   }
+
+  test("buffered fragment gaps: cross-trigger disorder within the watermark folds in order — exact gaps where F26b would misreport") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{TimedFragmentEvent, FragmentGap}
+    def at(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val input = MemoryStream[TimedFragmentEvent](211, spark, None)
+    val q = Multimodal.fragmentGapsStreamBuffered(input.toDS(),
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("frag_gaps_buffered")
+      .outputMode("append").start()
+    try {
+      // trigger 1: frags 0, 1, 5 — frag 3 is STILL IN FLIGHT. The
+      // unbuffered F26b would emit gap 1->5 here and drop the late 3.
+      input.addData(Seq(TimedFragmentEvent(1L, at(0), 0L),
+        TimedFragmentEvent(1L, at(1), 1L),
+        TimedFragmentEvent(1L, at(5), 5L)))
+      q.processAllAvailable()
+      // trigger 2: the late frag 3 (event time BEFORE 5's), plus a
+      // watermark-advancing frag 6 at minute 25 -> watermark 15:00
+      input.addData(Seq(TimedFragmentEvent(1L, at(3), 3L),
+        TimedFragmentEvent(1L, at(25), 6L)))
+      q.processAllAvailable()
+      // trigger 3: advance the watermark past 6 so the tail flushes,
+      // with a replay of the already-folded frag 3 (must drop)
+      input.addData(Seq(TimedFragmentEvent(1L, at(3), 3L),
+        TimedFragmentEvent(1L, at(55), 8L)))
+      q.processAllAvailable()
+      // advance the watermark past frag 8's event time on a DIFFERENT
+      // stream — media 1 goes quiet and the event-time timeout must
+      // flush its tail without more media-1 data
+      input.addData(Seq(TimedFragmentEvent(2L, at(59), 0L)))
+      q.processAllAvailable()
+      input.addData(Seq(TimedFragmentEvent(2L, java.sql.Timestamp
+        .valueOf("2024-01-01 11:10:00"), 1L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("frag_gaps_buffered").collect()
+      .map(r => FragmentGap(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // exact total-order gaps: 1->3 (missing 2), 3->5 (missing 4),
+    // 6->8 (missing 7) — NOT the 1->5 misreport, and no retraction rows
+    val want = Set(FragmentGap(1L, 1L, 3L, 1L), FragmentGap(1L, 3L, 5L, 1L),
+      FragmentGap(1L, 6L, 8L, 1L))
+    assert(got === want, s"buffered gaps $got != exact $want")
+  }
 }
