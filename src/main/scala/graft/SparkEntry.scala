@@ -415,6 +415,10 @@ object SparkEntry {
       Multimodal.mmFragmentGaps(s, d)),
     "mm_fragment_loss" -> ((s: SparkSession, d: String) =>
       Multimodal.mmFragmentLoss(s, d)),
+    "mm_pack_interleaved" -> ((s: SparkSession, d: String) =>
+      Multimodal.mmPackInterleaved(s, d)),
+    "mm_pack_report" -> ((s: SparkSession, d: String) =>
+      Multimodal.mmPackReport(s, d)),
     "q_retention_cohorts" -> (Relational.qRetentionCohorts _),
     "mon_status_flaps" -> ((s: SparkSession, d: String) =>
       Monitoring.statusFlaps(s, d)),
@@ -696,6 +700,8 @@ object SparkEntry {
     "mm_av_sync" -> Multimodal.mmAvSyncSql(),
     "mm_fragment_gaps" -> Multimodal.mmFragmentGapsSql,
     "mm_fragment_loss" -> Multimodal.mmFragmentLossSql,
+    "mm_pack_interleaved" -> Multimodal.mmPackInterleavedSql(),
+    "mm_pack_report" -> Multimodal.mmPackReportSql(),
     "text_html_extract" -> TextAnalysis.htmlExtractSql,
     "html_extract_robust" -> TextAnalysis.htmlExtractRobustSql,
     "crawl_quarantine_report" -> TextAnalysis.crawlQuarantineReportSql,

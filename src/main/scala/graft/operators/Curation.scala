@@ -704,6 +704,62 @@ object Curation {
       model, minTokens, maxDupBigram, langs)
   }
 
+  // ------------------------------------------------------------- C6g
+  /** THE CRAWL FRONT DOOR, LIVE — C6f's contract on a raw-HTML ingest
+    * stream, in ONE linear micro-batch plan: robust extraction + the
+    * E42c quarantine flags price once per row behind
+    * [[Scale.evalOnceStream]] (the r16 lesson: a micro-batch pays
+    * expression duplication per ROW, independent of trigger volume),
+    * the gate signals price once behind their own barrier, and
+    * ROUTING is a column, not a branch — a union of
+    * clean/quarantine branches would re-run the extraction per branch
+    * on EVERY row (row-disjoint filters sit above the kernel, so both
+    * branches extract everything); the single-plan form instead
+    * computes gate signals on quarantined rows too and discards them
+    * in the output projection, the cheaper trade at any realistic
+    * quarantine share. Nothing silently disappears: quarantined pages
+    * EMIT (route=quarantine, reason — the C6f/E42d accounting,
+    * row-level and live), clean pages run the C9 gate+dedup tail and
+    * survivors emit route=ok with scrubbed text. The dedup key is
+    * sha2 of extracted text for clean rows and a doc-id key for
+    * quarantined rows — replayed quarantine rows fold away within the
+    * watermark (an exactly-once-shaped ledger feed), and a quarantined
+    * page can never shadow a clean page's hash. Spec pins routing,
+    * reasons, gate parity with the batch flags, replay dedup, and the
+    * DupGate copy counts (block-regex ≤5 — one Project's CSE prints,
+    * the E42c batch allowance's structure; tokenizer ≤3 — one chrome
+    * filter + the gate chain's ≤2). */
+  def crawlCurateStream(docs: DataFrame, minTokens: Int = 10,
+      maxDupBigram: Double = 0.1, watermark: String = "10 minutes",
+      langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame = {
+    require(docs.isStreaming, "crawlCurateStream needs a streaming frame")
+    val keep = docs.columns.filterNot(_ == "text").map(col).toSeq
+    val ext = Scale.evalOnceStream(
+      TextAnalysis.htmlExtractRobustCols(docs, "text")
+        .select(keep ++ Seq(col("extracted").as("text"),
+          col("quarantine"), col("quarantine_reason")): _*))
+    val sig = qualityGateSignals(ext)
+    sig
+      .withColumn("__pass",
+        !col("quarantine") &&
+          col("lang").isin(langs: _*) &&
+          col("n_tokens") >= minTokens &&
+          col("uniq_ratio") >= 0.3 &&
+          col("dup_bigram_ratio") <= maxDupBigram)
+      .filter(col("quarantine") || col("__pass"))
+      .withColumn("h", when(col("quarantine"),
+          concat(lit("q:"), col("doc_id").cast("string")))
+        .otherwise(sha2(col("text"), 256)))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("h")
+      .select(col("doc_id"), col("ts"), col("source"),
+        when(col("quarantine"), "quarantine").otherwise("ok").as("route"),
+        col("quarantine_reason"),
+        when(!col("quarantine"), col("n_tokens")).as("n_tokens"),
+        when(!col("quarantine"), TextAnalysis.scrubPii(col("text")))
+          .as("clean_text"))
+  }
+
   // ------------------------------------------------------------- C6d
   /** CERTIFIED PRODUCTION OUTPUT — the r14 close shipped the pieces
     * (C6c chain, C13 packing, C21 shards, C21b manifest+verify) and
@@ -1397,11 +1453,21 @@ object Curation {
     * bucketing, ranking, slotting are integer-exact in both
     * engines. */
   def packDocAware(docs: DataFrame, seqLen: Int = 2048, g: Int = 64,
-      buckets: Int = 1024): DataFrame = {
+      buckets: Int = 1024): DataFrame =
+    packDocAwareFromCounts(docs.select(col("doc_id"),
+      size(TextAnalysis.tokens()).cast("long").as("n_tokens")),
+      seqLen, g, buckets)
+
+  /** C63's kernel over ANY precomputed (doc_id, n_tokens[, keep…])
+    * frame — the same public seam [[packSequencesFromCounts]] gives
+    * C13, opened for C63 because the multimodal packer (F27) budgets
+    * in mixed text+image tokens: one kernel, every cost model, zero
+    * drift between packers. `keep` columns ride through untouched. */
+  def packDocAwareFromCounts(counts: DataFrame, seqLen: Int = 2048,
+      g: Int = 64, buckets: Int = 1024,
+      keep: Seq[String] = Nil): DataFrame = {
     require(seqLen >= 1 && g >= 1 && g <= seqLen,
       s"need 1 <= g <= seqLen (got g=$g, seqLen=$seqLen)")
-    val counts = docs.select(col("doc_id"),
-      size(TextAnalysis.tokens()).cast("long").as("n_tokens"))
     val b = counts
       // bucket = capped length rounded UP to the granularity, then
       // capped AGAIN at seqLen: when seqLen is not a multiple of g,
@@ -1419,11 +1485,12 @@ object Curation {
       .withColumn("__one", lit(1L))
     Scale.stratifiedPrefixSum(b, "bucket", "doc_id", "__one", "__rnk",
         buckets)
-      .select(col("doc_id"), col("n_tokens"), col("bucket"),
+      .select(Seq(col("doc_id")) ++ keep.map(col) ++ Seq(
+        col("n_tokens"), col("bucket"),
         expr("(__rnk - 1) div capacity").as("seq_in_bucket"),
         expr("(__rnk - 1) % capacity").as("slot_in_seq"),
         (col("bucket") - col("eff")).as("pad_tokens"),
-        (col("n_tokens") > seqLen).as("truncated"))
+        (col("n_tokens") > seqLen).as("truncated")): _*)
       .orderBy(col("doc_id"))
   }
 
@@ -1432,14 +1499,23 @@ object Curation {
     packDocAware(Tables.documents(spark, sfDir), seqLen, g)
 
   def packDocAwareSql(seqLen: Int = 2048, g: Int = 64): String =
+    packDocAwareSqlFrom(
+      """SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents""".stripMargin, seqLen, g)
+
+  /** C63's oracle SQL over an arbitrary counts subquery (must yield
+    * doc_id, n_tokens[, keep…]) — the SQL twin of
+    * [[packDocAwareFromCounts]], so every packer built on the kernel
+    * gets its oracle by splicing in its own cost CTE. */
+  def packDocAwareSqlFrom(countsSql: String, seqLen: Int = 2048,
+      g: Int = 64, keep: Seq[String] = Nil): String = {
+    val keepSel = keep.map(k => s"$k, ").mkString
     s"""WITH t AS (
-       |  SELECT doc_id,
-       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
-       |      AS n_tokens
-       |  FROM documents),
+       |  $countsSql),
        |b AS (
-       |  SELECT doc_id, n_tokens,
-       |    LEAST(n_tokens, $seqLen) AS eff,
+       |  SELECT *, LEAST(n_tokens, $seqLen) AS eff,
        |    LEAST(GREATEST(((LEAST(n_tokens, $seqLen) + ${g - 1}) // $g) * $g,
        |      $g), $seqLen) AS bucket
        |  FROM t),
@@ -1447,12 +1523,13 @@ object Curation {
        |  SELECT *, $seqLen // bucket AS capacity,
        |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rnk
        |  FROM b)
-       |SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+       |SELECT doc_id, ${keepSel}n_tokens, CAST(bucket AS BIGINT) AS bucket,
        |  CAST((rnk - 1) // capacity AS BIGINT) AS seq_in_bucket,
        |  CAST((rnk - 1) % capacity AS BIGINT) AS slot_in_seq,
        |  CAST(bucket - eff AS BIGINT) AS pad_tokens,
        |  n_tokens > $seqLen AS truncated
        |FROM r ORDER BY doc_id""".stripMargin
+  }
 
   // ------------------------------------------------------------- C14
   /** Token-budget TRAINING MIX: per stratum (source/domain/language),
@@ -3435,26 +3512,78 @@ object Curation {
         .groupBy($"src").agg(sum($"xs").as("ss"))
         .collect().map(r => r.getString(0) ->
           r.getDecimal(1).doubleValue()).toMap
+      // THE ROUND LOOP AS BROADCAST + treeAggregate — the D13b lesson
+      // applied to the second-largest iterative slot: each round's
+      // mixture + cross-entropy used to be two freshly planned grouped
+      // queries plus a collect, and the r16 Lloyd profiling priced a
+      // fresh plan at ~0.43 s/round (analysis + AQE + codegen compile
+      // — corpus-size-independent) against 0.045 s for re-running
+      // prepared work. The term-keyed exchange moves ONCE, up front:
+      // tc groups into (term → per-source counts, src-sorted arrays),
+      // cached; every round is then one ≤#sources broadcast + one
+      // treeAggregate whose partials are k exact decimal sums — the
+      // per-term mixture and its log fold in one local pass, zero
+      // per-round query prep, zero per-round shuffle (vs TWO grouped
+      // exchanges per round before). Measured at sf0.1:
+      // mix_reweight_iterate 1.09 s → 0.65 s warm in-suite (0.84 s
+      // isolated — the residue is the one-time tokenize+checkpoint
+      // corpus build, not the rounds). DETERMINISM is the
+      // same discipline verbatim: each contribution quantizes through
+      // the exact arithmetic of Spark's cast(double AS decimal(38,30))
+      // — BigDecimal(Double.toString(v)).setScale(30, HALF_UP) — and
+      // each xm term through cast(decimal(28,12))'s setScale(12);
+      // BigDecimal addition is exact, hence order- and
+      // partition-layout-free.
+      val srcIdx = srcs.zipWithIndex.toMap
+      val k = srcs.length
+      val nsArr = srcs.map(ns).toArray
+      val vLocal = v
+      val grouped = tc.select($"term", $"src", $"c").rdd
+        .map(r => (r.getString(0), (srcIdx(r.getString(1)), r.getLong(2))))
+        .groupByKey()
+        .map { case (_, it) =>
+          val a = it.toArray.sortBy(_._1)
+          (a.map(_._1), a.map(_._2))
+        }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def quant(d: Double, scale: Int): java.math.BigDecimal =
+        new java.math.BigDecimal(java.lang.Double.toString(d))
+          .setScale(scale, java.math.RoundingMode.HALF_UP)
       var w = srcs.map(s => s -> 1.0 / srcs.length).toMap
       var round = 0
       var delta = Double.MaxValue
-      while (round < maxRounds && delta > tol) {
+      try while (round < maxRounds && delta > tol) {
         // P_mix(term) = Σ_s w_s·(c_s+1)/(ns_s+v) decomposed into the
         // sparse part (rows that exist) + the constant smoothing base
         val base = srcs.map(s => w(s) / (ns(s) + v)).sum
-        val wDf = broadcast(w.toSeq.toDF("src", "w"))
-        val mix = tc.join(wDf, Seq("src")).join(nsDf, Seq("src"))
-          // per-source contributions ∈ (0,1] quantize before the
-          // order-free sum so the mixture is run-deterministic
-          .select($"term", ($"w" * $"c" / ($"ns" + v))
-            .cast("decimal(38,30)").as("m"))
-          .groupBy($"term").agg(sum($"m").cast("double").as("mp"))
-        val ceMix = tc.join(mix, Seq("term")).join(nsDf, Seq("src"))
-          .select($"src",
-            (-$"c" * log($"mp" + base)).cast("decimal(28,12)").as("xm"))
-          .groupBy($"src").agg(sum($"xm").as("sm"))
-          .collect().map(r => r.getString(0) ->
-            r.getDecimal(1).doubleValue()).toMap
+        val wArr = srcs.map(w).toArray
+        val bw = spark.sparkContext.broadcast(wArr)
+        val zero = Array.fill(k)(java.math.BigDecimal.ZERO)
+        val xm = grouped.treeAggregate(zero)(
+          { case (acc, (idxs, cs)) =>
+            var mp = java.math.BigDecimal.ZERO
+            var j = 0
+            while (j < idxs.length) {
+              val i = idxs(j)
+              mp = mp.add(
+                quant(bw.value(i) * cs(j) / (nsArr(i) + vLocal), 30))
+              j += 1
+            }
+            val lg = math.log(mp.doubleValue() + base)
+            j = 0
+            while (j < idxs.length) {
+              acc(idxs(j)) = acc(idxs(j)).add(quant(-cs(j) * lg, 12))
+              j += 1
+            }
+            acc
+          },
+          { (a, b) =>
+            var i = 0
+            while (i < k) { a(i) = a(i).add(b(i)); i += 1 }
+            a
+          })
+        bw.unpersist(blocking = false)
+        val ceMix = srcs.map(s => s -> xm(srcIdx(s)).doubleValue()).toMap
         val excess = srcs.map { s =>
           s -> math.rint((ceMix(s) / ns(s) - ceSelf(s) / ns(s)) * 1e6) / 1e6
         }.toMap
@@ -3469,7 +3598,7 @@ object Curation {
             math.rint(delta * 1e6) / 1e6))
         }
         w = next
-      }
+      } finally grouped.unpersist(blocking = false)
       out.toSeq.toDF("round", "source", "excess", "weight_old",
         "weight_new", "l1_delta")
         .orderBy($"round", $"source")

@@ -2218,6 +2218,138 @@ object Multimodal {
       math.rint(hits.toDouble / k * 1e6) / 1e6))
       .toDF("k", "oversample", "hits", "recall")
   }
+
+  // ---------------------------------------------------------------- F27
+  /** INTERLEAVED MULTIMODAL SEQUENCE PACKING — the packer a
+    * vision-language training run needs and no text packer provides:
+    * an interleaved document's context-window cost is its text tokens
+    * PLUS a patch-token block per attached image (a ViT tower turns a
+    * W×H image into ceilDiv(W,p)·ceilDiv(H,p) patch embeddings, plus
+    * begin/end marker tokens), and an image block sliced by a
+    * sequence cut is UNTRAINABLE — half a patch grid reconstructs no
+    * image — so the only correct layout is doc-aware (document whole
+    * in one sequence, images intact by containment). Cost model here:
+    * text = the corpus tokenizer's count (C13's unit); images per doc
+    * and their raster sizes derive deterministically from the F1
+    * manifest's metadata formulas (id-keyed, so the oracle can price
+    * the same images); per-image cost = integer-exact
+    * ((W+p−1) div p)·((H+p−1) div p) + 2 markers — integer ceil, no
+    * float in either engine. Packing is [[Curation.packDocAwareFromCounts]]
+    * verbatim (one kernel, every cost model): length-bucketed
+    * slotting over one stratified prefix-sum rank, zero cross-boundary
+    * docs, pad bounded by g per doc. Docs over seqLen flag
+    * `truncated` — the packer's honest signal that a 3-image doc
+    * needs a bigger window or image downsampling, not a silent cut.
+    * Scale: one scan, per-row arithmetic, the kernel's two-pass rank —
+    * no join, no window over the corpus; the binary payload column is
+    * never read (parquet prunes to metadata + text). ORACLE-CHECKED:
+    * the cost CTE splices into C63's SQL twin. */
+  def mmPackInterleavedOf(docs: DataFrame, seqLen: Int = 8192,
+      g: Int = 256, patch: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(patch >= 1, s"patch size must be >= 1 (got $patch)")
+    val counts = docs
+      .select($"doc_id",
+        size(TextAnalysis.tokens()).cast("long").as("n_text_tokens"),
+        ($"doc_id" % 3).cast("long").as("n_images"),
+        (lit(320) + ($"doc_id" % 4) * 160).cast("long").as("w"),
+        (lit(240) + ($"doc_id" % 4) * 120).cast("long").as("h"))
+      .withColumn("image_tokens", $"n_images" *
+        (expr(s"((w + ${patch - 1}) div $patch) * " +
+          s"((h + ${patch - 1}) div $patch)") + lit(2L)))
+      .select($"doc_id", $"n_text_tokens", $"n_images", $"image_tokens",
+        ($"n_text_tokens" + $"image_tokens").as("n_tokens"))
+    Curation.packDocAwareFromCounts(counts, seqLen, g,
+      keep = Seq("n_text_tokens", "n_images", "image_tokens"))
+  }
+
+  def mmPackInterleaved(spark: SparkSession, sfDir: String,
+      seqLen: Int = 8192, g: Int = 256, patch: Int = 16): DataFrame =
+    mmPackInterleavedOf(Tables.documents(spark, sfDir), seqLen, g, patch)
+
+  /** The F27 cost CTE (doc_id, n_text_tokens, n_images, image_tokens,
+    * n_tokens) in DuckDB SQL — spliced into C63's SQL twin so packer
+    * and oracle share one cost definition per engine. */
+  private def mmPackCountsSql(patch: Int): String =
+    s"""SELECT doc_id, n_text_tokens, n_images, image_tokens,
+       |    n_text_tokens + image_tokens AS n_tokens
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+       |        AS BIGINT) AS n_text_tokens,
+       |      CAST(doc_id % 3 AS BIGINT) AS n_images,
+       |      CAST((doc_id % 3) * (
+       |        ((320 + (doc_id % 4) * 160 + ${patch - 1}) // $patch)
+       |        * ((240 + (doc_id % 4) * 120 + ${patch - 1}) // $patch)
+       |        + 2) AS BIGINT) AS image_tokens
+       |    FROM documents)""".stripMargin
+
+  def mmPackInterleavedSql(seqLen: Int = 8192, g: Int = 256,
+      patch: Int = 16): String =
+    Curation.packDocAwareSqlFrom(mmPackCountsSql(patch), seqLen, g,
+      keep = Seq("n_text_tokens", "n_images", "image_tokens"))
+
+  // --------------------------------------------------------------- F27b
+  /** PER-SEQUENCE MODALITY-MIX AUDIT over the F27 layout — C43's
+    * observability discipline for the multimodal packer: what a VLM
+    * team actually polls is "are my context windows carrying images
+    * or padding". One row per packed sequence (bucket, seq_in_bucket)
+    * with its doc/image counts, token accounting, and image share.
+    * The accounting is EXACT by construction and the spec pins the
+    * invariant: used + pad + tail_gap + align_gap = seqLen for every
+    * sequence (used = Σ min(n_tokens, seqLen), pad = per-doc bucket
+    * round-up, tail_gap = slots the bucket's capacity never filled,
+    * align_gap = the fixed seqLen mod bucket remainder no slot can
+    * occupy when seqLen is not a bucket multiple). Truncated
+    * docs report their full declared image cost — the report prices
+    * DEMAND, the `n_truncated` column says what the cut actually
+    * dropped. One rollup on the packed frame — group key is the
+    * sequence identity, so the exchange carries the packed rows
+    * once. */
+  def mmPackReportOf(docs: DataFrame, seqLen: Int = 8192, g: Int = 256,
+      patch: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    mmPackInterleavedOf(docs, seqLen, g, patch)
+      .groupBy($"bucket", $"seq_in_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_images").as("n_images"),
+        sum($"image_tokens").as("image_tokens"),
+        sum(least($"n_tokens", lit(seqLen.toLong))).as("used_tokens"),
+        sum($"pad_tokens").as("pad_tokens"),
+        sum(when($"truncated", 1L).otherwise(0L)).as("n_truncated"))
+      .withColumn("tail_gap_tokens",
+        (expr(s"$seqLen div bucket") - $"n_docs") * $"bucket")
+      // seqLen not divisible by the bucket width leaves a fixed
+      // remainder no slot can occupy — the bucketed layout's third
+      // waste term, priced explicitly so the accounting closes
+      .withColumn("align_gap_tokens", expr(s"$seqLen % bucket"))
+      .withColumn("image_token_share",
+        $"image_tokens".cast("double") / seqLen)
+      .orderBy($"bucket", $"seq_in_bucket")
+  }
+
+  def mmPackReport(spark: SparkSession, sfDir: String,
+      seqLen: Int = 8192, g: Int = 256, patch: Int = 16): DataFrame =
+    mmPackReportOf(Tables.documents(spark, sfDir), seqLen, g, patch)
+
+  def mmPackReportSql(seqLen: Int = 8192, g: Int = 256,
+      patch: Int = 16): String =
+    s"""WITH p AS (SELECT * FROM (${mmPackInterleavedSql(seqLen, g, patch)}))
+       |SELECT bucket, seq_in_bucket, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_images) AS BIGINT) AS n_images,
+       |  CAST(SUM(image_tokens) AS BIGINT) AS image_tokens,
+       |  CAST(SUM(LEAST(n_tokens, $seqLen)) AS BIGINT) AS used_tokens,
+       |  CAST(SUM(pad_tokens) AS BIGINT) AS pad_tokens,
+       |  CAST(SUM(CASE WHEN truncated THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_truncated,
+       |  CAST(($seqLen // MAX(bucket) - COUNT(*)) * MAX(bucket) AS BIGINT)
+       |    AS tail_gap_tokens,
+       |  CAST($seqLen % MAX(bucket) AS BIGINT) AS align_gap_tokens,
+       |  CAST(SUM(image_tokens) AS DOUBLE) / $seqLen AS image_token_share
+       |FROM p GROUP BY bucket, seq_in_bucket
+       |ORDER BY bucket, seq_in_bucket""".stripMargin
 }
 
 /** One emitted training clip (batch F15's row shape). */

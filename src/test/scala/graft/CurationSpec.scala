@@ -175,6 +175,50 @@ class CurationSpec extends SparkSpec {
     assert(out(4L).contains("[EMAIL]") && !out(4L).contains("host.org"))
   }
 
+  test("streaming crawl front door: extraction, quarantine routing, gates, replay dedup") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.StreamDoc
+    import graft.operators.TextAnalysis
+    val good = "the quick brown fox jumps over one lazy dog while birds sing " +
+      "in tall trees near rivers flowing gently toward distant blue seas today"
+    def page(body: String) =
+      TextAnalysis.HtmlWrapPrefix + body + TextAnalysis.HtmlWrapSuffix
+    def at(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val input = MemoryStream[StreamDoc](202, spark, None)
+    val q = Curation.crawlCurateStream(input.toDF())
+      .writeStream.format("memory").queryName("crawl_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        StreamDoc(1L, at(1), page(good), "en", "s"), // clean, survives
+        StreamDoc(2L, at(2), page(("buy now " * 30).trim), "en", "s"), // spam: clean page, gates drop it silently (by design)
+        StreamDoc(3L, at(3), page(good + "<script>alert(1)"), "en", "s"), // unclosed block
+        StreamDoc(4L, at(4), page(good + " weird &euro; glyph"), "en", "s"), // unknown entity
+        StreamDoc(5L, at(5), page(good), "en", "s"), // dup of 1 within watermark
+        StreamDoc(3L, at(6), page(good + "<script>alert(1)"), "en", "s"), // replayed quarantine row folds away
+      ))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("crawl_stream").collect()
+      .map(r => r.getLong(0) -> (r.getString(3), r.getString(4))).toMap
+    assert(rows.keySet === Set(1L, 3L, 4L),
+      s"expected clean survivor + 2 quarantines, got $rows")
+    assert(rows(1L)._1 === "ok" && rows(1L)._2 == null)
+    assert(rows(3L) === ("quarantine", "unclosed_block"))
+    assert(rows(4L) === ("quarantine", "unknown_entity"))
+    // quarantine flags agree with the batch E42c kernel on the same rows
+    import spark.implicits._
+    val batchFlags = TextAnalysis.htmlExtractRobustCols(
+      Seq((2L, page(("buy now " * 30).trim)),
+        (3L, page(good + "<script>alert(1)")),
+        (4L, page(good + " weird &euro; glyph")))
+        .toDF("doc_id", "text"), "text")
+      .select($"doc_id", $"quarantine").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(batchFlags === Map(2L -> false, 3L -> true, 4L -> true))
+  }
+
   test("streaming near-dedup: paraphrased near-dup inside the watermark, one survivor") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -75,6 +75,23 @@ class DupGateSpec extends SparkSpec {
       s"streaming routed gate chain re-tokenizes: ${DupAudit.markerCounts(p)}\n$p")
   }
 
+  test("crawlCurateStream microbatch prices extraction and tokenizer once each") {
+    val p = streamPlan(Curation.crawlCurateStream(_), "dupgate_crawl")
+    val counts = DupAudit.markerCounts(p).toMap
+    // the E42c extraction sits below its own object barrier in ONE
+    // Project, where kept/f1/f2/f3 share the regex chain: 5 PRINTED
+    // copies that whole-stage-codegen CSE prices once — the exact
+    // structure behind the batch html_extract_robust allowance of 5
+    // (measured there: 0.072 s with flags vs 0.074 s without at
+    // sf0.1). A 6th copy means a NEW consumer escaped the Project.
+    assert(counts.getOrElse("html_block_regex", 0) <= 5,
+      s"streaming crawl chain re-extracts: $counts\n$p")
+    // 1 chrome-filter tokenize inside the extraction Project + the
+    // gate chain's ≤2 behind the signal barrier
+    assert(counts.getOrElse("tokenize", 0) <= 3,
+      s"streaming crawl gate chain re-tokenizes: $counts\n$p")
+  }
+
   test("every driver slot's heavy-marker copy count stays at its committed allowance") {
     // planning-time counts: deterministic (no AQE re-plan flake), and
     // an UPPER bound on the executed plan's copies — runtime exchange

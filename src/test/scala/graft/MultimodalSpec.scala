@@ -753,4 +753,58 @@ class MultimodalSpec extends SparkSpec {
       FragmentGap(1L, 6L, 8L, 1L))
     assert(got === want, s"buffered gaps $got != exact $want")
   }
+
+  test("mm pack: hand-computed mixed-modality costs and slots") {
+    val docs = Seq(
+      (0L, "one two three"), // 3 tok, 0 images
+      (1L, Seq.fill(10)("w").mkString(" ")), // 10 tok, 1×480x360 image
+      (2L, "a b c d e"), // 5 tok, 2×640x480 images
+      (3L, "p q r s")) // 4 tok, 0 images
+      .toDF("doc_id", "text")
+    val got = Multimodal.mmPackInterleavedOf(docs, seqLen = 1024, g = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getBoolean(9))).toList
+    // image cost: 480x360/16 → 30*23 patches + 2 = 692;
+    //             640x480/16 → 40*30 + 2 = 1202 each
+    // doc0: 3 tok → bucket 128 rnk1 → seq(128,0) slot 0, pad 125
+    // doc3: 4 tok → bucket 128 rnk2 → seq(128,0) slot 1, pad 124
+    // doc1: 10+692=702 → bucket 768 (cap 1) → seq(768,0), pad 66
+    // doc2: 5+2404=2409 > 1024 → bucket 1024, truncated, pad 0
+    val want = List(
+      (0L, 3L, 0L, 0L, 3L, 128L, 0L, 0L, 125L, false),
+      (1L, 10L, 1L, 692L, 702L, 768L, 0L, 0L, 66L, false),
+      (2L, 5L, 2L, 2404L, 2409L, 1024L, 0L, 0L, 0L, true),
+      (3L, 4L, 0L, 0L, 4L, 128L, 0L, 1L, 124L, false))
+    assert(got === want, s"mm pack $got != $want")
+  }
+
+  test("mm pack report: exact token accounting per sequence") {
+    val seqLen = 8192
+    val rep = Multimodal.mmPackReport(spark, sf, seqLen).collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      val (used, pad, tailGap, alignGap) =
+        (r.getLong(5), r.getLong(6), r.getLong(8), r.getLong(9))
+      assert(used + pad + tailGap + alignGap === seqLen.toLong,
+        s"seq (${r.getLong(0)},${r.getLong(1)}): " +
+          s"$used + $pad + $tailGap + $alignGap != $seqLen")
+    }
+    // the report is a partition of the packed corpus: doc and image
+    // token masses reconcile exactly against the per-doc frame
+    val packed = Multimodal.mmPackInterleaved(spark, sf, seqLen)
+    assert(rep.map(_.getLong(2)).sum === packed.count())
+    assert(rep.map(_.getLong(4)).sum ===
+      packed.agg(sum($"image_tokens")).head().getLong(0))
+  }
+
+  test("mm pack: cost model composes text + images, zero-image docs text-only") {
+    val rows = Multimodal.mmPackInterleaved(spark, sf).collect()
+    rows.foreach { r =>
+      val (id, text, img, total) =
+        (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(text + img === total)
+      if (id % 3 == 0) assert(img === 0L) else assert(img > 0L)
+    }
+  }
 }

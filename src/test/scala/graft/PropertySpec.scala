@@ -408,4 +408,65 @@ class PropertySpec extends SparkSpec {
       assert(out.map(_._2).sorted.sameElements(1L to n))
     }
   }
+
+  // markup soup: tags (closed, unclosed, stray), entities (known and
+  // unknown), raw angle brackets, plain words — the space a crawl
+  // actually draws from, not just the planted template
+  private val markupGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(2, 10)
+    docs <- Gen.listOfN(n, for {
+      len <- Gen.choose(0, 30)
+      parts <- Gen.listOfN(len, Gen.oneOf(
+        "<div>", "</div>", "<p>", "</p>", "<li>", "</li>", "<td>x</td>",
+        "<script>", "</script>", "<script>var a=1;</script>",
+        "<style>.x{}</style>", "&amp;", "&lt;", "&zzz;", "&#9999999;",
+        "words flow here", "quick brown fox", "<", ">", "<br", "<!--",
+        "sentence ends now.", "<b>bold</b>"))
+    } yield parts.mkString(" "))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("property: robust extractor is total — every page extracts or quarantines, never throws") {
+    import graft.operators.TextAnalysis
+    for (seed <- 1L to 8L) {
+      val docs = sample(markupGen, seed * 13L).toDF("doc_id", "text")
+      val rows = TextAnalysis.htmlExtractRobustCols(docs, "text")
+        .select($"doc_id", $"extracted", $"quarantine",
+          $"quarantine_reason").collect()
+      assert(rows.length === docs.count())
+      rows.foreach { r =>
+        assert(!r.isNullAt(1), s"seed $seed: null extraction")
+        assert(!r.isNullAt(2), s"seed $seed: null quarantine flag")
+        // the reason column IS the flag: populated iff quarantined
+        assert(r.isNullAt(3) === !r.getBoolean(2),
+          s"seed $seed doc ${r.getLong(0)}: reason/flag disagree")
+      }
+    }
+  }
+
+  test("property: mm pack lands every doc once, respects capacity, bounds pad, flags truncation") {
+    import graft.operators.Multimodal
+    val (seqLen, g) = (1024, 64)
+    for (seed <- 1L to 6L) {
+      val docs = sample(docsGen, seed * 23L).toDF("doc_id", "text")
+      val packed = Multimodal.mmPackInterleavedOf(docs, seqLen, g).collect()
+      // every doc exactly once
+      assert(packed.map(_.getLong(0)).sorted
+        .sameElements(docs.collect().map(_.getLong(0)).sorted))
+      packed.foreach { r =>
+        val (n, bucket, slot, pad, trunc) = (r.getLong(4), r.getLong(5),
+          r.getLong(7), r.getLong(8), r.getBoolean(9))
+        assert(slot < seqLen / bucket, s"seed $seed: slot past capacity")
+        // pad < g except the empty-cost doc, which still occupies one
+        // bucket-g slot (pad exactly g — the kernel's stated edge)
+        assert(pad >= 0 && (pad < g || (pad == g && n == 0)),
+          s"seed $seed: pad $pad outside bounds (n=$n, g=$g)")
+        assert(trunc === (n > seqLen), s"seed $seed: truncation flag wrong")
+      }
+      // the report's accounting closes on arbitrary corpora too
+      Multimodal.mmPackReportOf(docs, seqLen, g).collect().foreach { r =>
+        assert(r.getLong(5) + r.getLong(6) + r.getLong(8) + r.getLong(9)
+          === seqLen.toLong, s"seed $seed: accounting leak")
+      }
+    }
+  }
 }
