@@ -419,6 +419,8 @@ object SparkEntry {
       Multimodal.mmPackInterleaved(s, d)),
     "mm_pack_report" -> ((s: SparkSession, d: String) =>
       Multimodal.mmPackReport(s, d)),
+    "mm_data_card" -> ((s: SparkSession, d: String) =>
+      Multimodal.mmDataCard(s, d)),
     "q_retention_cohorts" -> (Relational.qRetentionCohorts _),
     "mon_status_flaps" -> ((s: SparkSession, d: String) =>
       Monitoring.statusFlaps(s, d)),
@@ -702,6 +704,7 @@ object SparkEntry {
     "mm_fragment_loss" -> Multimodal.mmFragmentLossSql,
     "mm_pack_interleaved" -> Multimodal.mmPackInterleavedSql(),
     "mm_pack_report" -> Multimodal.mmPackReportSql(),
+    "mm_data_card" -> Multimodal.mmDataCardSql(),
     "text_html_extract" -> TextAnalysis.htmlExtractSql,
     "html_extract_robust" -> TextAnalysis.htmlExtractRobustSql,
     "crawl_quarantine_report" -> TextAnalysis.crawlQuarantineReportSql,

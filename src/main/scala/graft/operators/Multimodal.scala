@@ -2350,6 +2350,96 @@ object Multimodal {
        |  CAST(SUM(image_tokens) AS DOUBLE) / $seqLen AS image_token_share
        |FROM p GROUP BY bucket, seq_in_bucket
        |ORDER BY bucket, seq_in_bucket""".stripMargin
+
+  // ---------------------------------------------------------------- F28
+  /** MEDIA DATA CARD — C68's datasheet discipline for the F family:
+    * the one per-source table a media-corpus owner polls before
+    * trusting an ingest batch, composed ENTIRELY from already-priced
+    * oracle-green kernels so card and per-media slots cannot disagree:
+    * inventory (count, bytes, exact-decimal duration mass) and codec
+    * mix from the F1 manifest, delivery health (measured-stream count,
+    * decimal-exact mean loss share, silent-stream count) from F26c,
+    * sync health (estimated count, in-sync count at best_lag = 0) from
+    * F25. Measured-vs-total gauges stay SEPARATE columns (n_loss/
+    * n_sync_measured vs n_media) — a card that averaged over silently
+    * unmeasured media would hide exactly the streams most likely to be
+    * broken; sources with nothing measured report NULL means, not
+    * fabricated zeros. Scale: every input is media-bounded (one row
+    * per media), the rollup is one groupBy(source) + the ≤#sources ×
+    * #codecs mix window — the F25 lag kernel is the priced cost, reused
+    * verbatim. ORACLE end-to-end: the SQL twin splices the three
+    * kernels' own oracle SQL as CTEs; the loss mean rides the C62/C66
+    * decimal handoff (round-6 doubles cast to DECIMAL(18,6), exact
+    * order-free sum, one IEEE division both engines perform
+    * identically). */
+  def mmDataCard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val m = mmManifest(spark, sfDir)
+    val loss = mmFragmentLoss(spark, sfDir)
+      .select($"media_id", $"loss_share")
+    val sync = mmAvSync(spark, sfDir).select($"media_id", $"best_lag")
+    val base = m.join(loss, Seq("media_id"), "left")
+      .join(sync, Seq("media_id"), "left")
+    val per = base.groupBy($"source")
+      .agg(count(lit(1)).as("n_media"),
+        sum($"size_bytes").as("total_bytes"),
+        sum($"duration_s".cast("decimal(18,4)")).cast("double")
+          .as("total_duration_s"),
+        count($"loss_share").as("n_loss_measured"),
+        round(sum($"loss_share".cast("decimal(18,6)")).cast("double") /
+          count($"loss_share"), 6).as("avg_loss_share"),
+        sum(when($"loss_share" === 1.0, 1L).otherwise(0L)).as("n_silent"),
+        count($"best_lag").as("n_sync_measured"),
+        sum(when($"best_lag" === 0, 1L).otherwise(0L)).as("n_in_sync"))
+    val wC = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"nc".desc, $"codec")
+    val topCodec = m.groupBy($"source", $"codec")
+      .agg(count(lit(1)).as("nc"))
+      .withColumn("rk", row_number().over(wC)).filter($"rk" === 1)
+      .select($"source", $"codec".as("top_codec"), $"nc")
+    per.join(topCodec, Seq("source"))
+      .select($"source", $"n_media", $"total_bytes", $"total_duration_s",
+        $"top_codec",
+        round($"nc".cast("double") / $"n_media", 6).as("top_codec_share"),
+        $"n_loss_measured", $"avg_loss_share", $"n_silent",
+        $"n_sync_measured", $"n_in_sync")
+      .orderBy($"source")
+  }
+
+  def mmDataCardSql(): String =
+    s"""WITH man AS (SELECT * FROM ($mmManifestSql)),
+       |loss AS (SELECT * FROM ($mmFragmentLossSql)),
+       |sync AS (SELECT * FROM (${mmAvSyncSql()})),
+       |b AS (
+       |  SELECT man.*, loss.loss_share, sync.best_lag
+       |  FROM man LEFT JOIN loss USING (media_id)
+       |  LEFT JOIN sync USING (media_id)),
+       |s AS (
+       |  SELECT source, COUNT(*) AS n_media,
+       |    CAST(SUM(size_bytes) AS BIGINT) AS total_bytes,
+       |    CAST(SUM(CAST(duration_s AS DECIMAL(18,4))) AS DOUBLE)
+       |      AS total_duration_s,
+       |    COUNT(loss_share) AS n_loss_measured,
+       |    ROUND(CAST(SUM(CAST(loss_share AS DECIMAL(18,6))) AS DOUBLE)
+       |      / COUNT(loss_share), 6) AS avg_loss_share,
+       |    CAST(SUM(CASE WHEN loss_share = 1.0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_silent,
+       |    COUNT(best_lag) AS n_sync_measured,
+       |    CAST(SUM(CASE WHEN best_lag = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_in_sync
+       |  FROM b GROUP BY source),
+       |c AS (
+       |  SELECT source, codec, COUNT(*) AS nc,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY COUNT(*) DESC, codec) AS rk
+       |  FROM man GROUP BY source, codec)
+       |SELECT s.source, n_media, total_bytes, total_duration_s,
+       |  c.codec AS top_codec,
+       |  ROUND(CAST(nc AS DOUBLE) / n_media, 6) AS top_codec_share,
+       |  n_loss_measured, avg_loss_share, n_silent,
+       |  n_sync_measured, n_in_sync
+       |FROM s JOIN c ON s.source = c.source AND c.rk = 1
+       |ORDER BY s.source""".stripMargin
 }
 
 /** One emitted training clip (batch F15's row shape). */

@@ -798,6 +798,39 @@ class MultimodalSpec extends SparkSpec {
       packed.agg(sum($"image_tokens")).head().getLong(0))
   }
 
+  test("mm data card: inventory reconciles, gauges bounded, means only over measured media") {
+    val card = Multimodal.mmDataCard(spark, sf).collect()
+    assert(card.nonEmpty)
+    assert(card.map(_.getLong(1)).sum ===
+      Tables.documents(spark, sf).count())
+    card.foreach { r =>
+      val (nMedia, share) = (r.getLong(1), r.getDouble(5))
+      val (nLoss, nSilent) = (r.getLong(6), r.getLong(8))
+      val (nSync, nInSync) = (r.getLong(9), r.getLong(10))
+      assert(share > 0.0 && share <= 1.0)
+      assert(nSilent <= nLoss && nLoss <= nMedia)
+      assert(nInSync <= nSync && nSync <= nMedia)
+      // a mean exists iff something was measured — never a fabricated 0
+      assert(r.isNullAt(7) === (nLoss == 0L))
+    }
+    // the loss mean reconciles against the per-media F26c frame
+    import spark.implicits._
+    val src = card.head.getString(0)
+    val perMedia = Multimodal.mmFragmentLoss(spark, sf)
+      .join(Multimodal.mmManifest(spark, sf).select($"media_id", $"source"),
+        Seq("media_id"))
+      .filter($"source" === src).select($"loss_share").collect()
+      .map(_.getDouble(0))
+    // exact replay of the card's arithmetic: decimal(18,6) per-media
+    // values, exact sum, one IEEE division, Spark's HALF_UP round(6)
+    val mean = perMedia.map(BigDecimal(_).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble / perMedia.length
+    val want = BigDecimal(java.lang.Double.toString(mean))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(card.head.getDouble(7) === want,
+      s"card mean ${card.head.getDouble(7)} != recomputed $want")
+  }
+
   test("mm pack: cost model composes text + images, zero-image docs text-only") {
     val rows = Multimodal.mmPackInterleaved(spark, sf).collect()
     rows.foreach { r =>
