@@ -421,6 +421,8 @@ object SparkEntry {
       Multimodal.mmPackReport(s, d)),
     "mm_data_card" -> ((s: SparkSession, d: String) =>
       Multimodal.mmDataCard(s, d)),
+    "mm_pack_adaptive" -> ((s: SparkSession, d: String) =>
+      Multimodal.mmPackAdaptive(s, d, seqLen = 2048)),
     "q_retention_cohorts" -> (Relational.qRetentionCohorts _),
     "mon_status_flaps" -> ((s: SparkSession, d: String) =>
       Monitoring.statusFlaps(s, d)),
@@ -705,6 +707,7 @@ object SparkEntry {
     "mm_pack_interleaved" -> Multimodal.mmPackInterleavedSql(),
     "mm_pack_report" -> Multimodal.mmPackReportSql(),
     "mm_data_card" -> Multimodal.mmDataCardSql(),
+    "mm_pack_adaptive" -> Multimodal.mmPackAdaptiveSql(seqLen = 2048),
     "text_html_extract" -> TextAnalysis.htmlExtractSql,
     "html_extract_robust" -> TextAnalysis.htmlExtractRobustSql,
     "crawl_quarantine_report" -> TextAnalysis.crawlQuarantineReportSql,

@@ -2351,6 +2351,92 @@ object Multimodal {
        |FROM p GROUP BY bucket, seq_in_bucket
        |ORDER BY bucket, seq_in_bucket""".stripMargin
 
+  // --------------------------------------------------------------- F27c
+  /** ADAPTIVE-RESOLUTION PACKING — the operator F27's `truncated` flag
+    * points at (AnyRes-style): a doc whose image blocks overflow the
+    * window is not cut, its images are DOWNSAMPLED — halving raster
+    * resolution doubles the effective patch size and quarters the
+    * patch grid — through a fixed ladder (p, 2p, 4p), taking the FIRST
+    * rung that fits; only a doc that overflows even the coarsest rung
+    * still flags `truncated`. The choice is per-row integer CASE
+    * arithmetic over the three candidate costs (no iteration — the
+    * ladder is a closed form), so the slot stays one scan + the C63
+    * kernel, and the oracle prices the identical ladder. Every doc
+    * carries `patch_used` and `downsampled` — the resolution spend is
+    * a COLUMN a training team can audit, not a silent quality loss. */
+  def mmPackAdaptiveOf(docs: DataFrame, seqLen: Int = 8192,
+      g: Int = 256, patch: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(patch >= 1, s"patch size must be >= 1 (got $patch)")
+    def imgTokens(p: Int) =
+      $"n_images" * (expr(s"((w + ${p - 1}) div $p) * " +
+        s"((h + ${p - 1}) div $p)") + lit(2L))
+    val counts = docs
+      .select($"doc_id",
+        size(TextAnalysis.tokens()).cast("long").as("n_text_tokens"),
+        ($"doc_id" % 3).cast("long").as("n_images"),
+        (lit(320) + ($"doc_id" % 4) * 160).cast("long").as("w"),
+        (lit(240) + ($"doc_id" % 4) * 120).cast("long").as("h"))
+      .withColumn("c1", $"n_text_tokens" + imgTokens(patch))
+      .withColumn("c2", $"n_text_tokens" + imgTokens(2 * patch))
+      .withColumn("c4", $"n_text_tokens" + imgTokens(4 * patch))
+      .withColumn("n_tokens",
+        when($"c1" <= seqLen, $"c1")
+          .when($"c2" <= seqLen, $"c2").otherwise($"c4"))
+      .withColumn("patch_used",
+        when($"c1" <= seqLen, patch)
+          .when($"c2" <= seqLen, 2 * patch).otherwise(4 * patch)
+          .cast("int"))
+      .withColumn("downsampled", $"patch_used" > patch && $"n_images" > 0)
+      .select($"doc_id", $"n_text_tokens", $"n_images",
+        ($"n_tokens" - $"n_text_tokens").as("image_tokens"),
+        $"patch_used", $"downsampled", $"n_tokens")
+    Curation.packDocAwareFromCounts(counts, seqLen, g,
+      keep = Seq("n_text_tokens", "n_images", "image_tokens",
+        "patch_used", "downsampled"))
+  }
+
+  def mmPackAdaptive(spark: SparkSession, sfDir: String,
+      seqLen: Int = 8192, g: Int = 256, patch: Int = 16): DataFrame =
+    mmPackAdaptiveOf(Tables.documents(spark, sfDir), seqLen, g, patch)
+
+  def mmPackAdaptiveSql(seqLen: Int = 8192, g: Int = 256,
+      patch: Int = 16): String = {
+    def grid(p: Int) =
+      s"(((320 + (doc_id % 4) * 160 + ${p - 1}) // $p)" +
+        s" * ((240 + (doc_id % 4) * 120 + ${p - 1}) // $p) + 2)"
+    val counts =
+      s"""SELECT doc_id, n_text_tokens, n_images,
+         |      n_tokens - n_text_tokens AS image_tokens,
+         |      patch_used, downsampled, n_tokens
+         |    FROM (
+         |      SELECT *,
+         |        CASE WHEN c1 <= $seqLen THEN c1
+         |             WHEN c2 <= $seqLen THEN c2 ELSE c4 END AS n_tokens,
+         |        CAST(CASE WHEN c1 <= $seqLen THEN $patch
+         |             WHEN c2 <= $seqLen THEN ${2 * patch}
+         |             ELSE ${4 * patch} END AS INT) AS patch_used,
+         |        (CASE WHEN c1 <= $seqLen THEN $patch
+         |             WHEN c2 <= $seqLen THEN ${2 * patch}
+         |             ELSE ${4 * patch} END > $patch AND n_images > 0)
+         |          AS downsampled
+         |      FROM (
+         |        SELECT doc_id, n_text_tokens, n_images,
+         |          n_text_tokens + n_images * ${grid(patch)} AS c1,
+         |          n_text_tokens + n_images * ${grid(2 * patch)} AS c2,
+         |          n_text_tokens + n_images * ${grid(4 * patch)} AS c4
+         |        FROM (
+         |          SELECT doc_id,
+         |            CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+         |              AS BIGINT) AS n_text_tokens,
+         |            CAST(doc_id % 3 AS BIGINT) AS n_images
+         |          FROM documents)))""".stripMargin
+    Curation.packDocAwareSqlFrom(counts, seqLen, g,
+      keep = Seq("n_text_tokens", "n_images", "image_tokens",
+        "patch_used", "downsampled"))
+  }
+
   // ---------------------------------------------------------------- F28
   /** MEDIA DATA CARD — C68's datasheet discipline for the F family:
     * the one per-source table a media-corpus owner polls before

@@ -798,6 +798,21 @@ class MultimodalSpec extends SparkSpec {
       packed.agg(sum($"image_tokens")).head().getLong(0))
   }
 
+  test("mm pack adaptive: ladder picks first fitting rung, downsample audited, text-only never downsamples") {
+    val docs = Seq(
+      (1L, Seq.fill(10)("w").mkString(" ")), // 1×480x360: 702 fits at p16
+      (2L, "a b c d e"), // 2×640x480: 2409 > 2048 → p32: 5+604=609
+      (3L, Seq.fill(3000)("w").mkString(" ")) // text-only, overflows every rung
+    ).toDF("doc_id", "text")
+    val got = Multimodal.mmPackAdaptiveOf(docs, seqLen = 2048, g = 128)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getInt(4),
+        r.getBoolean(5), r.getLong(6), r.getBoolean(11)))).toMap
+    // (image_tokens, patch_used, downsampled, n_tokens, truncated)
+    assert(got(1L) === ((692L, 16, false, 702L, false)))
+    assert(got(2L) === ((604L, 32, true, 609L, false)))
+    assert(got(3L) === ((0L, 64, false, 3000L, true)))
+  }
+
   test("mm data card: inventory reconciles, gauges bounded, means only over measured media") {
     val card = Multimodal.mmDataCard(spark, sf).collect()
     assert(card.nonEmpty)
