@@ -131,7 +131,14 @@ object DumpPlans {
       // stage their model/shards eagerly at construction — post-pin
       // tails only, PlanSpec pins the crawl chain's exchange budget;
       // these two are pure lazy plans)
-      "text_html_extract", "mm_fragment_gaps")
+      "text_html_extract", "mm_fragment_gaps",
+      // round 16: the robust extractor (one-Project CSE shape the
+      // DupGate allowance documents), the mm packers (cost projection
+      // + the C63 prefix-sum kernel; adaptive adds only CASE
+      // arithmetic), and the media card's three-kernel composition
+      "html_extract_robust", "crawl_quarantine_report",
+      "mm_pack_interleaved", "mm_pack_adaptive", "mm_pack_report",
+      "mm_data_card")
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, formatted explain)\n\n")
     sb.append("Generated by `graft.tools.DumpPlans`; regenerate after plan-")
