@@ -423,6 +423,8 @@ object SparkEntry {
       Multimodal.mmDataCard(s, d)),
     "mm_pack_adaptive" -> ((s: SparkSession, d: String) =>
       Multimodal.mmPackAdaptive(s, d, seqLen = 2048)),
+    "mm_pack_certified" -> ((s: SparkSession, d: String) =>
+      Multimodal.mmPackCertified(s, d)),
     "q_retention_cohorts" -> (Relational.qRetentionCohorts _),
     "mon_status_flaps" -> ((s: SparkSession, d: String) =>
       Monitoring.statusFlaps(s, d)),

@@ -2437,6 +2437,60 @@ object Multimodal {
         "patch_used", "downsampled"))
   }
 
+  // --------------------------------------------------------------- F29
+  /** The F27 layout written as TRAINING SHARDS — C21's
+    * whole-sequence-per-file discipline for the multimodal packer: a
+    * VLM data loader streams one shard per worker, and an image block
+    * split across files is exactly the cross-file assembly the layout
+    * exists to avoid. Range partitioning on the FULL 2-part sequence
+    * identity (bucket, seq_in_bucket) is the load-bearing choice:
+    * equal key tuples land in one range bucket, so a sequence — and
+    * therefore every image block in it, by F27's containment — lives
+    * WHOLE in exactly one file; rows sort in training order within
+    * each shard. The range exchange samples the key distribution, so
+    * shards stay ~equal even when one bucket dominates. */
+  def writeMmPackedShards(docs: DataFrame, outDir: String,
+      seqLen: Int = 8192, g: Int = 256, patch: Int = 16,
+      shards: Int = 8): Unit = {
+    require(shards >= 1)
+    mmPackInterleavedOf(docs, seqLen, g, patch)
+      .repartitionByRange(shards, col("bucket"), col("seq_in_bucket"))
+      .sortWithinPartitions(col("bucket"), col("seq_in_bucket"),
+        col("slot_in_seq"))
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** CERTIFIED MULTIMODAL TRAINING OUTPUT — the C6d composition for
+    * the F27 layout: shards staged once per corpus version (the C10
+    * temp-dir discipline), manifested with the C21b kernel (row count,
+    * token mass, content checksum per shard — n_tokens here is the
+    * MIXED text+image cost, so the certified mass is the budget a
+    * trainer actually consumes), and the verify pass runs on EVERY
+    * call, so the dumped manifest row set is certified at dump time —
+    * a torn or rewritten shard fails by name before a training run
+    * streams it. Rows-only: file layout is the range exchange's
+    * sampling choice (C21b's reason). */
+  def mmPackCertified(spark: SparkSession, sfDir: String,
+      seqLen: Int = 8192, shards: Int = 8): DataFrame = {
+    val stamp = graft.Tables.pathStamp(spark, s"$sfDir/documents.parquet")
+    mmShardDirCache.filterInPlace { case ((d, st), dir) =>
+      val stale = d == sfDir && st != stamp
+      if (stale) Dedup.deleteAtExit(dir)
+      !stale }
+    val dir = mmShardDirCache.getOrElseUpdate((sfDir, stamp), {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-mmshards").toString
+      writeMmPackedShards(Tables.documents(spark, sfDir), d, seqLen,
+        shards = shards)
+      d
+    })
+    val m = Curation.shardManifest(spark, dir)
+    Curation.verifyShards(spark, dir, m)
+    m
+  }
+  private[graft] val mmShardDirCache = scala.collection.concurrent
+    .TrieMap.empty[(String, Long), String]
+
   // ---------------------------------------------------------------- F28
   /** MEDIA DATA CARD — C68's datasheet discipline for the F family:
     * the one per-source table a media-corpus owner polls before

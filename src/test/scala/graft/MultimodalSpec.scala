@@ -813,6 +813,29 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L) === ((0L, 64, false, 3000L, true)))
   }
 
+  test("mm pack certified: sequences whole per shard, manifest verified, re-call idempotent") {
+    val m1 = Multimodal.mmPackCertified(spark, sf).collect()
+    assert(m1.nonEmpty && m1.length <= 8)
+    // the verify pass ran inside the call; the manifest accounts every
+    // packed row exactly once
+    assert(m1.map(_.getLong(1)).sum ===
+      Multimodal.mmPackInterleaved(spark, sf).count())
+    // whole-sequence-per-file: no (bucket, seq_in_bucket) spans shards
+    val dir = mmCertDir.getOrElse(fail("shard dir not staged"))
+    val spanning = spark.read.parquet(dir)
+      .withColumn("f", input_file_name())
+      .groupBy($"bucket", $"seq_in_bucket")
+      .agg(countDistinct($"f").as("nf"))
+      .filter($"nf" > 1).count()
+    assert(spanning === 0L, "a sequence spans shard files")
+    // second call re-verifies the SAME staged artifact bit-for-bit
+    val m2 = Multimodal.mmPackCertified(spark, sf).collect()
+    assert(m2.map(_.toString).toSeq === m1.map(_.toString).toSeq)
+  }
+
+  private def mmCertDir: Option[String] =
+    Multimodal.mmShardDirCache.values.headOption
+
   test("mm data card: inventory reconciles, gauges bounded, means only over measured media") {
     val card = Multimodal.mmDataCard(spark, sf).collect()
     assert(card.nonEmpty)

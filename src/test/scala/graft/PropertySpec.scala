@@ -469,4 +469,30 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: adaptive ladder never exceeds the fixed packer's cost, truncates only past the coarsest rung") {
+    import graft.operators.Multimodal
+    val (seqLen, g) = (1024, 64)
+    for (seed <- 1L to 6L) {
+      val docs = sample(docsGen, seed * 29L).toDF("doc_id", "text")
+      val fixed = Multimodal.mmPackInterleavedOf(docs, seqLen, g)
+        .select($"doc_id", $"n_tokens").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Multimodal.mmPackAdaptiveOf(docs, seqLen, g).collect().foreach { r =>
+        val (id, nImg, cost, patch, down, trunc) = (r.getLong(0),
+          r.getLong(2), r.getLong(6), r.getInt(4), r.getBoolean(5),
+          r.getBoolean(11))
+        assert(cost <= fixed(id),
+          s"seed $seed doc $id: ladder raised the cost")
+        assert(down === (patch > 16 && nImg > 0))
+        // downsampling exists to fit: a doc that still flags truncated
+        // must be over the window even at the coarsest rung's cost
+        if (trunc) assert(patch === 64 && cost > seqLen)
+        // and a doc that fits at full resolution was left untouched
+        if (fixed(id) <= seqLen)
+          assert(patch === 16 && cost === fixed(id),
+            s"seed $seed doc $id: needless downsample")
+      }
+    }
+  }
 }
