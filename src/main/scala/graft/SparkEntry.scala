@@ -373,6 +373,8 @@ object SparkEntry {
     "text_ngram_diversity" -> ((s: SparkSession, d: String) =>
       TextAnalysis.textNgramDiversity(s, d)),
     "q_forecast_revenue" -> (Relational.qForecastRevenue _),
+    "q_safe_release" -> ((s: SparkSession, d: String) =>
+      Relational.qSafeRelease(s, d)),
     "mm_silence_trim" -> ((s: SparkSession, d: String) =>
       Multimodal.mmSilenceTrim(s, d)),
     "mm_loudness_norm" -> ((s: SparkSession, d: String) =>
@@ -687,6 +689,7 @@ object SparkEntry {
     "embed_outliers" -> Similarity.embedOutliersSql(),
     "text_ngram_diversity" -> TextAnalysis.textNgramDiversitySql,
     "q_forecast_revenue" -> Relational.qForecastRevenueSql,
+    "q_safe_release" -> Relational.qSafeReleaseSql(),
     "mm_silence_trim" -> Multimodal.mmSilenceTrimSql(),
     "mm_loudness_norm" -> Multimodal.mmLoudnessNormSql(),
     "text_lm_score_bigram" -> TextAnalysis.textLmScoreBigramSql(),

@@ -2345,4 +2345,67 @@ object Relational {
       |  AND l_shipdate < TIMESTAMP '1997-01-01'
       |  AND l_discount >= 0.05 AND l_discount <= 0.07
       |  AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------- B61
+  /** SMALL-GROUP-SUPPRESSED ROLLUP — the release-hygiene primitive
+    * every published aggregate table needs (census/k-anonymity
+    * discipline, the operational subset): per-group stats are released
+    * ONLY for groups with at least `k` members; smaller groups
+    * collapse into one explicit OTHER row — never silently dropped,
+    * because the reconciliation property IS the operator's contract:
+    * released rows + the OTHER row partition the population exactly
+    * (member counts and the DECIMAL balance mass both sum to the
+    * corpus totals, spec-pinned), so a reader can verify nothing
+    * leaked and nothing vanished, while no released row identifies a
+    * group smaller than k. The OTHER row carries `suppressed_groups`
+    * so the suppression volume is itself released data. Scale: one
+    * map-side-combined aggregate to the tiny (nation, segment) grid,
+    * then two branch-filters over ≤ |grid| rows — ReusedExchange
+    * shares the one shuffle; the union is grid-bounded. */
+  def qSafeRelease(spark: SparkSession, sfDir: String,
+      k: Int = 10): DataFrame =
+    qSafeReleaseOf(Tables.customer(spark, sfDir), k)
+
+  /** B61 over an arbitrary customer-shaped frame (spec entry). */
+  def qSafeReleaseOf(customer: DataFrame, k: Int): DataFrame = {
+    val spark = customer.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"suppression floor k=$k must be >= 1")
+    val g = customer
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"c_acctbal".cast("decimal(18,2)")).as("bal"))
+    val kept = g.filter($"n_customers" >= k)
+      .select($"c_nationkey".as("nation_key"),
+        $"c_mktsegment".as("segment"), $"n_customers",
+        $"bal".cast("double").as("total_acctbal"),
+        lit(0L).as("suppressed_groups"))
+    val other = g.filter($"n_customers" < k)
+      .agg(sum($"n_customers").as("n_customers"),
+        sum($"bal").cast("double").as("total_acctbal"),
+        count(lit(1)).as("suppressed_groups"))
+      .filter($"suppressed_groups" > 0)
+      .select(lit(-1).as("nation_key"), lit("OTHER").as("segment"),
+        $"n_customers", $"total_acctbal", $"suppressed_groups")
+    kept.unionByName(other).orderBy($"nation_key", $"segment")
+  }
+
+  def qSafeReleaseSql(k: Int = 10): String =
+    s"""WITH g AS (
+       |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+       |    SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
+       |  FROM customer GROUP BY 1, 2),
+       |kept AS (
+       |  SELECT c_nationkey AS nation_key, c_mktsegment AS segment,
+       |    n AS n_customers, CAST(bal AS DOUBLE) AS total_acctbal,
+       |    CAST(0 AS BIGINT) AS suppressed_groups
+       |  FROM g WHERE n >= $k),
+       |oth AS (
+       |  SELECT CAST(-1 AS INTEGER) AS nation_key, 'OTHER' AS segment,
+       |    CAST(SUM(n) AS BIGINT) AS n_customers,
+       |    CAST(SUM(bal) AS DOUBLE) AS total_acctbal,
+       |    COUNT(*) AS suppressed_groups
+       |  FROM g WHERE n < $k HAVING COUNT(*) > 0)
+       |SELECT * FROM kept UNION ALL SELECT * FROM oth
+       |ORDER BY nation_key, segment""".stripMargin
 }

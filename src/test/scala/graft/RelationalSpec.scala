@@ -673,4 +673,29 @@ class RelationalSpec extends SparkSpec {
     }.toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
     assert(out == want, s"blocker counts diverge: $out vs $want")
   }
+
+  test("safe release: under-k groups collapse into OTHER, totals reconcile exactly") {
+    val customers = (
+      (1 to 12).map(i => (100L + i, s"c$i", 1, 10.25, "AUTO")) ++
+        Seq((201L, "x", 2, 5.50, "BIKE"), (202L, "y", 2, 4.50, "BIKE"),
+          (203L, "z", 2, 1.00, "BIKE")) ++
+        Seq((301L, "p", 3, 7.75, "SHIP"), (302L, "q", 3, 2.25, "SHIP")))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+    val out = Relational.qSafeReleaseOf(customers, k = 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    // group (1, AUTO) n=12 released; (2, BIKE) n=3 and (3, SHIP) n=2
+    // suppressed into one OTHER row carrying both groups' mass
+    assert(out === Array(
+      (-1, "OTHER", 5L, 21.0, 2L),
+      (1, "AUTO", 12L, 123.0, 0L)))
+    // no released row under k, and the partition reconciles exactly
+    assert(out.filter(_._5 == 0L).forall(_._3 >= 10L))
+    assert(out.map(_._3).sum === customers.count())
+    assert(out.map(r => BigDecimal(r._4)).sum === BigDecimal("144.00"))
+    // k=1 releases everything — no OTHER row fabricated
+    val all = Relational.qSafeReleaseOf(customers, k = 1).collect()
+    assert(all.length === 3 && !all.exists(_.getInt(0) == -1))
+  }
 }
