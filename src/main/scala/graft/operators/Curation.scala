@@ -29,8 +29,10 @@ object Curation {
     // lang prunes the scan BELOW the barrier; the tokenizer prices
     // once behind it (the qualityGateSignals rule — pushdown cloned
     // this projection into every gate conjunct, 6 copies in the plan)
-    val sig = docs
-      .filter(col("lang").isin(langs: _*))
+    // fan out the (possibly single-row-group) scan below the tokenizer
+    // so the per-row kernel uses every core — no-op when the file
+    // layout already splits (Scale.fanOutScan's contract)
+    val sig = Scale.fanOutScanLight(docs.filter(col("lang").isin(langs: _*)))
       .withColumn("n_tokens", size(toks).cast("long"))
       // nullif: a token-free doc must fail the ratio gate as NULL, not
       // crash the scan with an ANSI divide-by-zero — today the
@@ -226,7 +228,9 @@ object Curation {
     * pathology verbatim; the duplication gate (DupGateSpec) pins both
     * paths at ≤ 2 copies now. */
   private def qualityGateSignals(docs: DataFrame): DataFrame = {
-    val sig = docs
+    // scan fan-out below the tokenizer (no-op for streaming frames,
+    // already-split layouts, and chains that repartitioned below)
+    val sig = Scale.fanOutScanLight(docs)
       .withColumn("toks", TextAnalysis.tokens("text"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       // nullif: see curateExact — NULL fails the gate, a raw division
@@ -605,7 +609,7 @@ object Curation {
   def curateProdOf(docs: DataFrame, model: TextAnalysis.LangModel,
       minTokens: Int = 10, maxDupBigram: Double = 0.1,
       langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame = {
-    val withCode = TextAnalysis.textCodeScoreCols(docs)
+    val withCode = TextAnalysis.textCodeScoreCols(Scale.fanOutScanLight(docs))
       .withColumn("is_code", coalesce(col("is_code"), lit(false)))
       .withColumn("text",
         graft.functions.TextFunctions.normalizeText(col("text")))
@@ -661,7 +665,7 @@ object Curation {
       minTokens: Int = 10, maxDupBigram: Double = 0.1,
       langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame =
     curateProdOf(
-      Scale.evalOnce(docs.withColumn("text",
+      Scale.evalOnce(Scale.fanOutScan(docs).withColumn("text",
         array_join(TextAnalysis.htmlExtractCol(col("text")), "\n"))),
       model, minTokens, maxDupBigram, langs)
 
@@ -697,7 +701,7 @@ object Curation {
       langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame = {
     val keepCols = docs.columns.filterNot(_ == "text").map(col).toSeq
     val extracted = Scale.evalOnce(
-      TextAnalysis.htmlExtractRobustCols(docs, "text")
+      TextAnalysis.htmlExtractRobustCols(Scale.fanOutScan(docs), "text")
         .select(keepCols ++ Seq(col("extracted").as("text"),
           col("quarantine")): _*))
     curateProdOf(extracted.filter(!col("quarantine")).drop("quarantine"),
@@ -1454,7 +1458,7 @@ object Curation {
     * engines. */
   def packDocAware(docs: DataFrame, seqLen: Int = 2048, g: Int = 64,
       buckets: Int = 1024): DataFrame =
-    packDocAwareFromCounts(docs.select(col("doc_id"),
+    packDocAwareFromCounts(Scale.fanOutScanLight(docs).select(col("doc_id"),
       size(TextAnalysis.tokens()).cast("long").as("n_tokens")),
       seqLen, g, buckets)
 
@@ -3158,7 +3162,7 @@ object Curation {
       defaultWeight: Double = 1.0, seed: Long = 7L): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
-    val toks = docs
+    val toks = Scale.fanOutScanLight(docs)
       .select($"doc_id", $"source",
         size(TextAnalysis.tokens()).cast("long").as("n_toks"))
       .localCheckpoint(true)
@@ -3813,7 +3817,7 @@ object Curation {
     val spark = docs.sparkSession
     import spark.implicits._
     val g = gopherRules(docs).select($"doc_id", $"passed")
-    val base = docs.select($"doc_id",
+    val base = Scale.fanOutScanLight(docs).select($"doc_id",
         col("source").cast("string").as("source"), $"lang",
         size(TextAnalysis.tokens()).cast("long").as("n_tokens"),
         sha2($"text", 256).as("h"),
@@ -4351,7 +4355,7 @@ object Curation {
     import spark.implicits._
     require(n >= 2 && minCount >= 1 && k >= 1,
       s"need n >= 2, minCount >= 1, k >= 1 (got $n, $minCount, $k)")
-    docs
+    Scale.fanOutScanLight(docs)
       .select($"doc_id",
         graft.operators.TextAnalysis.tokens().as("toks"))
       .filter(size($"toks") >= n)
@@ -4473,7 +4477,7 @@ object Curation {
       s"bad word bounds [$minWords, $maxWords]")
     require(minWordLen >= 0 && maxWordLen >= minWordLen,
       s"bad word-length bounds [$minWordLen, $maxWordLen]")
-    docs.withColumn("toks", TextAnalysis.tokens())
+    Scale.fanOutScanLight(docs).withColumn("toks", TextAnalysis.tokens())
       .select($"doc_id",
         size($"toks").cast("long").as("n_words"),
         round(expr(
@@ -4650,7 +4654,7 @@ object Curation {
     require(nBuckets >= 2 && (nBuckets & (nBuckets - 1)) == 0,
       s"nBuckets $nBuckets must be a power of two (the oracle's " +
         "mod-2^64 chain reduces exactly only then)")
-    val nf = docs
+    val nf = Scale.fanOutScanLight(docs)
       .select(col("doc_id"),
         graft.functions.TextFunctions.bigramBuckets(
           TextAnalysis.tokens("text"), nBuckets).as("bs"))
@@ -4876,7 +4880,7 @@ object Curation {
   def budgetSelectCalibratedOf(docs: DataFrame, pkeep: DataFrame,
       budgetTokens: Long, buckets: Int = 1024): DataFrame =
     budgetSelectFromScored(
-      docs.withColumn("n_tokens",
+      Scale.fanOutScanLight(docs).withColumn("n_tokens",
           size(TextAnalysis.tokens()).cast("long"))
         .select(col("doc_id"), col("n_tokens"))
         .join(pkeep.select(col("doc_id"),

@@ -203,7 +203,7 @@ object Dedup {
   // barrier needs ~4+ genuine re-evaluations of a heavy expression to
   // beat its own row-materialization cost.
   private[operators] def gramSet(docs: DataFrame, idCol: String,
-      textCol: String, n: Int): DataFrame = docs
+      textCol: String, n: Int): DataFrame = Scale.fanOutScanLight(docs)
     .select(col(idCol).as("id"), TextAnalysis.tokens(textCol).as("toks"))
     .filter(size(col("toks")) >= n)
     // project the gram array, explode the ATTRIBUTE: an

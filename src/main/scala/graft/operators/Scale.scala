@@ -511,6 +511,72 @@ object Scale {
   def evalOnce(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema)
 
+  /** SCAN FAN-OUT for heavy per-row kernels (optimization guide §2.5:
+    * "one huge unsplittable file … repartition immediately after the
+    * read"): parquet scan parallelism is bounded by row groups — a
+    * single-row-group file is ONE task no matter how many cores the
+    * cluster has, and every expensive projection above it (tokenizers,
+    * extraction regexes, classifiers, PII scrub) inherits that one
+    * task while the rest of the machine idles. This helper restores
+    * parallelism with a round-robin repartition to
+    * `defaultParallelism`, but ONLY when the frame's file layout
+    * cannot provide it: it estimates the scan's split count from the
+    * input files' sizes (driver-side listing the FileIndex already
+    * did; early-out when the file count alone suffices) and is a
+    * structural NO-OP whenever the estimate reaches the default
+    * parallelism — i.e. on any realistically-sized corpus the plan is
+    * unchanged and no shuffle is added; the repartition only fires
+    * where the alternative is a serial scan. The scan's decode itself
+    * stays serial either way (row-group physics) — the win is the
+    * per-row kernel ABOVE the exchange, so apply this only under
+    * kernels whose per-row cost dominates the decode, never under
+    * cheap aggregates (the exchange would cost more than it frees).
+    * Determinism: round-robin repartition sorts each input partition
+    * first (`spark.sql.execution.sortBeforeRepartition`, on by
+    * default), so row placement is deterministic under retries, and
+    * AQE does not coalesce user-specified repartitions. Filter/column
+    * pushdown still reach the scan (PushDownPredicates and column
+    * pruning both cross RepartitionOperation nodes). */
+  def fanOutScan(df: DataFrame, parallelism: Int = 0): DataFrame = {
+    if (df.isStreaming) return df
+    val sc = df.sparkSession.sparkContext
+    val par = if (parallelism > 0) parallelism else sc.defaultParallelism
+    // composed kernels both call this (e.g. the crawl chains fan out
+    // below the extraction, then the prod chain's own site sees the
+    // same lineage): if SOME repartition is already in the tree, the
+    // scan-boundedness this helper exists to fix is already fixed —
+    // never stack a second exchange
+    val already = df.queryExecution.logical.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Repartition => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => true
+      case _ => false
+    }
+    if (already) return df
+    val files = df.inputFiles
+    if (files.isEmpty || files.length >= par) return df
+    val maxSplit = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+    val splits =
+      try {
+        val fs = new org.apache.hadoop.fs.Path(files.head)
+          .getFileSystem(sc.hadoopConfiguration)
+        files.iterator.map { f =>
+          (fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen +
+            maxSplit - 1) / maxSplit
+        }.sum
+      } catch { case _: java.io.IOException => par.toLong }
+    if (splits >= par) df else df.repartition(par)
+  }
+
+  /** [[fanOutScan]] sized for kernels whose chain runs MANY small jobs
+    * after the heavy projection (eager pins, guard aggs, driver
+    * collects): every downstream job schedules one task per partition,
+    * so full fan-out taxes each of them — a quarter of the cores
+    * captures most of the kernel speedup at a quarter of that tax
+    * (measured on the curate family: full fan-out LOST on the
+    * multi-job slots while winning on the single-chain crawl slots). */
+  def fanOutScanLight(df: DataFrame): DataFrame =
+    fanOutScan(df, math.max(2, df.sparkSession.sparkContext.defaultParallelism / 4))
+
   /** [[evalOnce]] for a STREAMING frame: an RDD lineage cannot ride a
     * micro-batch plan, but an OBJECT boundary can. The no-op typed
     * mapPartitions plants a SerializeFromObject/DeserializeToObject

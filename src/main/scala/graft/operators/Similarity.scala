@@ -1816,7 +1816,11 @@ object Similarity {
         // token doc), and stable across partitionings
         ($"doc_id" * 1048576L + $"chunk_idx").as("vec_id"),
         $"chunk_text")
-    val embedded = chunks.as[(Long, String)].mapPartitions { rows =>
+    // the encoder is the heaviest per-row stage of this pipeline and
+    // chunks inherit the corpus scan's single split — fan out before
+    // encoding (no-op when the file layout already splits)
+    val embedded = Scale.fanOutScanLight(chunks)
+      .as[(Long, String)].mapPartitions { rows =>
       val enc = new Multimodal.StubExtractor(dim)
       rows.map { case (id, text) =>
         (id, enc.extract(text.getBytes("UTF-8")).toSeq)
@@ -3367,9 +3371,16 @@ object Similarity {
     require(threshold > -1.0 && threshold <= 1.0, s"threshold $threshold")
     val strong = graph.filter($"cos" >= threshold)
       .select($"vec_id".as("id1"), $"neighbor_id".as("id2"))
+    // mutual test via ONE exchange: a directed edge list with unique
+    // (src, dst) rows contains both directions of a pair iff the
+    // canonicalized (min, max) key appears exactly twice — the
+    // previous `intersect` formulation paid two distincts + a join
+    // (3 exchanges) for the same row set
     val mutual = strong
-      .intersect(strong.select($"id2".as("id1"), $"id1".as("id2")))
-      .filter($"id1" < $"id2") // one undirected edge per pair
+      .select(least($"id1", $"id2").as("id1"),
+        greatest($"id1", $"id2").as("id2"))
+      .groupBy($"id1", $"id2").agg(count(lit(1)).as("__c"))
+      .filter($"__c" === 2).select($"id1", $"id2")
     val comps = Scale.connectedComponents(mutual)
       .toDF("vec_id", "cluster_id")
     e.select($"vec_id").join(comps, Seq("vec_id"), "left")
@@ -3623,25 +3634,36 @@ object Similarity {
     require(n == 0 || nQ == 0 || n <= BruteForceMaxPairs / nQ,
       s"sampled exact baseline would score n·|Q| = ${n * nQ} pairs " +
         s"(> $BruteForceMaxPairs) — shrink frac")
+    // pin the exact baseline: three consumers (the count + one
+    // membership join per audited method) would otherwise re-run the
+    // n·|Q| brute scoring per action — the single most expensive
+    // subtree in the slot, paid 3x for no reason
     val exact = knnGraphCoreFor(e, qIds, k)
-      .select($"vec_id", $"neighbor_id")
-    val baseline = exact.count()
-    def row(method: String, g: DataFrame) = {
-      val edges = g.select($"vec_id", $"neighbor_id")
-        .join(broadcast(qIds), Seq("vec_id"), "left_semi")
-      val found = edges.count()
-      val matched = edges.join(exact, Seq("vec_id", "neighbor_id"),
-        "left_semi").count()
-      (method, nQ, found, baseline, matched,
-        if (baseline == 0) null.asInstanceOf[java.lang.Double]
-        else java.lang.Double.valueOf(
-          math.rint(matched.toDouble / baseline * 1e6) / 1e6))
-    }
-    Seq(row("ivf_graph", knnGraphIvf(spark, sfDir, k, nCells, nProbe)),
-        row("ivf_graph_refined",
-          knnGraphRefined(spark, sfDir, k, nCells, nProbe)))
-      .toDF("method", "n_queries", "found_edges", "baseline_edges",
-        "matched", "recall")
+      .select($"vec_id", $"neighbor_id").localCheckpoint(true)
+    try {
+      val baseline = exact.count()
+      def row(method: String, g: DataFrame) = {
+        // found + matched in ONE job: exact's (vec_id, neighbor_id)
+        // rows are unique, so a left join cannot duplicate edges and
+        // count(__m) counts exactly the semi-join survivors
+        val r = g.select($"vec_id", $"neighbor_id")
+          .join(broadcast(qIds), Seq("vec_id"), "left_semi")
+          .join(exact.withColumn("__m", lit(1)),
+            Seq("vec_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("found"), count($"__m").as("matched"))
+          .head()
+        val (found, matched) = (r.getLong(0), r.getLong(1))
+        (method, nQ, found, baseline, matched,
+          if (baseline == 0) null.asInstanceOf[java.lang.Double]
+          else java.lang.Double.valueOf(
+            math.rint(matched.toDouble / baseline * 1e6) / 1e6))
+      }
+      Seq(row("ivf_graph", knnGraphIvf(spark, sfDir, k, nCells, nProbe)),
+          row("ivf_graph_refined",
+            knnGraphRefined(spark, sfDir, k, nCells, nProbe)))
+        .toDF("method", "n_queries", "found_edges", "baseline_edges",
+          "matched", "recall")
+    } finally graft.Tables.unpinCheckpoint(exact)
   }
 
   val knnGraphSql: String =

@@ -65,7 +65,7 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val stopArr = stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
-    docs
+    Scale.fanOutScanLight(docs)
       .withColumn("toks", tokens())
       .withColumn("n_tokens", size($"toks").cast("long"))
       .withColumn("punct_cnt",
@@ -310,7 +310,7 @@ object TextAnalysis {
     import spark.implicits._
     require(nBuckets >= 2 && (nBuckets & (nBuckets - 1)) == 0,
       s"nBuckets $nBuckets must be a power of two")
-    val nf = docs.select(col("doc_id"),
+    val nf = Scale.fanOutScanLight(docs).select(col("doc_id"),
         explode(graft.functions.TextFunctions.bigramBuckets(
           tokens("text"), nBuckets)).as("b"))
       .join(labels.select(col("doc_id"), col("lang")), Seq("doc_id"))
@@ -356,7 +356,7 @@ object TextAnalysis {
       (graft.functions.ClassifierFunctions.bucketScoreSum(
         $"__bs", model.weights(i)) + model.logPrior(i)).as(s"__z$i"))
     val langsArr = array(model.langs.map(lit(_)).toIndexedSeq: _*)
-    docs.withColumn("__bs", bs)
+    Scale.fanOutScanLight(docs).withColumn("__bs", bs)
       .select(col("*") +: zCols: _*)
       .withColumn("__zs", array(model.langs.indices
         .map(i => col(s"__z$i")).toIndexedSeq: _*))
@@ -641,7 +641,7 @@ object TextAnalysis {
     // scanned + tokenized twice (the boilerplate_frac gram-stage
     // pattern; the pinned frame is the per-doc distinct-term table,
     // far smaller than the corpus it replaces re-reading).
-    val tf = docs.withColumn("toks", tokens())
+    val tf = Scale.fanOutScanLight(docs).withColumn("toks", tokens())
       .select($"doc_id",
         explode(TextFunctions.tokenCounts($"toks")).as(Seq("term", "tf")))
       .localCheckpoint(true)
@@ -668,7 +668,7 @@ object TextAnalysis {
     * project-then-explode shape, which keeps the regex evaluated once
     * per document inside one codegen stage. */
   def postingsOf(docs: DataFrame): DataFrame =
-    docs.withColumn("toks", tokens())
+    Scale.fanOutScanLight(docs).withColumn("toks", tokens())
       .select(col("doc_id"), explode(col("toks")).as("term"))
 
   val tfIdfTopSql: String =
@@ -711,7 +711,7 @@ object TextAnalysis {
     // (doc, term, tf, dl) row-locally — dl (doc length in tokens) is a
     // per-row scalar carried through the explode, so BM25's length
     // normalization costs no extra aggregate
-    val tf = docs.withColumn("toks", tokens())
+    val tf = Scale.fanOutScanLight(docs).withColumn("toks", tokens())
       .select($"doc_id", size($"toks").cast("long").as("dl"),
         explode(TextFunctions.tokenCounts($"toks")).as(Seq("term", "tf")))
       .localCheckpoint(true)
@@ -1588,7 +1588,7 @@ object TextAnalysis {
     // either sum and integer-times-decimal / decimal addition are
     // exact — so the unchanged DuckDB oracle (per-token sum) still
     // hash-matches.
-    val tfd = docs.withColumn("toks", tokens())
+    val tfd = Scale.fanOutScanLight(docs).withColumn("toks", tokens())
       .select($"doc_id",
         explode(TextFunctions.tokenCounts($"toks")).as(Seq("term", "tfd")))
       .localCheckpoint(true)
@@ -1660,7 +1660,7 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     require(lambda > 0 && lambda < 1, s"lambda $lambda out of (0, 1)")
-    val base = docs.withColumn("toks", tokens())
+    val base = Scale.fanOutScanLight(docs).withColumn("toks", tokens())
       .select($"doc_id",
         TextFunctions.tokenCounts($"toks").as("tc"),
         TextFunctions.tokenCounts(expr(
@@ -1757,7 +1757,7 @@ object TextAnalysis {
     import spark.implicits._
     require(topK >= 1 && minCount >= 1)
     val docs = Tables.documents(spark, sfDir)
-    val base = docs.withColumn("toks", tokens())
+    val base = Scale.fanOutScanLight(docs).withColumn("toks", tokens())
       .select($"doc_id",
         TextFunctions.tokenCounts($"toks").as("tc"),
         TextFunctions.tokenCounts(expr(
@@ -2277,7 +2277,7 @@ object TextAnalysis {
     import spark.implicits._
     require(cuts.nonEmpty && cuts.forall(_ > 0) && cuts == cuts.sorted,
       s"cuts must be positive and ascending: $cuts")
-    val counts = docs.withColumn("toks", tokens())
+    val counts = Scale.fanOutScanLight(docs).withColumn("toks", tokens())
       .select(explode(TextFunctions.tokenCounts($"toks")).as(Seq("term", "tf")))
       .groupBy($"term").agg(sum($"tf").as("cnt"))
       .localCheckpoint(true) // vocab-sized; feeds totals AND the top frame
@@ -2563,7 +2563,7 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val pieces = vocab.select($"term", size($"syms").as("pieces"))
-    val perDoc = docs.withColumn("toks", tokens())
+    val perDoc = Scale.fanOutScanLight(docs).withColumn("toks", tokens())
       .select($"doc_id", explode(TextFunctions.tokenCounts($"toks"))
         .as(Seq("term", "tf")))
       .join(pieces, Seq("term"), "left")
@@ -2605,7 +2605,7 @@ object TextAnalysis {
   def textKeywordsOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = docs.withColumn("toks", tokens())
+    val toks = Scale.fanOutScanLight(docs).withColumn("toks", tokens())
       .select($"doc_id", posexplode($"toks").as(Seq("pos", "tok")))
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
     val isl = toks.filter(!$"tok".isInCollection(stopwords))
@@ -3015,7 +3015,10 @@ object TextAnalysis {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(logp)
     val mpl = maxPieceLen
-    val perDoc = docs.withColumn("toks", tokens())
+    // fan out below the tokenize+segment kernel (Viterbi per distinct
+    // term in a typed closure — the heaviest per-row map in the E32
+    // family); no-op when the scan already splits
+    val perDoc = Scale.fanOutScanLight(docs).withColumn("toks", tokens())
       .select($"doc_id", explode(TextFunctions.tokenCounts($"toks"))
         .as(Seq("term", "tf")))
       .as[(Long, String, Long)]
